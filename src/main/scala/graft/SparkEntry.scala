@@ -1,13 +1,378 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2B (plus the §2B-extensions) is exposed
+  * twice: as a Spark DataFrame builder in [[queries]] and as equivalent
+  * ANSI SQL for the DuckDB oracle in [[oracleSql]]. Column names and
+  * types are aligned pair-by-pair; every double-valued aggregate is
+  * rounded at (or finer than) the decimal grid of its exact value so
+  * summation order can never flip a comparison.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— §2B relational surface (the reference's published workload) ——
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_range_filter" -> (Relational.rangeFilter _),
+    "q03_like_filter" -> (Relational.likeFilter _),
+    "q04_map_tags" -> (Relational.mapTags _),
+    "q05_unnest_ordinality" -> (Relational.unnestOrdinality _),
+    "q06_reassemble_join" -> (Relational.reassembleJoin _),
+    "q07_latest_version" -> (Relational.latestVersion _),
+    "q07_latest_version_win" -> (Relational.latestVersionWindow _),
+    "q08_arbitrary" -> (Relational.arbitraryPerGroup _),
+    "q09_month_trunc" -> (Relational.monthlyActivity _),
+    "q10_union_all" -> (Relational.unionBranches _),
+    "q11_case_order" -> (Relational.caseOrderedAgg _),
+    "q12_window_lag" -> (Relational.windowLag _),
+    "q13_topn_per_group" -> (Relational.topNPerGroup _),
+    "q14_exists_anti" -> (Relational.existsAnti _),
+    "q15_regex_extract" -> (Relational.regexExtract _),
+    "q16_daily_windows" -> (Relational.dailyEventWindows _),
+    // —— extensions: dedup ——
+    "d01_dedup_exact" -> (Dedup.exact _),
+    "d02_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "d03_minhash_lsh" -> (Dedup.minHashLsh _),
+    "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
+    "d04_simhash" -> (Dedup.simHash _),
+    "d05_embed_neardup" -> (Dedup.embeddingNearDup _),
+    // —— extensions: similarity search ——
+    "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
+    "s02_ann_lsh" -> (Similarity.annLsh _),
+    // —— extensions: text analysis ——
+    "t01_text_stats" -> (TextAnalysis.textStats _),
+    "t02_lang_id" -> (TextAnalysis.langId _),
+    "t03_fingerprint" -> (TextAnalysis.fingerprint _),
+    // —— extensions: multimodal plumbing ——
+    "m01_media_meta" -> (Multimodal.mediaMeta _),
+  )
+
+  // Canonical DuckDB tokenization — must stay in lockstep with
+  // graft.functions.Text.toks / Text.shingles.
+  private val Toks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private def tkCte(where: String): String =
+    s"tk AS (SELECT doc_id, $Toks AS tk FROM documents $where)"
+
+  private val ShCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS sh
+      |  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM tk) t
+      |)""".stripMargin
+
+  private val DictCte =
+    "dict AS (SELECT sh, dense_rank() OVER (ORDER BY sh) AS sid FROM (SELECT DISTINCT sh FROM sh) dd)"
+
+  private val HashCte =
+    "h AS (SELECT i, 4097 + 7919*i AS a, 17 + 104729*i AS b FROM (SELECT unnest(range(0, 16)) AS i) hh)"
+
+  // Position-exploded embedding elements (cast to DOUBLE so products
+  // match Spark's double arithmetic bit-for-bit).
+  private def embCte(where: String): String =
+    s"""e AS (
+       |  SELECT vec_id, i, CAST(list_extract(embedding, i) AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings WHERE $where) t
+       |)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. d03_minhash_lsh_hashed is intentionally
+    * omitted (xxhash64 ids are not SQL-expressible → rows-only check).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(max(l_quantity) AS BIGINT) AS max_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_range_filter" ->
+      """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_shipdate BETWEEN TIMESTAMP '1995-06-01' AND TIMESTAMP '1997-06-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_like_filter" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |WHERE p_name LIKE '%widget' OR p_name LIKE 'blue%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_map_tags" ->
+      """SELECT p_partkey, p_brand AS brand, p_type AS typ FROM part
+        |WHERE p_name LIKE '%bolt%' ORDER BY p_partkey""".stripMargin,
+
+    "q05_unnest_ordinality" ->
+      """SELECT l_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS INT) AS idx,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem ORDER BY l_orderkey, idx""".stripMargin,
+
+    "q06_reassemble_join" ->
+      """SELECT l_orderkey, string_agg(p_name, ',' ORDER BY l_linenumber, p_name) AS part_names,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_latest_version" ->
+      """SELECT e.user_id, e.event_id, e.event_type, e.value
+        |FROM events e
+        |JOIN (SELECT user_id, max(event_id) AS max_id FROM events GROUP BY user_id) m
+        |  ON e.user_id = m.user_id AND e.event_id = m.max_id
+        |ORDER BY e.user_id""".stripMargin,
+
+    "q07_latest_version_win" ->
+      """SELECT e.user_id, e.event_id, e.event_type, e.value
+        |FROM events e
+        |JOIN (SELECT user_id, max(event_id) AS max_id FROM events GROUP BY user_id) m
+        |  ON e.user_id = m.user_id AND e.event_id = m.max_id
+        |ORDER BY e.user_id""".stripMargin,
+
+    "q08_arbitrary" ->
+      """SELECT p_brand, arg_min(p_name, p_partkey) AS any_name, count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_month_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_union_all" ->
+      """SELECT 'customer' AS kind, n_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+        |UNION ALL
+        |SELECT 'supplier' AS kind, n_name, count(*) AS cnt
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+        |ORDER BY kind, n_name""".stripMargin,
+
+    "q11_case_order" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(CASE WHEN o_orderstatus = 'O' THEN 1 WHEN o_orderstatus = 'F' THEN 2
+        |            WHEN o_orderstatus = 'P' THEN 3 ELSE 4 END AS INT) AS status_rank
+        |FROM orders GROUP BY 1 ORDER BY status_rank, o_orderstatus""".stripMargin,
+
+    "q12_window_lag" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events WHERE user_id < 25
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q13_topn_per_group" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT p_brand, p_partkey, rev,
+        |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS INT) AS rn
+        |  FROM rev
+        |)
+        |SELECT p_brand, p_partkey, rev, rn FROM ranked WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin,
+
+    "q14_exists_anti" ->
+      """SELECT 'with_orders' AS kind, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin,
+
+    "q15_regex_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_daily_windows" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "d02_ngram_jaccard" ->
+      s"""WITH ${tkCte("WHERE doc_id % 10 = 0")},
+         |$ShCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ic
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, round(ic / (sa.n + sb.n - ic), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |WHERE round(ic / (sa.n + sb.n - ic), 6) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    "d03_minhash_lsh" ->
+      s"""WITH ${tkCte("WHERE doc_id % 10 = 0")},
+         |$ShCte,
+         |$DictCte,
+         |$HashCte,
+         |mh AS (
+         |  SELECT s.doc_id, h.i, min((h.a * d.sid + h.b) % 2147483647) AS mh
+         |  FROM sh s JOIN dict d ON s.sh = d.sh CROSS JOIN h
+         |  GROUP BY 1, 2
+         |),
+         |bs AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+         |  FROM mh GROUP BY 1, 2
+         |)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "d04_simhash" ->
+      s"""WITH ${tkCte("")},
+         |$ShCte,
+         |$DictCte,
+         |$HashCte,
+         |votes AS (
+         |  SELECT s.doc_id, h.i,
+         |    sum(CASE WHEN ((h.a * d.sid + h.b) % 2147483647) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM sh s JOIN dict d ON s.sh = d.sh CROSS JOIN h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d05_embed_neardup" ->
+      s"""WITH ${embCte("vec_id % 50 = 0")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT ea.vec_id AS a, eb.vec_id AS b, sum(ea.x * eb.x) AS dp
+         |  FROM e ea JOIN e eb ON ea.i = eb.i AND ea.vec_id < eb.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
+         |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
+         |WHERE round(dp / sqrt(na.nrm * nb.nrm), 6) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+
+    "s01_ann_bruteforce" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT qid, cand, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cand, cos, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "s02_ann_lsh" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |dots AS (
+         |  SELECT vec_id, j, sum(x * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+         |  GROUP BY 1, 2
+         |),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |  FROM dots GROUP BY 1
+         |),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT d.qid, d.cand, bq.bucket, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d
+         |  JOIN bkt bq ON d.qid = bq.vec_id
+         |  JOIN bkt bc ON d.cand = bc.vec_id AND bq.bucket = bc.bucket
+         |  JOIN n nq ON d.qid = nq.vec_id JOIN n nc ON d.cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, bucket, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cand, bucket, cos, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "t01_text_stats" ->
+      s"""WITH base AS (SELECT doc_id, lang, $Toks AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS INT) AS n_stop,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
+         |  FROM base
+         |)
+         |SELECT doc_id, lang, n_tokens, n_stop,
+         |  round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
+         |        (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+         |FROM st WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+
+    "t02_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, CAST(sum((length(tok) * c) % 7) AS BIGINT) AS score
+         |  FROM toks CROSS JOIN (VALUES ('de', 5), ('en', 3), ('es', 7), ('fr', 11), ('zh', 13)) v(cand_lang, c)
+         |  GROUP BY 1, 2
+         |),
+         |ranked AS (
+         |  SELECT doc_id, cand_lang, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+         |  FROM scores
+         |)
+         |SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "t03_fingerprint" ->
+      s"""WITH ${tkCte("")},
+         |toks AS (
+         |  SELECT doc_id, i AS pos, list_extract(tk, i) AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tk) t
+         |),
+         |vocab AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+         |          FROM (SELECT DISTINCT tok FROM toks) v)
+         |SELECT t.doc_id, CAST(sum(t.pos * v.tid) % 1000000007 AS BIGINT) AS fp
+         |FROM toks t JOIN vocab v ON t.tok = v.tok
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  substr(md5(text), 1, 4) AS shard_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

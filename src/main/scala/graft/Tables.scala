@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (see TESTDATA.md).
+  *
+  * All operators take an `sfDir` so the same query runs at any scale
+  * factor; at cluster scale the same code points at an object-store
+  * prefix — Spark's Hadoop-FS layer makes the path scheme transparent
+  * (mirrors the reference's any-Hadoop-FS output,
+  * /root/reference/src/main/java/net/mojodna/osm2orc/standalone/OsmPbf2Orc.java:87).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
+    * to TimestampType; sessions set spark.sql.legacy.parquet.nanosAsLong
+    * and this loader rebuilds a micros TimestampType column via exact
+    * integer division (never through double).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
+    else raw
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2B-extensions): media payloads
+  * are opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract steps run per-partition so a real codec slots in
+  * without touching the plan shape.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic fake — the Spark-side contract (schema,
+  * partitioning, batch shape, null behavior) is real and tested.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Decoded features (what a real codec would emit). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, checksum: Long)
+
+  /** STUB decoder: a real implementation would inflate `content` with an
+    * image/audio codec; this deterministic fake derives "dimensions"
+    * from the payload bytes so tests have stable expectations.
+    * Runs per-partition (iterator-to-iterator, constant memory) — the
+    * exact shape a JNI/codec call needs at scale.
+    */
+  def decodeStub(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val n = r.content.length
+        // rolling byte checksum: deterministic fake for a perceptual hash
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum = (sum * 31 + (r.content(i) & 0xff)) % 1000000007L; i += 1 }
+        MediaFeatures(r.media_id, r.kind, n, width = (sum % 1920).toInt + 1,
+          height = (sum % 1080).toInt + 1, checksum = sum)
+      }
+    }
+  }
+
+  /** Frame-sample: keep every `stride`-th byte of the payload — the
+    * array-slicing shape of real frame sampling, as pure Catalyst ops.
+    */
+  def frameSample(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("sampled",
+      filter(transform(col("content"),
+          (b, i) => when(i % stride === 0, b)),
+        b => b.isNotNull))
+
+  /** Oracle-checked plumbing query: text payloads treated as binary —
+    * byte length + content hash (the metadata extraction pass a media
+    * pipeline runs before any decode).
+    */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        octet_length($"text".cast("binary")).as("n_bytes"),
+        md5($"text".cast("binary")).as("content_hash"),
+        substring(md5($"text".cast("binary")), 1, 4).as("shard_key"))
+      .orderBy($"doc_id")
+  }
+}

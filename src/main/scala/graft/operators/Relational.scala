@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's published query surface (SURVEY.md §2B, derived from
+  * /root/reference/README.md:78-242), re-expressed Spark-first over the
+  * driver's synthetic tables.
+  *
+  * Design rules applied throughout (they matter at 100 TB):
+  *  - declarative DataFrame plans only — Catalyst handles pushdown,
+  *    pruning, join selection; nothing here blocks whole-stage codegen;
+  *  - dimension sides of joins are `broadcast()` hinted (part, nation
+  *    are dimensions at every scale factor);
+  *  - order-sensitive `collect_list` is always made deterministic via
+  *    `array_sort(collect_list(struct(key, value)))` (SURVEY §7.4 —
+  *    Spark gives no collect order guarantee);
+  *  - every double-valued aggregate is rounded at (or finer than) the
+  *    decimal grid of its exact value, so summation-order noise can
+  *    never flip the rounding vs the DuckDB oracle.
+  */
+object Relational {
+
+  /** B2+B10+B11: filter + hash aggregate (TPC-H Q1 shaped) — flagship. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast("bigint").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        max($"l_quantity").cast("bigint").as("max_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** B3: range predicates (the bbox-query analog) on number + timestamp. */
+  def rangeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity".between(10, 20) &&
+        $"l_shipdate".between(
+          lit("1995-06-01").cast("timestamp"), lit("1997-06-01").cast("timestamp")))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum($"l_quantity").cast("bigint").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** B5: LIKE prefix/suffix filters (tags['created_by'] LIKE 'JOSM%' analog). */
+  def likeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .filter($"p_name".like("%widget") || $"p_name".like("blue%"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"p_brand")
+  }
+
+  /** B4: map-typed tags column + key lookup / existence (tags['k'] analog).
+    * The map is built from columns, then queried the way the OSM workload
+    * queries `tags` (/root/reference/README.md:153,222).
+    */
+  def mapTags(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select($"p_partkey",
+        map(lit("brand"), $"p_brand", lit("type"), $"p_type", lit("name"), $"p_name").as("tags"))
+      .filter(map_contains_key($"tags", lit("name")) &&
+        element_at($"tags", "name").like("%bolt%"))
+      .select($"p_partkey",
+        element_at($"tags", "brand").as("brand"),
+        element_at($"tags", "type").as("typ"))
+      .orderBy($"p_partkey")
+  }
+
+  /** B7+B13+B15+B16: ordered collect into array-of-struct, then
+    * posexplode WITH ORDINALITY (1-based, Presto parity —
+    * /root/reference/README.md:108) and struct field access.
+    */
+  def unnestOrdinality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list(struct($"l_linenumber", $"l_quantity"))).as("items"))
+      .select($"l_orderkey", posexplode($"items").as(Seq("pos", "item")))
+      .select($"l_orderkey",
+        ($"pos" + 1).cast("int").as("idx"),
+        $"item.l_quantity".cast("bigint").as("qty"))
+      .orderBy($"l_orderkey", $"idx")
+  }
+
+  /** B8+B13: equi-join (broadcast dimension) + order-sensitive array_agg —
+    * the "reassemble ways from nodes" analog (/root/reference/README.md:79-131).
+    */
+  def reassembleJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct($"l_linenumber", $"p_name"))),
+            x => x.getField("p_name")), ",").as("part_names"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** B9: latest-version-per-key via grouped-max self-join
+    * (/root/reference/README.md:164-185). Kept in join form for oracle
+    * parity; the window-function form is `latestVersionWindow` below.
+    */
+  def latestVersion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val mx = ev.groupBy($"user_id".as("m_user_id")).agg(max($"event_id").as("max_id"))
+    ev.join(mx, ev("user_id") === $"m_user_id" && ev("event_id") === $"max_id")
+      .select(ev("user_id"), ev("event_id"), ev("event_type"), ev("value"))
+      .orderBy($"user_id")
+  }
+
+  /** B9 (optimized form): same result via a window — one shuffle instead
+    * of an aggregate + join; preferred at scale (noted SURVEY §2B B9).
+    */
+  def latestVersionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  /** B12: `arbitrary()` per group, pinned deterministic via min_by on the
+    * unique key (SURVEY §7.4 — Presto arbitrary is nondeterministic).
+    */
+  def arbitraryPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .groupBy($"p_brand")
+      .agg(min_by($"p_name", $"p_partkey").as("any_name"), count(lit(1)).as("cnt"))
+      .orderBy($"p_brand")
+  }
+
+  /** B14+B21: group by a scalar expression — date_trunc to month
+    * (/root/reference/README.md:151-155).
+    */
+  def monthlyActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"month")
+  }
+
+  /** B19+B8: UNION ALL of two aggregated branches over a broadcast join
+    * (/root/reference/README.md:139).
+    */
+  def unionBranches(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nat = broadcast(Tables.nation(spark, sfDir))
+    val c = Tables.customer(spark, sfDir)
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").agg(count(lit(1)).as("cnt"))
+      .select(lit("customer").as("kind"), $"n_name", $"cnt")
+    val s = Tables.supplier(spark, sfDir)
+      .join(nat, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").agg(count(lit(1)).as("cnt"))
+      .select(lit("supplier").as("kind"), $"n_name", $"cnt")
+    c.unionAll(s).orderBy($"kind", $"n_name")
+  }
+
+  /** B17+B18: CASE-ranked multi-key global sort
+    * (/root/reference/README.md:178-183).
+    */
+  def caseOrderedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rank = when($"o_orderstatus" === "O", 1)
+      .when($"o_orderstatus" === "F", 2)
+      .when($"o_orderstatus" === "P", 3)
+      .otherwise(4)
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .withColumn("status_rank", rank.cast("int"))
+      .orderBy($"status_rank", $"o_orderstatus")
+  }
+
+  /** B22: window functions — lag delta + row_number per partition
+    * (recommended at /root/reference/README.md:158-159).
+    */
+  def windowLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    Tables.events(spark, sfDir)
+      .filter($"user_id" < 25)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        row_number().over(w).cast("int").as("rn"),
+        ($"value" - lag($"value", 1).over(w)).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** B1+B22: CTE + per-group top-N via rank-filter (top 3 parts by
+    * revenue within each brand; ties broken by key so selection is total).
+    */
+  def topNPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_partkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("rev"))
+    val w = Window.partitionBy($"p_brand").orderBy($"rev".desc, $"p_partkey")
+    rev.withColumn("rn", row_number().over(w).cast("int"))
+      .filter($"rn" <= 3)
+      .orderBy($"p_brand", $"rn")
+  }
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS) — standard coverage beyond the
+    * reference workload; Spark plans them as broadcast/shuffled hash
+    * semi-joins with no row duplication.
+    */
+  def existsAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+    val ords = Tables.orders(spark, sfDir).select($"o_custkey")
+    val withO = cust.join(ords, $"c_custkey" === $"o_custkey", "left_semi")
+      .agg(count(lit(1)).as("cnt")).select(lit("with_orders").as("kind"), $"cnt")
+    val without = cust.join(ords, $"c_custkey" === $"o_custkey", "left_anti")
+      .agg(count(lit(1)).as("cnt")).select(lit("without_orders").as("kind"), $"cnt")
+    withO.unionAll(without).orderBy($"kind")
+  }
+
+  /** Scalar regex extraction from a JSON-ish string column (events.props). */
+  def regexExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type", regexp_extract($"props", "([0-9]+)", 1).cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").cast("bigint").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Tumbling time-window aggregation (batch form of the streaming
+    * windowed agg in graft.streaming; 1-day windows == UTC calendar days).
+    */
+  def dailyEventWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(
+        window($"ts", "1 day").getField("start").cast("date").as("day"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+}

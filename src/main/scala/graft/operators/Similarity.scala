@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over an embedding column (Array[Float]) —
+  * extension operators per SURVEY.md §2B-extensions.
+  *
+  * All vector math is Catalyst higher-order functions (zip_with +
+  * aggregate) — codegen'd, no UDFs, columns prune to (vec_id,
+  * embedding) at the scan. Dot/norm fold left-to-right in doubles so
+  * results are deterministic and oracle-reproducible.
+  *
+  * Scale notes (100 TB):
+  *  - brute-force top-k broadcasts the (tiny) query set against the
+  *    candidate corpus — a map-only pass plus one top-k aggregation;
+  *  - the LSH variant buckets both sides by deterministic hyperplane
+  *    signs, turning the cross join into an equi-join on bucket — the
+  *    standard ANN trade (recall for cost); at 1000 executors both
+  *    paths are shuffle-minimal.
+  */
+object Similarity {
+
+  /** Left-to-right double fold of sum(x*y). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+
+  /** Left-to-right double fold of sum(x*x). */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+
+  /** Brute-force cosine top-k: queries = vec_id < 8, candidates =
+    * vec_id % 20 == 0. Ranking uses the *rounded* cosine with vec_id as
+    * a total tiebreak, so top-k selection is deterministic across
+    * engines and partitionings.
+    */
+  def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = withNorm(emb.filter($"vec_id" < 8))
+      .withColumnRenamed("vec_id", "qid")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("nrm", "q_nrm")
+    val c = withNorm(emb.filter($"vec_id" % 20 === 0))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand"),
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= 5)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Deterministic pseudo-hyperplane j (j in 0..3) over 64 dims:
+    * plane_j[k] = ((17*j + 31*k + 5) mod 7) - 3, values in [-3, 3].
+    */
+  private def planeDot(emb: Column, j: Int): Column =
+    aggregate(
+      zip_with(emb, sequence(lit(0), lit(63)),
+        (x, k) => x.cast("double") *
+          (((lit(17) * lit(j) + lit(31) * k + lit(5)) % 7) - 3).cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+
+  /** 4-bit hyperplane-sign LSH bucket. */
+  def lshBucket(emb: Column): Column =
+    (0 until 4).map(j => when(planeDot(emb, j) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast("int")
+
+  /** LSH-bucketed ANN (the scale path): candidates are only probed
+    * within the query's bucket — the cross join becomes an equi-join on
+    * bucket. Same query/candidate sets as annBruteForce; top-3 within
+    * bucket. Recall < 1 by design; the oracle computes the identical
+    * algorithm so results still hash-match.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = withNorm(emb.filter($"vec_id" < 8))
+      .withColumn("bucket", lshBucket($"embedding"))
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), $"bucket")
+    val c = withNorm(emb.filter($"vec_id" % 20 === 0))
+      .withColumn("bucket", lshBucket($"embedding"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand"), $"bucket",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= 3)
+      .orderBy($"qid", $"rnk")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis operators for a training-data pipeline (extensions per
+  * SURVEY.md §2B-extensions): quality scoring, token stats, language-ID
+  * scoring, document fingerprinting.
+  *
+  * All per-document passes are narrow (map-only over the scan — no
+  * shuffle at all for textStats), which is exactly what you want for a
+  * 100 TB quality-filter sweep.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in")
+
+  /** Per-doc token stats + a deterministic quality score:
+    * quality = min(1, n_tokens/100) * (1 - stopword_ratio).
+    * Pure map-side pass; no shuffle.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", length($"text").as("n_chars_m"),
+        Text.toks($"text").as("tk"))
+      .select($"doc_id", $"lang", $"n_chars_m",
+        size($"tk").as("n_tokens"),
+        size(filter($"tk", t => t.isin(Stopwords: _*))).as("n_stop"),
+        aggregate($"tk", lit(0), (acc, t) => acc + length(t)).as("tok_chars"))
+      .filter($"n_tokens" > 0)
+    base.select($"doc_id", $"lang", $"n_tokens", $"n_stop",
+      round($"tok_chars" / $"n_tokens", 6).as("avg_tok_len"),
+      round($"n_stop" / $"n_tokens", 6).as("stop_ratio"),
+      round(least(lit(1.0), $"n_tokens" / lit(100.0)) *
+        (lit(1.0) - $"n_stop" / $"n_tokens"), 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID by additive n-gram scoring: each candidate language l
+    * has a deterministic per-token weight (length(tok)*c_l) mod 7; the
+    * predicted language is the argmax (ties broken lexicographically).
+    * The weights are a stand-in lexicon — the *operator shape*
+    * (token explode -> per-language score -> argmax) is the real
+    * n-gram language-ID pipeline.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Seq(("de", 5), ("en", 3), ("es", 7), ("fr", 11), ("zh", 13))
+      .toDF("cand_lang", "c")
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(Text.toks($"text")).as("tok"))
+    val scores = toks.crossJoin(broadcast(langs))
+      .groupBy($"doc_id", $"cand_lang")
+      .agg(sum((length($"tok") * $"c") % 7).cast("bigint").as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
+    scores.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cand_lang".as("pred_lang"), $"score")
+      .orderBy($"doc_id")
+  }
+
+  /** Positional document fingerprint: sum(pos * token_id) mod P over the
+    * token stream, token ids from the sorted global vocabulary
+    * (dense_rank — the corpus vocabulary is the small side; at scale
+    * swap in xxhash64 token ids, same shape).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(Text.toks($"text")).as(Seq("pos", "tok")))
+    val vocab = toks.select($"tok").distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy($"tok")).cast("bigint"))
+    toks.join(vocab, "tok")
+      .groupBy($"doc_id")
+      .agg((sum(($"pos" + 1) * $"tid") % lit(1000000007L)).as("fp"))
+      .orderBy($"doc_id")
+  }
+}
