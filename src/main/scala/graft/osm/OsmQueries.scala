@@ -1,0 +1,125 @@
+package graft.osm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's published analytic workload
+  * (/root/reference/README.md:78-242), as composable DataFrame builders
+  * over planet/planet_history/changesets DataFrames (SURVEY.md §2B).
+  *
+  * These are the OSM-shaped twins of graft.operators.Relational (which
+  * proves the same constructs against the driver's oracle tables);
+  * OsmQueriesSpec exercises them on golden fixtures.
+  */
+object OsmQueries {
+
+  /** README.md:79-131 — reassemble way geometries: explode nds WITH
+    * ORDINALITY (1-based), join node coordinates, collect ordered
+    * coordinate arrays. The nodes side is huge at planet scale; the join
+    * shuffles on node id, and AQE's skew join handles mega-shared nodes
+    * (SURVEY §7.4).
+    */
+  def reassembleWays(planet: DataFrame): DataFrame = {
+    val nodes = planet.filter(col("type") === "node")
+      .select(col("id").as("node_id"), col("lat"), col("lon"))
+    val ways = planet.filter(col("type") === "way")
+      .select(col("id").as("way_id"), col("tags"), posexplode(col("nds")).as(Seq("pos", "nd")))
+      .select(col("way_id"), col("tags"), (col("pos") + 1).as("idx"), col("nd.ref").as("ref"))
+    ways.join(nodes, col("ref") === col("node_id"))
+      .groupBy(col("way_id"))
+      .agg(
+        first(col("tags")).as("tags"), // Presto arbitrary(tags) ≡ first
+        transform(
+          array_sort(collect_list(struct(col("idx"), array(col("lat"), col("lon")).as("coord")))),
+          x => x.getField("coord")).as("coordinates"))
+  }
+
+  /** README.md:99-100,238-241 — bbox containment on decimal coords. */
+  def nodesInBbox(planet: DataFrame, minLon: Double, maxLon: Double,
+      minLat: Double, maxLat: Double): DataFrame =
+    planet.filter(col("type") === "node" &&
+      col("lon").between(minLon, maxLon) && col("lat").between(minLat, maxLat))
+
+  /** README.md:149-156 — tag-usage count by month for a given key. */
+  def tagUsageByMonth(planet: DataFrame, tagKey: String): DataFrame =
+    planet.filter(col("tags").getItem(tagKey).isNotNull)
+      .groupBy(date_trunc("month", col("timestamp")).as("month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("month"))
+
+  /** README.md:164-185 — latest version of every element from history:
+    * grouped-max self-join on (type, id, version), CASE-ranked output
+    * order.
+    */
+  def latestVersions(history: DataFrame): DataFrame = {
+    val latest = history.groupBy(col("type").as("t"), col("id").as("i"))
+      .agg(max(col("version")).as("v"))
+    history.join(latest,
+        col("type") === col("t") && col("id") === col("i") && col("version") === col("v"))
+      .drop("t", "i", "v")
+      .orderBy(typeRank(col("type")), col("id"))
+  }
+
+  /** Same result via a window — one shuffle, preferred at scale. */
+  def latestVersionsWindow(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("type"), col("id")).orderBy(col("version").desc)
+    history.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .orderBy(typeRank(col("type")), col("id"))
+  }
+
+  /** README.md:190-212 — count currently-deleted elements per type. */
+  def deletedCount(history: DataFrame): DataFrame =
+    latestVersionsWindow(history)
+      .filter(!col("visible"))
+      .groupBy(col("type")).agg(count(lit(1)).as("n_deleted"))
+      .orderBy(typeRank(col("type")))
+
+  /** README.md:178-183 — node < way < relation ordering rank. */
+  def typeRank(t: Column): Column =
+    when(t === "node", 1).when(t === "way", 2).when(t === "relation", 3).otherwise(4)
+
+  /** README.md:219-223 — changesets with a comment tag. */
+  def changesetsWithComment(changesets: DataFrame): DataFrame =
+    changesets.filter(col("tags").getItem("comment").isNotNull)
+
+  /** README.md:226-231 — count changesets by editor prefix (LIKE). */
+  def changesetsByEditor(changesets: DataFrame, prefix: String): DataFrame =
+    changesets.filter(col("tags").getItem("created_by").like(prefix + "%"))
+      .groupBy(col("tags").getItem("created_by").as("editor"))
+      .agg(count(col("id")).as("n"))
+      .orderBy(col("editor"))
+
+  /** README.md:233-241 — changesets whose bbox intersects a query bbox. */
+  def changesetsIntersecting(changesets: DataFrame, minLon: Double, maxLon: Double,
+      minLat: Double, maxLat: Double): DataFrame =
+    changesets.filter(
+      col("min_lon") <= maxLon && col("max_lon") >= minLon &&
+        col("min_lat") <= maxLat && col("max_lat") >= minLat)
+
+  /** README.md:134-145 — node + way coordinates UNION ALL (nodes as
+    * single points, ways reassembled).
+    */
+  def allGeometries(planet: DataFrame): DataFrame = {
+    val nodePts = planet.filter(col("type") === "node")
+      .select(col("id"), col("type"), col("tags"),
+        array(array(col("lat"), col("lon"))).as("coordinates"))
+    val wayLines = reassembleWays(planet)
+      .select(col("way_id").as("id"), lit("way").as("type"), col("tags"), col("coordinates"))
+    nodePts.unionByName(wayLines)
+  }
+
+  /** README.md:158-159 (recommended window form) — per-element tag-value
+    * transitions across versions for one key: value, previous value.
+    */
+  def tagTransitions(history: DataFrame, tagKey: String): DataFrame = {
+    val w = Window.partitionBy(col("type"), col("id")).orderBy(col("version"))
+    history
+      .select(col("type"), col("id"), col("version"),
+        col("tags").getItem(tagKey).as("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("value").isNotNull && (col("prev_value").isNull ||
+        col("prev_value") =!= col("value")))
+  }
+}

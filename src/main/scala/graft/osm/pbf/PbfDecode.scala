@@ -1,0 +1,360 @@
+package graft.osm.pbf
+
+import java.io.DataInputStream
+import java.util.zip.Inflater
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.osm.pbf.Proto.Reader
+
+/** OSM PBF decoding: fileformat (BlobHeader/Blob) + osmformat
+  * (PrimitiveBlock with string table, dense nodes, ways, relations).
+  *
+  * Field numbers and semantics follow the public spec
+  * (wiki.openstreetmap.org/wiki/PBF_Format). The reference reaches the
+  * same entity stream through the osm4j library
+  * (/root/reference/src/main/java/net/mojodna/osm2orc/standalone/OsmPbf2Orc.java:118);
+  * that library is not on our classpath, and a DSv2 source needs the
+  * Blob framing anyway for split planning, so we decode natively.
+  */
+object PbfDecode {
+
+  /** Entity metadata (osmformat Info / DenseInfo). */
+  final case class OsmInfo(
+      version: Long,
+      timestampMs: Option[Long],
+      changeset: Option[Long],
+      uid: Option[Long],
+      user: Option[String],
+      visible: Boolean)
+
+  val NoInfo: OsmInfo = OsmInfo(-1L, None, None, None, None, visible = true)
+
+  sealed trait OsmEntity {
+    def id: Long
+    def tags: Array[(String, String)]
+    def info: OsmInfo
+  }
+  /** latNano/lonNano are exact integer nanodegrees — decimal conversion
+    * never passes through a double (SURVEY §7.4 decimal rule).
+    */
+  final case class OsmNode(id: Long, tags: Array[(String, String)],
+      latNano: Long, lonNano: Long, info: OsmInfo) extends OsmEntity
+  final case class OsmWay(id: Long, tags: Array[(String, String)],
+      refs: Array[Long], info: OsmInfo) extends OsmEntity
+  /** memberTypes: 0=node 1=way 2=relation (osmformat enum). */
+  final case class OsmRelation(id: Long, tags: Array[(String, String)],
+      memberTypes: Array[Int], memberRefs: Array[Long],
+      memberRoles: Array[String], info: OsmInfo) extends OsmEntity
+
+  /** One blob's framing within the file (for split planning). */
+  final case class BlobSpan(blobType: String, headerStart: Long, dataStart: Long,
+      dataSize: Int) {
+    def endOffset: Long = dataStart + dataSize
+  }
+
+  // ---- file framing ------------------------------------------------
+
+  /** Parse a BlobHeader message: type(1), indexdata(2), datasize(3). */
+  private def parseBlobHeader(bytes: Array[Byte]): (String, Int) = {
+    val r = Proto.reader(bytes)
+    var typ = ""
+    var datasize = 0
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => typ = r.readString()
+        case 3 => datasize = r.readVarint().toInt
+        case _ => r.skip(tag & 7)
+      }
+    }
+    (typ, datasize)
+  }
+
+  /** Enumerate blob spans by reading only the 4-byte prefixes and
+    * BlobHeaders, seeking past blob payloads — O(#blobs) I/O, so the
+    * driver can split-plan a planet file cheaply.
+    */
+  def scanBlobSpans(in: DataInputStream, skip: Long => Unit): Seq[BlobSpan] = {
+    val out = ArrayBuffer.empty[BlobSpan]
+    var offset = 0L
+    var eof = false
+    while (!eof) {
+      val b0 = in.read()
+      if (b0 < 0) eof = true
+      else {
+        val headerLen = (b0 << 24) | (in.readUnsignedByte() << 16) |
+          (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+        val headerBytes = new Array[Byte](headerLen)
+        in.readFully(headerBytes)
+        val (typ, datasize) = parseBlobHeader(headerBytes)
+        val dataStart = offset + 4 + headerLen
+        out += BlobSpan(typ, offset, dataStart, datasize)
+        skip(datasize.toLong)
+        offset = dataStart + datasize
+      }
+    }
+    out.toSeq
+  }
+
+  /** Blob message: raw(1), raw_size(2), zlib_data(3). */
+  def decompressBlob(blobBytes: Array[Byte]): Array[Byte] = {
+    val r = Proto.reader(blobBytes)
+    var raw: Array[Byte] = null
+    var rawSize = -1
+    var zlib: Array[Byte] = null
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => raw = r.readBytes()
+        case 2 => rawSize = r.readVarint().toInt
+        case 3 => zlib = r.readBytes()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    if (raw != null) raw
+    else if (zlib != null) {
+      val inf = new Inflater()
+      inf.setInput(zlib)
+      val out = new Array[Byte](if (rawSize >= 0) rawSize else zlib.length * 4)
+      var n = 0
+      while (!inf.finished() && n < out.length) n += inf.inflate(out, n, out.length - n)
+      inf.end()
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    } else throw new IllegalArgumentException(
+      "unsupported Blob encoding (only raw and zlib_data)")
+  }
+
+  // ---- osmformat ---------------------------------------------------
+
+  private final class BlockCtx(
+      val strings: Array[String],
+      val granularity: Long,
+      val latOffset: Long,
+      val lonOffset: Long,
+      val dateGranularity: Long)
+
+  /** stringtable: repeated bytes s = 1; index 0 is the empty string. */
+  private def parseStringTable(r: Reader): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    while (r.hasMore) {
+      val tag = r.readTag()
+      if ((tag >> 3) == 1) out += r.readString() else r.skip(tag & 7)
+    }
+    out.toArray
+  }
+
+  /** Info: version(1), timestamp(2), changeset(3), uid(4), user_sid(5),
+    * visible(6).
+    */
+  private def parseInfo(r: Reader, ctx: BlockCtx): OsmInfo = {
+    var version = -1L
+    var ts: Option[Long] = None
+    var cs: Option[Long] = None
+    var uid: Option[Long] = None
+    var user: Option[String] = None
+    var visible = true
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => version = r.readVarint()
+        case 2 => ts = Some(r.readVarint() * ctx.dateGranularity)
+        case 3 => cs = Some(r.readVarint())
+        case 4 => uid = Some(r.readVarint())
+        case 5 => user = Some(ctx.strings(r.readVarint().toInt))
+        case 6 => visible = r.readVarint() != 0
+        case _ => r.skip(tag & 7)
+      }
+    }
+    OsmInfo(version, ts, cs, uid, user, visible)
+  }
+
+  private def tagsFrom(keys: Array[Long], vals: Array[Long],
+      ctx: BlockCtx): Array[(String, String)] = {
+    val out = new Array[(String, String)](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      out(i) = (ctx.strings(keys(i).toInt), ctx.strings(vals(i).toInt))
+      i += 1
+    }
+    out
+  }
+
+  /** Node: id(1 sint64), keys(2), vals(3), info(4), lat(8 sint64),
+    * lon(9 sint64).
+    */
+  private def parseNode(r: Reader, ctx: BlockCtx): OsmNode = {
+    var id = 0L; var lat = 0L; var lon = 0L
+    var keys = Array.emptyLongArray; var vals = Array.emptyLongArray
+    var info = NoInfo
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => id = Proto.zigzag(r.readVarint())
+        case 2 => keys = r.readPackedVarints()
+        case 3 => vals = r.readPackedVarints()
+        case 4 => info = parseInfo(r.readSlice(), ctx)
+        case 8 => lat = Proto.zigzag(r.readVarint())
+        case 9 => lon = Proto.zigzag(r.readVarint())
+        case _ => r.skip(tag & 7)
+      }
+    }
+    OsmNode(id, tagsFrom(keys, vals, ctx),
+      ctx.latOffset + ctx.granularity * lat,
+      ctx.lonOffset + ctx.granularity * lon, info)
+  }
+
+  /** DenseNodes: id(1 packed delta-sint64), denseinfo(5),
+    * lat(8)/lon(9) packed delta-sint64, keys_vals(10, 0-terminated runs).
+    * DenseInfo: version(1), timestamp(2 delta), changeset(3 delta),
+    * uid(4 delta), user_sid(5 delta), visible(6).
+    */
+  private def parseDense(r: Reader, ctx: BlockCtx): Iterator[OsmNode] = {
+    var ids = Array.emptyLongArray
+    var lats = Array.emptyLongArray
+    var lons = Array.emptyLongArray
+    var keysVals = Array.emptyLongArray
+    var versions = Array.emptyLongArray
+    var timestamps = Array.emptyLongArray
+    var changesets = Array.emptyLongArray
+    var uids = Array.emptyLongArray
+    var userSids = Array.emptyLongArray
+    var visibles = Array.emptyLongArray
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => ids = r.readPackedDeltaZigzag()
+        case 5 =>
+          val di = r.readSlice()
+          while (di.hasMore) {
+            val t2 = di.readTag()
+            (t2 >> 3) match {
+              case 1 => versions = di.readPackedVarints()
+              case 2 => timestamps = di.readPackedDeltaZigzag()
+              case 3 => changesets = di.readPackedDeltaZigzag()
+              case 4 => uids = di.readPackedDeltaZigzag()
+              case 5 => userSids = di.readPackedDeltaZigzag()
+              case 6 => visibles = di.readPackedVarints()
+              case _ => di.skip(t2 & 7)
+            }
+          }
+        case 8 => lats = r.readPackedDeltaZigzag()
+        case 9 => lons = r.readPackedDeltaZigzag()
+        case 10 => keysVals = r.readPackedVarints()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    var kv = 0
+    val hasInfo = versions.nonEmpty
+    (0 until ids.length).iterator.map { i =>
+      val tags = ArrayBuffer.empty[(String, String)]
+      while (kv < keysVals.length && keysVals(kv) != 0L) {
+        tags += ((ctx.strings(keysVals(kv).toInt), ctx.strings(keysVals(kv + 1).toInt)))
+        kv += 2
+      }
+      if (kv < keysVals.length) kv += 1 // consume the 0 separator
+      val info =
+        if (!hasInfo) NoInfo
+        else OsmInfo(
+          versions(i),
+          if (timestamps.nonEmpty) Some(timestamps(i) * ctx.dateGranularity) else None,
+          if (changesets.nonEmpty) Some(changesets(i)) else None,
+          if (uids.nonEmpty) Some(uids(i)) else None,
+          if (userSids.nonEmpty) Some(ctx.strings(userSids(i).toInt)) else None,
+          if (visibles.nonEmpty) visibles(i) != 0 else true)
+      OsmNode(ids(i), tags.toArray,
+        ctx.latOffset + ctx.granularity * lats(i),
+        ctx.lonOffset + ctx.granularity * lons(i), info)
+    }
+  }
+
+  /** Way: id(1 int64), keys(2), vals(3), info(4), refs(8 packed
+    * delta-sint64).
+    */
+  private def parseWay(r: Reader, ctx: BlockCtx): OsmWay = {
+    var id = 0L
+    var keys = Array.emptyLongArray; var vals = Array.emptyLongArray
+    var refs = Array.emptyLongArray
+    var info = NoInfo
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => id = r.readVarint()
+        case 2 => keys = r.readPackedVarints()
+        case 3 => vals = r.readPackedVarints()
+        case 4 => info = parseInfo(r.readSlice(), ctx)
+        case 8 => refs = r.readPackedDeltaZigzag()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    OsmWay(id, tagsFrom(keys, vals, ctx), refs, info)
+  }
+
+  /** Relation: id(1 int64), keys(2), vals(3), info(4), roles_sid(8),
+    * memids(9 packed delta-sint64), types(10 packed enum).
+    */
+  private def parseRelation(r: Reader, ctx: BlockCtx): OsmRelation = {
+    var id = 0L
+    var keys = Array.emptyLongArray; var vals = Array.emptyLongArray
+    var roleSids = Array.emptyLongArray
+    var memids = Array.emptyLongArray
+    var types = Array.emptyLongArray
+    var info = NoInfo
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => id = r.readVarint()
+        case 2 => keys = r.readPackedVarints()
+        case 3 => vals = r.readPackedVarints()
+        case 4 => info = parseInfo(r.readSlice(), ctx)
+        case 8 => roleSids = r.readPackedVarints()
+        case 9 => memids = r.readPackedDeltaZigzag()
+        case 10 => types = r.readPackedVarints()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    OsmRelation(id, tagsFrom(keys, vals, ctx), types.map(_.toInt),
+      memids, roleSids.map(s => ctx.strings(s.toInt)), info)
+  }
+
+  /** PrimitiveBlock: stringtable(1), primitivegroup(2), granularity(17),
+    * date_granularity(18), lat_offset(19), lon_offset(20).
+    * PrimitiveGroup: nodes(1), dense(2), ways(3), relations(4).
+    */
+  def decodePrimitiveBlock(blockBytes: Array[Byte]): Iterator[OsmEntity] = {
+    val r = Proto.reader(blockBytes)
+    var strings = Array.empty[String]
+    var granularity = 100L
+    var dateGranularity = 1000L
+    var latOffset = 0L
+    var lonOffset = 0L
+    val groups = ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => strings = parseStringTable(r.readSlice())
+        case 2 => groups += r.readSlice()
+        case 17 => granularity = r.readVarint()
+        case 18 => dateGranularity = r.readVarint()
+        case 19 => latOffset = r.readVarint()
+        case 20 => lonOffset = r.readVarint()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    val ctx = new BlockCtx(strings, granularity, latOffset, lonOffset, dateGranularity)
+    groups.iterator.flatMap { g =>
+      val out = ArrayBuffer.empty[Iterator[OsmEntity]]
+      while (g.hasMore) {
+        val tag = g.readTag()
+        (tag >> 3) match {
+          case 1 => out += Iterator.single(parseNode(g.readSlice(), ctx))
+          case 2 => out += parseDense(g.readSlice(), ctx)
+          case 3 => out += Iterator.single(parseWay(g.readSlice(), ctx))
+          case 4 => out += Iterator.single(parseRelation(g.readSlice(), ctx))
+          case _ => g.skip(tag & 7)
+        }
+      }
+      out.iterator.flatten
+    }
+  }
+}

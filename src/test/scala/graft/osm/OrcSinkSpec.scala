@@ -1,0 +1,43 @@
+package graft.osm
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class OrcSinkSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  test("planet PBF → ORC → re-read round-trip with sidecar metadata") {
+    val pbf = PbfTestData.writeSample(Files.createTempDirectory("pbf"))
+    val out = Files.createTempDirectory("orc").resolve("planet.orc").toString
+    val df = spark.read.format("osm-pbf").load(pbf)
+    OrcSink.writePlanet(df, out, bounds = OrcSink.pbfBounds(spark, pbf))
+
+    val back = spark.read.orc(out)
+    back.schema shouldBe OsmSchemas.Planet
+    back.count() shouldBe 7
+    // spot-check nested data survives ORC
+    val way = back.filter("type = 'way'").head()
+    way.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("nds").map(_.getLong(0)) shouldBe Seq(1L, 2L, 3L)
+
+    val sidecar = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_graft_metadata.json")), "UTF-8")
+    sidecar should include(""""osm.schema.version": "0.6"""")
+    sidecar should include(""""bounds": "-0.4,51,0.6,52"""")
+  }
+
+  test("changesets XML → ORC round-trip") {
+    val dir = Files.createTempDirectory("cs")
+    val f = dir.resolve("c.osm")
+    Files.write(f,
+      """<osm><changeset id="9" open="true" comments_count="0" num_changes="1"/></osm>"""
+        .getBytes("UTF-8"))
+    val out = dir.resolve("changesets.orc").toString
+    OrcSink.writeChangesets(ChangesetXml.read(spark, f.toString), out)
+    val back = spark.read.orc(out)
+    back.schema shouldBe OsmSchemas.Changesets
+    back.head().getAs[Long]("id") shouldBe 9L
+  }
+}

@@ -1,0 +1,102 @@
+package graft.osm
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The reference's README workload (SURVEY §2B) over an in-memory
+  * planet-history fixture with known answers.
+  */
+class OsmQueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def dec(s: String): java.math.BigDecimal = new java.math.BigDecimal(s)
+
+  private def planetRow(id: Long, typ: String, tags: Map[String, String],
+      lat: String, lon: String, nds: Seq[Long], version: Long,
+      visible: Boolean, tsMs: Long = 1000000L): Row =
+    Row(id, typ, tags,
+      Option(lat).map(dec).orNull, Option(lon).map(dec).orNull,
+      nds.map(Row(_)), Seq.empty[Row], 1L, new Timestamp(tsMs), 1L, "u",
+      version, visible)
+
+  private lazy val history: DataFrame = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      // node 1: two versions, latest visible
+      planetRow(1, "node", Map("amenity" -> "cafe"), "51.5000000", "-0.1000000", Nil, 1, true),
+      planetRow(1, "node", Map("amenity" -> "bar"), "51.5000000", "-0.1000000", Nil, 2, true),
+      // node 2: deleted in v2
+      planetRow(2, "node", Map(), "51.6000000", "-0.2000000", Nil, 1, true),
+      planetRow(2, "node", Map(), "51.6000000", "-0.2000000", Nil, 2, false),
+      // node 3: single version
+      planetRow(3, "node", Map(), "51.7000000", "-0.3000000", Nil, 1, true),
+      // way 10 over nodes 3,1,2 (order matters!)
+      planetRow(10, "way", Map("highway" -> "residential"), null, null, Seq(3, 1, 2), 1, true,
+        tsMs = 4000000000L))),
+    OsmSchemas.Planet)
+
+  test("reassembleWays keeps nd order (WITH ORDINALITY semantics)") {
+    val ways = OsmQueries.reassembleWays(history.filter("version = 1 or type = 'way'"))
+      .collect()
+    ways.length shouldBe 1
+    val coords = ways(0).getAs[scala.collection.Seq[scala.collection.Seq[java.math.BigDecimal]]]("coordinates")
+    coords.map(_.head.toPlainString) shouldBe
+      Seq("51.7000000", "51.5000000", "51.6000000") // way order 3,1,2
+  }
+
+  test("latestVersions (join form) == latestVersionsWindow (window form)") {
+    val a = OsmQueries.latestVersions(history).select("type", "id", "version").collect().toSet
+    val b = OsmQueries.latestVersionsWindow(history).select("type", "id", "version").collect().toSet
+    a shouldBe b
+    a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
+      Set(("node", 1L, 2L), ("node", 2L, 2L), ("node", 3L, 1L), ("way", 10L, 1L))
+  }
+
+  test("deletedCount counts only latest-version-invisible elements") {
+    val d = OsmQueries.deletedCount(history).collect()
+    d.map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("node", 1L))
+  }
+
+  test("nodesInBbox uses decimal comparison") {
+    OsmQueries.nodesInBbox(history, -0.25, 0.0, 51.0, 52.0)
+      .select("id").distinct().collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+  }
+
+  test("tagUsageByMonth groups on the truncated expression") {
+    val m = OsmQueries.tagUsageByMonth(history, "amenity").collect()
+    m.length shouldBe 1
+    m(0).getAs[Long]("n") shouldBe 2L // both versions of node 1 in Jan 1970
+  }
+
+  test("tagTransitions reports value changes per (type,id) version order") {
+    val t = OsmQueries.tagTransitions(history, "amenity")
+      .orderBy("version").collect()
+    t.map(r => (r.getLong(r.fieldIndex("version")), r.getString(r.fieldIndex("value")),
+      Option(r.getString(r.fieldIndex("prev_value"))))) shouldBe
+      Array((1L, "cafe", None), (2L, "bar", Some("cafe")))
+  }
+
+  test("allGeometries unions node points with reassembled ways") {
+    val g = OsmQueries.allGeometries(history.filter("version = 1 or type = 'way'"))
+    g.count() shouldBe 4 // 3 nodes + 1 way
+    g.filter("type = 'way'").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[java.math.BigDecimal]]]("coordinates").length shouldBe 3
+  }
+
+  test("changeset helpers: comment filter, editor LIKE, bbox intersect") {
+    val cs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Map("comment" -> "hi", "created_by" -> "JOSM 1.5"), null, false, null, 0L,
+          dec("41.3000000"), dec("41.4000000"), dec("-124.1000000"), dec("-124.0000000"),
+          1L, 1L, "u"),
+        Row(2L, Map("created_by" -> "iD 2.0"), null, true, null, 0L,
+          null, null, null, null, 0L, null, null))),
+      OsmSchemas.Changesets)
+    OsmQueries.changesetsWithComment(cs).count() shouldBe 1
+    OsmQueries.changesetsByEditor(cs, "JOSM").head().getAs[Long]("n") shouldBe 1L
+    OsmQueries.changesetsIntersecting(cs, -124.05, -124.01, 41.35, 41.39).count() shouldBe 1
+  }
+}

@@ -1,0 +1,105 @@
+package graft.osm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private lazy val pbfPath = PbfTestData.writeSample(Files.createTempDirectory("pbf"))
+  private lazy val df = spark.read.format("osm-pbf").load(pbfPath).cache()
+
+  test("schema matches the reference planet schema") {
+    df.schema shouldBe OsmSchemas.Planet
+  }
+
+  test("row count: 4 dense+plain nodes + 1 block2 node + way + relation") {
+    df.count() shouldBe 7
+  }
+
+  test("dense nodes decode coordinates, tags, and metadata") {
+    val n1 = df.filter($"id" === 1 && $"type" === "node").head()
+    n1.getAs[java.math.BigDecimal]("lat") shouldBe new java.math.BigDecimal("51.5000000")
+    n1.getAs[java.math.BigDecimal]("lon") shouldBe new java.math.BigDecimal("-0.1000000")
+    n1.getAs[Map[String, String]]("tags") shouldBe Map("amenity" -> "cafe")
+    n1.getAs[Long]("changeset") shouldBe 100L
+    n1.getAs[Long]("uid") shouldBe 7L
+    n1.getAs[String]("user") shouldBe "alice"
+    n1.getAs[Long]("version") shouldBe 1L
+    n1.getAs[Boolean]("visible") shouldBe true
+    n1.getAs[java.sql.Timestamp]("timestamp").getTime shouldBe 1000000L // 1000s in ms
+    // nodes carry EMPTY (not null) nds/members — OsmPbf2Orc.java:183-191
+    n1.getAs[scala.collection.Seq[Row]]("nds") shouldBe Seq.empty
+    n1.getAs[scala.collection.Seq[Row]]("members") shouldBe Seq.empty
+  }
+
+  test("deleted dense node has visible=false (history semantics)") {
+    val n3 = df.filter($"id" === 3 && $"type" === "node").head()
+    n3.getAs[Boolean]("visible") shouldBe false
+    n3.getAs[String]("user") shouldBe "bob"
+  }
+
+  test("plain node without Info gets defaults (version -1, nulls, visible)") {
+    val n4 = df.filter($"id" === 4 && $"type" === "node").head()
+    n4.getAs[java.math.BigDecimal]("lat") shouldBe new java.math.BigDecimal("10.1234567")
+    n4.getAs[java.math.BigDecimal]("lon") shouldBe new java.math.BigDecimal("20.7654321")
+    n4.getAs[Map[String, String]]("tags") shouldBe Map.empty
+    n4.isNullAt(n4.fieldIndex("timestamp")) shouldBe true
+    n4.isNullAt(n4.fieldIndex("uid")) shouldBe true
+    n4.isNullAt(n4.fieldIndex("changeset")) shouldBe true
+    n4.getAs[Long]("version") shouldBe -1L
+    n4.getAs[Boolean]("visible") shouldBe true
+  }
+
+  test("granularity/offset block decodes exactly (no double round-trip)") {
+    val n5 = df.filter($"id" === 5).head()
+    n5.getAs[java.math.BigDecimal]("lat") shouldBe new java.math.BigDecimal("48.0000005")
+    n5.getAs[Map[String, String]]("tags") shouldBe Map("shop" -> "bakery")
+  }
+
+  test("way: NULL lat/lon, ordered nds, tags, metadata") {
+    val way = df.filter($"type" === "way").head()
+    way.getAs[Long]("id") shouldBe 10L
+    way.isNullAt(way.fieldIndex("lat")) shouldBe true // OsmPbf2Orc.java:224-225
+    way.isNullAt(way.fieldIndex("lon")) shouldBe true
+    way.getAs[scala.collection.Seq[Row]]("nds").map(_.getLong(0)) shouldBe Seq(1L, 2L, 3L)
+    way.getAs[Map[String, String]]("tags") shouldBe Map("highway" -> "residential")
+    way.getAs[Long]("version") shouldBe 3L
+    way.getAs[java.sql.Timestamp]("timestamp").getTime shouldBe 5000000L
+  }
+
+  test("relation: typed ordered members") {
+    val rel = df.filter($"type" === "relation").head()
+    rel.getAs[Long]("id") shouldBe 20L
+    val members = rel.getAs[scala.collection.Seq[Row]]("members")
+    members.map(m => (m.getString(0), m.getLong(1), m.getString(2))) shouldBe
+      Seq(("node", 1L, "stop"), ("way", 10L, "outer"))
+  }
+
+  test("column pruning: reading only (id, type) works and plan shows pruned schema") {
+    val pruned = df.sparkSession.read.format("osm-pbf").load(pbfPath).select("id", "type")
+    pruned.collect().length shouldBe 7
+    val planStr = pruned.queryExecution.executedPlan.toString
+    planStr should include("BatchScan")
+    planStr should not include "tags#" // pruned columns never reach the scan
+  }
+
+  test("maxPartitionBytes=1 splits per data blob") {
+    val split = spark.read.format("osm-pbf").option("maxPartitionBytes", "1").load(pbfPath)
+    split.rdd.getNumPartitions shouldBe 2 // two OSMData blobs
+    split.count() shouldBe 7
+  }
+
+  test("bounds are read from the OSMHeader bbox") {
+    OrcSink.pbfBounds(spark, pbfPath) shouldBe Some("-0.4,51,0.6,52")
+  }
+
+  private implicit class Dollar(sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}
