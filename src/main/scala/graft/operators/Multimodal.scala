@@ -44,14 +44,17 @@ object Multimodal {
     }
   }
 
-  /** Frame-sample: keep every `stride`-th byte of the payload — the
-    * array-slicing shape of real frame sampling, as pure Catalyst ops.
+  /** Frame-sample: slice fixed-size frames every `stride` bytes from the
+    * payload — the shape of real video frame sampling (seek + slice),
+    * as pure Catalyst ops (sequence + substring on binary).
     */
-  def frameSample(df: DataFrame, stride: Int): DataFrame =
-    df.withColumn("sampled",
-      filter(transform(col("content"),
-          (b, i) => when(i % stride === 0, b)),
-        b => b.isNotNull))
+  def frameSample(df: DataFrame, frameSize: Int, stride: Int): DataFrame =
+    df.withColumn("frames",
+      when(octet_length(col("content")) >= frameSize,
+        transform(
+          sequence(lit(1), octet_length(col("content")) - frameSize + 1, lit(stride)),
+          pos => substring(col("content"), pos, lit(frameSize))))
+        .otherwise(array().cast("array<binary>")))
 
   /** Oracle-checked plumbing query: text payloads treated as binary —
     * byte length + content hash (the metadata extraction pass a media

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events stream (SURVEY.md §2.9 / §2A A12).
+  *
+  * The reference's only streaming surface is the push-based Osmosis sink
+  * (OrcWriter.java:242-272) — the initialize/process/complete lifecycle maps directly
+  * onto readStream → transform → writeStream here. Beyond that parity we
+  * add the standard streaming analytics a pipeline needs: watermarked
+  * tumbling-window aggregation (late-data tolerant) and gap-based
+  * sessionization via flatMapGroupsWithState.
+  *
+  * Scale: state is partitioned by group key across executors; watermarks
+  * bound state size; `spark.sql.shuffle.partitions` sizes the state
+  * store fan-out.
+  */
+/** mutable-session accumulator for sessionize (top-level: Spark codegen
+  * needs a public constructor for the state encoder).
+  */
+case class SessionBuf(start: Long, end: Long, n: Int)
+
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int)
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-based stream over an events directory (parquet). */
+  def fromFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** Watermarked tumbling-window counts; append-mode emits a window only
+    * once the watermark passes its end (deterministic late-data policy).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"), col("sum_value"))
+
+
+  /** Gap-based sessionization: a session closes when the next event for
+    * the user arrives more than `gapMs` later (or the state times out).
+    * Emits closed sessions (append semantics).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed: close the pending session
+            val out = state.getOption.map(s =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionBuf(t, t, 1))
+                case None =>
+                  cur = Some(SessionBuf(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.operators.Multimodal.{MediaFeatures, MediaRow}
+
+class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def rows = {
+    import spark.implicits._
+    Seq(
+      MediaRow(1, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      MediaRow(2, "audio", Array[Byte](-1, -2, -3)),
+      MediaRow(3, "image", Array.emptyByteArray)).toDS()
+  }
+
+  test("decodeStub is deterministic and per-partition (schema + values)") {
+    val feats = Multimodal.decodeStub(rows).collect().sortBy(_.media_id)
+    feats.map(_.media_id) shouldBe Array(1L, 2L, 3L)
+    feats.foreach { f =>
+      f.width should be >= 1
+      f.height should be >= 1
+    }
+    feats(2).n_bytes shouldBe 0
+    // same input → same checksum on re-run (deterministic fake decode)
+    val again = Multimodal.decodeStub(rows).collect().sortBy(_.media_id)
+    again.map(_.checksum) shouldBe feats.map(_.checksum)
+  }
+
+  test("frameSample slices fixed-size frames at stride as pure Catalyst ops") {
+    import spark.implicits._
+    val df = rows.toDF()
+    val sampled = Multimodal.frameSample(df, frameSize = 2, stride = 3)
+      .select($"media_id", $"frames").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Array[Byte]]](1).map(_.toSeq)).toMap
+    // 8 bytes, frames of 2 every 3: positions 1,4,7 → [1,2],[4,5],[7,8]
+    sampled(1L) shouldBe Seq(Seq[Byte](1, 2), Seq[Byte](4, 5), Seq[Byte](7, 8))
+    sampled(3L) shouldBe Seq.empty // empty payload → empty frame list
+  }
+
+  test("mediaMeta matches octet/md5 semantics on real docs") {
+    val m = Multimodal.mediaMeta(spark, "/root/testdata/sf0.001")
+    val r = m.head()
+    r.getAs[Int]("n_bytes") should be > 0
+    r.getAs[String]("content_hash") should fullyMatch regex "[0-9a-f]{32}"
+    r.getAs[String]("shard_key").length shouldBe 4
+  }
+}

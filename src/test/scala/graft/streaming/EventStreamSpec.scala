@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.streaming.EventStream.{Event, Session}
+
+class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("watermarked tumbling windows emit once the watermark passes (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedCounts(mem.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      // window [0,10): two clicks; [10,20): one view
+      mem.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(5), 2, "click", 2.0),
+        Event(3, ts(11), 1, "view", 3.0))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark = 11min - 10min = 1min < window ends
+      spark.table("wc").count() shouldBe 0
+      // advance watermark past both windows
+      mem.addData(Event(4, ts(45), 3, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+        .toSet
+      rows shouldBe Set((0L, "click", 2L, 3.0), (10L, "view", 1L, 3.0))
+    } finally q.stop()
+  }
+
+  test("gap sessionization closes a session when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(100), 7, "click", 1.0),
+        Event(2, ts(110), 7, "view", 1.0),
+        Event(3, ts(120), 7, "click", 1.0))
+      q.processAllAvailable()
+      spark.table("sess").count() shouldBe 0 // session still open
+      // 2h later → closes the first session on arrival
+      mem.addData(Event(4, ts(240), 7, "click", 1.0))
+      q.processAllAvailable()
+      val s = spark.table("sess").as[Session].collect()
+      s.length shouldBe 1
+      s(0).user_id shouldBe 7L
+      s(0).session_start shouldBe ts(100)
+      s(0).session_end shouldBe ts(120)
+      s(0).n_events shouldBe 3
+    } finally q.stop()
+  }
+
+  test("fromFiles streams the events parquet directory shape") {
+    // schema-compatibility check against the batch loader's reconstructed ts
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batch.schema.fields.map(f => (f.name, f.dataType)) shouldBe
+      EventStream.EventSchema.fields.map(f => (f.name, f.dataType))
+  }
+}
