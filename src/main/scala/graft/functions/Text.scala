@@ -23,13 +23,32 @@ object Text {
 
   /** Word k-shingles ("w1 w2 w3" for k=3); empty array when the doc
     * has fewer than k tokens.
+    *
+    * Built by zipping k shifted slices of the token array rather than
+    * per-position element_at: higher-order lambdas are interpreted (no
+    * codegen), so an inlined `tk` expression would be re-evaluated on
+    * every element access — zip_with touches each slice exactly once.
+    * Callers should still materialize `tk` behind a projection (see
+    * tokenized) so the split/filter runs once per row.
     */
   def shingles(tk: Column, k: Int = 3): Column = {
-    val gram = (i: Column) =>
-      concat_ws(" ", (1 to k).map(off => element_at(tk, i + off)): _*)
-    when(size(tk) >= k, transform(sequence(lit(0), size(tk) - k), gram))
-      .otherwise(array().cast("array<string>"))
+    require(k >= 2, "shingle size must be >= 2")
+    val n = size(tk) - (k - 1)
+    val grams = (2 until k).foldLeft(
+      zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n), (a, b) => concat(a, lit(" "), b))) {
+      (acc, off) =>
+        zip_with(acc, slice(tk, lit(off + 1), n), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(tk) >= k, grams).otherwise(array().cast("array<string>"))
   }
+
+  /** (doc_id, tk) with the token array materialized behind a projection
+    * boundary — CollapseProject keeps a non-cheap multi-referenced
+    * expression from being inlined into downstream lambdas.
+    */
+  def tokenized(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(org.apache.spark.sql.functions.col(idCol), toks(org.apache.spark.sql.functions.col(textCol)).as("tk"))
 
   /** Whitespace-ish token count (cheap, no explode). */
   def tokenCount(text: Column): Column = size(toks(text))

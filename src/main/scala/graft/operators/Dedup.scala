@@ -47,8 +47,8 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val sampled = sampleMod.fold(docs)(m => docs.filter($"doc_id" % m === 0))
-    sampled
-      .select($"doc_id", explode(Text.shingles(Text.toks($"text"))).as("sh"))
+    Text.tokenized(sampled, "doc_id", "text")
+      .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
       .distinct()
   }
 
@@ -63,17 +63,47 @@ object Dedup {
       (lit(17L) + lit(104729L) * $"id").as("b"))
   }
 
-  /** Oracle-parity shingle ids: dense_rank over the sorted distinct
-    * shingle dictionary. The unpartitioned window is single-threaded by
-    * construction — acceptable only because the dictionary is the
-    * *distinct* shingle set; the scale path replaces this with xxhash64
-    * (see minHashLshHashed).
+  /** Oracle-parity shingle ids: rank of each distinct shingle in global
+    * sort order (== dense_rank over the sorted dictionary), computed
+    * scalably: range-repartition + sort-within-partitions + zipWithIndex
+    * — no single-partition window, so the dictionary build parallelizes
+    * at any corpus size. The 100 TB path that needs no dictionary at all
+    * is minHashLshHashed (xxhash64 ids).
     */
   private[operators] def shingleDict(sh: DataFrame): DataFrame = {
-    import sh.sparkSession.implicits._
-    sh.select($"sh").distinct()
-      .withColumn("sid", dense_rank().over(Window.orderBy($"sh")).cast("bigint"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = sh.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = sh.select(col("sh")).distinct()
+      .repartitionByRange(parts, col("sh"))
+      .sortWithinPartitions("sh")
+    val ranked = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row(r.getString(0), i + 1L) }
+    spark.createDataFrame(ranked,
+      StructType(Seq(StructField("sh", StringType), StructField("sid", LongType))))
   }
+
+  /** One row per doc with the list of its shingle ids — the input to the
+    * single-pass signature expressions below (one shuffle; the 16 hash
+    * functions are evaluated inside whole-stage codegen over the array,
+    * not via a 16x row blowup).
+    */
+  private def sidLists(withIds: DataFrame): DataFrame =
+    withIds.groupBy(col("doc_id")).agg(collect_list(col("sid")).as("sids"))
+
+  // h_i(s) = ((4097 + 7919*i) * s + 17 + 104729*i) mod P, P = 2^31-1 —
+  // must stay in lockstep with hashParams and the DuckDB oracle.
+  private val MinhashSigExpr =
+    """transform(sequence(0, 15), i ->
+      |  aggregate(sids, CAST(2147483647 AS BIGINT),
+      |    (m, s) -> least(m, ((4097 + 7919*i) * s + 17 + 104729*i) % 2147483647)))"""
+      .stripMargin
+
+  private val BandExpr =
+    """transform(sequence(0, 3), b ->
+      |  array_join(transform(slice(sig, b*4 + 1, 4), x -> CAST(x AS STRING)), '-'))"""
+      .stripMargin
 
   /** N-gram Jaccard all-pairs on a doc_id%10 sample: distinct-shingle
     * self-join counts the intersection, |A|+|B|-|A∩B| the union.
@@ -118,22 +148,16 @@ object Dedup {
     bandPairs(spark, withIds)
   }
 
-  /** shared tail: (doc_id, sid) -> minhash signatures -> band signatures
-    * -> distinct candidate pairs (a < b).
+  /** shared tail: (doc_id, sid) -> 16-minhash signature (single pass) ->
+    * band signatures -> distinct candidate pairs (a < b).
     */
   private def bandPairs(spark: SparkSession, withIds: DataFrame): DataFrame = {
     import spark.implicits._
-    val mh = withIds.crossJoin(broadcast(hashParams(spark)))
-      .groupBy($"doc_id", $"i")
-      .agg(min(($"a" * $"sid" + $"b") % lit(Prime)).as("mh"))
-    val bands = mh
-      .withColumn("band", ($"i" / BandRows).cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct($"i", $"mh"))),
-          x => x.getField("mh").cast("string")), "-").as("sig"))
+    val bands = sidLists(withIds)
+      .withColumn("sig", expr(MinhashSigExpr))
+      .select($"doc_id", posexplode(expr(BandExpr)).as(Seq("band", "bsig")))
     bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
+        $"x.band" === $"y.band" && $"x.bsig" === $"y.bsig" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
       .distinct()
@@ -147,15 +171,19 @@ object Dedup {
     */
   def simHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleSet(spark, sfDir, None).cache()
+    val sh = shingleSet(spark, sfDir, None)
     val withIds = sh.join(shingleDict(sh), "sh")
-    val votes = withIds.crossJoin(broadcast(hashParams(spark)))
-      .groupBy($"doc_id", $"i")
-      .agg(sum(when((($"a" * $"sid" + $"b") % lit(Prime)) % 2 === 1, 1L)
-        .otherwise(-1L)).as("v"))
-    votes.groupBy($"doc_id")
-      .agg(sum(when($"v" > 0, expr("shiftleft(CAST(1 AS BIGINT), i)"))
-        .otherwise(0L)).as("simhash"))
+    // per-bit +/-1 votes and the 16-bit assembly fold in one codegen'd
+    // expression over the sid list — no 16x row blowup, one shuffle
+    sidLists(withIds)
+      .select($"doc_id", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+          |  acc + IF(
+          |    aggregate(sids, CAST(0 AS BIGINT), (v, s) ->
+          |      v + IF((((4097 + 7919*j) * s + 17 + 104729*j) % 2147483647) % 2 = 1,
+          |             CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
       .orderBy($"doc_id")
   }
 
