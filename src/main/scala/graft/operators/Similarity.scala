@@ -24,13 +24,24 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Left-to-right double fold of sum(x*y). */
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd float-vector dot product (native Catalyst expression —
+    * graft.functions.DotProductF). Bit-identical to [[dotFold]].
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** Codegen'd squared L2 norm. Bit-identical to [[norm2Fold]]. */
+  def norm2(a: Column): Column = graft.functions.VectorFunctions.vecNorm2(a)
+
+  /** Reference form: left-to-right double fold of sum(x*y) via
+    * interpreted higher-order functions (kept for cross-checking the
+    * native expression; same fold order ⇒ same doubles).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, z) => acc + z)
 
-  /** Left-to-right double fold of sum(x*x). */
-  def norm2(a: Column): Column =
+  /** Reference form of [[norm2]]. */
+  def norm2Fold(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
   private def withNorm(df: DataFrame): DataFrame =

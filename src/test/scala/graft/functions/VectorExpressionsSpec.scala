@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Similarity
+
+class VectorExpressionsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+
+  test("native vec_dot is bit-identical to the interpreted fold") {
+    val both = emb.as("x").crossJoin(emb.as("y"))
+      .limit(500)
+      .select(
+        Similarity.dot(col("x.embedding"), col("y.embedding")).as("native"),
+        Similarity.dotFold(col("x.embedding"), col("y.embedding")).as("fold"))
+      .collect()
+    both.length should be > 0
+    both.foreach { r =>
+      // exact double equality — same left-to-right accumulation order
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
+  test("native norm2 equals dot(v, v) and the fold form") {
+    val rows = emb.select(
+      Similarity.norm2(col("embedding")).as("native"),
+      Similarity.norm2Fold(col("embedding")).as("fold")).collect()
+    rows.foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
+  test("vec_dot registers as a SQL function") {
+    VectorFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      "SELECT vec_dot(embedding, embedding) AS n FROM emb_v LIMIT 5").collect()
+    r.length shouldBe 5
+    r.foreach(_.getDouble(0) should be >= 0.0)
+  }
+
+  test("type check rejects non-float-array inputs") {
+    val bad = spark.range(1).selectExpr("array(1, 2, 3) AS a")
+    an[AnalysisException] should be thrownBy
+      bad.select(VectorFunctions.vecDot(col("a"), col("a"))).collect()
+  }
+
+  test("whole-stage codegen covers the dot product (no fallback)") {
+    val plan = emb.select(Similarity.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen span containing the project
+    plan should include regex """\*\(\d+\) Project \[vec_dot"""
+  }
+}
