@@ -39,6 +39,12 @@ object SparkEntry {
     "q14_exists_anti" -> (Relational.existsAnti _),
     "q15_regex_extract" -> (Relational.regexExtract _),
     "q16_daily_windows" -> (Relational.dailyEventWindows _),
+    "q17_rollup" -> (Relational.rollupAgg _),
+    "q18_setops" -> (Relational.setOps _),
+    "q19_topk_limit" -> (Relational.topKLimit _),
+    "q20_json_extract" -> (Relational.jsonExtract _),
+    "q21_scalar_pack" -> (Relational.scalarPack _),
+    "q22_approx_distinct" -> (Relational.approxDistinct _),
     // —— extensions: dedup ——
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -207,6 +213,49 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT o_orderstatus, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(GROUPING(o_orderstatus, CAST(date_trunc('month', o_orderdate) AS DATE)) AS INT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, CAST(date_trunc('month', o_orderdate) AS DATE))
+        |ORDER BY gid, o_orderstatus, month""".stripMargin,
+
+    "q18_setops" ->
+      """SELECT 'both' AS kind, nkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nkey FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT s_nationkey AS nkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS kind, nkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nkey FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nkey FROM supplier)
+        |ORDER BY kind, nkey""".stripMargin,
+
+    "q19_topk_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q20_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  AND CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q21_scalar_pack" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  substr(p_name, 1, 3) AS pre,
+        |  p_brand || '-' || p_type AS label,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  CAST(abs(p_size - 25) AS INT) AS size_dist,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id

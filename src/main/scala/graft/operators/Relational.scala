@@ -246,6 +246,85 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** ROLLUP hierarchy aggregation with grouping_id (beyond the reference
+    * workload — completes the standard aggregation taxonomy, SURVEY §2C).
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .withColumn("month", date_trunc("month", $"o_orderdate").cast("date"))
+      .rollup($"o_orderstatus", $"month")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy($"gid", $"o_orderstatus", $"month")
+  }
+
+  /** INTERSECT / EXCEPT set operations (distinct semantics). */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val custNations = Tables.customer(spark, sfDir)
+      .select($"c_nationkey".as("nkey")).distinct()
+    val suppNations = Tables.supplier(spark, sfDir)
+      .select($"s_nationkey".as("nkey")).distinct()
+    val both = custNations.intersect(suppNations)
+      .select(lit("both").as("kind"), $"nkey")
+    val custOnly = custNations.except(suppNations)
+      .select(lit("cust_only").as("kind"), $"nkey")
+    both.unionAll(custOnly).orderBy($"kind", $"nkey")
+  }
+
+  /** Global top-K — Spark plans orderBy+limit as TakeOrderedAndProject
+    * (per-partition top-K then merge; no full sort at scale). Ties broken
+    * by the unique key for determinism.
+    */
+  def topKLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** JSON path extraction from the events props column. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .filter($"k".isNotNull && $"k" % 7 === 0)
+      .orderBy($"event_id")
+  }
+
+  /** Scalar-function pack: string/math/conditional builtins with exact
+    * (int/string) outputs so both engines agree bit-for-bit.
+    */
+  def scalarPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select($"p_partkey",
+        upper($"p_name").as("uname"),
+        substring($"p_name", 1, 3).as("pre"),
+        concat($"p_brand", lit("-"), $"p_type").as("label"),
+        length($"p_name").as("name_len"),
+        abs($"p_size" - 25).cast("int").as("size_dist"),
+        ceil($"p_retailprice").cast("bigint").as("price_ceil"),
+        coalesce(nullif($"p_brand", lit("Brand#1")), lit("OTHER")).as("brand_or"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Approximate distinct via HLL sketch (PAPERS.md approximation
+    * framing). No SQL oracle — sketch internals differ across engines —
+    * so this is declared rows-only.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Tumbling time-window aggregation (batch form of the streaming
     * windowed agg in graft.streaming; 1-day windows == UTC calendar days).
     */
