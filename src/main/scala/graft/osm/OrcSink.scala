@@ -28,8 +28,14 @@ import graft.osm.pbf.PbfDecode
   */
 object OrcSink {
 
+  /** `sorted=false` by default: planet PBFs are already (type, id)
+    * ordered, so preserving input order (like the reference's
+    * single-pass writer) gets the compression benefit without paying a
+    * redundant per-partition sort (~2x write time measured). Pass
+    * sorted=true for unordered inputs.
+    */
   def writePlanet(df: DataFrame, out: String, bounds: Option[String] = None,
-      sorted: Boolean = true): Unit = {
+      sorted: Boolean = false): Unit = {
     val toWrite = if (sorted) df.sortWithinPartitions("type", "id") else df
     toWrite.write
       .mode(SaveMode.Overwrite)

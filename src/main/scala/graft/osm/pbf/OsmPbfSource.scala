@@ -160,11 +160,25 @@ class OsmPbfPartitionReader(part: OsmPbfInputPartition, required: StructType,
   private val TypeRelation = UTF8String.fromString("relation")
   private val memberTypeStrings = Array(TypeNode, TypeWay, TypeRelation)
 
-  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+  // Tag keys/values/users repeat across rows (dictionary-coded in the
+  // block string table); converting each distinct string to UTF8String
+  // once per reader keeps the hot loop allocation-light.
+  private val utf8Cache = new java.util.HashMap[String, UTF8String]()
+  private def utf8(s: String): UTF8String = {
+    var u = utf8Cache.get(s)
+    if (u == null) { u = UTF8String.fromString(s); utf8Cache.put(s, u) }
+    u
+  }
 
-  private def nanoDecimal(nano: Long, precision: Int): Decimal =
-    Decimal(java.math.BigDecimal.valueOf(nano, 9).setScale(7, RoundingMode.HALF_UP),
-      precision, 7)
+  /** nanodegrees → Decimal(p,7): unscaled = round-half-up(nano / 100),
+    * in pure long arithmetic (no BigDecimal in the per-node path).
+    */
+  private def nanoDecimal(nano: Long, precision: Int): Decimal = {
+    val unscaled =
+      if (nano >= 0) (nano + 50L) / 100L
+      else -((-nano + 50L) / 100L)
+    Decimal(unscaled, precision, 7)
+  }
 
   private def tagsMap(tags: Array[(String, String)]): ArrayBasedMapData = {
     val keys = new Array[AnyRef](tags.length)

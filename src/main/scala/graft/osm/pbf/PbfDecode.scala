@@ -246,11 +246,16 @@ object PbfDecode {
     }
     var kv = 0
     val hasInfo = versions.nonEmpty
+    val noTags = Array.empty[(String, String)]
     (0 until ids.length).iterator.map { i =>
-      val tags = ArrayBuffer.empty[(String, String)]
-      while (kv < keysVals.length && keysVals(kv) != 0L) {
-        tags += ((ctx.strings(keysVals(kv).toInt), ctx.strings(keysVals(kv + 1).toInt)))
-        kv += 2
+      var tags = noTags
+      if (kv < keysVals.length && keysVals(kv) != 0L) {
+        val buf = ArrayBuffer.empty[(String, String)]
+        while (kv < keysVals.length && keysVals(kv) != 0L) {
+          buf += ((ctx.strings(keysVals(kv).toInt), ctx.strings(keysVals(kv + 1).toInt)))
+          kv += 2
+        }
+        tags = buf.toArray
       }
       if (kv < keysVals.length) kv += 1 // consume the 0 separator
       val info =
@@ -262,7 +267,7 @@ object PbfDecode {
           if (uids.nonEmpty) Some(uids(i)) else None,
           if (userSids.nonEmpty) Some(ctx.strings(userSids(i).toInt)) else None,
           if (visibles.nonEmpty) visibles(i) != 0 else true)
-      OsmNode(ids(i), tags.toArray,
+      OsmNode(ids(i), tags,
         ctx.latOffset + ctx.granularity * lats(i),
         ctx.lonOffset + ctx.granularity * lons(i), info)
     }

@@ -69,16 +69,18 @@ object Proto {
 
     def readPackedVarints(): Array[Long] = {
       val s = readSlice()
-      val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+      val out = new scala.collection.mutable.ArrayBuilder.ofLong
+      out.sizeHint(64)
       while (s.hasMore) out += s.readVarint()
-      out.toArray
+      out.result()
     }
 
     def readPackedZigzag(): Array[Long] = {
       val s = readSlice()
-      val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+      val out = new scala.collection.mutable.ArrayBuilder.ofLong
+      out.sizeHint(64)
       while (s.hasMore) out += zigzag(s.readVarint())
-      out.toArray
+      out.result()
     }
 
     /** packed zigzag with running-delta decoding (DenseNodes / refs). */
