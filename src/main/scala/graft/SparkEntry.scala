@@ -45,6 +45,8 @@ object SparkEntry {
     "q20_json_extract" -> (Relational.jsonExtract _),
     "q21_scalar_pack" -> (Relational.scalarPack _),
     "q22_approx_distinct" -> (Relational.approxDistinct _),
+    "q23_percentiles" -> (Relational.percentiles _),
+    "q24_cube" -> (Relational.cubeAgg _),
     // —— extensions: dedup ——
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -256,6 +258,19 @@ object SparkEntry {
         |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
         |  coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id

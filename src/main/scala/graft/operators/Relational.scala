@@ -312,6 +312,29 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  /** Exact interpolated percentiles (median/p90) per group. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile($"l_quantity", lit(0.5)), 4).as("median_qty"),
+        round(percentile($"l_quantity", lit(0.9)), 4).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** CUBE over two dimensions with grouping_id (completes the
+    * grouping-sets family alongside rollupAgg).
+    */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+      .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+  }
+
   /** Approximate distinct via HLL sketch (PAPERS.md approximation
     * framing). No SQL oracle — sketch internals differ across engines —
     * so this is declared rows-only.

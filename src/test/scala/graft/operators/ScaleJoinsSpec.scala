@@ -30,6 +30,17 @@ class ScaleJoinsSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     val spark2 = spark
     import spark2.implicits._
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists — clear both before writing
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     ScaleJoins.writeBucketed(
       Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice"),
       "orders_b", "o_orderkey", 8)

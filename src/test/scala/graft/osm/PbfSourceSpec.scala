@@ -99,6 +99,23 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     OrcSink.pbfBounds(spark, pbfPath) shouldBe Some("-0.4,51,0.6,52")
   }
 
+  test("a directory of .pbf files reads as one dataset") {
+    val dir = Files.createTempDirectory("pbfdir")
+    PbfTestData.writeSample(dir)
+    Files.copy(dir.resolve("sample.osm.pbf"), dir.resolve("second.osm.pbf"))
+    spark.read.format("osm-pbf").load(dir.toString).count() shouldBe 14
+  }
+
+  test("a truncated file fails with a clear error, not silent data loss") {
+    val dir = Files.createTempDirectory("pbftrunc")
+    val full = Files.readAllBytes(java.nio.file.Paths.get(pbfPath))
+    val cut = java.util.Arrays.copyOf(full, full.length - 15)
+    val f = dir.resolve("trunc.osm.pbf")
+    Files.write(f, cut)
+    an[Exception] should be thrownBy
+      spark.read.format("osm-pbf").load(f.toString).count()
+  }
+
   private implicit class Dollar(sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
