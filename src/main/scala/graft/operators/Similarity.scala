@@ -70,6 +70,38 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** IVF-style ANN (the other scale path from SURVEY §2B-extensions):
+    * a k-means coarse quantizer partitions the candidate corpus into
+    * cells; each query probes only its nearest cell (nProbe=1 here;
+    * probing more cells trades cost for recall). KMeans is seeded for
+    * determinism but not SQL-expressible → declared rows-only (no
+    * oracle). At 100 TB the cell assignment is one map pass and the
+    * probe is an equi-join on cell id — same shuffle shape as annLsh.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sfDir)
+    val c = withNorm(emb.filter($"vec_id" % 20 === 0))
+      .withColumn("features", array_to_vector($"embedding"))
+    val model = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(c)
+    val cells = model.transform(c).withColumnRenamed("prediction", "cell")
+      .drop("features")
+    val q = model.transform(
+        withNorm(emb.filter($"vec_id" < 8)).withColumn("features", array_to_vector($"embedding")))
+      .withColumnRenamed("prediction", "cell")
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand"), $"cell",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= 3)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Deterministic pseudo-hyperplane j (j in 0..3) over 64 dims:
     * plane_j[k] = ((17*j + 31*k + 5) mod 7) - 3, values in [-3, 3].
     */

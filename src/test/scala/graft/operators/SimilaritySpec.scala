@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("annIvf returns per-query top-k within the probed cell, cosines exact") {
+    val ivf = Similarity.annIvf(spark, sf).collect()
+    ivf should not be empty
+    // ≤3 per query, ranks contiguous from 1
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.length should be <= 3
+      rows.map(_.getInt(rows.head.fieldIndex("rnk"))).sorted shouldBe (1 to rows.length)
+    }
+    // cosine values match an independent brute-force computation pair-by-pair
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), Similarity.norm2(col("embedding")).as("nrm"))
+    val pairs = ivf.map(r => (r.getLong(0), r.getLong(r.fieldIndex("cand")))).toSet
+    val brute = emb.as("a").crossJoin(emb.as("b"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cand"),
+        round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      r.getDouble(r.fieldIndex("cos")) shouldBe brute((r.getLong(0),
+        r.getLong(r.fieldIndex("cand"))))
+    }
+    pairs.size should be > 0
+  }
+
+  test("annLsh candidates always share the query's hyperplane bucket") {
+    val rows = Similarity.annLsh(spark, sf).collect()
+    rows should not be empty
+    // bucket column is the join key — every row carries one bucket value
+    rows.foreach(r => r.getInt(r.fieldIndex("bucket")) should (be >= 0 and be <= 15))
+  }
+
+  test("ivf is deterministic across runs (seeded kmeans)") {
+    val a = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
+    val b = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
+    a shouldBe b
+  }
+}
