@@ -54,6 +54,7 @@ object SparkEntry {
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
     "d04_simhash" -> (Dedup.simHash _),
     "d05_embed_neardup" -> (Dedup.embeddingNearDup _),
+    "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),

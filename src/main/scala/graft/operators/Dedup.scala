@@ -187,6 +187,66 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end corpus canonicalization — the composition a real
+    * training-data pipeline runs (SURVEY §2B-extensions north star):
+    *
+    *  1. exact duplicates via content-hash grouping;
+    *  2. near-duplicate *candidates* via MinHash-LSH over the FULL
+    *     corpus (xxhash64 ids — the scale path, no dictionary);
+    *  3. candidates verified with exact shingle Jaccard (computed only
+    *     on candidate pairs — the quadratic step stays sparse);
+    *  4. verified edges clustered with GraphX connected components;
+    *  5. every doc mapped to its cluster's min doc_id.
+    *
+    * Returns (doc_id, canonical_id, is_duplicate). At 100 TB: steps 1-3
+    * are the key-partitioned shuffles described above; step 4 runs on
+    * the sparse near-dup edge set (orders of magnitude smaller than the
+    * corpus), which is exactly where Pregel-style CC is cheap.
+    */
+  def canonicalize(spark: SparkSession, sfDir: String,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+
+    // 1. exact-dup edges: every doc -> min doc_id of its content hash
+    val exact = docs
+      .groupBy(md5($"text".cast("binary")).as("h"))
+      .agg(min($"doc_id").as("keep"), collect_list($"doc_id").as("ids"))
+      .select(explode($"ids").as("a"), $"keep".as("b"))
+      .filter($"a" =!= $"b")
+
+    // 2. LSH candidates over the full corpus
+    val sh = shingleSet(spark, sfDir, None).cache()
+    val withIds = sh.withColumn("sid", abs(xxhash64($"sh")) % lit(Prime))
+    val candidates = bandPairs(spark, withIds)
+
+    // 3. verify candidates with exact Jaccard on their shingle sets
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.as("sa"), $"a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("ic"))
+    val verified = inter
+      .join(sizes.as("na"), $"a" === $"na.doc_id")
+      .join(sizes.as("nb"), $"b" === $"nb.doc_id")
+      .filter($"ic" / ($"na.n" + $"nb.n" - $"ic") >= jaccardThreshold)
+      .select($"a", $"b")
+
+    // 4. connected components over exact + verified near-dup edges
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edges = exact.unionByName(verified)
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val vertices = docs.select($"doc_id").rdd.map(r => (r.getLong(0), ()))
+    val cc = Graph(vertices, edges).connectedComponents().vertices
+
+    // 5. canonical = component id (GraphX CC labels with min vertex id)
+    val mapping = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+      .toDF("doc_id", "canonical_id")
+    docs.select($"doc_id").join(mapping, "doc_id")
+      .withColumn("is_duplicate", $"doc_id" =!= $"canonical_id")
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs on a vec_id%50 sample:
     * norms are precomputed per vector (cheap, narrow) before the
     * quadratic pair join; cosine folds left-to-right in doubles so the
