@@ -47,6 +47,8 @@ object SparkEntry {
     "q22_approx_distinct" -> (Relational.approxDistinct _),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
+    "q25_pivot" -> (Relational.pivotStatus _),
+    "q26_window_frames" -> (Relational.windowFrames _),
     // —— extensions: dedup ——
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -273,6 +275,21 @@ object SparkEntry {
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS BIGINT) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_window_frames" ->
+      """SELECT user_id, event_id, value,
+        |  round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+        |  round(sum(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_sum3,
+        |  first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_val
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id

@@ -335,6 +335,33 @@ object Relational {
       .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
   }
 
+  /** PIVOT (wide aggregation): line status values become columns. */
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity").cast("bigint"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Window frames: running sum (unbounded preceding) and a 3-row
+    * moving sum, per user in event order.
+    */
+  def windowFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    Tables.events(spark, sfDir)
+      .filter($"user_id" < 10)
+      .select($"user_id", $"event_id", $"value",
+        round(sum($"value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+          .as("running_sum"),
+        round(sum($"value").over(w.rowsBetween(-2, 0)), 4).as("moving_sum3"),
+        first($"value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("first_val"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Approximate distinct via HLL sketch (PAPERS.md approximation
     * framing). No SQL oracle — sketch internals differ across engines —
     * so this is declared rows-only.

@@ -104,6 +104,18 @@ object ProfilePbf {
     println(f"[pbf] convert local[$threads]: $convertSec%.1f s = ${mb / convertSec}%.1f MB/s " +
       f"(${blobs.toLong * nodesPerBlob / convertSec / 1e6}%.2f M entities/s)")
 
+    // OSM workload queries over the converted ORC (6.4M rows)
+    val planet = spark.read.orc(out)
+    val t3 = System.nanoTime()
+    val nWays = OsmQueries.reassembleWays(planet).count()
+    println(f"[pbf] reassembleWays on ORC: ${(System.nanoTime() - t3) / 1e9}%.1f s ($nWays ways)")
+    val t4 = System.nanoTime()
+    val nLatest = OsmQueries.latestVersionsWindow(planet).count()
+    println(f"[pbf] latestVersionsWindow on ORC: ${(System.nanoTime() - t4) / 1e9}%.1f s ($nLatest)")
+    val t5 = System.nanoTime()
+    val nTagged = OsmQueries.tagUsageByMonth(planet, "amenity").count()
+    println(f"[pbf] tagUsageByMonth on ORC: ${(System.nanoTime() - t5) / 1e9}%.1f s ($nTagged months)")
+
     // pruned aggregate directly over PBF (no ORC materialization)
     val t2 = System.nanoTime()
     val counts = spark.read.format("osm-pbf").load(pbf)
