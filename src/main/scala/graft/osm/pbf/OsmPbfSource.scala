@@ -76,13 +76,26 @@ class OsmPbfTable(paths: Seq[String]) extends Table with SupportsRead {
 }
 
 class OsmPbfScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = OsmSchemas.Planet
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  /** accepted filters are evaluated during decode but ALSO returned as
+    * residual — Spark re-applies them exactly (the source only skips
+    * rows that provably fail; see OsmPbfFilters).
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(OsmPbfFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan = {
     val maxBytes = Option(options.get("maxPartitionBytes")).map(_.toLong)
       .getOrElse(32L * 1024 * 1024)
-    new OsmPbfScan(paths, required, maxBytes,
+    new OsmPbfScan(paths, required, maxBytes, OsmPbfFilters.compile(pushed),
+      pushed.map(_.toString),
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
@@ -92,10 +105,12 @@ case class OsmPbfInputPartition(path: String, startOffset: Long, endOffset: Long
   extends InputPartition
 
 class OsmPbfScan(paths: Seq[String], required: StructType, maxPartBytes: Long,
+    pred: OsmPbfFilters.Compiled, pushedDesc: Array[String],
     conf: SerializableHadoopConf) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"OsmPbfScan[${paths.mkString(",")}]"
+  override def description(): String =
+    s"OsmPbfScan[${paths.mkString(",")}] pushed=[${pushedDesc.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = ArrayBuffer.empty[InputPartition]
@@ -133,16 +148,18 @@ class OsmPbfScan(paths: Seq[String], required: StructType, maxPartBytes: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmPbfReaderFactory(required, conf)
+    new OsmPbfReaderFactory(required, pred, conf)
 }
 
-class OsmPbfReaderFactory(required: StructType, conf: SerializableHadoopConf)
-    extends PartitionReaderFactory {
+class OsmPbfReaderFactory(required: StructType, pred: OsmPbfFilters.Compiled,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfInputPartition], required, conf)
+    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfInputPartition], required,
+      pred, conf)
 }
 
 class OsmPbfPartitionReader(part: OsmPbfInputPartition, required: StructType,
+    pred: OsmPbfFilters.Compiled,
     conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   private val in = {
@@ -266,7 +283,9 @@ class OsmPbfPartitionReader(part: OsmPbfInputPartition, required: StructType,
     val blob = new Array[Byte](datasize)
     data.readFully(blob)
     if (typ == "OSMData") {
-      entities = PbfDecode.decodePrimitiveBlock(PbfDecode.decompressBlob(blob))
+      entities = PbfDecode.decodePrimitiveBlock(PbfDecode.decompressBlob(blob),
+        pred.keepNodes, pred.keepWays, pred.keepRelations)
+        .filter(pred.keep)
       true
     } else advanceBlob()
   }

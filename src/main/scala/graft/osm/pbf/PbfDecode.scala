@@ -326,7 +326,16 @@ object PbfDecode {
     * date_granularity(18), lat_offset(19), lon_offset(20).
     * PrimitiveGroup: nodes(1), dense(2), ways(3), relations(4).
     */
-  def decodePrimitiveBlock(blockBytes: Array[Byte]): Iterator[OsmEntity] = {
+  def decodePrimitiveBlock(blockBytes: Array[Byte]): Iterator[OsmEntity] =
+    decodePrimitiveBlock(blockBytes, keepNodes = true, keepWays = true,
+      keepRelations = true)
+
+  /** Variant with kind skipping: excluded kinds' group messages are
+    * never parsed (a type-filtered scan skips the dense-node bulk of a
+    * planet file entirely).
+    */
+  def decodePrimitiveBlock(blockBytes: Array[Byte], keepNodes: Boolean,
+      keepWays: Boolean, keepRelations: Boolean): Iterator[OsmEntity] = {
     val r = Proto.reader(blockBytes)
     var strings = Array.empty[String]
     var granularity = 100L
@@ -352,10 +361,10 @@ object PbfDecode {
       while (g.hasMore) {
         val tag = g.readTag()
         (tag >> 3) match {
-          case 1 => out += Iterator.single(parseNode(g.readSlice(), ctx))
-          case 2 => out += parseDense(g.readSlice(), ctx)
-          case 3 => out += Iterator.single(parseWay(g.readSlice(), ctx))
-          case 4 => out += Iterator.single(parseRelation(g.readSlice(), ctx))
+          case 1 if keepNodes => out += Iterator.single(parseNode(g.readSlice(), ctx))
+          case 2 if keepNodes => out += parseDense(g.readSlice(), ctx)
+          case 3 if keepWays => out += Iterator.single(parseWay(g.readSlice(), ctx))
+          case 4 if keepRelations => out += Iterator.single(parseRelation(g.readSlice(), ctx))
           case _ => g.skip(tag & 7)
         }
       }

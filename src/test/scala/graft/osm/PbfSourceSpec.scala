@@ -99,6 +99,24 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     OrcSink.pbfBounds(spark, pbfPath) shouldBe Some("-0.4,51,0.6,52")
   }
 
+  test("bbox range filters push into the scan and match post-scan filtering") {
+    val full = spark.read.format("osm-pbf").load(pbfPath)
+    val filtered = full.filter($"lat".between(51.55, 51.75))
+    val ids = filtered.select("id").collect().map(_.getLong(0)).sorted
+    ids shouldBe Array(2L, 3L)
+    // the scan advertises the pushed bounds
+    filtered.queryExecution.executedPlan.toString should include("pushed=[")
+  }
+
+  test("type filter skips non-matching kinds at the source") {
+    val ways = spark.read.format("osm-pbf").load(pbfPath).filter($"type" === "way")
+    ways.count() shouldBe 1
+    ways.queryExecution.executedPlan.toString should include("EqualTo(type,way)")
+    val rels = spark.read.format("osm-pbf").load(pbfPath)
+      .filter($"type".isin("relation", "way"))
+    rels.count() shouldBe 2
+  }
+
   test("a directory of .pbf files reads as one dataset") {
     val dir = Files.createTempDirectory("pbfdir")
     PbfTestData.writeSample(dir)

@@ -116,6 +116,12 @@ object ProfilePbf {
     val nTagged = OsmQueries.tagUsageByMonth(planet, "amenity").count()
     println(f"[pbf] tagUsageByMonth on ORC: ${(System.nanoTime() - t5) / 1e9}%.1f s ($nTagged months)")
 
+    // type-filter pushdown: a ways-only scan skips dense-node decode
+    val t6 = System.nanoTime()
+    val nW = spark.read.format("osm-pbf").load(pbf)
+      .filter(org.apache.spark.sql.functions.col("type") === "way").count()
+    println(f"[pbf] ways-only scan (type pushdown): ${(System.nanoTime() - t6) / 1e9}%.1f s ($nW ways)")
+
     // pruned aggregate directly over PBF (no ORC materialization)
     val t2 = System.nanoTime()
     val counts = spark.read.format("osm-pbf").load(pbf)
