@@ -1,0 +1,151 @@
+package graft.osm
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{Decimal, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.osm.ChangesetParse.ParsedChangeset
+import graft.osm.pbf.SerializableHadoopConf
+
+/** DataSource V2 for OSM changeset XML:
+  * `spark.read.format("osm-changesets").load(path)` — same architecture
+  * as the PBF source (SURVEY §2A A3). One file = one input partition
+  * (gzip XML is not splittable); many replication files fan out
+  * naturally. Column pruning skips conversion of unreferenced columns.
+  */
+class ChangesetXmlSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osm-changesets"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmSchemas.Changesets
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangesetXmlTable(OsmPbfSourcePaths.paths(properties.asScala.toMap))
+}
+
+private[osm] object OsmPbfSourcePaths {
+  def paths(props: Map[String, String]): Seq[String] = {
+    val p = props.get("path").orElse(props.get("paths"))
+      .getOrElse(throw new IllegalArgumentException("no path specified"))
+    p.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+}
+
+class ChangesetXmlTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"osm-changesets:${paths.mkString(",")}"
+  override def schema(): StructType = OsmSchemas.Changesets
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChangesetXmlScanBuilder(paths)
+}
+
+class ChangesetXmlScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = OsmSchemas.Changesets
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new ChangesetXmlScan(paths, required,
+    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+}
+
+case class ChangesetXmlInputPartition(path: String) extends InputPartition
+
+class ChangesetXmlScan(paths: Seq[String], required: StructType,
+    conf: SerializableHadoopConf) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"ChangesetXmlScan[${paths.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf.value)
+      if (fs.getFileStatus(hp).isDirectory)
+        fs.listStatus(hp).filter(_.isFile).map(_.getPath.toString)
+      else Seq(p)
+    }
+    files.map(f => ChangesetXmlInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesetXmlReaderFactory(required, conf)
+}
+
+class ChangesetXmlReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ChangesetXmlPartitionReader(
+      partition.asInstanceOf[ChangesetXmlInputPartition], required, conf)
+}
+
+class ChangesetXmlPartitionReader(part: ChangesetXmlInputPartition,
+    required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val in = {
+    val hp = new Path(part.path)
+    val raw = hp.getFileSystem(conf.value).open(hp)
+    val codec = new CompressionCodecFactory(conf.value).getCodec(hp)
+    if (codec != null) codec.createInputStream(raw) else raw
+  }
+  private val it = ChangesetParse.iterator(in)
+  private var current: InternalRow = _
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def tagsMap(tags: Seq[(String, String)]): ArrayBasedMapData = {
+    val keys = new Array[AnyRef](tags.length)
+    val vals = new Array[AnyRef](tags.length)
+    var i = 0
+    tags.foreach { case (k, v) => keys(i) = utf8(k); vals(i) = utf8(v); i += 1 }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  private def dec(v: Option[java.math.BigDecimal], precision: Int): Any =
+    v.map(b => Decimal(b.setScale(7, java.math.RoundingMode.HALF_UP), precision, 7)).orNull
+
+  private val extractors: Array[ParsedChangeset => Any] = required.fields.map { f =>
+    f.name match {
+      case "id" => (c: ParsedChangeset) => c.id
+      case "tags" => (c: ParsedChangeset) => tagsMap(c.tags)
+      case "created_at" => (c: ParsedChangeset) => c.createdAtMicros.map(Long.box).orNull
+      case "open" => (c: ParsedChangeset) => c.open
+      case "closed_at" => (c: ParsedChangeset) => c.closedAtMicros.map(Long.box).orNull
+      case "comments_count" => (c: ParsedChangeset) => c.commentsCount.map(Long.box).orNull
+      case "min_lat" => (c: ParsedChangeset) => dec(c.minLat, 9)
+      case "max_lat" => (c: ParsedChangeset) => dec(c.maxLat, 9)
+      case "min_lon" => (c: ParsedChangeset) => dec(c.minLon, 10)
+      case "max_lon" => (c: ParsedChangeset) => dec(c.maxLon, 10)
+      case "num_changes" => (c: ParsedChangeset) => c.numChanges.map(Long.box).orNull
+      case "uid" => (c: ParsedChangeset) => c.uid.map(Long.box).orNull
+      case "user" => (c: ParsedChangeset) => c.user.map(utf8).orNull
+      case other => throw new IllegalArgumentException(s"unknown changesets column $other")
+    }
+  }
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val c = it.next()
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { values(i) = extractors(i)(c); i += 1 }
+    current = new GenericInternalRow(values)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
