@@ -60,7 +60,7 @@ object SparkEntry {
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
-    "s03_ann_ivf" -> (Similarity.annIvf _),
+    "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -52,17 +51,6 @@ object Dedup {
       .distinct()
   }
 
-  /** The 16 affine hash functions h_i(x) = (a_i*x + b_i) mod P, as a
-    * broadcastable 16-row frame (i, a, b).
-    */
-  private[operators] def hashParams(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.range(NumHashes).select(
-      $"id".cast("int").as("i"),
-      (lit(4097L) + lit(7919L) * $"id").as("a"),
-      (lit(17L) + lit(104729L) * $"id").as("b"))
-  }
-
   /** Oracle-parity shingle ids: rank of each distinct shingle in global
     * sort order (== dense_rank over the sorted dictionary), computed
     * scalably: range-repartition + sort-within-partitions + zipWithIndex
@@ -93,7 +81,7 @@ object Dedup {
     withIds.groupBy(col("doc_id")).agg(collect_list(col("sid")).as("sids"))
 
   // h_i(s) = ((4097 + 7919*i) * s + 17 + 104729*i) mod P, P = 2^31-1 —
-  // must stay in lockstep with hashParams and the DuckDB oracle.
+  // must stay in lockstep with the DuckDB oracle (SparkEntry.HashCte).
   private val MinhashSigExpr =
     """transform(sequence(0, 15), i ->
       |  aggregate(sids, CAST(2147483647 AS BIGINT),

@@ -78,7 +78,7 @@ object Similarity {
     * oracle). At 100 TB the cell assignment is one map pass and the
     * probe is an equi-join on cell id — same shuffle shape as annLsh.
     */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvf(spark: SparkSession, sfDir: String, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -88,10 +88,21 @@ object Similarity {
     val model = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(c)
     val cells = model.transform(c).withColumnRenamed("prediction", "cell")
       .drop("features")
-    val q = model.transform(
-        withNorm(emb.filter($"vec_id" < 8)).withColumn("features", array_to_vector($"embedding")))
-      .withColumnRenamed("prediction", "cell")
-      .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
+    // multi-probe: each query searches its nProbe nearest cells
+    // (coarse-quantizer distances via the codegen'd vec_dot;
+    // dist^2 = |q|^2 - 2 q·c + |c|^2, monotone in -2q·c + |c|^2)
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "center")
+      .withColumn("c_nrm", norm2($"center"))
+    val qBase = withNorm(emb.filter($"vec_id" < 8))
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val wProbe = Window.partitionBy($"qid").orderBy($"probe_score", $"cell")
+    val q = qBase.crossJoin(broadcast(centers))
+      .withColumn("probe_score", $"c_nrm" - lit(2.0) * dot($"q_emb", $"center"))
+      .withColumn("probe_rk", row_number().over(wProbe))
+      .filter($"probe_rk" <= nProbe)
+      .select($"qid", $"q_emb", $"q_nrm", $"cell")
     val scored = cells.join(broadcast(q), Seq("cell"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cand"), $"cell",

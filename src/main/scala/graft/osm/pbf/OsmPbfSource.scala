@@ -1,7 +1,6 @@
 package graft.osm.pbf
 
 import java.io.{DataInputStream, ObjectInputStream, ObjectOutputStream}
-import java.math.RoundingMode
 import java.util
 
 import scala.collection.mutable.ArrayBuffer
