@@ -65,6 +65,8 @@ object SparkEntry {
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
     "t03_fingerprint" -> (TextAnalysis.fingerprint _),
+    "t04_langid_char_ngram" -> (TextAnalysis.langIdCharNgram _),
+    "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     // —— extensions: multimodal plumbing ——
     "m01_media_meta" -> (Multimodal.mediaMeta _),
   )
@@ -450,6 +452,44 @@ object SparkEntry {
          |SELECT t.doc_id, CAST(sum(t.pos * v.tid) % 1000000007 AS BIGINT) AS fp
          |FROM toks t JOIN vocab v ON t.tok = v.tok
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "t04_langid_char_ngram" ->
+      """WITH bg AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+        |        FROM documents WHERE length(text) >= 2) t
+        |),
+        |scores AS (
+        |  SELECT doc_id, cand_lang,
+        |    CAST(sum(((ascii(substr(bg, 1, 1)) * 31 + ascii(substr(bg, 2, 1))) * c) % 13) AS BIGINT) AS score
+        |  FROM bg CROSS JOIN (VALUES ('de', 5), ('en', 3), ('es', 7), ('fr', 11), ('zh', 13)) v(cand_lang, c)
+        |  GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT doc_id, cand_lang, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+        |  FROM scores
+        |)
+        |SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q27_sessionize_batch" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN ts - lag(ts, 1) OVER w > INTERVAL 30 MINUTE
+        |           OR lag(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id,

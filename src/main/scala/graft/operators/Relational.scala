@@ -362,6 +362,29 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Batch sessionization — the batch twin of
+    * graft.streaming.EventStream.sessionize: a session breaks when the
+    * gap to the previous event exceeds 30 minutes; session ids are the
+    * running count of breaks per user (classic lag + cumulative-sum
+    * gap detection, all window ops).
+    */
+  def sessionizeBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val gapMicros = 30L * 60 * 1000000
+    val flagged = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("new_session",
+        when(($"ts_us" - lag($"ts_us", 1).over(w)) > gapMicros ||
+          lag($"ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("first_event"), max($"event_id").as("last_event"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   /** Approximate distinct via HLL sketch (PAPERS.md approximation
     * framing). No SQL oracle — sketch internals differ across engines —
     * so this is declared rows-only.

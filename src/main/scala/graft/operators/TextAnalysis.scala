@@ -64,6 +64,31 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Character-bigram language-ID (the classic n-gram profile shape):
+    * every adjacent character pair votes per language with a
+    * deterministic hash weight (ascii-code pair x language constant mod
+    * 13); argmax wins, ties break lexicographically. Character n-grams
+    * are what real language-ID uses (token-level variant: langId).
+    */
+  def langIdCharNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Seq(("de", 5), ("en", 3), ("es", 7), ("fr", 11), ("zh", 13))
+      .toDF("cand_lang", "c")
+    val bg = Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+    val scores = bg.crossJoin(broadcast(langs))
+      .groupBy($"doc_id", $"cand_lang")
+      .agg(sum(((ascii(substring($"bg", 1, 1)) * 31 + ascii(substring($"bg", 2, 1)))
+        * $"c") % 13).cast("bigint").as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
+    scores.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cand_lang".as("pred_lang"), $"score")
+      .orderBy($"doc_id")
+  }
+
   /** Positional document fingerprint: sum(pos * token_id) mod P over the
     * token stream, token ids from the sorted global vocabulary
     * (dense_rank — the corpus vocabulary is the small side; at scale
