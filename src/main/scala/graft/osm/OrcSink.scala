@@ -45,6 +45,29 @@ object OrcSink {
     writeSidecar(df.sparkSession, out, bounds)
   }
 
+  /** Geographically-clustered planet write: range-partition + sort by
+    * the Z-order curve index so spatially-near rows co-locate in ORC
+    * stripes (tight lat/lon stripe stats → bbox queries skip row
+    * groups). This is the reference's planned-but-unshipped
+    * `Sort.Geographic` order (OsmPbf2Orc.java:92-94).
+    */
+  def writePlanetGeoClustered(df: DataFrame, out: String,
+      bounds: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.ZOrderFunctions.zorder(col("lat"), col("lon"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.withColumn("__z", z)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("orc.block.padding", "false")
+      .option("orc.bloom.filter.columns", "tags")
+      .orc(out)
+    writeSidecar(df.sparkSession, out, bounds)
+  }
+
   def writeChangesets(df: DataFrame, out: String): Unit = {
     df.write
       .mode(SaveMode.Overwrite)

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  test("bit spreading interleaves correctly") {
+    ZCurve.spread(0L) shouldBe 0L
+    ZCurve.spread(1L) shouldBe 1L
+    ZCurve.spread(0x1fffffL) shouldBe 0x1249249249249249L // all 21 bits spread
+    // interleave is a bijection on the grid: distinct inputs → distinct codes
+    val codes = for (x <- 0 until 32; y <- 0 until 32)
+      yield ZCurve.spread(x.toLong) | (ZCurve.spread(y.toLong) << 1)
+    codes.distinct.length shouldBe codes.length
+  }
+
+  test("z-order clusters spatially near points") {
+    val z = ZCurve.fromLatLon(51.5, -0.1)
+    val near = ZCurve.fromLatLon(51.5001, -0.1001) // ~10 m away
+    val far = ZCurve.fromLatLon(-33.9, 151.2)      // Sydney
+    math.abs(z - near) should be < math.abs(z - far)
+  }
+
+  test("expression evaluates under codegen over decimal coords") {
+    import spark.implicits._
+    val df = Seq(
+      (java.math.BigDecimal.valueOf(51.5), java.math.BigDecimal.valueOf(-0.1)),
+      (java.math.BigDecimal.valueOf(-33.9), java.math.BigDecimal.valueOf(151.2)))
+      .toDF("lat", "lon")
+      .select($"lat".cast("decimal(9,7)").as("lat"), $"lon".cast("decimal(10,7)").as("lon"))
+    val rows = df.select(ZOrderFunctions.zorder($"lat", $"lon").as("z")).collect()
+    rows.map(_.getLong(0)) shouldBe Array(
+      ZCurve.fromLatLon(51.5, -0.1), ZCurve.fromLatLon(-33.9, 151.2))
+    // null coordinates (ways/relations) → null z
+    val withNull = df.select(ZOrderFunctions.zorder(lit(null).cast("decimal(9,7)"), $"lon"))
+      .collect()
+    withNull.forall(_.isNullAt(0)) shouldBe true
+  }
+
+  test("geo-clustered ORC write keeps bbox scans narrow") {
+    val pbf = graft.osm.PbfTestData.writeSample(
+      java.nio.file.Files.createTempDirectory("zgeo"))
+    val out = java.nio.file.Files.createTempDirectory("zorc").resolve("p.orc").toString
+    val df = spark.read.format("osm-pbf").load(pbf)
+    graft.osm.OrcSink.writePlanetGeoClustered(df, out)
+    val back = spark.read.orc(out)
+    back.count() shouldBe 7
+    // nodes remain queryable by bbox after clustering
+    back.filter(col("lat").between(51.4, 51.65)).count() shouldBe 2
+  }
+}
