@@ -55,6 +55,7 @@ object SparkEntry {
     "d03_minhash_lsh" -> (Dedup.minHashLsh _),
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
     "d04_simhash" -> (Dedup.simHash _),
+    "d04_simhash_pairs" -> (Dedup.simHashPairs _),
     "d05_embed_neardup" -> (Dedup.embeddingNearDup _),
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
     // —— extensions: similarity search ——
@@ -344,6 +345,29 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d04_simhash_pairs" ->
+      s"""WITH ${tkCte("")},
+         |$ShCte,
+         |$DictCte,
+         |h AS (SELECT i, 4097 + 7919*i AS a, 17 + 104729*i AS b FROM (SELECT unnest(range(0, 32)) AS i) hh),
+         |votes AS (
+         |  SELECT s.doc_id, h.i,
+         |    sum(CASE WHEN ((h.a * d.sid + h.b) % 2147483647) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM sh s JOIN dict d ON s.sh = d.sh CROSS JOIN h
+         |  GROUP BY 1, 2
+         |),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id
+         |),
+         |bkt AS (SELECT doc_id, simhash, simhash // 65536 AS bucket FROM fp)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |ORDER BY a, b""".stripMargin,
 
     "d05_embed_neardup" ->
       s"""WITH ${embCte("vec_id % 50 = 0")},

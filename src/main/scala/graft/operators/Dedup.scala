@@ -157,22 +157,46 @@ object Dedup {
     * per doc — linear, no pairing; pair candidates by hamming distance
     * (bit_count(xor)) downstream.
     */
-  def simHash(spark: SparkSession, sfDir: String): DataFrame = {
+  def simHash(spark: SparkSession, sfDir: String): DataFrame =
+    simHashBits(spark, sfDir, bits = 16)
+
+  /** parameterized width: per-bit +/-1 votes and the bit assembly fold
+    * in one expression over the sid list — no per-bit row blowup, one
+    * shuffle. 16 bits for the cheap per-doc fingerprint; 32+ for
+    * hamming pairing (collision odds on random docs drop accordingly).
+    */
+  private[operators] def simHashBits(spark: SparkSession, sfDir: String,
+      bits: Int): DataFrame = {
     import spark.implicits._
     val sh = shingleSet(spark, sfDir, None)
     val withIds = sh.join(shingleDict(sh), "sh")
-    // per-bit +/-1 votes and the 16-bit assembly fold in one codegen'd
-    // expression over the sid list — no 16x row blowup, one shuffle
     sidLists(withIds)
       .select($"doc_id", expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-          |  acc + IF(
-          |    aggregate(sids, CAST(0 AS BIGINT), (v, s) ->
-          |      v + IF((((4097 + 7919*j) * s + 17 + 104729*j) % 2147483647) % 2 = 1,
-          |             CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+        s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, j) ->
+           |  acc + IF(
+           |    aggregate(sids, CAST(0 AS BIGINT), (v, s) ->
+           |      v + IF((((4097 + 7919*j) * s + 17 + 104729*j) % 2147483647) % 2 = 1,
+           |             CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+           |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
         .as("simhash"))
       .orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup pairing: fingerprints bucketed by their top 8
+    * bits (identical for near-identical docs), then hamming distance via
+    * bit_count(xor) within buckets — the standard banded-hamming join
+    * that avoids the all-pairs comparison.
+    */
+  def simHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fp = simHashBits(spark, sfDir, bits = 32)
+      .withColumn("bucket", ($"simhash" / 65536).cast("bigint"))
+    fp.as("x").join(fp.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
+      .filter($"hamming" <= 2)
+      .orderBy($"a", $"b")
   }
 
   /** End-to-end corpus canonicalization — the composition a real
