@@ -67,6 +67,7 @@ object SparkEntry {
     "t02_lang_id" -> (TextAnalysis.langId _),
     "t03_fingerprint" -> (TextAnalysis.fingerprint _),
     "t04_langid_char_ngram" -> (TextAnalysis.langIdCharNgram _),
+    "t05_bpe_tokens" -> (TextAnalysis.bpeTokenCount _),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     // —— extensions: multimodal plumbing ——
     "m01_media_meta" -> (Multimodal.mediaMeta _),
@@ -496,6 +497,12 @@ object SparkEntry {
         |)
         |SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "t05_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+         |  CAST(len($Toks) AS INT) AS n_ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q27_sessionize_batch" ->
       """WITH flagged AS (

@@ -44,6 +44,19 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: recompute target dimensions preserving aspect ratio
+    * against a bounding box (the metadata math of a real resize; the
+    * pixel pass would run next to decodeStub in the same mapPartitions).
+    */
+  def resizeMeta(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    feats.toDF().withColumn("scale",
+        least(lit(1.0), least(lit(maxW) / col("width"), lit(maxH) / col("height"))))
+      .withColumn("out_w", greatest(lit(1), floor(col("width") * col("scale")).cast("int")))
+      .withColumn("out_h", greatest(lit(1), floor(col("height") * col("scale")).cast("int")))
+      .drop("scale")
+  }
+
   /** Frame-sample: slice fixed-size frames every `stride` bytes from the
     * payload — the shape of real video frame sampling (seek + slice),
     * as pure Catalyst ops (sequence + substring on binary).

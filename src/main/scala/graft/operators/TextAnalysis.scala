@@ -89,6 +89,21 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** BPE-ish token counting: alpha runs, digit runs, and single
+    * punctuation marks each count as one token (the pre-tokenization
+    * regex shape BPE vocabularies split on) — alongside the whitespace
+    * count for comparison. Map-only pass via regexp_count.
+    */
+  def bpeTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        regexp_count(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("int").as("n_bpe_tokens"),
+        size(Text.toks($"text")).as("n_ws_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Positional document fingerprint: sum(pos * token_id) mod P over the
     * token stream, token ids from the sorted global vocabulary
     * (dense_rank — the corpus vocabulary is the small side; at scale

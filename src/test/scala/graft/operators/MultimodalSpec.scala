@@ -41,6 +41,20 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     sampled(3L) shouldBe Seq.empty // empty payload → empty frame list
   }
 
+  test("resizeMeta preserves aspect ratio within the bounding box") {
+    val feats = Multimodal.decodeStub(rows)
+    val resized = Multimodal.resizeMeta(feats, maxW = 640, maxH = 480).collect()
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      w should be <= 640
+      h should be <= 480
+      w should be >= 1
+      h should be >= 1
+      val (ow, oh) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      if (ow <= 640 && oh <= 480) { w shouldBe ow; h shouldBe oh } // no upscale
+    }
+  }
+
   test("mediaMeta matches octet/md5 semantics on real docs") {
     val m = Multimodal.mediaMeta(spark, "/root/testdata/sf0.001")
     val r = m.head()
