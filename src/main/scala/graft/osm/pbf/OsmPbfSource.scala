@@ -126,6 +126,17 @@ class OsmPbfScan(paths: Seq[String], required: StructType, maxPartBytes: Long,
         val spans =
           try PbfDecode.scanBlobSpans(new DataInputStream(in), n => in.seek(in.getPos + n))
           finally in.close()
+        // spec compliance: reject files whose header requires features
+        // this reader doesn't implement (driver-side, one blob)
+        spans.find(_.blobType == "OSMHeader").foreach { h =>
+          val hin = fs.open(file)
+          try {
+            hin.seek(h.dataStart)
+            val blob = new Array[Byte](h.dataSize)
+            new DataInputStream(hin).readFully(blob)
+            PbfDecode.checkRequiredFeatures(PbfDecode.decompressBlob(blob))
+          } finally hin.close()
+        }
         // group consecutive OSMData spans into ~maxPartBytes partitions
         var runStart = -1L
         var runEnd = -1L

@@ -125,6 +125,31 @@ object PbfDecode {
       "unsupported Blob encoding (only raw and zlib_data)")
   }
 
+  /** Features this reader implements; a conforming reader MUST reject a
+    * file whose HeaderBlock requires anything else (public PBF spec).
+    * HistoricalInformation is just the all-versions+deletions convention
+    * our union-wide rows already carry (SURVEY §1.1).
+    */
+  val SupportedFeatures: Set[String] = Set(
+    "OsmSchema-V0.6", "DenseNodes", "HistoricalInformation", "Sort.Type_then_ID")
+
+  /** HeaderBlock required_features (field 4, repeated string). */
+  def requiredFeatures(headerBlock: Array[Byte]): Seq[String] = {
+    val r = Proto.reader(headerBlock)
+    val out = ArrayBuffer.empty[String]
+    while (r.hasMore) {
+      val tag = r.readTag()
+      if ((tag >> 3) == 4) out += r.readString() else r.skip(tag & 7)
+    }
+    out.toSeq
+  }
+
+  def checkRequiredFeatures(headerBlock: Array[Byte]): Unit = {
+    val unknown = requiredFeatures(headerBlock).filterNot(SupportedFeatures)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"PBF requires unsupported features: ${unknown.mkString(", ")}")
+  }
+
   // ---- osmformat ---------------------------------------------------
 
   private final class BlockCtx(

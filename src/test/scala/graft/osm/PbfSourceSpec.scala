@@ -124,6 +124,25 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.format("osm-pbf").load(dir.toString).count() shouldBe 14
   }
 
+  test("unknown required_features are rejected (PBF spec compliance)") {
+    import java.io.ByteArrayOutputStream
+    val dir = Files.createTempDirectory("pbfreq")
+    // header demanding a feature we don't implement
+    val hdr = new PbfTestData.W().str(4, "OsmSchema-V0.6").str(4, "FancyFuture").toArray
+    val out = new ByteArrayOutputStream()
+    out.write(PbfTestData.frameBlob("OSMHeader", hdr, compress = false))
+    out.write(PbfTestData.frameBlob("OSMData", PbfTestData.primitiveBlock(), compress = true))
+    val f = dir.resolve("future.osm.pbf")
+    Files.write(f, out.toByteArray)
+    val ex = intercept[Exception] {
+      spark.read.format("osm-pbf").load(f.toString).count()
+    }
+    ex.getMessage should include("FancyFuture")
+    // known features pass (the golden fixture has none, and DenseNodes-style
+    // headers are accepted)
+    spark.read.format("osm-pbf").load(pbfPath).count() shouldBe 7
+  }
+
   test("a truncated file fails with a clear error, not silent data loss") {
     val dir = Files.createTempDirectory("pbftrunc")
     val full = Files.readAllBytes(java.nio.file.Paths.get(pbfPath))
