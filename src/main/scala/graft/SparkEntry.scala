@@ -69,6 +69,8 @@ object SparkEntry {
     "t04_langid_char_ngram" -> (TextAnalysis.langIdCharNgram _),
     "t05_bpe_tokens" -> (TextAnalysis.bpeTokenCount _),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
+    "q28_asof_join" -> (Relational.asofJoin _),
+    "q29_range_join" -> (Relational.rangeJoin _),
     // —— extensions: multimodal plumbing ——
     "m01_media_meta" -> (Multimodal.mediaMeta _),
   )
@@ -294,6 +296,33 @@ object SparkEntry {
         |FROM events WHERE user_id < 10
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q28_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |    CASE WHEN event_type = 'click' THEN value END AS click_value
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |),
+        |carried AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    last_value(click_id IGNORE NULLS) OVER w AS asof_click_id,
+        |    last_value(click_value IGNORE NULLS) OVER w AS asof_click_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id, value, asof_click_id, asof_click_value
+        |FROM carried WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q29_range_join" ->
+      """SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |JOIN (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+        |             ('high', 50.0, 75.0), ('top', 75.0, 1e9)) b(band, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id

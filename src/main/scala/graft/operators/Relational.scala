@@ -385,6 +385,48 @@ object Relational {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** As-of join by composition (SURVEY §4.3 custom-operator preference
+    * (a): compose built-ins before writing a SparkPlan): each purchase
+    * event is enriched with the user's most recent prior-or-equal click
+    * — union both streams, carry the last non-null click forward with an
+    * ignore-nulls window, keep the purchases. One shuffle, no custom
+    * node; the pattern feature-store pipelines use for point-in-time
+    * correctness.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        when($"event_type" === "click", $"event_id").as("click_id"),
+        when($"event_type" === "click", $"value").as("click_value"))
+      .withColumn("asof_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last($"click_value", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"value",
+        $"asof_click_id", $"asof_click_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Range (non-equi) join: events bucketed by value against a small
+    * boundaries dimension — broadcast nested-loop with BETWEEN, the
+    * shape Spark picks for banded/interval joins when one side is tiny.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 25.0), ("mid", 25.0, 50.0),
+      ("high", 50.0, 75.0), ("top", 75.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.events(spark, sfDir)
+      .join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"band")
+  }
+
   /** Approximate distinct via HLL sketch (PAPERS.md approximation
     * framing). No SQL oracle — sketch internals differ across engines —
     * so this is declared rows-only.
