@@ -44,6 +44,22 @@ object EventStream {
   def fromFiles(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventSchema).parquet(dir)
 
+  /** Continuous ORC ingestion — the Structured Streaming equivalent of
+    * the reference's push-based Osmosis ORC sink (OrcWriter.java:242-272,
+    * SURVEY §2A A12): exactly-once file sink with checkpointed offsets;
+    * the reference's initialize/process/complete lifecycle becomes
+    * start/processAllAvailable/stop.
+    */
+  def toOrcSink(stream: DataFrame, out: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .format("orc")
+      .option("path", out)
+      .option("checkpointLocation", checkpoint)
+      .option("orc.block.padding", "false")
+      .outputMode("append")
+      .start()
+
   /** Watermarked tumbling-window counts; append-mode emits a window only
     * once the watermark passes its end (deterministic late-data policy).
     */

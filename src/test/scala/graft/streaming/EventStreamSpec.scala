@@ -64,6 +64,25 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous ORC ingestion: file stream → checkpointed ORC sink") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("evstream")
+    val inDir = dir.resolve("in").toString
+    val outDir = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // stage a batch of events as the stream input
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .limit(200).write.parquet(inDir)
+    val q = EventStream.toOrcSink(EventStream.fromFiles(spark, inDir), outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.orc(outDir).count() shouldBe 200
+    // restart resumes from the checkpoint without re-ingesting
+    val q2 = EventStream.toOrcSink(EventStream.fromFiles(spark, inDir), outDir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.orc(outDir).count() shouldBe 200 // exactly-once
+  }
+
   test("fromFiles streams the events parquet directory shape") {
     // schema-compatibility check against the batch loader's reconstructed ts
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
