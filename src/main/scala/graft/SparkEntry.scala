@@ -56,6 +56,7 @@ object SparkEntry {
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
     "d04_simhash" -> (Dedup.simHash _),
     "d04_simhash_pairs" -> (Dedup.simHashPairs _),
+    "d04_simhash_pairs_hashed" -> (Dedup.simHashPairsHashed _),
     "d05_embed_neardup" -> (Dedup.embeddingNearDup _),
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
     // —— extensions: similarity search ——
@@ -106,8 +107,10 @@ object SparkEntry {
        |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. d03_minhash_lsh_hashed is intentionally
-    * omitted (xxhash64 ids are not SQL-expressible → rows-only check).
+    * the same parquet tables. d03_minhash_lsh_hashed and
+    * d04_simhash_pairs_hashed are intentionally omitted (xxhash64 ids
+    * are not SQL-expressible → rows-only check; exact-duplicate parity
+    * with the dictionary forms is spec-asserted in DedupSpec).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -503,7 +506,8 @@ object SparkEntry {
          |),
          |vocab AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
          |          FROM (SELECT DISTINCT tok FROM toks) v)
-         |SELECT t.doc_id, CAST(sum(t.pos * v.tid) % 1000000007 AS BIGINT) AS fp
+         |SELECT t.doc_id,
+         |  CAST(sum((t.pos * (v.tid % 1000000007)) % 1000000007) % 1000000007 AS BIGINT) AS fp
          |FROM toks t JOIN vocab v ON t.tok = v.tok
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 

@@ -58,19 +58,8 @@ object Dedup {
     * at any corpus size. The 100 TB path that needs no dictionary at all
     * is minHashLshHashed (xxhash64 ids).
     */
-  private[operators] def shingleDict(sh: DataFrame): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val spark = sh.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = sh.select(col("sh")).distinct()
-      .repartitionByRange(parts, col("sh"))
-      .sortWithinPartitions("sh")
-    val ranked = sorted.rdd.zipWithIndex()
-      .map { case (r, i) => Row(r.getString(0), i + 1L) }
-    spark.createDataFrame(ranked,
-      StructType(Seq(StructField("sh", StringType), StructField("sid", LongType))))
-  }
+  private[operators] def shingleDict(sh: DataFrame): DataFrame =
+    Ranking.denseIds(sh, "sh", "sid")
 
   /** One row per doc with the list of its shingle ids — the input to the
     * single-pass signature expressions below (one shuffle; the 16 hash
@@ -157,8 +146,10 @@ object Dedup {
     * per doc — linear, no pairing; pair candidates by hamming distance
     * (bit_count(xor)) downstream.
     */
-  def simHash(spark: SparkSession, sfDir: String): DataFrame =
-    simHashBits(spark, sfDir, bits = 16)
+  def simHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    simHashBits(spark, sfDir, bits = 16).orderBy($"doc_id")
+  }
 
   /** parameterized width: per-bit +/-1 votes and the bit assembly fold
     * in one expression over the sid list — no per-bit row blowup, one
@@ -168,29 +159,67 @@ object Dedup {
   private[operators] def simHashBits(spark: SparkSession, sfDir: String,
       bits: Int): DataFrame = {
     import spark.implicits._
-    val sh = shingleSet(spark, sfDir, None)
+    // cached: consumed twice (dictionary build + the id join) — without
+    // the cache the whole tokenize→shingle pipeline evaluates twice.
+    val sh = shingleSet(spark, sfDir, None).cache()
     val withIds = sh.join(shingleDict(sh), "sh")
     sidLists(withIds)
-      .select($"doc_id", expr(
-        s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, j) ->
-           |  acc + IF(
-           |    aggregate(sids, CAST(0 AS BIGINT), (v, s) ->
-           |      v + IF((((4097 + 7919*j) * s + 17 + 104729*j) % 2147483647) % 2 = 1,
-           |             CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-           |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
-        .as("simhash"))
+      .select($"doc_id", simHashExpr(bits).as("simhash"))
+  }
+
+  /** per-bit +/-1 votes and the bit assembly fold in one expression over
+    * the sid list — must stay in lockstep with the DuckDB oracle.
+    */
+  private def simHashExpr(bits: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, j) ->
+       |  acc + IF(
+       |    aggregate(sids, CAST(0 AS BIGINT), (v, s) ->
+       |      v + IF((((4097 + 7919*j) * s + 17 + 104729*j) % 2147483647) % 2 = 1,
+       |             CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+       |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+
+  /** SimHash fingerprints, scale form: shingle ids via xxhash64 — no
+    * dictionary, no global sort; the only wide op is the signature
+    * group-by. The 100 TB twin of [[simHash]] (same split as
+    * minHashLsh / minHashLshHashed). Not SQL-oracle-expressible →
+    * rows-only check; parity with the dictionary form on exact
+    * duplicates is spec-asserted (identical docs ⇒ identical sid sets ⇒
+    * hamming 0 under EITHER id scheme).
+    */
+  private[operators] def simHashBitsHashed(spark: SparkSession, sfDir: String,
+      bits: Int): DataFrame = {
+    import spark.implicits._
+    val sh = shingleSet(spark, sfDir, None)
+    val withIds = sh.withColumn("sid", abs(xxhash64($"sh")) % lit(Prime))
+    sidLists(withIds)
+      .select($"doc_id", simHashExpr(bits).as("simhash"))
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup pairing: fingerprints bucketed by their top 8
+  /** SimHash near-dup pairing: fingerprints bucketed by their top 16
     * bits (identical for near-identical docs), then hamming distance via
     * bit_count(xor) within buckets — the standard banded-hamming join
     * that avoids the all-pairs comparison.
     */
-  def simHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val fp = simHashBits(spark, sfDir, bits = 32)
+  def simHashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    hammingPairs(simHashBits(spark, sfDir, bits = 32))
+
+  /** Scale form of [[simHashPairs]]: xxhash64 shingle ids (no global
+    * dictionary), same banded-hamming join.
+    */
+  def simHashPairsHashed(spark: SparkSession, sfDir: String): DataFrame =
+    hammingPairs(simHashBitsHashed(spark, sfDir, bits = 32))
+
+  /** shared tail: bucket by the top 16 of 32 fingerprint bits, pair
+    * within buckets at hamming <= 2. The fingerprint input is cached —
+    * a self-join would otherwise re-run the whole signature pipeline
+    * on both sides (the round-1 bench's dominant cost).
+    */
+  private def hammingPairs(fingerprints: DataFrame): DataFrame = {
+    import fingerprints.sparkSession.implicits._
+    val fp = fingerprints
       .withColumn("bucket", ($"simhash" / 65536).cast("bigint"))
+      .cache()
     fp.as("x").join(fp.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),

@@ -105,19 +105,29 @@ object TextAnalysis {
   }
 
   /** Positional document fingerprint: sum(pos * token_id) mod P over the
-    * token stream, token ids from the sorted global vocabulary
-    * (dense_rank — the corpus vocabulary is the small side; at scale
-    * swap in xxhash64 token ids, same shape).
+    * token stream, token ids from the sorted global vocabulary.
+    *
+    * Vocabulary ids come from [[Ranking.denseIds]] (range-repartition +
+    * zipWithIndex) — NOT a global `dense_rank()` window, which would
+    * funnel every distinct token through one task at corpus scale.
+    *
+    * Overflow safety: the modulus is folded into each term —
+    * `((pos+1) * (tid % P)) % P` — so every partial stays < P and the
+    * per-doc sum cannot wrap int64 for any document shorter than ~9e9
+    * tokens (a 100 TB corpus divergence vs DuckDB's 128-bit sum
+    * otherwise). Mathematically identical to `sum((pos+1)*tid) % P`.
     */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val P = 1000000007L
+    // cached: consumed twice (vocabulary build + the id join)
     val toks = Tables.documents(spark, sfDir)
       .select($"doc_id", posexplode(Text.toks($"text")).as(Seq("pos", "tok")))
-    val vocab = toks.select($"tok").distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy($"tok")).cast("bigint"))
+      .cache()
+    val vocab = Ranking.denseIds(toks, "tok", "tid")
     toks.join(vocab, "tok")
       .groupBy($"doc_id")
-      .agg((sum(($"pos" + 1) * $"tid") % lit(1000000007L)).as("fp"))
+      .agg((sum((($"pos" + 1) * ($"tid" % lit(P))) % lit(P)) % lit(P)).as("fp"))
       .orderBy($"doc_id")
   }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The xxhash64 scale forms (simHashPairsHashed) have no SQL oracle —
+  * this spec pins their behavior against the dictionary forms on a
+  * fixture with planted exact + near duplicates: identical documents
+  * have identical shingle sets, hence identical signatures and a
+  * hamming-0 pair under EITHER id scheme.
+  *
+  * Also asserts the fingerprint vocabulary build never plans a
+  * single-partition exchange (the round-1 scale-killer).
+  */
+class SimHashParitySpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("graft-simhash-fixture").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, base, "en", "synth", base.length.toLong),
+      (2L, base, "en", "synth", base.length.toLong), // exact dup of 1
+      (3L, base.replace("today", "tomorrow"), "en", "synth", 0L), // near dup
+      (4L, "completely unrelated text about spark catalyst expression codegen", "en", "synth", 0L),
+      (5L, "b a", "en", "synth", 3L),
+      (6L, "a c b", "en", "synth", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.getAbsolutePath
+  }
+
+  test("dict and hashed simhash pairs both report the exact dup at hamming 0") {
+    val dict = Dedup.simHashPairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val hashed = Dedup.simHashPairsHashed(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    dict should contain((1L, 2L, 0))
+    hashed should contain((1L, 2L, 0))
+    // with well-spread xxhash64 ids, hamming-0 means identical shingle
+    // sets — exactly the planted exact dup. (The dictionary form's
+    // small dense ids can collide by chance on a tiny fixture corpus,
+    // so no such claim is made for it beyond containing the dup.)
+    hashed.filter(_._3 == 0).toSet shouldBe Set((1L, 2L, 0))
+  }
+
+  test("hashed simhash fingerprints are identical for identical docs") {
+    val fp = Dedup.simHashPairsHashed(spark, fixtureDir)
+    fp.filter(col("a") === 1 && col("b") === 2).count() shouldBe 1
+  }
+
+  test("fingerprint matches the hand-computed value on a tiny vocab") {
+    // global vocab over the fixture is larger, so use only docs 5 and 6
+    // via a dedicated dir: tokens {a,b,c} -> sorted ids a=1, b=2, c=3
+    val dir = Files.createTempDirectory("graft-fp-fixture").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    Seq((1L, "b a", "en", "synth", 3L), (2L, "a c b", "en", "synth", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = TextAnalysis.fingerprint(spark, dir.getAbsolutePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    fp(1L) shouldBe (1 * 2 + 2 * 1) // pos*tid: b@1, a@2
+    fp(2L) shouldBe (1 * 1 + 2 * 3 + 3 * 2) // a@1, c@2, b@3
+  }
+
+  test("fingerprint plan contains no single-partition exchange") {
+    val plan = TextAnalysis.fingerprint(spark, fixtureDir)
+      .queryExecution.executedPlan.toString
+    plan should not include "SinglePartition"
+  }
+}
