@@ -74,7 +74,13 @@ class ChangesetXmlScan(paths: Seq[String], required: StructType,
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf.value)
       if (fs.getFileStatus(hp).isDirectory)
-        fs.listStatus(hp).filter(_.isFile).map(_.getPath.toString)
+        // skip hidden/marker files (_SUCCESS, .crc, README…) — only take
+        // what the parser can actually read, like the PBF source's *.pbf
+        fs.listStatus(hp).filter { st =>
+          val n = st.getPath.getName.toLowerCase
+          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            (n.endsWith(".xml") || n.endsWith(".xml.gz") || n.endsWith(".osm") || n.endsWith(".osm.gz"))
+        }.map(_.getPath.toString)
       else Seq(p)
     }
     files.map(f => ChangesetXmlInputPartition(f): InputPartition).toArray

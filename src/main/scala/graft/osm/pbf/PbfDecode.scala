@@ -116,10 +116,26 @@ object PbfDecode {
     else if (zlib != null) {
       val inf = new Inflater()
       inf.setInput(zlib)
-      val out = new Array[Byte](if (rawSize >= 0) rawSize else zlib.length * 4)
+      var out = new Array[Byte](if (rawSize >= 0) rawSize else math.max(64, zlib.length * 4))
       var n = 0
-      while (!inf.finished() && n < out.length) n += inf.inflate(out, n, out.length - n)
-      inf.end()
+      try {
+        while (!inf.finished()) {
+          if (n == out.length) {
+            // raw_size absent (or lied): grow instead of silently truncating
+            if (rawSize >= 0) throw new IllegalArgumentException(
+              s"zlib data inflates past declared raw_size=$rawSize")
+            out = java.util.Arrays.copyOf(out, out.length * 2)
+          }
+          val got = inf.inflate(out, n, out.length - n)
+          // inflate() == 0 while unfinished means it wants more input (or
+          // a preset dictionary) — with the full blob already supplied
+          // that is a truncated/corrupt payload, not a retry condition.
+          if (got == 0 && !inf.finished() && (inf.needsInput() || inf.needsDictionary()))
+            throw new IllegalArgumentException(
+              "truncated or corrupt zlib payload in PBF blob")
+          n += got
+        }
+      } finally inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
     } else throw new IllegalArgumentException(
       "unsupported Blob encoding (only raw and zlib_data)")

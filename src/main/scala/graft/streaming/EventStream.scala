@@ -108,8 +108,17 @@ object EventStream {
               }
             }
             cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // A group fed only late events can have end+gap already at
+              // or behind the watermark — setTimeoutTimestamp would throw
+              // (timeout must exceed the watermark) and abort the query.
+              // Such a session's gap has provably elapsed: close it now.
+              if (s.end + gapMs <= state.getCurrentWatermarkMs()) {
+                closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(s.end + gapMs)
+              }
             }
             closed.iterator
           }

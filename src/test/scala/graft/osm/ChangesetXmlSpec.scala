@@ -81,6 +81,15 @@ class ChangesetXmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     ChangesetXml.read(spark, writeXml("c.osm.gz", gz = true)).count() shouldBe 3
   }
 
+  test("directory input skips markers and non-XML strays (_SUCCESS, README…)") {
+    val dir = Files.createTempDirectory("csdir")
+    Files.write(dir.resolve("a.osm"), xml.getBytes("UTF-8"))
+    Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    Files.write(dir.resolve(".hidden"), "junk".getBytes("UTF-8"))
+    Files.write(dir.resolve("README.txt"), "not xml".getBytes("UTF-8"))
+    ChangesetXml.read(spark, dir.toString).count() shouldBe 3
+  }
+
   test("non-changeset root is rejected (ChangesetXmlHandler.java:57)") {
     val dir = Files.createTempDirectory("bad")
     val f = dir.resolve("bad.xml")

@@ -143,6 +143,25 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.format("osm-pbf").load(pbfPath).count() shouldBe 7
   }
 
+  test("a truncated zlib payload errors instead of spinning forever") {
+    val payload = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    val z = PbfTestData.deflate(payload)
+    val truncated = java.util.Arrays.copyOf(z, z.length / 2)
+    val blob = new PbfTestData.W().vint(2, payload.length).bytes(3, truncated).toArray
+    val ex = intercept[IllegalArgumentException] {
+      graft.osm.pbf.PbfDecode.decompressBlob(blob)
+    }
+    ex.getMessage should include("truncated")
+  }
+
+  test("zlib blob without raw_size grows its buffer instead of truncating") {
+    // 64 KiB of zeros deflates to ~80 bytes: the old zlib.length*4 guess
+    // would silently cut the output; the decoder must return it all.
+    val payload = new Array[Byte](65536)
+    val blob = new PbfTestData.W().bytes(3, PbfTestData.deflate(payload)).toArray
+    graft.osm.pbf.PbfDecode.decompressBlob(blob).length shouldBe payload.length
+  }
+
   test("a truncated file fails with a clear error, not silent data loss") {
     val dir = Files.createTempDirectory("pbftrunc")
     val full = Files.readAllBytes(java.nio.file.Paths.get(pbfPath))
