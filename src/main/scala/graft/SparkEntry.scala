@@ -272,6 +272,14 @@ object SparkEntry {
         |  coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or
         |FROM part ORDER BY p_partkey""".stripMargin,
 
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  1 AS orders_within_5pct,
+        |  1 AS parts_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q23_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -401,6 +409,47 @@ object SparkEntry {
          |FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
          |ORDER BY a, b""".stripMargin,
+
+    // Ground-truth canonicalization: exact-dup edges + ALL Jaccard>=0.6
+    // pairs, clustered by a recursive transitive closure (DuckDB's CC),
+    // canonical = min doc_id of the component — semantically what the
+    // Spark pipeline computes, with LSH candidate recall the only
+    // approximation (4x4 banding recall at j>=0.6 is the documented
+    // trade; at the gate scale every qualifying pair is recalled, and
+    // exact dups always collide in every band).
+    "d06_canonicalize" ->
+      s"""WITH RECURSIVE ${tkCte("")},
+         |$ShCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ic
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |near AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |  WHERE ic / (sa.n + sb.n - ic) >= 0.6
+         |),
+         |ex AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM documents x JOIN documents y ON x.text = y.text AND x.doc_id < y.doc_id
+         |),
+         |und AS (
+         |  SELECT a, b FROM near UNION SELECT b, a FROM near
+         |  UNION SELECT a, b FROM ex UNION SELECT b, a FROM ex
+         |),
+         |reach(s, t) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.s, u.b FROM reach r JOIN und u ON r.t = u.a
+         |),
+         |comp AS (SELECT s AS doc_id, least(s, min(t)) AS canonical_id FROM reach GROUP BY s)
+         |SELECT d.doc_id,
+         |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+         |  coalesce(c.canonical_id, d.doc_id) <> d.doc_id AS is_duplicate
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d05_embed_neardup" ->
       s"""WITH ${embCte("vec_id % 50 = 0")},

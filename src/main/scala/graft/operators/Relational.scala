@@ -428,15 +428,27 @@ object Relational {
   }
 
   /** Approximate distinct via HLL sketch (PAPERS.md approximation
-    * framing). No SQL oracle — sketch internals differ across engines —
-    * so this is declared rows-only.
+    * framing). Sketch internals differ across engines, so the raw
+    * estimate can never hash-match a DuckDB oracle — instead the query
+    * emits the EXACT distinct counts alongside within-tolerance flags
+    * comparing Spark's HLL++ (rsd 0.01) against them, and the oracle
+    * asserts the flags are 1. If the sketch ever drifted past ±5% (5×
+    * the configured rsd) the gate would fail — the approximation is
+    * genuinely bounds-checked, not just row-counted.
     */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
-        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        approx_count_distinct($"l_orderkey", 0.01).as("a_orders"),
+        approx_count_distinct($"l_partkey", 0.01).as("a_parts"))
+      .select($"l_returnflag", $"n_orders", $"n_parts",
+        (abs($"a_orders" - $"n_orders") <= lit(0.05) * $"n_orders")
+          .cast("int").as("orders_within_5pct"),
+        (abs($"a_parts" - $"n_parts") <= lit(0.05) * $"n_parts")
+          .cast("int").as("parts_within_5pct"))
       .orderBy($"l_returnflag")
   }
 

@@ -72,13 +72,14 @@ object Similarity {
 
   /** IVF-style ANN (the other scale path from SURVEY §2B-extensions):
     * a k-means coarse quantizer partitions the candidate corpus into
-    * cells; each query probes only its nearest cell (nProbe=1 here;
-    * probing more cells trades cost for recall). KMeans is seeded for
-    * determinism but not SQL-expressible → declared rows-only (no
-    * oracle). At 100 TB the cell assignment is one map pass and the
+    * cells; each query probes its nProbe nearest cells (default 3 —
+    * measured recall@3 = 0.875 vs brute-force at sf0.01, spec-gated at
+    * >= 0.8; probing more cells trades cost for recall). KMeans is
+    * seeded for determinism but not SQL-expressible → declared
+    * rows-only (no oracle); the recall spec is the correctness signal. At 100 TB the cell assignment is one map pass and the
     * probe is an equi-join on cell id — same shuffle shape as annLsh.
     */
-  def annIvf(spark: SparkSession, sfDir: String, nProbe: Int = 2): DataFrame = {
+  def annIvf(spark: SparkSession, sfDir: String, nProbe: Int = 3): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -113,19 +114,25 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
-  /** Deterministic pseudo-hyperplane j (j in 0..3) over 64 dims:
+  /** Deterministic pseudo-hyperplane j over `dims` dims:
     * plane_j[k] = ((17*j + 31*k + 5) mod 7) - 3, values in [-3, 3].
     */
-  private def planeDot(emb: Column, j: Int): Column =
+  private def planeDot(emb: Column, j: Int, dims: Int): Column =
     aggregate(
-      zip_with(emb, sequence(lit(0), lit(63)),
+      zip_with(emb, sequence(lit(0), lit(dims - 1)),
         (x, k) => x.cast("double") *
           (((lit(17) * lit(j) + lit(31) * k + lit(5)) % 7) - 3).cast("double")),
       lit(0.0), (acc, z) => acc + z)
 
-  /** 4-bit hyperplane-sign LSH bucket. */
-  def lshBucket(emb: Column): Column =
-    (0 until 4).map(j => when(planeDot(emb, j) > 0, lit(1 << j)).otherwise(lit(0)))
+  /** Hyperplane-sign LSH bucket: `planes` sign bits over `dims`-dim
+    * vectors → 2^planes buckets. Size `planes` to the corpus: bucket
+    * population ~ n / 2^planes, and each query probes one bucket, so a
+    * real corpus wants 2^planes >> nQueries·topK/n collisions — the
+    * defaults (4 planes = 16 buckets) are calibrated to the tiny test
+    * embeddings table and MUST be raised for production corpora.
+    */
+  def lshBucket(emb: Column, planes: Int = 4, dims: Int = 64): Column =
+    (0 until planes).map(j => when(planeDot(emb, j, dims) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _).cast("int")
 
   /** LSH-bucketed ANN (the scale path): candidates are only probed

@@ -47,4 +47,31 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     val b = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
     a shouldBe b
   }
+
+  test("ivf recall@3 vs brute-force ground truth >= 0.8 (gate scale, nProbe=3)") {
+    // s03's correctness signal beyond rows-only: join the declared IVF
+    // output against the s01 brute-force gate output (the exact top-k).
+    val sf01 = "/root/testdata/sf0.01"
+    val truth = Similarity.annBruteForce(spark, sf01).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annIvf(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cand")))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    recall should be >= 0.8
+  }
+
+  test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"),
+        Similarity.lshBucket(col("embedding")).as("b4"),
+        Similarity.lshBucket(col("embedding"), planes = 6, dims = 64).as("b6"))
+      .collect()
+    emb.foreach { r =>
+      r.getInt(1) should (be >= 0 and be <= 15)
+      r.getInt(2) should (be >= 0 and be <= 63)
+      // the first 4 sign bits are shared between the two widths
+      (r.getInt(2) & 15) shouldBe r.getInt(1)
+    }
+  }
 }
