@@ -11,15 +11,30 @@ import graft.osm.pbf.OsmPbfSource
   *
   * PBF mode converts an OSM PBF to the planet ORC table; --changesets
   * converts changeset XML (optionally .gz) to the changesets ORC table.
-  * (stdin ("-") is not supported — on a cluster, inputs are paths on a
-  * shared filesystem; stage local stdin to a file first.)
+  * `-` reads stdin (Osm2Orc.java:21-24,33-36): the stream is staged to a
+  * temp file first — a Spark job needs a seekable, re-readable input
+  * that every executor can open, which a pipe is not.
   */
 object Main {
+
+  /** Stage stdin to a deletable temp file (returned as the input path). */
+  private[osm] def stageStdin(in: java.io.InputStream, suffix: String): String = {
+    val f = java.io.File.createTempFile("graft-stdin", suffix)
+    f.deleteOnExit()
+    java.nio.file.Files.copy(in, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    f.getAbsolutePath
+  }
+
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.osm.Main [--changesets] <input> <output.orc>"
+    val usage = "usage: graft.osm.Main [--changesets] <input|-> <output.orc>"
     val (changesets, rest) = args.partition(_ == "--changesets")
     if (rest.length != 2) { System.err.println(usage); sys.exit(1) }
-    val Array(input, output) = rest
+    val Array(rawInput, output) = rest
+    val input =
+      if (rawInput == "-")
+        stageStdin(System.in, if (changesets.nonEmpty) ".xml" else ".osm.pbf")
+      else rawInput
 
     val builder = SparkSession.builder()
       .appName("graft-osm2orc")

@@ -16,9 +16,10 @@ import graft.osm.pbf.PbfDecode
   *  - bloom filter on `tags` — the reference considered and commented it
   *    out (:86); we enable it (ORC row-group skipping on tag lookups is
   *    what makes `tags['k']` queries viable at planet scale);
-  *  - `osm.schema.version` + optional `bounds` stamped as a JSON sidecar
-  *    (`_graft_metadata.json`) — Spark's ORC writer exposes no
-  *    addUserMetadata, and a sidecar is judge-visible either way.
+  *  - `osm.schema.version` + optional `bounds` stamped BOTH as a JSON
+  *    sidecar (`_graft_metadata.json`) and into each part file's ORC
+  *    footer (OrcMetadata raw-stripe rewrite) — footer parity with the
+  *    reference for orc-core consumers, sidecar for directory listers.
   *
   * Scale notes: `sortWithinPartitions(type, id)` before write mirrors
   * the reference's observation that sorted runs compress better
@@ -43,6 +44,7 @@ object OrcSink {
       .option("orc.bloom.filter.columns", "tags")
       .orc(out)
     writeSidecar(df.sparkSession, out, bounds)
+    stampFooters(df.sparkSession, out, bounds)
   }
 
   /** Geographically-clustered planet write: range-partition + sort by
@@ -66,6 +68,7 @@ object OrcSink {
       .option("orc.bloom.filter.columns", "tags")
       .orc(out)
     writeSidecar(df.sparkSession, out, bounds)
+    stampFooters(df.sparkSession, out, bounds)
   }
 
   def writeChangesets(df: DataFrame, out: String): Unit = {
@@ -74,6 +77,18 @@ object OrcSink {
       .option("orc.block.padding", "false")
       .orc(out)
     writeSidecar(df.sparkSession, out, None)
+    stampFooters(df.sparkSession, out, None)
+  }
+
+  /** Footer parity with the reference (OsmPbf2Orc.java:90,122-125):
+    * stamp the same keys the sidecar carries into each part file's ORC
+    * footer so orc-core consumers see them via getMetadataValue.
+    */
+  private def stampFooters(spark: org.apache.spark.sql.SparkSession, out: String,
+      bounds: Option[String]): Unit = {
+    val meta = Map(OsmSchemas.SchemaVersionKey -> OsmSchemas.SchemaVersion) ++
+      bounds.map("bounds" -> _)
+    OrcMetadata.stampDirectory(out, spark.sessionState.newHadoopConf(), meta)
   }
 
   private def writeSidecar(spark: org.apache.spark.sql.SparkSession, out: String,

@@ -26,6 +26,18 @@ class OrcSinkSpec extends AnyFunSuite with Matchers with SparkSpec {
       java.nio.file.Paths.get(out, "_graft_metadata.json")), "UTF-8")
     sidecar should include(""""osm.schema.version": "0.6"""")
     sidecar should include(""""bounds": "-0.4,51,0.6,52"""")
+
+    // footer parity (OsmPbf2Orc.java:90,122-125): every part file carries
+    // the keys in its ORC footer, readable through orc-core itself
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".orc"))
+    parts should not be empty
+    parts.foreach { p =>
+      OrcMetadata.readValue(p.getPath, conf, "osm.schema.version") shouldBe Some("0.6")
+      OrcMetadata.readValue(p.getPath, conf, "bounds") shouldBe Some("-0.4,51,0.6,52")
+    }
   }
 
   test("changesets XML → ORC round-trip") {
