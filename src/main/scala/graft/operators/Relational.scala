@@ -438,12 +438,20 @@ object Relational {
     */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, sfDir)
-      .groupBy($"l_returnflag")
+    // exact and approx are SEPARATE aggregations joined on the tiny
+    // group-key result: mixing countDistinct with approx_count_distinct
+    // in one agg triggers Spark's multi-distinct Expand rewrite, which
+    // builds an HLL sketch per DISTINCT VALUE (not per group) and
+    // shuffles thousands of sketch words per row — measured 60× slower.
+    // Split, each pass is a clean partial-aggregated map-reduce.
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("n_orders"),
-        countDistinct($"l_partkey").as("n_parts"),
-        approx_count_distinct($"l_orderkey", 0.01).as("a_orders"),
+        countDistinct($"l_partkey").as("n_parts"))
+    val approx = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("a_orders"),
         approx_count_distinct($"l_partkey", 0.01).as("a_parts"))
+    exact.join(approx, "l_returnflag")
       .select($"l_returnflag", $"n_orders", $"n_parts",
         (abs($"a_orders" - $"n_orders") <= lit(0.05) * $"n_orders")
           .cast("int").as("orders_within_5pct"),
