@@ -71,7 +71,10 @@ object Dedup {
 
   // h_i(s) = ((4097 + 7919*i) * s + 17 + 104729*i) mod P, P = 2^31-1 —
   // must stay in lockstep with the DuckDB oracle (SparkEntry.HashCte).
-  private val MinhashSigExpr =
+  // Interpreted HOF form — kept as the cross-check reference for the
+  // codegen'd graft.functions.MinHashSig used on the hot path
+  // (SigExpressionsSpec asserts bit-identity on real corpus data).
+  private[operators] val MinhashSigExpr =
     """transform(sequence(0, 15), i ->
       |  aggregate(sids, CAST(2147483647 AS BIGINT),
       |    (m, s) -> least(m, ((4097 + 7919*i) * s + 17 + 104729*i) % 2147483647)))"""
@@ -131,7 +134,7 @@ object Dedup {
   private def bandPairs(spark: SparkSession, withIds: DataFrame): DataFrame = {
     import spark.implicits._
     val bands = sidLists(withIds)
-      .withColumn("sig", expr(MinhashSigExpr))
+      .withColumn("sig", graft.functions.SigFunctions.minhashSig(col("sids")))
       .select($"doc_id", posexplode(expr(BandExpr)).as(Seq("band", "bsig")))
     bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bsig" === $"y.bsig" &&
@@ -164,13 +167,16 @@ object Dedup {
     val sh = shingleSet(spark, sfDir, None).cache()
     val withIds = sh.join(shingleDict(sh), "sh")
     sidLists(withIds)
-      .select($"doc_id", simHashExpr(bits).as("simhash"))
+      .select($"doc_id",
+        graft.functions.SigFunctions.simhashSig($"sids", bits).as("simhash"))
   }
 
   /** per-bit +/-1 votes and the bit assembly fold in one expression over
     * the sid list — must stay in lockstep with the DuckDB oracle.
+    * Interpreted HOF form — cross-check reference for the codegen'd
+    * graft.functions.SimHashSig used on the hot path.
     */
-  private def simHashExpr(bits: Int): Column = expr(
+  private[operators] def simHashExpr(bits: Int): Column = expr(
     s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, j) ->
        |  acc + IF(
        |    aggregate(sids, CAST(0 AS BIGINT), (v, s) ->
@@ -192,8 +198,8 @@ object Dedup {
     val sh = shingleSet(spark, sfDir, None)
     val withIds = sh.withColumn("sid", abs(xxhash64($"sh")) % lit(Prime))
     sidLists(withIds)
-      .select($"doc_id", simHashExpr(bits).as("simhash"))
-      .orderBy($"doc_id")
+      .select($"doc_id",
+        graft.functions.SigFunctions.simhashSig($"sids", bits).as("simhash"))
   }
 
   /** SimHash near-dup pairing: fingerprints bucketed by their top 16
