@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,17 +41,53 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // Candidate languages (sorted — argmax tie-break is "lexicographically
+  // smallest", which first-occurrence array_position gives for free) and
+  // their stand-in lexicon constants; shared by both lang-ID operators
+  // and mirrored in the DuckDB oracles.
+  private val LangNames = Seq("de", "en", "es", "fr", "zh")
+  private val LangMults = Seq(5, 3, 7, 11, 13)
+
+  /** argmax over the per-language score array: scores are in LangNames
+    * order, array_position returns the FIRST index of the max — exactly
+    * the (score desc, cand_lang asc) ranking of the exploded form, with
+    * no window, no shuffle.
+    */
+  private def argmaxLang(scores: Column): Seq[Column] = {
+    val names = array(LangNames.map(lit): _*)
+    Seq(element_at(names, array_position(scores, array_max(scores)).cast("int"))
+        .as("pred_lang"),
+      array_max(scores).as("score"))
+  }
+
   /** Language-ID by additive n-gram scoring: each candidate language l
     * has a deterministic per-token weight (length(tok)*c_l) mod 7; the
     * predicted language is the argmax (ties broken lexicographically).
-    * The weights are a stand-in lexicon — the *operator shape*
-    * (token explode -> per-language score -> argmax) is the real
-    * n-gram language-ID pipeline.
+    * The weights are a stand-in lexicon — the *operator shape* is the
+    * real n-gram language-ID pipeline.
+    *
+    * All 5 language scores come from ONE map-only pass per document
+    * (codegen'd [[graft.functions.TokenLangScores]]) — no token explode,
+    * no lexicon cross join, no aggregation shuffle; spec-asserted
+    * identical to the exploded reference form below.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val langs = Seq(("de", 5), ("en", 3), ("es", 7), ("fr", 11), ("zh", 13))
-      .toDF("cand_lang", "c")
+    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      .filter(size($"tk") > 0)
+      .select($"doc_id",
+        graft.functions.LangIdFunctions.tokenLangScores($"tk", LangMults, 7).as("sc"))
+      .select($"doc_id" +: argmaxLang($"sc"): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** Exploded reference form of [[langId]] (token explode × broadcast
+    * lexicon → per-language aggregate → window argmax) — the shape the
+    * oracle SQL mirrors; kept for the parity spec.
+    */
+  private[operators] def langIdExploded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val langs = LangNames.zip(LangMults).toDF("cand_lang", "c")
     val toks = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(Text.toks($"text")).as("tok"))
     val scores = toks.crossJoin(broadcast(langs))
@@ -66,14 +102,31 @@ object TextAnalysis {
 
   /** Character-bigram language-ID (the classic n-gram profile shape):
     * every adjacent character pair votes per language with a
-    * deterministic hash weight (ascii-code pair x language constant mod
+    * deterministic hash weight (code-point pair x language constant mod
     * 13); argmax wins, ties break lexicographically. Character n-grams
     * are what real language-ID uses (token-level variant: langId).
+    *
+    * One map-only pass per document (codegen'd
+    * [[graft.functions.CharBigramScores]]) instead of exploding every
+    * bigram × 5 languages through an interpreted lambda.
     */
   def langIdCharNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val langs = Seq(("de", 5), ("en", 3), ("es", 7), ("fr", 11), ("zh", 13))
-      .toDF("cand_lang", "c")
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 2)
+      .select($"doc_id",
+        graft.functions.LangIdFunctions.charBigramScores($"text", LangMults, 13).as("sc"))
+      .select($"doc_id" +: argmaxLang($"sc"): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** Exploded reference form of [[langIdCharNgram]] — oracle shape, kept
+    * for the parity spec.
+    */
+  private[operators] def langIdCharNgramExploded(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val langs = LangNames.zip(LangMults).toDF("cand_lang", "c")
     val bg = Tables.documents(spark, sfDir)
       .filter(length($"text") >= 2)
       .select($"doc_id", explode(expr(
