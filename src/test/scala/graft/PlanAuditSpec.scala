@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Machine-checked plan audit for the headline queries — the properties
+  * that make these plans survive a 100× scale-up, asserted so a
+  * refactor can't silently regress them:
+  *
+  *  - scans prune columns and push filters (q01);
+  *  - dimension joins broadcast (q06);
+  *  - no plan contains a cartesian product or a single-partition
+  *    exchange (except a final LIMIT's singlePartition collect, which
+  *    is bounded by k);
+  *  - map-only operators stay map-only (t01: zero exchanges).
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01 scan prunes to referenced columns and pushes the date filter") {
+    val p = plan("q01_pricing_summary")
+    p should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+    // ReadSchema must not contain unreferenced wide columns
+    p should not include "l_comment"
+    p should not include "l_shipinstruct"
+  }
+
+  test("q06 joins the part dimension via broadcast, not shuffle") {
+    val p = plan("q06_reassemble_join")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("s01 broadcasts the tiny query side against the candidate corpus") {
+    val p = plan("s01_ann_bruteforce")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("no gate query plans a cartesian product") {
+    // d02/d05 pair joins carry an a<b condition into a broadcast-nested-
+    // loop join; a CartesianProduct node would mean the condition fell off
+    for (name <- Seq("d02_ngram_jaccard", "d05_embed_neardup",
+        "d03_minhash_lsh", "d04_simhash_pairs", "q28_asof_join", "q29_range_join"))
+      withClue(name) { plan(name) should not include "CartesianProduct" }
+  }
+
+  test("no gate query funnels data through a single-partition exchange") {
+    // Exchange SinglePartition is only acceptable where the rows are
+    // bounded before the exchange: a global LIMIT (q19) or a grand-total
+    // aggregate finalization (q14 — one partial count row per task).
+    val bounded = Set("q19_topk_limit", "q14_exists_anti")
+    for ((name, _) <- SparkEntry.queries if !bounded(name))
+      withClue(name) { plan(name) should not include "Exchange SinglePartition" }
+  }
+
+  test("map-only text stats have no exchange except the final sort") {
+    val p = plan("t01_text_stats")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    p should include("rangepartitioning")
+  }
+}
