@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,10 @@ object SparkEntry {
     "q29_range_join" -> (Relational.rangeJoin _),
     // —— extensions: multimodal plumbing ——
     "m01_media_meta" -> (Multimodal.mediaMeta _),
+    // —— extensions: corpus sampling / data mixing ——
+    "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
+    "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
+    "p03_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
   )
 
   // Canonical DuckDB tokenization — must stay in lockstep with
@@ -96,6 +100,18 @@ object SparkEntry {
 
   private val HashCte =
     "h AS (SELECT i, 4097 + 7919*i AS a, 17 + 104729*i AS b FROM (SELECT unnest(range(0, 16)) AS i) hh)"
+
+  // First 4 hex chars of md5(text) as an integer (the Sampling selection
+  // key; Spark side uses conv(substring(md5, 1, 4), 16, 10)).
+  private val HexBucketCte =
+    """b AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |         + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
+      |         + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
+      |         + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS BIGINT) AS hb
+      |  FROM documents
+      |)""".stripMargin
 
   // Position-exploded embedding elements (cast to DOUBLE so products
   // match Spark's double arithmetic bit-for-bit).
@@ -610,5 +626,34 @@ object SparkEntry {
         |  md5(text) AS content_hash,
         |  substr(md5(text), 1, 4) AS shard_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p01_hash_sample" ->
+      s"""WITH $HexBucketCte
+         |SELECT doc_id, lang, hb % 100 AS bucket
+         |FROM b WHERE hb % 100 < 20 ORDER BY doc_id""".stripMargin,
+
+    "p02_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS INT) AS rn
+        |  FROM documents
+        |)
+        |SELECT lang, rn, doc_id FROM r WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
+
+    "p03_token_budget" ->
+      s"""WITH $HexBucketCte,
+         |t AS (
+         |  SELECT doc_id, md5(text) AS hkey, CAST(hb % 8 AS INT) AS shard,
+         |    CAST(len($Toks) AS INT) AS n_tokens
+         |  FROM b
+         |),
+         |c AS (
+         |  SELECT shard, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hkey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t
+         |)
+         |SELECT shard, doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 2000 ORDER BY shard, cum_tokens, doc_id""".stripMargin,
   )
 }

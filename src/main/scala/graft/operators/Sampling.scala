@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Corpus sampling / data-mixing operators for a training-data pipeline
+  * (SURVEY §2B-extensions family): the selection primitives that sit
+  * between dedup and tokenization in a real 100 TB run.
+  *
+  * All selection keys are CONTENT hashes, not `rand()`: the sample is
+  * deterministic, reproducible across engines (oracle-gated), and stable
+  * under re-partitioning/re-sharding — re-running the pipeline after
+  * adding files keeps previously-selected documents selected.
+  */
+object Sampling {
+
+  /** First 4 hex chars of md5(text) as an integer in [0, 65536) — the
+    * shared deterministic selection key (cheap: one md5 per doc, already
+    * computed by exact-dedup in a combined pipeline).
+    */
+  private def hashBucket(textCol: org.apache.spark.sql.Column) =
+    conv(substring(md5(textCol.cast("binary")), 1, 4), 16, 10).cast("bigint")
+
+  /** Bernoulli-style p% corpus sample by content-hash bucket: keep docs
+    * whose hash bucket falls below p% of the key space. Map-only — the
+    * filter runs at the scan, no shuffle but the deterministic-order
+    * tail sort.
+    */
+  def hashSample(spark: SparkSession, sfDir: String, pct: Int = 20): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", hashBucket($"text") % 100)
+      .filter($"bucket" < pct)
+      .select($"doc_id", $"lang", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** Stratified sample: a fixed per-stratum quota (here: per language),
+    * members chosen by content-hash order (= uniform within stratum,
+    * deterministic). One shuffle on the stratum key; per-stratum top-k
+    * via window — strata are languages (bounded cardinality, no skew
+    * pathology; for high-cardinality strata switch the window to the
+    * banded top-k of q13).
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      perStratum: Int = 30): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"hkey", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("hkey", md5($"text".cast("binary")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter($"rn" <= perStratum)
+      .select($"lang", $"rn", $"doc_id")
+      .orderBy($"lang", $"rn")
+  }
+
+  /** Token-budget packing: select documents, in deterministic hash
+    * order, until each SHARD's token budget is filled (running sum of
+    * token counts <= budget). Sharding by a hash prefix keeps the
+    * running-sum window partitioned — the scalable form of "sample until
+    * N tokens": a single global cumulative sum would funnel the corpus
+    * through one task, per-shard budgets fan out to any corpus size
+    * (total budget = shards × perShardTokens).
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String, shards: Int = 8,
+      perShardTokens: Long = 2000): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"hkey", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("hkey", md5($"text".cast("binary")))
+      .withColumn("shard", (hashBucket($"text") % shards).cast("int"))
+      .withColumn("n_tokens", Text.tokenCount($"text"))
+      .withColumn("cum_tokens",
+        sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum_tokens" <= perShardTokens)
+      .select($"shard", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy($"shard", $"cum_tokens", $"doc_id")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("hashSample keeps ~pct% and is deterministic across runs") {
+    val a = Sampling.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    a shouldBe b
+    val total = Tables.documents(spark, sf).count().toDouble
+    a.length / total should be(0.20 +- 0.08) // 16-bit buckets, 500 docs
+  }
+
+  test("stratifiedSample yields min(quota, stratum size) rows per stratum") {
+    val quota = 30
+    val got = Sampling.stratifiedSample(spark, sf, quota)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      got.getOrElse(lang, 0L) shouldBe math.min(quota.toLong, n)
+    }
+  }
+
+  test("tokenBudget selects the maximal hash-order prefix within budget") {
+    val budget = 2000L
+    val sel = Sampling.tokenBudget(spark, sf, perShardTokens = budget)
+    // never over budget per shard
+    sel.groupBy("shard").agg(max("cum_tokens").as("m"))
+      .filter(col("m") > budget).count() shouldBe 0
+    // maximal: the first unselected doc of each shard would overflow
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"hkey", $"doc_id")
+    val all = Tables.documents(spark, sf)
+      .withColumn("hkey", md5($"text".cast("binary")))
+      .withColumn("shard",
+        (conv(substring(md5($"text".cast("binary")), 1, 4), 16, 10)
+          .cast("bigint") % 8).cast("int"))
+      .withColumn("n_tokens", graft.functions.Text.tokenCount($"text"))
+      .withColumn("cum", sum($"n_tokens")
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val firstRejected = all.filter($"cum" > budget)
+      .groupBy($"shard").agg(min($"cum").as("first_over"))
+    // every shard's first rejected doc exceeds the budget by construction;
+    // check the selected set is exactly the docs with cum <= budget
+    val expected = all.filter($"cum" <= budget).count()
+    sel.count() shouldBe expected
+    firstRejected.filter($"first_over" <= budget).count() shouldBe 0
+  }
+}
