@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Library entry point for SQL-only users
+  * (SURVEY §4.3 — `SparkSessionExtensions` is the sanctioned injection
+  * seam): registers every custom Catalyst expression as a SQL function,
+  * so
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * gives `SELECT vec_dot(a, b)`, `zorder(lat, lon)`, `minhash_sig(sids)`,
+  * `simhash_sig(sids, 32)` etc. with zero Scala API — the same
+  * registration path any Spark-native library (Delta, Iceberg) uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "",
+      "", "", "", "4.0.0", "", "scala_udf")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - codegen'd float-vector dot product"),
+      (es: Seq[Expression]) => DotProductF(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm2"),
+      info("vec_norm2", "vec_norm2(a) - squared L2 norm"),
+      (es: Seq[Expression]) => DotProductF(es(0), es(0))))
+    ext.injectFunction((FunctionIdentifier("zorder"),
+      info("zorder", "zorder(lat, lon) - interleaved-bit geographic sort key"),
+      (es: Seq[Expression]) => ZOrderExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(sids) - 16-hash MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0))))
+    ext.injectFunction((FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(sids, bits) - SimHash fingerprint"),
+      (es: Seq[Expression]) => SimHashSig(es(0), intLit(es(1), "simhash_sig bits"))))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The extensions class must make every custom expression callable from
+  * pure SQL in a session configured with spark.sql.extensions — the
+  * SQL-only user's path into the library.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  /** Extensions only apply at session CREATION, and the shared test JVM
+    * already has a SparkContext whose STATIC conf (where
+    * `spark.sql.extensions` class names are read from) is fixed — so
+    * build a fresh session over the existing context through the public
+    * `withExtensions` API, which exercises the same `apply(ext)`
+    * injection path the config string triggers on a real cluster.
+    * Default/active sessions are cleared and restored around creation.
+    */
+  private lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("all injected functions resolve and compute from pure SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp,
+        |  vec_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n2,
+        |  simhash_sig(array(CAST(7 AS BIGINT)), 16) AS sh,
+        |  minhash_sig(array(CAST(7 AS BIGINT)))[0] AS mh,
+        |  zorder(CAST(0.0 AS DECIMAL(9,7)), CAST(0.0 AS DECIMAL(10,7))) AS z
+        |""".stripMargin).head()
+    r.getAs[Double]("dp") shouldBe 11.0
+    r.getAs[Double]("n2") shouldBe 25.0
+    // h_0(7) = (4097*7 + 17) % P = 28696 -> even parity bits vote -1
+    r.getAs[Long]("mh") shouldBe (4097L * 7 + 17) % 2147483647L
+    r.getAs[Long]("sh") should be >= 0L
+  }
+
+  test("simhash_sig rejects a non-literal bits argument") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT simhash_sig(array(CAST(1 AS BIGINT)), CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    ex.getMessage should include("integer literal")
+  }
+}
