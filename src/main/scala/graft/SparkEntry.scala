@@ -74,6 +74,7 @@ object SparkEntry {
     "q29_range_join" -> (Relational.rangeJoin _),
     // —— extensions: multimodal plumbing ——
     "m01_media_meta" -> (Multimodal.mediaMeta _),
+    "m02_frame_hashes" -> ((s: SparkSession, d: String) => Multimodal.frameHashes(s, d)),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -626,6 +627,15 @@ object SparkEntry {
         |  md5(text) AS content_hash,
         |  substr(md5(text), 1, 4) AS shard_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m02_frame_hashes" ->
+      """WITH f AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INT), 64) AS frame
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 64 + 2, 48)) AS i
+        |        FROM documents WHERE length(text) >= 64) t
+        |)
+        |SELECT doc_id, CAST((i - 1) // 48 + 1 AS INT) AS frame_no, md5(frame) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     "p01_hash_sample" ->
       s"""WITH $HexBucketCte

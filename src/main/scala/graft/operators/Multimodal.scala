@@ -69,6 +69,24 @@ object Multimodal {
           pos => substring(col("content"), pos, lit(frameSize))))
         .otherwise(array().cast("array<binary>")))
 
+  /** Oracle-checked frame-sampling query: text payloads as binary,
+    * fixed 64-byte frames every 48 bytes, per-frame content hash — the
+    * seek+slice+fingerprint pass of real video frame sampling, driven
+    * through the correctness gate end-to-end (frame boundaries, stride
+    * arithmetic, and per-frame hashing all verified against DuckDB).
+    */
+  def frameHashes(spark: SparkSession, sfDir: String, frameSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    import spark.implicits._
+    val payload = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary").as("content"))
+    frameSample(payload, frameSize, stride)
+      .select($"doc_id", posexplode($"frames").as(Seq("fidx", "frame")))
+      .select($"doc_id", ($"fidx" + 1).cast("int").as("frame_no"),
+        md5($"frame").as("frame_hash"))
+      .orderBy($"doc_id", $"frame_no")
+  }
+
   /** Oracle-checked plumbing query: text payloads treated as binary —
     * byte length + content hash (the metadata extraction pass a media
     * pipeline runs before any decode).
