@@ -57,6 +57,33 @@ class SigExpressionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("codegen and interpreted eval paths agree on randomized inputs") {
+    // the DataFrame path runs generated code; nullSafeEval is the
+    // interpreted fallback (used e.g. under codegen fallback / in
+    // constant folding) — both must agree for ANY input, including
+    // negatives (Java % and Spark's Remainder share sign semantics)
+    import graft.functions.{MinHashSig, SimHashSig}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val samples: Seq[Seq[Long]] = Seq(Seq.empty[Long], Seq(0L), Seq(-1L)) ++
+      (1 to 200).map { _ =>
+        Seq.fill(rnd.nextInt(20))(rnd.nextLong() % 4000000000L)
+      }
+    val df = samples.map(Tuple1(_)).toDF("sids")
+      .select($"sids", SigFunctions.minhashSig($"sids").as("mh"),
+        SigFunctions.simhashSig($"sids", 32).as("sh"))
+    df.collect().foreach { r =>
+      val sids = r.getAs[scala.collection.Seq[Long]]("sids")
+      val arr = new GenericArrayData(sids.toArray)
+      val mhEval = MinHashSig(null).nullSafeEval(arr)
+        .asInstanceOf[GenericArrayData].toLongArray.toSeq
+      val shEval = SimHashSig(null, 32).nullSafeEval(arr).asInstanceOf[Long]
+      r.getAs[scala.collection.Seq[Long]]("mh").toSeq shouldBe mhEval
+      r.getAs[Long]("sh") shouldBe shEval
+    }
+  }
+
   test("empty sid list: minhash = all P, simhash = 0 (matches fold inits)") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq.empty[Long])).toDF("sids")
