@@ -83,6 +83,46 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.orc(outDir).count() shouldBe 200 // exactly-once
   }
 
+  test("stream-batch parity: streaming 1-day windows == batch aggregation") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evparity")
+    val inDir = dir.resolve("in").toString
+    val base = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    base.write.parquet(inDir)
+    val staged = spark.read.parquet(inDir)
+
+    val q = EventStream.windowedCounts(
+        EventStream.fromFiles(spark, inDir), "1 day", "10 minutes")
+      .writeStream.format("memory").queryName("parity").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append-mode: the last real windows only emit once the watermark
+      // passes them — a far-future sentinel file flushes everything
+      val maxTs = staged.agg(max($"ts")).head().getTimestamp(0)
+      Seq((999999L, new Timestamp(maxTs.getTime + 40L * 86400000), 999L, "zz_sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+
+      val streamed = spark.table("parity")
+        .filter($"event_type" =!= "zz_sentinel")
+        .select($"window_start", $"event_type", $"n", round($"sum_value", 4).as("s"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = staged
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("s"))
+        .select($"window.start", $"event_type", $"n", $"s")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      streamed.nonEmpty shouldBe true
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("fromFiles streams the events parquet directory shape") {
     // schema-compatibility check against the batch loader's reconstructed ts
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
