@@ -69,6 +69,8 @@ object SparkEntry {
     "t03_fingerprint" -> (TextAnalysis.fingerprint _),
     "t04_langid_char_ngram" -> (TextAnalysis.langIdCharNgram _),
     "t05_bpe_tokens" -> (TextAnalysis.bpeTokenCount _),
+    "t06_repetition" -> (TextAnalysis.repetition _),
+    "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
     "q29_range_join" -> (Relational.rangeJoin _),
@@ -602,6 +604,26 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
          |  CAST(len($Toks) AS INT) AS n_ws_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t06_repetition" ->
+      s"""WITH ${tkCte("")},
+         |shx AS (
+         |  SELECT doc_id,
+         |    list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS sh
+         |  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM tk) t
+         |)
+         |SELECT doc_id, count(*) AS n_shingles, count(DISTINCT sh) AS n_distinct,
+         |  round(1.0 - count(DISTINCT sh) / count(*), 6) AS rep_ratio
+         |FROM shx GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d07_decontaminate" ->
+      s"""WITH ${tkCte("")},
+         |$ShCte,
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*) AS n_overlap
+         |FROM sh s JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY 1 HAVING count(*) >= 5 ORDER BY doc_id""".stripMargin,
 
     "q27_sessionize_batch" ->
       """WITH flagged AS (

@@ -157,6 +157,45 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Intra-document repetition ratio: 1 - distinct/total 3-shingles —
+    * the cheap quality filter that catches degenerate repetitive text
+    * (boilerplate loops, generation artifacts). One shuffle on doc_id
+    * with map-side partials; at 100 TB this runs in the same pass as
+    * the other per-doc quality scores.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct($"sh").as("n_distinct"))
+      .select($"doc_id", $"n_shingles", $"n_distinct",
+        round(lit(1.0) - $"n_distinct" / $"n_shingles", 6).as("rep_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing >= minHit
+    * distinct 3-shingles with a benchmark/eval document set (here: the
+    * deterministic doc_id % 97 == 0 subset standing in for an eval
+    * suite). The benchmark shingle set is tiny relative to the corpus —
+    * it broadcasts, so the overlap scan is map-side against every
+    * corpus document regardless of corpus size.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, minHit: Int = 5): DataFrame = {
+    import spark.implicits._
+    val sh = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
+      .distinct()
+    val bench = sh.filter($"doc_id" % 97 === 0).select($"sh").distinct()
+    sh.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter($"n_overlap" >= minHit)
+      .orderBy($"doc_id")
+  }
+
   /** Positional document fingerprint: sum(pos * token_id) mod P over the
     * token stream, token ids from the sorted global vocabulary.
     *
