@@ -29,7 +29,12 @@ object Ranking {
     val sorted = df.select(col(keyCol)).distinct()
       .repartitionByRange(parts, col(keyCol))
       .sortWithinPartitions(keyCol)
-    val ranked = sorted.rdd.zipWithIndex()
+    // persisted: zipWithIndex runs an eager per-partition size-count job
+    // before the mapped pass — without the persist the whole
+    // distinct+range-sort pipeline executes twice
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = rdd.zipWithIndex()
       .map { case (r, i) => Row(r.getString(0), i + 1L) }
     spark.createDataFrame(ranked,
       StructType(Seq(StructField(keyCol, StringType), StructField(idCol, LongType))))
