@@ -29,21 +29,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name takes exactly $n argument(s), got ${es.length}")
+      build(es)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - codegen'd float-vector dot product"),
-      (es: Seq[Expression]) => DotProductF(es(0), es(1))))
+      arity("vec_dot", 2)(es => DotProductF(es(0), es(1)))))
     ext.injectFunction((FunctionIdentifier("vec_norm2"),
       info("vec_norm2", "vec_norm2(a) - squared L2 norm"),
-      (es: Seq[Expression]) => DotProductF(es(0), es(0))))
+      arity("vec_norm2", 1)(es => DotProductF(es(0), es(0)))))
     ext.injectFunction((FunctionIdentifier("zorder"),
       info("zorder", "zorder(lat, lon) - interleaved-bit geographic sort key"),
-      (es: Seq[Expression]) => ZOrderExpr(es(0), es(1))))
+      arity("zorder", 2)(es => ZOrderExpr(es(0), es(1)))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(sids) - 16-hash MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es(0))))
+      arity("minhash_sig", 1)(es => MinHashSig(es(0)))))
     ext.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(sids, bits) - SimHash fingerprint"),
-      (es: Seq[Expression]) => SimHashSig(es(0), intLit(es(1), "simhash_sig bits"))))
+      arity("simhash_sig", 2)(es =>
+        SimHashSig(es(0), intLit(es(1), "simhash_sig bits")))))
   }
 }

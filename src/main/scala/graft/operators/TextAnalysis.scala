@@ -184,9 +184,13 @@ object TextAnalysis {
     */
   def decontaminate(spark: SparkSession, sfDir: String, minHit: Int = 5): DataFrame = {
     import spark.implicits._
+    // cached: the benchmark side and the corpus side are independent
+    // subtrees over the same shingle lineage — uncached, the tokenize→
+    // shingle→distinct pipeline would evaluate twice per action
     val sh = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
       .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
       .distinct()
+      .cache()
     val bench = sh.filter($"doc_id" % 97 === 0).select($"sh").distinct()
     sh.filter($"doc_id" % 97 =!= 0)
       .join(broadcast(bench), "sh")

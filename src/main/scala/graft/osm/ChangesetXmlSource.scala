@@ -74,12 +74,16 @@ class ChangesetXmlScan(paths: Seq[String], required: StructType,
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf.value)
       if (fs.getFileStatus(hp).isDirectory)
-        // skip hidden/marker files (_SUCCESS, .crc, README…) — only take
-        // what the parser can actually read, like the PBF source's *.pbf
+        // skip hidden/marker files (_SUCCESS, .crc, README…): directory
+        // input takes only recognized changeset-XML extensions
+        // (.xml/.osm/.osc, optionally gzipped) — a DOCUMENTED contract,
+        // not silent best-effort: differently-named data files must be
+        // passed as explicit file paths, which bypass this filter.
         fs.listStatus(hp).filter { st =>
           val n = st.getPath.getName.toLowerCase
-          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-            (n.endsWith(".xml") || n.endsWith(".xml.gz") || n.endsWith(".osm") || n.endsWith(".osm.gz"))
+          val known = Seq(".xml", ".osm", ".osc")
+            .exists(e => n.endsWith(e) || n.endsWith(e + ".gz"))
+          st.isFile && !n.startsWith("_") && !n.startsWith(".") && known
         }.map(_.getPath.toString)
       else Seq(p)
     }

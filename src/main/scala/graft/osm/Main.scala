@@ -11,19 +11,34 @@ import graft.osm.pbf.OsmPbfSource
   *
   * PBF mode converts an OSM PBF to the planet ORC table; --changesets
   * converts changeset XML (optionally .gz) to the changesets ORC table.
-  * `-` reads stdin (Osm2Orc.java:21-24,33-36): the stream is staged to a
-  * temp file first — a Spark job needs a seekable, re-readable input
-  * that every executor can open, which a pipe is not.
+  * `-` reads stdin (Osm2Orc.java:21-24,33-36): the stream is staged to
+  * the default Hadoop filesystem first — a Spark job needs a seekable,
+  * re-readable input that every executor can open, which a pipe is not
+  * (and a driver-local temp file only would be in local mode).
   */
 object Main {
 
-  /** Stage stdin to a deletable temp file (returned as the input path). */
-  private[osm] def stageStdin(in: java.io.InputStream, suffix: String): String = {
-    val f = java.io.File.createTempFile("graft-stdin", suffix)
-    f.deleteOnExit()
-    java.nio.file.Files.copy(in, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    f.getAbsolutePath
+  /** Stage stdin onto the DEFAULT Hadoop filesystem (returned as the
+    * input path) — on a cluster that is HDFS/object storage, which every
+    * executor can open; a driver-local temp file would only work in
+    * local mode. The staged file lives under hadoop.tmp.dir and is
+    * deleted on JVM exit.
+    */
+  private[osm] def stageStdin(in: java.io.InputStream,
+      conf: org.apache.hadoop.conf.Configuration, suffix: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val dir = new org.apache.hadoop.fs.Path(
+      conf.get("hadoop.tmp.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+    val p = new org.apache.hadoop.fs.Path(dir,
+      s"graft-stdin-${java.util.UUID.randomUUID()}$suffix")
+    val out = fs.create(p, true)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally out.close()
+    fs.deleteOnExit(p)
+    fs.makeQualified(p).toString
   }
 
   def main(args: Array[String]): Unit = {
@@ -31,10 +46,6 @@ object Main {
     val (changesets, rest) = args.partition(_ == "--changesets")
     if (rest.length != 2) { System.err.println(usage); sys.exit(1) }
     val Array(rawInput, output) = rest
-    val input =
-      if (rawInput == "-")
-        stageStdin(System.in, if (changesets.nonEmpty) ".xml" else ".osm.pbf")
-      else rawInput
 
     val builder = SparkSession.builder()
       .appName("graft-osm2orc")
@@ -42,6 +53,12 @@ object Main {
     // spark-submit injects the master; default to local[*] for direct runs
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
+
+    val input =
+      if (rawInput == "-")
+        stageStdin(System.in, spark.sessionState.newHadoopConf(),
+          if (changesets.nonEmpty) ".xml" else ".osm.pbf")
+      else rawInput
 
     if (changesets.nonEmpty)
       OrcSink.writeChangesets(ChangesetXml.read(spark, input), output)

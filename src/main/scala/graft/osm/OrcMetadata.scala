@@ -29,37 +29,58 @@ object OrcMetadata {
 
   /** Stamp every `*.orc` part file under `dir` (non-recursive) with the
     * given user-metadata entries, preserving all existing data, stats,
-    * bloom filters, and any prior metadata keys.
+    * bloom filters, and any prior metadata keys. Files are stamped in
+    * parallel (per-file work is independent; a JVM-wide pool is plenty —
+    * the per-file cost is one sequential read + write, no decode).
     */
   def stampDirectory(dir: String, conf: Configuration,
       meta: Map[String, String]): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p)
+    val files = fs.listStatus(p)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".orc") &&
         !st.getPath.getName.startsWith("."))
-      .foreach(st => stampFile(st.getPath, conf, meta))
+    java.util.Arrays.stream(files).parallel()
+      .forEach(st => stampFile(st.getPath, conf, meta))
   }
 
   /** Rewrite one ORC file with extra footer user metadata (raw stripe
-    * copy; atomic-ish: writes `.<name>.stamp` then renames over).
+    * copy). The writer carries over the source's compression kind,
+    * buffer size, row-index stride, and format version so the verbatim
+    * stripe bytes stay decodable; the final replace is an atomic
+    * rename-with-overwrite (no delete window that could strand a
+    * half-replaced file).
     */
   def stampFile(src: Path, conf: Configuration, meta: Map[String, String]): Unit = {
     val fs = src.getFileSystem(conf)
     val reader = OrcFile.createReader(src, OrcFile.readerOptions(conf))
     val tmp = new Path(src.getParent, s".${src.getName}.stamp")
     try {
-      val writer = OrcFile.createWriter(tmp, OrcFile.writerOptions(conf)
+      val opts = OrcFile.writerOptions(conf)
         .setSchema(reader.getSchema)
         .compress(reader.getCompressionKind)
         .version(reader.getFileVersion)
+        .rowIndexStride(reader.getRowIndexStride)
         .blockPadding(false)
-        .overwrite(true))
+        .overwrite(true)
+      // raw stripe bytes are encoded against the SOURCE compression
+      // buffer size — declare it (and pin it) or readers decode chunks
+      // against the new writer's default block size
+      if (reader.getCompressionSize > 0) {
+        opts.bufferSize(reader.getCompressionSize)
+        opts.enforceBufferSize()
+      }
+      val writer = OrcFile.createWriter(tmp, opts)
       val stripeStats = reader.getOrcProtoStripeStatistics
       val in = fs.open(src)
       try {
         reader.getStripes.asScala.zipWithIndex.foreach { case (si, i) =>
-          val len = (si.getIndexLength + si.getDataLength + si.getFooterLength).toInt
+          val lenL = si.getIndexLength + si.getDataLength + si.getFooterLength
+          // one stripe is materialized at a time; stripes are bounded by
+          // orc.stripe.size (default 64 MiB) — guard the pathological case
+          require(lenL <= Int.MaxValue - 8,
+            s"ORC stripe of $lenL bytes exceeds the 2 GiB raw-copy limit in $src")
+          val len = lenL.toInt
           val buf = new Array[Byte](len)
           in.readFully(si.getOffset, buf, 0, len)
           writer.appendStripe(buf, 0, len, si, stripeStats.get(i))
@@ -73,8 +94,11 @@ object OrcMetadata {
       }
       writer.close()
     } finally reader.close()
-    if (!fs.delete(src, false) || !fs.rename(tmp, src))
-      throw new java.io.IOException(s"failed to replace $src with stamped copy")
+    // atomic replace: FileContext.rename with OVERWRITE has no
+    // delete-then-rename window (a crash leaves either the original or
+    // the stamped file, never neither)
+    org.apache.hadoop.fs.FileContext.getFileContext(src.toUri, conf)
+      .rename(tmp, src, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Read a footer user-metadata value back as UTF-8 (test/consumer

@@ -121,19 +121,34 @@ object PbfDecode {
       try {
         while (!inf.finished()) {
           if (n == out.length) {
-            // raw_size absent (or lied): grow instead of silently truncating
-            if (rawSize >= 0) throw new IllegalArgumentException(
-              s"zlib data inflates past declared raw_size=$rawSize")
-            out = java.util.Arrays.copyOf(out, out.length * 2)
+            // buffer full but stream unfinished — probe one byte: a
+            // stream whose remaining symbols are only the end marker
+            // (e.g. raw_size == 0 or an exactly-sized buffer) finishes
+            // without producing output; real extra data either errors
+            // (declared raw_size lied) or grows the guess buffer.
+            val probe = new Array[Byte](1)
+            val got = inf.inflate(probe, 0, 1)
+            if (got == 0) {
+              if (inf.finished()) ()
+              else throw new IllegalArgumentException(
+                "truncated or corrupt zlib payload in PBF blob")
+            } else {
+              if (rawSize >= 0) throw new IllegalArgumentException(
+                s"zlib data inflates past declared raw_size=$rawSize")
+              out = java.util.Arrays.copyOf(out, math.max(64, out.length * 2))
+              out(n) = probe(0)
+              n += 1
+            }
+          } else {
+            val got = inf.inflate(out, n, out.length - n)
+            // inflate() == 0 while unfinished means it wants more input
+            // (or a preset dictionary) — with the full blob already
+            // supplied that is a truncated/corrupt payload.
+            if (got == 0 && !inf.finished() && (inf.needsInput() || inf.needsDictionary()))
+              throw new IllegalArgumentException(
+                "truncated or corrupt zlib payload in PBF blob")
+            n += got
           }
-          val got = inf.inflate(out, n, out.length - n)
-          // inflate() == 0 while unfinished means it wants more input (or
-          // a preset dictionary) — with the full blob already supplied
-          // that is a truncated/corrupt payload, not a retry condition.
-          if (got == 0 && !inf.finished() && (inf.needsInput() || inf.needsDictionary()))
-            throw new IllegalArgumentException(
-              "truncated or corrupt zlib payload in PBF blob")
-          n += got
         }
       } finally inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)

@@ -53,6 +53,13 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     r.getAs[Long]("sh") should be >= 0L
   }
 
+  test("wrong arity is a clear error, not silent truncation") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(CAST(1 AS BIGINT)), 32)").collect()
+    }
+    ex.getMessage should include("exactly 1 argument")
+  }
+
   test("simhash_sig rejects a non-literal bits argument") {
     val ex = intercept[Exception] {
       spark.sql("SELECT simhash_sig(array(CAST(1 AS BIGINT)), CAST(id AS INT)) FROM range(1)")

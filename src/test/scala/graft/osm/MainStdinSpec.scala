@@ -17,7 +17,8 @@ class MainStdinSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("piped changeset XML stages to a temp file and converts") {
     val xml =
       """<osm><changeset id="42" open="false" num_changes="3" comments_count="1"/></osm>"""
-    val staged = Main.stageStdin(new ByteArrayInputStream(xml.getBytes("UTF-8")), ".xml")
+    val staged = Main.stageStdin(new ByteArrayInputStream(xml.getBytes("UTF-8")),
+      spark.sessionState.newHadoopConf(), ".xml")
     staged should endWith(".xml")
     val df = ChangesetXml.read(spark, staged)
     df.count() shouldBe 1
@@ -27,8 +28,10 @@ class MainStdinSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("piped PBF stages byte-identically") {
     val pbf = PbfTestData.writeSample(java.nio.file.Files.createTempDirectory("pbfstdin"))
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pbf))
-    val staged = Main.stageStdin(new ByteArrayInputStream(bytes), ".osm.pbf")
-    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(staged)) shouldBe bytes
+    val staged = Main.stageStdin(new ByteArrayInputStream(bytes),
+      spark.sessionState.newHadoopConf(), ".osm.pbf")
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(staged).getPath)) shouldBe bytes
     spark.read.format("osm-pbf").load(staged).count() shouldBe 7
   }
 }

@@ -154,6 +154,22 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     ex.getMessage should include("truncated")
   }
 
+  test("zlib blob with raw_size=0 and an empty stream decodes to empty") {
+    val blob = new PbfTestData.W().vint(2, 0)
+      .bytes(3, PbfTestData.deflate(Array.empty[Byte])).toArray
+    graft.osm.pbf.PbfDecode.decompressBlob(blob).length shouldBe 0
+  }
+
+  test("zlib blob whose data exceeds declared raw_size errors clearly") {
+    val payload = Array.tabulate[Byte](512)(_.toByte)
+    val blob = new PbfTestData.W().vint(2, 100)
+      .bytes(3, PbfTestData.deflate(payload)).toArray
+    val ex = intercept[IllegalArgumentException] {
+      graft.osm.pbf.PbfDecode.decompressBlob(blob)
+    }
+    ex.getMessage should include("raw_size")
+  }
+
   test("zlib blob without raw_size grows its buffer instead of truncating") {
     // 64 KiB of zeros deflates to ~80 bytes: the old zlib.length*4 guess
     // would silently cut the output; the decoder must return it all.
