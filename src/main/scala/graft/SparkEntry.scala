@@ -70,6 +70,7 @@ object SparkEntry {
     "t04_langid_char_ngram" -> (TextAnalysis.langIdCharNgram _),
     "t05_bpe_tokens" -> (TextAnalysis.bpeTokenCount _),
     "t06_repetition" -> (TextAnalysis.repetition _),
+    "t07_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -615,6 +616,22 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_shingles, count(DISTINCT sh) AS n_distinct,
          |  round(1.0 - count(DISTINCT sh) / count(*), 6) AS rep_ratio
          |FROM shx GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "t07_top_ngrams" ->
+      s"""WITH ${tkCte("")},
+         |uni AS (SELECT unnest(tk) AS gram FROM tk),
+         |shx AS (
+         |  SELECT list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS gram
+         |  FROM (SELECT tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM tk) t
+         |),
+         |u AS (SELECT 1 AS n, gram, count(*) AS freq FROM uni GROUP BY 2
+         |      ORDER BY freq DESC, gram LIMIT 20),
+         |g AS (SELECT 3 AS n, gram, count(*) AS freq FROM shx GROUP BY 2
+         |      ORDER BY freq DESC, gram LIMIT 20),
+         |allg AS (SELECT * FROM u UNION ALL SELECT * FROM g)
+         |SELECT n, CAST(row_number() OVER (PARTITION BY n ORDER BY freq DESC, gram) AS INT) AS rnk,
+         |  gram, freq
+         |FROM allg ORDER BY n, rnk""".stripMargin,
 
     "d07_decontaminate" ->
       s"""WITH ${tkCte("")},

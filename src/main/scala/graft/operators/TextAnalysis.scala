@@ -175,6 +175,31 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Corpus n-gram frequency statistics: top-k unigrams and 3-grams by
+    * frequency (deterministic gram tiebreak) — the vocabulary/statistics
+    * pass that precedes tokenizer (BPE) training. Each top-k is
+    * `orderBy(...).limit(k)`, which Spark plans as TakeOrderedAndProject
+    * (per-partition top-k, driver merges k rows per partition) — no
+    * global sort, no single giant partition regardless of how many
+    * distinct grams the corpus has; the final rank window runs on the
+    * <= 2k selected rows only.
+    */
+  def topNgrams(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val tk = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text").cache()
+    def freqTop(grams: DataFrame, n: Int): DataFrame =
+      grams.groupBy($"gram").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"gram").limit(k)
+        .withColumn("n", lit(n))
+    val uni = freqTop(tk.select(explode($"tk").as("gram")), 1)
+    val tri = freqTop(tk.select(explode(Text.shingles($"tk")).as("gram")), 3)
+    val w = Window.partitionBy($"n").orderBy($"freq".desc, $"gram")
+    uni.unionByName(tri)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .select($"n", $"rnk", $"gram", $"freq")
+      .orderBy($"n", $"rnk")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing >= minHit
     * distinct 3-shingles with a benchmark/eval document set (here: the
     * deterministic doc_id % 97 == 0 subset standing in for an eval
