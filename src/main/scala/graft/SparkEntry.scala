@@ -63,6 +63,7 @@ object SparkEntry {
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "s04_centroids" -> ((s: SparkSession, d: String) => Similarity.centroids(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -535,6 +536,12 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, cand, bucket, cos, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "s04_centroids" ->
+      s"""WITH ${embCte("TRUE")}
+         |SELECT CAST(vec_id % 8 AS INT) AS cluster, i AS pos,
+         |  round(avg(x), 6) AS centroid
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t01_text_stats" ->
       s"""WITH base AS (SELECT doc_id, lang, $Toks AS tk FROM documents),

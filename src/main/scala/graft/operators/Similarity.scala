@@ -114,6 +114,24 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Per-cluster embedding centroids — the coarse-quantizer training
+    * primitive (what KMeans iterates internally), expressed relationally
+    * so it scales as one position-exploded aggregation: cluster
+    * assignment here is the deterministic vec_id mod k (a seeded
+    * assignment stand-in; swap in `model.transform` cells for trained
+    * clusters). Output is (cluster, pos, centroid component) rows —
+    * map-side partial averages, one shuffle on (cluster, pos).
+    */
+  def centroids(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select(($"vec_id" % k).cast("int").as("cluster"),
+        posexplode($"embedding").as(Seq("pos0", "x")))
+      .groupBy($"cluster", ($"pos0" + 1).cast("bigint").as("pos"))
+      .agg(round(avg($"x".cast("double")), 6).as("centroid"))
+      .orderBy($"cluster", $"pos")
+  }
+
   /** Deterministic pseudo-hyperplane j over `dims` dims:
     * plane_j[k] = ((17*j + 31*k + 5) mod 7) - 3, values in [-3, 3].
     */
