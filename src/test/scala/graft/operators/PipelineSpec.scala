@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+/** End-to-end composition: the operators are not just individually
+  * gate-correct, they chain into the actual training-data pipeline —
+  * dedup → decontaminate → quality filter → budget packing — with each
+  * stage narrowing the corpus and the whole flow deterministic.
+  */
+class PipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("full corpus pipeline composes and is deterministic") {
+    import spark.implicits._
+    val total = Tables.documents(spark, sf).count()
+
+    // 1. canonicalize: drop non-canonical duplicates
+    val keep = Dedup.canonicalize(spark, sf)
+      .filter(!$"is_duplicate").select($"doc_id")
+    val nKeep = keep.count()
+    nKeep should be <= total
+    nKeep should be > 0L
+
+    // 2. decontaminate: drop docs overlapping the benchmark set
+    val contaminated = TextAnalysis.decontaminate(spark, sf).select($"doc_id")
+    val clean = keep.except(contaminated)
+    val nClean = clean.count()
+    nClean should be <= nKeep
+
+    // 3. quality filter: keep docs above a quality floor
+    val quality = TextAnalysis.textStats(spark, sf)
+      .filter($"quality" >= 0.5).select($"doc_id")
+    val good = clean.intersect(quality)
+    val nGood = good.count()
+    nGood should be <= nClean
+    nGood should be > 0L
+
+    // 4. pack the survivors into per-shard token budgets
+    val packed = Sampling.tokenBudget(spark, sf, perShardTokens = 2000)
+      .join(good, "doc_id")
+    val nPacked = packed.count()
+    nPacked should be <= nGood
+
+    // determinism: the same pipeline yields the same final set
+    val again = Sampling.tokenBudget(spark, sf, perShardTokens = 2000)
+      .join(good, "doc_id")
+    again.select($"doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      packed.select($"doc_id").collect().map(_.getLong(0)).sorted
+  }
+}
