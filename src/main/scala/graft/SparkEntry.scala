@@ -64,6 +64,7 @@ object SparkEntry {
     "s02_ann_lsh" -> (Similarity.annLsh _),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s04_centroids" -> ((s: SparkSession, d: String) => Similarity.centroids(s, d)),
+    "s05_assign_centroids" -> ((s: SparkSession, d: String) => Similarity.assignToCentroids(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -542,6 +543,26 @@ object SparkEntry {
          |SELECT CAST(vec_id % 8 AS INT) AS cluster, i AS pos,
          |  round(avg(x), 6) AS centroid
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s05_assign_centroids" ->
+      s"""WITH ${embCte("TRUE")},
+         |cent AS (
+         |  SELECT CAST(vec_id % 8 AS INT) AS cluster, i AS pos, round(avg(x), 6) AS centroid
+         |  FROM e GROUP BY 1, 2
+         |),
+         |d AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    round(sum((e.x - c.centroid) * (e.x - c.centroid)), 6) AS dist2
+         |  FROM e JOIN cent c ON e.i = c.pos
+         |  GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT vec_id, cluster, dist2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+         |  FROM d
+         |)
+         |SELECT vec_id, cluster AS cell, dist2 FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "t01_text_stats" ->
       s"""WITH base AS (SELECT doc_id, lang, $Toks AS tk FROM documents),

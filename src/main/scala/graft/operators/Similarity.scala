@@ -132,6 +132,33 @@ object Similarity {
       .orderBy($"cluster", $"pos")
   }
 
+  /** Nearest-centroid assignment over the [[centroids]] output — the
+    * other half of a Lloyd iteration (assign, then re-average), and the
+    * cell-assignment pass IVF runs over the full corpus. Relational
+    * form: position-exploded join on the broadcast centroid table,
+    * per-(vector, cluster) squared distance, argmin with a cluster
+    * tiebreak on the ROUNDED distance (so both engines rank
+    * identically). At production scale the same assignment is the
+    * map-only broadcast-array + vec_dot pass used inside [[annIvf]];
+    * this form is the arbitrary-k oracle-parity path.
+    */
+  def assignToCentroids(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val cent = centroids(spark, sfDir, k)
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
+      .select($"vec_id", ($"pos0" + 1).cast("bigint").as("pos"),
+        $"x".cast("double").as("x"))
+    val d = e.join(broadcast(cent), "pos")
+      .groupBy($"vec_id", $"cluster")
+      .agg(round(sum(($"x" - $"centroid") * ($"x" - $"centroid")), 6).as("dist2"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dist2", $"cluster")
+    d.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cluster".as("cell"), $"dist2")
+      .orderBy($"vec_id")
+  }
+
   /** Deterministic pseudo-hyperplane j over `dims` dims:
     * plane_j[k] = ((17*j + 31*k + 5) mod 7) - 3, values in [-3, 3].
     */
