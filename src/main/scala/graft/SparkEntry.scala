@@ -94,12 +94,20 @@ object SparkEntry {
   private def tkCte(where: String): String =
     s"tk AS (SELECT doc_id, $Toks AS tk FROM documents $where)"
 
+  // Single source for the DuckDB 3-gram construction (lockstep with
+  // Text.shingles): position subquery + join-by-space gram expression.
+  private val GramPos =
+    "(SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM tk) t"
+  private val GramExpr =
+    "list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2)"
+
+  /** distinct (doc_id, shingle) pairs — set semantics (dedup operators). */
   private val ShCte =
-    """sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS sh
-      |  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM tk) t
-      |)""".stripMargin
+    s"sh AS (SELECT DISTINCT doc_id, $GramExpr AS sh FROM $GramPos)"
+
+  /** every (doc_id, shingle) occurrence — bag semantics (frequency ops). */
+  private val ShxCte =
+    s"shx AS (SELECT doc_id, $GramExpr AS sh FROM $GramPos)"
 
   private val DictCte =
     "dict AS (SELECT sh, dense_rank() OVER (ORDER BY sh) AS sid FROM (SELECT DISTINCT sh FROM sh) dd)"
@@ -538,30 +546,38 @@ object SparkEntry {
          |)
          |SELECT qid, cand, bucket, cos, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
+    // s04/s05 arithmetic is EXACT: components quantize to 1e-6-grid
+    // integers first, so every aggregate is an order-free integer sum —
+    // no float summation-order noise near rounding boundaries on either
+    // engine (q.xq below mirrors Similarity.quantized).
     "s04_centroids" ->
-      s"""WITH ${embCte("TRUE")}
-         |SELECT CAST(vec_id % 8 AS INT) AS cluster, i AS pos,
-         |  round(avg(x), 6) AS centroid
-         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH ${embCte("TRUE")},
+         |q AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cluster, i AS pos,
+         |        CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e)
+         |SELECT cluster, pos,
+         |  CAST(round(sum(xq) / count(*), 0) AS BIGINT) / 1e6 AS centroid
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s05_assign_centroids" ->
       s"""WITH ${embCte("TRUE")},
+         |q AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cluster, i AS pos,
+         |        CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
          |cent AS (
-         |  SELECT CAST(vec_id % 8 AS INT) AS cluster, i AS pos, round(avg(x), 6) AS centroid
-         |  FROM e GROUP BY 1, 2
+         |  SELECT cluster, pos, CAST(round(sum(xq) / count(*), 0) AS BIGINT) AS cq
+         |  FROM q GROUP BY 1, 2
          |),
          |d AS (
-         |  SELECT e.vec_id, c.cluster,
-         |    round(sum((e.x - c.centroid) * (e.x - c.centroid)), 6) AS dist2
-         |  FROM e JOIN cent c ON e.i = c.pos
+         |  SELECT q.vec_id, c.cluster,
+         |    CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM q JOIN cent c ON q.pos = c.pos
          |  GROUP BY 1, 2
          |),
          |r AS (
-         |  SELECT vec_id, cluster, dist2,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+         |  SELECT vec_id, cluster, dist2q,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
          |  FROM d
          |)
-         |SELECT vec_id, cluster AS cell, dist2 FROM r WHERE rn = 1
+         |SELECT vec_id, cluster AS cell, dist2q FROM r WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
 
     "t01_text_stats" ->
@@ -636,11 +652,7 @@ object SparkEntry {
 
     "t06_repetition" ->
       s"""WITH ${tkCte("")},
-         |shx AS (
-         |  SELECT doc_id,
-         |    list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS sh
-         |  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM tk) t
-         |)
+         |$ShxCte
          |SELECT doc_id, count(*) AS n_shingles, count(DISTINCT sh) AS n_distinct,
          |  round(1.0 - count(DISTINCT sh) / count(*), 6) AS rep_ratio
          |FROM shx GROUP BY 1 ORDER BY doc_id""".stripMargin,
@@ -648,13 +660,10 @@ object SparkEntry {
     "t07_top_ngrams" ->
       s"""WITH ${tkCte("")},
          |uni AS (SELECT unnest(tk) AS gram FROM tk),
-         |shx AS (
-         |  SELECT list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS gram
-         |  FROM (SELECT tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM tk) t
-         |),
+         |$ShxCte,
          |u AS (SELECT 1 AS n, gram, count(*) AS freq FROM uni GROUP BY 2
          |      ORDER BY freq DESC, gram LIMIT 20),
-         |g AS (SELECT 3 AS n, gram, count(*) AS freq FROM shx GROUP BY 2
+         |g AS (SELECT 3 AS n, sh AS gram, count(*) AS freq FROM shx GROUP BY 2
          |      ORDER BY freq DESC, gram LIMIT 20),
          |allg AS (SELECT * FROM u UNION ALL SELECT * FROM g)
          |SELECT n, CAST(row_number() OVER (PARTITION BY n ORDER BY freq DESC, gram) AS INT) AS rnk,

@@ -114,48 +114,74 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** (vec_id, cluster, pos, xq): embedding components quantized to the
+    * 1e-6 grid as integers. Quantizing FIRST makes every downstream
+    * aggregate an integer sum — exact and summation-order-free — so
+    * s04/s05 can never flake on a float rounding boundary under a
+    * different partitioning (the weakness of rounding a
+    * nondeterministically-ordered double sum; the other embedding
+    * operators avoid it via vec_dot's deterministic fold instead).
+    */
+  private def quantized(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", ($"vec_id" % k).cast("int").as("cluster"),
+        posexplode($"embedding").as(Seq("pos0", "x")))
+      .select($"vec_id", $"cluster", ($"pos0" + 1).cast("bigint").as("pos"),
+        round($"x".cast("double") * 1e6, 0).cast("bigint").as("xq"))
+  }
+
   /** Per-cluster embedding centroids — the coarse-quantizer training
     * primitive (what KMeans iterates internally), expressed relationally
     * so it scales as one position-exploded aggregation: cluster
     * assignment here is the deterministic vec_id mod k (a seeded
     * assignment stand-in; swap in `model.transform` cells for trained
-    * clusters). Output is (cluster, pos, centroid component) rows —
-    * map-side partial averages, one shuffle on (cluster, pos).
+    * clusters). One shuffle on (cluster, pos) with map-side integer
+    * partials; the centroid component is the exact integer mean on the
+    * 1e-6 grid, divided once — bit-identical across engines and
+    * partitionings.
     */
   def centroids(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
-    Tables.embeddings(spark, sfDir)
-      .select(($"vec_id" % k).cast("int").as("cluster"),
-        posexplode($"embedding").as(Seq("pos0", "x")))
-      .groupBy($"cluster", ($"pos0" + 1).cast("bigint").as("pos"))
-      .agg(round(avg($"x".cast("double")), 6).as("centroid"))
+    centroidsQ(spark, sfDir, k)
+      .select($"cluster", $"pos", ($"cq" / 1e6).as("centroid"))
       .orderBy($"cluster", $"pos")
+  }
+
+  /** (cluster, pos, cq): centroid components as exact 1e-6-grid
+    * integers — the internal form [[assignToCentroids]] consumes (never
+    * re-derived from the public double column, which would reintroduce
+    * float truncation).
+    */
+  private def centroidsQ(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    quantized(spark, sfDir, k)
+      .groupBy($"cluster", $"pos")
+      .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
   }
 
   /** Nearest-centroid assignment over the [[centroids]] output — the
     * other half of a Lloyd iteration (assign, then re-average), and the
     * cell-assignment pass IVF runs over the full corpus. Relational
     * form: position-exploded join on the broadcast centroid table,
-    * per-(vector, cluster) squared distance, argmin with a cluster
-    * tiebreak on the ROUNDED distance (so both engines rank
-    * identically). At production scale the same assignment is the
-    * map-only broadcast-array + vec_dot pass used inside [[annIvf]];
-    * this form is the arbitrary-k oracle-parity path.
+    * per-(vector, cluster) squared distance IN EXACT INTEGER GRID UNITS
+    * (dist2q = sum((xq-cq)^2), units of 1e-12), argmin with a cluster
+    * tiebreak — no float summation anywhere, so the ranking is exact.
+    * At production scale the same assignment is the map-only
+    * broadcast-array + vec_dot pass used inside [[annIvf]]; this form
+    * is the arbitrary-k oracle-parity path.
     */
   def assignToCentroids(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
-    val cent = centroids(spark, sfDir, k)
-    val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
-      .select($"vec_id", ($"pos0" + 1).cast("bigint").as("pos"),
-        $"x".cast("double").as("x"))
-    val d = e.join(broadcast(cent), "pos")
+    val cent = centroidsQ(spark, sfDir, k)
+    val d = quantized(spark, sfDir, k).drop("cluster")
+      .join(broadcast(cent), "pos")
       .groupBy($"vec_id", $"cluster")
-      .agg(round(sum(($"x" - $"centroid") * ($"x" - $"centroid")), 6).as("dist2"))
-    val w = Window.partitionBy($"vec_id").orderBy($"dist2", $"cluster")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
     d.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
-      .select($"vec_id", $"cluster".as("cell"), $"dist2")
+      .select($"vec_id", $"cluster".as("cell"), $"dist2q")
       .orderBy($"vec_id")
   }
 

@@ -19,9 +19,12 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     import spark.implicits._
     val total = Tables.documents(spark, sf).count()
 
-    // 1. canonicalize: drop non-canonical duplicates
+    // 1. canonicalize: drop non-canonical duplicates (cached: every
+    // downstream stage and count would otherwise re-run the whole
+    // LSH + verify + connected-components pipeline)
     val keep = Dedup.canonicalize(spark, sf)
       .filter(!$"is_duplicate").select($"doc_id")
+      .cache()
     val nKeep = keep.count()
     nKeep should be <= total
     nKeep should be > 0L
@@ -35,7 +38,7 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     // 3. quality filter: keep docs above a quality floor
     val quality = TextAnalysis.textStats(spark, sf)
       .filter($"quality" >= 0.5).select($"doc_id")
-    val good = clean.intersect(quality)
+    val good = clean.intersect(quality).cache()
     val nGood = good.count()
     nGood should be <= nClean
     nGood should be > 0L
