@@ -73,6 +73,23 @@ object EventStream {
         col("window.end").as("window_end"), col("event_type"), col("n"), col("sum_value"))
 
 
+  /** A document arriving on a stream (ingestion-time dedup input). */
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** Streaming exact-dedup: first occurrence of each content hash within
+    * the watermark horizon passes, later copies are dropped, and the
+    * per-hash state EXPIRES once the watermark moves past it —
+    * `dropDuplicatesWithinWatermark` is what bounds the state (a plain
+    * streaming dropDuplicates keeps every key forever). This is the
+    * ingestion-time twin of the batch `Dedup.exact` pass: same 16-byte
+    * md5 key, state partitioned across executors by hash.
+    */
+  def dedupDocStream(docs: Dataset[Doc], watermark: String = "1 hour"): DataFrame =
+    docs.toDF()
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Gap-based sessionization: a session closes when the next event for
     * the user arrives more than `gapMs` later (or the state times out).
     * Emits closed sessions (append semantics).

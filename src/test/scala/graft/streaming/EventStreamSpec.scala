@@ -83,6 +83,26 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.orc(outDir).count() shouldBe 200 // exactly-once
   }
 
+  test("streaming exact-dedup keeps first occurrence, drops copies") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.Doc
+    val mem = MemoryStream[Doc]
+    val q = EventStream.dedupDocStream(mem.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(1, ts(100), "alpha"),
+        Doc(2, ts(101), "alpha"), // dup of 1 in the same batch
+        Doc(3, ts(102), "beta"))
+      q.processAllAvailable()
+      mem.addData(Doc(4, ts(110), "alpha")) // dup arriving a batch later
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).sorted
+      ids shouldBe Array(1L, 3L)
+    } finally q.stop()
+  }
+
   test("stream-batch parity: streaming 1-day windows == batch aggregation") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
