@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale sweep: enlarge the sf0.1 documents table Nx (doc_ids
+  * offset per replica, texts salted so replicas are near- but not
+  * exact-duplicates) and measure the production dedup paths at 1x / 4x /
+  * 10x. Linear-ish growth here is the local evidence behind the 100 TB
+  * design claims in SCALE.md.
+  *
+  * Usage: Test/runMain graft.operators.ProfileScaleSweep
+  */
+object ProfileScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val nBase = base.count()
+
+    for (mult <- Seq(1, 4, 10)) {
+      val dir = s"/tmp/graft_scale_${mult}x"
+      val enlarged = (0 until mult).map { r =>
+        base.select(($"doc_id" + lit(r.toLong * 1000000)).as("doc_id"),
+          (if (r == 0) $"text" else concat($"text", lit(s" replica$r"))).as("text"),
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionByName _)
+      enlarged.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+
+      def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        println(f"[sweep] ${mult}x (${nBase * mult} docs) $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("minhash_lsh_hashed")(Dedup.minHashLshHashed(spark, dir))
+      time("simhash_pairs_hashed")(Dedup.simHashPairsHashed(spark, dir))
+      time("exact_dedup")(Dedup.exact(spark, dir))
+      time("fingerprint")(TextAnalysis.fingerprint(spark, dir))
+    }
+    spark.stop()
+  }
+}
