@@ -83,6 +83,37 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.orc(outDir).count() shouldBe 200 // exactly-once
   }
 
+  test("fully-late events never abort the sessionize query") {
+    // Spark filters rows behind the watermark before they reach the
+    // state function, so a late-only group normally cannot set an
+    // illegal (behind-watermark) timeout — this pins that contract: the
+    // late event is dropped, the query stays alive, and later on-time
+    // data still sessionizes. (EventStream.sessionize additionally
+    // clamps end+gap <= watermark defensively should the late-row
+    // filter ever admit such a row.)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("lateclose").outputMode("append").start()
+    try {
+      // user 1 advances the watermark to minute 600 - 60 = 540
+      mem.addData(Event(1, ts(600), 1, "click", 1.0))
+      q.processAllAvailable()
+      // user 2 arrives entirely late: 400 + 30min gap = 430 <= 540
+      mem.addData(Event(2, ts(400), 2, "click", 1.0))
+      q.processAllAvailable()
+      q.exception shouldBe empty
+      spark.table("lateclose").as[Session].collect()
+        .count(_.user_id == 2L) shouldBe 0 // dropped as late, not crashed
+      // the stream keeps processing on-time data afterwards
+      mem.addData(Event(3, ts(700), 1, "click", 1.0),
+        Event(4, ts(800), 3, "view", 1.0))
+      q.processAllAvailable()
+      q.exception shouldBe empty
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup keeps first occurrence, drops copies") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
