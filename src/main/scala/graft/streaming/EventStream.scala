@@ -80,13 +80,14 @@ object EventStream {
     * the watermark horizon passes, later copies are dropped, and the
     * per-hash state EXPIRES once the watermark moves past it —
     * `dropDuplicatesWithinWatermark` is what bounds the state (a plain
-    * streaming dropDuplicates keeps every key forever). This is the
-    * ingestion-time twin of the batch `Dedup.exact` pass: same 16-byte
-    * md5 key, state partitioned across executors by hash.
+    * streaming dropDuplicates keeps every key forever). Ingestion-time
+    * twin of the batch `Dedup.exact` pass — the state key is the RAW
+    * 16-byte digest (`unhex(md5(...))`), half the footprint of the
+    * 32-char hex string, partitioned across executors by hash.
     */
   def dedupDocStream(docs: Dataset[Doc], watermark: String = "1 hour"): DataFrame =
     docs.toDF()
-      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("content_hash", unhex(md5(col("text").cast("binary"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 

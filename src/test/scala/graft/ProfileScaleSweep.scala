@@ -29,15 +29,23 @@ object ProfileScaleSweep {
       val enlarged = (0 until mult).map { r =>
         base.select(($"doc_id" + lit(r.toLong * 1000000)).as("doc_id"),
           (if (r == 0) $"text" else concat($"text", lit(s" replica$r"))).as("text"),
-          $"lang", $"source", $"n_chars")
+          $"lang", $"source")
       }.reduce(_ unionByName _)
+        .withColumn("n_chars", length($"text").cast("bigint")) // keep consistent with text
       enlarged.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
 
+      // min of 3 runs, cache cleared between — same noise control as
+      // ProfileR2; without it the 1x row is JVM-cold and the scaling
+      // ratio conflates warm-up with data growth
       def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        f.write.format("noop").mode("overwrite").save()
-        println(f"[sweep] ${mult}x (${nBase * mult} docs) $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val times = (1 to 3).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          f.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[sweep] ${mult}x (${nBase * mult} docs) $name " +
+          f"min=${times.head}%.2f median=${times(1)}%.2f s")
       }
       time("minhash_lsh_hashed")(Dedup.minHashLshHashed(spark, dir))
       time("simhash_pairs_hashed")(Dedup.simHashPairsHashed(spark, dir))
