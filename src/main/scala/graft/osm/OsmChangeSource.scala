@@ -1,0 +1,195 @@
+package graft.osm
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{Decimal, StructField, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.osm.OsmChangeParse.ParsedChange
+import graft.osm.pbf.SerializableHadoopConf
+
+/** DataSource V2 for osmChange (`.osc`) replication diffs:
+  * `spark.read.format("osm-osc").load(path)` — one file = one partition
+  * (gzip XML is not splittable; minutely/hourly diff directories fan out
+  * naturally), column pruning skips conversion of unreferenced columns.
+  *
+  * Schema = `op` ('create'|'modify'|'delete') + the 13 planet columns,
+  * so a diff applies onto a planet table with a plain union + windowed
+  * latest-version pick (`OsmQueries.latestVersionsWindow`) — the
+  * replication-apply pipeline in two operators.
+  */
+class OsmChangeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osm-osc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmChangeSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OsmChangeTable(OsmPbfSourcePaths.paths(properties.asScala.toMap))
+}
+
+object OsmChangeSource {
+  /** op + the planet columns (single source: OsmSchemas.Planet). */
+  val Schema: StructType =
+    StructType(StructField("op", StringType) +: OsmSchemas.Planet.fields)
+}
+
+class OsmChangeTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"osm-osc:${paths.mkString(",")}"
+  override def schema(): StructType = OsmChangeSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OsmChangeScanBuilder(paths)
+}
+
+class OsmChangeScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = OsmChangeSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new OsmChangeScan(paths, required,
+    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+}
+
+case class OsmChangeInputPartition(path: String) extends InputPartition
+
+class OsmChangeScan(paths: Seq[String], required: StructType,
+    conf: SerializableHadoopConf) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"OsmChangeScan[${paths.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf.value)
+      if (fs.getFileStatus(hp).isDirectory)
+        // recognized diff extensions only; markers/hidden files skipped
+        fs.listStatus(hp).filter { st =>
+          val n = st.getPath.getName.toLowerCase
+          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            (n.endsWith(".osc") || n.endsWith(".osc.gz"))
+        }.map(_.getPath.toString)
+      else Seq(p)
+    }
+    files.map(f => OsmChangeInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmChangeReaderFactory(required, conf)
+}
+
+class OsmChangeReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OsmChangePartitionReader(
+      partition.asInstanceOf[OsmChangeInputPartition], required, conf)
+}
+
+class OsmChangePartitionReader(part: OsmChangeInputPartition,
+    required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val in = {
+    val hp = new Path(part.path)
+    val raw = hp.getFileSystem(conf.value).open(hp)
+    val codec = new CompressionCodecFactory(conf.value).getCodec(hp)
+    if (codec != null) codec.createInputStream(raw) else raw
+  }
+  private val it = OsmChangeParse.iterator(in)
+  private var current: InternalRow = _
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def tagsMap(tags: Seq[(String, String)]): ArrayBasedMapData = {
+    val keys = new Array[AnyRef](tags.length)
+    val vals = new Array[AnyRef](tags.length)
+    var i = 0
+    tags.foreach { case (k, v) => keys(i) = utf8(k); vals(i) = utf8(v); i += 1 }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  private def dec(v: Option[java.math.BigDecimal], precision: Int): Any =
+    v.map(b => Decimal(b.setScale(7, java.math.RoundingMode.HALF_UP), precision, 7)).orNull
+
+  private def ndsArray(c: ParsedChange): GenericArrayData =
+    new GenericArrayData(c.nds.map(ref =>
+      new GenericInternalRow(Array[Any](ref))).toArray[Any])
+
+  private def membersArray(c: ParsedChange): GenericArrayData =
+    new GenericArrayData(c.members.map { case (t, ref, role) =>
+      new GenericInternalRow(Array[Any](utf8(t), ref, utf8(role)))
+    }.toArray[Any])
+
+  private val extractors: Array[ParsedChange => Any] = required.fields.map { f =>
+    f.name match {
+      case "op" => (c: ParsedChange) => utf8(c.op)
+      case "id" => (c: ParsedChange) => c.id
+      case "type" => (c: ParsedChange) => utf8(c.kind)
+      case "tags" => (c: ParsedChange) => tagsMap(c.tags)
+      case "lat" => (c: ParsedChange) => dec(c.lat, 9)
+      case "lon" => (c: ParsedChange) => dec(c.lon, 10)
+      case "nds" => (c: ParsedChange) => ndsArray(c)
+      case "members" => (c: ParsedChange) => membersArray(c)
+      case "changeset" => (c: ParsedChange) => c.changeset.map(Long.box).orNull
+      case "timestamp" => (c: ParsedChange) => c.timestampMicros.map(Long.box).orNull
+      case "uid" => (c: ParsedChange) => c.uid.map(Long.box).orNull
+      case "user" => (c: ParsedChange) => c.user.map(utf8).orNull
+      case "version" => (c: ParsedChange) => c.version.map(Long.box).orNull
+      case "visible" => (c: ParsedChange) => c.visible
+      case other => throw new IllegalArgumentException(s"unknown osmChange column $other")
+    }
+  }
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val c = it.next()
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { values(i) = extractors(i)(c); i += 1 }
+    current = new GenericInternalRow(values)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+/** Façade: `OsmChange.read(spark, path)` + the replication-apply
+  * composition.
+  */
+object OsmChange {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("osm-osc").load(path)
+
+  /** Apply a diff onto a planet table: union the diff rows (minus the
+    * op column) with the base and keep the highest version per (type,
+    * id) — deletes survive as visible=false rows, exactly the planet
+    * history convention. Two operators, no custom plan: the
+    * latest-version pick is the same windowed form as
+    * `OsmQueries.latestVersionsWindow` (single shuffle on the entity
+    * key at any scale).
+    */
+  def applyDiff(planet: DataFrame, diff: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val merged = planet.unionByName(diff.drop("op"))
+    val w = Window.partitionBy(col("type"), col("id"))
+      .orderBy(col("version").desc, col("timestamp").desc)
+    merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
