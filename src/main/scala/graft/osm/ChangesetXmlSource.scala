@@ -56,7 +56,8 @@ class ChangesetXmlTable(paths: Seq[String]) extends Table with SupportsRead {
 class ChangesetXmlScanBuilder(paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = OsmSchemas.Changesets
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = OsmXmlUtil.topLevelPrune(OsmSchemas.Changesets, requiredSchema)
   override def build(): Scan = new ChangesetXmlScan(paths, required,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
@@ -105,27 +106,11 @@ class ChangesetXmlPartitionReader(part: ChangesetXmlInputPartition,
     required: StructType, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val in = {
-    val hp = new Path(part.path)
-    val raw = hp.getFileSystem(conf.value).open(hp)
-    val codec = new CompressionCodecFactory(conf.value).getCodec(hp)
-    if (codec != null) codec.createInputStream(raw) else raw
-  }
-  private val it = ChangesetParse.iterator(in)
+  import OsmXmlUtil.{dec, tagsMap, utf8}
+
+  private val in = OsmXmlUtil.openDecompressed(part.path, conf.value)
+  private val it = OsmXmlUtil.closing(in)(ChangesetParse.iterator(in))
   private var current: InternalRow = _
-
-  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
-
-  private def tagsMap(tags: Seq[(String, String)]): ArrayBasedMapData = {
-    val keys = new Array[AnyRef](tags.length)
-    val vals = new Array[AnyRef](tags.length)
-    var i = 0
-    tags.foreach { case (k, v) => keys(i) = utf8(k); vals(i) = utf8(v); i += 1 }
-    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
-  }
-
-  private def dec(v: Option[java.math.BigDecimal], precision: Int): Any =
-    v.map(b => Decimal(b.setScale(7, java.math.RoundingMode.HALF_UP), precision, 7)).orNull
 
   private val extractors: Array[ParsedChangeset => Any] = required.fields.map { f =>
     f.name match {

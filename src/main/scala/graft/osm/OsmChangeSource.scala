@@ -58,7 +58,8 @@ class OsmChangeTable(paths: Seq[String]) extends Table with SupportsRead {
 class OsmChangeScanBuilder(paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = OsmChangeSource.Schema
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = OsmXmlUtil.topLevelPrune(OsmChangeSource.Schema, requiredSchema)
   override def build(): Scan = new OsmChangeScan(paths, required,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
@@ -75,14 +76,19 @@ class OsmChangeScan(paths: Seq[String], required: StructType,
     val files = paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf.value)
-      if (fs.getFileStatus(hp).isDirectory)
-        // recognized diff extensions only; markers/hidden files skipped
-        fs.listStatus(hp).filter { st =>
+      if (fs.getFileStatus(hp).isDirectory) {
+        // RECURSIVE: real replication dirs nest (AAA/BBB/CCC.osc.gz);
+        // recognized diff extensions only, markers/hidden files skipped
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(hp, true)
+        while (it.hasNext) {
+          val st = it.next()
           val n = st.getPath.getName.toLowerCase
-          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-            (n.endsWith(".osc") || n.endsWith(".osc.gz"))
-        }.map(_.getPath.toString)
-      else Seq(p)
+          if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            (n.endsWith(".osc") || n.endsWith(".osc.gz"))) out += st.getPath.toString
+        }
+        out.toSeq
+      } else Seq(p)
     }
     files.map(f => OsmChangeInputPartition(f): InputPartition).toArray
   }
@@ -102,27 +108,11 @@ class OsmChangePartitionReader(part: OsmChangeInputPartition,
     required: StructType, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val in = {
-    val hp = new Path(part.path)
-    val raw = hp.getFileSystem(conf.value).open(hp)
-    val codec = new CompressionCodecFactory(conf.value).getCodec(hp)
-    if (codec != null) codec.createInputStream(raw) else raw
-  }
-  private val it = OsmChangeParse.iterator(in)
+  import OsmXmlUtil.{dec, tagsMap, utf8}
+
+  private val in = OsmXmlUtil.openDecompressed(part.path, conf.value)
+  private val it = OsmXmlUtil.closing(in)(OsmChangeParse.iterator(in))
   private var current: InternalRow = _
-
-  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
-
-  private def tagsMap(tags: Seq[(String, String)]): ArrayBasedMapData = {
-    val keys = new Array[AnyRef](tags.length)
-    val vals = new Array[AnyRef](tags.length)
-    var i = 0
-    tags.foreach { case (k, v) => keys(i) = utf8(k); vals(i) = utf8(v); i += 1 }
-    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
-  }
-
-  private def dec(v: Option[java.math.BigDecimal], precision: Int): Any =
-    v.map(b => Decimal(b.setScale(7, java.math.RoundingMode.HALF_UP), precision, 7)).orNull
 
   private def ndsArray(c: ParsedChange): GenericArrayData =
     new GenericArrayData(c.nds.map(ref =>

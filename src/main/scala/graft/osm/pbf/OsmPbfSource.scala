@@ -79,7 +79,12 @@ class OsmPbfScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = OsmSchemas.Planet
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  // top-level pruning only: Spark's nested-schema pruning may hand us
+  // structs pruned INSIDE nds/members arrays, but the decoder emits
+  // full structs — echoing a nested-pruned schema would misalign
+  // ordinals (see OsmXmlUtil.topLevelPrune).
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = graft.osm.OsmXmlUtil.topLevelPrune(OsmSchemas.Planet, requiredSchema)
   /** accepted filters are evaluated during decode but ALSO returned as
     * residual — Spark re-applies them exactly (the source only skips
     * rows that provably fail; see OsmPbfFilters).

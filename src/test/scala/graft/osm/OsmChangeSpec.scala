@@ -103,6 +103,27 @@ class OsmChangeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ex.getMessage should include("does not appear to be an osmChange file")
   }
 
+  test("nested-field selection inside members survives nested-schema pruning") {
+    // Spark's nested pruning (on by default) hands the scan a schema
+    // with struct fields pruned inside the array; the source must keep
+    // emitting full structs (top-level pruning only) or ordinals crash
+    val refs = OsmChange.read(spark, writeOsc("d.osc", gz = false))
+      .select(explode(col("members")).as("m"))
+      .select(col("m.ref"))
+      .collect().map(_.getLong(0)).sorted
+    refs shouldBe Array(1L, 2L)
+  }
+
+  test("nested replication layout (AAA/BBB/CCC.osc.gz) is read recursively") {
+    val root = Files.createTempDirectory("oscrep")
+    val sub = root.resolve("000").resolve("001")
+    Files.createDirectories(sub)
+    val os = new GZIPOutputStream(Files.newOutputStream(sub.resolve("002.osc.gz")))
+    os.write(osc.getBytes("UTF-8")); os.close()
+    Files.write(root.resolve("state.txt"), "seq=2".getBytes("UTF-8"))
+    OsmChange.read(spark, root.toString).count() shouldBe 4
+  }
+
   test("column pruning reaches the scan") {
     val df = OsmChange.read(spark, writeOsc("d.osc", gz = false))
       .select("op", "id")

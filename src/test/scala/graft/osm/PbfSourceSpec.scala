@@ -81,6 +81,16 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq(("node", 1L, "stop"), ("way", 10L, "outer"))
   }
 
+  test("nested member-field selection survives nested-schema pruning") {
+    // nested pruning (default on) hands the scan array<struct<ref>>;
+    // the decoder emits full member structs — top-level pruning only
+    val refs = df.sparkSession.read.format("osm-pbf").load(pbfPath)
+      .select(explode($"members").as("m"))
+      .select($"m.ref")
+      .collect().map(_.getLong(0)).sorted
+    refs shouldBe Array(1L, 10L)
+  }
+
   test("column pruning: reading only (id, type) works and plan shows pruned schema") {
     val pruned = df.sparkSession.read.format("osm-pbf").load(pbfPath).select("id", "type")
     pruned.collect().length shouldBe 7
