@@ -41,17 +41,30 @@ object Sampling {
 
   /** Stratified sample: a fixed per-stratum quota (here: per language),
     * members chosen by content-hash order (= uniform within stratum,
-    * deterministic). One shuffle on the stratum key; per-stratum top-k
-    * via window — strata are languages (bounded cardinality, no skew
-    * pathology; for high-cardinality strata switch the window to the
-    * banded top-k of q13).
+    * deterministic).
+    *
+    * Two-phase top-k so LOW-cardinality strata don't serialize: a
+    * single window partitioned by the 5 languages would funnel the
+    * whole corpus through 5 tasks at scale. Phase 1 ranks per (input
+    * partition, stratum) — key cardinality = partitions × strata, fully
+    * parallel — and keeps each group's top quota (a superset of the
+    * global top quota by construction). Phase 2 ranks only the
+    * <= quota × partitions survivors per stratum. Results are identical
+    * to the single-window form; only the plan changes.
     */
   def stratifiedSample(spark: SparkSession, sfDir: String,
       perStratum: Int = 30): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"hkey", $"doc_id")
-    Tables.documents(spark, sfDir)
+    val keyed = Tables.documents(spark, sfDir)
       .withColumn("hkey", md5($"text".cast("binary")))
+    val wPre = Window.partitionBy(spark_partition_id(), $"lang")
+      .orderBy($"hkey", $"doc_id")
+    val survivors = keyed
+      .withColumn("prn", row_number().over(wPre))
+      .filter($"prn" <= perStratum)
+      .drop("prn")
+    val w = Window.partitionBy($"lang").orderBy($"hkey", $"doc_id")
+    survivors
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter($"rn" <= perStratum)
       .select($"lang", $"rn", $"doc_id")
@@ -65,6 +78,10 @@ object Sampling {
     * N tokens": a single global cumulative sum would funnel the corpus
     * through one task, per-shard budgets fan out to any corpus size
     * (total budget = shards × perShardTokens).
+    * SIZE `shards` TO THE CLUSTER: the running sum within one shard is
+    * inherently sequential, so parallelism == shards — a 100 TB run
+    * wants thousands of shards with proportionally smaller per-shard
+    * budgets, not the test default of 8.
     */
   def tokenBudget(spark: SparkSession, sfDir: String, shards: Int = 8,
       perShardTokens: Long = 2000): DataFrame = {
