@@ -215,8 +215,18 @@ object Relational {
       .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand", $"p_partkey")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("rev"))
+    // two-phase top-k: ~25 brands would funnel every part through 25
+    // tasks in a single brand-partitioned window; ranking first per
+    // (input partition, brand) — whose top-3 provably contains the
+    // global top-3 — leaves the final window only 3 x partitions rows
+    // per brand. Identical results, parallel plan (same pattern as
+    // Sampling.stratifiedSample).
+    val wPre = Window.partitionBy(spark_partition_id(), $"p_brand")
+      .orderBy($"rev".desc, $"p_partkey")
+    val survivors = rev.withColumn("prn", row_number().over(wPre))
+      .filter($"prn" <= 3).drop("prn")
     val w = Window.partitionBy($"p_brand").orderBy($"rev".desc, $"p_partkey")
-    rev.withColumn("rn", row_number().over(w).cast("int"))
+    survivors.withColumn("rn", row_number().over(w).cast("int"))
       .filter($"rn" <= 3)
       .orderBy($"p_brand", $"rn")
   }
