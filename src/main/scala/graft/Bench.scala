@@ -29,12 +29,16 @@ object Bench {
 
     def materialize(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
+      // cache release is inside the timed region: a query's cost
+      // includes cleaning up after itself (the session-lifecycle
+      // contract graft.Caches documents)
       try SparkEntry.queries(name)(spark, dir).write
         .format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally Caches.releaseAll(spark)
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -61,7 +61,7 @@ object SparkEntry {
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
-    "s02_ann_lsh" -> (Similarity.annLsh _),
+    "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s04_centroids" -> ((s: SparkSession, d: String) => Similarity.centroids(s, d)),
     "s05_assign_centroids" -> ((s: SparkSession, d: String) => Similarity.assignToCentroids(s, d)),

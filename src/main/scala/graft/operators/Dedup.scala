@@ -92,7 +92,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleSet(spark, sfDir, Some(10)).cache()
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, Some(10)))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
@@ -112,7 +112,7 @@ object Dedup {
     */
   def minHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleSet(spark, sfDir, Some(10)).cache()
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, Some(10)))
     val withIds = sh.join(shingleDict(sh), "sh")
     bandPairs(spark, withIds)
   }
@@ -164,7 +164,8 @@ object Dedup {
     import spark.implicits._
     // cached: consumed twice (dictionary build + the id join) — without
     // the cache the whole tokenize→shingle pipeline evaluates twice.
-    val sh = shingleSet(spark, sfDir, None).cache()
+    // Tracked in graft.Caches; callers release after their action.
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
     val withIds = sh.join(shingleDict(sh), "sh")
     sidLists(withIds)
       .select($"doc_id",
@@ -223,9 +224,8 @@ object Dedup {
     */
   private def hammingPairs(fingerprints: DataFrame): DataFrame = {
     import fingerprints.sparkSession.implicits._
-    val fp = fingerprints
-      .withColumn("bucket", ($"simhash" / 65536).cast("bigint"))
-      .cache()
+    val fp = graft.Caches.track(fingerprints
+      .withColumn("bucket", ($"simhash" / 65536).cast("bigint")))
     fp.as("x").join(fp.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
@@ -263,7 +263,7 @@ object Dedup {
       .filter($"a" =!= $"b")
 
     // 2. LSH candidates over the full corpus
-    val sh = shingleSet(spark, sfDir, None).cache()
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
     val withIds = sh.withColumn("sid", abs(xxhash64($"sh")) % lit(Prime))
     val candidates = bandPairs(spark, withIds)
 
@@ -284,7 +284,13 @@ object Dedup {
     val edges = exact.unionByName(verified)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val vertices = docs.select($"doc_id").rdd.map(r => (r.getLong(0), ()))
-    val cc = Graph(vertices, edges).connectedComponents().vertices
+    val graph = Graph(vertices, edges)
+    val ccGraph = graph.connectedComponents()
+    // GraphX persists graph internals with no public handle downstream —
+    // register both graphs so Caches.release() drops their storage too
+    graft.Caches.trackCleanup(() => { graph.unpersist(blocking = false); () })
+    graft.Caches.trackCleanup(() => { ccGraph.unpersist(blocking = false); () })
+    val cc = ccGraph.vertices
 
     // 5. canonical = component id (GraphX CC labels with min vertex id)
     val mapping = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })

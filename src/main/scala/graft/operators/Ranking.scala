@@ -31,9 +31,9 @@ object Ranking {
       .sortWithinPartitions(keyCol)
     // persisted: zipWithIndex runs an eager per-partition size-count job
     // before the mapped pass — without the persist the whole
-    // distinct+range-sort pipeline executes twice
-    val rdd = sorted.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct+range-sort pipeline executes twice. Tracked in
+    // graft.Caches; callers release after their consuming action.
+    val rdd = graft.Caches.trackRdd(sorted.rdd)
     val ranked = rdd.zipWithIndex()
       .map { case (r, i) => Row(r.getString(0), i + 1L) }
     spark.createDataFrame(ranked,

@@ -79,14 +79,23 @@ object Similarity {
     * rows-only (no oracle); the recall spec is the correctness signal. At 100 TB the cell assignment is one map pass and the
     * probe is an equi-join on cell id — same shuffle shape as annLsh.
     */
-  def annIvf(spark: SparkSession, sfDir: String, nProbe: Int = 3): DataFrame = {
+  def annIvf(spark: SparkSession, sfDir: String, nProbe: Int = 3,
+      trainCap: Long = 100000L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)
-    val c = withNorm(emb.filter($"vec_id" % 20 === 0))
-      .withColumn("features", array_to_vector($"embedding"))
-    val model = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(c)
+    val c = graft.Caches.track(withNorm(emb.filter($"vec_id" % 20 === 0))
+      .withColumn("features", array_to_vector($"embedding")))
+    // the coarse quantizer trains on a bounded sample (each KMeans
+    // iteration is a full pass over its training set — at corpus scale
+    // that must not be the corpus); the assignment below still covers
+    // every candidate. Seeded sample → deterministic at a given sf.
+    val nCand = c.count()
+    val train =
+      if (nCand <= trainCap) c
+      else c.sample(withReplacement = false, trainCap.toDouble / nCand, seed = 42L)
+    val model = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(train)
     val cells = model.transform(c).withColumnRenamed("prediction", "cell")
       .drop("features")
     // multi-probe: each query searches its nProbe nearest cells
@@ -211,16 +220,22 @@ object Similarity {
     * bucket. Same query/candidate sets as annBruteForce; top-3 within
     * bucket. Recall < 1 by design; the oracle computes the identical
     * algorithm so results still hash-match.
+    *
+    * `planes`/`dims` flow through to [[lshBucket]] — the defaults are
+    * calibrated to the tiny test table; SIZING CONTRACT (COVERAGE.md):
+    * pick `planes` so 2^planes ≈ corpus / desired bucket population
+    * (e.g. 1e10 vectors at ~1e5 per bucket → planes ≈ 17).
     */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def annLsh(spark: SparkSession, sfDir: String,
+      planes: Int = 4, dims: Int = 64): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     val q = withNorm(emb.filter($"vec_id" < 8))
-      .withColumn("bucket", lshBucket($"embedding"))
+      .withColumn("bucket", lshBucket($"embedding", planes, dims))
       .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
         $"nrm".as("q_nrm"), $"bucket")
     val c = withNorm(emb.filter($"vec_id" % 20 === 0))
-      .withColumn("bucket", lshBucket($"embedding"))
+      .withColumn("bucket", lshBucket($"embedding", planes, dims))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cand"), $"bucket",

@@ -186,7 +186,8 @@ object TextAnalysis {
     */
   def topNgrams(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val tk = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text").cache()
+    val tk = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
     def freqTop(grams: DataFrame, n: Int): DataFrame =
       grams.groupBy($"gram").agg(count(lit(1)).as("freq"))
         .orderBy($"freq".desc, $"gram").limit(k)
@@ -200,25 +201,49 @@ object TextAnalysis {
       .orderBy($"n", $"rnk")
   }
 
-  /** Benchmark decontamination: flag corpus documents sharing >= minHit
-    * distinct 3-shingles with a benchmark/eval document set (here: the
-    * deterministic doc_id % 97 == 0 subset standing in for an eval
-    * suite). The benchmark shingle set is tiny relative to the corpus —
-    * it broadcasts, so the overlap scan is map-side against every
-    * corpus document regardless of corpus size.
+  /** Default ceiling on benchmark shingles eligible for a broadcast
+    * join in [[decontaminate]]: ~10M distinct shingles ≈ a few hundred
+    * MB broadcast — a real fixed eval suite (thousands of documents)
+    * sits far below this; a corpus-proportional stand-in blows past it
+    * and falls back to the shuffle join.
     */
-  def decontaminate(spark: SparkSession, sfDir: String, minHit: Int = 5): DataFrame = {
+  val DecontaminateBroadcastLimit: Long = 10000000L
+
+  /** Benchmark decontamination: flag corpus documents sharing >= minHit
+    * distinct 3-shingles with a benchmark/eval document set.
+    *
+    * The benchmark side is an explicit parameter (`benchShingles`: a
+    * single-column `sh` DataFrame of the eval suite's distinct
+    * shingles); the default stand-in derives it from the deterministic
+    * doc_id % 97 == 0 corpus subset. A real eval suite is tiny and
+    * broadcasts (map-side overlap scan at any corpus size) — but the
+    * broadcast is SIZE-GUARDED: if the benchmark set exceeds
+    * `broadcastLimit` distinct shingles, the join falls back to a plain
+    * key-partitioned shuffle join instead of dying at
+    * autoBroadcastJoinThreshold scale (the count that decides runs on
+    * the cached shingle set, one cheap aggregation).
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, minHit: Int = 5,
+      benchShingles: Option[DataFrame] = None,
+      broadcastLimit: Long = DecontaminateBroadcastLimit): DataFrame = {
     import spark.implicits._
     // cached: the benchmark side and the corpus side are independent
     // subtrees over the same shingle lineage — uncached, the tokenize→
     // shingle→distinct pipeline would evaluate twice per action
-    val sh = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
-      .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
-      .distinct()
-      .cache()
-    val bench = sh.filter($"doc_id" % 97 === 0).select($"sh").distinct()
+    val sh = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+        .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
+        .distinct())
+    val bench = benchShingles.getOrElse(
+      sh.filter($"doc_id" % 97 === 0).select($"sh").distinct())
+    // past the limit: pin a sort-merge join (the "merge" hint) — merely
+    // dropping the broadcast() hint would let the optimizer's size
+    // estimate re-broadcast a side we KNOW is too big to ship
+    val benchSide =
+      if (bench.count() <= broadcastLimit) broadcast(bench)
+      else bench.hint("merge")
     sh.filter($"doc_id" % 97 =!= 0)
-      .join(broadcast(bench), "sh")
+      .join(benchSide, "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_overlap"))
       .filter($"n_overlap" >= minHit)
@@ -242,9 +267,8 @@ object TextAnalysis {
     import spark.implicits._
     val P = 1000000007L
     // cached: consumed twice (vocabulary build + the id join)
-    val toks = Tables.documents(spark, sfDir)
-      .select($"doc_id", posexplode(Text.toks($"text")).as(Seq("pos", "tok")))
-      .cache()
+    val toks = graft.Caches.track(Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(Text.toks($"text")).as(Seq("pos", "tok"))))
     val vocab = Ranking.denseIds(toks, "tok", "tid")
     toks.join(vocab, "tok")
       .groupBy($"doc_id")
