@@ -23,10 +23,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "",
       "", "", "", "4.0.0", "", "scala_udf")
 
-  private def intLit(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+  /** Evaluate a foldable integral argument (literal, CAST of one, any
+    * constant-foldable expression) at registration time; non-foldable or
+    * non-integral arguments raise a standard AnalysisException so SQL
+    * users get the usual DATATYPE_MISMATCH error, not a raw internal
+    * throw.
+    */
+  private def intArg(fn: String, e: Expression, what: String): Int = {
+    def fail() = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+      messageParameters = Map(
+        "sqlExpr" -> s"\"$fn\"",
+        "inputName" -> s"`$what`",
+        "inputType" -> "\"INT\"",
+        "inputExpr" -> s"\"${e.sql}\""))
+    if (!e.foldable) fail()
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => fail()
+    }
   }
 
   private def arity(name: String, n: Int)(
@@ -53,6 +71,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(sids, bits) - SimHash fingerprint"),
       arity("simhash_sig", 2)(es =>
-        SimHashSig(es(0), intLit(es(1), "simhash_sig bits")))))
+        SimHashSig(es(0), intArg("simhash_sig", es(1), "bits")))))
   }
 }

@@ -33,17 +33,22 @@ case class TokenLangScores(child: Expression, mults: Seq[Int], mod: Int)
       s"token_lang_scores requires array<string>, got $t")
   }
 
+  // Null ELEMENTS are skipped (a null token contributes no score),
+  // identically in eval and codegen — without the guard getUTF8String
+  // NPEs on array(..., NULL) inputs from SQL users (ADVICE r2).
   override def nullSafeEval(input: Any): Any = {
     val tk = input.asInstanceOf[ArrayData]
     val acc = new Array[Long](mults.length)
     val n = tk.numElements()
     var i = 0
     while (i < n) {
-      val len = tk.getUTF8String(i).numChars().toLong
-      var j = 0
-      while (j < mults.length) {
-        acc(j) += (len * mults(j)) % mod
-        j += 1
+      if (!tk.isNullAt(i)) {
+        val len = tk.getUTF8String(i).numChars().toLong
+        var j = 0
+        while (j < mults.length) {
+          acc(j) += (len * mults(j)) % mod
+          j += 1
+        }
       }
       i += 1
     }
@@ -64,6 +69,7 @@ case class TokenLangScores(child: Expression, mults: Seq[Int], mod: Int)
          |long[] $acc = new long[${mults.length}];
          |int $n = $c.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) continue;
          |  long $len = $c.getUTF8String($i).numChars();
          |  for (int $j = 0; $j < ${mults.length}; $j++) {
          |    $acc[$j] += ($len * $m[$j]) % $mod;

@@ -33,18 +33,23 @@ case class MinHashSig(child: Expression, numHashes: Int = 16)
       s"minhash_sig requires array<bigint>, got $t")
   }
 
+  // Null ELEMENTS are skipped (a null shingle id contributes no hash),
+  // identically in eval and codegen — without the guard getLong reads
+  // garbage 0 into every signature (ADVICE r2).
   override def nullSafeEval(input: Any): Any = {
     val sids = input.asInstanceOf[ArrayData]
     val m = Array.fill(numHashes)(2147483647L)
     val n = sids.numElements()
     var k = 0
     while (k < n) {
-      val s = sids.getLong(k)
-      var i = 0
-      while (i < numHashes) {
-        val h = ((4097L + 7919L * i) * s + 17L + 104729L * i) % 2147483647L
-        if (h < m(i)) m(i) = h
-        i += 1
+      if (!sids.isNullAt(k)) {
+        val s = sids.getLong(k)
+        var i = 0
+        while (i < numHashes) {
+          val h = ((4097L + 7919L * i) * s + 17L + 104729L * i) % 2147483647L
+          if (h < m(i)) m(i) = h
+          i += 1
+        }
       }
       k += 1
     }
@@ -64,6 +69,7 @@ case class MinHashSig(child: Expression, numHashes: Int = 16)
          |java.util.Arrays.fill($m, 2147483647L);
          |int $n = $c.numElements();
          |for (int $k = 0; $k < $n; $k++) {
+         |  if ($c.isNullAt($k)) continue;
          |  long $s = $c.getLong($k);
          |  for (int $i = 0; $i < $numHashes; $i++) {
          |    long $h = ((4097L + 7919L * $i) * $s + 17L + 104729L * $i) % 2147483647L;
@@ -94,18 +100,21 @@ case class SimHashSig(child: Expression, bits: Int)
       s"simhash_sig requires array<bigint>, got $t")
   }
 
+  // Null elements skipped — same contract as MinHashSig.
   override def nullSafeEval(input: Any): Any = {
     val sids = input.asInstanceOf[ArrayData]
     val votes = new Array[Long](bits)
     val n = sids.numElements()
     var k = 0
     while (k < n) {
-      val s = sids.getLong(k)
-      var j = 0
-      while (j < bits) {
-        val h = ((4097L + 7919L * j) * s + 17L + 104729L * j) % 2147483647L
-        votes(j) += (if (h % 2 == 1) 1L else -1L)
-        j += 1
+      if (!sids.isNullAt(k)) {
+        val s = sids.getLong(k)
+        var j = 0
+        while (j < bits) {
+          val h = ((4097L + 7919L * j) * s + 17L + 104729L * j) % 2147483647L
+          votes(j) += (if (h % 2 == 1) 1L else -1L)
+          j += 1
+        }
       }
       k += 1
     }
@@ -131,6 +140,7 @@ case class SimHashSig(child: Expression, bits: Int)
          |long[] $v = new long[$bits];
          |int $n = $c.numElements();
          |for (int $k = 0; $k < $n; $k++) {
+         |  if ($c.isNullAt($k)) continue;
          |  long $s = $c.getLong($k);
          |  for (int $j = 0; $j < $bits; $j++) {
          |    long $h = ((4097L + 7919L * $j) * $s + 17L + 104729L * $j) % 2147483647L;

@@ -72,9 +72,22 @@ object OrcMetadata {
       }
       val writer = OrcFile.createWriter(tmp, opts)
       val stripeStats = reader.getOrcProtoStripeStatistics
+      val stripes = reader.getStripes.asScala
+      // appendStripe requires one proto stripe-statistics entry per
+      // stripe (both orc-core overloads reject null stats); a file
+      // written with stats disabled would IndexOutOfBounds below.
+      // Spark's ORC writer always emits them — for foreign files that
+      // don't, skip stamping instead of crashing the job.
+      if (stripeStats.size() < stripes.size) {
+        System.err.println(s"[orc-meta] $src has ${stripeStats.size()} stripe-" +
+          s"statistics entries for ${stripes.size} stripes; skipping stamp")
+        writer.close()
+        fs.delete(tmp, false)
+        return
+      }
       val in = fs.open(src)
       try {
-        reader.getStripes.asScala.zipWithIndex.foreach { case (si, i) =>
+        stripes.zipWithIndex.foreach { case (si, i) =>
           val lenL = si.getIndexLength + si.getDataLength + si.getFooterLength
           // one stripe is materialized at a time; stripes are bounded by
           // orc.stripe.size (default 64 MiB) — guard the pathological case
@@ -94,9 +107,12 @@ object OrcMetadata {
       }
       writer.close()
     } finally reader.close()
-    // atomic replace: FileContext.rename with OVERWRITE has no
-    // delete-then-rename window (a crash leaves either the original or
-    // the stamped file, never neither)
+    // replace via FileContext.rename(OVERWRITE): no delete-then-rename
+    // window. On filesystems with atomic rename (HDFS, local POSIX) a
+    // crash leaves either the original or the stamped file, never
+    // neither; object stores emulating rename (S3A) give no such
+    // guarantee — there, re-run the stamp on failure (it is idempotent:
+    // stamping a stamped file re-applies the same metadata)
     org.apache.hadoop.fs.FileContext.getFileContext(src.toUri, conf)
       .rename(tmp, src, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }

@@ -171,15 +171,21 @@ object OsmChange {
     * latest-version pick is the same windowed form as
     * `OsmQueries.latestVersionsWindow` (single shuffle on the entity
     * key at any scale).
+    *
+    * Replays are IDEMPOTENT: a base row and a diff row with equal
+    * (version, timestamp) — e.g. re-applying an already-applied diff —
+    * tie-break deterministically to the DIFF side via a source-priority
+    * column, so applying the same diff twice yields the same table.
     */
   def applyDiff(planet: DataFrame, diff: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val merged = planet.unionByName(diff.drop("op"))
+    val merged = planet.withColumn("__src", lit(0))
+      .unionByName(diff.drop("op").withColumn("__src", lit(1)))
     val w = Window.partitionBy(col("type"), col("id"))
-      .orderBy(col("version").desc, col("timestamp").desc)
+      .orderBy(col("version").desc, col("timestamp").desc, col("__src").desc)
     merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__src")
   }
 }

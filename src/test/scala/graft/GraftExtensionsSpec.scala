@@ -60,11 +60,36 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("exactly 1 argument")
   }
 
-  test("simhash_sig rejects a non-literal bits argument") {
-    val ex = intercept[Exception] {
+  test("simhash_sig rejects a non-foldable bits argument with AnalysisException") {
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT simhash_sig(array(CAST(1 AS BIGINT)), CAST(id AS INT)) FROM range(1)")
         .collect()
     }
-    ex.getMessage should include("integer literal")
+    ex.getMessage should include("foldable")
+    ex.getMessage should include("simhash_sig")
+  }
+
+  test("simhash_sig accepts a foldable non-Int-literal bits argument") {
+    // CAST(32 AS BIGINT) is a foldable bigint — ADVICE r2: must resolve,
+    // not throw a raw IllegalArgumentException at plan time
+    val r = spark.sql(
+      "SELECT simhash_sig(array(CAST(7 AS BIGINT)), CAST(32 AS BIGINT)) AS sh")
+      .head()
+    val expect = spark.sql("SELECT simhash_sig(array(CAST(7 AS BIGINT)), 32) AS sh")
+      .head().getAs[Long]("sh")
+    r.getAs[Long]("sh") shouldBe expect
+  }
+
+  test("null array elements are skipped, not folded in as garbage") {
+    // ADVICE r2: minhash_sig(array(1, NULL)) must equal minhash_sig(array(1))
+    val r = spark.sql(
+      """SELECT
+        |  minhash_sig(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT))) AS m2,
+        |  minhash_sig(array(CAST(1 AS BIGINT))) AS m1,
+        |  simhash_sig(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)), 16) AS s2,
+        |  simhash_sig(array(CAST(7 AS BIGINT)), 16) AS s1
+        |""".stripMargin).head()
+    r.getAs[scala.collection.Seq[Long]]("m2") shouldBe r.getAs[scala.collection.Seq[Long]]("m1")
+    r.getAs[Long]("s2") shouldBe r.getAs[Long]("s1")
   }
 }

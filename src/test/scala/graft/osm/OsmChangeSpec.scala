@@ -160,5 +160,17 @@ class OsmChangeSpec extends AnyFunSuite with Matchers with SparkSpec {
     val n9 = applied.filter($"id" === 9 && $"type" === "node").head()
     n9.getAs[Long]("version") shouldBe 3L
     n9.getAs[Boolean]("visible") shouldBe false // delete won
+
+    // replay idempotency (ADVICE r2): re-applying the SAME diff must be
+    // a fixpoint — equal (version, timestamp) rows tie-break to the
+    // diff side deterministically, so content cannot flip-flop
+    val reapplied = OsmChange.applyDiff(applied, diff)
+    reapplied.count() shouldBe 4
+    val sortCols = applied.columns.filterNot(Set("nds", "members", "tags"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(sortCols.map(col): _*).orderBy("type", "id")
+        .collect().map(_.toSeq).toSeq
+    canon(reapplied) shouldBe canon(applied)
+    applied.unpersist()
   }
 }
