@@ -433,12 +433,19 @@ object SparkEntry {
          |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM votes GROUP BY doc_id
          |),
-         |bkt AS (SELECT doc_id, simhash, simhash // 65536 AS bucket FROM fp)
-         |SELECT x.doc_id AS a, y.doc_id AS b,
-         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-         |FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
-         |ORDER BY a, b""".stripMargin,
+         |bkt AS (SELECT doc_id, simhash, simhash // 65536 AS hi,
+         |               simhash % 65536 AS lo FROM fp)
+         |SELECT a, b, hamming FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |  FROM bkt x JOIN bkt y ON x.hi = y.hi AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |  UNION
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |  FROM bkt x JOIN bkt y ON x.lo = y.lo AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |) u ORDER BY a, b""".stripMargin,
 
     // Ground-truth canonicalization: exact-dup edges + ALL Jaccard>=0.6
     // pairs, clustered by a recursive transitive closure (DuckDB's CC),

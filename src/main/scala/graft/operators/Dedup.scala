@@ -203,6 +203,10 @@ object Dedup {
         graft.functions.SigFunctions.simhashSig($"sids", bits).as("simhash"))
   }
 
+  /** profiling hook: the 32-bit fingerprints d04_pairs buckets on. */
+  private[graft] def simHash32ForProfile(spark: SparkSession, sfDir: String): DataFrame =
+    simHashBits(spark, sfDir, bits = 32)
+
   /** SimHash near-dup pairing: fingerprints bucketed by their top 16
     * bits (identical for near-identical docs), then hamming distance via
     * bit_count(xor) within buckets — the standard banded-hamming join
@@ -217,20 +221,36 @@ object Dedup {
   def simHashPairsHashed(spark: SparkSession, sfDir: String): DataFrame =
     hammingPairs(simHashBitsHashed(spark, sfDir, bits = 32))
 
-  /** shared tail: bucket by the top 16 of 32 fingerprint bits, pair
-    * within buckets at hamming <= 2. The fingerprint input is cached —
-    * a self-join would otherwise re-run the whole signature pipeline
-    * on both sides (the round-1 bench's dominant cost).
+  /** shared tail: TWO 16-bit bands over the 32-bit fingerprint (hi =
+    * bits 16-31, lo = bits 0-15); candidates pair within either band's
+    * buckets and the union dedups, hamming via bit_count(xor) <= 2.
+    *
+    * Why two bands (round-3 change, measured in SCALE.md): a pair at
+    * hamming <= 2 differing only in the hi band is invisible to the
+    * hi-band bucket join — the lo band recalls it (and vice versa); only
+    * the 1-bit-in-each split remains the documented banded miss. Both
+    * bands' bucket populations at sf0.1 are in SCALE.md; the hot-bucket
+    * self-join at scale is exactly the shape AQE skew-join splits
+    * (AqeSkewJoinSpec proves it fires).
+    *
+    * The fingerprint input is cached — each band self-join would
+    * otherwise re-run the whole signature pipeline on both sides (the
+    * round-1 bench's dominant cost).
     */
   private def hammingPairs(fingerprints: DataFrame): DataFrame = {
     import fingerprints.sparkSession.implicits._
-    val fp = graft.Caches.track(fingerprints
-      .withColumn("bucket", ($"simhash" / 65536).cast("bigint")))
-    fp.as("x").join(fp.as("y"),
-        $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
-        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
-      .filter($"hamming" <= 2)
+    val fp = graft.Caches.track(fingerprints)
+    def bandPairs(bucket: Column): DataFrame = {
+      val b = fp.withColumn("bucket", bucket)
+      b.as("x").join(b.as("y"),
+          $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+          expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
+        .filter($"hamming" <= 2)
+    }
+    bandPairs(($"simhash" / 65536).cast("bigint"))
+      .unionByName(bandPairs($"simhash" % 65536))
+      .distinct()
       .orderBy($"a", $"b")
   }
 
