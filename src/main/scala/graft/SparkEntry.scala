@@ -55,8 +55,8 @@ object SparkEntry {
     "d03_minhash_lsh" -> (Dedup.minHashLsh _),
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
     "d04_simhash" -> (Dedup.simHash _),
-    "d04_simhash_pairs" -> (Dedup.simHashPairs _),
-    "d04_simhash_pairs_hashed" -> (Dedup.simHashPairsHashed _),
+    "d04_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
+    "d04_simhash_pairs_hashed" -> ((s: SparkSession, d: String) => Dedup.simHashPairsHashed(s, d)),
     "d05_embed_neardup" -> (Dedup.embeddingNearDup _),
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
     // —— extensions: similarity search ——

@@ -212,14 +212,16 @@ object Dedup {
     * bit_count(xor) within buckets — the standard banded-hamming join
     * that avoids the all-pairs comparison.
     */
-  def simHashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    hammingPairs(simHashBits(spark, sfDir, bits = 32))
+  def simHashPairs(spark: SparkSession, sfDir: String,
+      maxBucket: Long = MaxHammingBucket): DataFrame =
+    hammingPairs(simHashBits(spark, sfDir, bits = 32), maxBucket)
 
   /** Scale form of [[simHashPairs]]: xxhash64 shingle ids (no global
     * dictionary), same banded-hamming join.
     */
-  def simHashPairsHashed(spark: SparkSession, sfDir: String): DataFrame =
-    hammingPairs(simHashBitsHashed(spark, sfDir, bits = 32))
+  def simHashPairsHashed(spark: SparkSession, sfDir: String,
+      maxBucket: Long = MaxHammingBucket): DataFrame =
+    hammingPairs(simHashBitsHashed(spark, sfDir, bits = 32), maxBucket)
 
   /** shared tail: TWO 16-bit bands over the 32-bit fingerprint (hi =
     * bits 16-31, lo = bits 0-15); candidates pair within either band's
@@ -237,12 +239,27 @@ object Dedup {
     * otherwise re-run the whole signature pipeline on both sides (the
     * round-1 bench's dominant cost).
     */
-  private def hammingPairs(fingerprints: DataFrame): DataFrame = {
+  /** Hot-bucket cap for [[hammingPairs]]: a band bucket holding more
+    * docs than this is boilerplate (at sf0.1 the worst bucket holds
+    * 1398 docs — SCALE.md has the histogram; a legitimate near-dup
+    * cluster is orders of magnitude smaller) and its within-bucket
+    * self-join is quadratic in the hot count. Past the cap the bucket
+    * is excluded via a broadcast anti-join on the (tiny) hot-bucket
+    * list. The default sits far above every gate-scale bucket, so the
+    * oracle needs no cap clause; production calls tune it down.
+    */
+  val MaxHammingBucket: Long = 100000L
+
+  private def hammingPairs(fingerprints: DataFrame,
+      maxBucket: Long = MaxHammingBucket): DataFrame = {
     import fingerprints.sparkSession.implicits._
     val fp = graft.Caches.track(fingerprints)
     def bandPairs(bucket: Column): DataFrame = {
       val b = fp.withColumn("bucket", bucket)
-      b.as("x").join(b.as("y"),
+      val hot = b.groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .filter($"n" > maxBucket).select($"bucket")
+      val kept = b.join(broadcast(hot), Seq("bucket"), "left_anti")
+      kept.as("x").join(kept.as("y"),
           $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
           expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))

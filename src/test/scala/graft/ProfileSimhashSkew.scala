@@ -18,15 +18,20 @@ object ProfileSimhashSkew {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val fp = graft.operators.Dedup.simHash32ForProfile(spark, sf)
-      .withColumn("bucket", ($"simhash" / 65536).cast("bigint"))
-    val nDocs = fp.count()
-    val hist = fp.groupBy($"bucket").agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc).limit(10).collect()
-    val nBuckets = fp.select($"bucket").distinct().count()
-    println(s"docs=$nDocs buckets=$nBuckets")
-    hist.foreach(r => println(
-      f"bucket=${r.getLong(0)}%6d n=${r.getLong(1)}%6d frac=${r.getLong(1).toDouble / nDocs}%.4f"))
+    val base = graft.operators.Dedup.simHash32ForProfile(spark, sf).cache()
+    val nDocs = base.count()
+    for ((label, bucket) <- Seq(
+        "hi(16-31)" -> ($"simhash" / 65536).cast("bigint"),
+        "lo(0-15)" -> ($"simhash" % 65536))) {
+      val fp = base.withColumn("bucket", bucket)
+      val hist = fp.groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc).limit(5).collect()
+      val nBuckets = fp.select($"bucket").distinct().count()
+      println(s"band=$label docs=$nDocs buckets=$nBuckets")
+      hist.foreach(r => println(
+        f"  bucket=${r.getLong(0)}%6d n=${r.getLong(1)}%6d frac=${r.getLong(1).toDouble / nDocs}%.4f"))
+    }
+    base.unpersist()
     Caches.releaseAll(spark)
     spark.stop()
   }

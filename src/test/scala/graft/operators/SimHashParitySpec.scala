@@ -76,4 +76,19 @@ class SimHashParitySpec extends AnyFunSuite with Matchers with SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "SinglePartition"
   }
+
+  test("hot-bucket cap drops quadratic buckets, keeps the rest") {
+    // docs 1 and 2 are exact dups (same fingerprint -> same bucket in
+    // both bands). With maxBucket = 1, every bucket holding both is
+    // hot and excluded, so the (1,2) pair disappears; with the default
+    // cap the full result is unchanged.
+    val uncapped = Dedup.simHashPairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simHashPairs(spark, fixtureDir, maxBucket = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain((1L, 2L))
+    capped should not contain ((1L, 2L))
+    capped.subsetOf(uncapped) shouldBe true
+    graft.Caches.releaseAll(spark)
+  }
 }
