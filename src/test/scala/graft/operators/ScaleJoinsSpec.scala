@@ -60,4 +60,54 @@ class ScaleJoinsSpec extends AnyFunSuite with Matchers with SparkSpec {
       plan should include("Bucketed: true")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("AQE skew-join fires on a hot key in the way→node join shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // SURVEY §7.4 watch item: the reference's most skew-prone join is
+    // way→node reassembly where one node is referenced by a huge number
+    // of ways. Fixture: a fact side where ONE key holds most of the
+    // bytes, dim side uniform. Thresholds are scaled down so the same
+    // AQE decision that protects the 100 TB join is observable at test
+    // size; the assertion is on the FINAL adaptive plan (skew=true on
+    // the SortMergeJoin), not on configuration.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+      val pad = "x" * 64
+      // 120k refs to node 0, a handful to nodes 1..999
+      val wayNds = spark.range(0, 120000)
+        .select(lit(0L).as("ref"), concat(lit(pad), $"id").as("way_payload"))
+        .unionByName(spark.range(1, 1000)
+          .select($"id".as("ref"), concat(lit(pad), $"id").as("way_payload")))
+      val nodes = spark.range(0, 1000)
+        .select($"id".as("node_id"), ($"id" * 2).as("lat_q"))
+      // consumer must not require the join key's partitioning (a
+      // groupBy(ref) right after would forbid the split — AQE never
+      // introduces an extra shuffle to fix skew); a global aggregate
+      // imposes no such requirement, like the reference's reassembly
+      // writing straight to the sink
+      val joined = wayNds.join(nodes, $"ref" === $"node_id")
+        .agg(count(lit(1)).as("n"),
+          sum(org.apache.spark.sql.functions.length($"way_payload")).as("b"),
+          sum($"lat_q").as("s"))
+      val row = joined.collect().head
+      row.getLong(0) shouldBe 120999L
+
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      finalPlan should include("skew=true")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
