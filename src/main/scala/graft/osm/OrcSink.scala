@@ -13,9 +13,15 @@ import graft.osm.pbf.PbfDecode
   *
   * Options parity with OsmPbf2Orc.java:84-98:
   *  - block padding off (smaller files on object stores, :85);
-  *  - bloom filter on `tags` — the reference considered and commented it
-  *    out (:86); we enable it (ORC row-group skipping on tag lookups is
-  *    what makes `tags['k']` queries viable at planet scale);
+  *  - bloom filters: the reference considered `tags` and commented it
+  *    out (:86) — MEASURED (SCALE.md, ProfileBloom): a tags bloom costs
+  *    ~28% file size and is never consulted by Spark's reader (map-key
+  *    equality does not push into the ORC SearchArgument; only
+  *    IsNotNull(tags) reaches the scan), so the default here matches
+  *    the reference's shipped behavior (off). Blooms DO pay on
+  *    primitive high-cardinality columns probed by equality (`user`:
+  *    -32% lookup time in the same measurement) — opt in per column
+  *    via `bloomColumns`;
   *  - `osm.schema.version` + optional `bounds` stamped BOTH as a JSON
   *    sidecar (`_graft_metadata.json`) and into each part file's ORC
   *    footer (OrcMetadata raw-stripe rewrite) — footer parity with the
@@ -36,13 +42,13 @@ object OrcSink {
     * sorted=true for unordered inputs.
     */
   def writePlanet(df: DataFrame, out: String, bounds: Option[String] = None,
-      sorted: Boolean = false): Unit = {
+      sorted: Boolean = false, bloomColumns: String = ""): Unit = {
     val toWrite = if (sorted) df.sortWithinPartitions("type", "id") else df
-    toWrite.write
+    val w = toWrite.write
       .mode(SaveMode.Overwrite)
       .option("orc.block.padding", "false")
-      .option("orc.bloom.filter.columns", "tags")
-      .orc(out)
+    (if (bloomColumns.nonEmpty) w.option("orc.bloom.filter.columns", bloomColumns)
+     else w).orc(out)
     writeSidecar(df.sparkSession, out, bounds)
     stampFooters(df.sparkSession, out, bounds)
   }
@@ -54,19 +60,19 @@ object OrcSink {
     * `Sort.Geographic` order (OsmPbf2Orc.java:92-94).
     */
   def writePlanetGeoClustered(df: DataFrame, out: String,
-      bounds: Option[String] = None): Unit = {
+      bounds: Option[String] = None, bloomColumns: String = ""): Unit = {
     import org.apache.spark.sql.functions.col
     val z = graft.functions.ZOrderFunctions.zorder(col("lat"), col("lon"))
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.withColumn("__z", z)
+    val w = df.withColumn("__z", z)
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write
       .mode(SaveMode.Overwrite)
       .option("orc.block.padding", "false")
-      .option("orc.bloom.filter.columns", "tags")
-      .orc(out)
+    (if (bloomColumns.nonEmpty) w.option("orc.bloom.filter.columns", bloomColumns)
+     else w).orc(out)
     writeSidecar(df.sparkSession, out, bounds)
     stampFooters(df.sparkSession, out, bounds)
   }
