@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession and (as of round 3) a session-global
+// cache registry (graft.Caches) whose lifecycle specs assert global
+// storage state — concurrent suites race on it. Sequential execution
+// matches the documented one-pipeline-at-a-time session contract.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -55,14 +55,16 @@ object Caches {
     while (f != null) { f(); f = cleanups.poll() }
   }
 
-  /** [[release]] plus a sweep of any persistent RDDs third-party
-    * internals (GraphX Pregel, MLlib fits) left behind without exposing
-    * a handle. Clears ALL persisted RDDs on the context — intended for
-    * between-query cleanup points (Verify/Bench), not for sessions that
-    * hold deliberate long-lived caches of their own.
+  /** [[release]] plus a sweep of everything else: cached plans that
+    * never registered here (`catalog.clearCache()` — unpersists AND
+    * deregisters them) and persistent RDDs third-party internals
+    * (GraphX Pregel, MLlib fits) left behind without exposing a handle.
+    * Intended for between-query cleanup points (Verify/Bench), not for
+    * sessions holding deliberate long-lived caches of their own.
     */
   def releaseAll(spark: SparkSession): Unit = {
     release()
+    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
   }

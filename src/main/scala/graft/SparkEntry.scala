@@ -59,6 +59,7 @@ object SparkEntry {
     "d04_simhash_pairs_hashed" -> ((s: SparkSession, d: String) => Dedup.simHashPairsHashed(s, d)),
     "d05_embed_neardup" -> (Dedup.embeddingNearDup _),
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
+    "d08_canonical_best" -> ((s: SparkSession, d: String) => Dedup.canonicalizeBest(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -126,6 +127,39 @@ object SparkEntry {
       |         + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS BIGINT) AS hb
       |  FROM documents
       |)""".stripMargin
+
+  /** Shared CTE chain for d06/d08: shingle sets → exact Jaccard near
+    * edges + exact-dup edges → undirected closure → components with
+    * min-doc_id labels (the DuckDB mirror of GraphX CC).
+    */
+  private val CanonCtes: String =
+    s"""${tkCte("")},
+       |$ShCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ic
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |near AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       |  WHERE ic / (sa.n + sb.n - ic) >= 0.6
+       |),
+       |ex AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM documents x JOIN documents y ON x.text = y.text AND x.doc_id < y.doc_id
+       |),
+       |und AS (
+       |  SELECT a, b FROM near UNION SELECT b, a FROM near
+       |  UNION SELECT a, b FROM ex UNION SELECT b, a FROM ex
+       |),
+       |reach(s, t) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.s, u.b FROM reach r JOIN und u ON r.t = u.a
+       |),
+       |comp AS (SELECT s AS doc_id, least(s, min(t)) AS canonical_id FROM reach GROUP BY s)""".stripMargin
 
   // Position-exploded embedding elements (cast to DOUBLE so products
   // match Spark's double arithmetic bit-for-bit).
@@ -455,38 +489,38 @@ object SparkEntry {
     // trade; at the gate scale every qualifying pair is recalled, and
     // exact dups always collide in every band).
     "d06_canonicalize" ->
-      s"""WITH RECURSIVE ${tkCte("")},
-         |$ShCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ic
-         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |near AS (
-         |  SELECT a, b FROM inter
-         |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-         |  WHERE ic / (sa.n + sb.n - ic) >= 0.6
-         |),
-         |ex AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b
-         |  FROM documents x JOIN documents y ON x.text = y.text AND x.doc_id < y.doc_id
-         |),
-         |und AS (
-         |  SELECT a, b FROM near UNION SELECT b, a FROM near
-         |  UNION SELECT a, b FROM ex UNION SELECT b, a FROM ex
-         |),
-         |reach(s, t) AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.s, u.b FROM reach r JOIN und u ON r.t = u.a
-         |),
-         |comp AS (SELECT s AS doc_id, least(s, min(t)) AS canonical_id FROM reach GROUP BY s)
+      s"""WITH RECURSIVE $CanonCtes
          |SELECT d.doc_id,
          |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
          |  coalesce(c.canonical_id, d.doc_id) <> d.doc_id AS is_duplicate
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // d06's clusters + t01's quality score: keep each cluster's
+    // highest-quality member (quality desc, doc_id tiebreak).
+    "d08_canonical_best" ->
+      s"""WITH RECURSIVE $CanonCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) *
+         |      (1.0 - CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+         |             / len(tk)), 6) AS quality
+         |  FROM tk WHERE len(tk) > 0
+         |),
+         |r AS (
+         |  SELECT a.doc_id, a.canonical_id,
+         |    row_number() OVER (PARTITION BY a.canonical_id
+         |                       ORDER BY q.quality DESC, a.doc_id) AS rn
+         |  FROM allc a JOIN q ON a.doc_id = q.doc_id
+         |),
+         |k AS (SELECT canonical_id, doc_id AS keep_id FROM r WHERE rn = 1)
+         |SELECT r.doc_id, r.canonical_id, k.keep_id, r.doc_id = k.keep_id AS keep
+         |FROM r JOIN k ON r.canonical_id = k.canonical_id
+         |ORDER BY r.doc_id""".stripMargin,
 
     "d05_embed_neardup" ->
       s"""WITH ${embCte("vec_id % 50 = 0")},

@@ -337,6 +337,39 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware canonical selection — the step after [[canonicalize]]
+    * in a real training-data pipeline: instead of keeping each cluster's
+    * min doc_id, keep its highest-QUALITY member (TextAnalysis.textStats
+    * quality score, doc_id tiebreak) and map every member to that
+    * keeper. Returns (doc_id, canonical_id, keep_id, keep).
+    *
+    * Scale shape: one join of the cluster map against the map-only
+    * quality pass, then a window partitioned by cluster id — cluster
+    * cardinality is corpus-order (no low-cardinality funnel). Ranking is
+    * on the 1e-6-rounded quality (exact cross-engine) with a doc_id
+    * tiebreak, so selection is deterministic under any partitioning.
+    */
+  def canonicalizeBest(spark: SparkSession, sfDir: String,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val clusters = canonicalize(spark, sfDir, jaccardThreshold)
+      .select($"doc_id", $"canonical_id")
+    val quality = TextAnalysis.textStats(spark, sfDir)
+      .select($"doc_id", $"quality")
+    val w = Window.partitionBy($"canonical_id")
+      .orderBy($"quality".desc, $"doc_id")
+    // cached: consumed twice (join left + the keeper selection)
+    val ranked = graft.Caches.track(clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w)))
+    val keepers = ranked.filter($"rn" === 1)
+      .select($"canonical_id", $"doc_id".as("keep_id"))
+    ranked.join(keepers, "canonical_id")
+      .select($"doc_id", $"canonical_id", $"keep_id",
+        ($"doc_id" === $"keep_id").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs on a vec_id%50 sample:
     * norms are precomputed per vector (cheap, narrow) before the
     * quadratic pair join; cosine folds left-to-right in doubles so the
