@@ -290,6 +290,19 @@ object Dedup {
   def canonicalize(spark: SparkSession, sfDir: String,
       jaccardThreshold: Double = 0.6): DataFrame = {
     import spark.implicits._
+    clusterMap(spark, sfDir, jaccardThreshold)
+      .withColumn("is_duplicate", $"doc_id" =!= $"canonical_id")
+      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, canonical_id) cluster map — [[canonicalize]] without the
+    * deterministic output sort (which internal consumers like
+    * [[canonicalizeBest]] would only pay to destroy at their next
+    * shuffle).
+    */
+  private def clusterMap(spark: SparkSession, sfDir: String,
+      jaccardThreshold: Double): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
 
     // 1. exact-dup edges: every doc -> min doc_id of its content hash
@@ -333,8 +346,6 @@ object Dedup {
     val mapping = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
       .toDF("doc_id", "canonical_id")
     docs.select($"doc_id").join(mapping, "doc_id")
-      .withColumn("is_duplicate", $"doc_id" =!= $"canonical_id")
-      .orderBy($"doc_id")
   }
 
   /** Quality-aware canonical selection — the step after [[canonicalize]]
@@ -353,8 +364,7 @@ object Dedup {
       jaccardThreshold: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val clusters = canonicalize(spark, sfDir, jaccardThreshold)
-      .select($"doc_id", $"canonical_id")
+    val clusters = clusterMap(spark, sfDir, jaccardThreshold)
     val quality = TextAnalysis.textStats(spark, sfDir)
       .select($"doc_id", $"quality")
     val w = Window.partitionBy($"canonical_id")
