@@ -24,26 +24,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "4.0.0", "", "scala_udf")
 
   /** Evaluate a foldable integral argument (literal, CAST of one, any
-    * constant-foldable expression) at registration time; non-foldable or
-    * non-integral arguments raise a standard AnalysisException so SQL
-    * users get the usual DATATYPE_MISMATCH error, not a raw internal
-    * throw.
+    * constant-foldable expression) at registration time; non-foldable,
+    * non-integral, or null arguments each raise the matching standard
+    * AnalysisException subclass so SQL users get the usual
+    * DATATYPE_MISMATCH error, not a raw internal throw.
     */
   private def intArg(fn: String, e: Expression, what: String): Int = {
-    def fail() = throw new org.apache.spark.sql.AnalysisException(
-      errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
-      messageParameters = Map(
-        "sqlExpr" -> s"\"$fn\"",
-        "inputName" -> s"`$what`",
-        "inputType" -> "\"INT\"",
-        "inputExpr" -> s"\"${e.sql}\""))
-    if (!e.foldable) fail()
-    e.eval() match {
+    def fail(sub: String, params: Map[String, String]) =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = s"DATATYPE_MISMATCH.$sub",
+        messageParameters = Map("sqlExpr" -> s"\"$fn\"") ++ params)
+    def wrongType() = fail("UNEXPECTED_INPUT_TYPE", Map(
+      "paramIndex" -> s"`$what`",
+      "requiredType" -> "\"INT\"",
+      "inputSql" -> s"\"${e.sql}\"",
+      "inputType" -> s"\"${e.dataType.sql}\""))
+    if (!e.foldable) fail("NON_FOLDABLE_INPUT", Map(
+      "inputName" -> s"`$what`",
+      "inputType" -> "\"INT\"",
+      "inputExpr" -> s"\"${e.sql}\""))
+    // a foldable expression can still throw at eval (ANSI cast of a bad
+    // literal) — surface that as the type error, not a raw runtime throw
+    val v = try e.eval() catch { case _: Exception => wrongType() }
+    v match {
       case i: Int => i
       case l: Long if l.isValidInt => l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
-      case _ => fail()
+      case _ => wrongType()
     }
   }
 

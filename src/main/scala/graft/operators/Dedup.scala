@@ -223,22 +223,6 @@ object Dedup {
       maxBucket: Long = MaxHammingBucket): DataFrame =
     hammingPairs(simHashBitsHashed(spark, sfDir, bits = 32), maxBucket)
 
-  /** shared tail: TWO 16-bit bands over the 32-bit fingerprint (hi =
-    * bits 16-31, lo = bits 0-15); candidates pair within either band's
-    * buckets and the union dedups, hamming via bit_count(xor) <= 2.
-    *
-    * Why two bands (round-3 change, measured in SCALE.md): a pair at
-    * hamming <= 2 differing only in the hi band is invisible to the
-    * hi-band bucket join — the lo band recalls it (and vice versa); only
-    * the 1-bit-in-each split remains the documented banded miss. Both
-    * bands' bucket populations at sf0.1 are in SCALE.md; the hot-bucket
-    * self-join at scale is exactly the shape AQE skew-join splits
-    * (AqeSkewJoinSpec proves it fires).
-    *
-    * The fingerprint input is cached — each band self-join would
-    * otherwise re-run the whole signature pipeline on both sides (the
-    * round-1 bench's dominant cost).
-    */
   /** Hot-bucket cap for [[hammingPairs]]: a band bucket holding more
     * docs than this is boilerplate (at sf0.1 the worst bucket holds
     * 1398 docs — SCALE.md has the histogram; a legitimate near-dup
@@ -250,6 +234,22 @@ object Dedup {
     */
   val MaxHammingBucket: Long = 100000L
 
+  /** shared tail: TWO 16-bit bands over the 32-bit fingerprint (hi =
+    * bits 16-31, lo = bits 0-15); candidates pair within either band's
+    * buckets and the union dedups, hamming via bit_count(xor) <= 2.
+    *
+    * Why two bands (round-3 change, measured in SCALE.md): a pair at
+    * hamming <= 2 differing only in the hi band is invisible to the
+    * hi-band bucket join — the lo band recalls it (and vice versa); only
+    * the 1-bit-in-each split remains the documented banded miss. Both
+    * bands' bucket populations at sf0.1 are in SCALE.md; the hot-bucket
+    * self-join at scale is exactly the shape AQE skew-join splits
+    * (ScaleJoinsSpec proves it fires).
+    *
+    * The fingerprint input is cached — each band self-join would
+    * otherwise re-run the whole signature pipeline on both sides (the
+    * round-1 bench's dominant cost).
+    */
   private def hammingPairs(fingerprints: DataFrame,
       maxBucket: Long = MaxHammingBucket): DataFrame = {
     import fingerprints.sparkSession.implicits._

@@ -220,8 +220,10 @@ object TextAnalysis {
     * broadcast is SIZE-GUARDED: if the benchmark set exceeds
     * `broadcastLimit` distinct shingles, the join falls back to a plain
     * key-partitioned shuffle join instead of dying at
-    * autoBroadcastJoinThreshold scale (the count that decides runs on
-    * the cached shingle set, one cheap aggregation).
+    * autoBroadcastJoinThreshold scale. The deciding count runs on a
+    * cached plan on both paths (the corpus shingle set, or the tracked
+    * external benchmark set — cached so the count probe and the join
+    * evaluate it once).
     */
   def decontaminate(spark: SparkSession, sfDir: String, minHit: Int = 5,
       benchShingles: Option[DataFrame] = None,
@@ -234,15 +236,22 @@ object TextAnalysis {
       Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
         .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
         .distinct())
-    val bench = benchShingles.getOrElse(
-      sh.filter($"doc_id" % 97 === 0).select($"sh").distinct())
+    // the doc_id % 97 carve-out exists ONLY for the default stand-in
+    // (those docs ARE the benchmark there); with a real external eval
+    // set every corpus doc is screened — excluding the stand-in rows
+    // would silently skip ~1% of the corpus (round-3 review finding)
+    val (bench, corpus) = benchShingles match {
+      case Some(b) => (graft.Caches.track(b), sh)
+      case None => (sh.filter($"doc_id" % 97 === 0).select($"sh").distinct(),
+        sh.filter($"doc_id" % 97 =!= 0))
+    }
     // past the limit: pin a sort-merge join (the "merge" hint) — merely
     // dropping the broadcast() hint would let the optimizer's size
     // estimate re-broadcast a side we KNOW is too big to ship
     val benchSide =
       if (bench.count() <= broadcastLimit) broadcast(bench)
       else bench.hint("merge")
-    sh.filter($"doc_id" % 97 =!= 0)
+    corpus
       .join(benchSide, "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_overlap"))

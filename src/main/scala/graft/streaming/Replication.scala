@@ -107,6 +107,22 @@ object Replication {
     OsmChange.applyDiff(base, diff)
       .write.mode("overwrite").format("orc").save(s"$tableDir/$gen")
     writePointer(spark, tableDir, gen)
+    retire(spark, tableDir, keep = Set(gen, cur))
+  }
+
+  /** Drop generations other than the committed one and its predecessor
+    * (the predecessor stays for crash recovery of an in-flight reader) —
+    * without retirement a continuous stream leaves one full table copy
+    * per micro-batch on disk.
+    */
+  private def retire(spark: SparkSession, tableDir: String,
+      keep: Set[String]): Unit = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(hadoopConf(spark))
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-") &&
+        !keep.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   private def hadoopConf(spark: SparkSession): Configuration =

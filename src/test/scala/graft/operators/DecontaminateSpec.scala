@@ -39,4 +39,22 @@ class DecontaminateSpec extends AnyFunSuite with SparkSpec {
     assert(sjRows === bcRows, "fallback path changed the result")
     Caches.releaseAll(spark)
   }
+
+  test("an external bench set screens the WHOLE corpus (no %97 carve-out)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // benchmark = doc 0's own shingles; doc 0 has doc_id % 97 == 0 and
+    // must still be flagged — the carve-out is only for the default
+    // stand-in where %97 docs ARE the benchmark (round-3 review finding)
+    val d0 = graft.functions.Text.tokenized(
+        graft.Tables.documents(spark, sf).filter($"doc_id" === 0), "doc_id", "text")
+      .select(explode(graft.functions.Text.shingles($"tk")).as("sh")).distinct()
+    val flagged = TextAnalysis.decontaminate(spark, sf, minHit = 1,
+      benchShingles = Some(d0))
+    assert(flagged.filter($"doc_id" === 0).count() === 1)
+    // default path: doc 0 is part of the stand-in benchmark, never flagged
+    val dflt = TextAnalysis.decontaminate(spark, sf, minHit = 1)
+    assert(dflt.filter($"doc_id" === 0).count() === 0)
+    Caches.releaseAll(spark)
+  }
 }

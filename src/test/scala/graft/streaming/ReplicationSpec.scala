@@ -88,6 +88,15 @@ class ReplicationSpec extends AnyFunSuite with Matchers with SparkSpec {
       n1.getAs[Map[String, String]]("tags") shouldBe Map("amenity" -> "bar")
       val n2 = afterTwo.filter($"id" === 2).head()
       n2.getAs[Boolean]("visible") shouldBe false
+
+      // retention: only the committed generation and its predecessor
+      // survive — a continuous stream must not keep one full table copy
+      // per micro-batch
+      val gens = new java.io.File(tableDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+        .map(_.getName).toSet
+      gens.size shouldBe 2
+      gens should not contain "gen-init"
     } finally q.stop()
   }
 
