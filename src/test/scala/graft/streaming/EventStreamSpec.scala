@@ -114,6 +114,34 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize closes an idle session by TIMEOUT, not just on arrival") {
+    // the state.hasTimedOut branch: no further events for the user —
+    // the watermark alone (advanced by OTHER users) must flush the
+    // pending session once it passes end+gap
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("timeoutclose").outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(100), 5, "click", 1.0)) // opens; timeout at 130
+      q.processAllAvailable()
+      spark.table("timeoutclose").count() shouldBe 0
+      // another user pushes the watermark to 700-60=640 (> 130) ...
+      mem.addData(Event(2, ts(700), 6, "click", 1.0))
+      q.processAllAvailable()
+      // ... and the NEXT batch evaluates timeouts against it
+      mem.addData(Event(3, ts(710), 6, "view", 1.0))
+      q.processAllAvailable()
+      val s = spark.table("timeoutclose").as[Session].collect()
+        .filter(_.user_id == 5L)
+      s.length shouldBe 1
+      s(0).session_start shouldBe ts(100)
+      s(0).session_end shouldBe ts(100)
+      s(0).n_events shouldBe 1
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup keeps first occurrence, drops copies") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
