@@ -39,7 +39,7 @@ object ProfileScaleSweep {
       // ratio conflates warm-up with data growth
       def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
         val times = (1 to 3).map { _ =>
-          spark.sharedState.cacheManager.clearCache()
+          graft.Caches.releaseAll(spark) // registry + cacheManager + stray RDDs
           val t0 = System.nanoTime()
           f.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
