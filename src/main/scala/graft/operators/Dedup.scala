@@ -253,20 +253,23 @@ object Dedup {
   private def hammingPairs(fingerprints: DataFrame,
       maxBucket: Long = MaxHammingBucket): DataFrame = {
     import fingerprints.sparkSession.implicits._
-    val fp = graft.Caches.track(fingerprints)
-    def bandPairs(bucket: Column): DataFrame = {
-      val b = fp.withColumn("bucket", bucket)
-      val hot = b.groupBy($"bucket").agg(count(lit(1)).as("n"))
-        .filter($"n" > maxBucket).select($"bucket")
-      val kept = b.join(broadcast(hot), Seq("bucket"), "left_anti")
-      kept.as("x").join(kept.as("y"),
-          $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
-          expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
-        .filter($"hamming" <= 2)
-    }
-    bandPairs(($"simhash" / 65536).cast("bigint"))
-      .unionByName(bandPairs($"simhash" % 65536))
+    // both bands ride ONE exploded (band, bucket) key → a single
+    // bucket-partitioned self-join instead of two joins + union; the
+    // cached input is consumed by the hot-list aggregation, the anti-
+    // join, and both join sides
+    val banded = graft.Caches.track(fingerprints
+      .select($"doc_id", $"simhash",
+        posexplode(array(($"simhash" / 65536).cast("bigint"),
+          $"simhash" % 65536)).as(Seq("band", "bucket"))))
+    val hot = banded.groupBy($"band", $"bucket").agg(count(lit(1)).as("n"))
+      .filter($"n" > maxBucket).select($"band", $"bucket")
+    val kept = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    kept.as("x").join(kept.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
+      .filter($"hamming" <= 2)
       .distinct()
       .orderBy($"a", $"b")
   }
