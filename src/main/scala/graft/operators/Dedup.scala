@@ -235,8 +235,10 @@ object Dedup {
   val MaxHammingBucket: Long = 100000L
 
   /** shared tail: TWO 16-bit bands over the 32-bit fingerprint (hi =
-    * bits 16-31, lo = bits 0-15); candidates pair within either band's
-    * buckets and the union dedups, hamming via bit_count(xor) <= 2.
+    * bits 16-31, lo = bits 0-15), exploded onto one (band, bucket) key;
+    * candidates pair within any band bucket via a single self-join, a
+    * `distinct` drops pairs caught by both bands, hamming via
+    * bit_count(xor) <= 2.
     *
     * Why two bands (round-3 change, measured in SCALE.md): a pair at
     * hamming <= 2 differing only in the hi band is invisible to the
@@ -245,10 +247,6 @@ object Dedup {
     * bands' bucket populations at sf0.1 are in SCALE.md; the hot-bucket
     * self-join at scale is exactly the shape AQE skew-join splits
     * (ScaleJoinsSpec proves it fires).
-    *
-    * The fingerprint input is cached — each band self-join would
-    * otherwise re-run the whole signature pipeline on both sides (the
-    * round-1 bench's dominant cost).
     */
   private def hammingPairs(fingerprints: DataFrame,
       maxBucket: Long = MaxHammingBucket): DataFrame = {
