@@ -53,6 +53,7 @@ object SparkEntry {
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d03_minhash_lsh" -> (Dedup.minHashLsh _),
+    "d09_minhash_estimate" -> (Dedup.minHashEstimate _),
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
     "d04_simhash" -> (Dedup.simHash _),
     "d04_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
@@ -435,6 +436,48 @@ object SparkEntry {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+
+    // est = equal signature positions / 16 (unbiased Jaccard estimator);
+    // exact jaccard joined alongside so the oracle pins both columns
+    "d09_minhash_estimate" ->
+      s"""WITH ${tkCte("WHERE doc_id % 10 = 0")},
+         |$ShCte,
+         |$DictCte,
+         |$HashCte,
+         |mh AS (
+         |  SELECT s.doc_id, h.i, min((h.a * d.sid + h.b) % 2147483647) AS mh
+         |  FROM sh s JOIN dict d ON s.sh = d.sh CROSS JOIN h
+         |  GROUP BY 1, 2
+         |),
+         |bs AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+         |  FROM mh GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |),
+         |mtch AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS m
+         |  FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ic
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.a, c.b,
+         |  round(coalesce(mm.m, 0) / 16.0, 6) AS est,
+         |  round(coalesce(i.ic, 0) / (sa.n + sb.n - coalesce(i.ic, 0)), 6) AS jaccard
+         |FROM cand c
+         |LEFT JOIN mtch mm ON c.a = mm.a AND c.b = mm.b
+         |LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+         |JOIN sizes sa ON c.a = sa.doc_id
+         |JOIN sizes sb ON c.b = sb.doc_id
+         |ORDER BY c.a, c.b""".stripMargin,
 
     "d04_simhash" ->
       s"""WITH ${tkCte("")},

@@ -117,6 +117,51 @@ object Dedup {
     bandPairs(spark, withIds)
   }
 
+  /** MinHash Jaccard ESTIMATE per LSH candidate pair, next to the exact
+    * value: est = fraction of equal signature positions (an unbiased
+    * estimator of Jaccard; stderr ≈ sqrt(j(1-j)/16) at 16 hashes). At
+    * corpus scale the estimate triages candidates BEFORE the exact
+    * shingle-intersection join — the signatures are already materialized
+    * by the banding pass, so the estimate is a zip of two 16-long
+    * arrays per pair, while exact verification re-joins the shingle
+    * sets. Returns (a, b, est, jaccard) over the doc_id%10 sample.
+    */
+  def minHashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, Some(10)))
+    val withIds = sh.join(shingleDict(sh), "sh")
+    val sigs = graft.Caches.track(sidLists(withIds)
+      .withColumn("sig", graft.functions.SigFunctions.minhashSig(col("sids")))
+      .select($"doc_id", $"sig"))
+    val bands = sigs
+      .select($"doc_id", posexplode(expr(BandExpr)).as(Seq("band", "bsig")))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bsig" === $"y.bsig" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .distinct()
+    val est = cand
+      .join(sigs.select($"doc_id".as("a"), $"sig".as("sig_a")), "a")
+      .join(sigs.select($"doc_id".as("b"), $"sig".as("sig_b")), "b")
+      .select($"a", $"b",
+        round(aggregate(
+          zip_with($"sig_a", $"sig_b", (p, q) => when(p === q, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / 16.0, 6).as("est"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), $"a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("ic"))
+    est
+      .join(inter, Seq("a", "b"), "left")
+      .join(sizes.as("na"), $"a" === $"na.doc_id")
+      .join(sizes.as("nb"), $"b" === $"nb.doc_id")
+      .select($"a", $"b", $"est",
+        round(coalesce($"ic", lit(0L)) /
+          ($"na.n" + $"nb.n" - coalesce($"ic", lit(0L))), 6).as("jaccard"))
+      .orderBy($"a", $"b")
+  }
+
   /** MinHash + LSH, scale form: ids via xxhash64 (no dictionary, no
     * global sort; fully shuffle-parallel). Not SQL-oracle-expressible —
     * declared without an oracle (rows-only check) by design.
