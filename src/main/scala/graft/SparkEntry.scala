@@ -86,6 +86,7 @@ object SparkEntry {
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "p03_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
+    "p04_mixture_weights" -> (Sampling.mixtureWeights _),
   )
 
   // Canonical DuckDB tokenization — must stay in lockstep with
@@ -825,5 +826,18 @@ object SparkEntry {
          |)
          |SELECT shard, doc_id, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 2000 ORDER BY shard, cum_tokens, doc_id""".stripMargin,
+
+    // weights from sqrt (IEEE-exact both engines), powered counts
+    // quantized to 1e-6-grid integers before the order-free sum
+    "p04_mixture_weights" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(sum(len($Toks)) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source
+         |),
+         |p AS (SELECT source, tokens,
+         |        CAST(round(sqrt(tokens) * 1e6, 0) AS BIGINT) AS pq FROM t),
+         |s AS (SELECT CAST(sum(pq) AS BIGINT) AS tot FROM p)
+         |SELECT source, tokens, round(pq / tot, 6) AS weight
+         |FROM p, s ORDER BY source""".stripMargin,
   )
 }

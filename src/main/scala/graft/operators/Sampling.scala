@@ -71,6 +71,31 @@ object Sampling {
       .orderBy($"lang", $"rn")
   }
 
+  /** Temperature-based data-mixing weights: per-source sampling weight
+    * ∝ tokens^(1/2) — the standard multi-source mixture rule that
+    * up-weights small sources relative to proportional sampling
+    * (temperature α = 0.5; α = 1 is proportional, α → 0 uniform).
+    *
+    * One (source) aggregation — source cardinality is tiny, the
+    * map-side partials do the work. Cross-engine float determinism: the
+    * powered counts quantize to 1e-6-grid INTEGERS before the
+    * normalizing sum (integer sums are order-free — the s04 pattern),
+    * and α = 0.5 is computed with `sqrt`, which IEEE 754 requires to be
+    * correctly rounded in both engines (a general `pow` is only
+    * 1-ulp-accurate and could flip the grid rounding).
+    */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = Tables.documents(spark, sfDir)
+      .select($"source", Text.tokenCount($"text").as("n"))
+      .groupBy($"source").agg(sum($"n").as("tokens"))
+      .withColumn("pq", round(sqrt($"tokens") * 1e6, 0).cast("bigint"))
+    val total = bySource.agg(sum($"pq").as("tot"))
+    bySource.crossJoin(broadcast(total))
+      .select($"source", $"tokens", round($"pq" / $"tot", 6).as("weight"))
+      .orderBy($"source")
+  }
+
   /** Token-budget packing: select documents, in deterministic hash
     * order, until each SHARD's token budget is filled (running sum of
     * token counts <= budget). Sharding by a hash prefix keeps the
