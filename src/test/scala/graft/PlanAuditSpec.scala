@@ -50,9 +50,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   test("no gate query funnels data through a single-partition exchange") {
     // Exchange SinglePartition is only acceptable where the rows are
-    // bounded before the exchange: a global LIMIT (q19) or a grand-total
-    // aggregate finalization (q14 — one partial count row per task).
-    val bounded = Set("q19_topk_limit", "q14_exists_anti")
+    // bounded before the exchange: a global LIMIT (q19), a grand-total
+    // aggregate finalization (q14 — one partial count row per task), or
+    // a normalizing sum over per-GROUP aggregates of a tiny key space
+    // (p04 — one row per source, source cardinality is a corpus
+    // constant, not corpus-proportional).
+    val bounded = Set("q19_topk_limit", "q14_exists_anti", "p04_mixture_weights")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { plan(name) should not include "Exchange SinglePartition" }
   }
