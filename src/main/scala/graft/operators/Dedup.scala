@@ -130,16 +130,10 @@ object Dedup {
     import spark.implicits._
     val sh = graft.Caches.track(shingleSet(spark, sfDir, Some(10)))
     val withIds = sh.join(shingleDict(sh), "sh")
-    val sigs = graft.Caches.track(sidLists(withIds)
-      .withColumn("sig", graft.functions.SigFunctions.minhashSig(col("sids")))
-      .select($"doc_id", $"sig"))
-    val bands = sigs
-      .select($"doc_id", posexplode(expr(BandExpr)).as(Seq("band", "bsig")))
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bsig" === $"y.bsig" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
-      .distinct()
+    val sigs = graft.Caches.track(signatures(withIds))
+    // cached: consumed by the estimate joins AND the exact-overlap
+    // verify — uncached, the band self-join would plan twice
+    val cand = graft.Caches.track(bandCandidates(sigs))
     val est = cand
       .join(sigs.select($"doc_id".as("a"), $"sig".as("sig_a")), "a")
       .join(sigs.select($"doc_id".as("b"), $"sig".as("sig_b")), "b")
@@ -147,18 +141,10 @@ object Dedup {
         round(aggregate(
           zip_with($"sig_a", $"sig_b", (p, q) => when(p === q, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / 16.0, 6).as("est"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), $"a" === $"sa.doc_id")
-      .join(sh.as("sb"), $"b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
-      .groupBy($"a", $"b").agg(count(lit(1)).as("ic"))
     est
-      .join(inter, Seq("a", "b"), "left")
-      .join(sizes.as("na"), $"a" === $"na.doc_id")
-      .join(sizes.as("nb"), $"b" === $"nb.doc_id")
+      .join(pairOverlap(cand, sh), Seq("a", "b"))
       .select($"a", $"b", $"est",
-        round(coalesce($"ic", lit(0L)) /
-          ($"na.n" + $"nb.n" - coalesce($"ic", lit(0L))), 6).as("jaccard"))
+        round($"ic" / ($"na" + $"nb" - $"ic"), 6).as("jaccard"))
       .orderBy($"a", $"b")
   }
 
@@ -173,20 +159,51 @@ object Dedup {
     bandPairs(spark, withIds)
   }
 
-  /** shared tail: (doc_id, sid) -> 16-minhash signature (single pass) ->
-    * band signatures -> distinct candidate pairs (a < b).
+  /** (doc_id, sig): 16-minhash signature per doc, single codegen'd pass
+    * over the shingle-id lists.
     */
-  private def bandPairs(spark: SparkSession, withIds: DataFrame): DataFrame = {
-    import spark.implicits._
-    val bands = sidLists(withIds)
+  private def signatures(withIds: DataFrame): DataFrame =
+    sidLists(withIds)
       .withColumn("sig", graft.functions.SigFunctions.minhashSig(col("sids")))
+      .select(col("doc_id"), col("sig"))
+
+  /** signatures -> band signatures -> distinct candidate pairs (a < b),
+    * unordered (internal consumers join on the pairs; declared queries
+    * add the deterministic sort themselves).
+    */
+  private def bandCandidates(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    val bands = sigs
       .select($"doc_id", posexplode(expr(BandExpr)).as(Seq("band", "bsig")))
     bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bsig" === $"y.bsig" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
       .distinct()
-      .orderBy($"a", $"b")
+  }
+
+  /** shared tail: (doc_id, sid) -> signatures -> distinct candidate
+    * pairs (a < b), deterministically ordered.
+    */
+  private def bandPairs(spark: SparkSession, withIds: DataFrame): DataFrame =
+    bandCandidates(signatures(withIds)).orderBy(col("a"), col("b"))
+
+  /** Exact shingle-overlap stats per candidate pair: (a, b, ic, na, nb)
+    * with ic = 0 when the pair shares no shingle. The quadratic step
+    * stays sparse — it only runs on the supplied candidate pairs.
+    * Shared by [[minHashEstimate]] and [[clusterMap]]'s verify step.
+    */
+  private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), $"a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("ic"))
+    cand.join(inter, Seq("a", "b"), "left")
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .select($"a", $"b", coalesce($"ic", lit(0L)).as("ic"), $"na", $"nb")
   }
 
   /** 16-bit SimHash per document over 3-shingles: bit j of h(sid) votes
@@ -358,21 +375,16 @@ object Dedup {
       .select(explode($"ids").as("a"), $"keep".as("b"))
       .filter($"a" =!= $"b")
 
-    // 2. LSH candidates over the full corpus
+    // 2. LSH candidates over the full corpus (unordered — they feed
+    // joins, not output)
     val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
     val withIds = sh.withColumn("sid", abs(xxhash64($"sh")) % lit(Prime))
-    val candidates = bandPairs(spark, withIds)
+    val candidates = bandCandidates(signatures(withIds))
 
     // 3. verify candidates with exact Jaccard on their shingle sets
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.as("sa"), $"a" === $"sa.doc_id")
-      .join(sh.as("sb"), $"b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
-      .groupBy($"a", $"b").agg(count(lit(1)).as("ic"))
-    val verified = inter
-      .join(sizes.as("na"), $"a" === $"na.doc_id")
-      .join(sizes.as("nb"), $"b" === $"nb.doc_id")
-      .filter($"ic" / ($"na.n" + $"nb.n" - $"ic") >= jaccardThreshold)
+    // (shared pairOverlap helper; ic = 0 pairs fail any threshold > 0)
+    val verified = pairOverlap(candidates, sh)
+      .filter($"ic" / ($"na" + $"nb" - $"ic") >= jaccardThreshold)
       .select($"a", $"b")
 
     // 4. connected components over exact + verified near-dup edges

@@ -86,10 +86,12 @@ object Sampling {
     */
   def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bySource = Tables.documents(spark, sfDir)
+    // cached: consumed twice (the normalizing total + the join left
+    // side) — uncached, the full-corpus tokenize+aggregate runs twice
+    val bySource = graft.Caches.track(Tables.documents(spark, sfDir)
       .select($"source", Text.tokenCount($"text").as("n"))
       .groupBy($"source").agg(sum($"n").as("tokens"))
-      .withColumn("pq", round(sqrt($"tokens") * 1e6, 0).cast("bigint"))
+      .withColumn("pq", round(sqrt($"tokens") * 1e6, 0).cast("bigint")))
     val total = bySource.agg(sum($"pq").as("tot"))
     bySource.crossJoin(broadcast(total))
       .select($"source", $"tokens", round($"pq" / $"tot", 6).as("weight"))
