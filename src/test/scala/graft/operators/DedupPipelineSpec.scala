@@ -45,5 +45,30 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     // non-duplicates are their own canonical
     result.filter(!col("is_duplicate"))
       .filter(col("doc_id") =!= col("canonical_id")).count() shouldBe 0
+    result.unpersist()
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("canonicalizeBest keeps the max-quality member of every cluster") {
+    val best = Dedup.canonicalizeBest(spark, sf).cache()
+    val quality = TextAnalysis.textStats(spark, sf)
+      .select(col("doc_id"), col("quality")).cache()
+
+    // exactly one keeper per cluster, and it is a member of the cluster
+    val perCluster = best.groupBy("canonical_id")
+      .agg(countDistinct("keep_id").as("nk"),
+        sum(when(col("keep"), 1).otherwise(0)).as("nkeep"))
+    perCluster.filter(col("nk") =!= 1).count() shouldBe 0
+    best.filter(col("keep") && col("doc_id") =!= col("keep_id")).count() shouldBe 0
+
+    // keeper quality is the cluster max (doc_id tiebreak on equal quality)
+    val withQ = best.join(quality, "doc_id")
+    val viol = withQ.as("m")
+      .join(withQ.filter(col("keep")).as("k"), "canonical_id")
+      .filter(col("m.quality") > col("k.quality"))
+    viol.count() shouldBe 0
+
+    best.unpersist(); quality.unpersist()
+    graft.Caches.releaseAll(spark)
   }
 }

@@ -31,6 +31,22 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("mixtureWeights: weights normalize to 1 and order by token mass") {
+    import org.apache.spark.sql.functions._
+    val w = Sampling.mixtureWeights(spark, sf).collect()
+    w.length should be > 1
+    // weights sum to ~1 (each rounded to 1e-6; tolerance = n rounding steps)
+    val sum = w.map(_.getAs[Double]("weight")).sum
+    sum shouldBe 1.0 +- (w.length * 1e-6)
+    // temperature 0.5 preserves token-mass ORDER while compressing ratios:
+    // weight ranking == token ranking, and max/min weight ratio is
+    // sqrt of the max/min token ratio
+    val byTokens = w.sortBy(_.getAs[Long]("tokens"))
+    byTokens.map(_.getAs[Double]("weight")).toSeq shouldBe
+      byTokens.map(_.getAs[Double]("weight")).sortBy(identity).toSeq
+    graft.Caches.releaseAll(spark)
+  }
+
   test("tokenBudget selects the maximal hash-order prefix within budget") {
     val budget = 2000L
     val sel = Sampling.tokenBudget(spark, sf, perShardTokens = budget)
