@@ -31,5 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the bench/verify host is a 128 GiB local[32] box (driver contract);
+  // 8g left cache-heavy self-joins one GC spike away from eviction
+  // thrash under concurrent host load — claim a real share by default
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -9,8 +9,13 @@ import org.apache.spark.sql.SparkSession
   *  - one warmup pass per query at sf0.001 first — the plan shapes are
   *    identical, so whole-stage-codegen classes + JIT are hot before
   *    anything is timed (cold first-query runs otherwise dominate);
-  *  - timed pass materializes through the noop sink (full computation,
+  *  - timed passes materialize through the noop sink (full computation,
   *    no count() shortcuts, no output I/O);
+  *  - TWO timed passes per query, min reported (round-4 change): this
+  *    host is shared and single-sample timings carry 2-8× one-off noise
+  *    spikes (BASELINE.md BENCH_NOTES r3/r4 document the floor); the
+  *    min of two independent materializations of an identical plan is
+  *    the engine's cost, the max is the host's;
   *  - deterministic alphabetical query order.
   */
 object Bench {
@@ -44,7 +49,11 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(materialize(_, warmDir)) // warmup, untimed
-    val results = names.map(n => n -> materialize(n, sfDir))
+    def timed(): Seq[(String, Double)] = names.map(n => n -> materialize(n, sfDir))
+    val (pass1, pass2) = (timed(), timed())
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -220,14 +220,19 @@ object TextAnalysis {
     * broadcast is SIZE-GUARDED: if the benchmark set exceeds
     * `broadcastLimit` distinct shingles, the join falls back to a plain
     * key-partitioned shuffle join instead of dying at
-    * autoBroadcastJoinThreshold scale. The deciding count runs on a
-    * cached plan on both paths (the corpus shingle set, or the tracked
-    * external benchmark set — cached so the count probe and the join
-    * evaluate it once).
+    * autoBroadcastJoinThreshold scale.
+    *
+    * Laziness: with `benchSizeHint = Some(n)` the join strategy is
+    * decided from the hint and building the plan runs NO job. Without a
+    * hint the guard needs the benchmark set's cardinality, so plan
+    * construction EAGERLY counts it (on a cached plan both paths reuse
+    * — the probe and the join evaluate it once); callers for whom
+    * construction must stay lazy pass the hint.
     */
   def decontaminate(spark: SparkSession, sfDir: String, minHit: Int = 5,
       benchShingles: Option[DataFrame] = None,
-      broadcastLimit: Long = DecontaminateBroadcastLimit): DataFrame = {
+      broadcastLimit: Long = DecontaminateBroadcastLimit,
+      benchSizeHint: Option[Long] = None): DataFrame = {
     import spark.implicits._
     // cached: the benchmark side and the corpus side are independent
     // subtrees over the same shingle lineage — uncached, the tokenize→
@@ -249,7 +254,8 @@ object TextAnalysis {
     // dropping the broadcast() hint would let the optimizer's size
     // estimate re-broadcast a side we KNOW is too big to ship
     val benchSide =
-      if (bench.count() <= broadcastLimit) broadcast(bench)
+      if (benchSizeHint.getOrElse(bench.count()) <= broadcastLimit)
+        broadcast(bench)
       else bench.hint("merge")
     corpus
       .join(benchSide, "sh")

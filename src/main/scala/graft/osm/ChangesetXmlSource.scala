@@ -37,10 +37,20 @@ class ChangesetXmlSource extends TableProvider with DataSourceRegister {
 }
 
 private[osm] object OsmPbfSourcePaths {
-  def paths(props: Map[String, String]): Seq[String] = {
-    val p = props.get("path").orElse(props.get("paths"))
+  /** `load(a, b, …)` arrives as a JSON-array `paths` property (decoded
+    * verbatim — commas inside a path survive); a single-string `path`
+    * keeps the comma-separated CLI convenience (paths containing
+    * commas must use the multi-arg `load`).
+    */
+  def paths(props: Map[String, String]): Seq[String] =
+    props.get("paths").map(decodeJsonArray)
+      .orElse(props.get("path").map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       .getOrElse(throw new IllegalArgumentException("no path specified"))
-    p.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def decodeJsonArray(json: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readValue(json, classOf[Array[String]]).toSeq
   }
 }
 

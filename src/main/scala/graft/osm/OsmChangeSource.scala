@@ -164,6 +164,18 @@ object OsmChange {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("osm-osc").load(path)
 
+  /** Multi-path form. Paths travel as a JSON-array `paths` option (the
+    * encoding Spark's own multi-arg `load` uses) rather than a comma
+    * join, so a path containing a comma survives intact — including the
+    * single-element case, which `load(paths: _*)` would route through
+    * the comma-split `path` property (Replication batches use this).
+    */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(paths.toArray)
+    spark.read.format("osm-osc").option("paths", json).load()
+  }
+
   /** Apply a diff onto a planet table: union the diff rows (minus the
     * op column) with the base and keep the highest version per (type,
     * id) — deletes survive as visible=false rows, exactly the planet

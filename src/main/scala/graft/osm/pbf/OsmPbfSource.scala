@@ -54,11 +54,8 @@ class OsmPbfSource extends TableProvider with DataSourceRegister {
 }
 
 object OsmPbfSource {
-  private[pbf] def paths(props: Map[String, String]): Seq[String] = {
-    val p = props.get("path").orElse(props.get("paths"))
-      .getOrElse(throw new IllegalArgumentException("osm-pbf: no path specified"))
-    p.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-  }
+  private[pbf] def paths(props: Map[String, String]): Seq[String] =
+    graft.osm.OsmPbfSourcePaths.paths(props)
 
   /** Convenience entry: read a PBF as the planet DataFrame. */
   def read(spark: SparkSession, path: String): DataFrame =

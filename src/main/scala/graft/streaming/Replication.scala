@@ -25,14 +25,27 @@ import graft.osm.OsmChange
   * arrived `.osc` files. Everything downstream reuses the existing
   * batch operators.
   *
-  * Crash safety: the maintained table lives in `gen-<batchId>`
+  * Crash safety: the maintained table lives in `gen-<epoch>-<batchId>`
   * directories under `tableDir` with a `_CURRENT` pointer file replaced
   * via rename (atomic on HDFS/local — same contract as OrcMetadata). A
   * batch replayed after a crash either finds the pointer already at its
   * own generation (fully committed → skip) or re-derives it from the
   * previous generation — and [[OsmChange.applyDiff]] replays are
   * idempotent by its source-priority tiebreak, so a diff applied onto an
-  * already-updated base is a fixpoint.
+  * already-updated base is a fixpoint. The `<epoch>` component is a
+  * random id stored IN the checkpoint directory (`_graft_epoch`): batch
+  * ids restart at 0 whenever the checkpoint is deleted or replaced, so
+  * a name derived from the batchId alone could equal a stale pointer
+  * value from the previous checkpoint's run and silently skip a real
+  * diff. Scoping names to the checkpoint makes a replay-skip possible
+  * only for a batch the SAME checkpoint already committed.
+  *
+  * Readers: [[currentTable]] returns a lazy plan over the generation
+  * the pointer names NOW; `keepGenerations` (default 2) bounds how many
+  * micro-batches may commit before that generation's files are retired.
+  * A reader that cannot materialize within `keepGenerations - 1`
+  * batches of obtaining the plan must either raise `keepGenerations` or
+  * materialize (write/cache) before handing the result on.
   *
   * Scale: each micro-batch is ONE windowed latest-version pass over
   * (base ∪ diff) — the same single entity-key shuffle as the batch
@@ -66,7 +79,12 @@ object Replication {
     */
   def start(spark: SparkSession, diffDir: String, tableDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 100,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      keepGenerations: Int = 2): StreamingQuery = {
+    require(keepGenerations >= 2,
+      "keepGenerations must be >= 2: the committed generation plus its " +
+        "predecessor (crash recovery re-derives from the predecessor)")
+    val epoch = epochId(spark, checkpointDir)
     // binaryFile's fixed schema, declared explicitly (streaming file
     // sources don't infer); only `path` is ever selected, so column
     // pruning keeps the content bytes unread
@@ -92,37 +110,64 @@ object Replication {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val paths = batch.collect().map(_.getString(0))
-        if (paths.nonEmpty) applyBatch(spark, tableDir, batchId, paths.toSeq)
+        if (paths.nonEmpty)
+          applyBatch(spark, tableDir, epoch, batchId, paths.toSeq,
+            keepGenerations)
       }
       .start()
   }
 
   private def applyBatch(spark: SparkSession, tableDir: String,
-      batchId: Long, paths: Seq[String]): Unit = {
-    val gen = s"gen-$batchId"
+      epoch: String, batchId: Long, paths: Seq[String],
+      keepGenerations: Int): Unit = {
+    val gen = s"gen-$epoch-$batchId"
     val cur = readPointer(spark, tableDir)
     if (cur == gen) return // replay of a fully committed batch: skip
     val base = spark.read.format("orc").load(s"$tableDir/$cur")
-    val diff = OsmChange.read(spark, paths.mkString(","))
+    val diff = OsmChange.read(spark, paths)
     OsmChange.applyDiff(base, diff)
       .write.mode("overwrite").format("orc").save(s"$tableDir/$gen")
     writePointer(spark, tableDir, gen)
-    retire(spark, tableDir, keep = Set(gen, cur))
+    retire(spark, tableDir, keep = Set(gen, cur), keepGenerations)
   }
 
-  /** Drop generations other than the committed one and its predecessor
-    * (the predecessor stays for crash recovery of an in-flight reader) —
-    * without retirement a continuous stream leaves one full table copy
-    * per micro-batch on disk.
+  /** Drop old generations — without retirement a continuous stream
+    * leaves one full table copy per micro-batch on disk. The newest
+    * `keepGenerations` directories (by modification time) survive, and
+    * the committed generation + its pointer predecessor always survive
+    * regardless of timestamps (the predecessor is what a crash
+    * recovery re-derives from).
     */
   private def retire(spark: SparkSession, tableDir: String,
-      keep: Set[String]): Unit = {
+      keep: Set[String], keepGenerations: Int): Unit = {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(hadoopConf(spark))
-    fs.listStatus(dir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-") &&
-        !keep.contains(st.getPath.getName))
+    val gens = fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+    val newest = gens.sortBy(-_.getModificationTime)
+      .take(keepGenerations).map(_.getPath.getName).toSet
+    gens.filterNot(st => keep.contains(st.getPath.getName) ||
+        newest.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Random id scoped to (stored inside) the checkpoint directory —
+    * created on first use, read back on resume. Deleting/recreating the
+    * checkpoint mints a new epoch, so generation names from different
+    * checkpoint lifetimes can never collide.
+    */
+  private def epochId(spark: SparkSession, checkpointDir: String): String = {
+    val p = new Path(s"$checkpointDir/_graft_epoch")
+    val fs = p.getFileSystem(hadoopConf(spark))
+    if (!fs.exists(p)) {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val out = fs.create(p, false)
+      try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8).trim
+    finally in.close()
   }
 
   private def hadoopConf(spark: SparkSession): Configuration =

@@ -42,6 +42,33 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(Caches.trackedCount === 0)
   }
 
+  test("releasing one pipeline's scope leaves a concurrent consumer's caches alone") {
+    Caches.releaseAll(spark)
+
+    // consumer A and consumer B hold scopes CONCURRENTLY (distinct
+    // pipelines — identical plans would share one cacheManager entry
+    // and prove nothing)
+    val a = Caches.scope()
+    val fpA = TextAnalysis.fingerprint(spark, sf)
+    assert(fpA.count() > 0)
+    val b = Caches.scope()
+    val mixB = Sampling.mixtureWeights(spark, sf)
+    assert(mixB.count() > 0)
+
+    // A finishing must not clobber B: B's tracked plans stay cached
+    a.release()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "consumer B's caches were dropped by another pipeline's release")
+
+    b.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cacheManager still holds plans after both scopes released")
+
+    // unscoped registrations are unaffected by scope bookkeeping
+    assert(Caches.trackedCount === 0)
+    Caches.releaseAll(spark)
+  }
+
   test("release is idempotent and re-running after release stays correct") {
     Caches.releaseAll(spark)
     val fp = TextAnalysis.fingerprint(spark, sf)

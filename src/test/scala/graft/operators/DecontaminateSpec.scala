@@ -40,6 +40,24 @@ class DecontaminateSpec extends AnyFunSuite with SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("benchSizeHint decides the join strategy without the eager count") {
+    // the hint CONTRADICTS the actual size on both sides, so the chosen
+    // strategy proves the count probe was never consulted (plan
+    // construction stays lazy — advisor round-3 finding)
+    val asHuge = TextAnalysis.decontaminate(spark, sf, minHit = 1,
+      benchSizeHint = Some(Long.MaxValue))
+    assert(!planOf(asHuge).contains("BroadcastHashJoin"),
+      "hint=huge must force the shuffle join even for a tiny bench set")
+    val asTiny = TextAnalysis.decontaminate(spark, sf, minHit = 1,
+      broadcastLimit = 0L, benchSizeHint = Some(0L))
+    assert(planOf(asTiny).contains("BroadcastHashJoin"),
+      "hint<=limit must broadcast without counting")
+    // both paths still produce the same rows
+    assert(asHuge.collect().map(_.toSeq).toSeq ===
+      asTiny.collect().map(_.toSeq).toSeq)
+    Caches.releaseAll(spark)
+  }
+
   test("an external bench set screens the WHOLE corpus (no %97 carve-out)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

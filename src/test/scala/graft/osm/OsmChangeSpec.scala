@@ -94,6 +94,22 @@ class OsmChangeSpec extends AnyFunSuite with Matchers with SparkSpec {
     OsmChange.read(spark, dir.toString).count() shouldBe 4
   }
 
+  test("multi-path read survives a comma inside a path") {
+    // Seq form travels through Spark's JSON-array `paths` option —
+    // a comma-bearing directory name must not be split into two
+    // nonexistent paths (advisor round-3 low finding)
+    val dir = Files.createTempDirectory("osc-comma").resolve("a,b")
+    Files.createDirectories(dir)
+    val f = dir.resolve("one.osc")
+    Files.write(f, osc.getBytes("UTF-8"))
+    val df = OsmChange.read(spark, Seq(f.toString))
+    df.count() shouldBe 4
+    // and two distinct paths in one read union correctly
+    val f2 = dir.resolve("two.osc")
+    Files.write(f2, osc.getBytes("UTF-8"))
+    OsmChange.read(spark, Seq(f.toString, f2.toString)).count() shouldBe 8
+  }
+
   test("non-osmChange root is rejected") {
     val f = writeOsc("bad.osc", gz = false,
       content = "<osm><node id=\"1\"/></osm>")

@@ -100,6 +100,66 @@ class ReplicationSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("recreated checkpoint cannot collide with stale generations") {
+    // One committed batch under checkpoint A leaves the pointer at that
+    // epoch's batch-0 generation. A FRESH checkpoint (B) restarts batch
+    // ids at 0 over the same tableDir — with names derived from the
+    // batchId alone, B's batch 0 would equal the stale pointer and the
+    // diff would be silently skipped (advisor round-3 medium finding).
+    // Epoch-scoped names make B's batch 0 a distinct generation; the
+    // re-read of f1 inside it is harmless (applyDiff replays are
+    // idempotent).
+    val diffDir = Files.createTempDirectory("repl3-diff").toString
+    val tableDir = Files.createTempDirectory("repl3-table").toString
+    val ckA = Files.createTempDirectory("repl3-ckA").toString
+    val ckB = Files.createTempDirectory("repl3-ckB").toString
+
+    val f1 = s"$diffDir/001.osc"
+    Files.write(java.nio.file.Paths.get(f1), osc1.getBytes("UTF-8"))
+    val empty = OsmChange.read(spark, f1).drop("op").where(lit(false))
+    Replication.initialize(empty, tableDir)
+
+    val qA = Replication.start(spark, diffDir, tableDir, ckA)
+    try qA.processAllAvailable() finally qA.stop()
+
+    val f2 = s"$diffDir/002.osc"
+    Files.write(java.nio.file.Paths.get(f2), osc2.getBytes("UTF-8"))
+    val qB = Replication.start(spark, diffDir, tableDir, ckB)
+    try {
+      qB.processAllAvailable()
+      import spark.implicits._
+      val live = Replication.currentTable(spark, tableDir)
+      live.filter($"id" === 1).head().getAs[Long]("version") shouldBe 2L
+      live.filter($"id" === 2).head().getAs[Boolean]("visible") shouldBe false
+    } finally qB.stop()
+  }
+
+  test("keepGenerations widens the retirement window for slow readers") {
+    val diffDir = Files.createTempDirectory("repl4-diff").toString
+    val tableDir = Files.createTempDirectory("repl4-table").toString
+    val ckDir = Files.createTempDirectory("repl4-ck").toString
+
+    val f1 = s"$diffDir/001.osc"
+    Files.write(java.nio.file.Paths.get(f1), osc1.getBytes("UTF-8"))
+    val empty = OsmChange.read(spark, f1).drop("op").where(lit(false))
+    Replication.initialize(empty, tableDir)
+
+    val q = Replication.start(spark, diffDir, tableDir, ckDir,
+      keepGenerations = 3)
+    try {
+      q.processAllAvailable()
+      val f2 = s"$diffDir/002.osc"
+      Files.write(java.nio.file.Paths.get(f2), osc2.getBytes("UTF-8"))
+      q.processAllAvailable()
+      // two committed batches + gen-init: all three inside the window
+      val gens = new java.io.File(tableDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+        .map(_.getName).toSet
+      gens.size shouldBe 3
+      gens should contain("gen-init")
+    } finally q.stop()
+  }
+
   test("restart resumes from the checkpoint without re-applying old files") {
     val diffDir = Files.createTempDirectory("repl2-diff").toString
     val tableDir = Files.createTempDirectory("repl2-table").toString
