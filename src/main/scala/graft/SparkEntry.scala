@@ -61,12 +61,14 @@ object SparkEntry {
     "d05_embed_neardup" -> (Dedup.embeddingNearDup _),
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
     "d08_canonical_best" -> ((s: SparkSession, d: String) => Dedup.canonicalizeBest(s, d)),
+    "d10_passage_dedup" -> ((s: SparkSession, d: String) => Dedup.passageDedup(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s04_centroids" -> ((s: SparkSession, d: String) => Similarity.centroids(s, d)),
     "s05_assign_centroids" -> ((s: SparkSession, d: String) => Similarity.assignToCentroids(s, d)),
+    "s06_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annMultiProbe(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -87,6 +89,7 @@ object SparkEntry {
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "p03_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
     "p04_mixture_weights" -> (Sampling.mixtureWeights _),
+    "p05_apply_mixture" -> ((s: SparkSession, d: String) => Sampling.applyMixture(s, d)),
   )
 
   // Canonical DuckDB tokenization — must stay in lockstep with
@@ -122,7 +125,7 @@ object SparkEntry {
   // key; Spark side uses conv(substring(md5, 1, 4), 16, 10)).
   private val HexBucketCte =
     """b AS (
-      |  SELECT doc_id, lang, text,
+      |  SELECT doc_id, lang, source, text,
       |    CAST((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
       |         + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
       |         + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
@@ -480,6 +483,20 @@ object SparkEntry {
          |JOIN sizes sb ON c.b = sb.doc_id
          |ORDER BY c.a, c.b""".stripMargin,
 
+    // passage hash parity: identical window build (1-based inclusive
+    // list slice = Spark slice(tk, i*20+1, 20)), md5 lowercase hex on
+    // both engines; single distinct agg (no Expand rewrite either side)
+    "d10_passage_dedup" ->
+      s"""WITH ${tkCte("")},
+         |p AS (
+         |  SELECT doc_id, md5(array_to_string(tk[(i-1)*20+1 : i*20], ' ')) AS ph
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) // 20 + 1)) AS i FROM tk) t
+         |)
+         |SELECT ph, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS min_doc
+         |FROM p GROUP BY ph HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY ph""".stripMargin,
+
     "d04_simhash" ->
       s"""WITH ${tkCte("")},
          |$ShCte,
@@ -622,6 +639,47 @@ object SparkEntry {
          |  FROM d
          |  JOIN bkt bq ON d.qid = bq.vec_id
          |  JOIN bkt bc ON d.cand = bc.vec_id AND bq.bucket = bc.bucket
+         |  JOIN n nq ON d.qid = nq.vec_id JOIN n nc ON d.cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, bucket, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cand, bucket, cos, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // s02 + hamming-1 multi-probe: each query also probes every bucket
+    // one plane-sign flip away (probe set = bucket XOR single bits;
+    // pairwise distinct, so no pair dedup before the re-rank)
+    "s06_ann_multiprobe" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |dots AS (
+         |  SELECT vec_id, j, sum(x * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+         |  GROUP BY 1, 2
+         |),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |  FROM dots GROUP BY 1
+         |),
+         |probes AS (
+         |  SELECT vec_id, CASE WHEN j = 0 THEN bucket
+         |                      ELSE CAST(xor(bucket, 1 << (j - 1)) AS INT) END AS probe
+         |  FROM bkt CROSS JOIN (SELECT unnest(range(0, 5)) AS j) js
+         |  WHERE vec_id < 8
+         |),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT d.qid, d.cand, bc.bucket, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d
+         |  JOIN probes pq ON d.qid = pq.vec_id
+         |  JOIN bkt bc ON d.cand = bc.vec_id AND pq.probe = bc.bucket
          |  JOIN n nq ON d.qid = nq.vec_id JOIN n nc ON d.cand = nc.vec_id
          |),
          |ranked AS (
@@ -839,5 +897,39 @@ object SparkEntry {
          |s AS (SELECT CAST(sum(pq) AS BIGINT) AS tot FROM p)
          |SELECT source, tokens, round(pq / tot, 6) AS weight
          |FROM p, s ORDER BY source""".stripMargin,
+
+    // mixture applied: integer budget arithmetic end-to-end (the
+    // 1e-6-grid weight recovered as an exact integer, budgets via
+    // integer division) so both engines pick the identical boundary doc
+    "p05_apply_mixture" ->
+      s"""WITH $HexBucketCte,
+         |t AS (
+         |  SELECT source, CAST(sum(len($Toks)) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source
+         |),
+         |p AS (SELECT source,
+         |        CAST(round(sqrt(tokens) * 1e6, 0) AS BIGINT) AS pq FROM t),
+         |s AS (SELECT CAST(sum(pq) AS BIGINT) AS tot FROM p),
+         |wgt AS (SELECT source,
+         |          CAST(round(round(pq / tot, 6) * 1e6, 0) AS BIGINT) AS wq
+         |        FROM p, s),
+         |bud AS (SELECT source,
+         |          CAST((wq * 40000) // (1000000 * 4) AS BIGINT) AS shard_budget
+         |        FROM wgt),
+         |d AS (
+         |  SELECT doc_id, source, md5(text) AS hkey, CAST(hb % 4 AS INT) AS shard,
+         |    CAST(len($Toks) AS INT) AS n_tokens
+         |  FROM b
+         |),
+         |c AS (
+         |  SELECT source, shard, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY hkey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM d
+         |)
+         |SELECT c.source, shard, doc_id, n_tokens, cum_tokens
+         |FROM c JOIN bud ON c.source = bud.source
+         |WHERE cum_tokens <= shard_budget
+         |ORDER BY c.source, shard, cum_tokens, doc_id""".stripMargin,
   )
 }

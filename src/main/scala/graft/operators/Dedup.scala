@@ -37,6 +37,42 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
+  /** Sub-document (passage-level) exact dedup: non-overlapping
+    * `window`-token passages (stride = window, trailing partial window
+    * dropped), hashed and grouped — the standard training-data pass
+    * that catches boilerplate shared ACROSS documents (headers, license
+    * blocks, templated sections) which document-level dedup by
+    * construction cannot see.
+    *
+    * Returns passages appearing in >= 2 distinct documents:
+    * (ph, n_docs, n_occ, min_doc).
+    *
+    * Scale shape: one explode (corpus tokens / window rows) and ONE
+    * shuffle on the 16-byte passage hash with map-side partials — the
+    * same cost envelope as document-level [[exact]] modulo the fan-out
+    * factor. The single distinct-count aggregates two-phase (no Expand
+    * rewrite: one distinct column only).
+    */
+  def passageDedup(spark: SparkSession, sfDir: String,
+      window: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(window >= 2, "passage window must be >= 2 tokens")
+    // guard: sequence(0, n-1) steps DOWNWARD for n = 0 — gate the
+    // passage build on at least one full window
+    val nWin = floor(size($"tk") / window).cast("int")
+    val passages = when(nWin >= 1,
+      transform(sequence(lit(0), nWin - 1),
+        i => array_join(slice($"tk", i * window + 1, lit(window)), " ")))
+      .otherwise(array().cast("array<string>"))
+    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"doc_id", explode(passages).as("passage"))
+      .groupBy(md5($"passage".cast("binary")).as("ph"))
+      .agg(count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"), min($"doc_id").as("min_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"ph")
+  }
+
   /** doc_id -> distinct 3-shingles, optionally on a deterministic
     * doc_id-mod sample (keeps the all-pairs oracle tractable; the
     * LSH path itself scales to the full corpus).

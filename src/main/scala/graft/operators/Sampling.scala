@@ -124,4 +124,41 @@ object Sampling {
       .select($"shard", $"doc_id", $"n_tokens", $"cum_tokens")
       .orderBy($"shard", $"cum_tokens", $"doc_id")
   }
+
+  /** Materialize a [[mixtureWeights]] mixture: give each source a token
+    * budget proportional to its temperature weight and select its
+    * documents, in content-hash order, until the budget fills — the
+    * step that turns mixing WEIGHTS into an actual mixed corpus.
+    *
+    * Budget arithmetic is integer end-to-end so both engines select the
+    * identical boundary document: the 1e-6-grid weight is recovered as
+    * the exact integer `round(weight * 1e6)` and the per-(source,
+    * shard) budget is `wq * totalTokens DIV (1e6 * shards)` — no float
+    * multiply whose representation could flip a floor.
+    *
+    * Scale shape follows [[tokenBudget]]: the running sum partitions by
+    * (source, shard) — parallelism = sources × shards, so a 100 TB run
+    * raises `shards`, not the per-shard sequential span. The weights
+    * side is sources-cardinality and broadcasts.
+    */
+  def applyMixture(spark: SparkSession, sfDir: String,
+      totalTokens: Long = 40000, shards: Int = 4): DataFrame = {
+    import spark.implicits._
+    val budgets = mixtureWeights(spark, sfDir)
+      .withColumn("wq", round($"weight" * 1e6, 0).cast("bigint"))
+      .withColumn("shard_budget",
+        expr(s"(wq * $totalTokens) DIV (1000000 * $shards)"))
+      .select($"source", $"shard_budget")
+    val w = Window.partitionBy($"source", $"shard").orderBy($"hkey", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("hkey", md5($"text".cast("binary")))
+      .withColumn("shard", (hashBucket($"text") % shards).cast("int"))
+      .withColumn("n_tokens", Text.tokenCount($"text"))
+      .withColumn("cum_tokens", sum($"n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(budgets), "source")
+      .filter($"cum_tokens" <= $"shard_budget")
+      .select($"source", $"shard", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"shard", $"cum_tokens", $"doc_id")
+  }
 }

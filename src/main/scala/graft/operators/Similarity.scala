@@ -226,6 +226,44 @@ object Similarity {
     * pick `planes` so 2^planes ≈ corpus / desired bucket population
     * (e.g. 1e10 vectors at ~1e5 per bucket → planes ≈ 17).
     */
+  /** Two-stage retrieve-then-rerank ANN: multi-probe LSH retrieval
+    * (the query probes its own bucket PLUS every bucket at hamming
+    * distance 1 in plane-sign space — `planes + 1` probes) and an
+    * exact-cosine re-rank of the retrieved candidates. Strictly higher
+    * recall than the single-bucket [[annLsh]] for one extra
+    * (small-side) explode: a near neighbor that flips exactly one
+    * plane sign lands one bit away and is recalled here, invisible
+    * there.
+    *
+    * Scale shape: the candidate side never replicates — the TINY query
+    * side explodes ×(planes+1) and broadcasts; the join stays a bucket
+    * equi-join. Probe buckets of one query are pairwise distinct
+    * (distinct single-bit flips), so no pair dedup is needed before the
+    * re-rank.
+    */
+  def annMultiProbe(spark: SparkSession, sfDir: String,
+      planes: Int = 4, dims: Int = 64, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = (0 to planes).map(j =>
+      if (j == 0) $"bucket" else ($"bucket" bitwiseXOR lit(1 << (j - 1))).cast("int"))
+    val q = withNorm(emb.filter($"vec_id" < 8))
+      .withColumn("bucket", lshBucket($"embedding", planes, dims))
+      .withColumn("probe", explode(array(probes: _*)))
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), $"probe")
+    val c = withNorm(emb.filter($"vec_id" % 20 === 0))
+      .withColumn("bucket", lshBucket($"embedding", planes, dims))
+    val scored = c.join(broadcast(q), $"bucket" === $"probe")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand"), $"bucket",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= topK)
+      .orderBy($"qid", $"rnk")
+  }
+
   def annLsh(spark: SparkSession, sfDir: String,
       planes: Int = 4, dims: Int = 64): DataFrame = {
     import spark.implicits._

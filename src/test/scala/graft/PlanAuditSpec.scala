@@ -54,8 +54,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // aggregate finalization (q14 — one partial count row per task), or
     // a normalizing sum over per-GROUP aggregates of a tiny key space
     // (p04 — one row per source, source cardinality is a corpus
-    // constant, not corpus-proportional).
-    val bounded = Set("q19_topk_limit", "q14_exists_anti", "p04_mixture_weights")
+    // constant, not corpus-proportional; p05 inherits exactly p04's
+    // normalizer on its broadcast budgets side, same bound).
+    val bounded = Set("q19_topk_limit", "q14_exists_anti",
+      "p04_mixture_weights", "p05_apply_mixture")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { plan(name) should not include "Exchange SinglePartition" }
   }

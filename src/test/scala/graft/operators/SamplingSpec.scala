@@ -74,4 +74,42 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     sel.count() shouldBe expected
     firstRejected.filter($"first_over" <= budget).count() shouldBe 0
   }
+
+  test("applyMixture respects each source's weighted budget exactly") {
+    import spark.implicits._
+    val shards = 4
+    val total = 40000L
+    val sel = Sampling.applyMixture(spark, sf, total, shards)
+    // recompute the integer budgets from the declared weights
+    val budgets = Sampling.mixtureWeights(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        math.round(r.getDouble(2) * 1e6) * total / (1000000L * shards))
+      .toMap
+    val perShard = sel.groupBy($"source", $"shard")
+      .agg(sum($"n_tokens").as("tok"), max($"cum_tokens").as("cum"))
+      .collect()
+    perShard should not be empty
+    perShard.foreach { r =>
+      val b = budgets(r.getString(0))
+      withClue(s"source ${r.getString(0)} shard ${r.getInt(1)}: ") {
+        r.getLong(r.fieldIndex("tok")) should be <= b
+        r.getLong(r.fieldIndex("cum")) should be <= b
+      }
+    }
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("applyMixture grows monotonically with the total budget") {
+    import spark.implicits._
+    // a doc selected at budget B stays selected at 2B (hash order is
+    // budget-independent, prefixes nest) — the reproducibility property
+    // a resumable 100 TB mixing run depends on
+    val small = Sampling.applyMixture(spark, sf, 40000L).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val large = Sampling.applyMixture(spark, sf, 80000L).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    small.subsetOf(large) shouldBe true
+    large.size should be >= small.size
+    graft.Caches.releaseAll(spark)
+  }
 }

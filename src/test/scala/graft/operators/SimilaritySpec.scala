@@ -61,6 +61,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     recall should be >= 0.8
   }
 
+  test("multiprobe dominates single-bucket LSH rank-wise and in recall") {
+    val sf01 = "/root/testdata/sf0.01"
+    // rank-wise dominance: retrieving a superset of candidates can only
+    // raise (or keep) the cosine at every rank of the re-ranked top-k
+    def byRank(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getInt(r.fieldIndex("rnk"))) ->
+        r.getDouble(r.fieldIndex("cos"))).toMap
+    val single = byRank(Similarity.annLsh(spark, sf01).collect())
+    val multi = byRank(Similarity.annMultiProbe(spark, sf01).collect())
+    single.foreach { case (key, cosSingle) =>
+      withClue(s"query/rank $key: ") {
+        multi(key) should be >= cosSingle
+      }
+    }
+    // and recall@3 vs the exact brute-force truth never drops
+    val truth = Similarity.annBruteForce(spark, sf01).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]) =
+      truth.intersect(rows.map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("cand")))).toSet).size.toDouble / truth.size
+    val rMulti = recall(Similarity.annMultiProbe(spark, sf01).collect())
+    val rSingle = recall(Similarity.annLsh(spark, sf01).collect())
+    rMulti should be >= rSingle
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
