@@ -40,6 +40,7 @@ object SparkEntry {
     "q15_regex_extract" -> (Relational.regexExtract _),
     "q16_daily_windows" -> (Relational.dailyEventWindows _),
     "q17_rollup" -> (Relational.rollupAgg _),
+    "q30_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q18_setops" -> (Relational.setOps _),
     "q19_topk_limit" -> (Relational.topKLimit _),
     "q20_json_extract" -> (Relational.jsonExtract _),
@@ -69,6 +70,7 @@ object SparkEntry {
     "s04_centroids" -> ((s: SparkSession, d: String) => Similarity.centroids(s, d)),
     "s05_assign_centroids" -> ((s: SparkSession, d: String) => Similarity.assignToCentroids(s, d)),
     "s06_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annMultiProbe(s, d)),
+    "s07_matryoshka" -> ((s: SparkSession, d: String) => Similarity.annMatryoshka(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -305,6 +307,15 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, CAST(date_trunc('month', o_orderdate) AS DATE))
         |ORDER BY gid, o_orderstatus, month""".stripMargin,
+
+    "q30_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q18_setops" ->
       """SELECT 'both' AS kind, nkey FROM (
@@ -688,6 +699,53 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, cand, bucket, cos, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // matryoshka two-stage: shortlist on the rounded 16-dim-prefix
+    // cosine (cand tiebreak — both engines shortlist identically),
+    // exact full-dim re-rank of the shortlist only
+    "s07_matryoshka" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |ns AS (SELECT vec_id, sum(x * x) AS snrm FROM e WHERE i <= 16 GROUP BY 1),
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |dsub AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |    AND q.i <= 16
+         |  GROUP BY 1, 2
+         |),
+         |coarse AS (
+         |  SELECT d.qid, d.cand,
+         |    round(dp / sqrt(nq.snrm * nc.snrm), 6) AS sub_cos
+         |  FROM dsub d
+         |  JOIN ns nq ON d.qid = nq.vec_id JOIN ns nc ON d.cand = nc.vec_id
+         |),
+         |short AS (
+         |  SELECT qid, cand, sub_cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sub_cos DESC, cand) AS srn
+         |  FROM coarse
+         |),
+         |dfull AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |reranked AS (
+         |  SELECT s.qid, s.cand, s.sub_cos,
+         |    round(df.dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM short s
+         |  JOIN dfull df ON s.qid = df.qid AND s.cand = df.cand
+         |  JOIN n nq ON s.qid = nq.vec_id JOIN n nc ON s.cand = nc.vec_id
+         |  WHERE s.srn <= 10
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, sub_cos, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM reranked
+         |)
+         |SELECT qid, cand, sub_cos, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
 
     // s04/s05 arithmetic is EXACT: components quantize to 1e-6-grid
     // integers first, so every aggregate is an order-free integer sum —

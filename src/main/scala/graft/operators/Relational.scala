@@ -269,6 +269,25 @@ object Relational {
       .orderBy($"gid", $"o_orderstatus", $"month")
   }
 
+  /** GROUPING SETS — the arbitrary-subset aggregation rollup/cube
+    * cannot express: {(status, priority), (status), (priority)} — note
+    * the deliberately asymmetric set (no grand total), exactly what
+    * only GROUPING SETS can declare. Same Expand-based single-shuffle
+    * plan family as rollup (q17) / cube (q24); `grouping_id()` matches
+    * DuckDB's GROUPING() bitmask.
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+          Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+  }
+
   /** INTERSECT / EXCEPT set operations (distinct semantics). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

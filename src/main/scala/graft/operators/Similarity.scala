@@ -226,6 +226,49 @@ object Similarity {
     * pick `planes` so 2^planes ≈ corpus / desired bucket population
     * (e.g. 1e10 vectors at ~1e5 per bucket → planes ≈ 17).
     */
+  /** Matryoshka-style two-stage retrieval: shortlist by cosine over the
+    * FIRST `sublen` dimensions only (at sublen=16 of 64 the scan costs
+    * 1/4 the FLOPs of the full-dim pass — truncation-trained embedding
+    * families make the prefix a usable coarse representation), then an
+    * exact full-dimension re-rank of the per-query shortlist.
+    *
+    * Scale shape: the expensive stage (all candidates) runs on the
+    * short prefix; the full vectors are touched only for shortlist ×
+    * queries rows. Shortlist membership ranks on the ROUNDED truncated
+    * cosine with a cand tiebreak, so both engines shortlist
+    * identically.
+    */
+  def annMatryoshka(spark: SparkSession, sfDir: String, sublen: Int = 16,
+      shortlist: Int = 10, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    def sub(c: Column) = slice(c, 1, sublen)
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        norm2($"embedding").as("q_nrm"),
+        sub($"embedding").as("q_sub"), norm2(sub($"embedding")).as("q_snrm"))
+    val c = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("cand"), $"embedding",
+        norm2($"embedding").as("nrm"),
+        sub($"embedding").as("c_sub"), norm2(sub($"embedding")).as("snrm"))
+    val coarse = c.crossJoin(broadcast(q))
+      .filter($"cand" =!= $"qid")
+      .withColumn("sub_cos",
+        round(dot($"q_sub", $"c_sub") / sqrt($"q_snrm" * $"snrm"), 6))
+    val wShort = Window.partitionBy($"qid").orderBy($"sub_cos".desc, $"cand")
+    val shortRows = coarse
+      .withColumn("srn", row_number().over(wShort))
+      .filter($"srn" <= shortlist)
+    val wFinal = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    shortRows
+      .withColumn("cos",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6))
+      .withColumn("rnk", row_number().over(wFinal).cast("int"))
+      .filter($"rnk" <= topK)
+      .select($"qid", $"cand", $"sub_cos", $"cos", $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Two-stage retrieve-then-rerank ANN: multi-probe LSH retrieval
     * (the query probes its own bucket PLUS every bucket at hamming
     * distance 1 in plane-sign space — `planes + 1` probes) and an

@@ -88,6 +88,26 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     rMulti should be >= rSingle
   }
 
+  test("matryoshka re-rank cosines are the exact full-dim values") {
+    val sf01 = "/root/testdata/sf0.01"
+    // the re-rank stage must reproduce the brute-force cosine exactly
+    // for every (query, candidate) it retrieves — truncation may lose
+    // candidates (that's the recall trade), it must never distort scores
+    val exact = Similarity.annBruteForce(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Similarity.annMatryoshka(spark, sf01).collect()
+    rows should not be empty
+    rows.groupBy(_.getLong(0)).values.foreach(_.length should be <= 3)
+    rows.foreach { r =>
+      val key = (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("cand")))
+      exact.get(key).foreach { c =>
+        withClue(s"pair $key: ") {
+          r.getDouble(r.fieldIndex("cos")) shouldBe c
+        }
+      }
+    }
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
