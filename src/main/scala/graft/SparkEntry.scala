@@ -79,6 +79,7 @@ object SparkEntry {
     "t05_bpe_tokens" -> (TextAnalysis.bpeTokenCount _),
     "t06_repetition" -> (TextAnalysis.repetition _),
     "t07_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
+    "t08_token_rarity" -> (TextAnalysis.tokenRarity _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -870,6 +871,20 @@ object SparkEntry {
          |SELECT n, CAST(row_number() OVER (PARTITION BY n ORDER BY freq DESC, gram) AS INT) AS rnk,
          |  gram, freq
          |FROM allg ORDER BY n, rnk""".stripMargin,
+
+    // integer arithmetic until the final rounded division (no float
+    // logs — the cross-engine-exact stand-in for unigram perplexity)
+    "t08_token_rarity" ->
+      s"""WITH ${tkCte("")},
+         |tox AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+         |d AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok FROM tox) u GROUP BY tok
+         |)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(df) AS BIGINT) / count(*), 6) AS mean_df
+         |FROM tox t JOIN d USING (tok)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "d07_decontaminate" ->
       s"""WITH ${tkCte("")},

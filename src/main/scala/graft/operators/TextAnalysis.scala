@@ -265,6 +265,36 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Token-rarity quality score: each document's mean corpus document
+    * frequency over its token OCCURRENCES — a float-log-free stand-in
+    * for the unigram-perplexity quality filter (high mean df =
+    * common-token boilerplate; low = rare-token / noisy text). All
+    * arithmetic is integer until the final rounded division, so both
+    * engines agree exactly (the [[Sampling.mixtureWeights]] rule —
+    * avoiding ln/log whose cross-engine 1-ulp wobble could flip a
+    * rounding).
+    *
+    * Scale shape: the document-frequency table is one (token) shuffle
+    * with map-side partials; scoring is a token→df equi-join + one
+    * doc_id aggregation — the same cost envelope as [[fingerprint]]
+    * minus its ranking pass (df needs no dense ids).
+    */
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // cached: consumed by the df build AND the scoring join
+    val toks = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+        .select($"doc_id", explode($"tk").as("tok")))
+    val df = toks.select($"doc_id", $"tok").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    toks.join(df, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"df").as("df_sum"))
+      .select($"doc_id", $"n_tokens",
+        round($"df_sum" / $"n_tokens", 6).as("mean_df"))
+      .orderBy($"doc_id")
+  }
+
   /** Positional document fingerprint: sum(pos * token_id) mod P over the
     * token stream, token ids from the sorted global vocabulary.
     *
