@@ -28,11 +28,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default forked-JVM heap: a quarter of physical RAM, clamped to
+// [4g, 32g] (the bench/verify host is a 128 GiB local[32] box — the old
+// flat 8g left cache-heavy self-joins one GC spike away from eviction
+// thrash there, while a flat 32g would invite the OOM killer on a
+// 16 GiB contributor machine). SPARK_DRIVER_MEM overrides.
+val defaultHeapGb: Int = scala.util.Try {
+  val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+    .collectFirst { case l if l.startsWith("MemTotal:") =>
+      l.split("\\s+")(1).toLong }.get
+  math.max(4L, math.min(32L, kb / 1024 / 1024 / 4)).toInt
+}.getOrElse(8)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // the bench/verify host is a 128 GiB local[32] box (driver contract);
-  // 8g left cache-heavy self-joins one GC spike away from eviction
-  // thrash under concurrent host load — claim a real share by default
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -14,8 +14,10 @@ import org.apache.spark.storage.StorageLevel
   * pipeline can no longer clobber caches a concurrent consumer of the
   * same session still needs (advisor round-3 finding).
   */
-final class CacheScope private[graft] (onRelease: CacheScope => Unit) {
+final class CacheScope private[graft] () {
   private val cleanups = new ConcurrentLinkedQueue[() => Unit]()
+
+  @volatile private[graft] var closed: Boolean = false
 
   private[graft] def add(f: () => Unit): Unit = cleanups.add(f)
 
@@ -27,10 +29,13 @@ final class CacheScope private[graft] (onRelease: CacheScope => Unit) {
   private[graft] def size: Int = cleanups.size()
 
   /** Unpersist everything this scope tracked and close it (subsequent
-    * registrations on the thread fall through to the enclosing scope).
-    * Idempotent.
+    * registrations on the opener thread fall through to the enclosing
+    * scope). Idempotent, and safe to call from any thread: closing
+    * only flips a flag — the opener thread's stack lazily prunes
+    * closed scopes on its next registration, so a supervisor releasing
+    * a worker's scope cannot corrupt the worker's thread-local state.
     */
-  def release(): Unit = { onRelease(this); drain() }
+  def release(): Unit = { closed = true; drain() }
 }
 
 /** Registry-based cache lifecycle for composed operator pipelines.
@@ -59,24 +64,42 @@ final class CacheScope private[graft] (onRelease: CacheScope => Unit) {
   */
 object Caches {
 
-  private val defaultScope = new CacheScope(_ => ())
+  private val defaultScope = new CacheScope()
 
   private val stack = new ThreadLocal[List[CacheScope]] {
     override def initialValue(): List[CacheScope] = Nil
   }
 
   /** Open a pipeline-scoped registry and make it the calling thread's
-    * registration target until released (scopes nest; innermost wins).
+    * registration target until released (scopes nest; innermost open
+    * scope wins). The caller owns the release: wrap in try/finally, or
+    * use [[scoped]] which does it for you — a scope that is never
+    * released keeps receiving this thread's registrations.
     */
   def scope(): CacheScope = {
-    val s = new CacheScope(done => stack.set(stack.get.filterNot(_ eq done)))
+    val s = new CacheScope()
     stack.set(s :: stack.get)
     s
   }
 
-  private def current: CacheScope = stack.get match {
-    case s :: _ => s
-    case Nil => defaultScope
+  /** Bracket form: open a scope, run `f` with it, release on ALL exits
+    * (including exceptions — registrations made before the failure are
+    * unpersisted, nothing leaks onto the thread's scope stack).
+    */
+  def scoped[T](f: CacheScope => T): T = {
+    val s = scope()
+    try f(s) finally s.release()
+  }
+
+  private def current: CacheScope = {
+    // lazily prune scopes released (possibly from another thread)
+    // since this thread last registered
+    val open = stack.get.dropWhile(_.closed)
+    stack.set(open)
+    open match {
+      case s :: _ => s
+      case Nil => defaultScope
+    }
   }
 
   /** Persist `ds` and register it with the current scope. */

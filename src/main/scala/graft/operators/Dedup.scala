@@ -56,21 +56,30 @@ object Dedup {
   def passageDedup(spark: SparkSession, sfDir: String,
       window: Int = 20): DataFrame = {
     import spark.implicits._
-    require(window >= 2, "passage window must be >= 2 tokens")
-    // guard: sequence(0, n-1) steps DOWNWARD for n = 0 — gate the
-    // passage build on at least one full window
-    val nWin = floor(size($"tk") / window).cast("int")
-    val passages = when(nWin >= 1,
-      transform(sequence(lit(0), nWin - 1),
-        i => array_join(slice($"tk", i * window + 1, lit(window)), " ")))
-      .otherwise(array().cast("array<string>"))
     Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
-      .select($"doc_id", explode(passages).as("passage"))
-      .groupBy(md5($"passage".cast("binary")).as("ph"))
+      .select($"doc_id", explode(passageHashes($"tk", window)).as("ph"))
+      .groupBy($"ph")
       .agg(count_distinct($"doc_id").as("n_docs"),
         count(lit(1)).as("n_occ"), min($"doc_id").as("min_doc"))
       .filter($"n_docs" >= 2)
       .orderBy($"ph")
+  }
+
+  /** md5 per non-overlapping `window`-token passage of a token array —
+    * the single definition of [[passageDedup]]'s window semantics
+    * (PassageDedupSpec recomputes expectations through this, so the
+    * operator and its test cannot drift apart).
+    */
+  private[operators] def passageHashes(tk: Column, window: Int): Column = {
+    require(window >= 2, "passage window must be >= 2 tokens")
+    // guard: sequence(0, n-1) steps DOWNWARD for n = 0 — gate the
+    // passage build on at least one full window
+    val nWin = floor(size(tk) / window).cast("int")
+    when(nWin >= 1,
+      transform(sequence(lit(0), nWin - 1),
+        i => md5(array_join(slice(tk, i * window + 1, lit(window)), " ")
+          .cast("binary"))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** doc_id -> distinct 3-shingles, optionally on a deterministic

@@ -133,8 +133,13 @@ object Sampling {
     * Budget arithmetic is integer end-to-end so both engines select the
     * identical boundary document: the 1e-6-grid weight is recovered as
     * the exact integer `round(weight * 1e6)` and the per-(source,
-    * shard) budget is `wq * totalTokens DIV (1e6 * shards)` — no float
-    * multiply whose representation could flip a floor.
+    * shard) budget is `(wq * totalTokens) DIV (1e6 * shards)` — no
+    * float multiply whose representation could flip a floor. The
+    * product is computed via the split `wq*(T div M) + (wq*(T mod M))
+    * div M` (M = 1e6·shards): same integer, but the largest
+    * intermediate is bounded by `totalTokens / shards + 1e6·M`, so a
+    * 100 TB-scale token budget (~2.5e13 — where the naive `wq * T`
+    * product overflows int64 under ANSI mode) stays exact.
     *
     * Scale shape follows [[tokenBudget]]: the running sum partitions by
     * (source, shard) — parallelism = sources × shards, so a 100 TB run
@@ -144,10 +149,11 @@ object Sampling {
   def applyMixture(spark: SparkSession, sfDir: String,
       totalTokens: Long = 40000, shards: Int = 4): DataFrame = {
     import spark.implicits._
+    val m = 1000000L * shards
+    val (tq, tr) = (totalTokens / m, totalTokens % m)
     val budgets = mixtureWeights(spark, sfDir)
       .withColumn("wq", round($"weight" * 1e6, 0).cast("bigint"))
-      .withColumn("shard_budget",
-        expr(s"(wq * $totalTokens) DIV (1000000 * $shards)"))
+      .withColumn("shard_budget", expr(s"wq * $tq + (wq * $tr) DIV $m"))
       .select($"source", $"shard_budget")
     val w = Window.partitionBy($"source", $"shard").orderBy($"hkey", $"doc_id")
     Tables.documents(spark, sfDir)

@@ -215,17 +215,6 @@ object Similarity {
     (0 until planes).map(j => when(planeDot(emb, j, dims) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _).cast("int")
 
-  /** LSH-bucketed ANN (the scale path): candidates are only probed
-    * within the query's bucket — the cross join becomes an equi-join on
-    * bucket. Same query/candidate sets as annBruteForce; top-3 within
-    * bucket. Recall < 1 by design; the oracle computes the identical
-    * algorithm so results still hash-match.
-    *
-    * `planes`/`dims` flow through to [[lshBucket]] — the defaults are
-    * calibrated to the tiny test table; SIZING CONTRACT (COVERAGE.md):
-    * pick `planes` so 2^planes ≈ corpus / desired bucket population
-    * (e.g. 1e10 vectors at ~1e5 per bucket → planes ≈ 17).
-    */
   /** Matryoshka-style two-stage retrieval: shortlist by cosine over the
     * FIRST `sublen` dimensions only (at sublen=16 of 64 the scan costs
     * 1/4 the FLOPs of the full-dim pass — truncation-trained embedding
@@ -307,6 +296,17 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** LSH-bucketed ANN (the scale path): candidates are only probed
+    * within the query's bucket — the cross join becomes an equi-join on
+    * bucket. Same query/candidate sets as annBruteForce; top-3 within
+    * bucket. Recall < 1 by design; the oracle computes the identical
+    * algorithm so results still hash-match.
+    *
+    * `planes`/`dims` flow through to [[lshBucket]] — the defaults are
+    * calibrated to the tiny test table; SIZING CONTRACT (COVERAGE.md):
+    * pick `planes` so 2^planes ≈ corpus / desired bucket population
+    * (e.g. 1e10 vectors at ~1e5 per bucket → planes ≈ 17).
+    */
   def annLsh(spark: SparkSession, sfDir: String,
       planes: Int = 4, dims: Int = 64): DataFrame = {
     import spark.implicits._

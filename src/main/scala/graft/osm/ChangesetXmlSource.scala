@@ -38,20 +38,24 @@ class ChangesetXmlSource extends TableProvider with DataSourceRegister {
 
 private[osm] object OsmPbfSourcePaths {
   /** `load(a, b, …)` arrives as a JSON-array `paths` property (decoded
-    * verbatim — commas inside a path survive); a single-string `path`
-    * keeps the comma-separated CLI convenience (paths containing
-    * commas must use the multi-arg `load`).
+    * verbatim — commas inside a path survive). A non-JSON `paths` or a
+    * single-string `path` keeps the comma-separated convenience callers
+    * of `.option("path(s)", "a,b")` relied on before round 4 (paths
+    * containing commas must use the multi-arg `load` / JSON form).
     */
   def paths(props: Map[String, String]): Seq[String] =
-    props.get("paths").map(decodeJsonArray)
-      .orElse(props.get("path").map(
-        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    props.get("paths").map(decode)
+      .orElse(props.get("path").map(commaSplit))
       .getOrElse(throw new IllegalArgumentException("no path specified"))
 
-  private def decodeJsonArray(json: String): Seq[String] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    mapper.readValue(json, classOf[Array[String]]).toSeq
-  }
+  private def decode(s: String): Seq[String] =
+    if (s.trim.startsWith("[")) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(s, classOf[Array[String]]).toSeq
+    } else commaSplit(s)
+
+  private def commaSplit(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 }
 
 class ChangesetXmlTable(paths: Seq[String]) extends Table with SupportsRead {

@@ -155,19 +155,39 @@ object Replication {
     * created on first use, read back on resume. Deleting/recreating the
     * checkpoint mints a new epoch, so generation names from different
     * checkpoint lifetimes can never collide.
+    *
+    * Creation is crash- and race-safe: the id is written to a temp file
+    * and published with a no-overwrite rename, so the epoch file either
+    * exists with full content or not at all (a crash mid-write can
+    * never leave an empty id that would degrade names to batchId-only),
+    * and of two concurrent starts exactly one rename wins — the loser
+    * reads the winner's id.
     */
   private def epochId(spark: SparkSession, checkpointDir: String): String = {
-    val p = new Path(s"$checkpointDir/_graft_epoch")
-    val fs = p.getFileSystem(hadoopConf(spark))
+    val conf = hadoopConf(spark)
+    val dir = new Path(checkpointDir)
+    val p = new Path(dir, "_graft_epoch")
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) {
       val id = java.util.UUID.randomUUID().toString.take(8)
-      val out = fs.create(p, false)
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val tmp = new Path(dir, s"._graft_epoch.$id.tmp")
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      try FileContext.getFileContext(dir.toUri, conf).rename(tmp, p)
+      catch { // lost the race: another start() published first
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          fs.delete(tmp, false)
+      }
     }
     val in = fs.open(p)
-    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+    val id = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
       StandardCharsets.UTF_8).trim
     finally in.close()
+    require(id.nonEmpty, s"corrupt epoch file $p: empty id")
+    id
   }
 
   private def hadoopConf(spark: SparkSession): Configuration =

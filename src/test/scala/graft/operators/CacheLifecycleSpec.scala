@@ -69,6 +69,25 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("scoped releases on exception and does not hijack the thread's stack") {
+    Caches.releaseAll(spark)
+    intercept[RuntimeException] {
+      Caches.scoped { _ =>
+        assert(TextAnalysis.fingerprint(spark, sf).count() > 0)
+        throw new RuntimeException("pipeline failed mid-build")
+      }
+    }
+    // the failed pipeline's caches were released by the bracket
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scoped did not release caches on the exception path")
+    // and the thread's registration target fell back to the default
+    // scope — a later unscoped pipeline is NOT captured by a dead scope
+    assert(TextAnalysis.fingerprint(spark, sf).count() > 0)
+    assert(Caches.trackedCount > 0,
+      "unscoped registration was captured by a leaked scope")
+    Caches.releaseAll(spark)
+  }
+
   test("release is idempotent and re-running after release stays correct") {
     Caches.releaseAll(spark)
     val fp = TextAnalysis.fingerprint(spark, sf)

@@ -33,15 +33,8 @@ class PassageDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
       .join(docs, col("keep_id") === col("doc_id"))
       .select(col("doc_id"), col("text"))
     val tk = graft.functions.Text.tokenized(dupKeeps, "doc_id", "text")
-    // ScalaTest Matchers shadows functions.size — qualify explicitly
-    val nWin = floor(org.apache.spark.sql.functions.size(col("tk")) / 20)
-      .cast("int")
-    val windows = when(nWin >= 1,
-      transform(sequence(lit(0), nWin - 1),
-        i => md5(array_join(slice(col("tk"), i * 20 + 1, lit(20)), " ")
-          .cast("binary"))))
-      .otherwise(array().cast("array<string>"))
-    val expected = tk.select(explode(windows).as("ph"))
+    val expected = tk
+      .select(explode(Dedup.passageHashes(col("tk"), 20)).as("ph"))
       .collect().map(_.getString(0)).toSet
     expected should not be empty
     val reported = Dedup.passageDedup(spark, sf)
