@@ -51,6 +51,10 @@ object ProfileScaleSweep {
       time("simhash_pairs_hashed")(Dedup.simHashPairsHashed(spark, dir))
       time("exact_dedup")(Dedup.exact(spark, dir))
       time("fingerprint")(TextAnalysis.fingerprint(spark, dir))
+      // round-4 operators over the documents table
+      time("passage_dedup")(Dedup.passageDedup(spark, dir))
+      time("token_rarity")(TextAnalysis.tokenRarity(spark, dir))
+      time("apply_mixture")(Sampling.applyMixture(spark, dir))
     }
     spark.stop()
   }
