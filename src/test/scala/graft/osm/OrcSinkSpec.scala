@@ -40,6 +40,27 @@ class OrcSinkSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("query workload answers identically on converted ORC and direct PBF") {
+    // the core user journey: convert once, query the ORC table — every
+    // analytic must give the answer the source gives (ORC round-trip
+    // relaxes nullability flags; semantics must not move)
+    val pbf = PbfTestData.writeSample(Files.createTempDirectory("pbf-q"))
+    val out = Files.createTempDirectory("orc-q").resolve("planet.orc").toString
+    val src = spark.read.format("osm-pbf").load(pbf)
+    OrcSink.writePlanet(src, out, bounds = OrcSink.pbfBounds(spark, pbf))
+    val orc = spark.read.orc(out)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    rows(OsmQueries.latestVersions(orc)
+        .orderBy("type", "id")) shouldBe
+      rows(OsmQueries.latestVersions(src).orderBy("type", "id"))
+    rows(OsmQueries.reassembleWays(orc).orderBy("way_id")) shouldBe
+      rows(OsmQueries.reassembleWays(src).orderBy("way_id"))
+    rows(OsmQueries.tagUsageByMonth(orc, "highway")) shouldBe
+      rows(OsmQueries.tagUsageByMonth(src, "highway"))
+  }
+
   test("changesets XML → ORC round-trip") {
     val dir = Files.createTempDirectory("cs")
     val f = dir.resolve("c.osm")
