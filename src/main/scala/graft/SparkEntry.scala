@@ -63,6 +63,7 @@ object SparkEntry {
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
     "d08_canonical_best" -> ((s: SparkSession, d: String) => Dedup.canonicalizeBest(s, d)),
     "d10_passage_dedup" -> ((s: SparkSession, d: String) => Dedup.passageDedup(s, d)),
+    "d11_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.clusterStats(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "t06_repetition" -> (TextAnalysis.repetition _),
     "t07_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
     "t08_token_rarity" -> (TextAnalysis.tokenRarity _),
+    "t09_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -87,6 +89,7 @@ object SparkEntry {
     // —— extensions: multimodal plumbing ——
     "m01_media_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_hashes" -> ((s: SparkSession, d: String) => Multimodal.frameHashes(s, d)),
+    "m03_media_neardup" -> ((s: SparkSession, d: String) => Multimodal.mediaNearDup(s, d)),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -569,6 +572,21 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // cluster-size histogram over d06's components (the dedup-run
+    // observability rollup)
+    "d11_cluster_stats" ->
+      s"""WITH RECURSIVE $CanonCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |),
+         |sz AS (
+         |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM allc GROUP BY 1
+         |)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // d06's clusters + t01's quality score: keep each cluster's
     // highest-quality member (quality desc, doc_id tiebreak).
     "d08_canonical_best" ->
@@ -886,6 +904,21 @@ object SparkEntry {
          |FROM tox t JOIN d USING (tok)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    // novelty = share of shingle OCCURRENCES whose shingle has df == 1;
+    // integer counts until the final rounded division
+    "t09_ngram_novelty" ->
+      s"""WITH ${tkCte("")},
+         |$ShxCte,
+         |d AS (
+         |  SELECT sh, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, sh FROM shx) u GROUP BY sh
+         |)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |        / count(*), 6) AS novelty
+         |FROM shx s JOIN d USING (sh)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
     "d07_decontaminate" ->
       s"""WITH ${tkCte("")},
          |$ShCte,
@@ -928,6 +961,19 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST((i - 1) // 48 + 1 AS INT) AS frame_no, md5(frame) AS frame_hash
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    // shared-frame near-dup: distinct (doc, frame-hash) sets from the
+    // m02 frame slicing, one equi-join on the hash, pair overlap count
+    "m03_media_neardup" ->
+      """WITH f AS (
+        |  SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 64)) AS fh
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 64 + 2, 48)) AS i
+        |        FROM documents WHERE length(text) >= 64) t
+        |)
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f x JOIN f y ON x.fh = y.fh AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY a, b""".stripMargin,
 
     "p01_hash_sample" ->
       s"""WITH $HexBucketCte

@@ -451,6 +451,21 @@ object Dedup {
     docs.select($"doc_id").join(mapping, "doc_id")
   }
 
+  /** Cluster-size histogram over [[canonicalize]]'s components — the
+    * observability rollup a dedup run reports (how much of the corpus
+    * is boilerplate, how big the worst cluster is). Output cardinality
+    * = number of distinct cluster sizes (tiny at any corpus scale);
+    * adds two cheap aggregations on top of the cluster map.
+    */
+  def clusterStats(spark: SparkSession, sfDir: String,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    clusterMap(spark, sfDir, jaccardThreshold)
+      .groupBy($"canonical_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"cluster_size")
+  }
+
   /** Quality-aware canonical selection — the step after [[canonicalize]]
     * in a real training-data pipeline: instead of keeping each cluster's
     * min doc_id, keep its highest-QUALITY member (TextAnalysis.textStats

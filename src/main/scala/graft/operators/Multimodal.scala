@@ -87,6 +87,39 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_no")
   }
 
+  /** Media-level near-duplicate pairs via shared frame hashes — the
+    * perceptual-dedup shape for video/audio: two media sharing >=
+    * `minShared` distinct frame fingerprints are near-dup candidates
+    * (with a real perceptual hash in place of the stub md5, this is
+    * exactly video dedup). Same banded-join scale shape as the text
+    * LSH family: ONE equi-join on the frame hash, never all-pairs —
+    * and like the simhash hot-bucket cap, frames appearing in more
+    * than `maxFrameDocs` media (black frames, intros) are boilerplate
+    * and excluded via a broadcast anti-join before the quadratic
+    * within-key join.
+    */
+  def mediaNearDup(spark: SparkSession, sfDir: String, frameSize: Int = 64,
+      stride: Int = 48, minShared: Int = 3,
+      maxFrameDocs: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    val payload = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary").as("content"))
+    val fh = graft.Caches.track(
+      frameSample(payload, frameSize, stride)
+        .select($"doc_id", explode($"frames").as("frame"))
+        .select($"doc_id", md5($"frame").as("fh"))
+        .distinct())
+    val hot = fh.groupBy($"fh").agg(count(lit(1)).as("n"))
+      .filter($"n" > maxFrameDocs).select($"fh")
+    val kept = fh.join(broadcast(hot), Seq("fh"), "left_anti")
+    kept.as("x").join(kept.as("y"),
+        $"x.fh" === $"y.fh" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .orderBy($"a", $"b")
+  }
+
   /** Oracle-checked plumbing query: text payloads treated as binary —
     * byte length + content hash (the metadata extraction pass a media
     * pipeline runs before any decode).

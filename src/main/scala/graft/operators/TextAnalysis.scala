@@ -265,6 +265,33 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** N-gram novelty: the share of a document's 3-shingle OCCURRENCES
+    * whose shingle appears in no other document — the inverse of
+    * [[decontaminate]]'s overlap signal (high novelty = original text;
+    * near-zero = assembled from corpus boilerplate). Integer counts
+    * until the final rounded division (cross-engine exact).
+    *
+    * Scale shape: occurrences explode once (cached — consumed by the
+    * document-frequency build and the scoring join), the df table is
+    * one (shingle) shuffle, scoring is a shingle equi-join + one doc_id
+    * aggregation — the [[tokenRarity]] envelope over shingles.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val occ = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+        .select($"doc_id", explode(Text.shingles($"tk")).as("sh")))
+    val df = occ.select($"doc_id", $"sh").distinct()
+      .groupBy($"sh").agg(count(lit(1)).as("df"))
+    occ.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles",
+        round($"n_novel" / $"n_shingles", 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   /** Token-rarity quality score: each document's mean corpus document
     * frequency over its token OCCURRENCES — a float-log-free stand-in
     * for the unigram-perplexity quality filter (high mean df =
