@@ -55,6 +55,31 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("exact-duplicate payloads always surface as media near-dup pairs") {
+    import org.apache.spark.sql.functions._
+    // sf0.1 has 8 planted exact-dup groups; identical payloads share
+    // EVERY frame hash, so each dup pair long enough to yield minShared
+    // frames (>= 64 + 2*48 bytes for 3 frames at the default slicing)
+    // must appear in m03's output
+    val sf = "/root/testdata/sf0.1"
+    val dupPairs = Dedup.exact(spark, sf).filter(col("n_copies") >= 2)
+      .join(graft.Tables.documents(spark, sf)
+          .filter(org.apache.spark.sql.functions.length(col("text")) >= 64 + 2 * 48)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash")),
+        "content_hash")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(least(col("doc_id"), col("keep_id")).as("a"),
+        greatest(col("doc_id"), col("keep_id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    dupPairs.nonEmpty shouldBe true // functions.not shadows Matchers' not here
+    val reported = Multimodal.mediaNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withClue("exact-dup pairs missing from mediaNearDup: ") {
+      (dupPairs -- reported) shouldBe empty
+    }
+    graft.Caches.releaseAll(spark)
+  }
+
   test("mediaMeta matches octet/md5 semantics on real docs") {
     val m = Multimodal.mediaMeta(spark, "/root/testdata/sf0.001")
     val r = m.head()

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+/** Invariants for the round-4 corpus-signal operators beyond their
+  * oracle gates.
+  */
+class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("clusterStats histogram mass equals the corpus size") {
+    // every document sits in exactly one cluster, so
+    // sum(cluster_size * n_clusters) must reproduce the corpus count
+    val total = Tables.documents(spark, sf).count()
+    val mass = Dedup.clusterStats(spark, sf)
+      .agg(sum(col("cluster_size") * col("n_clusters")))
+      .head().getLong(0)
+    mass shouldBe total
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("ngramNovelty is a ratio in [0,1]; exact-dup docs score zero") {
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val nov = r.getDouble(r.fieldIndex("novelty"))
+      nov should (be >= 0.0 and be <= 1.0)
+    }
+    graft.Caches.releaseAll(spark)
+
+    // a doc with an exact duplicate shares every shingle with its twin
+    // → zero of its occurrences are df == 1 (sf0.1: the only scale with
+    // planted exact duplicates)
+    val sf1 = "/root/testdata/sf0.1"
+    val dupIds = Dedup.exact(spark, sf1).filter(col("n_copies") >= 2)
+      .join(Tables.documents(spark, sf1)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash")),
+        "content_hash")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    dupIds should not be empty
+    val novByDoc = TextAnalysis.ngramNovelty(spark, sf1)
+      .filter(col("doc_id").isin(dupIds.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    novByDoc.foreach { case (id, nov) =>
+      withClue(s"doc $id has an exact twin but novelty $nov: ") {
+        nov shouldBe 0.0
+      }
+    }
+    graft.Caches.releaseAll(spark)
+  }
+}
