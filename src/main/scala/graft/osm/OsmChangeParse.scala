@@ -39,15 +39,26 @@ object OsmChangeParse {
   private val Ops = Set("create", "modify", "delete")
   private val Kinds = Set("node", "way", "relation")
 
-  def iterator(in: InputStream): Iterator[ParsedChange] = {
+  def iterator(in: InputStream): Iterator[ParsedChange] =
+    make(in, planet = false)
+
+  /** Planet/history `.osm` XML (osmosis `--read-xml`): same entity
+    * elements directly under an `<osm>` root — no operation containers,
+    * `op` is empty, `visible` defaults true (planet convention; history
+    * dumps carry explicit visible="false" rows).
+    */
+  def planetIterator(in: InputStream): Iterator[ParsedChange] =
+    make(in, planet = true)
+
+  private def make(in: InputStream, planet: Boolean): Iterator[ParsedChange] = {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_COALESCING, true)
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    new ChangeIterator(factory.createXMLStreamReader(in), in)
+    new ChangeIterator(factory.createXMLStreamReader(in), in, planet)
   }
 
-  private final class ChangeIterator(r: XMLStreamReader, in: InputStream)
-      extends Iterator[ParsedChange] {
+  private final class ChangeIterator(r: XMLStreamReader, in: InputStream,
+      planet: Boolean) extends Iterator[ParsedChange] {
     private var nextRec: ParsedChange = _
     private var done = false
     private var sawRoot = false
@@ -73,9 +84,10 @@ object OsmChangeParse {
         else r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
-              case "osmChange" => sawRoot = true
-              case o if Ops(o) && sawRoot => op = o
-              case k if Kinds(k) && op != null =>
+              case "osmChange" if !planet => sawRoot = true
+              case "osm" if planet => sawRoot = true
+              case o if !planet && Ops(o) && sawRoot => op = o
+              case k if Kinds(k) && sawRoot && (planet || op != null) =>
                 kind = k
                 attrs = (0 until r.getAttributeCount)
                   .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
@@ -89,14 +101,15 @@ object OsmChangeParse {
                   r.getAttributeValue(null, "ref").toLong,
                   Option(r.getAttributeValue(null, "role")).getOrElse("")))
               case other if !sawRoot => throw new IllegalStateException(
-                s"This does not appear to be an osmChange file (root <$other>).")
+                s"This does not appear to be an ${if (planet) "osm" else "osmChange"} " +
+                  s"file (root <$other>).")
               case _ => // bounds etc.
             }
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case k if Kinds(k) && kind == k =>
                 nextRec = ParsedChange(
-                  op, kind,
+                  if (planet) "" else op, kind,
                   attr("id").map(_.toLong).getOrElse(
                     throw new IllegalArgumentException(s"$kind without id")),
                   tags.toSeq,

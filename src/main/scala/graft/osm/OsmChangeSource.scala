@@ -46,31 +46,71 @@ object OsmChangeSource {
     StructType(StructField("op", StringType) +: OsmSchemas.Planet.fields)
 }
 
+/** DataSource V2 for planet/history `.osm` XML (the osmosis
+  * `--read-xml` input): the same streaming parse with entities directly
+  * under the `<osm>` root and no operation containers — rows land in
+  * the 13-column planet schema (`op`-free), so the output is
+  * immediately queryable by every planet operator and writable by
+  * OrcSink. One file = one partition (gz/bz2 XML is not splittable);
+  * split a planet-scale import into many files for parallelism.
+  */
+class OsmXmlSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osm-xml"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmSchemas.Planet
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OsmXmlTable(OsmPbfSourcePaths.paths(properties.asScala.toMap))
+}
+
+class OsmXmlTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"osm-xml:${paths.mkString(",")}"
+  override def schema(): StructType = OsmSchemas.Planet
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OsmChangeScanBuilder(paths, planet = true)
+}
+
+/** Façade: `OsmXml.read(spark, path)` — planet XML as the planet table. */
+object OsmXml {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("osm-xml").load(path)
+}
+
 class OsmChangeTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"osm-osc:${paths.mkString(",")}"
   override def schema(): StructType = OsmChangeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OsmChangeScanBuilder(paths)
+    new OsmChangeScanBuilder(paths, planet = false)
 }
 
-class OsmChangeScanBuilder(paths: Seq[String])
+class OsmChangeScanBuilder(paths: Seq[String], planet: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = OsmChangeSource.Schema
+  private def full: StructType =
+    if (planet) OsmSchemas.Planet else OsmChangeSource.Schema
+  private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = OsmXmlUtil.topLevelPrune(OsmChangeSource.Schema, requiredSchema)
+    required = OsmXmlUtil.topLevelPrune(full, requiredSchema)
   override def build(): Scan = new OsmChangeScan(paths, required,
-    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+    planet)
 }
 
 case class OsmChangeInputPartition(path: String) extends InputPartition
 
 class OsmChangeScan(paths: Seq[String], required: StructType,
-    conf: SerializableHadoopConf) extends Scan with Batch {
+    conf: SerializableHadoopConf, planet: Boolean = false)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"OsmChangeScan[${paths.mkString(",")}]"
+  override def description(): String =
+    s"${if (planet) "OsmXmlScan" else "OsmChangeScan"}[${paths.mkString(",")}]"
+
+  private val extensions: Seq[String] =
+    if (planet) Seq(".osm", ".osm.gz", ".osm.bz2") else Seq(".osc", ".osc.gz")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = paths.flatMap { p =>
@@ -85,7 +125,7 @@ class OsmChangeScan(paths: Seq[String], required: StructType,
           val st = it.next()
           val n = st.getPath.getName.toLowerCase
           if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-            (n.endsWith(".osc") || n.endsWith(".osc.gz"))) out += st.getPath.toString
+            extensions.exists(n.endsWith)) out += st.getPath.toString
         }
         out.toSeq
       } else Seq(p)
@@ -94,24 +134,26 @@ class OsmChangeScan(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmChangeReaderFactory(required, conf)
+    new OsmChangeReaderFactory(required, conf, planet)
 }
 
-class OsmChangeReaderFactory(required: StructType, conf: SerializableHadoopConf)
+class OsmChangeReaderFactory(required: StructType,
+    conf: SerializableHadoopConf, planet: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OsmChangePartitionReader(
-      partition.asInstanceOf[OsmChangeInputPartition], required, conf)
+      partition.asInstanceOf[OsmChangeInputPartition], required, conf, planet)
 }
 
 class OsmChangePartitionReader(part: OsmChangeInputPartition,
-    required: StructType, conf: SerializableHadoopConf)
+    required: StructType, conf: SerializableHadoopConf, planet: Boolean)
     extends PartitionReader[InternalRow] {
 
   import OsmXmlUtil.{dec, tagsMap, utf8}
 
   private val in = OsmXmlUtil.openDecompressed(part.path, conf.value)
-  private val it = OsmXmlUtil.closing(in)(OsmChangeParse.iterator(in))
+  private val it = OsmXmlUtil.closing(in)(
+    if (planet) OsmChangeParse.planetIterator(in) else OsmChangeParse.iterator(in))
   private var current: InternalRow = _
 
   private def ndsArray(c: ParsedChange): GenericArrayData =
