@@ -7,10 +7,13 @@ import graft.osm.pbf.OsmPbfSource
 /** CLI parity with the reference's entry point
   * (/root/reference/src/main/java/net/mojodna/osm2orc/Osm2Orc.java:12-41):
   *
-  *   graft.osm.Main [--changesets] <input> <output.orc>
+  *   graft.osm.Main [--changesets|--xml] <input> <output.orc>
   *
   * PBF mode converts an OSM PBF to the planet ORC table; --changesets
-  * converts changeset XML (optionally .gz) to the changesets ORC table.
+  * converts changeset XML (optionally .gz) to the changesets ORC table;
+  * --xml converts planet/history `.osm` XML (the osmosis --read-xml
+  * input; also auto-detected from a `.osm`/`.osm.gz`/`.osm.bz2`
+  * extension) to the planet ORC table.
   * `-` reads stdin (Osm2Orc.java:21-24,33-36): the stream is staged to
   * the default Hadoop filesystem first — a Spark job needs a seekable,
   * re-readable input that every executor can open, which a pipe is not
@@ -42,10 +45,13 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.osm.Main [--changesets] <input|-> <output.orc>"
-    val (changesets, rest) = args.partition(_ == "--changesets")
+    val usage = "usage: graft.osm.Main [--changesets|--xml] <input|-> <output.orc>"
+    val (flags, rest) = args.partition(a => a == "--changesets" || a == "--xml")
     if (rest.length != 2) { System.err.println(usage); sys.exit(1) }
     val Array(rawInput, output) = rest
+    val changesets = flags.filter(_ == "--changesets")
+    val xml = flags.contains("--xml") ||
+      Seq(".osm", ".osm.gz", ".osm.bz2").exists(rawInput.toLowerCase.endsWith)
 
     val builder = SparkSession.builder()
       .appName("graft-osm2orc")
@@ -57,11 +63,14 @@ object Main {
     val input =
       if (rawInput == "-")
         stageStdin(System.in, spark.sessionState.newHadoopConf(),
-          if (changesets.nonEmpty) ".xml" else ".osm.pbf")
+          if (changesets.nonEmpty) ".xml"
+          else if (xml) ".osm" else ".osm.pbf")
       else rawInput
 
     if (changesets.nonEmpty)
       OrcSink.writeChangesets(ChangesetXml.read(spark, input), output)
+    else if (xml)
+      OrcSink.writePlanet(OsmXml.read(spark, input), output)
     else
       OrcSink.writePlanet(OsmPbfSource.read(spark, input), output,
         bounds = OrcSink.pbfBounds(spark, input))

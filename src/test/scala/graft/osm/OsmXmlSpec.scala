@@ -100,6 +100,16 @@ class OsmXmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage should include("does not appear to be an osm")
   }
 
+  test("xml convert path lands the planet ORC table (the --xml CLI branch)") {
+    // the CLI's --xml branch verbatim (Main.main stops the shared
+    // session, so the composition is exercised directly)
+    val out = Files.createTempDirectory("osmxml-orc").resolve("planet.orc").toString
+    OrcSink.writePlanet(OsmXml.read(spark, write("p.osm", gz = false)), out)
+    val back = spark.read.orc(out)
+    back.schema shouldBe OsmSchemas.Planet
+    back.count() shouldBe 4
+  }
+
   test("same entities through osm-xml equal osm-osc rows minus op") {
     // the .osc create-block twin of the planet file above (delete-block
     // node 9 mirrors visible=false)
