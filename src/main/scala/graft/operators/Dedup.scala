@@ -359,24 +359,37 @@ object Dedup {
       maxBucket: Long = MaxHammingBucket): DataFrame = {
     import fingerprints.sparkSession.implicits._
     // both bands ride ONE exploded (band, bucket) key → a single
-    // bucket-partitioned self-join instead of two joins + union; the
-    // cached input is consumed by the hot-list aggregation, the anti-
-    // join, and both join sides
-    val banded = graft.Caches.track(fingerprints
+    // bucket-partitioned self-join instead of two joins + union
+    val banded = fingerprints
       .select($"doc_id", $"simhash",
         posexplode(array(($"simhash" / 65536).cast("bigint"),
-          $"simhash" % 65536)).as(Seq("band", "bucket"))))
-    val hot = banded.groupBy($"band", $"bucket").agg(count(lit(1)).as("n"))
-      .filter($"n" > maxBucket).select($"band", $"bucket")
-    val kept = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    kept.as("x").join(kept.as("y"),
-        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
-          $"x.doc_id" < $"y.doc_id")
+          $"simhash" % 65536)).as(Seq("band", "bucket")))
+    cappedSelfJoinPairs(banded, Seq("band", "bucket"), maxBucket)
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
       .filter($"hamming" <= 2)
       .distinct()
       .orderBy($"a", $"b")
+  }
+
+  /** Shared skeleton of the banded near-dup joins ([[hammingPairs]],
+    * `Multimodal.mediaNearDup`): cache the keyed rows (consumed by the
+    * hot-key aggregation, the anti-join, and both join sides), exclude
+    * keys whose population exceeds `maxPerKey` via a broadcast
+    * anti-join on the tiny hot-key list (a key that hot is boilerplate,
+    * and its within-key self-join is quadratic), then self-join the
+    * survivors on the key with the ordered `doc_id` pair condition.
+    * Callers select from the `x`/`y` aliases.
+    */
+  private[operators] def cappedSelfJoinPairs(rows: DataFrame,
+      keyCols: Seq[String], maxPerKey: Long): DataFrame = {
+    val keyed = graft.Caches.track(rows)
+    val hot = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxPerKey).select(keyCols.map(col): _*)
+    val kept = keyed.join(broadcast(hot), keyCols, "left_anti")
+    val cond = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col("x.doc_id") < col("y.doc_id")
+    kept.as("x").join(kept.as("y"), cond)
   }
 
   /** End-to-end corpus canonicalization — the composition a real

@@ -104,16 +104,11 @@ object Multimodal {
     import spark.implicits._
     val payload = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text".cast("binary").as("content"))
-    val fh = graft.Caches.track(
-      frameSample(payload, frameSize, stride)
-        .select($"doc_id", explode($"frames").as("frame"))
-        .select($"doc_id", md5($"frame").as("fh"))
-        .distinct())
-    val hot = fh.groupBy($"fh").agg(count(lit(1)).as("n"))
-      .filter($"n" > maxFrameDocs).select($"fh")
-    val kept = fh.join(broadcast(hot), Seq("fh"), "left_anti")
-    kept.as("x").join(kept.as("y"),
-        $"x.fh" === $"y.fh" && $"x.doc_id" < $"y.doc_id")
+    val fh = frameSample(payload, frameSize, stride)
+      .select($"doc_id", explode($"frames").as("frame"))
+      .select($"doc_id", md5($"frame").as("fh"))
+      .distinct()
+    Dedup.cappedSelfJoinPairs(fh, Seq("fh"), maxFrameDocs)
       .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)

@@ -70,7 +70,8 @@ object Main {
     if (changesets.nonEmpty)
       OrcSink.writeChangesets(ChangesetXml.read(spark, input), output)
     else if (xml)
-      OrcSink.writePlanet(OsmXml.read(spark, input), output)
+      OrcSink.writePlanet(OsmXml.read(spark, input), output,
+        bounds = OsmXml.bounds(spark, input))
     else
       OrcSink.writePlanet(OsmPbfSource.read(spark, input), output,
         bounds = OrcSink.pbfBounds(spark, input))

@@ -100,6 +100,15 @@ object OsmChangeParse {
                 members += ((r.getAttributeValue(null, "type"),
                   r.getAttributeValue(null, "ref").toLong,
                   Option(r.getAttributeValue(null, "role")).getOrElse("")))
+              case "changeset" if planet && kind == null =>
+                // a planet file never holds <changeset> ELEMENTS (entities
+                // carry a changeset ATTRIBUTE) — this is a changeset dump
+                // misrouted to the planet parser; silently skipping every
+                // element would "succeed" with zero rows
+                throw new IllegalStateException(
+                  "This looks like a changeset dump (<changeset> elements " +
+                    "under <osm>) — read it with the osm-changesets source " +
+                    "/ the --changesets CLI flag, not as planet XML.")
               case other if !sawRoot => throw new IllegalStateException(
                 s"This does not appear to be an ${if (planet) "osm" else "osmChange"} " +
                   s"file (root <$other>).")

@@ -76,6 +76,56 @@ class OsmXmlTable(paths: Seq[String]) extends Table with SupportsRead {
 object OsmXml {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("osm-xml").load(path)
+
+  /** Bounds from the document-head `<bounds>` element, formatted exactly
+    * like `OrcSink.pbfBounds` ("minlon,minlat,maxlon,maxlat",
+    * trailing-zero-stripped) so XML- and PBF-sourced ORC tables carry
+    * identical sidecar/footer metadata. Scans only the head (stops at
+    * the first entity); for a directory, the first recognized file is
+    * consulted.
+    */
+  def bounds(spark: SparkSession, path: String): Option[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(conf)
+    val file: String =
+      if (!fs.getFileStatus(hp).isDirectory) path
+      else {
+        val it = fs.listFiles(hp, true)
+        var found: String = null
+        while (found == null && it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName.toLowerCase
+          if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            Seq(".osm", ".osm.gz", ".osm.bz2").exists(n.endsWith))
+            found = st.getPath.toString
+        }
+        if (found == null) return None else found
+      }
+    val in = OsmXmlUtil.openDecompressed(file, conf)
+    try {
+      val factory = javax.xml.stream.XMLInputFactory.newInstance()
+      factory.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      val r = factory.createXMLStreamReader(in)
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT) {
+          r.getLocalName match {
+            case "bounds" =>
+              def attr(n: String) = Option(r.getAttributeValue(null, n))
+              def norm(s: String) =
+                new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+              return for {
+                minlon <- attr("minlon"); minlat <- attr("minlat")
+                maxlon <- attr("maxlon"); maxlat <- attr("maxlat")
+              } yield s"${norm(minlon)},${norm(minlat)},${norm(maxlon)},${norm(maxlat)}"
+            case "node" | "way" | "relation" => return None // no header bounds
+            case _ =>
+          }
+        }
+      }
+      None
+    } finally in.close()
+  }
 }
 
 class OsmChangeTable(paths: Seq[String]) extends Table with SupportsRead {

@@ -103,11 +103,26 @@ class OsmXmlSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("xml convert path lands the planet ORC table (the --xml CLI branch)") {
     // the CLI's --xml branch verbatim (Main.main stops the shared
     // session, so the composition is exercised directly)
+    val src = write("p.osm", gz = false)
     val out = Files.createTempDirectory("osmxml-orc").resolve("planet.orc").toString
-    OrcSink.writePlanet(OsmXml.read(spark, write("p.osm", gz = false)), out)
+    OrcSink.writePlanet(OsmXml.read(spark, src), out,
+      bounds = OsmXml.bounds(spark, src))
     val back = spark.read.orc(out)
     back.schema shouldBe OsmSchemas.Planet
     back.count() shouldBe 4
+    // XML- and PBF-sourced tables carry the SAME sidecar bounds format
+    val sidecar = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_graft_metadata.json")), "UTF-8")
+    sidecar should include(""""bounds": "-0.4,51,0.6,52"""")
+  }
+
+  test("a changeset dump misrouted to the planet parser fails loudly") {
+    // changesets-latest.osm.bz2-style files share the <osm> root; the
+    // old silent path would "succeed" with a 0-row planet table
+    val f = write("changesets-latest.osm", gz = false,
+      content = """<osm><changeset id="42" open="false"/></osm>""")
+    val e = intercept[SparkException] { OsmXml.read(spark, f).count() }
+    e.getMessage should include("changeset dump")
   }
 
   test("same entities through osm-xml equal osm-osc rows minus op") {
