@@ -50,6 +50,9 @@ object SparkEntry {
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
     "q26_window_frames" -> (Relational.windowFrames _),
+    "q31_correlated_scalar" -> (Relational.correlatedScalar _),
+    "q32_rank_variants" -> (Relational.rankVariants _),
+    "q33_lateral_topn" -> (Relational.lateralTopN _),
     // —— extensions: dedup ——
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -72,6 +75,7 @@ object SparkEntry {
     "s05_assign_centroids" -> ((s: SparkSession, d: String) => Similarity.assignToCentroids(s, d)),
     "s06_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annMultiProbe(s, d)),
     "s07_matryoshka" -> ((s: SparkSession, d: String) => Similarity.annMatryoshka(s, d)),
+    "s08_rrf_fusion" -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -82,6 +86,8 @@ object SparkEntry {
     "t07_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
     "t08_token_rarity" -> (TextAnalysis.tokenRarity _),
     "t09_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
+    "t10_inverted_index" -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
+    "t11_bm25" -> (TextAnalysis.bm25 _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -96,6 +102,7 @@ object SparkEntry {
     "p03_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
     "p04_mixture_weights" -> (Sampling.mixtureWeights _),
     "p05_apply_mixture" -> ((s: SparkSession, d: String) => Sampling.applyMixture(s, d)),
+    "p06_dedup_budget" -> ((s: SparkSession, d: String) => Sampling.dedupBudget(s, d)),
   )
 
   // Canonical DuckDB tokenization — must stay in lockstep with
@@ -129,15 +136,18 @@ object SparkEntry {
 
   // First 4 hex chars of md5(text) as an integer (the Sampling selection
   // key; Spark side uses conv(substring(md5, 1, 4), 16, 10)).
-  private val HexBucketCte =
-    """b AS (
-      |  SELECT doc_id, lang, source, text,
-      |    CAST((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-      |         + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
-      |         + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
-      |         + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS BIGINT) AS hb
-      |  FROM documents
-      |)""".stripMargin
+  private def hexBucketCte(from: String,
+      cols: String = "doc_id, lang, source, text"): String =
+    s"""b AS (
+       |  SELECT $cols,
+       |    CAST((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+       |         + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
+       |         + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
+       |         + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS BIGINT) AS hb
+       |  FROM $from
+       |)""".stripMargin
+
+  private val HexBucketCte = hexBucketCte("documents")
 
   /** Shared CTE chain for d06/d08: shingle sets → exact Jaccard near
     * edges + exact-dup edges → undirected closure → components with
@@ -391,6 +401,42 @@ object SparkEntry {
         |FROM events WHERE user_id < 10
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // the account-balance threshold averages exact integer cents so
+    // both engines compute the identical cut (a float-sum average
+    // could land a boundary customer on different sides)
+    "q31_correlated_scalar" ->
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  CAST((SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        |FROM customer c
+        |WHERE c.c_acctbal >
+        |  (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / (count(*) * 100.0e0)
+        |   FROM customer c2)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q32_rank_variants" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_orderstatus, o_orderkey) AS INT) AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_orderstatus), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_orderstatus), 6) AS cume
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q33_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, t.bal_cents
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY bal_cents DESC, c_custkey
+        |  LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin,
 
     "q28_asof_join" ->
       """WITH tagged AS (
@@ -766,6 +812,54 @@ object SparkEntry {
          |SELECT qid, cand, sub_cos, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
 
+    // reciprocal-rank fusion of the full-width and 16-dim-prefix
+    // retrievers (Similarity.rrfFusion): both ranks are row_numbers
+    // over (rounded cosine DESC, cand); the fused score is a fixed
+    // two-term sum of exact IEEE divisions
+    "s08_rrf_fusion" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |ns AS (SELECT vec_id, sum(x * x) AS snrm FROM e WHERE i <= 16 GROUP BY 1),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |dsub AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |    AND q.i <= 16
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT d.qid, d.cand,
+         |    round(d.dp / sqrt(nq.nrm * nc.nrm), 6) AS cos,
+         |    round(ds.dp / sqrt(sq.snrm * sc.snrm), 6) AS sub_cos
+         |  FROM d JOIN dsub ds ON d.qid = ds.qid AND d.cand = ds.cand
+         |  JOIN n nq ON d.qid = nq.vec_id JOIN n nc ON d.cand = nc.vec_id
+         |  JOIN ns sq ON d.qid = sq.vec_id JOIN ns sc ON d.cand = sc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rank_full,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sub_cos DESC, cand) AS INT) AS rank_sub
+         |  FROM scored
+         |),
+         |fused AS (
+         |  SELECT qid, cand, rank_full, rank_sub,
+         |    round(1.0e0 / (60 + rank_full) + 1.0e0 / (60 + rank_sub), 6) AS rrf
+         |  FROM ranked
+         |),
+         |fin AS (
+         |  SELECT qid, cand, rank_full, rank_sub, rrf,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cand) AS INT) AS rnk
+         |  FROM fused
+         |)
+         |SELECT qid, cand, rank_full, rank_sub, rrf, rnk FROM fin
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     // s04/s05 arithmetic is EXACT: components quantize to 1e-6-grid
     // integers first, so every aggregate is an order-free integer sum —
     // no float summation-order noise near rounding boundaries on either
@@ -919,6 +1013,69 @@ object SparkEntry {
          |FROM shx s JOIN d USING (sh)
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // posting-list head is ranked BEFORE collecting (mirrors the
+    // Spark side's bounded-array build)
+    "t10_inverted_index" ->
+      s"""WITH ${tkCte("")},
+         |tox AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |stats AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tox GROUP BY term
+         |),
+         |u AS (SELECT DISTINCT term, doc_id FROM tox),
+         |h AS (SELECT term, doc_id,
+         |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |      FROM u),
+         |heads AS (SELECT term, string_agg(doc_id, ',' ORDER BY doc_id) AS postings_head
+         |          FROM h WHERE rn <= 20 GROUP BY term)
+         |SELECT s.term, s.df, s.tf, heads.postings_head
+         |FROM stats s JOIN heads USING (term) ORDER BY s.term""".stripMargin,
+
+    // rational-idf BM25 (monotone transform of log idf — see
+    // TextAnalysis.bm25 scaladoc); every float literal is e-notation so
+    // DuckDB types it DOUBLE (a plain 0.5 is DECIMAL there, which would
+    // fork the arithmetic tree from Spark's doubles)
+    "t11_bm25" ->
+      s"""WITH ${tkCte("")},
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(dl) AS BIGINT) AS tot_tokens FROM lens),
+         |occ AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |qocc AS (SELECT doc_id, term FROM occ
+         |         WHERE term IN ('spark', 'vector', 'window')),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+         |    CAST(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector,
+         |    CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+         |  FROM qocc GROUP BY doc_id
+         |),
+         |dfs AS (
+         |  SELECT
+         |    CAST(count(DISTINCT CASE WHEN term = 'spark' THEN doc_id END) AS BIGINT) AS df_spark,
+         |    CAST(count(DISTINCT CASE WHEN term = 'vector' THEN doc_id END) AS BIGINT) AS df_vector,
+         |    CAST(count(DISTINCT CASE WHEN term = 'window' THEN doc_id END) AS BIGINT) AS df_window
+         |  FROM qocc
+         |)
+         |SELECT t.doc_id, l.dl, t.tf_spark, t.tf_vector, t.tf_window,
+         |  round(
+         |    ((n_docs - df_spark + 0.5e0) / (df_spark + 0.5e0))
+         |      * (CAST(tf_spark AS DOUBLE) * 2.2e0)
+         |      / (CAST(tf_spark AS DOUBLE)
+         |         + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (tot_tokens / n_docs))))
+         |    + ((n_docs - df_vector + 0.5e0) / (df_vector + 0.5e0))
+         |      * (CAST(tf_vector AS DOUBLE) * 2.2e0)
+         |      / (CAST(tf_vector AS DOUBLE)
+         |         + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (tot_tokens / n_docs))))
+         |    + ((n_docs - df_window + 0.5e0) / (df_window + 0.5e0))
+         |      * (CAST(tf_window AS DOUBLE) * 2.2e0)
+         |      / (CAST(tf_window AS DOUBLE)
+         |         + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (tot_tokens / n_docs)))), 6) AS score
+         |FROM tf t JOIN lens l USING (doc_id)
+         |CROSS JOIN corpus CROSS JOIN dfs
+         |ORDER BY t.doc_id""".stripMargin,
+
     "d07_decontaminate" ->
       s"""WITH ${tkCte("")},
          |$ShCte,
@@ -1002,6 +1159,30 @@ object SparkEntry {
          |  FROM t
          |)
          |SELECT shard, doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 2000 ORDER BY shard, cum_tokens, doc_id""".stripMargin,
+
+    // dedup-then-pack composition: the p03 budget pack, but only over
+    // d06's canonical keepers (one survivor per near-dup cluster)
+    "p06_dedup_budget" ->
+      s"""WITH RECURSIVE $CanonCtes,
+         |keep AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |  WHERE coalesce(c.canonical_id, d.doc_id) = d.doc_id
+         |),
+         |${hexBucketCte("keep", "doc_id, text")},
+         |t AS (
+         |  SELECT doc_id, md5(text) AS hkey, CAST(hb % 8 AS INT) AS shard,
+         |    CAST(len($Toks) AS INT) AS n_tokens
+         |  FROM b
+         |),
+         |cum AS (
+         |  SELECT shard, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hkey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t
+         |)
+         |SELECT shard, doc_id, n_tokens, cum_tokens FROM cum
          |WHERE cum_tokens <= 2000 ORDER BY shard, cum_tokens, doc_id""".stripMargin,
 
     // weights from sqrt (IEEE-exact both engines), powered counts

@@ -464,6 +464,19 @@ object Dedup {
     docs.select($"doc_id").join(mapping, "doc_id")
   }
 
+  /** The canonical KEEPER set — one doc_id per [[canonicalize]]
+    * component (unsorted; feeds downstream joins like
+    * [[Sampling.dedupBudget]], which would only destroy an output
+    * sort at their next shuffle).
+    */
+  def canonicalKeepers(spark: SparkSession, sfDir: String,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    clusterMap(spark, sfDir, jaccardThreshold)
+      .filter($"doc_id" === $"canonical_id")
+      .select($"doc_id")
+  }
+
   /** Cluster-size histogram over [[canonicalize]]'s components — the
     * observability rollup a dedup run reports (how much of the corpus
     * is boilerplate, how big the worst cluster is). Output cardinality

@@ -501,4 +501,79 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
       .orderBy($"day", $"event_type")
   }
+
+  /** Correlated scalar subqueries (SELECT-list and WHERE), exercised
+    * through `spark.sql` over direct `parquet.`-path tables — Catalyst
+    * decorrelates both into joins (RewriteCorrelatedScalarSubquery):
+    * the SELECT-list `count(*)` becomes a left outer join + aggregate
+    * with the COUNT-bug guard (customers with no orders read 0, not
+    * NULL), and the uncorrelated threshold becomes a one-row broadcast.
+    *
+    * Cross-engine determinism: the account-balance threshold averages
+    * EXACT integer cents (`sum(bigint) / (count * 100.0)`) — a
+    * float-sum average could land a customer on the wrong side of the
+    * cut in one engine at some scale factor.
+    */
+  def correlatedScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = s"parquet.`$sfDir/customer.parquet`"
+    val o = s"parquet.`$sfDir/orders.parquet`"
+    spark.sql(
+      s"""SELECT c.c_custkey, c.c_mktsegment,
+         |  CAST((SELECT count(*) FROM $o o
+         |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+         |FROM $c c
+         |WHERE c.c_acctbal >
+         |  (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / (count(*) * 100.0D)
+         |   FROM $c c2)
+         |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** Correlated LATERAL derived table with ORDER BY + LIMIT — top-N per
+    * outer row as the SQL-standard lateral join (the other spelling of
+    * q13's window-rank top-N). Catalyst plans it as a DomainJoin and
+    * decorrelates the per-nation LIMIT into a partitioned rank — the
+    * same shuffle shape as the window form, asserted equal by
+    * `SearchRankSpec`.
+    *
+    * Balance ordering is on exact integer cents: a double ORDER BY
+    * would still be deterministic (parquet doubles are identical in
+    * both engines) but cents keep the LIMIT boundary trivially exact.
+    */
+  def lateralTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = s"parquet.`$sfDir/nation.parquet`"
+    val c = s"parquet.`$sfDir/customer.parquet`"
+    spark.sql(
+      s"""SELECT n.n_name, t.c_custkey, t.bal_cents
+         |FROM $n n,
+         |LATERAL (
+         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM $c c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY bal_cents DESC, c_custkey
+         |  LIMIT 2
+         |) t
+         |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin)
+  }
+
+  /** Distribution-rank window variants: ntile / percent_rank /
+    * cume_dist over order-priority partitions. percent_rank and
+    * cume_dist rank by STATUS (few big peer groups — the interesting
+    * tie semantics: `(rank-1)/(n-1)` and `peers_through_row/n`), while
+    * ntile runs over a total order (status, orderkey) so its
+    * bucket-boundary assignment is engine-independent. All three are
+    * exact rationals of row counts — no float-order wobble.
+    */
+  def rankVariants(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wTies = Window.partitionBy($"o_orderpriority").orderBy($"o_orderstatus")
+    val wTotal = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderstatus", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus")
+      .withColumn("quartile", ntile(4).over(wTotal).cast("int"))
+      .withColumn("pct_rank", round(percent_rank().over(wTies), 6))
+      .withColumn("cume", round(cume_dist().over(wTies), 6))
+      .orderBy($"o_orderkey")
+  }
 }

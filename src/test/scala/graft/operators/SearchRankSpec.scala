@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+/** Round-4 search/ranking additions: inverted index, BM25 keyword
+  * scoring, reciprocal-rank fusion, correlated scalar subqueries and
+  * distribution-rank windows. Each test recomputes the operator's
+  * contract independently (driver-side the DuckDB oracle re-proves the
+  * same thing at sf0.01).
+  */
+class SearchRankSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // mirror of graft.functions.Text.toks for driver-side recomputation
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  private def docTokens(): Map[Long, Seq[String]] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+
+  test("invertedIndex df/tf/postings_head match a direct recomputation") {
+    val byDoc = docTokens()
+    val rows = TextAnalysis.invertedIndex(spark, sf).collect()
+    rows should not be empty
+
+    val postings = byDoc.toSeq
+      .flatMap { case (id, tk) => tk.distinct.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val tfAll = byDoc.toSeq.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+
+    rows.map(_.getString(0)).toSet shouldBe postings.keySet
+    rows.foreach { r =>
+      val term = r.getString(0)
+      withClue(s"term $term: ") {
+        r.getLong(r.fieldIndex("df")) shouldBe postings(term).size.toLong
+        r.getLong(r.fieldIndex("tf")) shouldBe tfAll(term).toLong
+        r.getString(r.fieldIndex("postings_head")) shouldBe
+          postings(term).take(20).mkString(",")
+      }
+    }
+  }
+
+  test("bm25 score equals the rational-idf formula recomputed in doubles") {
+    val byDoc = docTokens()
+    val n = byDoc.size.toLong
+    val tot = byDoc.values.map(_.size.toLong).sum
+    val dfT = TextAnalysis.Bm25Terms.map(t =>
+      t -> byDoc.values.count(_.contains(t)).toLong).toMap
+
+    val rows = TextAnalysis.bm25(spark, sf).collect()
+    rows should not be empty
+    // exactly the docs containing >= 1 query term, each once
+    val expectIds = byDoc.filter(_._2.exists(TextAnalysis.Bm25Terms.contains))
+      .keys.toSeq.sorted
+    rows.map(_.getLong(0)).toSeq shouldBe expectIds
+
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val dl = r.getLong(r.fieldIndex("dl"))
+      dl shouldBe byDoc(id).size.toLong
+      val score = TextAnalysis.Bm25Terms.map { t =>
+        val tf = byDoc(id).count(_ == t).toDouble
+        r.getLong(r.fieldIndex(s"tf_$t")) shouldBe tf.toLong
+        val df = dfT(t)
+        val idf = (n - df + 0.5) / (df + 0.5)
+        val norm = 0.25 + 0.75 * (dl / (tot.toDouble / n))
+        (idf * (tf * 2.2)) / (tf + 1.2 * norm)
+      }.reduceLeft(_ + _)
+      withClue(s"doc $id: ") {
+        r.getDouble(r.fieldIndex("score")) shouldBe
+          BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+  }
+
+  test("rrfFusion: ranks agree with the component retrievers, rrf is exact") {
+    val rows = Similarity.rrfFusion(spark, sf).collect()
+    rows should not be empty
+    // per query: <= 5 rows, contiguous fused ranks from 1
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.length should be <= 5
+      rs.map(_.getInt(rs.head.fieldIndex("rnk"))).sorted shouldBe (1 to rs.length)
+    }
+    // rrf is exactly 1/(60+rank_full) + 1/(60+rank_sub)
+    rows.foreach { r =>
+      val rf = r.getInt(r.fieldIndex("rank_full"))
+      val rs = r.getInt(r.fieldIndex("rank_sub"))
+      val raw = 1.0 / (60 + rf) + 1.0 / (60 + rs)
+      r.getDouble(r.fieldIndex("rrf")) shouldBe
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // rank_full of fused pairs matches the brute-force retriever's rnk
+    // wherever the pair survived into the brute-force top-5
+    val brute = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(r.fieldIndex("rnk"))).toMap
+    val checked = rows.flatMap { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .map(_ -> r.getInt(r.fieldIndex("rank_full")))
+    }
+    checked should not be empty
+    checked.foreach { case (bruteRnk, rankFull) => rankFull shouldBe bruteRnk }
+  }
+
+  test("correlatedScalar decorrelates to the equivalent join+agg plan result") {
+    import spark.implicits._
+    val got = Relational.correlatedScalar(spark, sf).collect()
+    got should not be empty
+
+    val cust = Tables.customer(spark, sf)
+    val cents = cust.agg(
+      sum(round($"c_acctbal" * 100).cast("bigint")).as("s"),
+      count(lit(1)).as("n")).collect()(0)
+    val threshold = cents.getLong(0) / (cents.getLong(1) * 100.0)
+    val counts = Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    val expect = cust.filter($"c_acctbal" > threshold)
+      .join(counts, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_mktsegment",
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .orderBy($"c_custkey").collect()
+
+    got.length shouldBe expect.length
+    got.zip(expect).foreach { case (g, e) => g shouldBe e }
+    // COUNT-bug guard: customers above the threshold with zero orders
+    // must appear with 0, not vanish or read NULL
+    if (expect.exists(_.getLong(2) == 0L))
+      got.exists(_.getLong(2) == 0L) shouldBe true
+  }
+
+  test("lateralTopN equals the window-rank top-N spelling") {
+    import spark.implicits._
+    val got = Relational.lateralTopN(spark, sf).collect()
+    got should not be empty
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"bal_cents".desc, $"c_custkey")
+    val expect = Tables.customer(spark, sf)
+      .withColumn("bal_cents", round($"c_acctbal" * 100).cast("bigint"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"bal_cents")
+      .orderBy($"n_name", $"bal_cents".desc, $"c_custkey")
+      .collect()
+
+    got.length shouldBe expect.length
+    got.zip(expect).foreach { case (g, e) => g shouldBe e }
+  }
+
+  test("rankVariants: percent_rank/cume_dist/ntile match hand recomputation") {
+    val rows = Relational.rankVariants(spark, sf).collect()
+    rows should not be empty
+    rows.groupBy(_.getString(1)).foreach { case (_, part) =>
+      val n = part.length
+      val sorted = part.sortBy(r => (r.getString(2), r.getLong(0)))
+      // per status group: rank = rows strictly before the group + 1
+      val byStatus = sorted.groupBy(_.getString(2))
+      val starts = byStatus.keys.toSeq.sorted
+        .foldLeft(Map.empty[String, Int] -> 0) { case ((m, acc), st) =>
+          (m + (st -> acc), acc + byStatus(st).length)
+        }._1
+      part.foreach { r =>
+        val st = r.getString(2)
+        val rank = starts(st) + 1
+        val through = starts(st) + byStatus(st).length
+        val pct = if (n == 1) 0.0 else (rank - 1).toDouble / (n - 1)
+        withClue(s"order ${r.getLong(0)}: ") {
+          r.getDouble(r.fieldIndex("pct_rank")) shouldBe
+            BigDecimal(pct).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          r.getDouble(r.fieldIndex("cume")) shouldBe
+            BigDecimal(through.toDouble / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      // ntile over the total order: first (n % 4) buckets one row larger
+      val q = n / 4; val rem = n % 4
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val expected =
+          if (i < (q + 1) * rem) i / (q + 1) + 1
+          else rem + (i - (q + 1) * rem) / q + 1
+        withClue(s"order ${r.getLong(0)} idx $i: ") {
+          r.getInt(r.fieldIndex("quartile")) shouldBe expected
+        }
+      }
+    }
+  }
+}
