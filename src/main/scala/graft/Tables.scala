@@ -15,8 +15,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** On-disk location of one table — the single definition of the
+    * layout, shared by [[load]] and [[sqlRef]].
+    */
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  /** `parquet.`-path table reference for `spark.sql` queries (keeps SQL
+    * operators on the same layout as the DataFrame loaders without
+    * registering session-global temp views). NOT for `events` — its
+    * TIMESTAMP(NANOS) column needs the [[events]] loader's rebuild.
+    */
+  def sqlRef(sfDir: String, name: String): String =
+    s"parquet.`${path(sfDir, name)}`"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.read.parquet(path(sfDir, name))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -515,8 +515,8 @@ object Relational {
     * cut in one engine at some scale factor.
     */
   def correlatedScalar(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = s"parquet.`$sfDir/customer.parquet`"
-    val o = s"parquet.`$sfDir/orders.parquet`"
+    val c = Tables.sqlRef(sfDir, "customer")
+    val o = Tables.sqlRef(sfDir, "orders")
     spark.sql(
       s"""SELECT c.c_custkey, c.c_mktsegment,
          |  CAST((SELECT count(*) FROM $o o
@@ -540,8 +540,8 @@ object Relational {
     * both engines) but cents keep the LIMIT boundary trivially exact.
     */
   def lateralTopN(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = s"parquet.`$sfDir/nation.parquet`"
-    val c = s"parquet.`$sfDir/customer.parquet`"
+    val n = Tables.sqlRef(sfDir, "nation")
+    val c = Tables.sqlRef(sfDir, "customer")
     spark.sql(
       s"""SELECT n.n_name, t.c_custkey, t.bal_cents
          |FROM $n n,

@@ -227,8 +227,15 @@ object Similarity {
     * cosine with a cand tiebreak, so both engines shortlist
     * identically.
     */
-  def annMatryoshka(spark: SparkSession, sfDir: String, sublen: Int = 16,
-      shortlist: Int = 10, topK: Int = 3): DataFrame = {
+  /** Query/candidate pair frame carrying full-width AND
+    * first-`sublen`-dim prefix vectors + norms — the single definition
+    * of the two-scorer retrieval shape shared by [[annMatryoshka]] and
+    * [[rrfFusion]] (same query/candidate sets, same broadcast join,
+    * same self-pair exclusion; each caller projects the cosine(s) it
+    * needs so plans don't pay for unused scores).
+    */
+  private def prefixPairs(spark: SparkSession, sfDir: String,
+      sublen: Int): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     def sub(c: Column) = slice(c, 1, sublen)
@@ -240,8 +247,13 @@ object Similarity {
       .select($"vec_id".as("cand"), $"embedding",
         norm2($"embedding").as("nrm"),
         sub($"embedding").as("c_sub"), norm2(sub($"embedding")).as("snrm"))
-    val coarse = c.crossJoin(broadcast(q))
-      .filter($"cand" =!= $"qid")
+    c.crossJoin(broadcast(q)).filter($"cand" =!= $"qid")
+  }
+
+  def annMatryoshka(spark: SparkSession, sfDir: String, sublen: Int = 16,
+      shortlist: Int = 10, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val coarse = prefixPairs(spark, sfDir, sublen)
       .withColumn("sub_cos",
         round(dot($"q_sub", $"c_sub") / sqrt($"q_snrm" * $"snrm"), 6))
     val wShort = Window.partitionBy($"qid").orderBy($"sub_cos".desc, $"cand")
@@ -319,18 +331,7 @@ object Similarity {
   def rrfFusion(spark: SparkSession, sfDir: String, sublen: Int = 16,
       kRrf: Int = 60, topK: Int = 5): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir)
-    def sub(c: Column) = slice(c, 1, sublen)
-    val q = emb.filter($"vec_id" < 8)
-      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
-        norm2($"embedding").as("q_nrm"),
-        sub($"embedding").as("q_sub"), norm2(sub($"embedding")).as("q_snrm"))
-    val c = emb.filter($"vec_id" % 20 === 0)
-      .select($"vec_id".as("cand"), $"embedding",
-        norm2($"embedding").as("nrm"),
-        sub($"embedding").as("c_sub"), norm2(sub($"embedding")).as("snrm"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter($"cand" =!= $"qid")
+    val scored = prefixPairs(spark, sfDir, sublen)
       .select($"qid", $"cand",
         round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"),
         round(dot($"q_sub", $"c_sub") / sqrt($"q_snrm" * $"snrm"), 6).as("sub_cos"))

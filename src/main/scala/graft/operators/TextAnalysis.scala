@@ -337,7 +337,6 @@ object TextAnalysis {
     */
   def invertedIndex(spark: SparkSession, sfDir: String,
       headLen: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val tox = graft.Caches.track(
       Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
@@ -369,7 +368,11 @@ object TextAnalysis {
   val Bm25B = 0.75
 
   /** BM25 keyword search over the corpus for the fixed [[Bm25Terms]]
-    * query — tf/df/length statistics straight out of [[invertedIndex]].
+    * query — scoring from the same KIND of tf/df/length statistics an
+    * inverted index materializes, recomputed inline here (this operator
+    * does NOT consume [[invertedIndex]] output; it needs only the query
+    * terms' slice of the statistics, which is cheaper to rebuild than
+    * to index).
     *
     * DEVIATION (documented): idf is the RATIONAL Robertson form
     * `(N - df + 0.5) / (df + 0.5)` rather than its logarithm. The log
