@@ -106,10 +106,12 @@ object Dedup {
   private[operators] def shingleDict(sh: DataFrame): DataFrame =
     Ranking.denseIds(sh, "sh", "sid")
 
-  /** One row per doc with the list of its shingle ids — the input to the
-    * single-pass signature expressions below (one shuffle; the 16 hash
-    * functions are evaluated inside whole-stage codegen over the array,
-    * not via a 16x row blowup).
+  /** One row per doc with the list of its shingle ids — input to the
+    * LIST-form signature builds ([[signaturesViaLists]],
+    * [[simHashBitsViaLists]]), which are kept only as cross-check
+    * references: collect_list shuffles every sid, while the production
+    * aggregate forms shuffle 16 (or `bits`) partially-combined longs
+    * per doc (SigAggParitySpec proves bit-identity).
     */
   private def sidLists(withIds: DataFrame): DataFrame =
     withIds.groupBy(col("doc_id")).agg(collect_list(col("sid")).as("sids"))
@@ -204,10 +206,32 @@ object Dedup {
     bandPairs(spark, withIds)
   }
 
-  /** (doc_id, sig): 16-minhash signature per doc, single codegen'd pass
-    * over the shingle-id lists.
+  /** (doc_id, sig): 16-minhash signature per doc as SIXTEEN `min`
+    * AGGREGATES over the (doc_id, sid) rows — not a `collect_list` of
+    * sids scored afterwards. min is map-side combinable, so the
+    * signature shuffle carries 16 longs per doc per map partition
+    * instead of the document's full shingle-id list (~100× less at a
+    * typical shingle count; THE scale lever for the whole LSH family —
+    * d03/d06/d08/d09/d11/p06 all pass through here). Values are
+    * bit-identical to the list form ([[signaturesViaLists]], parity
+    * spec-asserted): min over a group commutes with min over a list.
     */
-  private def signatures(withIds: DataFrame): DataFrame =
+  private[operators] def signatures(withIds: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map { i =>
+      min(expr(s"((${4097L + 7919L * i} * sid + ${17L + 104729L * i}) % $Prime)"))
+        .as(s"m$i")
+    }
+    withIds.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** The pre-round-4 list form of [[signatures]] (collect_list + the
+    * codegen'd MinHashSig expression) — kept as the cross-check
+    * reference; SigAggParitySpec asserts bit-identity with the
+    * aggregate form on real corpus data.
+    */
+  private[operators] def signaturesViaLists(withIds: DataFrame): DataFrame =
     sidLists(withIds)
       .withColumn("sig", graft.functions.SigFunctions.minhashSig(col("sids")))
       .select(col("doc_id"), col("sig"))
@@ -216,7 +240,7 @@ object Dedup {
     * unordered (internal consumers join on the pairs; declared queries
     * add the deterministic sort themselves).
     */
-  private def bandCandidates(sigs: DataFrame): DataFrame = {
+  private[operators] def bandCandidates(sigs: DataFrame): DataFrame = {
     import sigs.sparkSession.implicits._
     val bands = sigs
       .select($"doc_id", posexplode(expr(BandExpr)).as(Seq("band", "bsig")))
@@ -238,7 +262,7 @@ object Dedup {
     * stays sparse — it only runs on the supplied candidate pairs.
     * Shared by [[minHashEstimate]] and [[clusterMap]]'s verify step.
     */
-  private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private[operators] def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -268,10 +292,40 @@ object Dedup {
     */
   private[operators] def simHashBits(spark: SparkSession, sfDir: String,
       bits: Int): DataFrame = {
-    import spark.implicits._
     // cached: consumed twice (dictionary build + the id join) — without
     // the cache the whole tokenize→shingle pipeline evaluates twice.
     // Tracked in graft.Caches; callers release after their action.
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
+    val withIds = sh.join(shingleDict(sh), "sh")
+    simhashAgg(withIds, bits)
+  }
+
+  /** SimHash as per-bit SUM aggregates (map-side combinable — the same
+    * shuffle-volume lever as [[signatures]]: `bits` longs per doc per
+    * map partition instead of the full shingle-id list). Bit j's vote
+    * per sid is ±1 by h_j(sid) parity; the per-doc sum's sign is the
+    * fingerprint bit. Integer sums are order-free, so values are
+    * bit-identical to the list form (SigAggParitySpec).
+    */
+  private def simhashAgg(withIds: DataFrame, bits: Int): DataFrame = {
+    val votes = (0 until bits).map { j =>
+      sum(expr(
+        s"""IF(((${4097L + 7919L * j} * sid + ${17L + 104729L * j}) % $Prime) % 2 = 1,
+           |CAST(1 AS BIGINT), CAST(-1 AS BIGINT))""".stripMargin))
+        .as(s"v$j")
+    }
+    val assemble = (0 until bits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    withIds.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assemble.as("simhash"))
+  }
+
+  /** Pre-round-4 list form of the simhash build — cross-check reference
+    * for SigAggParitySpec (collect_list + codegen'd SimHashSig).
+    */
+  private[operators] def simHashBitsViaLists(spark: SparkSession,
+      sfDir: String, bits: Int): DataFrame = {
+    import spark.implicits._
     val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
     val withIds = sh.join(shingleDict(sh), "sh")
     sidLists(withIds)
@@ -305,9 +359,7 @@ object Dedup {
     import spark.implicits._
     val sh = shingleSet(spark, sfDir, None)
     val withIds = sh.withColumn("sid", abs(xxhash64($"sh")) % lit(Prime))
-    sidLists(withIds)
-      .select($"doc_id",
-        graft.functions.SigFunctions.simhashSig($"sids", bits).as("simhash"))
+    simhashAgg(withIds, bits)
   }
 
   /** profiling hook: the 32-bit fingerprints d04_pairs buckets on. */
