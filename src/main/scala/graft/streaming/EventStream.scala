@@ -91,6 +91,77 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Per-doc 32-bit SimHash over xxhash64'd distinct 3-shingles — the
+    * STATELESS projection form of the batch `Dedup.simHashBitsHashed`
+    * signature (same hash family, same shingle construction via
+    * graft.functions.Text), computable row-by-row on a stream. Shared
+    * with the spec's batch-parity recomputation so stream and batch
+    * cannot drift.
+    */
+  def docSimhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sids = transform(
+      array_distinct(graft.functions.Text.shingles(graft.functions.Text.toks(text))),
+      s => abs(xxhash64(s)) % lit(graft.operators.Dedup.Prime))
+    graft.functions.SigFunctions.simhashSig(sids, 32)
+  }
+
+  /** A detected near-duplicate on the stream: `doc_id` arrived after
+    * `match_id` and their fingerprints differ in <= maxHamming bits.
+    */
+  case class NearDup(doc_id: Long, match_id: Long, hamming: Int)
+
+  private[streaming] case class SigRow(doc_id: Long, bucket: Int, sig: Long)
+
+  /** per-bucket fingerprint state for [[nearDupDocStream]]. */
+  case class BucketSigs(sigs: List[(Long, Long)])
+
+  /** Streaming NEAR-dup detection — the ingestion-time twin of the batch
+    * banded-hamming pass (`Dedup.simHashPairsHashed`): each arriving
+    * document's 32-bit simhash is computed statelessly ([[docSimhashCol]]),
+    * bucketed by its top 16 bits (the batch hi band), and compared via
+    * `bit_count(xor)` against the fingerprints previously seen in its
+    * bucket (`flatMapGroupsWithState`, one state entry per bucket).
+    * Emits (later doc, earlier match, hamming) pairs in append mode.
+    *
+    * Docs with no 3-shingle (< 3 tokens) are filtered — exactly the
+    * docs absent from the batch signature build.
+    *
+    * Scale notes: state partitions by bucket across executors (2^16
+    * buckets at 16 band bits — raise band bits with corpus size, same
+    * sizing rule as the batch hot-bucket cap); within a micro-batch
+    * docs process in doc_id order so the earlier/later orientation is
+    * deterministic. A production deployment adds a state TTL
+    * (EventTimeTimeout like [[sessionize]]) so a bucket unseen for the
+    * retention horizon drops its fingerprints; kept timeout-free here
+    * because the detection logic, not retention policy, is the operator.
+    */
+  def nearDupDocStream(docs: Dataset[Doc], maxHamming: Int = 3): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    val sigs = docs.toDF()
+      .withColumn("sig", docSimhashCol(col("text")))
+      .filter(size(graft.functions.Text.shingles(
+        graft.functions.Text.toks(col("text")))) > 0)
+      .select(col("doc_id"),
+        shiftright(col("sig"), 16).cast("int").as("bucket"), col("sig"))
+      .as[SigRow]
+    sigs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketSigs, NearDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[SigRow], state: GroupState[BucketSigs]) =>
+          var seen = state.getOption.map(_.sigs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
+          for (d <- it.toSeq.sortBy(_.doc_id)) {
+            for ((oid, osig) <- seen) {
+              val h = java.lang.Long.bitCount(osig ^ d.sig)
+              if (h <= maxHamming) out += NearDup(d.doc_id, oid, h)
+            }
+            seen = (d.doc_id, d.sig) :: seen
+          }
+          state.update(BucketSigs(seen))
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization: a session closes when the next event for
     * the user arrives more than `gapMs` later (or the state times out).
     * Emits closed sessions (append semantics).

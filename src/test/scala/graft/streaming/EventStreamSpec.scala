@@ -209,4 +209,70 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     batch.schema.fields.map(f => (f.name, f.dataType)) shouldBe
       EventStream.EventSchema.fields.map(f => (f.name, f.dataType))
   }
+
+  test("streaming near-dup flags exact copies across micro-batches, skips unrelated docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.Doc
+    val alpha = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val beta = (1 to 30).map(i => s"other$i word$i").mkString(" ")
+    val mem = MemoryStream[Doc]
+    val q = EventStream.nearDupDocStream(mem.toDS())
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(1, ts(100), alpha),
+        Doc(2, ts(101), beta),
+        Doc(3, ts(102), alpha)) // same-batch exact copy of 1
+      q.processAllAvailable()
+      mem.addData(Doc(4, ts(110), alpha)) // copy arriving a batch later
+      q.processAllAvailable()
+      val got = spark.table("neardup").as[EventStream.NearDup].collect()
+        .map(n => (n.doc_id, n.match_id, n.hamming)).toSet
+      // 3 matches 1 in-batch; 4 matches both 1 and 3 from state
+      got shouldBe Set((3L, 1L, 0), (4L, 1L, 0), (4L, 3L, 0))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup pairs equal the batch recomputation over the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import EventStream.Doc
+    // real corpus slice: 40 documents from sf0.001 (plant an exact dup)
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 40).orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val docs = texts.map { case (id, t) => Doc(id, ts(100 + id), t) } :+
+      Doc(1000L, ts(200), texts.head._2)
+
+    val mem = MemoryStream[Doc]
+    val q = EventStream.nearDupDocStream(mem.toDS())
+      .writeStream.format("memory").queryName("ndparity").outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(20)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+      val streamed = spark.table("ndparity").as[EventStream.NearDup].collect()
+        .map(n => (n.doc_id, n.match_id, n.hamming)).toSet
+
+      // batch twin: same signature column, same bucketing, all ordered
+      // pairs within bucket at hamming <= 3
+      val sigs = docs.toSeq.toDF("doc_id", "ts", "text")
+        .withColumn("sig", EventStream.docSimhashCol($"text"))
+        .filter(org.apache.spark.sql.functions.size(graft.functions.Text.shingles(
+          graft.functions.Text.toks($"text"))) > 0)
+        .select($"doc_id", shiftright($"sig", 16).cast("int").as("bucket"), $"sig")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val expected = (for {
+        (a, ba, sa) <- sigs
+        (b, bb, sb) <- sigs
+        if ba == bb && a < b
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if h <= 3
+      } yield (b, a, h)).toSet
+      expected.nonEmpty shouldBe true // the planted dup at minimum
+      streamed shouldBe expected
+    } finally q.stop()
+  }
 }
