@@ -67,6 +67,7 @@ object SparkEntry {
     "d08_canonical_best" -> ((s: SparkSession, d: String) => Dedup.canonicalizeBest(s, d)),
     "d10_passage_dedup" -> ((s: SparkSession, d: String) => Dedup.passageDedup(s, d)),
     "d11_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.clusterStats(s, d)),
+    "d12_incremental_overlap" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlap(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -1075,6 +1076,18 @@ object SparkEntry {
          |FROM tf t JOIN lens l USING (doc_id)
          |CROSS JOIN corpus CROSS JOIN dfs
          |ORDER BY t.doc_id""".stripMargin,
+
+    // delta-vs-history overlap: the bloom prefilter on the Spark side
+    // cannot change the result (no false negatives; false positives die
+    // in the exact join), so the oracle is the plain shingle join
+    "d12_incremental_overlap" ->
+      s"""WITH ${tkCte("")},
+         |$ShCte,
+         |hist AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0),
+         |delta AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM delta d JOIN hist h ON d.sh = h.sh
+         |GROUP BY 1 HAVING count(*) >= 5 ORDER BY d.doc_id""".stripMargin,
 
     "d07_decontaminate" ->
       s"""WITH ${tkCte("")},

@@ -516,6 +516,51 @@ object Dedup {
     docs.select($"doc_id").join(mapping, "doc_id")
   }
 
+  /** Incremental overlap scan — the DELTA-vs-HISTORY shape of a daily
+    * crawl pipeline: documents `doc_id % 10 == 0` play the arriving
+    * delta, the rest the already-ingested corpus; report each delta doc
+    * sharing >= `minHit` distinct 3-shingles with history (the d07
+    * decontamination signal, pointed at the corpus itself).
+    *
+    * The delta side is PREFILTERED through a driver-built bloom filter
+    * of the history's shingle keys (`stat.bloomFilter` — a distributed
+    * aggregation; the probe is the codegen'd
+    * [[graft.functions.BloomMightContain]], no UDF). The bloom cannot
+    * produce false negatives, and false positives die in the exact
+    * shingle join that follows — so the result is EXACTLY the no-bloom
+    * result (spec-asserted), the bloom only shrinks the join's probe
+    * side. At 100 TB this is the standard pattern: a few GB of bloom
+    * over history's shingles broadcasts to every executor and drops the
+    * (large) non-overlapping share of today's crawl before any shuffle.
+    *
+    * `expectedShingles` sizes the filter (history's DISTINCT shingle
+    * count; over-sizing costs memory, under-sizing raises the false-
+    * positive rate — never correctness).
+    *
+    * EAGERNESS (deliberate, unlike the d07 count-probe this API family
+    * avoids): `stat.bloomFilter` runs a distributed aggregation AT
+    * CONSTRUCTION TIME — the filter object must exist before the probe
+    * expression embedding it can be built. A driver-built sketch cannot
+    * be lazy; callers needing a lazy plan should build the bloom once
+    * themselves and compose `BloomFunctions.bloomMightContain` directly.
+    */
+  def incrementalOverlap(spark: SparkSession, sfDir: String, minHit: Int = 5,
+      expectedShingles: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
+    val history = sh.filter($"doc_id" % 10 =!= 0)
+    val delta = sh.filter($"doc_id" % 10 === 0)
+    val bloom = history.select(xxhash64($"sh").as("hv"))
+      .stat.bloomFilter("hv", expectedShingles, fpp)
+    val pre = delta.filter(
+      graft.functions.BloomFunctions.bloomMightContain(bloom, xxhash64($"sh")))
+    pre.join(history.select($"sh").distinct(), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter($"n_overlap" >= minHit)
+      .orderBy($"doc_id")
+  }
+
   /** The canonical KEEPER set — one doc_id per [[canonicalize]]
     * component (unsorted; feeds downstream joins like
     * [[Sampling.dedupBudget]], which would only destroy an output

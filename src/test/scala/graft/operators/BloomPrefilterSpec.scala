@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.BloomFunctions
+
+/** The bloom-prefiltered incremental overlap (d12) must return EXACTLY
+  * the no-bloom result: blooms admit false positives (killed by the
+  * exact join) but never false negatives. Also pins the probe to the
+  * codegen'd native expression, not a UDF.
+  */
+class BloomPrefilterSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bloom-prefiltered overlap equals the exact no-bloom computation") {
+    import spark.implicits._
+    val got = Dedup.incrementalOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.releaseAll(spark)
+
+    val sh = Dedup.shingleSet(spark, sf, None)
+    val hist = sh.filter($"doc_id" % 10 =!= 0).select($"sh").distinct()
+    val expect = sh.filter($"doc_id" % 10 === 0)
+      .join(hist, "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter($"n_overlap" >= 5)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    got should not be empty
+    got shouldBe expect
+  }
+
+  test("bloom admits every inserted key (no false negatives on real shingles)") {
+    import spark.implicits._
+    val sh = Dedup.shingleSet(spark, sf, None)
+    val hist = sh.filter($"doc_id" % 10 =!= 0)
+    val bloom = hist.select(xxhash64($"sh").as("hv"))
+      .stat.bloomFilter("hv", 100000L, 0.01)
+    // every history shingle must probe true through the native expression
+    val missed = hist
+      .filter(!BloomFunctions.bloomMightContain(bloom, xxhash64($"sh")))
+      .count()
+    missed shouldBe 0L
+  }
+
+  test("the probe plans as the native expression inside the filter") {
+    val plan = Dedup.incrementalOverlap(spark, sf)
+      .queryExecution.executedPlan.toString
+    graft.Caches.releaseAll(spark)
+    plan should include("bloom_might_contain")
+    plan.toLowerCase should not include "pythonudf"
+  }
+
+  test("probe rejects non-bigint keys with a type error") {
+    import spark.implicits._
+    val sh = Dedup.shingleSet(spark, sf, None).limit(1)
+    val bloom = sh.select(xxhash64($"sh").as("hv")).stat.bloomFilter("hv", 10L, 0.1)
+    val ex = intercept[Exception] {
+      sh.filter(BloomFunctions.bloomMightContain(bloom, col("sh"))).collect()
+    }
+    ex.getMessage.toLowerCase should include("bigint")
+  }
+}
