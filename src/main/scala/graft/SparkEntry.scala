@@ -77,6 +77,7 @@ object SparkEntry {
     "s06_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annMultiProbe(s, d)),
     "s07_matryoshka" -> ((s: SparkSession, d: String) => Similarity.annMatryoshka(s, d)),
     "s08_rrf_fusion" -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
+    "s09_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -860,6 +861,37 @@ object SparkEntry {
          |)
          |SELECT qid, cand, rank_full, rank_sub, rrf, rnk FROM fin
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // int8-quantized ANN: per-vector max-abs scale, [-127,127] codes,
+    // cosine from INTEGER dot + integer norms (order-free — the one
+    // float step divides exact integers)
+    "s09_ann_int8" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |mx AS (SELECT vec_id, max(abs(x)) AS mx FROM e GROUP BY 1),
+         |qv AS (
+         |  SELECT e.vec_id, i, CAST(round(x / mx * 127) AS BIGINT) AS q
+         |  FROM e JOIN mx ON e.vec_id = mx.vec_id WHERE mx > 0
+         |),
+         |qn AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qn FROM qv GROUP BY 1),
+         |d AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cand,
+         |    CAST(sum(a.q * b.q) AS BIGINT) AS intdot
+         |  FROM qv a JOIN qv b ON a.i = b.i
+         |  WHERE a.vec_id < 8 AND b.vec_id % 20 = 0 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT d.qid, d.cand,
+         |    round(intdot / sqrt(CAST(na.qn * nb.qn AS DOUBLE)), 6) AS cos_q
+         |  FROM d JOIN qn na ON d.qid = na.vec_id JOIN qn nb ON d.cand = nb.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, cos_q,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cand, cos_q, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
 
     // s04/s05 arithmetic is EXACT: components quantize to 1e-6-grid
     // integers first, so every aggregate is an order-free integer sum —

@@ -350,6 +350,51 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Int8-quantized ANN — the 4×-compression retrieval path a 100 TB
+    * embedding store actually serves from: each vector is scaled by its
+    * own max-abs component and rounded to [-127, 127] int8 codes; the
+    * quantized cosine is computed from INTEGER dot products and integer
+    * norms. Integer sums are order-free, so the score is exact
+    * cross-engine with NO float-summation wobble at all (stronger than
+    * the float paths' round(6) discipline — the one float step,
+    * `intdot / sqrt(na*nb)`, is a correctly-rounded IEEE op on exact
+    * integers).
+    *
+    * Same query/candidate split as s01, so `SimilaritySpec` can measure
+    * quantization recall against the exact brute-force truth.
+    *
+    * Scale shape: quantization is a map-only projection (at a real
+    * deployment the int8 codes are what's STORED; this operator is also
+    * the writer's encode pass); scoring broadcasts the tiny quantized
+    * query side; top-k per query via one window.
+    */
+  def annInt8(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    def quantized(df: DataFrame): DataFrame = df
+      .withColumn("mx", array_max(transform($"embedding",
+        x => abs(x.cast("double")))))
+      .filter($"mx" > 0)
+      .withColumn("q", transform($"embedding",
+        x => round(x.cast("double") / $"mx" * 127).cast("bigint")))
+      .withColumn("qn", aggregate($"q", lit(0L), (acc, v) => acc + v * v))
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = quantized(emb.filter($"vec_id" < 8))
+      .select($"vec_id".as("qid"), $"q".as("q_codes"), $"qn".as("q_qn"))
+    val c = quantized(emb.filter($"vec_id" % 20 === 0))
+      .select($"vec_id".as("cand"), $"q", $"qn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"cand" =!= $"qid")
+      .withColumn("intdot",
+        aggregate(zip_with($"q_codes", $"q", (a, b) => a * b), lit(0L),
+          (acc, v) => acc + v))
+      .select($"qid", $"cand",
+        round($"intdot" / sqrt(($"q_qn" * $"qn").cast("double")), 6).as("cos_q"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_q".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= topK)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** LSH-bucketed ANN (the scale path): candidates are only probed
     * within the query's bucket — the cross join becomes an equi-join on
     * bucket. Same query/candidate sets as annBruteForce; top-3 within

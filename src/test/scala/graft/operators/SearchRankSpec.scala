@@ -107,6 +107,29 @@ class SearchRankSpec extends AnyFunSuite with Matchers with SparkSpec {
     checked.foreach { case (bruteRnk, rankFull) => rankFull shouldBe bruteRnk }
   }
 
+  test("int8-quantized ANN: high recall and bounded score error vs exact") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = Similarity.annBruteForce(spark, sf01).collect()
+    val exactCos = exact.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(r.fieldIndex("cos"))).toMap
+    val truth = exact.filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annInt8(spark, sf01).collect()
+    got should not be empty
+
+    // recall@3 vs the exact top-3: int8 at 64 dims loses little
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(gotPairs).size.toDouble / truth.size
+    recall should be >= 0.8
+
+    // quantized cosine stays within the int8 error envelope of exact
+    got.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach { ce =>
+        math.abs(r.getDouble(r.fieldIndex("cos_q")) - ce) should be <= 0.05
+      }
+    }
+  }
+
   test("correlatedScalar decorrelates to the equivalent join+agg plan result") {
     import spark.implicits._
     val got = Relational.correlatedScalar(spark, sf).collect()
