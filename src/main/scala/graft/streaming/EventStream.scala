@@ -91,19 +91,25 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** Per-doc 32-bit SimHash over xxhash64'd distinct 3-shingles — the
-    * STATELESS projection form of the batch `Dedup.simHashBitsHashed`
-    * signature (same hash family, same shingle construction via
-    * graft.functions.Text), computable row-by-row on a stream. Shared
-    * with the spec's batch-parity recomputation so stream and batch
-    * cannot drift.
+  /** xxhash64'd distinct 3-shingle ids of a text column — the stateless
+    * per-row form of the batch hashed shingle build (same hash family,
+    * same shingle construction via graft.functions.Text). Computed ONCE
+    * per row and reused for both the empty-doc filter and the signature
+    * (tokenize+shingle is the expensive per-row work on the ingestion
+    * path).
     */
-  def docSimhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val sids = transform(
+  def docSidsCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(
       array_distinct(graft.functions.Text.shingles(graft.functions.Text.toks(text))),
       s => abs(xxhash64(s)) % lit(graft.operators.Dedup.Prime))
-    graft.functions.SigFunctions.simhashSig(sids, 32)
-  }
+
+  /** Per-doc 32-bit SimHash over [[docSidsCol]] — the STATELESS
+    * projection form of the batch `Dedup.simHashBitsHashed` signature.
+    * Shared with the spec's batch-parity recomputation so stream and
+    * batch cannot drift.
+    */
+  def docSimhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.SigFunctions.simhashSig(docSidsCol(text), 32)
 
   /** A detected near-duplicate on the stream: `doc_id` arrived after
     * `match_id` and their fingerprints differ in <= maxHamming bits.
@@ -118,44 +124,64 @@ object EventStream {
   /** Streaming NEAR-dup detection — the ingestion-time twin of the batch
     * banded-hamming pass (`Dedup.simHashPairsHashed`): each arriving
     * document's 32-bit simhash is computed statelessly ([[docSimhashCol]]),
-    * bucketed by its top 16 bits (the batch hi band), and compared via
-    * `bit_count(xor)` against the fingerprints previously seen in its
-    * bucket (`flatMapGroupsWithState`, one state entry per bucket).
-    * Emits (later doc, earlier match, hamming) pairs in append mode.
+    * probed in BOTH 16-bit bands (hi = bits 16-31, lo = bits 0-15 — the
+    * same two-band union the batch pass uses; single-band bucketing
+    * provably misses a pair whose differing bits all fall in the other
+    * band), and compared via `bit_count(xor)` against the fingerprints
+    * previously seen in each band bucket (`flatMapGroupsWithState`, one
+    * state entry per band bucket). Emits (later doc, earlier match,
+    * hamming) pairs in append mode, EXACTLY ONCE per pair: a pair whose
+    * hi bands match is emitted only by the hi-band group (the lo-band
+    * group detects hi-band equality from the stored full fingerprints
+    * and stays silent).
+    *
+    * Replay-idempotent: a doc_id already present in the bucket's state
+    * (at-least-once source redelivery) is skipped entirely — no self
+    * pair, no duplicate state entry, no re-emission.
     *
     * Docs with no 3-shingle (< 3 tokens) are filtered — exactly the
     * docs absent from the batch signature build.
     *
-    * Scale notes: state partitions by bucket across executors (2^16
-    * buckets at 16 band bits — raise band bits with corpus size, same
-    * sizing rule as the batch hot-bucket cap); within a micro-batch
-    * docs process in doc_id order so the earlier/later orientation is
-    * deterministic. A production deployment adds a state TTL
-    * (EventTimeTimeout like [[sessionize]]) so a bucket unseen for the
-    * retention horizon drops its fingerprints; kept timeout-free here
-    * because the detection logic, not retention policy, is the operator.
+    * Scale notes: state partitions by band bucket across executors
+    * (2 × 2^16 buckets at 16 band bits — raise band bits with corpus
+    * size, same sizing rule as the batch hot-bucket cap); within a
+    * micro-batch docs process in doc_id order so the earlier/later
+    * orientation is deterministic. A production deployment adds a
+    * state TTL (EventTimeTimeout like [[sessionize]]) so a bucket
+    * unseen for the retention horizon drops its fingerprints; kept
+    * timeout-free here because the detection logic, not retention
+    * policy, is the operator.
     */
   def nearDupDocStream(docs: Dataset[Doc], maxHamming: Int = 3): Dataset[NearDup] = {
     import docs.sparkSession.implicits._
-    val sigs = docs.toDF()
-      .withColumn("sig", docSimhashCol(col("text")))
-      .filter(size(graft.functions.Text.shingles(
-        graft.functions.Text.toks(col("text")))) > 0)
+    val hi = shiftright(col("sig"), 16).cast("int")
+    val lo = (col("sig") % 65536).cast("int")
+    val keyed = docs.toDF()
+      .withColumn("sids", docSidsCol(col("text")))
+      .filter(size(col("sids")) > 0)
+      .withColumn("sig", graft.functions.SigFunctions.simhashSig(col("sids"), 32))
       .select(col("doc_id"),
-        shiftright(col("sig"), 16).cast("int").as("bucket"), col("sig"))
+        explode(array(hi, lo + lit(65536))).as("bucket"), col("sig"))
       .as[SigRow]
-    sigs.groupByKey(_.bucket)
+    keyed.groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketSigs, NearDup](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, it: Iterator[SigRow], state: GroupState[BucketSigs]) =>
+        (bucket: Int, it: Iterator[SigRow], state: GroupState[BucketSigs]) =>
+          val loBand = bucket >= 65536
           var seen = state.getOption.map(_.sigs).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
           for (d <- it.toSeq.sortBy(_.doc_id)) {
-            for ((oid, osig) <- seen) {
-              val h = java.lang.Long.bitCount(osig ^ d.sig)
-              if (h <= maxHamming) out += NearDup(d.doc_id, oid, h)
+            if (!seen.exists(_._1 == d.doc_id)) { // replay guard
+              for ((oid, osig) <- seen) {
+                val h = java.lang.Long.bitCount(osig ^ d.sig)
+                // lo-band group defers to the hi-band group whenever the
+                // hi bands also match (emit-once rule)
+                val hiAlso = (osig >>> 16) == (d.sig >>> 16)
+                if (h <= maxHamming && !(loBand && hiAlso))
+                  out += NearDup(d.doc_id, oid, h)
+              }
+              seen = (d.doc_id, d.sig) :: seen
             }
-            seen = (d.doc_id, d.sig) :: seen
           }
           state.update(BucketSigs(seen))
           out.iterator

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Stage-level timing of the canonicalize pipeline (d06 family — the
   * bench's most expensive query group): which stage dominates at sf0.1?
-  * Run: sbt "Test/runMain graft.ProfileCanon"
+  * Run: sbt "Test/runMain graft.operators.ProfileCanon"
   */
 object ProfileCanon {
   def main(args: Array[String]): Unit = {

@@ -227,10 +227,14 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       q.processAllAvailable()
       mem.addData(Doc(4, ts(110), alpha)) // copy arriving a batch later
       q.processAllAvailable()
+      mem.addData(Doc(4, ts(111), alpha)) // at-least-once REPLAY of doc 4
+      q.processAllAvailable()
       val got = spark.table("neardup").as[EventStream.NearDup].collect()
-        .map(n => (n.doc_id, n.match_id, n.hamming)).toSet
-      // 3 matches 1 in-batch; 4 matches both 1 and 3 from state
-      got shouldBe Set((3L, 1L, 0), (4L, 1L, 0), (4L, 3L, 0))
+        .map(n => (n.doc_id, n.match_id, n.hamming)).toList.sorted
+      // 3 matches 1 in-batch; 4 matches both 1 and 3 from state — each
+      // pair EXACTLY ONCE (identical sigs share both bands; the lo band
+      // defers) and the replay adds nothing (no self pair, no re-emit)
+      got shouldBe List((3L, 1L, 0), (4L, 1L, 0), (4L, 3L, 0))
     } finally q.stop()
   }
 
@@ -256,18 +260,19 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       val streamed = spark.table("ndparity").as[EventStream.NearDup].collect()
         .map(n => (n.doc_id, n.match_id, n.hamming)).toSet
 
-      // batch twin: same signature column, same bucketing, all ordered
-      // pairs within bucket at hamming <= 3
+      // batch twin: same signature column, the batch pass's TWO-BAND
+      // union (hi or lo 16 bits equal), all ordered pairs at hamming <= 3
       val sigs = docs.toSeq.toDF("doc_id", "ts", "text")
         .withColumn("sig", EventStream.docSimhashCol($"text"))
-        .filter(org.apache.spark.sql.functions.size(graft.functions.Text.shingles(
-          graft.functions.Text.toks($"text"))) > 0)
-        .select($"doc_id", shiftright($"sig", 16).cast("int").as("bucket"), $"sig")
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .filter(org.apache.spark.sql.functions.size(
+          EventStream.docSidsCol($"text")) > 0)
+        .select($"doc_id", $"sig")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
       val expected = (for {
-        (a, ba, sa) <- sigs
-        (b, bb, sb) <- sigs
-        if ba == bb && a < b
+        (a, sa) <- sigs
+        (b, sb) <- sigs
+        if a < b
+        if (sa >>> 16) == (sb >>> 16) || (sa & 0xFFFFL) == (sb & 0xFFFFL)
         h = java.lang.Long.bitCount(sa ^ sb)
         if h <= 3
       } yield (b, a, h)).toSet
