@@ -121,6 +121,29 @@ object EventStream {
   /** per-bucket fingerprint state for [[nearDupDocStream]]. */
   case class BucketSigs(sigs: List[(Long, Long)])
 
+  /** Streaming inverted-index maintenance — the incremental twin of the
+    * batch `TextAnalysis.invertedIndex` statistics: per-term total
+    * term frequency (exact — streaming `sum` state) and document
+    * frequency (HLL approximate — exact `count_distinct` is unsupported
+    * over unbounded streaming state, and at corpus scale the exact
+    * per-term doc set IS the thing you refuse to keep in state; rsd
+    * 0.01, the q22 discipline). Run in update mode (each micro-batch
+    * emits the terms it touched with their new running totals) or
+    * complete mode (full table per trigger — viable because state is
+    * vocabulary-cardinality).
+    *
+    * Scale shape: state is one row per distinct TERM (vocabulary-
+    * bounded, not corpus-bounded) partitioned across executors; each
+    * batch shuffles only its own term partials (map-side combined).
+    */
+  def termStatsStream(docs: Dataset[Doc]): DataFrame =
+    docs.toDF()
+      .select(col("doc_id"),
+        explode(graft.functions.Text.toks(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"),
+        approx_count_distinct(col("doc_id"), 0.01).as("df_approx"))
+
   /** Streaming NEAR-dup detection — the ingestion-time twin of the batch
     * banded-hamming pass (`Dedup.simHashPairsHashed`): each arriving
     * document's 32-bit simhash is computed statelessly ([[docSimhashCol]]),

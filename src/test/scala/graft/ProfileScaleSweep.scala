@@ -55,6 +55,10 @@ object ProfileScaleSweep {
       time("passage_dedup")(Dedup.passageDedup(spark, dir))
       time("token_rarity")(TextAnalysis.tokenRarity(spark, dir))
       time("apply_mixture")(Sampling.applyMixture(spark, dir))
+      // round-4 second-session operators
+      time("inverted_index")(TextAnalysis.invertedIndex(spark, dir))
+      time("bm25")(TextAnalysis.bm25(spark, dir))
+      time("incremental_overlap")(Dedup.incrementalOverlap(spark, dir))
     }
     spark.stop()
   }

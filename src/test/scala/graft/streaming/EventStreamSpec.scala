@@ -238,6 +238,42 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming term stats converge to the batch inverted-index statistics") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import EventStream.Doc
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 30).orderBy($"doc_id")
+      .collect().map(r => Doc(r.getLong(0), ts(100 + r.getLong(0)), r.getString(1)))
+
+    val mem = MemoryStream[Doc]
+    val q = EventStream.termStatsStream(mem.toDS())
+      .writeStream.format("memory").queryName("termstats").outputMode("complete").start()
+    try {
+      val (a, b) = docs.splitAt(15)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+
+      val streamed = spark.table("termstats").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = docs.toSeq.toDF("doc_id", "ts", "text")
+        .select($"doc_id", explode(graft.functions.Text.toks($"text")).as("term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      streamed.keySet shouldBe batch.keySet
+      batch.foreach { case (term, (tf, df)) =>
+        withClue(s"term $term: ") {
+          streamed(term)._1 shouldBe tf // exact running tf
+          // HLL df within 5% (5x the configured rsd), the q22 bound
+          math.abs(streamed(term)._2 - df).toDouble should be <= (0.05 * df max 1.0)
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming near-dup pairs equal the batch recomputation over the same docs") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
