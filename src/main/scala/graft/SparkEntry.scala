@@ -53,6 +53,7 @@ object SparkEntry {
     "q31_correlated_scalar" -> (Relational.correlatedScalar _),
     "q32_rank_variants" -> (Relational.rankVariants _),
     "q33_lateral_topn" -> (Relational.lateralTopN _),
+    "q34_cohort_retention" -> (Relational.cohortRetention _),
     // —— extensions: dedup ——
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -439,6 +440,18 @@ object SparkEntry {
         |  LIMIT 2
         |) t
         |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin,
+
+    // first-touch cohorts; week offset via explicit integer division
+    // (a double divide + cast-to-int ROUNDS in DuckDB but TRUNCATES in
+    // Spark — `//` / `DIV` floor identically for the nonnegative offsets)
+    "q34_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firsts AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST((a.day - f.cohort_day) // 7 AS INT) AS week_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM act a JOIN firsts f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q28_asof_join" ->
       """WITH tagged AS (

@@ -502,6 +502,31 @@ object Relational {
       .orderBy($"day", $"event_type")
   }
 
+  /** Cohort retention — the first-touch cohort analysis every product
+    * analytics workload runs: users cohorted by their FIRST active day,
+    * activity re-joined to its cohort, distinct users counted per
+    * (cohort day, week offset). All arithmetic is integer/date exact
+    * (datediff DIV 7 — explicit integer division; a double divide +
+    * cast would round differently across engines).
+    *
+    * Scale shape: the distinct-activity set and the per-user firsts
+    * aggregate both key on user_id, so the join back is co-partitioned
+    * (one shuffle reused across the three steps); the final rollup is
+    * a tiny (cohort, week) aggregation.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts".cast("date").as("day")).distinct()
+    val firsts = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    act.join(firsts, "user_id")
+      .withColumn("week_offset",
+        expr("datediff(day, cohort_day) DIV 7").cast("int"))
+      .groupBy($"cohort_day", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"week_offset")
+  }
+
   /** Correlated scalar subqueries (SELECT-list and WHERE), exercised
     * through `spark.sql` over direct `parquet.`-path tables — Catalyst
     * decorrelates both into joins (RewriteCorrelatedScalarSubquery):

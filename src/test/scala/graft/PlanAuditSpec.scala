@@ -76,4 +76,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
     p should include("rangepartitioning")
   }
+
+  test("text-operator scans prune the documents table to referenced columns") {
+    // the documents table carries lang/source/n_chars the index/search
+    // operators never touch — a scan reading them is wasted I/O at 100 TB
+    for (name <- Seq("t10_inverted_index", "t11_bm25", "d12_incremental_overlap")) {
+      val p = plan(name)
+      withClue(name) {
+        p should include("ReadSchema")
+        p should not include "n_chars"
+        p should not include "source"
+      }
+    }
+  }
+
+  test("int8 ANN broadcasts the quantized query side like s01") {
+    val p = plan("s09_ann_int8")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
 }

@@ -177,6 +177,23 @@ class SearchRankSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.zip(expect).foreach { case (g, e) => g shouldBe e }
   }
 
+  test("cohortRetention: week-0 row holds the full cohort, offsets nonnegative") {
+    import spark.implicits._
+    val rows = Relational.cohortRetention(spark, sf).collect()
+    rows should not be empty
+    rows.foreach(r => r.getInt(1) should be >= 0)
+    // every user is active on their own first day, so the week-0 cell
+    // of each cohort counts the whole cohort
+    val cohortSizes = Tables.events(spark, sf)
+      .select($"user_id", $"ts".cast("date").as("day"))
+      .groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      .groupBy($"cohort_day").count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val weekZero = rows.filter(_.getInt(1) == 0)
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    weekZero shouldBe cohortSizes
+  }
+
   test("rankVariants: percent_rank/cume_dist/ntile match hand recomputation") {
     val rows = Relational.rankVariants(spark, sf).collect()
     rows should not be empty
