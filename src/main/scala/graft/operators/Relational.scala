@@ -509,17 +509,20 @@ object Relational {
     * (datediff DIV 7 — explicit integer division; a double divide +
     * cast would round differently across engines).
     *
-    * Scale shape: the distinct-activity set and the per-user firsts
-    * aggregate both key on user_id, so the join back is co-partitioned
-    * (one shuffle reused across the three steps); the final rollup is
-    * a tiny (cohort, week) aggregation.
+    * Scale shape: ONE scan of events (the cohort day comes from a
+    * `min` window over the user's distinct days, not a self-join — a
+    * join against a per-user firsts aggregate would scan events twice
+    * and, past broadcast size, add a third exchange). Exchanges:
+    * (user_id, day) for the distinct, user_id for the window, the tiny
+    * (cohort, week) rollup last — all key-partitioned, no broadcast
+    * cliff at any user count.
     */
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val act = Tables.events(spark, sfDir)
+    val w = Window.partitionBy($"user_id")
+    Tables.events(spark, sfDir)
       .select($"user_id", $"ts".cast("date").as("day")).distinct()
-    val firsts = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    act.join(firsts, "user_id")
+      .withColumn("cohort_day", min($"day").over(w))
       .withColumn("week_offset",
         expr("datediff(day, cohort_day) DIV 7").cast("int"))
       .groupBy($"cohort_day", $"week_offset")

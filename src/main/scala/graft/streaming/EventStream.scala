@@ -132,12 +132,25 @@ object EventStream {
     * complete mode (full table per trigger — viable because state is
     * vocabulary-cardinality).
     *
-    * Scale shape: state is one row per distinct TERM (vocabulary-
-    * bounded, not corpus-bounded) partitioned across executors; each
-    * batch shuffles only its own term partials (map-side combined).
+    * At-least-once robustness: docs pass through a watermark-bounded
+    * doc_id dedup BEFORE the explode, so a source redelivery within
+    * `dedupWatermark` cannot double-count tf (HLL df is
+    * insert-idempotent regardless). A replay arriving LATER than the
+    * watermark horizon still double-counts — size the horizon to the
+    * source's redelivery window; exact-forever would mean keeping every
+    * doc_id in state, the corpus-cardinality cost this operator exists
+    * to avoid.
+    *
+    * Scale shape: dedup state is (doc_id × horizon)-bounded; term state
+    * is one row per distinct TERM (vocabulary-bounded, not
+    * corpus-bounded) partitioned across executors; each batch shuffles
+    * only its own term partials (map-side combined).
     */
-  def termStatsStream(docs: Dataset[Doc]): DataFrame =
+  def termStatsStream(docs: Dataset[Doc],
+      dedupWatermark: String = "1 hour"): DataFrame =
     docs.toDF()
+      .withWatermark("ts", dedupWatermark)
+      .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"),
         explode(graft.functions.Text.toks(col("text"))).as("term"))
       .groupBy(col("term"))

@@ -79,13 +79,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   test("text-operator scans prune the documents table to referenced columns") {
     // the documents table carries lang/source/n_chars the index/search
-    // operators never touch — a scan reading them is wasted I/O at 100 TB
+    // operators never touch — a scan reading them is wasted I/O at 100 TB.
+    // Assert on the ReadSchema struct itself, not the whole plan string
+    // (where e.g. a DSv2 "datasources" class name also contains "source").
     for (name <- Seq("t10_inverted_index", "t11_bm25", "d12_incremental_overlap")) {
-      val p = plan(name)
-      withClue(name) {
-        p should include("ReadSchema")
-        p should not include "n_chars"
-        p should not include "source"
+      val readSchemas = plan(name).linesIterator
+        .filter(_.contains("ReadSchema")).mkString("\n")
+      withClue(s"$name ReadSchema lines: $readSchemas\n") {
+        readSchemas should include("doc_id")
+        readSchemas should not include "n_chars"
+        readSchemas should not include "source"
       }
     }
   }

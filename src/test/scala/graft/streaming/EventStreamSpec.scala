@@ -254,6 +254,9 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       val (a, b) = docs.splitAt(15)
       mem.addData(a: _*); q.processAllAvailable()
       mem.addData(b: _*); q.processAllAvailable()
+      // at-least-once REPLAY within the watermark horizon: must not
+      // double-count tf (the dedup stage absorbs it)
+      mem.addData(docs.head); q.processAllAvailable()
 
       val streamed = spark.table("termstats").collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
