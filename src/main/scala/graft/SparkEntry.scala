@@ -99,6 +99,7 @@ object SparkEntry {
     "m01_media_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_hashes" -> ((s: SparkSession, d: String) => Multimodal.frameHashes(s, d)),
     "m03_media_neardup" -> ((s: SparkSession, d: String) => Multimodal.mediaNearDup(s, d)),
+    "m04_frame_df" -> ((s: SparkSession, d: String) => Multimodal.frameDf(s, d)),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -1189,6 +1190,19 @@ object SparkEntry {
         |FROM f x JOIN f y ON x.fh = y.fh AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY a, b""".stripMargin,
+
+    // frame-hash document frequency (the m03 cap-sizing report); same
+    // frame slicing as the m02 CTE, bag + distinct counts per hash
+    "m04_frame_df" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(substr(text, CAST(i AS INT), 64)) AS fh
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 64 + 2, 48)) AS i
+        |        FROM documents WHERE length(text) >= 64) t
+        |)
+        |SELECT fh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ
+        |FROM f GROUP BY fh HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY fh""".stripMargin,
 
     "p01_hash_sample" ->
       s"""WITH $HexBucketCte

@@ -115,6 +115,32 @@ object Multimodal {
       .orderBy($"a", $"b")
   }
 
+  /** Frame-hash document frequency — the "ubiquitous frame" report that
+    * sizes [[mediaNearDup]]'s `maxFrameDocs` cap (black frames, intro
+    * cards, silence appear in MANY media; a frame's df is the media
+    * analog of a stopword's): per distinct frame hash, how many media
+    * contain it and how many times it occurs. Restricted to hashes seen
+    * in >= `minDocs` media (the interesting tail is the high-df head,
+    * and at corpus scale the df-1 hashes are most of the table).
+    *
+    * Scale shape: one explode + one 32-char-key shuffle with map-side
+    * partials — the [[Dedup.passageDedup]] envelope over frames.
+    */
+  def frameDf(spark: SparkSession, sfDir: String, frameSize: Int = 64,
+      stride: Int = 48, minDocs: Int = 2): DataFrame = {
+    import spark.implicits._
+    val payload = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary").as("content"))
+    frameSample(payload, frameSize, stride)
+      .select($"doc_id", explode($"frames").as("frame"))
+      .select($"doc_id", md5($"frame").as("fh"))
+      .groupBy($"fh")
+      .agg(count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter($"n_docs" >= minDocs)
+      .orderBy($"fh")
+  }
+
   /** Oracle-checked plumbing query: text payloads treated as binary —
     * byte length + content hash (the metadata extraction pass a media
     * pipeline runs before any decode).

@@ -87,4 +87,22 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     r.getAs[String]("content_hash") should fullyMatch regex "[0-9a-f]{32}"
     r.getAs[String]("shard_key").length shouldBe 4
   }
+
+  test("frameDf equals the shared-frame recomputation from frameHashes") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Multimodal.frameDf(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got should not be empty
+    // recompute from the m02 output: df = distinct docs per hash,
+    // occurrences = total rows per hash, restricted to df >= 2
+    val frames = Multimodal.frameHashes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val expect = frames.groupBy(_._2).view
+      .mapValues(v => (v.map(_._1).distinct.length.toLong, v.length.toLong))
+      .filter(_._2._1 >= 2).toMap
+    got shouldBe expect
+    // every near-dup pair's shared evidence lives in frameDf's head
+    val pairsShared = Multimodal.mediaNearDup(spark, sf).collect()
+    pairsShared.foreach(p => p.getLong(2) should be >= 3L)
+  }
 }
