@@ -56,6 +56,28 @@ class BloomPrefilterSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan.toLowerCase should not include "pythonudf"
   }
 
+  test("property: every inserted key probes true for random key sets") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val seeds = Gen.listOfN(200, Gen.long)
+    // deterministic sample of generated key sets (property-style sweep
+    // without a flaky random seed)
+    for (n <- Seq(1, 17, 500)) {
+      val keys = (1 to n).map(i => 0x9E3779B97F4A7C15L * i + 0x7F4A7C15L)
+      val bloom = keys.toDF("hv").stat.bloomFilter("hv", n.toLong.max(10L), 0.01)
+      val missed = keys.toDF("hv")
+        .filter(!BloomFunctions.bloomMightContain(bloom, col("hv")))
+        .count()
+      withClue(s"n=$n: ") { missed shouldBe 0L }
+    }
+    seeds.sample.foreach { s =>
+      val bloom = s.toDF("hv").stat.bloomFilter("hv", 256L, 0.01)
+      val missed = s.toDF("hv")
+        .filter(!BloomFunctions.bloomMightContain(bloom, col("hv"))).count()
+      missed shouldBe 0L
+    }
+  }
+
   test("probe rejects non-bigint keys with a type error") {
     import spark.implicits._
     val sh = Dedup.shingleSet(spark, sf, None).limit(1)
