@@ -91,6 +91,7 @@ object SparkEntry {
     "t09_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
     "t10_inverted_index" -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "t11_bm25" -> (TextAnalysis.bm25 _),
+    "t12_langid_eval" -> (TextAnalysis.langIdEval _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -971,6 +972,29 @@ object SparkEntry {
          |)
          |SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // classifier-eval rollup: the t02 prediction chain joined to the
+    // labeled lang column, accuracy per source slice (integer counts
+    // until one rounded division)
+    "t12_langid_eval" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, CAST(sum((length(tok) * c) % 7) AS BIGINT) AS score
+         |  FROM toks CROSS JOIN (VALUES ('de', 5), ('en', 3), ('es', 7), ('fr', 11), ('zh', 13)) v(cand_lang, c)
+         |  GROUP BY 1, 2
+         |),
+         |ranked AS (
+         |  SELECT doc_id, cand_lang, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+         |  FROM scores
+         |),
+         |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM ranked WHERE rn = 1)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+         |        / count(*), 6) AS accuracy
+         |FROM pred p JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t03_fingerprint" ->
       s"""WITH ${tkCte("")},

@@ -322,6 +322,31 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Classifier-eval rollup — the harness shape every training-data
+    * pipeline runs over its quality/language classifiers: predictions
+    * ([[langId]]) joined to labels (the documents table's `lang`
+    * column), accuracy per evaluation SLICE (here: source). Integer
+    * counts until one final rounded division (cross-engine exact).
+    *
+    * Scale shape: one doc_id equi-join of two corpus-order sides, then
+    * a slice-cardinality aggregation — the map-side-combinable rollup
+    * is the cheap part; the predictions are whatever the classifier
+    * pass already cost.
+    */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pred = langId(spark, sfDir).select($"doc_id", $"pred_lang")
+    val labeled = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source")
+    pred.join(labeled, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pred_lang" === $"lang", 1L).otherwise(0L)).as("n_correct"))
+      .select($"source", $"n_docs", $"n_correct",
+        round($"n_correct" / $"n_docs", 6).as("accuracy"))
+      .orderBy($"source")
+  }
+
   /** Inverted index build: term → document frequency, total term
     * frequency, and the head of the sorted posting list (first
     * `headLen` doc_ids) — the index construction pass behind keyword

@@ -177,6 +177,28 @@ class SearchRankSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.zip(expect).foreach { case (g, e) => g shouldBe e }
   }
 
+  test("langIdEval accuracy equals recomputation from predictions and labels") {
+    import spark.implicits._
+    val rows = TextAnalysis.langIdEval(spark, sf).collect()
+    rows should not be empty
+    val preds = TextAnalysis.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val labels = Tables.documents(spark, sf).select("doc_id", "lang", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySource = labels.filter(l => preds.contains(l._1)).groupBy(_._3)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val docs = bySource(src)
+      withClue(s"source $src: ") {
+        r.getLong(1) shouldBe docs.length.toLong
+        val correct = docs.count(l => preds(l._1) == l._2).toLong
+        r.getLong(2) shouldBe correct
+        r.getDouble(3) shouldBe BigDecimal(correct.toDouble / docs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+  }
+
   test("cohortRetention: week-0 row holds the full cohort, offsets nonnegative") {
     import spark.implicits._
     val rows = Relational.cohortRetention(spark, sf).collect()
