@@ -196,11 +196,50 @@ object SparkEntry {
        |        FROM embeddings WHERE $where) t
        |)""".stripMargin
 
+  /** DuckDB mirror of Similarity.annIvf's relational Lloyd quantizer:
+    * seed centroids = first k candidate vectors; each iteration is one
+    * integer-grid argmin assignment (d_i/a_i) and one exact integer
+    * re-average (c_{i+1}); cells/probes rank against the final c_iters.
+    * All quantizer arithmetic is order-free integer sums, so the CTE
+    * chain hash-matches the Spark plan bit-for-bit.
+    */
+  private def ivfCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "cp AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq\n"
+    sb ++= "      FROM e WHERE vec_id % 20 = 0),\n"
+    sb ++= "qp AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq\n"
+    sb ++= "      FROM e WHERE vec_id < 8),\n"
+    sb ++= s"c0 AS (SELECT CAST(vec_id // 20 AS INT) AS cluster, pos, xq AS cq\n"
+    sb ++= s"      FROM cp WHERE vec_id < ${20L * k}),\n"
+    for (i <- 0 until iters) {
+      sb ++= s"d$i AS (\n"
+      sb ++= s"  SELECT cp.vec_id, c.cluster,\n"
+      sb ++= s"    CAST(sum((cp.xq - c.cq) * (cp.xq - c.cq)) AS BIGINT) AS dist2q\n"
+      sb ++= s"  FROM cp JOIN c$i c ON cp.pos = c.pos GROUP BY 1, 2\n"
+      sb ++= s"),\n"
+      sb ++= s"a$i AS (\n"
+      sb ++= s"  SELECT vec_id, cluster FROM (\n"
+      sb ++= s"    SELECT vec_id, cluster,\n"
+      sb ++= s"      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn\n"
+      sb ++= s"    FROM d$i) r WHERE rn = 1\n"
+      sb ++= s"),\n"
+      sb ++= s"c${i + 1} AS (\n"
+      sb ++= s"  SELECT a.cluster, cp.pos,\n"
+      sb ++= s"    CAST(round(sum(cp.xq) / count(*), 0) AS BIGINT) AS cq\n"
+      sb ++= s"  FROM cp JOIN a$i a ON cp.vec_id = a.vec_id GROUP BY 1, 2\n"
+      sb ++= s")"
+      if (i < iters - 1) sb ++= ",\n"
+    }
+    sb.result()
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. d03_minhash_lsh_hashed and
     * d04_simhash_pairs_hashed are intentionally omitted (xxhash64 ids
     * are not SQL-expressible → rows-only check; exact-duplicate parity
-    * with the dictionary forms is spec-asserted in DedupSpec).
+    * with the dictionary forms is spec-asserted in DedupSpec and
+    * SigAggParitySpec/SimHashParitySpec — see COVERAGE.md "Permanently
+    * spec-gated entries").
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -740,6 +779,57 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, cand, bucket, cos, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // IVF with the relational integer-grid Lloyd quantizer (seed = first
+    // 8 candidate vectors, 2 assign→re-average rounds — ivfCtes), final
+    // candidate cells + query probes ranked against c2, exact-cosine
+    // re-rank of the probed cells only
+    "s03_ann_ivf" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |${ivfCtes(8, 2)},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |dc AS (
+         |  SELECT cp.vec_id, c.cluster,
+         |    CAST(sum((cp.xq - c.cq) * (cp.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM cp JOIN c2 c ON cp.pos = c.pos GROUP BY 1, 2
+         |),
+         |cells AS (
+         |  SELECT vec_id, cluster AS cell FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM dc) r WHERE rn = 1
+         |),
+         |dq AS (
+         |  SELECT qp.vec_id, c.cluster,
+         |    CAST(sum((qp.xq - c.cq) * (qp.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM qp JOIN c2 c ON qp.pos = c.pos GROUP BY 1, 2
+         |),
+         |probes AS (
+         |  SELECT vec_id AS qid, cluster AS cell FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM dq) r WHERE rn <= 4
+         |),
+         |dd AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT dd.qid, dd.cand, cl.cell,
+         |    round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM dd
+         |  JOIN cells cl ON dd.cand = cl.vec_id
+         |  JOIN probes p ON dd.qid = p.qid AND p.cell = cl.cell
+         |  JOIN n nq ON dd.qid = nq.vec_id JOIN n nc ON dd.cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, cell, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cand, cell, cos, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
     // s02 + hamming-1 multi-probe: each query also probes every bucket
     // one plane-sign flip away (probe set = bucket XOR single bits;

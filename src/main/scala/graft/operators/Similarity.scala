@@ -71,55 +71,93 @@ object Similarity {
   }
 
   /** IVF-style ANN (the other scale path from SURVEY §2B-extensions):
-    * a k-means coarse quantizer partitions the candidate corpus into
-    * cells; each query probes its nProbe nearest cells (default 3 —
-    * measured recall@3 = 0.875 vs brute-force at sf0.01, spec-gated at
-    * >= 0.8; probing more cells trades cost for recall). KMeans is
-    * seeded for determinism but not SQL-expressible → declared
-    * rows-only (no oracle); the recall spec is the correctness signal. At 100 TB the cell assignment is one map pass and the
-    * probe is an equi-join on cell id — same shuffle shape as annLsh.
+    * a coarse quantizer partitions the candidate corpus into k cells;
+    * each query probes its nProbe nearest cells (default 4 of 8 —
+    * measured recall@3 = 0.833 vs brute-force at sf0.01, spec-gated at
+    * >= 0.8; probing more cells trades cost for recall), then an
+    * exact-cosine re-rank of the probed candidates.
+    *
+    * The quantizer is the repo's own RELATIONAL integer-grid k-means
+    * (the s04/s05 Lloyd halves, iterated): seed centroids are the
+    * first k candidate VECTORS (data points, so the first assignment is
+    * a Voronoi split on real structure, not the near-degenerate mod-k
+    * average), then `iters` full Lloyd rounds of
+    * assign(argmin Σ(xq−cq)²) → re-average on the exact 1e-6 integer
+    * grid. Every aggregate is an order-free integer sum, so the whole
+    * quantizer — and therefore the cell layout, the probe set, and the
+    * final ranking — is bit-identical across engines and partitionings,
+    * which is what lets s03 carry a full DuckDB hash oracle (the
+    * previous MLlib-KMeans quantizer was seeded-deterministic but not
+    * SQL-expressible, and it ran an eager count()+fit at plan
+    * construction; this form is lazy end-to-end).
+    *
+    * Scale shape: training passes touch only (vec_id, pos, xq) rows of
+    * the CANDIDATE corpus — `iters`+1 broadcast-centroid joins (k·dims
+    * rows broadcast) with map-side integer partials; cell assignment is
+    * the same map pass; the probe join replicates only the tiny query
+    * side. At 100 TB the re-rank is an equi-join on cell id — same
+    * shuffle shape as annLsh.
     */
-  def annIvf(spark: SparkSession, sfDir: String, nProbe: Int = 3,
-      trainCap: Long = 100000L): DataFrame = {
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, nProbe: Int = 4, topK: Int = 3): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)
-    val c = graft.Caches.track(withNorm(emb.filter($"vec_id" % 20 === 0))
-      .withColumn("features", array_to_vector($"embedding")))
-    // the coarse quantizer trains on a bounded sample (each KMeans
-    // iteration is a full pass over its training set — at corpus scale
-    // that must not be the corpus); the assignment below still covers
-    // every candidate. Seeded sample → deterministic at a given sf.
-    val nCand = c.count()
-    val train =
-      if (nCand <= trainCap) c
-      else c.sample(withReplacement = false, trainCap.toDouble / nCand, seed = 42L)
-    val model = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(train)
-    val cells = model.transform(c).withColumnRenamed("prediction", "cell")
-      .drop("features")
-    // multi-probe: each query searches its nProbe nearest cells
-    // (coarse-quantizer distances via the codegen'd vec_dot;
-    // dist^2 = |q|^2 - 2 q·c + |c|^2, monotone in -2q·c + |c|^2)
-    val centers = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
-      .toDF("cell", "center")
-      .withColumn("c_nrm", norm2($"center"))
-    val qBase = withNorm(emb.filter($"vec_id" < 8))
-      .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-    val wProbe = Window.partitionBy($"qid").orderBy($"probe_score", $"cell")
-    val q = qBase.crossJoin(broadcast(centers))
-      .withColumn("probe_score", $"c_nrm" - lit(2.0) * dot($"q_emb", $"center"))
-      .withColumn("probe_rk", row_number().over(wProbe))
-      .filter($"probe_rk" <= nProbe)
-      .select($"qid", $"q_emb", $"q_nrm", $"cell")
-    val scored = cells.join(broadcast(q), Seq("cell"))
+    def pts(df: DataFrame): DataFrame = df
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
+      .select($"vec_id", ($"pos0" + 1).cast("bigint").as("pos"),
+        round($"x".cast("double") * 1e6, 0).cast("bigint").as("xq"))
+    // cached: consumed by the seed slice, every Lloyd half, and the
+    // final cell assignment — uncached the explode would re-plan
+    // iters*2+2 times
+    val candPts = graft.Caches.track(pts(emb.filter($"vec_id" % 20 === 0)))
+
+    // one Lloyd assign half: nearest centroid per vector by exact
+    // integer-grid distance, cluster tiebreak (s05 shape)
+    def argminCell(p: DataFrame, cent: DataFrame): DataFrame = {
+      val d = p.join(broadcast(cent), "pos")
+        .groupBy($"vec_id", $"cluster")
+        .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+      val w = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
+      d.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"cluster")
+    }
+    // one Lloyd average half: exact integer mean per (cluster, pos)
+    // on the 1e-6 grid (s04 shape)
+    def average(assign: DataFrame): DataFrame =
+      candPts.join(assign, "vec_id")
+        .groupBy($"cluster", $"pos")
+        .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
+
+    val seedCent = candPts.filter($"vec_id" < 20L * k)
+      .select(($"vec_id" / 20).cast("int").as("cluster"), $"pos", $"xq".as("cq"))
+    var cent = average(argminCell(candPts, seedCent))
+    for (_ <- 2 to iters) cent = average(argminCell(candPts, cent))
+    // cached: the final centroid table feeds BOTH the candidate cell
+    // assignment and the query probe ranking
+    cent = graft.Caches.track(cent)
+
+    val cells = argminCell(candPts, cent)
+      .select($"vec_id", $"cluster".as("cell"))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
+    val probes = pts(emb.filter($"vec_id" < 8))
+      .join(broadcast(cent), "pos")
+      .groupBy($"vec_id", $"cluster")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
+      .select($"vec_id".as("qid"), $"cluster".as("cell"))
+
+    val q = probes.join(
+      withNorm(emb.filter($"vec_id" < 8))
+        .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm")),
+      "qid")
+    val scored = withNorm(emb.filter($"vec_id" % 20 === 0)).join(cells, "vec_id")
+      .join(broadcast(q), Seq("cell"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cand"), $"cell",
         round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
     scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter($"rnk" <= 3)
+      .filter($"rnk" <= topK)
       .orderBy($"qid", $"rnk")
   }
 

@@ -63,8 +63,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar")
+    // Spark-injected runtime join filters (spark.sql.optimizer.runtime
+    // .bloomFilter) finalize their bloom_filter_agg through a
+    // SinglePartition merge of one FIXED-SIZE bloom buffer per task —
+    // bounded by definition and a scan-pruning win at scale, so they
+    // never count as a data funnel (first seen on s03's quantizer
+    // joins).
+    def unboundedFunnel(p: String): Boolean = {
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Exchange SinglePartition") &&
+          !lines.lift(i + 1).exists(_.contains("partial_bloom_filter_agg"))
+      }
+    }
     for ((name, _) <- SparkEntry.queries if !bounded(name))
-      withClue(name) { plan(name) should not include "Exchange SinglePartition" }
+      withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }
 
   test("every oracle entry names a declared query") {

@@ -42,13 +42,13 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.foreach(r => r.getInt(r.fieldIndex("bucket")) should (be >= 0 and be <= 15))
   }
 
-  test("ivf is deterministic across runs (seeded kmeans)") {
+  test("ivf is deterministic across runs (relational integer-grid quantizer)") {
     val a = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
     val b = Similarity.annIvf(spark, sf).collect().map(_.toString).toSeq
     a shouldBe b
   }
 
-  test("ivf recall@3 vs brute-force ground truth >= 0.8 (gate scale, nProbe=3)") {
+  test("ivf recall@3 vs brute-force ground truth >= 0.8 (gate scale, nProbe=4)") {
     // s03's correctness signal beyond rows-only: join the declared IVF
     // output against the s01 brute-force gate output (the exact top-k).
     val sf01 = "/root/testdata/sf0.01"
