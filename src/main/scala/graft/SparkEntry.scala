@@ -56,19 +56,20 @@ object SparkEntry {
     "q34_cohort_retention" -> (Relational.cohortRetention _),
     // —— extensions: dedup ——
     "d01_dedup_exact" -> (Dedup.exact _),
-    "d02_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "d02_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d03_minhash_lsh" -> (Dedup.minHashLsh _),
     "d09_minhash_estimate" -> (Dedup.minHashEstimate _),
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
     "d04_simhash" -> (Dedup.simHash _),
     "d04_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
     "d04_simhash_pairs_hashed" -> ((s: SparkSession, d: String) => Dedup.simHashPairsHashed(s, d)),
-    "d05_embed_neardup" -> (Dedup.embeddingNearDup _),
+    "d05_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
     "d08_canonical_best" -> ((s: SparkSession, d: String) => Dedup.canonicalizeBest(s, d)),
     "d10_passage_dedup" -> ((s: SparkSession, d: String) => Dedup.passageDedup(s, d)),
     "d11_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.clusterStats(s, d)),
     "d12_incremental_overlap" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlap(s, d)),
+    "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -525,8 +526,11 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+    // doc_id < 5120 mirrors ngramJaccard's maxSample=512 id-prefix cap
+    // (fixed-size sample — the quadratic ground truth stays bounded at
+    // any corpus size; non-binding at the sf0.01 gate's 500 docs)
     "d02_ngram_jaccard" ->
-      s"""WITH ${tkCte("WHERE doc_id % 10 = 0")},
+      s"""WITH ${tkCte("WHERE doc_id % 10 = 0 AND doc_id < 5120")},
          |$ShCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
@@ -715,8 +719,10 @@ object SparkEntry {
          |FROM r JOIN k ON r.canonical_id = k.canonical_id
          |ORDER BY r.doc_id""".stripMargin,
 
+    // vec_id < 12800 mirrors embeddingNearDup's maxSample=256 id-prefix
+    // cap (fixed-size sample; non-binding at the sf0.01 gate's 500 rows)
     "d05_embed_neardup" ->
-      s"""WITH ${embCte("vec_id % 50 = 0")},
+      s"""WITH ${embCte("vec_id % 50 = 0 AND vec_id < 12800")},
          |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
          |d AS (
          |  SELECT ea.vec_id AS a, eb.vec_id AS b, sum(ea.x * eb.x) AS dp
@@ -724,6 +730,37 @@ object SparkEntry {
          |  GROUP BY 1, 2
          |)
          |SELECT a, b, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
+         |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
+         |WHERE round(dp / sqrt(na.nrm * nb.nrm), 6) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+
+    // d05's corpus-scale twin: same exact-cosine verifier, but pair
+    // candidates come from the s02 hyperplane-sign buckets over the
+    // FULL corpus — nothing quadratic in corpus size
+    "d13_embed_neardup_lsh" ->
+      s"""WITH ${embCte("TRUE")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |dots AS (
+         |  SELECT vec_id, j, sum(x * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+         |  GROUP BY 1, 2
+         |),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |  FROM dots GROUP BY 1
+         |),
+         |pairs AS (
+         |  SELECT xa.vec_id AS a, xb.vec_id AS b, xa.bucket
+         |  FROM bkt xa JOIN bkt xb ON xa.bucket = xb.bucket AND xa.vec_id < xb.vec_id
+         |),
+         |d AS (
+         |  SELECT p.a, p.b, p.bucket, sum(ea.x * eb.x) AS dp
+         |  FROM pairs p
+         |  JOIN e ea ON ea.vec_id = p.a
+         |  JOIN e eb ON eb.vec_id = p.b AND ea.i = eb.i
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT a, b, bucket, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
          |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
          |WHERE round(dp / sqrt(na.nrm * nb.nrm), 6) >= 0.2
          |ORDER BY a, b""".stripMargin,

@@ -87,11 +87,12 @@ object Dedup {
     * LSH path itself scales to the full corpus).
     */
   private[operators] def shingleSet(spark: SparkSession, sfDir: String,
-      sampleMod: Option[Int]): DataFrame = {
+      sampleMod: Option[Int], capDocId: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val sampled = sampleMod.fold(docs)(m => docs.filter($"doc_id" % m === 0))
-    Text.tokenized(sampled, "doc_id", "text")
+    val capped = capDocId.fold(sampled)(c => sampled.filter($"doc_id" < c))
+    Text.tokenized(capped, "doc_id", "text")
       .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
       .distinct()
   }
@@ -132,14 +133,21 @@ object Dedup {
       |  array_join(transform(slice(sig, b*4 + 1, 4), x -> CAST(x AS STRING)), '-'))"""
       .stripMargin
 
-  /** N-gram Jaccard all-pairs on a doc_id%10 sample: distinct-shingle
-    * self-join counts the intersection, |A|+|B|-|A∩B| the union.
-    * Exact, quadratic in shared shingles — the ground truth that the
-    * MinHash estimate approximates.
+  /** N-gram Jaccard all-pairs on a FIXED-SIZE sample (doc_id%10 up to
+    * `maxSample` docs — the id-prefix cap makes the sample size, and
+    * therefore the quadratic pair count, a CONSTANT independent of
+    * corpus size: at 100× data this is still ≤ maxSample²/2 pairs, not
+    * 10,000× the work). Distinct-shingle self-join counts the
+    * intersection, |A|+|B|-|A∩B| the union. Exact — the ground truth
+    * that the MinHash estimate (d09) approximates; the corpus-scale
+    * production shape is LSH candidates + exact verify, the
+    * [[clusterMap]] step-3 / [[minHashEstimate]] pattern.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+      maxSample: Int = 512): DataFrame = {
     import spark.implicits._
-    val sh = graft.Caches.track(shingleSet(spark, sfDir, Some(10)))
+    val sh = graft.Caches.track(
+      shingleSet(spark, sfDir, Some(10), Some(10L * maxSample)))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
@@ -621,21 +629,60 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Embedding-cosine near-duplicate pairs on a vec_id%50 sample:
-    * norms are precomputed per vector (cheap, narrow) before the
-    * quadratic pair join; cosine folds left-to-right in doubles so the
-    * oracle reproduces it bit-for-bit pre-rounding.
+  /** Embedding-cosine near-duplicate pairs, exact, on a FIXED-SIZE
+    * sample (vec_id%50 up to `maxSample` vectors — the id-prefix cap
+    * bounds the all-pairs join at ≤ maxSample²/2 pairs REGARDLESS of
+    * corpus size; a fixed-fraction sample would grow the pair count
+    * quadratically with the corpus). Norms are precomputed per vector
+    * (cheap, narrow) before the pair join; cosine folds left-to-right
+    * in doubles so the oracle reproduces it bit-for-bit pre-rounding.
+    *
+    * This is the bounded ground-truth twin of the retrieval family
+    * (s01's all-pairs shape); the corpus-scale production path is
+    * [[embeddingNearDupLsh]] — LSH-bucketed candidates with the same
+    * exact-cosine verifier.
     */
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+      maxSample: Int = 256): DataFrame = {
     import spark.implicits._
     val v = Tables.embeddings(spark, sfDir)
-      .filter($"vec_id" % 50 === 0)
+      .filter($"vec_id" % 50 === 0 && $"vec_id" < 50L * maxSample)
       .select($"vec_id", $"embedding", Similarity.norm2($"embedding").as("nrm"))
     v.as("x").join(v.as("y"), $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
         round(Similarity.dot($"x.embedding", $"y.embedding") /
           sqrt($"x.nrm" * $"y.nrm"), 6).as("cos"))
       .filter($"cos" >= 0.2)
+      .orderBy($"a", $"b")
+  }
+
+  /** Embedding near-dup, corpus-scale shape: hyperplane-sign LSH
+    * buckets ([[Similarity.lshBucket]]) turn the all-pairs join into a
+    * per-bucket equi-join over the FULL corpus (no sample), and the
+    * exact rounded cosine verifies every candidate — precision 1 by
+    * construction (every emitted pair really clears the threshold),
+    * recall < 1 by the LSH trade (a near pair split across buckets is
+    * missed; raise `planes` per the s02 sizing contract as the corpus
+    * grows, and probe hamming-1 neighbors à la s06 to buy recall back).
+    *
+    * Scale shape: one map pass to bucket + one bucket equi-join whose
+    * per-bucket population is corpus/2^planes — the d04 banded-hamming
+    * pattern applied to dense vectors. At 100 TB nothing here is
+    * quadratic in the corpus.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String,
+      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding",
+        Similarity.norm2($"embedding").as("nrm"),
+        Similarity.lshBucket($"embedding", planes, dims).as("bucket"))
+    v.as("x").join(v.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), $"x.bucket".as("bucket"),
+        round(Similarity.dot($"x.embedding", $"y.embedding") /
+          sqrt($"x.nrm" * $"y.nrm"), 6).as("cos"))
+      .filter($"cos" >= threshold)
       .orderBy($"a", $"b")
   }
 }
