@@ -97,23 +97,58 @@ object PbfDecode {
     out.toSeq
   }
 
-  /** Blob message: raw(1), raw_size(2), zlib_data(3). */
+  /** Blob message: raw(1), raw_size(2), zlib_data(3), lzma_data(4),
+    * lz4_data(6), zstd_data(7). Implemented: raw, zlib, lz4, zstd
+    * (lz4-java and zstd-jni ride Spark's own classpath — the same jars
+    * its shuffle codecs use). lzma stays rejected loudly: no lzma
+    * decoder ships with Spark, and no mainstream PBF writer emits it.
+    */
   def decompressBlob(blobBytes: Array[Byte]): Array[Byte] = {
     val r = Proto.reader(blobBytes)
     var raw: Array[Byte] = null
     var rawSize = -1
     var zlib: Array[Byte] = null
+    var lz4: Array[Byte] = null
+    var zstd: Array[Byte] = null
     while (r.hasMore) {
       val tag = r.readTag()
       (tag >> 3) match {
         case 1 => raw = r.readBytes()
         case 2 => rawSize = r.readVarint().toInt
         case 3 => zlib = r.readBytes()
+        case 6 => lz4 = r.readBytes()
+        case 7 => zstd = r.readBytes()
         case _ => r.skip(tag & 7)
       }
     }
     if (raw != null) raw
-    else if (zlib != null) {
+    else if (zstd != null) {
+      // zstd frames carry their content size; the blob's raw_size is
+      // authoritative when present (and must agree)
+      val declared =
+        if (rawSize >= 0) rawSize.toLong
+        else com.github.luben.zstd.Zstd.getFrameContentSize(zstd)
+      if (declared < 0) throw new IllegalArgumentException(
+        "zstd PBF blob carries neither raw_size nor a frame content size")
+      val out =
+        try com.github.luben.zstd.Zstd.decompress(zstd, declared.toInt)
+        catch { case e: com.github.luben.zstd.ZstdException =>
+          // e.g. "Destination buffer is too small": the frame holds more
+          // than the declared raw_size — a lying header, not our bug
+          throw new IllegalArgumentException(
+            s"corrupt zstd payload or wrong raw_size=$rawSize: ${e.getMessage}", e)
+        }
+      if (rawSize >= 0 && out.length != rawSize) throw new IllegalArgumentException(
+        s"zstd data decompresses to ${out.length} bytes, declared raw_size=$rawSize")
+      out
+    } else if (lz4 != null) {
+      // LZ4 *block* format per the PBF spec — no frame header, so the
+      // blob's raw_size is the only length source and is mandatory
+      if (rawSize < 0) throw new IllegalArgumentException(
+        "lz4 PBF blob requires raw_size (LZ4 block format has no length header)")
+      net.jpountz.lz4.LZ4Factory.fastestInstance()
+        .fastDecompressor().decompress(lz4, rawSize)
+    } else if (zlib != null) {
       val inf = new Inflater()
       inf.setInput(zlib)
       var out = new Array[Byte](if (rawSize >= 0) rawSize else math.max(64, zlib.length * 4))
@@ -153,7 +188,8 @@ object PbfDecode {
       } finally inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
     } else throw new IllegalArgumentException(
-      "unsupported Blob encoding (only raw and zlib_data)")
+      "unsupported Blob encoding (raw, zlib_data, lz4_data and zstd_data " +
+        "are implemented; lzma_data is not)")
   }
 
   /** Features this reader implements; a conforming reader MUST reject a

@@ -188,6 +188,56 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.osm.pbf.PbfDecode.decompressBlob(blob).length shouldBe payload.length
   }
 
+  test("zstd and lz4 data blobs round-trip identically to zlib") {
+    // same primitive blocks as the golden fixture, one file per codec —
+    // the decoded rows must be indistinguishable from the zlib file's
+    val dir = Files.createTempDirectory("pbfcodec")
+    for (codec <- Seq("zstd", "lz4")) {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PbfTestData.frameBlob("OSMHeader",
+        PbfTestData.headerBlock(-400000000L, 600000000L, 52000000000L, 51000000000L),
+        compress = false))
+      out.write(PbfTestData.frameBlobCodec("OSMData", PbfTestData.primitiveBlock(), codec))
+      out.write(PbfTestData.frameBlobCodec("OSMData", PbfTestData.primitiveBlock2(), codec))
+      val f = dir.resolve(s"sample-$codec.osm.pbf")
+      Files.write(f, out.toByteArray)
+      val got = spark.read.format("osm-pbf").load(f.toString)
+        .orderBy($"type", $"id").collect().toSeq
+      val want = df.orderBy($"type", $"id").collect().toSeq
+      withClue(s"codec=$codec: ") { got shouldBe want }
+    }
+  }
+
+  test("zstd blob disagreeing with declared raw_size errors clearly") {
+    val payload = Array.tabulate[Byte](512)(_.toByte)
+    val blob = new PbfTestData.W().vint(2, 100)
+      .bytes(7, com.github.luben.zstd.Zstd.compress(payload)).toArray
+    val ex = intercept[Exception] {
+      graft.osm.pbf.PbfDecode.decompressBlob(blob)
+    }
+    ex.getMessage should include("raw_size")
+  }
+
+  test("lz4 blob without raw_size is rejected (block format has no length)") {
+    val payload = Array.tabulate[Byte](512)(_.toByte)
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+      .fastCompressor().compress(payload)
+    val blob = new PbfTestData.W().bytes(6, lz4).toArray
+    val ex = intercept[IllegalArgumentException] {
+      graft.osm.pbf.PbfDecode.decompressBlob(blob)
+    }
+    ex.getMessage should include("raw_size")
+  }
+
+  test("lzma blob is rejected with the codec inventory in the message") {
+    val blob = new PbfTestData.W().vint(2, 10)
+      .bytes(4, Array.tabulate[Byte](10)(_.toByte)).toArray
+    val ex = intercept[IllegalArgumentException] {
+      graft.osm.pbf.PbfDecode.decompressBlob(blob)
+    }
+    ex.getMessage should include("lzma")
+  }
+
   test("a truncated file fails with a clear error, not silent data loss") {
     val dir = Files.createTempDirectory("pbftrunc")
     val full = Files.readAllBytes(java.nio.file.Paths.get(pbfPath))

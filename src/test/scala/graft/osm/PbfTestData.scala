@@ -45,12 +45,28 @@ object PbfTestData {
   }
 
   /** [4-byte BE len][BlobHeader][Blob] framing. */
-  def frameBlob(blobType: String, payload: Array[Byte], compress: Boolean): Array[Byte] = {
+  def frameBlob(blobType: String, payload: Array[Byte], compress: Boolean): Array[Byte] =
+    frameBlobCodec(blobType, payload, if (compress) "zlib" else "raw")
+
+  /** Codec-parameterized framing: raw | zlib | lz4 | zstd (the Blob
+    * encodings the main decoder implements; lz4/zstd compress via the
+    * same jars Spark ships).
+    */
+  def frameBlobCodec(blobType: String, payload: Array[Byte], codec: String): Array[Byte] = {
     val blob = new W
-    if (compress) {
-      blob.vint(2, payload.length)
-      blob.bytes(3, deflate(payload))
-    } else blob.bytes(1, payload)
+    codec match {
+      case "raw" => blob.bytes(1, payload)
+      case "zlib" =>
+        blob.vint(2, payload.length)
+        blob.bytes(3, deflate(payload))
+      case "lz4" =>
+        blob.vint(2, payload.length)
+        blob.bytes(6, net.jpountz.lz4.LZ4Factory.fastestInstance()
+          .fastCompressor().compress(payload))
+      case "zstd" =>
+        blob.vint(2, payload.length)
+        blob.bytes(7, com.github.luben.zstd.Zstd.compress(payload))
+    }
     val blobBytes = blob.toArray
     val header = new W().str(1, blobType).vint(3, blobBytes.length).toArray
     val out = new ByteArrayOutputStream()
