@@ -16,6 +16,18 @@ import scala.collection.mutable
   */
 object ChangesetParse {
 
+  /** One <discussion><comment> entry: attrs + the nested <text> body.
+    * The reference left discussion parsing as a TODO
+    * (OsmPbf2Orc.java:193-195); real planet changeset dumps carry it,
+    * so we parse it — surfaced as an OPT-IN column (schema parity with
+    * the reference by default, see ChangesetXmlSource).
+    */
+  final case class ParsedComment(
+      dateMicros: Option[Long],
+      uid: Option[Long],
+      user: Option[String],
+      text: String)
+
   final case class ParsedChangeset(
       id: Long,
       tags: Seq[(String, String)],
@@ -29,7 +41,8 @@ object ChangesetParse {
       maxLon: Option[java.math.BigDecimal],
       numChanges: Option[Long],
       uid: Option[Long],
-      user: Option[String])
+      user: Option[String],
+      discussion: Seq[ParsedComment])
 
   def iterator(in: InputStream): Iterator[ParsedChangeset] = {
     val factory = XMLInputFactory.newInstance()
@@ -45,6 +58,10 @@ object ChangesetParse {
     private var sawRoot = false
     private var attrs: Map[String, String] = _
     private val tags = mutable.ArrayBuffer.empty[(String, String)]
+    private val discussion = mutable.ArrayBuffer.empty[ParsedComment]
+    private var commentAttrs: Map[String, String] = null
+    private var textBuf: java.lang.StringBuilder = null
+    private var commentText: String = ""
 
     private def attr(n: String): Option[String] = attrs.get(n)
     private def micros(n: String): Option[Long] =
@@ -68,12 +85,39 @@ object ChangesetParse {
                 attrs = (0 until r.getAttributeCount)
                   .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
                 tags.clear()
+                discussion.clear()
               case "tag" if attrs != null =>
                 tags += (r.getAttributeValue(null, "k") -> r.getAttributeValue(null, "v"))
+              case "comment" if attrs != null =>
+                commentAttrs = (0 until r.getAttributeCount)
+                  .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
+                commentText = ""
+              case "text" if commentAttrs != null =>
+                textBuf = new java.lang.StringBuilder
               case other if !sawRoot => throw new IllegalStateException(
                 s"This does not appear to be an OSM changeset file (root <$other>).")
-              case _ => // discussion/comment etc.
+              case _ => // discussion wrapper etc.
             }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
+              if textBuf != null =>
+            textBuf.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "text" &&
+              textBuf != null =>
+            commentText = textBuf.toString
+            textBuf = null
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "comment" &&
+              commentAttrs != null =>
+            val ca = commentAttrs
+            def cattr(n: String): Option[String] = ca.get(n)
+            discussion += ParsedComment(
+              cattr("date").map(v => Instant.parse(v)).map(i =>
+                i.getEpochSecond * 1000000L + i.getNano / 1000L),
+              cattr("uid").flatMap(_.toLongOption),
+              cattr("user"),
+              commentText)
+            commentAttrs = null
+            textBuf = null
+            commentText = ""
           case XMLStreamConstants.END_ELEMENT if r.getLocalName == "changeset" =>
             nextRec = ParsedChangeset(
               attr("id").map(_.toLong).getOrElse(
@@ -86,7 +130,8 @@ object ChangesetParse {
               dec("min_lat"), dec("max_lat"), dec("min_lon"), dec("max_lon"),
               lng("num_changes"),
               lng("uid"),
-              attr("user"))
+              attr("user"),
+              discussion.toSeq)
             attrs = null
           case _ =>
         }

@@ -30,10 +30,23 @@ import graft.osm.pbf.SerializableHadoopConf
 class ChangesetXmlSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "osm-changesets"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    OsmSchemas.Changesets
+    ChangesetXmlSource.schemaFor(options.getBoolean("discussion", false))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ChangesetXmlTable(OsmPbfSourcePaths.paths(properties.asScala.toMap))
+      properties: util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    new ChangesetXmlTable(OsmPbfSourcePaths.paths(props),
+      props.get("discussion").exists(_.toBoolean))
+  }
+}
+
+object ChangesetXmlSource {
+  /** Reference-parity 13 columns by default; `.option("discussion",
+    * true)` appends the array-of-comment-structs column the reference
+    * left as a TODO.
+    */
+  def schemaFor(withDiscussion: Boolean): StructType =
+    if (withDiscussion) OsmSchemas.ChangesetsWithDiscussion
+    else OsmSchemas.Changesets
 }
 
 private[osm] object OsmPbfSourcePaths {
@@ -58,20 +71,21 @@ private[osm] object OsmPbfSourcePaths {
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 }
 
-class ChangesetXmlTable(paths: Seq[String]) extends Table with SupportsRead {
+class ChangesetXmlTable(paths: Seq[String], withDiscussion: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"osm-changesets:${paths.mkString(",")}"
-  override def schema(): StructType = OsmSchemas.Changesets
+  override def schema(): StructType = ChangesetXmlSource.schemaFor(withDiscussion)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangesetXmlScanBuilder(paths)
+    new ChangesetXmlScanBuilder(paths, schema())
 }
 
-class ChangesetXmlScanBuilder(paths: Seq[String])
+class ChangesetXmlScanBuilder(paths: Seq[String], base: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = OsmSchemas.Changesets
+  private var required: StructType = base
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = OsmXmlUtil.topLevelPrune(OsmSchemas.Changesets, requiredSchema)
+    required = OsmXmlUtil.topLevelPrune(base, requiredSchema)
   override def build(): Scan = new ChangesetXmlScan(paths, required,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
@@ -141,6 +155,14 @@ class ChangesetXmlPartitionReader(part: ChangesetXmlInputPartition,
       case "num_changes" => (c: ParsedChangeset) => c.numChanges.map(Long.box).orNull
       case "uid" => (c: ParsedChangeset) => c.uid.map(Long.box).orNull
       case "user" => (c: ParsedChangeset) => c.user.map(utf8).orNull
+      case "discussion" => (c: ParsedChangeset) =>
+        new GenericArrayData(c.discussion.map { cm =>
+          new GenericInternalRow(Array[Any](
+            cm.dateMicros.map(Long.box).orNull,
+            cm.uid.map(Long.box).orNull,
+            cm.user.map(utf8).orNull,
+            utf8(cm.text)))
+        }.toArray[Any])
       case other => throw new IllegalArgumentException(s"unknown changesets column $other")
     }
   }

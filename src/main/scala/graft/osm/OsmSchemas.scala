@@ -70,6 +70,23 @@ object OsmSchemas {
     StructField("uid", LongType),
     StructField("user", StringType)))
 
+  /** One changeset-discussion comment (`<discussion><comment>` + nested
+    * `<text>`). The reference never implemented discussion parsing
+    * (TODO at OsmPbf2Orc.java:193-195) — this EXCEEDS it, so the column
+    * is opt-in (`.option("discussion", true)`) and the default schema
+    * stays reference-parity.
+    */
+  val DiscussionCommentType: StructType = StructType(Seq(
+    StructField("date", TimestampType),
+    StructField("uid", LongType),
+    StructField("user", StringType),
+    StructField("text", StringType)))
+
+  /** [[Changesets]] + the opt-in `discussion` column. */
+  val ChangesetsWithDiscussion: StructType =
+    StructType(Changesets.fields :+
+      StructField("discussion", ArrayType(DiscussionCommentType)))
+
   /** ORC user-metadata the reference stamps (OsmPbf2Orc.java:90,122-125);
     * Spark's writer has no addUserMetadata, so we emit a sidecar —
     * see OrcSink.

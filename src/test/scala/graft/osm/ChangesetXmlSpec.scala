@@ -19,6 +19,14 @@ class ChangesetXmlSpec extends AnyFunSuite with Matchers with SparkSpec {
       |             min_lon="-124.1" max_lon="-124.0" num_changes="12" comments_count="2">
       |    <tag k="comment" v="initial import"/>
       |    <tag k="created_by" v="JOSM 1.5"/>
+      |    <discussion>
+      |      <comment date="2007-10-17T09:12:00Z" uid="99" user="carol">
+      |        <text>Did you verify those street names?</text>
+      |      </comment>
+      |      <comment date="2007-10-18T10:00:00Z" uid="7" user="alice">
+      |        <text>Yes — surveyed on foot.</text>
+      |      </comment>
+      |    </discussion>
       |  </changeset>
       |  <changeset id="2" created_at="2008-01-01T00:00:00Z" open="true" num_changes="0"
       |             comments_count="0"/>
@@ -57,6 +65,31 @@ class ChangesetXmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     r1.getAs[Long]("num_changes") shouldBe 12L
     r1.getAs[Long]("uid") shouldBe 7L
     r1.getAs[String]("user") shouldBe "alice"
+  }
+
+  test("discussion column is opt-in: default schema is reference parity") {
+    // without the option the discussion block is skipped entirely —
+    // 13 columns, exactly the reference's surface
+    val p = writeXml("c.osm", gz = false)
+    val plain = spark.read.format("osm-changesets").load(p)
+    plain.schema shouldBe OsmSchemas.Changesets
+    // with the option: array-of-structs column, parsed from the fixture
+    val rows = spark.read.format("osm-changesets").option("discussion", true)
+      .load(p).orderBy("id").collect()
+    rows.head.schema shouldBe OsmSchemas.ChangesetsWithDiscussion
+    val d1 = rows(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("discussion")
+    d1.length shouldBe 2
+    d1.head.getAs[java.sql.Timestamp]("date").toInstant.toString shouldBe "2007-10-17T09:12:00Z"
+    d1.head.getAs[Long]("uid") shouldBe 99L
+    d1.head.getAs[String]("user") shouldBe "carol"
+    d1.head.getAs[String]("text") shouldBe "Did you verify those street names?"
+    d1(1).getAs[String]("text") shouldBe "Yes — surveyed on foot."
+    // changesets without a discussion block read as an empty array
+    rows(1).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("discussion") shouldBe empty
+    // and the discussion column prunes away when not selected
+    val pruned = spark.read.format("osm-changesets").option("discussion", true)
+      .load(p).select("id", "comments_count")
+    pruned.queryExecution.executedPlan.toString should not include "discussion"
   }
 
   test("open changeset: closed_at/bbox/uid/user NULL") {
