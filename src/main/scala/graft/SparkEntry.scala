@@ -1320,6 +1320,13 @@ object SparkEntry {
         |  substr(md5(text), 1, 4) AS shard_key
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // ASCII-CORPUS ASSUMPTION (m02/m03/m04): Spark slices frames from
+    // text CAST TO BINARY (byte offsets), DuckDB's substr/length slice
+    // VARCHAR (character offsets) — identical only while every document
+    // byte is single-byte. The synthetic documents table is pure ASCII
+    // (asserted by MultimodalSpec's "corpus is single-byte" guard); a
+    // non-ASCII corpus needs these oracles rewritten over
+    // encode(text)/BLOB before the gate means anything.
     "m02_frame_hashes" ->
       """WITH f AS (
         |  SELECT doc_id, i, substr(text, CAST(i AS INT), 64) AS frame

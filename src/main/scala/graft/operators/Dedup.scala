@@ -549,25 +549,47 @@ object Dedup {
     * avoids): `stat.bloomFilter` runs a distributed aggregation AT
     * CONSTRUCTION TIME — the filter object must exist before the probe
     * expression embedding it can be built. A driver-built sketch cannot
-    * be lazy; callers needing a lazy plan should build the bloom once
-    * themselves and compose `BloomFunctions.bloomMightContain` directly.
+    * be lazy; callers needing a lazy plan build the bloom once on THEIR
+    * schedule and pass it to the overload below (plan-only consumers —
+    * .explain, plan audits — then pay nothing).
     */
   def incrementalOverlap(spark: SparkSession, sfDir: String, minHit: Int = 5,
       expectedShingles: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     import spark.implicits._
     val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
     val history = sh.filter($"doc_id" % 10 =!= 0)
-    val delta = sh.filter($"doc_id" % 10 === 0)
     val bloom = history.select(xxhash64($"sh").as("hv"))
       .stat.bloomFilter("hv", expectedShingles, fpp)
+    incrementalOverlap(spark, sfDir, bloom, minHit, sh)
+  }
+
+  /** Lazy composition point for the d12 shape: the caller supplies the
+    * history bloom (built once per delta cadence — daily for a daily
+    * crawl — and reusable across deltas), so constructing this
+    * DataFrame runs NO jobs. `shingles` lets the eager overload share
+    * its cached shingle build; external callers omit it.
+    */
+  def incrementalOverlap(spark: SparkSession, sfDir: String,
+      historyBloom: org.apache.spark.util.sketch.BloomFilter, minHit: Int,
+      shingles: DataFrame): DataFrame = {
+    import spark.implicits._
+    val history = shingles.filter($"doc_id" % 10 =!= 0)
+    val delta = shingles.filter($"doc_id" % 10 === 0)
     val pre = delta.filter(
-      graft.functions.BloomFunctions.bloomMightContain(bloom, xxhash64($"sh")))
+      graft.functions.BloomFunctions.bloomMightContain(historyBloom, xxhash64($"sh")))
     pre.join(history.select($"sh").distinct(), "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_overlap"))
       .filter($"n_overlap" >= minHit)
       .orderBy($"doc_id")
   }
+
+  /** [[incrementalOverlap]] lazy overload with its own shingle build. */
+  def incrementalOverlap(spark: SparkSession, sfDir: String,
+      historyBloom: org.apache.spark.util.sketch.BloomFilter,
+      minHit: Int): DataFrame =
+    incrementalOverlap(spark, sfDir, historyBloom, minHit,
+      graft.Caches.track(shingleSet(spark, sfDir, None)))
 
   /** The canonical KEEPER set — one doc_id per [[canonicalize]]
     * component (unsorted; feeds downstream joins like

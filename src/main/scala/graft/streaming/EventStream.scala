@@ -182,13 +182,17 @@ object EventStream {
     * (2 × 2^16 buckets at 16 band bits — raise band bits with corpus
     * size, same sizing rule as the batch hot-bucket cap); within a
     * micro-batch docs process in doc_id order so the earlier/later
-    * orientation is deterministic. A production deployment adds a
-    * state TTL (EventTimeTimeout like [[sessionize]]) so a bucket
-    * unseen for the retention horizon drops its fingerprints; kept
-    * timeout-free here because the detection logic, not retention
-    * policy, is the operator.
+    * orientation is deterministic. Per-bucket state is BOUNDED by
+    * `maxBucketSize`: a hot bucket keeps its newest members and a new
+    * doc compares against at most that many fingerprints (the same
+    * recall-for-cost trade as the batch hot-bucket cap — raise band
+    * bits before raising the cap). The replay guard is an O(1) set
+    * probe, not a list scan. A production deployment can ALSO add a
+    * state TTL (EventTimeTimeout like [[sessionize]]) to age buckets
+    * out by time; the size cap is what bounds memory.
     */
-  def nearDupDocStream(docs: Dataset[Doc], maxHamming: Int = 3): Dataset[NearDup] = {
+  def nearDupDocStream(docs: Dataset[Doc], maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): Dataset[NearDup] = {
     import docs.sparkSession.implicits._
     val hi = shiftright(col("sig"), 16).cast("int")
     val lo = (col("sig") % 65536).cast("int")
@@ -205,9 +209,14 @@ object EventStream {
         (bucket: Int, it: Iterator[SigRow], state: GroupState[BucketSigs]) =>
           val loBand = bucket >= 65536
           var seen = state.getOption.map(_.sigs).getOrElse(Nil)
+          // O(1) replay guard: ids as a hash set (built once per
+          // group-invocation; the list alone made each arrival an O(n)
+          // scan — quadratic on a hot bucket)
+          val ids = scala.collection.mutable.HashSet.empty[Long]
+          seen.foreach(s => ids += s._1)
           val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
           for (d <- it.toSeq.sortBy(_.doc_id)) {
-            if (!seen.exists(_._1 == d.doc_id)) { // replay guard
+            if (ids.add(d.doc_id)) { // replay guard
               for ((oid, osig) <- seen) {
                 val h = java.lang.Long.bitCount(osig ^ d.sig)
                 // lo-band group defers to the hi-band group whenever the
@@ -219,7 +228,8 @@ object EventStream {
               seen = (d.doc_id, d.sig) :: seen
             }
           }
-          state.update(BucketSigs(seen))
+          // newest-first list → take keeps the newest maxBucketSize
+          state.update(BucketSigs(seen.take(maxBucketSize)))
           out.iterator
       }
   }

@@ -16,6 +16,20 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       MediaRow(3, "image", Array.emptyByteArray)).toDS()
   }
 
+  test("corpus is single-byte: the m02/m03/m04 byte-vs-char oracle premise") {
+    import org.apache.spark.sql.{functions => F}
+    // the operators slice text CAST TO BINARY (byte offsets) while the
+    // DuckDB oracles slice VARCHAR (character offsets) — they agree only
+    // while every document is pure single-byte text. Assert it, so a
+    // future non-ASCII documents table fails HERE instead of silently
+    // forking the gate (see the oracle-side note in SparkEntry).
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val multiByte = graft.Tables.documents(spark, sf)
+        .filter(F.octet_length(F.col("text")) =!= F.length(F.col("text"))).count()
+      withClue(s"$sf: ") { multiByte shouldBe 0L }
+    }
+  }
+
   test("decodeStub is deterministic and per-partition (schema + values)") {
     val feats = Multimodal.decodeStub(rows).collect().sortBy(_.media_id)
     feats.map(_.media_id) shouldBe Array(1L, 2L, 3L)

@@ -277,6 +277,41 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("term stats absorb ENTIRE batches replayed twice within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import EventStream.Doc
+    // the single-doc replay above is the easy case; an at-least-once
+    // source can redeliver a WHOLE micro-batch (e.g. after a sink
+    // retry) — tf must stay exact as long as redelivery lands within
+    // the dedup watermark horizon
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 20).orderBy($"doc_id")
+      .collect().map(r => Doc(r.getLong(0), ts(100 + r.getLong(0)), r.getString(1)))
+    val mem = MemoryStream[Doc]
+    val q = EventStream.termStatsStream(mem.toDS())
+      .writeStream.format("memory").queryName("termstats_replay")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = docs.splitAt(10)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(a: _*); q.processAllAvailable() // batch A redelivered whole
+      mem.addData(b: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable() // batch B redelivered whole
+      val streamed = spark.table("termstats_replay").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = docs.toSeq.toDF("doc_id", "ts", "text")
+        .select(explode(graft.functions.Text.toks($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("tf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      streamed.keySet shouldBe batch.keySet
+      batch.foreach { case (term, tf) =>
+        withClue(s"term $term: ") { streamed(term) shouldBe tf }
+      }
+    } finally q.stop()
+  }
+
   test("streaming near-dup pairs equal the batch recomputation over the same docs") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
