@@ -34,6 +34,21 @@ object ProfileScaleSweep {
         .withColumn("n_chars", length($"text").cast("bigint")) // keep consistent with text
       enlarged.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
 
+      // embeddings enlarged the same way (vec_id offset per replica;
+      // components nudged per replica so replicas are near- not
+      // exact-duplicate vectors). Queries stay the replica-0 vec_id<8
+      // set — candidate corpora grow, query side doesn't, the
+      // production retrieval shape.
+      val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val enlargedEmb = (0 until mult).map { r =>
+        baseEmb.select(($"vec_id" + lit(r.toLong * 1000000)).as("vec_id"),
+          (if (r == 0) $"embedding"
+           else transform($"embedding", x => x + lit(r.toFloat * 1e-3f)))
+            .as("embedding"),
+          $"label")
+      }.reduce(_ unionByName _)
+      enlargedEmb.write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+
       // min of 3 runs, cache cleared between — same noise control as
       // ProfileR2; without it the 1x row is JVM-cold and the scaling
       // ratio conflates warm-up with data growth
@@ -59,6 +74,16 @@ object ProfileScaleSweep {
       time("inverted_index")(TextAnalysis.invertedIndex(spark, dir))
       time("bm25")(TextAnalysis.bm25(spark, dir))
       time("incremental_overlap")(Dedup.incrementalOverlap(spark, dir))
+      // round-5: multimodal frame family over the enlarged documents
+      time("media_neardup")(Multimodal.mediaNearDup(spark, dir))
+      time("frame_df")(Multimodal.frameDf(spark, dir))
+      // round-5: retrieval family over the enlarged embeddings
+      time("ann_multiprobe")(Similarity.annMultiProbe(spark, dir))
+      time("matryoshka")(Similarity.annMatryoshka(spark, dir))
+      time("rrf_fusion")(Similarity.rrfFusion(spark, dir))
+      time("ann_int8")(Similarity.annInt8(spark, dir))
+      time("ann_ivf")(Similarity.annIvf(spark, dir))
+      time("embed_neardup_lsh")(Dedup.embeddingNearDupLsh(spark, dir))
     }
     spark.stop()
   }
