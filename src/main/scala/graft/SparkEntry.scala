@@ -741,7 +741,8 @@ object SparkEntry {
       s"""WITH ${embCte("TRUE")},
          |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
          |dots AS (
-         |  SELECT vec_id, j, sum(x * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  SELECT vec_id, j,
+         |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
          |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
          |  GROUP BY 1, 2
          |),
@@ -789,7 +790,8 @@ object SparkEntry {
       s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
          |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
          |dots AS (
-         |  SELECT vec_id, j, sum(x * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  SELECT vec_id, j,
+         |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
          |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
          |  GROUP BY 1, 2
          |),
@@ -875,7 +877,8 @@ object SparkEntry {
       s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
          |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
          |dots AS (
-         |  SELECT vec_id, j, sum(x * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  SELECT vec_id, j,
+         |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
          |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
          |  GROUP BY 1, 2
          |),

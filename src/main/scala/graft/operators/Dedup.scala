@@ -560,19 +560,20 @@ object Dedup {
     val history = sh.filter($"doc_id" % 10 =!= 0)
     val bloom = history.select(xxhash64($"sh").as("hv"))
       .stat.bloomFilter("hv", expectedShingles, fpp)
-    incrementalOverlap(spark, sfDir, bloom, minHit, sh)
+    incrementalOverlapOn(sh, bloom, minHit)
   }
 
-  /** Lazy composition point for the d12 shape: the caller supplies the
-    * history bloom (built once per delta cadence — daily for a daily
-    * crawl — and reusable across deltas), so constructing this
-    * DataFrame runs NO jobs. `shingles` lets the eager overload share
-    * its cached shingle build; external callers omit it.
+  /** Lazy core of the d12 shape: the caller supplies the (doc_id, sh)
+    * shingle frame AND the history bloom (built once per delta cadence
+    * — daily for a daily crawl — and reusable across deltas), so
+    * constructing this DataFrame runs NO jobs. History/delta split is
+    * derived from `shingles` alone — there is deliberately no path
+    * parameter here, so the frame and the data can never disagree.
     */
-  def incrementalOverlap(spark: SparkSession, sfDir: String,
-      historyBloom: org.apache.spark.util.sketch.BloomFilter, minHit: Int,
-      shingles: DataFrame): DataFrame = {
-    import spark.implicits._
+  def incrementalOverlapOn(shingles: DataFrame,
+      historyBloom: org.apache.spark.util.sketch.BloomFilter,
+      minHit: Int): DataFrame = {
+    import shingles.sparkSession.implicits._
     val history = shingles.filter($"doc_id" % 10 =!= 0)
     val delta = shingles.filter($"doc_id" % 10 === 0)
     val pre = delta.filter(
@@ -584,12 +585,12 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** [[incrementalOverlap]] lazy overload with its own shingle build. */
+  /** [[incrementalOverlapOn]] with its own shingle build over `sfDir`. */
   def incrementalOverlap(spark: SparkSession, sfDir: String,
       historyBloom: org.apache.spark.util.sketch.BloomFilter,
       minHit: Int): DataFrame =
-    incrementalOverlap(spark, sfDir, historyBloom, minHit,
-      graft.Caches.track(shingleSet(spark, sfDir, None)))
+    incrementalOverlapOn(graft.Caches.track(shingleSet(spark, sfDir, None)),
+      historyBloom, minHit)
 
   /** The canonical KEEPER set — one doc_id per [[canonicalize]]
     * component (unsorted; feeds downstream joins like

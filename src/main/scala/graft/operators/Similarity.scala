@@ -234,13 +234,24 @@ object Similarity {
 
   /** Deterministic pseudo-hyperplane j over `dims` dims:
     * plane_j[k] = ((17*j + 31*k + 5) mod 7) - 3, values in [-3, 3].
+    *
+    * INTEGER-GRID dot (round 5): components quantize to the 1e-6 grid
+    * (bigint) before multiplying the small integer plane coefficients,
+    * so the sum — and therefore the SIGN that becomes the bucket bit —
+    * is an order-free integer aggregate, exact across engines and
+    * partitionings. The float fold this replaces could flip a bucket
+    * bit whenever a vector's true plane dot sat within rounding error
+    * of zero (DuckDB sums in arbitrary order, doubles are
+    * non-associative) — a flake probability that grew with corpus size
+    * once d13 started bucketing the FULL corpus. Same discipline as
+    * the s03/s04/s05 quantizer.
     */
-  private def planeDot(emb: Column, j: Int, dims: Int): Column =
+  private def planeDotQ(emb: Column, j: Int, dims: Int): Column =
     aggregate(
       zip_with(emb, sequence(lit(0), lit(dims - 1)),
-        (x, k) => x.cast("double") *
-          (((lit(17) * lit(j) + lit(31) * k + lit(5)) % 7) - 3).cast("double")),
-      lit(0.0), (acc, z) => acc + z)
+        (x, k) => round(x.cast("double") * 1e6, 0).cast("bigint") *
+          ((((lit(17) * lit(j) + lit(31) * k + lit(5)) % 7) - 3).cast("bigint"))),
+      lit(0L), (acc, z) => acc + z)
 
   /** Hyperplane-sign LSH bucket: `planes` sign bits over `dims`-dim
     * vectors → 2^planes buckets. Size `planes` to the corpus: bucket
@@ -250,7 +261,7 @@ object Similarity {
     * embeddings table and MUST be raised for production corpora.
     */
   def lshBucket(emb: Column, planes: Int = 4, dims: Int = 64): Column =
-    (0 until planes).map(j => when(planeDot(emb, j, dims) > 0, lit(1 << j)).otherwise(lit(0)))
+    (0 until planes).map(j => when(planeDotQ(emb, j, dims) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _).cast("int")
 
   /** Matryoshka-style two-stage retrieval: shortlist by cosine over the

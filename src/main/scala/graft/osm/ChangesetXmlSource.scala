@@ -34,8 +34,13 @@ class ChangesetXmlSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val props = properties.asScala.toMap
+    // same case-insensitive, lenient boolean parse as inferSchema — a
+    // strict props.get("discussion").toBoolean here would let the two
+    // disagree on ".option(\"DISCUSSION\", true)" (14-column inferred
+    // schema, 13-column table) or throw on non-canonical booleans
+    val opts = new CaseInsensitiveStringMap(properties)
     new ChangesetXmlTable(OsmPbfSourcePaths.paths(props),
-      props.get("discussion").exists(_.toBoolean))
+      opts.getBoolean("discussion", false))
   }
 }
 

@@ -130,6 +130,12 @@ object PbfDecode {
         else com.github.luben.zstd.Zstd.getFrameContentSize(zstd)
       if (declared < 0) throw new IllegalArgumentException(
         "zstd PBF blob carries neither raw_size nor a frame content size")
+      // the PBF spec bounds uncompressed blob data at 32 MiB; allow 2×
+      // slack but reject before `.toInt` can wrap a huge (corrupt or
+      // malicious) frame size into a bogus small buffer
+      if (declared > (64L << 20)) throw new IllegalArgumentException(
+        s"zstd PBF blob declares $declared uncompressed bytes " +
+          "(PBF caps blob data at 32 MiB) — corrupt or malicious frame")
       val out =
         try com.github.luben.zstd.Zstd.decompress(zstd, declared.toInt)
         catch { case e: com.github.luben.zstd.ZstdException =>

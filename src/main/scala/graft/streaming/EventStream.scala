@@ -166,14 +166,16 @@ object EventStream {
     * band), and compared via `bit_count(xor)` against the fingerprints
     * previously seen in each band bucket (`flatMapGroupsWithState`, one
     * state entry per band bucket). Emits (later doc, earlier match,
-    * hamming) pairs in append mode, EXACTLY ONCE per pair: a pair whose
-    * hi bands match is emitted only by the hi-band group (the lo-band
-    * group detects hi-band equality from the stored full fingerprints
-    * and stays silent).
+    * hamming) pairs in append mode, EXACTLY ONCE per pair (in the
+    * default unbounded-state configuration): a pair whose hi bands
+    * match is emitted only by the hi-band group (the lo-band group
+    * detects hi-band equality from the stored full fingerprints and
+    * stays silent).
     *
-    * Replay-idempotent: a doc_id already present in the bucket's state
-    * (at-least-once source redelivery) is skipped entirely — no self
-    * pair, no duplicate state entry, no re-emission.
+    * Replay-idempotent (same caveat): a doc_id already present in the
+    * bucket's state (at-least-once source redelivery) is skipped
+    * entirely — no self pair, no duplicate state entry, no re-emission.
+    * The guard is an O(1) set probe, not a list scan.
     *
     * Docs with no 3-shingle (< 3 tokens) are filtered — exactly the
     * docs absent from the batch signature build.
@@ -182,17 +184,26 @@ object EventStream {
     * (2 × 2^16 buckets at 16 band bits — raise band bits with corpus
     * size, same sizing rule as the batch hot-bucket cap); within a
     * micro-batch docs process in doc_id order so the earlier/later
-    * orientation is deterministic. Per-bucket state is BOUNDED by
-    * `maxBucketSize`: a hot bucket keeps its newest members and a new
-    * doc compares against at most that many fingerprints (the same
-    * recall-for-cost trade as the batch hot-bucket cap — raise band
-    * bits before raising the cap). The replay guard is an O(1) set
-    * probe, not a list scan. A production deployment can ALSO add a
-    * state TTL (EventTimeTimeout like [[sessionize]]) to age buckets
-    * out by time; the size cap is what bounds memory.
+    * orientation is deterministic.
+    *
+    * `maxBucketSize` (OPT-IN memory backstop, default unbounded):
+    * a finite cap keeps only each bucket's newest fingerprints. The
+    * two band groups evict INDEPENDENTLY, so a finite cap weakens two
+    * guarantees at once — (a) recall: a new doc is compared against at
+    * most maxBucketSize retained fingerprints, and a pair whose
+    * hi-band entry was evicted is missed even if the lo-band entry
+    * survives (the lo group's emit-once rule cannot know the hi bucket
+    * evicted — it still defers); (b) replay idempotency: a doc evicted
+    * and then REDELIVERED is treated as new and can RE-EMIT pairs
+    * against the retained fingerprints (duplicates, with flipped
+    * orientation). Absent redelivery no configuration double-emits,
+    * and nothing is ever emitted that isn't a true near-pair.
+    * Production guidance: raise band bits (more, smaller buckets)
+    * before capping; use the cap as the last-resort bound, sized well
+    * past the source's redelivery window.
     */
   def nearDupDocStream(docs: Dataset[Doc], maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): Dataset[NearDup] = {
+      maxBucketSize: Int = Int.MaxValue): Dataset[NearDup] = {
     import docs.sparkSession.implicits._
     val hi = shiftright(col("sig"), 16).cast("int")
     val lo = (col("sig") % 65536).cast("int")

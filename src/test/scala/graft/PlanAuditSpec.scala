@@ -74,7 +74,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       val lines = p.linesIterator.toVector
       lines.zipWithIndex.exists { case (l, i) =>
         l.contains("Exchange SinglePartition") &&
-          !lines.lift(i + 1).exists(_.contains("partial_bloom_filter_agg"))
+          // the partial bloom agg is the exchange's CHILD; tolerate up
+          // to two interposed rendering lines (WholeStageCodegen banner,
+          // AQE shuffle-stage wrappers) rather than assuming strict
+          // adjacency across Spark versions
+          !(1 to 3).exists(d =>
+            lines.lift(i + d).exists(_.contains("partial_bloom_filter_agg")))
       }
     }
     for ((name, _) <- SparkEntry.queries if !bounded(name))

@@ -277,6 +277,28 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup opt-in maxBucketSize keeps newest fingerprints (documented recall trade)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.Doc
+    val alpha = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val mem = MemoryStream[Doc]
+    // cap = 1: each bucket retains only its newest fingerprint
+    val q = EventStream.nearDupDocStream(mem.toDS(), maxBucketSize = 1)
+      .writeStream.format("memory").queryName("neardup_capped")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1, ts(100), alpha)); q.processAllAvailable()
+      mem.addData(Doc(2, ts(101), alpha)); q.processAllAvailable() // pairs with 1, evicts it
+      mem.addData(Doc(3, ts(102), alpha)); q.processAllAvailable() // sees only 2
+      val got = spark.table("neardup_capped").as[EventStream.NearDup].collect()
+        .map(n => (n.doc_id, n.match_id)).toList.sorted
+      // (3,1) is MISSED by design — doc 1 was evicted before 3 arrived;
+      // everything emitted is a true pair and nothing is duplicated
+      got shouldBe List((2L, 1L), (3L, 2L))
+    } finally q.stop()
+  }
+
   test("term stats absorb ENTIRE batches replayed twice within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
