@@ -42,6 +42,27 @@ class ProtoPropSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("blob payloads round-trip through every implemented codec") {
+    // arbitrary payloads (incl. empty, highly-repetitive, and random —
+    // scalacheck shrinks toward the interesting ends) encoded by the
+    // test-side writer and decoded by the production blob decoder
+    val payloadGen = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.chooseNum(0, 70000).map(n => Array.fill[Byte](n)(7)), // runs past 64 KiB
+      Gen.chooseNum(0, 4096).map(n => Array.tabulate[Byte](n)(i => (i % 251).toByte)))
+    for (codec <- Seq("raw", "zlib", "lz4", "zstd")) {
+      check(Prop.forAll(payloadGen) { payload =>
+        // frameBlobCodec wraps in [len][BlobHeader][Blob]; slice the Blob out
+        val framed = PbfTestData.frameBlobCodec("OSMData", payload, codec)
+        val headerLen = ((framed(0) & 0xff) << 24) | ((framed(1) & 0xff) << 16) |
+          ((framed(2) & 0xff) << 8) | (framed(3) & 0xff)
+        val blob = java.util.Arrays.copyOfRange(framed, 4 + headerLen, framed.length)
+        java.util.Arrays.equals(
+          graft.osm.pbf.PbfDecode.decompressBlob(blob), payload)
+      })
+    }
+  }
+
   test("entity invariants on the golden fixture block") {
     import graft.osm.pbf.PbfDecode
     val entities = PbfDecode.decodePrimitiveBlock(PbfTestData.primitiveBlock()).toSeq
