@@ -70,6 +70,7 @@ object SparkEntry {
     "d11_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.clusterStats(s, d)),
     "d12_incremental_overlap" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlap(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
+    "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -762,6 +763,46 @@ object SparkEntry {
          |  GROUP BY 1, 2, 3
          |)
          |SELECT a, b, bucket, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
+         |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
+         |WHERE round(dp / sqrt(na.nrm * nb.nrm), 6) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+
+    // d13 + hamming-1 multi-probe pair mining: the LEFT copy explodes
+    // to {bucket} ∪ {bucket XOR 2^j} (pairwise distinct), so a pair at
+    // bucket-hamming <= 1 matches probe == bucket exactly once — no
+    // dedup needed; exact cosine verifies, same as d13
+    "d14_embed_neardup_multiprobe" ->
+      s"""WITH ${embCte("TRUE")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |dots AS (
+         |  SELECT vec_id, j,
+         |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+         |  GROUP BY 1, 2
+         |),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |  FROM dots GROUP BY 1
+         |),
+         |probes AS (
+         |  SELECT vec_id, bucket,
+         |    CASE WHEN j = 0 THEN bucket
+         |         ELSE CAST(xor(bucket, 1 << (j - 1)) AS INT) END AS probe
+         |  FROM bkt CROSS JOIN (SELECT unnest(range(0, 5)) AS j) js
+         |),
+         |pairs AS (
+         |  SELECT xa.vec_id AS a, xb.vec_id AS b,
+         |    xa.bucket AS bucket_a, xb.bucket AS bucket_b
+         |  FROM probes xa JOIN bkt xb ON xa.probe = xb.bucket AND xa.vec_id < xb.vec_id
+         |),
+         |d AS (
+         |  SELECT p.a, p.b, p.bucket_a, p.bucket_b, sum(ea.x * eb.x) AS dp
+         |  FROM pairs p
+         |  JOIN e ea ON ea.vec_id = p.a
+         |  JOIN e eb ON eb.vec_id = p.b AND ea.i = eb.i
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT a, b, bucket_a, bucket_b, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
          |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
          |WHERE round(dp / sqrt(na.nrm * nb.nrm), 6) >= 0.2
          |ORDER BY a, b""".stripMargin,

@@ -708,4 +708,43 @@ object Dedup {
       .filter($"cos" >= threshold)
       .orderBy($"a", $"b")
   }
+
+  /** [[embeddingNearDupLsh]] with hamming-1 multi-probing — the recall
+    * buy-back d13's scaladoc promises, the s06 pattern applied to pair
+    * MINING: pair (a, b) is a candidate when their bucket codes differ
+    * in AT MOST ONE plane sign (a near pair that flips exactly one
+    * hyperplane is recalled here, invisible to the single-bucket join).
+    * Exact rounded cosine still verifies every candidate — precision
+    * stays 1; recall strictly dominates d13's (spec-asserted).
+    *
+    * Each unordered pair is emitted exactly ONCE with no dedup pass:
+    * only the left copy explodes to its probe set {bucket} ∪ {bucket
+    * XOR 2^j}, the probes of one vector are pairwise distinct, and a
+    * pair at bucket-hamming ≤ 1 matches `x.probe == y.bucket` for
+    * exactly one probe.
+    *
+    * Scale shape: the explode is ×(planes+1) on one side — linear —
+    * and the join stays a bucket equi-join; candidate volume is
+    * (planes+1)× the single-bucket path's, the standard multi-probe
+    * trade (same sizing contract: grow `planes` with the corpus).
+    */
+  def embeddingNearDupMultiProbe(spark: SparkSession, sfDir: String,
+      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding",
+        Similarity.norm2($"embedding").as("nrm"),
+        Similarity.lshBucket($"embedding", planes, dims).as("bucket"))
+    val probeCols = (0 to planes).map(j =>
+      if (j == 0) $"bucket" else ($"bucket" bitwiseXOR lit(1 << (j - 1))).cast("int"))
+    val probed = v.withColumn("probe", explode(array(probeCols: _*)))
+    probed.as("x").join(v.as("y"),
+        $"x.probe" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
+        $"x.bucket".as("bucket_a"), $"y.bucket".as("bucket_b"),
+        round(Similarity.dot($"x.embedding", $"y.embedding") /
+          sqrt($"x.nrm" * $"y.nrm"), 6).as("cos"))
+      .filter($"cos" >= threshold)
+      .orderBy($"a", $"b")
+  }
 }

@@ -44,6 +44,27 @@ class BoundedSampleSpec extends AnyFunSuite with Matchers with SparkSpec {
       .foreach(_ should be < 70L)
   }
 
+  test("d14 multi-probe near-dup: superset of d13, hamming<=1 buckets, exact cosines") {
+    val sf = "/root/testdata/sf0.001"
+    val single = Dedup.embeddingNearDupLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Dedup.embeddingNearDupMultiProbe(spark, sf).collect()
+    multi should not be empty
+    val multiPairs = multi.map(r => (r.getLong(0), r.getLong(1)))
+    // no pair emitted twice (the one-sided probe explode guarantees it)
+    multiPairs.length shouldBe multiPairs.distinct.length
+    // recall strictly dominates the single-bucket path (superset)
+    single.subsetOf(multiPairs.toSet) shouldBe true
+    multiPairs.length should be >= single.size
+    // every pair's bucket codes differ in at most one plane sign
+    multi.foreach { r =>
+      val h = Integer.bitCount(
+        r.getInt(r.fieldIndex("bucket_a")) ^ r.getInt(r.fieldIndex("bucket_b")))
+      h should be <= 1
+      r.getDouble(r.fieldIndex("cos")) should be >= 0.2
+    }
+  }
+
   test("d13 LSH near-dup: same-bucket pairs only, exact verified cosines") {
     val sf = "/root/testdata/sf0.001"
     val got = Dedup.embeddingNearDupLsh(spark, sf).collect()
