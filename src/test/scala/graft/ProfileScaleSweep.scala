@@ -84,6 +84,7 @@ object ProfileScaleSweep {
       time("ann_int8")(Similarity.annInt8(spark, dir))
       time("ann_ivf")(Similarity.annIvf(spark, dir))
       time("embed_neardup_lsh")(Dedup.embeddingNearDupLsh(spark, dir))
+      time("embed_neardup_multiprobe")(Dedup.embeddingNearDupMultiProbe(spark, dir))
     }
     spark.stop()
   }
