@@ -735,9 +735,8 @@ object Dedup {
       .select($"vec_id", $"embedding",
         Similarity.norm2($"embedding").as("nrm"),
         Similarity.lshBucket($"embedding", planes, dims).as("bucket"))
-    val probeCols = (0 to planes).map(j =>
-      if (j == 0) $"bucket" else ($"bucket" bitwiseXOR lit(1 << (j - 1))).cast("int"))
-    val probed = v.withColumn("probe", explode(array(probeCols: _*)))
+    val probed = v.withColumn("probe",
+      explode(array(Similarity.probeSet($"bucket", planes): _*)))
     probed.as("x").join(v.as("y"),
         $"x.probe" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),

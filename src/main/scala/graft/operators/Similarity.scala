@@ -264,6 +264,19 @@ object Similarity {
     (0 until planes).map(j => when(planeDotQ(emb, j, dims) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _).cast("int")
 
+  /** Hamming-1 probe set over a [[lshBucket]] code: the bucket itself
+    * plus every single-plane-sign flip — `planes + 1` pairwise-distinct
+    * columns. THE single definition of the multi-probe neighborhood:
+    * [[annMultiProbe]] (query-side retrieval) and
+    * `Dedup.embeddingNearDupMultiProbe` (pair mining) both build on it,
+    * and their exactly-once/no-dedup arguments lean on the
+    * pairwise-distinctness here — change the neighborhood in one place
+    * or not at all.
+    */
+  private[operators] def probeSet(bucket: Column, planes: Int): Seq[Column] =
+    (0 to planes).map(j =>
+      if (j == 0) bucket else (bucket bitwiseXOR lit(1 << (j - 1))).cast("int"))
+
   /** Matryoshka-style two-stage retrieval: shortlist by cosine over the
     * FIRST `sublen` dimensions only (at sublen=16 of 64 the scan costs
     * 1/4 the FLOPs of the full-dim pass — truncation-trained embedding
@@ -338,11 +351,9 @@ object Similarity {
       planes: Int = 4, dims: Int = 64, topK: Int = 3): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
-    val probes = (0 to planes).map(j =>
-      if (j == 0) $"bucket" else ($"bucket" bitwiseXOR lit(1 << (j - 1))).cast("int"))
     val q = withNorm(emb.filter($"vec_id" < 8))
       .withColumn("bucket", lshBucket($"embedding", planes, dims))
-      .withColumn("probe", explode(array(probes: _*)))
+      .withColumn("probe", explode(array(probeSet($"bucket", planes): _*)))
       .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
         $"nrm".as("q_nrm"), $"probe")
     val c = withNorm(emb.filter($"vec_id" % 20 === 0))

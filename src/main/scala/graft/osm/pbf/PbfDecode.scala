@@ -103,6 +103,15 @@ object PbfDecode {
     * its shuffle codecs use). lzma stays rejected loudly: no lzma
     * decoder ships with Spark, and no mainstream PBF writer emits it.
     */
+  /** Upper bound on DECLARED/decoded uncompressed blob size: the PBF
+    * spec caps blob data at 32 MiB; we allow 2× slack. Checked for
+    * EVERY codec (and for the declared raw_size varint itself, BEFORE
+    * any narrowing or allocation) so a crafted header can neither
+    * allocate attacker-controlled gigabytes nor wrap past Int range
+    * into a bogus small value.
+    */
+  private val MaxBlobBytes: Long = 64L << 20
+
   def decompressBlob(blobBytes: Array[Byte]): Array[Byte] = {
     val r = Proto.reader(blobBytes)
     var raw: Array[Byte] = null
@@ -114,7 +123,14 @@ object PbfDecode {
       val tag = r.readTag()
       (tag >> 3) match {
         case 1 => raw = r.readBytes()
-        case 2 => rawSize = r.readVarint().toInt
+        case 2 =>
+          // validate on the FULL varint — `.toInt` first would wrap a
+          // >= 2^31 declaration into an innocent-looking small value
+          val v = r.readVarint()
+          if (v < 0 || v > MaxBlobBytes) throw new IllegalArgumentException(
+            s"PBF blob declares raw_size=$v " +
+              "(spec caps blob data at 32 MiB) — corrupt or malicious header")
+          rawSize = v.toInt
         case 3 => zlib = r.readBytes()
         case 6 => lz4 = r.readBytes()
         case 7 => zstd = r.readBytes()
@@ -130,10 +146,7 @@ object PbfDecode {
         else com.github.luben.zstd.Zstd.getFrameContentSize(zstd)
       if (declared < 0) throw new IllegalArgumentException(
         "zstd PBF blob carries neither raw_size nor a frame content size")
-      // the PBF spec bounds uncompressed blob data at 32 MiB; allow 2×
-      // slack but reject before `.toInt` can wrap a huge (corrupt or
-      // malicious) frame size into a bogus small buffer
-      if (declared > (64L << 20)) throw new IllegalArgumentException(
+      if (declared > MaxBlobBytes) throw new IllegalArgumentException(
         s"zstd PBF blob declares $declared uncompressed bytes " +
           "(PBF caps blob data at 32 MiB) — corrupt or malicious frame")
       val out =
@@ -176,6 +189,11 @@ object PbfDecode {
             } else {
               if (rawSize >= 0) throw new IllegalArgumentException(
                 s"zlib data inflates past declared raw_size=$rawSize")
+              // undeclared-size growth path: cap it too, or a tiny
+              // zlib bomb inflates to attacker-controlled gigabytes
+              if (out.length >= MaxBlobBytes) throw new IllegalArgumentException(
+                "zlib PBF blob inflates past the 32 MiB blob cap " +
+                  "— corrupt or malicious payload")
               out = java.util.Arrays.copyOf(out, math.max(64, out.length * 2))
               out(n) = probe(0)
               n += 1

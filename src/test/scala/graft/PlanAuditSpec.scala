@@ -74,13 +74,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     def unboundedFunnel(p: String): Boolean = {
       val lines = p.linesIterator.toVector
       lines.zipWithIndex.exists { case (l, i) =>
-        l.contains("Exchange SinglePartition") &&
-          // the partial bloom agg is the exchange's CHILD; tolerate up
+        l.contains("Exchange SinglePartition") && {
+          // the partial bloom agg is THIS exchange's child; tolerate up
           // to two interposed rendering lines (WholeStageCodegen banner,
-          // AQE shuffle-stage wrappers) rather than assuming strict
-          // adjacency across Spark versions
-          !(1 to 3).exists(d =>
-            lines.lift(i + d).exists(_.contains("partial_bloom_filter_agg")))
+          // AQE shuffle-stage wrappers) but STOP at any other Exchange —
+          // otherwise a genuine funnel sitting just above a runtime-bloom
+          // exchange would get credited with the bloom's child
+          val window = lines.slice(i + 1, i + 4)
+            .takeWhile(!_.contains("Exchange"))
+          !window.exists(_.contains("partial_bloom_filter_agg"))
+        }
       }
     }
     for ((name, _) <- SparkEntry.queries if !bounded(name))

@@ -229,6 +229,26 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     ex.getMessage should include("raw_size")
   }
 
+  test("raw_size past the 32 MiB blob cap is rejected before it can wrap or allocate") {
+    // 2^32+100 would wrap to 100 under a naive .toInt — the guard must
+    // fire on the full varint, for ANY codec branch
+    val payload = Array.tabulate[Byte](64)(_.toByte)
+    for (field <- Seq(3, 6, 7)) { // zlib, lz4, zstd
+      val blob = new PbfTestData.W().vint(2, (1L << 32) + 100)
+        .bytes(field, payload).toArray
+      val ex = intercept[IllegalArgumentException] {
+        graft.osm.pbf.PbfDecode.decompressBlob(blob)
+      }
+      withClue(s"field $field: ") { ex.getMessage should include("raw_size") }
+    }
+    // and a merely-large (but in-Int-range) declaration is also rejected
+    val big = new PbfTestData.W().vint(2, (1L << 30))
+      .bytes(6, payload).toArray
+    intercept[IllegalArgumentException] {
+      graft.osm.pbf.PbfDecode.decompressBlob(big)
+    }.getMessage should include("32 MiB")
+  }
+
   test("lzma blob is rejected with the codec inventory in the message") {
     val blob = new PbfTestData.W().vint(2, 10)
       .bytes(4, Array.tabulate[Byte](10)(_.toByte)).toArray
