@@ -94,6 +94,7 @@ object SparkEntry {
     "t10_inverted_index" -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "t11_bm25" -> (TextAnalysis.bm25 _),
     "t12_langid_eval" -> (TextAnalysis.langIdEval _),
+    "t13_token_drift" -> ((s: SparkSession, d: String) => TextAnalysis.tokenDrift(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -1166,6 +1167,28 @@ object SparkEntry {
          |        / count(*), 6) AS accuracy
          |FROM pred p JOIN documents d USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // slice drift: top movers ranked on the EXACT integer numerator
+    // |tf_a*tot_b - tf_b*tot_a| (common-denominator TVD contribution);
+    // the one float step divides exact integers once (t08/t09 pattern)
+    "t13_token_drift" ->
+      s"""WITH occ AS (SELECT lang, unnest($Toks) AS token FROM documents
+         |             WHERE lang IN ('en', 'de')),
+         |tf AS (SELECT lang, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+         |ta AS (SELECT CAST(sum(tf) AS BIGINT) AS tot_a FROM tf WHERE lang = 'en'),
+         |tb AS (SELECT CAST(sum(tf) AS BIGINT) AS tot_b FROM tf WHERE lang = 'de'),
+         |j AS (
+         |  SELECT COALESCE(a.token, b.token) AS token,
+         |    COALESCE(a.tf, 0) AS tf_a, COALESCE(b.tf, 0) AS tf_b
+         |  FROM (SELECT token, tf FROM tf WHERE lang = 'en') a
+         |  FULL JOIN (SELECT token, tf FROM tf WHERE lang = 'de') b ON a.token = b.token
+         |)
+         |SELECT token, tf_a, tf_b,
+         |  CAST(abs(tf_a * tot_b - tf_b * tot_a) AS BIGINT) AS numq,
+         |  round(CAST(abs(tf_a * tot_b - tf_b * tot_a) AS BIGINT)
+         |        / (2e0 * tot_a * tot_b), 9) AS drift
+         |FROM j CROSS JOIN ta CROSS JOIN tb
+         |ORDER BY numq DESC, token LIMIT 40""".stripMargin,
 
     "t03_fingerprint" ->
       s"""WITH ${tkCte("")},

@@ -481,4 +481,52 @@ object TextAnalysis {
       .agg((sum((($"pos" + 1) * ($"tid" % lit(P))) % lit(P)) % lit(P)).as("fp"))
       .orderBy($"doc_id")
   }
+
+  /** Token-distribution drift between two corpus slices — the snapshot
+    * comparison a training pipeline runs between crawls (or between a
+    * new source and the curated mix) to catch distribution shift
+    * before it trains in. Per token, the total-variation contribution
+    * |p_A(t) − p_B(t)| / 2 — reported for the `topK` largest movers.
+    *
+    * Cross-engine exactness (t08/t09 discipline): the mover RANKING is
+    * on `numq = |tf_a·tot_b − tf_b·tot_a|`, an exact integer (common
+    * denominator form), with a token tiebreak — top-k membership and
+    * order can never sit on a float boundary. The single float step,
+    * `drift = numq / (2·tot_a·tot_b)`, divides exact integers once and
+    * rounds. Overflow: tf·tot ≤ 1e9 at gate scale; at extreme corpus
+    * sizes swap the bigint products for DECIMAL(38) sums (DuckDB sums
+    * in 128-bit already).
+    *
+    * Scale shape: one token-key shuffle with map-side partials for the
+    * per-slice tf, a broadcast of the two scalar totals, one full
+    * outer join of the two (vocabulary-cardinality) tf tables, and a
+    * TakeOrderedAndProject top-k — no global sort, no all-pairs,
+    * nothing corpus-quadratic.
+    */
+  def tokenDrift(spark: SparkSession, sfDir: String, sliceA: String = "en",
+      sliceB: String = "de", topK: Int = 40): DataFrame = {
+    import spark.implicits._
+    val occ = Tables.documents(spark, sfDir)
+      .filter($"lang".isin(sliceA, sliceB))
+      .select($"lang", explode(Text.toks($"text")).as("token"))
+    // cached: consumed by both slice projections and the totals
+    val tf = graft.Caches.track(
+      occ.groupBy($"lang", $"token").agg(count(lit(1)).as("tf")))
+    def slice(l: String, as: String) =
+      tf.filter($"lang" === l).select($"token", $"tf".as(as))
+    def tot(l: String, as: String) =
+      tf.filter($"lang" === l).agg(sum($"tf").as(as))
+    val joined = slice(sliceA, "tf_a").join(slice(sliceB, "tf_b"), Seq("token"), "full")
+      .na.fill(0L, Seq("tf_a", "tf_b"))
+      .crossJoin(broadcast(tot(sliceA, "tot_a")))
+      .crossJoin(broadcast(tot(sliceB, "tot_b")))
+    joined
+      .withColumn("numq", abs($"tf_a" * $"tot_b" - $"tf_b" * $"tot_a"))
+      .withColumn("drift",
+        round($"numq" / (lit(2.0) * $"tot_a" * $"tot_b"), 9))
+      .select($"token", $"tf_a", $"tf_b", $"numq", $"drift")
+      .orderBy($"numq".desc, $"token")
+      .limit(topK)
+      .orderBy($"numq".desc, $"token")
+  }
 }

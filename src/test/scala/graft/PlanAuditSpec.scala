@@ -61,10 +61,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // BM25 corpus constants N/total-tokens/per-term-df finalize one
     // partial row per task into a single 1-row broadcast; q31 — the
     // uncorrelated scalar threshold subquery is a grand-total average
-    // of integer cents, one partial row per task).
+    // of integer cents, one partial row per task; t13 — the two slice
+    // token totals finalize one partial sum row per task into 1-row
+    // broadcasts, the same shape as t11's corpus constants).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
-      "q31_correlated_scalar")
+      "q31_correlated_scalar", "t13_token_drift")
     // Spark-injected runtime join filters (spark.sql.optimizer.runtime
     // .bloomFilter) finalize their bloom_filter_agg through a
     // SinglePartition merge of one FIXED-SIZE bloom buffer per task —

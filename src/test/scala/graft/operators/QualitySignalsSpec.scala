@@ -13,6 +13,38 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("tokenDrift: exact integer ranking, recomputable drift, slice symmetry") {
+    import graft.functions.Text
+    val rows = TextAnalysis.tokenDrift(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    // recompute the totals independently
+    val occ = Tables.documents(spark, sf)
+      .filter(col("lang").isin("en", "de"))
+      .select(col("lang"), explode(Text.toks(col("text"))).as("token"))
+    val tots = occ.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (totA, totB) = (tots("en"), tots("de"))
+    rows.foreach { r =>
+      val (tfA, tfB) = (r.getLong(1), r.getLong(2))
+      val numq = r.getLong(3)
+      // numq is the exact common-denominator numerator
+      numq shouldBe math.abs(tfA * totB - tfB * totA)
+      // the one float step recomputes from the integers
+      r.getDouble(4) shouldBe
+        BigDecimal(numq / (2.0 * totA * totB))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // movers are ranked descending on the exact integer
+    val numqs = rows.map(_.getLong(3)).toSeq
+    numqs shouldBe numqs.sorted.reverse
+    // slice order only flips the tf columns — numq is symmetric
+    val swapped = TextAnalysis.tokenDrift(spark, sf, sliceA = "de", sliceB = "en")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.Caches.releaseAll(spark)
+    rows.foreach(r => swapped(r.getString(0)) shouldBe r.getLong(3))
+  }
+
   test("clusterStats histogram mass equals the corpus size") {
     // every document sits in exactly one cluster, so
     // sum(cluster_size * n_clusters) must reproduce the corpus count
