@@ -19,14 +19,17 @@ object ProfileD13Planes {
     spark.sparkContext.setLogLevel("ERROR")
     for ((mult, planes) <- Seq((1, 4), (4, 6), (10, 7))) {
       val dir = s"/tmp/graft_scale_${mult}x"
-      val times = (1 to 3).map { _ =>
-        graft.Caches.releaseAll(spark)
-        val t0 = System.nanoTime()
-        Dedup.embeddingNearDupLsh(spark, dir, planes = planes)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[d13] ${mult}x planes=$planes min=${times.head}%.2f median=${times(1)}%.2f s")
+      def run(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val times = (1 to 3).map { _ =>
+          graft.Caches.releaseAll(spark)
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[$name] ${mult}x planes=$planes min=${times.head}%.2f median=${times(1)}%.2f s")
+      }
+      run("d13")(Dedup.embeddingNearDupLsh(spark, dir, planes = planes))
+      run("d14")(Dedup.embeddingNearDupMultiProbe(spark, dir, planes = planes))
     }
     spark.stop()
   }

@@ -85,6 +85,7 @@ object ProfileScaleSweep {
       time("ann_ivf")(Similarity.annIvf(spark, dir))
       time("embed_neardup_lsh")(Dedup.embeddingNearDupLsh(spark, dir))
       time("embed_neardup_multiprobe")(Dedup.embeddingNearDupMultiProbe(spark, dir))
+      time("token_drift")(TextAnalysis.tokenDrift(spark, dir))
     }
     spark.stop()
   }
