@@ -738,10 +738,20 @@ object SparkEntry {
 
     // d05's corpus-scale twin: same exact-cosine verifier, but pair
     // candidates come from the s02 hyperplane-sign buckets over the
-    // FULL corpus — nothing quadratic in corpus size
+    // FULL corpus — nothing quadratic in corpus size. Because the pair
+    // count grows with the corpus (unlike d05's fixed-size sample), the
+    // verify dot/norm here are ORDER-PINNED: list_reduce folds
+    // left-to-right, bit-identical to Spark's fold (verified on the
+    // parquet floats), so round(cos, 6) and the threshold never sit on
+    // an unordered-float-sum boundary. (Residual: Spark seeds its fold
+    // with +0.0, list_reduce with the first product — they differ only
+    // in the sign of an all-zero dot, which the >= 0.2 filter drops.)
     "d13_embed_neardup_lsh" ->
       s"""WITH ${embCte("TRUE")},
-         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |n AS (SELECT vec_id, list_reduce(
+         |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+         |        (x, y) -> x + y) AS nrm
+         |      FROM embeddings),
          |dots AS (
          |  SELECT vec_id, j,
          |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
@@ -757,11 +767,13 @@ object SparkEntry {
          |  FROM bkt xa JOIN bkt xb ON xa.bucket = xb.bucket AND xa.vec_id < xb.vec_id
          |),
          |d AS (
-         |  SELECT p.a, p.b, p.bucket, sum(ea.x * eb.x) AS dp
+         |  SELECT p.a, p.b, p.bucket, list_reduce(
+         |    list_transform(list_zip(ea.embedding, eb.embedding),
+         |      z -> z[1]::DOUBLE * z[2]::DOUBLE),
+         |    (x, y) -> x + y) AS dp
          |  FROM pairs p
-         |  JOIN e ea ON ea.vec_id = p.a
-         |  JOIN e eb ON eb.vec_id = p.b AND ea.i = eb.i
-         |  GROUP BY 1, 2, 3
+         |  JOIN embeddings ea ON ea.vec_id = p.a
+         |  JOIN embeddings eb ON eb.vec_id = p.b
          |)
          |SELECT a, b, bucket, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
          |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
@@ -771,10 +783,14 @@ object SparkEntry {
     // d13 + hamming-1 multi-probe pair mining: the LEFT copy explodes
     // to {bucket} ∪ {bucket XOR 2^j} (pairwise distinct), so a pair at
     // bucket-hamming <= 1 matches probe == bucket exactly once — no
-    // dedup needed; exact cosine verifies, same as d13
+    // dedup needed; exact cosine verifies, with the same order-pinned
+    // list_reduce fold as d13 (pair count grows with the corpus)
     "d14_embed_neardup_multiprobe" ->
       s"""WITH ${embCte("TRUE")},
-         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |n AS (SELECT vec_id, list_reduce(
+         |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+         |        (x, y) -> x + y) AS nrm
+         |      FROM embeddings),
          |dots AS (
          |  SELECT vec_id, j,
          |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
@@ -797,11 +813,13 @@ object SparkEntry {
          |  FROM probes xa JOIN bkt xb ON xa.probe = xb.bucket AND xa.vec_id < xb.vec_id
          |),
          |d AS (
-         |  SELECT p.a, p.b, p.bucket_a, p.bucket_b, sum(ea.x * eb.x) AS dp
+         |  SELECT p.a, p.b, p.bucket_a, p.bucket_b, list_reduce(
+         |    list_transform(list_zip(ea.embedding, eb.embedding),
+         |      z -> z[1]::DOUBLE * z[2]::DOUBLE),
+         |    (x, y) -> x + y) AS dp
          |  FROM pairs p
-         |  JOIN e ea ON ea.vec_id = p.a
-         |  JOIN e eb ON eb.vec_id = p.b AND ea.i = eb.i
-         |  GROUP BY 1, 2, 3, 4
+         |  JOIN embeddings ea ON ea.vec_id = p.a
+         |  JOIN embeddings eb ON eb.vec_id = p.b
          |)
          |SELECT a, b, bucket_a, bucket_b, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
          |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id

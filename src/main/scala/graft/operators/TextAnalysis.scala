@@ -493,9 +493,13 @@ object TextAnalysis {
     * denominator form), with a token tiebreak — top-k membership and
     * order can never sit on a float boundary. The single float step,
     * `drift = numq / (2·tot_a·tot_b)`, divides exact integers once and
-    * rounds. Overflow: tf·tot ≤ 1e9 at gate scale; at extreme corpus
-    * sizes swap the bigint products for DECIMAL(38) sums (DuckDB sums
-    * in 128-bit already).
+    * rounds. Overflow is GUARDED, not assumed: Spark would silently
+    * wrap a Long product (the DuckDB oracle sums in 128-bit and
+    * errors), so the plan raises an error the moment either slice
+    * total reaches sqrt(Long.MaxValue) — since tf ≤ tot, both
+    * products are then provably < 2^63 and the ranking is exact. At
+    * corpora beyond ~3e9 tokens per slice, recompute numq in
+    * DECIMAL(38,0) instead of lifting the guard.
     *
     * Scale shape: one token-key shuffle with map-side partials for the
     * per-slice tf, a broadcast of the two scalar totals, one full
@@ -520,8 +524,14 @@ object TextAnalysis {
       .na.fill(0L, Seq("tf_a", "tf_b"))
       .crossJoin(broadcast(tot(sliceA, "tot_a")))
       .crossJoin(broadcast(tot(sliceB, "tot_b")))
+    // 3037000499 = floor(sqrt(Long.MaxValue)): below it, tf·tot < 2^63
+    val totCap = 3037000499L
     joined
-      .withColumn("numq", abs($"tf_a" * $"tot_b" - $"tf_b" * $"tot_a"))
+      .withColumn("numq",
+        when($"tot_a" >= totCap || $"tot_b" >= totCap,
+          raise_error(lit("tokenDrift: slice token total >= sqrt(Long.MaxValue); " +
+            "the bigint mover ranking would wrap — recompute numq in DECIMAL(38,0)")))
+          .otherwise(abs($"tf_a" * $"tot_b" - $"tf_b" * $"tot_a")))
       .withColumn("drift",
         round($"numq" / (lit(2.0) * $"tot_a" * $"tot_b"), 9))
       .select($"token", $"tf_a", $"tf_b", $"numq", $"drift")

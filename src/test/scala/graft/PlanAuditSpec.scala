@@ -67,29 +67,73 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift")
-    // Spark-injected runtime join filters (spark.sql.optimizer.runtime
-    // .bloomFilter) finalize their bloom_filter_agg through a
-    // SinglePartition merge of one FIXED-SIZE bloom buffer per task —
-    // bounded by definition and a scan-pruning win at scale, so they
-    // never count as a data funnel (first seen on s03's quantizer
-    // joins).
-    def unboundedFunnel(p: String): Boolean = {
-      val lines = p.linesIterator.toVector
-      lines.zipWithIndex.exists { case (l, i) =>
-        l.contains("Exchange SinglePartition") && {
-          // the partial bloom agg is THIS exchange's child; tolerate up
-          // to two interposed rendering lines (WholeStageCodegen banner,
-          // AQE shuffle-stage wrappers) but STOP at any other Exchange —
-          // otherwise a genuine funnel sitting just above a runtime-bloom
-          // exchange would get credited with the bloom's child
-          val window = lines.slice(i + 1, i + 4)
-            .takeWhile(!_.contains("Exchange"))
-          !window.exists(_.contains("partial_bloom_filter_agg"))
-        }
-      }
-    }
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
+  }
+
+  // Spark-injected runtime join filters (spark.sql.optimizer.runtime
+  // .bloomFilter) finalize their bloom_filter_agg through a
+  // SinglePartition merge of one FIXED-SIZE bloom buffer per task —
+  // bounded by definition and a scan-pruning win at scale, so they
+  // never count as a data funnel (first seen on s03's quantizer
+  // joins).
+  private def unboundedFunnel(p: String): Boolean = {
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Exchange SinglePartition") && {
+        // the partial bloom agg is THIS exchange's child; tolerate up
+        // to two interposed rendering lines (WholeStageCodegen banner,
+        // AQE shuffle-stage wrappers) but STOP at any other Exchange —
+        // otherwise a genuine funnel sitting just above a runtime-bloom
+        // exchange would get credited with the bloom's child. The
+        // 3-line window is a rendering-format heuristic; the synthetic
+        // pin test below fails loudly if a Spark upgrade changes the
+        // rendering enough to break either direction.
+        val window = lines.slice(i + 1, i + 4)
+          .takeWhile(!_.contains("Exchange"))
+        !window.exists(_.contains("partial_bloom_filter_agg"))
+      }
+    }
+  }
+
+  test("funnel heuristic: synthetic plans pin both directions of the bloom window") {
+    // A genuine funnel with no bloom child IS flagged
+    unboundedFunnel(
+      """Exchange SinglePartition
+        | +- HashAggregate(keys=[k], functions=[partial_count(1)])""".stripMargin
+    ) shouldBe true
+    // Bloom finalization directly below the exchange is NOT a funnel
+    unboundedFunnel(
+      """Exchange SinglePartition
+        | +- ObjectHashAggregate(functions=[partial_bloom_filter_agg(xxhash64(k))])""".stripMargin
+    ) shouldBe false
+    // ... including under the tolerated rendering wrappers (codegen
+    // banner + AQE shuffle-stage line), the widest shape the window
+    // was sized for
+    unboundedFunnel(
+      """Exchange SinglePartition
+        | +- WholeStageCodegen (2)
+        |    +- ShuffleQueryStage 1
+        |       +- ObjectHashAggregate(functions=[partial_bloom_filter_agg(xxhash64(k))])""".stripMargin
+    ) shouldBe false
+    // A genuine funnel sitting just ABOVE a runtime-bloom exchange must
+    // not be credited with the bloom's child: the scan stops at the
+    // intervening Exchange
+    unboundedFunnel(
+      """Exchange SinglePartition
+        | +- Exchange hashpartitioning(k, 32)
+        |    +- ObjectHashAggregate(functions=[partial_bloom_filter_agg(xxhash64(k))])""".stripMargin
+    ) shouldBe true
+    // A bloom agg BEYOND the 3-line window does not rescue a funnel —
+    // if a Spark upgrade pushes the child deeper, this documents the
+    // failure mode (noisy flag, safe direction)
+    unboundedFunnel(
+      """Exchange SinglePartition
+        | +- WholeStageCodegen (2)
+        |    +- ShuffleQueryStage 1
+        |       +- AQEShuffleRead coalesced
+        |          +- ObjectHashAggregate(functions=[partial_bloom_filter_agg(xxhash64(k))])""".stripMargin
+    ) shouldBe true
   }
 
   test("every oracle entry names a declared query") {
