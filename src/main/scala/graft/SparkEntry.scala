@@ -95,6 +95,7 @@ object SparkEntry {
     "t11_bm25" -> (TextAnalysis.bm25 _),
     "t12_langid_eval" -> (TextAnalysis.langIdEval _),
     "t13_token_drift" -> ((s: SparkSession, d: String) => TextAnalysis.tokenDrift(s, d)),
+    "t14_pii_scrub" -> (TextAnalysis.piiScrub _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -1207,6 +1208,33 @@ object SparkEntry {
          |        / (2e0 * tot_a * tot_b), 9) AS drift
          |FROM j CROSS JOIN ta CROSS JOIN tb
          |ORDER BY numq DESC, token LIMIT 40""".stripMargin,
+
+    // t14: the corpus has no digits, so both engines plant the SAME
+    // doc_id-derived PII and the scrub is verified to find and redact
+    // all of it. Patterns are the RE2/java.regex common subset; stage
+    // order (email -> ip -> phone) is part of the operator contract.
+    "t14_pii_scrub" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail.example or +1 (' || CAST(200 + doc_id % 700 AS VARCHAR) ||
+         |    ') ' || CAST(100 + doc_id % 800 AS VARCHAR) ||
+         |    '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+         |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |    '.0.' || CAST(doc_id % 200 AS VARCHAR) AS raw
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, raw,
+         |         regexp_replace(raw, '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g') AS t1
+         |       FROM enr),
+         |s2 AS (SELECT doc_id, raw, t1,
+         |         regexp_replace(t1, '${TextAnalysis.PiiIp}', '<IP>', 'g') AS t2
+         |       FROM s1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '${TextAnalysis.PiiEmail}')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.PiiIp}')) AS INT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.PiiPhone}')) AS INT) AS n_phone,
+         |  regexp_replace(t2, '${TextAnalysis.PiiPhone}', '<PHONE>', 'g') AS clean
+         |FROM s2 ORDER BY doc_id""".stripMargin,
 
     "t03_fingerprint" ->
       s"""WITH ${tkCte("")},

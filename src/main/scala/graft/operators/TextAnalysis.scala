@@ -539,4 +539,57 @@ object TextAnalysis {
       .limit(topK)
       .orderBy($"numq".desc, $"token")
   }
+
+  /** PII patterns shared by [[piiScrubText]] and the t14 oracle — the
+    * RE2/java.util.regex COMMON SUBSET only (no backreferences, no
+    * lookaround, greedy quantifiers, ASCII classes), so Spark and
+    * DuckDB tokenize the same matches. Scrub ORDER is part of the
+    * contract: emails, then IPs, then phones — each later pattern runs
+    * on the already-redacted text, so an IP can never be half-eaten by
+    * the phone pattern (the placeholders contain no digits).
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\+?\\d{1,3}[- ]\\(?\\d{2,4}\\)?[- ]\\d{3,4}[- ]\\d{3,4}"
+
+  /** Scrub one text column: per-stage match counts + the redacted
+    * text. Pure map-side pass (regexp_count/regexp_replace are
+    * codegen'd) — composes with any upstream frame; no shuffle.
+    */
+  def piiScrubText(idCol: Column, textCol: Column): Seq[Column] = {
+    val t1 = regexp_replace(textCol, PiiEmail, "<EMAIL>")
+    val t2 = regexp_replace(t1, PiiIp, "<IP>")
+    Seq(idCol.as("doc_id"),
+      regexp_count(textCol, lit(PiiEmail)).as("n_email"),
+      regexp_count(t1, lit(PiiIp)).as("n_ip"),
+      regexp_count(t2, lit(PiiPhone)).as("n_phone"),
+      regexp_replace(t2, PiiPhone, "<PHONE>").as("clean"))
+  }
+
+  /** PII detection + redaction over the documents table — the scrub
+    * pass a training pipeline runs before anything leaves the raw zone.
+    *
+    * The synthetic corpus carries no digits at all, so the query plants
+    * deterministic doc_id-derived PII (an email, a phone, an IP) into
+    * each document first — the oracle builds the identical enrichment —
+    * and then proves the scrub finds and removes ALL of it: every row
+    * exercises every pattern, and the redacted text is hash-compared.
+    *
+    * Scale shape: map-only scan (one narrow projection, counts and
+    * replaces fused into one codegen stage) + the final order — the
+    * same shape as t01.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enriched = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@mail.example or +1 ("), (lit(200) + $"doc_id" % 700).cast("string"),
+      lit(") "), (lit(100) + $"doc_id" % 800).cast("string"),
+      lit("-"), (lit(1000) + $"doc_id" % 9000).cast("string"),
+      lit(" from 10."), ($"doc_id" % 256).cast("string"),
+      lit(".0."), ($"doc_id" % 200).cast("string"))
+    Tables.documents(spark, sfDir)
+      .select(piiScrubText($"doc_id", enriched): _*)
+      .orderBy($"doc_id")
+  }
 }
