@@ -96,6 +96,7 @@ object SparkEntry {
     "t12_langid_eval" -> (TextAnalysis.langIdEval _),
     "t13_token_drift" -> ((s: SparkSession, d: String) => TextAnalysis.tokenDrift(s, d)),
     "t14_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "t15_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplateRemove(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -1235,6 +1236,26 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.PiiPhone}')) AS INT) AS n_phone,
          |  regexp_replace(t2, '${TextAnalysis.PiiPhone}', '<PHONE>', 'g') AS clean
          |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // t15: passages partition the token stream (trailing partial kept,
+    // unlike d10's full-window unit), df counted on the md5 key exactly
+    // as the engine shuffles it; docs rebuild from surviving passages
+    // in order. COALESCE mirrors Spark's empty-array -> '' when every
+    // passage of a doc is boilerplate.
+    "t15_boilerplate" ->
+      s"""WITH ${tkCte("")},
+         |p AS (
+         |  SELECT doc_id, i, array_to_string(tk[(i*20+1):(i*20+20)], ' ') AS ptext
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, CAST(ceil(len(tk) / 20.0) AS INT))) AS i
+         |        FROM tk) t),
+         |d AS (SELECT md5(ptext) AS ph, count(DISTINCT doc_id) AS df
+         |      FROM p GROUP BY 1)
+         |SELECT p.doc_id, count(*) AS n_passages,
+         |  count(*) FILTER (WHERE d.df >= 2) AS n_removed,
+         |  COALESCE(string_agg(p.ptext, ' ' ORDER BY p.i) FILTER (WHERE d.df < 2), '') AS clean
+         |FROM p JOIN d ON md5(p.ptext) = d.ph
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "t03_fingerprint" ->
       s"""WITH ${tkCte("")},

@@ -592,4 +592,48 @@ object TextAnalysis {
       .select(piiScrubText($"doc_id", enriched): _*)
       .orderBy($"doc_id")
   }
+
+  /** CCNet-style boilerplate removal: a document is split into
+    * non-overlapping `window`-token passages (trailing partial KEPT, so
+    * the passages partition the token stream and a clean doc reassembles
+    * byte-identically), a passage seen in >= `minDf` distinct documents
+    * is boilerplate (headers, license blocks, templated sections — the
+    * d10 unit), and each document is rebuilt from its surviving
+    * passages in original order. Returns (doc_id, n_passages,
+    * n_removed, clean).
+    *
+    * Scale shape: one explode (corpus tokens / window rows), ONE
+    * shuffle on the 16-byte passage hash for the df count (map-side
+    * partials; the reassembly side joins on the same hash so the
+    * passage TEXT never enters the df aggregate), and one doc_id
+    * shuffle to reassemble. Nothing is corpus-quadratic; the df table
+    * is passage-cardinality and stays distributed.
+    */
+  def boilerplateRemove(spark: SparkSession, sfDir: String,
+      window: Int = 20, minDf: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(window >= 2, "passage window must be >= 2 tokens")
+    // ceil(n/window) windows; sequence() would step DOWNWARD for 0
+    // tokens, so gate on at least one (possibly partial) window
+    val tkdf = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val nWin = floor((size($"tk") + window - 1) / window).cast("int")
+    val passages = tkdf
+      .select($"doc_id", explode(when(nWin >= 1,
+        transform(sequence(lit(0), nWin - 1), i =>
+          struct(i.as("i"),
+            array_join(slice($"tk", i * window + 1, lit(window)), " ").as("ptext"))))
+        .otherwise(array().cast("array<struct<i:int,ptext:string>>"))).as("p"))
+      .select($"doc_id", $"p.i".as("i"), $"p.ptext".as("ptext"),
+        md5($"p.ptext".cast("binary")).as("ph"))
+    val dfc = passages.groupBy($"ph")
+      .agg(count_distinct($"doc_id").as("df"))
+    passages.join(dfc, "ph")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when($"df" >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when($"df" < minDf, struct($"i", $"ptext")))),
+          s => s("ptext")), " ").as("clean"))
+      .orderBy($"doc_id")
+  }
 }
