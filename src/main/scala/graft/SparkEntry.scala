@@ -81,6 +81,7 @@ object SparkEntry {
     "s07_matryoshka" -> ((s: SparkSession, d: String) => Similarity.annMatryoshka(s, d)),
     "s08_rrf_fusion" -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
     "s09_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
+    "s10_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -1098,6 +1099,61 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, cand, cos_q, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // s10 product quantization: per-subspace codebooks (seeded mod-ksub
+    // mean, s04 idiom), argmin encode, integer ADC lookup-table scoring,
+    // exact re-rank of the shortlist with the order-pinned list_reduce
+    // fold (d13 idiom). // is integer division — CAST(double AS INT)
+    // would ROUND, not truncate.
+    "s10_ann_pq" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |c AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub, i AS pos,
+         |        CAST(round(x * 1e6, 0) AS BIGINT) AS xq
+         |      FROM e WHERE vec_id % 20 = 0),
+         |cb AS (SELECT sub, CAST(vec_id % 8 AS INT) AS code, pos,
+         |         CAST(round(sum(xq) / count(*), 0) AS BIGINT) AS cq
+         |       FROM c GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2q, code) AS rn
+         |  FROM (SELECT c.vec_id, c.sub, cb.code,
+         |          CAST(sum((c.xq - cb.cq) * (c.xq - cb.cq)) AS BIGINT) AS dist2q
+         |        FROM c JOIN cb ON c.sub = cb.sub AND c.pos = cb.pos
+         |        GROUP BY 1, 2, 3) d),
+         |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+         |qp AS (SELECT vec_id AS qid, CAST((i - 1) // 16 AS INT) AS sub, i AS pos,
+         |         CAST(round(x * 1e6, 0) AS BIGINT) AS xq
+         |       FROM e WHERE vec_id < 8),
+         |lut AS (SELECT qid, cb.sub, cb.code, CAST(sum(qp.xq * cb.cq) AS BIGINT) AS lutq
+         |        FROM qp JOIN cb ON qp.sub = cb.sub AND qp.pos = cb.pos
+         |        GROUP BY 1, 2, 3),
+         |adc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lutq) AS BIGINT) AS adcq
+         |        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+         |        WHERE codes.vec_id <> lut.qid
+         |        GROUP BY 1, 2),
+         |short AS (SELECT qid, vec_id, adcq,
+         |            row_number() OVER (PARTITION BY qid ORDER BY adcq DESC, vec_id) AS srn
+         |          FROM adc),
+         |n AS (SELECT vec_id, list_reduce(
+         |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+         |        (x, y) -> x + y) AS nrm
+         |      FROM embeddings),
+         |rer AS (
+         |  SELECT s.qid, s.vec_id AS cand, s.adcq,
+         |    round(list_reduce(list_transform(list_zip(eq.embedding, ec.embedding),
+         |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)
+         |      / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM short s
+         |  JOIN embeddings eq ON eq.vec_id = s.qid
+         |  JOIN embeddings ec ON ec.vec_id = s.vec_id
+         |  JOIN n nq ON nq.vec_id = s.qid
+         |  JOIN n nc ON nc.vec_id = s.vec_id
+         |  WHERE s.srn <= 12),
+         |fin AS (SELECT qid, cand, adcq, cos,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |        FROM rer)
+         |SELECT qid, cand, adcq, cos, rnk FROM fin WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
 
     // s04/s05 arithmetic is EXACT: components quantize to 1e-6-grid

@@ -485,4 +485,87 @@ object Similarity {
       .filter($"rnk" <= 3)
       .orderBy($"qid", $"rnk")
   }
+
+  /** Product-quantization ANN (Jégou et al., PAMI 2011 — the memory
+    * layout behind FAISS's IVFPQ): the `dims`-dim space splits into `m`
+    * subspaces of dims/m components; each subspace gets its own
+    * `ksub`-entry codebook, and a vector is stored as just `m` code
+    * ids (m·log2(ksub) bits — 4 bytes/vector here vs 256 for floats).
+    * A query scores candidates WITHOUT touching their vectors: one
+    * lookup table per (query, subspace, code) holds the query-subvector
+    * · codebook-entry dot, and the asymmetric-distance (ADC) score is
+    * the m-term table sum. A `shortlist` of ADC leaders is then
+    * re-ranked by exact cosine.
+    *
+    * Integer-grid discipline (the s04/s05 fix carried through):
+    * components quantize to 1e-6 bigints BEFORE anything aggregates —
+    * codebook means, code-assignment argmins, lookup tables, and ADC
+    * sums are all order-free exact integer arithmetic (ADC units 1e-12,
+    * bounded by dims·1e12 << 2^63), so shortlist membership never sits
+    * on a float boundary and the whole operator carries a DuckDB hash
+    * oracle. Codebooks use the s04 seeded assignment (vec_id mod ksub)
+    * + one argmin encode; swap in the s03 Lloyd loop per subspace for
+    * trained codebooks — the encode/ADC shape is identical.
+    *
+    * Scale shape: codebook training is one (sub, code, pos) integer
+    * aggregation over the candidate corpus; encoding is a broadcast
+    * join (m·ksub·dims/m rows) + per-(vector, subspace) argmin; ADC
+    * scoring joins the m-row-per-candidate code table against a
+    * broadcast LUT (queries·m·ksub rows) and shuffles only (qid,
+    * vec_id, partial-sum) — candidate VECTORS are never replicated,
+    * which is the entire point of PQ at 100 TB. Exact re-rank touches
+    * shortlist × queries vectors only (the matryoshka pattern).
+    */
+  def annPq(spark: SparkSession, sfDir: String, m: Int = 4, ksub: Int = 8,
+      dims: Int = 64, shortlist: Int = 12, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val emb = Tables.embeddings(spark, sfDir)
+    // (vec_id, sub, pos, xq): 1e-6-grid components tagged with their
+    // subspace. pos0 is 0-based, so sub = pos0 / (dims/m).
+    def pts(df: DataFrame): DataFrame = df
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
+      .select($"vec_id", ($"pos0" / (dims / m)).cast("int").as("sub"),
+        ($"pos0" + 1).cast("bigint").as("pos"),
+        round($"x".cast("double") * 1e6, 0).cast("bigint").as("xq"))
+    // cached: feeds codebook training AND code assignment
+    val cand = graft.Caches.track(pts(emb.filter($"vec_id" % 20 === 0)))
+    // per-subspace codebooks: seeded cluster (vec_id mod ksub), exact
+    // integer mean per (sub, code, pos) — the s04 shape, m times
+    val codebook = graft.Caches.track(
+      cand.select(($"vec_id" % ksub).cast("int").as("code"), $"sub", $"pos", $"xq")
+        .groupBy($"sub", $"code", $"pos")
+        .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq")))
+    // encode: nearest codebook entry per (vector, subspace), code tiebreak
+    val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist2q", $"code")
+    val codes = cand.join(broadcast(codebook), Seq("sub", "pos"))
+      .groupBy($"vec_id", $"sub", $"code")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+      .select($"vec_id", $"sub", $"code")
+    // ADC lookup table: query-subvector · codebook-entry, exact integer
+    val lut = pts(emb.filter($"vec_id" < 8))
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(codebook), Seq("sub", "pos"))
+      .groupBy($"qid", $"sub", $"code")
+      .agg(sum($"xq" * $"cq").as("lutq"))
+    // ADC score: m table lookups per (query, candidate)
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"lutq").as("adcq"))
+    val wShort = Window.partitionBy($"qid").orderBy($"adcq".desc, $"vec_id")
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .filter($"srn" <= shortlist)
+    // exact re-rank of the shortlist only
+    val q = withNorm(emb.filter($"vec_id" < 8))
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val rer = short.join(withNorm(emb), "vec_id").join(broadcast(q), "qid")
+      .select($"qid", $"vec_id".as("cand"), $"adcq",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val wFinal = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    rer.withColumn("rnk", row_number().over(wFinal).cast("int"))
+      .filter($"rnk" <= topK)
+      .orderBy($"qid", $"rnk")
+  }
 }

@@ -108,6 +108,38 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("pq recall@3 vs brute-force ground truth >= 0.8 (gate scale, shortlist=12)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val truth = Similarity.annBruteForce(spark, sf01).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annPq(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cand")))).toSet
+    graft.Caches.releaseAll(spark)
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    recall should be >= 0.8
+  }
+
+  test("pq re-rank cosines are the exact full-dim values (ADC only shortlists)") {
+    val sf01 = "/root/testdata/sf0.01"
+    // ADC approximation may LOSE candidates (the recall trade); the
+    // shortlist re-rank must never distort the scores of the survivors
+    val exact = Similarity.annBruteForce(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Similarity.annPq(spark, sf01).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    rows.groupBy(_.getLong(0)).values.foreach(_.length should be <= 3)
+    rows.foreach { r =>
+      val key = (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("cand")))
+      exact.get(key).foreach { c =>
+        withClue(s"pair $key: ") {
+          r.getDouble(r.fieldIndex("cos")) shouldBe c
+        }
+      }
+    }
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
