@@ -71,6 +71,7 @@ object SparkEntry {
     "d12_incremental_overlap" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlap(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
+    "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -828,6 +829,52 @@ object SparkEntry {
          |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
          |WHERE round(dp / sqrt(na.nrm * nb.nrm), 6) >= 0.2
          |ORDER BY a, b""".stripMargin,
+
+    // d15 SemDeDup: integer-grid cells (the s05 CTEs verbatim), pair
+    // join bounded to same-cell mates, order-pinned exact cosine, and
+    // the min-id keep policy — a vector is dropped iff a smaller-id
+    // cluster-mate clears the threshold
+    "d15_semdedup" ->
+      s"""WITH ${embCte("TRUE")},
+         |q AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cluster, i AS pos,
+         |        CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+         |cent AS (
+         |  SELECT cluster, pos, CAST(round(sum(xq) / count(*), 0) AS BIGINT) AS cq
+         |  FROM q GROUP BY 1, 2
+         |),
+         |d AS (
+         |  SELECT q.vec_id, c.cluster,
+         |    CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM q JOIN cent c ON q.pos = c.pos
+         |  GROUP BY 1, 2
+         |),
+         |cells AS (
+         |  SELECT vec_id, cluster AS cell
+         |  FROM (SELECT vec_id, cluster,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |        FROM d) r
+         |  WHERE rn = 1
+         |),
+         |n AS (SELECT vec_id, list_reduce(
+         |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+         |        (x, y) -> x + y) AS nrm
+         |      FROM embeddings),
+         |pairs AS (
+         |  SELECT cb.vec_id AS b
+         |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = ca.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = cb.vec_id
+         |  JOIN n na ON na.vec_id = ca.vec_id
+         |  JOIN n nb ON nb.vec_id = cb.vec_id
+         |  WHERE round(list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+         |      z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)
+         |    / sqrt(na.nrm * nb.nrm), 6) >= 0.2
+         |),
+         |dups AS (SELECT b, count(*) AS n_dups FROM pairs GROUP BY 1)
+         |SELECT c.vec_id, c.cell, COALESCE(d2.n_dups, 0) AS n_dups,
+         |  COALESCE(d2.n_dups, 0) = 0 AS keep
+         |FROM cells c LEFT JOIN dups d2 ON c.vec_id = d2.b
+         |ORDER BY c.vec_id""".stripMargin,
 
     "s01_ann_bruteforce" ->
       s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},

@@ -728,6 +728,50 @@ object Dedup {
     * (planes+1)× the single-bucket path's, the standard multi-probe
     * trade (same sizing contract: grow `planes` with the corpus).
     */
+  /** SemDeDup (Abbas et al., 2023): semantic dedup in embedding space —
+    * cluster the corpus, call two vectors duplicates when their cosine
+    * clears `threshold` WITHIN a cluster, and keep one representative
+    * per duplicate neighborhood. Clustering comes from the relational
+    * integer-grid quantizer ([[Similarity.assignToCentroids]] — exact
+    * cross-engine cells); the keep policy is the repo's canonical
+    * min-id convention: a vector is dropped iff some SMALLER-id
+    * cluster-mate clears the threshold (greedy keep-first, fully
+    * deterministic — no graph pass needed; [[canonicalize]] is the
+    * transitive-closure variant for token space). Returns
+    * (vec_id, cell, n_dups, keep).
+    *
+    * Scale shape: the pair join is an equi-join on cell id, so pair
+    * volume is Σ_cells (n_c²/2) — bounded by (corpus/k)·corpus/2, and
+    * k GROWS with the corpus (the paper runs k ≈ n/10k; same sizing
+    * contract as the LSH planes). Nothing is corpus-quadratic at fixed
+    * cluster population; the cosine verify reuses the exact
+    * order-pinned fold, and the threshold decision is on the rounded
+    * value — no float-order wobble on either engine.
+    */
+  def semDedup(spark: SparkSession, sfDir: String, k: Int = 8,
+      threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val cells = Similarity.assignToCentroids(spark, sfDir, k)
+      .select($"vec_id", $"cell")
+    // cached: both sides of the within-cluster pair join
+    val v = graft.Caches.track(
+      Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding", Similarity.norm2($"embedding").as("nrm"))
+        .join(cells, "vec_id"))
+    val pairs = v.as("x").join(v.as("y"),
+        $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
+      .select($"y.vec_id".as("b"),
+        round(Similarity.dot($"x.embedding", $"y.embedding") /
+          sqrt($"x.nrm" * $"y.nrm"), 6).as("cos"))
+      .filter($"cos" >= threshold)
+    val dups = pairs.groupBy($"b").agg(count(lit(1)).as("n_dups"))
+    v.select($"vec_id", $"cell")
+      .join(dups, $"vec_id" === $"b", "left")
+      .na.fill(0L, Seq("n_dups"))
+      .select($"vec_id", $"cell", $"n_dups", ($"n_dups" === 0).as("keep"))
+      .orderBy($"vec_id")
+  }
+
   def embeddingNearDupMultiProbe(spark: SparkSession, sfDir: String,
       planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
