@@ -99,6 +99,7 @@ object SparkEntry {
     "t13_token_drift" -> ((s: SparkSession, d: String) => TextAnalysis.tokenDrift(s, d)),
     "t14_pii_scrub" -> (TextAnalysis.piiScrub _),
     "t15_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplateRemove(s, d)),
+    "t16_quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -1252,6 +1253,39 @@ object SparkEntry {
          |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
          |        (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
          |FROM st WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+
+    // t16: fixed-weight linear scorer over t01's rounded features; the
+    // squash is the ALGEBRAIC sigmoid x/(1+|x|) — no exp/ln anywhere
+    // (libm transcendentals differ across engines; add/abs/divide are
+    // exact IEEE). Weight order mirrors the engine's left-to-right
+    // arithmetic; keep thresholds the ROUNDED score.
+    "t16_quality_classifier" ->
+      s"""WITH base AS (SELECT doc_id, lang, $Toks AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS INT) AS n_stop,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
+         |  FROM base
+         |),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+         |    round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
+         |          (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+         |  FROM st WHERE n_tokens > 0
+         |),
+         |l AS (
+         |  SELECT doc_id, lang, quality,
+         |    4.0 * quality - 0.5 * stop_ratio + 0.25 * (avg_tok_len - 4.0) +
+         |    0.3 * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) - 1.0 AS logit
+         |  FROM f
+         |)
+         |SELECT doc_id, lang, quality,
+         |  round(logit / (1.0 + abs(logit)), 6) AS score,
+         |  round(logit / (1.0 + abs(logit)), 6) >= 0.25 AS keep
+         |FROM l ORDER BY doc_id""".stripMargin,
 
     "t02_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),

@@ -593,6 +593,39 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Fixed-weight linear quality classifier — the model-scoring filter
+    * step of a CCNet/FineWeb-style pipeline (there a fastText/logreg
+    * model trained offline; here the trained weights are public
+    * constants, and the FEATURES are [[textStats]]'s already-exact
+    * rounded columns, so scoring composes with the map-only stats
+    * pass). The squash is the ALGEBRAIC sigmoid x/(1+|x|), not
+    * 1/(1+exp(−x)): exp/ln are correctly-rounded on neither engine and
+    * their libm results differ across platforms, while add/abs/divide
+    * are exact IEEE ops — the score is bit-identical cross-engine with
+    * no transcendental in the plan (the [[tokenDrift]]/BM25 rational
+    * discipline applied to model scoring).
+    *
+    * Keep decision thresholds the ROUNDED score, so membership can
+    * never sit on an unrounded float boundary.
+    *
+    * Scale shape: inherits t01's map-only single pass; the classifier
+    * is a projection. 100 TB cost = the token scan, nothing more.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String,
+      keepAt: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    // weight order is part of the contract — the oracle mirrors the
+    // exact left-to-right arithmetic
+    val logit = lit(4.0) * $"quality" - lit(0.5) * $"stop_ratio" +
+      lit(0.25) * ($"avg_tok_len" - lit(4.0)) +
+      lit(0.3) * when($"lang" === "en", 1.0).otherwise(0.0) - lit(1.0)
+    textStats(spark, sfDir)
+      .withColumn("score", round(logit / (lit(1.0) + abs(logit)), 6))
+      .select($"doc_id", $"lang", $"quality", $"score",
+        ($"score" >= keepAt).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** CCNet-style boilerplate removal: a document is split into
     * non-overlapping `window`-token passages (trailing partial KEPT, so
     * the passages partition the token stream and a clean doc reassembles

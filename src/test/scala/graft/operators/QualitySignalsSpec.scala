@@ -45,6 +45,31 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.foreach(r => swapped(r.getString(0)) shouldBe r.getLong(3))
   }
 
+  test("qualityClassifier: bounded algebraic-sigmoid score, keep iff rounded score clears") {
+    val rows = TextAnalysis.qualityClassifier(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val score = r.getDouble(3)
+      score should (be > -1.0 and be < 1.0) // x/(1+|x|) never saturates
+      r.getBoolean(4) shouldBe (score >= 0.25)
+    }
+    // a useful filter rejects SOME of the corpus and keeps some
+    rows.count(_.getBoolean(4)) should be > 0
+    rows.count(!_.getBoolean(4)) should be > 0
+    // monotone in the logit: recompute from the feature pass and check
+    // score order follows logit order
+    val feats = TextAnalysis.textStats(spark, sf).collect()
+      .map { f =>
+        val logit = 4.0 * f.getDouble(f.fieldIndex("quality")) -
+          0.5 * f.getDouble(f.fieldIndex("stop_ratio")) +
+          0.25 * (f.getDouble(f.fieldIndex("avg_tok_len")) - 4.0) +
+          0.3 * (if (f.getString(1) == "en") 1.0 else 0.0) - 1.0
+        f.getLong(0) -> logit
+      }.toMap
+    val byLogit = rows.sortBy(r => (feats(r.getLong(0)), r.getLong(0)))
+    byLogit.map(_.getDouble(3)).toSeq shouldBe sorted
+  }
+
   test("clusterStats histogram mass equals the corpus size") {
     // every document sits in exactly one cluster, so
     // sum(cluster_size * n_clusters) must reproduce the corpus count
