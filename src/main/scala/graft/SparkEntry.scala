@@ -116,6 +116,7 @@ object SparkEntry {
     "p04_mixture_weights" -> (Sampling.mixtureWeights _),
     "p05_apply_mixture" -> ((s: SparkSession, d: String) => Sampling.applyMixture(s, d)),
     "p06_dedup_budget" -> ((s: SparkSession, d: String) => Sampling.dedupBudget(s, d)),
+    "p07_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
   )
 
   // Canonical DuckDB tokenization — must stay in lockstep with
@@ -1637,6 +1638,25 @@ object SparkEntry {
       s"""WITH $HexBucketCte
          |SELECT doc_id, lang, hb % 100 AS bucket
          |FROM b WHERE hb % 100 < 20 ORDER BY doc_id""".stripMargin,
+
+    // p07: concat-and-wrap packing per content-hash shard — exclusive
+    // integer prefix sum in doc_id order, chunking via // (floor
+    // division; CAST(double AS INT) would ROUND). Window sum returns
+    // HUGEINT in DuckDB — cast back to BIGINT for schema parity.
+    "p07_pack_sequences" ->
+      s"""WITH $HexBucketCte,
+         |t AS (SELECT doc_id, CAST(hb % 8 AS INT) AS shard,
+         |        CAST(len($Toks) AS BIGINT) AS n_tokens
+         |      FROM b),
+         |g AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g_start
+         |      FROM t WHERE n_tokens > 0)
+         |SELECT shard, doc_id, n_tokens, g_start,
+         |  CAST(g_start // 256 AS BIGINT) AS seq_id,
+         |  CAST(g_start % 256 AS BIGINT) AS seq_off,
+         |  CAST((g_start + n_tokens - 1) // 256 - g_start // 256 + 1 AS BIGINT) AS n_seqs
+         |FROM g ORDER BY shard, doc_id""".stripMargin,
 
     "p02_stratified_sample" ->
       """WITH r AS (

@@ -152,6 +152,41 @@ object Sampling {
     budgetPack(survivors, shards, perShardTokens)
   }
 
+  /** GPT-style sequence packing — the step that turns a filtered corpus
+    * into fixed-length training sequences: documents are concatenated
+    * in doc_id order and chunked at `seqLen`-token boundaries, and each
+    * document reports where its tokens land: (shard, doc_id, n_tokens,
+    * g_start, seq_id, seq_off, n_seqs). A document may straddle
+    * sequences (n_seqs > 1) — the standard concat-and-wrap layout, in
+    * which no pad token is ever emitted.
+    *
+    * Scalable form (the [[tokenBudget]] doctrine): packing is
+    * inherently sequential, so it shards — each content-hash shard
+    * packs ITS OWN doc_id-ordered stream into its own sequence
+    * namespace, parallelism == shards. A single global cumsum would
+    * funnel the corpus through one task; per-shard prefix sums fan out
+    * to any corpus size. All arithmetic is integer-exact: the prefix
+    * sum is an exclusive bigint running sum, chunking is DIV/mod (a
+    * DOUBLE-cast floor could round instead of truncate).
+    */
+  def packSequences(spark: SparkSession, sfDir: String, shards: Int = 8,
+      seqLen: Long = 256): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .withColumn("shard", (hashBucket($"text") % shards).cast("int"))
+      .withColumn("n_tokens", Text.tokenCount($"text").cast("bigint"))
+      .filter($"n_tokens" > 0)
+      .withColumn("g_start", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"shard", $"doc_id", $"n_tokens", $"g_start",
+        expr(s"g_start DIV $seqLen").as("seq_id"),
+        ($"g_start" % seqLen).as("seq_off"),
+        (expr(s"(g_start + n_tokens - 1) DIV $seqLen") -
+          expr(s"g_start DIV $seqLen") + 1L).as("n_seqs"))
+      .orderBy($"shard", $"doc_id")
+  }
+
   /** Materialize a [[mixtureWeights]] mixture: give each source a token
     * budget proportional to its temperature weight and select its
     * documents, in content-hash order, until the budget fills — the

@@ -140,4 +140,26 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     texts.distinct.length shouldBe texts.length
     graft.Caches.releaseAll(spark)
   }
+
+  test("packSequences: contiguous per-shard layout, exact chunk math, token conservation") {
+    val seqLen = 256L
+    val rows = Sampling.packSequences(spark, sf).collect()
+    rows should not be empty
+    rows.groupBy(_.getInt(0)).values.foreach { shard =>
+      val ordered = shard.sortBy(_.getLong(1)) // doc_id order = pack order
+      // the stream is gapless: each doc starts where the previous ended
+      ordered.foldLeft(0L) { (expectStart, r) =>
+        withClue(s"shard ${r.getInt(0)} doc ${r.getLong(1)}: ") {
+          r.getLong(3) shouldBe expectStart // g_start
+          r.getLong(4) shouldBe expectStart / seqLen // seq_id
+          r.getLong(5) shouldBe expectStart % seqLen // seq_off
+          val end = expectStart + r.getLong(2) - 1
+          r.getLong(6) shouldBe end / seqLen - expectStart / seqLen + 1 // n_seqs
+        }
+        expectStart + r.getLong(2)
+      } shouldBe ordered.map(_.getLong(2)).sum // conservation
+      // at least one doc straddles a boundary somewhere in the corpus
+    }
+    rows.count(_.getLong(6) > 1) should be > 0
+  }
 }
