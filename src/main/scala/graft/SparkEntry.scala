@@ -104,6 +104,19 @@ object SparkEntry {
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
     "q29_range_join" -> (Relational.rangeJoin _),
+    // the streaming interval join's batch twin: the IDENTICAL plan
+    // (withWatermark is a no-op in batch), projected to integer micros
+    // because the raw event timestamps carry sub-microsecond precision
+    // the engine's TimestampType truncates
+    "q35_interval_attribution" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.streaming.EventStream.intervalJoinStream(
+          Tables.events(s, d), maxDelayMin = 720)
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"),
+          col("a_value"), col("b_value"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
     // —— extensions: multimodal plumbing ——
     "m01_media_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_hashes" -> ((s: SparkSession, d: String) => Multimodal.frameHashes(s, d)),
@@ -521,6 +534,22 @@ object SparkEntry {
         |SELECT user_id, event_id, value, asof_click_id, asof_click_value
         |FROM carried WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // q35: interval-bounded attribution join in exact integer micros —
+    // epoch_ns // 1000 mirrors the engine's TimestampType truncation of
+    // the parquet TIMESTAMP_NS (raw ns comparison could flip a boundary
+    // pair whose events share a microsecond)
+    "q35_interval_attribution" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id,
+        |            epoch_ns(ts) // 1000 AS a_us, value AS a_value
+        |          FROM events WHERE event_type = 'view'),
+        |b AS (SELECT event_id AS b_id, user_id,
+        |        epoch_ns(ts) // 1000 AS b_us, value AS b_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a_id, b_id, a_us, b_us, a_value, b_value
+        |FROM a JOIN b ON a.user_id = b.user_id
+        | AND b_us >= a_us AND b_us <= a_us + CAST(720 AS BIGINT) * 60 * 1000000
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q29_range_join" ->
       """SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -245,6 +245,44 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream interval join — the attribution shape
+    * (which `typeB` conversion follows a `typeA` touch by the same user
+    * within `maxDelayMin`): the streaming twin of the batch
+    * `Relational.rangeJoin`/`asofJoin` family. Both sides carry their
+    * own event-time watermark, and the join condition bounds `b_ts`
+    * inside [a_ts, a_ts + maxDelay], so Spark can prove when either
+    * side's buffered rows can never match again and EVICT them — an
+    * interval condition without both watermarks would buffer the
+    * streams forever (state grows with the corpus, the thing a 100 TB
+    * ingestion pipeline cannot do). Inner join in append mode: a pair
+    * emits once both events have arrived, exactly once.
+    *
+    * The same plan runs UNCHANGED in batch (`withWatermark` is a
+    * documented no-op there) — the parity spec leans on exactly that.
+    *
+    * Scale shape: state partitions by user_id across executors; per-key
+    * buffered rows are bounded by maxDelay + watermark slack, not by
+    * stream length.
+    */
+  def intervalJoinStream(events: DataFrame, typeA: String = "view",
+      typeB: String = "purchase", maxDelayMin: Int = 10,
+      watermark: String = "30 minutes"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"), col("value").as("a_value"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"), col("value").as("b_value"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $maxDelayMin MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        col("a_ts"), col("b_ts"), col("a_value"), col("b_value"))
+  }
+
   /** Gap-based sessionization: a session closes when the next event for
     * the user arrives more than `gapMs` later (or the state times out).
     * Emits closed sessions (append semantics).

@@ -376,4 +376,39 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       streamed shouldBe expected
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches its batch twin (view→purchase attribution)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the real event table, streamed in arrival order across two batches
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.intervalJoinStream(mem.toDF(), maxDelayMin = 720,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      mem.addData(evs.take(500).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(500).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // flush both sides' watermarks far past every real event; distinct
+      // negative user_ids so the flush rows can never join each other
+      val far = evs.map(_.ts.getTime).max + 2000L * 60000L
+      mem.addData(
+        Event(-1, new Timestamp(far), -1, "view", 0.0),
+        Event(-2, new Timestamp(far), -2, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ivj").filter($"a_id" >= 0 && $"b_id" >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the IDENTICAL plan in batch (withWatermark is a no-op there)
+      val batch = EventStream.intervalJoinStream(
+          spark.createDataset(evs.toIndexedSeq).toDF(), maxDelayMin = 720,
+          watermark = "1 hour")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      batch should not be empty
+      got shouldBe batch
+    } finally q.stop()
+  }
 }
