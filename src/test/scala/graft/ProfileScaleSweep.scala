@@ -86,6 +86,17 @@ object ProfileScaleSweep {
       time("embed_neardup_lsh")(Dedup.embeddingNearDupLsh(spark, dir))
       time("embed_neardup_multiprobe")(Dedup.embeddingNearDupMultiProbe(spark, dir))
       time("token_drift")(TextAnalysis.tokenDrift(spark, dir))
+      // round-6: scrub/boilerplate/classifier/pack over documents,
+      // PQ + SemDeDup over the enlarged embeddings. SemDeDup's k is
+      // raised with the multiplier (the paper's sizing contract —
+      // fixed cluster POPULATION, not fixed k; at fixed k=8 the
+      // within-cell pair join would grow quadratically by design).
+      time("pii_scrub")(TextAnalysis.piiScrub(spark, dir))
+      time("boilerplate")(TextAnalysis.boilerplateRemove(spark, dir))
+      time("quality_classifier")(TextAnalysis.qualityClassifier(spark, dir))
+      time("pack_sequences")(Sampling.packSequences(spark, dir))
+      time("ann_pq")(Similarity.annPq(spark, dir))
+      time("semdedup_sizedk")(Dedup.semDedup(spark, dir, k = 8 * mult))
     }
     spark.stop()
   }
