@@ -863,8 +863,9 @@ object SparkEntry {
 
     // d15 SemDeDup: integer-grid cells (the s05 CTEs verbatim), pair
     // join bounded to same-cell mates, order-pinned exact cosine, and
-    // the min-id keep policy — a vector is dropped iff a smaller-id
-    // cluster-mate clears the threshold
+    // the min-id keep policy — a vector is dropped iff ANY smaller-id
+    // cluster-mate clears the threshold (the over-approximation of
+    // keep-first; see the operator scaladoc)
     "d15_semdedup" ->
       s"""WITH ${embCte("TRUE")},
          |q AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cluster, i AS pos,
@@ -1189,7 +1190,7 @@ object SparkEntry {
          |c AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub, i AS pos,
          |        CAST(round(x * 1e6, 0) AS BIGINT) AS xq
          |      FROM e WHERE vec_id % 20 = 0),
-         |cb AS (SELECT sub, CAST(vec_id % 8 AS INT) AS code, pos,
+         |cb AS (SELECT sub, CAST((vec_id // 20) % 8 AS INT) AS code, pos,
          |         CAST(round(sum(xq) / count(*), 0) AS BIGINT) AS cq
          |       FROM c GROUP BY 1, 2, 3),
          |enc AS (
@@ -1308,13 +1309,13 @@ object SparkEntry {
          |),
          |l AS (
          |  SELECT doc_id, lang, quality,
-         |    4.0 * quality - 0.5 * stop_ratio + 0.25 * (avg_tok_len - 4.0) +
-         |    0.3 * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) - 1.0 AS logit
+         |    4.0e0 * quality - 0.5e0 * stop_ratio + 0.25e0 * (avg_tok_len - 4.0e0) +
+         |    0.3e0 * (CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END) - 1.0e0 AS logit
          |  FROM f
          |)
          |SELECT doc_id, lang, quality,
-         |  round(logit / (1.0 + abs(logit)), 6) AS score,
-         |  round(logit / (1.0 + abs(logit)), 6) >= 0.25 AS keep
+         |  round(logit / (1.0e0 + abs(logit)), 6) AS score,
+         |  round(logit / (1.0e0 + abs(logit)), 6) >= 0.25e0 AS keep
          |FROM l ORDER BY doc_id""".stripMargin,
 
     "t02_lang_id" ->

@@ -735,9 +735,15 @@ object Dedup {
     * integer-grid quantizer ([[Similarity.assignToCentroids]] — exact
     * cross-engine cells); the keep policy is the repo's canonical
     * min-id convention: a vector is dropped iff some SMALLER-id
-    * cluster-mate clears the threshold (greedy keep-first, fully
-    * deterministic — no graph pass needed; [[canonicalize]] is the
-    * transitive-closure variant for token space). Returns
+    * cluster-mate clears the threshold — ANY smaller-id mate, kept or
+    * itself dropped, which makes this a deterministic
+    * OVER-approximation of greedy keep-first: on a chain 1–2, 2–3
+    * (with 1–3 below threshold) it drops BOTH 2 and 3, where
+    * keep-first would retain 3. That is the conservative direction
+    * for dedup (more removal; everything kept is genuinely novel
+    * against every smaller id) and needs no iteration — use
+    * [[canonicalize]]'s connected components when the
+    * one-representative-per-chain policy matters. Returns
     * (vec_id, cell, n_dups, keep).
     *
     * Scale shape: the pair join is an equi-join on cell id, so pair

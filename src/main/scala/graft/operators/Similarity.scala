@@ -530,10 +530,15 @@ object Similarity {
         round($"x".cast("double") * 1e6, 0).cast("bigint").as("xq"))
     // cached: feeds codebook training AND code assignment
     val cand = graft.Caches.track(pts(emb.filter($"vec_id" % 20 === 0)))
-    // per-subspace codebooks: seeded cluster (vec_id mod ksub), exact
-    // integer mean per (sub, code, pos) — the s04 shape, m times
+    // per-subspace codebooks: seeded cluster = (vec_id DIV 20) mod ksub
+    // — the s04 mod-k idiom, but keyed on the candidate ORDINAL, not the
+    // raw id: candidates are vec_id % 20 == 0, so a raw vec_id % ksub
+    // would be arithmetically correlated with the filter (multiples of
+    // 20 are ≡ {0,4} mod 8) and only 2 of the ksub entries per subspace
+    // would ever exist — a 1-bit codebook wearing a 3-bit label
     val codebook = graft.Caches.track(
-      cand.select(($"vec_id" % ksub).cast("int").as("code"), $"sub", $"pos", $"xq")
+      cand.select(expr(s"CAST((vec_id DIV 20) % $ksub AS INT)").as("code"),
+          $"sub", $"pos", $"xq")
         .groupBy($"sub", $"code", $"pos")
         .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq")))
     // encode: nearest codebook entry per (vector, subspace), code tiebreak
