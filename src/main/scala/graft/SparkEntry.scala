@@ -1281,8 +1281,8 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, n_stop,
          |  round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
          |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-         |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
-         |        (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+         |  round(least(1.0e0, CAST(n_tokens AS DOUBLE) / 100.0e0) *
+         |        (1.0e0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
          |FROM st WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
 
     // t16: fixed-weight linear scorer over t01's rounded features; the
@@ -1303,8 +1303,8 @@ object SparkEntry {
          |  SELECT doc_id, lang,
          |    round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
          |    round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-         |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
-         |          (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+         |    round(least(1.0e0, CAST(n_tokens AS DOUBLE) / 100.0e0) *
+         |          (1.0e0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
          |  FROM st WHERE n_tokens > 0
          |),
          |l AS (

@@ -741,7 +741,9 @@ object Dedup {
     * (with 1–3 below threshold) it drops BOTH 2 and 3, where
     * keep-first would retain 3. That is the conservative direction
     * for dedup (more removal; everything kept is genuinely novel
-    * against every smaller id) and needs no iteration — use
+    * against every smaller-id CLUSTER-MATE — a near-dup split across
+    * cells is the quantizer's recall trade, as in any LSH/IVF
+    * bucketing) and needs no iteration — use
     * [[canonicalize]]'s connected components when the
     * one-representative-per-chain policy matters. Returns
     * (vec_id, cell, n_dups, keep).

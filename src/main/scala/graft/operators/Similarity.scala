@@ -503,8 +503,11 @@ object Similarity {
     * sums are all order-free exact integer arithmetic (ADC units 1e-12,
     * bounded by dims·1e12 << 2^63), so shortlist membership never sits
     * on a float boundary and the whole operator carries a DuckDB hash
-    * oracle. Codebooks use the s04 seeded assignment (vec_id mod ksub)
-    * + one argmin encode; swap in the s03 Lloyd loop per subspace for
+    * oracle. Codebooks use the s04 seeded-mean idiom keyed on the
+    * candidate ORDINAL — `(vec_id DIV 20) % ksub`, NOT the raw
+    * `vec_id % ksub`, which is correlated with the mod-20 candidate
+    * filter and would populate only 2 of ksub entries — plus one
+    * argmin encode; swap in the s03 Lloyd loop per subspace for
     * trained codebooks — the encode/ADC shape is identical.
     *
     * Scale shape: codebook training is one (sub, code, pos) integer
