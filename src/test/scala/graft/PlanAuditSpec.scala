@@ -152,7 +152,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // operators never touch — a scan reading them is wasted I/O at 100 TB.
     // Assert on the ReadSchema struct itself, not the whole plan string
     // (where e.g. a DSv2 "datasources" class name also contains "source").
-    for (name <- Seq("t10_inverted_index", "t11_bm25", "d12_incremental_overlap")) {
+    for (name <- Seq("t10_inverted_index", "t11_bm25", "d12_incremental_overlap",
+        "t14_pii_scrub", "t15_boilerplate", "p07_pack_sequences")) {
       val readSchemas = plan(name).linesIterator
         .filter(_.contains("ReadSchema")).mkString("\n")
       withClue(s"$name ReadSchema lines: $readSchemas\n") {
