@@ -72,6 +72,7 @@ object SparkEntry {
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
+    "d16_incremental_embed" -> ((s: SparkSession, d: String) => Dedup.incrementalEmbedOverlap(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -860,6 +861,48 @@ object SparkEntry {
          |FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
          |WHERE round(dp / sqrt(na.nrm * nb.nrm), 6) >= 0.2
          |ORDER BY a, b""".stripMargin,
+
+    // d16: d12's delta-vs-history pattern in vector space — delta (odd
+    // vec_id) probes history (even) through the shared hyperplane
+    // buckets; order-pinned cosine verify; best match = highest rounded
+    // cosine with min-id tiebreak
+    "d16_incremental_embed" ->
+      s"""WITH ${embCte("TRUE")},
+         |n AS (SELECT vec_id, list_reduce(
+         |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+         |        (x, y) -> x + y) AS nrm
+         |      FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, j,
+         |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+         |  GROUP BY 1, 2
+         |),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |  FROM dots GROUP BY 1
+         |),
+         |pairs0 AS (
+         |  SELECT da.vec_id, da.bucket, hb.vec_id AS hid,
+         |    round(list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+         |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)
+         |      / sqrt(na.nrm * nb.nrm), 6) AS cos
+         |  FROM bkt da JOIN bkt hb ON da.bucket = hb.bucket
+         |  JOIN embeddings ea ON ea.vec_id = da.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = hb.vec_id
+         |  JOIN n na ON na.vec_id = da.vec_id
+         |  JOIN n nb ON nb.vec_id = hb.vec_id
+         |  WHERE da.vec_id % 2 = 1 AND hb.vec_id % 2 = 0
+         |),
+         |pairs AS (SELECT * FROM pairs0 WHERE cos >= 0.2),
+         |r AS (
+         |  SELECT vec_id, bucket, hid, cos,
+         |    CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_matches,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, hid) AS rn
+         |  FROM pairs
+         |)
+         |SELECT vec_id, bucket, n_matches, hid AS best_match, cos AS best_cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // d15 SemDeDup: integer-grid cells (the s05 CTEs verbatim), pair
     // join bounded to same-cell mates, order-pinned exact cosine, and

@@ -798,4 +798,49 @@ object Dedup {
       .filter($"cos" >= threshold)
       .orderBy($"a", $"b")
   }
+
+  /** Incremental embedding overlap — [[incrementalOverlap]]'s vector
+    * twin, completing the daily-crawl-vs-100TB-history pattern for BOTH
+    * modalities: which arriving (delta) vectors are near-duplicates of
+    * the already-ingested history? Delta and history are bucketed by the
+    * same hyperplane signs ([[Similarity.lshBucket]]) and only same-
+    * bucket pairs are cosine-verified, so the probe cost is delta-
+    * proportional, never history-quadratic. Per matched delta vector:
+    * match count, the best history match (highest rounded cosine,
+    * min-id tiebreak), and its cosine.
+    *
+    * Here the delta/history split is the deterministic vec_id parity
+    * (odd arrives, even is history) so the oracle can reproduce it; a
+    * real pipeline passes two tables. Recall follows the s02 sizing
+    * contract (raise `planes` with the history size); a bloom over
+    * history buckets (the d12 trick) is unnecessary — the bucket
+    * equi-join already prunes to colliding buckets only.
+    */
+  def incrementalEmbedOverlap(spark: SparkSession, sfDir: String,
+      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding",
+        Similarity.norm2($"embedding").as("nrm"),
+        Similarity.lshBucket($"embedding", planes, dims).as("bucket"))
+    val delta = emb.filter($"vec_id" % 2 === 1)
+    val hist = emb.filter($"vec_id" % 2 === 0)
+      .select($"vec_id".as("hid"), $"embedding".as("h_emb"),
+        $"nrm".as("h_nrm"), $"bucket")
+    val pairs = delta.join(hist, "bucket")
+      .select($"vec_id", $"bucket", $"hid",
+        round(Similarity.dot($"embedding", $"h_emb") /
+          sqrt($"nrm" * $"h_nrm"), 6).as("cos"))
+      .filter($"cos" >= threshold)
+    val w = Window.partitionBy($"vec_id")
+    pairs
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"hid")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"bucket", $"n_matches",
+        $"hid".as("best_match"), $"cos".as("best_cos"))
+      .orderBy($"vec_id")
+  }
 }

@@ -97,6 +97,7 @@ object ProfileScaleSweep {
       time("pack_sequences")(Sampling.packSequences(spark, dir))
       time("ann_pq")(Similarity.annPq(spark, dir))
       time("semdedup_sizedk")(Dedup.semDedup(spark, dir, k = 8 * mult))
+      time("incremental_embed")(Dedup.incrementalEmbedOverlap(spark, dir))
     }
     spark.stop()
   }

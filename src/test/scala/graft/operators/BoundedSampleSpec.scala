@@ -94,4 +94,44 @@ class BoundedSampleSpec extends AnyFunSuite with Matchers with SparkSpec {
     // join key survives into the output)
     got.foreach(r => r.getInt(r.fieldIndex("bucket")) should (be >= 0 and be <= 15))
   }
+
+  test("d16 incremental embed overlap: delta-only rows, history-only matches, exact best selection") {
+    import spark.implicits._
+    val rows = Dedup.incrementalEmbedOverlap(spark, sf01).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"delta vec ${r.getLong(0)}: ") {
+        r.getLong(0) % 2 shouldBe 1L // delta = odd ids
+        r.getLong(3) % 2 shouldBe 0L // matches come from history (even)
+        r.getLong(2) should be >= 1L // n_matches
+        r.getDouble(4) should be >= 0.2 // best_cos clears the threshold
+      }
+    }
+    // recompute n_matches and the best match independently: interpreted
+    // fold, join built from scratch
+    val emb = Tables.embeddings(spark, sf01)
+      .select($"vec_id", $"embedding",
+        Similarity.norm2Fold($"embedding").as("nrm"),
+        Similarity.lshBucket($"embedding", 4, 64).as("bucket"))
+    val d = emb.filter($"vec_id" % 2 === 1)
+    val h = emb.filter($"vec_id" % 2 === 0)
+      .select($"vec_id".as("hid"), $"embedding".as("h_emb"),
+        $"nrm".as("h_nrm"), $"bucket")
+    val expected = d.join(h, "bucket")
+      .select($"vec_id", $"hid",
+        round(Similarity.dotFold($"embedding", $"h_emb") /
+          sqrt($"nrm" * $"h_nrm"), 6).as("cos"))
+      .filter($"cos" >= 0.2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, ps) =>
+        val best = ps.minBy(p => (-p.getDouble(2), p.getLong(1)))
+        id -> (ps.length.toLong, best.getLong(1), best.getDouble(2))
+      }
+    rows.length shouldBe expected.size
+    rows.foreach { r =>
+      withClue(s"delta vec ${r.getLong(0)}: ") {
+        (r.getLong(2), r.getLong(3), r.getDouble(4)) shouldBe expected(r.getLong(0))
+      }
+    }
+  }
 }
