@@ -693,13 +693,25 @@ object Dedup {
     * pattern applied to dense vectors. At 100 TB nothing here is
     * quadratic in the corpus.
     */
-  def embeddingNearDupLsh(spark: SparkSession, sfDir: String,
-      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
+  /** (vec_id, embedding, nrm, bucket) over the embeddings table — THE
+    * single definition of the bucketed-embeddings frame the whole
+    * near-dup/incremental family joins on (d13/d14/d16). One copy so a
+    * change to the bucketing discipline can never fork the bucket
+    * definition between operators.
+    */
+  private def bucketedEmbeddings(spark: SparkSession, sfDir: String,
+      planes: Int, dims: Int): DataFrame = {
     import spark.implicits._
-    val v = Tables.embeddings(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding",
         Similarity.norm2($"embedding").as("nrm"),
         Similarity.lshBucket($"embedding", planes, dims).as("bucket"))
+  }
+
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String,
+      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val v = bucketedEmbeddings(spark, sfDir, planes, dims)
     v.as("x").join(v.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), $"x.bucket".as("bucket"),
@@ -783,10 +795,7 @@ object Dedup {
   def embeddingNearDupMultiProbe(spark: SparkSession, sfDir: String,
       planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
-    val v = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"embedding",
-        Similarity.norm2($"embedding").as("nrm"),
-        Similarity.lshBucket($"embedding", planes, dims).as("bucket"))
+    val v = bucketedEmbeddings(spark, sfDir, planes, dims)
     val probed = v.withColumn("probe",
       explode(array(Similarity.probeSet($"bucket", planes): _*)))
     probed.as("x").join(v.as("y"),
@@ -820,10 +829,7 @@ object Dedup {
       planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"embedding",
-        Similarity.norm2($"embedding").as("nrm"),
-        Similarity.lshBucket($"embedding", planes, dims).as("bucket"))
+    val emb = bucketedEmbeddings(spark, sfDir, planes, dims)
     val delta = emb.filter($"vec_id" % 2 === 1)
     val hist = emb.filter($"vec_id" % 2 === 0)
       .select($"vec_id".as("hid"), $"embedding".as("h_emb"),

@@ -45,7 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // loop join; a CartesianProduct node would mean the condition fell off
     for (name <- Seq("d02_ngram_jaccard", "d05_embed_neardup",
         "d13_embed_neardup_lsh", "d14_embed_neardup_multiprobe",
-        "d15_semdedup", "s10_ann_pq",
+        "d15_semdedup", "d16_incremental_embed", "s10_ann_pq",
         "d03_minhash_lsh", "d04_simhash_pairs",
         "q28_asof_join", "q29_range_join", "q35_interval_attribution"))
       withClue(name) { plan(name) should not include "CartesianProduct" }

@@ -97,7 +97,12 @@ object ProfileScaleSweep {
       time("pack_sequences")(Sampling.packSequences(spark, dir))
       time("ann_pq")(Similarity.annPq(spark, dir))
       time("semdedup_sizedk")(Dedup.semDedup(spark, dir, k = 8 * mult))
-      time("incremental_embed")(Dedup.incrementalEmbedOverlap(spark, dir))
+      // planes follow the s02 sizing contract (log2 growth, as in
+      // ProfileD13Planes) — frozen planes would record the by-design
+      // quadratic of an unsized bucket population, not the operator
+      val ePlanes = Map(1 -> 4, 4 -> 6, 10 -> 7)(mult)
+      time("incremental_embed_sizedplanes")(
+        Dedup.incrementalEmbedOverlap(spark, dir, planes = ePlanes))
     }
     spark.stop()
   }

@@ -36,13 +36,17 @@ class PiiPropSpec extends AnyFunSuite with Matchers with SparkSpec {
     b <- Gen.chooseNum(100, 999); c <- Gen.chooseNum(1000, 9999)
   } yield s"+$cc ($a) $b-$c"
 
-  // a doc = shuffled PII items interleaved with filler, space-joined
+  // a doc = PII items in RANDOM type order (the t14 stage order must
+  // hold for any interleaving, so the generator must not feed items in
+  // stage order) interleaved with filler, space-joined
   private val doc: Gen[(Int, Int, Int, String)] = for {
     ne <- Gen.chooseNum(0, 3); es <- Gen.listOfN(ne, email)
     ni <- Gen.chooseNum(0, 3); is <- Gen.listOfN(ni, ip)
     np <- Gen.chooseNum(0, 3); ps <- Gen.listOfN(np, phone)
+    ordered = es ++ is ++ ps
+    keys <- Gen.listOfN(ordered.size, Gen.chooseNum(Int.MinValue, Int.MaxValue))
     pieces <- {
-      val items = es ++ is ++ ps
+      val items = keys.zip(ordered).sortBy(_._1).map(_._2) // shuffle
       Gen.listOfN(items.size + 1, filler).flatMap(fs =>
         Gen.const(fs.head + items.zip(fs.tail)
           .map { case (it, f) => s" $it $f" }.mkString))
