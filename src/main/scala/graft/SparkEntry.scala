@@ -101,6 +101,7 @@ object SparkEntry {
     "t14_pii_scrub" -> (TextAnalysis.piiScrub _),
     "t15_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplateRemove(s, d)),
     "t16_quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
+    "t17_token_gini" -> (TextAnalysis.tokenGini _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -1360,6 +1361,21 @@ object SparkEntry {
          |  round(logit / (1.0e0 + abs(logit)), 6) AS score,
          |  round(logit / (1.0e0 + abs(logit)), 6) >= 0.25e0 AS keep
          |FROM l ORDER BY doc_id""".stripMargin,
+
+    // t17: Gini impurity of the per-doc token distribution — the
+    // rational entropy stand-in (no ln anywhere); exact integers until
+    // one double division
+    "t17_token_gini" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct, CAST(sum(tf * tf) AS BIGINT) AS sumsq
+         |  FROM tf GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, n_distinct, sumsq,
+         |  round(1.0e0 - CAST(sumsq AS DOUBLE) / (n_tokens * n_tokens), 6) AS gini
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "t02_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),

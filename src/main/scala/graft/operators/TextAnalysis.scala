@@ -626,6 +626,35 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Lexical-diversity quality signal: per-document Gini impurity of
+    * the token distribution, `1 − Σ(tf/n)²` — the entropy-family
+    * degenerate-text filter (keyword stuffing, chant-like repetition →
+    * low diversity) expressed RATIONALLY: entropy needs `ln`, whose
+    * libm results differ across engines, while Gini is one float
+    * division of exact integers (`sumsq = Σtf²` and `n²`) — the
+    * BM25/t08 rational discipline applied to a diversity score.
+    * Complements [[repetition]] (shingle-level) with a unigram-level
+    * signal. Returns (doc_id, n_tokens, n_distinct, sumsq, gini).
+    *
+    * Scale shape: one (doc_id, token)-keyed aggregation with map-side
+    * partials, then a doc_id-keyed rollup — both narrow, both
+    * partition-parallel; nothing vocabulary- or corpus-global.
+    */
+  def tokenGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(Text.toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum($"tf" * $"tf").as("sumsq"))
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"sumsq",
+        round(lit(1.0) - $"sumsq".cast("double") /
+          ($"n_tokens" * $"n_tokens"), 6).as("gini"))
+      .orderBy($"doc_id")
+  }
+
   /** CCNet-style boilerplate removal: a document is split into
     * non-overlapping `window`-token passages (trailing partial KEPT, so
     * the passages partition the token stream and a clean doc reassembles

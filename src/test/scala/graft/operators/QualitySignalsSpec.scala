@@ -70,6 +70,31 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     byLogit.map(_.getDouble(3)).toSeq shouldBe sorted
   }
 
+  test("tokenGini: exact rational impurity, recomputed from raw token lists") {
+    import graft.functions.Text
+    val got = TextAnalysis.tokenGini(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    got.size shouldBe toks.count(_._2.nonEmpty)
+    got.foreach { case (id, r) =>
+      val tf = toks(id).groupBy(identity).map(_._2.size.toLong)
+      withClue(s"doc $id: ") {
+        r.getLong(1) shouldBe tf.sum // n_tokens
+        r.getLong(2) shouldBe tf.size.toLong // n_distinct
+        r.getLong(3) shouldBe tf.map(f => f * f).sum // sumsq
+        val gini = r.getDouble(4)
+        gini should (be >= 0.0 and be < 1.0)
+        gini shouldBe BigDecimal(1.0 - r.getLong(3).toDouble / (tf.sum * tf.sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // all-distinct docs sit exactly at 1 - 1/n
+        if (tf.forall(_ == 1L))
+          r.getLong(3) shouldBe r.getLong(1)
+      }
+    }
+  }
+
   test("clusterStats histogram mass equals the corpus size") {
     // every document sits in exactly one cluster, so
     // sum(cluster_size * n_clusters) must reproduce the corpus count
