@@ -132,6 +132,7 @@ object SparkEntry {
     "p05_apply_mixture" -> ((s: SparkSession, d: String) => Sampling.applyMixture(s, d)),
     "p06_dedup_budget" -> ((s: SparkSession, d: String) => Sampling.dedupBudget(s, d)),
     "p07_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
+    "p08_filtered_pack" -> ((s: SparkSession, d: String) => Sampling.filteredPack(s, d)),
   )
 
   // Canonical DuckDB tokenization — must stay in lockstep with
@@ -1741,6 +1742,51 @@ object SparkEntry {
          |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g_start
          |      FROM t WHERE n_tokens > 0)
+         |SELECT shard, doc_id, n_tokens, g_start,
+         |  CAST(g_start // 256 AS BIGINT) AS seq_id,
+         |  CAST(g_start % 256 AS BIGINT) AS seq_off,
+         |  CAST((g_start + n_tokens - 1) // 256 - g_start // 256 + 1 AS BIGINT) AS n_seqs
+         |FROM g ORDER BY shard, doc_id""".stripMargin,
+
+    // p08: the composed pipeline — d01 keepers ∩ t16 keeps, packed with
+    // the p07 machinery; every CTE is the already-green idiom of its
+    // stage
+    "p08_filtered_pack" ->
+      s"""WITH $HexBucketCte,
+         |dk AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |tkq AS (SELECT doc_id, lang, $Toks AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS INT) AS n_stop,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
+         |  FROM tkq
+         |),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+         |    round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |    round(least(1.0e0, CAST(n_tokens AS DOUBLE) / 100.0e0) *
+         |          (1.0e0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+         |  FROM st WHERE n_tokens > 0
+         |),
+         |l AS (
+         |  SELECT doc_id,
+         |    4.0e0 * quality - 0.5e0 * stop_ratio + 0.25e0 * (avg_tok_len - 4.0e0) +
+         |    0.3e0 * (CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END) - 1.0e0 AS logit
+         |  FROM f
+         |),
+         |qk AS (SELECT doc_id FROM l
+         |       WHERE round(logit / (1.0e0 + abs(logit)), 6) >= 0.25e0),
+         |sel AS (
+         |  SELECT b.doc_id, CAST(b.hb % 8 AS INT) AS shard,
+         |    CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM b JOIN dk ON b.doc_id = dk.doc_id
+         |         JOIN qk ON b.doc_id = qk.doc_id),
+         |g AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g_start
+         |      FROM sel WHERE n_tokens > 0)
          |SELECT shard, doc_id, n_tokens, g_start,
          |  CAST(g_start // 256 AS BIGINT) AS seq_id,
          |  CAST(g_start % 256 AS BIGINT) AS seq_off,

@@ -170,21 +170,55 @@ object Sampling {
     * DOUBLE-cast floor could round instead of truncate).
     */
   def packSequences(spark: SparkSession, sfDir: String, shards: Int = 8,
-      seqLen: Long = 256): DataFrame = {
-    import spark.implicits._
-    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      seqLen: Long = 256): DataFrame =
+    packCore(Tables.documents(spark, sfDir), shards, seqLen)
+
+  /** The [[packSequences]] core over an arbitrary (doc_id, text) set —
+    * single definition of the pack semantics, shared with
+    * [[filteredPack]] (the budgetPack/dedupBudget pattern).
+    */
+  private def packCore(docs: DataFrame, shards: Int, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
-      .withColumn("shard", (hashBucket($"text") % shards).cast("int"))
-      .withColumn("n_tokens", Text.tokenCount($"text").cast("bigint"))
-      .filter($"n_tokens" > 0)
-      .withColumn("g_start", coalesce(sum($"n_tokens").over(w), lit(0L)))
-      .select($"shard", $"doc_id", $"n_tokens", $"g_start",
+    docs
+      .withColumn("shard", (hashBucket(col("text")) % shards).cast("int"))
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast("bigint"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("g_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("g_start"),
         expr(s"g_start DIV $seqLen").as("seq_id"),
-        ($"g_start" % seqLen).as("seq_off"),
+        (col("g_start") % seqLen).as("seq_off"),
         (expr(s"(g_start + n_tokens - 1) DIV $seqLen") -
           expr(s"g_start DIV $seqLen") + 1L).as("n_seqs"))
-      .orderBy($"shard", $"doc_id")
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
+  /** The composed preprocessing pipeline in ONE declarative plan — the
+    * end-to-end a real training-data run executes: exact-dedup keepers
+    * (one doc per content hash, min-id convention — the d01 rule) ∩
+    * quality-classifier keeps (t16), packed into fixed-length training
+    * sequences ([[packSequences]] semantics). Demonstrates that the
+    * library's stages compose: each stage is the already-oracle-gated
+    * operator, and Catalyst plans the whole chain together (the filter
+    * joins run BEFORE the pack shuffle, so rejected/duplicate documents
+    * never reach the running sums).
+    *
+    * Scale shape: one md5-keyed aggregation (d01), the map-only t16
+    * pass, two doc_id equi-joins, then the p07 per-shard prefix sums —
+    * the sum of its parts, no new shuffle classes.
+    */
+  def filteredPack(spark: SparkSession, sfDir: String, shards: Int = 8,
+      seqLen: Long = 256): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val dedupKeep = docs
+      .groupBy(md5($"text".cast("binary")).as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val qualityKeep = TextAnalysis.qualityClassifier(spark, sfDir)
+      .filter($"keep").select($"doc_id")
+    packCore(docs.join(dedupKeep, "doc_id").join(qualityKeep, "doc_id")
+      .select($"doc_id", $"text"), shards, seqLen)
   }
 
   /** Materialize a [[mixtureWeights]] mixture: give each source a token

@@ -141,6 +141,33 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
+  test("filteredPack packs exactly the dedup∩quality survivors, in p07's layout") {
+    val sf1 = "/root/testdata/sf0.1" // the scale with planted exact dups
+    val packed = Sampling.filteredPack(spark, sf1).collect()
+    packed should not be empty
+    val packedIds = packed.map(_.getLong(1)).toSet
+    // selection: exactly the min-id-per-content-hash keepers that also
+    // clear the quality classifier
+    val keepers = graft.Tables.documents(spark, sf1)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(_.getLong(1)).toSet
+    val quality = TextAnalysis.qualityClassifier(spark, sf1)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    packedIds shouldBe keepers.intersect(quality)
+    // the composition is strict: some docs were rejected on each axis
+    keepers.size should be < quality.union(keepers).size
+    packedIds.size should be < keepers.size
+    // layout invariants are p07's: gapless per-shard streams
+    packed.groupBy(_.getInt(0)).values.foreach { shard =>
+      shard.sortBy(_.getLong(1)).foldLeft(0L) { (expect, r) =>
+        r.getLong(3) shouldBe expect
+        expect + r.getLong(2)
+      }
+    }
+    graft.Caches.releaseAll(spark)
+  }
+
   test("packSequences: contiguous per-shard layout, exact chunk math, token conservation") {
     val seqLen = 256L
     val rows = Sampling.packSequences(spark, sf).collect()
