@@ -85,7 +85,20 @@ object Bench {
     val meds = results.map { case (k, _, m) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture has arrived truncated two rounds
+    // running (BENCH_r5/r6 "parsed": null) — also write the identical
+    // single line, pure JSON, to a fixed file it (and anyone) can
+    // ingest whole. Overridable for tests; never fatal to the bench.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LATEST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

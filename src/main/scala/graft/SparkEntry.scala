@@ -119,6 +119,17 @@ object SparkEntry {
           col("a_value"), col("b_value"))
         .orderBy(col("a_id"), col("b_id"))
     }),
+    // q35's left-outer complement: views the watermark proved
+    // unattributed — in batch, left-outer + null-filter IS the
+    // oracle's NOT EXISTS over the interval
+    "q36_unattributed_views" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.streaming.EventStream.unattributedStream(
+          Tables.events(s, d), maxDelayMin = 720)
+        .select(col("user_id"), col("a_id"),
+          unix_micros(col("a_ts")).as("a_us"), col("a_value"))
+        .orderBy(col("a_id"))
+    }),
     // —— extensions: multimodal plumbing ——
     "m01_media_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_hashes" -> ((s: SparkSession, d: String) => Multimodal.frameHashes(s, d)),
@@ -228,6 +239,41 @@ object SparkEntry {
     * All quantizer arithmetic is order-free integer sums, so the CTE
     * chain hash-matches the Spark plan bit-for-bit.
     */
+  /** The s10 per-subspace Lloyd chain (ivfCtes with `sub` joining every
+    * key): seed codebook cb0 from the candidate-ordinal mod-ksub means,
+    * then per round an exact-integer argmin assign (pd_i → pa_i) and
+    * re-average (cb_{i+1}). Expects a CTE `c` of (vec_id, sub, pos, xq);
+    * the caller encodes/LUTs against the final cb{iters}.
+    */
+  private def pqLloydCtes(ksub: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"cb0 AS (SELECT sub, CAST((vec_id // 20) % $ksub AS INT) AS code, pos,\n"
+    sb ++= "         CAST(round(sum(xq) / count(*), 0) AS BIGINT) AS cq\n"
+    sb ++= "       FROM c GROUP BY 1, 2, 3)"
+    for (i <- 0 until iters) {
+      sb ++= ",\n"
+      sb ++= s"pd$i AS (\n"
+      sb ++= "  SELECT c.vec_id, c.sub, cb.code,\n"
+      sb ++= "    CAST(sum((c.xq - cb.cq) * (c.xq - cb.cq)) AS BIGINT) AS dist2q\n"
+      sb ++= s"  FROM c JOIN cb$i cb ON c.sub = cb.sub AND c.pos = cb.pos\n"
+      sb ++= "  GROUP BY 1, 2, 3\n"
+      sb ++= "),\n"
+      sb ++= s"pa$i AS (\n"
+      sb ++= "  SELECT vec_id, sub, code FROM (\n"
+      sb ++= "    SELECT vec_id, sub, code,\n"
+      sb ++= "      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2q, code) AS rn\n"
+      sb ++= s"    FROM pd$i) r WHERE rn = 1\n"
+      sb ++= "),\n"
+      sb ++= s"cb${i + 1} AS (\n"
+      sb ++= "  SELECT c.sub, a.code, c.pos,\n"
+      sb ++= "    CAST(round(sum(c.xq) / count(*), 0) AS BIGINT) AS cq\n"
+      sb ++= s"  FROM c JOIN pa$i a ON c.vec_id = a.vec_id AND c.sub = a.sub\n"
+      sb ++= "  GROUP BY 1, 2, 3\n"
+      sb ++= ")"
+    }
+    sb.result()
+  }
+
   private def ivfCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= "cp AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq\n"
@@ -553,6 +599,19 @@ object SparkEntry {
         |FROM a JOIN b ON a.user_id = b.user_id
         | AND b_us >= a_us AND b_us <= a_us + CAST(720 AS BIGINT) * 60 * 1000000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q36: the q35 complement — NOT EXISTS over the same interval, in
+    // the same exact integer micros
+    "q36_unattributed_views" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id,
+        |            epoch_ns(ts) // 1000 AS a_us, value AS a_value
+        |          FROM events WHERE event_type = 'view'),
+        |b AS (SELECT user_id, epoch_ns(ts) // 1000 AS b_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, a_id, a_us, a_value FROM a
+        |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id
+        |  AND b_us >= a_us AND b_us <= a_us + CAST(720 AS BIGINT) * 60 * 1000000)
+        |ORDER BY a_id""".stripMargin,
 
     "q29_range_join" ->
       """SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
@@ -1235,22 +1294,20 @@ object SparkEntry {
          |c AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub, i AS pos,
          |        CAST(round(x * 1e6, 0) AS BIGINT) AS xq
          |      FROM e WHERE vec_id % 20 = 0),
-         |cb AS (SELECT sub, CAST((vec_id // 20) % 8 AS INT) AS code, pos,
-         |         CAST(round(sum(xq) / count(*), 0) AS BIGINT) AS cq
-         |       FROM c GROUP BY 1, 2, 3),
+         |${pqLloydCtes(8, 2)},
          |enc AS (
          |  SELECT vec_id, sub, code,
          |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2q, code) AS rn
          |  FROM (SELECT c.vec_id, c.sub, cb.code,
          |          CAST(sum((c.xq - cb.cq) * (c.xq - cb.cq)) AS BIGINT) AS dist2q
-         |        FROM c JOIN cb ON c.sub = cb.sub AND c.pos = cb.pos
+         |        FROM c JOIN cb2 cb ON c.sub = cb.sub AND c.pos = cb.pos
          |        GROUP BY 1, 2, 3) d),
          |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
          |qp AS (SELECT vec_id AS qid, CAST((i - 1) // 16 AS INT) AS sub, i AS pos,
          |         CAST(round(x * 1e6, 0) AS BIGINT) AS xq
          |       FROM e WHERE vec_id < 8),
          |lut AS (SELECT qid, cb.sub, cb.code, CAST(sum(qp.xq * cb.cq) AS BIGINT) AS lutq
-         |        FROM qp JOIN cb ON qp.sub = cb.sub AND qp.pos = cb.pos
+         |        FROM qp JOIN cb2 cb ON qp.sub = cb.sub AND qp.pos = cb.pos
          |        GROUP BY 1, 2, 3),
          |adc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lutq) AS BIGINT) AS adcq
          |        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
@@ -1273,7 +1330,7 @@ object SparkEntry {
          |  JOIN embeddings ec ON ec.vec_id = s.vec_id
          |  JOIN n nq ON nq.vec_id = s.qid
          |  JOIN n nc ON nc.vec_id = s.vec_id
-         |  WHERE s.srn <= 12),
+         |  WHERE s.srn <= 16),
          |fin AS (SELECT qid, cand, adcq, cos,
          |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
          |        FROM rer)

@@ -37,6 +37,21 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
+  /** THE exact-dedup keeper rule as a reusable keep-set: one doc_id per
+    * content hash, min-id convention — the single definition shared by
+    * [[exact]]'s gated d01 shape and [[Sampling.filteredPack]]'s dedup
+    * stage (the [[canonicalKeepers]]/dedupBudget pattern), so a
+    * composed pipeline's dedup semantics can never drift from the gated
+    * operator's. Returns a one-column (doc_id) frame to semi-join.
+    */
+  def exactKeepers(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupBy(md5($"text".cast("binary")).as("content_hash"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+  }
+
   /** Sub-document (passage-level) exact dedup: non-overlapping
     * `window`-token passages (stride = window, trailing partial window
     * dropped), hashed and grouped — the standard training-data pass
@@ -709,10 +724,15 @@ object Dedup {
   }
 
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String,
-      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
+      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2,
+      maxBucketPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
     val v = bucketedEmbeddings(spark, sfDir, planes, dims)
-    v.as("x").join(v.as("y"),
+    // sizing contract, in code: an over-populated bucket fails the
+    // query naming `planes` instead of going pair-quadratic in one task
+    val gx = Sizing.guardKeyPopulation(v, "bucket", maxBucketPop,
+      "embeddingNearDupLsh", "bucket", "planes")
+    gx.as("x").join(v.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), $"x.bucket".as("bucket"),
         round(Similarity.dot($"x.embedding", $"y.embedding") /
@@ -769,7 +789,8 @@ object Dedup {
     * value — no float-order wobble on either engine.
     */
   def semDedup(spark: SparkSession, sfDir: String, k: Int = 8,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2,
+      maxCellPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
     val cells = Similarity.assignToCentroids(spark, sfDir, k)
       .select($"vec_id", $"cell")
@@ -778,7 +799,11 @@ object Dedup {
       Tables.embeddings(spark, sfDir)
         .select($"vec_id", $"embedding", Similarity.norm2($"embedding").as("nrm"))
         .join(cells, "vec_id"))
-    val pairs = v.as("x").join(v.as("y"),
+    // sizing contract, in code: an over-populated cell fails the query
+    // naming `k` instead of going pair-quadratic within the cell
+    val gx = Sizing.guardKeyPopulation(v, "cell", maxCellPop,
+      "semDedup", "cell", "k")
+    val pairs = gx.as("x").join(v.as("y"),
         $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
       .select($"y.vec_id".as("b"),
         round(Similarity.dot($"x.embedding", $"y.embedding") /
@@ -793,12 +818,17 @@ object Dedup {
   }
 
   def embeddingNearDupMultiProbe(spark: SparkSession, sfDir: String,
-      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
+      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2,
+      maxBucketPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
     val v = bucketedEmbeddings(spark, sfDir, planes, dims)
     val probed = v.withColumn("probe",
       explode(array(Similarity.probeSet($"bucket", planes): _*)))
-    probed.as("x").join(v.as("y"),
+    // guard the un-exploded (build) side: its bucket population bounds
+    // the per-probe join fan-in
+    val gy = Sizing.guardKeyPopulation(v, "bucket", maxBucketPop,
+      "embeddingNearDupMultiProbe", "bucket", "planes")
+    probed.as("x").join(gy.as("y"),
         $"x.probe" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
         $"x.bucket".as("bucket_a"), $"y.bucket".as("bucket_b"),
@@ -820,18 +850,40 @@ object Dedup {
     *
     * Here the delta/history split is the deterministic vec_id parity
     * (odd arrives, even is history) so the oracle can reproduce it; a
-    * real pipeline passes two tables. Recall follows the s02 sizing
+    * real pipeline calls [[incrementalEmbedOverlapFrames]] with its two
+    * actual tables — this entry is a thin wrapper over it. Recall follows the s02 sizing
     * contract (raise `planes` with the history size); a bloom over
     * history buckets (the d12 trick) is unnecessary — the bucket
     * equi-join already prunes to colliding buckets only.
     */
   def incrementalEmbedOverlap(spark: SparkSession, sfDir: String,
-      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      planes: Int = 4, dims: Int = 64, threshold: Double = 0.2,
+      maxBucketPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
     val emb = bucketedEmbeddings(spark, sfDir, planes, dims)
-    val delta = emb.filter($"vec_id" % 2 === 1)
-    val hist = emb.filter($"vec_id" % 2 === 0)
+    incrementalEmbedOverlapFrames(
+      emb.filter($"vec_id" % 2 === 1),
+      emb.filter($"vec_id" % 2 === 0),
+      threshold, maxBucketPop)
+  }
+
+  /** [[incrementalEmbedOverlap]] over two REAL tables — the form the
+    * daily-crawl use case actually invokes: `delta` and `history` are
+    * any frames carrying (vec_id, embedding, nrm, bucket) produced by
+    * the same bucketing discipline (bucket both with
+    * [[Similarity.lshBucket]] under one `planes`/`dims`). The parity-
+    * split entry above is a thin wrapper over this so the oracle gate
+    * can reproduce the split; nothing in the join shape depends on the
+    * split rule. History is the guarded side — its bucket population
+    * is what the delta probe fans into.
+    */
+  def incrementalEmbedOverlapFrames(delta: DataFrame, history: DataFrame,
+      threshold: Double = 0.2,
+      maxBucketPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import delta.sparkSession.implicits._
+    val hist = Sizing.guardKeyPopulation(history, "bucket", maxBucketPop,
+        "incrementalEmbedOverlap", "bucket", "planes")
       .select($"vec_id".as("hid"), $"embedding".as("h_emb"),
         $"nrm".as("h_nrm"), $"bucket")
     val pairs = delta.join(hist, "bucket")

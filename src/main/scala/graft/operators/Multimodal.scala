@@ -44,6 +44,115 @@ object Multimodal {
     }
   }
 
+  /** A decoded row from [[decode]]: like [[MediaFeatures]] plus the
+    * detected container and channel count; `format` is "bmp" / "ppm" /
+    * "pgm" when the header parsed for real, "stub" on fallback.
+    */
+  case class DecodedMedia(media_id: Long, kind: String, n_bytes: Int,
+      format: String, width: Int, height: Int, channels: Int, checksum: Long)
+
+  /** Sanity bound on parsed dimensions: a lying header may not demand
+    * gigapixel allocations downstream.
+    */
+  private val MaxDim = 1 << 20
+
+  /** REAL byte-level header parse for two public uncompressed
+    * containers — the round-7 "one media path is real end-to-end"
+    * slice (no codec library involved, just the published layouts):
+    *
+    *  - BMP: 'B''M', then BITMAPINFOHEADER (or the V4/V5 supersets) at
+    *    offset 14 — biWidth LE i32 @18, biHeight LE i32 @22 (negative
+    *    = top-down; dimensions are |value|), biBitCount LE u16 @28 →
+    *    channels = ceil(bits/8) (paletted 1/4/8-bit = 1 channel).
+    *  - Netpbm: "P6"/"P3" (PPM, 3 channels) and "P5"/"P2" (PGM, 1
+    *    channel) — magic, then whitespace/comment-separated width,
+    *    height, maxval.
+    *
+    * Returns (format, width, height, channels); None when the bytes
+    * are not a well-formed header of either family (the caller falls
+    * back to the stub — never throws on arbitrary payloads).
+    */
+  def parseImageHeader(c: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    def leI32(off: Int): Int =
+      (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8) |
+        ((c(off + 2) & 0xff) << 16) | ((c(off + 3) & 0xff) << 24)
+    def leU16(off: Int): Int = (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8)
+    if (c.length >= 54 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) {
+      val biSize = leI32(14)
+      val w = leI32(18)
+      val hRaw = leI32(22)
+      val h = math.abs(hRaw)
+      val bits = leU16(28)
+      val okBits = Set(1, 4, 8, 16, 24, 32)
+      if (biSize >= 40 && w > 0 && w <= MaxDim && h > 0 && h <= MaxDim &&
+          hRaw != Int.MinValue && okBits(bits))
+        Some(("bmp", w, h, math.max(1, bits / 8)))
+      else None
+    } else if (c.length >= 2 && c(0) == 'P'.toByte &&
+        (c(1) == '2'.toByte || c(1) == '3'.toByte ||
+          c(1) == '5'.toByte || c(1) == '6'.toByte)) {
+      val channels = if (c(1) == '3'.toByte || c(1) == '6'.toByte) 3 else 1
+      val fmt = if (channels == 3) "ppm" else "pgm"
+      // parse 3 whitespace-separated ints, '#' comments run to newline
+      var i = 2
+      val vals = new Array[Long](3)
+      var got = 0
+      var bad = false
+      while (got < 3 && i < c.length && !bad) {
+        val b = c(i)
+        if (b == '#'.toByte) {
+          while (i < c.length && c(i) != '\n'.toByte) i += 1
+        } else if (b == ' '.toByte || b == '\t'.toByte ||
+            b == '\n'.toByte || b == '\r'.toByte) {
+          i += 1
+        } else if (b >= '0'.toByte && b <= '9'.toByte) {
+          var v = 0L
+          while (i < c.length && c(i) >= '0'.toByte && c(i) <= '9'.toByte) {
+            v = v * 10 + (c(i) - '0'.toByte)
+            if (v > Int.MaxValue) bad = true
+            i += 1
+          }
+          // the digit run must END at whitespace/EOF, not at a stray byte
+          if (i < c.length && !(c(i) == ' '.toByte || c(i) == '\t'.toByte ||
+              c(i) == '\n'.toByte || c(i) == '\r'.toByte || c(i) == '#'.toByte))
+            bad = true
+          vals(got) = v
+          got += 1
+        } else bad = true
+      }
+      val (w, h, maxv) = (vals(0), vals(1), vals(2))
+      if (!bad && got == 3 && w >= 1 && w <= MaxDim && h >= 1 && h <= MaxDim &&
+          maxv >= 1 && maxv <= 65535)
+        Some((fmt, w.toInt, h.toInt, channels))
+      else None
+    } else None
+  }
+
+  /** The [[decodeStub]] interface with the real slice in front: BMP /
+    * PPM / PGM headers decode for REAL (byte-level, dependency-free);
+    * any other payload falls back to the deterministic stub, tagged
+    * `format = "stub"`. Same iterator-to-iterator per-partition shape —
+    * a full codec slots in as one more `parseImageHeader`-style branch.
+    */
+  def decode(rows: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val n = r.content.length
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum = (sum * 31 + (r.content(i) & 0xff)) % 1000000007L; i += 1 }
+        parseImageHeader(r.content) match {
+          case Some((fmt, w, h, ch)) =>
+            DecodedMedia(r.media_id, r.kind, n, fmt, w, h, ch, sum)
+          case None =>
+            DecodedMedia(r.media_id, r.kind, n, "stub",
+              (sum % 1920).toInt + 1, (sum % 1080).toInt + 1, -1, sum)
+        }
+      }
+    }
+  }
+
   /** Resize stub: recompute target dimensions preserving aspect ratio
     * against a bounding box (the metadata math of a real resize; the
     * pixel pass would run next to decodeStub in the same mapPartitions).

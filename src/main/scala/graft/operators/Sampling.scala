@@ -170,20 +170,27 @@ object Sampling {
     * DOUBLE-cast floor could round instead of truncate).
     */
   def packSequences(spark: SparkSession, sfDir: String, shards: Int = 8,
-      seqLen: Long = 256): DataFrame =
-    packCore(Tables.documents(spark, sfDir), shards, seqLen)
+      seqLen: Long = 256,
+      maxShardRows: Long = Sizing.MaxShardRows): DataFrame =
+    packCore(Tables.documents(spark, sfDir), shards, seqLen, maxShardRows)
 
   /** The [[packSequences]] core over an arbitrary (doc_id, text) set —
     * single definition of the pack semantics, shared with
     * [[filteredPack]] (the budgetPack/dedupBudget pattern).
     */
-  private def packCore(docs: DataFrame, shards: Int, seqLen: Long): DataFrame = {
+  private def packCore(docs: DataFrame, shards: Int, seqLen: Long,
+      maxShardRows: Long = Sizing.MaxShardRows): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("shard", (hashBucket(col("text")) % shards).cast("int"))
-      .withColumn("n_tokens", Text.tokenCount(col("text")).cast("bigint"))
-      .filter(col("n_tokens") > 0)
+    // sizing contract, in code: an over-populated shard fails the query
+    // naming `shards` instead of funneling the corpus through one
+    // sequential prefix-sum task (Sizing.suggestShards)
+    Sizing.guardKeyPopulation(
+      docs
+        .withColumn("shard", (hashBucket(col("text")) % shards).cast("int"))
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast("bigint"))
+        .filter(col("n_tokens") > 0),
+      "shard", maxShardRows, "packSequences", "shard", "shards")
       .withColumn("g_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("g_start"),
         expr(s"g_start DIV $seqLen").as("seq_id"),
@@ -208,17 +215,15 @@ object Sampling {
     * the sum of its parts, no new shuffle classes.
     */
   def filteredPack(spark: SparkSession, sfDir: String, shards: Int = 8,
-      seqLen: Long = 256): DataFrame = {
+      seqLen: Long = 256,
+      maxShardRows: Long = Sizing.MaxShardRows): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val dedupKeep = docs
-      .groupBy(md5($"text".cast("binary")).as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
+    val dedupKeep = Dedup.exactKeepers(docs)
     val qualityKeep = TextAnalysis.qualityClassifier(spark, sfDir)
       .filter($"keep").select($"doc_id")
     packCore(docs.join(dedupKeep, "doc_id").join(qualityKeep, "doc_id")
-      .select($"doc_id", $"text"), shards, seqLen)
+      .select($"doc_id", $"text"), shards, seqLen, maxShardRows)
   }
 
   /** Materialize a [[mixtureWeights]] mixture: give each source a token

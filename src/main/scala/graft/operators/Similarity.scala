@@ -467,15 +467,20 @@ object Similarity {
     * (e.g. 1e10 vectors at ~1e5 per bucket → planes ≈ 17).
     */
   def annLsh(spark: SparkSession, sfDir: String,
-      planes: Int = 4, dims: Int = 64): DataFrame = {
+      planes: Int = 4, dims: Int = 64,
+      maxBucketPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     val q = withNorm(emb.filter($"vec_id" < 8))
       .withColumn("bucket", lshBucket($"embedding", planes, dims))
       .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
         $"nrm".as("q_nrm"), $"bucket")
-    val c = withNorm(emb.filter($"vec_id" % 20 === 0))
-      .withColumn("bucket", lshBucket($"embedding", planes, dims))
+    // sizing contract, in code: an over-populated candidate bucket
+    // fails the query naming `planes` (Sizing.suggestPlanes)
+    val c = Sizing.guardKeyPopulation(
+      withNorm(emb.filter($"vec_id" % 20 === 0))
+        .withColumn("bucket", lshBucket($"embedding", planes, dims)),
+      "bucket", maxBucketPop, "annLsh", "bucket", "planes")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cand"), $"bucket",
@@ -503,12 +508,12 @@ object Similarity {
     * sums are all order-free exact integer arithmetic (ADC units 1e-12,
     * bounded by dims·1e12 << 2^63), so shortlist membership never sits
     * on a float boundary and the whole operator carries a DuckDB hash
-    * oracle. Codebooks use the s04 seeded-mean idiom keyed on the
-    * candidate ORDINAL — `(vec_id DIV 20) % ksub`, NOT the raw
-    * `vec_id % ksub`, which is correlated with the mod-20 candidate
-    * filter and would populate only 2 of ksub entries — plus one
-    * argmin encode; swap in the s03 Lloyd loop per subspace for
-    * trained codebooks — the encode/ADC shape is identical.
+    * oracle. Codebooks are TRAINED (round-7): the s04 ordinal-keyed
+    * seeded means — `(vec_id DIV 20) % ksub`, NOT the raw `vec_id %
+    * ksub`, which is correlated with the mod-20 candidate filter and
+    * would populate only 2 of ksub entries — are the SEED for `iters`
+    * per-subspace Lloyd rounds (the s03 loop with `sub` in every key),
+    * and the encode is the final assign half under the trained book.
     *
     * Scale shape: codebook training is one (sub, code, pos) integer
     * aggregation over the candidate corpus; encoding is a broadcast
@@ -520,7 +525,8 @@ object Similarity {
     * shortlist × queries vectors only (the matryoshka pattern).
     */
   def annPq(spark: SparkSession, sfDir: String, m: Int = 4, ksub: Int = 8,
-      dims: Int = 64, shortlist: Int = 12, topK: Int = 3): DataFrame = {
+      dims: Int = 64, shortlist: Int = 16, topK: Int = 3,
+      iters: Int = 2): DataFrame = {
     import spark.implicits._
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val emb = Tables.embeddings(spark, sfDir)
@@ -533,24 +539,44 @@ object Similarity {
         round($"x".cast("double") * 1e6, 0).cast("bigint").as("xq"))
     // cached: feeds codebook training AND code assignment
     val cand = graft.Caches.track(pts(emb.filter($"vec_id" % 20 === 0)))
-    // per-subspace codebooks: seeded cluster = (vec_id DIV 20) mod ksub
-    // — the s04 mod-k idiom, but keyed on the candidate ORDINAL, not the
-    // raw id: candidates are vec_id % 20 == 0, so a raw vec_id % ksub
-    // would be arithmetically correlated with the filter (multiples of
-    // 20 are ≡ {0,4} mod 8) and only 2 of the ksub entries per subspace
-    // would ever exist — a 1-bit codebook wearing a 3-bit label
-    val codebook = graft.Caches.track(
-      cand.select(expr(s"CAST((vec_id DIV 20) % $ksub AS INT)").as("code"),
-          $"sub", $"pos", $"xq")
+    // one Lloyd assign half per subspace: nearest codebook entry per
+    // (vector, subspace) by exact integer-grid distance, code tiebreak
+    // — the s03 argmin shape with `sub` joining the partition key.
+    // Doubles as the final encode (PQ encoding IS the assign half).
+    def assign(cb: DataFrame): DataFrame = {
+      val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist2q", $"code")
+      cand.join(broadcast(cb), Seq("sub", "pos"))
+        .groupBy($"vec_id", $"sub", $"code")
+        .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+        .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+        .select($"vec_id", $"sub", $"code")
+    }
+    // one Lloyd average half: exact integer mean per (sub, code, pos)
+    def average(a: DataFrame): DataFrame =
+      cand.join(a, Seq("vec_id", "sub"))
         .groupBy($"sub", $"code", $"pos")
-        .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq")))
-    // encode: nearest codebook entry per (vector, subspace), code tiebreak
-    val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist2q", $"code")
-    val codes = cand.join(broadcast(codebook), Seq("sub", "pos"))
-      .groupBy($"vec_id", $"sub", $"code")
-      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
-      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
-      .select($"vec_id", $"sub", $"code")
+        .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
+    // seed: cluster = (vec_id DIV 20) mod ksub — the s04 mod-k idiom,
+    // but keyed on the candidate ORDINAL, not the raw id: candidates
+    // are vec_id % 20 == 0, so a raw vec_id % ksub would be
+    // arithmetically correlated with the filter (multiples of 20 are
+    // ≡ {0,4} mod 8) and only 2 of the ksub entries per subspace would
+    // ever exist — a 1-bit codebook wearing a 3-bit label
+    val seed = cand
+      .select(expr(s"CAST((vec_id DIV 20) % $ksub AS INT)").as("code"),
+        $"sub", $"pos", $"xq")
+      .groupBy($"sub", $"code", $"pos")
+      .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
+    // TRAINED codebooks (round-7): `iters` Lloyd rounds per subspace on
+    // top of the seed — the s03 loop with (sub) along for the ride, as
+    // the r6 scaladoc promised. A code that loses all members simply
+    // drops out of the next average (standard Lloyd; identical on both
+    // engines since membership is exact integer argmin).
+    var cb = seed
+    for (_ <- 1 to iters) cb = average(assign(cb))
+    val codebook = graft.Caches.track(cb)
+    // encode: the assign half under the final trained codebook
+    val codes = assign(codebook)
     // ADC lookup table: query-subvector · codebook-entry, exact integer
     val lut = pts(emb.filter($"vec_id" < 8))
       .withColumnRenamed("vec_id", "qid")

@@ -547,6 +547,18 @@ object TextAnalysis {
     * contract: emails, then IPs, then phones — each later pattern runs
     * on the already-redacted text, so an IP can never be half-eaten by
     * the phone pattern (the placeholders contain no digits).
+    *
+    * DETECTION SCOPE (read before trusting this as a release gate):
+    * these three patterns match basic emails, dotted-quad IPv4
+    * (syntactic — leading-zero and >255 octets included), and
+    * SEPARATOR-FORMATTED phone numbers only. They deliberately do NOT
+    * match unformatted phones (5551234567 — indistinguishable from any
+    * 10-digit id without locale context), IPv6, national formats
+    * without separators, SSNs/IBANs/credit cards, or names/addresses.
+    * Silent under-detection is the dangerous direction for a scrub
+    * pass — a production release gate layers locale-aware validators
+    * (libphonenumber-class) and checksum rules on top; this operator
+    * is the exact-reproducible common-subset core, not that gate.
     */
   val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -98,10 +98,13 @@ object PbfDecode {
   }
 
   /** Blob message: raw(1), raw_size(2), zlib_data(3), lzma_data(4),
-    * lz4_data(6), zstd_data(7). Implemented: raw, zlib, lz4, zstd
-    * (lz4-java and zstd-jni ride Spark's own classpath — the same jars
-    * its shuffle codecs use). lzma stays rejected loudly: no lzma
-    * decoder ships with Spark, and no mainstream PBF writer emits it.
+    * lz4_data(6), zstd_data(7). Implemented: raw, zlib, lz4, zstd,
+    * lzma — every codec the Blob message defines (lz4-java, zstd-jni
+    * and xz ride Spark's own classpath — the same jars its shuffle and
+    * Avro codecs use). lzma_data is a legacy `.lzma` (LZMA1) stream:
+    * 1 props byte + LE dict size + LE uncompressed size, which
+    * xz's LZMAInputStream parses and validates; planet dumps are zlib
+    * in practice, but a spec-complete reader costs one branch.
     */
   /** Upper bound on DECLARED/decoded uncompressed blob size: the PBF
     * spec caps blob data at 32 MiB; we allow 2× slack. Checked for
@@ -117,6 +120,7 @@ object PbfDecode {
     var raw: Array[Byte] = null
     var rawSize = -1
     var zlib: Array[Byte] = null
+    var lzma: Array[Byte] = null
     var lz4: Array[Byte] = null
     var zstd: Array[Byte] = null
     while (r.hasMore) {
@@ -132,6 +136,7 @@ object PbfDecode {
               "(spec caps blob data at 32 MiB) — corrupt or malicious header")
           rawSize = v.toInt
         case 3 => zlib = r.readBytes()
+        case 4 => lzma = r.readBytes()
         case 6 => lz4 = r.readBytes()
         case 7 => zstd = r.readBytes()
         case _ => r.skip(tag & 7)
@@ -211,9 +216,54 @@ object PbfDecode {
         }
       } finally inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    } else if (lzma != null) {
+      // legacy .lzma (LZMA1) stream; LZMAInputStream parses/validates
+      // the 13-byte header. The memory limit bounds the dictionary a
+      // crafted dict-size field could demand; the read loop applies the
+      // same declared-size/blob-cap discipline as the zlib branch.
+      val limitKiB = (MaxBlobBytes >> 10).toInt * 4 // 256 MiB dict cap
+      val in =
+        try new org.tukaani.xz.LZMAInputStream(
+          new java.io.ByteArrayInputStream(lzma), limitKiB)
+        catch { case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"corrupt lzma header in PBF blob: ${e.getMessage}", e)
+        }
+      try {
+        var out = new Array[Byte](
+          if (rawSize >= 0) rawSize else math.max(64, lzma.length * 4))
+        var n = 0
+        var eof = false
+        while (!eof) {
+          if (n == out.length) {
+            val probe = in.read()
+            if (probe < 0) eof = true
+            else {
+              if (rawSize >= 0) throw new IllegalArgumentException(
+                s"lzma data decompresses past declared raw_size=$rawSize")
+              if (out.length >= MaxBlobBytes) throw new IllegalArgumentException(
+                "lzma PBF blob inflates past the 32 MiB blob cap " +
+                  "— corrupt or malicious payload")
+              out = java.util.Arrays.copyOf(out, math.max(64, out.length * 2))
+              out(n) = probe.toByte
+              n += 1
+            }
+          } else {
+            val got = in.read(out, n, out.length - n)
+            if (got < 0) eof = true else n += got
+          }
+        }
+        if (rawSize >= 0 && n != rawSize) throw new IllegalArgumentException(
+          s"lzma data decompresses to $n bytes, declared raw_size=$rawSize")
+        if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+      } catch { case e: java.io.IOException =>
+        // CorruptedInputException / MemoryLimitException / truncation
+        throw new IllegalArgumentException(
+          s"corrupt lzma payload in PBF blob: ${e.getMessage}", e)
+      } finally in.close()
     } else throw new IllegalArgumentException(
-      "unsupported Blob encoding (raw, zlib_data, lz4_data and zstd_data " +
-        "are implemented; lzma_data is not)")
+      "unsupported Blob encoding (raw, zlib_data, lzma_data, lz4_data " +
+        "and zstd_data are all implemented — this blob carries none of them)")
   }
 
   /** Features this reader implements; a conforming reader MUST reject a

@@ -283,6 +283,47 @@ object EventStream {
         col("a_ts"), col("b_ts"), col("a_value"), col("b_value"))
   }
 
+  /** The interval join's LEFT-OUTER complement — unattributed
+    * touches: `typeA` events with NO `typeB` conversion by the same
+    * user within `maxDelayMin` (the "views that never purchased"
+    * funnel-loss slice). A left-outer stream-stream join under the
+    * same double watermark lets Spark emit a null-augmented row the
+    * moment the watermark proves no matching `typeB` can still
+    * arrive — the row is emitted ONCE, exactly when its absence
+    * becomes a fact, which is the only correct streaming semantics
+    * for "no match" (an inner join can never say it, and an
+    * unwatermarked outer join could never emit it). The stateless
+    * null filter then keeps only the proven-unmatched rows.
+    *
+    * The same plan runs UNCHANGED in batch, where left-outer +
+    * null-filter is exactly NOT EXISTS over the interval — the
+    * oracle-gated q36 twin.
+    *
+    * Scale shape: identical to [[intervalJoinStream]] — state is
+    * bounded by maxDelay + watermark slack per side, and the outer
+    * emission adds no state of its own (eviction time was already
+    * being tracked).
+    */
+  def unattributedStream(events: DataFrame, typeA: String = "view",
+      typeB: String = "purchase", maxDelayMin: Int = 10,
+      watermark: String = "30 minutes"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"), col("value").as("a_value"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $maxDelayMin MINUTES"),
+        "left_outer")
+      .filter(col("b_id").isNull)
+      .select(col("user_id"), col("a_id"), col("a_ts"), col("a_value"))
+  }
+
   /** Gap-based sessionization: a session closes when the next event for
     * the user arrives more than `gapMs` later (or the state times out).
     * Emits closed sessions (append semantics).

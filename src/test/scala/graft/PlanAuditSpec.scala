@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
         "d13_embed_neardup_lsh", "d14_embed_neardup_multiprobe",
         "d15_semdedup", "d16_incremental_embed", "s10_ann_pq",
         "d03_minhash_lsh", "d04_simhash_pairs",
-        "q28_asof_join", "q29_range_join", "q35_interval_attribution"))
+        "q28_asof_join", "q29_range_join", "q35_interval_attribution",
+        "q36_unattributed_views"))
       withClue(name) { plan(name) should not include "CartesianProduct" }
   }
 

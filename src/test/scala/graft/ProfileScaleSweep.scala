@@ -99,8 +99,10 @@ object ProfileScaleSweep {
       time("semdedup_sizedk")(Dedup.semDedup(spark, dir, k = 8 * mult))
       // planes follow the s02 sizing contract (log2 growth, as in
       // ProfileD13Planes) — frozen planes would record the by-design
-      // quadratic of an unsized bucket population, not the operator
-      val ePlanes = Map(1 -> 4, 4 -> 6, 10 -> 7)(mult)
+      // quadratic of an unsized bucket population, not the operator.
+      // Derived from the multiplier so a new sweep point sizes itself
+      // (Sizing.suggestPlanes rule: 4 planes at 1x, +log2(mult))
+      val ePlanes = 4 + (64 - java.lang.Long.numberOfLeadingZeros(mult.toLong - 1)).max(0)
       time("incremental_embed_sizedplanes")(
         Dedup.incrementalEmbedOverlap(spark, dir, planes = ePlanes))
     }

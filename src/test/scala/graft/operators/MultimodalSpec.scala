@@ -119,4 +119,83 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     val pairsShared = Multimodal.mediaNearDup(spark, sf).collect()
     pairsShared.foreach(p => p.getLong(2) should be >= 3L)
   }
+
+  // ---- the round-7 REAL decode slice: golden header fixtures ----
+
+  /** A minimal well-formed BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER, no pixel data needed for the header parse.
+    */
+  private def bmpBytes(w: Int, h: Int, bits: Int): Array[Byte] = {
+    val b = new Array[Byte](54)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte
+    le32(2, 54); le32(10, 54) // file size, pixel offset (unchecked)
+    le32(14, 40) // biSize = BITMAPINFOHEADER
+    le32(18, w); le32(22, h)
+    b(26) = 1 // planes
+    b(28) = bits.toByte; b(29) = (bits >> 8).toByte
+    b
+  }
+
+  test("parseImageHeader decodes BMP headers for real (incl. top-down and paletted)") {
+    Multimodal.parseImageHeader(bmpBytes(640, 480, 24)) shouldBe
+      Some(("bmp", 640, 480, 3))
+    Multimodal.parseImageHeader(bmpBytes(1920, 1080, 32)) shouldBe
+      Some(("bmp", 1920, 1080, 4))
+    // negative height = top-down row order; dimensions are |height|
+    Multimodal.parseImageHeader(bmpBytes(16, -9, 24)) shouldBe
+      Some(("bmp", 16, 9, 3))
+    // 8-bit paletted: one channel of palette indices
+    Multimodal.parseImageHeader(bmpBytes(5, 7, 8)) shouldBe
+      Some(("bmp", 5, 7, 1))
+    // malformed: zero width, absurd width, bogus bit depth, truncation
+    Multimodal.parseImageHeader(bmpBytes(0, 9, 24)) shouldBe None
+    Multimodal.parseImageHeader(bmpBytes(1 << 21, 9, 24)) shouldBe None
+    Multimodal.parseImageHeader(bmpBytes(16, 9, 13)) shouldBe None
+    Multimodal.parseImageHeader(bmpBytes(16, 9, 24).take(30)) shouldBe None
+  }
+
+  test("parseImageHeader decodes Netpbm headers for real (P6/P5 with comments)") {
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    Multimodal.parseImageHeader(ascii("P6\n320 200\n255\n")) shouldBe
+      Some(("ppm", 320, 200, 3))
+    Multimodal.parseImageHeader(
+      ascii("P6\n# a comment line\n12 34\n# another\n65535\n")) shouldBe
+      Some(("ppm", 12, 34, 3))
+    Multimodal.parseImageHeader(ascii("P5 7 9 255 ")) shouldBe
+      Some(("pgm", 7, 9, 1))
+    Multimodal.parseImageHeader(ascii("P3\n2 2\n255\n0 0 0")) shouldBe
+      Some(("ppm", 2, 2, 3))
+    Multimodal.parseImageHeader(ascii("P2\n1 1\n255\n0")) shouldBe
+      Some(("pgm", 1, 1, 1))
+    // malformed: non-digit in a number, missing maxval, maxval 0, P4
+    Multimodal.parseImageHeader(ascii("P6\n12a 34\n255\n")) shouldBe None
+    Multimodal.parseImageHeader(ascii("P6\n12 34\n")) shouldBe None
+    Multimodal.parseImageHeader(ascii("P6\n12 34\n0\n")) shouldBe None
+    Multimodal.parseImageHeader(ascii("P4\n12 34\n")) shouldBe None
+  }
+
+  test("decode: real formats decode for real, everything else falls back to the stub") {
+    import spark.implicits._
+    val mixed = Seq(
+      MediaRow(1, "image", bmpBytes(640, 480, 24)),
+      MediaRow(2, "image", "P6\n320 200\n255\n".getBytes("US-ASCII")),
+      MediaRow(3, "audio", Array[Byte](-1, -2, -3)),
+      MediaRow(4, "image", Array.emptyByteArray)).toDS()
+    val out = Multimodal.decode(mixed).collect().sortBy(_.media_id)
+    out.map(_.format).toSeq shouldBe Seq("bmp", "ppm", "stub", "stub")
+    out(0).width shouldBe 640
+    out(0).height shouldBe 480
+    out(0).channels shouldBe 3
+    out(1).width shouldBe 320
+    out(1).channels shouldBe 3
+    // stub fallback keeps decodeStub's exact fake dimensions + checksum
+    val stub = Multimodal.decodeStub(mixed).collect().sortBy(_.media_id)
+    out(2).width shouldBe stub(2).width
+    out(2).height shouldBe stub(2).height
+    out.map(_.checksum).toSeq shouldBe stub.map(_.checksum).toSeq
+  }
 }

@@ -108,7 +108,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
-  test("pq recall@3 vs brute-force ground truth >= 0.8 (gate scale, shortlist=12)") {
+  test("pq recall@3 vs brute-force ground truth >= 0.875 (trained books, shortlist=16)") {
     val sf01 = "/root/testdata/sf0.01"
     val truth = Similarity.annBruteForce(spark, sf01).collect()
       .filter(_.getInt(3) <= 3)
@@ -116,8 +116,11 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     val got = Similarity.annPq(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cand")))).toSet
     graft.Caches.releaseAll(spark)
+    // r6's seeded-codebook floor was 0.875 @ shortlist=12; the r7
+    // trained codebooks + the standard ADC shortlist knob (12 → 16)
+    // measure 0.917 here — the spec pins hold-or-improve vs r6
     val recall = truth.intersect(got).size.toDouble / truth.size
-    recall should be >= 0.8
+    recall should be >= 0.875
   }
 
   test("pq re-rank cosines are the exact full-dim values (ADC only shortlists)") {

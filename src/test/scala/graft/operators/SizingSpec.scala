@@ -1,0 +1,110 @@
+package graft.operators
+
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The sizing contracts as code (VERDICT r6 #1): the suggestion
+  * arithmetic, the generic population guard in both directions, and —
+  * per guarded operator — that an undersized configuration fails
+  * loudly naming its parameter while the contract-sized default stays
+  * silent with unchanged results (the oracle gate re-proves the
+  * latter at sf0.01 for all six).
+  */
+class SizingSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("suggestPlanes reproduces the documented s02 example and edges") {
+    // 1e10 vectors at ~1e5 per bucket -> planes = 17 (COVERAGE.md)
+    Sizing.suggestPlanes(10000000000L, 100000L) shouldBe 17
+    // expected population under the suggestion really clears the target
+    val p = Sizing.suggestPlanes(10000000000L, 100000L)
+    (10000000000L >> p) should be <= 100000L
+    Sizing.suggestPlanes(0L) shouldBe 1
+    Sizing.suggestPlanes(1L) shouldBe 1
+    // power-of-two boundary: corpus exactly target*2^n needs n planes
+    Sizing.suggestPlanes(800000L, 100000L) shouldBe 3
+    Sizing.suggestPlanes(800001L, 100000L) shouldBe 4
+  }
+
+  test("suggestK follows the SemDeDup paper operating point; suggestShards bounds the span") {
+    Sizing.suggestK(50000000L) shouldBe 5000 // k = n / 1e4
+    Sizing.suggestK(50000001L) shouldBe 5001 // ceil, never under-clustered
+    Sizing.suggestK(10L) shouldBe 1
+    Sizing.suggestShards(25000000L) shouldBe 3 // ceil(2.5e7 / 1e7)
+    Sizing.suggestShards(0L) shouldBe 1
+  }
+
+  test("guardKeyPopulation: silent and row-identical within the bound") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "key")
+    val guarded = Sizing.guardKeyPopulation(df, "key", 15L, "opX", "bucket", "planes")
+    guarded.columns.toSeq shouldBe Seq("key", "id")
+    guarded.select($"id").as[Long].collect().sorted shouldBe (1L to 100L).toArray
+  }
+
+  test("guardKeyPopulation: an over-populated key fails naming the parameter and helper") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "key")
+    val e = intercept[Exception] {
+      Sizing.guardKeyPopulation(df, "key", 14L, "opX", "bucket", "planes").collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    msg should include("opX")
+    msg should include("planes")
+    msg should include("suggestPlanes")
+  }
+
+  // --- per-operator wiring: undersized config fires; default is silent ---
+
+  private def failsNaming(param: String)(body: => Unit): Unit = {
+    val e = intercept[Exception](body)
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    msg should include(param)
+  }
+
+  test("semDedup guard fires when k is undersized for the bound") {
+    failsNaming("`k`") {
+      Dedup.semDedup(spark, sf, k = 1, maxCellPop = 10L).collect()
+    }
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("embeddingNearDupLsh / MultiProbe / annLsh guards fire when planes is undersized") {
+    failsNaming("`planes`") {
+      Dedup.embeddingNearDupLsh(spark, sf, maxBucketPop = 1L).collect()
+    }
+    failsNaming("`planes`") {
+      Dedup.embeddingNearDupMultiProbe(spark, sf, maxBucketPop = 1L).collect()
+    }
+    failsNaming("`planes`") {
+      Similarity.annLsh(spark, sf, maxBucketPop = 1L).collect()
+    }
+  }
+
+  test("incrementalEmbedOverlap guard fires on the history side only") {
+    failsNaming("`planes`") {
+      Dedup.incrementalEmbedOverlap(spark, sf, maxBucketPop = 1L).collect()
+    }
+  }
+
+  test("packSequences / filteredPack guards fire when shards is undersized") {
+    failsNaming("`shards`") {
+      Sampling.packSequences(spark, sf, maxShardRows = 5L).collect()
+    }
+    failsNaming("`shards`") {
+      Sampling.filteredPack(spark, sf, maxShardRows = 5L).collect()
+    }
+  }
+
+  test("contract-sized defaults stay silent and unchanged (d15 spot check)") {
+    // same rows as before the guard existed: total partition of the corpus
+    val n = graft.Tables.embeddings(spark, sf).count()
+    Dedup.semDedup(spark, sf).count() shouldBe n
+    graft.Caches.releaseAll(spark)
+  }
+}

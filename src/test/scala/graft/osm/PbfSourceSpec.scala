@@ -188,11 +188,11 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.osm.pbf.PbfDecode.decompressBlob(blob).length shouldBe payload.length
   }
 
-  test("zstd and lz4 data blobs round-trip identically to zlib") {
+  test("zstd, lz4 and lzma data blobs round-trip identically to zlib") {
     // same primitive blocks as the golden fixture, one file per codec —
     // the decoded rows must be indistinguishable from the zlib file's
     val dir = Files.createTempDirectory("pbfcodec")
-    for (codec <- Seq("zstd", "lz4")) {
+    for (codec <- Seq("zstd", "lz4", "lzma")) {
       val out = new java.io.ByteArrayOutputStream()
       out.write(PbfTestData.frameBlob("OSMHeader",
         PbfTestData.headerBlock(-400000000L, 600000000L, 52000000000L, 51000000000L),
@@ -249,13 +249,32 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("32 MiB")
   }
 
-  test("lzma blob is rejected with the codec inventory in the message") {
+  test("lzma blob disagreeing with declared raw_size errors clearly") {
+    val payload = Array.tabulate[Byte](512)(_.toByte)
+    val blob = new PbfTestData.W().vint(2, 100)
+      .bytes(4, PbfTestData.lzmaCompress(payload)).toArray
+    val ex = intercept[IllegalArgumentException] {
+      graft.osm.pbf.PbfDecode.decompressBlob(blob)
+    }
+    ex.getMessage should include("raw_size")
+  }
+
+  test("garbage lzma payload is rejected loudly, not decoded to junk") {
     val blob = new PbfTestData.W().vint(2, 10)
       .bytes(4, Array.tabulate[Byte](10)(_.toByte)).toArray
     val ex = intercept[IllegalArgumentException] {
       graft.osm.pbf.PbfDecode.decompressBlob(blob)
     }
     ex.getMessage should include("lzma")
+  }
+
+  test("blob carrying no payload field at all names the full codec inventory") {
+    val blob = new PbfTestData.W().vint(2, 10).toArray
+    val ex = intercept[IllegalArgumentException] {
+      graft.osm.pbf.PbfDecode.decompressBlob(blob)
+    }
+    ex.getMessage should include("lzma_data")
+    ex.getMessage should include("zstd_data")
   }
 
   test("a truncated file fails with a clear error, not silent data loss") {

@@ -44,13 +44,24 @@ object PbfTestData {
     java.util.Arrays.copyOf(buf, n)
   }
 
+  /** Legacy .lzma (LZMA1) stream, size declared in the header — the
+    * lzma_data blob format the decoder's LZMAInputStream parses.
+    */
+  def lzmaCompress(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new org.tukaani.xz.LZMAOutputStream(bos,
+      new org.tukaani.xz.LZMA2Options(), b.length.toLong)
+    out.write(b); out.close()
+    bos.toByteArray
+  }
+
   /** [4-byte BE len][BlobHeader][Blob] framing. */
   def frameBlob(blobType: String, payload: Array[Byte], compress: Boolean): Array[Byte] =
     frameBlobCodec(blobType, payload, if (compress) "zlib" else "raw")
 
-  /** Codec-parameterized framing: raw | zlib | lz4 | zstd (the Blob
-    * encodings the main decoder implements; lz4/zstd compress via the
-    * same jars Spark ships).
+  /** Codec-parameterized framing: raw | zlib | lzma | lz4 | zstd (every
+    * Blob encoding the main decoder implements; lz4/zstd/xz compress
+    * via the same jars Spark ships).
     */
   def frameBlobCodec(blobType: String, payload: Array[Byte], codec: String): Array[Byte] = {
     val blob = new W
@@ -59,6 +70,9 @@ object PbfTestData {
       case "zlib" =>
         blob.vint(2, payload.length)
         blob.bytes(3, deflate(payload))
+      case "lzma" =>
+        blob.vint(2, payload.length)
+        blob.bytes(4, lzmaCompress(payload))
       case "lz4" =>
         blob.vint(2, payload.length)
         blob.bytes(6, net.jpountz.lz4.LZ4Factory.fastestInstance()

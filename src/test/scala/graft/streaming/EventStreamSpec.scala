@@ -411,4 +411,49 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       got shouldBe batch
     } finally q.stop()
   }
+
+  test("left-outer interval join emits exactly the watermark-proven unattributed views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.unattributedStream(mem.toDF(), maxDelayMin = 720,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("ivlo").outputMode("append").start()
+    try {
+      mem.addData(evs.take(500).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(500).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // push both watermarks far past every view's eviction horizon so
+      // each real view's match/no-match is decided; the flush rows
+      // themselves stay in state (the watermark never passes them) and
+      // the negative ids are filtered regardless
+      val far = evs.map(_.ts.getTime).max + 2000L * 60000L
+      mem.addData(
+        Event(-1, new Timestamp(far), -1, "view", 0.0),
+        Event(-2, new Timestamp(far), -2, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ivlo").filter($"a_id" >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the IDENTICAL plan in batch = NOT EXISTS over the interval
+      val batch = EventStream.unattributedStream(
+          spark.createDataset(evs.toIndexedSeq).toDF(), maxDelayMin = 720,
+          watermark = "1 hour")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      batch should not be empty
+      got shouldBe batch
+      // complement check: attributed (q35 shape) and unattributed a_ids
+      // partition the view set
+      val attributed = EventStream.intervalJoinStream(
+          spark.createDataset(evs.toIndexedSeq).toDF(), maxDelayMin = 720,
+          watermark = "1 hour")
+        .select($"a_id").as[Long].collect().toSet
+      val views = evs.filter(_.event_type == "view").map(_.event_id).toSet
+      (batch.map(_._2) ++ attributed) shouldBe views
+      batch.map(_._2).intersect(attributed) shouldBe empty
+    } finally q.stop()
+  }
 }
