@@ -46,6 +46,7 @@ object SparkEntry {
     "q20_json_extract" -> (Relational.jsonExtract _),
     "q21_scalar_pack" -> (Relational.scalarPack _),
     "q22_approx_distinct" -> (Relational.approxDistinct _),
+    "q37_kmv_distinct" -> ((s: SparkSession, d: String) => Relational.kmvDistinct(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
     "d16_incremental_embed" -> ((s: SparkSession, d: String) => Dedup.incrementalEmbedOverlap(s, d)),
+    "d17_repeated_spans" -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -189,6 +191,16 @@ object SparkEntry {
        |)""".stripMargin
 
   private val HexBucketCte = hexBucketCte("documents")
+
+  /** First `digits` hex chars of `expr` as a BIGINT — the p01 strpos
+    * idiom generalized to a Horner chain (DuckDB-portable hex→int
+    * without from_hex/bit casts).
+    */
+  private def hexIntSql(expr: String, digits: Int): String = {
+    val ds = (1 to digits).map(i =>
+      s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1)")
+    "CAST(" + ds.reduceLeft((acc, x) => s"($acc * 16 + $x)") + " AS BIGINT)"
+  }
 
   /** Shared CTE chain for d06/d08: shingle sets → exact Jaccard near
     * edges + exact-dup edges → undirected closure → components with
@@ -489,6 +501,26 @@ object SparkEntry {
         |  1 AS parts_within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q37: KMV sketch — md5 STRING order picks the k smallest distinct
+    // keys (engine-independent), only the kth value's first 8 hex
+    // digits become a number (strpos Horner chain, exact < 2^32 so the
+    // int→double conversion and one division are IEEE-identical)
+    "q37_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+         |exact AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+         |          FROM h GROUP BY 1),
+         |top AS (SELECT lang, h FROM (
+         |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |    FROM h) r WHERE rn <= 32),
+         |kth AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_keys,
+         |          max(h) AS kth_hash FROM top GROUP BY 1)
+         |SELECT k.lang, e.n_exact, k.n_keys, k.kth_hash,
+         |  round(CASE WHEN k.n_keys < 32 THEN CAST(e.n_exact AS DOUBLE)
+         |    ELSE 31.0 * 4294967296 /
+         |      greatest(${hexIntSql("k.kth_hash", 8)}, 1) END, 4) AS est
+         |FROM kth k JOIN exact e ON k.lang = e.lang
+         |ORDER BY k.lang""".stripMargin,
+
     "q23_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -711,6 +743,22 @@ object SparkEntry {
          |p AS (
          |  SELECT doc_id, md5(array_to_string(tk[(i-1)*20+1 : i*20], ' ')) AS ph
          |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) // 20 + 1)) AS i FROM tk) t
+         |)
+         |SELECT ph, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS min_doc
+         |FROM p GROUP BY ph HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY ph""".stripMargin,
+
+    // d17: d10's build with stride-1 (overlapping) spans — tk[i : i+19]
+    // is DuckDB's inclusive 1-based list slice, 20 tokens from i, in
+    // lockstep with Spark slice(tk, i, 20)
+    "d17_repeated_spans" ->
+      s"""WITH ${tkCte("")},
+         |p AS (
+         |  SELECT doc_id, md5(array_to_string(tk[i : i+19], ' ')) AS ph
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(1, greatest(len(tk) - 20 + 1, 0) + 1)) AS i
+         |        FROM tk) t
          |)
          |SELECT ph, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS min_doc

@@ -80,6 +80,49 @@ object Dedup {
       .orderBy($"ph")
   }
 
+  /** Overlapping repeated-span detection — the substring-dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): EVERY `window`-token span (stride 1) is
+    * hashed, and spans recurring in >= 2 distinct documents are
+    * reported. [[passageDedup]]'s aligned windows miss a shared
+    * substring unless both copies start on the same window boundary;
+    * stride-1 spans catch a repeat at ANY alignment — the property the
+    * paper buys with a suffix array (O(n log n), single machine),
+    * bought here relationally for a window-factor explode (corpus
+    * tokens rows — each token starts a span) plus the same single
+    * 16-byte-key shuffle as d10. At 100 TB that factor is real but
+    * embarrassingly parallel; the suffix sort is not.
+    *
+    * Returns (ph, n_docs, n_occ, min_doc) — d10's schema, so the two
+    * reports compose with the same downstream removal join; d17's
+    * result is always a SUPERSET of d10's boundary-aligned findings
+    * on the same window (spec-asserted).
+    */
+  def repeatedSpans(spark: SparkSession, sfDir: String,
+      window: Int = 20): DataFrame = {
+    import spark.implicits._
+    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"doc_id", explode(spanHashes($"tk", window)).as("ph"))
+      .groupBy($"ph")
+      .agg(count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"), min($"doc_id").as("min_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"ph")
+  }
+
+  /** md5 per OVERLAPPING `window`-token span (stride 1) — the
+    * [[repeatedSpans]] window semantics, single definition (the
+    * [[passageHashes]] discipline).
+    */
+  private[operators] def spanHashes(tk: Column, window: Int): Column = {
+    require(window >= 2, "span window must be >= 2 tokens")
+    val nSpan = (size(tk) - window + 1).cast("int")
+    when(nSpan >= 1,
+      transform(sequence(lit(1), nSpan),
+        i => md5(array_join(slice(tk, i, lit(window)), " ").cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** md5 per non-overlapping `window`-token passage of a token array —
     * the single definition of [[passageDedup]]'s window semantics
     * (PassageDedupSpec recomputes expectations through this, so the

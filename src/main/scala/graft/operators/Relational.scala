@@ -489,6 +489,53 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+    * RANDOM 2002) over document texts per language — the MERGEABLE
+    * cardinality sketch whose estimate is EXACTLY reproducible
+    * cross-engine, the property q22's HLL can never have (sketch
+    * internals are engine-private; q22 gates a tolerance flag instead).
+    * The k smallest distinct md5(text) values determine the estimate —
+    * md5 order is the same everywhere — so the estimate itself is
+    * hash-gated: est = (k-1)/kth_min_fraction, and with fewer than k
+    * distinct keys the sketch IS the exact answer.
+    *
+    * Selection runs on the 128-bit hex STRING order (no numeric
+    * precision involved at any corpus size); only the kth value's
+    * first 8 hex digits project to an integer for the final ratio —
+    * one exact int-to-double conversion and one IEEE division per
+    * group on both engines.
+    *
+    * Scale shape: one distinct on (lang, h) — the d01 envelope — then
+    * min-k in TWO stages: per-(lang, first-hex-digit salt) heads via a
+    * 16-way-split window, then the true min-k over ≤ 16k survivors per
+    * lang. A single per-lang window would sort a corpus-cardinality
+    * partition in one task; min-k of per-salt min-ks equals the direct
+    * min-k (spec-asserted against the one-stage form), with every
+    * sorted partition bounded. Exact counts ride along q22-style —
+    * here they are themselves part of the hash gate.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val h = Tables.documents(spark, sfDir)
+      .select($"lang", md5($"text".cast("binary")).as("h")).distinct()
+    val exact = h.groupBy($"lang").agg(count(lit(1)).as("n_exact"))
+    val pre = h.withColumn("salt", substring($"h", 1, 1))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang", $"salt").orderBy($"h")))
+      .filter($"rn" <= k)
+    val top = pre.withColumn("rn2", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h")))
+      .filter($"rn2" <= k)
+    val kth = top.groupBy($"lang")
+      .agg(count(lit(1)).as("n_keys"), max($"h").as("kth_hash"))
+    val v = greatest(conv(substring($"kth_hash", 1, 8), 16, 10).cast("bigint"), lit(1L))
+    kth.join(exact, "lang")
+      .select($"lang", $"n_exact", $"n_keys", $"kth_hash",
+        round(when($"n_keys" < k, $"n_exact".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / v), 4).as("est"))
+      .orderBy($"lang")
+  }
+
   /** Tumbling time-window aggregation (batch form of the streaming
     * windowed agg in graft.streaming; 1-day windows == UTC calendar days).
     */

@@ -22,7 +22,11 @@ object Sampling {
     * shared deterministic selection key (cheap: one md5 per doc, already
     * computed by exact-dedup in a combined pipeline).
     */
-  private def hashBucket(textCol: org.apache.spark.sql.Column) =
+  /** 16-bit content-hash bucket — shared with the streaming budget
+    * admission (graft.streaming.EventStream.tokenBudgetStream), which
+    * must shard EXACTLY like the batch packers.
+    */
+  private[graft] def hashBucket(textCol: org.apache.spark.sql.Column) =
     conv(substring(md5(textCol.cast("binary")), 1, 4), 16, 10).cast("bigint")
 
   /** Bernoulli-style p% corpus sample by content-hash bucket: keep docs

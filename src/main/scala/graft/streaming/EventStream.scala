@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
   */
 case class SessionBuf(start: Long, end: Long, n: Int)
 
+/** per-shard budget accumulator for tokenBudgetStream (top-level for the
+  * state encoder): tokens admitted so far + whether the shard has hit
+  * its first overflow (prefix semantics — once closed, closed forever).
+  */
+case class ShardBudget(used: Long, closed: Boolean)
+
 object EventStream {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -322,6 +328,55 @@ object EventStream {
         "left_outer")
       .filter(col("b_id").isNull)
       .select(col("user_id"), col("a_id"), col("a_ts"), col("a_value"))
+  }
+
+  /** A doc admitted by [[tokenBudgetStream]]: its shard, token count,
+    * and the shard's running total AFTER admission.
+    */
+  case class Admitted(shard: Int, doc_id: Long, n_tokens: Long, cum_tokens: Long)
+
+  /** Streaming token-budget admission — the p03 gatekeeper at INGEST
+    * time: each arriving doc hashes to a content shard
+    * (`Sampling.hashBucket`, EXACTLY the batch packers' sharding), and
+    * the shard admits docs while its running token total stays within
+    * `perShardTokens`; the first overflow CLOSES the shard permanently
+    * (prefix semantics — identical to the batch `cum <= budget` filter,
+    * where no later doc can have a smaller running sum). The crawl-tap
+    * pattern: stop consuming a source the moment its budget is spent,
+    * without a batch pass over data you then throw away.
+    *
+    * Arrival order replaces p03's content-hash order — a stream cannot
+    * sort the future; within a micro-batch, docs apply in doc_id order
+    * so replays of the same batch boundaries are deterministic (the
+    * parity spec's batch twin is the same cumulative sum in doc_id
+    * order). State per shard is ONE (long, bool) — shards-cardinality,
+    * never corpus-cardinality, so no timeout/eviction is ever needed:
+    * the smallest stateful footprint in the streaming family.
+    */
+  def tokenBudgetStream(docs: Dataset[Doc], shards: Int = 8,
+      perShardTokens: Long = 2000): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    val enriched = docs.toDF()
+      .withColumn("shard",
+        (graft.operators.Sampling.hashBucket(col("text")) % shards).cast("int"))
+      .withColumn("n_tokens", graft.functions.Text.tokenCount(col("text")).cast("bigint"))
+      .filter(col("n_tokens") > 0)
+      .select(col("shard").as[Int], col("doc_id").as[Long], col("n_tokens").as[Long])
+    enriched.groupByKey(_._1)
+      .flatMapGroupsWithState[ShardBudget, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[(Int, Long, Long)], state: GroupState[ShardBudget]) =>
+          var s = state.getOption.getOrElse(ShardBudget(0L, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
+          for ((_, docId, n) <- it.toSeq.sortBy(_._2) if !s.closed) {
+            if (s.used + n <= perShardTokens) {
+              s = s.copy(used = s.used + n)
+              out += Admitted(shard, docId, n, s.used)
+            } else s = s.copy(closed = true)
+          }
+          state.update(s)
+          out.iterator
+      }
   }
 
   /** Gap-based sessionization: a session closes when the next event for

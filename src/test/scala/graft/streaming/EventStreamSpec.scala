@@ -456,4 +456,48 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       batch.map(_._2).intersect(attributed) shouldBe empty
     } finally q.stop()
   }
+
+  test("streaming token budget admits the batch prefix (arrival = doc_id order)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    import EventStream.Doc
+    // the real documents table, streamed in doc_id order across batches
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .orderBy($"doc_id").select($"doc_id", $"text").collect()
+      .map(r => Doc(r.getLong(0), ts(r.getLong(0)), r.getString(1)))
+    val mem = MemoryStream[Doc]
+    val q = EventStream.tokenBudgetStream(mem.toDS())
+      .writeStream.format("memory").queryName("budget").outputMode("append").start()
+    try {
+      mem.addData(docs.take(200).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(200).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("budget").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch twin: same sharding + token counts, cumulative sum in the
+      // SAME doc_id (arrival) order, prefix filter at the budget
+      val w = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expect = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .withColumn("shard",
+          (graft.operators.Sampling.hashBucket($"text") % 8).cast("int"))
+        .withColumn("n_tokens", graft.functions.Text.tokenCount($"text").cast("bigint"))
+        .filter($"n_tokens" > 0)
+        .withColumn("cum_tokens", F.sum($"n_tokens").over(w))
+        .filter($"cum_tokens" <= 2000)
+        .select($"shard", $"doc_id", $"n_tokens", $"cum_tokens").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      expect should not be empty
+      // both directions: the stream admitted exactly the batch prefix,
+      // with identical running totals
+      got shouldBe expect
+      // and every shard really closed (some doc was rejected somewhere)
+      val admitted = got.map(_._2)
+      admitted.size.toLong should be < graft.Tables.documents(
+        spark, "/root/testdata/sf0.001").count()
+    } finally q.stop()
+  }
 }
