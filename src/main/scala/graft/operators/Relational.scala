@@ -516,8 +516,10 @@ object Relational {
     */
   def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame = {
     import spark.implicits._
-    val h = Tables.documents(spark, sfDir)
-      .select($"lang", md5($"text".cast("binary")).as("h")).distinct()
+    // cached: the distinct frame feeds both the exact counts and the
+    // min-k selection (uncached, the corpus distinct runs twice)
+    val h = graft.Caches.track(Tables.documents(spark, sfDir)
+      .select($"lang", md5($"text".cast("binary")).as("h")).distinct())
     val exact = h.groupBy($"lang").agg(count(lit(1)).as("n_exact"))
     val pre = h.withColumn("salt", substring($"h", 1, 1))
       .withColumn("rn", row_number().over(

@@ -26,11 +26,13 @@ class KmvSpec extends AnyFunSuite with Matchers with SparkSpec {
     val got = Relational.kmvDistinct(spark, sf)
       .collect().map(r => r.getString(0) ->
         (r.getLong(r.fieldIndex("n_keys")), r.getString(r.fieldIndex("kth_hash")))).toMap
+    graft.Caches.releaseAll(spark)
     got shouldBe direct
   }
 
   test("estimate is exact below k and within 2x of truth above it") {
     val rows = Relational.kmvDistinct(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
     rows should not be empty
     rows.foreach { r =>
       val (nExact, nKeys, est) = (r.getLong(1), r.getLong(2),
