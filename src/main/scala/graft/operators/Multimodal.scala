@@ -29,17 +29,33 @@ object Multimodal {
     * Runs per-partition (iterator-to-iterator, constant memory) — the
     * exact shape a JNI/codec call needs at scale.
     */
+  /** Rolling byte checksum: deterministic fake for a perceptual hash —
+    * the single definition shared by [[decodeStub]] and [[decode]]'s
+    * fallback (one formula, so the two paths cannot drift).
+    */
+  private def byteChecksum(content: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < content.length) {
+      sum = (sum * 31 + (content(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    sum
+  }
+
+  /** The stub's fake dimensions, derived from the checksum — shared by
+    * both decode paths for the same no-drift reason.
+    */
+  private def stubDims(sum: Long): (Int, Int) =
+    ((sum % 1920).toInt + 1, (sum % 1080).toInt + 1)
+
   def decodeStub(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val n = r.content.length
-        // rolling byte checksum: deterministic fake for a perceptual hash
-        var sum = 0L
-        var i = 0
-        while (i < n) { sum = (sum * 31 + (r.content(i) & 0xff)) % 1000000007L; i += 1 }
-        MediaFeatures(r.media_id, r.kind, n, width = (sum % 1920).toInt + 1,
-          height = (sum % 1080).toInt + 1, checksum = sum)
+        val sum = byteChecksum(r.content)
+        val (w, h) = stubDims(sum)
+        MediaFeatures(r.media_id, r.kind, r.content.length, w, h, checksum = sum)
       }
     }
   }
@@ -88,9 +104,13 @@ object Multimodal {
           hRaw != Int.MinValue && okBits(bits))
         Some(("bmp", w, h, math.max(1, bits / 8)))
       else None
-    } else if (c.length >= 2 && c(0) == 'P'.toByte &&
+    } else if (c.length >= 3 && c(0) == 'P'.toByte &&
         (c(1) == '2'.toByte || c(1) == '3'.toByte ||
-          c(1) == '5'.toByte || c(1) == '6'.toByte)) {
+          c(1) == '5'.toByte || c(1) == '6'.toByte) &&
+        // the spec requires whitespace (or a comment) AFTER the magic —
+        // without this, bytes like "P63 4 255" would misparse as a PPM
+        (c(2) == ' '.toByte || c(2) == '\t'.toByte ||
+          c(2) == '\n'.toByte || c(2) == '\r'.toByte || c(2) == '#'.toByte)) {
       val channels = if (c(1) == '3'.toByte || c(1) == '6'.toByte) 3 else 1
       val fmt = if (channels == 3) "ppm" else "pgm"
       // parse 3 whitespace-separated ints, '#' comments run to newline
@@ -138,16 +158,13 @@ object Multimodal {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val n = r.content.length
-        var sum = 0L
-        var i = 0
-        while (i < n) { sum = (sum * 31 + (r.content(i) & 0xff)) % 1000000007L; i += 1 }
+        val sum = byteChecksum(r.content)
         parseImageHeader(r.content) match {
           case Some((fmt, w, h, ch)) =>
-            DecodedMedia(r.media_id, r.kind, n, fmt, w, h, ch, sum)
+            DecodedMedia(r.media_id, r.kind, r.content.length, fmt, w, h, ch, sum)
           case None =>
-            DecodedMedia(r.media_id, r.kind, n, "stub",
-              (sum % 1920).toInt + 1, (sum % 1080).toInt + 1, -1, sum)
+            val (w, h) = stubDims(sum)
+            DecodedMedia(r.media_id, r.kind, r.content.length, "stub", w, h, -1, sum)
         }
       }
     }

@@ -106,8 +106,16 @@ object Sizing {
   def guardKeyPopulation(df: DataFrame, keyCol: String, maxPop: Long,
       op: String, keyKind: String, param: String): DataFrame = {
     val popCol = "__" + keyKind + "_pop"
-    val pops = df.groupBy(col(keyCol)).agg(count(lit(1)).as(popCol))
-    df.join(pops, keyCol)
+    val popKey = "__" + keyKind + "_key"
+    // null-safe equality: groupBy counts the NULL key as a group, and a
+    // plain equi-join would silently DROP every null-key row instead of
+    // guarding it — <=> keeps the row-for-row contract for nullable
+    // keys (current wirings compute non-null keys, but the utility's
+    // contract must not depend on that)
+    val pops = df.groupBy(col(keyCol).as(popKey))
+      .agg(count(lit(1)).as(popCol))
+    df.join(pops, col(keyCol) <=> col(popKey))
+      .drop(popKey)
       .filter(
         when(col(popCol) > maxPop,
           raise_error(format_string(
@@ -130,7 +138,10 @@ object Sizing {
 
   private def ceilDiv(n: Long, d: Long): Long = (n + d - 1) / d
 
-  /** ceil(log2(n)) for n ≥ 1; 0 for n ≤ 1. */
-  private def ceilLog2(n: Long): Int =
+  /** ceil(log2(n)) for n ≥ 1; 0 for n ≤ 1. Public: the growth half of
+    * the planes rule, used directly where a caller scales an existing
+    * planes value with a corpus multiplier (ProfileScaleSweep).
+    */
+  def ceilLog2(n: Long): Int =
     if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 }

@@ -175,7 +175,12 @@ object PbfDecode {
     } else if (zlib != null) {
       val inf = new Inflater()
       inf.setInput(zlib)
-      var out = new Array[Byte](if (rawSize >= 0) rawSize else math.max(64, zlib.length * 4))
+      // undeclared-size guess buffer is CLAMPED to the blob cap: an
+      // over-cap result must flow through the grow path's cap check
+      // (an unclamped 4x-compressed guess could hold > MaxBlobBytes
+      // outright and return it unchecked)
+      var out = new Array[Byte](if (rawSize >= 0) rawSize
+        else math.min(math.max(64L, zlib.length.toLong * 4), MaxBlobBytes).toInt)
       var n = 0
       try {
         while (!inf.finished()) {
@@ -199,7 +204,11 @@ object PbfDecode {
               if (out.length >= MaxBlobBytes) throw new IllegalArgumentException(
                 "zlib PBF blob inflates past the 32 MiB blob cap " +
                   "— corrupt or malicious payload")
-              out = java.util.Arrays.copyOf(out, math.max(64, out.length * 2))
+              // grown buffer is clamped to the cap too: a doubling that
+              // overshoots it would fit an oversized payload and return
+              // it without ever re-reaching this check
+              out = java.util.Arrays.copyOf(out,
+                math.min(math.max(64, out.length * 2), MaxBlobBytes.toInt))
               out(n) = probe(0)
               n += 1
             }
@@ -230,8 +239,9 @@ object PbfDecode {
             s"corrupt lzma header in PBF blob: ${e.getMessage}", e)
         }
       try {
-        var out = new Array[Byte](
-          if (rawSize >= 0) rawSize else math.max(64, lzma.length * 4))
+        // same clamp discipline as the zlib guess buffer (see above)
+        var out = new Array[Byte](if (rawSize >= 0) rawSize
+          else math.min(math.max(64L, lzma.length.toLong * 4), MaxBlobBytes).toInt)
         var n = 0
         var eof = false
         while (!eof) {
@@ -244,7 +254,9 @@ object PbfDecode {
               if (out.length >= MaxBlobBytes) throw new IllegalArgumentException(
                 "lzma PBF blob inflates past the 32 MiB blob cap " +
                   "— corrupt or malicious payload")
-              out = java.util.Arrays.copyOf(out, math.max(64, out.length * 2))
+              // same grow clamp as the zlib branch (see there)
+              out = java.util.Arrays.copyOf(out,
+                math.min(math.max(64, out.length * 2), MaxBlobBytes.toInt))
               out(n) = probe.toByte
               n += 1
             }

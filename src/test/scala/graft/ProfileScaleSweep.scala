@@ -100,9 +100,12 @@ object ProfileScaleSweep {
       // planes follow the s02 sizing contract (log2 growth, as in
       // ProfileD13Planes) — frozen planes would record the by-design
       // quadratic of an unsized bucket population, not the operator.
-      // Derived from the multiplier so a new sweep point sizes itself
-      // (Sizing.suggestPlanes rule: 4 planes at 1x, +log2(mult))
-      val ePlanes = 4 + (64 - java.lang.Long.numberOfLeadingZeros(mult.toLong - 1)).max(0)
+      // Round-7 change: derived via Sizing.ceilLog2 (4 at 1x +
+      // ceil(log2(mult))) instead of a lookup that threw on new sweep
+      // points. NOTE the 10x point moved 7 -> 8 planes under the exact
+      // ceil rule — its timings are not comparable with the round-6
+      // sweep row (which ran floor-ish 7).
+      val ePlanes = 4 + graft.operators.Sizing.ceilLog2(mult.toLong)
       time("incremental_embed_sizedplanes")(
         Dedup.incrementalEmbedOverlap(spark, dir, planes = ePlanes))
     }

@@ -171,11 +171,14 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       Some(("ppm", 2, 2, 3))
     Multimodal.parseImageHeader(ascii("P2\n1 1\n255\n0")) shouldBe
       Some(("pgm", 1, 1, 1))
-    // malformed: non-digit in a number, missing maxval, maxval 0, P4
+    // malformed: non-digit in a number, missing maxval, maxval 0, P4,
+    // and no whitespace after the magic (the spec requires it — "P63"
+    // must not parse as P6 + width 3)
     Multimodal.parseImageHeader(ascii("P6\n12a 34\n255\n")) shouldBe None
     Multimodal.parseImageHeader(ascii("P6\n12 34\n")) shouldBe None
     Multimodal.parseImageHeader(ascii("P6\n12 34\n0\n")) shouldBe None
     Multimodal.parseImageHeader(ascii("P4\n12 34\n")) shouldBe None
+    Multimodal.parseImageHeader(ascii("P63 4 255 ")) shouldBe None
   }
 
   test("decode: real formats decode for real, everything else falls back to the stub") {

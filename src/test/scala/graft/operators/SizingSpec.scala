@@ -43,8 +43,25 @@ class SizingSpec extends AnyFunSuite with Matchers with SparkSpec {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "key")
     val guarded = Sizing.guardKeyPopulation(df, "key", 15L, "opX", "bucket", "planes")
-    guarded.columns.toSeq shouldBe Seq("key", "id")
+    guarded.columns.toSeq shouldBe Seq("id", "key")
     guarded.select($"id").as[Long].collect().sorted shouldBe (1L to 100L).toArray
+  }
+
+  test("guardKeyPopulation: null keys are neither dropped nor unguarded") {
+    import spark.implicits._
+    // 14 null-key rows + 86 spread over 6 keys: a plain equi-join would
+    // silently drop the null rows; the null-safe join must keep them
+    // under a loose bound and FIRE under a tight one
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "k0")
+      .select($"id", when($"k0" =!= 0, $"k0").as("key"))
+    df.filter($"key".isNull).count() shouldBe 14L
+    val kept = Sizing.guardKeyPopulation(df, "key", 20L, "opX", "bucket", "planes")
+    kept.count() shouldBe 100L
+    val e = intercept[Exception] {
+      Sizing.guardKeyPopulation(df, "key", 13L, "opX", "bucket", "planes").collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    msg should include("planes")
   }
 
   test("guardKeyPopulation: an over-populated key fails naming the parameter and helper") {

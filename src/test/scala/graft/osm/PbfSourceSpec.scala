@@ -259,6 +259,23 @@ class PbfSourceSpec extends AnyFunSuite with Matchers with SparkSpec {
     ex.getMessage should include("raw_size")
   }
 
+  test("undeclared-size blobs inflating past the 32 MiB cap are rejected, not returned") {
+    // 65 MiB of zeros compresses tiny; with no raw_size the guess
+    // buffer must be CLAMPED to the cap so the grow path's check fires
+    // — an unclamped 4x-compressed guess would hold the oversized
+    // result outright and return it uncapped
+    val big = new Array[Byte](65 << 20)
+    for ((field, payload) <- Seq(
+        3 -> PbfTestData.deflate(big),
+        4 -> PbfTestData.lzmaCompress(big))) {
+      val blob = new PbfTestData.W().bytes(field, payload).toArray
+      val ex = intercept[IllegalArgumentException] {
+        graft.osm.pbf.PbfDecode.decompressBlob(blob)
+      }
+      withClue(s"field $field: ") { ex.getMessage should include("32 MiB") }
+    }
+  }
+
   test("garbage lzma payload is rejected loudly, not decoded to junk") {
     val blob = new PbfTestData.W().vint(2, 10)
       .bytes(4, Array.tabulate[Byte](10)(_.toByte)).toArray
