@@ -75,6 +75,7 @@ object SparkEntry {
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
     "d16_incremental_embed" -> ((s: SparkSession, d: String) => Dedup.incrementalEmbedOverlap(s, d)),
     "d17_repeated_spans" -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
+    "d18_span_scrub" -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -764,6 +765,39 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS min_doc
          |FROM p GROUP BY ph HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY ph""".stripMargin,
+
+    // d18: the d17 spans joined back to positions — covered = any
+    // repeated span's [i, i+19] in a non-keeper doc; string_agg skips
+    // the NULLed covered tokens exactly as collect_list drops null
+    // whens; coalesce('') matches Spark's empty-array join on a fully
+    // covered doc
+    "d18_span_scrub" ->
+      s"""WITH ${tkCte("")},
+         |toks AS (
+         |  SELECT doc_id, i AS pos, list_extract(tk, i) AS token
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tk) t
+         |),
+         |spans AS (
+         |  SELECT doc_id, i, md5(array_to_string(tk[i : i+19], ' ')) AS ph
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(1, greatest(len(tk) - 20 + 1, 0) + 1)) AS i
+         |        FROM tk) t
+         |),
+         |rep AS (
+         |  SELECT ph, min(doc_id) AS min_doc FROM spans
+         |  GROUP BY ph HAVING count(DISTINCT doc_id) >= 2
+         |),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.i + o.off AS pos
+         |  FROM spans s JOIN rep r ON s.ph = r.ph AND s.doc_id <> r.min_doc
+         |  CROSS JOIN (SELECT unnest(range(0, 20)) AS off) o
+         |)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.token END,
+         |    ' ' ORDER BY t.pos), '') AS clean
+         |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d04_simhash" ->
       s"""WITH ${tkCte("")},

@@ -110,6 +110,65 @@ object Dedup {
       .orderBy($"ph")
   }
 
+  /** The REMOVAL half of the Lee et al. substring-dedup pass —
+    * [[repeatedSpans]] detects, this scrubs: every token covered by a
+    * cross-document repeated span is dropped from every document EXCEPT
+    * the span's min-id keeper doc, and documents are rebuilt
+    * from their surviving tokens in order (the t15 reassembly idiom at
+    * TOKEN granularity). Keep-first is applied at DOC granularity — the
+    * keeper doc retains all its copies, and within-doc repeats are
+    * untouched (the conservative direction: nothing is removed unless
+    * a distinct earlier document provably carries the same span).
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean) — like t15, a doc
+    * whose text tokenizes to nothing does not appear (no token stream
+    * to partition), and `clean` is whitespace-normalized by
+    * construction (tokens rejoined by single spaces).
+    *
+    * Scale shape: the d17 span explode + one ph-keyed join against the
+    * (ph-cardinality) repeat set, a ×window position explode on the
+    * COVERED spans only (not the corpus), one distinct and one
+    * (doc_id, pos)-keyed left join, then the per-doc rebuild
+    * aggregation. Everything is keyed on uniform hashes or (doc, pos)
+    * composites — no skew class, nothing corpus-quadratic.
+    */
+  def spanScrub(spark: SparkSession, sfDir: String,
+      window: Int = 20): DataFrame =
+    spanScrubCore(Tables.documents(spark, sfDir), window)
+
+  /** [[spanScrub]] over an arbitrary (doc_id, text) frame — single
+    * definition of the scrub semantics (the packCore pattern), so the
+    * spec can drive planted fixtures through the gated plan.
+    */
+  private[operators] def spanScrubCore(docs: DataFrame,
+      window: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tkdf = Text.tokenized(docs, "doc_id", "text")
+    val toks = tkdf.select($"doc_id",
+      posexplode($"tk").as(Seq("pos0", "token")))
+      .select($"doc_id", ($"pos0" + 1).cast("int").as("pos"), $"token")
+    val spans = tkdf.select($"doc_id",
+      posexplode(spanHashes($"tk", window)).as(Seq("i0", "ph")))
+      .select($"doc_id", ($"i0" + 1).cast("int").as("i"), $"ph")
+    val rep = spans.groupBy($"ph")
+      .agg(count_distinct($"doc_id").as("n_docs"), min($"doc_id").as("min_doc"))
+      .filter($"n_docs" >= 2)
+      .select($"ph", $"min_doc")
+    val cov = spans.join(rep, "ph")
+      .filter($"doc_id" =!= $"min_doc")
+      .select($"doc_id", explode(sequence($"i", $"i" + (window - 1))).as("pos"))
+      .distinct()
+      .withColumn("cov_m", lit(1))
+    toks.join(cov, Seq("doc_id", "pos"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"cov_m".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when($"cov_m".isNull, struct($"pos", $"token")))),
+          s => s("token")), " ").as("clean"))
+      .orderBy($"doc_id")
+  }
+
   /** md5 per OVERLAPPING `window`-token span (stride 1) — the
     * [[repeatedSpans]] window semantics, single definition (the
     * [[passageHashes]] discipline).

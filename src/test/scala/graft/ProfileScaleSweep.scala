@@ -108,6 +108,12 @@ object ProfileScaleSweep {
       val ePlanes = 4 + graft.operators.Sizing.ceilLog2(mult.toLong)
       time("incremental_embed_sizedplanes")(
         Dedup.incrementalEmbedOverlap(spark, dir, planes = ePlanes))
+      // round-7: the stride-1 span family (the window-factor explode is
+      // THE cost question — linear growth here is the claim) and the
+      // KMV sketch (distinct + salted min-k)
+      time("repeated_spans")(Dedup.repeatedSpans(spark, dir))
+      time("span_scrub")(Dedup.spanScrub(spark, dir))
+      time("kmv_distinct")(Relational.kmvDistinct(spark, dir))
     }
     spark.stop()
   }
