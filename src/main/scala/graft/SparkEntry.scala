@@ -76,6 +76,7 @@ object SparkEntry {
     "d16_incremental_embed" -> ((s: SparkSession, d: String) => Dedup.incrementalEmbedOverlap(s, d)),
     "d17_repeated_spans" -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
     "d18_span_scrub" -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
+    "d19_corpus_diff" -> ((s: SparkSession, d: String) => Dedup.corpusDiff(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -798,6 +799,21 @@ object SparkEntry {
          |    ' ' ORDER BY t.pos), '') AS clean
          |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d19: snapshot diff by content hash — full outer on (lang, h),
+    // membership flags from null-side detection
+    "d19_corpus_diff" ->
+      """WITH o AS (SELECT DISTINCT lang, md5(text) AS h FROM documents
+        |           WHERE doc_id % 2 = 0),
+        |n AS (SELECT DISTINCT lang, md5(text) AS h FROM documents
+        |      WHERE doc_id % 2 = 1)
+        |SELECT coalesce(o.lang, n.lang) AS lang,
+        |  CAST(sum(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN n.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN o.h IS NOT NULL AND n.h IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained
+        |FROM o FULL JOIN n ON o.lang = n.lang AND o.h = n.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d04_simhash" ->
       s"""WITH ${tkCte("")},

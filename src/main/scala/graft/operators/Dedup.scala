@@ -110,6 +110,47 @@ object Dedup {
       .orderBy($"ph")
   }
 
+  /** Crawl-over-crawl corpus diff — the snapshot comparison a pipeline
+    * runs between ingests, at DOCUMENT granularity (t13's token-drift
+    * sibling): per language, how many distinct contents were added,
+    * removed, and retained between the old and new crawl. Membership is
+    * by content hash (the d01 discipline), so re-crawled bytes count as
+    * retained regardless of doc ids.
+    *
+    * Here the old/new split is the deterministic doc_id parity (even =
+    * old, odd = new — the d16 convention) so the oracle reproduces it;
+    * a real pipeline calls [[corpusDiffFrames]] with its two actual
+    * snapshots.
+    *
+    * Scale shape: two distinct aggregations on (lang, 16-byte hash) +
+    * ONE full-outer equi-join on the same key + a lang-keyed count
+    * rollup — every shuffle is keyed on the uniform hash, nothing
+    * corpus-quadratic, no skew class.
+    */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    corpusDiffFrames(docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 === 1))
+  }
+
+  /** [[corpusDiff]] over two REAL snapshots carrying (lang, text). */
+  def corpusDiffFrames(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    import oldDocs.sparkSession.implicits._
+    def keyed(df: DataFrame, marker: String) = df
+      .select($"lang", md5($"text".cast("binary")).as("h")).distinct()
+      .withColumn(marker, lit(1))
+    keyed(oldDocs, "in_old")
+      .join(keyed(newDocs, "in_new"), Seq("lang", "h"), "full_outer")
+      .groupBy($"lang")
+      .agg(
+        sum(when($"in_old".isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when($"in_new".isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"in_old".isNotNull && $"in_new".isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"))
+      .orderBy($"lang")
+  }
+
   /** The REMOVAL half of the Lee et al. substring-dedup pass —
     * [[repeatedSpans]] detects, this scrubs: every token covered by a
     * cross-document repeated span is dropped from every document EXCEPT
