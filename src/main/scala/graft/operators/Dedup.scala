@@ -101,13 +101,24 @@ object Dedup {
   def repeatedSpans(spark: SparkSession, sfDir: String,
       window: Int = 20): DataFrame = {
     import spark.implicits._
-    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val spans = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
       .select($"doc_id", explode(spanHashes($"tk", window)).as("ph"))
-      .groupBy($"ph")
+    repeatedSpanStats(spans).orderBy($"ph")
+  }
+
+  /** THE repeated-span detection rule — one definition shared by
+    * [[repeatedSpans]] (the gated report) and [[spanScrubCore]]'s
+    * keeper derivation (the exactKeepers discipline: the ≥2-distinct-
+    * docs threshold and the min-id keeper cannot drift between detect
+    * and scrub). Input: a (doc_id, ph) span-occurrence frame; output:
+    * (ph, n_docs, n_occ, min_doc) restricted to cross-document repeats.
+    */
+  private[operators] def repeatedSpanStats(spans: DataFrame): DataFrame = {
+    import spans.sparkSession.implicits._
+    spans.groupBy($"ph")
       .agg(count_distinct($"doc_id").as("n_docs"),
         count(lit(1)).as("n_occ"), min($"doc_id").as("min_doc"))
       .filter($"n_docs" >= 2)
-      .orderBy($"ph")
   }
 
   /** Crawl-over-crawl corpus diff — the snapshot comparison a pipeline
@@ -166,12 +177,14 @@ object Dedup {
     * to partition), and `clean` is whitespace-normalized by
     * construction (tokens rejoined by single spaces).
     *
-    * Scale shape: the d17 span explode + one ph-keyed join against the
-    * (ph-cardinality) repeat set, a ×window position explode on the
-    * COVERED spans only (not the corpus), one distinct and one
-    * (doc_id, pos)-keyed left join, then the per-doc rebuild
+    * Scale shape: the d17 span explode evaluated TWICE (detect side
+    * and probe side — see the in-body note) + one ph-keyed join
+    * against the (ph-cardinality) repeat set, a ×window position
+    * explode on the COVERED spans only (not the corpus), one distinct
+    * and one (doc_id, pos)-keyed left join, then the per-doc rebuild
     * aggregation. Everything is keyed on uniform hashes or (doc, pos)
-    * composites — no skew class, nothing corpus-quadratic.
+    * composites — no skew class, nothing corpus-quadratic; the honest
+    * constant is ~2× d17.
     */
   def spanScrub(spark: SparkSession, sfDir: String,
       window: Int = 20): DataFrame =
@@ -188,12 +201,18 @@ object Dedup {
     val toks = tkdf.select($"doc_id",
       posexplode($"tk").as(Seq("pos0", "token")))
       .select($"doc_id", ($"pos0" + 1).cast("int").as("pos"), $"token")
+    // NOTE the span explode is referenced TWICE (the rep aggregation
+    // and the cov probe side) and the exchange children differ, so the
+    // plan evaluates tokenize+span-md5 twice per action — the honest
+    // cost is ~2x d17's single pass (the 1x sweep measures exactly
+    // that: 2.57 s vs 1.14 s). A caller amortizing repeated scrubs
+    // should Caches.track a materialized spans frame; the gated entry
+    // keeps the plan-only form.
     val spans = tkdf.select($"doc_id",
       posexplode(spanHashes($"tk", window)).as(Seq("i0", "ph")))
       .select($"doc_id", ($"i0" + 1).cast("int").as("i"), $"ph")
-    val rep = spans.groupBy($"ph")
-      .agg(count_distinct($"doc_id").as("n_docs"), min($"doc_id").as("min_doc"))
-      .filter($"n_docs" >= 2)
+    // one definition of detect: the d17 rule via repeatedSpanStats
+    val rep = repeatedSpanStats(spans.select($"doc_id", $"ph"))
       .select($"ph", $"min_doc")
     val cov = spans.join(rep, "ph")
       .filter($"doc_id" =!= $"min_doc")
