@@ -148,6 +148,7 @@ object SparkEntry {
     "p06_dedup_budget" -> ((s: SparkSession, d: String) => Sampling.dedupBudget(s, d)),
     "p07_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "p08_filtered_pack" -> ((s: SparkSession, d: String) => Sampling.filteredPack(s, d)),
+    "p09_cluster_split" -> ((s: SparkSession, d: String) => Sampling.clusterSplit(s, d)),
   )
 
   // Canonical DuckDB tokenization — must stay in lockstep with
@@ -1995,6 +1996,23 @@ object SparkEntry {
          |)
          |SELECT shard, doc_id, n_tokens, cum_tokens FROM cum
          |WHERE cum_tokens <= 2000 ORDER BY shard, cum_tokens, doc_id""".stripMargin,
+
+    // p09: split decision hashes the CANONICAL CLUSTER id (md5 of its
+    // decimal string — identical bytes both engines), so near-dup
+    // cluster members land in one split together; comp is the shared
+    // d06 recursive-CTE closure
+    "p09_cluster_split" ->
+      s"""WITH RECURSIVE $CanonCtes,
+         |cmap AS (
+         |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |)
+         |SELECT doc_id, canonical_id,
+         |  CAST(${hexIntSql("md5(CAST(canonical_id AS VARCHAR))", 4)} % 100 AS INT) AS bucket,
+         |  CASE WHEN ${hexIntSql("md5(CAST(canonical_id AS VARCHAR))", 4)} % 100 < 10 THEN 'test'
+         |       WHEN ${hexIntSql("md5(CAST(canonical_id AS VARCHAR))", 4)} % 100 < 20 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM cmap ORDER BY doc_id""".stripMargin,
 
     // weights from sqrt (IEEE-exact both engines), powered counts
     // quantized to 1e-6-grid integers before the order-free sum

@@ -658,8 +658,8 @@ object Dedup {
     * [[canonicalizeBest]] would only pay to destroy at their next
     * shuffle).
     */
-  private def clusterMap(spark: SparkSession, sfDir: String,
-      jaccardThreshold: Double): DataFrame = {
+  private[operators] def clusterMap(spark: SparkSession, sfDir: String,
+      jaccardThreshold: Double = 0.6): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
 

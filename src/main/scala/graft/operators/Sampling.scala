@@ -272,4 +272,42 @@ object Sampling {
       .select($"source", $"shard", $"doc_id", $"n_tokens", $"cum_tokens")
       .orderBy($"source", $"shard", $"cum_tokens", $"doc_id")
   }
+
+  /** Dedup-AWARE train/val/test split — the leakage guard a training
+    * pipeline needs that a plain hash split cannot give: two
+    * near-duplicate documents split independently land one in train
+    * and one in test, and the model is then evaluated on paraphrases
+    * of its training data. Here the split decision hashes the
+    * CANONICAL CLUSTER id ([[Dedup.canonicalize]]'s components — exact
+    * dups + verified near-dups), so every member of a near-dup cluster
+    * follows its cluster into one split, deterministically and
+    * engine-reproducibly (md5 of the decimal cluster id, the p01
+    * bucket idiom).
+    *
+    * Returns (doc_id, canonical_id, bucket, split) — split ∈
+    * {train, val, test} with test = buckets [0, testPct), val =
+    * [testPct, testPct+valPct), train = the rest, so the proportions
+    * are over CLUSTERS (the honest unit; a giant boilerplate cluster
+    * lands whole in one split by design).
+    *
+    * Scale shape: the canonicalize pipeline (LSH candidates + verify +
+    * GraphX CC on sparse edges) + one map-side hash projection — the
+    * split itself adds NO shuffle beyond the d06 family's.
+    */
+  def clusterSplit(spark: SparkSession, sfDir: String,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"valPct=$valPct testPct=$testPct must leave room for train")
+    Dedup.clusterMap(spark, sfDir)
+      .withColumn("bucket",
+        (conv(substring(md5($"canonical_id".cast("string").cast("binary")), 1, 4),
+          16, 10).cast("bigint") % 100).cast("int"))
+      .withColumn("split",
+        when($"bucket" < testPct, lit("test"))
+          .when($"bucket" < testPct + valPct, lit("val"))
+          .otherwise(lit("train")))
+      .select($"doc_id", $"canonical_id", $"bucket", $"split")
+      .orderBy($"doc_id")
+  }
 }

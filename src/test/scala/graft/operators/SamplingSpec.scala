@@ -189,4 +189,32 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     rows.count(_.getLong(6) > 1) should be > 0
   }
+
+  test("p09 cluster split is leakage-safe: a near-dup cluster is atomic across splits") {
+    import org.apache.spark.sql.functions._
+    val rows = Sampling.clusterSplit(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows.length shouldBe 500
+    // cluster-atomic: every canonical cluster lands whole in ONE split
+    rows.groupBy(_.getLong(1)).foreach { case (canon, members) =>
+      withClue(s"cluster $canon: ") {
+        members.map(_.getString(3)).toSet.size shouldBe 1
+      }
+    }
+    // the corpus has genuine multi-member clusters, so atomicity bites
+    rows.groupBy(_.getLong(1)).count(_._2.length > 1) should be > 0
+    // and the direct leakage statement: every flagged duplicate shares
+    // its canonical doc's split
+    val canonical = Dedup.canonicalize(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    val splitOf = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    canonical.filter(_.getBoolean(2)).foreach { r =>
+      withClue(s"dup ${r.getLong(0)} vs canon ${r.getLong(1)}: ") {
+        splitOf(r.getLong(0)) shouldBe splitOf(r.getLong(1))
+      }
+    }
+    // all three splits are populated at this scale (10/10/80 over ~hundreds
+    // of clusters); proportions are over clusters by design, not asserted
+    rows.map(_.getString(3)).toSet shouldBe Set("train", "val", "test")
+  }
 }
