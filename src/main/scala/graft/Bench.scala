@@ -59,7 +59,7 @@ object Bench {
     // under per-query cache isolation — the dominant variance source,
     // worth one extra sample each
     val cacheFamily = Set("d06_canonicalize", "d08_canonical_best",
-      "d11_cluster_stats", "p06_dedup_budget")
+      "d11_cluster_stats", "p06_dedup_budget", "p09_cluster_split")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(materialize(_, warmDir)) // warmup, untimed
