@@ -16,8 +16,9 @@ import org.apache.spark.sql.SparkSession
   *    spikes (BASELINE.md BENCH_NOTES r3/r4 document the floor); the
   *    min of two independent materializations of an identical plan is
   *    the engine's cost, the max is the host's;
-  *  - a THIRD pass for the canonicalize cache family only (round-5):
-  *    d06/d08/d11/p06 each recompute the full ~3.5-4 s pipeline under
+  *  - a THIRD pass for the canonicalize cache family only (round-5;
+  *    p09 joined in round-7): d06/d08/d11/p06/p09 each recompute the
+  *    full ~3.5-4 s pipeline under
   *    per-query cache isolation, so they dominate total variance — one
   *    extra sample there buys the most noise rejection per second of
   *    bench time;
@@ -55,7 +56,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // the four queries that recompute the full canonicalize pipeline
+    // the queries that recompute the full canonicalize pipeline
     // under per-query cache isolation — the dominant variance source,
     // worth one extra sample each
     val cacheFamily = Set("d06_canonicalize", "d08_canonical_best",

@@ -295,14 +295,17 @@ object Sampling {
     * split itself adds NO shuffle beyond the d06 family's.
     */
   def clusterSplit(spark: SparkSession, sfDir: String,
-      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+      valPct: Int = 10, testPct: Int = 10,
+      jaccardThreshold: Double = 0.6): DataFrame = {
     import spark.implicits._
     require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
       s"valPct=$valPct testPct=$testPct must leave room for train")
-    Dedup.clusterMap(spark, sfDir)
+    // jaccardThreshold flows through like the d06-family siblings: the
+    // split MUST be keyed to the same clusters the pipeline's dedup
+    // view uses, or the leakage guard silently keys to different ones
+    Dedup.clusterMap(spark, sfDir, jaccardThreshold)
       .withColumn("bucket",
-        (conv(substring(md5($"canonical_id".cast("string").cast("binary")), 1, 4),
-          16, 10).cast("bigint") % 100).cast("int"))
+        (hashBucket($"canonical_id".cast("string")) % 100).cast("int"))
       .withColumn("split",
         when($"bucket" < testPct, lit("test"))
           .when($"bucket" < testPct + valPct, lit("val"))

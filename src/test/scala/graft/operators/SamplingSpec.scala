@@ -190,31 +190,41 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.count(_.getLong(6) > 1) should be > 0
   }
 
-  test("p09 cluster split is leakage-safe: a near-dup cluster is atomic across splits") {
-    import org.apache.spark.sql.functions._
+  test("p09 cluster split is leakage-safe against GROUND-TRUTH duplicates") {
+    import spark.implicits._
+    // sf0.1: the only scale with PLANTED byte-identical duplicates (8
+    // groups) — ground truth INDEPENDENT of clusterMap: exact-dup docs
+    // must share a split. This bites if the clustering itself were
+    // broken, unlike a canonical_id groupBy (split is a pure function
+    // of canonical_id, which can never disagree within a cluster)
+    val sf01 = "/root/testdata/sf0.1"
+    val bigRows = Sampling.clusterSplit(spark, sf01).collect()
+    graft.Caches.releaseAll(spark)
+    val bigSplit = bigRows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    val byText = graft.Tables.documents(spark, sf01)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length > 1).toSeq
+    byText should not be empty
+    byText.foreach { grp =>
+      withClue(s"exact-dup group ${grp.map(_._1).toList}: ") {
+        grp.map(g => bigSplit(g._1)).toSet.size shouldBe 1
+      }
+    }
+    // gate scale: every flagged near-duplicate follows its canonical doc
     val rows = Sampling.clusterSplit(spark, sf).collect()
     graft.Caches.releaseAll(spark)
     rows.length shouldBe 500
-    // cluster-atomic: every canonical cluster lands whole in ONE split
-    rows.groupBy(_.getLong(1)).foreach { case (canon, members) =>
-      withClue(s"cluster $canon: ") {
-        members.map(_.getString(3)).toSet.size shouldBe 1
-      }
-    }
-    // the corpus has genuine multi-member clusters, so atomicity bites
-    rows.groupBy(_.getLong(1)).count(_._2.length > 1) should be > 0
-    // and the direct leakage statement: every flagged duplicate shares
-    // its canonical doc's split
+    val splitOf = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
     val canonical = Dedup.canonicalize(spark, sf).collect()
     graft.Caches.releaseAll(spark)
-    val splitOf = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
     canonical.filter(_.getBoolean(2)).foreach { r =>
       withClue(s"dup ${r.getLong(0)} vs canon ${r.getLong(1)}: ") {
         splitOf(r.getLong(0)) shouldBe splitOf(r.getLong(1))
       }
     }
-    // all three splits are populated at this scale (10/10/80 over ~hundreds
-    // of clusters); proportions are over clusters by design, not asserted
+    // all three splits are populated at this scale (10/10/80 over
+    // ~hundreds of clusters); proportions are over clusters by design
     rows.map(_.getString(3)).toSet shouldBe Set("train", "val", "test")
   }
 }
