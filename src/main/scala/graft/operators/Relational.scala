@@ -506,33 +506,38 @@ object Relational {
     * group on both engines.
     *
     * Scale shape: one distinct on (lang, h) — the d01 envelope — then
-    * min-k in TWO stages: per-(lang, first-hex-digit salt) heads via a
-    * 16-way-split window, then the true min-k over ≤ 16k survivors per
-    * lang. A single per-lang window would sort a corpus-cardinality
-    * partition in one task; min-k of per-salt min-ks equals the direct
-    * min-k (spec-asserted against the one-stage form), with every
-    * sorted partition bounded. Exact counts ride along q22-style —
-    * here they are themselves part of the hash gate.
+    * ONE aggregation carrying both the exact count and a bounded min-k
+    * aggregate ([[graft.functions.MinKAggregator]]): associative +
+    * commutative with a ≤ k-string buffer, so Spark runs it with
+    * map-side partial aggregation and every task ships at most k
+    * hashes per language. No window, no salt, no per-lang
+    * corpus-cardinality partition at ANY scale — the r7 fixed-16-way
+    * salt split this replaces bounded the sort only by a constant
+    * factor. Equality with the direct single-window min-k is
+    * spec-asserted (KmvSpec).
     */
-  def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame = {
+  def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame =
+    kmvDistinctOn(Tables.documents(spark, sfDir), k)
+
+  /** Core of [[kmvDistinct]] over any frame with (lang, text) columns —
+    * split out so specs can plant sub-k corpora deterministically.
+    */
+  def kmvDistinctOn(docs: DataFrame, k: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    // cached: the distinct frame feeds both the exact counts and the
-    // min-k selection (uncached, the corpus distinct runs twice)
-    val h = graft.Caches.track(Tables.documents(spark, sfDir)
-      .select($"lang", md5($"text".cast("binary")).as("h")).distinct())
-    val exact = h.groupBy($"lang").agg(count(lit(1)).as("n_exact"))
-    val pre = h.withColumn("salt", substring($"h", 1, 1))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"lang", $"salt").orderBy($"h")))
-      .filter($"rn" <= k)
-    val top = pre.withColumn("rn2", row_number().over(
-        Window.partitionBy($"lang").orderBy($"h")))
-      .filter($"rn2" <= k)
-    val kth = top.groupBy($"lang")
-      .agg(count(lit(1)).as("n_keys"), max($"h").as("kth_hash"))
+    val minK = udaf(new graft.functions.MinKAggregator(k))
+    val h = docs
+      .select($"lang", md5($"text".cast("binary")).as("h")).distinct()
+    val agg = h.groupBy($"lang")
+      .agg(count(lit(1)).as("n_exact"), minK($"h").as("mins"))
+    // mins is sorted ascending, so the kth (largest retained) value is
+    // its last element; with fewer than k distinct keys the sketch IS
+    // the exact answer.
+    val kth = agg.select($"lang", $"n_exact",
+      size($"mins").cast("bigint").as("n_keys"),
+      element_at($"mins", size($"mins")).as("kth_hash"))
     val v = greatest(conv(substring($"kth_hash", 1, 8), 16, 10).cast("bigint"), lit(1L))
-    kth.join(exact, "lang")
-      .select($"lang", $"n_exact", $"n_keys", $"kth_hash",
+    kth.select($"lang", $"n_exact", $"n_keys", $"kth_hash",
         round(when($"n_keys" < k, $"n_exact".cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / v), 4).as("est"))
       .orderBy($"lang")

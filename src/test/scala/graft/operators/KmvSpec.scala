@@ -12,10 +12,10 @@ class KmvSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
-  test("salted two-stage min-k equals the direct single-window min-k") {
+  test("bounded min-k aggregate equals the direct single-window min-k") {
     import spark.implicits._
     // recompute the kth hash the naive way (one window per lang) and
-    // compare to the operator's salted two-stage selection
+    // compare to the operator's map-side-combinable aggregate
     val h = Tables.documents(spark, sf)
       .select($"lang", md5($"text".cast("binary")).as("h")).distinct()
     val direct = h
@@ -26,13 +26,48 @@ class KmvSpec extends AnyFunSuite with Matchers with SparkSpec {
     val got = Relational.kmvDistinct(spark, sf)
       .collect().map(r => r.getString(0) ->
         (r.getLong(r.fieldIndex("n_keys")), r.getString(r.fieldIndex("kth_hash")))).toMap
-    graft.Caches.releaseAll(spark)
     got shouldBe direct
+  }
+
+  test("aggregate runs with map-side partial aggregation (no corpus-wide partition)") {
+    val plan = Relational.kmvDistinct(spark, sf).queryExecution.executedPlan.toString
+    // Aggregator-backed udaf must plan as partial + final HashAggregate /
+    // ObjectHashAggregate pairs, never a single-stage sort over the corpus
+    (plan should include).regex("(?i)(ObjectHashAggregate|SortAggregate|HashAggregate)")
+    (plan should not).include("Window")
+  }
+
+  test("planted sub-k corpus: estimate is exactly the distinct count") {
+    import spark.implicits._
+    // 5 distinct texts (one duplicated) in one lang — forces the
+    // n_keys < k branch of the estimator deterministically instead of
+    // relying on sf0.01 corpus composition
+    val docs = Seq(
+      ("xx", "alpha"), ("xx", "beta"), ("xx", "gamma"),
+      ("xx", "delta"), ("xx", "epsilon"), ("xx", "alpha")
+    ).toDF("lang", "text")
+    val row = Relational.kmvDistinctOn(docs).collect().head
+    row.getLong(row.fieldIndex("n_exact")) shouldBe 5L
+    row.getLong(row.fieldIndex("n_keys")) shouldBe 5L
+    row.getDouble(row.fieldIndex("est")) shouldBe 5.0
+  }
+
+  test("merge/reduce invariants: duplicate-skipping, bounded, order-free") {
+    val agg = new graft.functions.MinKAggregator(4)
+    val fold = Seq("c", "a", "e", "a", "b", "d", "f")
+      .foldLeft(agg.zero)(agg.reduce)
+    fold.toSeq shouldBe Seq("a", "b", "c", "d")
+    // merge of disjoint partials == reduce over the union
+    val left = Seq("e", "b", "f").foldLeft(agg.zero)(agg.reduce)
+    val right = Seq("a", "c", "b").foldLeft(agg.zero)(agg.reduce)
+    agg.merge(left, right).toSeq shouldBe Seq("a", "b", "c", "e")
+    agg.merge(right, left).toSeq shouldBe Seq("a", "b", "c", "e")
+    agg.merge(agg.zero, left).toSeq shouldBe left.toSeq
+    agg.merge(left, agg.zero).toSeq shouldBe left.toSeq
   }
 
   test("estimate is exact below k and within 2x of truth above it") {
     val rows = Relational.kmvDistinct(spark, sf).collect()
-    graft.Caches.releaseAll(spark)
     rows should not be empty
     rows.foreach { r =>
       val (nExact, nKeys, est) = (r.getLong(1), r.getLong(2),
