@@ -93,8 +93,11 @@ object Bench {
     // running (BENCH_r5/r6 "parsed": null) — also write the identical
     // single line, pure JSON, to a fixed file it (and anyone) can
     // ingest whole. Overridable for tests; never fatal to the bench.
+    // default is cwd-relative (advisor round-7: a hardcoded absolute
+    // path lands the artifact in the wrong place on other checkouts);
+    // the env var stays the explicit override
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LATEST.json")
+      new java.io.File("BENCH_LATEST.json").getAbsolutePath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>

@@ -889,7 +889,10 @@ object Dedup {
       planes: Int = 4, dims: Int = 64, threshold: Double = 0.2,
       maxBucketPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
-    val v = bucketedEmbeddings(spark, sfDir, planes, dims)
+    // cached: the guard's count+probe sides AND the y join side all
+    // read this frame — tracking it bounds the bucketing pass to one
+    val v = graft.Caches.track(
+      bucketedEmbeddings(spark, sfDir, planes, dims))
     // sizing contract, in code: an over-populated bucket fails the
     // query naming `planes` instead of going pair-quadratic in one task
     val gx = Sizing.guardKeyPopulation(v, "bucket", maxBucketPop,
@@ -983,7 +986,10 @@ object Dedup {
       planes: Int = 4, dims: Int = 64, threshold: Double = 0.2,
       maxBucketPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
-    val v = bucketedEmbeddings(spark, sfDir, planes, dims)
+    // cached: probe explode, guard count+probe, and build side all
+    // read this frame — one bucketing pass instead of three
+    val v = graft.Caches.track(
+      bucketedEmbeddings(spark, sfDir, planes, dims))
     val probed = v.withColumn("probe",
       explode(array(Similarity.probeSet($"bucket", planes): _*)))
     // guard the un-exploded (build) side: its bucket population bounds
@@ -1022,7 +1028,10 @@ object Dedup {
       planes: Int = 4, dims: Int = 64, threshold: Double = 0.2,
       maxBucketPop: Long = Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
-    val emb = bucketedEmbeddings(spark, sfDir, planes, dims)
+    // cached: the delta/history split reads it twice, and the guard
+    // inside Frames reads history twice more
+    val emb = graft.Caches.track(
+      bucketedEmbeddings(spark, sfDir, planes, dims))
     incrementalEmbedOverlapFrames(
       emb.filter($"vec_id" % 2 === 1),
       emb.filter($"vec_id" % 2 === 0),
@@ -1037,7 +1046,9 @@ object Dedup {
     * split entry above is a thin wrapper over this so the oracle gate
     * can reproduce the split; nothing in the join shape depends on the
     * split rule. History is the guarded side — its bucket population
-    * is what the delta probe fans into.
+    * is what the delta probe fans into. The guard evaluates `history`'s
+    * upstream lineage twice (Sizing scaladoc) — pass a cached frame
+    * when the bucketing is expensive, as the sfDir wrapper above does.
     */
   def incrementalEmbedOverlapFrames(delta: DataFrame, history: DataFrame,
       threshold: Double = 0.2,

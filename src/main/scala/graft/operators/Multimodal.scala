@@ -61,8 +61,13 @@ object Multimodal {
   }
 
   /** A decoded row from [[decode]]: like [[MediaFeatures]] plus the
-    * detected container and channel count; `format` is "bmp" / "ppm" /
-    * "pgm" when the header parsed for real, "stub" on fallback.
+    * detected container and COLOR channel count; `format` is "png" /
+    * "bmp" / "ppm" / "pgm" when the header parsed for real, "stub" on
+    * fallback — and on fallback `channels` is the sentinel '''-1'''
+    * (the stub knows nothing about the payload's pixel layout, and a
+    * fake 1 or 3 would be indistinguishable from a parsed value).
+    * `channels` counts color/alpha planes (RGB555/565 BMP = 3, RGBA =
+    * 4, paletted = 1), not bytes per pixel.
     */
   case class DecodedMedia(media_id: Long, kind: String, n_bytes: Int,
       format: String, width: Int, height: Int, channels: Int, checksum: Long)
@@ -72,14 +77,22 @@ object Multimodal {
     */
   private val MaxDim = 1 << 20
 
-  /** REAL byte-level header parse for two public uncompressed
-    * containers — the round-7 "one media path is real end-to-end"
-    * slice (no codec library involved, just the published layouts):
+  /** REAL byte-level header parse for three public container
+    * families — the "one media path is real end-to-end" slice (no
+    * codec library involved, just the published layouts):
     *
+    *  - PNG: the 8-byte signature, then the IHDR chunk at a FIXED
+    *    offset (the spec requires IHDR first): length BE u32 @8 must
+    *    be 13, "IHDR" @12, width BE u32 @16, height BE u32 @20, bit
+    *    depth u8 @24, color type u8 @25 — channels by color type
+    *    (0 gray=1, 2 RGB=3, 3 paletted=1, 4 gray+alpha=2, 6 RGBA=4),
+    *    with the spec's legal depth/type combinations enforced.
     *  - BMP: 'B''M', then BITMAPINFOHEADER (or the V4/V5 supersets) at
     *    offset 14 — biWidth LE i32 @18, biHeight LE i32 @22 (negative
     *    = top-down; dimensions are |value|), biBitCount LE u16 @28 →
-    *    channels = ceil(bits/8) (paletted 1/4/8-bit = 1 channel).
+    *    COLOR channels: 1/4/8-bit paletted = 1, 16-bit RGB555/565 = 3
+    *    (bits/8 would say 2 — that is bytes per pixel, not channels),
+    *    24-bit = 3, 32-bit BGRA = 4.
     *  - Netpbm: "P6"/"P3" (PPM, 3 channels) and "P5"/"P2" (PGM, 1
     *    channel) — magic, then whitespace/comment-separated width,
     *    height, maxval.
@@ -93,16 +106,50 @@ object Multimodal {
       (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8) |
         ((c(off + 2) & 0xff) << 16) | ((c(off + 3) & 0xff) << 24)
     def leU16(off: Int): Int = (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8)
-    if (c.length >= 54 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) {
+    def beI32(off: Int): Int =
+      ((c(off) & 0xff) << 24) | ((c(off + 1) & 0xff) << 16) |
+        ((c(off + 2) & 0xff) << 8) | (c(off + 3) & 0xff)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    // 8 sig + 4 len + 4 "IHDR" + 13 data + 4 CRC = 33 bytes minimum
+    if (c.length >= 33 && c.startsWith(pngSig)) {
+      val ihdrLen = beI32(8)
+      val tagOk = c(12) == 'I'.toByte && c(13) == 'H'.toByte &&
+        c(14) == 'D'.toByte && c(15) == 'R'.toByte
+      val w = beI32(16)
+      val h = beI32(20)
+      val depth = c(24) & 0xff
+      val colorType = c(25) & 0xff
+      // the spec's legal (color type -> bit depths); channels per type
+      val depthOk = colorType match {
+        case 0 => Set(1, 2, 4, 8, 16)(depth)
+        case 3 => Set(1, 2, 4, 8)(depth)
+        case 2 | 4 | 6 => depth == 8 || depth == 16
+        case _ => false
+      }
+      val channels = colorType match {
+        case 0 | 3 => 1
+        case 2 => 3
+        case 4 => 2
+        case _ => 4 // 6, the only remaining depthOk type
+      }
+      if (ihdrLen == 13 && tagOk && depthOk &&
+          w > 0 && w <= MaxDim && h > 0 && h <= MaxDim)
+        Some(("png", w, h, channels))
+      else None
+    } else if (c.length >= 54 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) {
       val biSize = leI32(14)
       val w = leI32(18)
       val hRaw = leI32(22)
       val h = math.abs(hRaw)
       val bits = leU16(28)
-      val okBits = Set(1, 4, 8, 16, 24, 32)
+      // COLOR channels, not bytes per pixel: 16-bit RGB555/565 packs
+      // three color channels into two bytes (advisor round-7)
+      val channelsByBits = Map(1 -> 1, 4 -> 1, 8 -> 1,
+        16 -> 3, 24 -> 3, 32 -> 4)
       if (biSize >= 40 && w > 0 && w <= MaxDim && h > 0 && h <= MaxDim &&
-          hRaw != Int.MinValue && okBits(bits))
-        Some(("bmp", w, h, math.max(1, bits / 8)))
+          hRaw != Int.MinValue && channelsByBits.contains(bits))
+        Some(("bmp", w, h, channelsByBits(bits)))
       else None
     } else if (c.length >= 3 && c(0) == 'P'.toByte &&
         (c(1) == '2'.toByte || c(1) == '3'.toByte ||
@@ -148,11 +195,13 @@ object Multimodal {
     } else None
   }
 
-  /** The [[decodeStub]] interface with the real slice in front: BMP /
-    * PPM / PGM headers decode for REAL (byte-level, dependency-free);
-    * any other payload falls back to the deterministic stub, tagged
-    * `format = "stub"`. Same iterator-to-iterator per-partition shape —
-    * a full codec slots in as one more `parseImageHeader`-style branch.
+  /** The [[decodeStub]] interface with the real slice in front: PNG /
+    * BMP / PPM / PGM headers decode for REAL (byte-level,
+    * dependency-free); any other payload falls back to the
+    * deterministic stub, tagged `format = "stub"` with `channels = -1`
+    * (see [[DecodedMedia]]). Same iterator-to-iterator per-partition
+    * shape — a full codec slots in as one more `parseImageHeader`-style
+    * branch.
     */
   def decode(rows: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import rows.sparkSession.implicits._

@@ -188,12 +188,13 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     // sizing contract, in code: an over-populated shard fails the query
     // naming `shards` instead of funneling the corpus through one
-    // sequential prefix-sum task (Sizing.suggestShards)
+    // sequential prefix-sum task (Sizing.suggestShards); cached so the
+    // guard's count+probe sides pay the tokenize+hash pass once
     Sizing.guardKeyPopulation(
-      docs
+      graft.Caches.track(docs
         .withColumn("shard", (hashBucket(col("text")) % shards).cast("int"))
         .withColumn("n_tokens", Text.tokenCount(col("text")).cast("bigint"))
-        .filter(col("n_tokens") > 0),
+        .filter(col("n_tokens") > 0)),
       "shard", maxShardRows, "packSequences", "shard", "shards")
       .withColumn("g_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("g_start"),

@@ -476,10 +476,12 @@ object Similarity {
       .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
         $"nrm".as("q_nrm"), $"bucket")
     // sizing contract, in code: an over-populated candidate bucket
-    // fails the query naming `planes` (Sizing.suggestPlanes)
+    // fails the query naming `planes` (Sizing.suggestPlanes); cached
+    // so the guard's count+probe sides bucket the candidates once
     val c = Sizing.guardKeyPopulation(
-      withNorm(emb.filter($"vec_id" % 20 === 0))
-        .withColumn("bucket", lshBucket($"embedding", planes, dims)),
+      graft.Caches.track(
+        withNorm(emb.filter($"vec_id" % 20 === 0))
+          .withColumn("bucket", lshBucket($"embedding", planes, dims))),
       "bucket", maxBucketPop, "annLsh", "bucket", "planes")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"qid")

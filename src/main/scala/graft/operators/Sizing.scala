@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   * error branch lives in an always-true `filter`, so column pruning
   * cannot drop it and a passing corpus pays one codegen'd `when` per
   * row.
+  *
+  * Cost caveat (advisor round-7): the guard feeds `df` into BOTH the
+  * per-key count and the probe side of the join-back, so `df`'s
+  * UPSTREAM lineage (tokenize+hash, embedding bucketing) is evaluated
+  * twice per action unless the caller materializes it first. The
+  * shuffle itself is still reused — the 2x is compute above the
+  * exchange, not a second exchange. Hot wirings therefore
+  * [[graft.Caches.track]] the frame before guarding (semDedup set the
+  * pattern); callers guarding their own frames should pass one that is
+  * already cached when its lineage is expensive.
   */
 object Sizing {
 
@@ -101,7 +111,9 @@ object Sizing {
     * inner join back on `keyCol` (preserves rows exactly — every row's
     * key is in the count table), and one always-true codegen'd `when`
     * per row. The join key is the SAME key the caller shuffles on
-    * next, so the exchange is reused, not added.
+    * next, so the exchange is reused, not added — but `df`'s upstream
+    * lineage IS computed twice (count side + probe side); pass a
+    * cached frame when that lineage is expensive (see object scaladoc).
     */
   def guardKeyPopulation(df: DataFrame, keyCol: String, maxPop: Long,
       op: String, keyKind: String, param: String): DataFrame = {

@@ -151,6 +151,9 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     // 8-bit paletted: one channel of palette indices
     Multimodal.parseImageHeader(bmpBytes(5, 7, 8)) shouldBe
       Some(("bmp", 5, 7, 1))
+    // 16-bit RGB555/565: three COLOR channels in two bytes per pixel
+    Multimodal.parseImageHeader(bmpBytes(8, 8, 16)) shouldBe
+      Some(("bmp", 8, 8, 3))
     // malformed: zero width, absurd width, bogus bit depth, truncation
     Multimodal.parseImageHeader(bmpBytes(0, 9, 24)) shouldBe None
     Multimodal.parseImageHeader(bmpBytes(1 << 21, 9, 24)) shouldBe None
@@ -181,15 +184,66 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.parseImageHeader(ascii("P63 4 255 ")) shouldBe None
   }
 
+  /** A minimal well-formed PNG prefix: 8-byte signature + IHDR chunk
+    * (length, tag, 13 data bytes, 4 CRC bytes — CRC unchecked by the
+    * fixed-offset parse, zeroed here).
+    */
+  private def pngBytes(w: Int, h: Int, depth: Int, colorType: Int,
+      ihdrLen: Int = 13, tag: String = "IHDR"): Array[Byte] = {
+    val b = new Array[Byte](33)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    sig.zipWithIndex.foreach { case (v, i) => b(i) = v.toByte }
+    def be32(off: Int, v: Int): Unit = {
+      b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+      b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+    }
+    be32(8, ihdrLen)
+    tag.getBytes("US-ASCII").zipWithIndex.foreach {
+      case (v, i) => b(12 + i) = v
+    }
+    be32(16, w); be32(20, h)
+    b(24) = depth.toByte; b(25) = colorType.toByte
+    b // bytes 26-28 (compression/filter/interlace) + CRC stay 0
+  }
+
+  test("parseImageHeader decodes PNG IHDR for real (channels by color type)") {
+    Multimodal.parseImageHeader(pngBytes(800, 600, 8, 2)) shouldBe
+      Some(("png", 800, 600, 3)) // truecolor RGB
+    Multimodal.parseImageHeader(pngBytes(64, 64, 8, 6)) shouldBe
+      Some(("png", 64, 64, 4)) // RGBA
+    Multimodal.parseImageHeader(pngBytes(10, 20, 16, 0)) shouldBe
+      Some(("png", 10, 20, 1)) // 16-bit grayscale
+    Multimodal.parseImageHeader(pngBytes(3, 4, 4, 3)) shouldBe
+      Some(("png", 3, 4, 1)) // 4-bit paletted
+    Multimodal.parseImageHeader(pngBytes(5, 5, 8, 4)) shouldBe
+      Some(("png", 5, 5, 2)) // gray + alpha
+    // malformed: illegal depth/type combos (paletted-16, RGB-4),
+    // unknown color type, zero/absurd dims, wrong IHDR length, wrong
+    // chunk tag, truncation
+    Multimodal.parseImageHeader(pngBytes(5, 5, 16, 3)) shouldBe None
+    Multimodal.parseImageHeader(pngBytes(5, 5, 4, 2)) shouldBe None
+    Multimodal.parseImageHeader(pngBytes(5, 5, 8, 5)) shouldBe None
+    Multimodal.parseImageHeader(pngBytes(0, 5, 8, 2)) shouldBe None
+    Multimodal.parseImageHeader(pngBytes(1 << 21, 5, 8, 2)) shouldBe None
+    Multimodal.parseImageHeader(pngBytes(5, 5, 8, 2, ihdrLen = 14)) shouldBe None
+    Multimodal.parseImageHeader(pngBytes(5, 5, 8, 2, tag = "IDAT")) shouldBe None
+    Multimodal.parseImageHeader(pngBytes(5, 5, 8, 2).take(20)) shouldBe None
+  }
+
   test("decode: real formats decode for real, everything else falls back to the stub") {
     import spark.implicits._
     val mixed = Seq(
       MediaRow(1, "image", bmpBytes(640, 480, 24)),
       MediaRow(2, "image", "P6\n320 200\n255\n".getBytes("US-ASCII")),
       MediaRow(3, "audio", Array[Byte](-1, -2, -3)),
-      MediaRow(4, "image", Array.emptyByteArray)).toDS()
+      MediaRow(4, "image", Array.emptyByteArray),
+      MediaRow(5, "image", pngBytes(800, 600, 8, 6))).toDS()
     val out = Multimodal.decode(mixed).collect().sortBy(_.media_id)
-    out.map(_.format).toSeq shouldBe Seq("bmp", "ppm", "stub", "stub")
+    out.map(_.format).toSeq shouldBe Seq("bmp", "ppm", "stub", "stub", "png")
+    out(4).width shouldBe 800
+    out(4).channels shouldBe 4
+    // stub fallback carries the -1 channels sentinel (DecodedMedia doc)
+    out(2).channels shouldBe -1
     out(0).width shouldBe 640
     out(0).height shouldBe 480
     out(0).channels shouldBe 3
