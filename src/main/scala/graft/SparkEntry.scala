@@ -149,7 +149,24 @@ object SparkEntry {
     "p07_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "p08_filtered_pack" -> ((s: SparkSession, d: String) => Sampling.filteredPack(s, d)),
     "p09_cluster_split" -> ((s: SparkSession, d: String) => Sampling.clusterSplit(s, d)),
+    // —— the reference's own README workload over the committed
+    //    converted fixture (graft.osm.OsmFixture; SURVEY §5.3) ——
+    "o01_reassemble_ways" -> (osm.OsmOracle.reassembledWayPaths _),
+    "o02_latest_versions" -> (osm.OsmOracle.latestVersionRows _),
+    "o03_deleted_count" -> (osm.OsmOracle.deletedCounts _),
+    "o04_tag_usage_month" -> (osm.OsmOracle.tagUsagePerMonth _),
+    "o05_bbox_nodes" -> (osm.OsmOracle.bboxNodes _),
+    "o06_editor_counts" -> (osm.OsmOracle.editorCounts _),
+    "o07_changesets_bbox" -> (osm.OsmOracle.intersectingChangesets _),
+    "o08_tag_transitions" -> (osm.OsmOracle.amenityTransitions _),
   )
+
+  // The committed OSM fixture's canonical parquet location — embedded
+  // in the o-query oracle SQL (DuckDB reads the same converted bytes
+  // the Spark side reads; no view registration involved).
+  private val OsmP = s"read_parquet('${osm.OsmFixture.CanonicalDir}/planet/*.parquet')"
+  private val OsmH = s"read_parquet('${osm.OsmFixture.CanonicalDir}/planet_history/*.parquet')"
+  private val OsmC = s"read_parquet('${osm.OsmFixture.CanonicalDir}/changesets/*.parquet')"
 
   // Canonical DuckDB tokenization — must stay in lockstep with
   // graft.functions.Text.toks / Text.shingles.
@@ -2060,5 +2077,60 @@ object SparkEntry {
          |FROM c JOIN bud ON c.source = bud.source
          |WHERE cum_tokens <= shard_budget
          |ORDER BY c.source, shard, cum_tokens, doc_id""".stripMargin,
+
+    // —— OSM README workload over the committed converted fixture.
+    //    DuckDB has no WITH ORDINALITY: 1-based positions come from
+    //    UNNEST(range(...)) + list indexing. Map extraction yields a
+    //    LIST here — [1] unwraps to the scalar the Spark side reads. ——
+    "o01_reassemble_ways" ->
+      s"""WITH nodes AS (SELECT id AS node_id, lat, lon FROM $OsmP WHERE type = 'node'),
+         |wx AS (SELECT w.id AS way_id, i AS idx, w.nds[i].ref AS ref
+         |       FROM (SELECT id, nds FROM $OsmP WHERE type = 'way') w,
+         |            UNNEST(range(1, len(w.nds) + 1)) AS t(i))
+         |SELECT way_id, count(*) AS n_pts,
+         |  string_agg(CAST(n.lat AS VARCHAR) || ',' || CAST(n.lon AS VARCHAR), ';' ORDER BY idx) AS coord_path
+         |FROM wx JOIN nodes n ON wx.ref = n.node_id
+         |GROUP BY way_id ORDER BY way_id""".stripMargin,
+
+    "o02_latest_versions" ->
+      s"""WITH h AS (SELECT * FROM $OsmH),
+         |latest AS (SELECT type, id, max(version) AS version FROM h GROUP BY type, id)
+         |SELECT h.type, h.id, h.version, h.visible, h.changeset, h.uid, h."user" AS usr
+         |FROM h JOIN latest USING (type, id, version) ORDER BY h.type, h.id""".stripMargin,
+
+    "o03_deleted_count" ->
+      s"""WITH h AS (SELECT * FROM $OsmH),
+         |latest AS (SELECT type, id, max(version) AS version FROM h GROUP BY type, id)
+         |SELECT h.type, count(*) AS n_deleted
+         |FROM h JOIN latest USING (type, id, version)
+         |WHERE NOT h.visible GROUP BY h.type ORDER BY h.type""".stripMargin,
+
+    "o04_tag_usage_month" ->
+      s"""SELECT CAST(date_trunc('month', "timestamp") AS DATE) AS month, count(*) AS n
+         |FROM $OsmH WHERE tags['amenity'][1] IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o05_bbox_nodes" ->
+      s"""SELECT id, lat, lon FROM $OsmP WHERE type = 'node'
+         |AND lon BETWEEN -0.25e0 AND -0.05e0 AND lat BETWEEN 51.05e0 AND 51.25e0
+         |ORDER BY id""".stripMargin,
+
+    "o06_editor_counts" ->
+      s"""SELECT tags['created_by'][1] AS editor, count(id) AS n FROM $OsmC
+         |WHERE tags['created_by'][1] LIKE 'JOSM%' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o07_changesets_bbox" ->
+      s"""SELECT id, num_changes FROM $OsmC
+         |WHERE min_lon <= -124.02e0 AND max_lon >= -124.18e0
+         |  AND min_lat <= 41.3e0 AND max_lat >= 41.05e0
+         |ORDER BY id""".stripMargin,
+
+    "o08_tag_transitions" ->
+      s"""WITH v AS (SELECT type, id, version, tags['amenity'][1] AS value FROM $OsmH),
+         |lagged AS (SELECT type, id, version, value,
+         |  lag(value, 1) OVER (PARTITION BY type, id ORDER BY version) AS prev_value FROM v)
+         |SELECT type, id, version, value, prev_value FROM lagged
+         |WHERE value IS NOT NULL AND (prev_value IS NULL OR prev_value <> value)
+         |ORDER BY type, id, version""".stripMargin,
   )
 }

@@ -1,0 +1,81 @@
+package graft.osm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's published workload (README.md:78-242) in DRIVER-
+  * GATED form: each builder wraps an [[OsmQueries]] operator over the
+  * committed converted fixture ([[OsmFixture]]) and projects an
+  * oracle-comparable output — scalar columns only (the gate's row sort
+  * rejects arrays/maps), aggregates aliased identically to the DuckDB
+  * SQL in SparkEntry.oracleSql.
+  *
+  * These take the standard `(spark, sfDir)` query signature but read
+  * the fixture, not sfDir — the OSM tables are the fixture's converted
+  * planet/planet_history/changesets, which is the point: the gate now
+  * checks the OSM-shaped forms themselves, not just their generic
+  * twins (q05/q06/q07/q09/q11).
+  */
+object OsmOracle {
+
+  /** README ways-reassembly, gated: ordered coordinates flattened to a
+    * `lat,lon;lat,lon` path string (order-sensitivity survives; the
+    * array itself may not appear in gated output). Deleted nodes drop
+    * their positions via the inner join, as in the reference workload.
+    */
+  def reassembledWayPaths(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.reassembleWays(OsmFixture.planet(spark))
+      .select(col("way_id"),
+        size(col("coordinates")).cast("bigint").as("n_pts"),
+        array_join(
+          transform(col("coordinates"), c =>
+            concat_ws(",", c.getItem(0).cast("string"),
+              c.getItem(1).cast("string"))), ";").as("coord_path"))
+      .orderBy(col("way_id"))
+
+  /** README latest-version (join form), gated: scalar columns. */
+  def latestVersionRows(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.latestVersions(OsmFixture.history(spark))
+      .select(col("type"), col("id"), col("version"), col("visible"),
+        col("changeset"), col("uid"), col("user").as("usr"))
+      .orderBy(col("type"), col("id"))
+
+  /** README currently-deleted count per type, gated as-is. */
+  def deletedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.deletedCount(OsmFixture.history(spark))
+      .select(col("type"), col("n_deleted"))
+
+  /** README tag-usage by month, gated (month cast DATE — the q09
+    * cross-engine date_trunc convention).
+    */
+  def tagUsagePerMonth(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.tagUsageByMonth(OsmFixture.history(spark), "amenity")
+      .select(col("month").cast("date").as("month"), col("n"))
+
+  /** README nodes-in-bbox, gated: decimal comparison semantics. */
+  def bboxNodes(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.nodesInBbox(OsmFixture.planet(spark),
+        minLon = -0.25, maxLon = -0.05, minLat = 51.05, maxLat = 51.25)
+      .select(col("id"), col("lat"), col("lon"))
+      .orderBy(col("id"))
+
+  /** README changesets-by-editor (LIKE prefix on a map value). */
+  def editorCounts(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.changesetsByEditor(OsmFixture.changesets(spark), "JOSM")
+
+  /** README changesets-intersecting-bbox on the decimal bbox columns
+    * (NULL-bbox changesets fall out of the comparisons, both engines).
+    */
+  def intersectingChangesets(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.changesetsIntersecting(OsmFixture.changesets(spark),
+        minLon = -124.18, maxLon = -124.02, minLat = 41.05, maxLat = 41.3)
+      .select(col("id"), col("num_changes"))
+      .orderBy(col("id"))
+
+  /** The tag-transitions window form (README's recommended history
+    * idiom), gated as-is: lag over unique versions is deterministic.
+    */
+  def amenityTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.tagTransitions(OsmFixture.history(spark), "amenity")
+      .orderBy(col("type"), col("id"), col("version"))
+}
