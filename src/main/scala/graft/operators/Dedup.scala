@@ -193,24 +193,58 @@ object Dedup {
   /** [[spanScrub]] over an arbitrary (doc_id, text) frame — single
     * definition of the scrub semantics (the packCore pattern), so the
     * spec can drive planted fixtures through the gated plan.
+    *
+    * NOTE the span explode is referenced TWICE (the rep aggregation
+    * and the cov probe side) and the exchange children differ, so the
+    * plan evaluates tokenize+span-md5 twice per action — the honest
+    * cost is ~2x d17's single pass (the 1x sweep measures exactly
+    * that: 2.57 s vs 1.14 s). [[spanScrubCached]] is the amortizing
+    * variant (the d12 lazy-bloom pattern); the gated entry keeps the
+    * plan-only form.
     */
   private[operators] def spanScrubCore(docs: DataFrame,
+      window: Int): DataFrame =
+    spanScrubOn(docs, spansOf(docs, window), window)
+
+  /** The d17/d18 span-occurrence frame (doc_id, i, ph) with 1-based
+    * span start positions — the shared intermediate of detect and
+    * scrub, exposed so a caller can materialize it ONCE and amortize
+    * repeated scrubs ([[spanScrubCached]]).
+    */
+  private[operators] def spansOf(docs: DataFrame, window: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    Text.tokenized(docs, "doc_id", "text")
+      .select($"doc_id",
+        posexplode(spanHashes($"tk", window)).as(Seq("i0", "ph")))
+      .select($"doc_id", ($"i0" + 1).cast("int").as("i"), $"ph")
+  }
+
+  /** [[spanScrub]] with `Caches.track`-materialized spans: the span
+    * explode (tokenize + span-md5, the dominant d18 cost) is computed
+    * once and reused by both the detect aggregation and the cov probe
+    * — and by any FURTHER scrub over the same docs while the cache
+    * scope is open. Result is plan-identical to [[spanScrub]]
+    * (spec-asserted); lifecycle is the standard [[graft.Caches]]
+    * contract. Sweep (ProfileSpanScrub, sf0.1 warm): plan-only 3.40 s
+    * vs d17's 1.81 s (the ~2x), cached second scrub 1.68 s — ~1x d17,
+    * the amortization the d12 lazy-bloom pattern promises.
+    */
+  def spanScrubCached(spark: SparkSession, sfDir: String,
+      window: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    spanScrubOn(docs, graft.Caches.track(spansOf(docs, window)), window)
+  }
+
+  /** The scrub body over a caller-supplied spans frame (shape of
+    * [[spansOf]] under the SAME `window` — positions and hashes must
+    * come from one tokenization discipline, or keeper/coverage drift).
+    */
+  def spanScrubOn(docs: DataFrame, spans: DataFrame,
       window: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val tkdf = Text.tokenized(docs, "doc_id", "text")
-    val toks = tkdf.select($"doc_id",
+    val toks = Text.tokenized(docs, "doc_id", "text").select($"doc_id",
       posexplode($"tk").as(Seq("pos0", "token")))
       .select($"doc_id", ($"pos0" + 1).cast("int").as("pos"), $"token")
-    // NOTE the span explode is referenced TWICE (the rep aggregation
-    // and the cov probe side) and the exchange children differ, so the
-    // plan evaluates tokenize+span-md5 twice per action — the honest
-    // cost is ~2x d17's single pass (the 1x sweep measures exactly
-    // that: 2.57 s vs 1.14 s). A caller amortizing repeated scrubs
-    // should Caches.track a materialized spans frame; the gated entry
-    // keeps the plan-only form.
-    val spans = tkdf.select($"doc_id",
-      posexplode(spanHashes($"tk", window)).as(Seq("i0", "ph")))
-      .select($"doc_id", ($"i0" + 1).cast("int").as("i"), $"ph")
     // one definition of detect: the d17 rule via repeatedSpanStats
     val rep = repeatedSpanStats(spans.select($"doc_id", $"ph"))
       .select($"ph", $"min_doc")

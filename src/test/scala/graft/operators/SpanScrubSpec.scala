@@ -59,4 +59,15 @@ class SpanScrubSpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     }
   }
+
+  test("spanScrubCached == plan-only spanScrub, and the spans frame is registered for release") {
+    val scope = graft.Caches.scope()
+    try {
+      val cached = Dedup.spanScrubCached(spark, sf).collect()
+      // the materialized spans frame landed in the open scope
+      scope.size should be >= 1
+      val plain = Dedup.spanScrub(spark, sf).collect()
+      cached.map(_.toSeq).toSeq shouldBe plain.map(_.toSeq).toSeq
+    } finally scope.release()
+  }
 }
