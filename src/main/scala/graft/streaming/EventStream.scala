@@ -163,6 +163,66 @@ object EventStream {
       .agg(count(lit(1)).as("tf"),
         approx_count_distinct(col("doc_id"), 0.01).as("df_approx"))
 
+  /** A document on the crawl stream carrying its language — the d19
+    * diff keys on (lang, content hash), so the streaming twin needs
+    * lang on the row (the batch `documents` table has it).
+    */
+  case class LangDoc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+
+  /** Streaming crawl-vs-history corpus diff — [[graft.operators.Dedup
+    * .corpusDiffFrames]]'s ingest-time twin, completing the stream
+    * family's detect/scrub/diff symmetry: as the new crawl arrives,
+    * per-language running counts of distinct contents ADDED (not in
+    * the history snapshot), RETAINED (re-crawled), and REMOVED
+    * (history contents the stream has not yet re-crawled). Membership
+    * is by 16-byte content hash (the d01 discipline); `history` is a
+    * STATIC (lang, text) frame — the previous crawl's snapshot.
+    *
+    * Semantics: `n_removed` for a language monotonically DECREASES
+    * toward the batch value as retained contents arrive — at
+    * end-of-stream the three counts equal corpusDiffFrames(history,
+    * stream-contents) exactly (spec-asserted). A language with NO row
+    * on the stream never emits: its whole history is "removed", and
+    * that fact needs no state — it is the static per-lang count.
+    *
+    * At-least-once robustness: arriving contents pass a
+    * watermark-bounded (lang, hash) dedup, so a redelivery (or a
+    * genuine re-crawl of the same bytes) within `dedupWatermark`
+    * cannot double-count; the same horizon bounds the dedup state
+    * (the termStatsStream trade — size it to the source's redelivery
+    * window).
+    *
+    * Scale shape: the membership probe is a stream-static equi-join
+    * on (lang, hash) — per-micro-batch work proportional to the BATCH,
+    * not the corpus, and Catalyst picks broadcast vs shuffle from the
+    * history's size (don't force broadcast: a 100 TB history's hash
+    * set does not fit one executor; the d12 bloom prefilter composes
+    * in front when the history is huge). Counter state is
+    * lang-cardinality; per-lang static totals ride each row from a
+    * broadcast-sized (lang, count) join.
+    */
+  def corpusDiffStream(docs: Dataset[LangDoc], history: DataFrame,
+      dedupWatermark: String = "1 hour"): DataFrame = {
+    val histKeys = history
+      .select(col("lang"), unhex(md5(col("text").cast("binary"))).as("h"))
+      .distinct()
+    val histCounts = histKeys.groupBy(col("lang"))
+      .agg(count(lit(1)).as("hist_n"))
+    docs.toDF()
+      .select(col("lang"), col("ts"),
+        unhex(md5(col("text").cast("binary"))).as("h"))
+      .withWatermark("ts", dedupWatermark)
+      .dropDuplicatesWithinWatermark("lang", "h")
+      .join(histKeys.withColumn("in_hist", lit(1)), Seq("lang", "h"), "left")
+      .join(broadcast(histCounts), Seq("lang"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("in_hist").isNull, 1L).otherwise(0L)).as("n_added"),
+        (first(coalesce(col("hist_n"), lit(0L))) -
+          sum(when(col("in_hist").isNotNull, 1L).otherwise(0L))).as("n_removed"),
+        sum(when(col("in_hist").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+  }
+
   /** Streaming NEAR-dup detection — the ingestion-time twin of the batch
     * banded-hamming pass (`Dedup.simHashPairsHashed`): each arriving
     * document's 32-bit simhash is computed statelessly ([[docSimhashCol]]),

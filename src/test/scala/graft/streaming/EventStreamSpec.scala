@@ -500,4 +500,49 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
         spark, "/root/testdata/sf0.001").count()
     } finally q.stop()
   }
+
+  test("streaming corpus diff converges to the batch d19 report") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import EventStream.LangDoc
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 80)
+    // the d16/d19 parity split: even = history snapshot, odd = new crawl
+    val hist = all.filter($"doc_id" % 2 === 0)
+    val newDf = all.filter($"doc_id" % 2 === 1)
+    val newDocs = newDf.orderBy($"doc_id").collect().map(r =>
+      LangDoc(r.getAs[Long]("doc_id"), ts(100 + r.getAs[Long]("doc_id")),
+        r.getAs[String]("lang"), r.getAs[String]("text")))
+
+    val mem = MemoryStream[LangDoc]
+    val q = EventStream.corpusDiffStream(mem.toDS(), hist)
+      .writeStream.format("memory").queryName("cdiff")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = newDocs.splitAt(newDocs.length / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      // at-least-once replay within the watermark: no double count
+      mem.addData(newDocs.head); q.processAllAvailable()
+
+      val streamed = spark.table("cdiff").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.operators.Dedup.corpusDiffFrames(hist, newDf)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+      // every language the stream carried must agree exactly with the
+      // batch (n_added, n_removed, n_retained); languages absent from
+      // the stream are the documented all-removed static case
+      val streamLangs = newDocs.map(_.lang).toSet
+      streamed.keySet shouldBe streamLangs
+      streamLangs.foreach { lang =>
+        withClue(s"lang $lang: ") {
+          streamed(lang) shouldBe batch(lang)
+        }
+      }
+    } finally q.stop()
+  }
 }
