@@ -838,10 +838,12 @@ object Dedup {
     * keeper. Returns (doc_id, canonical_id, keep_id, keep).
     *
     * Scale shape: one join of the cluster map against the map-only
-    * quality pass, then a window partitioned by cluster id — cluster
-    * cardinality is corpus-order (no low-cardinality funnel). Ranking is
-    * on the 1e-6-rounded quality (exact cross-engine) with a doc_id
-    * tiebreak, so selection is deterministic under any partitioning.
+    * quality pass, then a map-side-combinable struct-max aggregate per
+    * cluster — cluster cardinality is corpus-order AND a pathological
+    * mega-cluster (an all-boilerplate corpus) still combines in
+    * partials rather than sorting in one window task. Selection is on
+    * the 1e-6-rounded quality (exact cross-engine) with a doc_id
+    * tiebreak, deterministic under any partitioning.
     */
   def canonicalizeBest(spark: SparkSession, sfDir: String,
       jaccardThreshold: Double = 0.6): DataFrame = {
@@ -850,13 +852,18 @@ object Dedup {
     val clusters = clusterMap(spark, sfDir, jaccardThreshold)
     val quality = TextAnalysis.textStats(spark, sfDir)
       .select($"doc_id", $"quality")
-    val w = Window.partitionBy($"canonical_id")
-      .orderBy($"quality".desc, $"doc_id")
     // cached: consumed twice (join left + the keeper selection)
-    val ranked = graft.Caches.track(clusters.join(quality, "doc_id")
-      .withColumn("rn", row_number().over(w)))
-    val keepers = ranked.filter($"rn" === 1)
-      .select($"canonical_id", $"doc_id".as("keep_id"))
+    val ranked = graft.Caches.track(clusters.join(quality, "doc_id"))
+    // keeper = argmax(quality, tiebreak min doc_id) per cluster, as a
+    // map-side-combinable struct-max aggregate: (quality, -doc_id)
+    // orders exactly like the (quality DESC, doc_id ASC) window rank,
+    // but a mega-cluster (all-boilerplate corpus) combines in partial
+    // aggregates instead of sorting corpus-sized rows in ONE window
+    // task (round-8 window audit; the MinKAggregator discipline)
+    val keepers = ranked
+      .groupBy($"canonical_id")
+      .agg(max(struct($"quality", (-$"doc_id").as("neg_id"))).as("best"))
+      .select($"canonical_id", (-$"best.neg_id").as("keep_id"))
     ranked.join(keepers, "canonical_id")
       .select($"doc_id", $"canonical_id", $"keep_id",
         ($"doc_id" === $"keep_id").as("keep"))

@@ -644,18 +644,74 @@ object Relational {
     * ntile runs over a total order (status, orderkey) so its
     * bucket-boundary assignment is engine-independent. All three are
     * exact rationals of row counts — no float-order wobble.
+    *
+    * Scale shape (round-8 window audit): a direct window over the FIVE
+    * order priorities would sort corpus/5 rows in one task — the q37
+    * funnel class. Instead: percent_rank and cume_dist depend only on
+    * (priority, status) peer-group counts — a ~15-row aggregate,
+    * windowed tiny and broadcast back; ntile needs each row's global
+    * rank within its priority, computed by the two-stage sharded-rank
+    * idiom (range partitions are globally ordered, so rank =
+    * prior-partition offset + local rank — partition population is
+    * corpus/shufflePartitions, the knob that grows with the cluster,
+    * never corpus/5) and then Spark's exact ntile arithmetic (first
+    * n%4 buckets take one extra row). RankVariantsSpec pins this plan
+    * equal to the direct window form row-for-row.
     */
   def rankVariants(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wTies = Window.partitionBy($"o_orderpriority").orderBy($"o_orderstatus")
-    val wTotal = Window.partitionBy($"o_orderpriority")
-      .orderBy($"o_orderstatus", $"o_orderkey")
-    Tables.orders(spark, sfDir)
+    val base = Tables.orders(spark, sfDir)
       .filter($"o_orderkey" % 7 === 0)
       .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus")
-      .withColumn("quartile", ntile(4).over(wTotal).cast("int"))
-      .withColumn("pct_rank", round(percent_rank().over(wTies), 6))
-      .withColumn("cume", round(cume_dist().over(wTies), 6))
+
+    // —— tie-rank half: per-(priority, status) counts drive both
+    // percent_rank ((rows before)/(n-1); 0 when n == 1, Spark's rule)
+    // and cume_dist ((rows through group)/n) ——
+    val wStat = Window.partitionBy($"o_orderpriority").orderBy($"o_orderstatus")
+    val wAll = Window.partitionBy($"o_orderpriority")
+    val grpRanks = base
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .withColumn("before", coalesce(sum($"cnt")
+        .over(wStat.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pct_rank",
+        when($"n" === 1, lit(0.0))
+          .otherwise(round($"before" / ($"n" - 1), 6)))
+      .withColumn("cume", round(($"before" + $"cnt") / $"n", 6))
+      .select($"o_orderpriority", $"o_orderstatus", $"n",
+        $"pct_rank", $"cume")
+
+    // —— total-order half: global rank within priority via the
+    // sharded-rank idiom; cached — the offsets aggregate and the join
+    // left side both read the local-rank pass ——
+    val local = graft.Caches.track(
+      base.repartitionByRange($"o_orderpriority", $"o_orderstatus", $"o_orderkey")
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy($"pid", $"o_orderpriority")
+            .orderBy($"o_orderstatus", $"o_orderkey"))))
+    val offs = local.groupBy($"pid", $"o_orderpriority")
+      .agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum($"pc").over(
+        Window.partitionBy($"o_orderpriority").orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"o_orderpriority", $"off")
+
+    local.join(broadcast(offs), Seq("pid", "o_orderpriority"))
+      .withColumn("rn", $"off" + $"lrn")
+      .join(broadcast(grpRanks), Seq("o_orderpriority", "o_orderstatus"))
+      // Spark's ntile(4): size = n DIV 4, the first n % 4 buckets hold
+      // size+1 rows (the else branch never divides by zero: size == 0
+      // forces rem == n, so every rn takes the when branch)
+      .withColumn("quartile",
+        when($"rn" <= ($"n" % 4) * (expr("n DIV 4") + 1),
+          expr("(rn - 1) DIV (n DIV 4 + 1) + 1"))
+          .otherwise(
+            expr("n % 4 + (rn - (n % 4) * (n DIV 4 + 1) - 1) DIV (n DIV 4) + 1"))
+          .cast("int"))
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus",
+        $"quartile", $"pct_rank", $"cume")
       .orderBy($"o_orderkey")
   }
 }

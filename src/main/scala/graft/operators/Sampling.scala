@@ -115,20 +115,31 @@ object Sampling {
     * budgets, not the test default of 8.
     */
   def tokenBudget(spark: SparkSession, sfDir: String, shards: Int = 8,
-      perShardTokens: Long = 2000): DataFrame =
-    budgetPack(Tables.documents(spark, sfDir), shards, perShardTokens)
+      perShardTokens: Long = 2000,
+      maxShardRows: Long = Sizing.MaxShardRows): DataFrame =
+    budgetPack(Tables.documents(spark, sfDir), shards, perShardTokens,
+      maxShardRows)
 
   /** The [[tokenBudget]] core over an arbitrary (doc_id, text) set —
     * single definition of the pack semantics shared with
     * [[dedupBudget]].
     */
   private def budgetPack(docs: DataFrame, shards: Int,
-      perShardTokens: Long): DataFrame = {
+      perShardTokens: Long,
+      maxShardRows: Long = Sizing.MaxShardRows): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
-    docs
-      .withColumn("hkey", md5(col("text").cast("binary")))
-      .withColumn("shard", (hashBucket(col("text")) % shards).cast("int"))
-      .withColumn("n_tokens", Text.tokenCount(col("text")))
+    // sizing contract, in code (the packCore discipline): the running
+    // sum sees EVERY shard row before the budget filter, so an
+    // undersized `shards` fails loudly instead of funneling the corpus
+    // through one sequential window task; cached (NARROW — a cache is
+    // a pruning boundary) so the guard's two sides pay tokenize once
+    Sizing.guardKeyPopulation(
+      graft.Caches.track(docs
+        .withColumn("hkey", md5(col("text").cast("binary")))
+        .withColumn("shard", (hashBucket(col("text")) % shards).cast("int"))
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
+        .select(col("doc_id"), col("hkey"), col("shard"), col("n_tokens"))),
+      "shard", maxShardRows, "tokenBudget", "shard", "shards")
       .withColumn("cum_tokens",
         sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_tokens") <= perShardTokens)
@@ -189,12 +200,16 @@ object Sampling {
     // sizing contract, in code: an over-populated shard fails the query
     // naming `shards` instead of funneling the corpus through one
     // sequential prefix-sum task (Sizing.suggestShards); cached so the
-    // guard's count+probe sides pay the tokenize+hash pass once
+    // guard's count+probe sides pay the tokenize+hash pass once —
+    // NARROW projection before the cache (an InMemoryRelation is a
+    // pruning boundary: caching the full docs frame would drag
+    // lang/source/n_chars into the scan, PlanAuditSpec-asserted)
     Sizing.guardKeyPopulation(
       graft.Caches.track(docs
         .withColumn("shard", (hashBucket(col("text")) % shards).cast("int"))
         .withColumn("n_tokens", Text.tokenCount(col("text")).cast("bigint"))
-        .filter(col("n_tokens") > 0)),
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("shard"), col("n_tokens"))),
       "shard", maxShardRows, "packSequences", "shard", "shards")
       .withColumn("g_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("g_start"),
@@ -253,7 +268,8 @@ object Sampling {
     * side is sources-cardinality and broadcasts.
     */
   def applyMixture(spark: SparkSession, sfDir: String,
-      totalTokens: Long = 40000, shards: Int = 4): DataFrame = {
+      totalTokens: Long = 40000, shards: Int = 4,
+      maxShardRows: Long = Sizing.MaxShardRows): DataFrame = {
     import spark.implicits._
     val m = 1000000L * shards
     val (tq, tr) = (totalTokens / m, totalTokens % m)
@@ -262,10 +278,17 @@ object Sampling {
       .withColumn("shard_budget", expr(s"wq * $tq + (wq * $tr) DIV $m"))
       .select($"source", $"shard_budget")
     val w = Window.partitionBy($"source", $"shard").orderBy($"hkey", $"doc_id")
-    Tables.documents(spark, sfDir)
-      .withColumn("hkey", md5($"text".cast("binary")))
-      .withColumn("shard", (hashBucket($"text") % shards).cast("int"))
-      .withColumn("n_tokens", Text.tokenCount($"text"))
+    // sizing contract, in code: the (source, shard) composite guard —
+    // the running sum's partition — fails loudly when `shards` is
+    // undersized for the corpus (the tokenBudget discipline; narrow
+    // projection before the cache, which is a pruning boundary)
+    Sizing.guardKeyPopulation(
+      graft.Caches.track(Tables.documents(spark, sfDir)
+        .withColumn("hkey", md5($"text".cast("binary")))
+        .withColumn("shard", (hashBucket($"text") % shards).cast("int"))
+        .withColumn("n_tokens", Text.tokenCount($"text"))
+        .select($"doc_id", $"source", $"hkey", $"shard", $"n_tokens")),
+      Seq("source", "shard"), maxShardRows, "applyMixture", "shard", "shards")
       .withColumn("cum_tokens", sum($"n_tokens")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(budgets), "source")

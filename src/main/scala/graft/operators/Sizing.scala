@@ -116,18 +116,33 @@ object Sizing {
     * cached frame when that lineage is expensive (see object scaladoc).
     */
   def guardKeyPopulation(df: DataFrame, keyCol: String, maxPop: Long,
+      op: String, keyKind: String, param: String): DataFrame =
+    guardKeyPopulation(df, Seq(keyCol), maxPop, op, keyKind, param)
+
+  /** Multi-column form: the population bound applies to the COMPOSITE
+    * key (e.g. applyMixture's (source, shard) running-sum partitions);
+    * the join back is on all key columns, so the exchange-reuse
+    * argument holds unchanged.
+    */
+  def guardKeyPopulation(df: DataFrame, keyCols: Seq[String], maxPop: Long,
       op: String, keyKind: String, param: String): DataFrame = {
+    require(keyCols.nonEmpty, "guardKeyPopulation needs at least one key")
     val popCol = "__" + keyKind + "_pop"
-    val popKey = "__" + keyKind + "_key"
+    val popKeys = keyCols.map(k => "__" + keyKind + "_key_" + k)
     // null-safe equality: groupBy counts the NULL key as a group, and a
     // plain equi-join would silently DROP every null-key row instead of
     // guarding it — <=> keeps the row-for-row contract for nullable
     // keys (current wirings compute non-null keys, but the utility's
     // contract must not depend on that)
-    val pops = df.groupBy(col(keyCol).as(popKey))
+    val pops = df.groupBy(keyCols.zip(popKeys).map {
+        case (k, pk) => col(k).as(pk)
+      }: _*)
       .agg(count(lit(1)).as(popCol))
-    df.join(pops, col(keyCol) <=> col(popKey))
-      .drop(popKey)
+    val joinCond = keyCols.zip(popKeys)
+      .map { case (k, pk) => col(k) <=> col(pk) }
+      .reduce(_ && _)
+    val keyStr = concat_ws("/", keyCols.map(k => col(k).cast("string")): _*)
+    popKeys.foldLeft(df.join(pops, joinCond))((d, pk) => d.drop(pk))
       .filter(
         when(col(popCol) > maxPop,
           raise_error(format_string(
@@ -135,7 +150,7 @@ object Sizing {
               s"configured `$param` is undersized for this corpus - " +
               s"grow it with the corpus (see graft.operators.Sizing." +
               sizingHelper(param) + ")",
-            col(keyCol).cast("string"), col(popCol).cast("string")))
+            keyStr, col(popCol).cast("string")))
           .cast("boolean"))
         .otherwise(lit(true)))
       .drop(popCol)

@@ -370,9 +370,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
     // posting head as a comma-joined string: the declared surface keeps
     // array-free output columns (driver-gate hashing contract); sort
-    // NUMERICALLY before casting to string
+    // NUMERICALLY before casting to string.
+    // Two-stage min-k (the stratifiedSample discipline): a single
+    // per-term window would rank a hot term's FULL posting list —
+    // corpus-proportional for stopwords — in one task; the pre-stage
+    // keeps each (input partition, term)'s smallest headLen doc_ids
+    // (a superset of the global head by construction), so the final
+    // window ranks <= headLen x partitions rows per term.
+    val wPre = Window.partitionBy(spark_partition_id(), $"term")
+      .orderBy($"doc_id")
     val w = Window.partitionBy($"term").orderBy($"doc_id")
     val heads = tox.select($"term", $"doc_id").distinct()
+      .withColumn("prn", row_number().over(wPre))
+      .filter($"prn" <= headLen)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= headLen)
       .groupBy($"term")

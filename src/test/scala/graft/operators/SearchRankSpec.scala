@@ -253,4 +253,22 @@ class SearchRankSpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     }
   }
+
+  test("rankVariants sharded-rank plan == the direct (funnel) window form, row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wTies = Window.partitionBy($"o_orderpriority").orderBy($"o_orderstatus")
+    val wTotal = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderstatus", $"o_orderkey")
+    val direct = Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus")
+      .withColumn("quartile", ntile(4).over(wTotal).cast("int"))
+      .withColumn("pct_rank", round(percent_rank().over(wTies), 6))
+      .withColumn("cume", round(cume_dist().over(wTies), 6))
+      .orderBy($"o_orderkey").collect()
+    val sharded = Relational.rankVariants(spark, sf).collect()
+    try sharded.map(_.toSeq).toSeq shouldBe direct.map(_.toSeq).toSeq
+    finally graft.Caches.releaseAll(spark)
+  }
 }

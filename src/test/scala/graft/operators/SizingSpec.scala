@@ -118,6 +118,16 @@ class SizingSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("tokenBudget / applyMixture running-sum guards fire when shards is undersized") {
+    failsNaming("`shards`") {
+      Sampling.tokenBudget(spark, sf, maxShardRows = 5L).collect()
+    }
+    failsNaming("`shards`") {
+      Sampling.applyMixture(spark, sf, maxShardRows = 5L).collect()
+    }
+    graft.Caches.releaseAll(spark)
+  }
+
   test("contract-sized defaults stay silent and unchanged (d15 spot check)") {
     // same rows as before the guard existed: total partition of the corpus
     val n = graft.Tables.embeddings(spark, sf).count()
