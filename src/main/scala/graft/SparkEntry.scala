@@ -159,6 +159,8 @@ object SparkEntry {
     "o06_editor_counts" -> (osm.OsmOracle.editorCounts _),
     "o07_changesets_bbox" -> (osm.OsmOracle.intersectingChangesets _),
     "o08_tag_transitions" -> (osm.OsmOracle.amenityTransitions _),
+    "o09_all_geometries" -> (osm.OsmOracle.geometryPaths _),
+    "o10_commented_changesets" -> (osm.OsmOracle.commentedChangesets _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -2132,5 +2134,22 @@ object SparkEntry {
          |SELECT type, id, version, value, prev_value FROM lagged
          |WHERE value IS NOT NULL AND (prev_value IS NULL OR prev_value <> value)
          |ORDER BY type, id, version""".stripMargin,
+
+    "o09_all_geometries" ->
+      s"""WITH nodes AS (SELECT id AS node_id, lat, lon FROM $OsmP WHERE type = 'node'),
+         |wx AS (SELECT w.id AS way_id, i AS idx, w.nds[i].ref AS ref
+         |       FROM (SELECT id, nds FROM $OsmP WHERE type = 'way') w,
+         |            UNNEST(range(1, len(w.nds) + 1)) AS t(i)),
+         |ways AS (SELECT way_id AS id, 'way' AS type, count(*) AS n_pts,
+         |  string_agg(CAST(n.lat AS VARCHAR) || ',' || CAST(n.lon AS VARCHAR), ';' ORDER BY idx) AS coord_path
+         |  FROM wx JOIN nodes n ON wx.ref = n.node_id GROUP BY way_id),
+         |pts AS (SELECT id, 'node' AS type, CAST(1 AS BIGINT) AS n_pts,
+         |  CAST(lat AS VARCHAR) || ',' || CAST(lon AS VARCHAR) AS coord_path
+         |  FROM $OsmP WHERE type = 'node')
+         |SELECT * FROM pts UNION ALL SELECT * FROM ways ORDER BY type, id""".stripMargin,
+
+    "o10_commented_changesets" ->
+      s"""SELECT id, tags['comment'][1] AS comment, "user" AS usr, num_changes
+         |FROM $OsmC WHERE tags['comment'][1] IS NOT NULL ORDER BY id""".stripMargin,
   )
 }

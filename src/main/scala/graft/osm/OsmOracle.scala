@@ -78,4 +78,25 @@ object OsmOracle {
   def amenityTransitions(spark: SparkSession, sfDir: String): DataFrame =
     OsmQueries.tagTransitions(OsmFixture.history(spark), "amenity")
       .orderBy(col("type"), col("id"), col("version"))
+
+  /** README all-geometries (node points UNION ALL reassembled ways),
+    * gated with the o01 path flattening.
+    */
+  def geometryPaths(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.allGeometries(OsmFixture.planet(spark))
+      .select(col("id"), col("type"),
+        size(col("coordinates")).cast("bigint").as("n_pts"),
+        array_join(
+          transform(col("coordinates"), c =>
+            concat_ws(",", c.getItem(0).cast("string"),
+              c.getItem(1).cast("string"))), ";").as("coord_path"))
+      .orderBy(col("type"), col("id"))
+
+  /** README changesets-with-comment (map-key existence + extraction). */
+  def commentedChangesets(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.changesetsWithComment(OsmFixture.changesets(spark))
+      .select(col("id"),
+        col("tags").getItem("comment").as("comment"),
+        col("user").as("usr"), col("num_changes"))
+      .orderBy(col("id"))
 }

@@ -21,14 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object OsmFixtureGen {
 
-  private def nodeLat(id: Int) = f"51.$id%02d00000"
-  private def nodeLon(id: Int) = f"-0.$id%02d00000"
+  val NodeCount = 1200
+  val WayCount = 150
+
+  private def nodeLat(id: Int) = f"51.${id % 100}%02d${id % 10}0000"
+  private def nodeLon(id: Int) = f"-0.${id % 97}%02d${id % 7}0000"
   private def month(id: Int) = 1 + (id % 6)
   private def ts(id: Int, plusMonth: Int = 0) =
     f"2020-${month(id) + plusMonth}%02d-15T10:00:00Z"
 
-  /** 40 nodes / 10 ways / 3 relations; versioned edits, retags,
-    * deletions, ordered (and re-ordered) way nds, one closed ring.
+  /** 1200 nodes / 150 ways / 3 relations; versioned edits, retags,
+    * deletions, ordered (and re-ordered) way nds, closed rings.
     */
   private[osm] def historyXml: String = {
     val sb = new StringBuilder
@@ -43,7 +46,7 @@ object OsmFixtureGen {
       if (id % 7 == 0) b ++= tag("tourism", "museum")
       b.toString
     }
-    for (id <- 1 to 40) {
+    for (id <- 1 to NodeCount) {
       def node(version: Int, plusMonth: Int, visible: Boolean,
           retagged: Boolean): Unit = {
         val vis = if (visible) "" else " visible=\"false\""
@@ -54,19 +57,24 @@ object OsmFixtureGen {
       node(1, 0, visible = true, retagged = false)
       // every 4th node gets a retagging v2 one month later
       if (id % 4 == 0) node(2, 1, visible = true, retagged = true)
-      // nodes 6 and 12 end deleted
-      if (id == 6) node(2, 1, visible = false, retagged = false)
-      if (id == 12) node(3, 2, visible = false, retagged = true)
+      // every 37th node ends deleted — version 3 when a retag v2
+      // exists (versions must stay UNIQUE per element, or the
+      // latest-version join and window forms legitimately diverge)
+      if (id % 37 == 6)
+        node(if (id % 4 == 0) 3 else 2, 1, visible = false, retagged = false)
+      if (id % 37 == 12) node(3, 2, visible = false, retagged = true)
     }
-    for (w <- 101 to 110) {
-      val base = w - 100
-      // 4 consecutive node refs; way 103 closes its ring (first == last)
-      val refs0 = Seq(base, base + 10, base + 20, base + 30)
-      val refs = if (w == 103) refs0 :+ refs0.head else refs0
+    val wayIds = 10001 until (10001 + WayCount)
+    for (w <- wayIds) {
+      val base = 1 + ((w - 10001) * 7) % NodeCount
+      // 4-8 spread node refs; every 9th way closes its ring
+      val n = 4 + (w % 5)
+      val refs0 = (0 until n).map(k => 1 + (base + k * 13) % NodeCount)
+      val refs = if (w % 9 == 3) refs0 :+ refs0.head else refs0
       def way(version: Int, plusMonth: Int, visible: Boolean,
           rs: Seq[Int]): Unit = {
         val vis = if (visible) "" else " visible=\"false\""
-        sb ++= s"""  <way id="$w" version="$version" changeset="${200 + w}" timestamp="${ts(w, plusMonth)}" uid="${1 + w % 7}" user="u${1 + w % 7}"$vis>\n"""
+        sb ++= s"""  <way id="$w" version="$version" changeset="${20000 + w}" timestamp="${ts(w, plusMonth)}" uid="${1 + w % 7}" user="u${1 + w % 7}"$vis>\n"""
         rs.foreach(r => sb ++= s"    <nd ref=\"$r\"/>\n")
         sb ++= tag("highway",
           Seq("residential", "primary", "footway")(w % 3))
@@ -74,15 +82,17 @@ object OsmFixtureGen {
         sb ++= "  </way>\n"
       }
       way(1, 0, visible = true, refs)
-      // way 106 re-orders its nds in v2 (order-sensitivity probe);
-      // way 107 is deleted in v2
-      if (w == 106) way(2, 1, visible = true, refs.reverse)
-      if (w == 107) way(2, 1, visible = false, refs)
+      // every 11th way re-orders its nds in v2 (order-sensitivity
+      // probe); every 13th is deleted (v3 when a reorder v2 exists —
+      // versions stay unique per element)
+      if (w % 11 == 6) way(2, 1, visible = true, refs.reverse)
+      if (w % 13 == 7)
+        way(if (w % 11 == 6) 3 else 2, 1, visible = false, refs)
     }
-    for (r <- 201 to 203) {
-      sb ++= s"""  <relation id="$r" version="1" changeset="${300 + r}" timestamp="${ts(r)}" uid="1" user="u1">\n"""
-      sb ++= s"""    <member type="way" ref="${101 + (r % 3)}" role="outer"/>\n"""
-      sb ++= s"""    <member type="node" ref="${r - 200}" role=""/>\n"""
+    for (r <- 30001 to 30003) {
+      sb ++= s"""  <relation id="$r" version="1" changeset="${r + 300}" timestamp="${ts(r)}" uid="1" user="u1">\n"""
+      sb ++= s"""    <member type="way" ref="${10001 + (r % 3)}" role="outer"/>\n"""
+      sb ++= s"""    <member type="node" ref="${r - 30000}" role=""/>\n"""
       sb ++= tag("type", "multipolygon")
       sb ++= "  </relation>\n"
     }
@@ -90,8 +100,10 @@ object OsmFixtureGen {
     sb.toString
   }
 
-  /** 20 changesets: editor tags (JOSM/iD/Potlatch/absent), comment
-    * tags, bbox decimals (absent on the last four), open/closed.
+  val ChangesetCount = 120
+
+  /** 120 changesets: editor tags (JOSM/iD/Potlatch/absent), comment
+    * tags, bbox decimals (absent on every 5th), open/closed.
     */
   private[osm] def changesetsXml: String = {
     val editors =
@@ -100,14 +112,16 @@ object OsmFixtureGen {
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
     sb ++= "<osm license=\"ODbL\" version=\"0.6\">\n"
-    for (id <- 1 to 20) {
+    for (id <- 1 to ChangesetCount) {
       val open = id % 5 == 0
       val closed =
         if (open) ""
         else f""" closed_at="2020-${month(id)}%02d-16T00:00:00Z""""
+      // bbox around 41.xx / -124.xx, absent on every 7th changeset
+      val b = id % 90
       val bbox =
-        if (id <= 16)
-          s""" min_lat="41.${id}0" max_lat="41.${id}5" min_lon="-124.${id}5" max_lon="-124.${id}0""""
+        if (id % 7 != 0)
+          s""" min_lat="41.${b}0" max_lat="41.${b}5" min_lon="-124.${b}5" max_lon="-124.${b}0""""
         else ""
       sb ++= s"""  <changeset id="$id" created_at="${ts(id)}"$closed open="$open" user="u${id % 7}" uid="${id % 7}"$bbox num_changes="${id * 3}" comments_count="${id % 4}">\n"""
       editors(id % 5).foreach(e => sb ++= s"    <tag k=\"created_by\" v=\"$e\"/>\n")
