@@ -77,6 +77,7 @@ object SparkEntry {
     "d17_repeated_spans" -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
     "d18_span_scrub" -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     "d19_corpus_diff" -> ((s: SparkSession, d: String) => Dedup.corpusDiff(s, d)),
+    "d20_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     // —— extensions: similarity search ——
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -149,6 +150,8 @@ object SparkEntry {
     "p07_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "p08_filtered_pack" -> ((s: SparkSession, d: String) => Sampling.filteredPack(s, d)),
     "p09_cluster_split" -> ((s: SparkSession, d: String) => Sampling.clusterSplit(s, d)),
+    "p10_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
+    "p11_seeded_shuffle" -> ((s: SparkSession, d: String) => Sampling.seededShuffle(s, d)),
     // —— the reference's own README workload over the committed
     //    converted fixture (graft.osm.OsmFixture; SURVEY §5.3) ——
     "o01_reassemble_ways" -> (osm.OsmOracle.reassembledWayPaths _),
@@ -834,6 +837,26 @@ object SparkEntry {
         |    AS BIGINT) AS n_retained
         |FROM o FULL JOIN n ON o.lang = n.lang AND o.h = n.h
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d20: cross-source shingle overlap — distinct (source, 3-gram)
+    // self-join, Jaccard + containment from exact integer counts
+    "d20_source_overlap" ->
+      s"""WITH tk AS (SELECT source, $Toks AS tk FROM documents),
+         |gp AS (SELECT source, tk,
+         |         unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM tk),
+         |ss AS (SELECT DISTINCT source, $GramExpr AS sh FROM gp),
+         |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+         |inter AS (
+         |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared
+         |  FROM ss x JOIN ss y ON x.sh = y.sh AND x.source < y.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT src_a, src_b, shared,
+         |  round(shared / (sa.n + sb.n - shared), 6) AS jaccard,
+         |  round(shared / least(sa.n, sb.n), 6) AS containment
+         |FROM inter JOIN sizes sa ON src_a = sa.source
+         |           JOIN sizes sb ON src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "d04_simhash" ->
       s"""WITH ${tkCte("")},
@@ -2032,6 +2055,51 @@ object SparkEntry {
          |       WHEN ${hexIntSql("md5(CAST(canonical_id AS VARCHAR))", 4)} % 100 < 20 THEN 'val'
          |       ELSE 'train' END AS split
          |FROM cmap ORDER BY doc_id""".stripMargin,
+
+    // p10: per-source quality-ranked cap — the t16 score chain verbatim,
+    // then rank within source by (score desc, doc_id)
+    "p10_source_cap" ->
+      s"""WITH base AS (SELECT doc_id, lang, $Toks AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS INT) AS n_stop,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
+         |  FROM base
+         |),
+         |f AS (
+         |  SELECT doc_id,
+         |    round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+         |    round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |    round(least(1.0e0, CAST(n_tokens AS DOUBLE) / 100.0e0) *
+         |          (1.0e0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality,
+         |    lang
+         |  FROM st WHERE n_tokens > 0
+         |),
+         |l AS (
+         |  SELECT doc_id,
+         |    4.0e0 * quality - 0.5e0 * stop_ratio + 0.25e0 * (avg_tok_len - 4.0e0) +
+         |    0.3e0 * (CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END) - 1.0e0 AS logit
+         |  FROM f
+         |),
+         |sc AS (SELECT doc_id, round(logit / (1.0e0 + abs(logit)), 6) AS score FROM l),
+         |r AS (
+         |  SELECT d.source, sc.doc_id, sc.score,
+         |    row_number() OVER (PARTITION BY d.source
+         |                       ORDER BY sc.score DESC, sc.doc_id) AS rn
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |)
+         |SELECT source, CAST(rn AS INT) AS rn, doc_id, score
+         |FROM r WHERE rn <= 15 ORDER BY source, rn""".stripMargin,
+
+    // p11: seeded deterministic shuffle — one global hash order, the
+    // engine-side sharded-rank plan must reproduce it exactly
+    "p11_seeded_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
 
     // weights from sqrt (IEEE-exact both engines), powered counts
     // quantized to 1e-6-grid integers before the order-free sum

@@ -162,6 +162,53 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  /** Cross-source n-gram overlap matrix — the leakage audit BETWEEN
+    * corpus slices that [[graft.operators.TextAnalysis.decontaminate]]
+    * runs between corpus and benchmark: for every source pair (a < b),
+    * the number of distinct 3-shingles they share, with Jaccard
+    * (shared / union) and containment (shared / smaller side) — the
+    * two standard overlap readings: containment is the one that
+    * catches a small source being a SUBSET of a big one, where Jaccard
+    * stays deceptively low. Pairs sharing no shingle are absent (inner
+    * join semantics — the matrix is sparse by construction).
+    *
+    * Scale shape: one distinct on (source, shingle) — keyed on the
+    * uniform shingle within source —, a self-equi-join on the shingle
+    * hash whose per-key fan-out is bounded by #sources per side (a
+    * corpus CONSTANT, so <= sources^2 rows per shingle — no skew
+    * class, nothing corpus-quadratic), a (source-pair)-keyed count
+    * rollup, and two broadcast joins against the source-cardinality
+    * size frame. The shingle set is cached once and read three times
+    * (both join sides + sizes).
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    sourceOverlapOn(Tables.documents(spark, sfDir))
+
+  /** [[sourceOverlap]] over any (source, text) frame — single
+    * definition of the overlap semantics (spec-shared for planted
+    * fixtures).
+    */
+  private[operators] def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ss = graft.Caches.track(docs
+      .select($"source", graft.functions.Text.toks($"text").as("tk"))
+      .select($"source", explode(graft.functions.Text.shingles($"tk")).as("sh"))
+      .distinct())
+    val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = ss.as("x")
+      .join(ss.as("y"),
+        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))), "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("nb"))), "src_b")
+      .select($"src_a", $"src_b", $"shared",
+        round($"shared" / ($"na" + $"nb" - $"shared"), 6).as("jaccard"),
+        round($"shared" / least($"na", $"nb"), 6).as("containment"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** The REMOVAL half of the Lee et al. substring-dedup pass —
     * [[repeatedSpans]] detects, this scrubs: every token covered by a
     * cross-document repeated span is dropped from every document EXCEPT

@@ -337,4 +337,94 @@ object Sampling {
       .select($"doc_id", $"canonical_id", $"bucket", $"split")
       .orderBy($"doc_id")
   }
+
+  /** Per-source document cap with quality-ranked retention — the
+    * "per-domain cap" of the public crawl-pipeline playbooks (C4 /
+    * RefinedWeb keep a bounded number of pages per domain so one hot
+    * site cannot dominate the corpus), composed with the t16 quality
+    * score so the cap keeps each source's BEST documents, not a random
+    * subset: rank every document within its source by (score desc,
+    * doc_id) and keep ranks <= cap.
+    *
+    * Scale shape (the [[stratifiedSample]] two-phase discipline): a
+    * single window partitioned by source would funnel a hot domain's
+    * whole population through one task — the q37 funnel class. Phase 1
+    * ranks per (input partition, source) and keeps each pre-group's
+    * top cap (a superset of the global top cap by construction: a
+    * globally-kept row is within its own pre-group's top cap); phase 2
+    * ranks only the <= cap x partitions survivors per source. Results
+    * are provably identical to the single-window form (SamplingSpec
+    * pins them row-for-row); only the plan changes.
+    */
+  def sourceCap(spark: SparkSession, sfDir: String, cap: Int = 15): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis.qualityClassifier(spark, sfDir)
+      .select($"doc_id", $"score")
+    val withSrc = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source")
+      .join(scored, "doc_id")
+    val wPre = Window.partitionBy(spark_partition_id(), $"source")
+      .orderBy($"score".desc, $"doc_id")
+    val survivors = withSrc
+      .withColumn("prn", row_number().over(wPre))
+      .filter($"prn" <= cap)
+      .drop("prn")
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id")
+    survivors
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter($"rn" <= cap)
+      .select($"source", $"rn", $"doc_id", $"score")
+      .orderBy($"source", $"rn")
+  }
+
+  /** Seeded deterministic corpus shuffle — the training-order
+    * permutation a data loader consumes: every document gets a GLOBAL
+    * position in the order md5(seed ":" doc_id), so the shuffle is
+    * reproducible from (corpus, seed) alone, a new seed is a new epoch
+    * order, and adding documents leaves the relative order of the
+    * existing ones intact (hash order is content-independent of the
+    * newcomers).
+    *
+    * Scale shape (the q32 sharded-rank idiom): a single global
+    * row_number window would funnel the corpus through one task.
+    * Instead range-repartition by (hkey, doc_id) — range partitions
+    * are globally ORDERED, so global position = (rows in partitions
+    * before mine) + (my rank within my partition). The local rank
+    * windows partition by spark_partition_id (population =
+    * corpus/shufflePartitions — the knob that grows with the cluster),
+    * and the offsets side is ONE count row per range partition, a
+    * cluster constant that broadcasts (its running sum is the one
+    * bounded single-partition window, PlanAuditSpec-allowlisted like
+    * p04's normalizer).
+    */
+  def seededShuffle(spark: SparkSession, sfDir: String,
+      seed: String = "epoch0"): DataFrame =
+    seededShuffleOn(
+      Tables.documents(spark, sfDir).select(col("doc_id")), seed)
+
+  /** The [[seededShuffle]] core over any keyed frame — single
+    * definition of the permutation semantics (spec-shared).
+    */
+  private[operators] def seededShuffleOn(ids: DataFrame,
+      seed: String): DataFrame = {
+    val hkey = md5(concat(lit(seed), lit(":"),
+      col("doc_id").cast("string")).cast("binary"))
+    // cached: the offsets aggregate and the join left side both read
+    // the local-rank pass (narrow: two columns + the rank)
+    val local = graft.Caches.track(ids
+      .withColumn("hkey", hkey)
+      .repartitionByRange(col("hkey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("hkey"), col("doc_id")))))
+    val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum(col("pc")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    local.join(broadcast(offs), "pid")
+      .select(col("doc_id"),
+        (col("off") + col("lrn")).cast("bigint").as("pos"))
+      .orderBy(col("pos"))
+  }
 }

@@ -66,9 +66,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // of integer cents, one partial row per task; t13 — the two slice
     // token totals finalize one partial sum row per task into 1-row
     // broadcasts, the same shape as t11's corpus constants).
+    // p11 — the sharded-rank offsets side: ONE count row per range
+    // partition flows into the running-sum window, so the single-
+    // partition exchange carries <= spark.sql.shuffle.partitions rows —
+    // a cluster constant, not corpus-proportional (the q32 offsets
+    // shape, with no grouping key to hash-partition by).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
-      "q31_correlated_scalar", "t13_token_drift")
+      "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -39,4 +39,34 @@ class CorpusDiffSpec extends AnyFunSuite with Matchers with SparkSpec {
     removed + retained shouldBe oldD
     added + retained shouldBe newD
   }
+
+  test("sourceOverlap: planted shared shingles give exact jaccard and containment") {
+    import spark.implicits._
+    // shingle sets: A = {abc, bcd}; B = {abc, bcx}; C = {abc, bcd, cde}
+    // (A is a strict subset of C — the case containment catches and
+    // jaccard understates)
+    val docs = Seq(("A", "a b c d"), ("B", "a b c x"), ("C", "a b c d e"))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlapOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    got(("A", "B")) shouldBe ((1L, 0.333333, 0.5))
+    got(("A", "C")) shouldBe ((2L, 0.666667, 1.0))
+    got(("B", "C")) shouldBe ((1L, 0.25, 0.5))
+    got.size shouldBe 3
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("sourceOverlap gate shape: sparse matrix, jaccard <= containment <= 1") {
+    val rows = Dedup.sourceOverlap(spark, "/root/testdata/sf0.01").collect()
+    rows should not be empty
+    rows.length should be <= (20 * 19) / 2 // at most C(#sources, 2) pairs
+    rows.foreach { r =>
+      val (j, c) = (r.getDouble(3), r.getDouble(4))
+      j should be <= c
+      c should be <= 1.0
+      j should be > 0.0
+    }
+    graft.Caches.releaseAll(spark)
+  }
 }

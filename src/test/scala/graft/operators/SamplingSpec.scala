@@ -47,6 +47,53 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
+  test("sourceCap: two-phase plan equals the direct window form, cap respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 15
+    val got = Sampling.sourceCap(spark, sf, cap)
+    val rows = got.collect()
+    // per-source at most cap rows, ranks contiguous from 1
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.length should be <= cap
+      rs.map(_.getInt(1)).sorted shouldBe (1 to rs.length).toArray
+    }
+    // row-for-row equal to the direct single-window form
+    val scored = TextAnalysis.qualityClassifier(spark, sf)
+      .select($"doc_id", $"score")
+    val direct = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").join(scored, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"score".desc, $"doc_id")).cast("int"))
+      .filter($"rn" <= cap)
+      .select($"source", $"rn", $"doc_id", $"score")
+      .orderBy($"source", $"rn")
+    rows.toSeq shouldBe direct.collect().toSeq
+  }
+
+  test("seededShuffle: exact global hash-order permutation; a new seed is a new epoch") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.seededShuffle(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    // positions are exactly 1..n
+    got.map(_.getLong(1)).sorted shouldBe (1L to n).toArray
+    // row-for-row equal to the direct single-window form
+    val direct = Tables.documents(spark, sf)
+      .select($"doc_id", md5(concat(lit("epoch0"), lit(":"),
+        $"doc_id".cast("string")).cast("binary")).as("hkey"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy($"hkey", $"doc_id")).cast("bigint"))
+      .select($"doc_id", $"pos").orderBy($"pos")
+    got.toSeq shouldBe direct.collect().toSeq
+    // a different seed permutes differently (almost no fixed points)
+    val e1 = Sampling.seededShuffle(spark, sf, "epoch1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = got.count(r => e1(r.getLong(0)) == r.getLong(1))
+    fixed.toDouble / n should be < 0.1
+    graft.Caches.releaseAll(spark)
+  }
+
   test("tokenBudget selects the maximal hash-order prefix within budget") {
     val budget = 2000L
     val sel = Sampling.tokenBudget(spark, sf, perShardTokens = budget)
