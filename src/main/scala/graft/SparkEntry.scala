@@ -89,6 +89,7 @@ object SparkEntry {
     "s08_rrf_fusion" -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
     "s09_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
     "s10_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
+    "s11_corpus_clusters" -> ((s: SparkSession, d: String) => Similarity.corpusClusters(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "p09_cluster_split" -> ((s: SparkSession, d: String) => Sampling.clusterSplit(s, d)),
     "p10_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "p11_seeded_shuffle" -> ((s: SparkSession, d: String) => Sampling.seededShuffle(s, d)),
+    "p12_cluster_sample" -> ((s: SparkSession, d: String) => Sampling.clusterSample(s, d)),
     // —— the reference's own README workload over the committed
     //    converted fixture (graft.osm.OsmFixture; SURVEY §5.3) ——
     "o01_reassemble_ways" -> (osm.OsmOracle.reassembledWayPaths _),
@@ -337,6 +339,37 @@ object SparkEntry {
       sb ++= s"  FROM cp JOIN a$i a ON cp.vec_id = a.vec_id GROUP BY 1, 2\n"
       sb ++= s")"
       if (i < iters - 1) sb ++= ",\n"
+    }
+    sb.result()
+  }
+
+  /** DuckDB mirror of Similarity.corpusClusters' full-corpus Lloyd:
+    * seed centroids = the first k VECTORS, then `iters` exact
+    * integer-grid rounds. Expects a CTE `p(vec_id, pos, xq)`; emits
+    * cb0..cb\$iters, the final centroids being cb\$iters.
+    */
+  private def corpusLloydCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"cb0 AS (SELECT CAST(vec_id AS INT) AS cluster, pos, xq AS cq\n"
+    sb ++= s"        FROM p WHERE vec_id < $k)"
+    for (i <- 0 until iters) {
+      sb ++= ",\n"
+      sb ++= s"kd$i AS (\n"
+      sb ++= "  SELECT p.vec_id, c.cluster,\n"
+      sb ++= "    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q\n"
+      sb ++= s"  FROM p JOIN cb$i c ON p.pos = c.pos GROUP BY 1, 2\n"
+      sb ++= "),\n"
+      sb ++= s"ka$i AS (\n"
+      sb ++= "  SELECT vec_id, cluster FROM (\n"
+      sb ++= "    SELECT vec_id, cluster,\n"
+      sb ++= "      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn\n"
+      sb ++= s"    FROM kd$i) r WHERE rn = 1\n"
+      sb ++= "),\n"
+      sb ++= s"cb${i + 1} AS (\n"
+      sb ++= "  SELECT a.cluster, p.pos,\n"
+      sb ++= "    CAST(round(sum(p.xq) / count(*), 0) AS BIGINT) AS cq\n"
+      sb ++= s"  FROM p JOIN ka$i a ON p.vec_id = a.vec_id GROUP BY 1, 2\n"
+      sb ++= ")"
     }
     sb.result()
   }
@@ -1477,6 +1510,45 @@ object SparkEntry {
          |        FROM rer)
          |SELECT qid, cand, adcq, cos, rnk FROM fin WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
+
+    // s11: full-corpus Lloyd — seed = first k vectors, 2 exact
+    // integer-grid rounds, final assignment with its distance
+    "s11_corpus_clusters" ->
+      s"""WITH ${embCte("TRUE")},
+         |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+         |${corpusLloydCtes(8, 2)},
+         |fin AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
+         |)
+         |SELECT vec_id, cluster, dist2q FROM (
+         |  SELECT vec_id, cluster, dist2q,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |  FROM fin) r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // p12: the s11 assignment + per-cluster hash-order quota
+    "p12_cluster_sample" ->
+      s"""WITH ${embCte("TRUE")},
+         |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+         |${corpusLloydCtes(8, 2)},
+         |fin AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
+         |),
+         |asg AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |  FROM fin) r WHERE rn = 1),
+         |rk AS (
+         |  SELECT cluster, vec_id,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5('cs:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM asg
+         |)
+         |SELECT cluster, CAST(rn AS INT) AS rn, vec_id
+         |FROM rk WHERE rn <= 20 ORDER BY cluster, rn""".stripMargin,
 
     // s04/s05 arithmetic is EXACT: components quantize to 1e-6-grid
     // integers first, so every aggregate is an order-free integer sum —

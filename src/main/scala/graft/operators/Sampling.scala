@@ -402,6 +402,42 @@ object Sampling {
     seededShuffleOn(
       Tables.documents(spark, sfDir).select(col("doc_id")), seed)
 
+  /** Cluster-balanced sample — per-TOPIC quotas instead of per-label
+    * ones: [[graft.operators.Similarity.corpusClusters]] partitions
+    * the corpus into k embedding clusters, and each cluster
+    * contributes min(quota, size) members chosen in deterministic
+    * hash order — the balanced-selection step the SemDeDup/DSIR-style
+    * curation recipes run after clustering, so one dominant topic
+    * cannot monopolize the sample the way it would under uniform
+    * sampling.
+    *
+    * Scale shape: the clusterer's broadcast-Lloyd passes + the
+    * [[stratifiedSample]] two-phase top-k keyed on (input partition,
+    * cluster) — k is a fixed parameter, so the pre-rank keeps the hot
+    * cluster off any single task and the final rank sees <= quota x
+    * partitions survivors.
+    */
+  def clusterSample(spark: SparkSession, sfDir: String, quota: Int = 20,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val assign = Similarity.corpusClusters(spark, sfDir, k, iters)
+      .select($"vec_id", $"cluster")
+    val keyed = assign.withColumn("hkey",
+      md5(concat(lit("cs:"), $"vec_id".cast("string")).cast("binary")))
+    val wPre = Window.partitionBy(spark_partition_id(), $"cluster")
+      .orderBy($"hkey", $"vec_id")
+    val survivors = keyed
+      .withColumn("prn", row_number().over(wPre))
+      .filter($"prn" <= quota)
+      .drop("prn")
+    val w = Window.partitionBy($"cluster").orderBy($"hkey", $"vec_id")
+    survivors
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter($"rn" <= quota)
+      .select($"cluster", $"rn", $"vec_id")
+      .orderBy($"cluster", $"rn")
+  }
+
   /** The [[seededShuffle]] core over any keyed frame — single
     * definition of the permutation semantics (spec-shared).
     */

@@ -98,48 +98,58 @@ object Similarity {
     * side. At 100 TB the re-rank is an equi-join on cell id — same
     * shuffle shape as annLsh.
     */
+  /** (vec_id, pos, xq): 1-based positions, 1e-6 integer grid — the
+    * shared exact-arithmetic vector expansion behind every Lloyd-based
+    * operator (s03/s11; annPq carries the same grid with a `sub` key).
+    */
+  private def gridPoints(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+    .select(col("vec_id"), (col("pos0") + 1).cast("bigint").as("pos"),
+      round(col("x").cast("double") * 1e6, 0).cast("bigint").as("xq"))
+
+  /** One Lloyd assign half: nearest centroid per vector by exact
+    * integer-grid distance, cluster tiebreak (s05 shape). Returns
+    * (vec_id, cluster, dist2q); the per-vec argmin window's population
+    * is k — a parameter, never corpus-proportional.
+    */
+  private def lloydAssign(p: DataFrame, cent: DataFrame): DataFrame = {
+    val d = p.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist2q"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2q"), col("cluster"))
+    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("dist2q"))
+  }
+
+  /** One Lloyd average half: exact integer mean per (cluster, pos) on
+    * the 1e-6 grid (s04 shape).
+    */
+  private def lloydAverage(pts: DataFrame, assign: DataFrame): DataFrame =
+    pts.join(assign.select(col("vec_id"), col("cluster")), "vec_id")
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(sum(col("xq")) / count(lit(1)), 0).cast("bigint").as("cq"))
+
   def annIvf(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 2, nProbe: Int = 4, topK: Int = 3): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
-    def pts(df: DataFrame): DataFrame = df
-      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
-      .select($"vec_id", ($"pos0" + 1).cast("bigint").as("pos"),
-        round($"x".cast("double") * 1e6, 0).cast("bigint").as("xq"))
     // cached: consumed by the seed slice, every Lloyd half, and the
     // final cell assignment — uncached the explode would re-plan
     // iters*2+2 times
-    val candPts = graft.Caches.track(pts(emb.filter($"vec_id" % 20 === 0)))
-
-    // one Lloyd assign half: nearest centroid per vector by exact
-    // integer-grid distance, cluster tiebreak (s05 shape)
-    def argminCell(p: DataFrame, cent: DataFrame): DataFrame = {
-      val d = p.join(broadcast(cent), "pos")
-        .groupBy($"vec_id", $"cluster")
-        .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
-      val w = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
-      d.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"vec_id", $"cluster")
-    }
-    // one Lloyd average half: exact integer mean per (cluster, pos)
-    // on the 1e-6 grid (s04 shape)
-    def average(assign: DataFrame): DataFrame =
-      candPts.join(assign, "vec_id")
-        .groupBy($"cluster", $"pos")
-        .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
+    val candPts = graft.Caches.track(gridPoints(emb.filter($"vec_id" % 20 === 0)))
 
     val seedCent = candPts.filter($"vec_id" < 20L * k)
       .select(($"vec_id" / 20).cast("int").as("cluster"), $"pos", $"xq".as("cq"))
-    var cent = average(argminCell(candPts, seedCent))
-    for (_ <- 2 to iters) cent = average(argminCell(candPts, cent))
+    var cent = lloydAverage(candPts, lloydAssign(candPts, seedCent))
+    for (_ <- 2 to iters) cent = lloydAverage(candPts, lloydAssign(candPts, cent))
     // cached: the final centroid table feeds BOTH the candidate cell
     // assignment and the query probe ranking
     cent = graft.Caches.track(cent)
 
-    val cells = argminCell(candPts, cent)
+    val cells = lloydAssign(candPts, cent)
       .select($"vec_id", $"cluster".as("cell"))
     val wProbe = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
-    val probes = pts(emb.filter($"vec_id" < 8))
+    val probes = gridPoints(emb.filter($"vec_id" < 8))
       .join(broadcast(cent), "pos")
       .groupBy($"vec_id", $"cluster")
       .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
@@ -159,6 +169,40 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("int"))
       .filter($"rnk" <= topK)
       .orderBy($"qid", $"rnk")
+  }
+
+  /** Full-corpus k-means clustering — the domain/topic partitioning a
+    * curation pipeline runs before cluster-aware selection (the
+    * SemDeDup paper clusters the corpus first for exactly this reason;
+    * [[graft.operators.Sampling.clusterSample]] consumes the
+    * assignment): the s03 relational Lloyd quantizer pointed at the
+    * WHOLE embedding table instead of an ANN candidate slice. Seed
+    * centroids are the first k vectors (real data points), then
+    * `iters` exact integer-grid Lloyd rounds, then the final
+    * assignment with its distance — (vec_id, cluster, dist2q), every
+    * vector assigned exactly once, bit-identical across engines and
+    * partitionings.
+    *
+    * Scale shape: `iters`+1 broadcast-centroid joins (k·dims rows
+    * broadcast) over the (vec_id, pos, xq) expansion with map-side
+    * integer partials; the per-vec argmin window's population is k (a
+    * parameter). Nothing corpus-global materializes — the centroid
+    * frames are k·dims rows regardless of corpus size.
+    */
+  def corpusClusters(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    // cached: the seed slice + every Lloyd half + the final assignment
+    // all read the explode
+    val ptsAll = graft.Caches.track(
+      gridPoints(Tables.embeddings(spark, sfDir)))
+    val seedCent = ptsAll.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cluster"), $"pos", $"xq".as("cq"))
+    var cent = lloydAverage(ptsAll, lloydAssign(ptsAll, seedCent))
+    for (_ <- 2 to iters) cent = lloydAverage(ptsAll, lloydAssign(ptsAll, cent))
+    lloydAssign(ptsAll, cent)
+      .select($"vec_id", $"cluster", $"dist2q")
+      .orderBy($"vec_id")
   }
 
   /** (vec_id, cluster, pos, xq): embedding components quantized to the

@@ -71,6 +71,31 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.toSeq shouldBe direct.collect().toSeq
   }
 
+  test("clusterSample: two-phase quota equals the direct window over the s11 assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val quota = 20
+    val got = Sampling.clusterSample(spark, sf, quota).collect()
+    // per-cluster at most quota, contiguous ranks, no vector twice
+    got.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      rs.length should be <= quota
+      rs.map(_.getInt(1)).sorted shouldBe (1 to rs.length).toArray
+    }
+    got.map(_.getLong(2)).distinct.length shouldBe got.length
+    // equal to the direct single-window form over the same assignment
+    val direct = Similarity.corpusClusters(spark, sf)
+      .select($"vec_id", $"cluster")
+      .withColumn("hkey", md5(concat(lit("cs:"),
+        $"vec_id".cast("string")).cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cluster").orderBy($"hkey", $"vec_id")).cast("int"))
+      .filter($"rn" <= quota)
+      .select($"cluster", $"rn", $"vec_id")
+      .orderBy($"cluster", $"rn")
+    got.toSeq shouldBe direct.collect().toSeq
+    graft.Caches.releaseAll(spark)
+  }
+
   test("seededShuffle: exact global hash-order permutation; a new seed is a new epoch") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

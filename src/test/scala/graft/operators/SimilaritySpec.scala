@@ -48,6 +48,20 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     a shouldBe b
   }
 
+  test("corpusClusters: every vector assigned exactly once to its argmin cluster") {
+    import spark.implicits._
+    val assign = Similarity.corpusClusters(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assign.length.toLong shouldBe n
+    assign.map(_.getLong(0)).distinct.length.toLong shouldBe n
+    // a Lloyd result uses more than one cluster on real data, and the
+    // assignment is deterministic across runs
+    assign.map(_.getInt(1)).distinct.length should be > 1
+    val again = Similarity.corpusClusters(spark, sf).collect()
+    again.map(_.toString).toSeq shouldBe assign.map(_.toString).toSeq
+    graft.Caches.releaseAll(spark)
+  }
+
   test("ivf recall@3 vs brute-force ground truth >= 0.8 (gate scale, nProbe=4)") {
     // s03's correctness signal beyond rows-only: join the declared IVF
     // output against the s01 brute-force gate output (the exact top-k).
