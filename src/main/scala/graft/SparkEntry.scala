@@ -108,6 +108,7 @@ object SparkEntry {
     "t15_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplateRemove(s, d)),
     "t16_quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
     "t17_token_gini" -> (TextAnalysis.tokenGini _),
+    "t18_corpus_report" -> (TextAnalysis.corpusReport _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "p10_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "p11_seeded_shuffle" -> ((s: SparkSession, d: String) => Sampling.seededShuffle(s, d)),
     "p12_cluster_sample" -> ((s: SparkSession, d: String) => Sampling.clusterSample(s, d)),
+    "p13_length_batches" -> ((s: SparkSession, d: String) => Sampling.lengthBatches(s, d)),
     // —— the reference's own README workload over the committed
     //    converted fixture (graft.osm.OsmFixture; SURVEY §5.3) ——
     "o01_reassemble_ways" -> (osm.OsmOracle.reassembledWayPaths _),
@@ -1647,6 +1649,75 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, n_distinct, sumsq,
          |  round(1.0e0 - CAST(sumsq AS DOUBLE) / (n_tokens * n_tokens), 6) AS gini
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // t18: per-lang corpus health rollup — the t16 score chain feeds
+    // an integer-quantized (order-free) average; one count-distinct
+    "t18_corpus_report" ->
+      s"""WITH base AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    count(DISTINCT md5(text)) AS n_distinct,
+         |    CAST(sum(len($Toks)) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY lang
+         |),
+         |tb AS (SELECT doc_id, lang, $Toks AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS INT) AS n_stop,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
+         |  FROM tb
+         |),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+         |    round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |    round(least(1.0e0, CAST(n_tokens AS DOUBLE) / 100.0e0) *
+         |          (1.0e0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+         |  FROM st WHERE n_tokens > 0
+         |),
+         |l AS (
+         |  SELECT doc_id, lang,
+         |    4.0e0 * quality - 0.5e0 * stop_ratio + 0.25e0 * (avg_tok_len - 4.0e0) +
+         |    0.3e0 * (CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END) - 1.0e0 AS logit
+         |  FROM f
+         |),
+         |sc AS (
+         |  SELECT lang, count(*) AS n_scored,
+         |    CAST(sum(CAST(round(round(logit / (1.0e0 + abs(logit)), 6) * 1e6, 0) AS BIGINT)) AS BIGINT) AS sqs,
+         |    CAST(sum(CASE WHEN round(logit / (1.0e0 + abs(logit)), 6) >= 0.25e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |  FROM l GROUP BY lang
+         |)
+         |SELECT base.lang, n_docs, n_distinct,
+         |  round(1 - n_distinct / n_docs, 6) AS dup_ratio,
+         |  total_tokens,
+         |  round(total_tokens / n_docs, 6) AS avg_tokens,
+         |  round(sqs / n_scored / 1e6, 6) AS avg_score,
+         |  round(n_keep / n_scored, 6) AS keep_ratio
+         |FROM base JOIN sc ON base.lang = sc.lang
+         |ORDER BY base.lang""".stripMargin,
+
+    // p13: length-bucketed batch manifest — fixed power-of-two bands,
+    // per-band hash-order ranks, integer DIV/mod batch arithmetic
+    "p13_length_batches" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents
+         |),
+         |b AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+         |              WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+         |              ELSE 256 END AS INT) AS band
+         |  FROM n WHERE n_tokens > 0
+         |),
+         |r AS (
+         |  SELECT band, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY band
+         |      ORDER BY md5('lb:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM b
+         |)
+         |SELECT band, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+         |  CAST((rn - 1) % 8 AS INT) AS slot, doc_id, n_tokens
+         |FROM r ORDER BY band, batch_id, slot""".stripMargin,
 
     "t02_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),

@@ -438,6 +438,55 @@ object Sampling {
       .orderBy($"cluster", $"rn")
   }
 
+  /** Length-bucketed batch manifest — the dynamic-batching layout a
+    * trainer uses when sequences are NOT concat-packed (p07's
+    * alternative): documents of similar token length batch together so
+    * per-batch padding waste (batch is padded to its longest member)
+    * stays small. Bands are fixed powers of two (<=16/32/64/128, else
+    * 256); within a band, documents take a deterministic hash order
+    * and fill batches of `batchSize` slots:
+    * (band, batch_id, slot, doc_id, n_tokens).
+    *
+    * Scale shape (the q32 sharded-rank idiom, keyed by band): a direct
+    * window over the FIVE fixed bands would funnel corpus/5 rows
+    * through one task. Range-repartition by (band, hkey, doc_id) —
+    * globally ordered — then local ranks per (range partition, band)
+    * plus one count-row-per-(partition, band) offsets frame broadcast
+    * back; batch arithmetic is integer DIV/mod on the global rank.
+    */
+  def lengthBatches(spark: SparkSession, sfDir: String,
+      batchSize: Int = 8): DataFrame = {
+    import spark.implicits._
+    val b = Tables.documents(spark, sfDir)
+      .select($"doc_id", Text.tokenCount($"text").cast("bigint").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .withColumn("band",
+        when($"n_tokens" <= 16, 16).when($"n_tokens" <= 32, 32)
+          .when($"n_tokens" <= 64, 64).when($"n_tokens" <= 128, 128)
+          .otherwise(256).cast("int"))
+      .withColumn("hkey", md5(concat(lit("lb:"),
+        $"doc_id".cast("string")).cast("binary")))
+    // cached: the offsets aggregate and the join left side both read
+    // the local-rank pass (the q32/p11 shape)
+    val local = graft.Caches.track(b
+      .repartitionByRange($"band", $"hkey", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy($"pid", $"band").orderBy($"hkey", $"doc_id"))))
+    val offs = local.groupBy($"pid", $"band").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum($"pc").over(
+        Window.partitionBy($"band").orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"band", $"off")
+    local.join(broadcast(offs), Seq("pid", "band"))
+      .withColumn("rn", $"off" + $"lrn")
+      .select($"band",
+        expr(s"(rn - 1) DIV $batchSize").as("batch_id"),
+        (($"rn" - 1) % batchSize).cast("int").as("slot"),
+        $"doc_id", $"n_tokens")
+      .orderBy($"band", $"batch_id", $"slot")
+  }
+
   /** The [[seededShuffle]] core over any keyed frame — single
     * definition of the permutation semantics (spec-shared).
     */

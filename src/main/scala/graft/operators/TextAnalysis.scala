@@ -720,4 +720,46 @@ object TextAnalysis {
           s => s("ptext")), " ").as("clean"))
       .orderBy($"doc_id")
   }
+
+  /** Per-language corpus health report — the one-screen rollup a
+    * pipeline run publishes after ingest (doc counts, exact-dup rate,
+    * token mass, t16 quality average, keep rate): the composition
+    * showcase at AGGREGATE grain, where every input is an
+    * already-oracle-gated signal (d01's content hash, t01's token
+    * count, t16's score chain).
+    *
+    * Cross-engine float discipline: the score average quantizes each
+    * (already 1e-6-rounded) score to integer micro-units and
+    * integer-sums them — order-free — before the one double division
+    * (the s04 pattern); every other column is a ratio of exact
+    * integers.
+    *
+    * Scale shape: two lang-keyed aggregations (one with a single
+    * count-distinct — no multi-distinct Expand, the q22 lesson) joined
+    * on the language key — map-side partials do the work, the join is
+    * language-cardinality.
+    */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text".cast("binary"))).as("n_distinct"),
+        sum(Text.tokenCount($"text")).cast("bigint").as("total_tokens"))
+    val scored = qualityClassifier(spark, sfDir)
+      .select($"lang",
+        round($"score" * 1e6, 0).cast("bigint").as("sq"), $"keep")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_scored"), sum($"sq").as("sqs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_keep"))
+    base.join(scored, "lang")
+      .select($"lang", $"n_docs", $"n_distinct",
+        round(lit(1) - $"n_distinct" / $"n_docs", 6).as("dup_ratio"),
+        $"total_tokens",
+        round($"total_tokens" / $"n_docs", 6).as("avg_tokens"),
+        round($"sqs" / $"n_scored" / 1e6, 6).as("avg_score"),
+        round($"n_keep" / $"n_scored", 6).as("keep_ratio"))
+      .orderBy($"lang")
+  }
 }

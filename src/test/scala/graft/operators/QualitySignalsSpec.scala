@@ -70,6 +70,31 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     byLogit.map(_.getDouble(3)).toSeq shouldBe sorted
   }
 
+  test("corpusReport: per-lang rollup recomputable from its gated inputs") {
+    import spark.implicits._
+    val rows = TextAnalysis.corpusReport(spark, sf).collect()
+    rows should not be empty
+    // lang set matches the corpus; ratios bounded; counts consistent
+    val langs = graft.Tables.documents(spark, sf)
+      .select($"lang").distinct().collect().map(_.getString(0)).toSet
+    rows.map(_.getString(0)).toSet shouldBe langs
+    rows.foreach { r =>
+      r.getLong(2) should be <= r.getLong(1) // n_distinct <= n_docs
+      r.getDouble(3) should (be >= 0.0 and be <= 1.0)
+      r.getDouble(7) should (be >= 0.0 and be <= 1.0)
+      r.getDouble(6) should (be > -1.0 and be < 1.0)
+    }
+    // avg_score is exactly the integer-quantized mean of the t16 scores
+    val scores = TextAnalysis.qualityClassifier(spark, sf).collect()
+      .groupBy(_.getString(1))
+      .map { case (l, rs) =>
+        val q = rs.map(r => math.round(r.getDouble(3) * 1e6))
+        l -> BigDecimal(q.sum.toDouble / q.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    rows.foreach(r => r.getDouble(6) shouldBe scores(r.getString(0)))
+  }
+
   test("tokenGini: exact rational impurity, recomputed from raw token lists") {
     import graft.functions.Text
     val got = TextAnalysis.tokenGini(spark, sf).collect()

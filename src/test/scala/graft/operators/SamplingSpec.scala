@@ -96,6 +96,40 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
+  test("lengthBatches: total sharded-rank manifest equals the direct window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.lengthBatches(spark, sf).collect()
+    // every tokenized doc batches exactly once; bands bound their lengths
+    val n = Tables.documents(spark, sf)
+      .filter(graft.functions.Text.tokenCount($"text") > 0).count()
+    got.length.toLong shouldBe n
+    got.map(_.getLong(3)).distinct.length.toLong shouldBe n
+    got.foreach { r =>
+      val (band, slot, tok) = (r.getInt(0), r.getInt(2), r.getLong(4))
+      tok should be <= band.toLong
+      slot should (be >= 0 and be < 8)
+    }
+    // equal to the direct per-band window form
+    val direct = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.functions.Text.tokenCount($"text").cast("bigint").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .withColumn("band",
+        when($"n_tokens" <= 16, 16).when($"n_tokens" <= 32, 32)
+          .when($"n_tokens" <= 64, 64).when($"n_tokens" <= 128, 128)
+          .otherwise(256).cast("int"))
+      .withColumn("hkey", md5(concat(lit("lb:"),
+        $"doc_id".cast("string")).cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band").orderBy($"hkey", $"doc_id")))
+      .select($"band", expr("(rn - 1) DIV 8").as("batch_id"),
+        (($"rn" - 1) % 8).cast("int").as("slot"), $"doc_id", $"n_tokens")
+      .orderBy($"band", $"batch_id", $"slot")
+    got.toSeq shouldBe direct.collect().toSeq
+    graft.Caches.releaseAll(spark)
+  }
+
   test("seededShuffle: exact global hash-order permutation; a new seed is a new epoch") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
