@@ -153,6 +153,17 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
+  test("seededShuffleOn: permutation holds on sparse, negative, singleton id sets") {
+    import spark.implicits._
+    val ids = Seq(-5L, 0L, 7L, 1000000007L, 42L).toDF("doc_id")
+    val out = Sampling.seededShuffleOn(ids, "e").collect()
+    out.map(_.getLong(1)).sorted shouldBe (1L to 5L).toArray
+    out.map(_.getLong(0)).toSet shouldBe Set(-5L, 0L, 7L, 1000000007L, 42L)
+    val one = Sampling.seededShuffleOn(Seq(9L).toDF("doc_id"), "e").collect()
+    one.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((9L, 1L))
+    graft.Caches.releaseAll(spark)
+  }
+
   test("tokenBudget selects the maximal hash-order prefix within budget") {
     val budget = 2000L
     val sel = Sampling.tokenBudget(spark, sf, perShardTokens = budget)
