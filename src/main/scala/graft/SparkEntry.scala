@@ -90,6 +90,7 @@ object SparkEntry {
     "s09_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
     "s10_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "s11_corpus_clusters" -> ((s: SparkSession, d: String) => Similarity.corpusClusters(s, d)),
+    "s12_embed_outliers" -> ((s: SparkSession, d: String) => Similarity.embedOutliers(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "p11_seeded_shuffle" -> ((s: SparkSession, d: String) => Sampling.seededShuffle(s, d)),
     "p12_cluster_sample" -> ((s: SparkSession, d: String) => Sampling.clusterSample(s, d)),
     "p13_length_batches" -> ((s: SparkSession, d: String) => Sampling.lengthBatches(s, d)),
+    "p14_chunk_windows" -> ((s: SparkSession, d: String) => Sampling.chunkStride(s, d)),
     // —— the reference's own README workload over the committed
     //    converted fixture (graft.osm.OsmFixture; SURVEY §5.3) ——
     "o01_reassemble_ways" -> (osm.OsmOracle.reassembledWayPaths _),
@@ -1529,6 +1531,31 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
          |  FROM fin) r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // s12: the s11 assignment + per-cluster mean-distance outlier flag
+    "s12_embed_outliers" ->
+      s"""WITH ${embCte("TRUE")},
+         |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+         |${corpusLloydCtes(8, 2)},
+         |fin AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
+         |),
+         |asg AS (
+         |  SELECT vec_id, cluster, dist2q FROM (
+         |    SELECT vec_id, cluster, dist2q,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM fin) r WHERE rn = 1
+         |),
+         |st AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_c,
+         |    CAST(sum(dist2q) AS BIGINT) AS sum_d
+         |  FROM asg GROUP BY 1
+         |)
+         |SELECT a.vec_id, a.cluster, a.dist2q, n_c, sum_d,
+         |  a.dist2q > 2.0e0 * sum_d / n_c AS is_outlier
+         |FROM asg a JOIN st USING (cluster) ORDER BY a.vec_id""".stripMargin,
+
     // p12: the s11 assignment + per-cluster hash-order quota
     "p12_cluster_sample" ->
       s"""WITH ${embCte("TRUE")},
@@ -1718,6 +1745,20 @@ object SparkEntry {
          |SELECT band, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
          |  CAST((rn - 1) % 8 AS INT) AS slot, doc_id, n_tokens
          |FROM r ORDER BY band, batch_id, slot""".stripMargin,
+
+    // p14: strided token-window chunking; starts 1, 1+24, … while <= n
+    // (greatest(n,1) so an empty token list still yields one chunk)
+    "p14_chunk_windows" ->
+      s"""WITH ${tkCte("")},
+         |c AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(1, greatest(len(tk), 1), 24)) AS start
+         |  FROM tk
+         |)
+         |SELECT doc_id, CAST((start - 1) // 24 AS INT) AS chunk_idx,
+         |  CAST(len(list_slice(tk, start, start + 31)) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_slice(tk, start, start + 31), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "t02_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),

@@ -487,6 +487,42 @@ object Sampling {
       .orderBy($"band", $"batch_id", $"slot")
   }
 
+  /** Overlapping token-window chunking — the context-window prep step
+    * every SFT / retrieval pipeline runs over long documents: each doc
+    * explodes into windows of `chunkSize` tokens starting every
+    * `stride` tokens (stride < chunkSize ⇒ `chunkSize - stride` tokens
+    * of overlap so no boundary context is lost). Chunk starts run
+    * 1, 1+stride, … while ≤ the token count, so a short document
+    * (even an empty one) still yields exactly one (possibly short)
+    * chunk and every token lands in ≥1 chunk — a purely structural,
+    * engine-independent rule.
+    *
+    * Output: (doc_id, chunk_idx, n_tokens, chunk_text), chunk_idx
+    * 0-based in document order.
+    *
+    * Scale shape: map-only — one tokenize projection, one
+    * sequence+explode (fan-out ⌈n/stride⌉ rows per doc, ~4× at these
+    * defaults), no shuffle at all until a consumer aggregates. The
+    * token array materializes behind the tokenized() projection
+    * boundary so the split runs once per doc, not once per chunk.
+    */
+  def chunkStride(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1 && chunkSize >= stride,
+      s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"doc_id", $"tk", posexplode(
+        sequence(lit(1), greatest(size($"tk"), lit(1)), lit(stride)))
+        .as(Seq("chunk_idx", "start")))
+      .select($"doc_id", $"chunk_idx".cast("int").as("chunk_idx"),
+        slice($"tk", $"start", lit(chunkSize)).as("ctk"))
+      .select($"doc_id", $"chunk_idx",
+        size($"ctk").cast("bigint").as("n_tokens"),
+        array_join($"ctk", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** The [[seededShuffle]] core over any keyed frame — single
     * definition of the permutation semantics (spec-shared).
     */

@@ -190,7 +190,15 @@ object Similarity {
     * frames are k·dims rows regardless of corpus size.
     */
   def corpusClusters(spark: SparkSession, sfDir: String, k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    corpusAssign(spark, sfDir, k, iters).orderBy(col("vec_id"))
+
+  /** The unordered [[corpusClusters]] assignment — shared by the
+    * consumers that aggregate it further ([[embedOutliers]]) and would
+    * otherwise pay a pointless pre-aggregation sort.
+    */
+  private[operators] def corpusAssign(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int): DataFrame = {
     import spark.implicits._
     // cached: the seed slice + every Lloyd half + the final assignment
     // all read the explode
@@ -202,6 +210,45 @@ object Similarity {
     for (_ <- 2 to iters) cent = lloydAverage(ptsAll, lloydAssign(ptsAll, cent))
     lloydAssign(ptsAll, cent)
       .select($"vec_id", $"cluster", $"dist2q")
+  }
+
+  /** Embedding outlier pruning — the prototypicality filter the data-
+    * pruning playbooks run after clustering (SemDeDup's sibling: keep
+    * points near their cluster prototype, drop the far tail that is
+    * disproportionately noise/misencoded text): every vector's exact
+    * integer-grid distance to its [[corpusClusters]] centroid, rolled
+    * up per cluster, with a vector flagged `is_outlier` when its
+    * distance exceeds `factor`× the cluster mean.
+    *
+    * Determinism discipline: `dist2q` is already an order-free integer
+    * (the 1e-6-grid quantization), so the per-cluster sum/count are
+    * exact integers and the threshold `factor · sum / n` is one IEEE
+    * multiply + divide of exact integers — bit-identical across
+    * engines; the comparison never sits on an accumulated-float
+    * boundary. (A cross-multiplied all-integer comparison would be
+    * exact too, but `dist2q · n` overflows int64 once clusters reach
+    * ~1e4 vectors at this grid — the double threshold does not.) The
+    * mean itself ships as its exact integer components (n_c, sum_d):
+    * at dist2q ~1e12, decimal-rounding the quotient sits below the
+    * double's ulp and is engine-dependent — the one rounding this
+    * repo's discipline forbids.
+    *
+    * Scale shape: reuses the corpusClusters plan (broadcast-centroid
+    * joins, per-vec argmin over k rows) plus ONE k-row aggregate
+    * broadcast back onto the assignment — no new shuffle of the
+    * corpus, no window, nothing corpus-global.
+    */
+  def embedOutliers(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, factor: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    // cached: consumed by the k-row stats aggregate AND the probe side
+    // of the flag join — without it the Lloyd assign half runs twice
+    val assign = graft.Caches.track(corpusAssign(spark, sfDir, k, iters))
+    val stats = assign.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_c"), sum($"dist2q").as("sum_d"))
+    assign.join(broadcast(stats), Seq("cluster"))
+      .select($"vec_id", $"cluster", $"dist2q", $"n_c", $"sum_d",
+        ($"dist2q" > lit(factor) * $"sum_d" / $"n_c").as("is_outlier"))
       .orderBy($"vec_id")
   }
 

@@ -344,4 +344,32 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     // ~hundreds of clusters); proportions are over clusters by design
     rows.map(_.getString(3)).toSet shouldBe Set("train", "val", "test")
   }
+
+  test("chunkStride: full coverage, exact reconstruction from stride prefixes, bounded sizes") {
+    import spark.implicits._
+    val chunkSize = 32
+    val stride = 24
+    val got = Sampling.chunkStride(spark, sf, chunkSize, stride).collect()
+    val toks = graft.functions.Text
+      .tokenized(Tables.documents(spark, sf), "doc_id", "text")
+      .select($"doc_id", $"tk").as[(Long, Seq[String])].collect().toMap
+    got.groupBy(_.getLong(0)).foreach { case (docId, rows) =>
+      val tk = toks(docId)
+      val sorted = rows.sortBy(_.getInt(1))
+      // chunk_idx contiguous from 0; start rule covers every token
+      sorted.map(_.getInt(1)).toSeq shouldBe sorted.indices
+      sorted.length shouldBe math.max((math.max(tk.length, 1) + stride - 1) / stride, 1)
+      sorted.foreach { r =>
+        val idx = r.getInt(1)
+        val expectTk = tk.slice(idx * stride, idx * stride + chunkSize)
+        r.getLong(2).toInt shouldBe expectTk.length
+        r.getString(3) shouldBe expectTk.mkString(" ")
+      }
+      // concatenating each chunk's first `stride` tokens rebuilds the doc
+      sorted.flatMap(r => r.getString(3).split(" ").filter(_.nonEmpty)
+        .take(stride)).toSeq shouldBe tk
+    }
+    // every doc chunks at least once (short docs → exactly one chunk)
+    got.map(_.getLong(0)).distinct.length shouldBe toks.size
+  }
 }

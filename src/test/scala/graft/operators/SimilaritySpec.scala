@@ -62,6 +62,32 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
+  test("embedOutliers: flag rule matches an independent per-cluster mean; assignment preserved") {
+    // factor=1.0 (above the cluster mean) so both flag values occur at
+    // this tiny sf — the gated query's 2.0 tail is empty on 50 vectors
+    val out = Similarity.embedOutliers(spark, sf, factor = 1.0).collect()
+    graft.Caches.releaseAll(spark)
+    val assign = Similarity.corpusClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    graft.Caches.releaseAll(spark)
+    out.length shouldBe assign.size
+    // per-cluster stats recomputed independently from the assignment
+    val byCluster = assign.values.groupBy(_._1)
+      .map { case (c, xs) => c -> (xs.size.toLong, xs.map(_._2).sum) }
+    out.foreach { r =>
+      val (vid, cluster, d) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assign(vid) shouldBe ((cluster, d))
+      val (n, s) = byCluster(cluster)
+      r.getLong(r.fieldIndex("n_c")) shouldBe n
+      r.getLong(r.fieldIndex("sum_d")) shouldBe s
+      r.getBoolean(r.fieldIndex("is_outlier")) shouldBe (d > 1.0 * s / n)
+    }
+    // the flag discriminates: both values occur
+    val flagged = out.count(_.getBoolean(out.head.fieldIndex("is_outlier")))
+    flagged should be > 0
+    flagged should be < out.length
+  }
+
   test("ivf recall@3 vs brute-force ground truth >= 0.8 (gate scale, nProbe=4)") {
     // s03's correctness signal beyond rows-only: join the declared IVF
     // output against the s01 brute-force gate output (the exact top-k).
