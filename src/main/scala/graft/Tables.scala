@@ -38,17 +38,29 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    * to TimestampType; sessions set spark.sql.legacy.parquet.nanosAsLong
-    * and this loader rebuilds a micros TimestampType column via exact
-    * integer division (never through double).
+  /** events.ts normalized to session-zoned TimestampType (all sessions
+    * run UTC), whatever the generator wrote:
+    *   - TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
+    *     TimestampType: sessions set spark.sql.legacy.parquet.nanosAsLong
+    *     and this loader rebuilds micros via exact integer division
+    *     (never through double);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+    *     as TIMESTAMP_NTZ: cast to TimestampType — under the UTC
+    *     session this is the identity on epoch micros, matching how
+    *     DuckDB reads the same naive values.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
