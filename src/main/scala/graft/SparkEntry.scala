@@ -110,6 +110,8 @@ object SparkEntry {
     "t16_quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
     "t17_token_gini" -> (TextAnalysis.tokenGini _),
     "t18_corpus_report" -> (TextAnalysis.corpusReport _),
+    "t19_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    "t20_bigram_lm" -> (TextAnalysis.bigramLm _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -1723,8 +1725,70 @@ object SparkEntry {
          |FROM base JOIN sc ON base.lang = sc.lang
          |ORDER BY base.lang""".stripMargin,
 
+    // t19: Gopher-style rule gate — every rule is exact integer
+    // arithmetic (cross-multiplied bounds, distinct-stopword counts,
+    // dup-gram fraction), so no rounded-double discipline is needed
+    "t19_gopher_rules" ->
+      s"""WITH ${tkCte("")},
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS INT) AS n_grams,
+         |    CAST(count(DISTINCT $GramExpr) AS INT) AS nd_grams
+         |  FROM $GramPos GROUP BY doc_id
+         |),
+         |u AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM u GROUP BY 1, 2),
+         |st AS (
+         |  SELECT doc_id,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    CAST(max(tf) AS BIGINT) AS max_tf,
+         |    CAST(sum(tf * length(tok)) AS BIGINT) AS tok_chars,
+         |    CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','is','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_kinds
+         |  FROM tf GROUP BY doc_id
+         |)
+         |SELECT s.doc_id, n_tokens,
+         |  n_tokens BETWEEN 20 AND 100000 AS r_len,
+         |  3 * n_tokens <= tok_chars AND tok_chars <= 10 * n_tokens AS r_meanlen,
+         |  n_stop_kinds >= 2 AS r_stop,
+         |  5 * max_tf <= n_tokens AS r_toptok,
+         |  10 * (coalesce(g.n_grams, 0) - coalesce(g.nd_grams, 0)) <= 3 * coalesce(g.n_grams, 0) AS r_dupgram,
+         |  (n_tokens BETWEEN 20 AND 100000)
+         |    AND (3 * n_tokens <= tok_chars AND tok_chars <= 10 * n_tokens)
+         |    AND n_stop_kinds >= 2
+         |    AND 5 * max_tf <= n_tokens
+         |    AND 10 * (coalesce(g.n_grams, 0) - coalesce(g.nd_grams, 0)) <= 3 * coalesce(g.n_grams, 0) AS keep
+         |FROM st s LEFT JOIN g ON s.doc_id = g.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
+    // t20: corpus bigram-LM score — add-one-smoothed conditional
+    // probability per bigram occurrence, quantized to integer
+    // nano-units BEFORE the per-doc sum (the integer-quantize-then-sum
+    // rule; no ln anywhere)
+    "t20_bigram_lm" ->
+      s"""WITH ${tkCte("")},
+         |u AS (SELECT doc_id, unnest(tk) AS w FROM tk),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY w),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bg AS (
+         |  SELECT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) AS bg
+         |  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i FROM tk) t
+         |),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(round(CAST(c2.c2 + 1 AS DOUBLE) / (uni.c1 + vv.v) * 1e9, 0) AS BIGINT) AS qp
+         |  FROM bg JOIN c2 USING (bg)
+         |  JOIN uni ON split_part(bg.bg, ' ', 1) = uni.w
+         |  CROSS JOIN vv
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(qp) AS BIGINT) AS sum_qp,
+         |  CAST(round(sum(qp) / count(*), 0) AS BIGINT) AS avg_qp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic
+
     "p13_length_batches" ->
       s"""WITH n AS (
          |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents

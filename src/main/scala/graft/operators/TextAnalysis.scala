@@ -762,4 +762,110 @@ object TextAnalysis {
         round($"n_keep" / $"n_scored", 6).as("keep_ratio"))
       .orderBy($"lang")
   }
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1's
+    * document-level heuristics, re-expressed over this corpus's
+    * whitespace tokens): per document,
+    *
+    *   - `r_len`      — token count within [minTokens, maxTokens];
+    *   - `r_meanlen`  — mean token length within [3, 10] chars, tested
+    *                    as the cross-multiplied integer inequality
+    *                    `3·n ≤ tok_chars ≤ 10·n` (no float division);
+    *   - `r_stop`     — at least 2 DISTINCT stopwords present (the
+    *                    "contains ≥2 of a small stop list" rule);
+    *   - `r_toptok`   — most frequent token ≤ 20% of the doc,
+    *                    `5·max_tf ≤ n_tokens`;
+    *   - `r_dupgram`  — duplicate 3-gram fraction ≤ 30%,
+    *                    `10·(n_grams − nd_grams) ≤ 3·n_grams`;
+    *   - `keep`       — conjunction of all five.
+    *
+    * Every rule is exact integer arithmetic — no doubles anywhere, so
+    * the operator is bit-deterministic across engines and row orders
+    * (unlike the t16 linear scorer, which needs the rounded-double
+    * discipline). Complements t16: production pipelines run BOTH a
+    * rule gate and a learned scorer.
+    *
+    * Scale shape: the gram stats are per-row array expressions (no
+    * shuffle); the token stats are one (doc_id, tok)-keyed aggregation
+    * with map-side partials rolled up by doc_id — the tokenGini shape.
+    * The gram columns ride through the explode and are recovered with
+    * `max()` (constant per doc), so no second join is needed. Nothing
+    * is corpus-global; a 100 TB sweep is embarrassingly parallel.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String,
+      minTokens: Int = 20, maxTokens: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val grams = Text.shingles($"tk")
+    val base = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"doc_id", $"tk", size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("nd_grams"))
+      .select($"doc_id", explode($"tk").as("tok"), $"n_grams", $"nd_grams")
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"),
+        max($"n_grams").as("n_grams"), max($"nd_grams").as("nd_grams"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"),
+        max($"tf").as("max_tf"),
+        sum($"tf" * length($"tok")).as("tok_chars"),
+        sum(when($"tok".isin(Stopwords: _*), 1L).otherwise(0L)).as("n_stop_kinds"),
+        max($"n_grams").as("n_grams"),
+        max($"nd_grams").as("nd_grams"))
+    val rLen = $"n_tokens".between(minTokens, maxTokens)
+    val rMean = (lit(3) * $"n_tokens" <= $"tok_chars") &&
+      ($"tok_chars" <= lit(10) * $"n_tokens")
+    val rStop = $"n_stop_kinds" >= 2
+    val rTop = lit(5) * $"max_tf" <= $"n_tokens"
+    val rDup = lit(10) * ($"n_grams" - $"nd_grams") <= lit(3) * $"n_grams"
+    base.select($"doc_id", $"n_tokens",
+        rLen.as("r_len"), rMean.as("r_meanlen"), rStop.as("r_stop"),
+        rTop.as("r_toptok"), rDup.as("r_dupgram"),
+        (rLen && rMean && rStop && rTop && rDup).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus-trained bigram language-model score — the perplexity-proxy
+    * quality signal (CCNet / KenLM filtering, Wenzek et al. 2020)
+    * re-expressed under this repo's bit-determinism discipline: rather
+    * than average LOG-probability (libm `ln` differs across engines),
+    * each bigram occurrence scores the add-one-smoothed conditional
+    * probability itself,
+    *
+    *   p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    *
+    * quantized to integer nano-units `qp = round(p·1e9)` BEFORE the
+    * per-document sum, so the aggregate is an exact BIGINT in any
+    * partition order (the s04/t18 integer-quantize-then-sum rule).
+    * High avg_qp = text the corpus model finds predictable; low = rare
+    * constructions — the same ranking use as a perplexity filter, with
+    * arithmetic instead of geometric averaging (documented deviation).
+    *
+    * Scale shape: unigram and bigram counts are map-combinable
+    * aggregations on corpus-growing keys; the probability join is
+    * (bigram)- then (first-word)-keyed — the count sides are one row
+    * per key after aggregation, so no fan-out blowup; V is a one-row
+    * broadcast. Docs with fewer than 2 tokens have no bigrams and drop
+    * out (documented).
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+    val uni = tk.select(explode($"tk").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = tk.select($"doc_id", explode(Text.shingles($"tk", 2)).as("bg"))
+    val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+    bg.join(c2, "bg")
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("qp",
+        round(($"c2" + 1).cast("double") / ($"c1" + $"v") * lit(1e9), 0)
+          .cast("bigint"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"qp").as("sum_qp"))
+      .select($"doc_id", $"n_bigrams", $"sum_qp",
+        round($"sum_qp" / $"n_bigrams", 0).cast("bigint").as("avg_qp"))
+      .orderBy($"doc_id")
+  }
 }

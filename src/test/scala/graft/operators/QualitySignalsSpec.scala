@@ -160,4 +160,38 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     graft.Caches.releaseAll(spark)
   }
+
+  test("gopherRules: every flag recomputes from the raw text, all-integer") {
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    rows should not be empty
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.length shouldBe texts.count { case (_, t) =>
+      t.toLowerCase.split("[^a-z0-9]+").exists(_.nonEmpty)
+    }
+    val stops = TextAnalysis.Stopwords.toSet
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val n = toks.length.toLong
+      val tf = toks.groupBy(identity).map(_._2.length.toLong)
+      val grams = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val chars = toks.map(_.length.toLong).sum
+      r.getLong(1) shouldBe n
+      r.getBoolean(2) shouldBe (n >= 20 && n <= 100000)
+      r.getBoolean(3) shouldBe (3 * n <= chars && chars <= 10 * n)
+      r.getBoolean(4) shouldBe (toks.toSet.count(stops) >= 2)
+      r.getBoolean(5) shouldBe (5 * tf.max <= n)
+      r.getBoolean(6) shouldBe
+        (10 * (grams.size - grams.distinct.size) <= 3 * grams.size)
+      r.getBoolean(7) shouldBe
+        (r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4) &&
+          r.getBoolean(5) && r.getBoolean(6))
+    }
+    // a useful gate rejects SOME of the corpus at sf0.01 and keeps some
+    val big = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.01").collect()
+    big.count(_.getBoolean(7)) should be > 0
+    big.count(!_.getBoolean(7)) should be > 0
+  }
 }
