@@ -1788,7 +1788,6 @@ object SparkEntry {
 
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic
-
     "p13_length_batches" ->
       s"""WITH n AS (
          |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents
@@ -2429,7 +2428,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o05_bbox_nodes" ->
-      s"""SELECT id, lat, lon FROM $OsmP WHERE type = 'node'
+      s"""SELECT id, CAST(lat AS VARCHAR) AS lat, CAST(lon AS VARCHAR) AS lon
+         |FROM $OsmP WHERE type = 'node'
          |AND lon BETWEEN -0.25e0 AND -0.05e0 AND lat BETWEEN 51.05e0 AND 51.25e0
          |ORDER BY id""".stripMargin,
 

@@ -57,6 +57,16 @@ object Tables {
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
       case TimestampNTZType =>
+        // The NTZ->TimestampType cast reinterprets the naive value in
+        // the SESSION time zone; it round-trips the generator's UTC
+        // micros only because every graft session pins UTC. Fail
+        // loudly if a caller ever loads events under another zone —
+        // a silent shift here would skew every time-windowed query.
+        require(
+          spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"Tables.events requires spark.sql.session.timeZone=UTC " +
+            s"(got '${spark.conf.get("spark.sql.session.timeZone")}'): " +
+            "the TIMESTAMP_NTZ ts column is naive UTC and would shift")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw

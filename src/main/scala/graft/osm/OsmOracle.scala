@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object OsmOracle {
 
+  /** The committed `.osm.pbf` twin of the history fixture (encoded by
+    * OsmFixtureGen from the XML-converted parquet), converted LIVE by
+    * the DSv2 PBF source — the reference's PRIMARY entry format
+    * (OsmPbf2Orc.java:54-286) under the same DuckDB gate as the XML
+    * path: o12/o13's oracle SQL reads the XML-converted parquet, so a
+    * green hash proves PBF-decode == XML-decode row-for-row.
+    */
+  private def pbfHistory(spark: SparkSession): DataFrame =
+    graft.osm.pbf.OsmPbfSource.read(
+      spark, s"${OsmFixture.dir}/src/planet_history.osm.pbf")
+
   /** README ways-reassembly, gated: ordered coordinates flattened to a
     * `lat,lon;lat,lon` path string (order-sensitivity survives; the
     * array itself may not appear in gated output). Deleted nodes drop
@@ -52,11 +63,16 @@ object OsmOracle {
     OsmQueries.tagUsageByMonth(OsmFixture.history(spark), "amenity")
       .select(col("month").cast("date").as("month"), col("n"))
 
-  /** README nodes-in-bbox, gated: decimal comparison semantics. */
+  /** README nodes-in-bbox, gated: decimal comparison semantics. The
+    * coordinates cast to strings IN-PLAN (the o01/o09 decimal-output
+    * convention) so the gate hashes canonical text, not engine-side
+    * decimal renderings.
+    */
   def bboxNodes(spark: SparkSession, sfDir: String): DataFrame =
     OsmQueries.nodesInBbox(OsmFixture.planet(spark),
         minLon = -0.25, maxLon = -0.05, minLat = 51.05, maxLat = 51.25)
-      .select(col("id"), col("lat"), col("lon"))
+      .select(col("id"), col("lat").cast("string").as("lat"),
+        col("lon").cast("string").as("lon"))
       .orderBy(col("id"))
 
   /** README changesets-by-editor (LIKE prefix on a map value). */

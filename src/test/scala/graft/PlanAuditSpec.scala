@@ -71,9 +71,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // partition exchange carries <= spark.sql.shuffle.partitions rows —
     // a cluster constant, not corpus-proportional (the q32 offsets
     // shape, with no grouping key to hash-partition by).
+    // t20 — the vocabulary size V is a grand-total count over the
+    // unigram aggregate: the exchange's child is
+    // HashAggregate(partial_count(1)) — ONE partial-count row per task
+    // — finalized into a 1-row broadcast (verified by plan dump this
+    // round; the t11/q31 corpus-constant shape).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
-      "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle")
+      "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
+      "t20_bigram_lm")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

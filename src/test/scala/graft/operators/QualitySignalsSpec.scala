@@ -194,4 +194,45 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     big.count(_.getBoolean(7)) should be > 0
     big.count(!_.getBoolean(7)) should be > 0
   }
+
+  test("bigramLm: qp sums recompute from the raw text, all-integer") {
+    // independent recompute of the add-one-smoothed conditional
+    // probability per bigram occurrence: qp = round((c2+1)/(c1+V)·1e9)
+    // with corpus-global unigram counts c1, bigram counts c2, and
+    // vocabulary size V — then per-doc n_bigrams/sum_qp/avg_qp.
+    val rows = TextAnalysis.bigramLm(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val toksByDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val uniC = toksByDoc.values.flatten
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val bgByDoc = toksByDoc.map { case (id, tk) =>
+      id -> tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    val bgC = bgByDoc.values.flatten
+      .groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+    val v = uniC.size.toLong
+    // docs with < 2 tokens have no bigrams and must drop out
+    rows.length shouldBe bgByDoc.count(_._2.nonEmpty)
+    def halfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val grams = bgByDoc(id)
+      val qps = grams.map { g =>
+        val w1 = g.substring(0, g.indexOf(' '))
+        halfUp((bgC(g) + 1).toDouble / (uniC(w1) + v) * 1e9)
+      }
+      withClue(s"doc $id: ") {
+        r.getLong(1) shouldBe grams.size.toLong // n_bigrams
+        r.getLong(2) shouldBe qps.sum // sum_qp
+        r.getLong(3) shouldBe halfUp(qps.sum.toDouble / grams.size) // avg_qp
+      }
+    }
+  }
 }

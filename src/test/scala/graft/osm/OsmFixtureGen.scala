@@ -159,6 +159,26 @@ object OsmFixtureGen {
     ChangesetXml.read(spark, csXmlPath).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/changesets")
 
+    // Encode the SAME history rows as the reference's primary input
+    // format (.osm.pbf) and round-trip through the DSv2 PBF source:
+    // the committed file feeds the o12/o13 gate queries, which hold
+    // PBF-decode to the XML-converted parquet's DuckDB hash.
+    // map_entries keeps tag document order through collection (a
+    // collected scala Map would drop it past 4 entries).
+    val histRows = spark.read.parquet(s"$outDir/planet_history")
+      .select(col("id"), col("type"), map_entries(col("tags")).as("tags"),
+        col("lat"), col("lon"), col("nds"), col("members"),
+        col("changeset"), col("timestamp"), col("uid"), col("user"),
+        col("version"), col("visible"))
+      .orderBy(col("type"), col("id"), col("version"))
+      .collect().toSeq
+    val pbfPath = s"$outDir/src/planet_history.osm.pbf"
+    Files.write(Paths.get(pbfPath),
+      PbfFixtureEncoder.encode(PbfFixtureEncoder.fromRows(histRows)))
+    val rt = graft.osm.pbf.OsmPbfSource.read(spark, pbfPath).count()
+    require(rt == histRows.size,
+      s"pbf round-trip count $rt != ${histRows.size}")
+
     println(s"[fixture] history=${spark.read.parquet(s"$outDir/planet_history").count()} " +
       s"planet=${spark.read.parquet(s"$outDir/planet").count()} " +
       s"changesets=${spark.read.parquet(s"$outDir/changesets").count()} -> $outDir")
