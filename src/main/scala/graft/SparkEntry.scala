@@ -70,6 +70,7 @@ object SparkEntry {
     "d10_passage_dedup" -> ((s: SparkSession, d: String) => Dedup.passageDedup(s, d)),
     "d11_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.clusterStats(s, d)),
     "d12_incremental_overlap" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlap(s, d)),
+    "d21_incremental_sharded" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlapSharded(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
@@ -172,6 +173,9 @@ object SparkEntry {
     "o08_tag_transitions" -> (osm.OsmOracle.amenityTransitions _),
     "o09_all_geometries" -> (osm.OsmOracle.geometryPaths _),
     "o10_commented_changesets" -> (osm.OsmOracle.commentedChangesets _),
+    "o11_discussion_comments" -> (osm.OsmOracle.discussionComments _),
+    "o12_pbf_latest_versions" -> (osm.OsmOracle.pbfLatestVersionRows _),
+    "o13_pbf_bbox_nodes" -> (osm.OsmOracle.pbfBboxNodes _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -2093,6 +2097,18 @@ object SparkEntry {
          |FROM delta d JOIN hist h ON d.sh = h.sh
          |GROUP BY 1 HAVING count(*) >= 5 ORDER BY d.doc_id""".stripMargin,
 
+    // d21: the sharded-bloom prefilter is result-invariant exactly like
+    // d12's broadcast bloom (per-shard false negatives impossible,
+    // false positives die in the exact join) — SAME oracle
+    "d21_incremental_sharded" ->
+      s"""WITH ${tkCte("")},
+         |$ShCte,
+         |hist AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0),
+         |delta AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM delta d JOIN hist h ON d.sh = h.sh
+         |GROUP BY 1 HAVING count(*) >= 5 ORDER BY d.doc_id""".stripMargin,
+
     "d07_decontaminate" ->
       s"""WITH ${tkCte("")},
          |$ShCte,
@@ -2467,5 +2483,30 @@ object SparkEntry {
     "o10_commented_changesets" ->
       s"""SELECT id, tags['comment'][1] AS comment, "user" AS usr, num_changes
          |FROM $OsmC WHERE tags['comment'][1] IS NOT NULL ORDER BY id""".stripMargin,
+
+    // o11: the Spark side parses the discussion ARRAY from the fixture
+    // XML; the oracle recomputes every projected value from the
+    // parquet's scalar columns (the generator's (id, j) arithmetic) —
+    // count parity + first-comment attr/text parity.
+    "o11_discussion_comments" ->
+      s"""SELECT id, comments_count AS n_comments,
+         |  CAST((id + 1) % 7 AS BIGINT) AS first_uid,
+         |  'c1 on ' || id AS first_text
+         |FROM $OsmC WHERE comments_count > 0 ORDER BY id""".stripMargin,
+
+    // o12/o13: the Spark side converts the committed .osm.pbf LIVE via
+    // the DSv2 PBF source; the oracle reads the XML-converted parquet.
+    // Hash-green == PBF decode and XML decode agree row-for-row.
+    "o12_pbf_latest_versions" ->
+      s"""WITH h AS (SELECT * FROM $OsmH),
+         |latest AS (SELECT type, id, max(version) AS version FROM h GROUP BY type, id)
+         |SELECT h.type, h.id, h.version, h.visible, h.changeset, h.uid, h."user" AS usr
+         |FROM h JOIN latest USING (type, id, version) ORDER BY h.type, h.id""".stripMargin,
+
+    "o13_pbf_bbox_nodes" ->
+      s"""SELECT id, CAST(lat AS VARCHAR) AS lat, CAST(lon AS VARCHAR) AS lon
+         |FROM $OsmP WHERE type = 'node'
+         |AND lon BETWEEN -0.25e0 AND -0.05e0 AND lat BETWEEN 51.05e0 AND 51.25e0
+         |ORDER BY id""".stripMargin,
   )
 }

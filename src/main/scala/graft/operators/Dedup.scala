@@ -795,9 +795,17 @@ object Dedup {
     * produce false negatives, and false positives die in the exact
     * shingle join that follows — so the result is EXACTLY the no-bloom
     * result (spec-asserted), the bloom only shrinks the join's probe
-    * side. At 100 TB this is the standard pattern: a few GB of bloom
-    * over history's shingles broadcasts to every executor and drops the
-    * (large) non-overlapping share of today's crawl before any shuffle.
+    * side.
+    *
+    * SCALE LIMIT (this form): a single broadcast bloom stops being
+    * honest past ~1e10 distinct shingles — at 100 TB, ~1e12 distinct
+    * shingles at 1% fpp is ~1.1 TB of bloom, which neither the driver
+    * (stat.bloomFilter merges every partial ON the driver) nor an
+    * executor broadcast can hold. Use this form when history's
+    * distinct-shingle count keeps the filter in low GBs; past that,
+    * [[incrementalOverlapSharded]] — per-shard blooms built and
+    * persisted task-side, probe routed by the same shard key, nothing
+    * corpus-proportional ever on one machine.
     *
     * `expectedShingles` sizes the filter (history's DISTINCT shingle
     * count; over-sizing costs memory, under-sizing raises the false-
@@ -836,6 +844,113 @@ object Dedup {
     val delta = shingles.filter($"doc_id" % 10 === 0)
     val pre = delta.filter(
       graft.functions.BloomFunctions.bloomMightContain(historyBloom, xxhash64($"sh")))
+    pre.join(history.select($"sh").distinct(), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter($"n_overlap" >= minHit)
+      .orderBy($"doc_id")
+  }
+
+  /** Build PER-SHARD blooms over history's shingle hashes and persist
+    * each to `dir/shard-NNNNN.bloom` — the 100 TB-honest bloom build:
+    * shard = pmod(xxhash64(sh), shards), one task assembles one
+    * shard's filter (mapGroups after the shard shuffle) and writes it
+    * to shared storage ITSELF. Memory high-water anywhere =
+    * one shard's bloom (total/shards); the driver only runs the
+    * action — no treeAggregate merge of corpus-sized filters, no
+    * collect. At 1e12 shingles / 1% fpp, 4096 shards ≈ 270 MB per
+    * task — executor-sized. Returns per-shard key counts (for sizing
+    * audits); empty shards write nothing (probe treats absent file as
+    * bloom-of-nothing: reject).
+    */
+  def buildShardedBlooms(history: DataFrame, dir: String, shards: Int,
+      expectedPerShard: Long, fpp: Double = 0.01): DataFrame = {
+    import history.sparkSession.implicits._
+    require(shards > 0, "shards must be positive")
+    val hconf = new graft.osm.pbf.SerializableHadoopConf(
+      history.sparkSession.sessionState.newHadoopConf())
+    history.select(xxhash64($"sh").as("hv"))
+      .select($"hv", pmod($"hv", lit(shards)).cast("int").as("shard"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+      .mapGroups { (shard, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(expectedPerShard, fpp)
+        var n = 0L
+        it.foreach { t => bf.putLong(t._1); n += 1 }
+        val path = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.bloom")
+        val fs = path.getFileSystem(hconf.value)
+        val out = fs.create(path, true)
+        try bf.writeTo(out) finally out.close()
+        (shard, n)
+      }
+      .toDF("shard", "n_keys")
+  }
+
+  /** d21 gate entry — [[incrementalOverlapOn]]'s exact semantics with
+    * the SHARDED bloom prefilter: delta rows route to their shard
+    * (one hash shuffle), each task lazily loads only the shard files
+    * its partition holds, probes, and the surviving rows flow into the
+    * identical exact join + count. False negatives impossible per
+    * shard (bloom guarantee within the routed subset), false positives
+    * die in the exact join — result == d12 == no-bloom, spec- and
+    * oracle-asserted.
+    *
+    * The per-partition probe is `mapPartitions` BY NECESSITY (SURVEY
+    * §4.3 ladder (d)): the whole point is that no task ever holds more
+    * than its own shards' filters, which no broadcast-based expression
+    * can express. Everything before (shard routing) and after (join,
+    * aggregate) stays relational.
+    */
+  def incrementalOverlapSharded(spark: SparkSession, sfDir: String,
+      minHit: Int = 5, shards: Int = 16,
+      expectedPerShard: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
+    val history = sh.filter($"doc_id" % 10 =!= 0)
+    // deterministic per-(sfDir, parameters) location; rebuilt each call
+    // (same EAGERNESS note as incrementalOverlap: a persisted-sketch
+    // pipeline builds once per delta cadence and probes many times)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-blooms-${Integer.toHexString(sfDir.hashCode)}-$shards").toString
+    buildShardedBlooms(history, dir, shards, expectedPerShard, fpp).count()
+    incrementalOverlapShardedOn(sh, dir, shards, minHit)
+  }
+
+  /** Lazy probe core: `bloomDir` holds [[buildShardedBlooms]] output.
+    * Constructing this DataFrame runs no jobs.
+    */
+  def incrementalOverlapShardedOn(shingles: DataFrame, bloomDir: String,
+      shards: Int, minHit: Int): DataFrame = {
+    import shingles.sparkSession.implicits._
+    val hconf = new graft.osm.pbf.SerializableHadoopConf(
+      shingles.sparkSession.sessionState.newHadoopConf())
+    val history = shingles.filter($"doc_id" % 10 =!= 0)
+    val delta = shingles.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"sh", xxhash64($"sh").as("hv"))
+      .select($"doc_id", $"sh", pmod($"hv", lit(shards)).cast("int").as("shard"), $"hv")
+      .as[(Long, String, Int, Long)]
+    val pre = delta
+      .repartition(shards, $"shard")
+      .mapPartitions { it =>
+        // partitions hold few distinct shards (exactly one when the
+        // shuffle is collision-free); load lazily, keep per task
+        val cache = scala.collection.mutable.Map
+          .empty[Int, Option[org.apache.spark.util.sketch.BloomFilter]]
+        def bloom(shard: Int) = cache.getOrElseUpdate(shard, {
+          val path = new org.apache.hadoop.fs.Path(
+            bloomDir, f"shard-$shard%05d.bloom")
+          val fs = path.getFileSystem(hconf.value)
+          if (!fs.exists(path)) None // empty shard: no history keys
+          else {
+            val in = fs.open(path)
+            try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+            finally in.close()
+          }
+        })
+        it.filter(r => bloom(r._3).exists(_.mightContainLong(r._4)))
+      }
+      .toDF("doc_id", "sh", "shard", "hv")
     pre.join(history.select($"sh").distinct(), "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_overlap"))

@@ -115,4 +115,47 @@ object OsmOracle {
         col("tags").getItem("comment").as("comment"),
         col("user").as("usr"), col("num_changes"))
       .orderBy(col("id"))
+
+  /** Discussion array (the opt-in column EXCEEDING the reference's TODO
+    * at OsmPbf2Orc.java:193-195) under the gate: the fixture generator
+    * writes exactly `comments_count` comments with uid/text arithmetic
+    * on (id, j), so the oracle recomputes n_comments from the parquet's
+    * `comments_count` and first_uid/first_text from `id` alone — a
+    * green hash proves the array-of-struct parse (count, order, attr
+    * and nested-text extraction) end-to-end.
+    */
+  def discussionComments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("osm-changesets").option("discussion", true)
+      .load(s"${OsmFixture.dir}/src/changesets.osm")
+      .filter(size(col("discussion")) > 0)
+      .select(col("id"),
+        size(col("discussion")).cast("bigint").as("n_comments"),
+        element_at(col("discussion"), 1).getField("uid").as("first_uid"),
+        element_at(col("discussion"), 1).getField("text").as("first_text"))
+      .orderBy(col("id"))
+
+  /** PBF-converted latest-versions (the o02 form over [[pbfHistory]]):
+    * scalar metadata decode parity (type/id/version/visible/changeset/
+    * uid/user) for the DenseInfo + Info paths.
+    */
+  def pbfLatestVersionRows(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.latestVersions(pbfHistory(spark))
+      .select(col("type"), col("id"), col("version"), col("visible"),
+        col("changeset"), col("uid"), col("user").as("usr"))
+      .orderBy(col("type"), col("id"))
+
+  /** PBF-converted nodes-in-bbox (the o05 form, with the current
+    * snapshot derived in-plan exactly as the fixture generator derives
+    * the committed planet table): coordinate decode parity for the
+    * delta-zigzag nanodegree path, string-cast per the decimal-output
+    * convention.
+    */
+  def pbfBboxNodes(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.nodesInBbox(
+        OsmQueries.latestVersionsWindow(pbfHistory(spark))
+          .filter(col("visible")),
+        minLon = -0.25, maxLon = -0.05, minLat = 51.05, maxLat = 51.25)
+      .select(col("id"), col("lat").cast("string").as("lat"),
+        col("lon").cast("string").as("lon"))
+      .orderBy(col("id"))
 }

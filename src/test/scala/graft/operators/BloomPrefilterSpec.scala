@@ -98,6 +98,44 @@ class BloomPrefilterSpec extends AnyFunSuite with Matchers with SparkSpec {
     missed shouldBe 0L
   }
 
+  test("sharded bloom path equals the broadcast-bloom d12 result exactly") {
+    import spark.implicits._
+    // the 100 TB form: per-shard blooms built+persisted task-side,
+    // probe routed by shard — must be result-invariant like d12
+    val sharded = Dedup.incrementalOverlapSharded(spark, sf, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.releaseAll(spark)
+    val broadcast = Dedup.incrementalOverlap(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.releaseAll(spark)
+    sharded should not be empty
+    sharded shouldBe broadcast
+  }
+
+  test("sharded build: every history key probes true through its own shard") {
+    import spark.implicits._
+    val sh = Dedup.shingleSet(spark, sf, None)
+    val hist = sh.filter($"doc_id" % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-spec").toString
+    val shards = 8
+    val stats = Dedup.buildShardedBlooms(hist, dir, shards, 100000L).collect()
+    // shard files exist for every non-empty shard; counts sum to |hist|
+    stats.map(_.getLong(1)).sum shouldBe hist.count()
+    // no false negatives: every history key must probe true through
+    // the bloom of the shard its hash routes to
+    val hconf = spark.sessionState.newHadoopConf()
+    val missedDirect = hist.select(xxhash64($"sh").as("hv")).collect().count { r =>
+      val hv = r.getLong(0)
+      val shard = java.lang.Math.floorMod(hv, shards.toLong).toInt
+      val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.bloom")
+      val fs = p.getFileSystem(hconf)
+      val in = fs.open(p)
+      val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+      !bf.mightContainLong(hv)
+    }
+    missedDirect shouldBe 0
+  }
+
   test("probe rejects non-bigint keys with a type error") {
     import spark.implicits._
     val sh = Dedup.shingleSet(spark, sf, None).limit(1)

@@ -126,6 +126,18 @@ object OsmFixtureGen {
       sb ++= s"""  <changeset id="$id" created_at="${ts(id)}"$closed open="$open" user="u${id % 7}" uid="${id % 7}"$bbox num_changes="${id * 3}" comments_count="${id % 4}">\n"""
       editors(id % 5).foreach(e => sb ++= s"    <tag k=\"created_by\" v=\"$e\"/>\n")
       if (id % 3 == 0) sb ++= s"    <tag k=\"comment\" v=\"edit nr $id\"/>\n"
+      // discussion: exactly comments_count comments, arithmetic on
+      // (id, j) so the o11 oracle can recompute uid/text from id alone
+      if (id % 4 != 0) {
+        sb ++= "    <discussion>\n"
+        for (j <- 1 to (id % 4)) {
+          val cuid = (id + j) % 7
+          sb ++= s"""      <comment date="${ts(id, 1)}" uid="$cuid" user="u$cuid">\n"""
+          sb ++= s"        <text>c$j on $id</text>\n"
+          sb ++= "      </comment>\n"
+        }
+        sb ++= "    </discussion>\n"
+      }
       sb ++= "  </changeset>\n"
     }
     sb ++= "</osm>\n"
