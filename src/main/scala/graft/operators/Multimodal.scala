@@ -62,8 +62,8 @@ object Multimodal {
 
   /** A decoded row from [[decode]]: like [[MediaFeatures]] plus the
     * detected container and COLOR channel count; `format` is "png" /
-    * "bmp" / "ppm" / "pgm" when the header parsed for real, "stub" on
-    * fallback — and on fallback `channels` is the sentinel '''-1'''
+    * "bmp" / "ppm" / "pgm" / "jpeg" when the header parsed for real,
+    * "stub" on fallback — and on fallback `channels` is the sentinel '''-1'''
     * (the stub knows nothing about the payload's pixel layout, and a
     * fake 1 or 3 would be indistinguishable from a parsed value).
     * `channels` counts color/alpha planes (RGB555/565 BMP = 3, RGBA =
@@ -96,6 +96,10 @@ object Multimodal {
     *  - Netpbm: "P6"/"P3" (PPM, 3 channels) and "P5"/"P2" (PGM, 1
     *    channel) — magic, then whitespace/comment-separated width,
     *    height, maxval.
+    *  - JPEG (baseline DCT): SOI, then a marker-segment walk to SOF0 —
+    *    8-bit precision, height/width BE u16, channels = component
+    *    count (1 gray / 3 YCbCr / 4 CMYK). Progressive and the other
+    *    SOFn variants deliberately fall to the stub.
     *
     * Returns (format, width, height, channels); None when the bytes
     * are not a well-formed header of either family (the caller falls
@@ -192,6 +196,49 @@ object Multimodal {
           maxv >= 1 && maxv <= 65535)
         Some((fmt, w.toInt, h.toInt, channels))
       else None
+    } else if (c.length >= 4 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8) {
+      // JPEG: SOI (FFD8), then marker segments [FF mm len_hi len_lo
+      // payload…] until the baseline-DCT frame header SOF0 (FFC0):
+      // precision u8 (must be 8 for baseline), height BE u16, width BE
+      // u16, component count u8 (1 gray / 3 YCbCr / 4 CMYK), then
+      // 3 bytes per component — the segment length pins that layout.
+      // Progressive (SOF2) and the other SOFn variants fall to the
+      // stub (this parses exactly the baseline slice); a SOS before
+      // any SOF, an fffe-style lying length, or EOI/truncation end the
+      // walk as malformed. 0xFF fill bytes before a marker are legal.
+      def beU16(off: Int): Int = ((c(off) & 0xff) << 8) | (c(off + 1) & 0xff)
+      var i = 2
+      var res: Option[(String, Int, Int, Int)] = None
+      var done = false
+      while (!done && i + 1 < c.length) {
+        if ((c(i) & 0xff) != 0xff) done = true // desync: not a marker
+        else {
+          val m = c(i + 1) & 0xff
+          if (m == 0xff) i += 1 // fill byte before the real marker
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (m == 0xd9 || m == 0xda) done = true // EOI / SOS: no SOF seen
+          else if (i + 3 >= c.length) done = true // truncated length field
+          else {
+            val len = beU16(i + 2)
+            if (len < 2 || i + 2 + len > c.length) done = true // lying length
+            else if (m == 0xc0 && len >= 11) {
+              // SOF0 payload at i+4: [precision][h hi lo][w hi lo][ncomp]
+              // (len >= 11 = 2 + the 8-byte fixed part + one component,
+              // checked BEFORE touching the payload bytes)
+              val precision = c(i + 4) & 0xff
+              val h = beU16(i + 5)
+              val w = beU16(i + 7)
+              val ncomp = c(i + 9) & 0xff
+              if (precision == 8 && len == 8 + 3 * ncomp &&
+                  (ncomp == 1 || ncomp == 3 || ncomp == 4) &&
+                  w >= 1 && h >= 1) // u16: MaxDim bound is implicit
+                res = Some(("jpeg", w, h, ncomp))
+              done = true // first frame header decides either way
+            } else i += 2 + len
+          }
+        }
+      }
+      res
     } else None
   }
 

@@ -230,6 +230,52 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.parseImageHeader(pngBytes(5, 5, 8, 2).take(20)) shouldBe None
   }
 
+  /** A minimal well-formed JPEG prefix: SOI, an APP0 JFIF stub, an
+    * FFDB quant-table stub (exercises the segment walk), then SOF0
+    * with the given dims/components. Entropy data omitted — the parse
+    * stops at the frame header.
+    */
+  private def jpegBytes(w: Int, h: Int, ncomp: Int, sofMarker: Int = 0xc0,
+      precision: Int = 8, lenDelta: Int = 0): Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u8(v: Int): Unit = b += v.toByte
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v & 0xff) }
+    u16(0xffd8) // SOI
+    u16(0xffe0); u16(16); b ++= "JFIF ".getBytes("US-ASCII")
+    (0 until 9).foreach(_ => u8(0)) // version/units/density/thumb
+    u16(0xffdb); u16(4); u8(0); u8(0) // truncated-but-consistent DQT
+    u16(0xff00 | sofMarker); u16(8 + 3 * ncomp + lenDelta)
+    u8(precision); u16(h); u16(w); u8(ncomp)
+    (0 until ncomp).foreach { ci => u8(ci + 1); u8(0x11); u8(0) }
+    b.toArray
+  }
+
+  test("parseImageHeader decodes baseline JPEG SOF0 (channels = components)") {
+    Multimodal.parseImageHeader(jpegBytes(1024, 768, 3)) shouldBe
+      Some(("jpeg", 1024, 768, 3)) // YCbCr
+    Multimodal.parseImageHeader(jpegBytes(99, 7, 1)) shouldBe
+      Some(("jpeg", 99, 7, 1)) // grayscale
+    Multimodal.parseImageHeader(jpegBytes(5, 5, 4)) shouldBe
+      Some(("jpeg", 5, 5, 4)) // CMYK/Adobe
+    // fill bytes before a marker are legal
+    val withFill = jpegBytes(10, 10, 3)
+    val filled = withFill.take(2) ++ Array(0xff.toByte) ++ withFill.drop(2)
+    Multimodal.parseImageHeader(filled) shouldBe Some(("jpeg", 10, 10, 3))
+    // malformed / out-of-slice: progressive SOF2 falls to the stub,
+    // 12-bit precision, zero dims, bad component count, lying segment
+    // length, truncation mid-segment, SOS before any SOF, bare SOI
+    Multimodal.parseImageHeader(jpegBytes(10, 10, 3, sofMarker = 0xc2)) shouldBe None
+    Multimodal.parseImageHeader(jpegBytes(10, 10, 3, precision = 12)) shouldBe None
+    Multimodal.parseImageHeader(jpegBytes(0, 10, 3)) shouldBe None
+    Multimodal.parseImageHeader(jpegBytes(10, 0, 3)) shouldBe None
+    Multimodal.parseImageHeader(jpegBytes(10, 10, 2)) shouldBe None
+    Multimodal.parseImageHeader(jpegBytes(10, 10, 3, lenDelta = 1)) shouldBe None
+    Multimodal.parseImageHeader(jpegBytes(10, 10, 3).dropRight(4)) shouldBe None
+    Multimodal.parseImageHeader(Array(0xff, 0xd8, 0xff, 0xda, 0, 4, 0, 0)
+      .map(_.toByte)) shouldBe None
+    Multimodal.parseImageHeader(Array(0xff, 0xd8).map(_.toByte)) shouldBe None
+  }
+
   test("decode: real formats decode for real, everything else falls back to the stub") {
     import spark.implicits._
     val mixed = Seq(
