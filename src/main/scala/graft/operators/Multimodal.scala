@@ -100,6 +100,8 @@ object Multimodal {
     *    8-bit precision, height/width BE u16, channels = component
     *    count (1 gray / 3 YCbCr / 4 CMYK). Progressive and the other
     *    SOFn variants deliberately fall to the stub.
+    *  - GIF: "GIF87a"/"GIF89a" signature, then the Logical Screen
+    *    Descriptor's LE u16 width/height; always 1 paletted channel.
     *
     * Returns (format, width, height, channels); None when the bytes
     * are not a well-formed header of either family (the caller falls
@@ -196,6 +198,15 @@ object Multimodal {
           maxv >= 1 && maxv <= 65535)
         Some((fmt, w.toInt, h.toInt, channels))
       else None
+    } else if (c.length >= 13 && c(0) == 'G'.toByte && c(1) == 'I'.toByte &&
+        c(2) == 'F'.toByte && c(3) == '8'.toByte &&
+        (c(4) == '7'.toByte || c(4) == '9'.toByte) && c(5) == 'a'.toByte) {
+      // GIF87a/89a: Logical Screen Descriptor right after the 6-byte
+      // signature — width LE u16 @6, height LE u16 @8. Always paletted:
+      // 1 channel of color-table indices (the BMP paletted convention).
+      val w = leU16(6)
+      val h = leU16(8)
+      if (w >= 1 && h >= 1) Some(("gif", w, h, 1)) else None
     } else if (c.length >= 4 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8) {
       // JPEG: SOI (FFD8), then marker segments [FF mm len_hi len_lo
       // payload…] until the baseline-DCT frame header SOF0 (FFC0):
@@ -261,6 +272,88 @@ object Multimodal {
           case None =>
             val (w, h) = stubDims(sum)
             DecodedMedia(r.media_id, r.kind, r.content.length, "stub", w, h, -1, sum)
+        }
+      }
+    }
+  }
+
+  /** A parsed audio row: `format` is "wav" when the RIFF/WAVE header
+    * parsed for real, "stub" on fallback — and on fallback
+    * sample_rate/channels/bits_per_sample/n_frames carry the -1
+    * sentinel (the [[DecodedMedia]] convention: the stub knows nothing
+    * about the payload's sample layout).
+    */
+  case class DecodedAudio(media_id: Long, kind: String, n_bytes: Int,
+      format: String, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_frames: Long, checksum: Long)
+
+  /** REAL RIFF/WAVE header parse (public layout, dependency-free):
+    * "RIFF" + LE u32 riff size + "WAVE", then a chunk walk —
+    * [4-byte id][LE u32 size][payload, odd sizes padded to even] —
+    * for the `fmt ` chunk (PCM format 1 or IEEE-float format 3:
+    * channels LE u16, sample rate LE u32, block align LE u16, bits
+    * LE u16) and the `data` chunk (n_frames = data size / block
+    * align). Compressed/extensible formats and malformed chunk walks
+    * fall back to the stub — never throw on arbitrary payloads.
+    *
+    * Returns (sampleRate, channels, bitsPerSample, nFrames).
+    */
+  def parseWavHeader(c: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def leU16(off: Int): Int = (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8)
+    def leU32(off: Int): Long =
+      (c(off) & 0xffL) | ((c(off + 1) & 0xffL) << 8) |
+        ((c(off + 2) & 0xffL) << 16) | ((c(off + 3) & 0xffL) << 24)
+    def tag(off: Int, s: String): Boolean =
+      c(off) == s.charAt(0).toByte && c(off + 1) == s.charAt(1).toByte &&
+        c(off + 2) == s.charAt(2).toByte && c(off + 3) == s.charAt(3).toByte
+    if (c.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFmt, ch, rate, bits) + align below
+    var blockAlign = 0
+    var dataSize = -1L
+    while (i + 8 <= c.length && (fmt.isEmpty || dataSize < 0)) {
+      val size = leU32(i + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      val body = i + 8
+      if (tag(i, "fmt ") && size >= 16 && body + 16 <= c.length) {
+        val audioFmt = leU16(body)
+        val ch = leU16(body + 2)
+        val rate = leU32(body + 4)
+        blockAlign = leU16(body + 12)
+        val bits = leU16(body + 14)
+        if ((audioFmt == 1 || audioFmt == 3) && ch >= 1 && ch <= 64 &&
+            rate >= 1 && rate <= (1 << 20) && bits >= 1 && bits % 8 == 0 &&
+            blockAlign == ch * (bits / 8))
+          fmt = Some((audioFmt, ch, rate.toInt, bits))
+        else return None // a fmt chunk that lies is malformed, not stub-able noise
+      } else if (tag(i, "data")) {
+        // data payload may legitimately be truncated in a header-only
+        // slice; the DECLARED size still yields the frame count
+        dataSize = size
+      }
+      i = body + size.toInt + (size % 2).toInt // odd chunks pad to even
+    }
+    for ((_, ch, rate, bits) <- fmt; if dataSize >= 0 && dataSize % blockAlign == 0)
+      yield (rate, ch, bits, dataSize / blockAlign)
+  }
+
+  /** [[decode]]'s audio twin: WAV headers parse for REAL; everything
+    * else (MP3/OGG/FLAC/containers — would need real codec tables)
+    * falls back to the deterministic stub with -1 sentinels. Same
+    * iterator-to-iterator per-partition shape.
+    */
+  def decodeAudio(rows: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val sum = byteChecksum(r.content)
+        parseWavHeader(r.content) match {
+          case Some((rate, ch, bits, frames)) =>
+            DecodedAudio(r.media_id, r.kind, r.content.length, "wav",
+              rate, ch, bits, frames, sum)
+          case None =>
+            DecodedAudio(r.media_id, r.kind, r.content.length, "stub",
+              -1, -1, -1, -1L, sum)
         }
       }
     }

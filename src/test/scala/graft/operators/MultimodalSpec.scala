@@ -276,6 +276,87 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.parseImageHeader(Array(0xff, 0xd8).map(_.toByte)) shouldBe None
   }
 
+  test("parseImageHeader decodes GIF logical screen descriptors") {
+    def gif(ver: Char, w: Int, h: Int): Array[Byte] =
+      s"GIF8${ver}a".getBytes("US-ASCII") ++
+        Array((w & 0xff).toByte, (w >> 8).toByte,
+          (h & 0xff).toByte, (h >> 8).toByte,
+          0xf7.toByte, 0.toByte, 0.toByte) // packed/bg/aspect
+    Multimodal.parseImageHeader(gif('9', 320, 200)) shouldBe
+      Some(("gif", 320, 200, 1))
+    Multimodal.parseImageHeader(gif('7', 1, 65535)) shouldBe
+      Some(("gif", 1, 65535, 1))
+    Multimodal.parseImageHeader(gif('9', 0, 200)) shouldBe None
+    Multimodal.parseImageHeader(gif('9', 320, 200).take(9)) shouldBe None
+    // GIF88a is not a real version
+    Multimodal.parseImageHeader("GIF88a     "
+      .getBytes("ISO-8859-1")) shouldBe None
+  }
+
+  /** A minimal canonical WAV: RIFF/WAVE + fmt(16) + data header with
+    * `frames * blockAlign` declared payload bytes (payload itself
+    * optionally truncated — the parse reads the declared size).
+    */
+  private def wavBytes(rate: Int, ch: Int, bits: Int, frames: Long,
+      audioFmt: Int = 1, extraChunk: Boolean = false): Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def ascii(s: String): Unit = b ++= s.getBytes("US-ASCII")
+    def u16(v: Int): Unit = { b += (v & 0xff).toByte; b += ((v >> 8) & 0xff).toByte }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    val align = ch * (bits / 8)
+    ascii("RIFF"); u32(36 + frames * align); ascii("WAVE")
+    if (extraChunk) { ascii("LIST"); u32(3); ascii("IN"); b += 'F'.toByte; b += 0.toByte } // odd size, padded
+    ascii("fmt "); u32(16)
+    u16(audioFmt); u16(ch); u32(rate); u32(rate.toLong * align); u16(align); u16(bits)
+    ascii("data"); u32(frames * align)
+    b.toArray // payload omitted: header-only slice
+  }
+
+  test("parseWavHeader decodes RIFF/WAVE fmt+data for real") {
+    Multimodal.parseWavHeader(wavBytes(44100, 2, 16, 1000L)) shouldBe
+      Some((44100, 2, 16, 1000L))
+    Multimodal.parseWavHeader(wavBytes(16000, 1, 8, 7L)) shouldBe
+      Some((16000, 1, 8, 7L))
+    // IEEE float (format 3), and an interposed odd-sized LIST chunk
+    // (exercises even-padding in the chunk walk)
+    Multimodal.parseWavHeader(wavBytes(48000, 2, 32, 5L, audioFmt = 3)) shouldBe
+      Some((48000, 2, 32, 5L))
+    Multimodal.parseWavHeader(
+      wavBytes(22050, 1, 16, 3L, extraChunk = true)) shouldBe
+      Some((22050, 1, 16, 3L))
+    // malformed / out-of-slice: compressed format, zero channels,
+    // inconsistent block align, missing data chunk, wrong magic,
+    // truncation below the minimal header
+    Multimodal.parseWavHeader(wavBytes(44100, 2, 16, 9L, audioFmt = 85)) shouldBe None
+    Multimodal.parseWavHeader(wavBytes(44100, 0, 16, 9L)) shouldBe None
+    val badAlign = wavBytes(44100, 2, 16, 9L)
+    badAlign(32) = 5 // blockAlign != ch * bits/8
+    Multimodal.parseWavHeader(badAlign) shouldBe None
+    Multimodal.parseWavHeader(wavBytes(44100, 2, 16, 9L).take(40)) shouldBe None
+    val notWave = wavBytes(44100, 2, 16, 9L)
+    notWave(8) = 'A'.toByte
+    Multimodal.parseWavHeader(notWave) shouldBe None
+  }
+
+  test("decodeAudio: WAV parses for real, other payloads carry -1 sentinels") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1, "audio", wavBytes(44100, 2, 16, 100L)),
+      MediaRow(2, "audio", Array[Byte](1, 2, 3)),
+      MediaRow(3, "audio", Array.emptyByteArray)).toDS()
+    val out = Multimodal.decodeAudio(rows).collect().sortBy(_.media_id)
+    out.map(_.format).toSeq shouldBe Seq("wav", "stub", "stub")
+    out(0).sample_rate shouldBe 44100
+    out(0).channels shouldBe 2
+    out(0).bits_per_sample shouldBe 16
+    out(0).n_frames shouldBe 100L
+    out(1).sample_rate shouldBe -1
+    out(1).n_frames shouldBe -1L
+    // checksums come from the same shared byteChecksum as decode
+    val viaDecode = Multimodal.decode(rows).collect().sortBy(_.media_id)
+    out.map(_.checksum).toSeq shouldBe viaDecode.map(_.checksum).toSeq
+  }
+
   test("decode: real formats decode for real, everything else falls back to the stub") {
     import spark.implicits._
     val mixed = Seq(
