@@ -176,6 +176,7 @@ object SparkEntry {
     "o11_discussion_comments" -> (osm.OsmOracle.discussionComments _),
     "o12_pbf_latest_versions" -> (osm.OsmOracle.pbfLatestVersionRows _),
     "o13_pbf_bbox_nodes" -> (osm.OsmOracle.pbfBboxNodes _),
+    "o14_pbf_tag_usage" -> (osm.OsmOracle.pbfTagUsagePerMonth _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -2508,5 +2509,12 @@ object SparkEntry {
          |FROM $OsmP WHERE type = 'node'
          |AND lon BETWEEN -0.25e0 AND -0.05e0 AND lat BETWEEN 51.05e0 AND 51.25e0
          |ORDER BY id""".stripMargin,
+
+    // o14: tags + timestamp decode parity for the PBF path (o04's SQL
+    // over the XML-converted parquet)
+    "o14_pbf_tag_usage" ->
+      s"""SELECT CAST(date_trunc('month', "timestamp") AS DATE) AS month, count(*) AS n
+         |FROM $OsmH WHERE tags['amenity'][1] IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

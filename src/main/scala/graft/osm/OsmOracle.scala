@@ -158,4 +158,13 @@ object OsmOracle {
       .select(col("id"), col("lat").cast("string").as("lat"),
         col("lon").cast("string").as("lon"))
       .orderBy(col("id"))
+
+  /** PBF-converted tag-usage-by-month (the o04 form over
+    * [[pbfHistory]]): tags-map (keys_vals string-table runs) and
+    * timestamp (DenseInfo delta + date granularity) decode parity —
+    * the two dimensions o12/o13 don't reach.
+    */
+  def pbfTagUsagePerMonth(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.tagUsageByMonth(pbfHistory(spark), "amenity")
+      .select(col("month").cast("date").as("month"), col("n"))
 }
