@@ -865,11 +865,21 @@ object Dedup {
     */
   def buildShardedBlooms(history: DataFrame, dir: String, shards: Int,
       expectedPerShard: Long, fpp: Double = 0.01): DataFrame = {
-    import history.sparkSession.implicits._
+    val spark = history.sparkSession
+    import spark.implicits._
     require(shards > 0, "shards must be positive")
     val hconf = new graft.osm.pbf.SerializableHadoopConf(
-      history.sparkSession.sessionState.newHadoopConf())
-    history.select(xxhash64($"sh").as("hv"))
+      spark.sessionState.newHadoopConf())
+    // EAGER by design (a "build" API, the d12 eagerness note): the
+    // action must complete before the manifest below can list the
+    // non-empty shards. Clearing the directory first means a rebuild
+    // can never leave stale shard files from a previous corpus for the
+    // probe to load.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(hconf.value)
+    dirFs.delete(dirPath, true)
+    dirFs.mkdirs(dirPath)
+    val stats = history.select(xxhash64($"sh").as("hv"))
       .select($"hv", pmod($"hv", lit(shards)).cast("int").as("shard"))
       .as[(Long, Int)]
       .groupByKey(_._2)
@@ -884,7 +894,17 @@ object Dedup {
         try bf.writeTo(out) finally out.close()
         (shard, n)
       }
-      .toDF("shard", "n_keys")
+      .collect()
+    // manifest of non-empty shards, written AFTER every shard file is
+    // durable: the probe distinguishes "genuinely empty shard" (absent
+    // from the manifest → bloom-of-nothing, reject) from "file lost /
+    // storage not shared" (in the manifest but unreadable → FAIL LOUD,
+    // never silently drop delta rows)
+    val mf = dirFs.create(new org.apache.hadoop.fs.Path(dirPath, "manifest"), true)
+    try mf.write(stats.map(_._1).sorted.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally mf.close()
+    stats.toSeq.toDF("shard", "n_keys")
   }
 
   /** d21 gate entry — [[incrementalOverlapOn]]'s exact semantics with
@@ -904,16 +924,22 @@ object Dedup {
     */
   def incrementalOverlapSharded(spark: SparkSession, sfDir: String,
       minHit: Int = 5, shards: Int = 16,
-      expectedPerShard: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+      expectedPerShard: Long = 100000L, fpp: Double = 0.01,
+      bloomDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
     val history = sh.filter($"doc_id" % 10 =!= 0)
-    // deterministic per-(sfDir, parameters) location; rebuilt each call
-    // (same EAGERNESS note as incrementalOverlap: a persisted-sketch
-    // pipeline builds once per delta cadence and probes many times)
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-blooms-${Integer.toHexString(sfDir.hashCode)}-$shards").toString
-    buildShardedBlooms(history, dir, shards, expectedPerShard, fpp).count()
+    // Rebuilt each call (same EAGERNESS note as incrementalOverlap: a
+    // persisted-sketch pipeline builds once per delta cadence and
+    // probes many times via incrementalOverlapShardedOn). The default
+    // location under the driver's tmpdir is LOCAL-MODE-ONLY — on a
+    // real cluster, executors' local /tmp are different filesystems
+    // and the probe's manifest check would fail loudly; production
+    // callers pass `bloomDir` on shared storage (HDFS/S3), which is
+    // the deployment the sharded design exists for.
+    val dir = bloomDir.getOrElse(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-blooms-${Integer.toHexString(sfDir.hashCode)}-$shards").toString)
+    buildShardedBlooms(history, dir, shards, expectedPerShard, fpp)
     incrementalOverlapShardedOn(sh, dir, shards, minHit)
   }
 
@@ -933,17 +959,37 @@ object Dedup {
     val pre = delta
       .repartition(shards, $"shard")
       .mapPartitions { it =>
+        // the manifest written by buildShardedBlooms separates
+        // "genuinely empty shard" (absent → reject, the
+        // bloom-of-nothing semantics) from "shard file unreadable"
+        // (present in the manifest → FAIL LOUD — silent rejects here
+        // would be invisible false negatives, e.g. when the dir is on
+        // a non-shared filesystem)
+        val fs = new org.apache.hadoop.fs.Path(bloomDir)
+          .getFileSystem(hconf.value)
+        lazy val manifest: Set[Int] = {
+          val p = new org.apache.hadoop.fs.Path(bloomDir, "manifest")
+          require(fs.exists(p),
+            s"sharded-bloom manifest missing under $bloomDir — " +
+              "run buildShardedBlooms first (on SHARED storage for a cluster)")
+          val in = fs.open(p)
+          val txt = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+            bos.toString("UTF-8")
+          } finally in.close()
+          txt.linesIterator.filter(_.nonEmpty).map(_.toInt).toSet
+        }
         // partitions hold few distinct shards (exactly one when the
         // shuffle is collision-free); load lazily, keep per task
         val cache = scala.collection.mutable.Map
           .empty[Int, Option[org.apache.spark.util.sketch.BloomFilter]]
         def bloom(shard: Int) = cache.getOrElseUpdate(shard, {
-          val path = new org.apache.hadoop.fs.Path(
-            bloomDir, f"shard-$shard%05d.bloom")
-          val fs = path.getFileSystem(hconf.value)
-          if (!fs.exists(path)) None // empty shard: no history keys
+          if (!manifest(shard)) None // genuinely empty: no history keys
           else {
-            val in = fs.open(path)
+            val path = new org.apache.hadoop.fs.Path(
+              bloomDir, f"shard-$shard%05d.bloom")
+            val in = fs.open(path) // manifest says it exists: throw if not
             try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
             finally in.close()
           }

@@ -307,15 +307,19 @@ object Multimodal {
       c(off) == s.charAt(0).toByte && c(off + 1) == s.charAt(1).toByte &&
         c(off + 2) == s.charAt(2).toByte && c(off + 3) == s.charAt(3).toByte
     if (c.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
+    // the walk index is a LONG: a junk chunk declaring size near
+    // Int.MaxValue must run i past c.length and end the loop — Int
+    // arithmetic would overflow negative, keep `i + 8 <= length` true,
+    // and index c at a negative offset (never-throw contract violation)
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // (audioFmt, ch, rate, bits) + align below
     var blockAlign = 0
     var dataSize = -1L
     while (i + 8 <= c.length && (fmt.isEmpty || dataSize < 0)) {
-      val size = leU32(i + 4)
-      if (size < 0 || size > Int.MaxValue) return None
-      val body = i + 8
-      if (tag(i, "fmt ") && size >= 16 && body + 16 <= c.length) {
+      val off = i.toInt // safe: i + 8 <= c.length <= Int.MaxValue
+      val size = leU32(off + 4)
+      val body = off + 8
+      if (tag(off, "fmt ") && size >= 16 && body + 16 <= c.length) {
         val audioFmt = leU16(body)
         val ch = leU16(body + 2)
         val rate = leU32(body + 4)
@@ -326,12 +330,12 @@ object Multimodal {
             blockAlign == ch * (bits / 8))
           fmt = Some((audioFmt, ch, rate.toInt, bits))
         else return None // a fmt chunk that lies is malformed, not stub-able noise
-      } else if (tag(i, "data")) {
+      } else if (tag(off, "data")) {
         // data payload may legitimately be truncated in a header-only
         // slice; the DECLARED size still yields the frame count
         dataSize = size
       }
-      i = body + size.toInt + (size % 2).toInt // odd chunks pad to even
+      i = body.toLong + size + (size % 2) // odd chunks pad to even
     }
     for ((_, ch, rate, bits) <- fmt; if dataSize >= 0 && dataSize % blockAlign == 0)
       yield (rate, ch, bits, dataSize / blockAlign)

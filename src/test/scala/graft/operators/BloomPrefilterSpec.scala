@@ -134,6 +134,28 @@ class BloomPrefilterSpec extends AnyFunSuite with Matchers with SparkSpec {
       !bf.mightContainLong(hv)
     }
     missedDirect shouldBe 0
+    // the manifest lists exactly the non-empty shards the stats report
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "manifest")), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).map(_.toInt).toSet
+    manifest shouldBe stats.map(_.getInt(0)).toSet
+    // a rebuild CLEARS the directory first: plant a stale shard file
+    // beyond the shard range and rebuild — it must be gone
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-99999.bloom"), Array[Byte](1))
+    Dedup.buildShardedBlooms(hist, dir, shards, 100000L).collect()
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "shard-99999.bloom")) shouldBe false
+  }
+
+  test("sharded probe fails loudly without a manifest (no silent false negatives)") {
+    import spark.implicits._
+    val sh = Dedup.shingleSet(spark, sf, None)
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-bloom-nomf").toString
+    val ex = intercept[Exception] {
+      Dedup.incrementalOverlapShardedOn(sh, emptyDir, 8, 5).collect()
+    }
+    ex.getMessage should include("manifest")
   }
 
   test("probe rejects non-bigint keys with a type error") {

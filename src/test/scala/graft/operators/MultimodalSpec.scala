@@ -336,6 +336,19 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     val notWave = wavBytes(44100, 2, 16, 9L)
     notWave(8) = 'A'.toByte
     Multimodal.parseWavHeader(notWave) shouldBe None
+    // a junk chunk declaring a near-Int.MaxValue size must end the walk
+    // (Long index), not overflow negative and throw on a bad array read
+    val hugeChunk = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      b ++= "RIFF".getBytes("US-ASCII"); b ++= Array[Byte](36, 0, 0, 0)
+      b ++= "WAVE".getBytes("US-ASCII")
+      b ++= "JUNK".getBytes("US-ASCII")
+      b ++= Array[Byte](-1, -1, -1, 0x7f) // size 0x7FFFFFFF
+      b ++= new Array[Byte](24)
+      b.toArray
+    }
+    noException should be thrownBy Multimodal.parseWavHeader(hugeChunk)
+    Multimodal.parseWavHeader(hugeChunk) shouldBe None
   }
 
   test("decodeAudio: WAV parses for real, other payloads carry -1 sentinels") {

@@ -24,10 +24,18 @@ def load(path):
 old, new = load(sys.argv[1]), load(sys.argv[2])
 flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 oq, nq = old["queries"], new["queries"]
-common = sorted(set(oq) & set(nq), key=lambda q: nq[q] / oq[q], reverse=True)
+if not oq or not nq:
+    raise SystemExit("empty queries map in one of the inputs")
+
+
+def ratio(q):
+    return nq[q] / oq[q] if oq[q] else float("inf")
+
+
+common = sorted(set(oq) & set(nq), key=ratio, reverse=True)
 flagged = []
 for q in common:
-    r = nq[q] / oq[q]
+    r = ratio(q)
     mark = " <-- FLAG" if r > flag else ""
     if r > flag:
         flagged.append(q)
