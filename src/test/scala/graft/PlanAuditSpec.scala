@@ -40,6 +40,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("o12 prunes the PBF scan to referenced columns (no tags/geometry decode)") {
+    // both osm-pbf BatchScans in the latest-versions plan must carry
+    // pruned schemas — lat/lon/tags/nds/members are never referenced,
+    // so the reader must never convert them (per-column extractors)
+    val p = plan("o12_pbf_latest_versions")
+    p should include("BatchScan osm-pbf")
+    p should not include "tags#"
+    p should not include "members#"
+    p should not include "nds#"
+    p should not include "lat#"
+    p should not include "lon#"
+  }
+
+  test("d21 routes the sharded probe by shard key (no broadcast of all blooms)") {
+    // the delta side must shuffle by the shard column into the
+    // mapPartitions probe — the whole point is that each task loads
+    // only its own shards' filters; the funnel audit below separately
+    // guarantees no single-partition exchange anywhere in the plan
+    val p = plan("d21_incremental_sharded")
+    p should include("REPARTITION_BY_NUM")
+    p should include("MapPartitions")
+  }
+
   test("no gate query plans a cartesian product") {
     // d02/d05 pair joins carry an a<b condition into a broadcast-nested-
     // loop join; a CartesianProduct node would mean the condition fell off
