@@ -92,6 +92,7 @@ object SparkEntry {
     "s10_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "s11_corpus_clusters" -> ((s: SparkSession, d: String) => Similarity.corpusClusters(s, d)),
     "s12_embed_outliers" -> ((s: SparkSession, d: String) => Similarity.embedOutliers(s, d)),
+    "s13_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -1562,6 +1563,57 @@ object SparkEntry {
          |SELECT a.vec_id, a.cluster, a.dist2q, n_c, sum_d,
          |  a.dist2q > 2.0e0 * sum_d / n_c AS is_outlier
          |FROM asg a JOIN st USING (cluster) ORDER BY a.vec_id""".stripMargin,
+
+    // s13: recall@3 of the s02 LSH search against s01 ground truth —
+    // the shared exact-dot CTEs score once, the truth ranking and the
+    // bucket-restricted ranking both derive from them, and the final
+    // division is one exact IEEE op per query
+    "s13_ann_recall" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |sc AS (
+         |  SELECT qid, cand, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cand = nc.vec_id
+         |),
+         |truth AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT qid, cand,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rnk
+         |    FROM sc) r WHERE rnk <= 3
+         |),
+         |dots AS (
+         |  SELECT vec_id, j,
+         |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+         |  GROUP BY 1, 2
+         |),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |  FROM dots GROUP BY 1
+         |),
+         |a_sc AS (
+         |  SELECT sc.qid, sc.cand, sc.cos
+         |  FROM sc
+         |  JOIN bkt bq ON sc.qid = bq.vec_id
+         |  JOIN bkt bc ON sc.cand = bc.vec_id AND bq.bucket = bc.bucket
+         |),
+         |approx AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT qid, cand,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rnk
+         |    FROM a_sc) r WHERE rnk <= 3
+         |)
+         |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(count(a.cand) AS BIGINT) AS n_hits,
+         |  round(CAST(count(a.cand) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cand = a.cand
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
     // p12: the s11 assignment + per-cluster hash-order quota
     "p12_cluster_sample" ->

@@ -695,4 +695,32 @@ object Similarity {
       .filter($"rnk" <= topK)
       .orderBy($"qid", $"rnk")
   }
+
+  /** Recall@k evaluation of the LSH path against brute-force ground
+    * truth — the monitoring query a production retrieval pipeline runs
+    * after every index rebuild (the number the s02 sizing contract
+    * trades against `planes`). Per query: how many of the exact top-k
+    * neighbors (s01, rank <= k) the bucketed search (s02, its own
+    * top-3) returned. The denominator is each query's ACTUAL truth
+    * count, so queries with fewer than k candidates stay exact.
+    *
+    * Scale shape: both inputs are top-k frames — query-cardinality ×
+    * k rows — so the left join and per-query aggregate are trivial at
+    * any corpus size; all the heavy lifting happens (and is audited)
+    * inside s01/s02 themselves. Both sides and the recall division are
+    * oracle-reproducible (one exact IEEE division, round 6).
+    */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val truth = annBruteForce(spark, sfDir).filter($"rnk" <= k)
+      .select($"qid", $"cand")
+    val approx = annLsh(spark, sfDir)
+      .select($"qid", $"cand", lit(1).as("hit"))
+    truth.join(approx, Seq("qid", "cand"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_truth"), count($"hit").as("n_hits"))
+      .select($"qid", $"n_truth", $"n_hits",
+        round($"n_hits" / $"n_truth", 6).as("recall"))
+      .orderBy($"qid")
+  }
 }

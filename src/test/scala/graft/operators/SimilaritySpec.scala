@@ -101,6 +101,32 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     recall should be >= 0.8
   }
 
+  test("annRecall equals the per-query recompute from the s01/s02 frames") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Similarity.annRecall(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val truth = Similarity.annBruteForce(spark, sf01).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = Similarity.annLsh(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cand")))).toSet
+    graft.Caches.releaseAll(spark)
+    val byQ = truth.groupBy(_._1)
+    got.keySet shouldBe byQ.keySet
+    byQ.foreach { case (qid, pairs) =>
+      val hits = pairs.count(approx)
+      val (nTruth, nHits, recall) = got(qid)
+      withClue(s"qid $qid: ") {
+        nTruth shouldBe pairs.length.toLong
+        nHits shouldBe hits.toLong
+        recall shouldBe BigDecimal(hits.toDouble / pairs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        recall should (be >= 0.0 and be <= 1.0)
+      }
+    }
+  }
+
   test("multiprobe dominates single-bucket LSH rank-wise and in recall") {
     val sf01 = "/root/testdata/sf0.01"
     // rank-wise dominance: retrieving a superset of candidates can only
