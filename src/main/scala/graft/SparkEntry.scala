@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -114,6 +114,12 @@ object SparkEntry {
     "t18_corpus_report" -> (TextAnalysis.corpusReport _),
     "t19_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "t20_bigram_lm" -> (TextAnalysis.bigramLm _),
+    // learned-BPE token stats: the merge list is the fixed point of an
+    // iterated argmax — not SQL-expressible, so rows-only at the gate
+    // (the third and last such entry); BpeSpec proves the distributed
+    // learner merge-for-merge equal to a sequential reference and
+    // recomputes the gated counts per doc
+    "t21_learned_bpe" -> ((s: SparkSession, d: String) => Bpe.tokenStats(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -178,6 +184,8 @@ object SparkEntry {
     "o12_pbf_latest_versions" -> (osm.OsmOracle.pbfLatestVersionRows _),
     "o13_pbf_bbox_nodes" -> (osm.OsmOracle.pbfBboxNodes _),
     "o14_pbf_tag_usage" -> (osm.OsmOracle.pbfTagUsagePerMonth _),
+    "o15_super_relations" -> (osm.OsmOracle.superRelationMembers _),
+    "o16_way_geom" -> (osm.OsmOracle.wayGeomStats _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -392,7 +400,9 @@ object SparkEntry {
     * are not SQL-expressible → rows-only check; exact-duplicate parity
     * with the dictionary forms is spec-asserted in DedupSpec and
     * SigAggParitySpec/SimHashParitySpec — see COVERAGE.md "Permanently
-    * spec-gated entries").
+    * spec-gated entries"). t21_learned_bpe is likewise omitted (the
+    * merge list is the fixed point of an iterated argmax, beyond SQL);
+    * BpeSpec carries its correctness weight.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2568,5 +2578,47 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('month', "timestamp") AS DATE) AS month, count(*) AS n
          |FROM $OsmH WHERE tags['amenity'][1] IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // o15: the Spark side runs a bounded iterative-fixpoint driver
+    // loop; the oracle is a genuine recursive CTE over the same member
+    // edges, depth-capped identically — hash-green proves the two
+    // recursion styles compute the same closure (min depth per
+    // multi-path member included).
+    "o15_super_relations" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT r.id AS rel_id, r.members[i].type AS member_type, r.members[i].ref AS ref
+         |  FROM (SELECT id, members FROM $OsmP WHERE type = 'relation') r,
+         |       UNNEST(range(1, len(r.members) + 1)) AS t(i)),
+         |expand AS (
+         |  SELECT rel_id AS root_id, member_type, ref, 1 AS depth FROM edges
+         |  UNION ALL
+         |  SELECT x.root_id, e.member_type, e.ref, x.depth + 1
+         |  FROM expand x JOIN edges e ON x.ref = e.rel_id
+         |  WHERE x.member_type = 'relation' AND x.depth < 5)
+         |SELECT root_id, member_type, ref, min(depth) AS depth
+         |FROM expand GROUP BY root_id, member_type, ref
+         |ORDER BY root_id, member_type, ref""".stripMargin,
+
+    // o16: every column bigint via exact ×10^7 nanodegree scaling of
+    // the scale-7 decimals — integer-exact geometry, no float
+    // canonicalization caveat anywhere.
+    "o16_way_geom" ->
+      s"""WITH nodes AS (SELECT id AS node_id,
+         |    CAST(lat * 10000000 AS BIGINT) AS lat_nano,
+         |    CAST(lon * 10000000 AS BIGINT) AS lon_nano
+         |  FROM $OsmP WHERE type = 'node'),
+         |wx AS (SELECT w.id AS way_id, i AS idx, w.nds[i].ref AS ref
+         |       FROM (SELECT id, nds FROM $OsmP WHERE type = 'way') w,
+         |            UNNEST(range(1, len(w.nds) + 1)) AS t(i)),
+         |seg AS (SELECT way_id, lat_nano, lon_nano,
+         |    lag(lat_nano) OVER (PARTITION BY way_id ORDER BY idx) AS plat,
+         |    lag(lon_nano) OVER (PARTITION BY way_id ORDER BY idx) AS plon
+         |  FROM wx JOIN nodes n ON wx.ref = n.node_id)
+         |SELECT way_id, count(*) AS n_pts,
+         |  min(lat_nano) AS min_lat_nano, max(lat_nano) AS max_lat_nano,
+         |  min(lon_nano) AS min_lon_nano, max(lon_nano) AS max_lon_nano,
+         |  CAST(sum(abs(lat_nano - plat) + abs(lon_nano - plon)) AS BIGINT) AS manhattan_nano
+         |FROM seg GROUP BY way_id ORDER BY way_id""".stripMargin,
   )
 }

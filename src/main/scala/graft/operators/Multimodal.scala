@@ -363,6 +363,151 @@ object Multimodal {
     }
   }
 
+  /** Parsed MP4/ISO-BMFF movie metadata (see [[parseMp4Header]]):
+    * `duration` is in `timescale` units (seconds = duration/timescale,
+    * left to the caller so the stored values stay integer-exact);
+    * `width`/`height` are the first visual track's integer pixel
+    * dimensions, 0/0 when no track declares any (audio-only movies).
+    */
+  case class Mp4Meta(brand: String, timescale: Int, duration: Long,
+      nTracks: Int, width: Int, height: Int)
+
+  /** REAL MP4 / ISO-BMFF container parse (public ISO 14496-12 layout,
+    * dependency-free) — the video slice of the real-decode family:
+    *
+    *  - Box framing: [BE u32 size][4-char type][payload]; size 1 →
+    *    64-bit largesize follows; size 0 → box runs to the end of the
+    *    enclosing scope. Sizes index through LONGS (a lying 32-bit
+    *    size near 2^32 must end the walk, not wrap an Int — the WAV
+    *    chunk-walk lesson).
+    *  - `ftyp` must be the FIRST box (the faststart convention this
+    *    slice parses); its major brand must be 4 printable chars.
+    *  - `moov` → `mvhd` (version 0: u32 timescale @12, u32 duration
+    *    @16 past the version/flags word; version 1: u32 timescale
+    *    @20, u64 duration @24) and the `trak` count.
+    *  - Each `trak` → `tkhd` width/height as 16.16 fixed point
+    *    (version 0 @76/@80, version 1 @88/@92); the first track with
+    *    nonzero integer dims is the movie's visual geometry
+    *    (audio-only tkhds legitimately carry 0×0).
+    *
+    * The walk is strict: a box overrunning its scope, a trailing
+    * partial header, an unknown version, or a zero timescale is
+    * malformed → None (caller falls to the stub — never throws on
+    * arbitrary payloads). Fragmented-MP4 movies whose duration lives
+    * in `mvex`/`mehd` parse with duration 0 (the mvhd value) — the
+    * honest header-only answer.
+    */
+  def parseMp4Header(c: Array[Byte]): Option[Mp4Meta] = {
+    def beU32(off: Int): Long =
+      ((c(off) & 0xffL) << 24) | ((c(off + 1) & 0xffL) << 16) |
+        ((c(off + 2) & 0xffL) << 8) | (c(off + 3) & 0xffL)
+    def beU64(off: Int): Long = (beU32(off) << 32) | beU32(off + 4)
+    def tag4(off: Int): String = new String(c, off, 4, "ISO-8859-1")
+    // flat child walk of [from, to): every box must fit exactly
+    def walk(from: Long, to: Long): Option[Seq[(String, Long, Long)]] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var i = from
+      var bad = false
+      while (!bad && i + 8 <= to) {
+        val size32 = beU32(i.toInt)
+        val typ = tag4(i.toInt + 4)
+        val (body, endBox): (Long, Long) =
+          if (size32 == 0) (i + 8, to)
+          else if (size32 == 1) {
+            if (i + 16 > to) { bad = true; (0L, 0L) }
+            else {
+              val ls = beU64(i.toInt + 8)
+              if (ls < 16) { bad = true; (0L, 0L) } else (i + 16, i + ls)
+            }
+          } else if (size32 < 8) { bad = true; (0L, 0L) }
+          else (i + 8, i + size32)
+        if (!bad) {
+          // endBox may overflow negative on a lying largesize — both
+          // bounds checks catch it
+          if (endBox > to || endBox < body) bad = true
+          else { out += ((typ, body, endBox)); i = endBox }
+        }
+      }
+      if (bad || i != to) None else Some(out.result())
+    }
+    if (c.length < 24) return None
+    for {
+      boxes <- walk(0L, c.length.toLong)
+      (ft, fb, fe) <- boxes.headOption
+      if ft == "ftyp" && fe - fb >= 8
+      brand = tag4(fb.toInt)
+      if brand.forall(ch => ch >= 0x20 && ch <= 0x7e)
+      (_, mb, me) <- boxes.find(_._1 == "moov")
+      kids <- walk(mb, me)
+      (_, hb, he) <- kids.find(_._1 == "mvhd")
+      traks = kids.filter(_._1 == "trak")
+      if traks.nonEmpty
+      ver = c(hb.toInt) & 0xff
+      tsDur <-
+        if (ver == 0 && he - hb >= 20)
+          Some((beU32(hb.toInt + 12), beU32(hb.toInt + 16)))
+        else if (ver == 1 && he - hb >= 32)
+          Some((beU32(hb.toInt + 20), beU64(hb.toInt + 24)))
+        else None
+      (ts, dur) = tsDur
+      if ts >= 1 && ts <= Int.MaxValue && dur >= 0
+    } yield {
+      val dims = traks.iterator.flatMap { case (_, tb, te) =>
+        walk(tb, te).iterator.flatMap(_.find(_._1 == "tkhd")).flatMap {
+          case (_, kb, ke) =>
+            val tv = c(kb.toInt) & 0xff
+            val layout =
+              if (tv == 0) Some((76, 80, 84L))
+              else if (tv == 1) Some((88, 92, 96L))
+              else None
+            layout.flatMap { case (wOff, hOff, minLen) =>
+              if (ke - kb < minLen) None
+              else {
+                val w = (beU32(kb.toInt + wOff) >> 16).toInt
+                val h = (beU32(kb.toInt + hOff) >> 16).toInt
+                if (w > 0 && h > 0 && w <= MaxDim && h <= MaxDim) Some((w, h))
+                else None
+              }
+            }
+        }
+      }
+      val (w, h) = if (dims.hasNext) dims.next() else (0, 0)
+      Mp4Meta(brand.trim, ts.toInt, dur, traks.size, w, h)
+    }
+  }
+
+  /** A parsed video-container row: `format` is "mp4" when the ISO-BMFF
+    * header parsed for real, "stub" on fallback with the -1 sentinels
+    * (and an empty brand) per the [[DecodedMedia]] convention.
+    */
+  case class DecodedVideo(media_id: Long, kind: String, n_bytes: Int,
+      format: String, brand: String, timescale: Int, duration: Long,
+      n_tracks: Int, width: Int, height: Int, checksum: Long)
+
+  /** [[decode]]'s video twin: MP4/ISO-BMFF containers parse for REAL
+    * (box walk, movie header, track geometry); everything else
+    * (MKV/AVI/raw streams — would need EBML/RIFF-AVI tables) falls
+    * back to the deterministic stub. Same iterator-to-iterator
+    * per-partition shape as the image and audio paths.
+    */
+  def decodeVideo(rows: Dataset[MediaRow]): Dataset[DecodedVideo] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val sum = byteChecksum(r.content)
+        parseMp4Header(r.content) match {
+          case Some(m) =>
+            DecodedVideo(r.media_id, r.kind, r.content.length, "mp4",
+              m.brand, m.timescale, m.duration, m.nTracks, m.width,
+              m.height, sum)
+          case None =>
+            DecodedVideo(r.media_id, r.kind, r.content.length, "stub",
+              "", -1, -1L, -1, -1, -1, sum)
+        }
+      }
+    }
+  }
+
   /** Resize stub: recompute target dimensions preserving aspect ratio
     * against a bounding box (the metadata math of a real resize; the
     * pixel pass would run next to decodeStub in the same mapPartitions).

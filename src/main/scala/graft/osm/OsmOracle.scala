@@ -159,6 +159,27 @@ object OsmOracle {
         col("lon").cast("string").as("lon"))
       .orderBy(col("id"))
 
+  /** Super-relation transitive expansion (o15): the iterative-fixpoint
+    * recursion over the fixture's relation hierarchy (superroute →
+    * routes → multipolygons → ways/nodes, a depth-3 DAG with shared
+    * children), gated against DuckDB's WITH RECURSIVE — green hash
+    * proves the driver-loop recursion and a declarative recursive CTE
+    * compute the same closure, including the min-depth collapse of
+    * multi-path members.
+    */
+  def superRelationMembers(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.expandRelations(OsmFixture.planet(spark), maxDepth = 5)
+      .orderBy(col("root_id"), col("member_type"), col("ref"))
+
+  /** Way bbox + Manhattan length in exact nanodegree integers (o16):
+    * every output column is a bigint (or NULL for single-point ways,
+    * identically in both engines), so the geometry aggregation is
+    * hash-gated without any float canonicalization caveat.
+    */
+  def wayGeomStats(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.wayGeomStats(OsmFixture.planet(spark))
+      .orderBy(col("way_id"))
+
   /** PBF-converted tag-usage-by-month (the o04 form over
     * [[pbfHistory]]): tags-map (keys_vals string-table runs) and
     * timestamp (DenseInfo delta + date granularity) decode parity —

@@ -110,6 +110,93 @@ object OsmQueries {
     nodePts.unionByName(wayLines)
   }
 
+  /** Transitive member expansion of relations — the super-relation
+    * hierarchy query the flat workload can't reach: the schema allows
+    * relation-type members (README.md:21 `members` struct,
+    * OsmPbf2Orc.java:253-268 member-type enum includes Relation), so
+    * route masters / superroutes nest relations inside relations.
+    *
+    * Shape: breadth-first iterative fixpoint — a bounded driver loop
+    * where each level joins the current relation frontier back to the
+    * member-edge table (the standard Spark recursion idiom: one
+    * equi-join shuffle per level, frontier persisted per round so the
+    * emptiness probe and the next join share one computation; lineage
+    * stays O(depth), and real hierarchies are shallow — OSM
+    * superroutes bottom out in < 10 levels). Cycles are LEGAL in OSM
+    * data: termination never relies on acyclicity — `maxDepth` bounds
+    * the loop and the closing min-depth aggregate collapses repeated
+    * visits. Multiple paths to the same member (shared children in the
+    * DAG) also collapse to their shallowest depth.
+    *
+    * Output: one row per (root relation, member type, member ref)
+    * reachable within `maxDepth`, with its minimum depth.
+    */
+  def expandRelations(planet: DataFrame, maxDepth: Int = 8): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val edges = planet.filter(col("type") === "relation")
+      .select(col("id").as("rel_id"), explode(col("members")).as("m"))
+      .select(col("rel_id"), col("m.type").as("member_type"),
+        col("m.ref").as("ref"))
+    def relFrontier(level: DataFrame): DataFrame =
+      level.filter(col("member_type") === "relation")
+        .select(col("root_id"), col("ref"), col("depth"))
+    var acc = edges.select(col("rel_id").as("root_id"), col("member_type"),
+      col("ref"), lit(1).as("depth"))
+    var frontier = relFrontier(acc).persist()
+    var d = 1
+    while (d < maxDepth && !frontier.isEmpty) {
+      val next = frontier.alias("f").join(edges.alias("e"),
+          col("f.ref") === col("e.rel_id"))
+        .select(col("f.root_id"), col("e.member_type"), col("e.ref"),
+          (col("f.depth") + 1).as("depth"))
+      acc = acc.unionByName(next)
+      val prev = frontier
+      frontier = relFrontier(next).persist()
+      prev.unpersist()
+      d += 1
+    }
+    frontier.unpersist()
+    acc.groupBy(col("root_id"), col("member_type"), col("ref"))
+      .agg(min(col("depth")).as("depth"))
+  }
+
+  /** Per-way geometry aggregates in EXACT nanodegree integer
+    * arithmetic (the house hash-gate discipline — no floats anywhere):
+    * point count, lat/lon bbox, and the Manhattan path length
+    * Σ |Δlat| + |Δlon| over consecutive nds. The decimal(9,7)/(10,7)
+    * coordinates scale to nanodegree longs losslessly (×10⁷ is exact
+    * on scale-7 decimals), so every output is a bigint both engines
+    * agree on bit-for-bit.
+    *
+    * Shape: the o01 reassembly envelope (posexplode + node equi-join,
+    * AQE skew-join for mega-shared nodes) plus one per-way window for
+    * the segment lag — partitioned by way_id, so the window never
+    * funnels (way sizes are small and bounded by the OSM data model).
+    * Deleted nodes drop their positions via the inner join, exactly as
+    * the README reassembly does.
+    */
+  def wayGeomStats(planet: DataFrame): DataFrame = {
+    val nodes = planet.filter(col("type") === "node")
+      .select(col("id").as("node_id"),
+        (col("lat") * lit(10000000)).cast("long").as("lat_nano"),
+        (col("lon") * lit(10000000)).cast("long").as("lon_nano"))
+    val ways = planet.filter(col("type") === "way")
+      .select(col("id").as("way_id"), posexplode(col("nds")).as(Seq("pos", "nd")))
+      .select(col("way_id"), (col("pos") + 1).as("idx"), col("nd.ref").as("ref"))
+    val w = Window.partitionBy(col("way_id")).orderBy(col("idx"))
+    ways.join(nodes, col("ref") === col("node_id"))
+      .withColumn("prev_lat", lag(col("lat_nano"), 1).over(w))
+      .withColumn("prev_lon", lag(col("lon_nano"), 1).over(w))
+      .groupBy(col("way_id"))
+      .agg(count(lit(1)).as("n_pts"),
+        min(col("lat_nano")).as("min_lat_nano"),
+        max(col("lat_nano")).as("max_lat_nano"),
+        min(col("lon_nano")).as("min_lon_nano"),
+        max(col("lon_nano")).as("max_lon_nano"),
+        sum(abs(col("lat_nano") - col("prev_lat")) +
+          abs(col("lon_nano") - col("prev_lon"))).as("manhattan_nano"))
+  }
+
   /** README.md:158-159 (recommended window form) — per-element tag-value
     * transitions across versions for one key: value, previous value.
     */

@@ -370,6 +370,123 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.map(_.checksum).toSeq shouldBe viaDecode.map(_.checksum).toSeq
   }
 
+  // ——— ISO-BMFF / MP4 golden builders ———
+
+  private def beBytes(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+
+  /** One box: u32 size (or size=1 + u64 largesize) + type + payload. */
+  private def box(typ: String, payload: Array[Byte],
+      largesize: Boolean = false): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    if (largesize)
+      beBytes(1, 4) ++ t ++ beBytes(16L + payload.length, 8) ++ payload
+    else beBytes(8L + payload.length, 4) ++ t ++ payload
+  }
+
+  private def mvhdBytes(ver: Int, timescale: Long, duration: Long): Array[Byte] =
+    if (ver == 0)
+      Array[Byte](0, 0, 0, 0) ++ beBytes(0, 4) ++ beBytes(0, 4) ++
+        beBytes(timescale, 4) ++ beBytes(duration, 4)
+    else
+      Array[Byte](1, 0, 0, 0) ++ beBytes(0, 8) ++ beBytes(0, 8) ++
+        beBytes(timescale, 4) ++ beBytes(duration, 8)
+
+  /** tkhd with 16.16 fixed-point dims at the version's spec offsets. */
+  private def tkhdBytes(ver: Int, w: Int, h: Int): Array[Byte] = {
+    val fixed = if (ver == 0) 20 else 32 // creation..duration span
+    Array[Byte](ver.toByte, 0, 0, 0) ++ new Array[Byte](fixed) ++
+      new Array[Byte](8 + 2 + 2 + 2 + 2 + 36) ++
+      beBytes(w.toLong << 16, 4) ++ beBytes(h.toLong << 16, 4)
+  }
+
+  private def mp4Bytes(brand: String, timescale: Long, duration: Long,
+      trackDims: Seq[(Int, Int)], mvhdVer: Int = 0, tkhdVer: Int = 0,
+      largeMoov: Boolean = false): Array[Byte] = {
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ beBytes(0, 4) ++
+      "isom".getBytes("US-ASCII"))
+    val kids = box("mvhd", mvhdBytes(mvhdVer, timescale, duration)) ++
+      trackDims.flatMap { case (w, h) =>
+        box("trak", box("tkhd", tkhdBytes(tkhdVer, w, h)))
+      }
+    ftyp ++ box("moov", kids, largesize = largeMoov)
+  }
+
+  test("parseMp4Header decodes ISO-BMFF movie + track headers for real") {
+    // v0 everything; first track audio-only (0x0), second carries dims
+    Multimodal.parseMp4Header(
+      mp4Bytes("isom", 600, 120000, Seq((0, 0), (1920, 1080)))) shouldBe
+      Some(Multimodal.Mp4Meta("isom", 600, 120000L, 2, 1920, 1080))
+    // brand with a trailing space trims; audio-only movie keeps 0x0
+    Multimodal.parseMp4Header(
+      mp4Bytes("M4A ", 44100, 441000, Seq((0, 0)))) shouldBe
+      Some(Multimodal.Mp4Meta("M4A", 44100, 441000L, 1, 0, 0))
+    // v1 mvhd/tkhd: 64-bit duration past u32 range
+    Multimodal.parseMp4Header(
+      mp4Bytes("mp42", 90000, 5000000000L, Seq((640, 360)),
+        mvhdVer = 1, tkhdVer = 1)) shouldBe
+      Some(Multimodal.Mp4Meta("mp42", 90000, 5000000000L, 1, 640, 360))
+    // size=1 largesize framing on moov
+    Multimodal.parseMp4Header(
+      mp4Bytes("isom", 600, 600, Seq((320, 240)), largeMoov = true)) shouldBe
+      Some(Multimodal.Mp4Meta("isom", 600, 600L, 1, 320, 240))
+  }
+
+  test("parseMp4Header rejects malformed containers without throwing") {
+    val good = mp4Bytes("isom", 600, 1200, Seq((320, 240)))
+    val ftypLen = 20 // size+type + brand(4)+minor(4)+compat(4)
+    // ftyp must be first: stripping it leaves a well-formed moov-first file
+    Multimodal.parseMp4Header(good.drop(ftypLen)) shouldBe None
+    // moov absent
+    Multimodal.parseMp4Header(
+      box("ftyp", "isom".getBytes ++ beBytes(0, 4))) shouldBe None
+    // no trak
+    Multimodal.parseMp4Header(box("ftyp",
+      "isom".getBytes ++ beBytes(0, 4)) ++
+      box("moov", box("mvhd", mvhdBytes(0, 600, 600)))) shouldBe None
+    // zero timescale / unknown mvhd version
+    Multimodal.parseMp4Header(
+      mp4Bytes("isom", 0, 600, Seq((320, 240)))) shouldBe None
+    val badVer = good.clone()
+    // mvhd version byte: ftyp + moov hdr(8) + mvhd hdr(8)
+    badVer(ftypLen + 8 + 8) = 2
+    Multimodal.parseMp4Header(badVer) shouldBe None
+    // lying box size overrunning the file, and truncation
+    val lying = good.clone()
+    lying(ftypLen) = 0x7f // moov size high byte → overrun
+    Multimodal.parseMp4Header(lying) shouldBe None
+    Multimodal.parseMp4Header(good.take(40)) shouldBe None
+    // a largesize near 2^63 must end the walk, not wrap and throw
+    val huge = box("ftyp", "isom".getBytes ++ beBytes(0, 4)) ++
+      beBytes(1, 4) ++ "moov".getBytes("US-ASCII") ++
+      beBytes(0x7ffffffffffffff0L, 8)
+    noException should be thrownBy Multimodal.parseMp4Header(huge)
+    Multimodal.parseMp4Header(huge) shouldBe None
+    Multimodal.parseMp4Header(Array.emptyByteArray) shouldBe None
+  }
+
+  test("decodeVideo: MP4 parses for real, other payloads carry -1 sentinels") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1, "video", mp4Bytes("isom", 600, 36000, Seq((1280, 720)))),
+      MediaRow(2, "video", Array[Byte](9, 9, 9)),
+      MediaRow(3, "video", Array.emptyByteArray)).toDS()
+    val out = Multimodal.decodeVideo(rows).collect().sortBy(_.media_id)
+    out.map(_.format).toSeq shouldBe Seq("mp4", "stub", "stub")
+    out(0).brand shouldBe "isom"
+    out(0).timescale shouldBe 600
+    out(0).duration shouldBe 36000L
+    out(0).n_tracks shouldBe 1
+    out(0).width shouldBe 1280
+    out(0).height shouldBe 720
+    out(1).timescale shouldBe -1
+    out(1).duration shouldBe -1L
+    out(1).brand shouldBe ""
+    // checksums come from the same shared byteChecksum as decode
+    val viaDecode = Multimodal.decode(rows).collect().sortBy(_.media_id)
+    out.map(_.checksum).toSeq shouldBe viaDecode.map(_.checksum).toSeq
+  }
+
   test("decode: real formats decode for real, everything else falls back to the stub") {
     import spark.implicits._
     val mixed = Seq(

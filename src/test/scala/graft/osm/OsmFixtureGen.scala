@@ -30,7 +30,8 @@ object OsmFixtureGen {
   private def ts(id: Int, plusMonth: Int = 0) =
     f"2020-${month(id) + plusMonth}%02d-15T10:00:00Z"
 
-  /** 1200 nodes / 150 ways / 3 relations; versioned edits, retags,
+  /** 1200 nodes / 150 ways / 7 relations (3 multipolygons + a depth-3
+    * route/superroute hierarchy for o15); versioned edits, retags,
     * deletions, ordered (and re-ordered) way nds, closed rings.
     */
   private[osm] def historyXml: String = {
@@ -96,6 +97,33 @@ object OsmFixtureGen {
       sb ++= tag("type", "multipolygon")
       sb ++= "  </relation>\n"
     }
+    // relation HIERARCHY for the o15 recursive expansion: three route
+    // relations each referencing two multipolygons (overlapping, so
+    // shared children reach the same ref via multiple equal-depth
+    // paths) plus a way; one superroute referencing all three routes —
+    // a depth-3 DAG. Acyclic by construction; the OPERATOR's
+    // termination never relies on that (depth bound + min-depth
+    // collapse). The middle route carries a v2 so relation versioning
+    // flows through the latest-version forms too.
+    for (r <- 30011 to 30013) {
+      val k = r - 30011
+      def route(version: Int, plusMonth: Int, extraStop: Boolean): Unit = {
+        sb ++= s"""  <relation id="$r" version="$version" changeset="${r + 300 + version}" timestamp="${ts(r, plusMonth)}" uid="2" user="u2">\n"""
+        sb ++= s"""    <member type="relation" ref="${30001 + k}" role="part"/>\n"""
+        sb ++= s"""    <member type="relation" ref="${30001 + (k + 1) % 3}" role="part"/>\n"""
+        sb ++= s"""    <member type="way" ref="${10011 + k}" role=""/>\n"""
+        if (extraStop) sb ++= s"""    <member type="node" ref="${k + 12}" role="stop"/>\n"""
+        sb ++= tag("type", "route")
+        sb ++= "  </relation>\n"
+      }
+      route(1, 0, extraStop = false)
+      if (r == 30012) route(2, 1, extraStop = true)
+    }
+    sb ++= s"""  <relation id="30021" version="1" changeset="30321" timestamp="${ts(30021)}" uid="3" user="u3">\n"""
+    for (k <- 0 to 2)
+      sb ++= s"""    <member type="relation" ref="${30011 + k}" role="route"/>\n"""
+    sb ++= tag("type", "superroute")
+    sb ++= "  </relation>\n"
     sb ++= "</osm>\n"
     sb.toString
   }

@@ -86,6 +86,80 @@ class OsmQueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
       .getAs[scala.collection.Seq[scala.collection.Seq[java.math.BigDecimal]]]("coordinates").length shouldBe 3
   }
 
+  private def relRow(id: Long, members: Seq[(String, Long, String)]): Row =
+    Row(id, "relation", Map.empty[String, String], null, null,
+      Seq.empty[Row], members.map { case (t, r, role) => Row(t, r, role) },
+      1L, new Timestamp(1000000L), 1L, "u", 1L, true)
+
+  private def relPlanet(rels: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rels), OsmSchemas.Planet)
+
+  test("expandRelations: transitive closure with min-depth collapse on a DAG") {
+    val planet = relPlanet(Seq(
+      relRow(100, Seq(("relation", 101L, ""), ("relation", 102L, ""))),
+      relRow(101, Seq(("way", 10L, ""), ("relation", 102L, ""))),
+      relRow(102, Seq(("node", 1L, "")))))
+    val out = OsmQueries.expandRelations(planet, maxDepth = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    out shouldBe Set(
+      // root 100: rel 102 reachable at depth 1 directly AND depth 2 via
+      // 101 — min-depth keeps 1; node 1 at min depth 2
+      (100L, "relation", 101L, 1), (100L, "relation", 102L, 1),
+      (100L, "way", 10L, 2), (100L, "node", 1L, 2),
+      (101L, "way", 10L, 1), (101L, "relation", 102L, 1),
+      (101L, "node", 1L, 2),
+      (102L, "node", 1L, 1))
+  }
+
+  test("expandRelations terminates on cycles via the depth bound") {
+    val planet = relPlanet(Seq(
+      relRow(200, Seq(("relation", 201L, ""))),
+      relRow(201, Seq(("relation", 200L, "")))))
+    val out = OsmQueries.expandRelations(planet, maxDepth = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+    // each root reaches the other at depth 1 and ITSELF at depth 2;
+    // deeper revisits collapse into those min depths
+    out shouldBe Set(
+      (200L, 201L, 1), (200L, 200L, 2),
+      (201L, 200L, 1), (201L, 201L, 2))
+  }
+
+  test("expandRelations maxDepth=1 is exactly the direct-member table") {
+    val planet = relPlanet(Seq(
+      relRow(100, Seq(("relation", 101L, ""), ("node", 5L, ""))),
+      relRow(101, Seq(("way", 10L, "")))))
+    val out = OsmQueries.expandRelations(planet, maxDepth = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    out shouldBe Set((100L, "relation", 101L, 1), (100L, "node", 5L, 1),
+      (101L, "way", 10L, 1))
+  }
+
+  test("wayGeomStats: exact nanodegree bbox + Manhattan length, NULL for 1-point ways") {
+    val planet = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        planetRow(1, "node", Map(), "51.5000000", "-0.1000000", Nil, 1, true),
+        planetRow(2, "node", Map(), "51.6000000", "-0.2000000", Nil, 1, true),
+        planetRow(3, "node", Map(), "51.7000000", "-0.3000000", Nil, 1, true),
+        planetRow(10, "way", Map(), null, null, Seq(3, 1, 2), 1, true),
+        planetRow(11, "way", Map(), null, null, Seq(1), 1, true))),
+      OsmSchemas.Planet)
+    val rows = OsmQueries.wayGeomStats(planet).collect()
+      .map(r => r.getLong(r.fieldIndex("way_id")) -> r).toMap
+    val w10 = rows(10L)
+    w10.getLong(w10.fieldIndex("n_pts")) shouldBe 3L
+    w10.getLong(w10.fieldIndex("min_lat_nano")) shouldBe 515000000L
+    w10.getLong(w10.fieldIndex("max_lat_nano")) shouldBe 517000000L
+    w10.getLong(w10.fieldIndex("min_lon_nano")) shouldBe -3000000L
+    w10.getLong(w10.fieldIndex("max_lon_nano")) shouldBe -1000000L
+    // order 3,1,2: (2e6 + 2e6) + (1e6 + 1e6)
+    w10.getLong(w10.fieldIndex("manhattan_nano")) shouldBe 6000000L
+    val w11 = rows(11L)
+    w11.getLong(w11.fieldIndex("n_pts")) shouldBe 1L
+    w11.isNullAt(w11.fieldIndex("manhattan_nano")) shouldBe true
+  }
+
   test("changeset helpers: comment filter, editor LIKE, bbox intersect") {
     val cs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
