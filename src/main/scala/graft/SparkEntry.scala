@@ -120,6 +120,7 @@ object SparkEntry {
     // learner merge-for-merge equal to a sequential reference and
     // recomputes the gated counts per doc
     "t21_learned_bpe" -> ((s: SparkSession, d: String) => Bpe.tokenStats(s, d)),
+    "t22_bpe_merges" -> ((s: SparkSession, d: String) => Bpe.learnedMerges(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -186,6 +187,8 @@ object SparkEntry {
     "o14_pbf_tag_usage" -> (osm.OsmOracle.pbfTagUsagePerMonth _),
     "o15_super_relations" -> (osm.OsmOracle.superRelationMembers _),
     "o16_way_geom" -> (osm.OsmOracle.wayGeomStats _),
+    "o17_pbf_reassemble" -> (osm.OsmOracle.pbfReassembledWayPaths _),
+    "o18_pbf_members" -> (osm.OsmOracle.pbfRelationMembers _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -394,6 +397,54 @@ object SparkEntry {
     sb.result()
   }
 
+  /** DuckDB mirror of Bpe.learnMerges: a generated `numMerges`-round
+    * iterative CTE chain replaying the published BPE learning loop
+    * declaratively. Per round: a wcount-weighted adjacent-pair
+    * aggregate over the symbolized word table, the deterministic
+    * argmax (count desc, then (lhs, rhs) lexicographic — binary
+    * collation both engines since tokens are [a-z0-9]+), and a
+    * list_reduce rewrite that merges leftmost-first non-overlapping.
+    * The reduce carries the emitted symbol list directly: a
+    * just-merged tail can never spuriously re-match as `lhs` because
+    * the merged symbol lhs||rhs differs from lhs whenever rhs is
+    * non-empty. Early exhaustion degrades identically: an empty b$$i
+    * empties every later round, so both engines emit the same short
+    * merge list.
+    */
+  private def bpeSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    // Every round table is AS MATERIALIZED: DuckDB inlines plain CTEs,
+    // and s$i / b$i are each referenced twice (next round + the final
+    // union), so un-materialized the plan tree doubles per round —
+    // 2^numMerges scans of the base parquet. Materialization makes the
+    // chain linear, mirroring the Spark side's per-round checkpoint.
+    sb ++= "WITH wc AS MATERIALIZED (\n"
+    sb ++= s"  SELECT word, count(*) AS wcount\n"
+    sb ++= s"  FROM (SELECT unnest($Toks) AS word FROM documents)\n"
+    sb ++= "  GROUP BY word),\n"
+    sb ++= "s0 AS MATERIALIZED (SELECT list_transform(range(1, length(word) + 1),\n"
+    sb ++= "         i -> word[CAST(i AS INT)]) AS syms, wcount FROM wc)"
+    for (i <- 0 until numMerges) {
+      sb ++= ",\n"
+      sb ++= s"p$i AS MATERIALIZED (\n"
+      sb ++= "  SELECT s.syms[j] AS lhs, s.syms[j + 1] AS rhs, sum(s.wcount) AS cnt\n"
+      sb ++= s"  FROM s$i s, UNNEST(range(1, len(s.syms))) AS t(j)\n"
+      sb ++= "  GROUP BY 1, 2),\n"
+      sb ++= s"b$i AS MATERIALIZED (SELECT lhs, rhs FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),\n"
+      sb ++= s"s${i + 1} AS MATERIALIZED (\n"
+      sb ++= "  SELECT list_reduce(list_transform(s.syms, x -> [x]),\n"
+      sb ++= "    (acc, x) -> CASE WHEN acc[len(acc)] = b.lhs AND x[1] = b.rhs\n"
+      sb ++= "                THEN acc[1:len(acc) - 1] || [b.lhs || b.rhs]\n"
+      sb ++= "                ELSE acc || x END) AS syms, s.wcount\n"
+      sb ++= s"  FROM s$i s CROSS JOIN b$i b)"
+    }
+    sb ++= "\nSELECT * FROM (\n"
+    sb ++= (0 until numMerges).map(i =>
+      s"  SELECT $i AS rnk, lhs, rhs FROM b$i").mkString("\n  UNION ALL\n")
+    sb ++= "\n) ORDER BY rnk"
+    sb.result()
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. d03_minhash_lsh_hashed and
     * d04_simhash_pairs_hashed are intentionally omitted (xxhash64 ids
@@ -401,8 +452,11 @@ object SparkEntry {
     * with the dictionary forms is spec-asserted in DedupSpec and
     * SigAggParitySpec/SimHashParitySpec — see COVERAGE.md "Permanently
     * spec-gated entries"). t21_learned_bpe is likewise omitted (the
-    * merge list is the fixed point of an iterated argmax, beyond SQL);
-    * BpeSpec carries its correctness weight.
+    * per-doc ENCODE under the learned merges is beyond SQL); BpeSpec
+    * carries its correctness weight, and t22_bpe_merges now
+    * hash-gates the LEARNING loop itself via a generated iterative
+    * CTE chain (bpeSql), so the fixed point t21 encodes against is
+    * oracle-proven.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1853,6 +1907,12 @@ object SparkEntry {
          |  CAST(round(sum(qp) / count(*), 0) AS BIGINT) AS avg_qp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // t22: the LEARNED BPE merge table — the generated 20-round
+    // iterative CTE chain (bpeSql) replays the learning loop in
+    // DuckDB; hash-green proves the distributed learner's fixed point
+    // merge-for-merge (upgrading t21's spec-only signal to an oracle).
+    "t22_bpe_merges" -> bpeSql(20),
+
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic
     "p13_length_batches" ->
@@ -2620,5 +2680,31 @@ object SparkEntry {
          |  min(lon_nano) AS min_lon_nano, max(lon_nano) AS max_lon_nano,
          |  CAST(sum(abs(lat_nano - plat) + abs(lon_nano - plon)) AS BIGINT) AS manhattan_nano
          |FROM seg GROUP BY way_id ORDER BY way_id""".stripMargin,
+
+    // o17: the Spark side reassembles ways from the LIVE PBF-converted
+    // snapshot; the oracle is o01's SQL over the XML-converted parquet.
+    // Hash-green proves the PBF Way refs delta decode yields the same
+    // ORDERED nd lists as the XML path (coord_path is order-sensitive).
+    "o17_pbf_reassemble" ->
+      s"""WITH nodes AS (SELECT id AS node_id, lat, lon FROM $OsmP WHERE type = 'node'),
+         |wx AS (SELECT w.id AS way_id, i AS idx, w.nds[i].ref AS ref
+         |       FROM (SELECT id, nds FROM $OsmP WHERE type = 'way') w,
+         |            UNNEST(range(1, len(w.nds) + 1)) AS t(i))
+         |SELECT way_id, count(*) AS n_pts,
+         |  string_agg(CAST(n.lat AS VARCHAR) || ',' || CAST(n.lon AS VARCHAR), ';' ORDER BY idx) AS coord_path
+         |FROM wx JOIN nodes n ON wx.ref = n.node_id
+         |GROUP BY way_id ORDER BY way_id""".stripMargin,
+
+    // o18: flat relation-member projection WITH ORDINALITY from the
+    // PBF-converted snapshot vs the XML-converted parquet — gates the
+    // PBF memids delta / roles_sid string-table / member-type enum
+    // decode including member ORDER and role strings.
+    "o18_pbf_members" ->
+      s"""SELECT r.id AS rel_id, CAST(i AS INT) AS idx,
+         |  r.members[i].type AS member_type, r.members[i].ref AS ref,
+         |  r.members[i].role AS role
+         |FROM (SELECT id, members FROM $OsmP WHERE type = 'relation') r,
+         |     UNNEST(range(1, len(r.members) + 1)) AS t(i)
+         |ORDER BY rel_id, idx""".stripMargin,
   )
 }

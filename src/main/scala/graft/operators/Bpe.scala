@@ -66,20 +66,27 @@ object Bpe {
     * merely-persisted Dataset accretes the whole round chain into
     * every subsequent logical plan (caching stores data, not plans),
     * and by ~20 rounds analysis/plan-string work dwarfs the actual
-    * vocab-sized compute. (At cluster scale prefer a reliable
-    * `checkpoint` dir if executor loss during the short learning loop
-    * matters; the table is vocab-sized either way.) Stops early when
+    * vocab-sized compute. At cluster scale pass `checkpointDir` to
+    * snapshot reliably (survives executor loss during the learning
+    * loop; the table is vocab-sized either way). Stops early when
     * no adjacent pair remains.
     */
-  def learnMerges(words: DataFrame, numMerges: Int): Seq[Merge] = {
+  def learnMerges(words: DataFrame, numMerges: Int,
+      checkpointDir: Option[String] = None): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = words.sparkSession
     import spark.implicits._
-    var syms: Dataset[(Seq[String], Long)] = words
+    // Reliable-checkpoint option: when a dir is given, round snapshots
+    // go through Dataset.checkpoint (HDFS-durable — survives executor
+    // loss on a real cluster); default stays executor-local
+    // localCheckpoint, which is faster and fine single-JVM.
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snap[T](ds: Dataset[T]): Dataset[T] =
+      if (checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint()
+    var syms: Dataset[(Seq[String], Long)] = snap(words
       .select(col("word").cast("string"), col("wcount").cast("long"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString): Seq[String], c) }
-      .localCheckpoint()
+      .map { case (w, c) => (w.map(_.toString): Seq[String], c) })
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -94,8 +101,8 @@ object Bpe {
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(merges.length, l, r)
-        val next = syms.map { case (s, c) => (applyMergeOnce(s, l, r), c) }
-          .localCheckpoint() // eager: materializes BEFORE the parent drops
+        val next = // eager snapshot: materializes BEFORE the parent drops
+          snap(syms.map { case (s, c) => (applyMergeOnce(s, l, r), c) })
         syms.unpersist()
         syms = next
       }
@@ -147,12 +154,36 @@ object Bpe {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val rk = bc.value
+        // Word frequencies are Zipfian: memoize encode lengths per
+        // DISTINCT word within the partition so the O(len²) encode
+        // runs once per word form, not once per occurrence.
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
         it.map { case (id, toks) =>
           var nSym = 0L
-          toks.foreach(w => nSym += encodeWord(w, rk).length)
+          toks.foreach { w =>
+            nSym += memo.getOrElseUpdate(w, encodeWord(w, rk).length)
+          }
           (id, toks.length.toLong, nSym)
         }
       }.toDF("doc_id", "n_words", "n_bpe_tokens")
       .orderBy("doc_id")
+  }
+
+  /** t22 gate entry: the learned merge table ITSELF, hash-gated
+    * against a generated DuckDB iterative-CTE chain (the kmeansSql
+    * precedent — SparkEntry.bpeSql replays the identical algorithm
+    * declaratively: per round a pair-count aggregate, the total-order
+    * argmax (count desc, left, right), and a list_reduce leftmost-
+    * non-overlapping rewrite). Hash-green proves the distributed
+    * learning loop merge-for-merge equal to an independent engine's
+    * replay — upgrading t21's spec-only correctness signal to a real
+    * oracle for the learning fixed point.
+    */
+  def learnedMerges(spark: SparkSession, sfDir: String,
+      numMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    val merges = learnMerges(wordCounts(Tables.documents(spark, sfDir)), numMerges)
+    merges.map(m => (m.rank, m.left, m.right))
+      .toDF("rnk", "lhs", "rhs").orderBy("rnk")
   }
 }

@@ -96,10 +96,12 @@ object Multimodal {
     *  - Netpbm: "P6"/"P3" (PPM, 3 channels) and "P5"/"P2" (PGM, 1
     *    channel) — magic, then whitespace/comment-separated width,
     *    height, maxval.
-    *  - JPEG (baseline DCT): SOI, then a marker-segment walk to SOF0 —
-    *    8-bit precision, height/width BE u16, channels = component
-    *    count (1 gray / 3 YCbCr / 4 CMYK). Progressive and the other
-    *    SOFn variants deliberately fall to the stub.
+    *  - JPEG: SOI, then a marker-segment walk to the first frame
+    *    header — baseline DCT (SOF0) or progressive DCT (SOF2; common
+    *    in web crawls) — 8-bit precision, height/width BE u16,
+    *    channels = component count (1 gray / 3 YCbCr / 4 CMYK). The
+    *    other SOFn variants (extended/lossless/arithmetic/
+    *    hierarchical) deliberately fall to the stub.
     *  - GIF: "GIF87a"/"GIF89a" signature, then the Logical Screen
     *    Descriptor's LE u16 width/height; always 1 paletted channel.
     *
@@ -209,14 +211,15 @@ object Multimodal {
       if (w >= 1 && h >= 1) Some(("gif", w, h, 1)) else None
     } else if (c.length >= 4 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8) {
       // JPEG: SOI (FFD8), then marker segments [FF mm len_hi len_lo
-      // payload…] until the baseline-DCT frame header SOF0 (FFC0):
-      // precision u8 (must be 8 for baseline), height BE u16, width BE
-      // u16, component count u8 (1 gray / 3 YCbCr / 4 CMYK), then
+      // payload…] until the first frame header — baseline SOF0 (FFC0)
+      // or progressive SOF2 (FFC2), both 8-bit-precision DCT with the
+      // identical payload layout: precision u8, height BE u16, width
+      // BE u16, component count u8 (1 gray / 3 YCbCr / 4 CMYK), then
       // 3 bytes per component — the segment length pins that layout.
-      // Progressive (SOF2) and the other SOFn variants fall to the
-      // stub (this parses exactly the baseline slice); a SOS before
-      // any SOF, an fffe-style lying length, or EOI/truncation end the
-      // walk as malformed. 0xFF fill bytes before a marker are legal.
+      // The other SOFn variants (extended/lossless/arithmetic/
+      // hierarchical) fall to the stub; a SOS before any SOF, an
+      // fffe-style lying length, or EOI/truncation end the walk as
+      // malformed. 0xFF fill bytes before a marker are legal.
       def beU16(off: Int): Int = ((c(off) & 0xff) << 8) | (c(off + 1) & 0xff)
       var i = 2
       var res: Option[(String, Int, Int, Int)] = None
@@ -232,7 +235,7 @@ object Multimodal {
           else {
             val len = beU16(i + 2)
             if (len < 2 || i + 2 + len > c.length) done = true // lying length
-            else if (m == 0xc0 && len >= 11) {
+            else if ((m == 0xc0 || m == 0xc2) && len >= 11) {
               // SOF0 payload at i+4: [precision][h hi lo][w hi lo][ncomp]
               // (len >= 11 = 2 + the 8-byte fixed part + one component,
               // checked BEFORE touching the payload bytes)
@@ -245,11 +248,165 @@ object Multimodal {
                   w >= 1 && h >= 1) // u16: MaxDim bound is implicit
                 res = Some(("jpeg", w, h, ncomp))
               done = true // first frame header decides either way
+            } else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 &&
+                m != 0xc8 && m != 0xcc) {
+              // any OTHER SOFn (extended/lossless/arithmetic/
+              // hierarchical) is the frame header too — outside the
+              // parsed slice, so the walk ends as malformed rather
+              // than skipping it and honoring a later stray SOF0
+              // (DHT c4, JPG c8, DAC cc are ordinary segments)
+              done = true
             } else i += 2 + len
           }
         }
       }
       res
+    } else None
+  }
+
+  /** A fully-decoded uncompressed raster in CANONICAL form: top-down,
+    * row-major, channel-interleaved, 8 bits per sample — so two files
+    * that encode the same image differently (BMP bottom-up vs
+    * top-down, padded rows, palette indirection, PPM comments/ASCII
+    * vs binary) decode to byte-identical `pixels`, which is exactly
+    * what a content-level dedup wants to fingerprint. `channels` is 3
+    * (RGB — paletted BMPs expand through their color table) or 1
+    * (grayscale PGM).
+    */
+  case class RasterImage(format: String, width: Int, height: Int,
+      channels: Int, pixels: Array[Byte])
+
+  /** REAL pixel decode for the uncompressed raster formats — no codec
+    * library, just the published layouts (the header-parse families
+    * that need no entropy decode):
+    *
+    *  - BMP, BI_RGB only (biCompression 0): 24-bit BGR and 8-bit
+    *    paletted. Rows are 4-byte aligned and stored bottom-up
+    *    (top-down when biHeight < 0); pixel data starts at bfOffBits
+    *    (LE u32 @10); the 8-bit color table (BGRX quads, biClrUsed
+    *    entries or 256 when 0) sits right after the info header.
+    *    Output: RGB, 3 channels.
+    *  - PPM P6 / PGM P5 (binary, maxval <= 255): exactly ONE
+    *    whitespace byte after maxval, then w*h*ch raw samples.
+    *  - PPM P3 / PGM P2 (ASCII): whitespace/comment-separated decimal
+    *    samples, each <= maxval.
+    *
+    * 16-bit-per-sample Netpbm (maxval > 255), 1/4/16/32-bit BMPs, and
+    * every compressed format return None — the caller falls back to
+    * header-only metadata (never throws on arbitrary payloads).
+    */
+  def decodeRasterPixels(c: Array[Byte]): Option[RasterImage] = {
+    def leI32(off: Int): Int =
+      (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8) |
+        ((c(off + 2) & 0xff) << 16) | ((c(off + 3) & 0xff) << 24)
+    def leU16(off: Int): Int = (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8)
+    def isWs(b: Byte): Boolean =
+      b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte || b == '\r'.toByte
+    if (c.length >= 54 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) {
+      val offBits = leI32(10)
+      val biSize = leI32(14)
+      val w = leI32(18)
+      val hRaw = leI32(22)
+      val h = math.abs(hRaw)
+      val bits = leU16(28)
+      val compression = leI32(30)
+      if (biSize < 40 || w <= 0 || w > MaxDim || h <= 0 || h > MaxDim ||
+          hRaw == Int.MinValue || compression != 0 ||
+          (bits != 8 && bits != 24) ||
+          w.toLong * h * 3 > Int.MaxValue / 2) return None
+      val stride = ((w.toLong * bits / 8 + 3) / 4 * 4) // 4-byte row alignment
+      if (offBits < 54 || offBits.toLong + stride * h > c.length) return None
+      // 8-bit: the color table (BGRX quads) right after the info header
+      val palOff = 14 + biSize
+      val palCount = if (bits == 8) {
+        val declared = if (biSize >= 36 && palOff > 50) leI32(46) else 0
+        if (declared > 0) declared else 256
+      } else 0
+      if (bits == 8 &&
+          (palCount > 256 || palOff.toLong + 4L * palCount > offBits)) return None
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (hRaw > 0) h - 1 - y else y // bottom-up default
+        val rowOff = offBits + srcRow * stride.toInt
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          if (bits == 24) {
+            // stored BGR → canonical RGB
+            out(o) = c(rowOff + x * 3 + 2)
+            out(o + 1) = c(rowOff + x * 3 + 1)
+            out(o + 2) = c(rowOff + x * 3)
+          } else {
+            val idx = c(rowOff + x) & 0xff
+            if (idx >= palCount) return None // index outside the table
+            val p = palOff + idx * 4
+            out(o) = c(p + 2); out(o + 1) = c(p + 1); out(o + 2) = c(p)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(RasterImage("bmp", w, h, 3, out))
+    } else if (c.length >= 3 && c(0) == 'P'.toByte &&
+        (c(1) == '2'.toByte || c(1) == '3'.toByte ||
+          c(1) == '5'.toByte || c(1) == '6'.toByte) &&
+        (isWs(c(2)) || c(2) == '#'.toByte)) {
+      val ascii = c(1) == '2'.toByte || c(1) == '3'.toByte
+      val channels = if (c(1) == '3'.toByte || c(1) == '6'.toByte) 3 else 1
+      val fmt = if (channels == 3) "ppm" else "pgm"
+      // whitespace/comment-separated decimal ints from `from`; returns
+      // (value, indexAfterDigits) or null on malformed
+      var pos = 2
+      def nextInt(): Long = {
+        var v = -1L
+        var done = false
+        while (!done && pos < c.length) {
+          val b = c(pos)
+          if (b == '#'.toByte) {
+            while (pos < c.length && c(pos) != '\n'.toByte) pos += 1
+          } else if (isWs(b)) pos += 1
+          else if (b >= '0'.toByte && b <= '9'.toByte) {
+            v = 0L
+            while (pos < c.length && c(pos) >= '0'.toByte && c(pos) <= '9'.toByte) {
+              v = v * 10 + (c(pos) - '0'.toByte)
+              if (v > Int.MaxValue) return -1L
+              pos += 1
+            }
+            if (pos < c.length && !isWs(c(pos)) && c(pos) != '#'.toByte)
+              return -1L // digit run ends at a stray byte
+            done = true
+          } else return -1L
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+      if (w < 1 || w > MaxDim || h < 1 || h > MaxDim ||
+          maxv < 1 || maxv > 255 || // one byte per sample in this slice
+          w * h * channels > Int.MaxValue / 2) return None
+      val n = (w * h * channels).toInt
+      val out = new Array[Byte](n)
+      if (ascii) {
+        var i = 0
+        while (i < n) {
+          val v = nextInt()
+          if (v < 0 || v > maxv) return None
+          out(i) = v.toByte
+          i += 1
+        }
+      } else {
+        // binary: exactly ONE whitespace byte after maxval, then raster
+        if (pos >= c.length || !isWs(c(pos))) return None
+        val dataOff = pos + 1
+        if (dataOff + n > c.length) return None
+        System.arraycopy(c, dataOff, out, 0, n)
+        var i = 0
+        while (i < n) { // samples may not exceed the declared maxval
+          if ((out(i) & 0xff) > maxv) return None
+          i += 1
+        }
+      }
+      Some(RasterImage(fmt, w.toInt, h.toInt, channels, out))
     } else None
   }
 
@@ -275,6 +432,187 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** A content-level raster fingerprint row: when the payload is a
+    * decodable uncompressed raster ([[decodeRasterPixels]]),
+    * `pixel_checksum` is computed over the CANONICAL pixel array — so
+    * the same image stored as bottom-up BMP, top-down BMP, binary
+    * PPM, or ASCII PPM fingerprints identically (what a real
+    * perceptual-dedup keys on, with this exact-content hash in place
+    * of a perceptual one). On fallback `format` is "stub" with the -1
+    * sentinels and the checksum of the RAW bytes (encoding-sensitive,
+    * the honest answer when the pixels are unreachable).
+    */
+  case class RasterFeatures(media_id: Long, kind: String, n_bytes: Int,
+      format: String, width: Int, height: Int, channels: Int,
+      pixel_checksum: Long)
+
+  /** [[decode]]'s content-level sibling: REAL pixel decode for the
+    * uncompressed raster formats, stub for everything else. Same
+    * iterator-to-iterator per-partition shape; the pixel buffer lives
+    * only for the row being mapped (constant memory per task — the
+    * MaxDim guard in [[decodeRasterPixels]] bounds it).
+    */
+  def rasterFeatures(rows: Dataset[MediaRow]): Dataset[RasterFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        decodeRasterPixels(r.content) match {
+          case Some(img) =>
+            RasterFeatures(r.media_id, r.kind, r.content.length, img.format,
+              img.width, img.height, img.channels, byteChecksum(img.pixels))
+          case None =>
+            RasterFeatures(r.media_id, r.kind, r.content.length, "stub",
+              -1, -1, -1, byteChecksum(r.content))
+        }
+      }
+    }
+  }
+
+  /** Content-duplicate raster pairs: two media whose DECODED pixels
+    * are byte-identical, regardless of container/encoding — the
+    * grouping [[rasterFeatures]] enables. One hash-groupBy shuffle on
+    * (pixel_checksum, width, height, channels); only rows that
+    * actually decoded participate (stub fingerprints are
+    * encoding-sensitive, pairing them would claim content identity
+    * the bytes can't prove).
+    */
+  def rasterDupPairs(feats: Dataset[RasterFeatures]): DataFrame = {
+    import feats.sparkSession.implicits._
+    val real = feats.filter(_.format != "stub")
+      .toDF().select($"media_id", $"pixel_checksum", $"width", $"height", $"channels")
+    real.alias("x").join(real.alias("y"),
+        col("x.pixel_checksum") === col("y.pixel_checksum") &&
+          col("x.width") === col("y.width") &&
+          col("x.height") === col("y.height") &&
+          col("x.channels") === col("y.channels") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.pixel_checksum"))
+  }
+
+  /** Integer luma (the BT.601 weights in 8-bit fixed point:
+    * (77 R + 150 G + 29 B) >> 8 — weights sum to 256, so the result
+    * stays in 0..255 with pure integer arithmetic). Identity for
+    * 1-channel rasters.
+    */
+  private def luma(img: RasterImage, x: Int, y: Int): Int = {
+    if (img.channels == 1) img.pixels(y * img.width + x) & 0xff
+    else {
+      val o = (y * img.width + x) * 3
+      (77 * (img.pixels(o) & 0xff) + 150 * (img.pixels(o + 1) & 0xff) +
+        29 * (img.pixels(o + 2) & 0xff)) >> 8
+    }
+  }
+
+  /** Published perceptual hashes over REAL decoded pixels — the
+    * content-similarity keys a media dedup actually uses (aHash /
+    * dHash, both public-domain algorithms), computed entirely in
+    * integer arithmetic so they're deterministic across JVMs:
+    *
+    *  - grayscale via integer [[luma]];
+    *  - nearest-neighbor resample to the hash grid (8×8 for aHash,
+    *    9×8 for dHash) — sample point = (x * w / gridW, y * h / gridH),
+    *    the canonical integer nearest-neighbor;
+    *  - aHash bit(y,x) = cell >= mean of the 64 cells (mean as
+    *    integer division of the exact sum — deterministic);
+    *  - dHash bit(y,x) = row-adjacent gradient cell(y,x) < cell(y,x+1).
+    *
+    * Near-identical images (re-encodes, small brightness shifts for
+    * dHash) land within a few Hamming bits; exact re-encodes land at
+    * distance 0 because the canonical pixel array is byte-identical.
+    */
+  def perceptualHashes(img: RasterImage): (Long, Long) = {
+    def cell(gx: Int, gy: Int, gridW: Int, gridH: Int): Int =
+      luma(img, (gx.toLong * img.width / gridW).toInt,
+        (gy.toLong * img.height / gridH).toInt)
+    // aHash: 8x8, threshold at the integer mean
+    val a = Array.tabulate(64)(i => cell(i % 8, i / 8, 8, 8))
+    val mean = a.sum / 64
+    var aHash = 0L
+    var i = 0
+    while (i < 64) {
+      if (a(i) >= mean) aHash |= 1L << i
+      i += 1
+    }
+    // dHash: 9 columns x 8 rows, bit = left < right
+    var dHash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (cell(x, y, 9, 8) < cell(x + 1, y, 9, 8))
+          dHash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    (aHash, dHash)
+  }
+
+  /** A perceptual-fingerprint row over REAL pixels: `ahash`/`dhash`
+    * when the payload decoded ([[decodeRasterPixels]]); stub rows
+    * carry the -1 sentinels (a perceptual hash of bytes that are not
+    * pixels would be noise presented as signal).
+    */
+  case class PerceptualRow(media_id: Long, kind: String, format: String,
+      width: Int, height: Int, ahash: Long, dhash: Long)
+
+  /** Per-partition perceptual hashing — [[rasterFeatures]]' sibling
+    * keyed for SIMILARITY instead of identity.
+    */
+  def perceptualFeatures(rows: Dataset[MediaRow]): Dataset[PerceptualRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        decodeRasterPixels(r.content) match {
+          case Some(img) =>
+            val (a, d) = perceptualHashes(img)
+            PerceptualRow(r.media_id, r.kind, img.format, img.width,
+              img.height, a, d)
+          case None =>
+            PerceptualRow(r.media_id, r.kind, "stub", -1, -1, -1L, -1L)
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs: Hamming(dhash) <= maxBits via the
+    * SimHash banded trick (the d04 scale shape on media): a 64-bit
+    * hash within k bits of another must share at least one of k+1
+    * equal-width bands (pigeonhole), so candidates come from ONE
+    * band-value equi-join — never all-pairs — and the exact popcount
+    * filter runs per candidate. Stub rows never pair (their sentinel
+    * hashes are not content).
+    */
+  def perceptualNearDup(feats: Dataset[PerceptualRow],
+      maxBits: Int = 6): DataFrame = {
+    import feats.sparkSession.implicits._
+    require(maxBits >= 0 && maxBits < 64, s"maxBits out of range: $maxBits")
+    val bands = maxBits + 1
+    val width = 64 / bands // pigeonhole: k+1 bands of >= this width
+    val real = feats.filter(_.format != "stub")
+      .toDF().select($"media_id", $"dhash")
+    val banded = real.select($"media_id", $"dhash",
+      explode(array((0 until bands).map { b =>
+        val lo = b * width
+        // the LAST band absorbs the remainder bits
+        val w = if (b == bands - 1) 64 - lo else width
+        struct(lit(b).as("band"),
+          shiftrightunsigned($"dhash", lo)
+            .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1)).as("bv"))
+      }: _*)).as("bk"))
+      .select($"media_id", $"dhash", $"bk.band", $"bk.bv")
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast("int").as("hamming"))
+      .distinct() // a close pair may share several bands
+      .filter($"hamming" <= maxBits)
+      .orderBy($"a", $"b")
   }
 
   /** A parsed audio row: `format` is "wav" when the RIFF/WAVE header

@@ -188,4 +188,47 @@ object OsmOracle {
   def pbfTagUsagePerMonth(spark: SparkSession, sfDir: String): DataFrame =
     OsmQueries.tagUsageByMonth(pbfHistory(spark), "amenity")
       .select(col("month").cast("date").as("month"), col("n"))
+
+  /** PBF-converted current snapshot, derived in-plan exactly as the
+    * fixture generator derives the committed planet table (latest
+    * visible versions) — the shared base for o17/o18.
+    */
+  private def pbfPlanet(spark: SparkSession): DataFrame =
+    OsmQueries.latestVersionsWindow(pbfHistory(spark)).filter(col("visible"))
+
+  /** PBF-converted ways reassembly (o17): the o01 form over
+    * [[pbfPlanet]], gated against o01's oracle SQL reading the
+    * XML-converted parquet — hash-green proves the PBF Way `refs`
+    * delta decode (OsmPbf2Orc.java:227-235 territory) yields the same
+    * ordered nd lists as the XML path, position-for-position (the
+    * coord_path string is order-sensitive). This closes the last PBF
+    * decode dimension the o12/o13/o14 scalar gates don't reach for
+    * ways.
+    */
+  def pbfReassembledWayPaths(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.reassembleWays(pbfPlanet(spark))
+      .select(col("way_id"),
+        size(col("coordinates")).cast("bigint").as("n_pts"),
+        array_join(
+          transform(col("coordinates"), c =>
+            concat_ws(",", c.getItem(0).cast("string"),
+              c.getItem(1).cast("string"))), ";").as("coord_path"))
+      .orderBy(col("way_id"))
+
+  /** PBF-converted relation members, flat WITH-ORDINALITY projection
+    * (o18): one row per (relation, position) with member type, ref,
+    * and role — gated against the XML-converted parquet. Hash-green
+    * proves the PBF Relation member decode (memids delta, roles_sid
+    * string-table, member-type enum — OsmPbf2Orc.java:247-277
+    * territory) byte-equal to the XML path, including member ORDER
+    * and role strings, which o15's closure query cannot distinguish.
+    */
+  def pbfRelationMembers(spark: SparkSession, sfDir: String): DataFrame =
+    pbfPlanet(spark).filter(col("type") === "relation")
+      .select(col("id").as("rel_id"),
+        posexplode(col("members")).as(Seq("pos", "m")))
+      .select(col("rel_id"), (col("pos") + 1).cast("int").as("idx"),
+        col("m.type").as("member_type"), col("m.ref").as("ref"),
+        col("m.role").as("role"))
+      .orderBy(col("rel_id"), col("idx"))
 }

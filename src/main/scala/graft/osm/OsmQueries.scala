@@ -137,9 +137,15 @@ object OsmQueries {
       .select(col("id").as("rel_id"), explode(col("members")).as("m"))
       .select(col("rel_id"), col("m.type").as("member_type"),
         col("m.ref").as("ref"))
+    // All rows in one level share the same depth, so deduplicating on
+    // (root_id, ref) per level is result-invariant — without it,
+    // multi-path DAG members multiply the frontier every level
+    // (branching^depth wasted join work; the min-depth collapse hides
+    // the blowup in the OUTPUT but not in the shuffles).
     def relFrontier(level: DataFrame): DataFrame =
       level.filter(col("member_type") === "relation")
         .select(col("root_id"), col("ref"), col("depth"))
+        .dropDuplicates("root_id", "ref")
     var acc = edges.select(col("rel_id").as("root_id"), col("member_type"),
       col("ref"), lit(1).as("depth"))
     var frontier = relFrontier(acc).persist()

@@ -12,6 +12,34 @@ import org.apache.spark.sql.functions._
   * Usage: Test/runMain graft.operators.ProfileScaleSweep
   */
 object ProfileScaleSweep {
+
+  /** Synthetic FIXED-DEPTH super-relation forest for the o15 sweep:
+    * `nTrees` independent trees, each root → 2 mid relations → 2 leaf
+    * relations (depth 3), with way/node members at every level and one
+    * SHARED child per tree (both mids reference leaf b+4 — exercises
+    * the min-depth collapse). Scaling nTrees grows the corpus while
+    * the recursion depth stays constant — the claim under test is that
+    * expandRelations' cost is (levels × one equi-join shuffle), linear
+    * in edges, not depth-coupled to data size.
+    */
+  def relForest(spark: SparkSession, nTrees: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def mem(tp: String, ref: org.apache.spark.sql.Column) =
+      struct(lit(tp).as("type"), ref.as("ref"), lit("m").as("role"))
+    val t = spark.range(nTrees).select(($"id" * 16).as("b"))
+    Seq(
+      t.select($"b".as("id"), array(mem("relation", $"b" + 1),
+        mem("relation", $"b" + 2), mem("way", $"b" + 7)).as("members")),
+      t.select(($"b" + 1).as("id"), array(mem("relation", $"b" + 3),
+        mem("relation", $"b" + 4), mem("node", $"b" + 8)).as("members")),
+      t.select(($"b" + 2).as("id"), array(mem("relation", $"b" + 4),
+        mem("node", $"b" + 9)).as("members")), // b+4 shared: multi-path
+      t.select(($"b" + 3).as("id"), array(mem("way", $"b" + 10)).as("members")),
+      t.select(($"b" + 4).as("id"), array(mem("way", $"b" + 11)).as("members")))
+      .reduce(_ unionByName _)
+      .withColumn("type", lit("relation"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -114,6 +142,33 @@ object ProfileScaleSweep {
       time("repeated_spans")(Dedup.repeatedSpans(spark, dir))
       time("span_scrub")(Dedup.spanScrub(spark, dir))
       time("kmv_distinct")(Relational.kmvDistinct(spark, dir))
+      // round-10: the r9 additions. d21 — shards fixed at the gate
+      // default, corpus grows: build should scale ~linearly (one
+      // shard shuffle + per-shard assembly), probe per-row cost flat.
+      time("incremental_sharded")(Dedup.incrementalOverlapSharded(spark, dir))
+      // t21 learnMerges — rounds fixed at 10: after the single
+      // corpus-sized wordCounts shuffle every round is vocab-sized,
+      // so growth should track DISTINCT words (sublinear in docs),
+      // not the corpus. Returns a Seq, so timed via its own block.
+      locally {
+        val times = (1 to 3).map { _ =>
+          graft.Caches.releaseAll(spark)
+          val t0 = System.nanoTime()
+          Bpe.learnMerges(Bpe.wordCounts(
+            graft.Tables.documents(spark, dir)), 10)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[sweep] ${mult}x (${nBase * mult} docs) bpe_learn10 " +
+          f"min=${times.head}%.2f median=${times(1)}%.2f s")
+      }
+      // o15 expandRelations — depth fixed (the forest is depth-3,
+      // maxDepth 5): cost should be linear in edges
+      val relDir = s"$dir/relforest.parquet"
+      relForest(spark, 20000L * mult).write
+        .mode(SaveMode.Overwrite).parquet(relDir)
+      time("expand_relations")(
+        graft.osm.OsmQueries.expandRelations(
+          spark.read.parquet(relDir), maxDepth = 5))
     }
     spark.stop()
   }

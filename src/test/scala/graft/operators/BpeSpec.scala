@@ -101,11 +101,48 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSpec {
     wc.keys.foreach { w =>
       withClue(s"word $w: ") { Bpe.encodeWord(w, ranks) shouldBe trained(w) }
     }
-    // unseen words segment deterministically with the same table
-    Bpe.encodeWord("low", ranks).mkString("|") shouldBe
-      Bpe.encodeWord("low", ranks).mkString("|")
+    // unseen words segment to GOLDEN literals: the 10 merges learned
+    // from this corpus are (e,r),(w,er),(e,wer),(l,o),(n,ewer),
+    // (lo,wer),(d,er),(i,der),(w,ider),(e,s) — so "low" applies only
+    // rank-3 (l,o) ((lo,w) was never learned), and "slower" walks the
+    // rank ladder er→wer→lo→lower
+    merges shouldBe Seq(("e", "r"), ("w", "er"), ("e", "wer"), ("l", "o"),
+      ("n", "ewer"), ("lo", "wer"), ("d", "er"), ("i", "der"),
+      ("w", "ider"), ("e", "s"))
+    Bpe.encodeWord("low", ranks) shouldBe Seq("lo", "w")
+    Bpe.encodeWord("slower", ranks) shouldBe Seq("s", "lower")
     Bpe.encodeWord("", ranks) shouldBe Seq.empty
     Bpe.encodeWord("z", Map.empty) shouldBe Seq("z")
+  }
+
+  test("learnMerges with a reliable checkpoint dir: identical merges") {
+    import spark.implicits._
+    val wc = Map("abc" -> 3L, "bac" -> 3L, "abab" -> 1L, "cc" -> 2L)
+    val df = wc.toSeq.toDF("word", "wcount")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-ckpt").toString
+    try {
+      val reliable = Bpe.learnMerges(df, numMerges = 6,
+        checkpointDir = Some(dir))
+      val local = Bpe.learnMerges(df, numMerges = 6)
+      reliable shouldBe local
+      reliable.map(m => (m.left, m.right)) shouldBe seqLearn(wc, 6)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected reliable checkpoint files on disk")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("t22 gate output: learned merge table == sequential reference") {
+    val sf = "/root/testdata/sf0.001"
+    val wc = Bpe.wordCounts(graft.Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Bpe.learnedMerges(spark, sf, numMerges = 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    got.map(_._1).toSeq shouldBe (0 until 12)
+    got.map(x => (x._2, x._3)).toSeq shouldBe seqLearn(wc, 12)
   }
 
   test("t21 gate output: per-doc counts recomputed from raw text") {

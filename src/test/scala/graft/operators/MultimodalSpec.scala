@@ -184,6 +184,217 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.parseImageHeader(ascii("P63 4 255 ")) shouldBe None
   }
 
+  // ---- round-10 REAL pixel decode: full-file raster fixtures ----
+
+  /** A complete 24-bit BI_RGB BMP: header + pixel rows in the given
+    * scanline order (bottomUp mirrors the pixels into file order; rows
+    * are 4-byte padded). `pixels` is the CANONICAL top-down row-major
+    * RGB array the decoder must reproduce.
+    */
+  private def bmp24File(w: Int, h: Int, pixels: Array[Byte],
+      bottomUp: Boolean = true): Array[Byte] = {
+    require(pixels.length == w * h * 3)
+    val stride = (w * 3 + 3) / 4 * 4
+    val b = new Array[Byte](54 + stride * h)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte
+    le32(2, b.length); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, if (bottomUp) h else -h)
+    b(26) = 1; b(28) = 24
+    for (y <- 0 until h; x <- 0 until w) {
+      val src = (y * w + x) * 3 // canonical top-down RGB
+      val fileRow = if (bottomUp) h - 1 - y else y
+      val dst = 54 + fileRow * stride + x * 3
+      b(dst) = pixels(src + 2) // stored BGR
+      b(dst + 1) = pixels(src + 1)
+      b(dst + 2) = pixels(src)
+    }
+    b
+  }
+
+  /** A complete 8-bit paletted BI_RGB BMP: 256-entry BGRX color table
+    * right after the info header, then padded index rows.
+    */
+  private def bmp8File(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[(Int, Int, Int)]): Array[Byte] = {
+    require(indices.length == w * h)
+    val stride = (w + 3) / 4 * 4
+    val palOff = 54
+    val dataOff = palOff + 4 * 256
+    val b = new Array[Byte](dataOff + stride * h)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte
+    le32(2, b.length); le32(10, dataOff)
+    le32(14, 40); le32(18, w); le32(22, h) // bottom-up
+    b(26) = 1; b(28) = 8
+    palette.zipWithIndex.foreach { case ((r, g, bl), i) =>
+      b(palOff + i * 4) = bl.toByte // BGRX quads
+      b(palOff + i * 4 + 1) = g.toByte
+      b(palOff + i * 4 + 2) = r.toByte
+    }
+    for (y <- 0 until h; x <- 0 until w)
+      b(dataOff + (h - 1 - y) * stride + x) = indices(y * w + x)
+    b
+  }
+
+  test("decodeRasterPixels: 24-bit BMP — golden pixels, bottom-up == top-down") {
+    // 2x2: red green / blue white in canonical top-down RGB
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    val up = Multimodal.decodeRasterPixels(bmp24File(2, 2, px)).get
+    up.format shouldBe "bmp"
+    (up.width, up.height, up.channels) shouldBe ((2, 2, 3))
+    up.pixels.toSeq shouldBe px.toSeq
+    // a top-down file with the SAME image decodes byte-identically
+    val down = Multimodal.decodeRasterPixels(
+      bmp24File(2, 2, px, bottomUp = false)).get
+    down.pixels.toSeq shouldBe px.toSeq
+    // 3-wide exercises the 4-byte row padding (stride 12 for w=3... 9+3)
+    val px3 = Array.tabulate(3 * 2 * 3)(i => (i * 7 % 251).toByte)
+    val wide = Multimodal.decodeRasterPixels(bmp24File(3, 2, px3)).get
+    wide.pixels.toSeq shouldBe px3.toSeq
+  }
+
+  test("decodeRasterPixels: 8-bit paletted BMP expands the color table") {
+    val palette = Array.tabulate(256)(i => (i, 255 - i, i / 2))
+    val idx = Array[Byte](0, 1, 2, 127.toByte, 128.toByte, 255.toByte)
+    val img = Multimodal.decodeRasterPixels(bmp8File(3, 2, idx, palette)).get
+    (img.width, img.height, img.channels) shouldBe ((3, 2, 3))
+    val expect = idx.flatMap { i =>
+      val (r, g, b) = palette(i & 0xff)
+      Array(r.toByte, g.toByte, b.toByte)
+    }
+    img.pixels.toSeq shouldBe expect.toSeq
+  }
+
+  test("decodeRasterPixels: binary P6/P5 — golden pixels, maxval honored") {
+    val hdr = "P6\n# c\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(12)(i => (i * 11 % 250).toByte)
+    val img = Multimodal.decodeRasterPixels(hdr ++ px).get
+    (img.format, img.width, img.height, img.channels) shouldBe
+      (("ppm", 2, 2, 3))
+    img.pixels.toSeq shouldBe px.toSeq
+    // PGM P5
+    val g = Multimodal.decodeRasterPixels(
+      "P5 3 1 255 ".getBytes("US-ASCII") ++ Array[Byte](9, 99, 199.toByte)).get
+    (g.format, g.channels) shouldBe (("pgm", 1))
+    g.pixels.toSeq shouldBe Seq[Byte](9, 99, 199.toByte)
+    // a sample above the declared maxval is malformed
+    Multimodal.decodeRasterPixels(
+      "P5 1 1 100 ".getBytes("US-ASCII") ++ Array[Byte](101)) shouldBe None
+    // truncated raster is malformed
+    Multimodal.decodeRasterPixels(hdr ++ px.take(11)) shouldBe None
+    // 16-bit samples (maxval > 255) are out of the pixel slice
+    Multimodal.decodeRasterPixels(
+      "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0, 0, 0)) shouldBe None
+  }
+
+  test("decodeRasterPixels: ASCII P3/P2 decode to the same canonical bytes") {
+    val ascii = Multimodal.decodeRasterPixels(
+      "P3\n2 1\n255\n255 0 0  0 128 255\n".getBytes("US-ASCII")).get
+    ascii.pixels.toSeq shouldBe
+      Seq(255.toByte, 0, 0, 0, 128.toByte, 255.toByte)
+    // the SAME image as binary P6 fingerprints identically
+    val bin = Multimodal.decodeRasterPixels(
+      "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+        Array(255, 0, 0, 0, 128, 255).map(_.toByte)).get
+    bin.pixels.toSeq shouldBe ascii.pixels.toSeq
+    val p2 = Multimodal.decodeRasterPixels(
+      "P2\n# g\n3 1\n99\n0 50 99\n".getBytes("US-ASCII")).get
+    (p2.format, p2.channels) shouldBe (("pgm", 1))
+    p2.pixels.toSeq shouldBe Seq[Byte](0, 50, 99)
+    // ASCII sample above maxval / short raster are malformed
+    Multimodal.decodeRasterPixels(
+      "P2\n1 1\n99\n100\n".getBytes("US-ASCII")) shouldBe None
+    Multimodal.decodeRasterPixels(
+      "P3\n2 1\n255\n255 0 0\n".getBytes("US-ASCII")) shouldBe None
+  }
+
+  test("rasterFeatures: same image, four encodings, one pixel_checksum") {
+    import spark.implicits._
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9).map(_.toByte)
+    val p6 = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val p3 = ("P3\n2 2\n255\n" +
+      px.map(b => (b & 0xff).toString).mkString(" ") + "\n").getBytes("US-ASCII")
+    val rows = Seq(
+      MediaRow(1, "image", bmp24File(2, 2, px)),
+      MediaRow(2, "image", bmp24File(2, 2, px, bottomUp = false)),
+      MediaRow(3, "image", p6),
+      MediaRow(4, "image", p3),
+      MediaRow(5, "image", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.rasterFeatures(rows).collect().sortBy(_.media_id)
+    out.map(_.format).toSeq shouldBe Seq("bmp", "bmp", "ppm", "ppm", "stub")
+    // all four REAL decodes share the canonical-pixel checksum
+    out.take(4).map(_.pixel_checksum).distinct.length shouldBe 1
+    out(4).width shouldBe -1
+    // content-duplicate pairs: all pairs among 1..4, never the stub
+    val pairs = Multimodal.rasterDupPairs(Multimodal.rasterFeatures(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    pairs.toSeq shouldBe
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+  }
+
+  test("perceptualHashes: analytic goldens, scale- and encoding-invariance") {
+    import Multimodal.RasterImage
+    // uniform gray: every aHash cell >= mean -> all 64 bits set; no
+    // gradient anywhere -> dHash 0
+    val flat = RasterImage("pgm", 8, 8, 1, Array.fill(64)(100.toByte))
+    Multimodal.perceptualHashes(flat) shouldBe ((-1L, 0L))
+    // strict left-to-right ramp: every dHash gradient fires -> all
+    // bits set; aHash splits at the mean (right half >= mean)
+    val ramp = RasterImage("pgm", 9, 8, 1,
+      Array.tabulate(72)(i => (i % 9 * 28).toByte))
+    val (aRamp, dRamp) = Multimodal.perceptualHashes(ramp)
+    dRamp shouldBe -1L
+    java.lang.Long.bitCount(aRamp) shouldBe 32 // half the cells >= mean
+    // nearest-neighbor invariance: the same image pixel-doubled to
+    // 2x size hashes identically (sample points land on the copies)
+    val small = RasterImage("pgm", 8, 8, 1,
+      Array.tabulate(64)(i => (i * 37 % 251).toByte))
+    val big = RasterImage("pgm", 16, 16, 1,
+      Array.tabulate(256) { i =>
+        val (x, y) = (i % 16, i / 16)
+        small.pixels((y / 2) * 8 + x / 2)
+      })
+    Multimodal.perceptualHashes(big) shouldBe Multimodal.perceptualHashes(small)
+    // encoding invariance rides the canonical pixel array: the same
+    // RGB image as BMP and binary PPM decodes to identical hashes
+    val px = Array.tabulate(2 * 2 * 3)(i => (i * 41 % 247).toByte)
+    val viaBmp = Multimodal.decodeRasterPixels(bmp24File(2, 2, px)).get
+    val viaPpm = Multimodal.decodeRasterPixels(
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px).get
+    Multimodal.perceptualHashes(viaBmp) shouldBe
+      Multimodal.perceptualHashes(viaPpm)
+  }
+
+  test("perceptualNearDup: banded Hamming join finds <=k pairs, not more") {
+    import spark.implicits._
+    import Multimodal.PerceptualRow
+    val base = 0x0123456789abcdefL
+    def flip(h: Long, bits: Int*): Long = bits.foldLeft(h)((x, b) => x ^ (1L << b))
+    val rows = Seq(
+      PerceptualRow(1, "image", "bmp", 8, 8, 0L, base),
+      PerceptualRow(2, "image", "bmp", 8, 8, 0L, flip(base, 3, 17, 42)), // d=3
+      PerceptualRow(3, "image", "ppm", 8, 8, 0L,
+        flip(base, 1, 9, 18, 27, 36, 45, 54)), // d=7 from row 1: excluded
+      PerceptualRow(4, "image", "stub", -1, -1, -1L, -1L), // never pairs
+      PerceptualRow(5, "image", "pgm", 8, 8, 0L, base)) // d=0 duplicate
+      .toDS()
+    val got = Multimodal.perceptualNearDup(rows, maxBits = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    got.toSeq shouldBe Seq((1L, 2L, 3), (1L, 5L, 0), (2L, 5L, 3))
+    // d=7 surfaces once the threshold admits it
+    val wide = Multimodal.perceptualNearDup(rows, maxBits = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    wide.toSeq should contain((1L, 3L))
+  }
+
   /** A minimal well-formed PNG prefix: 8-byte signature + IHDR chunk
     * (length, tag, 13 data bytes, 4 CRC bytes — CRC unchecked by the
     * fixed-offset parse, zeroed here).
@@ -261,10 +472,24 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     val withFill = jpegBytes(10, 10, 3)
     val filled = withFill.take(2) ++ Array(0xff.toByte) ++ withFill.drop(2)
     Multimodal.parseImageHeader(filled) shouldBe Some(("jpeg", 10, 10, 3))
-    // malformed / out-of-slice: progressive SOF2 falls to the stub,
-    // 12-bit precision, zero dims, bad component count, lying segment
-    // length, truncation mid-segment, SOS before any SOF, bare SOI
-    Multimodal.parseImageHeader(jpegBytes(10, 10, 3, sofMarker = 0xc2)) shouldBe None
+    // progressive DCT (SOF2) parses identically — same payload layout
+    Multimodal.parseImageHeader(jpegBytes(2048, 1536, 3, sofMarker = 0xc2)) shouldBe
+      Some(("jpeg", 2048, 1536, 3))
+    Multimodal.parseImageHeader(jpegBytes(64, 64, 1, sofMarker = 0xc2)) shouldBe
+      Some(("jpeg", 64, 64, 1))
+    // ...but 12-bit-precision progressive is still out of slice
+    Multimodal.parseImageHeader(
+      jpegBytes(10, 10, 3, sofMarker = 0xc2, precision = 12)) shouldBe None
+    // other SOFn (extended sequential C1, lossless C3) END the walk as
+    // out-of-slice — a stray later SOF0 must not be honored
+    Multimodal.parseImageHeader(jpegBytes(10, 10, 3, sofMarker = 0xc1)) shouldBe None
+    Multimodal.parseImageHeader(jpegBytes(10, 10, 3, sofMarker = 0xc3)) shouldBe None
+    val sof0Tail = jpegBytes(5, 5, 3).takeRight(2 + 2 + 15) // the SOF0 segment
+    Multimodal.parseImageHeader(
+      jpegBytes(10, 10, 3, sofMarker = 0xc1) ++ sof0Tail) shouldBe None
+    // malformed: 12-bit precision, zero dims, bad component count,
+    // lying segment length, truncation mid-segment, SOS before any
+    // SOF, bare SOI
     Multimodal.parseImageHeader(jpegBytes(10, 10, 3, precision = 12)) shouldBe None
     Multimodal.parseImageHeader(jpegBytes(0, 10, 3)) shouldBe None
     Multimodal.parseImageHeader(jpegBytes(10, 0, 3)) shouldBe None
