@@ -154,6 +154,8 @@ object SparkEntry {
     "m02_frame_hashes" -> ((s: SparkSession, d: String) => Multimodal.frameHashes(s, d)),
     "m03_media_neardup" -> ((s: SparkSession, d: String) => Multimodal.mediaNearDup(s, d)),
     "m04_frame_df" -> ((s: SparkSession, d: String) => Multimodal.frameDf(s, d)),
+    "m05_raster_gate" -> (Multimodal.rasterChecksumGate _),
+    "m06_perceptual_gate" -> (Multimodal.perceptualGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -2307,6 +2309,53 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_occ
         |FROM f GROUP BY fh HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY fh""".stripMargin,
+
+    // m05: REAL pixel decode under the gate — the Spark side builds an
+    // actual binary P5 PGM per document (first 64 text bytes as an 8x8
+    // raster), decodes it with decodeRasterPixels, and fingerprints
+    // the canonical pixel array; the oracle never sees a binary
+    // payload — it recomputes each pixel with ord() on the text prefix
+    // (single-byte corpus, the m02 premise) and replays the rolling
+    // checksum ((acc*31+px) % 1e9+7) via list_reduce.
+    "m05_raster_gate" ->
+      """SELECT doc_id, 'pgm' AS format, 8 AS width, 8 AS height,
+        |  1 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, 65), i ->
+        |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
+
+    // m06: perceptual hashes over REAL decoded pixels, cross-engine —
+    // aHash: 8x8 grid (identity sampling at this size), threshold at
+    // the integer mean (floor division of the exact sum); dHash: 9x8
+    // grid with nearest-neighbor column sampling (x*8)//9, bit =
+    // left < right. Bit 63 cannot be built by shifting (BIGINT shift
+    // overflow) — its contribution is the min-long literal.
+    "m06_perceptual_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) - 1 AS idx,
+        |        CAST(ord(text[CAST(i AS INT)]) AS BIGINT) AS v
+        |      FROM d, UNNEST(range(1, 65)) AS t(i)),
+        |m AS (SELECT doc_id, sum(v) // 64 AS mean FROM v GROUP BY doc_id),
+        |ab AS (SELECT v.doc_id,
+        |    CAST(sum(CASE WHEN v.v >= m.mean THEN
+        |        CASE WHEN v.idx = 63 THEN -9223372036854775807 - 1
+        |             ELSE CAST(1 AS BIGINT) << v.idx END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM v JOIN m USING (doc_id) GROUP BY v.doc_id),
+        |dc AS (SELECT d.doc_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+        |    ord(text[CAST(y * 8 + (x * 8) // 9 + 1 AS INT)]) AS cl,
+        |    ord(text[CAST(y * 8 + ((x + 1) * 8) // 9 + 1 AS INT)]) AS cr
+        |  FROM d, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 8)) AS ty(y)),
+        |db AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN cl < cr THEN
+        |        CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+        |             ELSE CAST(1 AS BIGINT) << (y * 8 + x) END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM dc GROUP BY doc_id)
+        |SELECT ab.doc_id, ab.ahash, db.dhash
+        |FROM ab JOIN db USING (doc_id) ORDER BY ab.doc_id""".stripMargin,
 
     "p01_hash_sample" ->
       s"""WITH $HexBucketCte

@@ -943,6 +943,55 @@ object Multimodal {
       .orderBy($"fh")
   }
 
+  /** Deterministic single-tile PGM payload per document (first 64 text
+    * bytes as an 8×8 grayscale raster): the bridge that drives the
+    * REAL pixel-decode path through the DuckDB gate. The corpus is
+    * ASCII (MultimodalSpec pins the single-byte premise, the m02
+    * convention), so the oracle recomputes every pixel with ord() on
+    * the text prefix — one engine decodes actual PGM bytes, the other
+    * never sees a binary payload at all, and the hashes must agree.
+    */
+  private def docPgmRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        MediaRow(id, "image", ("P5\n8 8\n255\n" + px).getBytes("ISO-8859-1"))
+      }
+  }
+
+  /** m05 gate entry: [[decodeRasterPixels]] + the canonical-pixel
+    * rolling checksum, cross-engine — hash-green proves the P5 header
+    * walk, the single-whitespace data offset, the pixel copy, and the
+    * checksum arithmetic all byte-agree with an engine that computes
+    * them from first principles (ord() on the text prefix, never
+    * seeing a binary payload at all).
+    */
+  def rasterChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docPgmRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** m06 gate entry: [[perceptualHashes]] over REAL decoded pixels,
+    * cross-engine — the oracle recomputes the 8×8 aHash (threshold at
+    * the integer mean of the exact sum) and the 9×8 dHash
+    * (nearest-neighbor column sampling (x*8)//9, row-adjacent
+    * gradients) as pure SQL bit arithmetic. Hash-green proves the
+    * perceptual-hash definitions, including the integer-mean and
+    * sampling conventions, are engine-independent.
+    */
+  def perceptualGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    perceptualFeatures(docPgmRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"ahash", $"dhash")
+      .orderBy($"doc_id")
+  }
+
   /** Oracle-checked plumbing query: text payloads treated as binary —
     * byte length + content hash (the metadata extraction pass a media
     * pipeline runs before any decode).

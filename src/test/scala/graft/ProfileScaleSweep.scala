@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * 10x. Linear-ish growth here is the local evidence behind the 100 TB
   * design claims in SCALE.md.
   *
-  * Usage: Test/runMain graft.operators.ProfileScaleSweep
+  * Usage: Test/runMain graft.operators.ProfileScaleSweep [name...]
+  * With args, only the named rows run (dev iteration on new sweep
+  * rows without re-measuring the whole matrix).
   */
 object ProfileScaleSweep {
 
@@ -80,7 +82,9 @@ object ProfileScaleSweep {
       // min of 3 runs, cache cleared between — same noise control as
       // ProfileR2; without it the 1x row is JVM-cold and the scaling
       // ratio conflates warm-up with data growth
+      val only: Set[String] = args.toSet
       def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+        if (only.nonEmpty && !only.contains(name)) return
         val times = (1 to 3).map { _ =>
           graft.Caches.releaseAll(spark) // registry + cacheManager + stray RDDs
           val t0 = System.nanoTime()
@@ -150,7 +154,7 @@ object ProfileScaleSweep {
       // corpus-sized wordCounts shuffle every round is vocab-sized,
       // so growth should track DISTINCT words (sublinear in docs),
       // not the corpus. Returns a Seq, so timed via its own block.
-      locally {
+      if (only.isEmpty || only.contains("bpe_learn10")) {
         val times = (1 to 3).map { _ =>
           graft.Caches.releaseAll(spark)
           val t0 = System.nanoTime()
@@ -163,12 +167,14 @@ object ProfileScaleSweep {
       }
       // o15 expandRelations — depth fixed (the forest is depth-3,
       // maxDepth 5): cost should be linear in edges
-      val relDir = s"$dir/relforest.parquet"
-      relForest(spark, 20000L * mult).write
-        .mode(SaveMode.Overwrite).parquet(relDir)
-      time("expand_relations")(
-        graft.osm.OsmQueries.expandRelations(
-          spark.read.parquet(relDir), maxDepth = 5))
+      if (only.isEmpty || only.contains("expand_relations")) {
+        val relDir = s"$dir/relforest.parquet"
+        relForest(spark, 20000L * mult).write
+          .mode(SaveMode.Overwrite).parquet(relDir)
+        time("expand_relations")(
+          graft.osm.OsmQueries.expandRelations(
+            spark.read.parquet(relDir), maxDepth = 5))
+      }
     }
     spark.stop()
   }
