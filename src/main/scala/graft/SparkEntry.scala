@@ -93,6 +93,7 @@ object SparkEntry {
     "s11_corpus_clusters" -> ((s: SparkSession, d: String) => Similarity.corpusClusters(s, d)),
     "s12_embed_outliers" -> ((s: SparkSession, d: String) => Similarity.embedOutliers(s, d)),
     "s13_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "s14_ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -156,6 +157,9 @@ object SparkEntry {
     "m04_frame_df" -> ((s: SparkSession, d: String) => Multimodal.frameDf(s, d)),
     "m05_raster_gate" -> (Multimodal.rasterChecksumGate _),
     "m06_perceptual_gate" -> (Multimodal.perceptualGate _),
+    "m07_audio_gate" -> (Multimodal.pcmGate _),
+    "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
+    "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -1681,6 +1685,35 @@ object SparkEntry {
          |FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cand = a.cand
          |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
+    // s14: metadata-FILTERED top-k — the s01 ranking restricted to
+    // same-label candidates; the label predicate joins BEFORE scoring
+    // in both engines (a non-matching candidate contributes no pair)
+    "s14_ann_filtered" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |l AS (SELECT vec_id, label FROM embeddings
+         |      WHERE vec_id < 8 OR vec_id % 20 = 0),
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  JOIN l lq ON lq.vec_id = q.vec_id
+         |  JOIN l lc ON lc.vec_id = c.vec_id AND lq.label = lc.label
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT qid, cand, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT r.qid, l.label, r.cand, r.cos, r.rnk
+         |FROM ranked r JOIN l ON r.qid = l.vec_id
+         |WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""".stripMargin,
+
     // p12: the s11 assignment + per-cluster hash-order quota
     "p12_cluster_sample" ->
       s"""WITH ${embCte("TRUE")},
@@ -2356,6 +2389,90 @@ object SparkEntry {
         |  FROM dc GROUP BY doc_id)
         |SELECT ab.doc_id, ab.ahash, db.dhash
         |FROM ab JOIN db USING (doc_id) ORDER BY ab.doc_id""".stripMargin,
+
+    // m07: REAL PCM sample decode under the gate — the Spark side
+    // builds an actual 16-bit mono WAV per document (sample j =
+    // (byte_j − 96)·128 over the first 64 text bytes — signs vary, so
+    // negative samples round-trip through two's-complement bytes),
+    // decodes it with decodePcmSamples, and derives signal features;
+    // the oracle recomputes every sample with ord() arithmetic. The
+    // checksum runs over the BIASED sample s + 32768 (non-negative, so
+    // the modular arithmetic is engine-independent); a zero crossing
+    // is a (prev < 0) != (cur < 0) transition with 0 counted
+    // non-negative.
+    "m07_audio_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        (ord(text[CAST(i AS INT)]) - 96) * 128 AS s
+        |      FROM d, UNNEST(range(1, 65)) AS t(i)),
+        |f AS (SELECT doc_id, CAST(max(abs(s)) AS INT) AS peak,
+        |        CAST(sum(abs(s)) AS BIGINT) AS sum_abs FROM v GROUP BY doc_id),
+        |z AS (SELECT doc_id,
+        |    CAST(count(CASE WHEN (pv < 0) <> (s < 0) THEN 1 END) AS INT) AS zero_crossings
+        |  FROM (SELECT doc_id, s,
+        |          lag(s) OVER (PARTITION BY doc_id ORDER BY idx) AS pv FROM v) t
+        |  GROUP BY doc_id),
+        |c AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, 65), i ->
+        |      CAST((ord(text[CAST(i AS INT)]) - 96) * 128 + 32768 AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS sample_checksum FROM d)
+        |SELECT f.doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(64 AS BIGINT) AS n_samples, f.peak, f.sum_abs,
+        |  z.zero_crossings, c.sample_checksum
+        |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // m08: the 15-bit frame-energy-gradient audio fingerprint — 16
+    // frames of 4 samples, exact integer energies Σ|s|, bit f set iff
+    // e(f) < e(f+1); the oracle assembles the same bits from ord()
+    // arithmetic
+    "m08_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) - 1 AS idx,
+        |        (ord(text[CAST(i AS INT)]) - 96) * 128 AS s
+        |      FROM d, UNNEST(range(1, 65)) AS t(i)),
+        |e AS (SELECT doc_id, idx // 4 AS f, sum(abs(s)) AS en
+        |      FROM v GROUP BY 1, 2),
+        |fp AS (SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN a.en < b.en THEN (1 << a.f) ELSE 0 END) AS INT) AS ehash
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  GROUP BY a.doc_id)
+        |SELECT doc_id, ehash FROM fp ORDER BY doc_id""".stripMargin,
+
+    // m09: banded-hamming near-dup over m08's fingerprints — three
+    // 5-bit bands (pigeonhole-exact for hamming <= 2), candidates from
+    // band equality, exact popcount filter, UNION dedupes pairs caught
+    // by more than one band
+    "m09_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) - 1 AS idx,
+        |        (ord(text[CAST(i AS INT)]) - 96) * 128 AS s
+        |      FROM d, UNNEST(range(1, 65)) AS t(i)),
+        |e AS (SELECT doc_id, idx // 4 AS f, sum(abs(s)) AS en
+        |      FROM v GROUP BY 1, 2),
+        |fp AS (SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN a.en < b.en THEN (1 << a.f) ELSE 0 END) AS INT) AS ehash
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  GROUP BY a.doc_id),
+        |bkt AS (SELECT doc_id, ehash, ehash % 32 AS b0,
+        |        (ehash // 32) % 32 AS b1, (ehash // 1024) % 32 AS b2 FROM fp)
+        |SELECT a, b, hamming FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(bit_count(xor(x.ehash, y.ehash)) AS INT) AS hamming
+        |  FROM bkt x JOIN bkt y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= 2
+        |  UNION
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(bit_count(xor(x.ehash, y.ehash)) AS INT) AS hamming
+        |  FROM bkt x JOIN bkt y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= 2
+        |  UNION
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(bit_count(xor(x.ehash, y.ehash)) AS INT) AS hamming
+        |  FROM bkt x JOIN bkt y ON x.b2 = y.b2 AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= 2
+        |) u ORDER BY a, b""".stripMargin,
 
     "p01_hash_sample" ->
       s"""WITH $HexBucketCte

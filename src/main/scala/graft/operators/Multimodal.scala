@@ -1005,4 +1005,272 @@ object Multimodal {
         substring(md5($"text".cast("binary")), 1, 4).as("shard_key"))
       .orderBy($"doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // Real PCM sample decode — the audio twin of decodeRasterPixels:
+  // the WAV header already parses for real (parseWavHeader); this
+  // slice decodes the `data` chunk's integer PCM samples themselves,
+  // so audio features (peak / energy / zero crossings) operate on
+  // actual signal values, not payload bytes.
+  // ------------------------------------------------------------------
+
+  /** Decoded PCM payload: `samples` is the interleaved sample stream
+    * (frame-major, channel-minor — the WAV wire order), each value the
+    * signed amplitude: 8-bit WAV is UNSIGNED with a 128 bias (the one
+    * unsigned PCM width in the format), wider widths are signed
+    * little-endian two's complement.
+    */
+  case class PcmAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  /** REAL integer-PCM sample decode (format 1, 8/16-bit — the widths
+    * that cover interchange WAV in practice; float/24-bit fall to
+    * None like every other undecodable payload, never throw).
+    *
+    * Mirrors [[parseWavHeader]]'s chunk-walk semantics exactly — same
+    * Long walk index, same lying-fmt rejection, same odd-size padding
+    * — but additionally records the data chunk's OFFSET so the sample
+    * bytes can be read. A data chunk whose declared size overruns the
+    * payload decodes the frames actually present (header-only slices
+    * are legitimate inputs, the parseWavHeader convention).
+    */
+  def decodePcmSamples(c: Array[Byte]): Option[PcmAudio] = {
+    def leU16(off: Int): Int = (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8)
+    def leU32(off: Int): Long =
+      (c(off) & 0xffL) | ((c(off + 1) & 0xffL) << 8) |
+        ((c(off + 2) & 0xffL) << 16) | ((c(off + 3) & 0xffL) << 24)
+    def tag(off: Int, s: String): Boolean =
+      c(off) == s.charAt(0).toByte && c(off + 1) == s.charAt(1).toByte &&
+        c(off + 2) == s.charAt(2).toByte && c(off + 3) == s.charAt(3).toByte
+    if (c.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12L
+    var fmt: Option[(Int, Int, Int)] = None // (ch, rate, bits)
+    var blockAlign = 0
+    var dataOff = -1
+    var dataSize = -1L
+    while (i + 8 <= c.length && (fmt.isEmpty || dataOff < 0)) {
+      val off = i.toInt
+      val size = leU32(off + 4)
+      val body = off + 8
+      if (tag(off, "fmt ") && size >= 16 && body + 16 <= c.length) {
+        val audioFmt = leU16(body)
+        val ch = leU16(body + 2)
+        val rate = leU32(body + 4)
+        blockAlign = leU16(body + 12)
+        val bits = leU16(body + 14)
+        if (audioFmt == 1 && ch >= 1 && ch <= 64 &&
+            rate >= 1 && rate <= (1 << 20) && (bits == 8 || bits == 16) &&
+            blockAlign == ch * (bits / 8))
+          fmt = Some((ch, rate.toInt, bits))
+        else return None // integer-PCM decode only; a lying fmt stays malformed
+      } else if (tag(off, "data")) {
+        dataOff = body
+        dataSize = size
+      }
+      i = body.toLong + size + (size % 2)
+    }
+    for ((ch, rate, bits) <- fmt; if dataOff >= 0) yield {
+      val bytesPer = bits / 8
+      val avail = math.min(dataSize, (c.length - dataOff).toLong)
+      val nFrames = (avail / blockAlign).toInt // whole frames only
+      val n = nFrames * ch
+      val out = new Array[Int](n)
+      var j = 0
+      while (j < n) {
+        val o = dataOff + j * bytesPer
+        out(j) =
+          if (bits == 8) (c(o) & 0xff) - 128 // 8-bit PCM is unsigned+bias
+          else ((c(o) & 0xff) | (c(o + 1) << 8)).toShort.toInt // LE sign-extend
+        j += 1
+      }
+      PcmAudio(rate, ch, bits, out)
+    }
+  }
+
+  /** Minimal canonical PCM WAV encoder (16-bit mono LE): the payload
+    * builder for gate queries and specs that need a REAL binary WAV
+    * round-tripped through [[decodePcmSamples]]. Samples are truncated
+    * to their low 16 bits — callers pass in-range amplitudes.
+    */
+  def buildPcm16Wav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putTag(off: Int, s: String): Unit =
+      (0 until 4).foreach(k => out(off + k) = s.charAt(k).toByte)
+    def putLe32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(k => out(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); putLe32(4, 36L + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16L)
+    putLe16(20, 1); putLe16(22, 1) // PCM, mono
+    putLe32(24, sampleRate.toLong); putLe32(28, sampleRate.toLong * 2)
+    putLe16(32, 2); putLe16(34, 16) // block align, bits
+    putTag(36, "data"); putLe32(40, dataSize.toLong)
+    var j = 0
+    while (j < samples.length) {
+      putLe16(44 + j * 2, samples(j) & 0xffff)
+      j += 1
+    }
+    out
+  }
+
+  /** Per-media signal features over REAL decoded samples: exact
+    * integer disciplines throughout — peak = max |s|, sum_abs = Σ|s|
+    * (the integer "energy" stand-in: squaring needs no wider type but
+    * sum-of-squares overflows BIGINT sooner; |s| keeps the headroom),
+    * zero_crossings counts sign transitions with 0 counted
+    * non-negative, and the rolling checksum runs over the BIASED
+    * sample u = s + 32768 (always non-negative, so the modular
+    * arithmetic never sees a negative operand — engine-independent).
+    * Stub fallback carries -1 sentinels and the raw byte checksum.
+    */
+  case class PcmFeatures(media_id: Long, format: String, sample_rate: Int,
+      channels: Int, bits_per_sample: Int, n_samples: Long, peak: Int,
+      sum_abs: Long, zero_crossings: Int, sample_checksum: Long)
+
+  def pcmFeatures(rows: Dataset[MediaRow]): Dataset[PcmFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        decodePcmSamples(r.content) match {
+          case Some(a) =>
+            var peak = 0
+            var sumAbs = 0L
+            var zc = 0
+            var ck = 0L
+            var j = 0
+            while (j < a.samples.length) {
+              val s = a.samples(j)
+              val as = math.abs(s)
+              if (as > peak) peak = as
+              sumAbs += as
+              if (j > 0 && (a.samples(j - 1) < 0) != (s < 0)) zc += 1
+              ck = (ck * 31 + (s + 32768)) % 1000000007L
+              j += 1
+            }
+            PcmFeatures(r.media_id, "wav", a.sampleRate, a.channels,
+              a.bitsPerSample, a.samples.length.toLong, peak, sumAbs, zc, ck)
+          case None =>
+            PcmFeatures(r.media_id, "stub", -1, -1, -1, -1L, -1, -1L, -1,
+              byteChecksum(r.content))
+        }
+      }
+    }
+  }
+
+  /** Deterministic 16-bit mono WAV per document: sample j is
+    * `(byte_j − 96) · 128` over the first 64 text bytes — centered in
+    * the printable-ASCII range so REAL sign variation reaches the
+    * decoder (codes below '`' go negative and round-trip through
+    * two's-complement bytes), and scaled so any single-byte value
+    * 0..255 stays within 16-bit range. The oracle recomputes every
+    * sample with ord() arithmetic, never seeing a binary payload
+    * (the m05 bridge pattern).
+    */
+  private def docWavRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val bytes = px.getBytes("ISO-8859-1")
+        val samples = Array.tabulate(64)(j => ((bytes(j) & 0xff) - 96) * 128)
+        MediaRow(id, "audio", buildPcm16Wav(samples, 8000))
+      }
+  }
+
+  /** m07 gate entry: [[decodePcmSamples]] + [[pcmFeatures]] over real
+    * binary WAVs, cross-engine — hash-green proves the RIFF chunk
+    * walk, the data-chunk offset arithmetic, little-endian 16-bit
+    * SIGN EXTENSION (negative samples round-trip through high-bit
+    * bytes), and every feature definition (peak/sum_abs/zero-crossing
+    * convention/biased rolling checksum) byte-agree with an engine
+    * that computes the signal from first principles.
+    */
+  def pcmGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pcmFeatures(docWavRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"sample_rate", $"channels",
+        $"bits_per_sample", $"n_samples", $"peak", $"sum_abs",
+        $"zero_crossings", $"sample_checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** 15-bit frame-energy-gradient audio fingerprint over REAL decoded
+    * samples — the audio analog of the image dHash (a toy of the
+    * energy-band approach real audio fingerprinting uses): the sample
+    * stream splits into 16 equal frames, each frame's energy is the
+    * exact integer Σ|s|, and bit f (f = 0..14) is set iff
+    * energy(f) < energy(f+1). Gradients survive amplitude scaling
+    * direction-for-direction, which is what makes the hash perceptual
+    * rather than exact. Pure integer arithmetic end to end.
+    *
+    * Payloads that don't decode (or decode to fewer than 16 samples)
+    * are dropped — a fingerprint of nothing has no meaning.
+    */
+  def audioFingerprints(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePcmSamples(r.content).flatMap { a =>
+          val frameLen = a.samples.length / 16
+          if (frameLen == 0) None
+          else {
+            val e = Array.tabulate(16) { f =>
+              var sum = 0L
+              var j = f * frameLen
+              val end = j + frameLen
+              while (j < end) { sum += math.abs(a.samples(j).toLong); j += 1 }
+              sum
+            }
+            var h = 0
+            var f = 0
+            while (f < 15) { if (e(f) < e(f + 1)) h |= 1 << f; f += 1 }
+            Some((r.media_id, h))
+          }
+        }
+      }
+    }.toDF("doc_id", "ehash")
+  }
+
+  /** m08 gate entry: every gradient bit of every document's
+    * fingerprint, cross-engine — the oracle recomputes the 16 frame
+    * energies with ord() arithmetic and assembles the same 15 bits as
+    * SQL bit arithmetic. Hash-green pins the fingerprint definition
+    * (frame slicing, integer energies, strict-< gradient convention)
+    * engine-independently.
+    */
+  def audioFingerprintGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioFingerprints(docWavRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
+  /** m09: audio content near-dup via the d04 banded-hamming discipline
+    * on [[audioFingerprints]] — THREE 5-bit bands over the 15-bit hash
+    * (hamming ≤ 2 with 3 bands: pigeonhole leaves at least one band
+    * intact, so one equi-join per band — here one join over the
+    * exploded (band, bucket) key — recalls every qualifying pair
+    * EXACTLY; no all-pairs scan anywhere), exact popcount filter on
+    * the candidates, hot buckets capped via the shared
+    * [[Dedup.cappedSelfJoinPairs]] skeleton (a bucket holding more
+    * media than the cap is the audio analog of a black-frame
+    * stopword).
+    */
+  def audioNearDup(spark: SparkSession, sfDir: String,
+      maxBucket: Long = Dedup.MaxHammingBucket): DataFrame = {
+    import spark.implicits._
+    val fp = audioFingerprints(docWavRows(spark, sfDir))
+    val banded = fp.select($"doc_id", $"ehash",
+      posexplode(array($"ehash" % 32, ($"ehash" / 32).cast("int") % 32,
+        ($"ehash" / 1024).cast("int") % 32)).as(Seq("band", "bucket")))
+    Dedup.cappedSelfJoinPairs(banded, Seq("band", "bucket"), maxBucket)
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        expr("bit_count(x.ehash ^ y.ehash)").cast("int").as("hamming"))
+      .filter($"hamming" <= 2)
+      .distinct()
+      .orderBy($"a", $"b")
+  }
 }

@@ -70,6 +70,39 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Metadata-FILTERED ANN (s14) — the vector-DB "filtered search"
+    * operation: top-k cosine restricted to candidates satisfying a
+    * per-query attribute predicate (here: same `label`, the
+    * language/source-restricted-retrieval shape). The filter is pushed
+    * INTO the join condition — candidates with a non-matching label
+    * are never scored, which is the entire point of filtered search
+    * (post-filtering a plain top-k both wastes score work and
+    * under-fills k).
+    *
+    * Scale shape: the query side is broadcast and the label equality
+    * rides the broadcast-hash-join as the build-key — per candidate
+    * row only same-label queries are probed; cost is
+    * |candidates| × (queries per label), not |candidates| × |queries|.
+    * Same ranking discipline as s01: rounded cosine + vec_id tiebreak.
+    */
+  def annFiltered(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        norm2($"embedding").as("q_nrm"), $"label".as("q_label"))
+    val c = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id", $"embedding", norm2($"embedding").as("nrm"), $"label")
+    val scored = c.join(broadcast(q),
+        $"label" === $"q_label" && $"vec_id" =!= $"qid")
+      .select($"qid", $"label", $"vec_id".as("cand"),
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= k)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** IVF-style ANN (the other scale path from SURVEY §2B-extensions):
     * a coarse quantizer partitions the candidate corpus into k cells;
     * each query probes its nProbe nearest cells (default 4 of 8 —

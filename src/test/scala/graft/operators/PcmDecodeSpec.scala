@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.operators.Multimodal.MediaRow
+
+/** Real PCM sample decode (the m07 slice): golden WAV decodes,
+  * little-endian sign extension, the 8-bit bias convention, truncated
+  * and malformed payloads, and the exact feature disciplines
+  * (peak/sum_abs/zero-crossing/biased checksum) that the DuckDB gate
+  * recomputes from first principles.
+  */
+class PcmDecodeSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  // hand-assembled canonical 16-bit mono WAV around the given samples —
+  // independent of buildPcm16Wav so the encoder and decoder can't share
+  // a bug
+  private def handWav16(samples: Seq[Int], rate: Int = 8000,
+      channels: Int = 1, extraJunkChunk: Boolean = false): Array[Byte] = {
+    val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val junk: Seq[Byte] =
+      if (extraJunkChunk) "LIST".getBytes("US-ASCII").toSeq ++
+        Seq[Byte](3, 0, 0, 0) ++ Seq[Byte](9, 9, 9) ++ Seq[Byte](0) // odd size → pad
+      else Seq.empty
+    val blockAlign = channels * 2
+    val fmt = Seq[Byte](1, 0) ++ Seq((channels & 0xff).toByte, 0.toByte) ++
+      Seq((rate & 0xff).toByte, ((rate >> 8) & 0xff).toByte,
+        ((rate >> 16) & 0xff).toByte, ((rate >> 24) & 0xff).toByte) ++
+      Seq(((rate * blockAlign) & 0xff).toByte, (((rate * blockAlign) >> 8) & 0xff).toByte,
+        (((rate * blockAlign) >> 16) & 0xff).toByte, (((rate * blockAlign) >> 24) & 0xff).toByte) ++
+      Seq((blockAlign & 0xff).toByte, 0.toByte) ++ Seq[Byte](16, 0)
+    val body = junk ++
+      "fmt ".getBytes("US-ASCII").toSeq ++ Seq[Byte](16, 0, 0, 0) ++ fmt ++
+      "data".getBytes("US-ASCII").toSeq ++
+      Seq((data.length & 0xff).toByte, ((data.length >> 8) & 0xff).toByte, 0.toByte, 0.toByte) ++
+      data
+    val riffSize = 4 + body.length
+    ("RIFF".getBytes("US-ASCII").toSeq ++
+      Seq((riffSize & 0xff).toByte, ((riffSize >> 8) & 0xff).toByte, 0.toByte, 0.toByte) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++ body).toArray
+  }
+
+  test("golden 16-bit decode: samples, rate, channels recovered exactly") {
+    val samples = Seq(0, 1, -1, 300, -300, 32767, -32768, 12345)
+    val a = Multimodal.decodePcmSamples(handWav16(samples, rate = 44100)).get
+    a.sampleRate shouldBe 44100
+    a.channels shouldBe 1
+    a.bitsPerSample shouldBe 16
+    a.samples.toSeq shouldBe samples
+  }
+
+  test("LE sign extension: high-bit second byte decodes negative") {
+    // bytes 00 80 = -32768; FF 7F = 32767; FF FF = -1
+    val c = handWav16(Seq(0)) // template, then patch the data bytes
+    val off = c.length - 2
+    c(off) = 0x00.toByte; c(off + 1) = 0x80.toByte
+    Multimodal.decodePcmSamples(c).get.samples.toSeq shouldBe Seq(-32768)
+    c(off) = 0xff.toByte; c(off + 1) = 0x7f.toByte
+    Multimodal.decodePcmSamples(c).get.samples.toSeq shouldBe Seq(32767)
+    c(off) = 0xff.toByte; c(off + 1) = 0xff.toByte
+    Multimodal.decodePcmSamples(c).get.samples.toSeq shouldBe Seq(-1)
+  }
+
+  test("buildPcm16Wav round-trips through the decoder bit-exactly") {
+    val samples = Array(-32768, -4097, -96, 0, 127, 8191, 32767)
+    val a = Multimodal.decodePcmSamples(
+      Multimodal.buildPcm16Wav(samples, 8000)).get
+    a.sampleRate shouldBe 8000
+    a.samples.toSeq shouldBe samples.toSeq
+    // and the hand encoder agrees byte-for-byte with buildPcm16Wav
+    Multimodal.buildPcm16Wav(samples, 8000).toSeq shouldBe
+      handWav16(samples.toSeq).toSeq
+  }
+
+  test("8-bit PCM is unsigned with a 128 bias") {
+    // patch a hand WAV to 8-bit: blockAlign 1, bits 8, data = raw bytes
+    val data = Seq(0, 1, 127, 128, 200, 255)
+    val fmt = Seq[Byte](1, 0, 1, 0, 0x40, 0x1f, 0, 0, 0x40, 0x1f, 0, 0, 1, 0, 8, 0)
+    val body = "fmt ".getBytes("US-ASCII").toSeq ++ Seq[Byte](16, 0, 0, 0) ++ fmt ++
+      "data".getBytes("US-ASCII").toSeq ++
+      Seq((data.length & 0xff).toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      data.map(_.toByte)
+    val riffSize = 4 + body.length
+    val c = ("RIFF".getBytes("US-ASCII").toSeq ++
+      Seq((riffSize & 0xff).toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++ body).toArray
+    val a = Multimodal.decodePcmSamples(c).get
+    a.bitsPerSample shouldBe 8
+    a.samples.toSeq shouldBe data.map(_ - 128)
+  }
+
+  test("stereo interleave preserves wire order") {
+    val samples = Seq(10, -10, 20, -20, 30, -30) // L R L R L R
+    val a = Multimodal.decodePcmSamples(handWav16(samples, channels = 2)).get
+    a.channels shouldBe 2
+    a.samples.toSeq shouldBe samples
+  }
+
+  test("odd-size junk chunk pads to even; fmt/data still found") {
+    val samples = Seq(5, -6, 7)
+    val a = Multimodal.decodePcmSamples(
+      handWav16(samples, extraJunkChunk = true)).get
+    a.samples.toSeq shouldBe samples
+  }
+
+  test("data chunk declaring more than present decodes whole frames only") {
+    val c = handWav16(Seq(11, -12, 13, -14))
+    // inflate the declared data size beyond the payload, drop one byte:
+    // 4 declared frames, 3.5 present → 3 whole frames decode
+    val dataSizeOff = c.length - 8 - 4
+    c(dataSizeOff) = 100.toByte
+    val truncated = c.dropRight(1)
+    Multimodal.decodePcmSamples(truncated).get.samples.toSeq shouldBe Seq(11, -12, 13)
+  }
+
+  test("float/24-bit/lying-fmt payloads fall to None, never throw") {
+    val good = handWav16(Seq(1, 2))
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    // fmt code 3 (IEEE float) — header parses for parseWavHeader but is
+    // not integer PCM
+    Multimodal.decodePcmSamples(patched(c => c(20) = 3)) shouldBe None
+    // 24-bit (bits = 24, blockAlign = 3)
+    Multimodal.decodePcmSamples(patched { c => c(34) = 24; c(32) = 3 }) shouldBe None
+    // truncated header, empty, RIFF-but-not-WAVE, junk size near 2^31
+    Multimodal.decodePcmSamples(Array.emptyByteArray) shouldBe None
+    Multimodal.decodePcmSamples(good.take(30)) shouldBe None
+    Multimodal.decodePcmSamples(patched(c => c(8) = 'X'.toByte)) shouldBe None
+    noException should be thrownBy
+      Multimodal.decodePcmSamples(patched { c => c(16) = -1; c(17) = -1; c(18) = -1; c(19) = 0x7f })
+  }
+
+  test("pcmFeatures: exact peak/sum_abs/zero-crossing/checksum disciplines") {
+    import spark.implicits._
+    val samples = Seq(100, -200, 0, -5, 300) // crossings at 1→2 (+→−), 2→3 (−→0 counts non-negative... see below), 3→4 (0 is non-negative → −5 crosses), 4→5
+    val rows = Seq(
+      MediaRow(1, "audio", Multimodal.buildPcm16Wav(samples.toArray, 8000)),
+      MediaRow(2, "audio", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.pcmFeatures(rows).collect().sortBy(_.media_id)
+    val f = out(0)
+    f.format shouldBe "wav"
+    f.n_samples shouldBe 5L
+    f.peak shouldBe 300
+    f.sum_abs shouldBe (100 + 200 + 0 + 5 + 300).toLong
+    // sign sequence (s<0): F T F T F → transitions at every step = 4
+    f.zero_crossings shouldBe 4
+    val expectCk = samples.foldLeft(0L)((acc, s) => (acc * 31 + (s + 32768)) % 1000000007L)
+    f.sample_checksum shouldBe expectCk
+    // undecodable → stub sentinels + raw byte checksum
+    out(1).format shouldBe "stub"
+    out(1).n_samples shouldBe -1L
+    out(1).peak shouldBe -1
+  }
+
+  test("audioFingerprints analytic goldens: constant → 0, increasing ramp → all bits") {
+    import spark.implicits._
+    val const = Array.fill(64)(100)
+    val ramp = Array.tabulate(64)(j => j + 1) // frame energies strictly increase
+    val rows = Seq(
+      MediaRow(1, "audio", Multimodal.buildPcm16Wav(const, 8000)),
+      MediaRow(2, "audio", Multimodal.buildPcm16Wav(ramp, 8000)),
+      MediaRow(3, "audio", Array[Byte](1, 2, 3)) // undecodable → dropped
+    ).toDS()
+    val fp = Multimodal.audioFingerprints(rows).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fp(1L) shouldBe 0 // equal energies: strict < never fires
+    fp(2L) shouldBe 32767 // every gradient ascends: all 15 bits
+    fp.contains(3L) shouldBe false
+  }
+
+  test("audioFingerprints are amplitude-scale invariant (gradient hash)") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(j => (j % 13) - 6)
+    val scaled = base.map(_ * 3)
+    val rows = Seq(
+      MediaRow(1, "audio", Multimodal.buildPcm16Wav(base, 8000)),
+      MediaRow(2, "audio", Multimodal.buildPcm16Wav(scaled, 8000))).toDS()
+    val fp = Multimodal.audioFingerprints(rows).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fp(1L) shouldBe fp(2L)
+  }
+
+  test("audioNearDup equals the exhaustive hamming<=2 pair set (banding is exact)") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Multimodal.audioNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fp = Multimodal.audioFingerprintGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val expected = (for {
+      (a, ha) <- fp; (b, hb) <- fp
+      if a < b && Integer.bitCount(ha ^ hb) <= 2
+    } yield (a, b, Integer.bitCount(ha ^ hb))).toSet
+    pairs shouldBe expected
+    pairs should not be empty // planted exact dups collide at hamming 0
+  }
+
+  test("m07 gate query matches a driver-side recompute on real corpus rows") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Multimodal.pcmGate(spark, sf).collect()
+    out.length should be > 0
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 64)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val px = texts(id).substring(0, 64).map(_.toInt)
+      val s = px.map(c => (c - 96) * 128)
+      r.getInt(1) shouldBe 8000
+      r.getInt(2) shouldBe 1
+      r.getInt(3) shouldBe 16
+      r.getLong(4) shouldBe 64L
+      r.getInt(5) shouldBe s.map(math.abs).max
+      r.getLong(6) shouldBe s.map(v => math.abs(v).toLong).sum
+      r.getInt(7) shouldBe s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      r.getLong(8) shouldBe s.foldLeft(0L)((acc, v) => (acc * 31 + (v + 32768)) % 1000000007L)
+    }
+  }
+}

@@ -209,6 +209,47 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("annFiltered: label invariant, contiguous ranks, equals the interpreted-fold reference") {
+    val rows = Similarity.annFiltered(spark, sf).collect()
+    rows should not be empty
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every result candidate shares its query's label (the filter is
+    // part of the search, not a post-filter), and the reported label
+    // column IS the query's label
+    rows.foreach { r =>
+      val (qid, lab, cand) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      lab shouldBe labels(qid)
+      labels(cand) shouldBe labels(qid)
+    }
+    // ranks are contiguous from 1 per query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getInt(4)).sorted.toSeq shouldBe (1 to g.length)
+    }
+    // full recompute via the interpreted fold reference (independent of
+    // the codegen'd dot/norm expressions): same pairs, cosines, ranks
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        Similarity.norm2Fold(col("embedding")).as("q_nrm"), col("label").as("q_label"))
+    val c = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm2Fold(col("embedding")).as("nrm"), col("label"))
+    val ref = c.crossJoin(q)
+      .filter(col("label") === col("q_label") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(Similarity.dotFold(col("q_emb"), col("embedding")) /
+          sqrt(col("q_nrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand"))).cast("int"))
+      .filter(col("rnk") <= 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet shouldBe ref
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
