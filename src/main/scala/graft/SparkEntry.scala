@@ -2435,7 +2435,7 @@ object SparkEntry {
         |e AS (SELECT doc_id, idx // 4 AS f, sum(abs(s)) AS en
         |      FROM v GROUP BY 1, 2),
         |fp AS (SELECT a.doc_id,
-        |    CAST(sum(CASE WHEN a.en < b.en THEN (1 << a.f) ELSE 0 END) AS INT) AS ehash
+        |    CAST(sum(CASE WHEN a.en < b.en THEN (1 << a.f) ELSE 0 END) AS BIGINT) AS ehash
         |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
         |  GROUP BY a.doc_id)
         |SELECT doc_id, ehash FROM fp ORDER BY doc_id""".stripMargin,
@@ -2452,7 +2452,7 @@ object SparkEntry {
         |e AS (SELECT doc_id, idx // 4 AS f, sum(abs(s)) AS en
         |      FROM v GROUP BY 1, 2),
         |fp AS (SELECT a.doc_id,
-        |    CAST(sum(CASE WHEN a.en < b.en THEN (1 << a.f) ELSE 0 END) AS INT) AS ehash
+        |    CAST(sum(CASE WHEN a.en < b.en THEN (1 << a.f) ELSE 0 END) AS BIGINT) AS ehash
         |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
         |  GROUP BY a.doc_id),
         |bkt AS (SELECT doc_id, ehash, ehash % 32 AS b0,

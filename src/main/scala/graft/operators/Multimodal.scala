@@ -1211,24 +1211,26 @@ object Multimodal {
     * Payloads that don't decode (or decode to fewer than 16 samples)
     * are dropped — a fingerprint of nothing has no meaning.
     */
-  def audioFingerprints(rows: Dataset[MediaRow]): DataFrame = {
+  def audioFingerprints(rows: Dataset[MediaRow], frames: Int = 16): DataFrame = {
+    require(frames >= 2 && frames <= 64,
+      s"frames must be in [2, 64] (frames-1 gradient bits in a Long); got $frames")
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.flatMap { r =>
         decodePcmSamples(r.content).flatMap { a =>
-          val frameLen = a.samples.length / 16
+          val frameLen = a.samples.length / frames
           if (frameLen == 0) None
           else {
-            val e = Array.tabulate(16) { f =>
+            val e = Array.tabulate(frames) { f =>
               var sum = 0L
               var j = f * frameLen
               val end = j + frameLen
               while (j < end) { sum += math.abs(a.samples(j).toLong); j += 1 }
               sum
             }
-            var h = 0
+            var h = 0L
             var f = 0
-            while (f < 15) { if (e(f) < e(f + 1)) h |= 1 << f; f += 1 }
+            while (f < frames - 1) { if (e(f) < e(f + 1)) h |= 1L << f; f += 1 }
             Some((r.media_id, h))
           }
         }
@@ -1249,23 +1251,29 @@ object Multimodal {
   }
 
   /** m09: audio content near-dup via the d04 banded-hamming discipline
-    * on [[audioFingerprints]] — THREE 5-bit bands over the 15-bit hash
-    * (hamming ≤ 2 with 3 bands: pigeonhole leaves at least one band
-    * intact, so one equi-join per band — here one join over the
-    * exploded (band, bucket) key — recalls every qualifying pair
-    * EXACTLY; no all-pairs scan anywhere), exact popcount filter on
-    * the candidates, hot buckets capped via the shared
+    * on [[audioFingerprints]] — THREE equal-width bands over the
+    * frames−1 gradient bits (hamming ≤ 2 with 3 bands: pigeonhole
+    * leaves at least one band intact, so one join over the exploded
+    * (band, bucket) key recalls every qualifying pair EXACTLY; no
+    * all-pairs scan anywhere), exact popcount filter on the
+    * candidates, hot buckets capped via the shared
     * [[Dedup.cappedSelfJoinPairs]] skeleton (a bucket holding more
     * media than the cap is the audio analog of a black-frame
-    * stopword).
+    * stopword). At the 16-frame default the band space is 32 values —
+    * a PRODUCTION corpus widens `frames` first (the band width grows
+    * with it) so buckets stay selective before the cap has to bite.
     */
   def audioNearDup(spark: SparkSession, sfDir: String,
+      frames: Int = 16,
       maxBucket: Long = Dedup.MaxHammingBucket): DataFrame = {
     import spark.implicits._
-    val fp = audioFingerprints(docWavRows(spark, sfDir))
+    val fp = audioFingerprints(docWavRows(spark, sfDir), frames)
+    val w = (frames - 1 + 2) / 3 // band width: ceil(bits / 3)
     val banded = fp.select($"doc_id", $"ehash",
-      posexplode(array($"ehash" % 32, ($"ehash" / 32).cast("int") % 32,
-        ($"ehash" / 1024).cast("int") % 32)).as(Seq("band", "bucket")))
+      posexplode(array(
+        $"ehash".bitwiseAND(lit((1L << w) - 1)),
+        shiftright($"ehash", w).bitwiseAND(lit((1L << w) - 1)),
+        shiftright($"ehash", 2 * w))).as(Seq("band", "bucket")))
     Dedup.cappedSelfJoinPairs(banded, Seq("band", "bucket"), maxBucket)
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
         expr("bit_count(x.ehash ^ y.ehash)").cast("int").as("hamming"))

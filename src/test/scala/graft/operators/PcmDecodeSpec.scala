@@ -165,10 +165,18 @@ class PcmDecodeSpec extends AnyFunSuite with Matchers with SparkSpec {
       MediaRow(3, "audio", Array[Byte](1, 2, 3)) // undecodable → dropped
     ).toDS()
     val fp = Multimodal.audioFingerprints(rows).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    fp(1L) shouldBe 0 // equal energies: strict < never fires
-    fp(2L) shouldBe 32767 // every gradient ascends: all 15 bits
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fp(1L) shouldBe 0L // equal energies: strict < never fires
+    fp(2L) shouldBe 32767L // every gradient ascends: all 15 bits
     fp.contains(3L) shouldBe false
+    // width is a real knob: 64 samples at frames=32 -> 31 ascending
+    // gradient bits; at frames=8 -> 7 bits
+    val wide = Multimodal.audioFingerprints(rows, frames = 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    wide(2L) shouldBe (1L << 31) - 1
+    val narrow = Multimodal.audioFingerprints(rows, frames = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    narrow(2L) shouldBe 127L
   }
 
   test("audioFingerprints are amplitude-scale invariant (gradient hash)") {
@@ -179,7 +187,7 @@ class PcmDecodeSpec extends AnyFunSuite with Matchers with SparkSpec {
       MediaRow(1, "audio", Multimodal.buildPcm16Wav(base, 8000)),
       MediaRow(2, "audio", Multimodal.buildPcm16Wav(scaled, 8000))).toDS()
     val fp = Multimodal.audioFingerprints(rows).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     fp(1L) shouldBe fp(2L)
   }
 
@@ -188,11 +196,11 @@ class PcmDecodeSpec extends AnyFunSuite with Matchers with SparkSpec {
     val pairs = Multimodal.audioNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val fp = Multimodal.audioFingerprintGate(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
+      .map(r => (r.getLong(0), r.getLong(1)))
     val expected = (for {
       (a, ha) <- fp; (b, hb) <- fp
-      if a < b && Integer.bitCount(ha ^ hb) <= 2
-    } yield (a, b, Integer.bitCount(ha ^ hb))).toSet
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
     pairs shouldBe expected
     pairs should not be empty // planted exact dups collide at hamming 0
   }
