@@ -94,6 +94,7 @@ object SparkEntry {
     "s12_embed_outliers" -> ((s: SparkSession, d: String) => Similarity.embedOutliers(s, d)),
     "s13_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "s14_ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
+    "s15_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -122,6 +123,7 @@ object SparkEntry {
     // recomputes the gated counts per doc
     "t21_learned_bpe" -> ((s: SparkSession, d: String) => Bpe.tokenStats(s, d)),
     "t22_bpe_merges" -> ((s: SparkSession, d: String) => Bpe.learnedMerges(s, d)),
+    "t23_perplexity_bucket" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBucket(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -160,6 +162,7 @@ object SparkEntry {
     "m07_audio_gate" -> (Multimodal.pcmGate _),
     "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
+    "m10_resize_gate" -> (Multimodal.resizeGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -1593,6 +1596,85 @@ object SparkEntry {
          |SELECT qid, cand, adcq, cos, rnk FROM fin WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
 
+    // s15: IVF+PQ combined — ivfCtes trains the coarse quantizer
+    // (cells + query probes against the final c2), pqLloydCtes trains
+    // the subspace codebooks over the SAME candidate set, and the ADC
+    // aggregate runs ONLY over candidates whose cell the query probed
+    // (the one semantic difference from s10's adc); shortlist + exact
+    // re-rank exactly as s10. qsp = the query sub-points (the name qp
+    // is ivfCtes' query grid points here).
+    "s15_ann_ivfpq" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |${ivfCtes(8, 2)},
+         |dc AS (
+         |  SELECT cp.vec_id, c.cluster,
+         |    CAST(sum((cp.xq - c.cq) * (cp.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM cp JOIN c2 c ON cp.pos = c.pos GROUP BY 1, 2
+         |),
+         |cells AS (
+         |  SELECT vec_id, cluster AS cell FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM dc) r WHERE rn = 1
+         |),
+         |dq AS (
+         |  SELECT qp.vec_id, c.cluster,
+         |    CAST(sum((qp.xq - c.cq) * (qp.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM qp JOIN c2 c ON qp.pos = c.pos GROUP BY 1, 2
+         |),
+         |probes AS (
+         |  SELECT vec_id AS qid, cluster AS cell FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM dq) r WHERE rn <= 4
+         |),
+         |c AS (SELECT vec_id, CAST((pos - 1) // 16 AS INT) AS sub, pos, xq FROM cp),
+         |${pqLloydCtes(8, 2)},
+         |enc AS (
+         |  SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2q, code) AS rn
+         |  FROM (SELECT c.vec_id, c.sub, cb.code,
+         |          CAST(sum((c.xq - cb.cq) * (c.xq - cb.cq)) AS BIGINT) AS dist2q
+         |        FROM c JOIN cb2 cb ON c.sub = cb.sub AND c.pos = cb.pos
+         |        GROUP BY 1, 2, 3) d),
+         |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+         |qsp AS (SELECT vec_id AS qid, CAST((pos - 1) // 16 AS INT) AS sub, pos, xq
+         |        FROM qp),
+         |lut AS (SELECT qid, cb.sub, cb.code, CAST(sum(qsp.xq * cb.cq) AS BIGINT) AS lutq
+         |        FROM qsp JOIN cb2 cb ON qsp.sub = cb.sub AND qsp.pos = cb.pos
+         |        GROUP BY 1, 2, 3),
+         |adc AS (SELECT p.qid, codes.vec_id, CAST(sum(lutq) AS BIGINT) AS adcq
+         |        FROM codes
+         |        JOIN cells cl ON codes.vec_id = cl.vec_id
+         |        JOIN probes p ON p.cell = cl.cell
+         |        JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+         |          AND lut.qid = p.qid
+         |        WHERE codes.vec_id <> p.qid
+         |        GROUP BY 1, 2),
+         |short AS (SELECT qid, vec_id, adcq,
+         |            row_number() OVER (PARTITION BY qid ORDER BY adcq DESC, vec_id) AS srn
+         |          FROM adc),
+         |n AS (SELECT vec_id, list_reduce(
+         |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+         |        (x, y) -> x + y) AS nrm
+         |      FROM embeddings),
+         |rer AS (
+         |  SELECT s.qid, s.vec_id AS cand, s.adcq,
+         |    round(list_reduce(list_transform(list_zip(eq.embedding, ec.embedding),
+         |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)
+         |      / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM short s
+         |  JOIN embeddings eq ON eq.vec_id = s.qid
+         |  JOIN embeddings ec ON ec.vec_id = s.vec_id
+         |  JOIN n nq ON nq.vec_id = s.qid
+         |  JOIN n nc ON nc.vec_id = s.vec_id
+         |  WHERE s.srn <= 16),
+         |fin AS (SELECT qid, cand, adcq, cos,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |        FROM rer)
+         |SELECT qid, cand, adcq, cos, rnk FROM fin WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
     // s11: full-corpus Lloyd — seed = first k vectors, 2 exact
     // integer-grid rounds, final assignment with its distance
     "s11_corpus_clusters" ->
@@ -1947,6 +2029,51 @@ object SparkEntry {
     // DuckDB; hash-green proves the distributed learner's fixed point
     // merge-for-merge (upgrading t21's spec-only signal to an oracle).
     "t22_bpe_merges" -> bpeSql(20),
+
+    // t23: the CCNet cross-corpus quality split — an add-one bigram LM
+    // trained on the even-doc_id reference slice scores EVERY document
+    // (left joins + coalesce: unseen bigrams (0+1)/(c1+V), unseen left
+    // unigrams (0+1)/(0+V)); docs rank by (avg_qp DESC, doc_id) and cut
+    // into 3 equal-width rank quantiles, bucket = (rank-1)*3 DIV total
+    // + 1 (deliberately NOT SQL ntile's remainder convention — one
+    // integer expression both engines evaluate identically); keep
+    // drops the tail bucket.
+    "t23_perplexity_bucket" ->
+      s"""WITH ${tkCte("")},
+         |ref AS (SELECT doc_id, tk FROM tk WHERE doc_id % 2 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |        FROM (SELECT unnest(tk) AS w1 FROM ref) u GROUP BY w1),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bgr AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM (
+         |    SELECT list_extract(tk, i) || ' ' || list_extract(tk, i+1) AS bg
+         |    FROM (SELECT tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i
+         |          FROM ref) t) b
+         |  GROUP BY bg),
+         |bg AS (
+         |  SELECT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) AS bg
+         |  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i
+         |        FROM tk) t),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(round(CAST(coalesce(bgr.c2, 0) + 1 AS DOUBLE)
+         |      / (coalesce(uni.c1, 0) + vv.v) * 1e9, 0) AS BIGINT) AS qp
+         |  FROM bg LEFT JOIN bgr USING (bg)
+         |  LEFT JOIN uni ON split_part(bg.bg, ' ', 1) = uni.w1
+         |  CROSS JOIN vv),
+         |d AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(round(sum(qp) / count(*), 0) AS BIGINT) AS avg_qp
+         |  FROM sc GROUP BY doc_id),
+         |r AS (
+         |  SELECT doc_id, n_bigrams, avg_qp,
+         |    row_number() OVER (ORDER BY avg_qp DESC, doc_id) AS rn,
+         |    count(*) OVER () AS total
+         |  FROM d)
+         |SELECT doc_id, n_bigrams, avg_qp,
+         |  CAST((rn - 1) * 3 // total + 1 AS INT) AS bucket,
+         |  (rn - 1) * 3 // total + 1 < 3 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic
@@ -2473,6 +2600,28 @@ object SparkEntry {
         |  FROM bkt x JOIN bkt y ON x.b2 = y.b2 AND x.doc_id < y.doc_id
         |  WHERE bit_count(xor(x.ehash, y.ehash)) <= 2
         |) u ORDER BY a, b""".stripMargin,
+
+    // m10: REAL nearest-neighbor resize under the gate — the Spark
+    // side decodes each document's 8x8 PGM and resizes DOWN to 4x4
+    // (decimation: output (y,x) samples source (2y,2x)) and UP to
+    // 16x16 (replication: output (y,x) samples source (y//2,x//2)),
+    // checksumming each resized array; the oracle replays the index
+    // arithmetic with ord() on the text prefix, never touching a
+    // binary payload. Output index i maps row-major: down src =
+    // ((i//4)*2)*8 + (i%4)*2, up src = ((i//16)//2)*8 + (i%16)//2.
+    "m10_resize_gate" ->
+      """SELECT doc_id,
+        |  4 AS down_w, 4 AS down_h,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(0, 16), i ->
+        |      CAST(ord(text[CAST(((i // 4) * 2) * 8 + (i % 4) * 2 + 1 AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS down_checksum,
+        |  16 AS up_w, 16 AS up_h,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(0, 256), i ->
+        |      CAST(ord(text[CAST(((i // 16) // 2) * 8 + (i % 16) // 2 + 1 AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS up_checksum
+        |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
 
     "p01_hash_sample" ->
       s"""WITH $HexBucketCte

@@ -615,6 +615,105 @@ object Multimodal {
       .orderBy($"a", $"b")
   }
 
+  /** REAL nearest-neighbor raster resize over decoded pixels — the
+    * resize pass a multimodal training pipeline runs before feature
+    * extraction, as pure integer arithmetic so the result is
+    * deterministic across JVMs and engines. Sample point for output
+    * (x, y) is (x * srcW / outW, y * srcH / outH) — the SAME canonical
+    * integer nearest-neighbor convention [[perceptualHashes]] uses for
+    * its grid cells, so a resize to the hash grid and the hash's own
+    * sampling agree pixel-for-pixel. Works for both downsampling
+    * (decimation) and upsampling (replication); channels pass through
+    * untouched (RGB stays RGB, grayscale stays grayscale).
+    *
+    * Constant memory per call: one outW*outH*channels buffer — the
+    * decode-side MaxDim guard bounds the source, `require` bounds the
+    * target, so a mapPartitions over media rows stays at one live
+    * buffer per task.
+    */
+  def resizeRaster(img: RasterImage, outW: Int, outH: Int): RasterImage = {
+    require(outW > 0 && outH > 0 && outW <= 16384 && outH <= 16384,
+      s"resize target out of range: ${outW}x$outH")
+    val ch = img.channels
+    val out = new Array[Byte](outW * outH * ch)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * img.width / outW).toInt
+        val so = (sy * img.width + sx) * ch
+        val oo = (y * outW + x) * ch
+        var c = 0
+        while (c < ch) {
+          out(oo + c) = img.pixels(so + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(img.format, outW, outH, ch, out)
+  }
+
+  /** A resized-raster fingerprint row: the canonical-pixel checksum of
+    * the image AFTER [[resizeRaster]] to (out_w, out_h). On decode
+    * fallback `format` is "stub" with -1 sentinels and checksum -1 —
+    * a "resized" checksum of bytes that are not pixels would be noise
+    * presented as signal (the [[PerceptualRow]] convention).
+    */
+  case class ResizedFeatures(media_id: Long, kind: String, format: String,
+      src_w: Int, src_h: Int, out_w: Int, out_h: Int, channels: Int,
+      resized_checksum: Long)
+
+  /** Per-partition decode → resize → fingerprint — [[rasterFeatures]]'
+    * sibling at a fixed target size (the thumbnail/normalization pass
+    * of a real media pipeline). Same iterator-to-iterator shape; the
+    * source and resized buffers live only for the row being mapped.
+    */
+  def resizedFeatures(rows: Dataset[MediaRow], outW: Int,
+      outH: Int): Dataset[ResizedFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        decodeRasterPixels(r.content) match {
+          case Some(img) =>
+            val rz = resizeRaster(img, outW, outH)
+            ResizedFeatures(r.media_id, r.kind, img.format, img.width,
+              img.height, outW, outH, img.channels, byteChecksum(rz.pixels))
+          case None =>
+            ResizedFeatures(r.media_id, r.kind, "stub", -1, -1, outW, outH,
+              -1, -1L)
+        }
+      }
+    }
+  }
+
+  /** m10 gate entry: [[resizeRaster]] cross-engine, both directions —
+    * the 8×8 document PGMs are resized DOWN to 4×4 (decimation: the
+    * nearest-neighbor picks source pixels (2y, 2x)) and UP to 16×16
+    * (replication: source pixel (y/2, x/2) appears four times), and
+    * each resized array's rolling checksum must match an oracle that
+    * replays the index arithmetic with ord() on the text prefix,
+    * never decoding or resizing an actual image. Hash-green proves
+    * the sampling convention, the row-major copy order, and both
+    * scale directions are engine-independent.
+    */
+  def resizeGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = docPgmRows(spark, sfDir)
+    val down = resizedFeatures(rows, 4, 4).toDF()
+      .select($"media_id".as("doc_id"),
+        $"resized_checksum".as("down_checksum"))
+    val up = resizedFeatures(rows, 16, 16).toDF()
+      .select($"media_id".as("doc_id"), $"resized_checksum".as("up_checksum"))
+    down.join(up, "doc_id")
+      .select($"doc_id", lit(4).as("down_w"), lit(4).as("down_h"),
+        $"down_checksum", lit(16).as("up_w"), lit(16).as("up_h"),
+        $"up_checksum")
+      .orderBy($"doc_id")
+  }
+
   /** A parsed audio row: `format` is "wav" when the RIFF/WAVE header
     * parsed for real, "stub" on fallback — and on fallback
     * sample_rate/channels/bits_per_sample/n_frames carry the -1

@@ -729,6 +729,114 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** IVF+PQ combined search — the production billion-vector index
+    * shape (FAISS's IVFPQ, non-residual variant): the [[annIvf]]
+    * coarse quantizer routes each query to its nProbe nearest cells,
+    * and within the probed cells candidates are scored by the
+    * [[annPq]] ADC table lookups instead of full dot products — so the
+    * per-query work is (probed fraction of the corpus) × (m integer
+    * lookups), not corpus × dims multiplies, and the index payload per
+    * vector is one cell id + m codes. Shortlist re-rank is exact
+    * full-dim cosine, the annPq/matryoshka pattern. Same training
+    * discipline as both parents: every quantizer aggregate is an
+    * order-free integer sum on the 1e-6 grid, so cells, codebooks,
+    * codes, probe sets, ADC scores, and the final ranking are all
+    * bit-identical across engines — which is what lets the combined
+    * index carry a full DuckDB hash oracle (s15).
+    *
+    * With nProbe = k (probe everything) this degenerates to exactly
+    * [[annPq]] — the codebooks train on the same candidate set — and
+    * SimilaritySpec pins that equality, so the cell routing is
+    * PROVABLY only a candidate filter, never a scoring change.
+    *
+    * Scale shape: coarse training + cell assignment are the s03
+    * broadcast-Lloyd passes; PQ training + encode are the s10
+    * per-subspace halves; the ADC join routes codes by ONE
+    * vec_id-keyed equi-join to cells, then a broadcast probe join
+    * keeps only probed (qid, cell) pairs BEFORE the LUT lookup — the
+    * unprobed corpus is never scored. LUT/probe/query sides are all
+    * query-cardinality broadcasts.
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String, k: Int = 8,
+      nProbe: Int = 4, m: Int = 4, ksub: Int = 8, dims: Int = 64,
+      shortlist: Int = 16, topK: Int = 3, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val emb = Tables.embeddings(spark, sfDir)
+    // —— coarse quantizer: the s03 machinery verbatim ——
+    // cached: seed slice + every Lloyd half + cell assignment + the
+    // PQ sub-tagging all read the candidate explode
+    val candPts = graft.Caches.track(gridPoints(emb.filter($"vec_id" % 20 === 0)))
+    val seedCent = candPts.filter($"vec_id" < 20L * k)
+      .select(($"vec_id" / 20).cast("int").as("cluster"), $"pos", $"xq".as("cq"))
+    var cent = lloydAverage(candPts, lloydAssign(candPts, seedCent))
+    for (_ <- 2 to iters) cent = lloydAverage(candPts, lloydAssign(candPts, cent))
+    cent = graft.Caches.track(cent)
+    val cells = lloydAssign(candPts, cent)
+      .select($"vec_id", $"cluster".as("cell"))
+    // cached: the query explode feeds the probe ranking AND the LUT
+    val qPts = graft.Caches.track(gridPoints(emb.filter($"vec_id" < 8)))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
+    val probes = qPts
+      .join(broadcast(cent), "pos")
+      .groupBy($"vec_id", $"cluster")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
+      .select($"vec_id".as("qid"), $"cluster".as("cell"))
+    // —— PQ codebooks: the s10 machinery over the SAME candidates ——
+    val sw = dims / m
+    val subPts = graft.Caches.track(
+      candPts.withColumn("sub", (($"pos" - 1) / sw).cast("int")))
+    def assign(cb: DataFrame): DataFrame = {
+      val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist2q", $"code")
+      subPts.join(broadcast(cb), Seq("sub", "pos"))
+        .groupBy($"vec_id", $"sub", $"code")
+        .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+        .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+        .select($"vec_id", $"sub", $"code")
+    }
+    def average(a: DataFrame): DataFrame =
+      subPts.join(a, Seq("vec_id", "sub"))
+        .groupBy($"sub", $"code", $"pos")
+        .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
+    val seed = subPts
+      .select(expr(s"CAST((vec_id DIV 20) % $ksub AS INT)").as("code"),
+        $"sub", $"pos", $"xq")
+      .groupBy($"sub", $"code", $"pos")
+      .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
+    var cb = seed
+    for (_ <- 1 to iters) cb = average(assign(cb))
+    val codebook = graft.Caches.track(cb)
+    val codes = assign(codebook)
+    val lut = qPts.withColumn("sub", (($"pos" - 1) / sw).cast("int"))
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(codebook), Seq("sub", "pos"))
+      .groupBy($"qid", $"sub", $"code")
+      .agg(sum($"xq" * $"cq").as("lutq"))
+    // ADC only inside probed cells: route codes by cell FIRST (one
+    // vec_id equi-join), keep probed (qid, cell) pairs via a broadcast
+    // join, THEN look up the LUT — the unprobed corpus is never scored
+    val routed = codes.join(cells, "vec_id")
+      .join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"qid")
+    val adc = routed.join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"lutq").as("adcq"))
+    val wShort = Window.partitionBy($"qid").orderBy($"adcq".desc, $"vec_id")
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .filter($"srn" <= shortlist)
+    // exact re-rank of the shortlist only
+    val q = withNorm(emb.filter($"vec_id" < 8))
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val rer = short.join(withNorm(emb), "vec_id").join(broadcast(q), "qid")
+      .select($"qid", $"vec_id".as("cand"), $"adcq",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val wFin = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    rer.withColumn("rnk", row_number().over(wFin).cast("int"))
+      .filter($"rnk" <= topK)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Recall@k evaluation of the LSH path against brute-force ground
     * truth — the monitoring query a production retrieval pipeline runs
     * after every index rebuild (the number the s02 sizing contract

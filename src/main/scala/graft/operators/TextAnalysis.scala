@@ -868,4 +868,83 @@ object TextAnalysis {
         round($"sum_qp" / $"n_bigrams", 0).cast("bigint").as("avg_qp"))
       .orderBy($"doc_id")
   }
+
+  /** Reference-LM quality buckets — the CCNet split (Wenzek et al.
+    * 2020): train a language model on a CLEAN reference corpus, score
+    * every candidate document under it, and cut the corpus into
+    * `nBuckets` rank quantiles (head = most reference-like, tail =
+    * least) — the head/middle/tail partition that decides what gets a
+    * full pipeline pass vs. what gets dropped. [[bigramLm]] scores
+    * docs under a model of the WHOLE corpus (self-predictability);
+    * this is the cross-corpus form a curation pipeline actually runs.
+    * The even-doc_id slice stands in for the reference corpus (in
+    * production: a Wikipedia-grade LM), so the model and the scored
+    * set genuinely differ and OOV handling is exercised for real:
+    * unseen bigrams score (0+1)/(c1+V), unseen left-unigrams
+    * (0+1)/(0+V) — add-one smoothing's native answer, via left joins
+    * with coalesce instead of bigramLm's inner joins.
+    *
+    * Same bit-determinism discipline as [[bigramLm]]: per-occurrence
+    * probabilities quantized to integer nano-units BEFORE the sum.
+    * Buckets are equal-width rank quantiles,
+    * bucket = (rank-1)*nBuckets DIV total + 1 (documented: NOT SQL
+    * ntile's remainder-to-early-buckets convention — this formula is
+    * one integer expression both engines evaluate identically), with
+    * rank = (avg_qp DESC, doc_id) — and `keep` drops the tail bucket.
+    *
+    * Scale shape: counts are map-combinable aggregates; the score
+    * joins are keyed on (bigram)/(first word) against one-row-per-key
+    * aggregates; V and `total` are 1-row broadcasts (the t20/t11
+    * corpus-constant shape). The global rank uses the p11 sharded-rank
+    * idiom — range-repartition by the sort key, local rank per range
+    * partition, plus a per-partition-count offsets side whose running
+    * sum is the one bounded single-partition window (<= shuffle
+    * partitions rows, a cluster constant).
+    */
+  def perplexityBucket(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val tk = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+    val ref = tk.filter($"doc_id" % 2 === 0)
+    val uniR = ref.select(explode($"tk").as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocabR = uniR.agg(count(lit(1)).as("v"))
+    val bgR = ref.select(explode(Text.shingles($"tk", 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val bg = tk.select($"doc_id", explode(Text.shingles($"tk", 2)).as("bg"))
+    val scored = bg
+      .join(bgR, Seq("bg"), "left")
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .join(uniR, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabR))
+      .withColumn("qp", round(
+        (coalesce($"c2", lit(0L)) + 1).cast("double") /
+          (coalesce($"c1", lit(0L)) + $"v") * lit(1e9), 0).cast("bigint"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"qp").as("sum_qp"))
+      .select($"doc_id", $"n_bigrams",
+        round($"sum_qp" / $"n_bigrams", 0).cast("bigint").as("avg_qp"))
+    // cached: the offsets aggregate, the total count, and the join left
+    // side all read the local-rank pass
+    val local = graft.Caches.track(scored
+      .repartitionByRange($"avg_qp".desc, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy($"pid").orderBy($"avg_qp".desc, $"doc_id"))))
+    val offs = local.groupBy($"pid").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum($"pc").over(
+        Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"off")
+    val total = local.agg(count(lit(1)).as("total"))
+    local.join(broadcast(offs), "pid")
+      .crossJoin(broadcast(total))
+      .withColumn("bucket",
+        expr(s"CAST((off + lrn - 1) * $nBuckets DIV total AS INT) + 1"))
+      .select($"doc_id", $"n_bigrams", $"avg_qp", $"bucket",
+        ($"bucket" < nBuckets).as("keep"))
+      .orderBy($"doc_id")
+  }
 }

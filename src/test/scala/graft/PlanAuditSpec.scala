@@ -99,10 +99,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // HashAggregate(partial_count(1)) — ONE partial-count row per task
     // — finalized into a 1-row broadcast (verified by plan dump this
     // round; the t11/q31 corpus-constant shape).
+    // t23 — three bounded shapes, each already vetted elsewhere: the
+    // reference-vocab V count and the doc total (t20's partial-count-
+    // per-task grand totals, 1-row broadcasts) and the sharded-rank
+    // offsets running sum (p11's shape: ONE count row per range
+    // partition, <= shuffle-partitions rows through the exchange).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
-      "t20_bigram_lm")
+      "t20_bigram_lm", "t23_perplexity_bucket")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -340,6 +340,51 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
   }
 
+  test("resizeRaster: decimation/replication goldens, identity, channels") {
+    import Multimodal.RasterImage
+    // 4x4 gray ramp 0..15: 2x2 decimation picks sources (0,0) (0,2)
+    // (2,0) (2,2) — the canonical (x*w/outW, y*h/outH) convention
+    val ramp = RasterImage("pgm", 4, 4, 1, Array.tabulate(16)(_.toByte))
+    Multimodal.resizeRaster(ramp, 2, 2).pixels.toSeq shouldBe
+      Seq[Byte](0, 2, 8, 10)
+    // identity resize is a byte-exact copy
+    Multimodal.resizeRaster(ramp, 4, 4).pixels.toSeq shouldBe ramp.pixels.toSeq
+    // 2x2 up to 4x4 replicates each source pixel into a 2x2 block
+    val small = RasterImage("pgm", 2, 2, 1, Array[Byte](1, 2, 3, 4))
+    Multimodal.resizeRaster(small, 4, 4).pixels.toSeq shouldBe
+      Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4)
+    // non-square target: 4x4 -> 4x2 keeps every column, rows 0 and 2
+    Multimodal.resizeRaster(ramp, 4, 2).pixels.toSeq shouldBe
+      Seq[Byte](0, 1, 2, 3, 8, 9, 10, 11)
+    // RGB: all three channel bytes of the sampled pixel ride along
+    val rgb = RasterImage("ppm", 2, 1, 3, Array[Byte](10, 20, 30, 40, 50, 60))
+    Multimodal.resizeRaster(rgb, 1, 1).pixels.toSeq shouldBe
+      Seq[Byte](10, 20, 30)
+    // convention agreement with perceptualHashes: hashing the 8x8
+    // resize equals hashing the original — both sample (g*dim/8), so
+    // resize-to-grid and the hash's own grid walk are the same pass
+    val via = Multimodal.resizeRaster(ramp, 8, 8)
+    Multimodal.perceptualHashes(via) shouldBe Multimodal.perceptualHashes(ramp)
+  }
+
+  test("resizedFeatures: real decodes resize+checksum, stubs carry sentinels") {
+    import spark.implicits._
+    val px = Array.tabulate(16)(i => (i * 16).toByte)
+    val p5 = "P5\n4 4\n255\n".getBytes("US-ASCII") ++ px
+    val rows = Seq(
+      MediaRow(1, "image", p5),
+      MediaRow(2, "image", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.resizedFeatures(rows, 2, 2).collect().sortBy(_.media_id)
+    out(0).format shouldBe "pgm"
+    (out(0).src_w, out(0).src_h, out(0).out_w, out(0).out_h) shouldBe ((4, 4, 2, 2))
+    // rolling checksum of the decimated array, recomputed from scratch
+    val expect = Seq(0, 2, 8, 10).map(i => px(i) & 0xff)
+      .foldLeft(0L)((acc, v) => (acc * 31 + v) % 1000000007L)
+    out(0).resized_checksum shouldBe expect
+    // the stub never pretends to have resized pixels
+    (out(1).format, out(1).resized_checksum) shouldBe (("stub", -1L))
+  }
+
   test("perceptualHashes: analytic goldens, scale- and encoding-invariance") {
     import Multimodal.RasterImage
     // uniform gray: every aHash cell >= mean -> all 64 bits set; no

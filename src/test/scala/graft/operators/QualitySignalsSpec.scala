@@ -235,4 +235,59 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     }
   }
+
+  test("perplexityBucket: cross-corpus scores recompute; rank-quantile cut") {
+    val rows = TextAnalysis.perplexityBucket(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    // independent recompute: the reference LM sees ONLY the even-slice
+    // counts; unseen bigrams/left-unigrams coalesce to 0 (add-one
+    // smoothing's native OOV answer)
+    val toksByDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val refDocs = toksByDoc.filter(_._1 % 2 == 0)
+    val uniR = refDocs.values.flatten
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val bgR = refDocs.values
+      .flatMap(_.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+    val v = uniR.size.toLong
+    val bgByDoc = toksByDoc.map { case (id, tk) =>
+      id -> tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    def halfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    rows.length shouldBe bgByDoc.count(_._2.nonEmpty)
+    val avgById = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val grams = bgByDoc(id)
+      val qps = grams.map { g =>
+        val w1 = g.substring(0, g.indexOf(' '))
+        halfUp((bgR.getOrElse(g, 0L) + 1).toDouble /
+          (uniR.getOrElse(w1, 0L) + v) * 1e9)
+      }
+      withClue(s"doc $id: ") {
+        r.getLong(1) shouldBe grams.size.toLong
+        r.getLong(2) shouldBe halfUp(qps.sum.toDouble / grams.size)
+      }
+    }
+    // equal-width rank quantiles over (avg_qp DESC, doc_id): sorted
+    // position i (0-based) lands in bucket i*3 DIV total + 1; keep
+    // drops exactly the tail bucket
+    val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(0)))
+    val total = sorted.length
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      withClue(s"doc ${r.getLong(0)} rank $i: ") {
+        r.getInt(3) shouldBe (i.toLong * 3 / total + 1).toInt
+        r.getBoolean(4) shouldBe (r.getInt(3) < 3)
+      }
+    }
+    // the cut is a partition: every scored doc appears exactly once
+    avgById.size shouldBe total
+  }
 }

@@ -209,6 +209,41 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("ivfpq with nProbe=k degenerates to annPq exactly (routing only filters)") {
+    // probing every cell makes the cell filter a no-op; the codebooks
+    // train on the same candidate set, so every ADC score, shortlist,
+    // and re-rank row must be IDENTICAL to annPq's — proving the IVF
+    // stage is purely a candidate filter, never a scoring change
+    val all = Similarity.annIvfPq(spark, sf, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val pq = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    graft.Caches.releaseAll(spark)
+    all should not be empty
+    all.toSeq shouldBe pq.toSeq
+  }
+
+  test("ivfpq candidates are a subset of the IVF probe set; recall measured") {
+    val sf01 = "/root/testdata/sf0.01"
+    // annIvf with an unbounded topK returns EVERY candidate in a
+    // probed cell (same coarse quantizer, same nProbe) — s15's pairs
+    // must come from that universe
+    val ivfAll = Similarity.annIvf(spark, sf01, topK = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annIvfPq(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cand"))))
+    got should not be empty
+    got.foreach { p => withClue(s"pair $p: ") { ivfAll should contain(p) } }
+    // recall@3 vs brute force: the combined index loses candidates to
+    // BOTH stages (unprobed cells + ADC shortlist misses)
+    val truth = Similarity.annBruteForce(spark, sf01).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll(spark)
+    val recall = truth.intersect(got.toSet).size.toDouble / truth.size
+    recall should be >= 0.7
+  }
+
   test("annFiltered: label invariant, contiguous ranks, equals the interpreted-fold reference") {
     val rows = Similarity.annFiltered(spark, sf).collect()
     rows should not be empty
