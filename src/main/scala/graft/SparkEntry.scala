@@ -124,6 +124,7 @@ object SparkEntry {
     "t21_learned_bpe" -> ((s: SparkSession, d: String) => Bpe.tokenStats(s, d)),
     "t22_bpe_merges" -> ((s: SparkSession, d: String) => Bpe.learnedMerges(s, d)),
     "t23_perplexity_bucket" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBucket(s, d)),
+    "t24_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -2074,6 +2075,38 @@ object SparkEntry {
          |  CAST((rn - 1) * 3 // total + 1 AS INT) AS bucket,
          |  (rn - 1) * 3 // total + 1 < 3 AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // t24: content-defined chunking — per-token value r = first 8 hex
+    // chars of md5(token) (the p01 Horner idiom), window hash =
+    // r + 31·lag1 + 961·lag2 + 29791·lag3 mod 1e9+7 (all products
+    // inside BIGINT), boundary AFTER token i when pos >= 3 and
+    // hash % 64 = 0; chunk_no = exclusive running boundary count, so a
+    // boundary token ENDS its chunk; chunk hash over the ORDER BY pos
+    // string_agg (the B13 ordered-agg convention).
+    "t24_cdc_chunks" ->
+      s"""WITH ${tkCte("")},
+         |t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |        list_extract(tk, i) AS tok
+         |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+         |            FROM tk) u),
+         |rv AS (SELECT doc_id, pos, tok,
+         |         ${hexIntSql("md5(tok)", 8)} AS r FROM t),
+         |h AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN pos >= 3 THEN
+         |          (r + 31 * lag(r, 1) OVER w + 961 * lag(r, 2) OVER w
+         |             + 29791 * lag(r, 3) OVER w) % 1000000007
+         |        END AS hw
+         |      FROM rv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |cn AS (SELECT doc_id, pos, tok,
+         |        CAST(coalesce(sum(CASE WHEN pos >= 3 AND hw % 64 = 0
+         |            THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS chunk_no
+         |      FROM h)
+         |SELECT doc_id, chunk_no, CAST(min(pos) AS BIGINT) AS start_pos,
+         |  CAST(count(*) AS BIGINT) AS n_toks,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+         |FROM cn GROUP BY doc_id, chunk_no ORDER BY doc_id, chunk_no""".stripMargin,
 
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic

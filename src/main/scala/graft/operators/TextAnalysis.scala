@@ -947,4 +947,64 @@ object TextAnalysis {
         ($"bucket" < nBuckets).as("keep"))
       .orderBy($"doc_id")
   }
+
+  /** Content-defined chunking (CDC) — the dedup-friendly chunker (the
+    * rsync/LBFS boundary trick, Muthitacharoen et al. 2001, applied to
+    * token streams): a chunk boundary falls AFTER token i exactly when
+    * the rolling hash of the last `window` tokens hits 0 mod
+    * `divisor`, so boundaries are a function of LOCAL content only.
+    * Insert or delete a token and every boundary past the next
+    * content-determined cut is UNCHANGED — unlike [[Sampling]]'s fixed
+    * p14 windows, where one inserted token shifts every downstream
+    * chunk and kills their dedup value. The chunk hashes feed the d10
+    * passage-dedup shape (group by chunk_md5) with edit-resilient
+    * recall; expected chunk length ≈ `divisor` tokens.
+    *
+    * Determinism discipline: the per-token value is the first 8 hex
+    * chars of md5(token) as an integer (the p01 hex idiom — engine
+    * independent), the window hash is Σ r(t_{i-j})·31^j mod 1e9+7 with
+    * all products provably inside a Long for `window` <= 5 (r < 2^32,
+    * 31^4 < 2^20 — the require bounds it), and chunk content hashes
+    * use the order-pinned array_sort(collect_list(struct)) idiom (B13)
+    * so post-shuffle row order can never leak into the hash.
+    *
+    * Scale shape: one doc_id-keyed shuffle for the per-doc windows
+    * (lag chain + running boundary count — window populations are doc
+    * lengths, never corpus-wide), then a (doc_id, chunk_no) groupBy
+    * that reuses the same key prefix. Nothing corpus-global; the
+    * output is corpus-linear with ~1/divisor row fan-IN.
+    */
+  def cdcChunksFrames(docs: DataFrame, window: Int = 4,
+      divisor: Int = 64): DataFrame = {
+    require(window >= 2 && window <= 5,
+      s"window must be in [2,5] (Long-overflow bound): $window")
+    require(divisor >= 2, s"divisor must be >= 2: $divisor")
+    val P = 1000000007L
+    val toks = docs.select(col("doc_id"),
+      posexplode(Text.toks(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val r0 = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint")
+    // Σ_j lag(r, j) · 31^j — lag(_, 0) is the row itself
+    val hash = (0 until window).map { j =>
+      lag(col("r"), j).over(w) * lit(math.pow(31, j).toLong)
+    }.reduce(_ + _) % P
+    val flagged = toks.withColumn("r", r0)
+      .withColumn("bflag",
+        when(col("pos") >= window - 1 && hash % divisor === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_no", coalesce(
+        sum(col("bflag")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    flagged.groupBy(col("doc_id"), col("chunk_no"))
+      .agg(min(col("pos")).cast("bigint").as("start_pos"),
+        count(lit(1)).as("n_toks"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  /** [[cdcChunksFrames]] over the documents table — the gate entry. */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunksFrames(Tables.documents(spark, sfDir))
 }

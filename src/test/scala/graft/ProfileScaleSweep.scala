@@ -175,6 +175,15 @@ object ProfileScaleSweep {
           graft.osm.OsmQueries.expandRelations(
             spark.read.parquet(relDir), maxDepth = 5))
       }
+      // round-10 third batch: the combined IVF+PQ index (query side
+      // fixed, candidate corpus grows — cost tracks the probed
+      // fraction plus the Lloyd training passes, all corpus-linear),
+      // the CCNet bucket split (token-keyed aggregates + the p11
+      // sharded rank — linear, no funnel), and CDC chunking (per-doc
+      // lag windows + one (doc_id, chunk_no) groupBy — linear)
+      time("ann_ivfpq")(Similarity.annIvfPq(spark, dir))
+      time("perplexity_bucket")(TextAnalysis.perplexityBucket(spark, dir))
+      time("cdc_chunks")(TextAnalysis.cdcChunks(spark, dir))
     }
     spark.stop()
   }

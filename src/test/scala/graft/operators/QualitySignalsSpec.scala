@@ -290,4 +290,37 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the cut is a partition: every scored doc appears exactly once
     avgById.size shouldBe total
   }
+
+  test("cdcChunks: content-local boundaries survive prefix edits; exact partition") {
+    import spark.implicits._
+    // the same long token stream with three tokens PREPENDED: CDC
+    // boundaries depend only on the local window, so after the first
+    // content-determined cut both docs chunk IDENTICALLY — a
+    // fixed-window chunker (p14) would share nothing (offsets shift)
+    val base = (1 to 400).map(i => s"w${i * 7 % 131}x$i").mkString(" ")
+    val edited = "zz0 zz1 zz2 " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunksFrames(docs).collect()
+    val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    val d2 = out.filter(_.getLong(0) == 2L).sortBy(_.getLong(1))
+    // chunking is a PARTITION of the token stream: counts sum to the
+    // doc length, chunk_nos are contiguous from 0, starts are gapless
+    d1.map(_.getLong(3)).sum shouldBe 400L
+    d2.map(_.getLong(3)).sum shouldBe 403L
+    d1.map(_.getLong(1)).toSeq shouldBe d1.indices.map(_.toLong)
+    d1.sliding(2).foreach {
+      case Array(a, b) =>
+        b.getLong(2) shouldBe a.getLong(2) + a.getLong(3)
+      case _ =>
+    }
+    // edit resilience: every chunk except the edited first one is
+    // shared verbatim (boundaries re-synchronize immediately)
+    val h1 = d1.map(_.getString(4)).toSet
+    val h2 = d2.map(_.getString(4)).toSet
+    d1.length should be > 2 // divisor=64 over 400 tokens: real cuts
+    h1.intersect(h2).size should be >= h1.size - 1
+    // determinism across runs
+    val again = TextAnalysis.cdcChunksFrames(docs).collect()
+    again.map(_.toString).sorted.toSeq shouldBe out.map(_.toString).sorted.toSeq
+  }
 }
