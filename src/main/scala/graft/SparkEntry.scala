@@ -95,6 +95,7 @@ object SparkEntry {
     "s13_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "s14_ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
     "s15_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
+    "s16_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -1675,6 +1676,47 @@ object SparkEntry {
          |        FROM rer)
          |SELECT qid, cand, adcq, cos, rnk FROM fin WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
+
+    // s16: the corpus k-NN graph — s11's trained assignment partitions
+    // the corpus into cells, neighbors are searched within the cell
+    // only (the production kNN-graph approximation), per-src top-3 by
+    // (rounded cosine DESC, dst)
+    "s16_knn_graph" ->
+      s"""WITH ${embCte("TRUE")},
+         |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+         |${corpusLloydCtes(8, 2)},
+         |fin AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
+         |),
+         |asg AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM fin) r WHERE rn = 1
+         |),
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT aa.vec_id AS src, bb.vec_id AS dst, aa.cluster AS cell,
+         |    sum(ea.x * eb.x) AS dp
+         |  FROM asg aa JOIN asg bb
+         |    ON aa.cluster = bb.cluster AND aa.vec_id <> bb.vec_id
+         |  JOIN e ea ON ea.vec_id = aa.vec_id
+         |  JOIN e eb ON eb.vec_id = bb.vec_id AND eb.i = ea.i
+         |  GROUP BY 1, 2, 3
+         |),
+         |scored AS (
+         |  SELECT src, dst, cell, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
+         |  FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst
+         |),
+         |ranked AS (
+         |  SELECT src, dst, cell, cos,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT src, dst, cell, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY src, rnk""".stripMargin,
 
     // s11: full-corpus Lloyd — seed = first k vectors, 2 exact
     // integer-grid rounds, final assignment with its distance

@@ -837,6 +837,51 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Corpus k-NN graph — EVERY vector's top-`kNeighbors` neighbors,
+    * not a query set's: the building block the cluster-then-refine
+    * curation recipes sit on (SemDeDup's within-cluster comparisons,
+    * dataset-cartography neighborhoods, mutual-kNN dedup graphs,
+    * graph-index construction). The s-family's other entries retrieve
+    * for a FIXED query side; here the whole corpus is both sides, so
+    * the scale problem is the pair volume — solved the d15 way:
+    * [[corpusClusters]] partitions the corpus into k trained cells,
+    * neighbors are searched within the cell only (the approximation a
+    * production kNN-graph build makes), and the sizing contract is IN
+    * THE PLAN: `Sizing.guardKeyPopulation` fails the query naming `k`
+    * before any cell goes pair-quadratic.
+    *
+    * Scale shape: the Lloyd training passes are broadcast joins
+    * (k·dims rows); the pair join is ONE cell-keyed equi-join whose
+    * fan-in the guard bounds; the per-src top-k window's population is
+    * the cell size. Output is corpus × kNeighbors rows. Exact rounded
+    * cosines (order-free integer grid + one IEEE division) keep the
+    * whole graph oracle-reproducible.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3,
+      maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
+    import spark.implicits._
+    val cells = corpusAssign(spark, sfDir, k, iters)
+      .select($"vec_id", $"cluster".as("cell"))
+    // cached: both sides of the within-cell pair join read this frame
+    val v = graft.Caches.track(
+      Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding", norm2($"embedding").as("nrm"))
+        .join(cells, "vec_id"))
+    val gx = graft.operators.Sizing.guardKeyPopulation(v, "cell", maxCellPop,
+      "knnGraph", "cell", "k")
+    val pairs = gx.as("a").join(v.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"),
+        $"a.cell".as("cell"),
+        round(dot($"a.embedding", $"b.embedding") /
+          sqrt($"a.nrm" * $"b.nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
+    pairs.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= kNeighbors)
+      .orderBy($"src", $"rnk")
+  }
+
   /** Recall@k evaluation of the LSH path against brute-force ground
     * truth — the monitoring query a production retrieval pipeline runs
     * after every index rebuild (the number the s02 sizing contract

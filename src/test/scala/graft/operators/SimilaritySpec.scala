@@ -244,6 +244,44 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     recall should be >= 0.7
   }
 
+  test("knnGraph: within-cell top-k for EVERY populated vector, exact cosines") {
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val cells = Similarity.corpusClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.Caches.releaseAll(spark)
+    // every edge stays inside the src's cell and dst shares it
+    rows.foreach { r =>
+      withClue(s"edge ${r.getLong(0)}->${r.getLong(1)}: ") {
+        r.getInt(2) shouldBe cells(r.getLong(0))
+        cells(r.getLong(1)) shouldBe cells(r.getLong(0))
+      }
+    }
+    // per-src ranks contiguous from 1, at most kNeighbors
+    rows.groupBy(_.getLong(0)).values.foreach { es =>
+      es.length should be <= 3
+      es.map(_.getInt(4)).sorted.toSeq shouldBe (1 to es.length)
+    }
+    // the graph covers the corpus: every vector whose cell has >= 2
+    // members appears as a src (no silent drops)
+    val pops = cells.values.groupBy(identity).map { case (c, o) => c -> o.size }
+    rows.map(_.getLong(0)).toSet shouldBe
+      cells.filter { case (_, c) => pops(c) >= 2 }.keySet
+    // cosines are the exact brute-force values pair-by-pair
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm2(col("embedding")).as("nrm"))
+    val brute = emb.as("a").crossJoin(emb.as("b"))
+      .select(col("a.vec_id").as("s"), col("b.vec_id").as("d"),
+        round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      r.getDouble(3) shouldBe brute((r.getLong(0), r.getLong(1)))
+    }
+  }
+
   test("annFiltered: label invariant, contiguous ranks, equals the interpreted-fold reference") {
     val rows = Similarity.annFiltered(spark, sf).collect()
     rows should not be empty
