@@ -71,6 +71,7 @@ object SparkEntry {
     "d11_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.clusterStats(s, d)),
     "d12_incremental_overlap" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlap(s, d)),
     "d21_incremental_sharded" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlapSharded(s, d)),
+    "d22_mutual_knn" -> ((s: SparkSession, d: String) => Dedup.mutualKnnCanonicalize(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
@@ -407,6 +408,46 @@ object SparkEntry {
     }
     sb.result()
   }
+
+  /** Shared CTE chain for s16/d22 (the corpus k-NN graph): the s11
+    * trained assignment (corpusLloydCtes over all vectors) + exact
+    * norms + within-cell neighbor pairs ranked per src by (rounded
+    * cosine DESC, dst). Consumers filter `ranked.rnk`.
+    */
+  private lazy val KnnCtes: String =
+    s"""${embCte("TRUE")},
+       |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+       |${corpusLloydCtes(8, 2)},
+       |fin AS (
+       |  SELECT p.vec_id, c.cluster,
+       |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
+       |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
+       |),
+       |asg AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+       |    FROM fin) r WHERE rn = 1
+       |),
+       |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+       |d AS (
+       |  SELECT aa.vec_id AS src, bb.vec_id AS dst, aa.cluster AS cell,
+       |    sum(ea.x * eb.x) AS dp
+       |  FROM asg aa JOIN asg bb
+       |    ON aa.cluster = bb.cluster AND aa.vec_id <> bb.vec_id
+       |  JOIN e ea ON ea.vec_id = aa.vec_id
+       |  JOIN e eb ON eb.vec_id = bb.vec_id AND eb.i = ea.i
+       |  GROUP BY 1, 2, 3
+       |),
+       |scored AS (
+       |  SELECT src, dst, cell, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
+       |  FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst
+       |),
+       |ranked AS (
+       |  SELECT src, dst, cell, cos,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rnk
+       |  FROM scored
+       |)""".stripMargin
 
   /** DuckDB mirror of Bpe.learnMerges: a generated `numMerges`-round
     * iterative CTE chain replaying the published BPE learning loop
@@ -1680,43 +1721,37 @@ object SparkEntry {
     // s16: the corpus k-NN graph — s11's trained assignment partitions
     // the corpus into cells, neighbors are searched within the cell
     // only (the production kNN-graph approximation), per-src top-3 by
-    // (rounded cosine DESC, dst)
+    // (rounded cosine DESC, dst). KnnCtes is shared with d22.
     "s16_knn_graph" ->
-      s"""WITH ${embCte("TRUE")},
-         |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
-         |${corpusLloydCtes(8, 2)},
-         |fin AS (
-         |  SELECT p.vec_id, c.cluster,
-         |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
-         |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
-         |),
-         |asg AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT vec_id, cluster,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
-         |    FROM fin) r WHERE rn = 1
-         |),
-         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
-         |d AS (
-         |  SELECT aa.vec_id AS src, bb.vec_id AS dst, aa.cluster AS cell,
-         |    sum(ea.x * eb.x) AS dp
-         |  FROM asg aa JOIN asg bb
-         |    ON aa.cluster = bb.cluster AND aa.vec_id <> bb.vec_id
-         |  JOIN e ea ON ea.vec_id = aa.vec_id
-         |  JOIN e eb ON eb.vec_id = bb.vec_id AND eb.i = ea.i
-         |  GROUP BY 1, 2, 3
-         |),
-         |scored AS (
-         |  SELECT src, dst, cell, round(dp / sqrt(na.nrm * nb.nrm), 6) AS cos
-         |  FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst
-         |),
-         |ranked AS (
-         |  SELECT src, dst, cell, cos,
-         |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rnk
-         |  FROM scored
-         |)
+      s"""WITH $KnnCtes
          |SELECT src, dst, cell, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY src, rnk""".stripMargin,
+
+    // d22: mutual-kNN canonicalize — the s16 top-3 edges, kept only
+    // when BOTH endpoints list each other (the symmetric criterion
+    // that keeps hub vectors from merging clusters) and the cosine
+    // clears 0.2; undirected recursive closure (the d06 reach/comp
+    // pattern — GraphX CC's min-label convention), isolated vectors
+    // canonicalize to themselves
+    "d22_mutual_knn" ->
+      s"""WITH RECURSIVE $KnnCtes,
+         |topk AS (SELECT src, dst, cos FROM ranked WHERE rnk <= 3),
+         |mut AS (
+         |  SELECT x.src AS a, x.dst AS b FROM topk x JOIN topk y
+         |    ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
+         |  WHERE x.cos >= 0.2),
+         |und AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+         |reach(s, t) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.s, u.b FROM reach r JOIN und u ON r.t = u.a
+         |),
+         |comp AS (SELECT s AS vec_id, least(s, min(t)) AS canonical_id
+         |         FROM reach GROUP BY s)
+         |SELECT v.vec_id, coalesce(comp.canonical_id, v.vec_id) AS canonical_id,
+         |  coalesce(comp.canonical_id, v.vec_id) <> v.vec_id AS is_duplicate
+         |FROM (SELECT vec_id FROM embeddings) v LEFT JOIN comp USING (vec_id)
+         |ORDER BY v.vec_id""".stripMargin,
 
     // s11: full-corpus Lloyd — seed = first k vectors, 2 exact
     // integer-grid rounds, final assignment with its distance

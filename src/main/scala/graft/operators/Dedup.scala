@@ -782,6 +782,56 @@ object Dedup {
     docs.select($"doc_id").join(mapping, "doc_id")
   }
 
+  /** Mutual-kNN canonicalize — [[canonicalize]]'s EMBEDDING-space
+    * sibling, completing the d-family's semantic arm: where d15
+    * (SemDeDup) makes a per-vector drop decision against a threshold,
+    * this builds the actual duplicate CLUSTERS. Edges come from the
+    * corpus k-NN graph ([[Similarity.knnGraph]]'s unordered edge set)
+    * and count only when MUTUAL — each endpoint lists the other in its
+    * own top-k — the published symmetric criterion that kills the
+    * hub-vector failure mode (a generic centroid-ish vector appears in
+    * MANY top-k lists, but its own list holds only its true peers, so
+    * one-directional edges to hubs never merge clusters). Mutual edges
+    * above `minCos` feed GraphX connected components; canonical id =
+    * component min (the d06 convention), isolated vectors are their
+    * own canonical.
+    *
+    * Scale shape: the kNN edge build is the guarded d15 cell join; the
+    * mutuality check is a self-join of a corpus×k edge table on both
+    * endpoints (equi-join, no fan-out — each (src,dst) matches at most
+    * its one reverse); CC is GraphX's pregel loop over edges that
+    * number <= corpus×k.
+    */
+  def mutualKnnCanonicalize(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 2, kNeighbors: Int = 3,
+      minCos: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    // cached: both sides of the mutuality self-join
+    val edges = graft.Caches.track(
+      Similarity.knnEdges(spark, sfDir, k, iters, kNeighbors)
+        .select($"src", $"dst", $"cos"))
+    val mutual = edges.as("x").join(edges.as("y"),
+        $"x.src" === $"y.dst" && $"x.dst" === $"y.src" &&
+          $"x.src" < $"x.dst")
+      .filter($"x.cos" >= minCos)
+      .select($"x.src".as("a"), $"x.dst".as("b"))
+    import org.apache.spark.graphx.{Edge, Graph}
+    val ids = Tables.embeddings(spark, sfDir).select($"vec_id")
+    val graph = Graph(
+      ids.rdd.map(r => (r.getLong(0), ())),
+      mutual.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())))
+    val ccGraph = graph.connectedComponents()
+    graft.Caches.trackCleanup(() => { graph.unpersist(blocking = false); () })
+    graft.Caches.trackCleanup(() => { ccGraph.unpersist(blocking = false); () })
+    val mapping = spark
+      .createDataFrame(ccGraph.vertices.map { case (id, comp) => (id, comp) })
+      .toDF("vec_id", "canonical_id")
+    ids.join(mapping, "vec_id")
+      .select($"vec_id", $"canonical_id",
+        ($"vec_id" =!= $"canonical_id").as("is_duplicate"))
+      .orderBy($"vec_id")
+  }
+
   /** Incremental overlap scan — the DELTA-vs-HISTORY shape of a daily
     * crawl pipeline: documents `doc_id % 10 == 0` play the arriving
     * delta, the rest the already-ingested corpus; report each delta doc

@@ -861,6 +861,19 @@ object Similarity {
       iters: Int = 2, kNeighbors: Int = 3,
       maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
+    knnEdges(spark, sfDir, k, iters, kNeighbors, maxCellPop)
+      .orderBy($"src", $"rnk")
+  }
+
+  /** The unordered [[knnGraph]] edge set — shared with the consumers
+    * that aggregate it further ([[graft.operators.Dedup]]'s mutual-kNN
+    * canonicalize) and would otherwise pay a pointless pre-join sort
+    * (the corpusAssign/corpusClusters split, on edges).
+    */
+  private[operators] def knnEdges(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int, kNeighbors: Int,
+      maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
+    import spark.implicits._
     val cells = corpusAssign(spark, sfDir, k, iters)
       .select($"vec_id", $"cluster".as("cell"))
     // cached: both sides of the within-cell pair join read this frame
@@ -879,7 +892,6 @@ object Similarity {
     val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
     pairs.withColumn("rnk", row_number().over(w).cast("int"))
       .filter($"rnk" <= kNeighbors)
-      .orderBy($"src", $"rnk")
   }
 
   /** Recall@k evaluation of the LSH path against brute-force ground

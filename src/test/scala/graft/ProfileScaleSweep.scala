@@ -184,6 +184,11 @@ object ProfileScaleSweep {
       time("ann_ivfpq")(Similarity.annIvfPq(spark, dir))
       time("perplexity_bucket")(TextAnalysis.perplexityBucket(spark, dir))
       time("cdc_chunks")(TextAnalysis.cdcChunks(spark, dir))
+      // s16 follows the d15 sizing contract: k grows with the corpus
+      // so cell POPULATION (and the within-cell pair volume) stays
+      // fixed — at frozen k the pair join would grow quadratically by
+      // design, which is what the in-plan guard exists to refuse
+      time("knn_graph_sizedk")(Similarity.knnGraph(spark, dir, k = 8 * mult))
     }
     spark.stop()
   }

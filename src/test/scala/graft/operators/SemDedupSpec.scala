@@ -49,4 +49,38 @@ class SemDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     graft.Caches.releaseAll(spark)
   }
+
+  test("mutualKnnCanonicalize equals an independent union-find over mutual edges") {
+    val rows = Dedup.mutualKnnCanonicalize(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    // independent reference: the gated s16 edges, kept when BOTH
+    // directions exist and the cosine clears the threshold, closed
+    // with a min-root union-find (the GraphX CC min-label convention)
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    graft.Caches.releaseAll(spark)
+    val dir = edges.map(e => (e._1, e._2)).toSet
+    val mutual = edges
+      .filter(e => e._1 < e._2 && e._3 >= 0.2 && dir.contains((e._2, e._1)))
+      .map(e => (e._1, e._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val n = Tables.embeddings(spark, sf).count()
+    rows.length.toLong shouldBe n // every vector mapped exactly once
+    rows.map(_.getLong(0)).distinct.length shouldBe rows.length
+    rows.foreach { r =>
+      val (id, canon, dup) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      withClue(s"vec $id: ") {
+        canon shouldBe find(id)
+        dup shouldBe (canon != id)
+      }
+    }
+  }
 }
