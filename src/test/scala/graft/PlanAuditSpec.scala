@@ -209,4 +209,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     p should include("BroadcastNestedLoopJoin")
     p should not include "CartesianProduct"
   }
+
+  test("s15 routes ADC through broadcast probe/LUT joins (unprobed corpus never scored)") {
+    // probes, LUT, codebooks, and the re-rank query side are all
+    // query-cardinality broadcasts; the only corpus-sized joins are
+    // hash equi-joins (codes->cells on vec_id, cell routing)
+    val p = plan("s15_ann_ivfpq")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("s16 carries the cell-population sizing guard in-plan") {
+    // the d15 contract: an over-populated cell must FAIL the query
+    // (raise_error names the operator and parameter) before the pair
+    // join goes quadratic — the guard is part of the executed plan,
+    // not a docs-only promise
+    val p = plan("s16_knn_graph")
+    p should include("raise_error")
+    p should not include "CartesianProduct"
+  }
 }
