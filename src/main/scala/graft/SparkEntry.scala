@@ -127,6 +127,7 @@ object SparkEntry {
     "t22_bpe_merges" -> ((s: SparkSession, d: String) => Bpe.learnedMerges(s, d)),
     "t23_perplexity_bucket" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBucket(s, d)),
     "t24_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
+    "t25_countmin" -> ((s: SparkSession, d: String) => TextAnalysis.countMin(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -2184,6 +2185,21 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_toks,
          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
          |FROM cn GROUP BY doc_id, chunk_no ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // t25: the count-min sketch cell table — row-d hash = first 8 md5
+    // hex chars of "cm<d>:<token>" mod 256 (the p01 Horner idiom), one
+    // count cell per (d, col); the sketch is the output, so the oracle
+    // replays every hash placement exactly
+    "t25_countmin" ->
+      s"""WITH ${tkCte("")},
+         |u AS (SELECT unnest(tk) AS tok FROM tk),
+         |x AS (SELECT tok, CAST(d AS INT) AS d
+         |      FROM u, UNNEST(range(0, 4)) AS t(d)),
+         |c AS (SELECT d,
+         |        CAST(${hexIntSql("md5('cm' || CAST(d AS VARCHAR) || ':' || tok)", 8)} % 256 AS INT) AS col
+         |      FROM x)
+         |SELECT d, col, CAST(count(*) AS BIGINT) AS cnt
+         |FROM c GROUP BY d, col ORDER BY d, col""".stripMargin,
 
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic

@@ -1007,4 +1007,50 @@ object TextAnalysis {
   /** [[cdcChunksFrames]] over the documents table — the gate entry. */
   def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
     cdcChunksFrames(Tables.documents(spark, sfDir))
+
+  /** Count-min sketch of the token frequency distribution — the
+    * mergeable sketch class the engine's summary family lacked
+    * (q22's HLL answers "how many distinct", q37's KMV the same with
+    * an exposed synopsis; count-min answers "how often is X" in
+    * `depth × width` cells regardless of vocabulary size — Cormode &
+    * Muthukrishnan 2005). Cell (d, col) = Σ count of every token
+    * whose row-d hash lands on col; a point estimate is
+    * min_d cm[d][hash_d(x)], an overestimate by construction (each
+    * row's cell ≥ the true count — collisions only ADD; the spec pins
+    * the bound corpus-wide). The PUBLISHED sketch table is the
+    * operator output: fixed depth×width cardinality, trivially
+    * mergeable cell-wise across corpus shards/days (spec-pinned:
+    * sketch(A ∪ B) = sketch(A) + sketch(B)), which is the entire
+    * reason a 100 TB pipeline ships sketches instead of vocabularies.
+    *
+    * Determinism: row-d hash = first 8 md5 hex chars of
+    * "cm<d>:<token>" (the p01 Horner idiom) mod width — engine
+    * independent, so the full cell table carries a DuckDB hash oracle
+    * (sketches whose hash seeds are JVM-private can't).
+    *
+    * Scale shape: one explode (×depth — a fixed constant) into a
+    * groupBy on a FIXED depth×width key space: partial aggregation
+    * collapses everything map-side, the final shuffle moves at most
+    * depth×width rows per task. Nothing vocabulary- or
+    * corpus-proportional ever crosses the wire.
+    */
+  def countMinSketch(docs: DataFrame, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    docs
+      .select(explode(Text.toks(col("text"))).as("tok"))
+      .select(col("tok"), explode(array((0 until depth).map(lit): _*)).as("d"))
+      .select(col("d").cast("int").as("d"),
+        (conv(substring(md5(concat(lit("cm"), col("d").cast("string"),
+          lit(":"), col("tok"))), 1, 8), 16, 10).cast("bigint") % width)
+          .cast("int").as("col"))
+      .groupBy(col("d"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("d"), col("col"))
+  }
+
+  /** [[countMinSketch]] over the documents table — the gate entry. */
+  def countMin(spark: SparkSession, sfDir: String): DataFrame =
+    countMinSketch(Tables.documents(spark, sfDir))
 }
