@@ -1018,10 +1018,12 @@ object TextAnalysis {
     * min_d cm[d][hash_d(x)], an overestimate by construction (each
     * row's cell ≥ the true count — collisions only ADD; the spec pins
     * the bound corpus-wide). The PUBLISHED sketch table is the
-    * operator output: fixed depth×width cardinality, trivially
-    * mergeable cell-wise across corpus shards/days (spec-pinned:
-    * sketch(A ∪ B) = sketch(A) + sketch(B)), which is the entire
-    * reason a 100 TB pipeline ships sketches instead of vocabularies.
+    * operator output, in SPARSE form — cells with zero count are
+    * omitted and read as 0, so cardinality is min(depth×width,
+    * occupied) — trivially mergeable cell-wise across corpus
+    * shards/days (spec-pinned: sketch(A ∪ B) = sketch(A) + sketch(B)
+    * with missing cells as zero), which is the entire reason a 100 TB
+    * pipeline ships sketches instead of vocabularies.
     *
     * Determinism: row-d hash = first 8 md5 hex chars of
     * "cm<d>:<token>" (the p01 Horner idiom) mod width — engine

@@ -163,6 +163,22 @@ object EventStream {
       .agg(count(lit(1)).as("tf"),
         approx_count_distinct(col("doc_id"), 0.01).as("df_approx"))
 
+  /** Streaming count-min — [[graft.operators.TextAnalysis
+    * .countMinSketch]]'s ingest-time twin, and deliberately the SAME
+    * plan (the q35 pattern: one definition, so batch and stream
+    * cannot drift): the sketch cells accumulate as documents arrive,
+    * in the smallest state footprint of the streaming family — at
+    * most depth×width counter cells TOTAL, a fixed constant
+    * independent of corpus, vocabulary, and stream length (even
+    * [[tokenBudgetStream]]'s state grows with `shards`). At-least-once
+    * sources should front a watermark dedup as in [[termStatsStream]];
+    * at end-of-stream the complete-mode output equals the batch sketch
+    * cell-for-cell (spec-asserted).
+    */
+  def countMinStream(docs: Dataset[Doc], depth: Int = 4,
+      width: Int = 256): DataFrame =
+    graft.operators.TextAnalysis.countMinSketch(docs.toDF(), depth, width)
+
   /** A document on the crawl stream carrying its language — the d19
     * diff keys on (lang, content hash), so the streaming twin needs
     * lang on the row (the batch `documents` table has it).

@@ -277,6 +277,30 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch equals the batch cells at end-of-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.Doc
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 40).orderBy($"doc_id")
+      .collect().map(r => Doc(r.getLong(0), ts(100 + r.getLong(0)), r.getString(1)))
+    val mem = MemoryStream[Doc]
+    val q = EventStream.countMinStream(mem.toDS())
+      .writeStream.format("memory").queryName("cmsketch")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = docs.splitAt(20)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("cmsketch").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.TextAnalysis.countMinSketch(
+          docs.toSeq.toDF("doc_id", "ts", "text"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("near-dup opt-in maxBucketSize keeps newest fingerprints (documented recall trade)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
