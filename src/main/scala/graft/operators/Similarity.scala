@@ -650,6 +650,53 @@ object Similarity {
     * which is the entire point of PQ at 100 TB. Exact re-rank touches
     * shortlist × queries vectors only (the matryoshka pattern).
     */
+  /** One PQ Lloyd assign half: nearest codebook entry per (vector,
+    * subspace) by exact integer-grid distance, code tiebreak — the s03
+    * argmin shape with `sub` joining the partition key. Doubles as the
+    * final encode (PQ encoding IS the assign half). ONE definition
+    * shared by [[annPq]] and [[annIvfPq]], so the two index forms
+    * cannot drift — which is also what makes the nProbe=k degeneracy
+    * equality in SimilaritySpec meaningful.
+    */
+  private def pqAssign(pts: DataFrame, cb: DataFrame): DataFrame = {
+    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist2q"), col("code"))
+    pts.join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist2q"))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** One PQ Lloyd average half: exact integer mean per (sub, code, pos). */
+  private def pqAverage(pts: DataFrame, a: DataFrame): DataFrame =
+    pts.join(a, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(round(sum(col("xq")) / count(lit(1)), 0).cast("bigint").as("cq"))
+
+  /** Trained per-subspace codebooks over (vec_id, sub, pos, xq) points.
+    * Seed: code = (vec_id DIV 20) mod ksub — the s04 mod-k idiom keyed
+    * on the candidate ORDINAL, not the raw id (candidates are
+    * vec_id % 20 == 0, so raw vec_id % ksub would be arithmetically
+    * correlated with the filter — multiples of 20 are ≡ {0,4} mod 8 —
+    * and only 2 of the ksub entries per subspace would ever exist, a
+    * 1-bit codebook wearing a 3-bit label) — then `iters` Lloyd rounds
+    * (the s03 loop with `sub` along for the ride). A code that loses
+    * all members simply drops out of the next average (standard Lloyd;
+    * identical on both engines since membership is exact integer
+    * argmin).
+    */
+  private def pqTrain(pts: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    val seed = pts
+      .select(expr(s"CAST((vec_id DIV 20) % $ksub AS INT)").as("code"),
+        col("sub"), col("pos"), col("xq"))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(round(sum(col("xq")) / count(lit(1)), 0).cast("bigint").as("cq"))
+    var cb = seed
+    for (_ <- 1 to iters) cb = pqAverage(pts, pqAssign(pts, cb))
+    cb
+  }
+
   def annPq(spark: SparkSession, sfDir: String, m: Int = 4, ksub: Int = 8,
       dims: Int = 64, shortlist: Int = 16, topK: Int = 3,
       iters: Int = 2): DataFrame = {
@@ -665,44 +712,9 @@ object Similarity {
         round($"x".cast("double") * 1e6, 0).cast("bigint").as("xq"))
     // cached: feeds codebook training AND code assignment
     val cand = graft.Caches.track(pts(emb.filter($"vec_id" % 20 === 0)))
-    // one Lloyd assign half per subspace: nearest codebook entry per
-    // (vector, subspace) by exact integer-grid distance, code tiebreak
-    // — the s03 argmin shape with `sub` joining the partition key.
-    // Doubles as the final encode (PQ encoding IS the assign half).
-    def assign(cb: DataFrame): DataFrame = {
-      val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist2q", $"code")
-      cand.join(broadcast(cb), Seq("sub", "pos"))
-        .groupBy($"vec_id", $"sub", $"code")
-        .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
-        .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
-        .select($"vec_id", $"sub", $"code")
-    }
-    // one Lloyd average half: exact integer mean per (sub, code, pos)
-    def average(a: DataFrame): DataFrame =
-      cand.join(a, Seq("vec_id", "sub"))
-        .groupBy($"sub", $"code", $"pos")
-        .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
-    // seed: cluster = (vec_id DIV 20) mod ksub — the s04 mod-k idiom,
-    // but keyed on the candidate ORDINAL, not the raw id: candidates
-    // are vec_id % 20 == 0, so a raw vec_id % ksub would be
-    // arithmetically correlated with the filter (multiples of 20 are
-    // ≡ {0,4} mod 8) and only 2 of the ksub entries per subspace would
-    // ever exist — a 1-bit codebook wearing a 3-bit label
-    val seed = cand
-      .select(expr(s"CAST((vec_id DIV 20) % $ksub AS INT)").as("code"),
-        $"sub", $"pos", $"xq")
-      .groupBy($"sub", $"code", $"pos")
-      .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
-    // TRAINED codebooks (round-7): `iters` Lloyd rounds per subspace on
-    // top of the seed — the s03 loop with (sub) along for the ride, as
-    // the r6 scaladoc promised. A code that loses all members simply
-    // drops out of the next average (standard Lloyd; identical on both
-    // engines since membership is exact integer argmin).
-    var cb = seed
-    for (_ <- 1 to iters) cb = average(assign(cb))
-    val codebook = graft.Caches.track(cb)
+    val codebook = graft.Caches.track(pqTrain(cand, ksub, iters))
     // encode: the assign half under the final trained codebook
-    val codes = assign(codebook)
+    val codes = pqAssign(cand, codebook)
     // ADC lookup table: query-subvector · codebook-entry, exact integer
     val lut = pts(emb.filter($"vec_id" < 8))
       .withColumnRenamed("vec_id", "qid")
@@ -783,31 +795,12 @@ object Similarity {
       .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
       .select($"vec_id".as("qid"), $"cluster".as("cell"))
-    // —— PQ codebooks: the s10 machinery over the SAME candidates ——
+    // —— PQ codebooks: pqTrain/pqAssign over the SAME candidates ——
     val sw = dims / m
     val subPts = graft.Caches.track(
       candPts.withColumn("sub", (($"pos" - 1) / sw).cast("int")))
-    def assign(cb: DataFrame): DataFrame = {
-      val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist2q", $"code")
-      subPts.join(broadcast(cb), Seq("sub", "pos"))
-        .groupBy($"vec_id", $"sub", $"code")
-        .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
-        .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
-        .select($"vec_id", $"sub", $"code")
-    }
-    def average(a: DataFrame): DataFrame =
-      subPts.join(a, Seq("vec_id", "sub"))
-        .groupBy($"sub", $"code", $"pos")
-        .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
-    val seed = subPts
-      .select(expr(s"CAST((vec_id DIV 20) % $ksub AS INT)").as("code"),
-        $"sub", $"pos", $"xq")
-      .groupBy($"sub", $"code", $"pos")
-      .agg(round(sum($"xq") / count(lit(1)), 0).cast("bigint").as("cq"))
-    var cb = seed
-    for (_ <- 1 to iters) cb = average(assign(cb))
-    val codebook = graft.Caches.track(cb)
-    val codes = assign(codebook)
+    val codebook = graft.Caches.track(pqTrain(subPts, ksub, iters))
+    val codes = pqAssign(subPts, codebook)
     val lut = qPts.withColumn("sub", (($"pos" - 1) / sw).cast("int"))
       .withColumnRenamed("vec_id", "qid")
       .join(broadcast(codebook), Seq("sub", "pos"))

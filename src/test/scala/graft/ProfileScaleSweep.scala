@@ -189,6 +189,10 @@ object ProfileScaleSweep {
       // fixed — at frozen k the pair join would grow quadratically by
       // design, which is what the in-plan guard exists to refuse
       time("knn_graph_sizedk")(Similarity.knnGraph(spark, dir, k = 8 * mult))
+      // d22 rides the same sized-k edges; the CC adds pregel rounds
+      // over corpus x kNeighbors edges (linear)
+      time("mutual_knn_sizedk")(
+        Dedup.mutualKnnCanonicalize(spark, dir, k = 8 * mult))
     }
     spark.stop()
   }
