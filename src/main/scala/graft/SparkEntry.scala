@@ -97,6 +97,7 @@ object SparkEntry {
     "s14_ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
     "s15_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "s16_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -449,6 +450,117 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rnk
        |  FROM scored
        |)""".stripMargin
+
+  /** Shared generator for the s15/s17 IVF+PQ oracles: the ivfCtes
+    * coarse quantizer (cells + probes vs the final c2), pqLloydCtes
+    * subspace codebooks over candidate sub-points `c` — RAW for s15,
+    * RESIDUAL (xq − assigned coarse cq) for s17 — and the probed-cells
+    * ADC; the residual form adds the exact per-(query, cell) coarse
+    * term q·c_cell to the score (q·x ≈ q·c_cell + q·r̂).
+    */
+  private def ivfPqSql(residual: Boolean): String = {
+    val cCte =
+      if (!residual)
+        "c AS (SELECT vec_id, CAST((pos - 1) // 16 AS INT) AS sub, pos, xq FROM cp)"
+      else
+        """c AS (
+          |  SELECT cp.vec_id, CAST((cp.pos - 1) // 16 AS INT) AS sub, cp.pos,
+          |    cp.xq - cc.cq AS xq
+          |  FROM cp JOIN cells cl ON cp.vec_id = cl.vec_id
+          |  JOIN c2 cc ON cc.cluster = cl.cell AND cc.pos = cp.pos
+          |)""".stripMargin
+    val adcCtes =
+      if (!residual)
+        """adc AS (SELECT p.qid, codes.vec_id, CAST(sum(lutq) AS BIGINT) AS adcq
+          |        FROM codes
+          |        JOIN cells cl ON codes.vec_id = cl.vec_id
+          |        JOIN probes p ON p.cell = cl.cell
+          |        JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+          |          AND lut.qid = p.qid
+          |        WHERE codes.vec_id <> p.qid
+          |        GROUP BY 1, 2)""".stripMargin
+      else
+        """qc AS (SELECT qp.vec_id AS qid, p.cell,
+          |         CAST(sum(qp.xq * cc.cq) AS BIGINT) AS t1q
+          |       FROM qp JOIN probes p ON p.qid = qp.vec_id
+          |       JOIN c2 cc ON cc.cluster = p.cell AND cc.pos = qp.pos
+          |       GROUP BY 1, 2),
+          |radc AS (SELECT p.qid, codes.vec_id, cl.cell,
+          |           CAST(sum(lutq) AS BIGINT) AS rq
+          |         FROM codes
+          |         JOIN cells cl ON codes.vec_id = cl.vec_id
+          |         JOIN probes p ON p.cell = cl.cell
+          |         JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+          |           AND lut.qid = p.qid
+          |         WHERE codes.vec_id <> p.qid
+          |         GROUP BY 1, 2, 3),
+          |adc AS (SELECT radc.qid, radc.vec_id,
+          |          CAST(rq + qc.t1q AS BIGINT) AS adcq
+          |        FROM radc JOIN qc ON qc.qid = radc.qid AND qc.cell = radc.cell)""".stripMargin
+    s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+       |${ivfCtes(8, 2)},
+       |dc AS (
+       |  SELECT cp.vec_id, c.cluster,
+       |    CAST(sum((cp.xq - c.cq) * (cp.xq - c.cq)) AS BIGINT) AS dist2q
+       |  FROM cp JOIN c2 c ON cp.pos = c.pos GROUP BY 1, 2
+       |),
+       |cells AS (
+       |  SELECT vec_id, cluster AS cell FROM (
+       |    SELECT vec_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+       |    FROM dc) r WHERE rn = 1
+       |),
+       |dq AS (
+       |  SELECT qp.vec_id, c.cluster,
+       |    CAST(sum((qp.xq - c.cq) * (qp.xq - c.cq)) AS BIGINT) AS dist2q
+       |  FROM qp JOIN c2 c ON qp.pos = c.pos GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cluster AS cell FROM (
+       |    SELECT vec_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+       |    FROM dq) r WHERE rn <= 4
+       |),
+       |$cCte,
+       |${pqLloydCtes(8, 2)},
+       |enc AS (
+       |  SELECT vec_id, sub, code,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2q, code) AS rn
+       |  FROM (SELECT c.vec_id, c.sub, cb.code,
+       |          CAST(sum((c.xq - cb.cq) * (c.xq - cb.cq)) AS BIGINT) AS dist2q
+       |        FROM c JOIN cb2 cb ON c.sub = cb.sub AND c.pos = cb.pos
+       |        GROUP BY 1, 2, 3) d),
+       |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+       |qsp AS (SELECT vec_id AS qid, CAST((pos - 1) // 16 AS INT) AS sub, pos, xq
+       |        FROM qp),
+       |lut AS (SELECT qid, cb.sub, cb.code, CAST(sum(qsp.xq * cb.cq) AS BIGINT) AS lutq
+       |        FROM qsp JOIN cb2 cb ON qsp.sub = cb.sub AND qsp.pos = cb.pos
+       |        GROUP BY 1, 2, 3),
+       |$adcCtes,
+       |short AS (SELECT qid, vec_id, adcq,
+       |            row_number() OVER (PARTITION BY qid ORDER BY adcq DESC, vec_id) AS srn
+       |          FROM adc),
+       |n AS (SELECT vec_id, list_reduce(
+       |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+       |        (x, y) -> x + y) AS nrm
+       |      FROM embeddings),
+       |rer AS (
+       |  SELECT s.qid, s.vec_id AS cand, s.adcq,
+       |    round(list_reduce(list_transform(list_zip(eq.embedding, ec.embedding),
+       |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)
+       |      / sqrt(nq.nrm * nc.nrm), 6) AS cos
+       |  FROM short s
+       |  JOIN embeddings eq ON eq.vec_id = s.qid
+       |  JOIN embeddings ec ON ec.vec_id = s.vec_id
+       |  JOIN n nq ON nq.vec_id = s.qid
+       |  JOIN n nc ON nc.vec_id = s.vec_id
+       |  WHERE s.srn <= 16),
+       |fin AS (SELECT qid, cand, adcq, cos,
+       |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+       |        FROM rer)
+       |SELECT qid, cand, adcq, cos, rnk FROM fin WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** DuckDB mirror of Bpe.learnMerges: a generated `numMerges`-round
     * iterative CTE chain replaying the published BPE learning loop
@@ -1647,77 +1759,14 @@ object SparkEntry {
     // (the one semantic difference from s10's adc); shortlist + exact
     // re-rank exactly as s10. qsp = the query sub-points (the name qp
     // is ivfCtes' query grid points here).
-    "s15_ann_ivfpq" ->
-      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
-         |${ivfCtes(8, 2)},
-         |dc AS (
-         |  SELECT cp.vec_id, c.cluster,
-         |    CAST(sum((cp.xq - c.cq) * (cp.xq - c.cq)) AS BIGINT) AS dist2q
-         |  FROM cp JOIN c2 c ON cp.pos = c.pos GROUP BY 1, 2
-         |),
-         |cells AS (
-         |  SELECT vec_id, cluster AS cell FROM (
-         |    SELECT vec_id, cluster,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
-         |    FROM dc) r WHERE rn = 1
-         |),
-         |dq AS (
-         |  SELECT qp.vec_id, c.cluster,
-         |    CAST(sum((qp.xq - c.cq) * (qp.xq - c.cq)) AS BIGINT) AS dist2q
-         |  FROM qp JOIN c2 c ON qp.pos = c.pos GROUP BY 1, 2
-         |),
-         |probes AS (
-         |  SELECT vec_id AS qid, cluster AS cell FROM (
-         |    SELECT vec_id, cluster,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
-         |    FROM dq) r WHERE rn <= 4
-         |),
-         |c AS (SELECT vec_id, CAST((pos - 1) // 16 AS INT) AS sub, pos, xq FROM cp),
-         |${pqLloydCtes(8, 2)},
-         |enc AS (
-         |  SELECT vec_id, sub, code,
-         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2q, code) AS rn
-         |  FROM (SELECT c.vec_id, c.sub, cb.code,
-         |          CAST(sum((c.xq - cb.cq) * (c.xq - cb.cq)) AS BIGINT) AS dist2q
-         |        FROM c JOIN cb2 cb ON c.sub = cb.sub AND c.pos = cb.pos
-         |        GROUP BY 1, 2, 3) d),
-         |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
-         |qsp AS (SELECT vec_id AS qid, CAST((pos - 1) // 16 AS INT) AS sub, pos, xq
-         |        FROM qp),
-         |lut AS (SELECT qid, cb.sub, cb.code, CAST(sum(qsp.xq * cb.cq) AS BIGINT) AS lutq
-         |        FROM qsp JOIN cb2 cb ON qsp.sub = cb.sub AND qsp.pos = cb.pos
-         |        GROUP BY 1, 2, 3),
-         |adc AS (SELECT p.qid, codes.vec_id, CAST(sum(lutq) AS BIGINT) AS adcq
-         |        FROM codes
-         |        JOIN cells cl ON codes.vec_id = cl.vec_id
-         |        JOIN probes p ON p.cell = cl.cell
-         |        JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
-         |          AND lut.qid = p.qid
-         |        WHERE codes.vec_id <> p.qid
-         |        GROUP BY 1, 2),
-         |short AS (SELECT qid, vec_id, adcq,
-         |            row_number() OVER (PARTITION BY qid ORDER BY adcq DESC, vec_id) AS srn
-         |          FROM adc),
-         |n AS (SELECT vec_id, list_reduce(
-         |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
-         |        (x, y) -> x + y) AS nrm
-         |      FROM embeddings),
-         |rer AS (
-         |  SELECT s.qid, s.vec_id AS cand, s.adcq,
-         |    round(list_reduce(list_transform(list_zip(eq.embedding, ec.embedding),
-         |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)
-         |      / sqrt(nq.nrm * nc.nrm), 6) AS cos
-         |  FROM short s
-         |  JOIN embeddings eq ON eq.vec_id = s.qid
-         |  JOIN embeddings ec ON ec.vec_id = s.vec_id
-         |  JOIN n nq ON nq.vec_id = s.qid
-         |  JOIN n nc ON nc.vec_id = s.vec_id
-         |  WHERE s.srn <= 16),
-         |fin AS (SELECT qid, cand, adcq, cos,
-         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
-         |        FROM rer)
-         |SELECT qid, cand, adcq, cos, rnk FROM fin WHERE rnk <= 3
-         |ORDER BY qid, rnk""".stripMargin,
+    "s15_ann_ivfpq" -> ivfPqSql(residual = false),
+
+    // s17: the FAISS-default residual variant — the PQ chain trains on
+    // and encodes x − c_cell (the c CTE subtracts the assigned coarse
+    // centroid), and the ADC score adds the exact per-(query, cell)
+    // coarse term q·c_cell; everything else is s15's chain verbatim
+    // (one generator, two queries).
+    "s17_ann_ivfpq_res" -> ivfPqSql(residual = true),
 
     // s16: the corpus k-NN graph — s11's trained assignment partitions
     // the corpus into cells, neighbors are searched within the cell

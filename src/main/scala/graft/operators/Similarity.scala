@@ -756,10 +756,14 @@ object Similarity {
     * bit-identical across engines — which is what lets the combined
     * index carry a full DuckDB hash oracle (s15).
     *
-    * With nProbe = k (probe everything) this degenerates to exactly
-    * [[annPq]] — the codebooks train on the same candidate set — and
-    * SimilaritySpec pins that equality, so the cell routing is
-    * PROVABLY only a candidate filter, never a scoring change.
+    * With nProbe = k (probe everything) and `residual = false` this
+    * degenerates to exactly [[annPq]] — the codebooks train on the
+    * same candidate set — and SimilaritySpec pins that equality, so
+    * the cell routing is PROVABLY only a candidate filter, never a
+    * scoring change. `residual = true` is the FAISS-default variant:
+    * PQ trains on and encodes x − c_cell, and the ADC score adds the
+    * exact per-(query, probed-cell) coarse term q·c_cell (gated
+    * separately as s17).
     *
     * Scale shape: coarse training + cell assignment are the s03
     * broadcast-Lloyd passes; PQ training + encode are the s10
@@ -771,7 +775,8 @@ object Similarity {
     */
   def annIvfPq(spark: SparkSession, sfDir: String, k: Int = 8,
       nProbe: Int = 4, m: Int = 4, ksub: Int = 8, dims: Int = 64,
-      shortlist: Int = 16, topK: Int = 3, iters: Int = 2): DataFrame = {
+      shortlist: Int = 16, topK: Int = 3, iters: Int = 2,
+      residual: Boolean = false): DataFrame = {
     import spark.implicits._
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val emb = Tables.embeddings(spark, sfDir)
@@ -784,6 +789,7 @@ object Similarity {
     var cent = lloydAverage(candPts, lloydAssign(candPts, seedCent))
     for (_ <- 2 to iters) cent = lloydAverage(candPts, lloydAssign(candPts, cent))
     cent = graft.Caches.track(cent)
+    val cellCent = cent.select($"cluster".as("cell"), $"pos", $"cq")
     val cells = lloydAssign(candPts, cent)
       .select($"vec_id", $"cluster".as("cell"))
     // cached: the query explode feeds the probe ranking AND the LUT
@@ -796,9 +802,20 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
       .select($"vec_id".as("qid"), $"cluster".as("cell"))
     // —— PQ codebooks: pqTrain/pqAssign over the SAME candidates ——
+    // residual=true (the FAISS default): the codebooks train on and
+    // encode x − c_cell (what's LEFT after the coarse quantizer), so
+    // the ksub entries spend their resolution on within-cell structure
+    // instead of re-describing the cell centroids. One GLOBAL residual
+    // codebook (FAISS's layout); exact integer subtraction on the
+    // 1e-6 grid, so determinism is unchanged.
     val sw = dims / m
+    val pqInput =
+      if (!residual) candPts
+      else candPts.join(cells, "vec_id")
+        .join(broadcast(cellCent), Seq("cell", "pos"))
+        .select($"vec_id", $"pos", ($"xq" - $"cq").as("xq"))
     val subPts = graft.Caches.track(
-      candPts.withColumn("sub", (($"pos" - 1) / sw).cast("int")))
+      pqInput.withColumn("sub", (($"pos" - 1) / sw).cast("int")))
     val codebook = graft.Caches.track(pqTrain(subPts, ksub, iters))
     val codes = pqAssign(subPts, codebook)
     val lut = qPts.withColumn("sub", (($"pos" - 1) / sw).cast("int"))
@@ -812,9 +829,25 @@ object Similarity {
     val routed = codes.join(cells, "vec_id")
       .join(broadcast(probes), "cell")
       .filter($"vec_id" =!= $"qid")
-    val adc = routed.join(broadcast(lut), Seq("qid", "sub", "code"))
-      .groupBy($"qid", $"vec_id")
-      .agg(sum($"lutq").as("adcq"))
+    // residual scoring decomposes exactly: q·x ≈ q·c_cell + q·r̂, the
+    // first term one Σ q·c per probed (qid, cell) — LUT stays global
+    val adc =
+      if (!residual)
+        routed.join(broadcast(lut), Seq("qid", "sub", "code"))
+          .groupBy($"qid", $"vec_id")
+          .agg(sum($"lutq").as("adcq"))
+      else {
+        val qcell = qPts.withColumnRenamed("vec_id", "qid")
+          .join(broadcast(probes), "qid")
+          .join(broadcast(cellCent), Seq("cell", "pos"))
+          .groupBy($"qid", $"cell")
+          .agg(sum($"xq" * $"cq").as("t1q"))
+        routed.join(broadcast(lut), Seq("qid", "sub", "code"))
+          .groupBy($"qid", $"vec_id", $"cell")
+          .agg(sum($"lutq").as("rq"))
+          .join(broadcast(qcell), Seq("qid", "cell"))
+          .select($"qid", $"vec_id", ($"rq" + $"t1q").as("adcq"))
+      }
     val wShort = Window.partitionBy($"qid").orderBy($"adcq".desc, $"vec_id")
     val short = adc.withColumn("srn", row_number().over(wShort))
       .filter($"srn" <= shortlist)

@@ -244,6 +244,40 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     recall should be >= 0.7
   }
 
+  test("residual ivfpq: same probe universe, exact re-rank cosines, recall holds") {
+    val sf01 = "/root/testdata/sf0.01"
+    // the residual variant changes SCORING only — candidates still
+    // come from the same probed cells
+    val ivfAll = Similarity.annIvf(spark, sf01, topK = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.annIvfPq(spark, sf01, residual = true).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val p = (r.getLong(0), r.getLong(r.fieldIndex("cand")))
+      withClue(s"pair $p: ") { ivfAll should contain(p) }
+    }
+    // survivors' cosines are the exact brute-force values (ADC only
+    // shortlists; the re-rank must never distort)
+    val exact = Similarity.annBruteForce(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(r.fieldIndex("cand")))
+      exact.get(key).foreach { c =>
+        withClue(s"pair $key: ") {
+          r.getDouble(r.fieldIndex("cos")) shouldBe c
+        }
+      }
+    }
+    // recall@3: residual codebooks spend their resolution on
+    // within-cell structure — must hold the non-residual floor
+    val truth = Similarity.annBruteForce(spark, sf01).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll(spark)
+    val got = rows.map(r => (r.getLong(0), r.getLong(r.fieldIndex("cand")))).toSet
+    truth.intersect(got).size.toDouble / truth.size should be >= 0.7
+  }
+
   test("knnGraph: within-cell top-k for EVERY populated vector, exact cosines") {
     val rows = Similarity.knnGraph(spark, sf).collect()
     graft.Caches.releaseAll(spark)
