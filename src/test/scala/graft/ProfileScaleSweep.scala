@@ -182,6 +182,10 @@ object ProfileScaleSweep {
       // sharded rank — linear, no funnel), and CDC chunking (per-doc
       // lag windows + one (doc_id, chunk_no) groupBy — linear)
       time("ann_ivfpq")(Similarity.annIvfPq(spark, dir))
+      // the residual variant adds one candidate-side subtraction join
+      // at train/encode time and one broadcast q·c_cell join at score
+      // time — the curve should track ann_ivfpq's
+      time("ann_ivfpq_res")(Similarity.annIvfPq(spark, dir, residual = true))
       time("perplexity_bucket")(TextAnalysis.perplexityBucket(spark, dir))
       time("cdc_chunks")(TextAnalysis.cdcChunks(spark, dir))
       // s16 follows the d15 sizing contract: k grows with the corpus
