@@ -168,6 +168,7 @@ object SparkEntry {
     "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "m10_resize_gate" -> (Multimodal.resizeGate _),
+    "m11_png_gate" -> (Multimodal.pngChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -2654,6 +2655,25 @@ object SparkEntry {
     // checksum ((acc*31+px) % 1e9+7) via list_reduce.
     "m05_raster_gate" ->
       """SELECT doc_id, 'pgm' AS format, 8 AS width, 8 AS height,
+        |  1 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, 65), i ->
+        |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
+
+    // m11: REAL PNG decode under the gate — the Spark side encodes
+    // each document's 64-byte text prefix as a genuine
+    // DEFLATE-compressed PNG (per-row filter varying (doc_id+y)%5, so
+    // all five PNG filters appear across the corpus), decodes it with
+    // decodePngPixels (JDK Inflater + the five unfilter branches +
+    // chunk CRC verification), and fingerprints the canonical pixels;
+    // the oracle recomputes each pixel with ord() on the text prefix,
+    // never seeing a compressed byte. Identical pixel math to m05 —
+    // only the container (and therefore the decode chain under test)
+    // differs.
+    "m11_png_gate" ->
+      """SELECT doc_id, 'png' AS format, 8 AS width, 8 AS height,
         |  1 AS channels,
         |  list_reduce([CAST(0 AS BIGINT)] ||
         |    list_transform(range(1, 65), i ->

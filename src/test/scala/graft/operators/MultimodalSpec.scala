@@ -782,4 +782,140 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(2).height shouldBe stub(2).height
     out.map(_.checksum).toSeq shouldBe stub.map(_.checksum).toSeq
   }
+
+  // —— PNG: real DEFLATE decode (m11 slice) ——
+
+  private def detRandom(seed: Int, n: Int): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(r.nextInt(256).toByte)
+  }
+
+  test("decodePng: every filter type round-trips gray/RGB/RGBA goldens") {
+    for (ch <- Seq(1, 3, 4); ft <- 0 to 4) {
+      val px = detRandom(ch * 100 + ft, 4 * 3 * ch)
+      val bytes = Multimodal.encodePng(4, 3, ch, px, _ => ft)
+      val img = Multimodal.decodeRasterPixels(bytes).get
+      (img.format, img.width, img.height, img.channels) shouldBe
+        (("png", 4, 3, ch))
+      withClue(s"ch=$ch filter=$ft: ") { img.pixels.toSeq shouldBe px.toSeq }
+    }
+  }
+
+  test("decodePng: per-row varied filters, edge sizes (w=1, h=1) round-trip") {
+    for (ch <- Seq(1, 3, 4); (w, h) <- Seq((1, 7), (7, 1), (5, 5), (1, 1))) {
+      val px = detRandom(ch * 1000 + w * 10 + h, w * h * ch)
+      val bytes = Multimodal.encodePng(w, h, ch, px, y => (y + ch) % 5)
+      val img = Multimodal.decodeRasterPixels(bytes).get
+      withClue(s"ch=$ch ${w}x$h: ") { img.pixels.toSeq shouldBe px.toSeq }
+    }
+  }
+
+  test("decodePng: agrees with the JDK's own ImageIO decoder (independent)") {
+    // ImageIO is an INDEPENDENT PNG implementation — if encodePng and
+    // decodePngPixels shared a filter-arithmetic bug, this catches it.
+    for (ch <- Seq(1, 3); ft <- 0 to 4) {
+      val w = 6; val h = 5
+      val px = detRandom(ch * 7 + ft, w * h * ch)
+      val bytes = Multimodal.encodePng(w, h, ch, px, y => (y + ft) % 5)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      bi should not be null
+      // raw raster samples — getRGB would colorspace-convert gray
+      val raster = bi.getRaster
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until ch) {
+        withClue(s"ch=$ch ft=$ft ($x,$y) band $b: ") {
+          raster.getSample(x, y, b) shouldBe (px((y * w + x) * ch + b) & 0xff)
+        }
+      }
+    }
+  }
+
+  test("decodePng: malformed streams reject without throwing") {
+    val px = detRandom(42, 4 * 4)
+    val good = Multimodal.encodePng(4, 4, 1, px, y => y % 5)
+    Multimodal.decodeRasterPixels(good) should not be None
+    // corrupt one IDAT payload byte → chunk CRC fails
+    val crcBad = good.clone()
+    crcBad(8 + 25 + 8 + 2) = (crcBad(8 + 25 + 8 + 2) ^ 0x01).toByte
+    Multimodal.decodeRasterPixels(crcBad) shouldBe None
+    // truncation anywhere in the chunk frame
+    Multimodal.decodeRasterPixels(good.take(good.length - 13)) shouldBe None
+    Multimodal.decodeRasterPixels(good.take(30)) shouldBe None
+    // interlace flag → out of slice
+    val inter = good.clone(); inter(28) = 1
+    Multimodal.decodeRasterPixels(inter) shouldBe None
+    // 16-bit depth and paletted color are out of slice (fix CRC so the
+    // rejection is the slice check, not the CRC)
+    def withIhdr(mut: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mut(b)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 17)
+      val v = crc.getValue.toInt
+      b(29) = (v >>> 24).toByte; b(30) = (v >>> 16).toByte
+      b(31) = (v >>> 8).toByte; b(32) = v.toByte
+      b
+    }
+    Multimodal.decodeRasterPixels(withIhdr(_(24) = 16)) shouldBe None
+    Multimodal.decodeRasterPixels(withIhdr(_(25) = 3)) shouldBe None
+    // declared dims not matching the inflated size → malformed
+    Multimodal.decodeRasterPixels(withIhdr { b =>
+      b(16) = 0; b(17) = 0; b(18) = 0; b(19) = 5 // width 5, data for 4
+    }) shouldBe None
+    // garbage where the DEFLATE stream should be (valid chunk CRC)
+    val rawLen = good.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 8 + 25) // sig + IHDR
+    val junk = detRandom(7, 20)
+    out.write(Array[Byte](0, 0, 0, 20))
+    out.write("IDAT".getBytes("US-ASCII"))
+    out.write(junk)
+    val c2 = new java.util.zip.CRC32
+    c2.update("IDAT".getBytes("US-ASCII")); c2.update(junk)
+    val cv = c2.getValue.toInt
+    out.write(Array((cv >>> 24).toByte, (cv >>> 16).toByte,
+      (cv >>> 8).toByte, cv.toByte))
+    out.write(good, rawLen - 12, 12) // IEND
+    Multimodal.decodeRasterPixels(out.toByteArray) shouldBe None
+  }
+
+  test("decodePng: ancillary chunks are skipped; split IDAT concatenates") {
+    val px = detRandom(9, 3 * 3)
+    val good = Multimodal.encodePng(3, 3, 1, px, _ => 4)
+    // splice a tEXt chunk between IHDR and IDAT, and split the IDAT
+    // payload into two chunks — both legal per the spec
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val tb = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      be(data.length) ++ tb ++ data ++ be(crc.getValue.toInt)
+    }
+    val idatLen = ((good(8 + 25) & 0xff) << 24) |
+      ((good(8 + 26) & 0xff) << 16) | ((good(8 + 27) & 0xff) << 8) |
+      (good(8 + 28) & 0xff)
+    val idat = good.slice(8 + 25 + 8, 8 + 25 + 8 + idatLen)
+    val (ia, ib) = idat.splitAt(idatLen / 2)
+    val rebuilt = good.take(8 + 25) ++
+      chunk("tEXt", "comment graft".getBytes("ISO-8859-1")) ++
+      chunk("IDAT", ia) ++ chunk("IDAT", ib) ++ chunk("IEND", Array.emptyByteArray)
+    val img = Multimodal.decodeRasterPixels(rebuilt).get
+    img.pixels.toSeq shouldBe px.toSeq
+  }
+
+  test("rasterFeatures + perceptual/resize compose over PNG inputs") {
+    import spark.implicits._
+    val px = detRandom(11, 8 * 8)
+    val pgm = "P5\n8 8\n255\n".getBytes("ISO-8859-1") ++ px
+    val png = Multimodal.encodePng(8, 8, 1, px, y => y % 5)
+    val ds = Seq(MediaRow(1, "image", pgm), MediaRow(2, "image", png)).toDS()
+    // same pixels, two containers → one pixel_checksum (content dedup)
+    val feats = Multimodal.rasterFeatures(ds).collect().sortBy(_.media_id)
+    feats(0).pixel_checksum shouldBe feats(1).pixel_checksum
+    feats(1).format shouldBe "png"
+    // perceptual hashes agree across containers for the same content
+    val ph = Multimodal.perceptualFeatures(ds).collect().sortBy(_.media_id)
+    ph(0).ahash shouldBe ph(1).ahash
+    ph(0).dhash shouldBe ph(1).dhash
+  }
 }
