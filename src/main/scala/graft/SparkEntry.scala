@@ -97,6 +97,7 @@ object SparkEntry {
     "s14_ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
     "s15_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "s16_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "s18_ann_beam" -> ((s: SparkSession, d: String) => Similarity.annBeam(s, d)),
     "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
@@ -451,6 +452,79 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rnk
        |  FROM scored
        |)""".stripMargin
+
+  /** DuckDB mirror of Similarity.annBeam (s18): KnnCtes supplies the
+    * trained cells (fin/asg), norms and within-cell ranked edges —
+    * the literal s16 graph — then the beam search unrolls to a fixed
+    * CTE chain: entry = each query's `nEntry` nearest cells (ranked
+    * in `fin`, the all-pairs exact distances to the final centroids)
+    * entered at the cell medoid; each hop materializes frontier
+    * (per-query top-`beam` of visited), expansion through the edge
+    * list, a NOT EXISTS anti-join against visited, exact rounded-
+    * cosine scoring of the fresh vertices, and the growing visited
+    * union. AS MATERIALIZED on every multiply-referenced CTE — the
+    * bpeSql lesson (without it the plan re-expands 2^hops times).
+    */
+  private def beamSql(nEntry: Int, beam: Int, hops: Int, topK: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $KnnCtes,\n"
+    sb ++= "edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rnk <= 3),\n"
+    sb ++= """med AS MATERIALIZED (
+             |  SELECT cluster, vec_id AS cand FROM (
+             |    SELECT a.cluster, a.vec_id,
+             |      row_number() OVER (PARTITION BY a.cluster
+             |        ORDER BY f.dist2q, a.vec_id) AS rn
+             |    FROM asg a JOIN fin f
+             |      ON f.vec_id = a.vec_id AND f.cluster = a.cluster) r
+             |  WHERE rn = 1),
+             |""".stripMargin
+    sb ++= s"""qc AS (
+              |  SELECT vec_id AS qid, cluster FROM (
+              |    SELECT vec_id, cluster,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+              |    FROM fin WHERE vec_id < 8) r WHERE rn <= $nEntry),
+              |v0 AS (SELECT DISTINCT qc.qid, m.cand FROM qc JOIN med m ON qc.cluster = m.cluster),
+              |""".stripMargin
+    // scoring a (qid, cand) frame: exact dot via the e expansion, then
+    // one rounded IEEE division by the norms (the s01/s16 discipline)
+    def scoreCtes(tag: String, src: String): String =
+      s"""ds$tag AS (
+         |  SELECT w.qid, w.cand, sum(eq.x * ec.x) AS dp
+         |  FROM $src w JOIN e eq ON eq.vec_id = w.qid
+         |  JOIN e ec ON ec.vec_id = w.cand AND ec.i = eq.i
+         |  GROUP BY 1, 2),
+         |ns$tag AS (
+         |  SELECT ds.qid, ds.cand, round(ds.dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM ds$tag ds JOIN n nq ON nq.vec_id = ds.qid
+         |  JOIN n nc ON nc.vec_id = ds.cand)""".stripMargin
+    sb ++= scoreCtes("0", "v0")
+    sb ++= ",\nvis0 AS MATERIALIZED (SELECT * FROM ns0)"
+    for (i <- 1 to hops) {
+      sb ++= s""",
+                |fr$i AS (
+                |  SELECT qid, cand FROM (
+                |    SELECT qid, cand,
+                |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rn
+                |    FROM vis${i - 1}) r WHERE rn <= $beam),
+                |nw$i AS MATERIALIZED (
+                |  SELECT DISTINCT f.qid, ed.dst AS cand
+                |  FROM fr$i f JOIN edges ed ON ed.src = f.cand
+                |  WHERE NOT EXISTS (SELECT 1 FROM vis${i - 1} v
+                |                    WHERE v.qid = f.qid AND v.cand = ed.dst)),
+                |""".stripMargin
+      sb ++= scoreCtes(i.toString, s"nw$i")
+      sb ++= s""",
+                |vis$i AS MATERIALIZED (
+                |  SELECT * FROM vis${i - 1} UNION ALL SELECT * FROM ns$i)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT qid, cand, cos, rnk FROM (
+              |  SELECT qid, cand, cos,
+              |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+              |  FROM vis$hops WHERE cand <> qid) r
+              |WHERE rnk <= $topK ORDER BY qid, rnk""".stripMargin
+    sb.result()
+  }
 
   /** Shared generator for the s15/s17 IVF+PQ oracles: the ivfCtes
     * coarse quantizer (cells + probes vs the final c2), pqLloydCtes
@@ -1777,6 +1851,14 @@ object SparkEntry {
       s"""WITH $KnnCtes
          |SELECT src, dst, cell, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY src, rnk""".stripMargin,
+
+    // s18: graph-ANN beam search — the s16 graph searched by a
+    // bounded best-first traversal (entry = nEntry nearest cells'
+    // medoids, `hops` expand/score/prune rounds, exact re-rank of the
+    // visited set); the whole search unrolls to an iterative CTE
+    // chain over the shared KnnCtes, so the traversal itself is
+    // hash-gated, not just its ingredients
+    "s18_ann_beam" -> beamSql(nEntry = 2, beam = 4, hops = 2, topK = 5),
 
     // d22: mutual-kNN canonicalize — the s16 top-3 edges, kept only
     // when BOTH endpoints list each other (the symmetric criterion

@@ -902,6 +902,18 @@ object Similarity {
     import spark.implicits._
     val cells = corpusAssign(spark, sfDir, k, iters)
       .select($"vec_id", $"cluster".as("cell"))
+    knnEdgesFrom(spark, sfDir, cells, kNeighbors, maxCellPop)
+  }
+
+  /** [[knnEdges]] from a PRECOMPUTED cell assignment — the split that
+    * lets [[annBeam]] share one Lloyd training pass between the graph
+    * build and its entry-point selection instead of running the
+    * quantizer twice.
+    */
+  private[operators] def knnEdgesFrom(spark: SparkSession, sfDir: String,
+      cells: DataFrame, kNeighbors: Int,
+      maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
+    import spark.implicits._
     // cached: both sides of the within-cell pair join read this frame
     val v = graft.Caches.track(
       Tables.embeddings(spark, sfDir)
@@ -934,6 +946,113 @@ object Similarity {
     * inside s01/s02 themselves. Both sides and the recall division are
     * oracle-reproducible (one exact IEEE division, round 6).
     */
+  /** Graph-ANN beam search (s18) — the graph-traversal index family
+    * (HNSW/NSG class), the production default the s-family's
+    * LSH/IVF/PQ entries don't cover. The INDEX is the s16 corpus
+    * k-NN graph itself (same trained cells, same within-cell
+    * top-`kNeighbors` edges — one shared Lloyd pass); the SEARCH is
+    * a bounded best-first traversal flattened to Spark's execution
+    * model: instead of a per-query priority queue, `hops` synchronous
+    * rounds of (expand frontier through the edge list → score fresh
+    * vertices exactly → keep the per-query top-`beam`), which is the
+    * o15 bounded driver-loop shape and therefore carries a full
+    * DuckDB iterative-CTE oracle.
+    *
+    * Entry points: each query's `nEntry` nearest coarse cells (exact
+    * integer-grid distance to the FINAL Lloyd centroids, the same
+    * ranking the s03 probe uses), entered at the cell MEDOID (the
+    * member minimizing (dist2q, vec_id) — deterministic, and already
+    * computed by the assignment). Every visited vertex is scored with
+    * the exact rounded cosine, so the final top-`topK` is an exact
+    * re-rank of the visited set — approximation lives only in WHICH
+    * vertices get visited, never in their scores.
+    *
+    * Determinism: rounded cosines + vec_id tiebreaks at every prune
+    * (frontier, beam, final rank); self-visits (a query entering its
+    * own cell's medoid = itself) stay in the visited set for the
+    * traversal but are filtered from the ranked output.
+    *
+    * Scale shape: the graph build is s16's audited plan (cell-keyed
+    * pair join with the in-plan population guard); each hop is ONE
+    * equi-join frontier×edges (≤ queries·beam·kNeighbors rows), one
+    * anti-join against visited, one broadcast-query scoring join —
+    * per-query state is ≤ nEntry + hops·beam·kNeighbors rows
+    * (parameters, not data), so windows partition by qid over a
+    * constant population and NOTHING corpus-global materializes
+    * during search. At 100 TB the corpus cost is the one-time s16
+    * graph build; per-query search touches O(hops·beam·kNeighbors)
+    * vertices exactly like a single-node HNSW descent.
+    */
+  def annBeam(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3, nEntry: Int = 2, beam: Int = 4,
+      hops: Int = 2, topK: Int = 5,
+      maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    // —— shared Lloyd pass (the s16/corpusAssign machinery) ——
+    // cached: seed slice + every Lloyd half + final assignment + the
+    // query-to-centroid probe all read the explode
+    val ptsAll = graft.Caches.track(gridPoints(emb))
+    val seedCent = ptsAll.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cluster"), $"pos", $"xq".as("cq"))
+    var cent = lloydAverage(ptsAll, lloydAssign(ptsAll, seedCent))
+    for (_ <- 2 to iters) cent = lloydAverage(ptsAll, lloydAssign(ptsAll, cent))
+    cent = graft.Caches.track(cent)
+    // cached: feeds the graph build, the medoid window, and (for the
+    // queries) nothing else — one Lloyd assignment total
+    val assign = graft.Caches.track(lloydAssign(ptsAll, cent))
+    // —— the s16 graph over the shared assignment ——
+    val edges = graft.Caches.track(
+      knnEdgesFrom(spark, sfDir,
+        assign.select($"vec_id", $"cluster".as("cell")), kNeighbors, maxCellPop)
+        .select($"src", $"dst"))
+    // —— entry points: nEntry nearest cells' medoids per query ——
+    // medoid window population = cell size (guarded in the graph build)
+    val wMed = Window.partitionBy($"cluster").orderBy($"dist2q", $"vec_id")
+    val med = assign.withColumn("rn", row_number().over(wMed))
+      .filter($"rn" === 1).select($"cluster", $"vec_id".as("cand"))
+    // query-to-centroid ranking: same exact integer grid as the
+    // assignment itself (queries are corpus members, so rn=1 IS their
+    // assigned cell; rn<=nEntry generalizes it to a multi-probe)
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
+    val entry = ptsAll.filter($"vec_id" < 8)
+      .join(broadcast(cent), "pos")
+      .groupBy($"vec_id", $"cluster")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nEntry)
+      .select($"vec_id".as("qid"), $"cluster")
+      .join(med, "cluster")
+      .select($"qid", $"cand").distinct()
+    // —— exact scorer: broadcast the 8 query vectors ——
+    val vn = graft.Caches.track(
+      emb.select($"vec_id", $"embedding", norm2($"embedding").as("nrm")))
+    val qv = vn.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(vn, pairs("cand") === vn("vec_id"))
+      .join(broadcast(qv), "qid")
+      .select($"qid", $"cand",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    // —— hops rounds of expand → anti-join → score → beam-prune ——
+    val wBeam = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    var visited = graft.Caches.track(score(entry))
+    for (_ <- 1 to hops) {
+      val frontier = visited.withColumn("rn", row_number().over(wBeam))
+        .filter($"rn" <= beam).select($"qid", $"cand")
+      val expand = frontier.join(edges, frontier("cand") === edges("src"))
+        .select($"qid", $"dst".as("cand")).distinct()
+      val fresh = expand.join(visited, Seq("qid", "cand"), "left_anti")
+      // cached: next round's frontier AND anti-join AND union all read it
+      visited = graft.Caches.track(visited.unionByName(score(fresh)))
+    }
+    // exact re-rank of everything visited; self-visits drop here
+    visited.filter($"cand" =!= $"qid")
+      .withColumn("rnk", row_number().over(wBeam).cast("int"))
+      .filter($"rnk" <= topK)
+      .orderBy($"qid", $"rnk")
+  }
+
   def annRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val truth = annBruteForce(spark, sfDir).filter($"rnk" <= k)

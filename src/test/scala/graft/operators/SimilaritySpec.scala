@@ -316,6 +316,51 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("annBeam: exact cosines, contiguous ranks, recall@3 >= 0.8 vs full-corpus truth") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Similarity.annBeam(spark, sf01).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    // structural: no self-results, contiguous per-query ranks from 1
+    rows.foreach(r => r.getLong(1) should not be r.getLong(0))
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.length should be <= 5
+      rs.map(_.getInt(3)).sorted.toSeq shouldBe (1 to rs.length)
+    }
+    // the beam search corpus is ALL vectors (the s16 graph), so truth
+    // is the full-corpus brute force — queries excluded as candidates
+    // of themselves only
+    val emb = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm2(col("embedding")).as("nrm"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(Similarity.dot(col("q_emb"), col("embedding")) /
+          sqrt(col("q_nrm") * col("nrm")), 6).as("cos"))
+      .collect()
+    // every returned cosine is the exact brute-force value — the
+    // approximation is WHICH vertices get visited, never their score
+    val bruteCos = scored.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      withClue(s"(${r.getLong(0)},${r.getLong(1)}): ") {
+        r.getDouble(2) shouldBe bruteCos((r.getLong(0), r.getLong(1)))
+      }
+    }
+    // recall@3: graph traversal from 2 entry cells, beam 4, 2 hops
+    val truth = scored.groupBy(_.getLong(0)).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3)
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }.toSet
+    val got = rows.filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    withClue(s"recall@3 = $recall: ") { recall should be >= 0.8 }
+  }
+
   test("annFiltered: label invariant, contiguous ranks, equals the interpreted-fold reference") {
     val rows = Similarity.annFiltered(spark, sf).collect()
     rows should not be empty
