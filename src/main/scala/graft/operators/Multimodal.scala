@@ -1620,19 +1620,34 @@ object Multimodal {
     * stopword). At the 16-frame default the band space is 32 values —
     * a PRODUCTION corpus widens `frames` first (the band width grows
     * with it) so buckets stay selective before the cap has to bite.
+    *
+    * Two-tier sizing contract, IN THE PLAN: the cap handles individual
+    * degenerate buckets (stopword semantics — silent, bounded drop);
+    * the [[Sizing.guardKeyPopulation]] guard at `maxBandPop` (10× the
+    * cap by default) catches the SYSTEMIC failure the cap would mask —
+    * a band space so narrow for the corpus that typical buckets go
+    * stopword-hot and the cap silently deletes recall wholesale. That
+    * state fails the query naming `frames` (more frames = wider bands
+    * = a bigger bucket space) instead of returning a quietly emptied
+    * pair set.
     */
   def audioNearDup(spark: SparkSession, sfDir: String,
       frames: Int = 16,
-      maxBucket: Long = Dedup.MaxHammingBucket): DataFrame = {
+      maxBucket: Long = Dedup.MaxHammingBucket,
+      maxBandPop: Long = 10 * Dedup.MaxHammingBucket): DataFrame = {
     import spark.implicits._
     val fp = audioFingerprints(docWavRows(spark, sfDir), frames)
     val w = (frames - 1 + 2) / 3 // band width: ceil(bits / 3)
-    val banded = fp.select($"doc_id", $"ehash",
+    // cached: the guard's count+probe reads plus both self-join sides
+    // would otherwise re-run the WAV decode per plan branch
+    val banded = graft.Caches.track(fp.select($"doc_id", $"ehash",
       posexplode(array(
         $"ehash".bitwiseAND(lit((1L << w) - 1)),
         shiftright($"ehash", w).bitwiseAND(lit((1L << w) - 1)),
-        shiftright($"ehash", 2 * w))).as(Seq("band", "bucket")))
-    Dedup.cappedSelfJoinPairs(banded, Seq("band", "bucket"), maxBucket)
+        shiftright($"ehash", 2 * w))).as(Seq("band", "bucket"))))
+    val guarded = Sizing.guardKeyPopulation(banded, Seq("band", "bucket"),
+      maxBandPop, "audioNearDup", "band-bucket", "frames")
+    Dedup.cappedSelfJoinPairs(guarded, Seq("band", "bucket"), maxBucket)
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
         expr("bit_count(x.ehash ^ y.ehash)").cast("int").as("hamming"))
       .filter($"hamming" <= 2)

@@ -88,6 +88,22 @@ object Sizing {
       ceilDiv(corpusCount, targetCell))).toInt
   }
 
+  /** Smallest audio fingerprint frame count whose 3-band bucket space
+    * keeps the EXPECTED per-(band, bucket) population
+    * corpus / 2^bandWidth ≤ targetBucket — the m09 sizing rule: the
+    * fingerprint carries frames−1 gradient bits split into 3 equal
+    * bands, so bandWidth = ceil((frames−1)/3) and widening `frames`
+    * is how the bucket space grows with the corpus (the guard in
+    * `Multimodal.audioNearDup` names this helper when it fires).
+    */
+  def suggestFrames(corpusCount: Long,
+      targetBucket: Long = MaxPairKeyPopulation): Int = {
+    require(corpusCount >= 0 && targetBucket > 0,
+      s"corpusCount=$corpusCount targetBucket=$targetBucket")
+    val bandWidth = math.max(5, ceilLog2(ceilDiv(corpusCount, targetBucket)))
+    3 * bandWidth + 1 // frames − 1 bits = 3 bands × bandWidth
+  }
+
   /** Smallest shard count with expected per-shard population
     * corpusRows/shards ≤ rowsPerShard — pack parallelism scales with
     * the corpus, the per-shard sequential span stays bounded.

@@ -103,6 +103,37 @@ class SizingSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("audioNearDup guard fires when frames is undersized; sized default silent") {
+    // undersized: any populated (band, bucket) key over the bound fails
+    // naming `frames` (the band-space parameter) and suggestFrames
+    failsNaming("`frames`") {
+      Multimodal.audioNearDup(spark, sf, maxBandPop = 1L).collect()
+    }
+    graft.Caches.releaseAll(spark)
+    // sized: the default bound passes rows through — same pair set as a
+    // run with the guard effectively disabled
+    val sized = Multimodal.audioNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll(spark)
+    val unguarded = Multimodal.audioNearDup(spark, sf, maxBandPop = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll(spark)
+    sized shouldBe unguarded
+  }
+
+  test("suggestFrames keeps the expected band population under the target") {
+    // 3.2M media at the 100k target: 5-bit bands (the m09 default
+    // shape) are exactly saturated — suggestFrames holds the floor
+    Sizing.suggestFrames(3200000L) shouldBe 16
+    // 10x the corpus: one more bit per band hits the ceilLog2 growth
+    val f = Sizing.suggestFrames(32000000L)
+    f shouldBe 28
+    val bandWidth = (f - 1) / 3
+    (32000000L >> bandWidth) should be <= Sizing.MaxPairKeyPopulation
+    // tiny corpora never shrink below the 16-frame default shape
+    Sizing.suggestFrames(100L) shouldBe 16
+  }
+
   test("incrementalEmbedOverlap guard fires on the history side only") {
     failsNaming("`planes`") {
       Dedup.incrementalEmbedOverlap(spark, sf, maxBucketPop = 1L).collect()
