@@ -54,6 +54,19 @@ object ProfileScaleSweep {
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val nBase = base.count()
 
+    // GraphX warm-up: one throwaway pregel CC before ANY timed row —
+    // GraphX class-loading + closure-serializer JIT otherwise lands
+    // entirely on the first mutual_knn timing (the 1x row), which made
+    // the r10 sweep table read super-linear when the 4x point ran
+    // FASTER warm (6.55/4.96/12.86 s). Min-of-3 can't wash it out: all
+    // three 1x repeats sit in the same cold JVM.
+    {
+      val gEdges = spark.sparkContext.parallelize(
+        Seq(org.apache.spark.graphx.Edge(1L, 2L, 1), org.apache.spark.graphx.Edge(2L, 3L, 1)))
+      org.apache.spark.graphx.Graph.fromEdges(gEdges, 0)
+        .connectedComponents().vertices.count()
+    }
+
     for (mult <- Seq(1, 4, 10)) {
       val dir = s"/tmp/graft_scale_${mult}x"
       val enlarged = (0 until mult).map { r =>
