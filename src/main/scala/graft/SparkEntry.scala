@@ -130,6 +130,7 @@ object SparkEntry {
     "t23_perplexity_bucket" -> ((s: SparkSession, d: String) => TextAnalysis.perplexityBucket(s, d)),
     "t24_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
     "t25_countmin" -> ((s: SparkSession, d: String) => TextAnalysis.countMin(s, d)),
+    "t26_heavy_hitters" -> (TextAnalysis.heavyHittersGate _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -2332,6 +2333,33 @@ object SparkEntry {
          |      FROM x)
          |SELECT d, col, CAST(count(*) AS BIGINT) AS cnt
          |FROM c GROUP BY d, col ORDER BY d, col""".stripMargin,
+
+    // t26: heavy hitters = count-min + candidates (the CM top-k
+    // composition) — candidates are t07's top-20 unigrams, each
+    // probed at its depth hashed cells (missing sparse cells read 0),
+    // estimate = min over rows, ranked by (est DESC, gram). The true
+    // freq rides along so the oracle re-proves est >= freq row-wise.
+    "t26_heavy_hitters" ->
+      s"""WITH ${tkCte("")},
+         |u AS (SELECT unnest(tk) AS tok FROM tk),
+         |cand AS (SELECT tok AS gram, CAST(count(*) AS BIGINT) AS freq
+         |         FROM u GROUP BY 1 ORDER BY freq DESC, gram LIMIT 20),
+         |x AS (SELECT tok, CAST(d AS INT) AS d
+         |      FROM u, UNNEST(range(0, 4)) AS t(d)),
+         |cm AS (SELECT d,
+         |        CAST(${hexIntSql("md5('cm' || CAST(d AS VARCHAR) || ':' || tok)", 8)} % 256 AS INT) AS col,
+         |        CAST(count(*) AS BIGINT) AS cnt
+         |      FROM x GROUP BY 1, 2),
+         |pc AS (SELECT gram, freq, CAST(d AS INT) AS d,
+         |        CAST(${hexIntSql("md5('cm' || CAST(d AS VARCHAR) || ':' || gram)", 8)} % 256 AS INT) AS col
+         |      FROM cand, UNNEST(range(0, 4)) AS t(d)),
+         |est AS (SELECT p.gram, p.freq,
+         |          CAST(min(coalesce(cm.cnt, 0)) AS BIGINT) AS est
+         |        FROM pc p LEFT JOIN cm ON cm.d = p.d AND cm.col = p.col
+         |        GROUP BY 1, 2)
+         |SELECT CAST(row_number() OVER (ORDER BY est DESC, gram) AS INT) AS rnk,
+         |  gram, freq, est
+         |FROM est ORDER BY rnk""".stripMargin,
 
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic

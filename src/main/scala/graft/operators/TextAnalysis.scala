@@ -1037,22 +1037,92 @@ object TextAnalysis {
     * corpus-proportional ever crosses the wire.
     */
   def countMinSketch(docs: DataFrame, depth: Int = 4,
-      width: Int = 256): DataFrame = {
+      width: Int = 256): DataFrame =
+    countMinCells(docs, depth, width).orderBy(col("d"), col("col"))
+
+  /** The row-d column placement of a token — the single hash
+    * definition [[countMinCells]] and [[heavyHitters]] share (one
+    * expression, so the sketch build and the probe side cannot
+    * drift): first 8 md5 hex chars of "cm<d>:<token>" mod `width`.
+    */
+  private def cmCol(d: Column, tok: Column, width: Int): Column =
+    (conv(substring(md5(concat(lit("cm"), d.cast("string"),
+      lit(":"), tok)), 1, 8), 16, 10).cast("bigint") % width)
+      .cast("int")
+
+  /** The unordered [[countMinSketch]] cell table — shared with the
+    * consumers that join it further ([[heavyHitters]]' broadcast
+    * probe) and would otherwise pay a pointless pre-join sort.
+    */
+  private[operators] def countMinCells(docs: DataFrame, depth: Int,
+      width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
     require(width >= 2, s"width must be >= 2: $width")
     docs
       .select(explode(Text.toks(col("text"))).as("tok"))
       .select(col("tok"), explode(array((0 until depth).map(lit): _*)).as("d"))
       .select(col("d").cast("int").as("d"),
-        (conv(substring(md5(concat(lit("cm"), col("d").cast("string"),
-          lit(":"), col("tok"))), 1, 8), 16, 10).cast("bigint") % width)
-          .cast("int").as("col"))
+        cmCol(col("d"), col("tok"), width).as("col"))
       .groupBy(col("d"), col("col"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("d"), col("col"))
   }
 
   /** [[countMinSketch]] over the documents table — the gate entry. */
   def countMin(spark: SparkSession, sfDir: String): DataFrame =
     countMinSketch(Tables.documents(spark, sfDir))
+
+  /** Heavy hitters via count-min + an explicit candidate set — the
+    * composition the sketch exists FOR (Cormode & Muthukrishnan's
+    * CM+candidates top-k): the sketch alone cannot enumerate frequent
+    * items (it only answers point queries), so a candidate frame —
+    * [[topNgrams]]' corpus top-k, a curated watchlist, yesterday's
+    * heavy hitters — supplies the queries, and each candidate's
+    * estimate is the min over the `depth` rows of its hashed cell
+    * (missing sparse cells read 0). The estimate can only
+    * OVER-count (every cell ≥ the true count; collisions only add),
+    * so ranking by estimate never drops a true heavy hitter that made
+    * the candidate list — the spec pins the bound per candidate.
+    *
+    * Scale shape: the sketch collapses map-side onto its fixed
+    * depth×width key space and the cell table (≤ depth·width rows, a
+    * parameter) BROADCASTS onto the candidate probes — probing cost
+    * is |candidates| × depth rows, independent of corpus size; the
+    * final rank window runs over the candidate rows only (bounded by
+    * the caller's k). Nothing vocabulary- or corpus-proportional
+    * shuffles.
+    */
+  def heavyHitters(docs: DataFrame, candidates: DataFrame,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    val cm = countMinCells(docs, depth, width)
+    val probes = candidates.select(col("gram"))
+      .select(col("gram"), explode(array((0 until depth).map(lit): _*)).as("d"))
+      .select(col("gram"), col("d").cast("int").as("d"),
+        cmCol(col("d"), col("gram"), width).as("col"))
+    val est = probes.join(broadcast(cm), Seq("d", "col"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col("gram"))
+      .agg(min(col("cnt")).as("est"))
+    // candidate-bounded global rank: population = the caller's k
+    val w = Window.orderBy(col("est").desc, col("gram"))
+    est.withColumn("rnk", row_number().over(w).cast("int"))
+      .select(col("rnk"), col("gram"), col("est"))
+      .orderBy(col("rnk"))
+  }
+
+  /** t26 gate entry: [[heavyHitters]] fed by [[topNgrams]]' top-20
+    * unigrams, with each candidate's TRUE count joined back on — so
+    * the gate exposes (and the oracle re-proves) the overestimate
+    * bound `est >= freq` row by row, not just the estimates.
+    */
+  def heavyHittersGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cands = topNgrams(spark, sfDir).filter($"n" === 1)
+      .select($"gram", $"freq")
+    heavyHitters(Tables.documents(spark, sfDir), cands)
+      .join(broadcast(cands), "gram")
+      .select($"rnk", $"gram", $"freq", $"est")
+      .orderBy($"rnk")
+  }
 }

@@ -104,10 +104,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // per-task grand totals, 1-row broadcasts) and the sharded-rank
     // offsets running sum (p11's shape: ONE count row per range
     // partition, <= shuffle-partitions rows through the exchange).
+    // t26 — two bounded shapes: the final heavy-hitter rank is a
+    // global window over the CANDIDATE rows only (t07's top-20, a
+    // parameter k — the q19 LIMIT bound, arriving via TakeOrdered),
+    // and t07's own TakeOrderedAndProject feeds it (per-partition
+    // top-k, k rows per partition through the exchange).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
-      "t20_bigram_lm", "t23_perplexity_bucket")
+      "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

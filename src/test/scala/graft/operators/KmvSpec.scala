@@ -118,4 +118,52 @@ class KmvSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     merged shouldBe sk
   }
+
+  test("heavyHitters: estimates equal the independent min-cell recompute, est >= freq") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextAnalysis.heavyHittersGate(spark, sfDir).collect()
+    graft.Caches.releaseAll(spark)
+    out.length shouldBe 20
+    // ranks contiguous and ordered by (est DESC, gram)
+    out.map(_.getInt(0)).toSeq shouldBe (1 to 20)
+    out.sliding(2).foreach { case Array(x, y) =>
+      val ord = x.getLong(3) > y.getLong(3) ||
+        (x.getLong(3) == y.getLong(3) && x.getString(1) < y.getString(1))
+      withClue(s"${x.getString(1)} before ${y.getString(1)}: ") { ord shouldBe true }
+    }
+    // independent ground truth + JVM md5 sketch placement (the same
+    // helper discipline as the t25 spec above): the point estimate
+    // each candidate gets must EQUAL min over rows of its cell, and
+    // the count-min contract makes it >= the true count
+    val truth = docs
+      .select(explode(graft.functions.Text.toks(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def h(d: Int, tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cm$d:$tok".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 8), 16) % 256).toInt
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    truth.foreach { case (tok, c) =>
+      for (d <- 0 until 4) {
+        val k = (d, h(d, tok))
+        cells(k) = cells.getOrElse(k, 0L) + c
+      }
+    }
+    out.foreach { r =>
+      val (gram, freq, est) = (r.getString(1), r.getLong(2), r.getLong(3))
+      withClue(s"candidate $gram: ") {
+        freq shouldBe truth(gram)
+        est shouldBe (0 until 4).map(d => cells((d, h(d, gram)))).min
+        est should be >= freq
+      }
+    }
+    // the candidate set is exactly t07's top-20 unigrams
+    val t07 = TextAnalysis.topNgrams(spark, sfDir).collect()
+      .filter(_.getInt(0) == 1).map(_.getString(2)).toSet
+    graft.Caches.releaseAll(spark)
+    out.map(_.getString(1)).toSet shouldBe t07
+  }
 }
