@@ -171,6 +171,7 @@ object SparkEntry {
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "m10_resize_gate" -> (Multimodal.resizeGate _),
     "m11_png_gate" -> (Multimodal.pngChecksumGate _),
+    "m12_gif_gate" -> (Multimodal.gifChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -2788,6 +2789,25 @@ object SparkEntry {
         |  list_reduce([CAST(0 AS BIGINT)] ||
         |    list_transform(range(1, 65), i ->
         |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
+
+    // m12: REAL GIF LZW decode under the gate — the Spark side
+    // compresses each document's 64-byte text prefix into a genuine
+    // GIF87a (real LZW: dictionary growth + width bumps) over the
+    // 256-entry grayscale identity palette, decodes it with
+    // decodeGifPixels, and fingerprints the canonical RGB pixels; the
+    // oracle recomputes each pixel as the ord() byte REPEATED across
+    // the three channels and replays the rolling checksum, never
+    // seeing a compressed byte.
+    "m12_gif_gate" ->
+      """SELECT doc_id, 'gif' AS format, 8 AS width, 8 AS height,
+        |  3 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    flatten(list_transform(range(1, 65), i ->
+        |      [CAST(ord(text[CAST(i AS INT)]) AS BIGINT),
+        |       CAST(ord(text[CAST(i AS INT)]) AS BIGINT),
+        |       CAST(ord(text[CAST(i AS INT)]) AS BIGINT)])),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
         |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
 

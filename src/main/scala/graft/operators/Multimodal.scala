@@ -305,6 +305,9 @@ object Multimodal {
     if (c.length >= 8 && (c(0) & 0xff) == 0x89 && c(1) == 'P'.toByte &&
         c(2) == 'N'.toByte && c(3) == 'G'.toByte) {
       decodePngPixels(c)
+    } else if (c.length >= 13 && c(0) == 'G'.toByte && c(1) == 'I'.toByte &&
+        c(2) == 'F'.toByte) {
+      decodeGifPixels(c)
     } else if (c.length >= 54 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) {
       val offBits = leI32(10)
       val biSize = leI32(14)
@@ -544,6 +547,281 @@ object Multimodal {
       y += 1
     }
     Some(RasterImage("png", w, h, channels, out))
+  }
+
+  /** REAL GIF first-frame pixel decode — the last common web-crawl
+    * raster format without real pixels after PNG landed, and like it
+    * dependency-free: the only GIF-specific machinery is the block
+    * walk and the variable-width LZW decoder the 87a spec defines
+    * (~80 lines; codes grow 3→12 bits, clear resets the table, the
+    * `code == next free slot` self-referential case emits
+    * prev + first(prev)).
+    *
+    * Decoded slice: the FIRST image descriptor of a GIF87a/89a with a
+    * global or local color table — palette indices expand to
+    * canonical RGB exactly like the 8-bit BMP path, and interlaced
+    * frames (the JDK's own writer emits them by default) are
+    * de-interlaced through the spec's 4-pass row map (rows arrive
+    * 0,8,16… / 4,12… / 2,6… / 1,3…). Animation frames after the
+    * first and malformed streams (bad code sequence, short pixel
+    * output, missing color table, index outside it) return None;
+    * extension blocks (GCE/comment/application) are skipped
+    * structurally.
+    * Frame left/top offsets are accepted when the frame is full-size
+    * at (0,0) — a sub-rectangle first frame has no defined pixels
+    * for the rest of the canvas, so it falls to the stub rather than
+    * invent a background.
+    */
+  private def decodeGifPixels(c: Array[Byte]): Option[RasterImage] = {
+    def leU16(off: Int): Int = (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8)
+    if (c.length < 14 || c(3) != '8'.toByte ||
+        (c(4) != '7'.toByte && c(4) != '9'.toByte) || c(5) != 'a'.toByte)
+      return None
+    val packed = c(10) & 0xff
+    var pos = 13
+    val gct: Option[(Int, Int)] = if ((packed & 0x80) != 0) {
+      val entries = 1 << ((packed & 7) + 1)
+      val off = pos
+      pos += 3 * entries
+      if (pos > c.length) return None
+      Some((off, entries))
+    } else None
+    // block walk to the first image descriptor
+    while (pos < c.length) {
+      (c(pos) & 0xff) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label byte + sub-blocks
+          pos += 2
+          var len = if (pos < c.length) c(pos) & 0xff else return None
+          while (len != 0) {
+            pos += 1 + len
+            if (pos >= c.length) return None
+            len = c(pos) & 0xff
+          }
+          pos += 1 // the terminating 0
+        case 0x2c =>
+          if (pos + 10 > c.length) return None
+          val left = leU16(pos + 1); val top = leU16(pos + 3)
+          val w = leU16(pos + 5); val h = leU16(pos + 7)
+          val ip = c(pos + 9) & 0xff
+          pos += 10
+          val interlaced = (ip & 0x40) != 0
+          val lct: Option[(Int, Int)] = if ((ip & 0x80) != 0) {
+            val entries = 1 << ((ip & 7) + 1)
+            val off = pos
+            pos += 3 * entries
+            if (pos > c.length) return None
+            Some((off, entries))
+          } else None
+          val (palOff, palEntries) = lct.orElse(gct).getOrElse(return None)
+          if (left != 0 || top != 0 || w < 1 || h < 1 ||
+              w > MaxDim || h > MaxDim ||
+              w.toLong * h * 3 > Int.MaxValue / 2) return None
+          if (pos >= c.length) return None
+          val minCode = c(pos) & 0xff
+          pos += 1
+          // concatenate the LZW sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var len = if (pos < c.length) c(pos) & 0xff else return None
+          while (len != 0) {
+            if (pos + 1 + len > c.length) return None
+            data.write(c, pos + 1, len)
+            pos += 1 + len
+            if (pos >= c.length) return None
+            len = c(pos) & 0xff
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          // sequential-row k of the code stream lands on rowMap(k):
+          // identity when progressive, the 4-pass order when interlaced
+          val rowMap = new Array[Int](h)
+          if (interlaced) {
+            var k = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+              var r = start
+              while (r < h) { rowMap(k) = r; k += 1; r += step }
+            }
+          } else {
+            var r = 0
+            while (r < h) { rowMap(r) = r; r += 1 }
+          }
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val v = idx(i) & 0xff
+            if (v >= palEntries) return None // index outside the table
+            val p = palOff + v * 3
+            val o = (rowMap(i / w) * w + i % w) * 3
+            out(o) = c(p); out(o + 1) = c(p + 1); out(o + 2) = c(p + 2)
+            i += 1
+          }
+          return Some(RasterImage("gif", w, h, 3, out))
+        case _ => return None // unknown block type: malformed
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW decode (LSB-first bit packing, variable code
+    * width minCodeSize+1 → 12, clear/end codes) producing exactly
+    * `expected` palette indices. None on any malformed state: a code
+    * beyond the next free slot, literals ≥ clear before the table
+    * has them, output over- or under-run, truncated bitstream.
+    */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      expected: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val endCode = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = endCode + 1
+    var codeSize = minCodeSize + 1
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    val stack = new Array[Byte](4096)
+    var prev = -1
+    var acc = 0L; var accBits = 0; var bytePos = 0
+    // emit the expansion of `code` (suffix chain walked into a stack);
+    // returns the FIRST byte of the expansion, or -1 on corruption
+    def emit(code: Int): Int = {
+      var sp = 0
+      var cur = code
+      while (cur >= clear) { // dictionary entry: walk to its literal root
+        if (sp >= 4096 || cur >= dictSize) return -1
+        stack(sp) = suffix(cur); sp += 1
+        cur = prefix(cur)
+      }
+      val first = cur
+      if (outLen + sp + 1 > expected) return -1 // overrun
+      out(outLen) = first.toByte; outLen += 1
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      first
+    }
+    while (outLen < expected) {
+      while (accBits < codeSize) {
+        if (bytePos >= data.length) return None // truncated stream
+        acc |= (data(bytePos) & 0xffL) << accBits
+        accBits += 8; bytePos += 1
+      }
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize; accBits -= codeSize
+      if (code == clear) {
+        dictSize = endCode + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == endCode) {
+        return if (outLen == expected) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        if (emit(code) < 0) return None
+        prev = code
+      } else {
+        if (code > dictSize || (code == dictSize && dictSize >= 4096))
+          return None
+        val first =
+          if (code == dictSize) { // the self-referential KwKwK case
+            // new entry = string(prev) + first(prev), emitted in full
+            val f = emit(prev)
+            if (f < 0 || outLen >= expected) return None
+            out(outLen) = f.toByte; outLen += 1
+            f
+          } else emit(code)
+        if (first < 0) return None
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first.toByte
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** GIF87a encoder for the m12 gate and the round-trip specs: one
+    * non-interlaced frame over a caller-supplied palette, compressed
+    * with a REAL LZW encoder (hash-chained dictionary, growing code
+    * widths, clear on table overflow) — so decode(encode(px))
+    * exercises genuine dictionary growth and the KwKwK case, not a
+    * literals-only stream. `pixels` are palette INDICES (one byte
+    * each); `palette` is (r,g,b) triples, power-of-two sized 4..256.
+    */
+  def encodeGif(width: Int, height: Int, palette: Array[Byte],
+      pixels: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != $width*$height")
+    val entries = palette.length / 3
+    require(entries >= 4 && entries <= 256 && palette.length == entries * 3 &&
+      (entries & (entries - 1)) == 0, s"palette must be 4..256 pow2 RGB triples")
+    require(pixels.forall(p => (p & 0xff) < entries), "index outside palette")
+    val bits = 31 - Integer.numberOfLeadingZeros(entries)
+    val minCode = math.max(2, bits)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def leU16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    leU16(width); leU16(height)
+    out.write(0x80 | (bits - 1)) // GCT present, 2^bits entries
+    out.write(0); out.write(0)
+    out.write(palette)
+    out.write(0x2c) // image descriptor at (0,0), full size, no LCT
+    leU16(0); leU16(0); leU16(width); leU16(height); out.write(0)
+    out.write(minCode)
+    // —— LZW compress ——
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    val codes = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    var codeSize = minCode + 1
+    // dictionary: (prefixCode << 8 | suffixByte) -> code
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var dictSize = endCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += codeSize
+      while (accBits >= 8) { codes.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+      // canonical width schedule (GIFCOMPR's `free_ent > maxcode`):
+      // the bump lands AFTER the code that follows the table crossing
+      // 2^codeSize — the decoder widens one read later than the add,
+      // and bumping at add time would emit that one code too wide
+      if (dictSize > (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+    }
+    put(clear)
+    var prev = -1
+    for (px <- pixels) {
+      val s = px & 0xff
+      if (prev < 0) prev = s
+      else {
+        val key = (prev << 8) | s
+        val hit = dict.get(key)
+        if (hit != null) prev = hit
+        else {
+          put(prev)
+          if (dictSize < 4096) {
+            dict.put(key, dictSize)
+            dictSize += 1
+          } else {
+            put(clear)
+            dict = new java.util.HashMap[Integer, Integer]()
+            dictSize = endCode + 1
+            codeSize = minCode + 1
+          }
+          prev = s
+        }
+      }
+    }
+    if (prev >= 0) put(prev)
+    put(endCode)
+    if (accBits > 0) codes.write((acc & 0xff).toInt)
+    // sub-block the code stream (<= 255 bytes per block)
+    val cb = codes.toByteArray
+    var off = 0
+    while (off < cb.length) {
+      val n = math.min(255, cb.length - off)
+      out.write(n); out.write(cb, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
   }
 
   /** PNG encoder for the m11 gate and the round-trip specs: emits a
@@ -1330,6 +1608,42 @@ object Multimodal {
   def pngChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     rasterFeatures(docPngRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** m12 payload builder: a REAL GIF87a per document — the first 64
+    * text bytes as 8×8 palette indices over the 256-entry grayscale
+    * identity palette, compressed by [[encodeGif]]'s genuine LZW
+    * (dictionary growth and width bumps happen for real on this data).
+    */
+  private def docGifRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        MediaRow(id, "image", encodeGif(8, 8, pal, px.getBytes("ISO-8859-1")))
+      }
+  }
+
+  /** m12 gate entry: REAL GIF LZW decode under the DuckDB gate — the
+    * Spark side compresses each document's text prefix into a genuine
+    * GIF ([[docGifRows]]), decodes it through [[decodeGifPixels]]
+    * (block walk, sub-block concat, variable-width LZW, palette
+    * expansion), and fingerprints the canonical RGB pixels; the
+    * oracle recomputes every pixel as the ord() byte repeated across
+    * the three channels (the identity gray palette) and replays the
+    * rolling checksum — never seeing a compressed byte. Hash-green
+    * proves the whole LZW decode chain byte-agrees with an engine
+    * computing pixels from first principles.
+    */
+  def gifChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docGifRows(spark, sfDir)).toDF()
       .select($"media_id".as("doc_id"), $"format", $"width", $"height",
         $"channels", $"pixel_checksum")
       .orderBy($"doc_id")

@@ -903,6 +903,125 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     img.pixels.toSeq shouldBe px.toSeq
   }
 
+  // —— GIF: real LZW decode (m12 slice) ——
+
+  private def grayPalette: Array[Byte] =
+    Array.tabulate(256 * 3)(i => (i / 3).toByte)
+
+  test("decodeGif: LZW round-trips through dictionary growth and width bumps") {
+    // 64x64 with long runs + varied bytes: the dictionary crosses the
+    // 8/16/.../512 width boundaries and builds real multi-byte entries
+    val px = Array.tabulate(64 * 64) { i =>
+      (if (i % 97 < 60) (i / 97) % 256 else i % 251).toByte
+    }
+    val bytes = Multimodal.encodeGif(64, 64, grayPalette, px)
+    val img = Multimodal.decodeRasterPixels(bytes).get
+    (img.format, img.width, img.height, img.channels) shouldBe (("gif", 64, 64, 3))
+    // palette expansion: index v -> (v, v, v)
+    img.pixels.toSeq shouldBe px.flatMap(v => Seq(v, v, v)).toSeq
+  }
+
+  test("decodeGif: KwKwK self-referential codes and tiny palettes round-trip") {
+    // aaaa... is the classic KwKwK trigger (emit of a just-added entry)
+    val pal4 = Array[Byte](0, 0, 0, 85, 85, 85, -86, -86, -86, -1, -1, -1)
+    val runs = Array.fill(37)(1.toByte) ++ Array.fill(23)(2.toByte) ++
+      Array.fill(40)(1.toByte)
+    val bytes = Multimodal.encodeGif(10, 10, pal4, runs)
+    val img = Multimodal.decodeRasterPixels(bytes).get
+    img.pixels.toSeq shouldBe runs.flatMap { v =>
+      val g = (v * 85).toByte; Seq(g, g, g)
+    }.toSeq
+    // single pixel, and a width-1 column image
+    Multimodal.decodeRasterPixels(
+      Multimodal.encodeGif(1, 1, pal4, Array[Byte](3))).get
+      .pixels.toSeq shouldBe Seq[Byte](-1, -1, -1)
+    val col = Array.tabulate(7)(i => (i % 4).toByte)
+    Multimodal.decodeRasterPixels(
+      Multimodal.encodeGif(1, 7, pal4, col)).get.width shouldBe 1
+  }
+
+  test("decodeGif: table overflow forces a mid-stream clear that round-trips") {
+    // >4096 distinct pixel transitions: the encoder's dictionary fills,
+    // emits CLEAR, and restarts — the decoder must follow
+    val rng = new scala.util.Random(5)
+    val px = Array.fill(120 * 120)(rng.nextInt(256).toByte)
+    val img = Multimodal.decodeRasterPixels(
+      Multimodal.encodeGif(120, 120, grayPalette, px)).get
+    img.pixels.toSeq shouldBe px.flatMap(v => Seq(v, v, v)).toSeq
+  }
+
+  test("decodeGif: agrees with the JDK's own ImageIO codec, both directions") {
+    // direction 1: OUR encoder -> ImageIO's independent decoder
+    val px = Array.tabulate(20 * 9)(i => ((i * 13) % 256).toByte)
+    val ours = Multimodal.encodeGif(20, 9, grayPalette, px)
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    bi should not be null
+    for (y <- 0 until 9; x <- 0 until 20) {
+      val rgb = bi.getRGB(x, y)
+      val v = px(y * 20 + x) & 0xff
+      withClue(s"($x,$y): ") {
+        ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) shouldBe ((v, v, v))
+      }
+    }
+    // direction 2: ImageIO's independent encoder -> OUR decoder
+    val src = new java.awt.image.BufferedImage(11, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 6; x <- 0 until 11)
+      src.setRGB(x, y, ((x * 23) << 16) | ((y * 41) << 8) | ((x + y) * 9))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "gif", buf) shouldBe true
+    val theirs = buf.toByteArray
+    val img = Multimodal.decodeRasterPixels(theirs).get
+    (img.format, img.width, img.height) shouldBe (("gif", 11, 6))
+    for (y <- 0 until 6; x <- 0 until 11) {
+      val rgb = src.getRGB(x, y) // the palette-quantized truth
+      val o = (y * 11 + x) * 3
+      withClue(s"($x,$y): ") {
+        (img.pixels(o) & 0xff, img.pixels(o + 1) & 0xff,
+          img.pixels(o + 2) & 0xff) shouldBe
+          (((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff))
+      }
+    }
+  }
+
+  test("decodeGif: malformed streams reject without throwing") {
+    val px = Array.tabulate(6 * 4)(i => (i % 4).toByte)
+    val pal4 = Array[Byte](0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3)
+    val good = Multimodal.encodeGif(6, 4, pal4, px)
+    Multimodal.decodeRasterPixels(good) should not be None
+    // truncation at various depths
+    for (keep <- Seq(10, 13, 20, good.length - 3))
+      withClue(s"keep=$keep: ") {
+        Multimodal.decodeRasterPixels(good.take(keep)) shouldBe None
+      }
+    // interlace flag on a progressive stream: decodes, but the rows
+    // land in 4-pass order (h=4 -> sequential rows map to 0,2,1,3)
+    val idOff = 13 + 12 // header+LSD, 4-entry GCT
+    (good(idOff) & 0xff) shouldBe 0x2c
+    val inter = good.clone(); inter(idOff + 9) = 0x40.toByte
+    val ii = Multimodal.decodeRasterPixels(inter).get
+    val gg = Multimodal.decodeRasterPixels(good).get
+    for ((seqRow, outRow) <- Seq(0 -> 0, 1 -> 2, 2 -> 1, 3 -> 3))
+      ii.pixels.slice(outRow * 18, outRow * 18 + 18).toSeq shouldBe
+        gg.pixels.slice(seqRow * 18, seqRow * 18 + 18).toSeq
+    // no color table at all (GCT flag cleared, no LCT)
+    val noPal = good.clone(); noPal(10) = (noPal(10) & 0x7f).toByte
+    // (the palette bytes are now parsed as blocks -> malformed, None
+    // either way; the decoder must not throw)
+    Multimodal.decodeRasterPixels(noPal) shouldBe None
+    // corrupt the LZW stream: garbage codes inside the sub-block
+    val bad = good.clone()
+    bad(idOff + 12) = 0xff.toByte; bad(idOff + 13) = 0xff.toByte
+    Multimodal.decodeRasterPixels(bad) shouldBe None
+    // declared dims larger than the code stream's pixel output
+    val short = good.clone()
+    short(idOff + 5) = 7 // width 6 -> 7, same code stream
+    Multimodal.decodeRasterPixels(short) shouldBe None
+    // trailer-before-image is malformed, not an image
+    val hdrOnly = good.take(13 + 12) :+ 0x3b.toByte
+    Multimodal.decodeRasterPixels(hdrOnly) shouldBe None
+  }
+
   test("rasterFeatures + perceptual/resize compose over PNG inputs") {
     import spark.implicits._
     val px = detRandom(11, 8 * 8)
