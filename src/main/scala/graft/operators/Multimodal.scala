@@ -77,6 +77,12 @@ object Multimodal {
     */
   private val MaxDim = 1 << 20
 
+  /** Per-call output-buffer bound for [[resizeRaster]] (64 MiB —
+    * comfortably above any training-pipeline target resolution, far
+    * below what would OOM an executor running 32 concurrent tasks).
+    */
+  val MaxResizeBytes: Long = 64L << 20
+
   /** REAL byte-level header parse for three public container
     * families — the "one media path is real end-to-end" slice (no
     * codec library involved, just the published layouts):
@@ -1121,15 +1127,20 @@ object Multimodal {
     * (decimation) and upsampling (replication); channels pass through
     * untouched (RGB stays RGB, grayscale stays grayscale).
     *
-    * Constant memory per call: one outW*outH*channels buffer — the
-    * decode-side MaxDim guard bounds the source, `require` bounds the
-    * target, so a mapPartitions over media rows stays at one live
-    * buffer per task.
+    * Bounded memory per call: one outW·outH·channels buffer, and the
+    * `require` caps the PRODUCT (64 MiB), not just each dimension —
+    * a 16384×16384×4 target would be a ~1 GiB allocation per row,
+    * which is not "one modest live buffer per mapPartitions task" no
+    * matter how legal each axis looks. The decode-side MaxDim guard
+    * bounds the source the same way.
     */
   def resizeRaster(img: RasterImage, outW: Int, outH: Int): RasterImage = {
     require(outW > 0 && outH > 0 && outW <= 16384 && outH <= 16384,
       s"resize target out of range: ${outW}x$outH")
     val ch = img.channels
+    require(outW.toLong * outH * ch <= MaxResizeBytes,
+      s"resize target ${outW}x$outH x$ch = ${outW.toLong * outH * ch} " +
+        s"bytes exceeds the $MaxResizeBytes-byte buffer bound")
     val out = new Array[Byte](outW * outH * ch)
     var y = 0
     while (y < outH) {

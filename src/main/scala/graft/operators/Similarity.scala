@@ -617,39 +617,6 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
-  /** Product-quantization ANN (Jégou et al., PAMI 2011 — the memory
-    * layout behind FAISS's IVFPQ): the `dims`-dim space splits into `m`
-    * subspaces of dims/m components; each subspace gets its own
-    * `ksub`-entry codebook, and a vector is stored as just `m` code
-    * ids (m·log2(ksub) bits — 4 bytes/vector here vs 256 for floats).
-    * A query scores candidates WITHOUT touching their vectors: one
-    * lookup table per (query, subspace, code) holds the query-subvector
-    * · codebook-entry dot, and the asymmetric-distance (ADC) score is
-    * the m-term table sum. A `shortlist` of ADC leaders is then
-    * re-ranked by exact cosine.
-    *
-    * Integer-grid discipline (the s04/s05 fix carried through):
-    * components quantize to 1e-6 bigints BEFORE anything aggregates —
-    * codebook means, code-assignment argmins, lookup tables, and ADC
-    * sums are all order-free exact integer arithmetic (ADC units 1e-12,
-    * bounded by dims·1e12 << 2^63), so shortlist membership never sits
-    * on a float boundary and the whole operator carries a DuckDB hash
-    * oracle. Codebooks are TRAINED (round-7): the s04 ordinal-keyed
-    * seeded means — `(vec_id DIV 20) % ksub`, NOT the raw `vec_id %
-    * ksub`, which is correlated with the mod-20 candidate filter and
-    * would populate only 2 of ksub entries — are the SEED for `iters`
-    * per-subspace Lloyd rounds (the s03 loop with `sub` in every key),
-    * and the encode is the final assign half under the trained book.
-    *
-    * Scale shape: codebook training is one (sub, code, pos) integer
-    * aggregation over the candidate corpus; encoding is a broadcast
-    * join (m·ksub·dims/m rows) + per-(vector, subspace) argmin; ADC
-    * scoring joins the m-row-per-candidate code table against a
-    * broadcast LUT (queries·m·ksub rows) and shuffles only (qid,
-    * vec_id, partial-sum) — candidate VECTORS are never replicated,
-    * which is the entire point of PQ at 100 TB. Exact re-rank touches
-    * shortlist × queries vectors only (the matryoshka pattern).
-    */
   /** One PQ Lloyd assign half: nearest codebook entry per (vector,
     * subspace) by exact integer-grid distance, code tiebreak — the s03
     * argmin shape with `sub` joining the partition key. Doubles as the
@@ -697,6 +664,38 @@ object Similarity {
     cb
   }
 
+  /** Product-quantization ANN (Jégou et al., PAMI 2011 — the memory
+    * layout behind FAISS's IVFPQ): the `dims`-dim space splits into `m`
+    * subspaces of dims/m components; each subspace gets its own
+    * `ksub`-entry codebook, and a vector is stored as just `m` code
+    * ids (m·log2(ksub) bits — 4 bytes/vector here vs 256 for floats).
+    * A query scores candidates WITHOUT touching their vectors: one
+    * lookup table per (query, subspace, code) holds the query-subvector
+    * · codebook-entry dot, and the asymmetric-distance (ADC) score is
+    * the m-term table sum. A `shortlist` of ADC leaders is then
+    * re-ranked by exact cosine.
+    *
+    * Integer-grid discipline (the s04/s05 fix carried through):
+    * components quantize to 1e-6 bigints BEFORE anything aggregates —
+    * codebook means, code-assignment argmins, lookup tables, and ADC
+    * sums are all order-free exact integer arithmetic (ADC units 1e-12,
+    * bounded by dims·1e12 << 2^63), so shortlist membership never sits
+    * on a float boundary and the whole operator carries a DuckDB hash
+    * oracle. Codebooks are TRAINED (round-7): the [[pqTrain]] seed —
+    * `(vec_id DIV 20) % ksub`, NOT the raw `vec_id % ksub`, which is
+    * correlated with the mod-20 candidate filter and would populate
+    * only 2 of ksub entries — then `iters` per-subspace Lloyd rounds,
+    * and the encode is the final [[pqAssign]] under the trained book.
+    *
+    * Scale shape: codebook training is one (sub, code, pos) integer
+    * aggregation over the candidate corpus; encoding is a broadcast
+    * join (m·ksub·dims/m rows) + per-(vector, subspace) argmin; ADC
+    * scoring joins the m-row-per-candidate code table against a
+    * broadcast LUT (queries·m·ksub rows) and shuffles only (qid,
+    * vec_id, partial-sum) — candidate VECTORS are never replicated,
+    * which is the entire point of PQ at 100 TB. Exact re-rank touches
+    * shortlist × queries vectors only (the matryoshka pattern).
+    */
   def annPq(spark: SparkSession, sfDir: String, m: Int = 4, ksub: Int = 8,
       dims: Int = 64, shortlist: Int = 16, topK: Int = 3,
       iters: Int = 2): DataFrame = {

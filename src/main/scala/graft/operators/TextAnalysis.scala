@@ -892,6 +892,14 @@ object TextAnalysis {
     * one integer expression both engines evaluate identically), with
     * rank = (avg_qp DESC, doc_id) — and `keep` drops the tail bucket.
     *
+    * Domain note: a document with fewer than 2 tokens has no bigrams,
+    * scores under nothing, and emits NO row — it gets neither a
+    * bucket nor a keep decision and BYPASSES this gate entirely
+    * (cross-engine consistent and spec-pinned). A pipeline wanting an
+    * explicit verdict for degenerate docs should pre-filter on token
+    * count (t01's n_tokens < 2 is the matching predicate) rather than
+    * expect a sentinel bucket here.
+    *
     * Scale shape: counts are map-combinable aggregates; the score
     * joins are keyed on (bigram)/(first word) against one-row-per-key
     * aggregates; V and `total` are 1-row broadcasts (the t20/t11

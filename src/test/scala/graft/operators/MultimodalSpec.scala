@@ -365,6 +365,13 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     // resize-to-grid and the hash's own grid walk are the same pass
     val via = Multimodal.resizeRaster(ramp, 8, 8)
     Multimodal.perceptualHashes(via) shouldBe Multimodal.perceptualHashes(ramp)
+    // the buffer bound caps the PRODUCT: each axis legal, 4-channel
+    // 16384x16384 would be ~1 GiB — refused, not allocated
+    val rgba = RasterImage("png", 2, 2, 4, new Array[Byte](16))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.resizeRaster(rgba, 16384, 16384)
+    // and a target inside the bound still works at 4 channels
+    Multimodal.resizeRaster(rgba, 4, 4).pixels.length shouldBe 64
   }
 
   test("resizedFeatures: real decodes resize+checksum, stubs carry sentinels") {
