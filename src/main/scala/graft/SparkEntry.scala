@@ -98,6 +98,7 @@ object SparkEntry {
     "s15_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "s16_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "s18_ann_beam" -> ((s: SparkSession, d: String) => Similarity.annBeam(s, d)),
+    "s19_ann_mmr" -> ((s: SparkSession, d: String) => Similarity.annMmr(s, d)),
     "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
@@ -525,6 +526,74 @@ object SparkEntry {
               |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
               |  FROM vis$hops WHERE cand <> qid) r
               |WHERE rnk <= $topK ORDER BY qid, rnk""".stripMargin
+    sb.result()
+  }
+
+  /** DuckDB mirror of Similarity.annMmr (s19): the s01 scoring CTEs
+    * put the pool on the 1e-6 integer grid (ONE rounding:
+    * round(cos·1e6) as BIGINT), pairwise within-pool sims land on the
+    * same grid, and the greedy loop unrolls to k−1 rounds of
+    * (remaining = pool − selected) → max-sim-to-selected → integer
+    * MMR objective argmax. AS MATERIALIZED on every multiply-
+    * referenced CTE (the bpeSql lesson).
+    */
+  private def mmrSql(poolK: Int, k: Int, lambdaNum: Int, lambdaDen: Int): String = {
+    val pen = lambdaDen - lambdaNum
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+              |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+              |d AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+              |  FROM e q JOIN e c ON q.i = c.i
+              |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+              |  GROUP BY 1, 2
+              |),
+              |pool AS MATERIALIZED (
+              |  SELECT qid, cand, rel6 FROM (
+              |    SELECT qid, cand,
+              |      CAST(round(dp / sqrt(nq.nrm * nc.nrm) * 1e6, 0) AS BIGINT) AS rel6,
+              |      row_number() OVER (PARTITION BY qid
+              |        ORDER BY round(dp / sqrt(nq.nrm * nc.nrm) * 1e6, 0) DESC, cand) AS rn
+              |    FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cand = nc.vec_id) r
+              |  WHERE rn <= $poolK),
+              |prs AS MATERIALIZED (
+              |  SELECT a.qid, a.cand AS ca, b.cand AS cb,
+              |    CAST(round(sum(ea.x * eb.x) / sqrt(na.nrm * nb.nrm) * 1e6, 0) AS BIGINT) AS sim6
+              |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cand <> b.cand
+              |  JOIN e ea ON ea.vec_id = a.cand JOIN e eb ON eb.vec_id = b.cand AND eb.i = ea.i
+              |  JOIN n na ON na.vec_id = a.cand JOIN n nb ON nb.vec_id = b.cand
+              |  GROUP BY 1, 2, 3, na.nrm, nb.nrm),
+              |sel1 AS MATERIALIZED (
+              |  SELECT qid, cand, rel6, $lambdaNum * rel6 AS mmr6, 1 AS pick FROM (
+              |    SELECT qid, cand, rel6,
+              |      row_number() OVER (PARTITION BY qid
+              |        ORDER BY $lambdaNum * rel6 DESC, cand) AS rn
+              |    FROM pool) r WHERE rn = 1)""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s""",
+                |rem$i AS (
+                |  SELECT p.qid, p.cand, p.rel6 FROM pool p
+                |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+                |                    WHERE s.qid = p.qid AND s.cand = p.cand)),
+                |ms$i AS (
+                |  SELECT r.qid, r.cand, max(pr.sim6) AS maxsim6
+                |  FROM rem$i r JOIN prs pr ON pr.qid = r.qid AND pr.ca = r.cand
+                |  JOIN sel${i - 1} s ON s.qid = pr.qid AND s.cand = pr.cb
+                |  GROUP BY 1, 2),
+                |pk$i AS (
+                |  SELECT qid, cand, rel6, mmr6, $i AS pick FROM (
+                |    SELECT r.qid, r.cand, r.rel6,
+                |      $lambdaNum * r.rel6 - $pen * m.maxsim6 AS mmr6,
+                |      row_number() OVER (PARTITION BY r.qid
+                |        ORDER BY $lambdaNum * r.rel6 - $pen * m.maxsim6 DESC, r.cand) AS rn
+                |    FROM rem$i r JOIN ms$i m ON m.qid = r.qid AND m.cand = r.cand) t
+                |  WHERE rn = 1),
+                |sel$i AS MATERIALIZED (
+                |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pk$i)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT qid, cand, rel6, CAST(mmr6 AS BIGINT) AS mmr6, pick
+              |FROM sel$k ORDER BY qid, pick""".stripMargin
     sb.result()
   }
 
@@ -1861,6 +1930,13 @@ object SparkEntry {
     // chain over the shared KnnCtes, so the traversal itself is
     // hash-gated, not just its ingredients
     "s18_ann_beam" -> beamSql(nEntry = 2, beam = 4, hops = 2, topK = 5),
+
+    // s19: MMR diversified top-k — greedy maximal-marginal-relevance
+    // over the s01 top-10 pool, integer-exact objective
+    // (lambdaNum·rel6 − (lambdaDen−lambdaNum)·maxsim6 on the 1e-6
+    // grid), the k-round greedy loop unrolled to an iterative CTE
+    // chain so every pick's argmax is hash-gated
+    "s19_ann_mmr" -> mmrSql(poolK = 10, k = 5, lambdaNum = 1, lambdaDen = 2),
 
     // d22: mutual-kNN canonicalize — the s16 top-3 edges, kept only
     // when BOTH endpoints list each other (the symmetric criterion

@@ -1052,6 +1052,100 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** MMR diversified top-k (s19) — maximal marginal relevance
+    * (Carbonell & Goldstein, SIGIR 1998), the re-rank a production
+    * retrieval stack runs AFTER similarity search so the k results
+    * aren't k near-copies of the same document: greedily pick
+    *   argmax over remaining c of
+    *     λ·rel(q,c) − (1−λ)·max over selected s of sim(c,s),
+    * k rounds, starting from pure relevance (empty-selection second
+    * term = 0).
+    *
+    * Pool discipline: MMR diversifies a SHORTLIST, not the corpus —
+    * the pool is the s01 exact top-`poolK` per query, and the
+    * pairwise sims that feed the penalty term live only within each
+    * query's pool (|queries|·poolK² rows, parameters not data). That
+    * is the production shape: the expensive part stays in the ANN
+    * index; this operator is the cheap final pass.
+    *
+    * Integer-exact scoring: relevance and pairwise cosines land on
+    * the 1e-6 grid as BIGINTs (one rounding — round(cos·1e6)), and λ
+    * enters as the rational lambdaNum/lambdaDen, so the MMR objective
+    * `lambdaNum·rel6 − (lambdaDen−lambdaNum)·maxsim6` is pure integer
+    * arithmetic (units of 1e-6/lambdaDen) — every greedy argmax is
+    * engine-independent with the (score DESC, cand) tiebreak, and the
+    * whole k-round loop unrolls to a DuckDB iterative CTE chain.
+    *
+    * Scale shape: pool windows partition by qid over poolK rows; each
+    * greedy round is one equi-join of remaining×(pool pairs versus
+    * the selected set) + a per-qid argmax window — bounded by poolK
+    * per query per round, k rounds (the o15/s18 bounded driver-loop
+    * shape). Nothing corpus-proportional appears after the s01 pool.
+    */
+  def annMmr(spark: SparkSession, sfDir: String, poolK: Int = 10,
+      k: Int = 5, lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got $poolK/$k")
+    require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be a rational in [0,1]: $lambdaNum/$lambdaDen")
+    val emb = Tables.embeddings(spark, sfDir)
+    // cached: query side, pool scoring side, and both pair sides
+    val vn = graft.Caches.track(
+      emb.select($"vec_id", $"embedding", norm2($"embedding").as("nrm")))
+    val q = vn.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val c = vn.filter($"vec_id" % 20 === 0)
+    // the s01 pool with ONE rounding onto the integer grid
+    val scoredPool = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand"),
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm") * 1e6, 0)
+          .cast("bigint").as("rel6"))
+    val wPool = Window.partitionBy($"qid").orderBy($"rel6".desc, $"cand")
+    // cached: the greedy loop's every round reads the pool
+    val pool = graft.Caches.track(
+      scoredPool.withColumn("rn", row_number().over(wPool))
+        .filter($"rn" <= poolK).drop("rn"))
+    // within-pool pairwise sims on the same grid — the penalty table
+    val pairs = graft.Caches.track(
+      pool.select($"qid", $"cand").as("a")
+        .join(pool.select($"qid", $"cand").as("b"), $"a.qid" === $"b.qid")
+        .filter($"a.cand" =!= $"b.cand")
+        .join(vn.as("va"), $"a.cand" === $"va.vec_id")
+        .join(vn.as("vb"), $"b.cand" === $"vb.vec_id")
+        .select($"a.qid".as("qid"), $"a.cand".as("ca"), $"b.cand".as("cb"),
+          round(dot($"va.embedding", $"vb.embedding") /
+            sqrt($"va.nrm" * $"vb.nrm") * 1e6, 0).cast("bigint").as("sim6")))
+    val penalty = lambdaDen - lambdaNum
+    val wPick = Window.partitionBy($"qid").orderBy($"mmr6".desc, $"cand")
+    // round 1: pure relevance (empty selection → zero penalty term)
+    var selected = graft.Caches.track(
+      pool.select($"qid", $"cand", $"rel6",
+          (lit(lambdaNum) * $"rel6").as("mmr6"))
+        .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
+        .select($"qid", $"cand", $"rel6", $"mmr6", lit(1).as("pick")))
+    for (i <- 2 to k) {
+      val remaining = pool.join(selected.select($"qid", $"cand"),
+        Seq("qid", "cand"), "left_anti")
+      // penalty = max sim to ANY already-selected member
+      val ms = remaining.as("r").join(pairs.as("p"),
+          $"r.qid" === $"p.qid" && $"r.cand" === $"p.ca")
+        .join(selected.select($"qid".as("sq"), $"cand".as("sc")),
+          $"p.qid" === $"sq" && $"p.cb" === $"sc")
+        .groupBy($"r.qid", $"r.cand")
+        .agg(max($"p.sim6").as("maxsim6"))
+        .select($"r.qid".as("qid"), $"r.cand".as("cand"), $"maxsim6")
+      val picked = remaining.join(ms, Seq("qid", "cand"))
+        .select($"qid", $"cand", $"rel6",
+          (lit(lambdaNum) * $"rel6" - lit(penalty) * $"maxsim6").as("mmr6"))
+        .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
+        .select($"qid", $"cand", $"rel6", $"mmr6", lit(i).as("pick"))
+      // cached: next round's anti-join + penalty join + final union
+      selected = graft.Caches.track(selected.unionByName(picked))
+    }
+    selected.orderBy($"qid", $"pick")
+  }
+
   def annRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val truth = annBruteForce(spark, sfDir).filter($"rnk" <= k)

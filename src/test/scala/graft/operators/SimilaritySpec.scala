@@ -361,6 +361,70 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     withClue(s"recall@3 = $recall: ") { recall should be >= 0.8 }
   }
 
+  test("annMmr: equals an independent greedy MMR recompute; diversifies vs pure top-k") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Similarity.annMmr(spark, sf01).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    // picks contiguous 1..5 per query
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.map(_.getInt(4)).sorted.toSeq shouldBe (1 to 5)
+    }
+    // independent reference: rebuild the pool + pairwise sims with
+    // plain DataFrame scoring, then run the textbook greedy loop in
+    // driver-side Scala and compare pick-for-pick
+    val emb = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm2(col("embedding")).as("nrm"))
+    def grid(a: org.apache.spark.sql.Column) = round(a * 1e6, 0).cast("bigint")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val c = emb.filter(col("vec_id") % 20 === 0)
+    val rel = c.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        grid(Similarity.dot(col("q_emb"), col("embedding")) /
+          sqrt(col("q_nrm") * col("nrm"))).as("rel6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sim = c.as("a").crossJoin(c.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ca"), col("b.vec_id").as("cb"),
+        grid(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nrm") * col("b.nrm"))).as("sim6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qids = rel.keys.map(_._1).toSeq.distinct.sorted
+    val expected = qids.flatMap { qid =>
+      val pool = rel.collect { case ((`qid`, cand), r6) => (cand, r6) }.toSeq
+        .sortBy { case (cand, r6) => (-r6, cand) }.take(10)
+      var sel = Vector.empty[(Long, Long, Long, Int)] // cand, rel6, mmr6, pick
+      for (i <- 1 to 5) {
+        val remaining = pool.filterNot { case (cand, _) => sel.exists(_._1 == cand) }
+        val scored = remaining.map { case (cand, r6) =>
+          val pen = if (sel.isEmpty) 0L
+            else sel.map(s => sim((cand, s._1))).max
+          (cand, r6, 1L * r6 - 1L * pen)
+        }
+        val (cand, r6, m6) = scored.minBy { case (cand, _, m6) => (-m6, cand) }
+        sel :+= ((cand, r6, m6, i))
+      }
+      sel.map { case (cand, r6, m6, pick) => (qid, cand, r6, m6, pick) }
+    }.toSet
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getInt(4))).toSet shouldBe expected
+    // MMR earns its keep: for at least one query the diversified set
+    // differs from the pure relevance top-5 (otherwise the penalty
+    // term never fired on this corpus and the test proves nothing)
+    val pure = qids.flatMap { qid =>
+      rel.collect { case ((`qid`, cand), r6) => (cand, r6) }.toSeq
+        .sortBy { case (cand, r6) => (-r6, cand) }.take(5)
+        .map { case (cand, _) => (qid, cand) }
+    }.toSet
+    val mmrSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    withClue("MMR picked exactly the pure top-5 everywhere: ") {
+      mmrSet should not equal pure
+    }
+  }
+
   test("annFiltered: label invariant, contiguous ranks, equals the interpreted-fold reference") {
     val rows = Similarity.annFiltered(spark, sf).collect()
     rows should not be empty
