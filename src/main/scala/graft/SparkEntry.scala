@@ -173,6 +173,7 @@ object SparkEntry {
     "m10_resize_gate" -> (Multimodal.resizeGate _),
     "m11_png_gate" -> (Multimodal.pngChecksumGate _),
     "m12_gif_gate" -> (Multimodal.gifChecksumGate _),
+    "m13_png_rgb_gate" -> (Multimodal.pngRgbChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -2886,6 +2887,19 @@ object SparkEntry {
         |       CAST(ord(text[CAST(i AS INT)]) AS BIGINT)])),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
         |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
+
+    // m13: the RGB PNG gate — same bridge as m11 but 3 channels over
+    // the first 192 text bytes, so the Sub/Average/Paeth predictors'
+    // bpp=3 reach-back (untouched by the grayscale gate) is proven
+    // cross-engine
+    "m13_png_rgb_gate" ->
+      """SELECT doc_id, 'png' AS format, 8 AS width, 8 AS height,
+        |  3 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, 193), i ->
+        |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 192 ORDER BY doc_id""".stripMargin,
 
     // m06: perceptual hashes over REAL decoded pixels, cross-engine —
     // aHash: 8x8 grid (identity sampling at this size), threshold at

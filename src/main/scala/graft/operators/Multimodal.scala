@@ -1624,6 +1624,39 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m13 payload builder: the RGB sibling of the m11 PNG — the first
+    * 192 text bytes as an 8×8 THREE-CHANNEL raster, filters again
+    * varying per (doc_id, row). The point of the color variant: the
+    * Sub/Average/Paeth predictors reach back `bpp` bytes, so bpp=3
+    * exercises predictor distances the grayscale gate (bpp=1) never
+    * touches — under the DuckDB gate, not just the specs.
+    */
+  private def docPngRgbRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 192)
+      .select($"doc_id", substring($"text", 1, 192).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        MediaRow(id, "image",
+          encodePng(8, 8, 3, px.getBytes("ISO-8859-1"),
+            y => ((id + y) % 5).toInt))
+      }
+  }
+
+  /** m13 gate entry: [[pngChecksumGate]]'s RGB sibling over
+    * [[docPngRgbRows]] — hash-green proves the 3-byte-per-pixel
+    * unfilter arithmetic byte-agrees with an engine recomputing all
+    * 192 samples from ord() first principles.
+    */
+  def pngRgbChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docPngRgbRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
   /** m12 payload builder: a REAL GIF87a per document — the first 64
     * text bytes as 8×8 palette indices over the 256-entry grayscale
     * identity palette, compressed by [[encodeGif]]'s genuine LZW

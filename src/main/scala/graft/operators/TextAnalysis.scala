@@ -1100,10 +1100,24 @@ object TextAnalysis {
     * shuffles.
     */
   def heavyHitters(docs: DataFrame, candidates: DataFrame,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    heavyHittersFromCells(countMinCells(docs, depth, width), candidates,
+      depth, width)
+
+  /** [[heavyHitters]] from an ALREADY-BUILT sparse cell table — the
+    * split that lets a sketch built elsewhere answer the top-k: the
+    * end-of-stream state of `EventStream.countMinStream`
+    * (spec-asserted equal to the batch probe), a cell table merged
+    * across corpus shards/days (cell-wise addition, the t25
+    * mergeability contract), or a persisted synopsis probed without
+    * touching the corpus at all — which is the entire reason a 100 TB
+    * pipeline ships sketches.
+    */
+  def heavyHittersFromCells(cells: DataFrame, candidates: DataFrame,
       depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
     require(width >= 2, s"width must be >= 2: $width")
-    val cm = countMinCells(docs, depth, width)
+    val cm = cells
     val probes = candidates.select(col("gram"))
       .select(col("gram"), explode(array((0 until depth).map(lit): _*)).as("d"))
       .select(col("gram"), col("d").cast("int").as("d"),

@@ -298,6 +298,23 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
           docs.toSeq.toDF("doc_id", "ts", "text"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
       streamed shouldBe batch
+      // and the heavy-hitter probe over the STREAMED cells equals the
+      // batch composition end-to-end — the sketch-built-elsewhere
+      // contract heavyHittersFromCells exists for
+      import org.apache.spark.sql.{functions => F}
+      val batchDf = docs.toSeq.toDF("doc_id", "ts", "text")
+      val cands = batchDf
+        .select(F.explode(graft.functions.Text.toks(F.col("text"))).as("gram"))
+        .groupBy("gram").count()
+        .orderBy(F.col("count").desc, F.col("gram")).limit(10)
+        .select("gram")
+      val fromStream = graft.operators.TextAnalysis.heavyHittersFromCells(
+          spark.table("cmsketch"), cands).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val fromBatch = graft.operators.TextAnalysis.heavyHitters(
+          batchDf, cands).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      fromStream.toSeq shouldBe fromBatch.toSeq
     } finally q.stop()
   }
 
