@@ -99,6 +99,7 @@ object SparkEntry {
     "s16_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "s18_ann_beam" -> ((s: SparkSession, d: String) => Similarity.annBeam(s, d)),
     "s19_ann_mmr" -> ((s: SparkSession, d: String) => Similarity.annMmr(s, d)),
+    "s20_ann_binary" -> ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),
     "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
@@ -1938,6 +1939,51 @@ object SparkEntry {
     // grid), the k-round greedy loop unrolled to an iterative CTE
     // chain so every pick's argmax is hash-gated
     "s19_ann_mmr" -> mmrSql(poolK = 10, k = 5, lambdaNum = 1, lambdaDen = 2),
+
+    // s20: binary (sign-bit) quantization — one bit per dimension
+    // packed into two 32-bit words (bit 63 would need BIGINT's sign
+    // bit, so two halves keep every partial sum positive and exact on
+    // both engines), Hamming = bit_count of two XORs, shortlist by
+    // (ham ASC, cand), exact-cosine re-rank via the s10 list_reduce
+    // fold. Integer-exact end to end except the final rounded cosine.
+    "s20_ann_binary" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |bits AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN x > 0 AND i <= 32
+         |          THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN x > 0 AND i > 32
+         |          THEN CAST(1 AS BIGINT) << CAST(i - 33 AS INT) ELSE 0 END) AS BIGINT) AS hi
+         |  FROM e GROUP BY 1),
+         |ham AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand,
+         |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS INT) AS ham
+         |  FROM bits q JOIN bits c
+         |    ON q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+         |short AS (
+         |  SELECT qid, cand, ham,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ham, cand) AS srn
+         |  FROM ham),
+         |n AS (SELECT vec_id, list_reduce(
+         |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+         |        (x, y) -> x + y) AS nrm
+         |      FROM embeddings),
+         |rer AS (
+         |  SELECT s.qid, s.cand, s.ham,
+         |    round(list_reduce(list_transform(list_zip(eq.embedding, ec.embedding),
+         |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)
+         |      / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM short s
+         |  JOIN embeddings eq ON eq.vec_id = s.qid
+         |  JOIN embeddings ec ON ec.vec_id = s.cand
+         |  JOIN n nq ON nq.vec_id = s.qid
+         |  JOIN n nc ON nc.vec_id = s.cand
+         |  WHERE s.srn <= 8),
+         |fin AS (SELECT qid, cand, ham, cos,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |        FROM rer)
+         |SELECT qid, cand, ham, cos, rnk FROM fin WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
 
     // d22: mutual-kNN canonicalize — the s16 top-3 edges, kept only
     // when BOTH endpoints list each other (the symmetric criterion

@@ -466,6 +466,49 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet shouldBe ref
   }
 
+  test("annBinary: packed words match a driver recompute; hamming exact; recall measured") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Similarity.annBinary(spark, sf01).collect()
+    rows should not be empty
+    // independent driver-side recompute of the sign-bit pack + Hamming
+    // for every (qid, cand) the operator emitted
+    val embs = Tables.embeddings(spark, sf01)
+      .filter(col("vec_id") < 8 || col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) if (v(i) > 0f) lo |= 1L << i
+      for (i <- 32 until 64) if (v(i) > 0f) hi |= 1L << (i - 32)
+      (lo, hi)
+    }
+    rows.foreach { r =>
+      val (qid, cand, ham) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val (ql, qh) = pack(embs(qid)); val (cl, ch) = pack(embs(cand))
+      ham shouldBe java.lang.Long.bitCount(ql ^ cl) + java.lang.Long.bitCount(qh ^ ch)
+    }
+    // exact re-rank: cosines equal the brute-force gate's for shared pairs
+    val bruteRows = Similarity.annBruteForce(spark, sf01).collect()
+    val brute = bruteRows
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(_ shouldBe r.getDouble(3))
+    }
+    // ranks contiguous per query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getInt(4)).sorted.toSeq shouldBe (1 to g.length)
+    }
+    // recall@3 vs exact truth — 1 bit/dim keeps the needle most of the
+    // time on this corpus; floor pinned below the measured value
+    val truth = bruteRows.filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    withClue(s"recall@3 = $recall: ") { recall should be >= 0.5 }
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
