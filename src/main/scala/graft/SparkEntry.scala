@@ -47,6 +47,7 @@ object SparkEntry {
     "q21_scalar_pack" -> (Relational.scalarPack _),
     "q22_approx_distinct" -> (Relational.approxDistinct _),
     "q37_kmv_distinct" -> ((s: SparkSession, d: String) => Relational.kmvDistinct(s, d)),
+    "q38_hll_distinct" -> (Relational.hllDistinct _),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -967,6 +968,42 @@ object SparkEntry {
          |      greatest(${hexIntSql("k.kth_hash", 8)}, 1) END, 4) AS est
          |FROM kth k JOIN exact e ON k.lang = e.lang
          |ORDER BY k.lang""".stripMargin,
+
+    // q38: HyperLogLog from md5 — register j = first hex digit (m=16),
+    // rank = 33 − bit-length of the next 32 bits (bin() strips leading
+    // zeros identically in both engines), Σ2^−M carried as the exact
+    // BIGINT Σ2^(40−M). Float literals as 0.673e0 etc. force DOUBLE
+    // (a bare 0.673 is DECIMAL in DuckDB → different rounding path).
+    "q38_hll_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+         |hx AS (SELECT lang, substr(h, 1, 1) AS d1, substr(h, 2, 8) AS d8 FROM h),
+         |r AS (SELECT lang,
+         |        CAST(strpos('0123456789abcdef', d1) - 1 AS INT) AS j,
+         |        ${hexIntSql("d8", 8)} AS v
+         |      FROM hx),
+         |rk AS (SELECT lang, j,
+         |         CAST(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS INT) AS rho
+         |       FROM r),
+         |regs AS (SELECT lang, j, max(rho) AS reg FROM rk GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT l.lang, g.j, CAST(coalesce(regs.reg, 0) AS INT) AS reg
+         |  FROM (SELECT DISTINCT lang FROM h) l
+         |  CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INT) AS j) g
+         |  LEFT JOIN regs ON regs.lang = l.lang AND regs.j = g.j),
+         |summary AS (
+         |  SELECT lang,
+         |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+         |    CAST(sum(CAST(1 AS BIGINT) << (40 - reg)) AS BIGINT) AS s_scaled,
+         |    string_agg(CAST(reg AS VARCHAR), ',' ORDER BY j) AS registers
+         |  FROM dense GROUP BY 1),
+         |exact AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY 1)
+         |SELECT e.lang, e.n_exact, s.v_zero, s.s_scaled, s.registers,
+         |  round(CASE WHEN 0.673e0 * 256 * 1099511627776.0e0 / s.s_scaled <= 40.0e0
+         |               AND s.v_zero > 0
+         |          THEN 16.0e0 * ln(16.0e0 / s.v_zero)
+         |          ELSE 0.673e0 * 256 * 1099511627776.0e0 / s.s_scaled END, 4) AS est
+         |FROM exact e JOIN summary s ON e.lang = s.lang
+         |ORDER BY e.lang""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,

@@ -543,6 +543,70 @@ object Relational {
       .orderBy($"lang")
   }
 
+  /** HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007)
+    * over document texts per language — the OTHER mergeable cardinality
+    * sketch next to q37's KMV, and the one production systems actually
+    * ship (Redis PFCOUNT, BigQuery APPROX_COUNT_DISTINCT). Unlike
+    * q22's engine-private HLL this one is built IN THE PLAN from
+    * md5(text), so registers and estimate are exactly reproducible
+    * cross-engine: register index = the hash's first hex digit (p=4,
+    * m=16), rank = 33 − bit-length of the next 32 hash bits (+sentinel
+    * 33 for zero), register = max rank. The estimate arithmetic stays
+    * on an exact-integer spine: Σ 2^−M[j] is carried as the exact
+    * BIGINT Σ 2^(40−M[j]) (max rank 33 keeps every term integral), so
+    * the only float steps are one constant multiply and one division —
+    * identical IEEE ops both engines (the small-range ln(m/V)
+    * correction branch is rounded on the 1e-4 grid like every float
+    * aggregate).
+    *
+    * Scale shape: one distinct on (lang, h) — the d01 envelope — then
+    * a map-combinable MAX aggregation onto exactly m=16 keys per
+    * language: every task ships ≤ 16 register partials per lang no
+    * matter the corpus (the mergeability that makes HLL the streaming/
+    * partitioned standard; cell-wise max-merge is spec-proven like
+    * t25's count-min). The register densification joins against the
+    * tiny lang×16 frame.
+    */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    hllDistinctOn(Tables.documents(spark, sfDir))
+
+  /** Core of [[hllDistinct]] over any frame with (lang, text) columns —
+    * split out so specs can plant sub-corpora and prove merge laws.
+    */
+  def hllDistinctOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = 16
+    val keys = docs
+      .select($"lang", md5($"text".cast("binary")).as("h")).distinct()
+    val ranks = keys.select($"lang",
+        conv(substring($"h", 1, 1), 16, 10).cast("int").as("j"),
+        conv(substring($"h", 2, 8), 16, 10).cast("bigint").as("v"))
+      .withColumn("rho", when($"v" === 0, lit(33))
+        .otherwise(lit(33) - length(bin($"v"))).cast("int"))
+    val regs = ranks.groupBy($"lang", $"j").agg(max($"rho").as("reg"))
+    // densify to all m registers — absent buckets are rank 0
+    val dense = keys.select($"lang").distinct()
+      .select($"lang", explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .join(regs, Seq("lang", "j"), "left")
+      .withColumn("reg", coalesce($"reg", lit(0)))
+    val summary = dense.groupBy($"lang").agg(
+      sum(($"reg" === 0).cast("bigint")).as("v_zero"),
+      sum(pow(lit(2.0), lit(40) - $"reg").cast("bigint")).as("s_scaled"),
+      array_join(transform(array_sort(collect_list(struct($"j", $"reg"))),
+        s => s.getField("reg").cast("string")), ",").as("registers"))
+    val exact = keys.groupBy($"lang").agg(count(lit(1)).as("n_exact"))
+    // raw = α16·m²·2^40/S, left-assoc so both engines run the same
+    // IEEE sequence; α16 = 0.673 (the m=16 constant from the paper)
+    val raw = lit(0.673) * lit(256) * lit(1099511627776.0) / $"s_scaled"
+    exact.join(summary, "lang")
+      .select($"lang", $"n_exact", $"v_zero", $"s_scaled", $"registers",
+        round(when(raw <= lit(40.0) && $"v_zero" > 0,
+            lit(16.0) * log(lit(16.0) / $"v_zero"))
+          .otherwise(raw), 4).as("est"))
+      .orderBy($"lang")
+  }
+
   /** Tumbling time-window aggregation (batch form of the streaming
     * windowed agg in graft.streaming; 1-day windows == UTC calendar days).
     */

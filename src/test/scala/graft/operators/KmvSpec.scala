@@ -166,4 +166,43 @@ class KmvSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.Caches.releaseAll(spark)
     out.map(_.getString(1)).toSet shouldBe t07
   }
+
+  test("q38 HLL: merge law — cell-wise max of half-corpus sketches = whole sketch") {
+    import spark.implicits._
+    // the property that makes HLL the partitioned/streaming standard:
+    // registers from two disjoint halves, max-merged per cell, are
+    // BIT-IDENTICAL to the registers built over the union — so the
+    // map-side partial aggregation Spark runs IS the full computation
+    val docs = Tables.documents(spark, sf)
+    def regsOf(df: org.apache.spark.sql.DataFrame): Map[(String, Int), Int] =
+      Relational.hllDistinctOn(df).collect().flatMap { r =>
+        r.getString(r.fieldIndex("registers")).split(",").zipWithIndex
+          .map { case (v, j) => (r.getString(0), j) -> v.toInt }
+      }.toMap
+    val whole = regsOf(docs)
+    val a = regsOf(docs.filter($"doc_id" % 2 === 0))
+    val b = regsOf(docs.filter($"doc_id" % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map { k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))
+    }.toMap
+    merged shouldBe whole
+  }
+
+  test("q38 HLL: estimate within 30% of exact at sf0.01 (m=16 ⇒ σ≈26%)") {
+    val rows = Relational.hllDistinct(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("n_exact")).toDouble
+      val est = r.getDouble(r.fieldIndex("est"))
+      withClue(s"lang ${r.getString(0)}: est=$est exact=$exact: ") {
+        math.abs(est - exact) / exact should be < 0.30
+      }
+    }
+  }
+
+  test("q38 HLL: register build is map-combinable (no window, hash aggregate)") {
+    val plan = Relational.hllDistinct(spark, sf).queryExecution.executedPlan.toString
+    (plan should include).regex("(?i)HashAggregate")
+    (plan should not).include("Window")
+  }
 }
