@@ -73,6 +73,7 @@ object SparkEntry {
     "d12_incremental_overlap" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlap(s, d)),
     "d21_incremental_sharded" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlapSharded(s, d)),
     "d22_mutual_knn" -> ((s: SparkSession, d: String) => Dedup.mutualKnnCanonicalize(s, d)),
+    "d23_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
@@ -1154,6 +1155,26 @@ object SparkEntry {
          |  GROUP BY 1, 2
          |)
          |SELECT a, b, round(ic / (sa.n + sb.n - ic), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |WHERE round(ic / (sa.n + sb.n - ic), 6) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    // d23: prefix filtering is LOSSLESS, so the oracle is simply the
+    // full-corpus brute-force Jaccard join — no sample cap, unlike d02.
+    // If the Spark side's candidate generation ever dropped a true
+    // pair, this gate would hash-mismatch.
+    "d23_jaccard_prefix" ->
+      s"""WITH ${tkCte("")},
+         |$ShCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ic
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, CAST(ic AS BIGINT) AS inter,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  round(ic / (sa.n + sb.n - ic), 6) AS jaccard
          |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          |WHERE round(ic / (sa.n + sb.n - ic), 6) >= 0.5
          |ORDER BY a, b""".stripMargin,

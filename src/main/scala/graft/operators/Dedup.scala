@@ -420,6 +420,88 @@ object Dedup {
       .orderBy($"a", $"b")
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Chaudhuri et al. "A Primitive Operator
+    * for Similarity Joins", ICDE 2006; Xiao et al. WWW 2008) — the
+    * scalable way to get what d02 gets by brute force, with NO
+    * sampling and NO recall loss: unlike MinHash-LSH (d03) the
+    * candidate generation is provably LOSSLESS, so the output is
+    * bit-identical to the full quadratic join.
+    *
+    * The filter: order all shingles by a global total order (corpus
+    * frequency ASC, shingle ASC — rarest first, the ordering that
+    * makes prefixes selective); a doc's PREFIX is its first
+    * p = n − ceil(τ·n) + 1 shingles in that order. Any pair with
+    * J ≥ τ has intersection ≥ ceil(τ·max(n_a, n_b)), and the
+    * smallest-ordered shared shingle must sit inside BOTH prefixes
+    * (if it missed either prefix, the whole intersection would fit in
+    * that doc's ceil(τ·n)−1 suffix — too small). So an equi-join on
+    * prefix shingles finds every qualifying pair; PPJoin's length
+    * filter (τ·n_a ≤ n_b ≤ n_a/τ) prunes candidates for free before
+    * verification. Verification is exact: array_intersect over the
+    * two bounded sorted id lists.
+    *
+    * Scale shape: the global order comes from [[Ranking.denseIds]]
+    * (range-repartition + zipWithIndex — no single-partition window);
+    * the candidate join keys on prefix ids, which are the CORPUS-RARE
+    * shingles by construction (a shingle appearing in f docs
+    * contributes ≤ f²/2 candidate pairs, and frequent shingles are
+    * pushed out of every prefix by the ordering); the in-plan
+    * population guard names `tauNum/tauDen` as the fix if a pathological
+    * corpus still overpopulates a prefix id. No sample cap anywhere —
+    * this is the operator a 100 TB exact-dedup pass actually runs.
+    */
+  def jaccardPrefixJoin(spark: SparkSession, sfDir: String,
+      tauNum: Int = 1, tauDen: Int = 2,
+      maxPrefixPop: Long = Sizing.MaxPairKeyPopulation): DataFrame =
+    jaccardPrefixOn(graft.Caches.track(shingleSet(spark, sfDir, None)),
+      tauNum, tauDen, maxPrefixPop)
+
+  /** Core of [[jaccardPrefixJoin]] over any distinct (doc_id, sh)
+    * frame — split out so specs can plant corpora (boundary-exact
+    * pairs, pathological hot shingles) and prove losslessness against
+    * an independent brute-force join on the same frame.
+    */
+  private[operators] def jaccardPrefixOn(sh: DataFrame,
+      tauNum: Int, tauDen: Int, maxPrefixPop: Long): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
+    // global rarest-first total order as a dictionary id: zero-padded
+    // frequency + shingle sorts exactly like (df ASC, sh ASC)
+    val keyed = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .select($"sh",
+        concat(lpad($"df".cast("string"), 12, "0"), lit(" "), $"sh").as("okey"))
+    val dict = Ranking.denseIds(keyed, "okey", "sid")
+    val sids = sh.join(keyed, "sh").join(dict, "okey")
+      .select($"doc_id", $"sid")
+    val docs = graft.Caches.track(
+      sids.groupBy($"doc_id").agg(sort_array(collect_list($"sid")).as("sids"))
+        .withColumn("n", size($"sids"))
+        .withColumn("p",
+          ($"n" - floor(($"n" * tauNum + tauDen - 1) / lit(tauDen.toDouble)) + 1)
+            .cast("int")))
+    val prefix = Sizing.guardKeyPopulation(
+      docs.select($"doc_id", $"n", explode(slice($"sids", lit(1), $"p")).as("sid")),
+      "sid", maxPrefixPop, "jaccardPrefixJoin", "prefix shingle", "tauNum/tauDen")
+    val cands = prefix.as("x").join(prefix.as("y"),
+        $"x.sid" === $"y.sid" && $"x.doc_id" < $"y.doc_id" &&
+          // PPJoin length filter: τ·n_a ≤ n_b and τ·n_b ≤ n_a
+          $"x.n" * tauNum <= $"y.n" * tauDen && $"y.n" * tauNum <= $"x.n" * tauDen)
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+    val setsA = docs.select($"doc_id".as("a"), $"sids".as("sa"), $"n".as("n_a"))
+    val setsB = docs.select($"doc_id".as("b"), $"sids".as("sb"), $"n".as("n_b"))
+    cands.join(setsA, "a").join(setsB, "b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("bigint"))
+      .withColumn("jaccard",
+        round($"inter" / ($"n_a" + $"n_b" - $"inter"), 6))
+      .filter($"jaccard" >= lit(tauNum.toDouble / tauDen))
+      .select($"a", $"b", $"inter",
+        $"n_a".cast("bigint").as("n_a"), $"n_b".cast("bigint").as("n_b"),
+        $"jaccard")
+      .orderBy($"a", $"b")
+  }
+
   /** MinHash + LSH banding (oracle-parity form): shingle -> 16 minhashes
     * -> 4 bands of 4 -> candidate pairs sharing any band signature.
     */
