@@ -177,6 +177,7 @@ object SparkEntry {
     "m11_png_gate" -> (Multimodal.pngChecksumGate _),
     "m12_gif_gate" -> (Multimodal.gifChecksumGate _),
     "m13_png_rgb_gate" -> (Multimodal.pngRgbChecksumGate _),
+    "m14_codec_meta" -> (Multimodal.codecMetaGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -3004,6 +3005,43 @@ object SparkEntry {
         |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
         |FROM documents WHERE length(text) >= 192 ORDER BY doc_id""".stripMargin,
+
+    // m14: compressed-audio header metadata — the Spark side parses
+    // genuine bit-packed FLAC STREAMINFO / MP3 frame headers built
+    // from text bytes; the oracle re-derives every field from ord()
+    // arithmetic (including the public bitrate/sample-rate tables and
+    // the 144000·br//sr frame-length integer division)
+    "m14_codec_meta" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 8) AS px
+        |           FROM documents WHERE length(text) >= 8),
+        |o AS (SELECT doc_id,
+        |        ord(substr(px, 1, 1)) AS o0, ord(substr(px, 2, 1)) AS o1,
+        |        ord(substr(px, 3, 1)) AS o2, ord(substr(px, 4, 1)) AS o3,
+        |        ord(substr(px, 5, 1)) AS o4, ord(substr(px, 6, 1)) AS o5,
+        |        ord(substr(px, 7, 1)) AS o6
+        |      FROM d),
+        |flac AS (SELECT doc_id, 'flac' AS format,
+        |    CAST(8000 + o0 * 37 + o1 AS INT) AS sample_rate,
+        |    CAST(1 + (o2 % 2) AS INT) AS channels,
+        |    CAST(8 + (o3 % 17) AS INT) AS bits_per_sample,
+        |    CAST(o4 * 65536 + o5 * 256 + o6 AS BIGINT) AS total_samples,
+        |    CAST(NULL AS INT) AS bitrate_kbps,
+        |    CAST(NULL AS INT) AS frame_len
+        |  FROM o),
+        |mp3 AS (SELECT doc_id, 'mp3' AS format,
+        |    CAST(list_extract([44100, 48000, 32000], 1 + (o1 % 3)) AS INT) AS sample_rate,
+        |    CAST(CASE WHEN (o3 % 4) = 3 THEN 1 ELSE 2 END AS INT) AS channels,
+        |    CAST(NULL AS INT) AS bits_per_sample,
+        |    CAST(NULL AS BIGINT) AS total_samples,
+        |    CAST(list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        |                       192, 224, 256, 320], 1 + (o0 % 14)) AS INT) AS bitrate_kbps,
+        |    CAST(144000 * list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128,
+        |            160, 192, 224, 256, 320], 1 + (o0 % 14))
+        |         // list_extract([44100, 48000, 32000], 1 + (o1 % 3))
+        |         + (o2 % 2) AS INT) AS frame_len
+        |  FROM o)
+        |SELECT * FROM flac UNION ALL SELECT * FROM mp3
+        |ORDER BY doc_id, format""".stripMargin,
 
     // m06: perceptual hashes over REAL decoded pixels, cross-engine —
     // aHash: 8x8 grid (identity sampling at this size), threshold at

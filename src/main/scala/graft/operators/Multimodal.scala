@@ -2012,4 +2012,182 @@ object Multimodal {
       .distinct()
       .orderBy($"a", $"b")
   }
+
+  // ------------------------------------------------------------------
+  // Compressed-audio HEADER metadata — FLAC STREAMINFO + MP3 frame
+  // header (the two compressed audio formats a web crawl actually
+  // carries next to WAV). Sample DECODE for these is a codec library
+  // (MDCT/Huffman — out of slice, like JPEG entropy coding); the
+  // METADATA a pipeline filters on (sample rate, channels, bit depth,
+  // duration, bitrate) lives in fixed public bit-packed layouts that
+  // parse dependency-free, and the m14 gate proves the bit arithmetic
+  // cross-engine the m05 way.
+  // ------------------------------------------------------------------
+
+  /** REAL FLAC STREAMINFO parse (public format: the 4-byte `fLaC`
+    * magic, a metadata block header, and the 34-byte STREAMINFO whose
+    * tail 8 bytes bit-pack sample rate (20 bits), channels−1 (3),
+    * bits-per-sample−1 (5) and total samples (36) — the fields a
+    * filter predicate needs). Strict: wrong magic, a first block that
+    * is not STREAMINFO, a declared length ≠ 34, or a zero sample rate
+    * is malformed → None (never throws on arbitrary payloads).
+    *
+    * Returns (sampleRate, channels, bitsPerSample, totalSamples).
+    */
+  def parseFlacStreamInfo(c: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (c.length < 42) return None
+    if (c(0) != 'f' || c(1) != 'L' || c(2) != 'a' || c(3) != 'C') return None
+    val blockType = c(4) & 0x7f // high bit = last-metadata-block flag
+    val blockLen = ((c(5) & 0xff) << 16) | ((c(6) & 0xff) << 8) | (c(7) & 0xff)
+    if (blockType != 0 || blockLen != 34) return None
+    val b = 8 + 10 // skip min/max blocksize (4) + min/max framesize (6)
+    val sampleRate = ((c(b) & 0xff) << 12) | ((c(b + 1) & 0xff) << 4) |
+      ((c(b + 2) & 0xf0) >> 4)
+    val channels = ((c(b + 2) & 0x0e) >> 1) + 1
+    val bps = (((c(b + 2) & 0x01) << 4) | ((c(b + 3) & 0xf0) >> 4)) + 1
+    val totalSamples = ((c(b + 3) & 0x0fL) << 32) | ((c(b + 4) & 0xffL) << 24) |
+      ((c(b + 5) & 0xffL) << 16) | ((c(b + 6) & 0xffL) << 8) | (c(b + 7) & 0xffL)
+    if (sampleRate == 0) None
+    else Some((sampleRate, channels, bps, totalSamples))
+  }
+
+  /** Minimal valid FLAC header (magic + last-block STREAMINFO) — the
+    * fixture/gate builder inverted by [[parseFlacStreamInfo]]. Block
+    * sizes are pinned to the 4096 interchange default; frame sizes 0
+    * (unknown) and a zero MD5, both legal per the public spec.
+    */
+  def encodeFlacHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "sample rate is 20 bits")
+    require(channels >= 1 && channels <= 8, "channels-1 is 3 bits")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, "bps-1 is 5 bits")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "total is 36 bits")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80) // last block + type 0 (STREAMINFO)
+    out.write(0); out.write(0); out.write(34)
+    out.write(0x10); out.write(0x00) // min blocksize 4096
+    out.write(0x10); out.write(0x00) // max blocksize 4096
+    for (_ <- 0 until 6) out.write(0) // min/max framesize unknown
+    out.write((sampleRate >> 12) & 0xff)
+    out.write((sampleRate >> 4) & 0xff)
+    out.write(((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4))
+    out.write(((bitsPerSample - 1) & 0xf) << 4 | ((totalSamples >> 32) & 0xf).toInt)
+    out.write(((totalSamples >> 24) & 0xff).toInt)
+    out.write(((totalSamples >> 16) & 0xff).toInt)
+    out.write(((totalSamples >> 8) & 0xff).toInt)
+    out.write((totalSamples & 0xff).toInt)
+    for (_ <- 0 until 16) out.write(0) // MD5 of the (absent) audio data
+    out.toByteArray
+  }
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1–14 (0 = free, 15 =
+    * bad — both rejected); public ISO 11172-3 values.
+    */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates by the 2-bit index (3 = reserved). */
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** REAL MP3 (MPEG-1 Layer III) frame-header parse — the public
+    * 4-byte layout: 11 sync bits, version, layer, then bitrate index /
+    * sample-rate index / padding / channel mode. Frame length is the
+    * standard `144·bitrate/sampleRate + padding` integer formula —
+    * the value a splitter uses to hop frame to frame. Strict on
+    * reserved values (bitrate 0/15, sample-rate index 3) → None.
+    *
+    * Returns (bitrateKbps, sampleRate, channelMode, frameLen).
+    */
+  def parseMp3FrameHeader(c: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (c.length < 4) return None
+    if ((c(0) & 0xff) != 0xff || (c(1) & 0xe0) != 0xe0) return None // sync
+    val version = (c(1) >> 3) & 0x3
+    val layer = (c(1) >> 1) & 0x3
+    if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+    val bitrateIdx = (c(2) >> 4) & 0xf
+    val srIdx = (c(2) >> 2) & 0x3
+    val padding = (c(2) >> 1) & 0x1
+    val mode = (c(3) >> 6) & 0x3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+    val bitrate = Mp3Bitrates(bitrateIdx)
+    val sampleRate = Mp3SampleRates(srIdx)
+    val frameLen = 144000 * bitrate / sampleRate + padding
+    Some((bitrate, sampleRate, mode, frameLen))
+  }
+
+  /** One MPEG-1 Layer III frame header — the gate/fixture builder
+    * inverted by [[parseMp3FrameHeader]].
+    */
+  def encodeMp3FrameHeader(bitrateIdx: Int, srIdx: Int, padding: Int,
+      mode: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, "bitrate index 1-14")
+    require(srIdx >= 0 && srIdx <= 2, "sample-rate index 0-2")
+    Array(0xff.toByte, 0xfb.toByte, // sync + MPEG-1 + Layer III + no CRC
+      ((bitrateIdx << 4) | (srIdx << 2) | (padding << 1)).toByte,
+      (mode << 6).toByte)
+  }
+
+  /** m14 payload builder: per document, a REAL FLAC header and a REAL
+    * MP3 frame header whose fields derive from the first text bytes —
+    * so the oracle can recompute every expected field from ord()
+    * first principles while the Spark side must invert genuine
+    * bit-packed layouts.
+    */
+  private def docCodecRows(spark: SparkSession, sfDir: String): Dataset[(Long, String, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 8)
+      .select($"doc_id", substring($"text", 1, 8).as("px"))
+      .as[(Long, String)]
+      .flatMap { case (id, px) =>
+        val o = px.map(_.toInt)
+        val flac = encodeFlacHeader(
+          sampleRate = 8000 + o(0) * 37 + o(1),
+          channels = 1 + (o(2) % 2),
+          bitsPerSample = 8 + (o(3) % 17),
+          totalSamples = o(4) * 65536L + o(5) * 256L + o(6))
+        val mp3 = encodeMp3FrameHeader(
+          bitrateIdx = 1 + (o(0) % 14),
+          srIdx = o(1) % 3,
+          padding = o(2) % 2,
+          mode = o(3) % 4)
+        Seq((id, "flac", flac), (id, "mp3", mp3))
+      }
+  }
+
+  /** m14 gate entry: compressed-audio header metadata under the DuckDB
+    * gate — the Spark side parses genuine bit-packed FLAC STREAMINFO
+    * and MP3 frame headers built from document text
+    * ([[docCodecRows]]); the oracle recomputes every field (including
+    * the bitrate/sample-rate table lookups and the 144000·br/sr
+    * integer frame-length division) from ord() on the text prefix,
+    * never seeing a binary byte. Hash-green proves encode and parse
+    * invert each other AND match an independent arithmetic derivation
+    * of the same fields. Long format: one row per (doc, format) with
+    * NULLs for the fields the other format doesn't carry (the A4
+    * union-encode convention).
+    */
+  def codecMetaGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docCodecRows(spark, sfDir)
+      .map { case (id, kind, bytes) =>
+        kind match {
+          case "flac" =>
+            val (sr, ch, bps, ts) = parseFlacStreamInfo(bytes)
+              .getOrElse(throw new IllegalStateException(s"flac parse failed for $id"))
+            (id, kind, sr, ch, Some(bps), Some(ts), None: Option[Int], None: Option[Int])
+          case _ =>
+            val (br, sr, mode, flen) = parseMp3FrameHeader(bytes)
+              .getOrElse(throw new IllegalStateException(s"mp3 parse failed for $id"))
+            // channel COUNT from the mode: 3 = single_channel, else 2
+            val ch = if (mode == 3) 1 else 2
+            (id, kind, sr, ch, None: Option[Int], None: Option[Long], Some(br), Some(flen))
+        }
+      }
+      .toDF("doc_id", "format", "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "bitrate_kbps", "frame_len")
+      .orderBy($"doc_id", $"format")
+  }
 }

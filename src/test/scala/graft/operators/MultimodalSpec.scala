@@ -1029,6 +1029,65 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.decodeRasterPixels(hdrOnly) shouldBe None
   }
 
+  test("FLAC STREAMINFO round-trips through encode/parse incl. bit-field extremes") {
+    // interchange defaults
+    Multimodal.parseFlacStreamInfo(
+      Multimodal.encodeFlacHeader(44100, 2, 16, 1234567L)) shouldBe
+      Some((44100, 2, 16, 1234567L))
+    // field extremes: 20-bit sample rate, 8 channels, 32-bit depth,
+    // 36-bit total samples — every bit position in the packed tail
+    Multimodal.parseFlacStreamInfo(
+      Multimodal.encodeFlacHeader((1 << 20) - 1, 8, 32, (1L << 36) - 1)) shouldBe
+      Some(((1 << 20) - 1, 8, 32, (1L << 36) - 1))
+    Multimodal.parseFlacStreamInfo(
+      Multimodal.encodeFlacHeader(1, 1, 4, 0L)) shouldBe Some((1, 1, 4, 0L))
+  }
+
+  test("FLAC parse rejects malformed headers, never throws") {
+    val good = Multimodal.encodeFlacHeader(8000, 1, 8, 100L)
+    // wrong magic
+    val m = good.clone(); m(0) = 'g'
+    Multimodal.parseFlacStreamInfo(m) shouldBe None
+    // first block not STREAMINFO
+    val t = good.clone(); t(4) = (0x80 | 4).toByte
+    Multimodal.parseFlacStreamInfo(t) shouldBe None
+    // declared length != 34
+    val l = good.clone(); l(7) = 33
+    Multimodal.parseFlacStreamInfo(l) shouldBe None
+    // truncated buffer and arbitrary junk
+    Multimodal.parseFlacStreamInfo(good.take(20)) shouldBe None
+    Multimodal.parseFlacStreamInfo("not flac at all".getBytes) shouldBe None
+  }
+
+  test("MP3 frame header round-trips; frame length matches the public formula") {
+    // 128 kbps @ 44100, no padding, joint stereo
+    Multimodal.parseMp3FrameHeader(
+      Multimodal.encodeMp3FrameHeader(9, 0, 0, 1)) shouldBe
+      Some((128, 44100, 1, 144000 * 128 / 44100))
+    // padding adds exactly one byte
+    Multimodal.parseMp3FrameHeader(
+      Multimodal.encodeMp3FrameHeader(9, 0, 1, 1)) shouldBe
+      Some((128, 44100, 1, 144000 * 128 / 44100 + 1))
+    // 320 kbps @ 32000 mono — table extremes
+    Multimodal.parseMp3FrameHeader(
+      Multimodal.encodeMp3FrameHeader(14, 2, 0, 3)) shouldBe
+      Some((320, 32000, 3, 144000 * 320 / 32000))
+  }
+
+  test("MP3 parse rejects reserved/invalid headers, never throws") {
+    // broken sync
+    Multimodal.parseMp3FrameHeader(Array(0xfe.toByte, 0xfb.toByte, 0x90.toByte, 0x40.toByte)) shouldBe None
+    // MPEG-2 (version bits 10) rejected by this MPEG-1-only slice
+    Multimodal.parseMp3FrameHeader(Array(0xff.toByte, 0xf3.toByte, 0x90.toByte, 0x40.toByte)) shouldBe None
+    // free-format bitrate (0) and bad bitrate (15)
+    Multimodal.parseMp3FrameHeader(Array(0xff.toByte, 0xfb.toByte, 0x00.toByte, 0x40.toByte)) shouldBe None
+    Multimodal.parseMp3FrameHeader(Array(0xff.toByte, 0xfb.toByte, 0xf0.toByte, 0x40.toByte)) shouldBe None
+    // reserved sample-rate index (3)
+    Multimodal.parseMp3FrameHeader(Array(0xff.toByte, 0xfb.toByte, 0x9c.toByte, 0x40.toByte)) shouldBe None
+    // truncated
+    Multimodal.parseMp3FrameHeader(Array(0xff.toByte, 0xfb.toByte)) shouldBe None
+  }
+
   test("rasterFeatures + perceptual/resize compose over PNG inputs") {
     import spark.implicits._
     val px = detRandom(11, 8 * 8)
