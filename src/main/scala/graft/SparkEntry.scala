@@ -178,6 +178,7 @@ object SparkEntry {
     "m12_gif_gate" -> (Multimodal.gifChecksumGate _),
     "m13_png_rgb_gate" -> (Multimodal.pngRgbChecksumGate _),
     "m14_codec_meta" -> (Multimodal.codecMetaGate _),
+    "m15_png_palette_gate" -> (Multimodal.pngPaletteChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -3042,6 +3043,20 @@ object SparkEntry {
         |  FROM o)
         |SELECT * FROM flac UNION ALL SELECT * FROM mp3
         |ORDER BY doc_id, format""".stripMargin,
+
+    // m15: the indexed-PNG gate — the Spark side unfilters the index
+    // plane and expands through PLTE; the oracle derives each RGB
+    // triple from ord() via the deranged palette formulas
+    "m15_png_palette_gate" ->
+      """SELECT doc_id, 'png' AS format, 8 AS width, 8 AS height,
+        |  3 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    flatten(list_transform(range(1, 65), i ->
+        |      [CAST(ord(text[CAST(i AS INT)]) AS BIGINT),
+        |       CAST((ord(text[CAST(i AS INT)]) * 7 + 13) % 256 AS BIGINT),
+        |       CAST((ord(text[CAST(i AS INT)]) * 31 + 5) % 256 AS BIGINT)])),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
 
     // m06: perceptual hashes over REAL decoded pixels, cross-engine —
     // aHash: 8x8 grid (identity sampling at this size), threshold at

@@ -457,13 +457,17 @@ object Multimodal {
     val bitDepth = c(24) & 0xff; val colorType = c(25) & 0xff
     val compression = c(26) & 0xff; val filterMethod = c(27) & 0xff
     val interlace = c(28) & 0xff
+    // colorType 3 (indexed) filters one byte per pixel and expands to
+    // RGB through PLTE after the unfilter pass — the 8-bit BMP shape
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 6 => 4; case _ => -1
+      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4; case _ => -1
     }
+    val isPalette = colorType == 3
     if (w <= 0 || w > MaxDim || h <= 0 || h > MaxDim || bitDepth != 8 ||
         channels < 0 || compression != 0 || filterMethod != 0 ||
         interlace != 0 ||
-        w.toLong * h * channels > Int.MaxValue / 2) return None
+        w.toLong * h * (if (isPalette) 3 else channels) > Int.MaxValue / 2)
+      return None
     val crc = new java.util.zip.CRC32
     def chunkCrcOk(typeOff: Int, len: Int): Boolean = {
       crc.reset()
@@ -471,8 +475,10 @@ object Multimodal {
       crc.getValue.toInt == beI32(typeOff + 4 + len)
     }
     if (!chunkCrcOk(12, 13)) return None
-    // chunk walk: concatenate IDAT payloads until IEND
+    // chunk walk: concatenate IDAT payloads until IEND; capture PLTE
+    // (which the spec requires BEFORE the first IDAT)
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var pos = 8 + 25 // after IHDR
     var sawEnd = false
     while (!sawEnd) {
@@ -485,6 +491,13 @@ object Multimodal {
           t3 == 'T'.toByte) {
         if (!chunkCrcOk(pos + 4, len)) return None
         idat.write(c, pos + 8, len)
+      } else if (t0 == 'P'.toByte && t1 == 'L'.toByte && t2 == 'T'.toByte &&
+          t3 == 'E'.toByte) {
+        if (!chunkCrcOk(pos + 4, len)) return None
+        // 1..256 RGB triples, before any IDAT, at most one PLTE
+        if (len == 0 || len % 3 != 0 || len > 768 || idat.size() > 0 ||
+            palette != null) return None
+        palette = java.util.Arrays.copyOfRange(c, pos + 8, pos + 8 + len)
       } else if (t0 == 'I'.toByte && t1 == 'E'.toByte && t2 == 'N'.toByte &&
           t3 == 'D'.toByte) {
         sawEnd = true
@@ -492,6 +505,7 @@ object Multimodal {
       // ancillary chunks (tEXt, pHYs, …) are skipped without CRC work
       pos += 12 + len
     }
+    if (isPalette && palette == null) return None
     val compressed = idat.toByteArray
     if (compressed.isEmpty) return None
     // inflate to EXACTLY h * (1 + w*channels): filter byte + raw row
@@ -552,7 +566,23 @@ object Multimodal {
       }
       y += 1
     }
-    Some(RasterImage("png", w, h, channels, out))
+    if (!isPalette) Some(RasterImage("png", w, h, channels, out))
+    else {
+      // expand indices to canonical RGB (the 8-bit BMP/GIF convention);
+      // an index outside the palette is malformed, not clampable
+      val n = palette.length / 3
+      val rgb = new Array[Byte](w * h * 3)
+      var i2 = 0
+      while (i2 < w * h) {
+        val idx = out(i2) & 0xff
+        if (idx >= n) return None
+        rgb(i2 * 3) = palette(idx * 3)
+        rgb(i2 * 3 + 1) = palette(idx * 3 + 1)
+        rgb(i2 * 3 + 2) = palette(idx * 3 + 2)
+        i2 += 1
+      }
+      Some(RasterImage("png", w, h, 3, rgb))
+    }
   }
 
   /** REAL GIF first-frame pixel decode — the last common web-crawl
@@ -848,6 +878,26 @@ object Multimodal {
       pixels: Array[Byte], filterFor: Int => Int = _ => 0): Array[Byte] = {
     require(channels == 1 || channels == 3 || channels == 4,
       s"channels must be 1/3/4, got $channels")
+    encodePngCore(width, height, channels, pixels, filterFor, None)
+  }
+
+  /** Indexed (color type 3) PNG: one byte per pixel of palette indices,
+    * `palette` as RGB triples written as the PLTE chunk. Same per-row
+    * filter control as [[encodePng]] — the filters run over the INDEX
+    * plane (bpp = 1), which is what makes a palette gate distinct from
+    * the grayscale one: identical filter arithmetic, different pixel
+    * reconstruction after it.
+    */
+  def encodePngIndexed(width: Int, height: Int, palette: Array[Byte],
+      indices: Array[Byte], filterFor: Int => Int = _ => 0): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.nonEmpty && palette.length <= 768,
+      s"palette must be 1..256 RGB triples, got ${palette.length} bytes")
+    encodePngCore(width, height, 1, indices, filterFor, Some(palette))
+  }
+
+  private def encodePngCore(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], filterFor: Int => Int,
+      palette: Option[Array[Byte]]): Array[Byte] = {
     require(pixels.length == width * height * channels,
       s"pixel buffer ${pixels.length} != $width*$height*$channels")
     val stride = width * channels
@@ -903,9 +953,13 @@ object Multimodal {
       crc.update(tb); crc.update(data)
       out.write(be(crc.getValue.toInt))
     }
-    val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+    val colorType = palette match {
+      case Some(_) => 3
+      case None => channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+    }
     chunk("IHDR", be(width) ++ be(height) ++
       Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+    palette.foreach(p => chunk("PLTE", p))
     chunk("IDAT", idat)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -1652,6 +1706,51 @@ object Multimodal {
   def pngRgbChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     rasterFeatures(docPngRgbRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** m15 payload builder: an INDEXED (color type 3) PNG per document —
+    * the first 64 text bytes as 8×8 palette indices over a DERANGED
+    * 256-entry palette (entry i → RGB (i, (7i+13) mod 256,
+    * (31i+5) mod 256)), filters varying per (doc_id, row) like m11.
+    * The non-identity palette is the point: a decoder that skipped
+    * PLTE expansion (or expanded in the wrong channel order) would
+    * still pass an identity-palette gate, never this one.
+    */
+  private def docPngPalRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val pal = Array.tabulate(256 * 3) { k =>
+      val i = k / 3
+      (k % 3 match {
+        case 0 => i
+        case 1 => (i * 7 + 13) % 256
+        case _ => (i * 31 + 5) % 256
+      }).toByte
+    }
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        MediaRow(id, "image",
+          encodePngIndexed(8, 8, pal, px.getBytes("ISO-8859-1"),
+            y => ((id + y) % 5).toInt))
+      }
+  }
+
+  /** m15 gate entry: indexed PNG decode under the DuckDB gate — the
+    * Spark side inflates and unfilters the INDEX plane, then expands
+    * through the PLTE chunk; the oracle recomputes each RGB triple
+    * from ord() via the palette formulas directly, never seeing a
+    * binary byte. Hash-green proves the whole path (index-plane
+    * unfilter at bpp=1, PLTE capture/ordering rules, triple-channel
+    * expansion) byte-agrees with first principles.
+    */
+  def pngPaletteChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docPngPalRows(spark, sfDir)).toDF()
       .select($"media_id".as("doc_id"), $"format", $"width", $"height",
         $"channels", $"pixel_checksum")
       .orderBy($"doc_id")

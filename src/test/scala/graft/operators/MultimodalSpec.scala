@@ -1029,6 +1029,50 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.decodeRasterPixels(hdrOnly) shouldBe None
   }
 
+  test("indexed PNG decodes through PLTE expansion with every filter type") {
+    val pal = Array.tabulate(256 * 3) { k =>
+      val i = k / 3
+      (k % 3 match {
+        case 0 => i; case 1 => (i * 7 + 13) % 256; case _ => (i * 31 + 5) % 256
+      }).toByte
+    }
+    val idx = detRandom(7, 8 * 8)
+    // per-row filter sweep covers None/Sub/Up/Average/Paeth on the
+    // index plane
+    val png = Multimodal.encodePngIndexed(8, 8, pal, idx, y => y % 5)
+    val img = Multimodal.decodeRasterPixels(png).get
+    img.format shouldBe "png"
+    img.channels shouldBe 3
+    img.pixels.length shouldBe 8 * 8 * 3
+    for (i <- 0 until 64) {
+      val v = idx(i) & 0xff
+      (img.pixels(i * 3) & 0xff) shouldBe v
+      (img.pixels(i * 3 + 1) & 0xff) shouldBe (v * 7 + 13) % 256
+      (img.pixels(i * 3 + 2) & 0xff) shouldBe (v * 31 + 5) % 256
+    }
+  }
+
+  test("indexed PNG malformed-PLTE paths reject, never throw") {
+    val pal4 = Array.tabulate(4 * 3)(k => (k * 11).toByte)
+    val inRange = Array.tabulate(8 * 8)(i => (i % 4).toByte)
+    val good = Multimodal.encodePngIndexed(8, 8, pal4, inRange)
+    Multimodal.decodeRasterPixels(good) should not be None
+    // an index outside the 4-entry palette is malformed
+    val outOfRange = inRange.clone(); outOfRange(10) = 9
+    Multimodal.decodeRasterPixels(
+      Multimodal.encodePngIndexed(8, 8, pal4, outOfRange)) shouldBe None
+    // color type 3 with NO PLTE chunk: excise it (PLTE is chunk #2:
+    // 8-byte sig + 25-byte IHDR, then 12 + len PLTE frame)
+    val plteLen = ((good(35) & 0xff) << 8) | (good(36) & 0xff) // BE low bytes
+    plteLen shouldBe 12 // 4 triples
+    val noPlte = good.take(33) ++ good.drop(33 + 12 + 12)
+    Multimodal.decodeRasterPixels(noPlte) shouldBe None
+    // PLTE length not a multiple of 3 → malformed (flip the length and
+    // the walk either fails CRC or the rule check; both reject)
+    val badLen = good.clone(); badLen(36) = (badLen(36) + 1).toByte
+    Multimodal.decodeRasterPixels(badLen) shouldBe None
+  }
+
   test("FLAC STREAMINFO round-trips through encode/parse incl. bit-field extremes") {
     // interchange defaults
     Multimodal.parseFlacStreamInfo(
