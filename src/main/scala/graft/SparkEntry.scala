@@ -74,6 +74,7 @@ object SparkEntry {
     "d21_incremental_sharded" -> ((s: SparkSession, d: String) => Dedup.incrementalOverlapSharded(s, d)),
     "d22_mutual_knn" -> ((s: SparkSession, d: String) => Dedup.mutualKnnCanonicalize(s, d)),
     "d23_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
+    "d24_dbscan" -> ((s: SparkSession, d: String) => Dedup.dbscan(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
@@ -1180,6 +1181,53 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          |WHERE round(ic / (sa.n + sb.n - ic), 6) >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    // d24: DBSCAN — order-pinned list_reduce cosine (the d13 fold),
+    // degree → core (>= 4 neighbors at sim >= 0.3) → recursive-CTE
+    // components over core-core edges (min-id labels, the d06 mirror
+    // of GraphX CC) → border = min cluster among core neighbors →
+    // noise NULL. Every step is integer/rounded-exact, so the full
+    // clustering hash-matches.
+    "d24_dbscan" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |n AS (SELECT vec_id, list_reduce(
+        |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |        (x, y) -> x + y) AS nrm FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)
+        |      / sqrt(na.nrm * nb.nrm), 6) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id),
+        |e AS (SELECT a, b FROM p WHERE sim >= 0.3),
+        |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors FROM und GROUP BY 1),
+        |pts AS (SELECT v.vec_id, coalesce(deg.n_neighbors, 0) AS n_neighbors,
+        |          coalesce(deg.n_neighbors, 0) >= 4 AS is_core
+        |        FROM v LEFT JOIN deg USING (vec_id)),
+        |ce AS (SELECT e.a, e.b FROM e
+        |       JOIN pts pa ON e.a = pa.vec_id JOIN pts pb ON e.b = pb.vec_id
+        |       WHERE pa.is_core AND pb.is_core),
+        |cund AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM cund
+        |  UNION
+        |  SELECT r.s, u.b FROM reach r JOIN cund u ON r.t = u.a),
+        |comp AS (SELECT s AS vec_id, least(s, min(t)) AS cid FROM reach GROUP BY s),
+        |coremap AS (SELECT p.vec_id, coalesce(c.cid, p.vec_id) AS cluster_id
+        |            FROM pts p LEFT JOIN comp c USING (vec_id) WHERE p.is_core),
+        |border AS (SELECT und.u AS vec_id, min(cm.cluster_id) AS b_cluster
+        |           FROM und JOIN pts pu ON und.u = pu.vec_id AND NOT pu.is_core
+        |           JOIN coremap cm ON und.v = cm.vec_id GROUP BY 1)
+        |SELECT p.vec_id,
+        |  CASE WHEN p.is_core THEN 'core'
+        |       WHEN b.vec_id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(cm.cluster_id, b.b_cluster) AS cluster_id,
+        |  p.n_neighbors
+        |FROM pts p LEFT JOIN coremap cm USING (vec_id) LEFT JOIN border b USING (vec_id)
+        |ORDER BY p.vec_id""".stripMargin,
 
     "d03_minhash_lsh" ->
       s"""WITH ${tkCte("WHERE doc_id % 10 = 0")},

@@ -914,6 +914,84 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** DBSCAN density clustering over embeddings (Ester et al., KDD
+    * 1996) — the density-based complement to the k-means family
+    * (s11) and threshold-CC canonicalize (d22): clusters are regions
+    * where every member has ≥ `minPts` neighbors within the `eps`
+    * similarity ball, arbitrary-shaped and count-free (no k to pick),
+    * with an explicit NOISE verdict — the map a curation pass uses to
+    * find dense semantic blobs (over-represented content) and
+    * outliers in one operation.
+    *
+    * Exact semantics, deterministic end to end: neighbor = rounded
+    * cosine ≥ eps; CORE = degree ≥ minPts; clusters = connected
+    * components over core–core neighbor edges (GraphX pregel, min-id
+    * labels — the d06 convention); BORDER = non-core with ≥1 core
+    * neighbor, assigned the MIN cluster id among its core neighbors
+    * (the deterministic tie-break for DBSCAN's classically
+    * order-dependent border assignment); everything else NOISE with a
+    * NULL cluster. The whole construction is relational, so the
+    * DuckDB oracle replays it including the recursive-CTE components.
+    *
+    * Scale shape: the all-pairs join here runs on a fixed-size
+    * deterministic sample (the d05 envelope — gate-tractable); at
+    * corpus scale the SAME downstream (degree → core → CC → border)
+    * composes over [[embeddingNearDupLsh]]'s bucketed pair stream
+    * (precision 1, recall by the s02 sizing contract) — the pair
+    * SOURCE is the only thing that changes. Degree/border are
+    * key-partitioned aggregations; CC is pregel over edges ≤ pairs.
+    */
+  def dbscan(spark: SparkSession, sfDir: String,
+      eps: Double = 0.3, minPts: Int = 4): DataFrame = {
+    import spark.implicits._
+    val v = graft.Caches.track(
+      Tables.embeddings(spark, sfDir)
+        .filter($"vec_id" % 2 === 0)
+        .select($"vec_id", $"embedding", Similarity.norm2($"embedding").as("nrm")))
+    val pairs = graft.Caches.track(
+      v.as("x").join(v.as("y"), $"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
+          round(Similarity.dot($"x.embedding", $"y.embedding") /
+            sqrt($"x.nrm" * $"y.nrm"), 6).as("sim"))
+        .filter($"sim" >= eps)
+        .select($"a", $"b"))
+    val und = pairs.select($"a".as("u"), $"b".as("v"))
+      .unionByName(pairs.select($"b".as("u"), $"a".as("v")))
+    val deg = und.groupBy($"u".as("vec_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val pts = graft.Caches.track(
+      v.select($"vec_id").join(deg, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"n_neighbors", lit(0L)).as("n_neighbors"))
+        .withColumn("is_core", $"n_neighbors" >= minPts))
+    val coreIds = pts.filter($"is_core").select($"vec_id")
+    val coreEdges = pairs
+      .join(coreIds.withColumnRenamed("vec_id", "a"), "a")
+      .join(coreIds.withColumnRenamed("vec_id", "b"), "b")
+    import org.apache.spark.graphx.{Edge, Graph}
+    val graph = Graph(
+      coreIds.rdd.map(r => (r.getLong(0), ())),
+      coreEdges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())))
+    val ccGraph = graph.connectedComponents()
+    graft.Caches.trackCleanup(() => { graph.unpersist(blocking = false); () })
+    graft.Caches.trackCleanup(() => { ccGraph.unpersist(blocking = false); () })
+    val coreMap = graft.Caches.track(spark
+      .createDataFrame(ccGraph.vertices.map { case (id, comp) => (id, comp) })
+      .toDF("vec_id", "cluster_id"))
+    val border = und
+      .join(pts.filter(!$"is_core").select($"vec_id".as("u")), "u")
+      .join(coreMap.select($"vec_id".as("v"), $"cluster_id"), "v")
+      .groupBy($"u".as("vec_id")).agg(min($"cluster_id").as("b_cluster"))
+    pts.join(coreMap, Seq("vec_id"), "left")
+      .join(border, Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"is_core", lit("core"))
+          .when($"b_cluster".isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce($"cluster_id", $"b_cluster").as("cluster_id"),
+        $"n_neighbors")
+      .orderBy($"vec_id")
+  }
+
   /** Incremental overlap scan — the DELTA-vs-HISTORY shape of a daily
     * crawl pipeline: documents `doc_id % 10 == 0` play the arriving
     * delta, the rest the already-ingested corpus; report each delta doc
