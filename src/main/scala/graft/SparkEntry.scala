@@ -215,6 +215,7 @@ object SparkEntry {
     "o16_way_geom" -> (osm.OsmOracle.wayGeomStats _),
     "o17_pbf_reassemble" -> (osm.OsmOracle.pbfReassembledWayPaths _),
     "o18_pbf_members" -> (osm.OsmOracle.pbfRelationMembers _),
+    "o19_zorder_nodes" -> (osm.OsmOracle.zorderNodes _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -3641,5 +3642,37 @@ object SparkEntry {
          |FROM (SELECT id, members FROM $OsmP WHERE type = 'relation') r,
          |     UNNEST(range(1, len(r.members) + 1)) AS t(i)
          |ORDER BY rel_id, idx""".stripMargin,
+
+    // o19: the custom codegen'd zorder(lat, lon) expression under the
+    // gate — the oracle regenerates the 21-bit scale (same IEEE
+    // divide/multiply then trunc-toward-zero) and the Morton
+    // interleave as explicit per-bit integer arithmetic
+    "o19_zorder_nodes" ->
+      s"""WITH n AS (
+         |  SELECT id, version, CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon
+         |  FROM $OsmP WHERE type = 'node' AND lat IS NOT NULL AND lon IS NOT NULL),
+         |s AS (SELECT id, version,
+         |        ${zScaleSql("lon", "-180.0e0", "360.0e0")} AS lons,
+         |        ${zScaleSql("lat", "-90.0e0", "180.0e0")} AS lats
+         |      FROM n),
+         |z AS (SELECT id, version,
+         |        (${zSpreadSql("lons")}) + 2 * (${zSpreadSql("lats")}) AS zval
+         |      FROM s)
+         |SELECT id, version, zval, CAST(zval >> 50 AS INT) AS zcell
+         |FROM z ORDER BY id, version""".stripMargin,
   )
+
+  /** 21-bit coordinate scaling, the ZCurve.scale mirror: the identical
+    * IEEE sequence (subtract, divide, multiply by 2^21) then
+    * trunc-toward-zero (matching Scala's Double→Long) and the clamp.
+    */
+  private def zScaleSql(v: String, min: String, range: String): String =
+    s"greatest(0, least(2097151, CAST(trunc(((($v) - ($min)) / $range) * 2097152.0e0) AS BIGINT)))"
+
+  /** The ZCurve.spread mirror: every low bit b of `v` lands at 3b (the
+    * shipped spread uses the 3-D Morton masks — verified bit-for-bit
+    * against the Scala implementation in ZOrderSpec).
+    */
+  private def zSpreadSql(v: String): String =
+    (0 until 21).map(b => s"((($v >> $b) & 1) << ${3 * b})").mkString(" + ")
 }

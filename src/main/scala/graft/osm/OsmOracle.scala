@@ -231,4 +231,27 @@ object OsmOracle {
         col("m.type").as("member_type"), col("m.ref").as("ref"),
         col("m.role").as("role"))
       .orderBy(col("rel_id"), col("idx"))
+
+  /** Z-order (Morton) clustering index over the fixture's nodes (o19)
+    * — puts the custom CODEGEN'D Catalyst expression
+    * [[graft.functions.ZOrderExpr]] itself under the DuckDB gate: the
+    * oracle replays the 21-bit coordinate scaling (the exact
+    * double-divide/multiply/truncate sequence) and the full Morton bit
+    * interleave as generated integer arithmetic, so a single wrong bit
+    * in the native expression's spread tables hash-mismatches. `zcell`
+    * (the 12 coarsest interleaved bits — the spread places bit b at
+    * position 3b, so the curve tops out at bit 61) is the stripe-level
+    * clustering key the ORC sink sorts by ([[graft.osm.OrcSink]]) —
+    * rows sharing a cell are spatial neighbors, which is what keeps
+    * stripe min/max tight at planet scale.
+    */
+  def zorderNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = graft.functions.ZOrderFunctions.zorder(col("lat"), col("lon"))
+    OsmFixture.planet(spark)
+      .filter(col("type") === "node" && col("lat").isNotNull &&
+        col("lon").isNotNull)
+      .select(col("id"), col("version"), z.as("zval"))
+      .withColumn("zcell", shiftright(col("zval"), 50).cast("int"))
+      .orderBy(col("id"), col("version"))
+  }
 }

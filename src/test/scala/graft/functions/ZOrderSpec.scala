@@ -18,6 +18,20 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
     codes.distinct.length shouldBe codes.length
   }
 
+  test("spread places bit b at position 3b exactly (the o19 oracle's generated form)") {
+    // the oracle SQL regenerates spread as Σ ((v>>b)&1) << 3b — pin the
+    // mask cascade to that closed form on the full bit basis and on
+    // random values, so the two can never drift
+    for (b <- 0 until 21)
+      ZCurve.spread(1L << b) shouldBe (1L << (3 * b))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val v = rnd.nextLong().abs & 0x1fffffL
+      val closed = (0 until 21).map(b => ((v >> b) & 1L) << (3 * b)).sum
+      ZCurve.spread(v) shouldBe closed
+    }
+  }
+
   test("z-order clusters spatially near points") {
     val z = ZCurve.fromLatLon(51.5, -0.1)
     val near = ZCurve.fromLatLon(51.5001, -0.1001) // ~10 m away
