@@ -573,18 +573,36 @@ object Relational {
   /** Core of [[hllDistinct]] over any frame with (lang, text) columns —
     * split out so specs can plant sub-corpora and prove merge laws.
     */
+  /** (lang, j, reg) HLL registers for any (lang, text) frame — ONE
+    * definition shared by the batch sketch and the streaming twin
+    * ([[graft.streaming.EventStream.hllRegisterStream]]), so the two
+    * cannot drift. No distinct needed: the HLL insert is IDEMPOTENT
+    * (max of a re-seen rank is the rank), which is exactly why the
+    * register build streams with plain complete-mode max aggregation
+    * and no dedup state at all.
+    */
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = docs
+      .select($"lang", md5($"text".cast("binary")).as("h"))
+      .select($"lang",
+        conv(substring($"h", 1, 1), 16, 10).cast("int").as("j"),
+        conv(substring($"h", 2, 8), 16, 10).cast("bigint").as("v"))
+      .withColumn("rho", when($"v" === 0, lit(33))
+        .otherwise(lit(33) - length(bin($"v"))).cast("int"))
+    ranks.groupBy($"lang", $"j").agg(max($"rho").as("reg"))
+  }
+
   def hllDistinctOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val m = 16
     val keys = docs
       .select($"lang", md5($"text".cast("binary")).as("h")).distinct()
-    val ranks = keys.select($"lang",
-        conv(substring($"h", 1, 1), 16, 10).cast("int").as("j"),
-        conv(substring($"h", 2, 8), 16, 10).cast("bigint").as("v"))
-      .withColumn("rho", when($"v" === 0, lit(33))
-        .otherwise(lit(33) - length(bin($"v"))).cast("int"))
-    val regs = ranks.groupBy($"lang", $"j").agg(max($"rho").as("reg"))
+    // registers build straight from the raw rows — idempotent inserts
+    // make the pre-dedup unnecessary (keys above only feeds n_exact)
+    val regs = hllRegisters(docs)
     // densify to all m registers — absent buckets are rank 0
     val dense = keys.select($"lang").distinct()
       .select($"lang", explode(sequence(lit(0), lit(m - 1))).as("j"))

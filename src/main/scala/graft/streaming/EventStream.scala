@@ -179,6 +179,22 @@ object EventStream {
       width: Int = 256): DataFrame =
     graft.operators.TextAnalysis.countMinSketch(docs.toDF(), depth, width)
 
+  /** Streaming HyperLogLog registers —
+    * [[graft.operators.Relational.hllRegisters]]'s ingest-time twin
+    * (the q38 sketch), SAME plan by the q35/t25 one-definition rule.
+    * State is at most languages × 16 register rows — like the
+    * count-min cells, a constant independent of corpus and stream
+    * length, and the smallest possible cardinality-tracking state.
+    * Unlike every other streaming twin it needs NO watermark dedup
+    * even on an at-least-once source: the HLL insert is idempotent
+    * (a redelivered document maxes the same rank into the same
+    * register), so end-of-stream complete-mode output equals the
+    * batch registers cell-for-cell even WITH duplicate deliveries
+    * (spec-asserted both ways).
+    */
+  def hllRegisterStream(docs: Dataset[LangDoc]): DataFrame =
+    graft.operators.Relational.hllRegisters(docs.toDF())
+
   /** A document on the crawl stream carrying its language — the d19
     * diff keys on (lang, content hash), so the streaming twin needs
     * lang on the row (the batch `documents` table has it).

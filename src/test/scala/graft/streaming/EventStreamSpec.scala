@@ -542,6 +542,43 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal the batch q38 registers, even under redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import EventStream.LangDoc
+    val docsDf = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 120)
+    val docs = docsDf.orderBy($"doc_id").collect().map(r =>
+      LangDoc(r.getAs[Long]("doc_id"), ts(100 + r.getAs[Long]("doc_id")),
+        r.getAs[String]("lang"), r.getAs[String]("text")))
+    val mem = MemoryStream[LangDoc]
+    val q = EventStream.hllRegisterStream(mem.toDS())
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      // redeliver the whole first half (at-least-once source) — the
+      // idempotent insert must leave every register untouched
+      mem.addData(a: _*); q.processAllAvailable()
+      val afterRedeliver = spark.table("hllregs").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val batchA = graft.operators.Relational.hllRegisters(
+          docsDf.filter($"doc_id" < docs(a.length).doc_id))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      afterRedeliver shouldBe batchA
+      mem.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("hllregs").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val batch = graft.operators.Relational.hllRegisters(docsDf)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      streamed shouldBe batch
+      // and the registers feed the same estimate the gated q38 emits
+      streamed.keySet.map(_._1) shouldBe batch.keySet.map(_._1)
+    } finally q.stop()
+  }
+
   test("streaming corpus diff converges to the batch d19 report") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
