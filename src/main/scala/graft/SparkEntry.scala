@@ -180,6 +180,7 @@ object SparkEntry {
     "m13_png_rgb_gate" -> (Multimodal.pngRgbChecksumGate _),
     "m14_codec_meta" -> (Multimodal.codecMetaGate _),
     "m15_png_palette_gate" -> (Multimodal.pngPaletteChecksumGate _),
+    "m16_exif_meta" -> (Multimodal.exifMetaGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -3106,6 +3107,17 @@ object SparkEntry {
         |       CAST((ord(text[CAST(i AS INT)]) * 31 + 5) % 256 AS BIGINT)])),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
         |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
+
+    // m16: EXIF/TIFF IFD0 — the Spark side walks genuine directories
+    // in BOTH byte orders (doc parity picks II/MM); the oracle
+    // recomputes the fields from ord() and the parity
+    "m16_exif_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(100 + ord(substr(text, 1, 1)) * 17 + ord(substr(text, 2, 1)) AS BIGINT) AS width,
+        |  CAST(100 + ord(substr(text, 2, 1)) * 13 + ord(substr(text, 3, 1)) AS BIGINT) AS height,
+        |  CAST(1 + (ord(substr(text, 4, 1)) % 8) AS INT) AS orientation
+        |FROM documents WHERE length(text) >= 4 ORDER BY doc_id""".stripMargin,
 
     // m06: perceptual hashes over REAL decoded pixels, cross-engine —
     // aHash: 8x8 grid (identity sampling at this size), threshold at

@@ -2228,6 +2228,146 @@ object Multimodal {
       (mode << 6).toByte)
   }
 
+  /** Parsed EXIF/TIFF IFD0 metadata: `byteOrder` is "II" (little) or
+    * "MM" (big endian); width/height from tags 0x0100/0x0101,
+    * orientation from 0x0112 (1–8, the value a thumbnailer must apply
+    * before any resize).
+    */
+  case class ExifMeta(byteOrder: String, width: Long, height: Long,
+      orientation: Int)
+
+  /** REAL EXIF (TIFF 6.0 baseline) IFD0 parse — the metadata walk a
+    * crawl pipeline runs on camera imagery, and the one parser in the
+    * m-family that must handle BOTH byte orders from the same wire
+    * format: the 8-byte TIFF header declares II/MM, the magic 42, and
+    * the IFD0 offset; IFD0 is a count-prefixed array of 12-byte
+    * entries (tag u16, type u16, count u32, value-or-offset u32) —
+    * SHORT (type 3) values sit in the value field's low two bytes IN
+    * DECLARED ORDER, LONG (type 4) uses all four. Strict: wrong
+    * magic/order mark, an IFD overrunning the buffer, an orientation
+    * outside 1..8 → None, never throws.
+    */
+  def parseExifIfd0(c: Array[Byte]): Option[ExifMeta] = {
+    if (c.length < 8) return None
+    val little = c(0) == 'I'.toByte && c(1) == 'I'.toByte
+    val big = c(0) == 'M'.toByte && c(1) == 'M'.toByte
+    if (!little && !big) return None
+    def u16(off: Int): Int =
+      if (off + 2 > c.length) -1
+      else if (little) (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8)
+      else ((c(off) & 0xff) << 8) | (c(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      if (off + 4 > c.length) -1L
+      else if (little)
+        (c(off) & 0xffL) | ((c(off + 1) & 0xffL) << 8) |
+          ((c(off + 2) & 0xffL) << 16) | ((c(off + 3) & 0xffL) << 24)
+      else
+        ((c(off) & 0xffL) << 24) | ((c(off + 1) & 0xffL) << 16) |
+          ((c(off + 2) & 0xffL) << 8) | (c(off + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > c.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + 12L * n > c.length) return None
+    var width = -1L; var height = -1L; var orientation = -1
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + 12 * i
+      val tag = u16(e); val tpe = u16(e + 2); val cnt = u32(e + 4)
+      if (cnt == 1) {
+        // SHORT value occupies the FIRST two bytes of the value field
+        // (in declared order); LONG all four
+        val v: Long =
+          if (tpe == 3) u16(e + 8).toLong
+          else if (tpe == 4) u32(e + 8)
+          else -1L
+        if (v >= 0) tag match {
+          case 0x0100 => width = v
+          case 0x0101 => height = v
+          case 0x0112 => orientation = v.toInt
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    if (width < 0 || height < 0 || orientation < 1 || orientation > 8) None
+    else Some(ExifMeta(if (little) "II" else "MM", width, height, orientation))
+  }
+
+  /** Minimal TIFF/EXIF IFD0 builder inverted by [[parseExifIfd0]] —
+    * width/height as LONG entries, orientation as SHORT (so both value
+    * layouts are exercised), in either byte order.
+    */
+  def encodeExifIfd0(little: Boolean, width: Long, height: Long,
+      orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "orientation 1-8")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (little) {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      } else {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+    out.write(if (little) 'I' else 'M'); out.write(if (little) 'I' else 'M')
+    w16(42); w32(8L) // IFD0 directly after the header
+    w16(3) // three entries
+    def entry(tag: Int, tpe: Int, value: Long): Unit = {
+      w16(tag); w16(tpe); w32(1L)
+      if (tpe == 3) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    entry(0x0100, 4, width)
+    entry(0x0101, 4, height)
+    entry(0x0112, 3, orientation.toLong)
+    w32(0L) // next-IFD terminator
+    out.toByteArray
+  }
+
+  /** m16 payload builder: per document a REAL TIFF/EXIF IFD0 whose
+    * byte order ALTERNATES by doc parity — half the corpus walks II,
+    * half MM, so the gate proves both endian paths — with
+    * width/height/orientation derived from text bytes for the ord()
+    * oracle.
+    */
+  private def docExifRows(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 4)
+      .select($"doc_id", substring($"text", 1, 4).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val o = px.map(_.toInt)
+        (id, encodeExifIfd0(little = id % 2 == 0,
+          width = 100L + o(0) * 17 + o(1),
+          height = 100L + o(1) * 13 + o(2),
+          orientation = 1 + (o(3) % 8)))
+      }
+  }
+
+  /** m16 gate entry: EXIF IFD0 under the DuckDB gate — the Spark side
+    * walks genuine TIFF directories in BOTH byte orders (doc parity
+    * picks II or MM); the oracle recomputes byte order from the
+    * parity and every field from ord() arithmetic. Hash-green proves
+    * the endian-dual u16/u32 reads, the 12-byte entry walk, and the
+    * SHORT-in-value-field convention byte-agree with first
+    * principles.
+    */
+  def exifMetaGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docExifRows(spark, sfDir)
+      .map { case (id, bytes) =>
+        val m = parseExifIfd0(bytes)
+          .getOrElse(throw new IllegalStateException(s"exif parse failed for $id"))
+        (id, m.byteOrder, m.width, m.height, m.orientation)
+      }
+      .toDF("doc_id", "byte_order", "width", "height", "orientation")
+      .orderBy($"doc_id")
+  }
+
   /** m14 payload builder: per document, a REAL FLAC header and a REAL
     * MP3 frame header whose fields derive from the first text bytes —
     * so the oracle can recompute every expected field from ord()

@@ -1073,6 +1073,42 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.decodeRasterPixels(badLen) shouldBe None
   }
 
+  test("EXIF IFD0 round-trips in BOTH byte orders; SHORT and LONG layouts") {
+    for (little <- Seq(true, false)) {
+      val bytes = Multimodal.encodeExifIfd0(little, 4032L, 3024L, 6)
+      Multimodal.parseExifIfd0(bytes) shouldBe
+        Some(Multimodal.ExifMeta(if (little) "II" else "MM", 4032L, 3024L, 6))
+    }
+    // extremes: u32 width (> 16 bits proves LONG really reads 4 bytes),
+    // every orientation value
+    Multimodal.parseExifIfd0(
+      Multimodal.encodeExifIfd0(little = true, 1L << 20, 7L, 1)).get.width shouldBe (1L << 20)
+    for (o <- 1 to 8)
+      Multimodal.parseExifIfd0(
+        Multimodal.encodeExifIfd0(little = false, 8, 8, o)).get.orientation shouldBe o
+  }
+
+  test("EXIF parse rejects malformed directories, never throws") {
+    val good = Multimodal.encodeExifIfd0(little = true, 100, 100, 1)
+    // wrong order mark / wrong magic
+    val om = good.clone(); om(0) = 'X'
+    Multimodal.parseExifIfd0(om) shouldBe None
+    val mg = good.clone(); mg(2) = 43
+    Multimodal.parseExifIfd0(mg) shouldBe None
+    // IFD offset beyond the buffer
+    val off = good.clone(); off(4) = 0xff.toByte
+    Multimodal.parseExifIfd0(off) shouldBe None
+    // entry count overrunning the buffer
+    val cnt = good.clone(); cnt(8) = 0x7f
+    Multimodal.parseExifIfd0(cnt) shouldBe None
+    // orientation outside 1..8 (SHORT value low bytes, little-endian)
+    val bad = good.clone(); bad(10 + 2 * 12 + 8) = 9
+    Multimodal.parseExifIfd0(bad) shouldBe None
+    // truncated + junk
+    Multimodal.parseExifIfd0(good.take(6)) shouldBe None
+    Multimodal.parseExifIfd0("IIxx".getBytes) shouldBe None
+  }
+
   test("FLAC STREAMINFO round-trips through encode/parse incl. bit-field extremes") {
     // interchange defaults
     Multimodal.parseFlacStreamInfo(
