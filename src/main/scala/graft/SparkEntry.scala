@@ -48,6 +48,7 @@ object SparkEntry {
     "q22_approx_distinct" -> (Relational.approxDistinct _),
     "q37_kmv_distinct" -> ((s: SparkSession, d: String) => Relational.kmvDistinct(s, d)),
     "q38_hll_distinct" -> (Relational.hllDistinct _),
+    "q39_table_profile" -> (Relational.tableProfile _),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -1010,6 +1011,21 @@ object SparkEntry {
          |          ELSE 0.673e0 * 256 * 1099511627776.0e0 / s.s_scaled END, 4) AS est
          |FROM exact e JOIN summary s ON e.lang = s.lang
          |ORDER BY e.lang""".stripMargin,
+
+    // q39: numeric table profile — per profiled column the exact
+    // integer-cents statistics, one UNION ALL branch per column
+    // (generated, lockstep with the Spark column list)
+    "q39_table_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min(round($c * 100)) AS BIGINT) AS min_cents,
+           |  CAST(max(round($c * 100)) AS BIGINT) AS max_cents,
+           |  CAST(sum(round($c * 100)) AS BIGINT) AS sum_cents
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col"),
 
     "q23_percentiles" ->
       """SELECT l_returnflag,

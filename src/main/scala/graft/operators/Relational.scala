@@ -625,6 +625,40 @@ object Relational {
       .orderBy($"lang")
   }
 
+  /** Numeric table profile (the Deequ/Great-Expectations data-quality
+    * pass a pipeline runs before training ingestion): one row per
+    * profiled column with row/null/exact-distinct counts and
+    * min/max/sum on the exact integer-cents grid — the 2-decimal
+    * money/rate columns multiply out exactly, so every statistic is an
+    * order-free integer and the whole profile hash-gates with no float
+    * discipline needed.
+    *
+    * Scale shape: one aggregate pass PER COLUMN, each scan pruning to
+    * that single column (`ReadSchema` carries one field — the
+    * columnar-format-friendly shape; a single multi-countDistinct
+    * aggregate would trigger the q22 Expand rewrite and shuffle a
+    * sketch per distinct value). Each pass is a map-side-combined
+    * scalar aggregate; the union of 8 single-row frames is free.
+    */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      val cents = round(col(c) * 100).cast("bigint")
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col(c).isNull.cast("bigint")).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(cents).as("min_cents"),
+          max(cents).as("max_cents"),
+          sum(cents).as("sum_cents"))
+        .select(lit(c).as("col"), $"n_rows", $"n_null", $"n_distinct",
+          $"min_cents", $"max_cents", $"sum_cents")
+    }.reduce(_ unionByName _).orderBy($"col")
+  }
+
   /** Tumbling time-window aggregation (batch form of the streaming
     * windowed agg in graft.streaming; 1-day windows == UTC calendar days).
     */

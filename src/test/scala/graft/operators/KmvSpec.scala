@@ -205,4 +205,27 @@ class KmvSpec extends AnyFunSuite with Matchers with SparkSpec {
     (plan should include).regex("(?i)HashAggregate")
     (plan should not).include("Window")
   }
+
+  test("q39 profile: every branch scans exactly ONE column; stats match a recompute") {
+    import spark.implicits._
+    val df = Relational.tableProfile(spark, sf)
+    // column pruning: each union branch's parquet scan reads only its
+    // own field — 8 single-column ReadSchemas, never the full row
+    val plan = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    schemas should have size 8
+    schemas.foreach(s => s.split(",") should have size 1)
+    // independent recompute of one numeric and one key column
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    val qty = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity")).collect().map(_.getDouble(0))
+    val q = rows("l_quantity")
+    q.getLong(1) shouldBe qty.length.toLong
+    q.getLong(2) shouldBe 0L
+    q.getLong(3) shouldBe qty.distinct.length.toLong
+    q.getLong(4) shouldBe qty.map(v => math.round(v * 100)).min
+    q.getLong(5) shouldBe qty.map(v => math.round(v * 100)).max
+    q.getLong(6) shouldBe qty.map(v => math.round(v * 100)).sum
+  }
 }
