@@ -210,6 +210,25 @@ object ProfileScaleSweep {
       // over corpus x kNeighbors edges (linear)
       time("mutual_knn_sizedk")(
         Dedup.mutualKnnCanonicalize(spark, dir, k = 8 * mult))
+      // round-11: d23 exact prefix-filtered Jaccard join over the FULL
+      // enlarged corpus (no sample cap — that's the operator's point).
+      // NOTE the replica construction plants mult-sized near-dup
+      // GROUPS (replicas of one base doc are near-identical), so the
+      // TRUE pair count itself grows ~mult² — output-driven growth any
+      // exact join must pay; the claim under test is that candidate
+      // generation tracks true pairs + corpus, not all-pairs.
+      time("jaccard_prefix")(Dedup.jaccardPrefixJoin(spark, dir))
+      // s20 binary ANN: code pack is map-only, Hamming scan linear in
+      // candidates, re-rank reads |Q|·shortK vectors regardless of
+      // corpus — the curve should be near-flat like s15's
+      time("ann_binary")(Similarity.annBinary(spark, dir))
+      // q38 HLL: one distinct + a max-merge onto lang×16 keys — linear
+      // scan, constant state
+      time("hll_distinct")(Relational.hllDistinct(spark, dir))
+      // d24 dbscan is deliberately NOT swept: its gate form runs the
+      // d05 all-pairs sample (quadratic by design at growing sample);
+      // the scale path swaps in d13's bucketed pair stream, whose
+      // growth embed_neardup_lsh already measures
     }
     spark.stop()
   }
