@@ -104,6 +104,8 @@ object SparkEntry {
     "s18_ann_beam" -> ((s: SparkSession, d: String) => Similarity.annBeam(s, d)),
     "s19_ann_mmr" -> ((s: SparkSession, d: String) => Similarity.annMmr(s, d)),
     "s20_ann_binary" -> ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),
+    "s21_pagerank" -> ((s: SparkSession, d: String) => Similarity.pageRank(s, d)),
+    "s22_kcenter" -> ((s: SparkSession, d: String) => Similarity.kCenter(s, d)),
     "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
@@ -465,6 +467,72 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rnk
        |  FROM scored
        |)""".stripMargin
+
+  /** DuckDB mirror of Similarity.pageRank (s21): KnnCtes supplies the
+    * literal s16 edges; each fixed-point round is one generated pair
+    * of CTEs — dst-keyed integer contribution sum (`pr // deg`) and
+    * the damped update `150000 + (85·in) // 100` left-joined over all
+    * ids (dangling mass leaks, both engines). AS MATERIALIZED on each
+    * pr round — the bpeSql lesson.
+    */
+  private def pageRankSql(prIters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $KnnCtes,\n"
+    sb ++= "edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rnk <= 3),\n"
+    sb ++= "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),\n"
+    sb ++= "ids AS (SELECT vec_id FROM embeddings),\n"
+    sb ++= "pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM ids)"
+    for (i <- 1 to prIters) {
+      sb ++= s""",
+         |in$i AS (
+         |  SELECT e.dst AS vec_id, CAST(sum(p.pr // d.deg) AS BIGINT) AS inm
+         |  FROM edges e JOIN deg d ON e.src = d.src
+         |  JOIN pr${i - 1} p ON p.vec_id = e.src
+         |  GROUP BY 1),
+         |pr$i AS MATERIALIZED (
+         |  SELECT i.vec_id,
+         |    CAST(150000 + (85 * coalesce(n.inm, 0)) // 100 AS BIGINT) AS pr
+         |  FROM ids i LEFT JOIN in$i n ON i.vec_id = n.vec_id)""".stripMargin
+    }
+    sb ++= s"\nSELECT vec_id, pr FROM pr$prIters ORDER BY vec_id"
+    sb.toString
+  }
+
+  /** DuckDB mirror of Similarity.kCenter (s22): seed = min vec_id,
+    * then each generated round computes every unselected point's exact
+    * integer-grid min-distance to the selected set and takes the
+    * (mind DESC, vec_id) argmax — the greedy farthest-point sequence
+    * replayed declaratively.
+    */
+  private def kcenterSql(kSel: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${embCte("TRUE")},\n"
+    sb ++= "p AS MATERIALIZED (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),\n"
+    sb ++= "sel1 AS (SELECT CAST(1 AS INT) AS pick, CAST(min(vec_id) AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS mind FROM p)"
+    for (i <- 2 to kSel) {
+      val prev = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+         |selcur$i AS ($prev),
+         |pd$i AS (
+         |  SELECT a.vec_id, b.vec_id AS sid,
+         |    CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS d2
+         |  FROM p a JOIN p b ON a.pos = b.pos
+         |  JOIN selcur$i s ON b.vec_id = s.vec_id
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM selcur$i)
+         |  GROUP BY 1, 2),
+         |md$i AS (SELECT vec_id, min(d2) AS mind FROM pd$i GROUP BY 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT CAST($i AS INT) AS pick, vec_id, mind FROM (
+         |    SELECT vec_id, mind,
+         |      row_number() OVER (ORDER BY mind DESC, vec_id) AS rn
+         |    FROM md$i) r WHERE rn = 1)""".stripMargin
+    }
+    sb ++= "\n" + (1 to kSel).map(i => s"SELECT pick, vec_id, mind FROM sel$i")
+      .mkString(" UNION ALL ")
+    sb ++= "\nORDER BY pick"
+    sb.toString
+  }
 
   /** DuckDB mirror of Similarity.annBeam (s18): KnnCtes supplies the
     * trained cells (fin/asg), norms and within-cell ranked edges —
@@ -2058,6 +2126,14 @@ object SparkEntry {
     // chain over the shared KnnCtes, so the traversal itself is
     // hash-gated, not just its ingredients
     "s18_ann_beam" -> beamSql(nEntry = 2, beam = 4, hops = 2, topK = 5),
+
+    // s21: integer PageRank over the s16 graph — fixed-point rounds
+    // generated as a CTE chain; dangling mass leaks identically
+    "s21_pagerank" -> pageRankSql(prIters = 3),
+
+    // s22: greedy k-center coreset — exact integer-grid farthest-point
+    // selection, every argmax replayed round by round
+    "s22_kcenter" -> kcenterSql(kSel = 5),
 
     // s19: MMR diversified top-k — greedy maximal-marginal-relevance
     // over the s01 top-10 pool, integer-exact objective

@@ -468,13 +468,16 @@ object Dedup {
     import spark.implicits._
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
     // global rarest-first total order as a dictionary id: zero-padded
-    // frequency + shingle sorts exactly like (df ASC, sh ASC)
+    // frequency + shingle sorts exactly like (df ASC, sh ASC). The
+    // okey→sid rank joins back to the SMALL distinct-shingle frame
+    // first, so the corpus-sized (doc, shingle) frame pays ONE string
+    // join (sh → sid), not two.
     val keyed = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       .select($"sh",
         concat(lpad($"df".cast("string"), 12, "0"), lit(" "), $"sh").as("okey"))
     val dict = Ranking.denseIds(keyed, "okey", "sid")
-    val sids = sh.join(keyed, "sh").join(dict, "okey")
-      .select($"doc_id", $"sid")
+    val shToSid = keyed.join(dict, "okey").select($"sh", $"sid")
+    val sids = sh.join(shToSid, "sh").select($"doc_id", $"sid")
     val docs = graft.Caches.track(
       sids.groupBy($"doc_id").agg(sort_array(collect_list($"sid")).as("sids"))
         .withColumn("n", size($"sids"))

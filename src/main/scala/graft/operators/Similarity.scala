@@ -994,6 +994,92 @@ object Similarity {
       .filter($"rnk" <= kNeighbors)
   }
 
+  /** Integer PageRank over the s16 corpus k-NN graph (s21) — graph
+    * centrality for corpus curation: a vector whose neighbors' top-k
+    * lists point back at it sits in a dense semantic region (the
+    * "representativeness" signal dataset-cartography pipelines weight
+    * samples by; the inverse reading flags isolated junk). All
+    * arithmetic is FIXED-POINT integer (rank mass scaled by 1e6,
+    * contributions `pr div outdeg`, damping 0.85 as
+    * `150000 + (85·in) div 100`), so the iteration is order-free and
+    * the whole fixed number of rounds hash-gates as a generated CTE
+    * chain — no float pregel wobble. Dangling vertices (no out-edges)
+    * simply leak their mass: deterministic, and the standard bounded
+    * treatment when ranks are compared, not integrated to 1.
+    *
+    * Scale shape: per round ONE equi-join of edges (corpus×k rows)
+    * against the rank frame and one dst-keyed sum with map-side
+    * partials — exactly a pregel superstep expressed relationally;
+    * each round persists (O(1) lineage, the Lloyd-loop discipline).
+    */
+  def pageRank(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3, prIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val scale = 1000000L
+    val edges = graft.Caches.track(
+      knnEdges(spark, sfDir, k, iters, kNeighbors).select($"src", $"dst"))
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val ids = graft.Caches.track(
+      Tables.embeddings(spark, sfDir).select($"vec_id"))
+    var pr = ids.select($"vec_id", lit(scale).as("pr"))
+    for (_ <- 1 to prIters) {
+      val contrib = edges.join(outdeg, "src")
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .select($"dst".as("vec_id"), expr("pr div deg").as("c"))
+      val in = contrib.groupBy($"vec_id").agg(sum($"c").as("inm"))
+      pr = graft.Caches.track(
+        ids.join(in, Seq("vec_id"), "left")
+          .select($"vec_id",
+            (lit(scale * 15 / 100) +
+              expr("(85 * coalesce(inm, CAST(0 AS BIGINT))) div 100")).as("pr")))
+    }
+    pr.orderBy($"vec_id")
+  }
+
+  /** Greedy k-center coreset selection (s22) — the farthest-point
+    * diversity sampler (Gonzalez 1985; the 2-approximation every
+    * "select a diverse training subset" pipeline reaches for, and the
+    * geometric complement of p12's per-cluster quota sampling): seed
+    * at the min vec_id, then each round select the point MAXIMIZING
+    * its distance to the nearest already-selected center. Distances
+    * are EXACT integer-grid squared L2 (the s03 1e-6 quantization), so
+    * every argmax — and therefore the whole selection sequence — is
+    * deterministic and replays as an iterative CTE oracle.
+    *
+    * Scale shape: the selected set is k rows, broadcast each round; a
+    * round is one map-only min-distance pass plus a TakeOrdered(1)
+    * argmax (no global sort, no corpus window). The driver holds only
+    * the k selected ids — the one collect is k-bounded by contract
+    * (the o15/Bpe driver-loop shape).
+    */
+  def kCenter(spark: SparkSession, sfDir: String, kSel: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(kSel >= 1, "kSel >= 1")
+    val pts = graft.Caches.track(
+      Tables.embeddings(spark, sfDir)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e6).cast("bigint"))
+            .as("xq")))
+    val seed = pts.select(min($"vec_id")).head().getLong(0)
+    var picks = Vector((seed, 0L))
+    for (_ <- 2 to kSel) {
+      val selected = pts.filter($"vec_id".isin(picks.map(_._1): _*))
+        .select($"vec_id".as("sel_id"), $"xq".as("sel_xq"))
+      val minD = pts.filter(!$"vec_id".isin(picks.map(_._1): _*))
+        .crossJoin(broadcast(selected))
+        .select($"vec_id",
+          aggregate(zip_with($"xq", $"sel_xq", (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d2"))
+        .groupBy($"vec_id").agg(min($"d2").as("mind"))
+      val next = minD.orderBy($"mind".desc, $"vec_id").limit(1).head()
+      picks = picks :+ ((next.getLong(0), next.getLong(1)))
+    }
+    picks.zipWithIndex
+      .map { case ((id, d), i) => (i + 1, id, d) }
+      .toDF("pick", "vec_id", "mind")
+      .orderBy($"pick")
+  }
+
   /** Recall@k evaluation of the LSH path against brute-force ground
     * truth — the monitoring query a production retrieval pipeline runs
     * after every index rebuild (the number the s02 sizing contract

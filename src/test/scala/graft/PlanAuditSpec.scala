@@ -109,10 +109,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // parameter k — the q19 LIMIT bound, arriving via TakeOrdered),
     // and t07's own TakeOrderedAndProject feeds it (per-partition
     // top-k, k rows per partition through the exchange).
+    // q39 — eight grand-total scalar aggregates (one per profiled
+    // column): each finalization is the q14 shape — ONE partial
+    // aggregate row per task through the exchange, never data rows.
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
-      "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters")
+      "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters",
+      "q39_table_profile")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -509,6 +509,61 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     withClue(s"recall@3 = $recall: ") { recall should be >= 0.5 }
   }
 
+  test("pageRank: fixed-point rounds match a driver BigInt replay over the gated edges") {
+    val sf01 = "/root/testdata/sf0.01"
+    val pr = Similarity.pageRank(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.releaseAll(spark)
+    // the s16 gated query IS the edge set (rnk <= 3)
+    val edges = Similarity.knnGraph(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.releaseAll(spark)
+    val ids = graft.Tables.embeddings(spark, sf01)
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0))
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var rank = ids.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d) => in(d) += rank(s) / outdeg(s) }
+      rank = ids.map(v => v -> (150000L + 85L * in(v) / 100L)).toMap
+    }
+    pr shouldBe rank
+    // damping floor: nobody falls below the teleport mass
+    pr.values.foreach(_ should be >= 150000L)
+  }
+
+  test("kCenter: greedy farthest-point sequence matches a driver replay; max-min non-increasing") {
+    val sf01 = "/root/testdata/sf0.01"
+    val picks = Similarity.kCenter(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    graft.Caches.releaseAll(spark)
+    picks.map(_._1).toSeq shouldBe (1 to 5)
+    val pts = graft.Tables.embeddings(spark, sf01)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.round(x.toDouble * 1e6)))
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var sel = Vector(pts.keys.min)
+    var expect = Vector((1, pts.keys.min, 0L))
+    for (i <- 2 to 5) {
+      val cand = pts.keys.filterNot(sel.contains).map { v =>
+        v -> sel.map(s => d2(pts(v), pts(s))).min
+      }
+      val (bv, bd) = cand.maxBy { case (v, d) => (d, -v) }
+      sel = sel :+ bv
+      expect = expect :+ ((i, bv, bd))
+    }
+    picks.toSeq shouldBe expect
+    // the greedy max-min radius never increases as centers are added
+    val minds = picks.drop(1).map(_._3)
+    minds.zip(minds.drop(1)).foreach { case (a, b) => b should be <= a }
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
