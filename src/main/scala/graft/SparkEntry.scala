@@ -107,6 +107,9 @@ object SparkEntry {
     "s21_pagerank" -> ((s: SparkSession, d: String) => Similarity.pageRank(s, d)),
     "s22_kcenter" -> ((s: SparkSession, d: String) => Similarity.kCenter(s, d)),
     "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
+    "s23_triangles" -> ((s: SparkSession, d: String) => Similarity.triangleCounts(s, d)),
+    "s24_labelprop" -> ((s: SparkSession, d: String) => Similarity.labelPropagation(s, d)),
+    "s25_kcore" -> ((s: SparkSession, d: String) => Similarity.kCorePeel(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -532,6 +535,116 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     sb ++= "\nORDER BY pick"
     sb.toString
+  }
+
+  /** Undirected + bidirectional views of the s16 graph, appended to
+    * [[KnnCtes]] by the graph-analytics oracles (s23/s24/s25): each
+    * directed top-3 edge canonicalized to (least, greatest) and
+    * deduped, then unioned both ways for degree/neighbor scans.
+    */
+  private lazy val UndirCtes: String =
+    """und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM ranked WHERE rnk <= 3),
+      |bidir AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b AS src, a AS dst FROM und)""".stripMargin
+
+  /** DuckDB mirror of Similarity.triangleCounts (s23): the canonical
+    * a<b<c enumeration (und ⋈ und on the middle vertex + the closing
+    * edge probe) materializes each triangle once; per-vertex counts
+    * come from unioning the three corners.
+    */
+  private lazy val triangleSql: String =
+    s"""WITH $KnnCtes,
+       |$UndirCtes,
+       |dg AS (SELECT v AS vec_id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pv AS (SELECT v AS vec_id, CAST(count(*) AS BIGINT) AS tri FROM (
+       |  SELECT v1 AS v FROM tri UNION ALL SELECT v2 FROM tri
+       |  UNION ALL SELECT v3 FROM tri) u GROUP BY 1)
+       |SELECT i.vec_id, coalesce(d.deg, CAST(0 AS BIGINT)) AS deg,
+       |  coalesce(p.tri, CAST(0 AS BIGINT)) AS tri
+       |FROM embeddings i
+       |LEFT JOIN dg d ON i.vec_id = d.vec_id
+       |LEFT JOIN pv p ON i.vec_id = p.vec_id
+       |ORDER BY i.vec_id""".stripMargin
+
+  /** DuckDB mirror of Similarity.labelPropagation (s24): each
+    * synchronous round is one generated CTE trio — neighbor-label
+    * counts through the bidirectional edges, the (cnt DESC, lbl)
+    * argmax, and the coalesced update (isolated vertices keep their
+    * previous label). AS MATERIALIZED per round — the bpeSql lesson.
+    */
+  private def lpaSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $KnnCtes,\n$UndirCtes,\n"
+    sb ++= "lbl0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings)"
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+         |nl$i AS (
+         |  SELECT b.dst AS vec_id, l.lbl, count(*) AS cnt
+         |  FROM bidir b JOIN lbl${i - 1} l ON l.vec_id = b.src
+         |  GROUP BY 1, 2),
+         |pk$i AS (
+         |  SELECT vec_id, lbl AS nlbl FROM (
+         |    SELECT vec_id, lbl,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cnt DESC, lbl) AS rn
+         |    FROM nl$i) r WHERE rn = 1),
+         |lbl$i AS MATERIALIZED (
+         |  SELECT p.vec_id, coalesce(k.nlbl, p.lbl) AS lbl
+         |  FROM lbl${i - 1} p LEFT JOIN pk$i k ON p.vec_id = k.vec_id)""".stripMargin
+    }
+    sb ++= s"\nSELECT vec_id, lbl FROM lbl$rounds ORDER BY vec_id"
+    sb.result()
+  }
+
+  /** DuckDB mirror of Similarity.kCorePeel (s25): the mutual edge
+    * set is ranked self-joined on the reversed (src, dst) key (both
+    * directions rnk <= 3); each peel round recomputes
+    * survivor-restricted degrees (two semi-join-shaped joins against
+    * the previous alive set) and keeps deg >= coreK; the final
+    * projection re-derives within-core degree over the last survivor
+    * set.
+    */
+  private def kcorePeelSql(coreK: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $KnnCtes,\n"
+    sb ++=
+      """mund AS MATERIALIZED (
+        |  SELECT r1.src AS a, r1.dst AS b
+        |  FROM ranked r1 JOIN ranked r2
+        |    ON r1.src = r2.dst AND r1.dst = r2.src
+        |  WHERE r1.rnk <= 3 AND r2.rnk <= 3 AND r1.src < r1.dst),
+        |bidir AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM mund
+        |  UNION ALL SELECT b AS src, a AS dst FROM mund),
+        |""".stripMargin
+    sb ++= "alive0 AS (SELECT vec_id FROM embeddings)"
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+         |dg$i AS (
+         |  SELECT b.src AS vec_id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM bidir b JOIN alive${i - 1} x ON x.vec_id = b.src
+         |  JOIN alive${i - 1} y ON y.vec_id = b.dst
+         |  GROUP BY 1),
+         |alive$i AS MATERIALIZED (
+         |  SELECT vec_id FROM dg$i WHERE deg >= $coreK)""".stripMargin
+    }
+    sb ++= s""",
+       |fdeg AS (
+       |  SELECT b.src AS vec_id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM bidir b JOIN alive$rounds x ON x.vec_id = b.src
+       |  JOIN alive$rounds y ON y.vec_id = b.dst
+       |  GROUP BY 1)
+       |SELECT a.vec_id, coalesce(f.deg, CAST(0 AS BIGINT)) AS deg
+       |FROM alive$rounds a LEFT JOIN fdeg f ON a.vec_id = f.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+    sb.result()
   }
 
   /** DuckDB mirror of Similarity.annBeam (s18): KnnCtes supplies the
@@ -2134,6 +2247,9 @@ object SparkEntry {
     // s22: greedy k-center coreset — exact integer-grid farthest-point
     // selection, every argmax replayed round by round
     "s22_kcenter" -> kcenterSql(kSel = 5),
+    "s23_triangles" -> triangleSql,
+    "s24_labelprop" -> lpaSql(rounds = 3),
+    "s25_kcore" -> kcorePeelSql(coreK = 2, rounds = 10),
 
     // s19: MMR diversified top-k — greedy maximal-marginal-relevance
     // over the s01 top-10 pool, integer-exact objective

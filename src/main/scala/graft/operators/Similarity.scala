@@ -1295,6 +1295,167 @@ object Similarity {
     selected.orderBy($"qid", $"pick")
   }
 
+  /** Undirected view of the s16 corpus k-NN graph: each directed
+    * top-k edge canonicalized to (least, greatest) and deduped — the
+    * edge set the graph-analytics family (s23 triangles, s24 label
+    * propagation, s25 k-core) shares. Corpus × kNeighbors rows at
+    * most; one distinct on a two-long key.
+    */
+  private def undirectedKnn(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int, kNeighbors: Int): DataFrame = {
+    import spark.implicits._
+    knnEdges(spark, sfDir, k, iters, kNeighbors)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+  }
+
+  /** Triangle counting + degrees over the s16 corpus k-NN graph
+    * (s23) — the graph-quality number curation pipelines read as
+    * "local neighborhood coherence": a vector whose neighbors are
+    * also neighbors of EACH OTHER sits in a tight semantic clump
+    * (SemDeDup-able); triangles ≈ 0 at high degree flags hub-like
+    * junk that merely happens to be near many cells. Per vertex:
+    * undirected degree and the number of triangles through it; both
+    * exact integers, so the whole frame hash-gates.
+    *
+    * The count uses the canonical a<b<c enumeration (each triangle
+    * materialized once): und ⋈ und on the shared middle vertex, then
+    * one membership probe for the closing edge — the standard
+    * relational triangle plan. On a kNN graph the join fan-out per
+    * vertex is its degree (≤ kNeighbors out + cell-bounded in-edges,
+    * the s16 guard), so the pair volume is Σ deg(v)² over vertices —
+    * bounded, never corpus-quadratic.
+    */
+  def triangleCounts(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3): DataFrame = {
+    import spark.implicits._
+    // cached: e1/e2/e3 below are three scans of the same edge set
+    val und = graft.Caches.track(
+      undirectedKnn(spark, sfDir, k, iters, kNeighbors))
+    val deg = und.select($"a".as("vec_id"))
+      .unionByName(und.select($"b".as("vec_id")))
+      .groupBy($"vec_id").agg(count(lit(1)).as("deg"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), $"e1.b" === $"e2.a")
+      .join(und.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .select($"e1.a".as("v1"), $"e1.b".as("v2"), $"e2.b".as("v3"))
+    val perV = tri.select($"v1".as("vec_id"))
+      .unionByName(tri.select($"v2".as("vec_id")))
+      .unionByName(tri.select($"v3".as("vec_id")))
+      .groupBy($"vec_id").agg(count(lit(1)).as("tri"))
+    Tables.embeddings(spark, sfDir).select($"vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .join(perV, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"deg", lit(0L)).as("deg"),
+        coalesce($"tri", lit(0L)).as("tri"))
+      .orderBy($"vec_id")
+  }
+
+  /** Synchronous label propagation over the s16 corpus k-NN graph
+    * (s24) — community detection (Raghavan 2007), the cheap
+    * topic-clustering complement to s11's geometric k-means: labels
+    * start as vec_ids, and each round every vertex adopts its
+    * neighbors' MOST FREQUENT label with the (count DESC, label ASC)
+    * tiebreak — fully deterministic, so the fixed number of
+    * synchronous rounds replays as a generated CTE chain on both
+    * engines (no async visit-order wobble, the choice that makes LPA
+    * oracle-able at all). Isolated vertices keep their own label.
+    *
+    * Scale shape: a round is ONE equi-join of the bidirectional edge
+    * list (2·corpus·kNeighbors rows) against the label frame, a
+    * (vertex, label) count with map-side partials, and a per-vertex
+    * argmax window whose population is the vertex degree; each round
+    * persists (O(1) lineage, the Lloyd-loop discipline).
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = undirectedKnn(spark, sfDir, k, iters, kNeighbors)
+    // cached: every round joins the same bidirectional edge list
+    val bidir = graft.Caches.track(
+      und.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(und.select($"b".as("src"), $"a".as("dst"))))
+    val ids = graft.Caches.track(
+      Tables.embeddings(spark, sfDir).select($"vec_id"))
+    var lbl = ids.select($"vec_id", $"vec_id".as("lbl"))
+    val wPick = Window.partitionBy($"vec_id").orderBy($"cnt".desc, $"lbl")
+    for (_ <- 1 to rounds) {
+      val picked = bidir
+        .join(lbl.select($"vec_id".as("src"), $"lbl"), "src")
+        .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
+        .select($"dst".as("vec_id"), $"lbl", $"cnt")
+        .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
+        .select($"vec_id", $"lbl".as("nlbl"))
+      lbl = graft.Caches.track(
+        lbl.join(picked, Seq("vec_id"), "left")
+          .select($"vec_id", coalesce($"nlbl", $"lbl").as("lbl")))
+    }
+    lbl.orderBy($"vec_id")
+  }
+
+  /** k-core peeling over the MUTUAL k-NN graph (s25) — the density
+    * filter graph curation runs before trusting neighborhood signals.
+    * The edge set is d22's mutual restriction (a↔b only when each is
+    * in the other's top-k): on the RAW kNN graph every vertex has
+    * degree ≥ kNeighbors by construction, so its k-cores are
+    * degenerate (the 3-core is everything, the 4-core collapses to
+    * ∅ — measured at sf0.01); mutual degrees genuinely vary 0..k,
+    * and the 2-core is the subgraph of vertices that participate in
+    * reciprocated-similarity cycles — the regions where SemDeDup /
+    * cartography neighborhood statistics mean something. Iteratively
+    * remove vertices whose mutual degree among SURVIVORS falls below
+    * `coreK`; output = survivors with their within-core degree.
+    * Exact integers throughout, so the frame hash-gates, and the
+    * fixed-round unrolling is the o15/s21 bounded-loop shape (the
+    * spec asserts the rounds reach the true fixpoint at gate scale —
+    * peeling cascades one hop per round, and 10 rounds cover sf0.01's
+    * longest cascade of 8).
+    *
+    * Scale shape: the mutual restriction is one equi-self-join of the
+    * corpus×k edge list on the reversed key; a peel round is two
+    * semi-join-shaped equi-joins of that list against the survivor
+    * set plus one degree count with map-side partials — edges, never
+    * pairs. Each round's survivor set is CHECKPOINTED, not merely
+    * persisted — the Bpe lineage lesson bites harder here because a
+    * round references the previous survivors TWICE (both join sides),
+    * so a persist-only loop accretes a 2^rounds-node analyzed plan
+    * (measured: 10 rounds spun Catalyst for 30+ minutes before any
+    * data moved). `localCheckpoint` keeps the round plan O(1);
+    * at cluster scale pass `checkpointDir` for a reliable snapshot
+    * (survives executor loss mid-loop; the set is ≤ corpus ids).
+    */
+  def kCorePeel(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3, coreK: Int = 2,
+      rounds: Int = 10, checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(coreK >= 1 && rounds >= 1, s"need coreK/rounds >= 1, got $coreK/$rounds")
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val ed = knnEdges(spark, sfDir, k, iters, kNeighbors)
+      .select($"src", $"dst")
+    val mund = ed.as("f").join(ed.as("r"),
+        $"f.src" === $"r.dst" && $"f.dst" === $"r.src")
+      .filter($"f.src" < $"f.dst")
+      .select($"f.src".as("a"), $"f.dst".as("b"))
+    // cached: every peel round (and the final degree) scans the edges
+    val bidir = graft.Caches.track(
+      mund.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(mund.select($"b".as("src"), $"a".as("dst"))))
+    def coreDeg(alive: DataFrame): DataFrame = bidir
+      .join(alive.select($"vec_id".as("src")), "src")
+      .join(alive.select($"vec_id".as("dst")), "dst")
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("vec_id"), $"deg")
+    var alive = Tables.embeddings(spark, sfDir).select($"vec_id")
+    for (_ <- 1 to rounds)
+      alive = snap(coreDeg(alive).filter($"deg" >= coreK).select($"vec_id"))
+    alive.join(coreDeg(alive), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"deg", lit(0L)).as("deg"))
+      .orderBy($"vec_id")
+  }
+
   def annRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val truth = annBruteForce(spark, sfDir).filter($"rnk" <= k)

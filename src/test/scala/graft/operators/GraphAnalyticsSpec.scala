@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** s23/s24/s25 — the graph-analytics family over the s16 corpus k-NN
+  * graph, each checked against an INDEPENDENT driver-side recompute
+  * (plain Scala adjacency sets) from the same edge list, the
+  * DbscanSpec discipline: the distributed plan and a sequential
+  * reference must agree vertex-by-vertex.
+  */
+class GraphAnalyticsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The s16 directed top-k edge list, collected once. */
+  private lazy val directed: Set[(Long, Long)] =
+    Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("src")), r.getLong(r.fieldIndex("dst"))))
+      .toSet
+
+  /** Undirected canonical edges (the s23/s24 view). */
+  private lazy val und: Set[(Long, Long)] =
+    directed.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+
+  private def adjacency(edges: Set[(Long, Long)]): Map[Long, Set[Long]] = {
+    val m = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    edges.foreach { case (a, b) =>
+      m(a) = m.getOrElse(a, Set.empty) + b
+      m(b) = m.getOrElse(b, Set.empty) + a
+    }
+    m.toMap
+  }
+
+  test("s23: degrees and triangle counts match a sequential recompute") {
+    val adj = adjacency(und)
+    val got = Similarity.triangleCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.size should be > 0
+    // every corpus vertex appears exactly once
+    val ids = graft.Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    got.keySet shouldBe ids
+    ids.foreach { v =>
+      val nbrs = adj.getOrElse(v, Set.empty)
+      val tri = nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      got(v) shouldBe ((nbrs.size.toLong, tri.toLong))
+    }
+    // the graph genuinely has triangles at this sf (non-vacuous test)
+    got.values.map(_._2).sum should be > 0L
+  }
+
+  test("s24: labels match a sequential synchronous LPA, 3 rounds") {
+    val adj = adjacency(und)
+    val ids = graft.Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    var lbl: Map[Long, Long] = ids.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val next = ids.map { v =>
+        val nbrs = adj.getOrElse(v, Set.empty)
+        if (nbrs.isEmpty) v -> lbl(v)
+        else {
+          val counts = nbrs.toSeq.map(lbl).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          // (count DESC, label ASC) argmax — the operator's tiebreak
+          val pick = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          v -> pick
+        }
+      }.toMap
+      lbl = next
+    }
+    val got = Similarity.labelPropagation(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe lbl
+    // labels collapsed into genuine communities (fewer labels than ids)
+    got.values.toSet.size should be < ids.length
+  }
+
+  test("s25: survivors = the true mutual 2-core fixpoint, degrees exact") {
+    // mutual restriction: both directions present in the directed top-k
+    val mutual = directed.filter { case (a, b) => a < b && directed.contains((b, a)) }
+    val adj = adjacency(mutual)
+    // sequential peel to the TRUE fixpoint (no round bound)
+    var alive = adj.keySet
+    var changed = true
+    var itersNeeded = 0
+    while (changed) {
+      val next = alive.filter(v => adj(v).count(alive.contains) >= 2)
+      changed = next != alive
+      alive = next
+      itersNeeded += 1
+    }
+    // the operator's fixed 10 rounds must cover this sf's cascade
+    itersNeeded should be <= 10
+    val got = Similarity.kCorePeel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe alive
+    alive.foreach { v =>
+      got(v) shouldBe adj(v).count(alive.contains).toLong
+      got(v) should be >= 2L // the defining k-core property
+    }
+    // non-vacuous both ways: something survived, something was peeled
+    got.size should be > 0
+    got.size should be < adj.size
+  }
+}
