@@ -49,6 +49,8 @@ object SparkEntry {
     "q37_kmv_distinct" -> ((s: SparkSession, d: String) => Relational.kmvDistinct(s, d)),
     "q38_hll_distinct" -> (Relational.hllDistinct _),
     "q39_table_profile" -> (Relational.tableProfile _),
+    "q40_fk_audit" -> (Relational.fkAudit _),
+    "q41_exact_kth" -> ((s: SparkSession, d: String) => Relational.exactKth(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -76,6 +78,7 @@ object SparkEntry {
     "d22_mutual_knn" -> ((s: SparkSession, d: String) => Dedup.mutualKnnCanonicalize(s, d)),
     "d23_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
     "d24_dbscan" -> ((s: SparkSession, d: String) => Dedup.dbscan(s, d)),
+    "d25_edit_join" -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
@@ -202,6 +205,7 @@ object SparkEntry {
     "p12_cluster_sample" -> ((s: SparkSession, d: String) => Sampling.clusterSample(s, d)),
     "p13_length_batches" -> ((s: SparkSession, d: String) => Sampling.lengthBatches(s, d)),
     "p14_chunk_windows" -> ((s: SparkSession, d: String) => Sampling.chunkStride(s, d)),
+    "p15_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
     // —— the reference's own README workload over the committed
     //    converted fixture (graft.osm.OsmFixture; SURVEY §5.3) ——
     "o01_reassemble_ways" -> (osm.OsmOracle.reassembledWayPaths _),
@@ -1207,6 +1211,43 @@ object SparkEntry {
            |  CAST(sum(round($c * 100)) AS BIGINT) AS sum_cents
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col"),
+
+    // q40: orphan probes are NOT EXISTS over distinct child keys —
+    // the audit numbers must count DISTINCT orphaned keys, not rows
+    "q40_fk_audit" ->
+      Seq(
+        ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+      ).map { case (fk, child, key, parent, pkey) =>
+        s"""SELECT '$fk' AS fk,
+           |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS child_rows,
+           |  CAST((SELECT count(*) FROM $child WHERE $key IS NULL) AS BIGINT) AS null_keys,
+           |  CAST((SELECT count(DISTINCT $key) FROM $child) AS BIGINT) AS distinct_keys,
+           |  CAST((SELECT count(*) FROM (
+           |    SELECT DISTINCT $key AS k FROM $child WHERE $key IS NOT NULL) c
+           |    WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.k)) AS BIGINT)
+           |    AS orphan_keys""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY fk"),
+
+    // q41: the oracle replays the selection definition directly —
+    // k = ceil(q·n/100), value = the k-th smallest integer-cent price
+    "q41_exact_kth" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |t AS (
+        |  SELECT q, n.n, (q * n.n + 99) // 100 AS k
+        |  FROM (VALUES (25), (50), (75)) AS qs(q), n),
+        |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+        |SELECT 'p' || CAST(t.q AS VARCHAR) AS stat, t.n,
+        |  CAST(t.k AS BIGINT) AS k, s.v AS value_cents
+        |FROM t JOIN s ON s.rn = t.k
+        |ORDER BY stat""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,
@@ -2839,6 +2880,34 @@ object SparkEntry {
          |  CAST(len(list_slice(tk, start, start + 31)) AS BIGINT) AS n_tokens,
          |  array_to_string(list_slice(tk, start, start + 31), ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // p15: ticket expansion replayed literally — per-doc
+    // generate_series(1, w) lateral, the identical md5 ticket keys,
+    // min per doc, rank over the full key order then LIMIT (same
+    // order ⇒ same top-m as Spark's TakeOrdered-then-rank)
+    "p15_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(least((n_chars + 99) // 100, 20), 1) AS INT) AS w
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, w,
+        |    md5('wt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS tkey
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, w)) AS g FROM w) x),
+        |k AS (SELECT doc_id, w, min(tkey) AS draw FROM t GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (ORDER BY draw, doc_id) AS INT) AS rn,
+        |  doc_id, w, draw
+        |FROM k ORDER BY draw, doc_id LIMIT 50""".stripMargin,
+
+    // d25: the oracle is the BRUTE-FORCE distinct-string join — the
+    // candidate split's losslessness is what the gate checks
+    "d25_edit_join" ->
+      """WITH s AS (SELECT DISTINCT p_name AS s FROM part)
+        |SELECT a.s AS sa, b.s AS sb,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY sa, sb""".stripMargin,
 
     "t02_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),

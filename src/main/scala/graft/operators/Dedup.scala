@@ -1536,4 +1536,87 @@ object Dedup {
         $"hid".as("best_match"), $"cos".as("best_cos"))
       .orderBy($"vec_id")
   }
+
+  /** Exact edit-distance self-join (d25) — ALL pairs of distinct
+    * short strings (part names here; titles/URLs/usernames in a crawl
+    * pipeline) within Levenshtein distance `maxDist`, the
+    * typo/variant-collapse complement to d23's token-set Jaccard
+    * join. Exactness comes from a LOSSLESS candidate split, then a
+    * codegen'd `levenshtein` verify:
+    *
+    *  - LONG pairs (both ≥ minSafe = (maxDist+1)·n chars): if
+    *    lev(a,b) ≤ t, each of the t edits destroys ≤ n of a's
+    *    |a|−n+1 n-grams, so |a| ≥ t·n+n forces ≥1 SHARED n-gram —
+    *    candidates come from one n-gram equi-join (the d02 machinery)
+    *    plus the |len(a)−len(b)| ≤ t length filter.
+    *  - SHORT pairs (either side < minSafe): no count-filter bound
+    *    exists, so the short side joins by a constant key against
+    *    strings of length < minSafe + maxDist — lossless because a
+    *    match partner of a short string cannot be longer than
+    *    short+t. The short class is tiny by nature (strings under 6
+    *    chars); `Sizing.guardKeyPopulation` pins that assumption
+    *    IN-PLAN, naming minSafe as the knob.
+    *
+    * The gate's oracle is the FULL brute-force corpus join — one
+    * dropped true pair hash-mismatches, so the losslessness argument
+    * is machine-checked, not trusted (the d23 discipline).
+    *
+    * Scale shape: strings dedupe first (the d01 collapse — edit
+    * distance is a property of the VALUE, so work scales with
+    * distinct values, not rows); the n-gram join fans out ≤
+    * (len−n+1)² per shared gram with hot grams bounded by the
+    * length band; verify is a map-side codegen'd DP over candidate
+    * pairs only.
+    */
+  def editDistanceJoin(spark: SparkSession, sfDir: String,
+      maxDist: Int = 2, n: Int = 2,
+      maxShortPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame =
+    editDistanceJoinOn(
+      Tables.part(spark, sfDir).select(col("p_name").as("s")),
+      maxDist, n, maxShortPop)
+
+  /** [[editDistanceJoin]] on an arbitrary single-column string frame
+    * `strings(s)` — the testable core (synthetic short/long mixes
+    * exercise both candidate classes).
+    */
+  def editDistanceJoinOn(strings: DataFrame, maxDist: Int = 2, n: Int = 2,
+      maxShortPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
+    val spark = strings.sparkSession
+    import spark.implicits._
+    require(maxDist >= 1 && n >= 2, s"need maxDist >= 1, n >= 2: got $maxDist/$n")
+    val minSafe = (maxDist + 1) * n
+    // cached: the long n-gram side (twice), the short side, and the
+    // short-partner side all read the distinct string frame
+    val names = graft.Caches.track(
+      strings.select($"s").distinct().withColumn("len", length($"s")))
+    // —— long class: shared-n-gram candidates ——
+    val grams = names.filter($"len" >= minSafe)
+      .select($"s", $"len", explode(expr(
+        s"transform(sequence(1, len - ${n - 1}), i -> substring(s, i, $n))"))
+        .as("g"))
+      .distinct()
+    val longCand = grams.as("a").join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.s" < $"b.s" &&
+          abs($"a.len" - $"b.len") <= maxDist)
+      .select($"a.s".as("sa"), $"b.s".as("sb"))
+      .distinct()
+    // —— short class: constant-key join, sizing-guarded ——
+    val short = graft.Caches.track(
+      names.filter($"len" < minSafe).withColumn("cls", lit(1)))
+    val shortG = graft.operators.Sizing.guardKeyPopulation(
+      short, "cls", maxShortPop, "editDistanceJoin", "short-class", "minSafe")
+    val partners = names.filter($"len" < minSafe + maxDist)
+      .withColumn("cls", lit(1))
+    val shortCand = shortG.as("a").join(partners.as("b"), "cls")
+      .filter($"a.s" =!= $"b.s" &&
+        abs($"a.len" - $"b.len") <= maxDist)
+      .select(least($"a.s", $"b.s").as("sa"),
+        greatest($"a.s", $"b.s").as("sb"))
+      .distinct()
+    // —— verify: exact DP distance on candidates only ——
+    longCand.unionByName(shortCand).distinct()
+      .select($"sa", $"sb", levenshtein($"sa", $"sb").as("dist"))
+      .filter($"dist" <= maxDist)
+      .orderBy($"sa", $"sb")
+  }
 }

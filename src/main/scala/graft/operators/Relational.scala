@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -829,5 +829,117 @@ object Relational {
       .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus",
         $"quartile", $"pct_rank", $"cume")
       .orderBy($"o_orderkey")
+  }
+
+  /** Referential-integrity audit across the star schema (q40) — the
+    * q39 profiler's companion: one row per foreign-key relationship
+    * with child rows, NULL keys, distinct child keys, and ORPHANED
+    * distinct keys (child values absent from the parent). The Deequ-
+    * style constraint check a pipeline runs before trusting joins —
+    * an orphan count > 0 means inner joins silently drop rows.
+    *
+    * Scale shape, per relationship: distinct child keys first (ONE
+    * map-side-combinable aggregate over the child — the only pass
+    * that touches child-cardinality data), then the orphan probe is a
+    * left anti join of the DISTINCT key set against the parent's key
+    * column — when the parent is dimension-sized it broadcasts; the
+    * scalar audit rows then cross-combine (constant cardinality).
+    * The seven audits are independent and union — Spark runs their
+    * stages concurrently.
+    */
+  /** One [[fkAudit]] relationship row — public for spec-side checks
+    * with synthetic orphaned/NULL-keyed frames.
+    */
+  def fkAuditOne(fk: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String): DataFrame = {
+    val ck = child.select(col(key).as("k"))
+    val stats = ck.agg(
+      count(lit(1)).as("child_rows"),
+      (count(lit(1)) - count(col("k"))).as("null_keys"),
+      countDistinct(col("k")).as("distinct_keys"))
+    val orphans = ck.filter(col("k").isNotNull).distinct()
+      .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("orphan_keys"))
+    stats.crossJoin(orphans)
+      .select(lit(fk).as("fk"), col("child_rows"), col("null_keys"),
+        col("distinct_keys"), col("orphan_keys"))
+  }
+
+  def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def one(fk: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      fkAuditOne(fk, child, key, parent, pkey)
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    Seq(
+      one("customer.nation", cust, "c_nationkey", nat, "n_nationkey"),
+      one("lineitem.orders", li, "l_orderkey", ord, "o_orderkey"),
+      one("lineitem.part", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"),
+      one("lineitem.supplier", li, "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"),
+      one("nation.region", nat, "n_regionkey",
+        Tables.region(spark, sfDir), "r_regionkey"),
+      one("orders.customer", ord, "o_custkey", cust, "c_custkey"),
+      one("supplier.nation", Tables.supplier(spark, sfDir), "s_nationkey",
+        nat, "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"fk")
+  }
+
+  /** Exact distributed k-th selection (q41) — exact p25/p50/p75 of
+    * l_extendedprice (integer cents) WITHOUT a global sort: the
+    * iterative histogram-narrowing selection (the classic distributed
+    * exact-median algorithm). Each round buckets the in-range values
+    * into ≤256 equal-width integer cells with one map-side-combinable
+    * aggregate, the driver walks the ≤256-row histogram to find the
+    * cell containing the target rank, and the range narrows by 256×
+    * — ⌈log₂₅₆(range)⌉ rounds total (3 for a 10⁷-cent span), the
+    * o15/Bpe bounded-driver-loop shape (every collect is ≤256 rows by
+    * construction, never data-proportional). Contrast q23, which
+    * accepts the single-sort plan: this is the shape that survives a
+    * corpus whose sort would spill a 1000-executor shuffle.
+    *
+    * Ranks are the DuckDB-replayable k = (q·n + 99) div 100 (ceil),
+    * i.e. the smallest value with at least k values ≤ it — exact
+    * integers end-to-end, so the frame hash-gates.
+    */
+  def exactKth(spark: SparkSession, sfDir: String,
+      quantiles: Seq[Int] = Seq(25, 50, 75)): DataFrame = {
+    import spark.implicits._
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be in [1,100]: $quantiles")
+    // cached: the count, every narrowing round, and the final exact
+    // pass all scan the same single-column frame
+    val v = graft.Caches.track(
+      Tables.lineitem(spark, sfDir)
+        .select(round($"l_extendedprice" * 100, 0).cast("bigint").as("v")))
+    val n = v.count()
+    val rows = quantiles.sorted.map { q =>
+      val k = (q.toLong * n + 99) / 100
+      val Row(lo0: Long, hi0: Long) = v.agg(min($"v"), max($"v")).head()
+      var (lo, hi, target) = (lo0, hi0, k)
+      while (hi > lo) {
+        val width = (hi - lo) / 256 + 1
+        // ≤256 rows by construction — the bounded driver collect
+        val hist = v.filter($"v" >= lo && $"v" <= hi)
+          .groupBy((($"v" - lo) / width).cast("int").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var (b, cum) = (0, 0L)
+        while (cum + hist.getOrElse(b, 0L) < target) {
+          cum += hist.getOrElse(b, 0L); b += 1
+        }
+        target -= cum
+        val nlo = lo + b * width
+        hi = math.min(hi, nlo + width - 1)
+        lo = nlo
+      }
+      (s"p$q", n, k, lo)
+    }
+    rows.toDF("stat", "n", "k", "value_cents").orderBy($"stat")
   }
 }

@@ -548,4 +548,44 @@ object Sampling {
         (col("off") + col("lrn")).cast("bigint").as("pos"))
       .orderBy(col("pos"))
   }
+
+  /** Weighted deterministic sample (p15) — selection probability
+    * proportional to an integer weight (here document length:
+    * w = ⌈n_chars/100⌉ capped at `maxTickets`), via TICKET EXPANSION:
+    * each document enters `w` lottery tickets, ticket key =
+    * md5("wt:" doc_id ":" t), and the document's draw is its MINIMUM
+    * ticket key — the integer-weight reading of bottom-k/min-hash
+    * weighted sampling (a doc with twice the tickets is twice as
+    * likely to hold the corpus-minimum key), fully deterministic and
+    * engine-replayable where the classical u^(1/w) exponential-key
+    * scheme would hinge on cross-engine pow/ln bit-parity. Top-`m`
+    * documents by (min key, doc_id) win.
+    *
+    * Scale shape: the expansion is a map-only explode bounded by
+    * `maxTickets` (a parameter — corpus cost is ≤ maxTickets× the
+    * id+weight projection, and the min-key aggregate collapses it
+    * right back with map-side partials); the final top-m is
+    * TakeOrdered (no global sort). The m-row rank window runs on a
+    * selected-set-sized frame (parameters, not data).
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, m: Int = 50,
+      maxTickets: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(m >= 1 && maxTickets >= 1, s"need m/maxTickets >= 1, got $m/$maxTickets")
+    val w = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        greatest(least(expr("(n_chars + 99) DIV 100"), lit(maxTickets)),
+          lit(1)).cast("int").as("w"))
+    val keyed = w
+      .select($"doc_id", $"w", explode(sequence(lit(1), $"w")).as("t"))
+      .select($"doc_id", $"w",
+        md5(concat(lit("wt:"), $"doc_id".cast("string"), lit(":"),
+          $"t".cast("string")).cast("binary")).as("tkey"))
+      .groupBy($"doc_id", $"w").agg(min($"tkey").as("draw"))
+    val top = keyed.orderBy($"draw", $"doc_id").limit(m)
+    top.withColumn("rn",
+        row_number().over(Window.orderBy($"draw", $"doc_id")).cast("int"))
+      .select($"rn", $"doc_id", $"w", $"draw")
+      .orderBy($"rn")
+  }
 }

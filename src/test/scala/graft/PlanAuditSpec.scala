@@ -112,11 +112,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q39 — eight grand-total scalar aggregates (one per profiled
     // column): each finalization is the q14 shape — ONE partial
     // aggregate row per task through the exchange, never data rows.
+    // q40 — q39's companion: per relationship, the stats aggregate
+    // and the orphan count both finalize ONE partial aggregate row
+    // per task (the orphan side's exchange child is the anti-join's
+    // partial count, not key rows); the audit output itself is seven
+    // constant rows.
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
       "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters",
-      "q39_table_profile")
+      "q39_table_profile", "q40_fk_audit")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** q40 FK audit, q41 exact k-th selection, p15 weighted sample, d25
+  * edit-distance join — each pinned against an independent sequential
+  * recompute or a synthetic frame that exercises the failure mode the
+  * operator exists to catch.
+  */
+class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Independent Levenshtein (classic two-row DP) for the d25 check —
+    * NOT Spark's implementation.
+    */
+  private def lev(a: String, b: String): Int = {
+    var prev = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length)
+  }
+
+  test("d25: matches a brute-force DP recompute over all distinct names") {
+    val names = graft.Tables.part(spark, sf).select("p_name")
+      .distinct().collect().map(_.getString(0)).sorted
+    val expected = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      d = lev(names(i), names(j)) if d <= 2
+    } yield (names(i), names(j), d)).toSet
+    val got = Dedup.editDistanceJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    got shouldBe expected
+    expected.size should be > 0
+  }
+
+  test("d25: short strings (below the count-filter bound) are not lost") {
+    import spark.implicits._
+    // "ab"/"ac" share NO 2-gram yet are within distance 1 — the pairs
+    // an ngram-only candidate pass silently drops; "abcdefgh" pairs
+    // exercise the long class in the same frame
+    val strings = Seq("ab", "ac", "b", "abcdefgh", "abcdefxh", "zzzzzzzz")
+      .toDF("s")
+    val got = Dedup.editDistanceJoinOn(strings).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val all = Seq("ab", "ac", "b", "abcdefgh", "abcdefxh", "zzzzzzzz").sorted
+    val expected = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      d = lev(all(i), all(j)) if d <= 2
+    } yield (all(i), all(j), d)).toSet
+    got shouldBe expected
+    // the cross-class pair (short "ab" against nothing long) plus the
+    // in-short pairs must include the no-shared-gram case
+    got.map(p => (p._1, p._2)) should contain ("ab", "ac")
+  }
+
+  test("q41: exact kth matches a full-sort recompute, all three ranks") {
+    val vals = graft.Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    val got = Relational.exactKth(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for (q <- Seq(25, 50, 75)) {
+      val k = (q * n + 99) / 100
+      got(s"p$q") shouldBe ((n, k, vals((k - 1).toInt)))
+    }
+  }
+
+  test("q40: synthetic orphans and NULL keys are counted as distinct keys") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(7L), Some(8L), None)
+      .toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = Relational.fkAuditOne("t.p", child, "ck", parent, "pk")
+      .collect().head
+    row.getString(0) shouldBe "t.p"
+    row.getLong(1) shouldBe 6L // child_rows
+    row.getLong(2) shouldBe 1L // null_keys
+    row.getLong(3) shouldBe 4L // distinct non-null keys
+    row.getLong(4) shouldBe 2L // orphaned DISTINCT keys: 7, 8
+  }
+
+  test("p15: draws equal the min ticket key; heavier docs win more") {
+    val got = Sampling.weightedSample(spark, sf, m = 30).collect()
+    got.length shouldBe 30
+    // independent recompute of every doc's draw
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val draws = docs.map { case (id, nc) =>
+      val w = math.max(math.min((nc + 99) / 100, 20L), 1L).toInt
+      id -> ((1 to w).map(t => md5hex(s"wt:$id:$t")).min, w)
+    }
+    val expected = draws.toSeq.sortBy { case (id, (d, _)) => (d, id) }
+      .take(30).zipWithIndex
+      .map { case ((id, (d, w)), i) => (i + 1, id, w, d) }
+    got.map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSeq shouldBe expected
+    // weighting is real: mean weight among winners exceeds corpus mean
+    val meanAll = draws.values.map(_._2).sum.toDouble / draws.size
+    val meanWin = expected.map(_._3).sum.toDouble / expected.size
+    meanWin should be > meanAll
+  }
+}
