@@ -51,6 +51,8 @@ object SparkEntry {
     "q39_table_profile" -> (Relational.tableProfile _),
     "q40_fk_audit" -> (Relational.fkAudit _),
     "q41_exact_kth" -> ((s: SparkSession, d: String) => Relational.exactKth(s, d)),
+    "q42_scd2_intervals" -> (Relational.scd2Intervals _),
+    "q43_incremental_agg" -> ((s: SparkSession, d: String) => Relational.incrementalAgg(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -1233,6 +1235,27 @@ object SparkEntry {
            |    WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.k)) AS BIGINT)
            |    AS orphan_keys""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY fk"),
+
+    // q42: exact epoch-micros (epoch_ns // 1000 == Spark's
+    // timestamp_micros truncation); one window spec for version+lead
+    "q42_scd2_intervals" ->
+      """SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+        |  epoch_ns(ts) // 1000 AS valid_from_us,
+        |  epoch_ns(lead(ts, 1) OVER w) // 1000 AS valid_to_us
+        |FROM events WHERE user_id < 100
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // q43: the oracle aggregates the WHOLE table in one pass — the
+    // gate's content is merge(partial(base), partial(delta)) ≡ this
+    "q43_incremental_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(round(value * 100, 0)) AS BIGINT) AS sum_cents,
+        |  CAST(min(round(value * 100, 0)) AS BIGINT) AS min_cents,
+        |  CAST(max(round(value * 100, 0)) AS BIGINT) AS max_cents,
+        |  round(sum(round(value * 100, 0)) / count(*), 6) AS avg_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q41: the oracle replays the selection definition directly —
     // k = ceil(q·n/100), value = the k-th smallest integer-cent price

@@ -942,4 +942,70 @@ object Relational {
     }
     rows.toDF("stat", "n", "k", "value_cents").orderBy($"stat")
   }
+
+  /** SCD2 interval reconstruction (q42) — the slowly-changing-
+    * dimension type-2 table a warehouse derives from a change event
+    * stream: per user, each event opens a version whose validity
+    * interval runs to the NEXT event's timestamp (exclusive; the
+    * latest version stays open with a NULL valid_to). The q28 as-of
+    * join's natural complement — an as-of lookup against this table
+    * is one interval-containment probe. Micros since epoch as exact
+    * BIGINTs (the events-table discipline), so the frame hash-gates.
+    *
+    * Scale shape: ONE window spec serves the version number and the
+    * lead — a single per-user sort, no corpus-global window; at 100 TB
+    * users hash-partition and the window population is per-user event
+    * count.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .filter($"user_id" < 100)
+      .select($"user_id", $"event_id", $"ts",
+        round($"value" * 100, 0).cast("bigint").as("value_cents"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_from_us", unix_micros($"ts"))
+      .withColumn("valid_to_us", unix_micros(lead($"ts", 1).over(w)))
+      .select($"user_id", $"version", $"value_cents",
+        $"valid_from_us", $"valid_to_us")
+      .orderBy($"user_id", $"version")
+  }
+
+  /** Incremental aggregate maintenance (q43) — the partial-aggregate
+    * merge law as a gated operator: per-user (count, sum, min, max)
+    * computed SEPARATELY over a base slice and a delta slice (split
+    * at `splitDate`), then merged by re-aggregating the two partial
+    * frames — count=Σcount, sum=Σsum, min=min, max=max — WITHOUT
+    * rescanning base rows. The oracle aggregates the whole table
+    * directly, so the gate proves merge(partial(base), partial(delta))
+    * ≡ full recompute — the identity every incremental pipeline
+    * (streaming state stores, materialized-view maintenance, d16/d21's
+    * corpus increments) silently relies on. The mean re-derives from
+    * merged sums at the END (one rounded IEEE division) — never
+    * merged, because avg is not decomposable.
+    *
+    * Scale shape: each slice aggregates with its partition filter
+    * pushed to the scan and map-side partials; the merge re-agg sees
+    * 2 rows per user. At 100 TB the base partials are a stored table
+    * and only the delta scans — this operator is that plan's dry run.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String,
+      splitDate: String = "2024-01-15"): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", round($"value" * 100, 0).cast("bigint").as("c"))
+    def partial(slice: DataFrame): DataFrame = slice.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"c").as("sum_cents"),
+        min($"c").as("min_cents"), max($"c").as("max_cents"))
+    val base = partial(ev.filter($"ts" < lit(splitDate).cast("timestamp")))
+    val delta = partial(ev.filter($"ts" >= lit(splitDate).cast("timestamp")))
+    base.unionByName(delta)
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"),
+        min($"min_cents").as("min_cents"), max($"max_cents").as("max_cents"))
+      .select($"user_id", $"n", $"sum_cents", $"min_cents", $"max_cents",
+        round($"sum_cents" / $"n", 6).as("avg_cents"))
+      .orderBy($"user_id")
+  }
 }

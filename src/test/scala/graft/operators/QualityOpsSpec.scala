@@ -92,6 +92,49 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     row.getLong(4) shouldBe 2L // orphaned DISTINCT keys: 7, 8
   }
 
+  test("q42: intervals tile each user's timeline exactly") {
+    val rows = Relational.scd2Intervals(spark, sf).collect()
+    rows.length should be > 0
+    rows.groupBy(_.getLong(0)).values.foreach { vs =>
+      val sorted = vs.sortBy(_.getInt(1))
+      // versions contiguous from 1
+      sorted.map(_.getInt(1)).toSeq shouldBe (1 to vs.length)
+      // each version's valid_to == the next version's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          a.getLong(a.fieldIndex("valid_to_us")) shouldBe
+            b.getLong(b.fieldIndex("valid_from_us"))
+        case _ =>
+      }
+      // exactly the LAST version is open-ended
+      sorted.dropRight(1).foreach(r =>
+        r.isNullAt(r.fieldIndex("valid_to_us")) shouldBe false)
+      sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")) shouldBe true
+    }
+  }
+
+  test("q43: merged partials equal a single-pass aggregate, any split") {
+    def direct = {
+      val ev = graft.Tables.events(spark, sf)
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("c"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"),
+          min("c").as("min_cents"), max("c").as("max_cents"))
+        .select(col("user_id"), col("n"), col("sum_cents"),
+          col("min_cents"), col("max_cents"),
+          round(col("sum_cents") / col("n"), 6).as("avg_cents"))
+        .collect().map(_.toSeq).toSet
+    }
+    // two different split dates — the merge law is split-invariant
+    for (split <- Seq("2024-01-10", "2024-01-25")) {
+      Relational.incrementalAgg(spark, sf, split)
+        .collect().map(_.toSeq).toSet shouldBe direct
+    }
+    // degenerate split: empty delta (everything in base) still merges
+    Relational.incrementalAgg(spark, sf, "2030-01-01")
+      .collect().map(_.toSeq).toSet shouldBe direct
+  }
+
   test("p15: draws equal the min ticket key; heavier docs win more") {
     val got = Sampling.weightedSample(spark, sf, m = 30).collect()
     got.length shouldBe 30
