@@ -191,6 +191,7 @@ object SparkEntry {
     "m13_png_rgb_gate" -> (Multimodal.pngRgbChecksumGate _),
     "m14_codec_meta" -> (Multimodal.codecMetaGate _),
     "m15_png_palette_gate" -> (Multimodal.pngPaletteChecksumGate _),
+    "m17_png_adam7_gate" -> (Multimodal.pngAdam7ChecksumGate _),
     "m16_exif_meta" -> (Multimodal.exifMetaGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
@@ -3405,6 +3406,20 @@ object SparkEntry {
         |      [CAST(ord(text[CAST(i AS INT)]) AS BIGINT),
         |       CAST((ord(text[CAST(i AS INT)]) * 7 + 13) % 256 AS BIGINT),
         |       CAST((ord(text[CAST(i AS INT)]) * 31 + 5) % 256 AS BIGINT)])),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
+
+    // m17: the Adam7 gate — the Spark side round-trips the text
+    // prefix through the INTERLACED wire format (seven pass
+    // sub-images, pass-confined predictors, scatter geometry); the
+    // oracle is the m11 pixel recompute VERBATIM — canonical pixels
+    // are interlace-invariant, which is exactly the claim under test
+    "m17_png_adam7_gate" ->
+      """SELECT doc_id, 'png' AS format, 8 AS width, 8 AS height,
+        |  1 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, 65), i ->
+        |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
         |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
 

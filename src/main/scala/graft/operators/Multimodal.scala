@@ -430,9 +430,13 @@ object Multimodal {
     * Average truncates (a+b)/2, Paeth breaks ties a-then-b-then-c).
     *
     * Decoded slice: 8-bit depth, color types 0 (gray, 1 ch), 2 (RGB,
-    * 3 ch), 6 (RGBA, 4 ch), no interlace. Out-of-slice images
-    * (16-bit, paletted, gray+alpha, Adam7) and malformed streams —
-    * bad chunk CRC, truncated IDAT, inflated size ≠ h·(1+w·ch), a
+    * 3 ch), 3 (indexed via PLTE), 6 (RGBA, 4 ch), progressive AND
+    * Adam7-interlaced (each of the seven passes is its own sub-image
+    * — own scanline widths, own filter bytes, predictors confined to
+    * the pass per PNG §8.2; empty passes are wholly absent from the
+    * stream; decoded pixels scatter to (x0+px·dx, y0+py·dy)).
+    * Out-of-slice images (16-bit, gray+alpha) and malformed streams —
+    * bad chunk CRC, truncated IDAT, inflated size ≠ Σ passes, a
     * filter byte outside 0..4 — return None (the caller falls back to
     * header-only metadata; never throws on arbitrary payloads). Chunk
     * CRCs are verified with `java.util.zip.CRC32` (type + data, per
@@ -465,7 +469,7 @@ object Multimodal {
     val isPalette = colorType == 3
     if (w <= 0 || w > MaxDim || h <= 0 || h > MaxDim || bitDepth != 8 ||
         channels < 0 || compression != 0 || filterMethod != 0 ||
-        interlace != 0 ||
+        interlace > 1 ||
         w.toLong * h * (if (isPalette) 3 else channels) > Int.MaxValue / 2)
       return None
     val crc = new java.util.zip.CRC32
@@ -508,9 +512,23 @@ object Multimodal {
     if (isPalette && palette == null) return None
     val compressed = idat.toByteArray
     if (compressed.isEmpty) return None
-    // inflate to EXACTLY h * (1 + w*channels): filter byte + raw row
+    // pass geometry: progressive is the single identity pass; Adam7 is
+    // the spec's seven (x0, y0, dx, dy) grids, empty passes absent
+    val passes =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    // inflate to EXACTLY Σ passes of ph * (1 + pw*channels)
     val stride = w * channels
-    val expected = h * (1 + stride)
+    val expected = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) ph * (1 + pw * channels) else 0
+    }.sum
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     try {
@@ -533,38 +551,72 @@ object Multimodal {
         if (extra > 0) return None
       }
     } finally inf.end()
-    // unfilter in place into the canonical pixel array (PNG §9:
-    // a = left, b = above, c = above-left, all 0 off the image edge;
-    // the "pixel before" distance is the byte-per-pixel count)
+    // unfilter pass-by-pass (PNG §9: a = left, b = above, c = above-
+    // left, all 0 off the PASS edge — predictors never cross passes;
+    // the "pixel before" distance is the byte-per-pixel count), then
+    // scatter each pass pixel to its (x0+px·dx, y0+py·dy) home
     val bpp = channels
     val out = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (1 + stride)) & 0xff
-      if (ft > 4) return None
-      val rowIn = y * (1 + stride) + 1
-      val rowOut = y * stride
-      var x = 0
-      while (x < stride) {
-        val rv = raw(rowIn + x) & 0xff
-        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
-        val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0
-        val cc = if (y > 0 && x >= bpp) out(rowOut - stride + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => rv
-          case 1 => rv + a
-          case 2 => rv + b
-          case 3 => rv + (a + b) / 2
-          case _ => // Paeth
-            val p = a + b - cc
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - cc)
-            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+    def unfilterPass(rawOff: Int, pw: Int, ph: Int): Option[Array[Byte]] = {
+      val ps = pw * channels
+      val plane = new Array[Byte](ph * ps)
+      var y = 0
+      while (y < ph) {
+        val ft = raw(rawOff + y * (1 + ps)) & 0xff
+        if (ft > 4) return None
+        val rowIn = rawOff + y * (1 + ps) + 1
+        val rowOut = y * ps
+        var x = 0
+        while (x < ps) {
+          val rv = raw(rowIn + x) & 0xff
+          val a = if (x >= bpp) plane(rowOut + x - bpp) & 0xff else 0
+          val b = if (y > 0) plane(rowOut - ps + x) & 0xff else 0
+          val cc = if (y > 0 && x >= bpp) plane(rowOut - ps + x - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => rv
+            case 1 => rv + a
+            case 2 => rv + b
+            case 3 => rv + (a + b) / 2
+            case _ => // Paeth
+              val p = a + b - cc
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - cc)
+              rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+          }
+          plane(rowOut + x) = (v & 0xff).toByte
+          x += 1
         }
-        out(rowOut + x) = (v & 0xff).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      Some(plane)
+    }
+    var rawOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(passes(pi))
+      if (pw > 0 && ph > 0) {
+        val plane = unfilterPass(rawOff, pw, ph) match {
+          case None => return None
+          case Some(pl) => pl
+        }
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            val dst = (y0 + py * dy) * stride + (x0 + px * dx) * channels
+            val src = (py * pw + px) * channels
+            var ch = 0
+            while (ch < channels) {
+              out(dst + ch) = plane(src + ch); ch += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+        rawOff += ph * (1 + pw * channels)
+      }
+      pi += 1
     }
     if (!isPalette) Some(RasterImage("png", w, h, channels, out))
     else {
@@ -873,12 +925,19 @@ object Multimodal {
     * `channels` must be 1 (gray), 3 (RGB) or 4 (RGBA); samples are
     * 8-bit. This is also a useful operator in its own right (writing
     * derived thumbnails from [[resizeRaster]] output).
+    *
+    * `adam7 = true` writes the interlaced form: the seven pass
+    * sub-images in spec order, each filtered within its own geometry
+    * (`filterFor` receives a RUNNING scanline index across passes, so
+    * a (id + idx) % 5 caller still exercises every filter on every
+    * pass shape); empty passes are wholly absent, per PNG §8.2.
     */
   def encodePng(width: Int, height: Int, channels: Int,
-      pixels: Array[Byte], filterFor: Int => Int = _ => 0): Array[Byte] = {
+      pixels: Array[Byte], filterFor: Int => Int = _ => 0,
+      adam7: Boolean = false): Array[Byte] = {
     require(channels == 1 || channels == 3 || channels == 4,
       s"channels must be 1/3/4, got $channels")
-    encodePngCore(width, height, channels, pixels, filterFor, None)
+    encodePngCore(width, height, channels, pixels, filterFor, None, adam7)
   }
 
   /** Indexed (color type 3) PNG: one byte per pixel of palette indices,
@@ -889,48 +948,86 @@ object Multimodal {
     * reconstruction after it.
     */
   def encodePngIndexed(width: Int, height: Int, palette: Array[Byte],
-      indices: Array[Byte], filterFor: Int => Int = _ => 0): Array[Byte] = {
+      indices: Array[Byte], filterFor: Int => Int = _ => 0,
+      adam7: Boolean = false): Array[Byte] = {
     require(palette.length % 3 == 0 && palette.nonEmpty && palette.length <= 768,
       s"palette must be 1..256 RGB triples, got ${palette.length} bytes")
-    encodePngCore(width, height, 1, indices, filterFor, Some(palette))
+    encodePngCore(width, height, 1, indices, filterFor, Some(palette), adam7)
   }
 
   private def encodePngCore(width: Int, height: Int, channels: Int,
       pixels: Array[Byte], filterFor: Int => Int,
-      palette: Option[Array[Byte]]): Array[Byte] = {
+      palette: Option[Array[Byte]], adam7: Boolean = false): Array[Byte] = {
     require(pixels.length == width * height * channels,
       s"pixel buffer ${pixels.length} != $width*$height*$channels")
-    val stride = width * channels
     val bpp = channels
-    val raw = new Array[Byte](height * (1 + stride))
-    var y = 0
-    while (y < height) {
-      val ft = filterFor(y)
-      require(ft >= 0 && ft <= 4, s"filter $ft outside 0..4")
-      raw(y * (1 + stride)) = ft.toByte
-      val rowIn = y * stride
-      var x = 0
-      while (x < stride) {
-        val v = pixels(rowIn + x) & 0xff
-        val a = if (x >= bpp) pixels(rowIn + x - bpp) & 0xff else 0
-        val b = if (y > 0) pixels(rowIn - stride + x) & 0xff else 0
-        val cc = if (y > 0 && x >= bpp) pixels(rowIn - stride + x - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case _ =>
-            val p = a + b - cc
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - cc)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+    // filter one plane (a pass sub-image, or the whole image when
+    // progressive) into `sink`; `row0` is the running scanline index
+    // fed to filterFor; returns the next running index
+    def filterPlane(plane: Array[Byte], pw: Int, ph: Int, row0: Int,
+        sink: java.io.ByteArrayOutputStream): Int = {
+      val ps = pw * channels
+      val row = new Array[Byte](1 + ps)
+      var y = 0
+      while (y < ph) {
+        val ft = filterFor(row0 + y)
+        require(ft >= 0 && ft <= 4, s"filter $ft outside 0..4")
+        row(0) = ft.toByte
+        val rowIn = y * ps
+        var x = 0
+        while (x < ps) {
+          val v = plane(rowIn + x) & 0xff
+          val a = if (x >= bpp) plane(rowIn + x - bpp) & 0xff else 0
+          val b = if (y > 0) plane(rowIn - ps + x) & 0xff else 0
+          val cc = if (y > 0 && x >= bpp) plane(rowIn - ps + x - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case _ =>
+              val p = a + b - cc
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - cc)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+          }
+          row(1 + x) = ((v - pred) & 0xff).toByte
+          x += 1
         }
-        raw(y * (1 + stride) + 1 + x) = ((v - pred) & 0xff).toByte
-        x += 1
+        sink.write(row, 0, 1 + ps)
+        y += 1
       }
-      y += 1
+      row0 + ph
     }
+    val sink = new java.io.ByteArrayOutputStream()
+    if (!adam7) {
+      filterPlane(pixels, width, height, 0, sink)
+    } else {
+      val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      var row0 = 0
+      for ((x0, y0, dx, dy) <- passes) {
+        val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) {
+          val plane = new Array[Byte](pw * ph * channels)
+          var py = 0
+          while (py < ph) {
+            var px = 0
+            while (px < pw) {
+              val src = ((y0 + py * dy) * width + (x0 + px * dx)) * channels
+              val dst = (py * pw + px) * channels
+              var ch = 0
+              while (ch < channels) { plane(dst + ch) = pixels(src + ch); ch += 1 }
+              px += 1
+            }
+            py += 1
+          }
+          row0 = filterPlane(plane, pw, ph, row0, sink)
+        }
+      }
+    }
+    val raw = sink.toByteArray
     val defl = new java.util.zip.Deflater()
     val idat =
       try {
@@ -958,7 +1055,8 @@ object Multimodal {
       case None => channels match { case 1 => 0; case 3 => 2; case _ => 6 }
     }
     chunk("IHDR", be(width) ++ be(height) ++
-      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte,
+        (if (adam7) 1 else 0).toByte))
     palette.foreach(p => chunk("PLTE", p))
     chunk("IDAT", idat)
     chunk("IEND", Array.emptyByteArray)
@@ -1787,6 +1885,49 @@ object Multimodal {
   def gifChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     rasterFeatures(docGifRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** m17 payload builder: the ADAM7-INTERLACED sibling of the m11
+    * PNG — same 8×8 grayscale raster from the first 64 text bytes,
+    * but written through the seven-pass interlaced wire format (on an
+    * 8×8 every pass is non-empty: 1+1+2+4+8+16+32 = 64 pixels, so the
+    * whole pass table executes per image). Filters vary per (doc_id,
+    * running scanline) as (doc_id + idx) % 5 — all five filters
+    * appear on pass sub-images of every shape, where the predictors'
+    * reach-back is confined to the PASS geometry, the arithmetic the
+    * progressive gates never touch.
+    */
+  private def docPngAdam7Rows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        MediaRow(id, "image",
+          encodePng(8, 8, 1, px.getBytes("ISO-8859-1"),
+            idx => ((id + idx) % 5).toInt, adam7 = true))
+      }
+  }
+
+  /** m17 gate entry: Adam7 PNG decode under the DuckDB gate — the
+    * Spark side writes each document's text prefix through the
+    * INTERLACED wire format ([[docPngAdam7Rows]]: seven pass
+    * sub-images, per-pass filter bytes, pass-confined predictors) and
+    * decodes it back through [[decodePngPixels]]'s pass walk +
+    * scatter; the oracle recomputes every pixel with ord() on the
+    * text prefix, exactly the m11 oracle — the expected CANONICAL
+    * pixels are interlace-invariant, so hash-green proves the
+    * de-interlacing (pass dims, scatter geometry, per-pass unfilter)
+    * reconstructs the identical image through a completely different
+    * wire layout.
+    */
+  def pngAdam7ChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docPngAdam7Rows(spark, sfDir)).toDF()
       .select($"media_id".as("doc_id"), $"format", $"width", $"height",
         $"channels", $"pixel_checksum")
       .orderBy($"doc_id")

@@ -848,7 +848,9 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     // truncation anywhere in the chunk frame
     Multimodal.decodeRasterPixels(good.take(good.length - 13)) shouldBe None
     Multimodal.decodeRasterPixels(good.take(30)) shouldBe None
-    // interlace flag → out of slice
+    // interlace byte flipped WITHOUT fixing the IHDR CRC → CRC reject
+    // (a well-formed Adam7 stream decodes for real — see the Adam7
+    // suite; the mismatched-size relabel case is covered there too)
     val inter = good.clone(); inter(28) = 1
     Multimodal.decodeRasterPixels(inter) shouldBe None
     // 16-bit depth and paletted color are out of slice (fix CRC so the
@@ -1027,6 +1029,89 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     // trailer-before-image is malformed, not an image
     val hdrOnly = good.take(13 + 12) :+ 0x3b.toByte
     Multimodal.decodeRasterPixels(hdrOnly) shouldBe None
+  }
+
+  // —— PNG: Adam7 interlace (m17 slice) ——
+
+  test("decodePng Adam7: round-trips all channel counts and pass-empty sizes") {
+    // 8x8 exercises all seven passes; 1x1/2x2/3x3 leave passes EMPTY
+    // (wholly absent from the stream, per spec); 9x5/16x11 are
+    // non-square with ragged pass dims
+    for (ch <- Seq(1, 3, 4);
+         (w, h) <- Seq((8, 8), (1, 1), (2, 2), (3, 3), (5, 5), (9, 5), (16, 11))) {
+      val px = detRandom(ch * 10000 + w * 100 + h, w * h * ch)
+      val bytes = Multimodal.encodePng(w, h, ch, px,
+        idx => (idx + ch) % 5, adam7 = true)
+      val img = Multimodal.decodeRasterPixels(bytes).get
+      (img.width, img.height, img.channels) shouldBe ((w, h, ch))
+      withClue(s"ch=$ch ${w}x$h: ") { img.pixels.toSeq shouldBe px.toSeq }
+    }
+  }
+
+  test("decodePng Adam7: agrees with the JDK's own ImageIO decoder") {
+    // ImageIO de-interlaces independently — a shared scatter-geometry
+    // bug between encodePng(adam7) and the pass walk cannot hide
+    for (ch <- Seq(1, 3); (w, h) <- Seq((8, 8), (9, 5), (5, 5))) {
+      val px = detRandom(ch * 31 + w + h, w * h * ch)
+      val bytes = Multimodal.encodePng(w, h, ch, px,
+        idx => idx % 5, adam7 = true)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      bi should not be null
+      val raster = bi.getRaster
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until ch) {
+        withClue(s"ch=$ch ${w}x$h ($x,$y) band $b: ") {
+          raster.getSample(x, y, b) shouldBe (px((y * w + x) * ch + b) & 0xff)
+        }
+      }
+    }
+  }
+
+  test("decodePng Adam7: indexed palette round-trips through the pass walk") {
+    val pal = Array.tabulate(256 * 3) { k =>
+      val i = k / 3
+      (k % 3 match {
+        case 0 => i; case 1 => (i * 7 + 13) % 256; case _ => (i * 31 + 5) % 256
+      }).toByte
+    }
+    val idx = detRandom(77, 8 * 8)
+    val bytes = Multimodal.encodePngIndexed(8, 8, pal, idx,
+      i => i % 5, adam7 = true)
+    val img = Multimodal.decodeRasterPixels(bytes).get
+    (img.width, img.height, img.channels) shouldBe ((8, 8, 3))
+    for (i <- 0 until 64) {
+      val v = idx(i) & 0xff
+      (img.pixels(i * 3) & 0xff) shouldBe v
+      (img.pixels(i * 3 + 1) & 0xff) shouldBe (v * 7 + 13) % 256
+      (img.pixels(i * 3 + 2) & 0xff) shouldBe (v * 31 + 5) % 256
+    }
+  }
+
+  test("decodePng Adam7: malformed interlaced streams reject, never throw") {
+    val px = detRandom(55, 8 * 8)
+    val good = Multimodal.encodePng(8, 8, 1, px, _ => 1, adam7 = true)
+    Multimodal.decodeRasterPixels(good) should not be None
+    // truncated mid-IDAT
+    Multimodal.decodeRasterPixels(good.take(good.length - 20)) shouldBe None
+    // a PROGRESSIVE stream relabeled interlaced (CRC fixed): the
+    // inflated size no longer matches the pass layout → reject
+    val prog = Multimodal.encodePng(8, 8, 1, px, _ => 0)
+    val relabeled = prog.clone()
+    relabeled(28) = 1
+    val crc = new java.util.zip.CRC32
+    crc.update(relabeled, 12, 17)
+    val v = crc.getValue.toInt
+    relabeled(29) = (v >>> 24).toByte; relabeled(30) = (v >>> 16).toByte
+    relabeled(31) = (v >>> 8).toByte; relabeled(32) = v.toByte
+    Multimodal.decodeRasterPixels(relabeled) shouldBe None
+    // interlace byte outside 0..1 stays out of slice
+    val bad = good.clone()
+    bad(28) = 2
+    crc.reset(); crc.update(bad, 12, 17)
+    val v2 = crc.getValue.toInt
+    bad(29) = (v2 >>> 24).toByte; bad(30) = (v2 >>> 16).toByte
+    bad(31) = (v2 >>> 8).toByte; bad(32) = v2.toByte
+    Multimodal.decodeRasterPixels(bad) shouldBe None
   }
 
   test("indexed PNG decodes through PLTE expansion with every filter type") {
