@@ -62,7 +62,14 @@ object Bench {
     val cacheFamily = Set("d06_canonicalize", "d08_canonical_best",
       "d11_cluster_stats", "p06_dedup_budget", "p09_cluster_split")
 
+    // optional args: restrict to the named queries (dev iteration on a
+    // hot spot without re-timing the whole surface); unknown names fail
+    // fast like Verify's filter
+    val only: Set[String] = args.toSet
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown queries: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
     names.foreach(materialize(_, warmDir)) // warmup, untimed
     def timed(): Seq[(String, Double)] = names.map(n => n -> materialize(n, sfDir))
     val (pass1, pass2) = (timed(), timed())
@@ -98,11 +105,14 @@ object Bench {
     // the env var stays the explicit override
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("BENCH_LATEST.json").getAbsolutePath)
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    // a name-filtered dev run must not clobber the full-surface
+    // artifact the driver (and round records) read
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

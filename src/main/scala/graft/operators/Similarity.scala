@@ -1230,6 +1230,14 @@ object Similarity {
     * the selected set) + a per-qid argmax window — bounded by poolK
     * per query per round, k rounds (the o15/s18 bounded driver-loop
     * shape). Nothing corpus-proportional appears after the s01 pool.
+    *
+    * Each round's selected set is CHECKPOINTED, not merely persisted
+    * (the s25/Bpe lineage discipline): a round references `selected`
+    * THREE times (anti-join, penalty join, union), so a persist-only
+    * loop accretes a 3^k-node analyzed plan — measured at 17.9 s for
+    * parameter-sized data before the fix, Catalyst walks dwarfing
+    * the actual compute. The checkpointed frame is |queries|·k rows
+    * — parameters, not data — so executor-local storage is free.
     */
   def annMmr(spark: SparkSession, sfDir: String, poolK: Int = 10,
       k: Int = 5, lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
@@ -1268,11 +1276,11 @@ object Similarity {
     val penalty = lambdaDen - lambdaNum
     val wPick = Window.partitionBy($"qid").orderBy($"mmr6".desc, $"cand")
     // round 1: pure relevance (empty selection → zero penalty term)
-    var selected = graft.Caches.track(
-      pool.select($"qid", $"cand", $"rel6",
+    var selected = pool.select($"qid", $"cand", $"rel6",
           (lit(lambdaNum) * $"rel6").as("mmr6"))
         .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
-        .select($"qid", $"cand", $"rel6", $"mmr6", lit(1).as("pick")))
+        .select($"qid", $"cand", $"rel6", $"mmr6", lit(1).as("pick"))
+        .localCheckpoint()
     for (i <- 2 to k) {
       val remaining = pool.join(selected.select($"qid", $"cand"),
         Seq("qid", "cand"), "left_anti")
@@ -1289,8 +1297,9 @@ object Similarity {
           (lit(lambdaNum) * $"rel6" - lit(penalty) * $"maxsim6").as("mmr6"))
         .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
         .select($"qid", $"cand", $"rel6", $"mmr6", lit(i).as("pick"))
-      // cached: next round's anti-join + penalty join + final union
-      selected = graft.Caches.track(selected.unionByName(picked))
+      // checkpointed: next round's anti-join + penalty join + final
+      // union all read it, and the lineage must not nest (see scaladoc)
+      selected = selected.unionByName(picked).localCheckpoint()
     }
     selected.orderBy($"qid", $"pick")
   }
@@ -1365,12 +1374,20 @@ object Similarity {
     * Scale shape: a round is ONE equi-join of the bidirectional edge
     * list (2·corpus·kNeighbors rows) against the label frame, a
     * (vertex, label) count with map-side partials, and a per-vertex
-    * argmax window whose population is the vertex degree; each round
-    * persists (O(1) lineage, the Lloyd-loop discipline).
+    * argmax window whose population is the vertex degree. Each
+    * round's label frame is CHECKPOINTED (the s25/Bpe lineage
+    * discipline — a round references it twice, neighbor join +
+    * coalesce, so persist-only nesting doubles the analyzed plan per
+    * round); `localCheckpoint` default, `checkpointDir` for a
+    * reliable cluster snapshot (the frame is corpus ids + one label).
     */
   def labelPropagation(spark: SparkSession, sfDir: String, k: Int = 8,
-      iters: Int = 2, kNeighbors: Int = 3, rounds: Int = 3): DataFrame = {
+      iters: Int = 2, kNeighbors: Int = 3, rounds: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val und = undirectedKnn(spark, sfDir, k, iters, kNeighbors)
     // cached: every round joins the same bidirectional edge list
     val bidir = graft.Caches.track(
@@ -1387,9 +1404,8 @@ object Similarity {
         .select($"dst".as("vec_id"), $"lbl", $"cnt")
         .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
         .select($"vec_id", $"lbl".as("nlbl"))
-      lbl = graft.Caches.track(
-        lbl.join(picked, Seq("vec_id"), "left")
-          .select($"vec_id", coalesce($"nlbl", $"lbl").as("lbl")))
+      lbl = snap(lbl.join(picked, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"nlbl", $"lbl").as("lbl")))
     }
     lbl.orderBy($"vec_id")
   }
@@ -1449,8 +1465,22 @@ object Similarity {
       .groupBy($"src").agg(count(lit(1)).as("deg"))
       .select($"src".as("vec_id"), $"deg")
     var alive = Tables.embeddings(spark, sfDir).select($"vec_id")
-    for (_ <- 1 to rounds)
+    // early stop when a round removes nobody: peeling is MONOTONE
+    // (alive_{i+1} ⊆ alive_i), so an unchanged COUNT proves the
+    // fixpoint and the skipped rounds are provable no-ops — the
+    // result is identical to running all `rounds`, which is what the
+    // fixed-round oracle replays. The count is driver-side but reads
+    // the just-checkpointed set (one cached-scan job per round).
+    var prevCount = -1L
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       alive = snap(coreDeg(alive).filter($"deg" >= coreK).select($"vec_id"))
+      r += 1
+      val n = alive.count()
+      stable = n == prevCount
+      prevCount = n
+    }
     alive.join(coreDeg(alive), Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"deg", lit(0L)).as("deg"))
       .orderBy($"vec_id")

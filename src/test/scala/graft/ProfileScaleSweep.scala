@@ -229,6 +229,30 @@ object ProfileScaleSweep {
       // d05 all-pairs sample (quadratic by design at growing sample);
       // the scale path swaps in d13's bucketed pair stream, whose
       // growth embed_neardup_lsh already measures
+      // round-11 fourth batch: the graph-analytics family rides the
+      // sized-k s16 edges (fixed cell population). Triangles add the
+      // und ⋈ und middle-vertex join (Σdeg² — bounded by the kNN
+      // degree, linear in vertices at fixed degree); LPA adds
+      // 3 rounds of edge-list joins (linear); k-core peels the MUTUAL
+      // edges over 10 checkpointed rounds (each linear; the constant
+      // factor is the round count, not a growth term)
+      time("triangles_sizedk")(
+        Similarity.triangleCounts(spark, dir, k = 8 * mult))
+      time("labelprop_sizedk")(
+        Similarity.labelPropagation(spark, dir, k = 8 * mult))
+      time("kcore_sizedk")(
+        Similarity.kCorePeel(spark, dir, k = 8 * mult))
+      // p15: a maxTickets-bounded explode + min-agg with map-side
+      // combine + one TakeOrdered — pure linear, the null hypothesis
+      time("weighted_sample")(Sampling.weightedSample(spark, dir))
+      // d25 edit-join is NOT swept over replicas: its shipped blocking
+      // (shared n-gram + length band) targets value-deduplicated
+      // attribute domains (names/titles, 10^3..10^5 distinct) where
+      // the gate proves it lossless; corpus-sized string domains need
+      // the PassJoin positional-segment candidate generator (SCALE.md
+      // §18 records the boundary honestly). q41's sweep story is
+      // structural: rounds = ceil(log256(value range)) — a property of
+      // the DOMAIN, not the corpus; each round is one linear scan.
     }
     spark.stop()
   }
