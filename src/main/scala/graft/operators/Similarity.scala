@@ -1183,16 +1183,21 @@ object Similarity {
       .select($"qid", $"cand",
         round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
     // —— hops rounds of expand → anti-join → score → beam-prune ——
+    // visited is CHECKPOINTED per hop, not merely persisted (the
+    // s19/s25 lineage discipline): each hop reads it three times
+    // (frontier, anti-join, union), so persist-only rounds nest the
+    // shared Lloyd subtree 3^hops times into the analyzed plan. The
+    // frame is ≤ |queries|·(nEntry + hops·beam·kNeighbors) rows —
+    // parameters, not data.
     val wBeam = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
-    var visited = graft.Caches.track(score(entry))
+    var visited = score(entry).localCheckpoint()
     for (_ <- 1 to hops) {
       val frontier = visited.withColumn("rn", row_number().over(wBeam))
         .filter($"rn" <= beam).select($"qid", $"cand")
       val expand = frontier.join(edges, frontier("cand") === edges("src"))
         .select($"qid", $"dst".as("cand")).distinct()
       val fresh = expand.join(visited, Seq("qid", "cand"), "left_anti")
-      // cached: next round's frontier AND anti-join AND union all read it
-      visited = graft.Caches.track(visited.unionByName(score(fresh)))
+      visited = visited.unionByName(score(fresh)).localCheckpoint()
     }
     // exact re-rank of everything visited; self-visits drop here
     visited.filter($"cand" =!= $"qid")
