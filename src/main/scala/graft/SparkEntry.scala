@@ -53,6 +53,7 @@ object SparkEntry {
     "q41_exact_kth" -> ((s: SparkSession, d: String) => Relational.exactKth(s, d)),
     "q42_scd2_intervals" -> (Relational.scd2Intervals _),
     "q43_incremental_agg" -> ((s: SparkSession, d: String) => Relational.incrementalAgg(s, d)),
+    "q44_kmv_setops" -> ((s: SparkSession, d: String) => Relational.kmvSetOps(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "d23_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
     "d24_dbscan" -> ((s: SparkSession, d: String) => Dedup.dbscan(s, d)),
     "d25_edit_join" -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
+    "d26_containment" -> ((s: SparkSession, d: String) => Dedup.containmentJoin(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
@@ -1258,6 +1260,38 @@ object SparkEntry {
         |  round(sum(round(value * 100, 0)) / count(*), 6) AS avg_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // q44: the θ-sketch algebra replayed literally — per-lang token
+    // bottom-32 sketches, merged bottom-k for the union estimate,
+    // ρ = both-sketch survivors at or below the union threshold;
+    // ρ·est_union/u_keys degrades to exact when unsaturated, no branch
+    "q44_kmv_setops" ->
+      s"""WITH toks AS (SELECT lang, unnest($Toks) AS tok FROM documents),
+         |h AS (SELECT DISTINCT lang, md5(tok) AS h FROM toks),
+         |exact AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY 1),
+         |top AS (SELECT lang, h FROM (
+         |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |    FROM h) r WHERE rn <= 32),
+         |sk AS (SELECT t.lang, e.n_exact, list(t.h ORDER BY t.h) AS mins
+         |       FROM top t JOIN exact e ON t.lang = e.lang
+         |       GROUP BY t.lang, e.n_exact),
+         |p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |        a.n_exact AS n_a, b.n_exact AS n_b,
+         |        a.mins AS ma, b.mins AS mb
+         |      FROM sk a JOIN sk b ON a.lang < b.lang),
+         |m AS (SELECT *, list_slice(list_sort(list_distinct(ma || mb)), 1, 32) AS u
+         |      FROM p),
+         |f AS (SELECT *, CAST(len(u) AS INT) AS u_keys, u[len(u)] AS kth_u FROM m),
+         |g AS (SELECT *,
+         |        round(CASE WHEN u_keys < 32 THEN CAST(u_keys AS DOUBLE)
+         |          ELSE 31.0 * 4294967296 /
+         |            greatest(${hexIntSql("kth_u", 8)}, 1) END, 4) AS est_union,
+         |        CAST(len(list_filter(list_intersect(ma, mb), x -> x <= kth_u))
+         |          AS INT) AS rho
+         |      FROM f)
+         |SELECT lang_a, lang_b, n_a, n_b, u_keys, kth_u, est_union, rho,
+         |  round(rho * est_union / u_keys, 4) AS est_inter
+         |FROM g ORDER BY lang_a, lang_b""".stripMargin,
+
     // q41: the oracle replays the selection definition directly —
     // k = ceil(q·n/100), value = the k-th smallest integer-cent price
     "q41_exact_kth" ->
@@ -1444,6 +1478,25 @@ object SparkEntry {
          |  round(ic / (sa.n + sb.n - ic), 6) AS jaccard
          |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          |WHERE round(ic / (sa.n + sb.n - ic), 6) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    // d26: containment — the oracle is the full brute-force DIRECTED
+    // join (both orientations of every pair), so a candidate split
+    // that lost either direction would hash-mismatch
+    "d26_containment" ->
+      s"""WITH ${tkCte("")},
+         |$ShCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ic
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, CAST(ic AS BIGINT) AS inter,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  round(ic / sa.n, 6) AS containment
+         |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |WHERE round(ic / sa.n, 6) >= 0.5
          |ORDER BY a, b""".stripMargin,
 
     // d24: DBSCAN — order-pinned list_reduce cosine (the d13 fold),

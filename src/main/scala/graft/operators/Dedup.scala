@@ -505,6 +505,78 @@ object Dedup {
       .orderBy($"a", $"b")
   }
 
+  /** Exact containment self-join (d26) — every DIRECTED pair (a, b)
+    * with |A∩B| / |A| ≥ τ: "a's shingles are mostly inside b", the
+    * asymmetric complement of d23's symmetric Jaccard (quotes,
+    * excerpt pages, subset-scrapes — a small doc contained in a big
+    * one scores near-zero Jaccard and d23 never sees it). Same
+    * AllPairs machinery, asymmetric split: the CONTAINED side a
+    * explodes only its rarest-first prefix of n_a − ⌈τ·n_a⌉ + 1
+    * shingle ids (a can miss at most n_a − ⌈τ·n_a⌉ elements of any
+    * qualifying b, so the prefix must share one — the pigeonhole is
+    * one-sided), the CONTAINER side probes with its FULL id list
+    * (no symmetric prefix exists: b may be arbitrarily large), plus
+    * the one-sided length filter n_b·tauDen ≥ n_a·tauNum. Exact
+    * verify = sorted-id intersection / n_a on the 1e-6 round grid.
+    * Oracle = the full brute-force directed join (the d23
+    * discipline): one dropped true pair hash-mismatches.
+    *
+    * Scale shape: the prefix side carries the RAREST ids by
+    * construction (the global df-ascending order), so the equi-join
+    * key df is small where the probe side is big; the prefix
+    * population guard pins that assumption in-plan naming τ. Work
+    * scales with distinct values after the d01-style shingle-set
+    * dedup, and the verify join reads candidate pairs only.
+    */
+  def containmentJoin(spark: SparkSession, sfDir: String,
+      tauNum: Int = 1, tauDen: Int = 2,
+      maxPrefixPop: Long = Sizing.MaxPairKeyPopulation): DataFrame =
+    containmentOn(graft.Caches.track(shingleSet(spark, sfDir, None)),
+      tauNum, tauDen, maxPrefixPop)
+
+  /** Core of [[containmentJoin]] over any distinct (doc_id, sh) frame
+    * — split out for spec corpora (planted subsets, boundary-exact
+    * containments).
+    */
+  private[operators] def containmentOn(sh: DataFrame,
+      tauNum: Int, tauDen: Int, maxPrefixPop: Long): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
+    val keyed = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .select($"sh",
+        concat(lpad($"df".cast("string"), 12, "0"), lit(" "), $"sh").as("okey"))
+    val dict = Ranking.denseIds(keyed, "okey", "sid")
+    val shToSid = keyed.join(dict, "okey").select($"sh", $"sid")
+    val sids = sh.join(shToSid, "sh").select($"doc_id", $"sid")
+    val docs = graft.Caches.track(
+      sids.groupBy($"doc_id").agg(sort_array(collect_list($"sid")).as("sids"))
+        .withColumn("n", size($"sids"))
+        .withColumn("p",
+          ($"n" - floor(($"n" * tauNum + tauDen - 1) / lit(tauDen.toDouble)) + 1)
+            .cast("int")))
+    val prefix = Sizing.guardKeyPopulation(
+      docs.select($"doc_id", $"n", explode(slice($"sids", lit(1), $"p")).as("sid")),
+      "sid", maxPrefixPop, "containmentJoin", "prefix shingle", "tauNum/tauDen")
+    val full = docs.select($"doc_id", $"n", explode($"sids").as("sid"))
+    val cands = prefix.as("x").join(full.as("y"),
+        $"x.sid" === $"y.sid" && $"x.doc_id" =!= $"y.doc_id" &&
+          // one-sided length filter: a container must be able to hold
+          // τ·n_a elements — n_b ≥ τ·n_a
+          $"y.n" * tauDen >= $"x.n" * tauNum)
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+    val setsA = docs.select($"doc_id".as("a"), $"sids".as("sa"), $"n".as("n_a"))
+    val setsB = docs.select($"doc_id".as("b"), $"sids".as("sb"), $"n".as("n_b"))
+    cands.join(setsA, "a").join(setsB, "b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("bigint"))
+      .withColumn("containment", round($"inter" / $"n_a", 6))
+      .filter($"containment" >= lit(tauNum.toDouble / tauDen))
+      .select($"a", $"b", $"inter",
+        $"n_a".cast("bigint").as("n_a"), $"n_b".cast("bigint").as("n_b"),
+        $"containment")
+      .orderBy($"a", $"b")
+  }
+
   /** MinHash + LSH banding (oracle-parity form): shingle -> 16 minhashes
     * -> 4 bands of 4 -> candidate pairs sharing any band signature.
     */

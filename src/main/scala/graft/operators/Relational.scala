@@ -943,6 +943,63 @@ object Relational {
     rows.toDF("stat", "n", "k", "value_cents").orderBy($"stat")
   }
 
+  /** KMV sketch SET ALGEBRA (q44) — union and intersection cardinality
+    * estimates between per-language token vocabularies from the q37
+    * bottom-k sketches alone, the θ-sketch recipe (Dasgupta et al.,
+    * "Theta sketches"): the element domain never re-scans. Mergeability
+    * does the union — bottom-k(A ∪ B) = bottom-k(minsA ∪ minsB), so
+    * est_union is q37's estimator on the merged sketch; intersection
+    * counts the SURVIVORS below the union sketch's threshold that
+    * appear in BOTH input sketches (ρ), est_inter = ρ · est_union / k.
+    * When the merged sketch is unsaturated (< k keys) both inputs were
+    * complete, the sketch IS the sets, and both estimates collapse to
+    * the exact values — the same degeneracy discipline as q37, and the
+    * formula ρ·est_union/u_keys yields it without a branch.
+    *
+    * Everything is deterministic (md5 order + exact hex-string
+    * compares + one IEEE division), so estimates hash-gate exactly —
+    * the property engine-private sketch libraries can never offer.
+    *
+    * Scale shape: one distinct on (lang, md5(token)) — the d01
+    * envelope — one map-combinable bounded min-k aggregate per
+    * language, then ALL pair algebra runs on |langs|² sketch rows of
+    * ≤ k strings each: parameters, not data. This is the production
+    * pattern — sketch once per partition/day, answer set-overlap
+    * questions forever without touching the corpus.
+    */
+  def kmvSetOps(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val minK = udaf(new graft.functions.MinKAggregator(k))
+    val h = Tables.documents(spark, sfDir)
+      .select($"lang", explode(graft.functions.Text.toks($"text")).as("tok"))
+      .select($"lang", md5($"tok".cast("binary")).as("h"))
+      .distinct()
+    // cached: both sides of the pair self-join read the sketch frame
+    val sk = graft.Caches.track(
+      h.groupBy($"lang").agg(count(lit(1)).as("n_exact"), minK($"h").as("mins")))
+    val pairs = sk
+      .select($"lang".as("lang_a"), $"n_exact".as("n_a"), $"mins".as("ma"))
+      .join(broadcast(sk.select($"lang".as("lang_b"),
+        $"n_exact".as("n_b"), $"mins".as("mb"))), $"lang_a" < $"lang_b")
+    val merged = pairs
+      .withColumn("u", slice(array_sort(array_union($"ma", $"mb")), 1, k))
+      .withColumn("u_keys", size($"u"))
+      .withColumn("kth_u", element_at($"u", size($"u")))
+    val v = greatest(conv(substring($"kth_u", 1, 8), 16, 10).cast("bigint"), lit(1L))
+    merged
+      .withColumn("est_union",
+        round(when($"u_keys" < k, $"u_keys".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / v), 4))
+      .withColumn("rho",
+        size(filter(array_intersect($"ma", $"mb"), x => x <= $"kth_u")))
+      .withColumn("est_inter",
+        round($"rho" * $"est_union" / $"u_keys", 4))
+      .select($"lang_a", $"lang_b", $"n_a", $"n_b",
+        $"u_keys".cast("int").as("u_keys"), $"kth_u",
+        $"est_union", $"rho".cast("int").as("rho"), $"est_inter")
+      .orderBy($"lang_a", $"lang_b")
+  }
+
   /** SCD2 interval reconstruction (q42) — the slowly-changing-
     * dimension type-2 table a warehouse derives from a change event
     * stream: per user, each event opens a version whose validity

@@ -135,6 +135,72 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(_.toSeq).toSet shouldBe direct
   }
 
+  test("q44: union sketch equals the sketch of the union (merge law); " +
+      "estimates bracket the exact cardinalities") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val h = docs
+      .select(col("lang"), explode(graft.functions.Text.toks(col("text"))).as("tok"))
+      .select(col("lang"), md5(col("tok").cast("binary")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val byLang = h.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = Relational.kmvSetOps(spark, sf).collect()
+    rows.length shouldBe byLang.size * (byLang.size - 1) / 2
+    rows.foreach { r =>
+      val (la, lb) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (byLang(la), byLang(lb))
+      // merge law: the operator's merged bottom-k == bottom-k of the
+      // TRUE union, recomputed independently
+      val trueUnionBottomK = (sa ++ sb).toSeq.sorted.take(32)
+      r.getString(r.fieldIndex("kth_u")) shouldBe trueUnionBottomK.last
+      // estimator sanity: within 60% of exact at k=32 (stderr ~ 1/sqrt(30)
+      // per KMV theory; 60% is ~3 sigma — deterministic here, just wide)
+      val exactU = (sa ++ sb).size.toDouble
+      val exactI = (sa intersect sb).size.toDouble
+      val estU = r.getDouble(r.fieldIndex("est_union"))
+      val estI = r.getDouble(r.fieldIndex("est_inter"))
+      estU should be > exactU * 0.4
+      estU should be < exactU * 1.6
+      if (exactI > 0) {
+        estI should be > exactI * 0.2
+        estI should be < exactI * 2.5
+      }
+    }
+    // non-vacuous: vocabularies genuinely overlap
+    rows.map(_.getInt(rows.head.fieldIndex("rho"))).sum should be > 0
+  }
+
+  test("d26: planted subset is found in ONE direction only; corpus " +
+      "result matches a brute-force directed recompute") {
+    import spark.implicits._
+    // planted: doc 1's shingles are a strict subset of doc 2's FIVE
+    // (reverse containment 2/5 = 0.4 stays below τ = 0.5)
+    val sh = Seq(
+      (1L, "a b c"), (1L, "b c d"),
+      (2L, "a b c"), (2L, "b c d"), (2L, "d e f"), (2L, "e f g"), (2L, "f g h"),
+      (3L, "x y z")).toDF("doc_id", "sh")
+    val planted = Dedup.containmentOn(sh, 1, 2,
+      graft.operators.Sizing.MaxPairKeyPopulation).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    planted.map(p => (p._1, p._2)) should contain ((1L, 2L)) // 2/2 contained
+    planted.map(p => (p._1, p._2)) should not contain ((2L, 1L)) // 2/5 < τ
+    planted.find(p => (p._1, p._2) == ((1L, 2L))).get._3 shouldBe 1.0
+    // corpus: distributed result == brute force over collected sets
+    val corpus = Dedup.containmentJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sets = graft.operators.Dedup.shingleSet(spark, sf, None)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      ic = (sets(a) intersect sets(b)).size
+      if BigDecimal(ic.toDouble / sets(a).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.5")
+    } yield (a, b, ic.toLong)).toSet
+    corpus shouldBe brute
+    corpus.size should be > 0
+  }
+
   test("p15: draws equal the min ticket key; heavier docs win more") {
     val got = Sampling.weightedSample(spark, sf, m = 30).collect()
     got.length shouldBe 30
