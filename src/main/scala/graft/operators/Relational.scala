@@ -1047,14 +1047,26 @@ object Relational {
     * 2 rows per user. At 100 TB the base partials are a stored table
     * and only the delta scans — this operator is that plan's dry run.
     */
+  /** The q43 per-user decomposable aggregate over a (user_id, c)
+    * integer-cents frame — ONE definition shared by [[incrementalAgg]]'s
+    * slices and the streaming twin
+    * ([[graft.streaming.EventStream.runningAggStream]]), the q35/t25
+    * one-definition rule: batch and stream cannot drift. Every
+    * aggregate here is a streamable commutative monoid (count/sum/
+    * min/max), which is exactly WHY the streaming state store can
+    * maintain it per key — q43's gate proves the merge law that
+    * maintenance relies on.
+    */
+  def userCentAggregates(ev: DataFrame): DataFrame = ev.groupBy(col("user_id"))
+    .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
+      min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+
   def incrementalAgg(spark: SparkSession, sfDir: String,
       splitDate: String = "2024-01-15"): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
       .select($"user_id", $"ts", round($"value" * 100, 0).cast("bigint").as("c"))
-    def partial(slice: DataFrame): DataFrame = slice.groupBy($"user_id")
-      .agg(count(lit(1)).as("n"), sum($"c").as("sum_cents"),
-        min($"c").as("min_cents"), max($"c").as("max_cents"))
+    def partial(slice: DataFrame): DataFrame = userCentAggregates(slice)
     val base = partial(ev.filter($"ts" < lit(splitDate).cast("timestamp")))
     val delta = partial(ev.filter($"ts" >= lit(splitDate).cast("timestamp")))
     base.unionByName(delta)

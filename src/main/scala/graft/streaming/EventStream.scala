@@ -195,6 +195,25 @@ object EventStream {
   def hllRegisterStream(docs: Dataset[LangDoc]): DataFrame =
     graft.operators.Relational.hllRegisters(docs.toDF())
 
+  /** Streaming per-user running aggregates —
+    * [[graft.operators.Relational.incrementalAgg]]'s (q43)
+    * ingest-time twin, SAME plan by the q35/t25 one-definition rule
+    * ([[graft.operators.Relational.userCentAggregates]]). The state
+    * store maintains one (n, sum, min, max) row per user — count/sum/
+    * min/max are exactly the streamable commutative monoids whose
+    * merge law q43's gate proves against a full recompute, so
+    * end-of-stream complete-mode output equals the batch aggregate
+    * row-for-row (spec-asserted). State is user-cardinality — the
+    * dimension-table constant of this family, not corpus-length.
+    * At-least-once sources should front a watermark dedup on
+    * event_id as in [[termStatsStream]] (sums are NOT idempotent,
+    * unlike [[hllRegisterStream]]'s registers).
+    */
+  def runningAggStream(events: DataFrame): DataFrame =
+    graft.operators.Relational.userCentAggregates(
+      events.select(col("user_id"),
+        round(col("value") * 100, 0).cast("bigint").as("c")))
+
   /** A document on the crawl stream carrying its language — the d19
     * diff keys on (lang, content hash), so the streaming twin needs
     * lang on the row (the batch `documents` table has it).

@@ -418,6 +418,37 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("running per-user aggregates match the batch twin at end of stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.runningAggStream(mem.toDF())
+      .writeStream.format("memory").queryName("ragg")
+      .outputMode("complete").start()
+    try {
+      // two arrival batches: the state store must MERGE the second
+      // batch's partials into the first's — the q43 law at ingest time
+      mem.addData(evs.take(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ragg").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // the IDENTICAL plan in batch (one-definition rule)
+      val batch = EventStream.runningAggStream(
+          spark.createDataset(evs.toIndexedSeq).toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      batch should not be empty
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches its batch twin (view→purchase attribution)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
