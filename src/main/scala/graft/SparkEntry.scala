@@ -54,6 +54,7 @@ object SparkEntry {
     "q42_scd2_intervals" -> (Relational.scd2Intervals _),
     "q43_incremental_agg" -> ((s: SparkSession, d: String) => Relational.incrementalAgg(s, d)),
     "q44_kmv_setops" -> ((s: SparkSession, d: String) => Relational.kmvSetOps(s, d)),
+    "q45_funnel" -> ((s: SparkSession, d: String) => Relational.funnelSteps(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -83,6 +84,7 @@ object SparkEntry {
     "d24_dbscan" -> ((s: SparkSession, d: String) => Dedup.dbscan(s, d)),
     "d25_edit_join" -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
     "d26_containment" -> ((s: SparkSession, d: String) => Dedup.containmentJoin(s, d)),
+    "d27_edit_segments" -> ((s: SparkSession, d: String) => Dedup.editDistanceJoinSegments(s, d)),
     "d13_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "d14_embed_neardup_multiprobe" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupMultiProbe(s, d)),
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
@@ -1292,6 +1294,26 @@ object SparkEntry {
          |  round(rho * est_union / u_keys, 4) AS est_inter
          |FROM g ORDER BY lang_a, lang_b""".stripMargin,
 
+    // q45: the ordered funnel — each stage anchors on the previous
+    // stage's earliest qualifying timestamp, strictly increasing
+    "q45_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |  CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+        |ORDER BY step""".stripMargin,
+
     // q41: the oracle replays the selection definition directly —
     // k = ceil(q·n/100), value = the k-th smallest integer-cent price
     "q41_exact_kth" ->
@@ -1498,6 +1520,19 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          |WHERE round(ic / sa.n, 6) >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    // d27: the PassJoin variant over a CORPUS-scale domain (12-char
+    // doc prefixes) — same brute-force-oracle discipline as d25: the
+    // positional-segment candidate split must lose nothing
+    "d27_edit_segments" ->
+      """WITH s AS (
+        |  SELECT DISTINCT substr(text, 1, 12) AS s FROM documents
+        |  WHERE length(text) >= 1)
+        |SELECT a.s AS sa, b.s AS sb,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY sa, sb""".stripMargin,
 
     // d24: DBSCAN — order-pinned list_reduce cosine (the d13 fold),
     // degree → core (>= 4 neighbors at sim >= 0.3) → recursive-CTE

@@ -505,6 +505,99 @@ object Dedup {
       .orderBy($"a", $"b")
   }
 
+  /** Corpus-scale exact edit-distance self-join via POSITIONAL
+    * SEGMENTS (d27) — the PassJoin candidate generator (Li, Deng &
+    * Feng, VLDB 2011) that replaces d25's shared-n-gram blocking when
+    * the string domain is corpus-sized (every document a value): each
+    * string splits into maxDist+1 disjoint segments, and the
+    * pigeonhole is positional — ed(a,b) ≤ t means b's t edits cannot
+    * touch all t+1 segments, so a contains at least one of b's
+    * segments VERBATIM, shifted at most t positions from its home.
+    * Candidates are therefore ONE equi-join: b's segments keyed by
+    * (len(b), segment index, content) against a's generated probe
+    * substrings for every partner length in [len(a)−t, len(a)+t] and
+    * every start within the ±t window — a constant ≤
+    * (2t+1)²·(t+1) probes per string, with join keys of length
+    * ~len/(t+1) (vs d25's n=2 grams whose buckets go hot on common
+    * bigrams). Strings shorter than t+1 get zero-length segments
+    * whose empty-content keys group the short class automatically —
+    * the same lossless fallback d25 wires by hand. Verify is the
+    * codegen'd DP on candidates only; the oracle is the brute-force
+    * join (the d23/d25 discipline), so one dropped pair
+    * hash-mismatches.
+    *
+    * Scale shape: segment/probe generation is map-only with constant
+    * fan-out; the candidate equi-join is keyed by long positional
+    * substrings (selective by construction); the composite-key
+    * population guard pins the hot-key assumption in-plan naming
+    * maxDist. Work scales with distinct values + true pairs —
+    * the property the replica sweep measures for d23.
+    */
+  def editDistanceJoinSegments(spark: SparkSession, sfDir: String,
+      maxDist: Int = 2, prefixLen: Int = 12,
+      maxKeyPop: Long = Sizing.MaxPairKeyPopulation): DataFrame =
+    editDistanceSegmentsOn(
+      Tables.documents(spark, sfDir)
+        .select(substring(col("text"), 1, prefixLen).as("s")),
+      maxDist, maxKeyPop)
+
+  /** Core of [[editDistanceJoinSegments]] over any single-column
+    * string frame `strings(s)` — split out for adversarial spec
+    * corpora (edits concentrated in one segment, front-insertion
+    * shifts, cross-length pairs, sub-(t+1)-length strings).
+    */
+  private[operators] def editDistanceSegmentsOn(strings: DataFrame,
+      maxDist: Int, maxKeyPop: Long): DataFrame = {
+    val spark = strings.sparkSession
+    import spark.implicits._
+    require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
+    val t = maxDist
+    val m = maxDist + 1
+    // even partition of a length-L string into m segments, first
+    // (m − L%m) of length L div m, the rest one longer — closed forms
+    // shared by the index and probe sides so they cannot drift
+    def segStart(L: String, i: String) =
+      s"($i * ($L DIV $m) + greatest(0, $i - ($m - $L % $m)))"
+    def segLen(L: String, i: String) =
+      s"(($L DIV $m) + (CASE WHEN $i >= $m - $L % $m THEN 1 ELSE 0 END))"
+    // cached: the index explode, the probe explode, and the verify
+    // join's two sides all read the distinct frame
+    val names = graft.Caches.track(
+      strings.select($"s").filter(length($"s") >= 1).distinct()
+        .withColumn("len", length($"s").cast("int")))
+    val segs = names.select($"s".as("sb"),
+        explode(expr(
+          s"""transform(sequence(0, ${m - 1}), i -> named_struct(
+             |'i', i,
+             |'seg', substring(s, ${segStart("len", "i")} + 1, ${segLen("len", "i")})))"""
+            .stripMargin)).as("g"))
+      .select($"sb", length($"sb").cast("int").as("lb"),
+        $"g.i".as("i"), $"g.seg".as("seg"))
+    val probesExpr =
+      s"""flatten(transform(sequence(greatest(len - $t, 1), len + $t), L ->
+         |  flatten(transform(sequence(0, ${m - 1}), i ->
+         |    CASE WHEN least(len - ${segLen("L", "i")}, ${segStart("L", "i")} + $t)
+         |              < greatest(0, ${segStart("L", "i")} - $t)
+         |      THEN CAST(array() AS array<struct<L: int, i: int, seg: string>>)
+         |      ELSE transform(
+         |        sequence(greatest(0, ${segStart("L", "i")} - $t),
+         |                 least(len - ${segLen("L", "i")}, ${segStart("L", "i")} + $t)),
+         |        q -> named_struct('L', L, 'i', i,
+         |          'seg', substring(s, q + 1, ${segLen("L", "i")})))
+         |    END))))""".stripMargin
+    val probes = names.select($"s".as("sa"), explode(expr(probesExpr)).as("p"))
+      .select($"sa", $"p.L".as("lb"), $"p.i".as("i"), $"p.seg".as("seg"))
+    val guarded = Sizing.guardKeyPopulation(segs, Seq("lb", "i", "seg"),
+      maxKeyPop, "editDistanceJoinSegments", "segment", "maxDist")
+    val cands = probes.join(guarded, Seq("lb", "i", "seg"))
+      .filter($"sa" =!= $"sb")
+      .select(least($"sa", $"sb").as("sa"), greatest($"sa", $"sb").as("sb"))
+      .distinct()
+    cands.select($"sa", $"sb", levenshtein($"sa", $"sb").as("dist"))
+      .filter($"dist" <= maxDist)
+      .orderBy($"sa", $"sb")
+  }
+
   /** Exact containment self-join (d26) — every DIRECTED pair (a, b)
     * with |A∩B| / |A| ≥ τ: "a's shingles are mostly inside b", the
     * asymmetric complement of d23's symmetric Jaccard (quotes,

@@ -943,6 +943,37 @@ object Relational {
     rows.toDF("stat", "n", "k", "value_cents").orderBy($"stat")
   }
 
+  /** Ordered funnel analysis (q45) — how many users progressed
+    * view → click → purchase IN TIMESTAMP ORDER: step i counts users
+    * whose first qualifying step-i event STRICTLY follows their
+    * step-(i−1) anchor (the standard product-analytics funnel, where
+    * a purchase before any click does not count as conversion). Each
+    * stage is one filtered min-aggregate joined to the previous
+    * anchor — the filters push to the scan, the per-stage aggregates
+    * are map-side-combinable, and the per-step totals are grand-total
+    * finalizations (the q14 bounded shape).
+    */
+  def funnelSteps(spark: SparkSession, sfDir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = Tables.events(spark, sfDir).select($"user_id", $"event_type", $"ts")
+    // anchors(i): per user, the earliest step-i event after anchor(i-1)
+    var anchor = ev.filter($"event_type" === steps.head)
+      .groupBy($"user_id").agg(min($"ts").as("t"))
+    var out = anchor.agg(count(lit(1)).as("users"))
+      .select(lit(1).as("step"), lit(steps.head).as("event_type"), $"users")
+    for ((s, i) <- steps.zipWithIndex.drop(1)) {
+      anchor = ev.filter($"event_type" === s)
+        .join(anchor.select($"user_id", $"t".as("prev_t")), "user_id")
+        .filter($"ts" > $"prev_t")
+        .groupBy($"user_id").agg(min($"ts").as("t"))
+      out = out.unionByName(anchor.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(s).as("event_type"), $"users"))
+    }
+    out.orderBy($"step")
+  }
+
   /** KMV sketch SET ALGEBRA (q44) — union and intersection cardinality
     * estimates between per-language token vocabularies from the q37
     * bottom-k sketches alone, the θ-sketch recipe (Dasgupta et al.,

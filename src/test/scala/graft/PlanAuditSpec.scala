@@ -117,11 +117,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // per task (the orphan side's exchange child is the anti-join's
     // partial count, not key rows); the audit output itself is seven
     // constant rows.
+    // q45 — the per-step user totals are grand-total count
+    // finalizations over the per-user anchor aggregates (the q14
+    // shape: one partial-count row per task through each exchange);
+    // the funnel output itself is |steps| constant rows.
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
       "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters",
-      "q39_table_profile", "q40_fk_audit")
+      "q39_table_profile", "q40_fk_audit", "q45_funnel")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

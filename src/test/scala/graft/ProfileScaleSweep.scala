@@ -245,6 +245,16 @@ object ProfileScaleSweep {
       // p15: a maxTickets-bounded explode + min-agg with map-side
       // combine + one TakeOrdered — pure linear, the null hypothesis
       time("weighted_sample")(Sampling.weightedSample(spark, dir))
+      // d27 PassJoin edit join over the last-12-chars domain, which
+      // GROWS with the corpus (replica salts land at the text tail,
+      // so suffixes are distinct per replica and cross-replica
+      // suffixes of one base doc sit within distance 2 — true pairs
+      // grow ~mult² like d23's, but the positional-segment keys stay
+      // selective where n-grams would go hot)
+      time("edit_segments_sfx")(Dedup.editDistanceSegmentsOn(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(expr("substring(text, length(text) - 11, 12)").as("s")),
+        2, graft.operators.Sizing.MaxPairKeyPopulation))
       // d25 edit-join is NOT swept over replicas: its shipped blocking
       // (shared n-gram + length band) targets value-deduplicated
       // attribute domains (names/titles, 10^3..10^5 distinct) where

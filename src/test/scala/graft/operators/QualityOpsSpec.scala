@@ -64,6 +64,48 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.map(p => (p._1, p._2)) should contain ("ab", "ac")
   }
 
+  test("d27: positional-segment candidates survive adversarial shifts") {
+    import spark.implicits._
+    // edits concentrated in ONE segment; ±1-length front insert/delete
+    // (every segment of the shorter shifts — the window's stress case);
+    // sub-(t+1)-length strings exercising zero-length segments
+    val strings = Seq(
+      "abcdefghi", "abcXYfghi",       // both edits inside segment 1
+      "Xabcdefghi",                   // front insert: all segments shift +1
+      "bcdefghi",                     // front delete: all segments shift -1
+      "abcdefgXY", "XYcdefghi",       // edits at either end
+      "ab", "ac", "b",                // short class via empty segments
+      "zzzzzzzzz").toDF("s")
+    val got = Dedup.editDistanceSegmentsOn(strings, 2,
+      graft.operators.Sizing.MaxPairKeyPopulation).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val all = Seq("abcdefghi", "abcXYfghi", "Xabcdefghi", "bcdefghi",
+      "abcdefgXY", "XYcdefghi", "ab", "ac", "b", "zzzzzzzzz").sorted
+    val expected = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      d = lev(all(i), all(j)) if d <= 2
+    } yield (all(i), all(j), d)).toSet
+    got shouldBe expected
+    // the stress pairs really are in the truth set (non-vacuous)
+    expected.map(p => (p._1, p._2)) should contain ("abcXYfghi", "abcdefghi")
+    expected.map(p => (p._1, p._2)) should contain ("Xabcdefghi", "abcdefghi")
+    expected.map(p => (p._1, p._2)) should contain ("abcdefghi", "bcdefghi")
+  }
+
+  test("d27 and d25 agree pair-for-pair on the shared name domain") {
+    // two INDEPENDENT lossless candidate generators (n-gram count
+    // filter vs positional segments) must produce the identical
+    // verified pair set
+    val names = graft.Tables.part(spark, sf).select(col("p_name").as("s"))
+    val ngram = Dedup.editDistanceJoinOn(names).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val seg = Dedup.editDistanceSegmentsOn(names, 2,
+      graft.operators.Sizing.MaxPairKeyPopulation).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    seg shouldBe ngram
+    seg.size should be > 0
+  }
+
   test("q41: exact kth matches a full-sort recompute, all three ranks") {
     val vals = graft.Tables.lineitem(spark, sf)
       .select(round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
@@ -199,6 +241,30 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     } yield (a, b, ic.toLong)).toSet
     corpus shouldBe brute
     corpus.size should be > 0
+  }
+
+  test("q45: funnel counts match a sequential per-user replay and are monotone") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val byUser = evs.groupBy(_._1)
+    def anchored(step: String, prev: Map[Long, java.sql.Timestamp]): Map[Long, java.sql.Timestamp] =
+      byUser.flatMap { case (u, es) =>
+        prev.get(u).flatMap { t0 =>
+          val nexts = es.filter(e => e._2 == step && e._3.after(t0)).map(_._3)
+          if (nexts.isEmpty) None else Some(u -> nexts.min)
+        }
+      }.toMap
+    val epoch = new java.sql.Timestamp(-62135596800000L) // before everything
+    val v = anchored("view", byUser.keys.map(_ -> epoch).toMap)
+    val c = anchored("click", v)
+    val p = anchored("purchase", c)
+    val got = Relational.funnelSteps(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    got shouldBe Map(1 -> v.size.toLong, 2 -> c.size.toLong, 3 -> p.size.toLong)
+    got(1) should be >= got(2)
+    got(2) should be >= got(3)
+    got(3) should be > 0L // non-vacuous: full conversions exist
   }
 
   test("p15: draws equal the min ticket key; heavier docs win more") {
