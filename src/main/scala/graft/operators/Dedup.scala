@@ -593,7 +593,8 @@ object Dedup {
       .filter($"sa" =!= $"sb")
       .select(least($"sa", $"sb").as("sa"), greatest($"sa", $"sb").as("sb"))
       .distinct()
-    cands.select($"sa", $"sb", levenshtein($"sa", $"sb").as("dist"))
+    cands.select($"sa", $"sb",
+        graft.functions.StringDistance.levWithin($"sa", $"sb", maxDist).as("dist"))
       .filter($"dist" <= maxDist)
       .orderBy($"sa", $"sb")
   }
@@ -1778,9 +1779,12 @@ object Dedup {
       .select(least($"a.s", $"b.s").as("sa"),
         greatest($"a.s", $"b.s").as("sb"))
       .distinct()
-    // —— verify: exact DP distance on candidates only ——
+    // —— verify: banded threshold DP on candidates only (the
+    // lev_within kernel — O(t·len) + early exit vs levenshtein's
+    // full matrix; returns the true distance for every kept row) ——
     longCand.unionByName(shortCand).distinct()
-      .select($"sa", $"sb", levenshtein($"sa", $"sb").as("dist"))
+      .select($"sa", $"sb",
+        graft.functions.StringDistance.levWithin($"sa", $"sb", maxDist).as("dist"))
       .filter($"dist" <= maxDist)
       .orderBy($"sa", $"sb")
   }
