@@ -196,6 +196,7 @@ object SparkEntry {
     "m14_codec_meta" -> (Multimodal.codecMetaGate _),
     "m15_png_palette_gate" -> (Multimodal.pngPaletteChecksumGate _),
     "m17_png_adam7_gate" -> (Multimodal.pngAdam7ChecksumGate _),
+    "m18_bmp_rle_gate" -> (Multimodal.bmpRleChecksumGate _),
     "m16_exif_meta" -> (Multimodal.exifMetaGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
@@ -3508,6 +3509,21 @@ object SparkEntry {
         |  list_reduce([CAST(0 AS BIGINT)] ||
         |    list_transform(range(1, 65), i ->
         |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
+
+    // m18: the RLE8 BMP gate — the Spark side decodes a genuine
+    // run-length stream (runs + absolute literals alternating) back
+    // through the deranged palette; the oracle is the m15 pixel
+    // recompute VERBATIM — expected pixels are compression-invariant
+    "m18_bmp_rle_gate" ->
+      """SELECT doc_id, 'bmp' AS format, 8 AS width, 8 AS height,
+        |  3 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    flatten(list_transform(range(1, 65), i ->
+        |      [CAST(ord(text[CAST(i AS INT)]) AS BIGINT),
+        |       CAST((ord(text[CAST(i AS INT)]) * 7 + 13) % 256 AS BIGINT),
+        |       CAST((ord(text[CAST(i AS INT)]) * 31 + 5) % 256 AS BIGINT)])),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
         |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
 

@@ -286,12 +286,20 @@ object Multimodal {
     * library, just the published layouts (the header-parse families
     * that need no entropy decode):
     *
-    *  - BMP, BI_RGB only (biCompression 0): 24-bit BGR and 8-bit
+    *  - BMP, BI_RGB (biCompression 0): 24-bit BGR and 8-bit
     *    paletted. Rows are 4-byte aligned and stored bottom-up
     *    (top-down when biHeight < 0); pixel data starts at bfOffBits
     *    (LE u32 @10); the 8-bit color table (BGRX quads, biClrUsed
     *    entries or 256 when 0) sits right after the info header.
     *    Output: RGB, 3 channels.
+    *  - BMP, BI_RLE8 (biCompression 1, 8-bit, bottom-up only per
+    *    spec): the run-length stream — [n>0, v] emits n copies of v;
+    *    escape [0,0] ends the row, [0,1] ends the bitmap, [0,2,dx,dy]
+    *    jumps right/up, [0,n≥3] copies n literal bytes padded to
+    *    even. Pixels a delta/early-EOL skips decode as palette entry
+    *    0 (the common renderer convention, spec-pinned); runs
+    *    crossing a row edge, indices outside the table, and streams
+    *    ending without EOD reject.
     *  - PPM P6 / PGM P5 (binary, maxval <= 255): exactly ONE
     *    whitespace byte after maxval, then w*h*ch raw samples.
     *  - PPM P3 / PGM P2 (ASCII): whitespace/comment-separated decimal
@@ -322,12 +330,15 @@ object Multimodal {
       val h = math.abs(hRaw)
       val bits = leU16(28)
       val compression = leI32(30)
+      val isRle = compression == 1
       if (biSize < 40 || w <= 0 || w > MaxDim || h <= 0 || h > MaxDim ||
-          hRaw == Int.MinValue || compression != 0 ||
+          hRaw == Int.MinValue ||
+          !(compression == 0 || (isRle && bits == 8 && hRaw > 0)) ||
           (bits != 8 && bits != 24) ||
           w.toLong * h * 3 > Int.MaxValue / 2) return None
       val stride = ((w.toLong * bits / 8 + 3) / 4 * 4) // 4-byte row alignment
-      if (offBits < 54 || offBits.toLong + stride * h > c.length) return None
+      if (offBits < 54 ||
+          (!isRle && offBits.toLong + stride * h > c.length)) return None
       // 8-bit: the color table (BGRX quads) right after the info header
       val palOff = 14 + biSize
       val palCount = if (bits == 8) {
@@ -336,6 +347,39 @@ object Multimodal {
       } else 0
       if (bits == 8 &&
           (palCount > 256 || palOff.toLong + 4L * palCount > offBits)) return None
+      // RLE8: decode the run stream into a STORED-ORDER index plane
+      // (bottom row first), zero-filled for skipped pixels
+      val rlePlane: Array[Byte] = if (isRle) {
+        val plane = new Array[Byte](w * h)
+        var pos = offBits
+        var x = 0
+        var row = 0
+        var eod = false
+        while (!eod) {
+          if (pos + 2 > c.length) return None // ran out before EOD
+          val n = c(pos) & 0xff; val v = c(pos + 1) & 0xff; pos += 2
+          if (n > 0) {
+            if (row >= h || x + n > w) return None // run crosses the row edge
+            var i = 0
+            while (i < n) { plane(row * w + x) = v.toByte; x += 1; i += 1 }
+          } else v match {
+            case 0 => x = 0; row += 1
+            case 1 => eod = true
+            case 2 =>
+              if (pos + 2 > c.length) return None
+              x += c(pos) & 0xff; row += c(pos + 1) & 0xff; pos += 2
+              if (x > w || row > h) return None
+            case len =>
+              if (row >= h || x + len > w) return None
+              val padded = (len + 1) / 2 * 2
+              if (pos + padded > c.length) return None
+              var i = 0
+              while (i < len) { plane(row * w + x) = c(pos + i); x += 1; i += 1 }
+              pos += padded
+          }
+        }
+        plane
+      } else null
       val out = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
@@ -350,7 +394,9 @@ object Multimodal {
             out(o + 1) = c(rowOff + x * 3 + 1)
             out(o + 2) = c(rowOff + x * 3)
           } else {
-            val idx = c(rowOff + x) & 0xff
+            val idx =
+              if (isRle) rlePlane(srcRow * w + x) & 0xff
+              else c(rowOff + x) & 0xff
             if (idx >= palCount) return None // index outside the table
             val p = palOff + idx * 4
             out(o) = c(p + 2); out(o + 1) = c(p + 1); out(o + 2) = c(p)
@@ -953,6 +999,81 @@ object Multimodal {
     require(palette.length % 3 == 0 && palette.nonEmpty && palette.length <= 768,
       s"palette must be 1..256 RGB triples, got ${palette.length} bytes")
     encodePngCore(width, height, 1, indices, filterFor, Some(palette), adam7)
+  }
+
+  /** RLE8 BMP encoder for the m18 gate and the round-trip specs: a
+    * real spec-conformant BI_RLE8 bitmap (54-byte header, BGRX color
+    * table from RGB triples, bottom-up run stream, EOL per row, EOD
+    * at the end). `absoluteFor(storedRow)` switches that row to
+    * absolute-mode literal chunks (padded to even, the spec's len ≥ 3
+    * rule respected — rows narrower than 3 fall back to runs), so a
+    * corpus encoded with alternating modes exercises both decode
+    * branches under the DuckDB gate.
+    */
+  def encodeBmpRle8(width: Int, height: Int, palette: Array[Byte],
+      indices: Array[Byte], absoluteFor: Int => Boolean = _ => false): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.nonEmpty && palette.length <= 768,
+      s"palette must be 1..256 RGB triples, got ${palette.length} bytes")
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != $width*$height")
+    val nPal = palette.length / 3
+    val data = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r < height) { // stored order: bottom image row first
+      val imgRow = height - 1 - r
+      if (absoluteFor(r) && width >= 3) {
+        var x = 0
+        while (x < width) {
+          val len = math.min(255, width - x)
+          if (len >= 3) {
+            data.write(0); data.write(len)
+            var i = 0
+            while (i < len) { data.write(indices(imgRow * width + x + i) & 0xff); i += 1 }
+            if (len % 2 == 1) data.write(0) // pad to even
+            x += len
+          } else { // tail shorter than the absolute-mode minimum: runs
+            data.write(1); data.write(indices(imgRow * width + x) & 0xff)
+            x += 1
+          }
+        }
+      } else {
+        var x = 0
+        while (x < width) {
+          val v = indices(imgRow * width + x) & 0xff
+          var n = 1
+          while (x + n < width && n < 255 &&
+            (indices(imgRow * width + x + n) & 0xff) == v) n += 1
+          data.write(n); data.write(v)
+          x += n
+        }
+      }
+      if (r < height - 1) { data.write(0); data.write(0) } // EOL
+      r += 1
+    }
+    data.write(0); data.write(1) // EOD
+    val rle = data.toByteArray
+    val offBits = 54 + 4 * nPal
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write('B'); out.write('M')
+    le32(offBits + rle.length); le16(0); le16(0); le32(offBits)
+    le32(40); le32(width); le32(height); le16(1); le16(8)
+    le32(1) // BI_RLE8
+    le32(rle.length); le32(0); le32(0); le32(nPal); le32(0)
+    var i = 0
+    while (i < nPal) { // RGB triples → BGRX quads
+      out.write(palette(i * 3 + 2) & 0xff)
+      out.write(palette(i * 3 + 1) & 0xff)
+      out.write(palette(i * 3) & 0xff)
+      out.write(0)
+      i += 1
+    }
+    out.write(rle, 0, rle.length)
+    out.toByteArray
   }
 
   private def encodePngCore(width: Int, height: Int, channels: Int,
@@ -1928,6 +2049,51 @@ object Multimodal {
   def pngAdam7ChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     rasterFeatures(docPngAdam7Rows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** m18 payload builder: an RLE8-compressed BMP per document — the
+    * first 64 text bytes as 8×8 palette indices over the m15 DERANGED
+    * palette, the encode mode alternating per (doc_id, stored row) so
+    * run-mode and absolute-mode literals both decode under the gate
+    * (8-wide rows satisfy the absolute-mode len ≥ 3 rule every time).
+    */
+  private def docBmpRleRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val pal = Array.tabulate(256 * 3) { k =>
+      val i = k / 3
+      (k % 3 match {
+        case 0 => i
+        case 1 => (i * 7 + 13) % 256
+        case _ => (i * 31 + 5) % 256
+      }).toByte
+    }
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        MediaRow(id, "image",
+          encodeBmpRle8(8, 8, pal, px.getBytes("ISO-8859-1"),
+            r => (id + r) % 2 == 0))
+      }
+  }
+
+  /** m18 gate entry: RLE8 BMP decode under the DuckDB gate — the
+    * Spark side run-length-encodes each document's text prefix into a
+    * genuine BI_RLE8 bitmap ([[docBmpRleRows]], run and absolute
+    * modes alternating), decodes it back through the run-stream
+    * walker + palette expansion, and fingerprints the canonical RGB
+    * pixels; the oracle recomputes each triple from ord() via the
+    * deranged-palette formulas (exactly the m15 oracle — the expected
+    * pixels are compression-invariant, which is the claim under
+    * test).
+    */
+  def bmpRleChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docBmpRleRows(spark, sfDir)).toDF()
       .select($"media_id".as("doc_id"), $"format", $"width", $"height",
         $"channels", $"pixel_checksum")
       .orderBy($"doc_id")

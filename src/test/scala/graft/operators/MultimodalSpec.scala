@@ -1087,6 +1087,79 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  // —— BMP: RLE8 run-length decode (m18 slice) ——
+
+  private def derangedPal: Array[Byte] = Array.tabulate(256 * 3) { k =>
+    val i = k / 3
+    (k % 3 match {
+      case 0 => i; case 1 => (i * 7 + 13) % 256; case _ => (i * 31 + 5) % 256
+    }).toByte
+  }
+
+  test("decodeBmp RLE8: run and absolute modes round-trip through the palette") {
+    for ((w, h) <- Seq((8, 8), (5, 3), (1, 4), (3, 1), (7, 7));
+         mode <- Seq(0, 1, 2)) {
+      val idx = detRandom(w * 100 + h * 10 + mode, w * h)
+      val bytes = Multimodal.encodeBmpRle8(w, h, derangedPal, idx,
+        r => mode match { case 0 => false; case 1 => true; case _ => r % 2 == 0 })
+      val img = Multimodal.decodeRasterPixels(bytes).get
+      (img.format, img.width, img.height, img.channels) shouldBe (("bmp", w, h, 3))
+      for (i <- 0 until w * h) {
+        val v = idx(i) & 0xff
+        withClue(s"${w}x$h mode=$mode px $i: ") {
+          (img.pixels(i * 3) & 0xff) shouldBe v
+          (img.pixels(i * 3 + 1) & 0xff) shouldBe (v * 7 + 13) % 256
+          (img.pixels(i * 3 + 2) & 0xff) shouldBe (v * 31 + 5) % 256
+        }
+      }
+    }
+  }
+
+  test("decodeBmp RLE8: delta skips and early EOD decode as palette entry 0") {
+    // hand-built 4x2 stream exercising delta and early EOD: stored row
+    // 0 (bottom image row): run [2, 5], delta (0,2,1,1) to (x=3,row=1),
+    // run [1, 7], EOD — everything else must be index 0
+    val base = Multimodal.encodeBmpRle8(4, 2, derangedPal,
+      new Array[Byte](8)) // header + palette template
+    val offBits = 54 + 4 * 256
+    val stream = Array[Byte](2, 5, 0, 2, 1, 1, 1, 7, 0, 1)
+    val bytes = base.take(offBits) ++ stream
+    // patch the file/image sizes in the header copy
+    def pw(off: Int, v: Int): Unit = {
+      bytes(off) = (v & 0xff).toByte; bytes(off + 1) = ((v >>> 8) & 0xff).toByte
+      bytes(off + 2) = ((v >>> 16) & 0xff).toByte; bytes(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    pw(2, bytes.length); pw(34, stream.length)
+    val img = Multimodal.decodeRasterPixels(bytes).get
+    // stored row 0 = IMAGE row 1 (bottom-up): x0,x1 = 5; stored row 1
+    // = image row 0: x3 = 7; all others palette entry 0
+    def idxAt(x: Int, y: Int): Int = img.pixels((y * 4 + x) * 3) & 0xff
+    idxAt(0, 1) shouldBe 5; idxAt(1, 1) shouldBe 5
+    idxAt(3, 0) shouldBe 7
+    Seq((2, 1), (3, 1), (0, 0), (1, 0), (2, 0)).foreach { case (x, y) =>
+      idxAt(x, y) shouldBe 0
+    }
+  }
+
+  test("decodeBmp RLE8: malformed streams reject, never throw") {
+    val idx = detRandom(9, 8 * 8)
+    val good = Multimodal.encodeBmpRle8(8, 8, derangedPal, idx)
+    Multimodal.decodeRasterPixels(good) should not be None
+    // truncation before EOD
+    Multimodal.decodeRasterPixels(good.take(good.length - 2)) shouldBe None
+    // a run crossing the row edge
+    val offBits = 54 + 4 * 256
+    val overrun = good.clone()
+    overrun(offBits) = 9 // first run length 9 > width 8
+    Multimodal.decodeRasterPixels(overrun) shouldBe None
+    // RLE with top-down height is out of spec
+    val topDown = good.clone()
+    val negH = -8
+    topDown(22) = (negH & 0xff).toByte; topDown(23) = ((negH >> 8) & 0xff).toByte
+    topDown(24) = ((negH >> 16) & 0xff).toByte; topDown(25) = ((negH >> 24) & 0xff).toByte
+    Multimodal.decodeRasterPixels(topDown) shouldBe None
+  }
+
   test("decodePng Adam7: malformed interlaced streams reject, never throw") {
     val px = detRandom(55, 8 * 8)
     val good = Multimodal.encodePng(8, 8, 1, px, _ => 1, adam7 = true)
