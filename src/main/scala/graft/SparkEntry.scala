@@ -55,6 +55,12 @@ object SparkEntry {
     "q43_incremental_agg" -> ((s: SparkSession, d: String) => Relational.incrementalAgg(s, d)),
     "q44_kmv_setops" -> ((s: SparkSession, d: String) => Relational.kmvSetOps(s, d)),
     "q45_funnel" -> ((s: SparkSession, d: String) => Relational.funnelSteps(s, d)),
+    "q46_robust_outliers" -> ((s: SparkSession, d: String) =>
+      Relational.robustOutliers(s, d)),
+    "q47_equidepth_hist" -> ((s: SparkSession, d: String) =>
+      Relational.equiDepthHistogram(s, d)),
+    "q48_group_trend" -> ((s: SparkSession, d: String) =>
+      Relational.groupTrend(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -119,6 +125,8 @@ object SparkEntry {
     "s23_triangles" -> ((s: SparkSession, d: String) => Similarity.triangleCounts(s, d)),
     "s24_labelprop" -> ((s: SparkSession, d: String) => Similarity.labelPropagation(s, d)),
     "s25_kcore" -> ((s: SparkSession, d: String) => Similarity.kCorePeel(s, d)),
+    "s26_link_pred" -> ((s: SparkSession, d: String) => Similarity.linkPrediction(s, d)),
+    "s27_knn_classify" -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -151,6 +159,9 @@ object SparkEntry {
     "t24_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
     "t25_countmin" -> ((s: SparkSession, d: String) => TextAnalysis.countMin(s, d)),
     "t26_heavy_hitters" -> (TextAnalysis.heavyHittersGate _),
+    "t27_pmi_colloc" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
+    "t28_textrank" -> ((s: SparkSession, d: String) => TextAnalysis.textRankKeywords(s, d)),
+    "t29_trigram_backoff" -> ((s: SparkSession, d: String) => TextAnalysis.trigramBackoff(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -214,6 +225,8 @@ object SparkEntry {
     "p13_length_batches" -> ((s: SparkSession, d: String) => Sampling.lengthBatches(s, d)),
     "p14_chunk_windows" -> ((s: SparkSession, d: String) => Sampling.chunkStride(s, d)),
     "p15_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
+    "p16_curriculum" -> ((s: SparkSession, d: String) => Sampling.curriculumOrder(s, d)),
+    "p17_interleave" -> ((s: SparkSession, d: String) => Sampling.weightedInterleave(s, d)),
     // —— the reference's own README workload over the committed
     //    converted fixture (graft.osm.OsmFixture; SURVEY §5.3) ——
     "o01_reassemble_ways" -> (osm.OsmOracle.reassembledWayPaths _),
@@ -656,6 +669,84 @@ object SparkEntry {
        |SELECT a.vec_id, coalesce(f.deg, CAST(0 AS BIGINT)) AS deg
        |FROM alive$rounds a LEFT JOIN fdeg f ON a.vec_id = f.vec_id
        |ORDER BY a.vec_id""".stripMargin
+    sb.result()
+  }
+
+  /** DuckDB mirror of Similarity.linkPrediction (s26): wedges through
+    * the shared neighbor z (bidir self-join, a < b) carry z's degree;
+    * candidates aggregate cn and the integer resource-allocation sum
+    * Σ 10^6 // deg(z), drop existing und edges, join both endpoint
+    * degrees, and the (cn DESC, ra DESC, a, b) top-N ranks.
+    */
+  private def linkPredSql(topN: Int): String =
+    s"""WITH $KnnCtes,
+       |$UndirCtes,
+       |dg AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM bidir GROUP BY 1),
+       |wedge AS (
+       |  SELECT x.src AS a, y.src AS b, d.deg AS zdeg
+       |  FROM bidir x JOIN bidir y ON x.dst = y.dst AND x.src < y.src
+       |  JOIN dg d ON d.src = x.dst),
+       |cand AS (
+       |  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(1000000 // zdeg) AS BIGINT) AS ra
+       |  FROM wedge w GROUP BY 1, 2),
+       |nonedge AS (
+       |  SELECT c.* FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = c.a AND u.b = c.b)),
+       |lpsc AS (
+       |  SELECT n.a, n.b, n.cn, n.ra, da.deg * db.deg AS pa
+       |  FROM nonedge n
+       |  JOIN dg da ON da.src = n.a
+       |  JOIN dg db ON db.src = n.b)
+       |SELECT CAST(rn AS INT) AS rnk, a, b, cn, ra, pa FROM (
+       |  SELECT *, row_number() OVER (ORDER BY cn DESC, ra DESC, a, b) AS rn
+       |  FROM lpsc) r
+       |WHERE rn <= $topN ORDER BY rnk""".stripMargin
+
+  /** DuckDB mirror of TextAnalysis.textRankKeywords (t28): the word
+    * co-occurrence graph (adjacent tokens, canonical undirected,
+    * weight = count, self-pairs dropped) from the shared tokenization,
+    * then the s21 fixed-point rounds with per-edge weights —
+    * contribution (pr·w) // strength(src), damped 150000 + (85·in) //
+    * 100. AS MATERIALIZED per round — the bpeSql lesson.
+    */
+  private def textRankSql(prRounds: Int, topN: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${tkCte("")},\n"
+    sb ++=
+      """adj AS (
+        |  SELECT list_extract(tk, i) AS w1, list_extract(tk, i+1) AS w2
+        |  FROM (SELECT tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i
+        |        FROM tk) t),
+        |undw AS MATERIALIZED (
+        |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM adj WHERE w1 <> w2 GROUP BY 1, 2),
+        |bid AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst, w FROM undw
+        |  UNION ALL SELECT b AS src, a AS dst, w FROM undw),
+        |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM bid GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS word FROM bid),
+        |pr0 AS (SELECT word, CAST(1000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+    for (i <- 1 to prRounds) {
+      sb ++= s""",
+         |in$i AS (
+         |  SELECT e.dst AS word, CAST(sum((p.pr * e.w) // t.s) AS BIGINT) AS inm
+         |  FROM bid e JOIN st t ON e.src = t.src
+         |  JOIN pr${i - 1} p ON p.word = e.src
+         |  GROUP BY 1),
+         |pr$i AS MATERIALIZED (
+         |  SELECT n.word,
+         |    CAST(150000 + (85 * coalesce(m.inm, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN in$i m ON n.word = m.word)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT CAST(rn AS INT) AS rnk, word, pr, s FROM (
+       |  SELECT p.word, p.pr, t.s,
+       |    row_number() OVER (ORDER BY p.pr DESC, p.word) AS rn
+       |  FROM pr$prRounds p JOIN st t ON t.src = p.word) r
+       |WHERE rn <= $topN ORDER BY rnk""".stripMargin
     sb.result()
   }
 
@@ -1329,6 +1420,101 @@ object SparkEntry {
         |  CAST(t.k AS BIGINT) AS k, s.v AS value_cents
         |FROM t JOIN s ON s.rn = t.k
         |ORDER BY stat""".stripMargin,
+
+    // q46: robust outliers — lower medians at rank (n+1) // 2 under
+    // (value, key) order, MAD the same way over deviations, and the
+    // cleared-denominator modified-z test 6745·d > 10·t·mad at the
+    // standard t = 3500 (3.5 MADs), which genuinely fires per group
+    "q46_robust_outliers" ->
+      """WITH o AS (
+        |  SELECT event_id, event_type AS grp,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |rv AS (
+        |  SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM o),
+        |med AS (SELECT grp, cents AS med FROM rv WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT o.grp, o.event_id, o.cents, m.med,
+        |    abs(o.cents - m.med) AS d
+        |  FROM o JOIN med m ON o.grp = m.grp),
+        |rd AS (
+        |  SELECT grp, d,
+        |    row_number() OVER (PARTITION BY grp ORDER BY d, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM dev),
+        |mad AS (SELECT grp, d AS mad FROM rd WHERE rn = (n + 1) // 2)
+        |SELECT v.grp, v.event_id, v.cents, v.med, a.mad, v.d
+        |FROM dev v JOIN mad a ON v.grp = a.grp
+        |WHERE a.mad > 0 AND v.d * 6745 > a.mad * 35000
+        |ORDER BY v.grp, v.event_id""".stripMargin,
+
+    // q47: equi-depth histogram — B boundaries at exact global ranks
+    // ceil(i·n/B) under (value, unique-key) order, one row_number
+    "q47_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (
+        |  SELECT v,
+        |    row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS rn
+        |  FROM v),
+        |t AS (
+        |  SELECT CAST(b AS INT) AS bucket, (b * n.n + 15) // 16 AS k
+        |  FROM (SELECT unnest(range(1, 17)) AS b) bb, n)
+        |SELECT t.bucket, CAST(t.k AS BIGINT) AS k, r.v AS boundary_cents
+        |FROM t JOIN r ON r.rn = t.k
+        |ORDER BY t.bucket""".stripMargin,
+
+    // q48: grouped OLS trend — daily cent rollups, per-group
+    // re-centered day index, and the exact integer slope fraction
+    // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with a CASE sign; no division
+    "q48_group_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT grp, min(day) AS d0 FROM daily GROUP BY 1),
+        |m AS (
+        |  SELECT d.grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(d.day - t.d0) AS BIGINT) AS sx,
+        |    CAST(sum(d.y) AS BIGINT) AS sy,
+        |    CAST(sum((d.day - t.d0) * (d.day - t.d0)) AS BIGINT) AS sxx,
+        |    CAST(sum((d.day - t.d0) * d.y) AS BIGINT) AS sxy
+        |  FROM daily d JOIN d0 t USING (grp) GROUP BY 1)
+        |SELECT grp, CAST(n AS INT) AS n_days,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |            WHEN n * sxy - sx * sy > 0 THEN 1
+        |            WHEN n * sxy - sx * sy < 0 THEN -1
+        |            ELSE 0 END AS INT) AS trend
+        |FROM m ORDER BY grp""".stripMargin,
+
+    // p17: weighted fair interleave — within-source seeded ranks,
+    // virtual time r·(12 // w), global order (v, source, doc_id)
+    "p17_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(1 + (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4)
+        |      AS INT) AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, w,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('il0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS r
+        |  FROM d),
+        |vt AS (SELECT *, CAST(r * (12 // w) AS BIGINT) AS v FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY v, source, doc_id)
+        |    AS BIGINT) AS pos,
+        |  doc_id, source, w, r, v
+        |FROM vt ORDER BY pos""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag,
@@ -2405,6 +2591,46 @@ object SparkEntry {
     "s24_labelprop" -> lpaSql(rounds = 3),
     "s25_kcore" -> kcorePeelSql(coreK = 2, rounds = 10),
 
+    // s26: link prediction — common-neighbor / resource-allocation /
+    // preferential-attachment scores for non-edge pairs of the s16
+    // graph; ra is the integer fixed-point Σ 10^6 // deg(z) (no log)
+    "s26_link_pred" -> linkPredSql(topN = 50),
+
+    // s27: k-NN majority-vote classification — s01's scoring CTE with
+    // labels riding along; the vote is (votes DESC, label ASC) argmax
+    "s27_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, i, CAST(list_extract(embedding, i) AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings WHERE vec_id < 8 OR vec_id % 20 = 0) t),
+        |lab AS (SELECT vec_id, label FROM embeddings
+        |        WHERE vec_id < 8 OR vec_id % 20 = 0),
+        |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+        |  FROM e q JOIN e c ON q.i = c.i
+        |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, cand, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+        |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cand = nc.vec_id),
+        |nb AS (
+        |  SELECT qid, cand,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rnk
+        |  FROM scored),
+        |votes AS (
+        |  SELECT nb.qid, lc.label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM nb JOIN lab lc ON nb.cand = lc.vec_id
+        |  WHERE nb.rnk <= 5 GROUP BY 1, 2),
+        |win AS (
+        |  SELECT qid, label, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+        |  FROM votes)
+        |SELECT w.qid, lq.label AS true_label, w.label AS pred_label,
+        |  CAST(w.votes AS INT) AS votes
+        |FROM win w JOIN lab lq ON w.qid = lq.vec_id
+        |WHERE w.vr = 1 ORDER BY w.qid""".stripMargin,
+
     // s19: MMR diversified top-k — greedy maximal-marginal-relevance
     // over the s01 top-10 pool, integer-exact objective
     // (lambdaNum·rel6 − (lambdaDen−lambdaNum)·maxsim6 on the 1e-6
@@ -2957,6 +3183,81 @@ object SparkEntry {
          |  gram, freq, est
          |FROM est ORDER BY rnk""".stripMargin,
 
+    // t27: PMI collocations — the log-free monotone integer fixed
+    // point (N·pair_c·10^6) // (c1a·c1b); hapax pairs dropped below
+    // minCount = 3 before ranking
+    "t27_pmi_colloc" ->
+      s"""WITH ${tkCte("")},
+         |u AS (SELECT unnest(tk) AS w FROM tk),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY w),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+         |bg AS (
+         |  SELECT list_extract(tk, i) AS w1, list_extract(tk, i+1) AS w2
+         |  FROM (SELECT tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i
+         |        FROM tk) t),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_c
+         |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sc AS (
+         |  SELECT c2.w1, c2.w2, c2.pair_c, a.c1 AS c1a, b.c1 AS c1b,
+         |    CAST((nn.n * c2.pair_c * 1000000) // (a.c1 * b.c1) AS BIGINT) AS pmi_q
+         |  FROM c2 JOIN uni a ON c2.w1 = a.w JOIN uni b ON c2.w2 = b.w
+         |  CROSS JOIN nn)
+         |SELECT CAST(rn AS INT) AS rnk, w1, w2, pair_c, c1a, c1b, pmi_q FROM (
+         |  SELECT *, row_number() OVER (ORDER BY pmi_q DESC, w1, w2) AS rn
+         |  FROM sc) r
+         |WHERE rn <= 50 ORDER BY rnk""".stripMargin,
+
+    // t28: TextRank keywords — weighted integer PageRank over the
+    // adjacent-token co-occurrence graph, generated CTE rounds
+    "t28_textrank" -> textRankSql(prRounds = 3, topN = 30),
+
+    // t29: trigram stupid backoff — the even-slice model scores every
+    // trigram occurrence with the α = 2/5 penalty cleared into pure
+    // integer division (no float at any level of the backoff)
+    "t29_trigram_backoff" ->
+      s"""WITH ${tkCte("")},
+         |ref AS (SELECT doc_id, tk FROM tk WHERE doc_id % 2 = 0),
+         |u AS (SELECT unnest(tk) AS w FROM ref),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY w),
+         |nr AS (SELECT CAST(count(*) AS BIGINT) AS nref FROM u),
+         |c2 AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM (
+         |    SELECT list_extract(tk, i) || ' ' || list_extract(tk, i+1) AS bg
+         |    FROM (SELECT tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i
+         |          FROM ref) t) b GROUP BY bg),
+         |c3 AS (
+         |  SELECT tg, CAST(count(*) AS BIGINT) AS c3 FROM (
+         |    SELECT list_extract(tk, i) || ' ' || list_extract(tk, i+1)
+         |      || ' ' || list_extract(tk, i+2) AS tg
+         |    FROM (SELECT tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+         |          FROM ref) t) b GROUP BY tg),
+         |occ AS (
+         |  SELECT doc_id,
+         |    list_extract(tk, i) AS a, list_extract(tk, i+1) AS b,
+         |    list_extract(tk, i+2) AS c
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+         |        FROM tk) t),
+         |sc AS (
+         |  SELECT o.doc_id,
+         |    CASE
+         |      WHEN t3.c3 IS NOT NULL THEN (t3.c3 * 1000000000) // ab.c2
+         |      WHEN bc.c2 IS NOT NULL THEN (bc.c2 * 2000000000) // (5 * ub.c1)
+         |      WHEN uc.c1 IS NOT NULL THEN (uc.c1 * 4000000000) // (25 * nr.nref)
+         |      ELSE CAST(0 AS BIGINT)
+         |    END AS qp
+         |  FROM occ o
+         |  LEFT JOIN c3 t3 ON t3.tg = o.a || ' ' || o.b || ' ' || o.c
+         |  LEFT JOIN c2 ab ON ab.bg = o.a || ' ' || o.b
+         |  LEFT JOIN c2 bc ON bc.bg = o.b || ' ' || o.c
+         |  LEFT JOIN c1 ub ON ub.w = o.b
+         |  LEFT JOIN c1 uc ON uc.w = o.c
+         |  CROSS JOIN nr)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(qp) AS BIGINT) AS sum_qp,
+         |  CAST(sum(qp) // count(*) AS BIGINT) AS avg_qp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic
     "p13_length_batches" ->
@@ -3011,6 +3312,21 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY draw, doc_id) AS INT) AS rn,
         |  doc_id, w, draw
         |FROM k ORDER BY draw, doc_id LIMIT 50""".stripMargin,
+
+    // p16: curriculum order — bucket-major (length terciles by fixed
+    // thresholds) with the seeded md5 shuffle inside each bucket; one
+    // composite-key row_number IS the sharded-rank result
+    "p16_curriculum" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN n_chars <= 250 THEN 1
+        |              WHEN n_chars <= 400 THEN 2 ELSE 3 END AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket, n_chars,
+        |  CAST(row_number() OVER (
+        |    ORDER BY bucket, md5('cur0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM b ORDER BY pos""".stripMargin,
 
     // d25: the oracle is the BRUTE-FORCE distinct-string join — the
     // candidate split's losslessness is what the gate checks

@@ -1108,4 +1108,169 @@ object Relational {
         round($"sum_cents" / $"n", 6).as("avg_cents"))
       .orderBy($"user_id")
   }
+
+  /** Equi-depth histogram (q47) — the optimizer-statistics synopsis
+    * every engine builds (and the batch generalization of [[exactKth]]
+    * from 3 ranks to B boundaries in ONE pass): the corpus of integer-
+    * cent prices is cut into `buckets` equal-frequency buckets, and
+    * the output is each boundary — the EXACT value at global rank
+    * ⌈i·n/B⌉ under (value, unique-key) order, i = 1..B — so bucket
+    * populations are balanced by construction and every boundary is a
+    * value that exists in the data. Duplicates straddle boundaries
+    * deterministically via the unique (orderkey, linenumber) tiebreak.
+    *
+    * Scale shape (the p11 sharded-rank idiom on a value key): ONE
+    * range-repartition by (cents, l_orderkey, l_linenumber), a
+    * per-partition local rank, and a partition-count prefix-sum
+    * offset join (one row per partition, broadcast) give every row
+    * its exact global rank with no global window; the boundary filter
+    * then keeps B rows. Where [[exactKth]] spends ⌈log₂₅₆(range)⌉
+    * driver rounds per rank to avoid ANY full-width shuffle, this
+    * pays one range-exchange of the projected column and answers all
+    * B ranks at once — the right trade when B is large or the synopsis
+    * is rebuilt per load batch.
+    */
+  def equiDepthHistogram(spark: SparkSession, sfDir: String,
+      buckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val v = Tables.lineitem(spark, sfDir)
+      .select(round($"l_extendedprice" * 100, 0).cast("bigint").as("v"),
+        $"l_orderkey", $"l_linenumber")
+    val local = graft.Caches.track(v
+      .repartitionByRange($"v", $"l_orderkey", $"l_linenumber")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy($"pid")
+          .orderBy($"v", $"l_orderkey", $"l_linenumber"))))
+    val offs = local.groupBy($"pid").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum($"pc").over(
+        Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"pid", $"off")
+    val nRow = local.agg(count(lit(1)).as("n"))
+    // B target ranks, broadcast: the boundary probe is an equi-join,
+    // never a corpus×B fan-out
+    val targets = spark.range(1, buckets + 1)
+      .select($"id".cast("int").as("bucket"))
+      .crossJoin(broadcast(nRow))
+      .select($"bucket",
+        expr(s"(bucket * n + ${buckets - 1}) div $buckets").as("k"))
+    local.join(broadcast(offs), "pid")
+      .withColumn("rn", $"off" + $"lrn")
+      .join(broadcast(targets), $"rn" === $"k")
+      .select($"bucket", $"k", $"v".as("boundary_cents"))
+      .orderBy($"bucket")
+  }
+
+  /** Robust outlier detection via exact median + MAD (q46) — the
+    * modified z-score rule (Iglewicz & Hoaglin 1993) every
+    * data-quality pipeline runs where mean/stddev would be dragged by
+    * the very outliers it hunts: per event-type group, flag events
+    * whose absolute deviation from the group median exceeds
+    * `threshMilli`/1000 MADs (MAD = median absolute deviation;
+    * default 3500 = the standard 3.5 rule, under which this corpus'
+    * long-tailed `value` column genuinely fires in every group).
+    * Medians are the LOWER median (element at rank (n+1) div 2 under
+    * (value, key) order) so every statistic is a value that exists in
+    * the data — integer cents end to end, and the 0.6745-scaled
+    * threshold clears its denominators:
+    *
+    *   0.6745·d / mad > t/1000  ⟺  6745·d > 10·t·mad
+    *
+    * — one BIGINT comparison, no division, no float. Groups where
+    * mad = 0 (over half the group at the median) flag nothing by
+    * definition (documented; the standard rule's own degenerate case).
+    *
+    * Scale shape: two rank windows PARTITIONED BY the group key (the
+    * per-group sort is the exact-median price of admission; a group's
+    * rows land on one task, so the caller's group key must be
+    * finer-grained than "the whole corpus" — for global or
+    * near-global groups compose [[exactKth]]'s histogram narrowing
+    * per group instead, which trades driver rounds for the sort);
+    * the median/MAD frames collapse to one row per group and join
+    * back broadcast-sized. Output is outliers only.
+    */
+  def robustOutliers(spark: SparkSession, sfDir: String,
+      threshMilli: Int = 3500): DataFrame = {
+    import spark.implicits._
+    require(threshMilli >= 1, s"threshMilli must be >= 1: $threshMilli")
+    val o = graft.Caches.track(
+      Tables.events(spark, sfDir)
+        .select($"event_id", $"event_type".as("grp"),
+          round($"value" * 100, 0).cast("bigint").as("cents")))
+    val wN = Window.partitionBy($"grp")
+    val wV = wN.orderBy($"cents", $"event_id")
+    val med = o
+      .withColumn("rn", row_number().over(wV))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"grp", $"cents".as("med"))
+    val dev = graft.Caches.track(
+      o.join(med, "grp").withColumn("d", abs($"cents" - $"med")))
+    val wD = wN.orderBy($"d", $"event_id")
+    val mad = dev
+      .withColumn("rn", row_number().over(wD))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"grp", $"d".as("mad"))
+    dev.join(mad, "grp")
+      .filter($"mad" > 0 && $"d" * 6745 > $"mad" * (10L * threshMilli))
+      .select($"grp", $"event_id", $"cents", $"med", $"mad", $"d")
+      .orderBy($"grp", $"event_id")
+  }
+
+  /** Grouped OLS trend detection (q48) — the per-segment drift monitor
+    * a data-quality pipeline runs over daily rollups: for each event
+    * type, the least-squares slope of daily total value (integer
+    * cents) against the day index, carried as the EXACT integer
+    * fraction
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * with numerator and denominator emitted as BIGINTs plus a CASE
+    * sign — no division anywhere, so up/flat/down classification and
+    * cross-group slope comparison (cross-multiply) are exact, and the
+    * whole operator hash-gates. x is the day RE-CENTERED per group
+    * (day − first day), which is both the well-conditioned form and
+    * the overflow bound: x ≤ the group's day span (~10³), so n·Σxy ≤
+    * span²·Σ|y| — at 100 TB daily sums of ~10¹² cents over a 3-year
+    * span stay under 2^63 with margin ~10³; a wider span re-centers
+    * per-epoch or pre-aggregates to weeks (documented, not silently
+    * saturating). Groups with a single active day have den = 0 and
+    * are emitted with sign 0 (no trend is computable — the explicit-
+    * decision convention, not a silent drop).
+    *
+    * Scale shape: the daily rollup is one map-combinable aggregate on
+    * (group, day) keys; the per-group first day is a one-row-per-group
+    * aggregate joined back broadcast-sized; the moment sums collapse
+    * to one row per group. No window, no sort until the |groups|-row
+    * result.
+    */
+  def groupTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Caches.track(
+      Tables.events(spark, sfDir)
+        .select($"event_type".as("grp"),
+          datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("day"),
+          round($"value" * 100, 0).cast("bigint").as("cents"))
+        .groupBy($"grp", $"day")
+        .agg(sum($"cents").as("y")))
+    val d0 = daily.groupBy($"grp").agg(min($"day").as("d0"))
+    val moments = daily.join(broadcast(d0), "grp")
+      .withColumn("x", ($"day" - $"d0").cast("bigint"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+    moments
+      .withColumn("slope_num", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("slope_den", $"n" * $"sxx" - $"sx" * $"sx")
+      .select($"grp", $"n".cast("int").as("n_days"),
+        $"slope_num", $"slope_den",
+        expr("""CASE WHEN slope_den = 0 THEN 0
+                |     WHEN slope_num > 0 THEN 1
+                |     WHEN slope_num < 0 THEN -1
+                |     ELSE 0 END""".stripMargin).cast("int").as("trend"))
+      .orderBy($"grp")
+  }
 }

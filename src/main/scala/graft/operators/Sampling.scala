@@ -588,4 +588,117 @@ object Sampling {
       .select($"rn", $"doc_id", $"w", $"draw")
       .orderBy($"rn")
   }
+
+  /** Weighted fair interleave (p17) — the deterministic epoch
+    * schedule that realizes p04-style mixture weights as an ORDER
+    * rather than a subset: each source's documents take a seeded
+    * within-source order, and the global sequence interleaves sources
+    * in proportion to integer weights by virtual finish time (the
+    * weighted-fair-queueing / stride-scheduling discipline: item r of
+    * source s lands at v = r · (L div w_s), L = lcm of the weight
+    * range, so a weight-3 source fires three items for every one of a
+    * weight-1 source — smoothly, not in runs, which is what a
+    * training loop wants from a mixture: no source-burst batches).
+    * Weights here derive deterministically from the source name
+    * (1 + digits mod 4, spanning the 1..4 range the L = 12 stride
+    * clears exactly); a caller with learned mixture weights joins
+    * them in the same integer form. All arithmetic is integer — the
+    * virtual times and both rank passes replay exactly cross-engine.
+    *
+    * Scale shape: BOTH rank passes ride the p11 sharded-rank idiom
+    * (range-repartition + per-partition local rank + broadcast
+    * prefix-sum offsets — the within-source pass keys its offsets by
+    * (partition, source) and its offset window by source, a
+    * sources×partitions frame); no global window, no per-source
+    * single-task sort.
+    */
+  def weightedInterleave(spark: SparkSession, sfDir: String,
+      seed: String = "il0"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (lit(1) + (regexp_extract($"source", "[0-9]+", 0).cast("int") % 4))
+          .cast("int").as("w"))
+    val hkey = md5(concat(lit(seed), lit(":"),
+      $"doc_id".cast("string")).cast("binary"))
+    // pass 1: per-source seeded rank, sharded
+    val loc1 = graft.Caches.track(docs
+      .withColumn("hkey", hkey)
+      .repartitionByRange($"source", $"hkey", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy($"pid", $"source").orderBy($"hkey", $"doc_id"))))
+    val offs1 = loc1.groupBy($"pid", $"source").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum($"pc").over(
+        Window.partitionBy($"source").orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"source", $"off")
+    val vtimes = loc1.join(broadcast(offs1), Seq("pid", "source"))
+      .select($"doc_id", $"source", $"w",
+        ($"off" + $"lrn").cast("bigint").as("r"))
+      .withColumn("v", $"r" * expr("12 div w"))
+    // pass 2: global position by (virtual time, source, doc_id), sharded
+    val loc2 = graft.Caches.track(vtimes
+      .repartitionByRange($"v", $"source", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy($"pid").orderBy($"v", $"source", $"doc_id"))))
+    val offs2 = loc2.groupBy($"pid").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum($"pc").over(
+        Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"pid", $"off")
+    loc2.join(broadcast(offs2), "pid")
+      .select(($"off" + $"lrn").cast("bigint").as("pos"),
+        $"doc_id", $"source", $"w", $"r", $"v")
+      .orderBy($"pos")
+  }
+
+  /** Curriculum ordering (p16) — the easy→hard training schedule
+    * (Bengio et al. 2009): documents are assigned a difficulty bucket
+    * (here by length — short docs first, the standard text curriculum
+    * proxy; any integer difficulty signal slots in), and the epoch
+    * order is bucket-major with a SEEDED deterministic shuffle inside
+    * each bucket (the p11 epoch-reshuffle semantics, so consecutive
+    * epochs change `seed` and get fresh intra-bucket orders while the
+    * curriculum skeleton stays fixed). Output: every document with
+    * its bucket and 1-based global position.
+    *
+    * Scale shape (the p11 sharded-rank idiom, generalized to a
+    * composite key): ONE range-repartition by (bucket, md5 key,
+    * doc_id) — contiguous ordered ranges across tasks — then a
+    * per-partition local rank and a partition-count prefix-sum
+    * offset join (the offsets frame is one row per partition,
+    * broadcast). No global window, no single-task sort; the final
+    * orderBy is presentation-only.
+    */
+  def curriculumOrder(spark: SparkSession, sfDir: String,
+      seed: String = "cur0", easyMax: Long = 250,
+      midMax: Long = 400): DataFrame = {
+    import spark.implicits._
+    require(easyMax < midMax, s"need easyMax < midMax: $easyMax/$midMax")
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        when($"n_chars" <= easyMax, 1).when($"n_chars" <= midMax, 2)
+          .otherwise(3).cast("int").as("bucket"))
+    val hkey = md5(concat(lit(seed), lit(":"),
+      $"doc_id".cast("string")).cast("binary"))
+    // cached: the offsets aggregate and the join left side both read
+    // the local-rank pass
+    val local = graft.Caches.track(docs
+      .withColumn("hkey", hkey)
+      .repartitionByRange($"bucket", $"hkey", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy($"pid").orderBy($"bucket", $"hkey", $"doc_id"))))
+    val offs = local.groupBy($"pid").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum($"pc").over(
+        Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"pid", $"off")
+    local.join(broadcast(offs), "pid")
+      .select($"doc_id", $"bucket", $"n_chars",
+        ($"off" + $"lrn").cast("bigint").as("pos"))
+      .orderBy($"pos")
+  }
 }

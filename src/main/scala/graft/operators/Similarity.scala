@@ -1491,6 +1491,112 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Link prediction over the s16 corpus k-NN graph (s26) — the
+    * classical neighborhood-overlap scores (Liben-Nowell & Kleinberg
+    * 2003) for every NON-edge pair sharing at least one neighbor:
+    *
+    *   - `cn`  common-neighbor count |N(a) ∩ N(b)|,
+    *   - `ra`  the resource-allocation index Σ_{z∈N(a)∩N(b)} 1/deg(z)
+    *     as the exact fixed-point Σ (10^6 div deg z) — the
+    *     Adamic-Adar family member with NO logarithm, chosen so the
+    *     score is one integer both engines compute bit-identically
+    *     (Zhou, Lü & Zhang 2009 show it outperforms Adamic-Adar
+    *     anyway),
+    *   - `pa`  preferential attachment deg(a)·deg(b).
+    *
+    * In corpus terms: pairs of vectors the kNN index does NOT connect
+    * but whose neighborhoods heavily overlap — exactly the candidate
+    * edges an incremental index-refresh or a SemDeDup "missed
+    * near-dup" audit probes first. Ranked (cn DESC, ra DESC, a, b).
+    *
+    * Scale shape: candidate pairs come from ONE self-join of the
+    * bidirectional edge list on the shared neighbor z — pair volume
+    * Σ_z deg(z)², the s23 bound, never corpus-quadratic; the
+    * existing-edge removal is an anti-join on the canonical key; the
+    * degree joins hit one-row-per-vertex aggregates. The 1/deg terms
+    * aggregate with map-side partials. Top-N is TakeOrdered; the rank
+    * window runs on the `topN`-row result only.
+    */
+  def linkPrediction(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3, topN: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    // cached: bid is scanned twice (both sides of the z-join), deg once
+    val und = graft.Caches.track(
+      undirectedKnn(spark, sfDir, k, iters, kNeighbors))
+    val bid = graft.Caches.track(
+      und.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(und.select($"b".as("src"), $"a".as("dst"))))
+    val deg = graft.Caches.track(
+      bid.groupBy($"src").agg(count(lit(1)).as("deg")))
+    // candidate (a, b) through shared z, canonical a < b; the wedge
+    // carries z's degree so ra aggregates without a second deg join
+    val wedges = bid.select($"dst".as("z"), $"src".as("a"))
+      .join(bid.select($"dst".as("z2"), $"src".as("b")), $"z" === $"z2")
+      .filter($"a" < $"b")
+      .join(deg.select($"src".as("z3"), $"deg".as("zdeg")), $"z" === $"z3")
+      .select($"a", $"b", $"zdeg")
+    val cand = wedges.groupBy($"a", $"b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div zdeg")).as("ra"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .join(deg.select($"src".as("a"), $"deg".as("dega")), "a")
+      .join(deg.select($"src".as("b"), $"deg".as("degb")), "b")
+      .select($"a", $"b", $"cn", $"ra", ($"dega" * $"degb").as("pa"))
+    val top = cand.orderBy($"cn".desc, $"ra".desc, $"a", $"b").limit(topN)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy($"cn".desc, $"ra".desc, $"a", $"b"))
+          .cast("int"))
+      .select($"rnk", $"a", $"b", $"cn", $"ra", $"pa")
+      .orderBy($"rnk")
+  }
+
+  /** k-NN majority-vote classification (s27) — the weak-supervision /
+    * label-spreading primitive a curation pipeline runs to extend a
+    * small labeled seed set over an unlabeled corpus (and the standard
+    * eval for embedding quality: if k-NN votes recover held-out
+    * labels, the space clusters by label). Each query vector's label
+    * is predicted as the mode of its k nearest labeled candidates by
+    * rounded cosine (the s01 ranking discipline: rounded score +
+    * vec_id tiebreak makes the neighbor set deterministic
+    * cross-engine), with vote ties broken (votes DESC, label ASC) —
+    * the s24 deterministic-argmax convention. The query's own stored
+    * label rides along as `true_label` for accuracy audits but never
+    * enters the vote.
+    *
+    * Scale shape: identical to s01 — the query side is tiny and
+    * broadcast, scoring is a map-only pass over the candidate corpus,
+    * the per-query top-k is one rank window over per-query candidate
+    * groups, and the vote collapses k rows per query. Swapping the
+    * brute-force scorer for s03/s15's cell-probed shortlist changes
+    * nothing downstream (the vote only sees (qid, label, rnk) rows).
+    */
+  def knnClassify(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        norm2($"embedding").as("q_nrm"), $"label".as("true_label"))
+    val c = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id", $"embedding", norm2($"embedding").as("nrm"), $"label")
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"true_label", $"vec_id".as("cand"), $"label",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    val neighbors = scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+    val votes = neighbors.groupBy($"qid", $"true_label", $"label")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy($"qid").orderBy($"votes".desc, $"label")
+    votes.withColumn("vr", row_number().over(wv))
+      .filter($"vr" === 1)
+      .select($"qid", $"true_label", $"label".as("pred_label"),
+        $"votes".cast("int").as("votes"))
+      .orderBy($"qid")
+  }
+
   def annRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val truth = annBruteForce(spark, sfDir).filter($"rnk" <= k)

@@ -1147,4 +1147,186 @@ object TextAnalysis {
       .select($"rnk", $"gram", $"freq", $"est")
       .orderBy($"rnk")
   }
+
+  /** PMI collocation mining (t27) — the statistical phrase detector
+    * (Church & Hanks 1990): adjacent word pairs whose observed
+    * frequency beats what their marginals predict. The classical score
+    * log(N·c(xy)/(c(x)c(y))) is MONOTONE in the inner ratio, so the
+    * log never needs to be taken: the operator ranks by the exact
+    * integer fixed-point
+    *
+    *   pmi_q = (N · c(xy) · 10^6) div (c(x) · c(y))
+    *
+    * — one BIGINT expression both engines evaluate bit-identically
+    * (no ln / no float), the t20 discipline. Pairs below `minCount`
+    * are dropped first (the standard low-frequency PMI pathology:
+    * hapax pairs otherwise saturate the top of the list). Top-`topN`
+    * by (pmi_q DESC, w1, w2).
+    *
+    * Numeric bound: N·c(xy)·10^6 with corpus token count N — exact in
+    * BIGINT while N·c(xy) < ~9·10^12, i.e. comfortably through the
+    * gate sizes; a 100 TB run lowers the 10^6 scale or pre-divides N
+    * out of the constant (ranking is scale-invariant), documented
+    * rather than silently saturating.
+    *
+    * Scale shape: unigram/bigram counts are map-combinable aggregates
+    * onto vocabulary-sized keys; the two marginal joins hit
+    * one-row-per-key aggregates (no fan-out); N is a 1-row broadcast;
+    * the final top-N is TakeOrdered over the ≥minCount pair table (no
+    * global sort) and the rank window runs on the `topN`-row result
+    * only.
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+      minCount: Int = 3, topN: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(minCount >= 1 && topN >= 1, s"bad minCount=$minCount topN=$topN")
+    val tk = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+    val u = tk.select(explode($"tk").as("w"))
+    val uni = u.groupBy($"w").agg(count(lit(1)).as("c1"))
+    val nTok = u.agg(count(lit(1)).as("n"))
+    val pairs = tk.select(explode(Text.shingles($"tk", 2)).as("bg"))
+      .select(substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("pair_c"))
+      .filter($"pair_c" >= minCount)
+    val scored = pairs
+      .join(uni.select($"w".as("w1"), $"c1".as("c1a")), "w1")
+      .join(uni.select($"w".as("w2"), $"c1".as("c1b")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("pmi_q", expr("(n * pair_c * 1000000) div (c1a * c1b)"))
+      .select($"w1", $"w2", $"pair_c", $"c1a", $"c1b", $"pmi_q")
+    val top = scored.orderBy($"pmi_q".desc, $"w1", $"w2").limit(topN)
+    // rank window over the topN-row result only (parameter-bounded)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy($"pmi_q".desc, $"w1", $"w2")).cast("int"))
+      .select($"rnk", $"w1", $"w2", $"pair_c", $"c1a", $"c1b", $"pmi_q")
+      .orderBy($"rnk")
+  }
+
+  /** Trigram stupid-backoff scorer (t29) — Brants et al. 2007, the
+    * web-scale LM recipe that replaces smoothing with a fixed backoff
+    * penalty (its whole point was distributed count-only training at
+    * corpus scale — exactly this engine's setting). A model of the
+    * even-doc_id reference slice (the t23 cross-corpus convention, so
+    * odd documents genuinely exercise every backoff level) scores
+    * every trigram occurrence (a b c):
+    *
+    *   S = C3(abc)/C2(ab)                 if the trigram was seen
+    *     | 0.4 · C2(bc)/C1(b)             else if the bigram was seen
+    *     | 0.4 · 0.4 · C1(c)/Nref         else (0 when c is OOV)
+    *
+    * quantized per occurrence to integer nano-units with the α = 2/5
+    * penalty cleared into the integer arithmetic — (C3·10^9) div C2,
+    * (C2·2·10^9) div (5·C1), (C1·4·10^9) div (25·Nref) — so there is
+    * NO float anywhere (tighter than t20/t23, whose single division
+    * rides one rounded IEEE op) and the per-doc sum is an exact
+    * BIGINT in any partition order. Docs with fewer than 3 tokens
+    * have no trigrams and emit no row (the t20 domain note).
+    *
+    * Scale shape: the three count tables are map-combinable
+    * aggregates on vocabulary-sized keys; scoring is three left
+    * joins, each keyed against a one-row-per-key aggregate (no
+    * fan-out); Nref is a 1-row broadcast.
+    */
+  def trigramBackoff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+    val ref = tk.filter($"doc_id" % 2 === 0)
+    val refUni = ref.select(explode($"tk").as("w"))
+    val c1 = refUni.groupBy($"w").agg(count(lit(1)).as("c1"))
+    val nRef = refUni.agg(count(lit(1)).as("nref"))
+    val c2 = ref.select(explode(Text.shingles($"tk", 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val c3 = ref.select(explode(Text.shingles($"tk", 3)).as("tg"))
+      .groupBy($"tg").agg(count(lit(1)).as("c3"))
+    val occ = tk.select($"doc_id", explode(Text.shingles($"tk", 3)).as("tg"))
+      .withColumn("a", substring_index($"tg", " ", 1))
+      .withColumn("b", substring_index(substring_index($"tg", " ", 2), " ", -1))
+      .withColumn("c", substring_index($"tg", " ", -1))
+    occ
+      .join(c3, Seq("tg"), "left")
+      .join(c2.select($"bg".as("ab_bg"), $"c2".as("c2ab")),
+        concat($"a", lit(" "), $"b") === $"ab_bg", "left")
+      .join(c2.select($"bg".as("bc_bg"), $"c2".as("c2bc")),
+        concat($"b", lit(" "), $"c") === $"bc_bg", "left")
+      .join(c1.select($"w".as("b"), $"c1".as("c1b")), Seq("b"), "left")
+      .join(c1.select($"w".as("c"), $"c1".as("c1c")), Seq("c"), "left")
+      .crossJoin(broadcast(nRef))
+      .withColumn("qp", expr(
+        """CASE
+          |  WHEN c3 IS NOT NULL THEN (c3 * 1000000000) div c2ab
+          |  WHEN c2bc IS NOT NULL THEN (c2bc * 2000000000) div (5 * c1b)
+          |  WHEN c1c IS NOT NULL THEN (c1c * 4000000000) div (25 * nref)
+          |  ELSE CAST(0 AS BIGINT)
+          |END""".stripMargin))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum($"qp").as("sum_qp"))
+      .select($"doc_id", $"n_trigrams", $"sum_qp",
+        expr("sum_qp div n_trigrams").as("avg_qp"))
+      .orderBy($"doc_id")
+  }
+
+  /** TextRank keyword extraction (t28) — Mihalcea & Tarau 2004: build
+    * the word co-occurrence graph (adjacent-token pairs, undirected,
+    * edge weight = co-occurrence count, self-loops dropped) and run
+    * WEIGHTED PageRank over it; high-rank words sit at the centre of
+    * the corpus' phrase structure — the unsupervised keyword signal a
+    * curation pipeline uses where t07's raw frequency over-rewards
+    * boilerplate tokens.
+    *
+    * Same fixed-point integer discipline as s21: rank mass scaled by
+    * 10^6, per-edge contribution `(pr·w) div strength(src)` (strength
+    * = Σ incident weights, so every graph node has strength ≥ 1 — no
+    * dangling case), damped update `150000 + (85·in) div 100`. A fixed
+    * `prRounds` rounds therefore replays as a generated CTE chain and
+    * the whole operator hash-gates. Isolated words (no co-occurrence
+    * edge, i.e. only ever adjacent to themselves or nothing) are not
+    * graph nodes and emit no row (documented).
+    *
+    * Scale shape: the edge list is a vocabulary²-bounded (in practice
+    * corpus-bigram-sized) map-combinable aggregate; each round is one
+    * equi-join of edges against the vocab-sized rank frame plus a
+    * dst-keyed sum with map-side partials — a pregel superstep
+    * relationally, each round persisted (O(1) per-round lineage, the
+    * s21 loop discipline); the final top-N is TakeOrdered (no global
+    * sort), rank window on the `topN`-row result only.
+    */
+  def textRankKeywords(spark: SparkSession, sfDir: String,
+      prRounds: Int = 3, topN: Int = 30): DataFrame = {
+    import spark.implicits._
+    require(prRounds >= 1 && topN >= 1, s"bad prRounds=$prRounds topN=$topN")
+    val scale = 1000000L
+    val tk = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val undw = graft.Caches.track(
+      tk.select(explode(Text.shingles($"tk", 2)).as("bg"))
+        .select(substring_index($"bg", " ", 1).as("w1"),
+          substring_index($"bg", " ", -1).as("w2"))
+        .filter($"w1" =!= $"w2")
+        .select(least($"w1", $"w2").as("a"), greatest($"w1", $"w2").as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("w")))
+    val bid = undw.select($"a".as("src"), $"b".as("dst"), $"w")
+      .unionAll(undw.select($"b".as("src"), $"a".as("dst"), $"w"))
+    val strength = bid.groupBy($"src").agg(sum($"w").as("s"))
+    val nodes = graft.Caches.track(bid.select($"src".as("word")).distinct())
+    var pr = nodes.select($"word", lit(scale).as("pr"))
+    for (_ <- 1 to prRounds) {
+      val contrib = bid.join(strength, "src")
+        .join(pr.withColumnRenamed("word", "src"), "src")
+        .select($"dst".as("word"), expr("(pr * w) div s").as("c"))
+      val in = contrib.groupBy($"word").agg(sum($"c").as("inm"))
+      pr = graft.Caches.track(
+        nodes.join(in, Seq("word"), "left")
+          .select($"word",
+            (lit(scale * 15 / 100) +
+              expr("(85 * coalesce(inm, CAST(0 AS BIGINT))) div 100")).as("pr")))
+    }
+    val top = pr.join(strength.withColumnRenamed("src", "word"), "word")
+      .orderBy($"pr".desc, $"word").limit(topN)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy($"pr".desc, $"word")).cast("int"))
+      .select($"rnk", $"word", $"pr", $"s")
+      .orderBy($"rnk")
+  }
 }

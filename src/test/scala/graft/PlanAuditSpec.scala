@@ -121,11 +121,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // finalizations over the per-user anchor aggregates (the q14
     // shape: one partial-count row per task through each exchange);
     // the funnel output itself is |steps| constant rows.
+    // t27 — the corpus token total N is t20's V shape exactly: the
+    // exchange's child is HashAggregate(partial_count(1)), ONE row
+    // per task, finalized into the 1-row broadcast the PMI scale
+    // multiplies by; the top-50 itself arrives via TakeOrdered.
+    // p16 — the sharded-rank offsets running sum, p11's shape
+    // verbatim (ONE count row per range partition through the
+    // exchange, <= shuffle-partitions rows, a cluster constant).
+    // q47 — two bounded shapes: the sharded-rank offsets running sum
+    // (p11's shape again — ONE count row per range partition through
+    // the exchange) and the grand-total n for the target ranks (q14's
+    // shape — one partial-count row per task into a 1-row broadcast).
+    // t29 — the reference-slice token total Nref is t20's V shape:
+    // the exchange's child is HashAggregate(partial_count(1)), ONE
+    // row per task, finalized into the 1-row broadcast the backoff
+    // floor divides by (verified by plan dump this round).
+    // p17 — the global interleave pass' sharded-rank offsets running
+    // sum, p11's shape verbatim (ONE count row per range partition
+    // through the exchange, <= shuffle-partitions rows, a cluster
+    // constant; the within-source pass' offsets window is partitioned
+    // by source and never single-partition; verified by plan dump
+    // this round).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
       "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters",
-      "q39_table_profile", "q40_fk_audit", "q45_funnel")
+      "q39_table_profile", "q40_fk_audit", "q45_funnel",
+      "t27_pmi_colloc", "p16_curriculum", "q47_equidepth_hist",
+      "t29_trigram_backoff", "p17_interleave")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -106,4 +106,31 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.size should be > 0
     got.size should be < adj.size
   }
+
+  test("s26: link-prediction scores match a sequential recompute") {
+    val adj = adjacency(und)
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    // every non-edge pair with >= 1 common neighbor, canonical a < b
+    val scores = (for {
+      (z, ns) <- adj.toSeq
+      pair <- ns.toSeq.sorted.combinations(2)
+    } yield (pair(0), pair(1), z))
+      .filter { case (a, b, _) => !und.contains((a, b)) }
+      .groupBy { case (a, b, _) => (a, b) }
+      .map { case ((a, b), ws) =>
+        val cn = ws.size.toLong
+        val ra = ws.map { case (_, _, z) => 1000000L / deg(z) }.sum
+        (a, b, cn, ra, deg(a) * deg(b))
+      }.toSeq
+    val expTop = scores
+      .sortBy { case (a, b, cn, ra, _) => (-cn, -ra, a, b) }
+      .take(50)
+    val got = Similarity.linkPrediction(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    got.toSeq shouldBe expTop
+    // non-vacuous: candidates exist and at least one has cn >= 2
+    got.length should be > 0
+    got.map(_._3).max should be >= 2L
+  }
 }

@@ -291,4 +291,112 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val meanWin = expected.map(_._3).sum.toDouble / expected.size
     meanWin should be > meanAll
   }
+
+  test("q46: flagged outliers match a sequential median/MAD recompute") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_id", $"event_type",
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = {
+      // (sortKeyId, value) pairs ordered by (value, id); rank (n+1)/2
+      val s = xs.sortBy { case (id, v) => (v, id) }
+      s(((s.size + 1) / 2) - 1)._2
+    }
+    val byGrp = ev.groupBy(_._2)
+    val exp = byGrp.flatMap { case (grp, rows) =>
+      val med = lowerMedian(rows.map(r => (r._1, r._3)).toSeq)
+      val devs = rows.map(r => (r._1, r._3, math.abs(r._3 - med))).toSeq
+      val mad = lowerMedian(devs.map(d => (d._1, d._3)))
+      if (mad == 0) Nil
+      else devs.filter(d => d._3 * 6745 > mad * 35000L)
+        .map(d => (grp, d._1, d._2, med, mad, d._3))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Relational.robustOutliers(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe exp
+    // non-vacuous: every event-type group flags at least one outlier
+    got.map(_._1).distinct.sorted shouldBe byGrp.keys.toSeq.sorted
+    // a tighter threshold is strictly more sensitive (the param is live)
+    val loose = Relational.robustOutliers(spark, sf, threshMilli = 1200)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    got.map(t => (t._1, t._2)).toSet.subsetOf(loose) shouldBe true
+    loose.size should be > got.length
+  }
+
+  test("q48: slope fractions match a sequential moments recompute and the " +
+    "float OLS sign; re-centering leaves the fraction value invariant") {
+    import spark.implicits._
+    val daily = graft.Tables.events(spark, sf)
+      .select($"event_type".as("grp"),
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("day"),
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+      .groupBy($"grp", $"day").agg(sum($"cents").as("y"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    val exp = daily.groupBy(_._1).map { case (grp, rows) =>
+      val d0 = rows.map(_._2).min
+      val xs = rows.map(r => (r._2 - d0, r._3))
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxx = xs.map(t => t._1 * t._1).sum
+      val sxy = xs.map(t => t._1 * t._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      (grp, n.toInt, num, den, if (den == 0) 0 else java.lang.Long.signum(num))
+    }.toSeq.sortBy(_._1)
+    val got = Relational.groupTrend(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    got shouldBe exp
+    // the integer fraction agrees in sign with a double-precision OLS
+    // (guards the cleared-denominator algebra against a sign slip)
+    daily.groupBy(_._1).foreach { case (grp, rows) =>
+      val xm = rows.map(_._2.toDouble).sum / rows.size
+      val ym = rows.map(_._3.toDouble).sum / rows.size
+      val cov = rows.map(r => (r._2 - xm) * (r._3 - ym)).sum
+      val g = got.find(_._1 == grp).get
+      if (g._4 != 0) math.signum(cov).toInt shouldBe g._5
+    }
+    // non-vacuous: multi-day groups exist and at least one real trend fires
+    all(got.map(_._2)) should be > 1
+    got.map(_._5).exists(_ != 0) shouldBe true
+    // the fraction is the re-centering-invariant form: replaying WITHOUT
+    // re-centering (raw epoch days) yields the identical num/den
+    val expRaw = daily.groupBy(_._1).map { case (grp, rows) =>
+      val xs = rows.map(r => (r._2, r._3))
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val num = n * xs.map(t => t._1 * t._2).sum - sx * sy
+      val den = n * xs.map(t => t._1 * t._1).sum - sx * sx
+      (grp, num, den)
+    }.toSeq.sortBy(_._1)
+    expRaw shouldBe got.map(t => (t._1, t._3, t._4))
+  }
+
+  test("q47: boundaries sit at exact ceil(i*n/B) ranks of a full sort; " +
+    "bucket populations balance") {
+    import spark.implicits._
+    val vs = graft.Tables.lineitem(spark, sf)
+      .select(round($"l_extendedprice" * 100, 0).cast("bigint").as("v"),
+        $"l_orderkey", $"l_linenumber")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(identity)
+    val n = vs.length.toLong
+    val b = 16
+    val exp = (1 to b).map { i =>
+      val k = (i * n + b - 1) / b
+      (i, k, vs((k - 1).toInt)._1)
+    }
+    val got = Relational.equiDepthHistogram(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    got.toSeq shouldBe exp
+    // equal depth is real: consecutive rank gaps differ by at most 1
+    val gaps = (exp.map(_._2) zip (0L +: exp.map(_._2))).map(p => p._1 - p._2)
+    gaps.max - gaps.min should be <= 1L
+    // and the last boundary is the corpus max
+    exp.last._3 shouldBe vs.last._1
+  }
 }

@@ -372,4 +372,67 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     // every doc chunks at least once (short docs → exactly one chunk)
     got.map(_.getLong(0)).distinct.length shouldBe toks.size
   }
+
+  test("p16 curriculum: bucket-major positions, seeded order inside buckets") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = docs.map { case (id, nc) =>
+      val bucket = if (nc <= 250) 1 else if (nc <= 400) 2 else 3
+      (id, bucket, nc, md5hex(s"cur0:$id"))
+    }.sortBy { case (id, b, _, h) => (b, h, id) }
+      .zipWithIndex
+      .map { case ((id, b, nc, _), i) => (id, b, nc, i + 1L) }
+    val got = Sampling.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    got.toSeq shouldBe exp.toSeq
+    // every doc appears exactly once, positions are 1..n dense
+    got.map(_._4).sorted.toSeq shouldBe (1L to docs.length).toSeq
+    // the curriculum is real: all three buckets populated, in order
+    val byBucket = got.groupBy(_._2)
+    byBucket.keySet shouldBe Set(1, 2, 3)
+    byBucket(1).map(_._4).max should be < byBucket(2).map(_._4).min
+    byBucket(2).map(_._4).max should be < byBucket(3).map(_._4).min
+    // a different seed reshuffles within buckets but keeps the skeleton
+    val other = Sampling.curriculumOrder(spark, sf, seed = "cur1").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    other.map(t => (t._1, t._2)).toSet shouldBe got.map(t => (t._1, t._2)).toSet
+    other.map(_._1).toSeq should not be got.map(_._1).toSeq
+  }
+
+  test("p17 interleave: positions match the virtual-finish-time schedule; " +
+    "weights pace sources proportionally") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val w = docs.map(_._2).distinct
+      .map(s => s -> (1 + "[0-9]+".r.findFirstIn(s).get.toInt % 4)).toMap
+    val ranked = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (md5hex(s"il0:$id"), id)).zipWithIndex
+        .map { case (id, i) =>
+          val r = i + 1L
+          (id, src, w(src), r, r * (12L / w(src)))
+        }
+    }
+    val exp = ranked.sortBy { case (id, src, _, _, v) => (v, src, id) }
+      .zipWithIndex
+      .map { case ((id, src, ww, r, v), i) => (i + 1L, id, src, ww, r, v) }
+    val got = Sampling.weightedInterleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    got.toSeq shouldBe exp
+    // pacing is real: in the first half of the schedule, a weight-4
+    // source has emitted ~4x what a weight-1 source has
+    val half = got.take(got.length / 2)
+    val perSrc = half.groupBy(_._3).map { case (s, xs) => s -> xs.length }
+    val w4 = w.filter(_._2 == 4).keys.map(s => perSrc.getOrElse(s, 0)).sum.toDouble /
+      w.count(_._2 == 4)
+    val w1 = w.filter(_._2 == 1).keys.map(s => perSrc.getOrElse(s, 0)).sum.toDouble /
+      w.count(_._2 == 1)
+    w4 / w1 should be(4.0 +- 1.0)
+  }
 }

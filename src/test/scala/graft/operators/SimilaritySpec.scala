@@ -564,6 +564,44 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     minds.zip(minds.drop(1)).foreach { case (a, b) => b should be <= a }
   }
 
+  test("s27: kNN-vote predictions match a sequential neighbor-vote recompute; " +
+    "k = 1 degenerates to the nearest neighbor's label") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), Similarity.norm2(col("embedding")).as("nrm"))
+    // engine-rounded cosines (the same 6-decimal grid the operator ranks
+    // on), so the driver replay selects the identical neighbor sets
+    val cosMap = emb.as("a").filter(col("a.vec_id") < 8)
+      .crossJoin(emb.as("b").filter(col("b.vec_id") % 20 === 0))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cand"),
+        round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def replay(k: Int): Seq[(Long, Int, Int, Int)] =
+      cosMap.keys.map(_._1).toSeq.distinct.sorted.map { qid =>
+        val nb = cosMap.collect { case ((q, c), cos) if q == qid => (c, cos) }
+          .toSeq.sortBy { case (c, cos) => (-cos, c) }.take(k)
+        val votes = nb.groupBy(p => labels(p._1)).view.mapValues(_.size)
+        val (pred, v) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+        (qid, labels(qid), pred, v)
+      }
+    val got = Similarity.knnClassify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    got shouldBe replay(5)
+    // every query gets exactly one decision, votes within [1, k]
+    got.map(_._1).distinct.size shouldBe got.size
+    all(got.map(_._4)) should (be >= 1 and be <= 5)
+    // the k parameter is live: k = 1 is the pure nearest-neighbor rule
+    val got1 = Similarity.knnClassify(spark, sf, k = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    got1 shouldBe replay(1)
+    all(got1.map(_._4)) shouldBe 1
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
