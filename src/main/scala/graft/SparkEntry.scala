@@ -209,6 +209,8 @@ object SparkEntry {
     "m17_png_adam7_gate" -> (Multimodal.pngAdam7ChecksumGate _),
     "m18_bmp_rle_gate" -> (Multimodal.bmpRleChecksumGate _),
     "m16_exif_meta" -> (Multimodal.exifMetaGate _),
+    "m19_tiff_gate" -> (Multimodal.tiffChecksumGate _),
+    "m20_g711_gate" -> (Multimodal.g711Gate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -3853,6 +3855,65 @@ object SparkEntry {
         |  CAST(100 + ord(substr(text, 2, 1)) * 13 + ord(substr(text, 3, 1)) AS BIGINT) AS height,
         |  CAST(1 + (ord(substr(text, 4, 1)) % 8) AS INT) AS orientation
         |FROM documents WHERE length(text) >= 4 ORDER BY doc_id""".stripMargin,
+
+    // m19: REAL TIFF strip decode under the gate — the Spark side
+    // walks genuine strip-organized directories (both byte orders by
+    // the second parity bit, gray/RGB by doc parity, three uneven
+    // strips with offset-stored arrays) built from text bytes; the
+    // oracle recomputes every pixel with ord() on the prefix — 64
+    // gray samples for even docs, 192 RGB samples for odd — and
+    // replays the rolling checksum, never seeing a TIFF byte.
+    "m19_tiff_gate" ->
+      """SELECT doc_id, 'tiff' AS format, 8 AS width, 8 AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(
+        |      range(1, CASE WHEN doc_id % 2 = 0 THEN 65 ELSE 193 END), i ->
+        |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 192 ORDER BY doc_id""".stripMargin,
+
+    // m20: G.711 µ-law/A-law expansion under the gate — wire code j
+    // is (ord_j·7 + j) mod 256 (spans all 256 code points); µ-law for
+    // even docs (complement, mantissa<<3 + 132 bias, segment shift,
+    // sign from bit 7), A-law for odd (XOR 0x55, mantissa<<4, segment
+    // 0/1/shift cases, bit 7 = POSITIVE); features replay m07's
+    // definitions over the expanded LINEAR samples
+    "m20_g711_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |cd AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        (ord(text[CAST(i AS INT)]) * 7 + (CAST(i AS INT) - 1)) % 256 AS code
+        |      FROM d, UNNEST(range(1, 65)) AS t(i)),
+        |v AS (SELECT doc_id, idx,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE WHEN (255 - code) >= 128
+        |        THEN 132 - ((((255 - code) % 16) * 8 + 132) * (1 << (((255 - code) // 16) % 8)))
+        |        ELSE ((((255 - code) % 16) * 8 + 132) * (1 << (((255 - code) // 16) % 8))) - 132 END
+        |    ELSE
+        |      CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END *
+        |      CASE WHEN (xor(code, 85) // 16) % 8 = 0 THEN (xor(code, 85) % 16) * 16 + 8
+        |           WHEN (xor(code, 85) // 16) % 8 = 1 THEN (xor(code, 85) % 16) * 16 + 264
+        |           ELSE ((xor(code, 85) % 16) * 16 + 264) * (1 << ((xor(code, 85) // 16) % 8 - 1)) END
+        |    END AS s
+        |  FROM cd),
+        |f AS (SELECT doc_id, CAST(max(abs(s)) AS INT) AS peak,
+        |        CAST(sum(abs(s)) AS BIGINT) AS sum_abs FROM v GROUP BY doc_id),
+        |z AS (SELECT doc_id,
+        |    CAST(count(CASE WHEN (pv < 0) <> (s < 0) THEN 1 END) AS INT) AS zero_crossings
+        |  FROM (SELECT doc_id, s,
+        |          lag(s) OVER (PARTITION BY doc_id ORDER BY idx) AS pv FROM v) t
+        |  GROUP BY doc_id),
+        |c AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(list(s ORDER BY idx), x -> CAST(x + 32768 AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS sample_checksum
+        |  FROM v GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  CASE WHEN f.doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(8 AS INT) AS bits_per_sample, CAST(64 AS BIGINT) AS n_samples,
+        |  f.peak, f.sum_abs, z.zero_crossings, c.sample_checksum
+        |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
 
     // m06: perceptual hashes over REAL decoded pixels, cross-engine —
     // aHash: 8x8 grid (identity sampling at this size), threshold at

@@ -465,7 +465,189 @@ object Multimodal {
         }
       }
       Some(RasterImage(fmt, w.toInt, h.toInt, channels, out))
+    } else if (c.length >= 8 &&
+        ((c(0) == 'I'.toByte && c(1) == 'I'.toByte) ||
+         (c(0) == 'M'.toByte && c(1) == 'M'.toByte))) {
+      decodeTiffPixels(c)
     } else None
+  }
+
+  /** REAL TIFF 6.0 baseline pixel decode (uncompressed strips) — the
+    * pixel-level completion of [[parseExifIfd0]]'s metadata walk, and
+    * the one raster decode that must handle BOTH byte orders AND
+    * offset-stored value arrays from the same wire format: a tag
+    * whose values exceed the 4-byte value field (3-sample
+    * BitsPerSample, multi-strip StripOffsets/StripByteCounts) stores
+    * an OFFSET to the array instead — the indirection layer the
+    * inline-only EXIF gate never touches.
+    *
+    * Decoded slice: Compression=1 (none), 8 bits per sample,
+    * PhotometricInterpretation 1 (BlackIsZero gray, 1 sample) or 2
+    * (RGB, 3 samples), chunky planar config, strip-organized (tiled
+    * TIFFs, WhiteIsZero, palette-color and every compressed variant
+    * return None — the caller falls back to header-only metadata).
+    * Strict throughout: entry tags must ascend (TIFF 6.0 p.15), every
+    * strip's byte count must equal rows-in-strip · width · samples,
+    * offsets must land inside the buffer, and the assembled pixel
+    * total must be exactly w·h·spp — a lying directory cannot decode.
+    *
+    * Scale shape: row-at-a-time inside `mapPartitions` like the other
+    * raster decodes; MaxDim and the w·h·ch product bound allocations.
+    */
+  private def decodeTiffPixels(c: Array[Byte]): Option[RasterImage] = {
+    if (c.length < 8) return None
+    val little = c(0) == 'I'.toByte && c(1) == 'I'.toByte
+    val big = c(0) == 'M'.toByte && c(1) == 'M'.toByte
+    if (!little && !big) return None
+    def u16(off: Long): Int =
+      if (off < 0 || off + 2 > c.length) -1
+      else if (little) (c(off.toInt) & 0xff) | ((c(off.toInt + 1) & 0xff) << 8)
+      else ((c(off.toInt) & 0xff) << 8) | (c(off.toInt + 1) & 0xff)
+    def u32(off: Long): Long =
+      if (off < 0 || off + 4 > c.length) -1L
+      else {
+        val o = off.toInt
+        if (little)
+          (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8) |
+            ((c(o + 2) & 0xffL) << 16) | ((c(o + 3) & 0xffL) << 24)
+        else
+          ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
+            ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
+      }
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > c.length) return None
+    val n = u16(ifd)
+    if (n <= 0 || ifd + 2 + 12L * n + 4 > c.length) return None
+    // SHORT/LONG values, inline when size·count <= 4 else at offset
+    def values(e: Int): Option[Array[Long]] = {
+      val tpe = u16(e + 2); val cnt = u32(e + 4)
+      val size = tpe match { case 3 => 2; case 4 => 4; case _ => return None }
+      if (cnt < 1 || cnt > 4096) return None
+      val total = size * cnt
+      val base: Long =
+        if (total <= 4) e + 8L
+        else {
+          val off = u32(e + 8)
+          if (off < 8 || off + total > c.length) return None
+          off
+        }
+      Some(Array.tabulate(cnt.toInt) { i =>
+        if (size == 2) u16(base + 2L * i).toLong else u32(base + 4L * i)
+      })
+    }
+    var width = -1L; var height = -1L
+    var bps: Array[Long] = null; var compression = -1L; var photometric = -1L
+    var stripOffs: Array[Long] = null; var spp = 1L; var rps = -1L
+    var stripCounts: Array[Long] = null; var planar = 1L
+    var prevTag = -1
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + 12 * i
+      val tag = u16(e)
+      if (tag <= prevTag) return None // entries must ascend (TIFF 6.0)
+      prevTag = tag
+      def v1(vs: Array[Long]): Long = if (vs.length == 1) vs(0) else -1L
+      tag match {
+        case 0x0100 => width = values(e).map(v1).getOrElse(-1L)
+        case 0x0101 => height = values(e).map(v1).getOrElse(-1L)
+        case 0x0102 => bps = values(e).orNull
+        case 0x0103 => compression = values(e).map(v1).getOrElse(-1L)
+        case 0x0106 => photometric = values(e).map(v1).getOrElse(-1L)
+        case 0x0111 => stripOffs = values(e).orNull
+        case 0x0115 => spp = values(e).map(v1).getOrElse(-1L)
+        case 0x0116 => rps = values(e).map(v1).getOrElse(-1L)
+        case 0x0117 => stripCounts = values(e).orNull
+        case 0x011C => planar = values(e).map(v1).getOrElse(-1L)
+        case _ => () // unknown tags skipped (their values never read)
+      }
+      i += 1
+    }
+    if (width < 1 || width > MaxDim || height < 1 || height > MaxDim ||
+        compression != 1 || planar != 1 ||
+        !((photometric == 1 && spp == 1) || (photometric == 2 && spp == 3)) ||
+        bps == null || bps.length != spp || bps.exists(_ != 8) ||
+        stripOffs == null || stripCounts == null ||
+        width * height * spp > Int.MaxValue / 2) return None
+    val w = width.toInt; val h = height.toInt; val ch = spp.toInt
+    if (rps < 1) rps = h // RowsPerStrip defaults to "all rows"
+    val strips = ((h + rps - 1) / rps).toInt
+    if (stripOffs.length != strips || stripCounts.length != strips) return None
+    val out = new Array[Byte](w * h * ch)
+    var s = 0
+    while (s < strips) {
+      val rows = math.min(rps, h - s * rps).toInt
+      val expect = rows.toLong * w * ch
+      if (stripCounts(s) != expect) return None
+      val off = stripOffs(s)
+      if (off < 8 || off + expect > c.length) return None
+      System.arraycopy(c, off.toInt, out, (s * rps).toInt * w * ch, expect.toInt)
+      s += 1
+    }
+    Some(RasterImage("tiff", w, h, ch, out))
+  }
+
+  /** Strip-organized baseline TIFF builder inverted by
+    * [[decodeTiffPixels]] — either byte order, gray or RGB, and a
+    * caller-chosen RowsPerStrip so multi-strip assembly (and the
+    * offset-stored StripOffsets/StripByteCounts/BitsPerSample arrays
+    * it forces) is genuinely on the wire.
+    */
+  def encodeTiff(little: Boolean, w: Int, h: Int, channels: Int,
+      pixels: Array[Byte], rowsPerStrip: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3, "1 (gray) or 3 (RGB) samples")
+    require(w >= 1 && h >= 1 && pixels.length == w * h * channels,
+      s"pixel buffer must be ${w}x$h x$channels")
+    require(rowsPerStrip >= 1 && rowsPerStrip <= h,
+      s"rowsPerStrip out of range: $rowsPerStrip")
+    val strips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val ifdSize = 2 + 10 * 12 + 4
+    var extOff = 8 + ifdSize
+    val bpsExt = if (channels == 3) { val o = extOff; extOff += 6; o } else -1
+    val soExt = if (strips > 1) { val o = extOff; extOff += 4 * strips; o } else -1
+    val sbcExt = if (strips > 1) { val o = extOff; extOff += 4 * strips; o } else -1
+    val counts = Array.tabulate(strips)(i =>
+      math.min(rowsPerStrip, h - i * rowsPerStrip) * w * channels)
+    val offs = counts.scanLeft(extOff)(_ + _).init
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (little) {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      } else {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+    out.write(if (little) 'I' else 'M'); out.write(if (little) 'I' else 'M')
+    w16(42); w32(8L)
+    w16(10) // entry count; tags strictly ascending
+    def shortEntry(tag: Int, value: Int): Unit = {
+      w16(tag); w16(3); w32(1L); w16(value); w16(0)
+    }
+    def longArr(tag: Int, vs: Array[Int], ext: Int): Unit = {
+      w16(tag); w16(4); w32(vs.length.toLong)
+      if (vs.length == 1) w32(vs(0).toLong) else w32(ext.toLong)
+    }
+    shortEntry(0x0100, w)
+    shortEntry(0x0101, h)
+    if (channels == 1) shortEntry(0x0102, 8)
+    else { w16(0x0102); w16(3); w32(3L); w32(bpsExt.toLong) }
+    shortEntry(0x0103, 1) // uncompressed
+    shortEntry(0x0106, if (channels == 1) 1 else 2)
+    longArr(0x0111, offs, soExt)
+    shortEntry(0x0115, channels)
+    shortEntry(0x0116, rowsPerStrip)
+    longArr(0x0117, counts, sbcExt)
+    shortEntry(0x011C, 1) // chunky
+    w32(0L) // next-IFD terminator
+    if (channels == 3) { w16(8); w16(8); w16(8) }
+    if (strips > 1) { offs.foreach(o => w32(o.toLong)); counts.foreach(n => w32(n.toLong)) }
+    var s = 0; var src = 0
+    while (s < strips) { out.write(pixels, src, counts(s)); src += counts(s); s += 1 }
+    out.toByteArray
   }
 
   /** REAL PNG pixel decode — dependency-free beyond the JDK: DEFLATE
@@ -2146,8 +2328,13 @@ object Multimodal {
       samples: Array[Int])
 
   /** REAL integer-PCM sample decode (format 1, 8/16-bit — the widths
-    * that cover interchange WAV in practice; float/24-bit fall to
-    * None like every other undecodable payload, never throw).
+    * that cover interchange WAV in practice — plus the G.711 companded
+    * telephony formats: 6 = A-law, 7 = µ-law, expanded to their exact
+    * 16-bit linear amplitudes via the published segment/mantissa
+    * arithmetic, so `samples` always carries LINEAR values whatever
+    * the wire encoding; `bitsPerSample` reports the WIRE width — 8
+    * for G.711. Float/24-bit fall to None like every other
+    * undecodable payload, never throw).
     *
     * Mirrors [[parseWavHeader]]'s chunk-walk semantics exactly — same
     * Long walk index, same lying-fmt rejection, same odd-size padding
@@ -2167,6 +2354,7 @@ object Multimodal {
     if (c.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var i = 12L
     var fmt: Option[(Int, Int, Int)] = None // (ch, rate, bits)
+    var codec = 1
     var blockAlign = 0
     var dataOff = -1
     var dataSize = -1L
@@ -2180,11 +2368,17 @@ object Multimodal {
         val rate = leU32(body + 4)
         blockAlign = leU16(body + 12)
         val bits = leU16(body + 14)
-        if (audioFmt == 1 && ch >= 1 && ch <= 64 &&
-            rate >= 1 && rate <= (1 << 20) && (bits == 8 || bits == 16) &&
-            blockAlign == ch * (bits / 8))
+        // format 1 = integer PCM; 6/7 = G.711 A-law/µ-law companded
+        // bytes (always 8 wire bits, block align = channel count)
+        val pcmOk = audioFmt == 1 && (bits == 8 || bits == 16) &&
+          blockAlign == ch * (bits / 8)
+        val g711Ok = (audioFmt == 6 || audioFmt == 7) && bits == 8 &&
+          blockAlign == ch
+        if ((pcmOk || g711Ok) && ch >= 1 && ch <= 64 &&
+            rate >= 1 && rate <= (1 << 20)) {
+          codec = audioFmt
           fmt = Some((ch, rate.toInt, bits))
-        else return None // integer-PCM decode only; a lying fmt stays malformed
+        } else return None // a lying fmt stays malformed
       } else if (tag(off, "data")) {
         dataOff = body
         dataSize = size
@@ -2201,7 +2395,20 @@ object Multimodal {
       while (j < n) {
         val o = dataOff + j * bytesPer
         out(j) =
-          if (bits == 8) (c(o) & 0xff) - 128 // 8-bit PCM is unsigned+bias
+          if (codec == 7) { // G.711 µ-law expansion (the Sun reference)
+            val u = ~c(o) & 0xff
+            var t = ((u & 0x0f) << 3) + 0x84
+            t <<= (u & 0x70) >> 4
+            if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+          } else if (codec == 6) { // G.711 A-law expansion
+            val a = (c(o) & 0xff) ^ 0x55
+            var t = (a & 0x0f) << 4
+            val seg = (a & 0x70) >> 4
+            if (seg == 0) t += 8
+            else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+            if ((a & 0x80) != 0) t else -t
+          }
+          else if (bits == 8) (c(o) & 0xff) - 128 // 8-bit PCM is unsigned+bias
           else ((c(o) & 0xff) | (c(o + 1) << 8)).toShort.toInt // LE sign-extend
         j += 1
       }
@@ -2280,6 +2487,72 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Minimal G.711 mono WAV wrapper (format tag 6 = A-law or 7 =
+    * µ-law, 8 wire bits, block align 1): the payload builder for gate
+    * queries and specs that need REAL companded audio round-tripped
+    * through [[decodePcmSamples]]'s expansion arithmetic. `codes` are
+    * the raw companded bytes exactly as they go on the wire.
+    */
+  def buildG711Wav(codes: Array[Byte], sampleRate: Int,
+      aLaw: Boolean): Array[Byte] = {
+    val out = new Array[Byte](44 + codes.length)
+    def putTag(off: Int, s: String): Unit =
+      (0 until 4).foreach(k => out(off + k) = s.charAt(k).toByte)
+    def putLe32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(k => out(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); putLe32(4, 36L + codes.length); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16L)
+    putLe16(20, if (aLaw) 6 else 7); putLe16(22, 1) // G.711, mono
+    putLe32(24, sampleRate.toLong); putLe32(28, sampleRate.toLong)
+    putLe16(32, 1); putLe16(34, 8) // block align, wire bits
+    putTag(36, "data"); putLe32(40, codes.length.toLong)
+    codes.copyToArray(out, 44)
+    out
+  }
+
+  /** m20 payload builder: a REAL G.711 mono WAV per document — µ-law
+    * for even doc_ids, A-law for odd, so BOTH expansion tables run
+    * under the gate. Wire code j is `(byte_j · 7 + j) mod 256` over
+    * the first 64 text bytes — the affine mix spans all 256 code
+    * points across the corpus (ASCII alone never sets the sign bit,
+    * which for µ-law would leave half of each expansion untested).
+    */
+  private def docG711Rows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val bytes = px.getBytes("ISO-8859-1")
+        val codes = Array.tabulate(64)(j => (((bytes(j) & 0xff) * 7 + j) % 256).toByte)
+        MediaRow(id, "audio", buildG711Wav(codes, 8000, aLaw = id % 2 != 0))
+      }
+  }
+
+  /** m20 gate entry: G.711 expansion under the DuckDB gate — the
+    * Spark side decodes genuine companded WAVs (doc parity picks
+    * µ-law or A-law) through the segment/mantissa arithmetic and
+    * derives the m07 signal features from the LINEAR samples; the
+    * oracle recomputes every expansion from ord() first principles —
+    * complement/XOR-0x55, mantissa shift, segment scaling, sign — and
+    * replays peak/sum_abs/zero-crossings/biased checksum, never
+    * seeing a WAV byte. Hash-green proves both expansion formulas
+    * byte-agree with the published G.711 tables cross-engine.
+    */
+  def g711Gate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pcmFeatures(docG711Rows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"),
+        expr("CASE WHEN media_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END").as("law"),
+        $"sample_rate", $"channels", $"bits_per_sample", $"n_samples",
+        $"peak", $"sum_abs", $"zero_crossings", $"sample_checksum")
+      .orderBy($"doc_id")
   }
 
   /** Deterministic 16-bit mono WAV per document: sample j is
@@ -2672,6 +2945,47 @@ object Multimodal {
         (id, m.byteOrder, m.width, m.height, m.orientation)
       }
       .toDF("doc_id", "byte_order", "width", "height", "orientation")
+      .orderBy($"doc_id")
+  }
+
+  /** m19 payload builder: a REAL strip-organized TIFF per document —
+    * gray 8×8 (64 text bytes) for even doc_ids, RGB 8×8 (192 bytes)
+    * for odd; byte order from the SECOND parity bit so all four
+    * (channels × endian) combinations appear across the corpus;
+    * RowsPerStrip = 3 forces three uneven strips (3/3/2 rows) and
+    * therefore offset-stored StripOffsets/StripByteCounts arrays —
+    * the indirection the inline-only m16 wire never exercises.
+    */
+  private def docTiffRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 192)
+      .select($"doc_id", substring($"text", 1, 192).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val ch = if (id % 2 == 0) 1 else 3
+        val bytes = px.substring(0, 64 * ch).getBytes("ISO-8859-1")
+        MediaRow(id, "image",
+          encodeTiff(little = (id / 2) % 2 == 0, 8, 8, ch, bytes,
+            rowsPerStrip = 3))
+      }
+  }
+
+  /** m19 gate entry: REAL TIFF strip decode under the DuckDB gate —
+    * the Spark side walks genuine directories in both byte orders
+    * (second parity bit picks II/MM), resolves offset-stored
+    * BitsPerSample/StripOffsets/StripByteCounts arrays, validates and
+    * assembles three uneven strips, and fingerprints the canonical
+    * pixels; the oracle recomputes every pixel with ord() on the text
+    * prefix (64 gray / 192 RGB samples by doc parity), never seeing a
+    * TIFF byte. Hash-green proves the endian-dual array indirection
+    * and the strip-assembly geometry byte-agree with first principles.
+    */
+  def tiffChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docTiffRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
       .orderBy($"doc_id")
   }
 

@@ -1341,4 +1341,101 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     ph(0).ahash shouldBe ph(1).ahash
     ph(0).dhash shouldBe ph(1).dhash
   }
+
+  // —— TIFF: strip-organized baseline decode (m19 slice) ——
+
+  test("decodeTiff: round-trips gray/RGB, both endians, all strip layouts") {
+    for (ch <- Seq(1, 3); little <- Seq(true, false);
+         (w, h, rps) <- Seq((8, 8, 3), (8, 8, 8), (8, 8, 1), (11, 6, 4), (1, 1, 1))) {
+      val px = detRandom(ch * 1000 + w * 10 + h + (if (little) 7 else 0), w * h * ch)
+      val img = Multimodal.decodeRasterPixels(
+        Multimodal.encodeTiff(little, w, h, ch, px, rps)).get
+      withClue(s"ch=$ch little=$little ${w}x$h rps=$rps: ") {
+        (img.format, img.width, img.height, img.channels) shouldBe
+          (("tiff", w, h, ch))
+        img.pixels.toSeq shouldBe px.toSeq
+      }
+    }
+  }
+
+  test("decodeTiff: agrees with the JDK's own ImageIO codec, both directions") {
+    // direction 1: OUR encoder -> ImageIO's independent decoder (gray
+    // multi-strip little-endian AND RGB big-endian single-strip)
+    val pxG = Array.tabulate(20 * 9)(i => ((i * 13) % 256).toByte)
+    val biG = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodeTiff(little = true, 20, 9, 1, pxG, rowsPerStrip = 4)))
+    biG should not be null
+    for (y <- 0 until 9; x <- 0 until 20) {
+      val v = pxG(y * 20 + x) & 0xff
+      // raw raster sample — getRGB would gamma-map gray into sRGB
+      withClue(s"gray ($x,$y): ") {
+        biG.getRaster.getSample(x, y, 0) shouldBe v
+      }
+    }
+    val pxC = detRandom(77, 7 * 5 * 3)
+    val biC = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodeTiff(little = false, 7, 5, 3, pxC, rowsPerStrip = 5)))
+    biC should not be null
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val o = (y * 7 + x) * 3
+      withClue(s"rgb ($x,$y): ") {
+        biC.getRGB(x, y) & 0xffffff shouldBe
+          (((pxC(o) & 0xff) << 16) | ((pxC(o + 1) & 0xff) << 8) | (pxC(o + 2) & 0xff))
+      }
+    }
+    // direction 2: ImageIO's independent encoder (uncompressed
+    // single-strip big-endian baseline) -> OUR decoder
+    val src = new java.awt.image.BufferedImage(11, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 6; x <- 0 until 11)
+      src.getRaster.setSample(x, y, 0, (x * 23 + y * 41) % 256)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "tiff", buf) shouldBe true
+    val img = Multimodal.decodeRasterPixels(buf.toByteArray).get
+    (img.format, img.width, img.height, img.channels) shouldBe (("tiff", 11, 6, 1))
+    for (y <- 0 until 6; x <- 0 until 11)
+      withClue(s"($x,$y): ") {
+        (img.pixels(y * 11 + x) & 0xff) shouldBe (x * 23 + y * 41) % 256
+      }
+  }
+
+  test("decodeTiff: malformed directories reject without throwing") {
+    val px = detRandom(3, 8 * 8)
+    val good = Multimodal.encodeTiff(little = true, 8, 8, 1, px, rowsPerStrip = 3)
+    Multimodal.decodeRasterPixels(good) should not be None
+    def u16set(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    // entry e's tag field sits at ifd+2+12e = 10+12e (IFD at offset 8)
+    // swapping two entries breaks the ascending-tag invariant
+    val swapped = good.clone()
+    val e0 = 10; val e1 = 22
+    val tmp = swapped.slice(e0, e0 + 12)
+    System.arraycopy(swapped, e1, swapped, e0, 12)
+    tmp.copyToArray(swapped, e1)
+    Multimodal.decodeRasterPixels(swapped) shouldBe None
+    // compression != 1 (LZW declared but stream is raw) rejects
+    val lzw = good.clone(); u16set(lzw, 10 + 12 * 3 + 8, 5)
+    Multimodal.decodeRasterPixels(lzw) shouldBe None
+    // WhiteIsZero photometric is out of the decoded slice
+    val white = good.clone(); u16set(white, 10 + 12 * 4 + 8, 0)
+    Multimodal.decodeRasterPixels(white) shouldBe None
+    // planar config 2 (separate planes) rejects
+    val planar = good.clone(); u16set(planar, 10 + 12 * 9 + 8, 2)
+    Multimodal.decodeRasterPixels(planar) shouldBe None
+    // a lying strip byte count rejects (no partial decode)
+    val badCount = good.clone()
+    val sbcOff = 134 + 4 * 3 // ext area: 3 strip offsets then 3 counts
+    badCount(sbcOff) = (badCount(sbcOff) ^ 1).toByte
+    Multimodal.decodeRasterPixels(badCount) shouldBe None
+    // truncation anywhere inside the strip data rejects
+    for (keep <- Seq(4, 10, 130, good.length - 1))
+      withClue(s"keep=$keep: ") {
+        Multimodal.decodeRasterPixels(good.take(keep)) shouldBe None
+      }
+    // the bare EXIF IFD0 wire (m16 payloads: no strip tags) is
+    // metadata-only -- pixel decode must fall through cleanly
+    Multimodal.decodeRasterPixels(
+      Multimodal.encodeExifIfd0(little = true, 40, 30, 1)) shouldBe None
+  }
 }

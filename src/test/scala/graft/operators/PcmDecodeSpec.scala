@@ -228,4 +228,63 @@ class PcmDecodeSpec extends AnyFunSuite with Matchers with SparkSpec {
       r.getLong(8) shouldBe s.foldLeft(0L)((acc, v) => (acc * 31 + (v + 32768)) % 1000000007L)
     }
   }
+
+  // —— G.711 µ-law / A-law expansion (m20 slice) ——
+
+  private def g711Decode(code: Int, aLaw: Boolean): Int =
+    Multimodal.decodePcmSamples(
+      Multimodal.buildG711Wav(Array(code.toByte), 8000, aLaw)).get.samples(0)
+
+  test("g711: published reference points decode exactly") {
+    // µ-law: 0xFF/0x7F are the two zeros, 0x80/0x00 the extremes
+    g711Decode(0xff, aLaw = false) shouldBe 0
+    g711Decode(0x7f, aLaw = false) shouldBe 0
+    g711Decode(0x80, aLaw = false) shouldBe 32124
+    g711Decode(0x00, aLaw = false) shouldBe -32124
+    // µ-law code 0xFE: u=1 -> mant 1, seg 0 -> (8+132)-132 = 8
+    g711Decode(0xfe, aLaw = false) shouldBe 8
+    // A-law: 0xD5/0x55 are +/-8 (no zero in A-law), 0xAA/0x2A extremes
+    g711Decode(0xd5, aLaw = true) shouldBe 8
+    g711Decode(0x55, aLaw = true) shouldBe -8
+    g711Decode(0xaa, aLaw = true) shouldBe 32256
+    g711Decode(0x2a, aLaw = true) shouldBe -32256
+  }
+
+  test("g711: sign-bit symmetry and per-chord monotonicity over all 256 codes") {
+    for (aLaw <- Seq(false, true)) {
+      val dec = Array.tabulate(256)(c => g711Decode(c, aLaw))
+      // flipping the wire sign bit exactly negates the amplitude
+      for (c <- 0 until 256) withClue(s"aLaw=$aLaw code=$c: ") {
+        dec(c ^ 0x80) shouldBe -dec(c)
+      }
+      if (aLaw) {
+        // A-law positive half (bit 7 SET on the wire): amplitude grows
+        // with xor-folded code; every value is distinct and even
+        val pos = (0 until 128).map(c => dec((c ^ 0x55) | 0x80))
+        pos.distinct.size shouldBe 128
+        all(pos.map(_ % 2)) shouldBe 0
+        pos.zip(pos.drop(1)).foreach { case (a, b) => b should be > a }
+      } else {
+        // µ-law positive half (bit 7 set): complement order -> amplitude
+        // DECREASES as the code increases; the two zeros coincide
+        val pos = (0x80 to 0xff).map(dec)
+        pos.zip(pos.drop(1)).foreach { case (a, b) => b should be < (a max 1) }
+        pos.last shouldBe 0
+      }
+    }
+  }
+
+  test("g711: lying fmt chunks reject; 16-bit G.711 is malformed") {
+    val good = Multimodal.buildG711Wav(Array.tabulate(8)(_.toByte), 8000, aLaw = false)
+    Multimodal.decodePcmSamples(good) should not be None
+    // block align != channel count
+    val badAlign = good.clone(); badAlign(32) = 2
+    Multimodal.decodePcmSamples(badAlign) shouldBe None
+    // 16 declared wire bits under a companded format tag
+    val bad16 = good.clone(); bad16(34) = 16
+    Multimodal.decodePcmSamples(bad16) shouldBe None
+    // an unknown format tag stays malformed
+    val badFmt = good.clone(); badFmt(20) = 3
+    Multimodal.decodePcmSamples(badFmt) shouldBe None
+  }
 }
