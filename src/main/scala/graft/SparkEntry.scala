@@ -162,6 +162,7 @@ object SparkEntry {
     "t27_pmi_colloc" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     "t28_textrank" -> ((s: SparkSession, d: String) => TextAnalysis.textRankKeywords(s, d)),
     "t29_trigram_backoff" -> ((s: SparkSession, d: String) => TextAnalysis.trigramBackoff(s, d)),
+    "t30_span_corrupt" -> ((s: SparkSession, d: String) => TextAnalysis.spanCorrupt(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -229,6 +230,7 @@ object SparkEntry {
     "p15_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
     "p16_curriculum" -> ((s: SparkSession, d: String) => Sampling.curriculumOrder(s, d)),
     "p17_interleave" -> ((s: SparkSession, d: String) => Sampling.weightedInterleave(s, d)),
+    "p18_unimax" -> ((s: SparkSession, d: String) => Sampling.unimaxAlloc(s, d)),
     // —— the reference's own README workload over the committed
     //    converted fixture (graft.osm.OsmFixture; SURVEY §5.3) ——
     "o01_reassemble_ways" -> (osm.OsmOracle.reassembledWayPaths _),
@@ -1471,6 +1473,41 @@ object SparkEntry {
         |SELECT t.bucket, CAST(t.k AS BIGINT) AS k, r.v AS boundary_cents
         |FROM t JOIN r ON r.rn = t.k
         |ORDER BY t.bucket""".stripMargin,
+
+    // p18: UNIMAX budget allocation — closed-form integer water-fill
+    // over the per-language counts: ascending (count, lang) order,
+    // full iff n <= (budget − cum) // remaining, common cap for the
+    // capped suffix, integer leftover explicit
+    "p18_unimax" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS nl FROM n),
+        |st AS (
+        |  SELECT n.lang, n.n_docs, CAST((t.total * 4) // 5 AS BIGINT) AS budget,
+        |    t.nl, row_number() OVER (ORDER BY n.n_docs, n.lang) AS i,
+        |    CAST(coalesce(sum(n.n_docs) OVER (ORDER BY n.n_docs, n.lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM n, t),
+        |st2 AS (
+        |  SELECT *, n_docs <= (budget - cum) // (nl - i + 1) AS is_full
+        |  FROM st),
+        |cp AS (
+        |  SELECT CASE WHEN sum(CASE WHEN is_full THEN 1 ELSE 0 END) = max(nl)
+        |              THEN NULL
+        |              ELSE (max(budget) -
+        |                    coalesce(sum(CASE WHEN is_full THEN n_docs END), 0))
+        |                   // (max(nl) - sum(CASE WHEN is_full THEN 1 ELSE 0 END))
+        |         END AS cap
+        |  FROM st2),
+        |al AS (
+        |  SELECT st2.lang, st2.n_docs,
+        |    CAST(CASE WHEN is_full THEN n_docs ELSE cp.cap END AS BIGINT) AS alloc,
+        |    NOT is_full AS capped, st2.budget
+        |  FROM st2, cp)
+        |SELECT lang, n_docs, alloc, capped, budget,
+        |  CAST(budget - sum(alloc) OVER () AS BIGINT) AS leftover
+        |FROM al ORDER BY lang""".stripMargin,
 
     // q48: grouped OLS trend — daily cent rollups, per-group
     // re-centered day index, and the exact integer slope fraction
@@ -3259,6 +3296,52 @@ object SparkEntry {
          |  CAST(sum(qp) AS BIGINT) AS sum_qp,
          |  CAST(sum(qp) // count(*) AS BIGINT) AS avg_qp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t30: T5 span corruption — stride-3 blocks fire on an md5 key
+    // (25%), span length 1 + (h//4)%3 <= the stride so spans never
+    // overlap; sentinels number left-to-right; string_agg skips the
+    // NULL pieces exactly as the Spark filter drops them
+    "t30_span_corrupt" ->
+      s"""WITH ${tkCte("")},
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS INT) - 1 AS p, list_extract(tk, i) AS w
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+         |        FROM tk) t),
+         |blk AS (SELECT doc_id, p, w, p - (p % 3) AS s FROM pos),
+         |hx AS (
+         |  SELECT doc_id, s,
+         |    ${hexIntSql("md5('sc0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))", 4)} AS h
+         |  FROM (SELECT DISTINCT doc_id, s FROM blk) u),
+         |sp AS (
+         |  SELECT doc_id, s, 1 + (h // 4) % 3 AS len,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS idx
+         |  FROM hx WHERE h % 4 = 0),
+         |m AS (
+         |  SELECT b.doc_id, b.p, b.w, b.s, sp.idx,
+         |    coalesce(b.p - b.s < sp.len, false) AS masked
+         |  FROM blk b LEFT JOIN sp ON b.doc_id = sp.doc_id AND b.s = sp.s),
+         |corr AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN NOT masked THEN w
+         |                    WHEN p = s THEN '<X' || CAST(idx AS VARCHAR) || '>'
+         |               END, ' ' ORDER BY p) AS corrupted
+         |  FROM m GROUP BY doc_id),
+         |tg1 AS (
+         |  SELECT doc_id, s,
+         |    '<X' || CAST(idx AS VARCHAR) || '> ' ||
+         |      string_agg(w, ' ' ORDER BY p) AS span_str
+         |  FROM m WHERE masked GROUP BY doc_id, s, idx),
+         |tg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    string_agg(span_str, ' ' ORDER BY s) AS targets
+         |  FROM tg1 GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |       FROM pos GROUP BY doc_id)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  CAST(coalesce(tg.n_spans, 0) AS BIGINT) AS n_spans,
+         |  corr.corrupted, coalesce(tg.targets, '') AS targets
+         |FROM nt JOIN corr USING (doc_id) LEFT JOIN tg USING (doc_id)
+         |ORDER BY nt.doc_id""".stripMargin,
 
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic

@@ -701,4 +701,70 @@ object Sampling {
         ($"off" + $"lrn").cast("bigint").as("pos"))
       .orderBy($"pos")
   }
+
+  /** UNIMAX budget allocation (p18) — Chung et al. 2023: the
+    * multilingual mixture allocator that replaced temperature
+    * sampling for large-scale pretraining: given a document budget
+    * (here `budgetNum/budgetDen` of the corpus), allocate each
+    * language min(its corpus count, a common cap), with the cap
+    * water-filled so low-resource languages keep EVERYTHING and only
+    * the high-resource tail is capped — the budget-constrained
+    * closest point to uniform. Exactly this corpus' shape: `en`
+    * dwarfs the rest, and at the 4/5 default every other language
+    * rides under the cap while `en` absorbs the entire cut.
+    *
+    * All arithmetic is integer (counts, one `div` per window row), so
+    * the closed-form water-fill replays exactly cross-engine: in
+    * ascending (count, lang) order, language i is FULL iff
+    * n_i <= (budget − Σ_{j<i} n_j) div (L − i + 1); fullness is a
+    * prefix of that order (the water-filling invariant, spec-checked
+    * against an independent sequential loop), and the cap for the
+    * capped suffix is (budget − Σ_full n) div #capped. The integer
+    * remainder stays unallocated and is emitted as `leftover`
+    * (< #capped whenever anything is capped) — an explicit column,
+    * not a silent drop. Selection WITHIN each language composes with
+    * the deterministic-rank samplers (p02's hash order; at scale the
+    * p17 within-source sharded-rank pass) — this operator is the
+    * allocator those ranks consume.
+    *
+    * Scale shape: ONE map-combinable count per language; everything
+    * after operates on the L-row aggregate frame (L = language count,
+    * a corpus constant — the p04 bounded-funnel shape), so the
+    * windows never see data rows.
+    */
+  def unimaxAlloc(spark: SparkSession, sfDir: String, budgetNum: Int = 4,
+      budgetDen: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(budgetNum >= 1 && budgetDen >= budgetNum,
+      s"budget fraction must be in (0, 1]: $budgetNum/$budgetDen")
+    val n = Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = n.agg(sum($"n_docs").as("total"), count(lit(1)).as("nl"))
+    val w = Window.orderBy($"n_docs", $"lang")
+    val staged = n.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"(total * $budgetNum) div $budgetDen"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", coalesce(
+        sum($"n_docs").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("avail", expr("(budget - cum) div (nl - i + 1)"))
+      .withColumn("is_full", $"n_docs" <= $"avail")
+    val caps = staged.groupBy().agg(
+        max($"budget").as("b2"),
+        coalesce(sum(when($"is_full", $"n_docs")), lit(0L)).as("fullsum"),
+        sum(when($"is_full", 1L).otherwise(0L)).as("nfull"),
+        count(lit(1)).as("nl2"))
+      .withColumn("cap", expr(
+        "CASE WHEN nfull = nl2 THEN NULL ELSE (b2 - fullsum) div (nl2 - nfull) END"))
+      .select($"cap")
+    val alloc = staged.crossJoin(broadcast(caps))
+      .withColumn("alloc",
+        when($"is_full", $"n_docs").otherwise($"cap").cast("bigint"))
+    alloc
+      .withColumn("leftover",
+        $"budget" - sum($"alloc").over(Window.partitionBy()))
+      .select($"lang", $"n_docs", $"alloc", (!$"is_full").as("capped"),
+        $"budget", $"leftover")
+      .orderBy($"lang")
+  }
 }

@@ -1329,4 +1329,75 @@ object TextAnalysis {
       .select($"rnk", $"word", $"pr", $"s")
       .orderBy($"rnk")
   }
+
+  /** T5-style span corruption (t30) — Raffel et al. 2020 §3.1.4: the
+    * denoising-objective preprocessing a text-to-text training
+    * pipeline runs over every document: contiguous token spans are
+    * replaced by numbered sentinel tokens `<X0> <X1> …` in the input,
+    * and the target sequence lists each sentinel followed by the
+    * tokens it hides. Here the span schedule is fully DETERMINISTIC
+    * (md5-keyed, seed-parameterized) so the corruption replays
+    * bit-identically across engines, epochs and partitionings:
+    * positions are tiled into stride-3 blocks, block s fires iff
+    * `h(seed, doc, s) mod 4 = 0` (≈25% of blocks → ~15% of tokens
+    * masked, the T5 default neighborhood), and a fired block masks
+    * `1 + (h div 4) mod 3` tokens from its start — span length ≤ the
+    * stride, so spans NEVER overlap or abut ambiguously by
+    * construction (the determinism T5's random merge step lacks).
+    * Sentinels number left-to-right per document. Documents with no
+    * tokens emit no row (the t20 domain note); a fired block always
+    * contains its own start token, so every sentinel hides ≥ 1 token.
+    *
+    * Scale shape: map-only per-token arithmetic (block, hash, fire,
+    * length all derive from (doc_id, position)); the span index is
+    * one row_number window PARTITIONED BY doc over the fired blocks
+    * only; reassembly is two doc-keyed sort_array(collect_list)
+    * aggregates — per-doc state bounded by document length, no
+    * cross-doc term anywhere.
+    */
+  def spanCorrupt(spark: SparkSession, sfDir: String,
+      seed: String = "sc0"): DataFrame = {
+    import spark.implicits._
+    val pos = graft.Caches.track(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", posexplode(Text.toks($"text")).as(Seq("p", "w")))
+        .withColumn("s", ($"p" - ($"p" % 3)).cast("int"))
+        .withColumn("h", conv(substring(
+          md5(concat(lit(seed + ":"), $"doc_id".cast("string"), lit(":"),
+            $"s".cast("string")).cast("binary")), 1, 4), 16, 10).cast("bigint"))
+        .withColumn("fire", $"h" % 4 === 0)
+        .withColumn("len", (lit(1) + expr("(h div 4) % 3")).cast("int"))
+        .withColumn("masked", $"fire" && ($"p" - $"s") < $"len"))
+    val spans = pos.filter($"fire" && $"p" === $"s")
+      .withColumn("idx", (row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"s")) - 1).cast("int"))
+      .select($"doc_id", $"s", $"idx")
+    val tagged = pos.join(spans, Seq("doc_id", "s"), "left")
+    val corrupted = tagged
+      .withColumn("piece",
+        when(!$"masked", $"w")
+          .when($"p" === $"s", concat(lit("<X"), $"idx", lit(">"))))
+      .filter($"piece".isNotNull)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pieces"),
+        array_join(expr("transform(sort_array(collect_list(struct(p, piece))), x -> x.piece)"),
+          " ").as("corrupted"))
+    val targets = tagged.filter($"masked")
+      .groupBy($"doc_id", $"s", $"idx")
+      .agg(array_join(expr("transform(sort_array(collect_list(struct(p, w))), x -> x.w)"),
+        " ").as("span_toks"))
+      .select($"doc_id", $"s",
+        concat(lit("<X"), $"idx", lit("> "), $"span_toks").as("span_str"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        array_join(expr("transform(sort_array(collect_list(struct(s, span_str))), x -> x.span_str)"),
+          " ").as("targets"))
+    val counts = pos.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    counts.join(corrupted.drop("n_pieces"), "doc_id")
+      .join(targets, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        $"corrupted", coalesce($"targets", lit("")).as("targets"))
+      .orderBy($"doc_id")
+  }
 }

@@ -142,13 +142,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // constant; the within-source pass' offsets window is partitioned
     // by source and never single-partition; verified by plan dump
     // this round).
+    // p18 — every window (water-fill rank/prefix-sum, the final
+    // leftover sum) runs on the per-LANGUAGE aggregate frame: one row
+    // per language, language cardinality is a corpus constant — p04's
+    // tiny-key-space bounded shape exactly.
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
       "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters",
       "q39_table_profile", "q40_fk_audit", "q45_funnel",
       "t27_pmi_colloc", "p16_curriculum", "q47_equidepth_hist",
-      "t29_trigram_backoff", "p17_interleave")
+      "t29_trigram_backoff", "p17_interleave", "p18_unimax")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -137,4 +137,61 @@ class CollocationSpec extends AnyFunSuite with Matchers with SparkSpec {
     hitBig should be > 0L
     hitUni should be > 0L
   }
+
+  test("t30: span corruption matches a sequential replay; interleaving " +
+    "corrupted with targets reconstructs every original document") {
+    def h(doc: Long, s: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"sc0:$doc:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    }
+    val exp = docTokensById.filter(_._2.nonEmpty).map { case (id, tks) =>
+      val fired = tks.indices.map(p => p / 3 * 3).distinct
+        .filter(s => h(id, s) % 4 == 0)
+        .map(s => s -> (1 + (h(id, s) / 4) % 3).toInt)
+      val idxOf = fired.map(_._1).zipWithIndex.toMap
+      val maskedPos = fired.flatMap { case (s, len) =>
+        s until math.min(s + len, tks.length)
+      }.toSet
+      val corrupted = tks.indices.flatMap { p =>
+        if (!maskedPos(p)) Some(tks(p))
+        else if (idxOf.contains(p)) Some(s"<X${idxOf(p)}>")
+        else None
+      }.mkString(" ")
+      val targets = fired.map { case (s, len) =>
+        s"<X${idxOf(s)}> " +
+          (s until math.min(s + len, tks.length)).map(tks).mkString(" ")
+      }.mkString(" ")
+      (id, tks.length.toLong, fired.size.toLong, corrupted, targets)
+    }.sortBy(_._1)
+    val got = TextAnalysis.spanCorrupt(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4))).toSeq
+    got shouldBe exp
+    // the denoising round-trip: substituting each sentinel's target
+    // span back into the corrupted stream recovers the original
+    val origById = docTokensById.toMap
+    val sentinel = "<X(\\d+)>".r
+    for ((id, _, nSpans, corr, tgt) <- got) {
+      val chunks = sentinel.split(tgt).drop(1).map(_.trim)
+      chunks.length.toLong shouldBe nSpans
+      val rebuilt = corr.split(" ").filter(_.nonEmpty).flatMap {
+        case sentinel(i) => chunks(i.toInt).split(" ")
+        case tok => Array(tok)
+      }
+      withClue(s"doc $id: ") { rebuilt.toSeq shouldBe origById(id).toSeq }
+    }
+    // non-vacuous across the corpus: multi-sentinel docs, multi-token
+    // spans, and untouched docs all occur
+    got.count(_._3 >= 2) should be > 0
+    got.exists { case (_, _, n, _, tgt) =>
+      n > 0 && sentinel.split(tgt).drop(1).exists(_.trim.split(" ").length > 1)
+    } shouldBe true
+    got.count(_._3 == 0) should be > 0
+    // the seed is live: a different epoch seed changes the schedule
+    val other = TextAnalysis.spanCorrupt(spark, sf, seed = "sc1").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    got.exists { case (id, _, _, corr, _) => other(id) != corr } shouldBe true
+  }
 }

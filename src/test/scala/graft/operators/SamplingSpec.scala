@@ -435,4 +435,55 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
       w.count(_._2 == 1)
     w4 / w1 should be(4.0 +- 1.0)
   }
+
+  test("p18: allocations match an independent sequential water-fill; " +
+    "invariants hold and the budget fraction is live") {
+    import spark.implicits._
+    val counts = graft.Tables.documents(spark, sf)
+      .groupBy($"lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // independent replay: a plain loop, not the closed form — takes
+    // languages ascending and fills while the fair share covers them
+    def waterfill(num: Int, den: Int): (Map[String, Long], Long, Long) = {
+      val budget = counts.map(_._2).sum * num / den
+      val asc = counts.sortBy { case (l, n) => (n, l) }
+      var rem = budget; var left = asc.size
+      var allocs = Map.empty[String, Long]; var cap = -1L
+      for ((l, n) <- asc) {
+        val fair = rem / left
+        if (cap < 0 && n <= fair) { allocs += l -> n; rem -= n; left -= 1 }
+        else {
+          if (cap < 0) cap = fair // first capped language fixes the cap
+          allocs += l -> cap; rem -= cap; left -= 1
+        }
+      }
+      (allocs, budget, rem)
+    }
+    val (expAlloc, expBudget, expLeft) = waterfill(4, 5)
+    val got = Sampling.unimaxAlloc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got.map(t => t._1 -> t._3).toMap shouldBe expAlloc
+    all(got.map(_._5)) shouldBe expBudget
+    all(got.map(_._6)) shouldBe expLeft
+    // invariants: alloc <= corpus count; capped languages share ONE
+    // cap; full languages keep everything; Σalloc + leftover = budget
+    got.foreach { case (_, n, a, capped, _, _) =>
+      a should be <= n
+      if (!capped) a shouldBe n
+    }
+    got.filter(_._4).map(_._3).distinct.size should be <= 1
+    got.map(_._3).sum + expLeft shouldBe expBudget
+    // non-vacuous on this corpus: en is capped, low-resource langs full
+    got.find(_._1 == "en").get._4 shouldBe true
+    got.count(!_._4) should be >= 3
+    // leftover is a remainder, not unspent budget: < #capped when any
+    val nCapped = got.count(_._4)
+    if (nCapped > 0) expLeft should be < nCapped.toLong
+    // the budget fraction is live: 3/5 caps strictly harder
+    val tight = Sampling.unimaxAlloc(spark, sf, budgetNum = 3, budgetDen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    tight.values.sum should be < got.map(_._3).sum
+    counts.foreach { case (l, _) => tight(l) should be <= expAlloc(l) }
+  }
 }
