@@ -252,6 +252,7 @@ object SparkEntry {
     "o17_pbf_reassemble" -> (osm.OsmOracle.pbfReassembledWayPaths _),
     "o18_pbf_members" -> (osm.OsmOracle.pbfRelationMembers _),
     "o19_zorder_nodes" -> (osm.OsmOracle.zorderNodes _),
+    "o20_zrange_bbox" -> (osm.OsmOracle.zrangeBboxNodes _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -4551,6 +4552,24 @@ object SparkEntry {
          |      FROM s)
          |SELECT id, version, zval, CAST(zval >> 50 AS INT) AS zcell
          |FROM z ORDER BY id, version""".stripMargin,
+
+    // o20: the z-range-pruned bbox scan's LOSSLESSNESS gate — the
+    // oracle is the PLAIN o05 bbox filter with no z logic in the
+    // selection (zval recomputed per matched row only for the output
+    // column); a single true row dropped by Spark's z-range prefilter
+    // hash-mismatches
+    "o20_zrange_bbox" ->
+      s"""WITH n AS (
+         |  SELECT id, lat, lon, CAST(lat AS DOUBLE) AS latd, CAST(lon AS DOUBLE) AS lond
+         |  FROM $OsmP WHERE type = 'node'
+         |  AND lon BETWEEN -0.25e0 AND -0.05e0 AND lat BETWEEN 51.05e0 AND 51.25e0),
+         |s AS (SELECT id, lat, lon,
+         |        ${zScaleSql("lond", "-180.0e0", "360.0e0")} AS lons,
+         |        ${zScaleSql("latd", "-90.0e0", "180.0e0")} AS lats
+         |      FROM n)
+         |SELECT id, CAST(lat AS VARCHAR) AS lat, CAST(lon AS VARCHAR) AS lon,
+         |  (${zSpreadSql("lons")}) + 2 * (${zSpreadSql("lats")}) AS zval
+         |FROM s ORDER BY id""".stripMargin,
   )
 
   /** 21-bit coordinate scaling, the ZCurve.scale mirror: the identical

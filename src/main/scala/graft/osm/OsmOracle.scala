@@ -254,4 +254,36 @@ object OsmOracle {
       .withColumn("zcell", shiftright(col("zval"), 50).cast("int"))
       .orderBy(col("id"), col("version"))
   }
+
+  /** Z-range-pruned bbox scan (o20) — o19's index USED: the o05 bbox
+    * query answered through the z-curve the ORC sink clusters by.
+    * Because the Morton code is monotone in each coordinate (z =
+    * spread(lon) + 2·spread(lat) on disjoint bit positions, spread
+    * strictly increasing), every point of the bbox satisfies
+    * z(minLat, minLon) <= zval <= z(maxLat, maxLon) — so that LITERAL
+    * range is a lossless prefilter (a superset of the bbox), and on
+    * z-sorted storage it is exactly the stripe min/max pruning window
+    * a 100 TB planet scan rides. The exact bbox refine
+    * ([[OsmQueries.nodesInBbox]], o05's own predicate) then drops the
+    * false positives the curve's excursions admit.
+    *
+    * The GATE is the losslessness proof: the oracle is the PLAIN bbox
+    * filter with no z logic anywhere — one true row dropped by the
+    * range prefilter and the hashes diverge. ZRangeSpec additionally
+    * measures that the prefilter genuinely prunes (candidates strictly
+    * between the bbox count and the corpus count).
+    */
+  def zrangeBboxNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val zmin = graft.functions.ZCurve.fromLatLon(51.05, -0.25)
+    val zmax = graft.functions.ZCurve.fromLatLon(51.25, -0.05)
+    val pre = OsmFixture.planet(spark)
+      .withColumn("zval",
+        graft.functions.ZOrderFunctions.zorder(col("lat"), col("lon")))
+      .filter(col("zval").between(zmin, zmax)) // index predicate: literals
+    OsmQueries.nodesInBbox(pre,
+        minLon = -0.25, maxLon = -0.05, minLat = 51.05, maxLat = 51.25)
+      .select(col("id"), col("lat").cast("string").as("lat"),
+        col("lon").cast("string").as("lon"), col("zval"))
+      .orderBy(col("id"))
+  }
 }

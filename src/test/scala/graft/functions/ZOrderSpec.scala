@@ -66,4 +66,32 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
     // nodes remain queryable by bbox after clustering
     back.filter(col("lat").between(51.4, 51.65)).count() shouldBe 2
   }
+
+  test("o20: the z-range prefilter is a lossless, genuinely-pruning " +
+    "superset of the bbox") {
+    val planet = graft.osm.OsmFixture.planet(spark)
+      .filter(col("type") === "node" && col("lat").isNotNull &&
+        col("lon").isNotNull)
+      .withColumn("zval",
+        graft.functions.ZOrderFunctions.zorder(col("lat"), col("lon")))
+    val zmin = graft.functions.ZCurve.fromLatLon(51.05, -0.25)
+    val zmax = graft.functions.ZCurve.fromLatLon(51.25, -0.05)
+    val corpus = planet.count()
+    val candidates = planet.filter(col("zval").between(zmin, zmax)).count()
+    val matches = planet
+      .filter(col("lon").between(-0.25, -0.05) && col("lat").between(51.05, 51.25))
+      .count()
+    val gated = graft.osm.OsmOracle.zrangeBboxNodes(spark, "").count()
+    gated shouldBe matches // losslessness (also hash-gated vs DuckDB)
+    // the prune is real: a strict superset of the bbox, a strict
+    // subset of the corpus
+    candidates should be >= matches
+    candidates should be < corpus
+    // and monotonicity holds for every in-bbox point (the property
+    // the literal range rests on)
+    planet.filter(col("lon").between(-0.25, -0.05) &&
+        col("lat").between(51.05, 51.25))
+      .filter(col("zval") < zmin || col("zval") > zmax)
+      .count() shouldBe 0L
+  }
 }
