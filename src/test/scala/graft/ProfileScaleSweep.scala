@@ -242,6 +242,12 @@ object ProfileScaleSweep {
         Similarity.labelPropagation(spark, dir, k = 8 * mult))
       time("kcore_sizedk")(
         Similarity.kCorePeel(spark, dir, k = 8 * mult))
+      // s26 link prediction: the same sized-k edges; the wedge
+      // self-join is Σdeg² (bounded by the kNN degree, linear in
+      // vertices at fixed degree — triangles' bound), the anti-join
+      // and degree joins linear, top-N TakeOrdered
+      time("linkpred_sizedk")(
+        Similarity.linkPrediction(spark, dir, k = 8 * mult))
       // p15: a maxTickets-bounded explode + min-agg with map-side
       // combine + one TakeOrdered — pure linear, the null hypothesis
       time("weighted_sample")(Sampling.weightedSample(spark, dir))
