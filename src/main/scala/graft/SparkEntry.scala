@@ -61,6 +61,10 @@ object SparkEntry {
       Relational.equiDepthHistogram(s, d)),
     "q48_group_trend" -> ((s: SparkSession, d: String) =>
       Relational.groupTrend(s, d)),
+    "q49_gap_chains" -> ((s: SparkSession, d: String) =>
+      Relational.gapChains(s, d)),
+    "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
+      Dedup.lshRecallCurve(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -1536,6 +1540,24 @@ object SparkEntry {
         |            ELSE 0 END AS INT) AS trend
         |FROM m ORDER BY grp""".stripMargin,
 
+    // q49: gap-constrained event chains — all view→click→purchase
+    // chains with each hop within the gap, exact integer micros,
+    // strict > so equal timestamps never chain
+    "q49_gap_chains" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, us AS v_us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us AS p_us FROM e WHERE event_type = 'purchase')
+        |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_chains,
+        |  CAST(min(v.v_us) AS BIGINT) AS first_start_us,
+        |  CAST(max(p.p_us) AS BIGINT) AS last_end_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c_us > v_us AND c_us - v_us <= CAST(360 AS BIGINT) * 60 * 1000000
+        |JOIN p ON c.user_id = p.user_id
+        |  AND p_us > c_us AND p_us - c_us <= CAST(360 AS BIGINT) * 60 * 1000000
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
     // p17: weighted fair interleave — within-source seeded ranks,
     // virtual time r·(12 // w), global order (v, source, doc_id)
     "p17_interleave" ->
@@ -1826,6 +1848,50 @@ object SparkEntry {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+
+    // d28: the LSH S-curve measured — shared-shingle pairs bucketed by
+    // integer Jaccard decile, full-outer with d03's banded candidates;
+    // no-shared-shingle candidates land in bucket -1 as explicit FPs
+    "d28_lsh_recall" ->
+      s"""WITH ${tkCte("")},
+         |$ShCte,
+         |$DictCte,
+         |$HashCte,
+         |mh AS (
+         |  SELECT s.doc_id, h.i, min((h.a * d.sid + h.b) % 2147483647) AS mh
+         |  FROM sh s JOIN dict d ON s.sh = d.sh CROSS JOIN h
+         |  GROUP BY 1, 2
+         |),
+         |bs AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+         |  FROM mh GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS ic
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pr AS (
+         |  SELECT i.a, i.b,
+         |    CAST((i.ic * 10) // (sa.n + sb.n - i.ic) AS INT) AS bucket
+         |  FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+         |  JOIN sizes sb ON i.b = sb.doc_id
+         |),
+         |fo AS (
+         |  SELECT coalesce(p.bucket, -1) AS bucket,
+         |    CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS is_pair,
+         |    CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+         |  FROM pr p FULL OUTER JOIN cand c ON p.a = c.a AND p.b = c.b
+         |)
+         |SELECT bucket, CAST(sum(is_pair) AS BIGINT) AS n_pairs,
+         |  CAST(sum(is_hit) AS BIGINT) AS n_caught
+         |FROM fo GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // est = equal signature positions / 16 (unbiased Jaccard estimator);
     // exact jaccard joined alongside so the oracle pins both columns

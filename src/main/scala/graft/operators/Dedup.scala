@@ -1788,4 +1788,47 @@ object Dedup {
       .filter($"dist" <= maxDist)
       .orderBy($"sa", $"sb")
   }
+
+  /** LSH recall curve (d28) — the S-curve from the textbook MEASURED
+    * as a query: for every pair of sampled documents sharing at least
+    * one shingle, the exact Jaccard decile (`(10·|∩|) div |∪|`, the
+    * integer bucket) next to whether d03's banded MinHash caught the
+    * pair. This is the quality monitor a production dedup pipeline
+    * runs when tuning bands×rows: recall must be ~1 at the high
+    * deciles (and is EXACTLY 1 at decile 10 — identical shingle sets
+    * give identical signatures, the one LSH guarantee) and falls off
+    * below the band threshold, while candidates with NO shared
+    * shingle (possible: two disjoint sets can share a minhash value)
+    * land in the explicit bucket −1 as pure false positives rather
+    * than vanishing.
+    *
+    * All counts are BIGINTs over integer buckets — hash-gates
+    * exactly. The monitor runs the FULL corpus (unlike d03's gate
+    * sample — the near-dup mass the curve exists to measure is
+    * sparse, and a thin sample leaves the high deciles empty); the
+    * shared-shingle pair base is one shingle-equality self-join
+    * (Σ df²), the d05/d06 truth-side shape, with d23's prefix-filter
+    * machinery as the 100 TB truth path when df² goes hot.
+    */
+  def lshRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, None))
+    val caught = bandPairs(spark, sh.join(shingleDict(sh), "sh"))
+      .select($"a", $"b", lit(1).as("hit"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.alias("x").join(sh.alias("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("ic"))
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .withColumn("bucket",
+        expr("CAST((ic * 10) div (na + nb - ic) AS INT)"))
+    pairs.join(caught, Seq("a", "b"), "full_outer")
+      .withColumn("bkt", coalesce($"bucket", lit(-1)))
+      .groupBy($"bkt".as("bucket"))
+      .agg(sum(when($"ic".isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_caught"))
+      .orderBy($"bucket")
+  }
 }

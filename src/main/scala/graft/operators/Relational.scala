@@ -1273,4 +1273,47 @@ object Relational {
                 |     ELSE 0 END""".stripMargin).cast("int").as("trend"))
       .orderBy($"grp")
   }
+
+  /** Gap-constrained event chains (q49) — the multi-hop CEP pattern
+    * (MATCH_RECOGNIZE's bread-and-butter): per user, every ordered
+    * view → click → purchase chain where EACH successive step fires
+    * within `gapMin` minutes of the previous one — the composition
+    * q45's funnel (global per-user anchors, no gap) and q35's
+    * attribution (a single hop) don't express. ALL qualifying chains
+    * count (the all-matches semantics, which is what makes the result
+    * a pure join — greedy/skip-past-match CEP variants need
+    * sequential state and live in the streaming layer). Gaps compare
+    * in exact integer microseconds; ties (equal timestamps) do NOT
+    * chain — strict `>`, documented and spec-pinned.
+    *
+    * Scale shape: two equi-joins on user_id with post-join gap
+    * filters — pair volume is Σ_u views_u·clicks_u (then ·purchases),
+    * bounded by PER-USER activity (the s23 Σdeg² discipline: the user
+    * key is the blocking key, never the corpus); the aggregate
+    * collapses to one row per user with map-side partials. A corpus
+    * with pathological single-user skew salts the user key by
+    * time-bucket first (the q35 interval-join note).
+    */
+  def gapChains(spark: SparkSession, sfDir: String,
+      gapMin: Int = 360): DataFrame = {
+    import spark.implicits._
+    require(gapMin >= 1, s"gapMin must be >= 1: $gapMin")
+    val gap = gapMin * 60L * 1000000L
+    val ev = graft.Caches.track(
+      Tables.events(spark, sfDir)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts").as("us")))
+    def step(t: String, p: String): DataFrame =
+      ev.filter($"event_type" === t)
+        .select($"user_id", $"event_id".as(s"${p}_id"), $"us".as(s"${p}_us"))
+    step("view", "v")
+      .join(step("click", "c"), "user_id")
+      .filter($"c_us" > $"v_us" && $"c_us" - $"v_us" <= gap)
+      .join(step("purchase", "p"), "user_id")
+      .filter($"p_us" > $"c_us" && $"p_us" - $"c_us" <= gap)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_chains"),
+        min($"v_us").as("first_start_us"), max($"p_us").as("last_end_us"))
+      .orderBy($"user_id")
+  }
 }

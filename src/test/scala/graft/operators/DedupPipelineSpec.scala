@@ -71,4 +71,47 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     best.unpersist(); quality.unpersist()
     graft.Caches.releaseAll(spark)
   }
+
+  test("d28: the truth side of the recall curve matches a sequential " +
+    "shingle recompute; the LSH guarantee and curve invariants hold") {
+    val sfSmall = "/root/testdata/sf0.001"
+    import spark.implicits._
+    // independent truth: per-doc 3-gram shingle SETS from raw text
+    val docs = graft.Tables.documents(spark, sfSmall)
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val tk = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        r.getLong(0) -> tk.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val expPairs = (for {
+      Array((a, sa), (b, sb)) <- docs.sortBy(_._1).combinations(2)
+      ic = (sa & sb).size if ic > 0
+    } yield {
+      val un = sa.size + sb.size - ic
+      (ic * 10 / un, 1L)
+    }).toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.lshRecallCurve(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    got.filter(_._1 >= 0).map(t => t._1 -> t._2).toMap shouldBe expPairs
+    // curve invariants: caught never exceeds the bucket's pair base
+    // (>= 0 buckets), every count non-negative, buckets within range
+    got.foreach { case (b, np, nc) =>
+      b should (be >= -1 and be <= 10)
+      np should be >= 0L
+      nc should be >= 0L
+      if (b >= 0) nc should be <= np
+    }
+    // the S-curve is non-vacuous here: a high decile (>= 8) exists
+    // with near-total recall, and the low decile catches almost none
+    val high = got.filter(t => t._1 >= 8)
+    high.map(_._2).sum should be > 0L
+    (high.map(_._3).sum * 10) should be >= (high.map(_._2).sum * 9)
+    val low = got.find(_._1 == 0).get
+    low._3.toDouble / low._2 should be < 0.05
+    // the LSH guarantee: identical shingle sets are ALWAYS caught —
+    // bucket 10's pairs, when present, are caught one-for-one
+    got.find(_._1 == 10).foreach { case (_, np, nc) => nc shouldBe np }
+    graft.Caches.releaseAll(spark)
+  }
 }

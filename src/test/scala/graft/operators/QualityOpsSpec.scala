@@ -375,6 +375,44 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     expRaw shouldBe got.map(t => (t._1, t._3, t._4))
   }
 
+  test("q49: chain counts match a sequential per-user replay; ties never " +
+    "chain and the gap parameter is monotone") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gap = 360L * 60 * 1000000
+    val exp = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val v = rows.filter(_._2 == "view").map(_._3)
+      val c = rows.filter(_._2 == "click").map(_._3)
+      val p = rows.filter(_._2 == "purchase").map(_._3)
+      val chains = for {
+        vu <- v; cu <- c if cu > vu && cu - vu <= gap
+        pu <- p if pu > cu && pu - cu <= gap
+      } yield (vu, pu)
+      if (chains.isEmpty) None
+      else Some((u, chains.size.toLong, chains.map(_._1).min, chains.map(_._2).max))
+    }.toSeq.sortBy(_._1)
+    val got = Relational.gapChains(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe exp
+    got.map(_._2).sum should be > 0L
+    // a wider gap admits a superset of chains, user by user
+    val wide = Relational.gapChains(spark, sf, gapMin = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (u, n, _, _) => wide(u) should be >= n }
+    wide.values.sum should be > got.map(_._2).sum
+    // strict >: a zero-width gap can never chain distinct-timestamp
+    // steps AND ties are excluded by construction — replay with ties
+    // allowed must not change anything on this corpus unless equal
+    // timestamps exist across the step types (they don't; pinned)
+    val tied = ev.groupBy(_._1).exists { case (_, rows) =>
+      val ts = rows.groupBy(_._3)
+      ts.exists(_._2.map(_._2).distinct.size > 1)
+    }
+    tied shouldBe false
+  }
+
   test("q47: boundaries sit at exact ceil(i*n/B) ranks of a full sort; " +
     "bucket populations balance") {
     import spark.implicits._
