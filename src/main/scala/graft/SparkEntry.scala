@@ -216,6 +216,7 @@ object SparkEntry {
     "m16_exif_meta" -> (Multimodal.exifMetaGate _),
     "m19_tiff_gate" -> (Multimodal.tiffChecksumGate _),
     "m20_g711_gate" -> (Multimodal.g711Gate _),
+    "m21_id3_gate" -> (Multimodal.id3Gate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -4064,6 +4065,27 @@ object SparkEntry {
         |  f.peak, f.sum_abs, z.zero_crossings, c.sample_checksum
         |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // m21: ID3v2 tag metadata — the oracle re-derives version from
+    // parity, the three varying text lengths from ord() mod 12, the
+    // declared synchsafe size as 33 + those lengths, and the frame
+    // texts from substr() — never seeing a tag byte
+    "m21_id3_gate" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS px
+        |           FROM documents WHERE length(text) >= 40),
+        |o AS (SELECT doc_id, px,
+        |        1 + ord(substr(px, 1, 1)) % 12 AS tl,
+        |        1 + ord(substr(px, 2, 1)) % 12 AS al,
+        |        1 + ord(substr(px, 3, 1)) % 12 AS bl
+        |      FROM d)
+        |SELECT doc_id,
+        |  CAST(3 + doc_id % 2 AS INT) AS version,
+        |  CAST(33 + tl + al + bl AS INT) AS tag_size,
+        |  CAST(3 AS INT) AS n_frames,
+        |  substr(px, 4, tl) AS title,
+        |  substr(px, 16, al) AS artist,
+        |  substr(px, 28, bl) AS album
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     // m06: perceptual hashes over REAL decoded pixels, cross-engine —
     // aHash: 8x8 grid (identity sampling at this size), threshold at

@@ -2808,6 +2808,158 @@ object Multimodal {
       (mode << 6).toByte)
   }
 
+  /** Parsed ID3v2 tag metadata: `version` is the major version (3 or
+    * 4 — the two deployed layouts, whose FRAME sizes differ: v2.3
+    * plain big-endian u32, v2.4 synchsafe 7-bit bytes), `tagSize` the
+    * header's declared synchsafe size, and the three standard text
+    * frames a crawl pipeline indexes (TIT2/TPE1/TALB).
+    */
+  case class Id3Meta(version: Int, tagSize: Int, nFrames: Int,
+      title: String, artist: String, album: String)
+
+  /** REAL ID3v2 tag parse (the metadata block prepended to most MP3s
+    * in the wild — the audio twin of m16's EXIF walk, and like it a
+    * DUAL-layout wire: the major version byte decides whether frame
+    * sizes read as plain u32 (v2.3) or synchsafe 7-bit groups (v2.4),
+    * while the HEADER size is synchsafe in both). Strict: bad magic,
+    * a set high bit in any synchsafe byte, a frame identifier outside
+    * [A-Z0-9], a frame overrunning the declared tag, a non-latin1
+    * text encoding byte, or a missing standard frame → None, never
+    * throws. Padding (a zero byte where a frame id would start) ends
+    * the frame walk per spec.
+    */
+  def parseId3v2(c: Array[Byte]): Option[Id3Meta] = {
+    if (c.length < 10) return None
+    if (c(0) != 'I'.toByte || c(1) != 'D'.toByte || c(2) != '3'.toByte)
+      return None
+    val major = c(3) & 0xff
+    if (major != 3 && major != 4) return None
+    if ((c(4) & 0xff) == 0xff) return None // revision 0xFF is reserved
+    var size = 0
+    var i = 6
+    while (i < 10) {
+      if ((c(i) & 0x80) != 0) return None // synchsafe bytes: bit 7 clear
+      size = (size << 7) | (c(i) & 0x7f)
+      i += 1
+    }
+    val end = 10 + size
+    if (end > c.length) return None
+    var off = 10
+    var n = 0
+    var title: String = null; var artist: String = null; var album: String = null
+    while (off + 10 <= end && c(off) != 0) {
+      val id = new String(c, off, 4, "ISO-8859-1")
+      if (!id.forall(ch => (ch >= 'A' && ch <= 'Z') || (ch >= '0' && ch <= '9')))
+        return None
+      var fsz = 0
+      if (major == 4) {
+        var k = off + 4
+        while (k < off + 8) {
+          if ((c(k) & 0x80) != 0) return None
+          fsz = (fsz << 7) | (c(k) & 0x7f)
+          k += 1
+        }
+      } else {
+        fsz = ((c(off + 4) & 0xff) << 24) | ((c(off + 5) & 0xff) << 16) |
+          ((c(off + 6) & 0xff) << 8) | (c(off + 7) & 0xff)
+      }
+      if (fsz < 1 || off + 10 + fsz > end) return None
+      val body = off + 10
+      if (id.charAt(0) == 'T') {
+        if (c(body) != 0) return None // latin1 text frames only, this slice
+        val txt = new String(c, body + 1, fsz - 1, "ISO-8859-1")
+        id match {
+          case "TIT2" => title = txt
+          case "TPE1" => artist = txt
+          case "TALB" => album = txt
+          case _ => ()
+        }
+      }
+      n += 1
+      off = body + fsz
+    }
+    if (title == null || artist == null || album == null) None
+    else Some(Id3Meta(major, size, n, title, artist, album))
+  }
+
+  /** Minimal ID3v2.3/2.4 tag builder inverted by [[parseId3v2]] —
+    * three latin1 text frames; frame sizes in the MAJOR-version
+    * layout (plain u32 vs synchsafe) so both read paths run.
+    */
+  def encodeId3v2(major: Int, title: String, artist: String,
+      album: String): Array[Byte] = {
+    require(major == 3 || major == 4, s"ID3v2.3 or .4 only: $major")
+    def frame(id: String, txt: String): Array[Byte] = {
+      val bodyLen = 1 + txt.length
+      val out = new Array[Byte](10 + bodyLen)
+      id.getBytes("ISO-8859-1").copyToArray(out, 0)
+      if (major == 4) {
+        out(4) = ((bodyLen >> 21) & 0x7f).toByte
+        out(5) = ((bodyLen >> 14) & 0x7f).toByte
+        out(6) = ((bodyLen >> 7) & 0x7f).toByte
+        out(7) = (bodyLen & 0x7f).toByte
+      } else {
+        out(4) = (bodyLen >>> 24).toByte; out(5) = (bodyLen >>> 16).toByte
+        out(6) = (bodyLen >>> 8).toByte; out(7) = bodyLen.toByte
+      }
+      // flags 00 00, then encoding 0 (latin1) + text
+      out(10) = 0
+      txt.getBytes("ISO-8859-1").copyToArray(out, 11)
+      out
+    }
+    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TALB", album)
+    val size = frames.length
+    require(size < (1 << 28), "tag too large for a synchsafe size")
+    val hdr = Array[Byte]('I', 'D', '3', major.toByte, 0, 0,
+      ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+      ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte)
+    hdr ++ frames
+  }
+
+  /** m21 payload builder: a REAL ID3v2 tag per document — v2.3 for
+    * even doc_ids, v2.4 for odd (both frame-size layouts under the
+    * gate), title/artist/album as text slices whose LENGTHS vary per
+    * document (1 + ord mod 12) so declared sizes genuinely differ.
+    */
+  private def docId3Rows(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 40)
+      .select($"doc_id", substring($"text", 1, 40).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val o = px.map(_.toInt)
+        val tl = 1 + o(0) % 12; val al = 1 + o(1) % 12; val bl = 1 + o(2) % 12
+        (id, encodeId3v2(3 + (id % 2).toInt,
+          title = px.substring(3, 3 + tl),
+          artist = px.substring(15, 15 + al),
+          album = px.substring(27, 27 + bl)))
+      }
+  }
+
+  /** m21 gate entry: ID3v2 under the DuckDB gate — the Spark side
+    * walks genuine tags in BOTH major versions (doc parity picks the
+    * frame-size layout) and returns version/declared-size/frame-count
+    * plus the three text frames; the oracle recomputes every field
+    * from substr()/ord() arithmetic — tag_size = 33 + the three
+    * varying text lengths — never seeing a tag byte. Hash-green
+    * proves the synchsafe reads, the dual frame-size layouts, and
+    * the latin1 frame decode byte-agree with first principles.
+    */
+  def id3Gate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docId3Rows(spark, sfDir)
+      .map { case (id, bytes) =>
+        val m = parseId3v2(bytes)
+          .getOrElse(throw new IllegalStateException(s"id3 parse failed for $id"))
+        (id, m.version, m.tagSize, m.nFrames, m.title, m.artist, m.album)
+      }
+      .toDF("doc_id", "version", "tag_size", "n_frames", "title", "artist",
+        "album")
+      .orderBy($"doc_id")
+  }
+
   /** Parsed EXIF/TIFF IFD0 metadata: `byteOrder` is "II" (little) or
     * "MM" (big endian); width/height from tags 0x0100/0x0101,
     * orientation from 0x0112 (1–8, the value a thumbnailer must apply

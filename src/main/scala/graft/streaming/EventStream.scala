@@ -400,6 +400,53 @@ object EventStream {
         col("a_ts"), col("b_ts"), col("a_value"), col("b_value"))
   }
 
+  /** Multi-hop CEP chains on streams — q49's one-definition twin: two
+    * CHAINED watermarked stream-stream interval joins (view → click
+    * within the gap, then → purchase within the gap), each hop's
+    * condition bounding the later timestamp inside (prev, prev + gap]
+    * so Spark's multi-stateful-operator planner can evict both joins'
+    * buffers from the propagated watermark. Emits one append-mode row
+    * per qualifying chain, exactly once — the streaming semantics of
+    * "all matches" CEP (greedy/skip-past variants need
+    * flatMapGroupsWithState; this operator is the join-expressible
+    * core). Strict `>` per hop: equal timestamps never chain, the
+    * q49 tie rule.
+    *
+    * The same plan runs UNCHANGED in batch (`withWatermark` is a
+    * no-op), where grouping the emitted chains per user reproduces
+    * q49's aggregate exactly — spec-proven, so the batch gate
+    * transitively gates this plan.
+    *
+    * Scale shape: both joins' state partitions by user_id; per-key
+    * buffers are bounded by gap + watermark slack per hop, never by
+    * stream length.
+    */
+  def gapChainStream(events: DataFrame, gapMin: Int = 360,
+      watermark: String = "30 minutes"): DataFrame = {
+    def step(t: String, p: String): DataFrame =
+      events.filter(col("event_type") === t)
+        .select(col("event_id").as(s"${p}_id"),
+          col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", watermark)
+    // after hop 1, v_ts demotes to plain integer micros (unix_micros
+    // strips the event-time tag) so the second join sees exactly ONE
+    // event-time column per side — the multi-stateful-operator
+    // planner's requirement; c_ts stays the stream's event time
+    step("view", "v")
+      .join(step("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr(s"INTERVAL $gapMin MINUTES"))
+      .select(col("v_user").as("user_id"), col("v_id"),
+        unix_micros(col("v_ts")).as("v_us"), col("c_id"), col("c_ts"))
+      .join(step("purchase", "p"),
+        col("user_id") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $gapMin MINUTES"))
+      .select(col("user_id"), col("v_id"), col("c_id"), col("p_id"),
+        col("v_us"), unix_micros(col("p_ts")).as("p_us"))
+  }
+
   /** The interval join's LEFT-OUTER complement — unattributed
     * touches: `typeA` events with NO `typeB` conversion by the same
     * user within `maxDelayMin` (the "views that never purchased"

@@ -1438,4 +1438,66 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.decodeRasterPixels(
       Multimodal.encodeExifIfd0(little = true, 40, 30, 1)) shouldBe None
   }
+
+  // —— ID3v2: dual-layout tag metadata (m21 slice) ——
+
+  test("parseId3v2: round-trips both major versions, sizes exact") {
+    for (major <- Seq(3, 4); (t, a, b) <- Seq(
+        ("Song", "Artist", "Album"),
+        ("x", "y", "z"),
+        ("a longer title here", "someone", "their record"))) {
+      val m = Multimodal.parseId3v2(Multimodal.encodeId3v2(major, t, a, b)).get
+      withClue(s"v2.$major ($t/$a/$b): ") {
+        (m.version, m.nFrames, m.title, m.artist, m.album) shouldBe
+          ((major, 3, t, a, b))
+        m.tagSize shouldBe 33 + t.length + a.length + b.length
+      }
+    }
+  }
+
+  test("parseId3v2: malformed tags reject; padding ends the walk") {
+    val good = Multimodal.encodeId3v2(4, "Ti", "Ar", "Al")
+    Multimodal.parseId3v2(good) should not be None
+    // bad magic
+    val magic = good.clone(); magic(0) = 'X'
+    Multimodal.parseId3v2(magic) shouldBe None
+    // unknown major version
+    val v5 = good.clone(); v5(3) = 5
+    Multimodal.parseId3v2(v5) shouldBe None
+    // a set high bit in a header synchsafe byte
+    val ss = good.clone(); ss(6) = (ss(6) | 0x80).toByte
+    Multimodal.parseId3v2(ss) shouldBe None
+    // v2.4 frame size bytes must be synchsafe too
+    val fss = good.clone(); fss(10 + 4) = (fss(10 + 4) | 0x80).toByte
+    Multimodal.parseId3v2(fss) shouldBe None
+    // a lowercase frame id is invalid
+    val fid = good.clone(); fid(10) = 't'
+    Multimodal.parseId3v2(fid) shouldBe None
+    // a non-latin1 text encoding byte is out of slice
+    val enc = good.clone(); enc(20) = 1
+    Multimodal.parseId3v2(enc) shouldBe None
+    // truncation inside the frame area
+    for (keep <- Seq(3, 9, 15, good.length - 1))
+      withClue(s"keep=$keep: ") {
+        Multimodal.parseId3v2(good.take(keep)) shouldBe None
+      }
+    // padding after the frames parses (spec: zero byte ends the walk)
+    val size = good.length - 10 + 8
+    val padded = Array[Byte]('I', 'D', '3', 4, 0, 0,
+      ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+      ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++
+      good.drop(10) ++ Array.fill(8)(0.toByte)
+    val m = Multimodal.parseId3v2(padded).get
+    (m.nFrames, m.title) shouldBe ((3, "Ti"))
+    m.tagSize shouldBe size
+    // a tag missing one of the three standard frames rejects
+    val two = Multimodal.encodeId3v2(3, "T", "A", "B")
+    val noAlb = two.take(two.length - 12) // drop the TALB frame (1-char)
+    val size2 = noAlb.length - 10
+    noAlb(6) = ((size2 >> 21) & 0x7f).toByte
+    noAlb(7) = ((size2 >> 14) & 0x7f).toByte
+    noAlb(8) = ((size2 >> 7) & 0x7f).toByte
+    noAlb(9) = (size2 & 0x7f).toByte
+    Multimodal.parseId3v2(noAlb) shouldBe None
+  }
 }

@@ -484,6 +484,58 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("chained gap-joins: streaming chains == batch chains == q49's aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.gapChainStream(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("gapchain")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.take(500).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(500).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // flush the chained joins' watermarks far past every real event;
+      // distinct negative users so flush rows can never chain
+      val far = evs.map(_.ts.getTime).max + 100000L * 60000L
+      mem.addData(
+        Event(-1, new Timestamp(far), -1, "view", 0.0),
+        Event(-2, new Timestamp(far), -2, "click", 0.0),
+        Event(-3, new Timestamp(far), -3, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("gapchain").filter($"v_id" >= 0)
+        .select($"user_id", $"v_id", $"c_id", $"p_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // the IDENTICAL plan in batch (withWatermark is a no-op there)
+      val batchRows = EventStream.gapChainStream(
+          spark.createDataset(evs.toIndexedSeq).toDF(), watermark = "1 hour")
+        .select($"user_id", $"v_id", $"c_id", $"p_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      batchRows should not be empty
+      got shouldBe batchRows
+      // one-definition rule: grouping the chain rows per user IS q49
+      val agg = EventStream.gapChainStream(
+          spark.createDataset(evs.toIndexedSeq).toDF())
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), min($"v_us").as("f"),
+          max($"p_us").as("l"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val q49 = graft.operators.Relational.gapChains(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      agg shouldBe q49
+    } finally q.stop()
+  }
+
   test("left-outer interval join emits exactly the watermark-proven unattributed views") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
