@@ -65,6 +65,8 @@ object SparkEntry {
       Relational.gapChains(s, d)),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallCurve(s, d)),
+    "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
+      Dedup.embedLshRecallCurve(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -1893,6 +1895,46 @@ object SparkEntry {
          |SELECT bucket, CAST(sum(is_pair) AS BIGINT) AS n_pairs,
          |  CAST(sum(is_hit) AS BIGINT) AS n_caught
          |FROM fo GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // d29: the embedding-LSH recall curve — d05-sample all-pairs cosine
+    // banded in 0.2 steps; per band, pairs caught by the single-bucket
+    // join (plane-sign hamming 0) and by hamming-1 multi-probe
+    "d29_embed_lsh_recall" ->
+      s"""WITH ${embCte("vec_id % 2 = 0 AND vec_id < 2048")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |dots AS (
+         |  SELECT vec_id, j,
+         |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+         |  GROUP BY 1, 2
+         |),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |  FROM dots GROUP BY 1
+         |),
+         |d AS (
+         |  SELECT q.vec_id AS a, c.vec_id AS b, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |sc AS (
+         |  SELECT round(d.dp / sqrt(na.nrm * nb.nrm), 6) AS cos,
+         |    bit_count(xor(ba.bucket, bb.bucket)) AS hd
+         |  FROM d JOIN n na ON d.a = na.vec_id JOIN n nb ON d.b = nb.vec_id
+         |  JOIN bkt ba ON d.a = ba.vec_id JOIN bkt bb ON d.b = bb.vec_id
+         |),
+         |bd AS (
+         |  SELECT CAST(CASE WHEN cos < 0.0 THEN 0
+         |                   WHEN cos < 0.2 THEN 1
+         |                   WHEN cos < 0.4 THEN 2
+         |                   WHEN cos < 0.6 THEN 3
+         |                   WHEN cos < 0.8 THEN 4
+         |                   ELSE 5 END AS INT) AS band, hd
+         |  FROM sc)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_bucket,
+         |  CAST(sum(CASE WHEN hd <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_probe1
+         |FROM bd GROUP BY band ORDER BY band""".stripMargin,
 
     // est = equal signature positions / 16 (unbiased Jaccard estimator);
     // exact jaccard joined alongside so the oracle pins both columns

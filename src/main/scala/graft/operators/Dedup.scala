@@ -1810,6 +1810,53 @@ object Dedup {
     * (Σ df²), the d05/d06 truth-side shape, with d23's prefix-filter
     * machinery as the 100 TB truth path when df² goes hot.
     */
+  /** Embedding-LSH recall curve (d29) — d28's dense-vector sibling,
+    * and the d13-vs-d14 tuning table in ONE query: every pair of the
+    * d05 sample banded by exact rounded cosine, with the pair's
+    * hyperplane-sign hamming distance deciding what each strategy
+    * would catch — `n_same_bucket` (d13's single-bucket join, hd = 0)
+    * and `n_probe1` (d14's hamming-1 multi-probe, hd <= 1, which must
+    * dominate it band-for-band — spec-pinned). High-cosine bands show
+    * near-total capture (near-parallel vectors rarely straddle a
+    * hyperplane), low bands show the collision floor — the curve that
+    * tells an operator how many `planes` the corpus needs BEFORE
+    * running the full d13/d14 join.
+    *
+    * Band edges compare the exact 6-decimal rounded cosine against
+    * 0.2-step literals — the same doubles both engines already
+    * hash-agree on in d05/d13, so the CASE ladder is deterministic.
+    * Pair volume is the d05 bounded all-pairs sample (the truth side
+    * needs all pairs by definition; the production joins it tunes
+    * stay bucketed).
+    */
+  def embedLshRecallCurve(spark: SparkSession, sfDir: String,
+      planes: Int = 4, dims: Int = 64, maxSample: Int = 1024): DataFrame = {
+    import spark.implicits._
+    // denser sample than d05's (every other vector): the curve needs
+    // pair MASS per band, and the all-pairs truth side stays bounded
+    // by maxSample regardless of corpus size
+    val v = graft.Caches.track(
+      bucketedEmbeddings(spark, sfDir, planes, dims)
+        .filter($"vec_id" % 2 === 0 && $"vec_id" < 2L * maxSample))
+    v.as("x").join(v.as("y"), $"x.vec_id" < $"y.vec_id")
+      .select(
+        round(Similarity.dot($"x.embedding", $"y.embedding") /
+          sqrt($"x.nrm" * $"y.nrm"), 6).as("cos"),
+        bit_count($"x.bucket".bitwiseXOR($"y.bucket")).cast("int").as("hd"))
+      .withColumn("band", expr(
+        """CASE WHEN cos < 0.0 THEN 0
+          |     WHEN cos < 0.2 THEN 1
+          |     WHEN cos < 0.4 THEN 2
+          |     WHEN cos < 0.6 THEN 3
+          |     WHEN cos < 0.8 THEN 4
+          |     ELSE 5 END""".stripMargin).cast("int"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"hd" === 0, 1L).otherwise(0L)).as("n_same_bucket"),
+        sum(when($"hd" <= 1, 1L).otherwise(0L)).as("n_probe1"))
+      .orderBy($"band")
+  }
+
   def lshRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = graft.Caches.track(shingleSet(spark, sfDir, None))

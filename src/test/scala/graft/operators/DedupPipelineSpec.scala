@@ -114,4 +114,49 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.find(_._1 == 10).foreach { case (_, np, nc) => nc shouldBe np }
     graft.Caches.releaseAll(spark)
   }
+
+  test("d29: the embedding-LSH curve matches an independent fold+bucket " +
+    "recompute; multi-probe dominates band-for-band and rates climb") {
+    val sfSmall = "/root/testdata/sf0.001"
+    import spark.implicits._
+    import graft.operators.Similarity
+    // independent truth: the reference double-fold cosine + lshBucket
+    // recomputed through a SEPARATE plan, banded in the driver
+    val v = graft.Tables.embeddings(spark, sfSmall)
+      .filter($"vec_id" % 2 === 0 && $"vec_id" < 2048)
+      .select($"vec_id", $"embedding",
+        Similarity.norm2Fold($"embedding").as("nrm"),
+        Similarity.lshBucket($"embedding").as("bucket"))
+    val pairs = v.as("x").join(v.as("y"), $"x.vec_id" < $"y.vec_id")
+      .select(
+        round(Similarity.dotFold($"x.embedding", $"y.embedding") /
+          sqrt($"x.nrm" * $"y.nrm"), 6).as("cos"),
+        bit_count($"x.bucket".bitwiseXOR($"y.bucket")).cast("int").as("hd"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    def band(c: Double): Int =
+      if (c < 0.0) 0 else if (c < 0.2) 1 else if (c < 0.4) 2
+      else if (c < 0.6) 3 else if (c < 0.8) 4 else 5
+    val exp = pairs.groupBy(p => band(p._1)).map { case (b, ps) =>
+      (b, ps.length.toLong, ps.count(_._2 == 0).toLong,
+        ps.count(_._2 <= 1).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.embedLshRecallCurve(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe exp
+    // the whole sample is accounted for
+    val n = v.count()
+    got.map(_._2).sum shouldBe n * (n - 1) / 2
+    // multi-probe dominates the single bucket in every band, and
+    // neither exceeds the band's pair base
+    got.foreach { case (_, np, nsb, np1) =>
+      nsb should be <= np1
+      np1 should be <= np
+    }
+    // capture rates climb with cosine over the populated bands — the
+    // S-curve direction (near-parallel pairs rarely straddle a plane)
+    val rates = got.filter(_._2 >= 10)
+      .map(t => t._4.toDouble / t._2)
+    rates.zip(rates.drop(1)).foreach { case (a, b) => b should be >= a }
+    graft.Caches.releaseAll(spark)
+  }
 }
