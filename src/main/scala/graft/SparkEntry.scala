@@ -133,6 +133,8 @@ object SparkEntry {
     "s25_kcore" -> ((s: SparkSession, d: String) => Similarity.kCorePeel(s, d)),
     "s26_link_pred" -> ((s: SparkSession, d: String) => Similarity.linkPrediction(s, d)),
     "s27_knn_classify" -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
+    "s28_ivf_recall_curve" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRecallCurve(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -2949,6 +2951,62 @@ object SparkEntry {
          |  round(CAST(count(a.cand) AS DOUBLE) / count(*), 6) AS recall
          |FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cand = a.cand
          |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+
+    // s28: the IVF nprobe tuning curve — the s03 Lloyd chain (ivfCtes)
+    // re-trained, then every brute-force top-3 pair joined to the FULL
+    // per-query cell ranking; one unnest fans the k probe budgets out
+    "s28_ivf_recall_curve" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |${ivfCtes(8, 2)},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |dcf AS (
+         |  SELECT cp.vec_id, c.cluster,
+         |    CAST(sum((cp.xq - c.cq) * (cp.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM cp JOIN c2 c ON cp.pos = c.pos GROUP BY 1, 2
+         |),
+         |cells AS (
+         |  SELECT vec_id, cluster AS cell FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM dcf) r WHERE rn = 1
+         |),
+         |dqf AS (
+         |  SELECT qp.vec_id, c.cluster,
+         |    CAST(sum((qp.xq - c.cq) * (qp.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM qp JOIN c2 c ON qp.pos = c.pos GROUP BY 1, 2
+         |),
+         |cellrank AS (
+         |  SELECT vec_id AS qid, cluster AS cell,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS INT) AS crn
+         |  FROM dqf
+         |),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |sc AS (
+         |  SELECT qid, cand, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cand = nc.vec_id
+         |),
+         |truth AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT qid, cand,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rnk
+         |    FROM sc) r WHERE rnk <= 3
+         |),
+         |pc AS (
+         |  SELECT t.qid, cr.crn
+         |  FROM truth t
+         |  JOIN cells cl ON t.cand = cl.vec_id
+         |  JOIN cellrank cr ON cr.qid = t.qid AND cr.cell = cl.cell
+         |)
+         |SELECT CAST(np.nprobe AS INT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN crn <= np.nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+         |FROM pc CROSS JOIN (SELECT unnest(range(1, 9)) AS nprobe) np
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s14: metadata-FILTERED top-k — the s01 ranking restricted to
     // same-label candidates; the label predicate joins BEFORE scoring

@@ -1610,4 +1610,61 @@ object Similarity {
         round($"n_hits" / $"n_truth", 6).as("recall"))
       .orderBy($"qid")
   }
+
+  /** IVF nprobe recall curve (s28) — s13's tuning-table sibling for the
+    * coarse-quantizer family, and d29's analogue on the cell index: for
+    * EVERY probe budget 1..k at once, how many of the brute-force top-k
+    * pairs land in a probed cell. One training run + one truth join
+    * answers "what nProbe does this corpus need" BEFORE committing to
+    * the full s03/s15/s17 probe join — the knob all three share.
+    *
+    * Shape: a truth pair is caught at budget `nprobe` iff the rank of
+    * its candidate's cell in the query's centroid-distance order is
+    * <= nprobe, so the whole curve is the truth pairs joined to that
+    * per-query cell ranking once, then an explode over the k budgets
+    * (a k-row fan-out, never a join). Monotone by construction;
+    * n_caught(k) == n_pairs because every candidate lives in SOME cell
+    * — both spec-pinned.
+    *
+    * Scale shape: training reuses the s03 broadcast-centroid Lloyd
+    * passes (k·dims rows broadcast, map-side integer partials). The
+    * truth side is the s01 broadcast brute-force scan — the curve is a
+    * ground-truth EVALUATION over the bounded query panel, priced like
+    * one brute-force query batch, not a corpus join.
+    */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    // cached: seed slice + every Lloyd half + the final cell assignment
+    val candPts = graft.Caches.track(gridPoints(emb.filter($"vec_id" % 20 === 0)))
+    val seedCent = candPts.filter($"vec_id" < 20L * k)
+      .select(($"vec_id" / 20).cast("int").as("cluster"), $"pos", $"xq".as("cq"))
+    var cent = lloydAverage(candPts, lloydAssign(candPts, seedCent))
+    for (_ <- 2 to iters) cent = lloydAverage(candPts, lloydAssign(candPts, cent))
+    cent = graft.Caches.track(cent)
+
+    val cells = lloydAssign(candPts, cent)
+      .select($"vec_id", $"cluster".as("cell"))
+    // full per-query cell ranking (all k cells, not a probe cutoff):
+    // crn = rank of the cell in the query's centroid-distance order
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
+    val cellRank = gridPoints(emb.filter($"vec_id" < 8))
+      .join(broadcast(cent), "pos")
+      .groupBy($"vec_id", $"cluster")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+      .withColumn("crn", row_number().over(wProbe).cast("int"))
+      .select($"vec_id".as("qid"), $"cluster".as("cell"), $"crn")
+
+    val truth = annBruteForce(spark, sfDir).filter($"rnk" <= topK)
+      .select($"qid", $"cand")
+    truth.join(cells, truth("cand") === cells("vec_id"))
+      .select($"qid", $"cell")
+      .join(cellRank, Seq("qid", "cell"))
+      .select(explode(sequence(lit(1), lit(k))).as("nprobe"), $"crn")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"crn" <= $"nprobe", 1L).otherwise(0L)).as("n_caught"))
+      .orderBy($"nprobe")
+  }
 }

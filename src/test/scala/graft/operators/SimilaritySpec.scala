@@ -101,6 +101,28 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     recall should be >= 0.8
   }
 
+  test("s28: ivf recall curve is monotone, saturates at nprobe = k, and " +
+    "its nProbe=4 point is consistent with the s03 recall floor") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Similarity.ivfRecallCurve(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    got.map(_._1).toSeq shouldBe (1 to 8)
+    // n_pairs is the same truth-pair base in every row
+    got.map(_._2).toSet.size shouldBe 1
+    val nPairs = got.head._2
+    nPairs shouldBe 8L * 3L // 8 queries x top-3 truth
+    // monotone capture: probing more cells never loses a pair
+    got.map(_._3).zip(got.map(_._3).drop(1)).foreach { case (a, b) =>
+      a should be <= b
+    }
+    // every candidate lives in SOME cell, so the full budget catches all
+    got.last._3 shouldBe nPairs
+    // the documented s03 operating point (nProbe=4) clears its floor
+    val at4 = got.find(_._1 == 4).get
+    at4._3.toDouble / at4._2 should be >= 0.8
+    graft.Caches.releaseAll(spark)
+  }
+
   test("annRecall equals the per-query recompute from the s01/s02 frames") {
     val sf01 = "/root/testdata/sf0.01"
     val got = Similarity.annRecall(spark, sf01).collect()
