@@ -67,6 +67,8 @@ object SparkEntry {
       Dedup.lshRecallCurve(s, d)),
     "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.embedLshRecallCurve(s, d)),
+    "d30_suffix_repeats" -> ((s: SparkSession, d: String) =>
+      Dedup.suffixRepeats(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -1937,6 +1939,45 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_bucket,
          |  CAST(sum(CASE WHEN hd <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_probe1
          |FROM bd GROUP BY band ORDER BY band""".stripMargin,
+
+    // d30: exact suffix-repeat profile — capped suffixes sorted
+    // globally (the suffix array over the bounded sample), adjacent
+    // LCP via first-mismatch scan, per-position max over the two
+    // rank-neighbors, histogram of lengths >= 8
+    "d30_suffix_repeats" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+         |  WHERE doc_id < 64 AND length(text) > 0
+         |),
+         |pos AS (
+         |  SELECT doc_id, CAST(o.off AS INT) AS off,
+         |    substr(t, CAST(o.off AS INT) + 1, 64) AS sfx
+         |  FROM docs CROSS JOIN (SELECT unnest(range(0, 128)) AS off) o
+         |  WHERE o.off < length(t)
+         |),
+         |sa AS (
+         |  SELECT doc_id, off, sfx,
+         |    row_number() OVER (ORDER BY sfx, doc_id, off) AS rk
+         |  FROM pos
+         |),
+         |lcps AS (
+         |  SELECT a.rk,
+         |    coalesce(
+         |      min(CASE WHEN substr(a.sfx, ii.i, 1) <> substr(b.sfx, ii.i, 1)
+         |               THEN ii.i END) - 1,
+         |      least(length(a.sfx), length(b.sfx))) AS lcp
+         |  FROM sa a JOIN sa b ON b.rk = a.rk + 1
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) ii
+         |  GROUP BY a.rk, a.sfx, b.sfx
+         |),
+         |ends AS (
+         |  SELECT rk, lcp FROM lcps
+         |  UNION ALL SELECT rk + 1 AS rk, lcp FROM lcps
+         |),
+         |pm AS (SELECT rk, max(lcp) AS repeat_len FROM ends GROUP BY 1)
+         |SELECT CAST(repeat_len AS INT) AS repeat_len,
+         |  CAST(count(*) AS BIGINT) AS n_positions
+         |FROM pm WHERE repeat_len >= 8 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // est = equal signature positions / 16 (unbiased Jaccard estimator);
     // exact jaccard joined alongside so the oracle pins both columns

@@ -1878,4 +1878,71 @@ object Dedup {
         sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_caught"))
       .orderBy($"bucket")
   }
+
+  /** Exact suffix-repeat profile (d30) — the suffix-array building
+    * block of exact substring dedup (the "train-data dedup via suffix
+    * arrays" recipe: find every maximal repeated substring, then cut
+    * spans above a length threshold). d10/d17 hash FIXED-length spans;
+    * this operator measures, exactly, how long the repeats actually
+    * are: for every corpus position, the length of the longest
+    * substring starting there that also occurs elsewhere (capped at
+    * `win`), reported as a histogram over lengths >= `minRep` — the
+    * table that tells d10/d17 what span length separates boilerplate
+    * from chance overlap on THIS corpus.
+    *
+    * Algorithm: suffixes capped at `win` chars sort in one global
+    * range-exchange ([[Ranking.rowRanks]] — the suffix ARRAY, since
+    * capped suffixes + (doc_id, off) tiebreak are a total order); a
+    * position's longest repeat is then max(LCP with rank-neighbor
+    * before, after) — the classic suffix-array property that the
+    * nearest suffixes in sort order realize the longest common
+    * prefixes. Adjacent LCPs come from one rank-successor equi-join
+    * with a first-mismatch scan bounded by `win`.
+    *
+    * Scale shape: sort-by-64-byte-prefix is ONE range exchange — for a
+    * capped window this strictly beats prefix-doubling's log(win)
+    * global sorts, and the cap is what production substring dedup uses
+    * anyway (spans are cut above a threshold; repeats longer than
+    * `win` report as `win`). Positions are corpus-chars rows — the
+    * inherent suffix-array blow-up; the bounded sample (`maxDocs` docs
+    * x `docCap` chars) prices the gate, and the full-corpus run is
+    * linear in corpus bytes with no quadratic term anywhere (the join
+    * is rank-successor, fan-out exactly 1).
+    *
+    * Determinism: byte-wise UTF8 string order on both engines (corpus
+    * text is ASCII; the (sfx, doc_id, off) key is unique), integer LCPs.
+    */
+  def suffixRepeats(spark: SparkSession, sfDir: String, win: Int = 64,
+      minRep: Int = 8, maxDocs: Int = 64, docCap: Int = 128): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .filter($"doc_id" < maxDocs && length($"text") > 0)
+      .select($"doc_id", substring($"text", 1, docCap).as("t"))
+    val pos = docs
+      .select($"doc_id", $"t",
+        explode(sequence(lit(0), length($"t") - 1)).as("off"))
+      .select($"doc_id", $"off".cast("int").as("off"),
+        expr(s"substr(t, off + 1, $win)").as("sfx"))
+    // the suffix array: global rank in (sfx, doc_id, off) order; cached
+    // because both sides of the rank-successor join read it
+    val sa = graft.Caches.track(
+      Ranking.rowRanks(pos, "rk", col("sfx"), col("doc_id"), col("off")))
+    val lcp = expr(
+      s"""coalesce(
+         |  get(filter(sequence(1, $win),
+         |             i -> substr(s1, i, 1) <> substr(s2, i, 1)), 0) - 1,
+         |  least(length(s1), length(s2)))""".stripMargin)
+    val pairs = sa.select($"rk", $"sfx".as("s1"))
+      .join(sa.select(($"rk" - 1).as("rk"), $"sfx".as("s2")), "rk")
+      .select($"rk", lcp.as("lcp"))
+    // a position's longest repeat = max LCP over its <= 2 rank-neighbors
+    pairs.select($"rk", $"lcp")
+      .union(pairs.select(($"rk" + 1).as("rk"), $"lcp"))
+      .groupBy($"rk")
+      .agg(max($"lcp").as("repeat_len"))
+      .filter($"repeat_len" >= minRep)
+      .groupBy($"repeat_len".cast("int").as("repeat_len"))
+      .agg(count(lit(1)).as("n_positions"))
+      .orderBy($"repeat_len")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -38,5 +38,29 @@ object Ranking {
       .map { case (r, i) => Row(r.getString(0), i + 1L) }
     spark.createDataFrame(ranked,
       StructType(Seq(StructField(keyCol, StringType), StructField(idCol, LongType))))
+  }
+
+  /** ROW-level global ranks (1-based) over a composite sort key — the
+    * [[denseIds]] idiom generalized: every input row comes back with
+    * all its columns plus `idCol` = its 1-based position in the global
+    * `keys` sort order. Same scale story (range-repartition +
+    * sort-within-partitions + `zipWithIndex`; no single-task window).
+    *
+    * `keys` MUST be a total order over the input (no two rows equal on
+    * all keys) — ties would make the assigned ranks partition-dependent.
+    * Callers append a unique tiebreak column to guarantee this.
+    */
+  def rowRanks(df: DataFrame, idCol: String, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    // persisted for the same reason as denseIds: zipWithIndex's eager
+    // size-count job would otherwise run the sort pipeline twice
+    val rdd = graft.Caches.trackRdd(sorted.rdd)
+    val ranked = rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(ranked, sorted.schema.add(idCol, LongType))
   }
 }

@@ -159,4 +159,71 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     rates.zip(rates.drop(1)).foreach { case (a, b) => b should be >= a }
     graft.Caches.releaseAll(spark)
   }
+
+  /** Sequential reference for d30: suffix array by library sort +
+    * adjacent LCP + per-position max, over the same bounded slice.
+    */
+  private def suffixRepeatsRef(texts: Seq[(Long, String)], win: Int,
+      minRep: Int): Map[Int, Long] = {
+    val pos = for {
+      (id, t) <- texts
+      off <- 0 until t.length
+    } yield (id, off, t.substring(off, math.min(off + win, t.length)))
+    val sa = pos.sortBy { case (id, off, sfx) => (sfx, id, off) }
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(math.min(a.length, b.length), win)
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    }
+    val adj = sa.zip(sa.drop(1)).map { case (x, y) => lcp(x._3, y._3) }
+    val perPos = sa.indices.map { r =>
+      val before = if (r > 0) adj(r - 1) else Int.MinValue
+      val after = if (r < adj.length) adj(r) else Int.MinValue
+      math.max(before, after)
+    }
+    perPos.filter(_ >= minRep).groupBy(identity)
+      .map { case (l, v) => (l, v.size.toLong) }
+  }
+
+  test("d30: the suffix-repeat histogram matches a sequential suffix-array " +
+    "recompute, and the rank-neighbor max equals the all-pairs truth on a " +
+    "small slice") {
+    val sfSmall = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sfSmall)
+      .filter($"doc_id" < 64 && expr("length(text) > 0"))
+      .select($"doc_id", substring($"text", 1, 128))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val exp = suffixRepeatsRef(texts, win = 64, minRep = 8)
+    val got = Dedup.suffixRepeats(spark, sfSmall).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    got shouldBe exp
+    // the suffix-array property itself, brute-forced on a small slice:
+    // max adjacent-LCP == max LCP against EVERY other position
+    val small = texts.take(4).map { case (id, t) => (id, t.take(64)) }
+    val win = 32
+    val pos = for {
+      (id, t) <- small; off <- 0 until t.length
+    } yield (id, off, t.substring(off, math.min(off + win, t.length)))
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(math.min(a.length, b.length), win)
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    }
+    val brute = pos.map { p =>
+      pos.filter(q => q != p).map(q => lcp(p._3, q._3)).max
+    }
+    val sa = pos.sortBy { case (id, off, sfx) => (sfx, id, off) }
+    val adj = sa.zip(sa.drop(1)).map { case (x, y) => lcp(x._3, y._3) }
+    val viaSa = sa.indices.map { r =>
+      val b = if (r > 0) adj(r - 1) else Int.MinValue
+      val a = if (r < adj.length) adj(r) else Int.MinValue
+      math.max(b, a)
+    }
+    val bruteBySa = sa.map(p => brute(pos.indexOf(p)))
+    viaSa shouldBe bruteBySa
+    graft.Caches.releaseAll(spark)
+  }
 }
