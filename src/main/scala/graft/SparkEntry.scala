@@ -264,6 +264,7 @@ object SparkEntry {
     "o18_pbf_members" -> (osm.OsmOracle.pbfRelationMembers _),
     "o19_zorder_nodes" -> (osm.OsmOracle.zorderNodes _),
     "o20_zrange_bbox" -> (osm.OsmOracle.zrangeBboxNodes _),
+    "o21_polygon_areas" -> (osm.OsmOracle.polygonAreas _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -4737,6 +4738,39 @@ object SparkEntry {
          |  min(lon_nano) AS min_lon_nano, max(lon_nano) AS max_lon_nano,
          |  CAST(sum(abs(lat_nano - plat) + abs(lon_nano - plon)) AS BIGINT) AS manhattan_nano
          |FROM seg GROUP BY way_id ORDER BY way_id""".stripMargin,
+
+    // o21: closed-ring shoelace in exact integer nanodegrees², the
+    // coordinates anchored at the ring's first vertex (translation-
+    // invariant exactly; keeps every cross product inside int64)
+    "o21_polygon_areas" ->
+      s"""WITH nodes AS (SELECT id AS node_id,
+         |    CAST(lat * 10000000 AS BIGINT) AS lat_nano,
+         |    CAST(lon * 10000000 AS BIGINT) AS lon_nano
+         |  FROM $OsmP WHERE type = 'node'),
+         |wx AS (SELECT w.id AS way_id, i AS idx, w.nds[i].ref AS ref
+         |       FROM (SELECT id, nds FROM $OsmP WHERE type = 'way') w,
+         |            UNNEST(range(1, len(w.nds) + 1)) AS t(i)),
+         |cw AS (SELECT way_id FROM (
+         |    SELECT way_id, max(idx) AS n,
+         |      max(CASE WHEN idx = 1 THEN ref END) AS fr,
+         |      arg_max(ref, idx) AS lr
+         |    FROM wx GROUP BY 1) t WHERE n >= 4 AND fr = lr),
+         |c AS (SELECT wx.way_id, idx,
+         |    lon_nano - first_value(lon_nano)
+         |      OVER (PARTITION BY wx.way_id ORDER BY idx) AS cx,
+         |    lat_nano - first_value(lat_nano)
+         |      OVER (PARTITION BY wx.way_id ORDER BY idx) AS cy
+         |  FROM wx JOIN cw USING (way_id) JOIN nodes n ON wx.ref = n.node_id),
+         |cr AS (SELECT way_id, cx, cy,
+         |    lag(cx) OVER (PARTITION BY way_id ORDER BY idx) AS pcx,
+         |    lag(cy) OVER (PARTITION BY way_id ORDER BY idx) AS pcy
+         |  FROM c)
+         |SELECT way_id, CAST(count(*) AS BIGINT) AS n_pts,
+         |  CAST(abs(sum(pcx * cy - cx * pcy)) AS BIGINT) AS area2_nano,
+         |  CASE WHEN sum(pcx * cy - cx * pcy) > 0 THEN 'CCW'
+         |       WHEN sum(pcx * cy - cx * pcy) < 0 THEN 'CW'
+         |       ELSE 'degenerate' END AS orientation
+         |FROM cr GROUP BY way_id ORDER BY way_id""".stripMargin,
 
     // o17: the Spark side reassembles ways from the LIVE PBF-converted
     // snapshot; the oracle is o01's SQL over the XML-converted parquet.

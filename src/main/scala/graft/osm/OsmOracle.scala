@@ -180,6 +180,12 @@ object OsmOracle {
     OsmQueries.wayGeomStats(OsmFixture.planet(spark))
       .orderBy(col("way_id"))
 
+  /** Closed-ring shoelace areas + winding (o21): exact integer
+    * nanodegree² doubled areas, anchored at the first vertex.
+    */
+  def polygonAreas(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.polygonAreas(OsmFixture.planet(spark))
+
   /** PBF-converted tag-usage-by-month (the o04 form over
     * [[pbfHistory]]): tags-map (keys_vals string-table runs) and
     * timestamp (DenseInfo delta + date granularity) decode parity —

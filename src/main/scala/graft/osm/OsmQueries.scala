@@ -203,6 +203,56 @@ object OsmQueries {
           abs(col("lon_nano") - col("prev_lon"))).as("manhattan_nano"))
   }
 
+  /** Closed-way polygon area + winding (o21) — exact integer shoelace
+    * over nanodegree coordinates, extending [[wayGeomStats]]'s
+    * integer-geometry discipline from perimeters to areas: for every
+    * closed ring (first nd ref == last, >= 4 entries), the signed
+    * doubled area 2A = Σ (p_{i-1} × p_i) of coordinates ANCHORED at
+    * the ring's first vertex. The anchor is the overflow guard —
+    * shoelace is exactly translation-invariant in integer arithmetic,
+    * and centered coordinates are ring-extent-sized, so every cross
+    * product stays far inside int64 for real-world ways (raw
+    * nanodegree products would sit at ~1.6e18, one addition from
+    * overflow). x = lon, y = lat; positive sum = counter-clockwise.
+    *
+    * Like [[wayGeomStats]], refs that miss the node snapshot drop via
+    * the inner join (both engines drop the same rows; closure is
+    * judged on refs). Scale shape: one equi-join on node id + one
+    * per-way window (population = way length) + one group-by — no
+    * corpus-global term.
+    */
+  def polygonAreas(planet: DataFrame): DataFrame = {
+    val nodes = planet.filter(col("type") === "node")
+      .select(col("id").as("node_id"),
+        (col("lat") * lit(10000000)).cast("long").as("lat_nano"),
+        (col("lon") * lit(10000000)).cast("long").as("lon_nano"))
+    val ways = planet.filter(col("type") === "way")
+      .select(col("id").as("way_id"), posexplode(col("nds")).as(Seq("pos", "nd")))
+      .select(col("way_id"), (col("pos") + 1).as("idx"), col("nd.ref").as("ref"))
+    val closed = ways.groupBy(col("way_id"))
+      .agg(max(col("idx")).as("n"),
+        max(when(col("idx") === 1, col("ref"))).as("first_ref"),
+        expr("max_by(ref, idx)").as("last_ref"))
+      .filter(col("n") >= 4 && col("first_ref") === col("last_ref"))
+      .select(col("way_id"))
+    val w = Window.partitionBy(col("way_id")).orderBy(col("idx"))
+    val centered = ways.join(closed, "way_id")
+      .join(nodes, col("ref") === col("node_id"))
+      .withColumn("cx", col("lon_nano") - first(col("lon_nano")).over(w))
+      .withColumn("cy", col("lat_nano") - first(col("lat_nano")).over(w))
+    val cross = centered
+      .withColumn("pcx", lag(col("cx"), 1).over(w))
+      .withColumn("pcy", lag(col("cy"), 1).over(w))
+      .withColumn("cr", col("pcx") * col("cy") - col("cx") * col("pcy"))
+    cross.groupBy(col("way_id"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("cr")).as("area2"))
+      .select(col("way_id"), col("n_pts"),
+        abs(col("area2")).as("area2_nano"),
+        when(col("area2") > 0, "CCW").when(col("area2") < 0, "CW")
+          .otherwise("degenerate").as("orientation"))
+      .orderBy(col("way_id"))
+  }
+
   /** README.md:158-159 (recommended window form) — per-element tag-value
     * transitions across versions for one key: value, previous value.
     */

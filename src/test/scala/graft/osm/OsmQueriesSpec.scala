@@ -160,6 +160,35 @@ class OsmQueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     w11.isNullAt(w11.fieldIndex("manhattan_nano")) shouldBe true
   }
 
+  test("polygonAreas: shoelace on known rings — square area, winding " +
+    "both ways, degenerate line, open ways excluded") {
+    // unit square 0.0001 deg on a side: 2A = 2 * (1000^2) nano^2
+    val planet = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        planetRow(1, "node", Map(), "10.0000000", "20.0000000", Nil, 1, true),
+        planetRow(2, "node", Map(), "10.0000000", "20.0001000", Nil, 1, true),
+        planetRow(3, "node", Map(), "10.0001000", "20.0001000", Nil, 1, true),
+        planetRow(4, "node", Map(), "10.0001000", "20.0000000", Nil, 1, true),
+        // CCW square (x=lon increases, then y=lat increases)
+        planetRow(20, "way", Map(), null, null, Seq(1, 2, 3, 4, 1), 1, true),
+        // same ring reversed -> CW, same area
+        planetRow(21, "way", Map(), null, null, Seq(1, 4, 3, 2, 1), 1, true),
+        // out-and-back line: closed but zero area
+        planetRow(22, "way", Map(), null, null, Seq(1, 2, 1, 2, 1), 1, true),
+        // open way: excluded entirely
+        planetRow(23, "way", Map(), null, null, Seq(1, 2, 3), 1, true),
+        // closed but too short (3 entries): excluded
+        planetRow(24, "way", Map(), null, null, Seq(1, 2, 1), 1, true))),
+      OsmSchemas.Planet)
+    val out = OsmQueries.polygonAreas(planet).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    out.keySet shouldBe Set(20L, 21L, 22L)
+    out(20L) shouldBe ((5L, 2000000L, "CCW"))
+    out(21L) shouldBe ((5L, 2000000L, "CW"))
+    out(22L) shouldBe ((5L, 0L, "degenerate"))
+  }
+
   test("changeset helpers: comment filter, editor LIKE, bbox intersect") {
     val cs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
