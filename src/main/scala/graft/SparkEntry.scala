@@ -223,6 +223,7 @@ object SparkEntry {
     "m19_tiff_gate" -> (Multimodal.tiffChecksumGate _),
     "m20_g711_gate" -> (Multimodal.g711Gate _),
     "m21_id3_gate" -> (Multimodal.id3Gate _),
+    "m22_resample_gate" -> (Multimodal.resamplePcmGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -4228,6 +4229,34 @@ object SparkEntry {
         |  substr(px, 16, al) AS artist,
         |  substr(px, 28, bl) AS album
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // m22: 8000 -> 6000 Hz (3/4) linear-interp resample of the m07
+    // WAVs — Spark decodes the real binary and interpolates; the
+    // oracle rebuilds source samples from ord() and replays the
+    // SHIFTED-space interpolation (numerator non-negative, so // is
+    // the same floor as the Scala division on longs)
+    "m22_resample_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) - 1 AS idx,
+        |        (ord(text[CAST(i AS INT)]) - 96) * 128 + 32768 AS sh
+        |      FROM d, UNNEST(range(1, 65)) AS t(i)),
+        |js AS (SELECT CAST(j AS INT) AS j,
+        |         CAST((j * 4) // 3 AS INT) AS q,
+        |         CAST((j * 4) % 3 AS INT) AS rem
+        |       FROM (SELECT unnest(range(0, 96)) AS j) t
+        |       WHERE CASE WHEN (j * 4) % 3 = 0 THEN (j * 4) // 3 <= 63
+        |                  ELSE (j * 4) // 3 + 1 <= 63 END),
+        |r AS (SELECT s0.doc_id, js.j,
+        |        CASE WHEN js.rem = 0 THEN s0.sh
+        |             ELSE ((3 - js.rem) * s0.sh + js.rem * s1.sh) // 3
+        |        END AS shv
+        |      FROM js
+        |      JOIN v s0 ON s0.idx = js.q
+        |      LEFT JOIN v s1 ON s1.doc_id = s0.doc_id AND s1.idx = js.q + 1
+        |      WHERE js.rem = 0 OR s1.idx IS NOT NULL)
+        |SELECT doc_id, j, CAST(6000 AS INT) AS out_rate,
+        |  CAST(shv - 32768 AS INT) AS sample
+        |FROM r ORDER BY doc_id, j""".stripMargin,
 
     // m06: perceptual hashes over REAL decoded pixels, cross-engine —
     // aHash: 8x8 grid (identity sampling at this size), threshold at

@@ -2594,6 +2594,64 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Integer-exact linear-interpolation PCM resample — the sample-rate
+    * conversion a training pipeline runs to normalize crawled audio to
+    * one model rate. Output sample j sits at source position
+    * j·den/num (target rate = source·num/den); its value is the exact
+    * linear interpolation of the two bracketing samples, computed as
+    * ((num−rem)·s0' + rem·s1') div num in SHIFTED space (s' = s +
+    * 32768): the shift makes the numerator non-negative, so integer
+    * division is the same floor on every engine — no truncate-vs-floor
+    * divergence on negative samples, the trap that makes naive integer
+    * interpolation engine-dependent. Exact-integer positions (rem = 0,
+    * including j = 0) reproduce source samples bit-for-bit.
+    *
+    * Scale shape: map-only over media rows (decode + emit is per-row
+    * work; no shuffle at all until a consumer aggregates).
+    */
+  def resamplePcm(rows: Dataset[MediaRow], num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= 1, s"rates must be positive: $num/$den")
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePcmSamples(r.content).toSeq.flatMap { a =>
+          val n = a.samples.length
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int)]
+          val outRate = (a.sampleRate.toLong * num / den).toInt
+          var j = 0
+          var inRange = n > 0
+          while (inRange) {
+            val t = j.toLong * den
+            val q = (t / num).toInt
+            val rem = (t % num).toInt
+            inRange = if (rem == 0) q <= n - 1 else q + 1 <= n - 1
+            if (inRange) {
+              val s0 = a.samples(q) + 32768
+              val v =
+                if (rem == 0) s0
+                else {
+                  val s1 = a.samples(q + 1) + 32768
+                  (((num - rem).toLong * s0 + rem.toLong * s1) / num).toInt
+                }
+              out += ((r.media_id, j, outRate, v - 32768))
+              j += 1
+            }
+          }
+          out
+        }
+      }
+    }.toDF("doc_id", "j", "out_rate", "sample")
+  }
+
+  /** m22 gate entry: 8000 → 6000 Hz (3/4) resample of the [[docWavRows]]
+    * binary WAVs; the oracle rebuilds source samples from ord() text
+    * arithmetic and replays the shifted-integer interpolation in SQL.
+    */
+  def resamplePcmGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    resamplePcm(docWavRows(spark, sfDir), 3, 4).orderBy($"doc_id", $"j")
+  }
+
   /** 15-bit frame-energy-gradient audio fingerprint over REAL decoded
     * samples — the audio analog of the image dHash (a toy of the
     * energy-band approach real audio fingerprinting uses): the sample

@@ -287,4 +287,50 @@ class PcmDecodeSpec extends AnyFunSuite with Matchers with SparkSpec {
     val badFmt = good.clone(); badFmt(20) = 3
     Multimodal.decodePcmSamples(badFmt) shouldBe None
   }
+
+  test("m22 resample: identity ratio is bit-exact, 2x upsample hits " +
+    "exact midpoints, 3/4 matches a hand recompute incl. negatives") {
+    import spark.implicits._
+    def rows(samples: Array[Int]) = Seq(
+      MediaRow(1L, "audio", Multimodal.buildPcm16Wav(samples, 8000))).toDS()
+    val s = Array(-32768, -4097, -96, 0, 127, 8191, 32767, -1)
+
+    // num = den = 1: the source comes back bit-for-bit at the same rate
+    val id = Multimodal.resamplePcm(rows(s), 1, 1)
+      .orderBy("j").collect().map(r => (r.getInt(2), r.getInt(3)))
+    id.map(_._2).toSeq shouldBe s.toSeq
+    id.map(_._1).toSet shouldBe Set(8000)
+
+    // 2x upsample: even j reproduce the source, odd j are the exact
+    // floor midpoint in shifted space
+    val up = Multimodal.resamplePcm(rows(s), 2, 1)
+      .orderBy("j").collect().map(_.getInt(3))
+    up.length shouldBe 2 * s.length - 1
+    s.indices.foreach(i => up(2 * i) shouldBe s(i))
+    (0 until s.length - 1).foreach { i =>
+      val mid = ((s(i) + 32768).toLong + (s(i + 1) + 32768)) / 2 - 32768
+      up(2 * i + 1) shouldBe mid.toInt
+    }
+
+    // 3/4 downsample: full hand recompute of positions and values
+    val down = Multimodal.resamplePcm(rows(s), 3, 4)
+      .orderBy("j").collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    val exp = Iterator.from(0).map { j =>
+      val t = j * 4; (j, t / 3, t % 3)
+    }.takeWhile { case (_, q, rem) =>
+      if (rem == 0) q <= s.length - 1 else q + 1 <= s.length - 1
+    }.map { case (j, q, rem) =>
+      val v =
+        if (rem == 0) s(q)
+        else ((((3 - rem).toLong * (s(q) + 32768) +
+          rem.toLong * (s(q + 1) + 32768)) / 3) - 32768).toInt
+      (j, 6000, v)
+    }.toSeq
+    down.toSeq shouldBe exp
+
+    // empty / undecodable payloads emit nothing
+    Multimodal.resamplePcm(
+      Seq(MediaRow(2L, "audio", Array[Byte](1, 2, 3))).toDS(), 3, 4)
+      .count() shouldBe 0L
+  }
 }
