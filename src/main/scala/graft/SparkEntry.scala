@@ -173,6 +173,8 @@ object SparkEntry {
     "t28_textrank" -> ((s: SparkSession, d: String) => TextAnalysis.textRankKeywords(s, d)),
     "t29_trigram_backoff" -> ((s: SparkSession, d: String) => TextAnalysis.trigramBackoff(s, d)),
     "t30_span_corrupt" -> ((s: SparkSession, d: String) => TextAnalysis.spanCorrupt(s, d)),
+    "t31_rake_keywords" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.rakeKeywords(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -3553,6 +3555,48 @@ object SparkEntry {
          |  corr.corrupted, coalesce(tg.targets, '') AS targets
          |FROM nt JOIN corr USING (doc_id) LEFT JOIN tg USING (doc_id)
          |ORDER BY nt.doc_id""".stripMargin,
+
+    // t31: RAKE — phrases = maximal stopword-free runs (pid = running
+    // stopword count), per-doc word freq/degree, phrase score =
+    // sum(degree*1e6 // freq) on the integer grid, top-3 per doc
+    "t31_rake_keywords" ->
+      s"""WITH ${tkCte("")},
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i, tk[CAST(i AS INT)] AS tok
+         |  FROM tk, UNNEST(range(1, len(tk) + 1)) AS t(i)
+         |),
+         |marked AS (
+         |  SELECT doc_id, i, tok,
+         |    CASE WHEN tok IN ('the','a','and','of','to','is','in')
+         |         THEN 1 ELSE 0 END AS is_stop
+         |  FROM pos
+         |),
+         |cand AS (
+         |  SELECT doc_id, i, tok,
+         |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+         |  FROM marked QUALIFY is_stop = 0
+         |),
+         |plen AS (
+         |  SELECT doc_id, pid, count(*) AS plen FROM cand GROUP BY 1, 2
+         |),
+         |wl AS (SELECT c.doc_id, c.pid, c.i, c.tok, p.plen
+         |       FROM cand c JOIN plen p USING (doc_id, pid)),
+         |wstats AS (
+         |  SELECT doc_id, tok, count(*) AS freq, sum(plen) AS degree
+         |  FROM wl GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT wl.doc_id, wl.pid,
+         |    string_agg(wl.tok, ' ' ORDER BY wl.i) AS phrase,
+         |    CAST(sum((ws.degree * 1000000) // ws.freq) AS BIGINT) AS score
+         |  FROM wl JOIN wstats ws ON wl.doc_id = ws.doc_id AND wl.tok = ws.tok
+         |  GROUP BY wl.doc_id, wl.pid
+         |)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score DESC, phrase, pid) AS INT) AS rnk,
+         |  phrase, score
+         |FROM scored QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic

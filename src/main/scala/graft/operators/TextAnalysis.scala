@@ -1400,4 +1400,57 @@ object TextAnalysis {
         $"corrupted", coalesce($"targets", lit("")).as("targets"))
       .orderBy($"doc_id")
   }
+
+  /** RAKE keyword extraction (t31) — Rapid Automatic Keyword
+    * Extraction (Rose et al. 2010), integer-exact: candidate phrases
+    * are maximal stopword-free token runs; per document each word gets
+    * freq (occurrences in candidates) and degree (Σ length of its
+    * containing phrases, with multiplicity); a phrase scores
+    * Σ_w degree(w)·`scale` div freq(w) — the classic degree/freq
+    * ratio on a fixed integer grid, so ranking is bit-identical
+    * across engines (floor division of non-negatives; no float
+    * anywhere). Top-`topN` phrases per doc, (score desc, phrase,
+    * pid) total order. t28's TextRank ranks words by graph
+    * centrality; RAKE is the phrase-level co-occurrence scorer the
+    * same pipelines run when they need multi-word keys cheaply.
+    *
+    * One tokenizer note: [[graft.functions.Text.toks]] strips
+    * punctuation before RAKE sees the stream, so phrases break only
+    * at stopwords (the punctuation-break refinement has no signal
+    * left to use) — deterministic, and identical in the oracle.
+    *
+    * Scale shape: per-doc windows (population = doc length) + three
+    * equi-joins keyed by (doc_id[, token]) — corpus-linear, nothing
+    * global. The final top-N window is per-doc.
+    */
+  def rakeKeywords(spark: SparkSession, sfDir: String, topN: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"i")
+    val cand = graft.Caches.track(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", posexplode(Text.toks($"text")).as(Seq("i", "tok")))
+        .withColumn("is_stop",
+          when($"tok".isin(Stopwords: _*), 1).otherwise(0))
+        .withColumn("pid", sum($"is_stop").over(wDoc))
+        .filter($"is_stop" === 0)
+        .select($"doc_id", $"pid", $"i", $"tok"))
+    val plen = cand.groupBy($"doc_id", $"pid").agg(count(lit(1)).as("plen"))
+    val withLen = cand.join(plen, Seq("doc_id", "pid"))
+    val wstats = withLen.groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("degree"))
+    val scored = withLen.join(wstats, Seq("doc_id", "tok"))
+      .groupBy($"doc_id", $"pid")
+      .agg(
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(i, tok))), x -> x.tok)"),
+          " ").as("phrase"),
+        sum(expr(s"(degree * $scale) div freq")).as("score"))
+    val wTop = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"phrase", $"pid")
+    scored.withColumn("rnk", row_number().over(wTop).cast("int"))
+      .filter($"rnk" <= topN)
+      .select($"doc_id", $"rnk", $"phrase", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
 }

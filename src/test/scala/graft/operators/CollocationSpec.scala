@@ -194,4 +194,39 @@ class CollocationSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(r => (r.getLong(0), r.getString(3))).toMap
     got.exists { case (id, _, _, corr, _) => other(id) != corr } shouldBe true
   }
+
+  test("t31: RAKE top-3 matches a sequential degree/freq recompute") {
+    val stop = TextAnalysis.Stopwords.toSet
+    val exp = docTokensById.flatMap { case (id, tk) =>
+      // phrases: maximal stopword-free runs, keyed by the running
+      // stopword count before/at the token (the pid convention)
+      val phrases = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.ArrayBuffer[String]]
+      var pid = 0L
+      tk.foreach { t =>
+        if (stop(t)) pid += 1
+        else phrases.getOrElseUpdate(pid,
+          scala.collection.mutable.ArrayBuffer.empty) += t
+      }
+      val freq = scala.collection.mutable.Map.empty[String, Long]
+      val degree = scala.collection.mutable.Map.empty[String, Long]
+      phrases.values.foreach { p =>
+        p.foreach { w =>
+          freq(w) = freq.getOrElse(w, 0L) + 1
+          degree(w) = degree.getOrElse(w, 0L) + p.length
+        }
+      }
+      val scored = phrases.toSeq.map { case (p, ws) =>
+        (p, ws.mkString(" "), ws.map(w => degree(w) * 1000000L / freq(w)).sum)
+      }
+      scored.sortBy { case (p, phrase, score) => (-score, phrase, p) }
+        .take(3).zipWithIndex
+        .map { case ((_, phrase, score), r) => (id, r + 1, phrase, score) }
+    }.toSet
+    val got = TextAnalysis.rakeKeywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    got shouldBe exp
+    graft.Caches.releaseAll(spark)
+  }
 }
