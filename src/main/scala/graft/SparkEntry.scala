@@ -69,6 +69,8 @@ object SparkEntry {
       Dedup.embedLshRecallCurve(s, d)),
     "d30_suffix_repeats" -> ((s: SparkSession, d: String) =>
       Dedup.suffixRepeats(s, d)),
+    "d31_suffix_scrub" -> ((s: SparkSession, d: String) =>
+      Dedup.suffixScrub(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -1982,6 +1984,59 @@ object SparkEntry {
          |SELECT CAST(repeat_len AS INT) AS repeat_len,
          |  CAST(count(*) AS BIGINT) AS n_positions
          |FROM pm WHERE repeat_len >= 8 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d31: the cut itself — a char is removed iff it sits inside any
+    // repeat >= 16 starting at or before it; coverage is the per-doc
+    // running max of (off + repeat_len), and the scrubbed text is the
+    // order-sensitive rebuild of survivors
+    "d31_suffix_scrub" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+         |  WHERE doc_id < 64 AND length(text) > 0
+         |),
+         |pos AS (
+         |  SELECT doc_id, CAST(o.off AS INT) AS off,
+         |    substr(t, CAST(o.off AS INT) + 1, 64) AS sfx
+         |  FROM docs CROSS JOIN (SELECT unnest(range(0, 128)) AS off) o
+         |  WHERE o.off < length(t)
+         |),
+         |sa AS (
+         |  SELECT doc_id, off, sfx,
+         |    row_number() OVER (ORDER BY sfx, doc_id, off) AS rk
+         |  FROM pos
+         |),
+         |lcps AS (
+         |  SELECT a.rk,
+         |    coalesce(
+         |      min(CASE WHEN substr(a.sfx, ii.i, 1) <> substr(b.sfx, ii.i, 1)
+         |               THEN ii.i END) - 1,
+         |      least(length(a.sfx), length(b.sfx))) AS lcp
+         |  FROM sa a JOIN sa b ON b.rk = a.rk + 1
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) ii
+         |  GROUP BY a.rk, a.sfx, b.sfx
+         |),
+         |ends AS (
+         |  SELECT rk, lcp FROM lcps
+         |  UNION ALL SELECT rk + 1 AS rk, lcp FROM lcps
+         |),
+         |pm AS (SELECT rk, max(lcp) AS repeat_len FROM ends GROUP BY 1),
+         |pl AS (
+         |  SELECT s.doc_id, s.off, substr(s.sfx, 1, 1) AS chr,
+         |    coalesce(pm.repeat_len, 0) AS rl
+         |  FROM sa s LEFT JOIN pm ON s.rk = pm.rk
+         |),
+         |cov AS (
+         |  SELECT doc_id, off, chr,
+         |    max(CASE WHEN rl >= 16 THEN off + rl ELSE -1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY off) AS rend
+         |  FROM pl
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN off >= rend THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN off < rend THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         |  coalesce(string_agg(CASE WHEN off >= rend THEN chr END, ''
+         |    ORDER BY off), '') AS scrubbed
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // est = equal signature positions / 16 (unbiased Jaccard estimator);
     // exact jaccard joined alongside so the oracle pins both columns

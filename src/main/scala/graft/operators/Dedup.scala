@@ -1915,6 +1915,21 @@ object Dedup {
   def suffixRepeats(spark: SparkSession, sfDir: String, win: Int = 64,
       minRep: Int = 8, maxDocs: Int = 64, docCap: Int = 128): DataFrame = {
     import spark.implicits._
+    suffixRepeatLens(spark, sfDir, win, maxDocs, docCap)
+      .filter($"repeat_len" >= minRep)
+      .groupBy($"repeat_len".cast("int").as("repeat_len"))
+      .agg(count(lit(1)).as("n_positions"))
+      .orderBy($"repeat_len")
+  }
+
+  /** Shared d30/d31 core: (doc_id, off, chr, repeat_len) — one row per
+    * corpus position of the bounded sample, with the position's char
+    * and its exact longest-repeat length (capped at `win`). See
+    * [[suffixRepeats]] for the algorithm.
+    */
+  private def suffixRepeatLens(spark: SparkSession, sfDir: String,
+      win: Int, maxDocs: Int, docCap: Int): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .filter($"doc_id" < maxDocs && length($"text") > 0)
       .select($"doc_id", substring($"text", 1, docCap).as("t"))
@@ -1924,7 +1939,8 @@ object Dedup {
       .select($"doc_id", $"off".cast("int").as("off"),
         expr(s"substr(t, off + 1, $win)").as("sfx"))
     // the suffix array: global rank in (sfx, doc_id, off) order; cached
-    // because both sides of the rank-successor join read it
+    // because both sides of the rank-successor join and the final
+    // join-back all read it
     val sa = graft.Caches.track(
       Ranking.rowRanks(pos, "rk", col("sfx"), col("doc_id"), col("off")))
     val lcp = expr(
@@ -1936,13 +1952,49 @@ object Dedup {
       .join(sa.select(($"rk" - 1).as("rk"), $"sfx".as("s2")), "rk")
       .select($"rk", lcp.as("lcp"))
     // a position's longest repeat = max LCP over its <= 2 rank-neighbors
-    pairs.select($"rk", $"lcp")
+    val perRank = pairs.select($"rk", $"lcp")
       .union(pairs.select(($"rk" + 1).as("rk"), $"lcp"))
       .groupBy($"rk")
       .agg(max($"lcp").as("repeat_len"))
-      .filter($"repeat_len" >= minRep)
-      .groupBy($"repeat_len".cast("int").as("repeat_len"))
-      .agg(count(lit(1)).as("n_positions"))
-      .orderBy($"repeat_len")
+    sa.join(perRank, Seq("rk"), "left")
+      .select($"doc_id", $"off", expr("substr(sfx, 1, 1)").as("chr"),
+        coalesce($"repeat_len", lit(0L)).as("repeat_len"))
+  }
+
+  /** Exact substring scrub (d31) — d30's profile turned into the cut
+    * itself (the second half of the suffix-array dedup recipe: having
+    * measured the repeats, REMOVE every span that occurs elsewhere):
+    * a char is cut iff it lies inside ANY repeat of length >=
+    * `minRep` starting at or before it. Coverage needs no interval
+    * join — per document, the running max of (off + repeat_len) over
+    * qualifying positions is the furthest cut extent so far, and a
+    * char survives iff its offset has passed that extent: ONE ordered
+    * window per doc, the q27-sessionize shape.
+    *
+    * Output per doc: kept/cut char counts and the scrubbed text
+    * itself (order-sensitive rebuild of surviving chars), so the gate
+    * hash pins the exact cut geometry, not just its size.
+    */
+  def suffixScrub(spark: SparkSession, sfDir: String, win: Int = 64,
+      minRep: Int = 16, maxDocs: Int = 64, docCap: Int = 128): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lens = suffixRepeatLens(spark, sfDir, win, maxDocs, docCap)
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"off")
+    lens
+      .withColumn("rend",
+        max(when($"repeat_len" >= minRep, $"off" + $"repeat_len")
+          .otherwise(-1L)).over(wDoc))
+      .withColumn("keep", $"off" >= $"rend")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", 0L).otherwise(1L)).as("n_cut"),
+        expr("""array_join(
+                  transform(
+                    filter(sort_array(collect_list(struct(off, keep, chr))),
+                           x -> x.keep),
+                    x -> x.chr), '')""").as("scrubbed"))
+      .orderBy($"doc_id")
   }
 }

@@ -226,4 +226,59 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     viaSa shouldBe bruteBySa
     graft.Caches.releaseAll(spark)
   }
+
+  test("d31: the scrub matches a sequential coverage replay, cuts are " +
+    "non-vacuous, and a clean corpus passes through untouched") {
+    val sfSmall = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sfSmall)
+      .filter($"doc_id" < 64 && expr("length(text) > 0"))
+      .select($"doc_id", substring($"text", 1, 128))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val win = 64
+    // sequential per-position repeat lengths (suffix sort + adjacent LCP)
+    val pos = for {
+      (id, t) <- texts; off <- 0 until t.length
+    } yield (id, off, t.substring(off, math.min(off + win, t.length)))
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(math.min(a.length, b.length), win)
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    }
+    val sa = pos.sortBy { case (id, off, sfx) => (sfx, id, off) }
+    val adj = sa.zip(sa.drop(1)).map { case (x, y) => lcp(x._3, y._3) }
+    val lens = sa.indices.map { r =>
+      val before = if (r > 0) adj(r - 1) else 0
+      val after = if (r < adj.length) adj(r) else 0
+      (sa(r)._1, sa(r)._2, math.max(before, after))
+    }
+    // replay the running-max coverage per doc
+    val exp = lens.groupBy(_._1).map { case (id, rows) =>
+      val byOff = rows.sortBy(_._2)
+      var rend = -1L
+      val kept = new StringBuilder
+      var nCut = 0L
+      val text = texts.find(_._1 == id).get._2
+      byOff.foreach { case (_, off, rl) =>
+        if (rl >= 16) rend = math.max(rend, off.toLong + rl)
+        if (off >= rend) kept += text.charAt(off) else nCut += 1
+      }
+      (id, (kept.length.toLong, nCut, kept.toString))
+    }
+    val got = Dedup.suffixScrub(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    got shouldBe exp
+    // non-vacuous: some docs lose spans, some survive intact
+    got.values.count(_._2 > 0) should be > 0
+    got.values.count(_._2 == 0) should be > 0
+    // kept + cut always accounts for every char
+    texts.foreach { case (id, t) =>
+      val (k, c, s) = got(id)
+      k + c shouldBe t.length.toLong
+      s.length.toLong shouldBe k
+    }
+    graft.Caches.releaseAll(spark)
+  }
 }
