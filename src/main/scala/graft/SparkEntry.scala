@@ -177,6 +177,8 @@ object SparkEntry {
     "t30_span_corrupt" -> ((s: SparkSession, d: String) => TextAnalysis.spanCorrupt(s, d)),
     "t31_rake_keywords" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rakeKeywords(s, d)),
+    "t32_vocab_growth" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabGrowth(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -3652,6 +3654,31 @@ object SparkEntry {
          |         ORDER BY score DESC, phrase, pid) AS INT) AS rnk,
          |  phrase, score
          |FROM scored QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // t32: Heaps-law trajectory — per doc-count decile, cumulative
+    // token count and distinct vocab; vocab membership in a prefix is
+    // decided by the token's first-seen doc alone
+    "t32_vocab_growth" ->
+      s"""WITH ${tkCte("")},
+         |pos AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+         |ks AS (
+         |  SELECT CAST(t.k AS INT) AS k, (t.k * m.n) // 10 AS thr
+         |  FROM (SELECT max(doc_id) + 1 AS n FROM documents) m
+         |  CROSS JOIN (SELECT unnest(range(1, 11)) AS k) t
+         |),
+         |fs AS (SELECT tok, min(doc_id) AS fs FROM pos GROUP BY 1),
+         |vc AS (SELECT ks.k, count(*) AS vocab
+         |       FROM ks JOIN fs ON fs.fs < ks.thr GROUP BY 1),
+         |tpd AS (SELECT doc_id, count(*) AS nt FROM pos GROUP BY 1),
+         |nt AS (SELECT ks.k, sum(tpd.nt) AS n_tokens
+         |       FROM ks JOIN tpd ON tpd.doc_id < ks.thr GROUP BY 1),
+         |nd AS (SELECT ks.k, count(*) AS n_docs
+         |       FROM ks JOIN documents d ON d.doc_id < ks.thr GROUP BY 1)
+         |SELECT nd.k, CAST(nd.n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(vc.vocab, 0) AS BIGINT) AS vocab
+         |FROM nd LEFT JOIN nt USING (k) LEFT JOIN vc USING (k)
+         |ORDER BY nd.k""".stripMargin,
 
     // p13: length-bucketed batch manifest — fixed power-of-two bands,
     // per-band hash-order ranks, integer DIV/mod batch arithmetic

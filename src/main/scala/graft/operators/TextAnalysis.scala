@@ -1453,4 +1453,50 @@ object TextAnalysis {
       .select($"doc_id", $"rnk", $"phrase", $"score")
       .orderBy($"doc_id", $"rnk")
   }
+
+  /** Vocabulary growth curve (t32) — the Heaps'-law measurement a
+    * corpus report runs to answer "how fast does the vocabulary still
+    * grow": for each of `buckets` doc-count prefixes (doc_id order),
+    * the EXACT cumulative token count and distinct-vocabulary size.
+    * The curve's shape is what decides tokenizer vocab budgets and
+    * whether more crawl still buys new types; t18's corpus report
+    * gives the endpoint, this gives the trajectory.
+    *
+    * Exactness without re-scanning per prefix: a token's membership in
+    * every prefix is determined by its FIRST-seen doc alone, so one
+    * corpus pass builds (token, first_seen) and per-doc counts, and
+    * the `buckets` thresholds join against those two small-keyed
+    * frames — never the raw token stream. All counts are integers.
+    *
+    * Scale shape: the token stream aggregates map-side to per-doc and
+    * per-token rows before any threshold fan-out; the threshold frame
+    * is `buckets` rows, broadcast. No prefix rescans, no windows over
+    * the corpus.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String,
+      buckets: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val toks = graft.Caches.track(
+      docs.select($"doc_id", explode(Text.toks($"text")).as("tok")))
+    val thr = docs.agg((max($"doc_id") + 1).as("n"))
+      .select($"n", explode(sequence(lit(1), lit(buckets))).as("k"))
+      .select($"k".cast("int").as("k"), expr(s"(k * n) div $buckets").as("thr"))
+    val firstSeen = toks.groupBy($"tok").agg(min($"doc_id").as("fs"))
+    val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("nt"))
+    val vocab = firstSeen.crossJoin(broadcast(thr))
+      .filter($"fs" < $"thr")
+      .groupBy($"k").agg(count(lit(1)).as("vocab"))
+    val tokens = perDoc.crossJoin(broadcast(thr))
+      .filter($"doc_id" < $"thr")
+      .groupBy($"k").agg(sum($"nt").as("n_tokens"))
+    val nDocs = docs.select($"doc_id").crossJoin(broadcast(thr))
+      .filter($"doc_id" < $"thr")
+      .groupBy($"k").agg(count(lit(1)).as("n_docs"))
+    nDocs.join(tokens, Seq("k"), "left").join(vocab, Seq("k"), "left")
+      .select($"k", $"n_docs",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"vocab", lit(0L)).as("vocab"))
+      .orderBy($"k")
+  }
 }

@@ -146,13 +146,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // leftover sum) runs on the per-LANGUAGE aggregate frame: one row
     // per language, language cardinality is a corpus constant — p04's
     // tiny-key-space bounded shape exactly.
+    // t32 — the max(doc_id)+1 threshold scalar: every SinglePartition
+    // exchange in the plan has HashAggregate(partial_max(doc_id)) as
+    // its direct child — ONE partial-max row per task into the 1-row
+    // frame the 10 thresholds explode from (t20's V shape; verified
+    // by plan dump this round).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
       "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters",
       "q39_table_profile", "q40_fk_audit", "q45_funnel",
       "t27_pmi_colloc", "p16_curriculum", "q47_equidepth_hist",
-      "t29_trigram_backoff", "p17_interleave", "p18_unimax")
+      "t29_trigram_backoff", "p17_interleave", "p18_unimax",
+      "t32_vocab_growth")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -229,4 +229,28 @@ class CollocationSpec extends AnyFunSuite with Matchers with SparkSpec {
     got shouldBe exp
     graft.Caches.releaseAll(spark)
   }
+
+  test("t32: the vocab growth curve matches a sequential prefix replay " +
+    "and is monotone with the full corpus at the top") {
+    val maxId = docTokensById.map(_._1).max + 1
+    val exp = (1 to 10).map { k =>
+      val thr = k * maxId / 10
+      val in = docTokensById.filter(_._1 < thr)
+      (k, in.size.toLong, in.map(_._2.length.toLong).sum,
+        in.flatMap(_._2).toSet.size.toLong)
+    }
+    val got = TextAnalysis.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe exp
+    // all three measures grow monotonically with the prefix
+    got.zip(got.drop(1)).foreach { case (a, b) =>
+      a._2 should be <= b._2
+      a._3 should be <= b._3
+      a._4 should be <= b._4
+    }
+    // the last decile is the whole corpus; vocab never exceeds tokens
+    got.last._2 shouldBe docTokensById.size.toLong
+    got.foreach { case (_, _, nt, v) => v should be <= nt }
+    graft.Caches.releaseAll(spark)
+  }
 }
