@@ -230,6 +230,7 @@ object SparkEntry {
     "m20_g711_gate" -> (Multimodal.g711Gate _),
     "m21_id3_gate" -> (Multimodal.id3Gate _),
     "m22_resample_gate" -> (Multimodal.resamplePcmGate _),
+    "m23_png16_gate" -> (Multimodal.png16ChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -4383,6 +4384,19 @@ object SparkEntry {
         |SELECT doc_id, j, CAST(6000 AS INT) AS out_rate,
         |  CAST(shv - 32768 AS INT) AS sample
         |FROM r ORDER BY doc_id, j""".stripMargin,
+
+    // m23: the 16-bit gray PNG gate — canonical pixels are the
+    // high-byte reduction, which the builder pins to the raw ord()
+    // value (sample = v*256 + (255-v)), so the oracle is m11's
+    // first-principles checksum verbatim
+    "m23_png16_gate" ->
+      """SELECT doc_id, 'png' AS format, 8 AS width, 8 AS height,
+        |  1 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, 65), i ->
+        |      CAST(ord(text[CAST(i AS INT)]) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 64 ORDER BY doc_id""".stripMargin,
 
     // m06: perceptual hashes over REAL decoded pixels, cross-engine —
     // aHash: 8x8 grid (identity sampling at this size), threshold at

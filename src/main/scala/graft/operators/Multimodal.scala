@@ -695,10 +695,16 @@ object Multimodal {
       case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4; case _ => -1
     }
     val isPalette = colorType == 3
-    if (w <= 0 || w > MaxDim || h <= 0 || h > MaxDim || bitDepth != 8 ||
+    // 16-bit depth decodes for gray only (the common deep-raster case);
+    // canonical pixels are the high-byte reduction (PNG §12.5's sample
+    // depth scaling truncation), so downstream 8-bit consumers compose
+    val byteDepth = if (bitDepth == 16 && colorType == 0) 2 else 1
+    if (w <= 0 || w > MaxDim || h <= 0 || h > MaxDim ||
+        !(bitDepth == 8 || (bitDepth == 16 && colorType == 0)) ||
         channels < 0 || compression != 0 || filterMethod != 0 ||
         interlace > 1 ||
-        w.toLong * h * (if (isPalette) 3 else channels) > Int.MaxValue / 2)
+        w.toLong * h * (if (isPalette) 3 else channels * byteDepth) >
+          Int.MaxValue / 2)
       return None
     val crc = new java.util.zip.CRC32
     def chunkCrcOk(typeOff: Int, len: Int): Boolean = {
@@ -751,11 +757,12 @@ object Multimodal {
       (if (w > x0) (w - x0 + dx - 1) / dx else 0,
         if (h > y0) (h - y0 + dy - 1) / dy else 0)
     }
-    // inflate to EXACTLY Σ passes of ph * (1 + pw*channels)
+    // inflate to EXACTLY Σ passes of ph * (1 + pw*bytesPerPx)
+    val bytesPerPx = channels * byteDepth
     val stride = w * channels
     val expected = passes.map { p =>
       val (pw, ph) = passDims(p)
-      if (pw > 0 && ph > 0) ph * (1 + pw * channels) else 0
+      if (pw > 0 && ph > 0) ph * (1 + pw * bytesPerPx) else 0
     }.sum
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
@@ -783,10 +790,10 @@ object Multimodal {
     // left, all 0 off the PASS edge — predictors never cross passes;
     // the "pixel before" distance is the byte-per-pixel count), then
     // scatter each pass pixel to its (x0+px·dx, y0+py·dy) home
-    val bpp = channels
+    val bpp = bytesPerPx
     val out = new Array[Byte](h * stride)
     def unfilterPass(rawOff: Int, pw: Int, ph: Int): Option[Array[Byte]] = {
-      val ps = pw * channels
+      val ps = pw * bytesPerPx
       val plane = new Array[Byte](ph * ps)
       var y = 0
       while (y < ph) {
@@ -833,16 +840,17 @@ object Multimodal {
           var px = 0
           while (px < pw) {
             val dst = (y0 + py * dy) * stride + (x0 + px * dx) * channels
-            val src = (py * pw + px) * channels
+            val src = (py * pw + px) * bytesPerPx
             var ch = 0
             while (ch < channels) {
-              out(dst + ch) = plane(src + ch); ch += 1
+              // byteDepth 2: the high byte IS the canonical reduction
+              out(dst + ch) = plane(src + ch * byteDepth); ch += 1
             }
             px += 1
           }
           py += 1
         }
-        rawOff += ph * (1 + pw * channels)
+        rawOff += ph * (1 + pw * bytesPerPx)
       }
       pi += 1
     }
@@ -1258,18 +1266,41 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 16-bit grayscale PNG (bit depth 16, color type 0): `samples` are
+    * 0..65535, written big-endian per PNG §7.1; filters run over BYTES
+    * with bpp = 2, so Sub/Average/Paeth reach back a predictor
+    * distance neither the bpp=1 gray nor bpp=3 RGB encoders touch.
+    */
+  def encodePng16Gray(width: Int, height: Int, samples: Array[Int],
+      filterFor: Int => Int = _ => 0, adam7: Boolean = false): Array[Byte] = {
+    require(samples.length == width * height,
+      s"sample buffer ${samples.length} != $width*$height")
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      require(samples(i) >= 0 && samples(i) <= 0xffff,
+        s"sample ${samples(i)} outside 0..65535")
+      bytes(i * 2) = ((samples(i) >>> 8) & 0xff).toByte
+      bytes(i * 2 + 1) = (samples(i) & 0xff).toByte
+      i += 1
+    }
+    encodePngCore(width, height, 1, bytes, filterFor, None, adam7,
+      byteDepth = 2)
+  }
+
   private def encodePngCore(width: Int, height: Int, channels: Int,
       pixels: Array[Byte], filterFor: Int => Int,
-      palette: Option[Array[Byte]], adam7: Boolean = false): Array[Byte] = {
-    require(pixels.length == width * height * channels,
-      s"pixel buffer ${pixels.length} != $width*$height*$channels")
-    val bpp = channels
+      palette: Option[Array[Byte]], adam7: Boolean = false,
+      byteDepth: Int = 1): Array[Byte] = {
+    require(pixels.length == width * height * channels * byteDepth,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels*$byteDepth")
+    val bpp = channels * byteDepth
     // filter one plane (a pass sub-image, or the whole image when
     // progressive) into `sink`; `row0` is the running scanline index
     // fed to filterFor; returns the next running index
     def filterPlane(plane: Array[Byte], pw: Int, ph: Int, row0: Int,
         sink: java.io.ByteArrayOutputStream): Int = {
-      val ps = pw * channels
+      val ps = pw * bpp
       val row = new Array[Byte](1 + ps)
       var y = 0
       while (y < ph) {
@@ -1313,15 +1344,15 @@ object Multimodal {
         val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
         val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
         if (pw > 0 && ph > 0) {
-          val plane = new Array[Byte](pw * ph * channels)
+          val plane = new Array[Byte](pw * ph * bpp)
           var py = 0
           while (py < ph) {
             var px = 0
             while (px < pw) {
-              val src = ((y0 + py * dy) * width + (x0 + px * dx)) * channels
-              val dst = (py * pw + px) * channels
+              val src = ((y0 + py * dy) * width + (x0 + px * dx)) * bpp
+              val dst = (py * pw + px) * bpp
               var ch = 0
-              while (ch < channels) { plane(dst + ch) = pixels(src + ch); ch += 1 }
+              while (ch < bpp) { plane(dst + ch) = pixels(src + ch); ch += 1 }
               px += 1
             }
             py += 1
@@ -1358,7 +1389,7 @@ object Multimodal {
       case None => channels match { case 1 => 0; case 3 => 2; case _ => 6 }
     }
     chunk("IHDR", be(width) ++ be(height) ++
-      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte,
+      Array((8 * byteDepth).toByte, colorType.toByte, 0.toByte, 0.toByte,
         (if (adam7) 1 else 0).toByte))
     palette.foreach(p => chunk("PLTE", p))
     chunk("IDAT", idat)
@@ -2074,6 +2105,42 @@ object Multimodal {
   def pngChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     rasterFeatures(docPngRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** m23 payload builder: the 16-BIT sibling of the m11 PNG — sample
+    * (x, y) = v·256 + (255 − v) over the first 64 text bytes, so the
+    * two bytes of every sample DIFFER (hi = v, lo = 255−v): a decoder
+    * that mixed up byte roles, dropped the low byte from the filter
+    * stream, or used bpp = 1 reach-back could not survive the gate.
+    * The canonical high-byte reduction is exactly v, so the oracle is
+    * m11's ord() arithmetic verbatim while the wire path runs the
+    * whole 16-bit slice (bpp = 2 predictors, 2-byte scanlines).
+    */
+  private def docPng16Rows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val v = px.getBytes("ISO-8859-1").map(_ & 0xff)
+        MediaRow(id, "image",
+          encodePng16Gray(8, 8, v.map(x => x * 256 + (255 - x)),
+            y => ((id + y) % 5).toInt))
+      }
+  }
+
+  /** m23 gate entry: [[pngChecksumGate]] over [[docPng16Rows]] —
+    * hash-green proves the 16-bit scanline walk (bpp = 2 unfilter,
+    * big-endian sample order, high-byte canonical reduction)
+    * byte-agrees with the first-principles engine.
+    */
+  def png16ChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docPng16Rows(spark, sfDir)).toDF()
       .select($"media_id".as("doc_id"), $"format", $"width", $"height",
         $"channels", $"pixel_checksum")
       .orderBy($"doc_id")

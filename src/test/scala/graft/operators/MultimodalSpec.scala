@@ -817,6 +817,57 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("decodePng 16-bit gray: every filter round-trips to the high-byte " +
+    "canonical, progressive and Adam7; 16-bit color rejects") {
+    for (ft <- 0 to 4; adam7 <- Seq(false, true)) {
+      val w = 6; val h = 5
+      val raw = detRandom(16 * 100 + ft, w * h * 2)
+      // distinct hi/lo bytes per sample so byte-role bugs can't hide
+      val samples = Array.tabulate(w * h)(i =>
+        ((raw(i * 2) & 0xff) << 8) | (raw(i * 2 + 1) & 0xff))
+      val bytes = Multimodal.encodePng16Gray(w, h, samples,
+        y => (y + ft) % 5, adam7 = adam7)
+      val img = Multimodal.decodeRasterPixels(bytes).get
+      (img.format, img.width, img.height, img.channels) shouldBe
+        (("png", w, h, 1))
+      withClue(s"ft=$ft adam7=$adam7: ") {
+        img.pixels.map(_ & 0xff).toSeq shouldBe samples.map(_ >>> 8).toSeq
+      }
+    }
+    // a 16-bit COLOR stream stays out of slice: take a valid 16-bit
+    // gray stream and relabel it RGB with a CRC-consistent IHDR
+    val ok = Multimodal.encodePng16Gray(4, 4,
+      Array.tabulate(16)(i => i * 4000), _ => 0)
+    val rgb16 = ok.clone(); rgb16(25) = 2
+    val crc = new java.util.zip.CRC32
+    crc.update(rgb16, 12, 17)
+    val v = crc.getValue.toInt
+    rgb16(29) = (v >>> 24).toByte; rgb16(30) = (v >>> 16).toByte
+    rgb16(31) = (v >>> 8).toByte; rgb16(32) = v.toByte
+    Multimodal.decodeRasterPixels(rgb16) shouldBe None
+  }
+
+  test("decodePng 16-bit gray: agrees with the JDK's ImageIO, full 16 bits") {
+    // ImageIO decodes the FULL 16-bit samples — this pins the encoder's
+    // big-endian order and bpp=2 filter arithmetic beyond the high byte
+    for (ft <- 0 to 4) {
+      val w = 5; val h = 4
+      val raw = detRandom(16 * 1000 + ft, w * h * 2)
+      val samples = Array.tabulate(w * h)(i =>
+        ((raw(i * 2) & 0xff) << 8) | (raw(i * 2 + 1) & 0xff))
+      val bytes = Multimodal.encodePng16Gray(w, h, samples, y => (y + ft) % 5)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      bi should not be null
+      val raster = bi.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        withClue(s"ft=$ft ($x,$y): ") {
+          raster.getSample(x, y, 0) shouldBe samples(y * w + x)
+        }
+      }
+    }
+  }
+
   test("decodePng: agrees with the JDK's own ImageIO decoder (independent)") {
     // ImageIO is an INDEPENDENT PNG implementation — if encodePng and
     // decodePngPixels shared a filter-arithmetic bug, this catches it.
@@ -853,8 +904,11 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     // suite; the mismatched-size relabel case is covered there too)
     val inter = good.clone(); inter(28) = 1
     Multimodal.decodeRasterPixels(inter) shouldBe None
-    // 16-bit depth and paletted color are out of slice (fix CRC so the
-    // rejection is the slice check, not the CRC)
+    // a relabel to 16-bit depth doubles the declared scanline budget
+    // the 8-bit data cannot fill — size-mismatch reject (real 16-bit
+    // gray decodes: see the 16-bit suite); relabeled palette color is
+    // out of slice without a PLTE (fix CRC so the rejection is never
+    // the CRC)
     def withIhdr(mut: Array[Byte] => Unit): Array[Byte] = {
       val b = good.clone(); mut(b)
       val crc = new java.util.zip.CRC32
