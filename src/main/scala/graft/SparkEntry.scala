@@ -63,6 +63,8 @@ object SparkEntry {
       Relational.groupTrend(s, d)),
     "q49_gap_chains" -> ((s: SparkSession, d: String) =>
       Relational.gapChains(s, d)),
+    "q50_cusum" -> ((s: SparkSession, d: String) =>
+      Relational.cusumChart(s, d)),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallCurve(s, d)),
     "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
@@ -1573,6 +1575,30 @@ object SparkEntry {
         |JOIN p ON c.user_id = p.user_id
         |  AND p_us > c_us AND p_us - c_us <= CAST(360 AS BIGINT) * 60 * 1000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    // q50: Page's CUSUM per user — the clamped recursion replayed as
+    // prefix-sum minus running-min (exact identity), deviations on the
+    // cents grid against the floor'd global mean
+    "q50_cusum" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT sum(cents) // count(*) AS mu FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS idx,
+        |    sum(cents - m.mu) OVER (PARTITION BY user_id ORDER BY us, event_id) AS p
+        |  FROM e CROSS JOIN m),
+        |cu AS (
+        |  SELECT user_id, idx,
+        |    p - least(min(p) OVER (PARTITION BY user_id
+        |          ORDER BY idx), 0) AS cs
+        |  FROM s)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(cs) AS BIGINT) AS max_cusum,
+        |  CAST(min(CASE WHEN cs >= 100000 THEN idx END) AS INT) AS alarm_idx
+        |FROM cu GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // p17: weighted fair interleave — within-source seeded ranks,
     // virtual time r·(12 // w), global order (v, source, doc_id)

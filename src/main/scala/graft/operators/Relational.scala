@@ -1316,4 +1316,44 @@ object Relational {
         min($"v_us").as("first_start_us"), max($"p_us").as("last_end_us"))
       .orderBy($"user_id")
   }
+
+  /** CUSUM change-point detection (q50) — Page's cumulative-sum
+    * control chart per user: the upward statistic
+    * S_t = max(0, S_{t−1} + (x_t − μ)) over the user's event values in
+    * time order, with an alarm at the first t where S_t ≥ `thresh`.
+    * The monitoring primitive for "did this user's spend level SHIFT"
+    * (q46 flags single outliers; CUSUM accumulates small persistent
+    * drifts those never trip).
+    *
+    * The clamped recursion looks sequential but is exactly
+    * S_t = P_t − min(0, P_1..P_t) for P = prefix sums of deviations —
+    * so the whole chart is two ordered windows (running sum, running
+    * min), no recursion and no driver loop. Everything is integer:
+    * values on the cents grid, μ = floor(global mean cents), so S is
+    * bit-identical across engines.
+    *
+    * Scale shape: the global-mean scalar is one partial-sum row per
+    * task into a broadcast (the t32 V shape); the two windows are
+    * per-user (population = a user's event count). Corpus-linear.
+    */
+  def cusumChart(spark: SparkSession, sfDir: String,
+      thresh: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    require(thresh >= 1, s"thresh must be >= 1: $thresh")
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+    val mu = ev.agg(sum($"cents").as("s"), count(lit(1)).as("n"))
+      .select(expr("s div n").as("mu"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    ev.crossJoin(broadcast(mu))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("p", sum($"cents" - $"mu").over(w))
+      .withColumn("s", $"p" - least(min($"p").over(w), lit(0L)))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"s").as("max_cusum"),
+        min(when($"s" >= thresh, $"idx")).cast("int").as("alarm_idx"))
+      .orderBy($"user_id")
+  }
 }

@@ -151,6 +151,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // its direct child — ONE partial-max row per task into the 1-row
     // frame the 10 thresholds explode from (t20's V shape; verified
     // by plan dump this round).
+    // q50 — the global-mean scalar: the plan's one SinglePartition
+    // exchange has HashAggregate(partial_sum(cents), partial_count(1))
+    // as its direct child — one row per task into the 1-row broadcast
+    // mu frame (verified by plan dump this round).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
@@ -158,7 +162,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "q39_table_profile", "q40_fk_audit", "q45_funnel",
       "t27_pmi_colloc", "p16_curriculum", "q47_equidepth_hist",
       "t29_trigram_backoff", "p17_interleave", "p18_unimax",
-      "t32_vocab_growth")
+      "t32_vocab_growth", "q50_cusum")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

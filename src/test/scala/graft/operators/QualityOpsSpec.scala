@@ -413,6 +413,34 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     tied shouldBe false
   }
 
+  test("q50: the windowed CUSUM equals the literal clamped recursion " +
+    "replayed sequentially, alarms included") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mu = ev.map(_._4).sum / ev.length // values non-negative: / == div
+    val thresh = 100000L
+    val exp = ev.groupBy(_._1).map { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      var s = 0L
+      var maxS = Long.MinValue
+      var alarm: Option[Int] = None
+      ordered.zipWithIndex.foreach { case ((_, _, _, cents), i) =>
+        s = math.max(0L, s + (cents - mu)) // the textbook recursion
+        maxS = math.max(maxS, s)
+        if (alarm.isEmpty && s >= thresh) alarm = Some(i + 1)
+      }
+      (uid, (ordered.length.toLong, maxS, alarm))
+    }
+    val got = Relational.cusumChart(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))).toMap
+    got shouldBe exp
+  }
+
   test("q47: boundaries sit at exact ceil(i*n/B) ranks of a full sort; " +
     "bucket populations balance") {
     import spark.implicits._
