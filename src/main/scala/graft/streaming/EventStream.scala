@@ -588,4 +588,56 @@ object EventStream {
           }
       }
   }
+
+  /** Per-user CUSUM carry: event count, current statistic, running
+    * max, first alarm index (-1 = none yet).
+    */
+  case class CusumState(n: Long, s: Long, maxS: Long, alarmIdx: Long)
+
+  /** The q50 row shape, emitted per user per micro-batch (Update). */
+  case class CusumChart(user_id: Long, n_events: Long, max_cusum: Long,
+      alarm_idx: Option[Int])
+
+  /** Streaming CUSUM monitor — [[graft.operators.Relational
+    * .cusumChart]]'s ingest-time twin (the ONE-definition rule: the
+    * literal textbook recursion here, the window identity there —
+    * parity spec-proven): per user, S advances by max(0, S + (cents −
+    * μ)) per event, with the first threshold crossing latched as the
+    * alarm. This is CUSUM's native habitat — Page designed it as a
+    * sequential monitor; μ is the FIXED reference level (in
+    * production, estimated on a calibration window; the batch twin's
+    * floor'd global mean reproduces the gate).
+    *
+    * Order contract: events within a micro-batch process in event-time
+    * order; across batches the source must deliver each user's events
+    * in order (CUSUM is order-defined — there is no order-free
+    * spelling). State is FOUR longs per user — unconditionally
+    * bounded, no watermark needed.
+    */
+  def cusumStream(events: DataFrame, mu: Long,
+      thresh: Long = 100000L): Dataset[CusumChart] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("bigint").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CusumState, CusumChart](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, -1L))
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, _, _, cents) =>
+            val s1 = math.max(0L, st.s + (cents - mu))
+            val n1 = st.n + 1
+            val alarm =
+              if (st.alarmIdx >= 0) st.alarmIdx
+              else if (s1 >= thresh) n1
+              else -1L
+            st = CusumState(n1, s1, math.max(st.maxS, s1), alarm)
+          }
+          state.update(st)
+          CusumChart(uid, st.n, st.maxS,
+            if (st.alarmIdx >= 0) Some(st.alarmIdx.toInt) else None)
+      }
+  }
 }

@@ -706,4 +706,41 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming CUSUM matches the q50 batch chart across an arrival " +
+    "split (one-definition rule: recursion here, window identity there)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // the fixed reference level: the batch twin's floor'd global mean
+    val cents = evs.map(e => math.round(e.value * 100))
+    val mu = cents.sum / cents.length
+    val mem = MemoryStream[Event]
+    val q = EventStream.cusumStream(mem.toDF(), mu)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode("update").start()
+    try {
+      // two arrival batches split in TIME order — per-user order is
+      // preserved, which is the operator's documented contract
+      mem.addData(evs.take(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // final snapshot = each user's LAST update row
+      val streamed = spark.table("cusum").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))))
+        .groupBy(_._1).map { case (u, rows) =>
+          (u, rows.maxBy(_._2._1)._2) // max n_events = latest state
+        }
+      val batch = graft.operators.Relational.cusumChart(spark, sf).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3))))).toMap
+      batch should not be empty
+      streamed shouldBe batch
+    } finally q.stop()
+  }
 }
