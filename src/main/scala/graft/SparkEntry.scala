@@ -65,6 +65,7 @@ object SparkEntry {
       Relational.gapChains(s, d)),
     "q50_cusum" -> ((s: SparkSession, d: String) =>
       Relational.cusumChart(s, d)),
+    "q51_bitmap_overlap" -> (Relational.bitmapOverlap _),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallCurve(s, d)),
     "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
@@ -1599,6 +1600,25 @@ object SparkEntry {
         |  CAST(max(cs) AS BIGINT) AS max_cusum,
         |  CAST(min(CASE WHEN cs >= 100000 THEN idx END) AS INT) AS alarm_idx
         |FROM cu GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q51: bitmap audience overlap — the STRONG gate form: the Spark
+    // side packs users into 32-bit lanes and popcounts AND'd words,
+    // while this oracle is plain COUNT(DISTINCT) self-joins with no
+    // bitmap logic at all, so any miscounted bit hash-mismatches
+    "q51_bitmap_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM du GROUP BY 1),
+        |bo AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |       FROM du a JOIN du b ON a.user_id = b.user_id
+        |         AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+        |  (n_both * 1000000) // (ca.n + cb.n - n_both) AS jaccard_ppm
+        |FROM bo JOIN cnt ca ON ca.event_type = type_a
+        |        JOIN cnt cb ON cb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // p17: weighted fair interleave — within-source seeded ranks,
     // virtual time r·(12 // w), global order (v, source, doc_id)

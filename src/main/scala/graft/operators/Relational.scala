@@ -1356,4 +1356,63 @@ object Relational {
         min(when($"s" >= thresh, $"idx")).cast("int").as("alarm_idx"))
       .orderBy($"user_id")
   }
+
+  /** ONE definition of the (event_type, word) → packed-lane build,
+    * shared by [[bitmapOverlap]] and the streaming twin
+    * [[graft.streaming.EventStream.bitmapRegisterStream]] (the
+    * q35/q38 one-definition rule). No pre-`distinct` — bit_or makes
+    * the insert idempotent, so duplicate (type, user) rows collapse in
+    * the same map-combinable aggregate (one shuffle, not two), and an
+    * at-least-once stream redelivery leaves every word untouched
+    * (spec-proven, the HLL-register property).
+    */
+  private[graft] def typeUserBitmaps(typedUsers: DataFrame): DataFrame =
+    typedUsers
+      .groupBy(col("event_type"), expr("user_id div 32").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, int(user_id % 32)))").as("w"))
+
+  /** Bitmap-index audience overlap (q51) — distinct-user intersection
+    * counts for every pair of event types, computed the roaring-bitmap
+    * way: one (event_type, word) row packs 32 users into a BIGINT lane
+    * (word = user_id div 32, bit = user_id mod 32 — 32-bit lanes keep
+    * every packed value positive and shift-safe on engines where a
+    * BIGINT 1<<63 overflows), and the pairwise intersection is
+    * bit_count(wa AND wb) summed over shared words — user-level rows
+    * are never joined.
+    *
+    * The gate is the strong form: the oracle computes the same counts
+    * with plain COUNT(DISTINCT) self-joins and NO bitmap logic, so one
+    * miscounted bit anywhere in the pack/AND/popcount path
+    * hash-mismatches. Per-type cardinalities ride the same bitmaps
+    * (sum of bit_count per type), pinning pack/count consistency under
+    * the same hash.
+    *
+    * Scale shape: the bitmap build is a map-combinable bit_or groupBy
+    * that collapses 32 users per output row in ONE shuffle; the pair
+    * join is an equi-join on `word` whose per-key fan-out is bounded
+    * by the TYPE cardinality (a corpus constant), so pair work is
+    * |types|^2 x users/32 — never user^2 and never a user-level
+    * shuffle. The per-type count frame (|types| rows) broadcasts.
+    */
+  def bitmapOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bm = graft.Caches.track(typeUserBitmaps(
+      Tables.events(spark, sfDir).select($"event_type", $"user_id")))
+    val cnt = bm.groupBy($"event_type")
+      .agg(sum(bit_count($"w")).cast("bigint").as("n"))
+    val a = bm.select($"event_type".as("type_a"), $"word", $"w".as("wa"))
+    val b = bm.select($"event_type".as("type_b"), $"word", $"w".as("wb"))
+    a.join(b, Seq("word"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(sum(bit_count($"wa".bitwiseAND($"wb"))).cast("bigint").as("n_both"))
+      .filter($"n_both" >= 1)
+      .join(broadcast(cnt.select($"event_type".as("type_a"), $"n".as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(cnt.select($"event_type".as("type_b"), $"n".as("n_b"))),
+        Seq("type_b"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+        expr("(n_both * 1000000L) div (n_a + n_b - n_both)").as("jaccard_ppm"))
+      .orderBy($"type_a", $"type_b")
+  }
 }

@@ -195,6 +195,25 @@ object EventStream {
   def hllRegisterStream(docs: Dataset[LangDoc]): DataFrame =
     graft.operators.Relational.hllRegisters(docs.toDF())
 
+  /** Streaming distinct-user bitmap registers —
+    * [[graft.operators.Relational.bitmapOverlap]]'s (q51) ingest-time
+    * twin by the one-definition rule: the SAME packed-lane build
+    * ([[graft.operators.Relational.typeUserBitmaps]]) over the live
+    * event stream. State is one BIGINT word per (event_type, 32
+    * users) — audience-cardinality/32 rows, never event-count — and
+    * the bit_or insert is IDEMPOTENT like [[hllRegisterStream]]'s
+    * max, so an at-least-once source needs NO dedup state: a
+    * redelivered event ORs the same bit into the same word
+    * (spec-proven by redelivering half the stream). End-of-stream
+    * complete-mode output equals the batch bitmaps bit-for-bit, so
+    * pairwise AND + popcount over the emitted words yields exactly
+    * the overlap table q51 gates — EXACT distinct intersections from
+    * sketch-sized state, where the q38 twin gives approximations.
+    */
+  def bitmapRegisterStream(events: DataFrame): DataFrame =
+    graft.operators.Relational.typeUserBitmaps(
+      events.select(col("event_type"), col("user_id")))
+
   /** Streaming per-user running aggregates —
     * [[graft.operators.Relational.incrementalAgg]]'s (q43)
     * ingest-time twin, SAME plan by the q35/t25 one-definition rule

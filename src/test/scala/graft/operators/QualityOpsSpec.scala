@@ -465,4 +465,35 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // and the last boundary is the corpus max
     exp.last._3 shouldBe vs.last._1
   }
+
+  test("q51: bitmap intersections equal true set intersections, " +
+    "pair-for-pair, and no overlapping pair is missing") {
+    val du = graft.Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = du.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).toSet
+    }
+    val got = Relational.bitmapOverlap(spark, sf).collect()
+    got should not be empty
+    for (r <- got) {
+      val ta = r.getString(r.fieldIndex("type_a"))
+      val tb = r.getString(r.fieldIndex("type_b"))
+      withClue(s"$ta x $tb: ") {
+        ta should be < tb
+        val (sa, sb) = (byType(ta), byType(tb))
+        r.getLong(r.fieldIndex("n_a")) shouldBe sa.size.toLong
+        r.getLong(r.fieldIndex("n_b")) shouldBe sb.size.toLong
+        r.getLong(r.fieldIndex("n_both")) shouldBe (sa & sb).size.toLong
+      }
+    }
+    // completeness: every pair with a non-empty intersection appears
+    val types = byType.keys.toSeq.sorted
+    val expectPairs = (for {
+      ta <- types; tb <- types
+      if ta < tb && (byType(ta) & byType(tb)).nonEmpty
+    } yield (ta, tb)).toSet
+    got.map(r => (r.getString(r.fieldIndex("type_a")),
+      r.getString(r.fieldIndex("type_b")))).toSet shouldBe expectPairs
+  }
 }

@@ -662,6 +662,46 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bitmap registers equal the batch q51 bitmaps, even under redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.Event
+    val evDf = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_id" < 400)
+    val evs = evDf.orderBy($"event_id").collect().map(r =>
+      Event(r.getAs[Long]("event_id"), r.getAs[Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val mem = MemoryStream[Event]
+    val q = EventStream.bitmapRegisterStream(mem.toDF())
+      .writeStream.format("memory").queryName("bitmapregs")
+      .outputMode("complete").start()
+    def table(): Map[(String, Long), Long] = spark.table("bitmapregs")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    def batchOf(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      graft.operators.Relational.typeUserBitmaps(
+          df.select($"event_type", $"user_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      // redeliver the whole first half (at-least-once source) — the
+      // idempotent bit_or must leave every word untouched
+      mem.addData(a: _*); q.processAllAvailable()
+      val afterRedeliver = table()
+      afterRedeliver shouldBe batchOf(
+        evDf.filter($"event_id" < evs(a.length).event_id))
+      mem.addData(b: _*); q.processAllAvailable()
+      val streamed = table()
+      val batch = batchOf(evDf)
+      streamed shouldBe batch
+      // the words carry real multi-user lanes (packing is happening)
+      streamed.values.count(w => java.lang.Long.bitCount(w) > 1) should be > 0
+    } finally q.stop()
+  }
+
   test("streaming corpus diff converges to the batch d19 report") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
