@@ -66,6 +66,7 @@ object SparkEntry {
     "q50_cusum" -> ((s: SparkSession, d: String) =>
       Relational.cusumChart(s, d)),
     "q51_bitmap_overlap" -> (Relational.bitmapOverlap _),
+    "q52_range_window" -> (Relational.trailingRangeWindow _),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallCurve(s, d)),
     "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
@@ -1619,6 +1620,23 @@ object SparkEntry {
         |FROM bo JOIN cnt ca ON ca.event_type = type_a
         |        JOIN cnt cb ON cb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // q52: event-time RANGE frames — trailing hour / leading 10 min
+    // by exact micros distance; RANGE peer semantics (all rows at the
+    // boundary value) must agree across engines
+    "q52_range_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, us,
+        |  CAST(count(*) OVER wb AS BIGINT) AS n_hour_back,
+        |  CAST(sum(cents) OVER wb AS BIGINT) AS cents_hour_back,
+        |  CAST(count(*) OVER wf AS BIGINT) AS n_10m_fwd
+        |FROM e
+        |WINDOW wb AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN CURRENT ROW AND 600000000 FOLLOWING)
+        |ORDER BY user_id, us, event_id""".stripMargin,
 
     // p17: weighted fair interleave — within-source seeded ranks,
     // virtual time r·(12 // w), global order (v, source, doc_id)

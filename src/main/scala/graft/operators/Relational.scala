@@ -1415,4 +1415,36 @@ object Relational {
         expr("(n_both * 1000000L) div (n_a + n_b - n_both)").as("jaccard_ppm"))
       .orderBy($"type_a", $"type_b")
   }
+
+  /** Event-time RANGE window aggregates (q52) — per-user trailing
+    * 1-hour count/spend and leading 10-minute count at every event:
+    * the value-based frame q26's ROWS frames cannot express. Peers
+    * enter the frame by TIMESTAMP DISTANCE (exact epoch micros), not
+    * row position, so irregular gaps and tied timestamps resolve
+    * identically on both engines (RANGE includes all peers of the
+    * boundary value); sums ride the cents grid.
+    *
+    * Scale shape: both frames share one per-user partitioning (ONE
+    * shuffle + sort, reused); frame evaluation is the in-partition
+    * sliding-boundary pass — corpus-linear, replacing the naive
+    * events x events-within-window self-join whose fan-out would be
+    * rate x window and is the classic interval-join blowup.
+    */
+  def trailingRangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000
+    val tenMinUs = 600L * 1000000
+    val wBack = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-hourUs, 0)
+    val wFwd = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(0, tenMinUs)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+      .select($"user_id", $"event_id", $"us",
+        count(lit(1)).over(wBack).as("n_hour_back"),
+        sum($"cents").over(wBack).as("cents_hour_back"),
+        count(lit(1)).over(wFwd).as("n_10m_fwd"))
+      .orderBy($"user_id", $"us", $"event_id")
+  }
 }

@@ -496,4 +496,32 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.map(r => (r.getString(r.fieldIndex("type_a")),
       r.getString(r.fieldIndex("type_b")))).toSet shouldBe expectPairs
   }
+
+  test("q52: RANGE frames equal a brute-force per-user interval scan") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1)
+    val hourUs = 3600L * 1000000
+    val tenMinUs = 600L * 1000000
+    val got = Relational.trailingRangeWindow(spark, sf).collect()
+    got.length shouldBe evs.length
+    for (r <- got) {
+      val (uid, eid, us) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val peers = byUser(uid)
+      // brute force: every event of the user within the value window
+      val back = peers.filter(p => p._3 >= us - hourUs && p._3 <= us)
+      val fwd = peers.filter(p => p._3 >= us && p._3 <= us + tenMinUs)
+      withClue(s"user $uid event $eid: ") {
+        r.getLong(r.fieldIndex("n_hour_back")) shouldBe back.length.toLong
+        r.getLong(r.fieldIndex("cents_hour_back")) shouldBe back.map(_._4).sum
+        r.getLong(r.fieldIndex("n_10m_fwd")) shouldBe fwd.length.toLong
+      }
+    }
+    // the frames are non-trivial: some window really holds >1 event
+    got.map(_.getLong(3)).max should be > 1L
+  }
 }
