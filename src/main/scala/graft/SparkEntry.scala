@@ -67,6 +67,10 @@ object SparkEntry {
       Relational.cusumChart(s, d)),
     "q51_bitmap_overlap" -> (Relational.bitmapOverlap _),
     "q52_range_window" -> (Relational.trailingRangeWindow _),
+    "q53_merge_upsert" -> (Relational.mergeUpsert _),
+    "q54_pit_join" -> (Relational.pitJoin _),
+    "q55_join_skew" -> ((s: SparkSession, d: String) =>
+      Relational.joinSkewAdvisor(s, d)),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallCurve(s, d)),
     "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
@@ -1637,6 +1641,54 @@ object SparkEntry {
         |  wf AS (PARTITION BY user_id ORDER BY us
         |    RANGE BETWEEN CURRENT ROW AND 600000000 FOLLOWING)
         |ORDER BY user_id, us, event_id""".stripMargin,
+
+    // q53: the oracle snapshots the WHOLE changelog in one pass — the
+    // gate's content is apply(snapshot(base), delta) ≡ snapshot(full)
+    "q53_merge_upsert" ->
+      """WITH log AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+        |  FROM events),
+        |latest AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM log)
+        |SELECT user_id, event_id AS last_event_id, us AS last_us, value_cents
+        |FROM latest WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+
+    // q54: the oracle probes the SCD2 intervals by genuine BETWEEN
+    // containment — a different plan than the Spark-side union +
+    // carry-forward, so the hash proves carry-forward ≡ containment
+    "q54_pit_join" ->
+      """WITH v AS (SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+        |    epoch_ns(ts) // 1000 AS valid_from_us,
+        |    epoch_ns(lead(ts, 1) OVER w) // 1000 AS valid_to_us
+        |  FROM events WHERE user_id < 100
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, event_id AS probe_event_id,
+        |    epoch_ns(ts) // 1000 - 1 AS probe_us
+        |  FROM events WHERE user_id < 100 AND event_id % 7 = 0)
+        |SELECT p.user_id, p.probe_event_id, p.probe_us,
+        |  v.version AS pit_version, v.value_cents AS pit_value_cents
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND p.probe_us >= v.valid_from_us
+        |  AND (v.valid_to_us IS NULL OR p.probe_us < v.valid_to_us)
+        |ORDER BY p.user_id, p.probe_us, p.probe_event_id""".stripMargin,
+
+    // q55: per-key fan-out audit of a planned equi-join — top keys by
+    // output contribution with exact ppm shares
+    "q55_join_skew" ->
+      """WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_left
+        |    FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_right
+        |    FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |fan AS (SELECT l.user_id, n_left, n_right, n_left * n_right AS fanout
+        |    FROM l JOIN r ON l.user_id = r.user_id),
+        |tot AS (SELECT CAST(sum(fanout) AS BIGINT) AS total_fanout FROM fan),
+        |top AS (SELECT *, CAST(row_number() OVER (ORDER BY fanout DESC,
+        |    user_id) AS INT) AS rn FROM fan)
+        |SELECT rn, user_id, n_left, n_right, fanout, total_fanout,
+        |  CAST(fanout * 1000000 // total_fanout AS BIGINT) AS share_ppm
+        |FROM top, tot WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     // p17: weighted fair interleave — within-source seeded ranks,
     // virtual time r·(12 // w), global order (v, source, doc_id)

@@ -1447,4 +1447,143 @@ object Relational {
         count(lit(1)).over(wFwd).as("n_10m_fwd"))
       .orderBy($"user_id", $"us", $"event_id")
   }
+
+  /** The events table as an SCD1 changelog: one op per event, keyed by
+    * user — `error` rows are DELETEs, everything else UPSERTs the
+    * user's value. ONE definition shared by [[mergeUpsert]]'s base
+    * snapshot, its delta apply, and the spec's full recompute (the
+    * q43/q35 one-definition rule).
+    */
+  private def changelog(ev: DataFrame): DataFrame = ev.select(
+    col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+    when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+    round(col("value") * 100, 0).cast("bigint").as("value_cents"))
+
+  /** Latest-wins snapshot of a changelog frame: per key, the row with
+    * the greatest (us, event_id). Deletes SURVIVE the snapshot as `D`
+    * rows — a tombstone must outlive the snapshot or a re-merge with
+    * an older shard would resurrect the deleted key (the classic
+    * compaction bug; the q53 spec pins it with a delete-then-nothing
+    * user). Callers filter `op = 'U'` only at the read edge.
+    */
+  private def latestWins(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Changelog upsert / MERGE INTO semantics (q53) — the SCD1 apply
+    * every lakehouse table maintenance job runs: snapshot a BASE slice
+    * of the changelog (latest-wins per key, tombstones kept), apply a
+    * DELTA slice by merging the snapshot rows with the delta log under
+    * the SAME latest-wins rule, and read out live rows only. The
+    * oracle recomputes the final state from the WHOLE log in one pass,
+    * so the gate proves apply(snapshot(base), delta) ≡ snapshot(full)
+    * — upsert merge is partition-invariant, the identity incremental
+    * table maintenance (and q43's aggregate twin) relies on. The
+    * base/delta split is event-id parity, deliberately NOT temporal:
+    * latest-wins needs no ordering between the slices, and the parity
+    * split exercises exactly that.
+    *
+    * Scale shape: each phase is one per-key window over its slice
+    * (hash-partition by key; population = per-key log length); the
+    * apply unions |keys| snapshot rows with the delta — never rescans
+    * base history. At 100 TB the snapshot is a stored table and only
+    * the delta shuffles: this is that job's dry run.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val log = changelog(Tables.events(spark, sfDir))
+    val base = latestWins(log.filter($"event_id" % 2 === 0))
+    val delta = log.filter($"event_id" % 2 === 1)
+    latestWins(base.unionByName(delta))
+      .filter($"op" === "U")
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"us".as("last_us"), $"value_cents")
+      .orderBy($"user_id")
+  }
+
+  /** Point-in-time join (q54) — every probe enriched with the q42
+    * SCD2 version valid AT its timestamp: the feature-store lookup
+    * that prevents label leakage (a probe must see the dimension as
+    * it WAS, never a later version). Probes are the user's events
+    * shifted 1 µs EARLIER, so each lands strictly inside the previous
+    * version's interval (or before version 1 → NULLs), and the
+    * boundary semantics — valid_from inclusive, valid_to exclusive —
+    * are exercised at every row.
+    *
+    * The plan is the q28 composition, not an interval join: versions
+    * (at their valid_from) and probes union into one per-user stream,
+    * sorted by (us, kind) with versions first at ties, and one
+    * ignore-nulls last() carries the in-force version onto each probe
+    * — ONE shuffle, per-user window population, zero fan-out. The
+    * oracle joins probes to intervals by genuine BETWEEN containment
+    * — a completely different plan — so the gate proves the
+    * carry-forward IS interval containment (zero-length versions from
+    * tied timestamps lose the carry exactly as they match no
+    * containment probe).
+    */
+  def pitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val versions = scd2Intervals(spark, sfDir)
+      .select($"user_id", $"valid_from_us".as("us"), lit(0).as("kind"),
+        $"version", $"value_cents", lit(null).cast("bigint").as("probe_event_id"))
+    val probes = Tables.events(spark, sfDir)
+      .filter($"user_id" < 100 && $"event_id" % 7 === 0)
+      .select($"user_id", (unix_micros($"ts") - 1).as("us"), lit(1).as("kind"),
+        lit(null).cast("int").as("version"),
+        lit(null).cast("bigint").as("value_cents"),
+        $"event_id".as("probe_event_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"kind", $"version")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    versions.unionByName(probes)
+      .withColumn("pit_version", last($"version", ignoreNulls = true).over(w))
+      .withColumn("pit_value_cents",
+        last($"value_cents", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"user_id", $"probe_event_id", $"us".as("probe_us"),
+        $"pit_version", $"pit_value_cents")
+      .orderBy($"user_id", $"probe_us", $"probe_event_id")
+  }
+
+  /** Join-skew advisor (q55) — the pre-flight a 100 TB join runs
+    * BEFORE shuffling anything: per-key row counts on BOTH sides of a
+    * planned equi-join (here events ⋈ purchase-events on user_id),
+    * per-key output fan-out n_left·n_right, and each key's share of
+    * the total output in exact ppm. The top keys BY FAN-OUT are the
+    * salting / skew-hint candidates — a key carrying >10% of the
+    * output is the one AQE's skew threshold or a salted re-key must
+    * catch, and this frame names it before the join runs.
+    *
+    * Scale shape: two map-combinable count aggregations (each output
+    * row is one KEY, not one input row), an equi-join of the two
+    * count frames (key-cardinality sized), and a scalar total that
+    * broadcasts back over the winners — input rows are scanned once
+    * and never joined row-to-row. The top-k arrives via TakeOrdered
+    * (per-partition top-k, k rows per partition through its
+    * exchange — the q19/t26 bound); the rank window then sees only k
+    * rows.
+    */
+  def joinSkewAdvisor(spark: SparkSession, sfDir: String,
+      topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val lcnt = ev.groupBy($"user_id").agg(count(lit(1)).as("n_left"))
+    val rcnt = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_right"))
+    val fan = graft.Caches.track(lcnt.join(rcnt, Seq("user_id"))
+      .select($"user_id", $"n_left", $"n_right",
+        ($"n_left" * $"n_right").as("fanout")))
+    val total = fan.agg(sum($"fanout").as("total_fanout"))
+    val top = fan.orderBy($"fanout".desc, $"user_id").limit(topK)
+    val w = Window.orderBy($"fanout".desc, $"user_id")
+    top.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("fanout * 1000000L div total_fanout"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .select($"rn", $"user_id", $"n_left", $"n_right", $"fanout",
+        $"total_fanout", $"share_ppm")
+      .orderBy($"rn")
+  }
 }

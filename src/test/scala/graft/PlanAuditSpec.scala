@@ -155,6 +155,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // exchange has HashAggregate(partial_sum(cents), partial_count(1))
     // as its direct child — one row per task into the 1-row broadcast
     // mu frame (verified by plan dump this round).
+    // q55 — the total-fanout scalar: the plan's one SinglePartition
+    // exchange has HashAggregate(partial_sum(fanout)) as its direct
+    // child — ONE partial-sum row per task into the 1-row broadcast
+    // the ppm shares divide by (q14's shape; verified by plan dump
+    // this round). The top-k itself arrives via TakeOrdered, and the
+    // rank window sees only those k rows (t26's bound).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
@@ -162,7 +168,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "q39_table_profile", "q40_fk_audit", "q45_funnel",
       "t27_pmi_colloc", "p16_curriculum", "q47_equidepth_hist",
       "t29_trigram_backoff", "p17_interleave", "p18_unimax",
-      "t32_vocab_growth", "q50_cusum")
+      "t32_vocab_growth", "q50_cusum", "q55_join_skew")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -524,4 +524,97 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the frames are non-trivial: some window really holds >1 event
     got.map(_.getLong(3)).max should be > 1L
   }
+
+  test("q53: two-phase upsert equals a full latest-wins recompute, " +
+      "and tombstones really delete") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type", round($"value" * 100, 0).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // independent sequential recompute: latest row per user, keep if
+    // it is not a delete
+    val expect = evs.groupBy(_._1).flatMap { case (uid, rows) =>
+      val last = rows.maxBy(r => (r._3, r._2))
+      if (last._4 == "error") None
+      else Some((uid, last._2, last._3, last._5))
+    }.toSet
+    val got = Relational.mergeUpsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    got shouldBe expect
+    // the tombstone path is non-vacuous: some user's final op IS a
+    // delete, so that user must be absent from the merged state
+    val deleted = evs.groupBy(_._1).filter { case (_, rows) =>
+      rows.maxBy(r => (r._3, r._2))._4 == "error"
+    }.keySet
+    deleted should not be empty
+    got.map(_._1).intersect(deleted) shouldBe empty
+  }
+
+  test("q54: carry-forward PIT join equals brute-force interval containment") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .filter($"user_id" < 100)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute-force SCD2 versions per user
+    val versions = evs.groupBy(_._1).map { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      uid -> sorted.zipWithIndex.map { case (r, i) =>
+        val to = if (i + 1 < sorted.length) Some(sorted(i + 1)._3) else None
+        (i + 1, r._3, to, r._4) // (version, from, to, cents)
+      }
+    }
+    val got = Relational.pitJoin(spark, sf).collect()
+    val probes = evs.filter(_._2 % 7 == 0)
+    got.length shouldBe probes.length
+    for (r <- got) {
+      val (uid, pus) = (r.getLong(0), r.getLong(2))
+      val hit = versions(uid).find { case (_, from, to, _) =>
+        pus >= from && to.forall(pus < _)
+      }
+      withClue(s"user $uid probe_us $pus: ") {
+        hit match {
+          case Some((v, _, _, c)) =>
+            r.getInt(r.fieldIndex("pit_version")) shouldBe v
+            r.getLong(r.fieldIndex("pit_value_cents")) shouldBe c
+          case None =>
+            r.isNullAt(r.fieldIndex("pit_version")) shouldBe true
+            r.isNullAt(r.fieldIndex("pit_value_cents")) shouldBe true
+        }
+      }
+    }
+    // both branches occur: some probe precedes version 1 (NULL), some
+    // probe lands inside a real interval
+    got.count(_.isNullAt(3)) should be > 0
+    got.count(!_.isNullAt(3)) should be > 0
+  }
+
+  test("q55: skew advisor matches a sequential per-key fan-out recompute") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lc = evs.groupBy(_._1).map { case (u, r) => u -> r.length.toLong }
+    val rc = evs.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, r) => u -> r.length.toLong }
+    val fan = lc.keySet.intersect(rc.keySet).toSeq
+      .map(u => (u, lc(u), rc(u), lc(u) * rc(u)))
+    val total = fan.map(_._4).sum
+    val expect = fan.sortBy(r => (-r._4, r._1)).take(10).zipWithIndex
+      .map { case ((u, nl, nr, f), i) =>
+        (i + 1, u, nl, nr, f, total, f * 1000000L / total) }
+    val got = Relational.joinSkewAdvisor(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe expect
+    // the audit is non-trivial: the top key's share exceeds a uniform
+    // share (the advisor would otherwise never name a salting target)
+    got.head._7 should be > (1000000L / fan.length)
+  }
 }
