@@ -145,6 +145,9 @@ object SparkEntry {
     "s25_kcore" -> ((s: SparkSession, d: String) => Similarity.kCorePeel(s, d)),
     "s26_link_pred" -> ((s: SparkSession, d: String) => Similarity.linkPrediction(s, d)),
     "s27_knn_classify" -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
+    "s29_bfs_hops" -> ((s: SparkSession, d: String) =>
+      Similarity.bfsHops(s, d)),
+    "s30_ann_mrr" -> (Similarity.annMrr _),
     "s28_ivf_recall_curve" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRecallCurve(s, d)),
     // —— extensions: text analysis ——
@@ -556,6 +559,31 @@ object SparkEntry {
          |  FROM ids i LEFT JOIN in$i n ON i.vec_id = n.vec_id)""".stripMargin
     }
     sb ++= s"\nSELECT vec_id, pr FROM pr$prIters ORDER BY vec_id"
+    sb.toString
+  }
+
+  /** DuckDB mirror of Similarity.bfsHops (s29): KnnCtes supplies the
+    * literal s16 edges; each BFS round is one generated pair of CTEs —
+    * frontier propagation across the edge list, then the per-node min
+    * with the settled set. AS MATERIALIZED per round (the bpeSql
+    * lesson).
+    */
+  private def bfsSql(hops: Int, nSeeds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $KnnCtes,\n"
+    sb ++= "edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rnk <= 3),\n"
+    sb ++= s"d0 AS (SELECT vec_id, CAST(0 AS INT) AS hop FROM embeddings WHERE vec_id < $nSeeds)"
+    for (i <- 1 to hops) {
+      sb ++= s""",
+         |p$i AS (
+         |  SELECT e.dst AS vec_id, CAST($i AS INT) AS hop
+         |  FROM edges e JOIN d${i - 1} d ON d.vec_id = e.src),
+         |d$i AS MATERIALIZED (
+         |  SELECT vec_id, CAST(min(hop) AS INT) AS hop FROM (
+         |    SELECT * FROM d${i - 1} UNION ALL SELECT * FROM p$i) u
+         |  GROUP BY vec_id)""".stripMargin
+    }
+    sb ++= s"\nSELECT vec_id, hop FROM d$hops ORDER BY vec_id"
     sb.toString
   }
 
@@ -2953,6 +2981,59 @@ object SparkEntry {
     // s21: integer PageRank over the s16 graph — fixed-point rounds
     // generated as a CTE chain; dangling mass leaks identically
     "s21_pagerank" -> pageRankSql(prIters = 3),
+
+    // s29: BFS as a generated fixed-round CTE chain over the same
+    // literal kNN edges — the min with the settled set makes fixed
+    // rounds ≡ true BFS truncated at `hops`
+    "s29_bfs_hops" -> bfsSql(hops = 4, nSeeds = 2),
+
+    // s30: rank of the brute-force top-1 inside the LSH method's
+    // ranking; reciprocal rank as exact 10^6 div rank, 0 on a miss
+    "s30_ann_mrr" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT qid, cand, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cand = nc.vec_id
+         |),
+         |truth AS (
+         |  SELECT qid, cand AS truth_cand FROM (
+         |    SELECT qid, cand,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rnk
+         |    FROM scored) r WHERE rnk = 1
+         |),
+         |dots AS (
+         |  SELECT vec_id, j,
+         |    sum(CAST(round(x * 1e6, 0) AS BIGINT) * (((17 * j + 31 * (i - 1) + 5) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+         |  GROUP BY 1, 2
+         |),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |  FROM dots GROUP BY 1
+         |),
+         |meth AS (
+         |  SELECT qid, cand, CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, cand) AS INT) AS method_rank
+         |  FROM (
+         |    SELECT s.qid, s.cand, s.cos
+         |    FROM scored s
+         |    JOIN bkt bq ON s.qid = bq.vec_id
+         |    JOIN bkt bc ON s.cand = bc.vec_id AND bq.bucket = bc.bucket) b
+         |)
+         |SELECT t.qid, t.truth_cand,
+         |  CASE WHEN m.method_rank <= 3 THEN m.method_rank END AS method_rank,
+         |  CAST(coalesce(CASE WHEN m.method_rank <= 3
+         |    THEN 1000000 // m.method_rank END, 0) AS BIGINT) AS rr_ppm
+         |FROM truth t LEFT JOIN meth m
+         |  ON t.qid = m.qid AND t.truth_cand = m.cand
+         |ORDER BY t.qid""".stripMargin,
 
     // s22: greedy k-center coreset — exact integer-grid farthest-point
     // selection, every argmax replayed round by round

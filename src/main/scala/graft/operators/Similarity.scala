@@ -1611,6 +1611,82 @@ object Similarity {
       .orderBy($"qid")
   }
 
+  /** Mean-reciprocal-rank evaluation (s30) — [[annRecall]]'s
+    * rank-SENSITIVE sibling: recall@k treats rank 1 and rank k the
+    * same, but a retrieval stack feeding a reranker (or a RAG prompt
+    * with a position budget) cares WHERE the true neighbor lands. Per
+    * query: the brute-force top-1 truth, the rank the method
+    * ([[annLsh]]) gives it, and the reciprocal rank as the exact
+    * integer 10^6 div rank — 0 when the method misses it entirely
+    * (bucket miss or outside the method's top-k), the standard MRR
+    * convention. The frame averages to MRR downstream; rows stay
+    * per-query so regressions name the query that moved.
+    *
+    * Scale shape: both inputs are the existing per-query rankings
+    * (queries × k rows); the comparison is one broadcast-sized
+    * equi-join keyed (qid, cand). Nothing rescans the corpus.
+    */
+  def annMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val truth = annBruteForce(spark, sfDir).filter($"rnk" === 1)
+      .select($"qid", $"cand".as("truth_cand"))
+    val method = annLsh(spark, sfDir)
+      .select($"qid", $"cand".as("truth_cand"), $"rnk".as("method_rank"))
+    truth.join(method, Seq("qid", "truth_cand"), "left")
+      .select($"qid", $"truth_cand", $"method_rank",
+        coalesce(expr("1000000L div method_rank"), lit(0L)).as("rr_ppm"))
+      .orderBy($"qid")
+  }
+
+  /** Multi-source BFS hop distances over the s16 corpus k-NN graph
+    * (s29) — the reachability primitive the graph family still lacked:
+    * per vector, the minimum number of directed kNN hops from a seed
+    * set (here the lowest `nSeeds` vec_ids — in production: curated
+    * exemplars, flagged spam, a topic's anchor docs). Distance-from-
+    * trusted-seeds is the propagation half of graph-based quality
+    * scoring (TrustRank-style), and hop-bounded reachability is the
+    * "related corpus" expansion a semantic-neighborhood audit runs.
+    * Nodes unreached within `hops` rounds emit NO row (their true
+    * distance is unknown, not `hops`+1) — callers anti-join to get
+    * the unreachable set.
+    *
+    * Fixed `hops` rounds, each: propagate frontier distances across
+    * the edge list, then per-node min with the settled set — BFS as
+    * fixed-point iteration, every value an exact small integer, so
+    * the whole chain replays as a generated CTE oracle (the s21/o15
+    * bounded-loop shape). Proposals from already-settled nodes lose
+    * the min, so fixed rounds ≡ true BFS truncated at `hops`.
+    *
+    * Scale shape: per round ONE equi-join of the edge list (corpus×k
+    * rows) against the distance frame plus a map-combinable min —
+    * a pregel superstep expressed relationally. Each round snapshots
+    * via the kCorePeel idiom (the distance frame feeds BOTH the join
+    * and the union, so persist alone would double the analyzed plan
+    * per round — the s25 lineage lesson; pass `checkpointDir` on a
+    * real cluster for reliable snapshots).
+    */
+  def bfsHops(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3, hops: Int = 4, nSeeds: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(hops >= 1 && nSeeds >= 1, s"need hops/nSeeds >= 1: $hops/$nSeeds")
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = graft.Caches.track(
+      knnEdges(spark, sfDir, k, iters, kNeighbors).select($"src", $"dst"))
+    var dist = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < nSeeds)
+      .select($"vec_id", lit(0).cast("int").as("hop"))
+    for (i <- 1 to hops) {
+      val prop = edges.join(dist.withColumnRenamed("vec_id", "src"), "src")
+        .select($"dst".as("vec_id"), lit(i).cast("int").as("hop"))
+      dist = snap(dist.unionByName(prop)
+        .groupBy($"vec_id").agg(min($"hop").cast("int").as("hop")))
+    }
+    dist.orderBy($"vec_id")
+  }
+
   /** IVF nprobe recall curve (s28) — s13's tuning-table sibling for the
     * coarse-quantizer family, and d29's analogue on the cell index: for
     * EVERY probe budget 1..k at once, how many of the brute-force top-k

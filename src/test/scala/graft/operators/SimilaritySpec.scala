@@ -624,6 +624,59 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     all(got1.map(_._4)) shouldBe 1
   }
 
+  test("s29: BFS hop distances match an independent sequential BFS over " +
+      "the collected edge list; both settled and unreached nodes occur") {
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("src")), r.getLong(r.fieldIndex("dst"))))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val hops = 4
+    // sequential BFS from seeds {0, 1}, truncated at `hops`
+    var dist = Map(0L -> 0, 1L -> 0)
+    var frontier = Set(0L, 1L)
+    for (h <- 1 to hops) {
+      val next = frontier.flatMap(s => adj.getOrElse(s, Set.empty))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    val got = Similarity.bfsHops(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got shouldBe dist
+    // non-vacuous both ways: some node is genuinely reached at hop >= 2
+    // (propagation beyond the seeds' own lists) and some node stays
+    // unreached (the output is a reachable set, not the corpus)
+    got.values.max should be >= 2
+    val corpus = Tables.embeddings(spark, sf).count()
+    got.size.toLong should be < corpus
+  }
+
+  test("s30: reciprocal ranks match a recompute from the s01/s02 frames; " +
+      "hits and misses both occur") {
+    val truth = Similarity.annBruteForce(spark, sf).collect()
+      .filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val method = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(r.fieldIndex("rnk")))
+      .toMap
+    val got = Similarity.annMrr(spark, sf).collect()
+    got.map(_.getLong(0)).toSet shouldBe truth.keySet
+    for (r <- got) {
+      val (qid, tc) = (r.getLong(0), r.getLong(1))
+      tc shouldBe truth(qid)
+      method.get((qid, tc)) match {
+        case Some(rk) =>
+          r.getInt(r.fieldIndex("method_rank")) shouldBe rk
+          r.getLong(r.fieldIndex("rr_ppm")) shouldBe 1000000L / rk
+        case None =>
+          r.isNullAt(r.fieldIndex("method_rank")) shouldBe true
+          r.getLong(r.fieldIndex("rr_ppm")) shouldBe 0L
+      }
+    }
+    // the metric discriminates: at least one hit and one miss
+    got.count(_.getLong(3) > 0) should be > 0
+    got.count(_.getLong(3) == 0) should be > 0
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
