@@ -241,6 +241,8 @@ object SparkEntry {
     "m20_g711_gate" -> (Multimodal.g711Gate _),
     "m21_id3_gate" -> (Multimodal.id3Gate _),
     "m22_resample_gate" -> (Multimodal.resamplePcmGate _),
+    "m24_autocorr_gate" -> (Multimodal.autocorrGate _),
+    "m25_webp_gate" -> (Multimodal.webpMetaGate _),
     "m23_png16_gate" -> (Multimodal.png16ChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
@@ -4581,6 +4583,53 @@ object SparkEntry {
         |SELECT doc_id, j, CAST(6000 AS INT) AS out_rate,
         |  CAST(shv - 32768 AS INT) AS sample
         |FROM r ORDER BY doc_id, j""".stripMargin,
+
+    // m24: autocorrelation profile — the oracle rebuilds samples from
+    // ord() arithmetic and replays each lag's product sum plus the
+    // dominant-lag argmax (ties to the smaller lag)
+    "m24_autocorr_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) - 1 AS idx,
+        |        (ord(text[CAST(i AS INT)]) - 96) * 128 AS s
+        |      FROM d, UNNEST(range(1, 65)) AS t(i)),
+        |l AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS lag),
+        |p AS (SELECT a.doc_id, l.lag,
+        |        CAST(sum(CAST(a.s AS BIGINT) * b.s) AS BIGINT) AS ac
+        |      FROM v a CROSS JOIN l
+        |      JOIN v b ON b.doc_id = a.doc_id AND b.idx = a.idx + l.lag
+        |      GROUP BY 1, 2),
+        |e AS (SELECT doc_id, CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS r0
+        |      FROM v GROUP BY 1),
+        |rk AS (SELECT p.doc_id, p.lag, p.ac, e.r0,
+        |        row_number() OVER (PARTITION BY p.doc_id
+        |          ORDER BY p.ac DESC, p.lag) AS rn
+        |      FROM p JOIN e USING (doc_id))
+        |SELECT doc_id, lag, ac, r0,
+        |  CAST(max(CASE WHEN rn = 1 THEN lag END)
+        |    OVER (PARTITION BY doc_id) AS INT) AS dom_lag
+        |FROM rk ORDER BY doc_id, lag""".stripMargin,
+
+    // m25: WebP dims — the oracle recomputes variant (doc_id mod 3)
+    // and dimensions from ord() arithmetic, never seeing a RIFF byte
+    "m25_webp_gate" ->
+      """WITH d AS (SELECT doc_id,
+        |    ord(text[1]) AS o0, ord(text[2]) AS o1,
+        |    ord(text[3]) AS o2, ord(text[4]) AS o3
+        |  FROM documents WHERE length(text) >= 4)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'VP8 ' WHEN 1 THEN 'VP8L'
+        |    ELSE 'VP8X' END AS variant,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1 + (o0 * 53 + o1) % 16383
+        |    WHEN 1 THEN 1 + (o0 * 53 + o1) % 16384
+        |    ELSE 1 + (o0 * 65000 + o1 * 251 + o2) % 16777216
+        |  END AS INT) AS width,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1 + (o1 * 53 + o2) % 16383
+        |    WHEN 1 THEN 1 + (o1 * 53 + o2) % 16384
+        |    ELSE 1 + (o1 * 65000 + o2 * 251 + o3) % 16777216
+        |  END AS INT) AS height
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // m23: the 16-bit gray PNG gate — canonical pixels are the
     // high-byte reduction, which the builder pins to the raw ord()

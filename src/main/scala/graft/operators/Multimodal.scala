@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -2719,6 +2720,78 @@ object Multimodal {
     resamplePcm(docWavRows(spark, sfDir), 3, 4).orderBy($"doc_id", $"j")
   }
 
+  /** Long-format PCM decode: one row per (media, sample index) — the
+    * bridge from binary audio to RELATIONAL signal analysis. Decode is
+    * map-only per row; everything downstream ([[autocorrProfile]]) is
+    * declarative and Catalyst-optimizable, the same split the raster
+    * family uses between byte decode and pixel queries.
+    */
+  def pcmSampleRows(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePcmSamples(r.content).toSeq.flatMap { a =>
+          a.samples.iterator.zipWithIndex
+            .map { case (s, j) => (r.media_id, j, s) }
+        }
+      }
+    }.toDF("doc_id", "idx", "s")
+  }
+
+  /** Autocorrelation periodicity profile (m24) — the integer-exact
+    * core of pitch / tempo / loop detection: for each media stream and
+    * each probe lag, R(lag) = Σ s_i·s_{i+lag} over the overlapping
+    * window, plus the energy R(0) and the DOMINANT lag (max R, ties to
+    * the smaller lag — the fundamental wins over its octave). A
+    * near-periodic signal peaks where the lag matches its period; a
+    * training pipeline uses the profile to flag loops/tones (synthetic
+    * filler) and to group rate-mismatched near-dups after m22
+    * normalization. Every term is exact BIGINT (|s| ≤ 2^15 so a
+    * product is < 2^31 and a 64-term sum < 2^37) — no FFT, no floats,
+    * so the whole profile hash-gates cross-engine.
+    *
+    * Scale shape: decode is map-only; the lag products come from ONE
+    * self-equi-join on (doc_id, idx+lag) after a broadcast fan-out
+    * over the |lags| probe rows — per-doc work is samples×lags, never
+    * corpus-quadratic; the sums are map-combinable. The dominant-lag
+    * argmax windows over |lags| rows per doc.
+    */
+  def autocorrProfile(samples: DataFrame, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1) && lags.distinct == lags,
+      s"lags must be distinct positives: $lags")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val lagsDf = lags.toDF("lag")
+    val base = graft.Caches.track(samples)
+    val lagged = base.select($"doc_id".as("doc_id2"), $"idx".as("idx2"),
+      $"s".as("s2"))
+    val prod = base.crossJoin(broadcast(lagsDf))
+      .join(lagged,
+        $"doc_id" === $"doc_id2" && $"idx2" === $"idx" + $"lag")
+      .groupBy($"doc_id", $"lag")
+      .agg(sum($"s".cast("long") * $"s2").as("ac"))
+    val energy = base.groupBy($"doc_id")
+      .agg(sum($"s".cast("long") * $"s").as("r0"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val wRank = wDoc.orderBy($"ac".desc, $"lag")
+    prod.join(energy, "doc_id")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("dom_lag",
+        max(when($"rn" === 1, $"lag")).over(wDoc).cast("int"))
+      .select($"doc_id", $"lag", $"ac", $"r0", $"dom_lag")
+      .orderBy($"doc_id", $"lag")
+  }
+
+  /** m24 gate entry: the autocorrelation profile at lags {1,2,4,8}
+    * over the [[docWavRows]] binary WAVs — Spark decodes real PCM and
+    * joins lagged sample rows; the oracle rebuilds every sample from
+    * ord() text arithmetic and replays the products, so decode AND the
+    * lag-join geometry (which pairs overlap at each lag) must
+    * byte-agree for the hash to match.
+    */
+  def autocorrGate(spark: SparkSession, sfDir: String): DataFrame =
+    autocorrProfile(pcmSampleRows(docWavRows(spark, sfDir)), Seq(1, 2, 4, 8))
+
   /** 15-bit frame-energy-gradient audio fingerprint over REAL decoded
     * samples — the audio analog of the image dHash (a toy of the
     * energy-band approach real audio fingerprinting uses): the sample
@@ -3222,6 +3295,153 @@ object Multimodal {
         (id, m.byteOrder, m.width, m.height, m.orientation)
       }
       .toDF("doc_id", "byte_order", "width", "height", "orientation")
+      .orderBy($"doc_id")
+  }
+
+  /** Parsed WebP container dimensions (m25). `variant` is the chunk
+    * fourcc that carried them: "VP8 " (lossy keyframe — sync-coded
+    * 14-bit fields), "VP8L" (lossless — bit-packed 14-bit minus-one
+    * fields), or "VP8X" (extended — 24-bit minus-one canvas fields).
+    */
+  case class WebpMeta(variant: String, width: Int, height: Int)
+
+  /** WebP dimension parse (m25) — the last common web-crawl image
+    * container without a header reader here, and three genuinely
+    * different wire layouts under one RIFF roof (RFC 9649): the lossy
+    * "VP8 " keyframe header (frame-tag keyframe bit, the 0x9D012A
+    * sync code, two little-endian 14-bit fields below 2-bit scale
+    * hints), the lossless "VP8L" stream (0x2F signature, then
+    * width−1 and height−1 packed at bits 0–13 / 14–27 of one LE
+    * 32-bit read, version bits 29–31 zero), and the extended "VP8X"
+    * canvas (flags byte with reserved bits, 24-bit reserved field,
+    * two LE 24-bit minus-one fields). Strict: the RIFF size must
+    * equal file length − 8, the chunk size must fit, every signature/
+    * reserved field verifies, zero dimensions reject, truncation
+    * rejects — malformed crawl bytes return None, never throw.
+    *
+    * Entropy-coded pixel payloads (VP8 boolean coder, VP8L Huffman)
+    * stay out of slice, as with JPEG scans: dimensions + variant are
+    * what dedup/resize routing needs before a decode is scheduled.
+    */
+  def parseWebp(c: Array[Byte]): Option[WebpMeta] = {
+    def u8(i: Int) = c(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le24(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def le32(i: Int): Long = (le16(i).toLong | (le16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int, s: String) = s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (c.length < 25 || !tag(0, "RIFF") || !tag(8, "WEBP")) return None
+    if (le32(4) != c.length - 8L) return None
+    val size = le32(16)
+    if (20 + size > c.length) return None
+    if (tag(12, "VP8 ")) {
+      if (size < 10 || (u8(20) & 1) != 0) return None // keyframe bit
+      if (u8(23) != 0x9d || u8(24) != 0x01 || u8(25) != 0x2a) return None
+      val w = le16(26) & 0x3fff
+      val h = le16(28) & 0x3fff
+      if (w == 0 || h == 0) None else Some(WebpMeta("VP8 ", w, h))
+    } else if (tag(12, "VP8L")) {
+      if (size < 5 || u8(20) != 0x2f) return None
+      val bits = le32(21)
+      if (((bits >> 29) & 0x7) != 0) return None // version must be 0
+      Some(WebpMeta("VP8L", ((bits & 0x3fff) + 1).toInt,
+        (((bits >> 14) & 0x3fff) + 1).toInt))
+    } else if (tag(12, "VP8X")) {
+      if (size < 10 || (u8(20) & 0xc1) != 0) return None // reserved flag bits
+      if (u8(21) != 0 || u8(22) != 0 || u8(23) != 0) return None // reserved
+      Some(WebpMeta("VP8X", le24(24) + 1, le24(27) + 1))
+    } else None
+  }
+
+  /** Minimal valid WebP container for [[parseWebp]]'s three variants —
+    * the m25 payload/fixture builder. Writes the real bit layouts
+    * (sync code, packed 14-bit fields, LE 24-bit minus-one fields)
+    * and RIFF even-byte padding (VP8L's 5-byte payload carries a pad
+    * byte the chunk size excludes, per RIFF).
+    */
+  def encodeWebp(variant: String, width: Int, height: Int): Array[Byte] = {
+    val payload: Array[Byte] = variant match {
+      case "VP8 " =>
+        require(width >= 1 && width <= 0x3fff && height >= 1 && height <= 0x3fff,
+          s"VP8 dims are 14-bit: ${width}x$height")
+        val p = new Array[Byte](10)
+        p(3) = 0x9d.toByte; p(4) = 0x01; p(5) = 0x2a
+        p(6) = (width & 0xff).toByte; p(7) = ((width >> 8) & 0x3f).toByte
+        p(8) = (height & 0xff).toByte; p(9) = ((height >> 8) & 0x3f).toByte
+        p
+      case "VP8L" =>
+        require(width >= 1 && width <= 0x4000 && height >= 1 && height <= 0x4000,
+          s"VP8L dims are 14-bit minus-one: ${width}x$height")
+        val bits = ((width - 1) & 0x3fff).toLong |
+          (((height - 1) & 0x3fff).toLong << 14)
+        Array(0x2f, (bits & 0xff).toInt, ((bits >> 8) & 0xff).toInt,
+          ((bits >> 16) & 0xff).toInt, ((bits >> 24) & 0xff).toInt)
+          .map(_.toByte)
+      case "VP8X" =>
+        require(width >= 1 && width <= (1 << 24) && height >= 1 && height <= (1 << 24),
+          s"VP8X dims are 24-bit minus-one: ${width}x$height")
+        val p = new Array[Byte](10)
+        val w1 = width - 1; val h1 = height - 1
+        p(4) = (w1 & 0xff).toByte; p(5) = ((w1 >> 8) & 0xff).toByte
+        p(6) = ((w1 >> 16) & 0xff).toByte
+        p(7) = (h1 & 0xff).toByte; p(8) = ((h1 >> 8) & 0xff).toByte
+        p(9) = ((h1 >> 16) & 0xff).toByte
+        p
+      case other => throw new IllegalArgumentException(s"unknown variant: $other")
+    }
+    val pad = payload.length % 2
+    val out = new Array[Byte](20 + payload.length + pad)
+    def putTag(off: Int, s: String): Unit =
+      (0 until 4).foreach(k => out(off + k) = s.charAt(k).toByte)
+    def putLe32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(k => out(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    putTag(0, "RIFF"); putLe32(4, out.length - 8L); putTag(8, "WEBP")
+    putTag(12, variant); putLe32(16, payload.length.toLong)
+    payload.copyToArray(out, 20)
+    out
+  }
+
+  /** m25 payload builder: a REAL WebP container per document —
+    * doc_id mod 3 picks the variant so all three wire layouts run
+    * under one gate; dimensions derive from the first text bytes with
+    * multipliers that sweep BOTH bytes of the 14-bit fields (and all
+    * three bytes of VP8X's 24-bit fields), so a swapped or skipped
+    * byte anywhere in the pack/unpack path cannot pass.
+    */
+  private def docWebpRows(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 4)
+      .select($"doc_id", substring($"text", 1, 4).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val o = px.map(_.toInt)
+        val bytes = (id % 3) match {
+          case 0 => encodeWebp("VP8 ",
+            1 + (o(0) * 53 + o(1)) % 16383, 1 + (o(1) * 53 + o(2)) % 16383)
+          case 1 => encodeWebp("VP8L",
+            1 + (o(0) * 53 + o(1)) % 16384, 1 + (o(1) * 53 + o(2)) % 16384)
+          case _ => encodeWebp("VP8X",
+            1 + (o(0) * 65000 + o(1) * 251 + o(2)) % (1 << 24),
+            1 + (o(1) * 65000 + o(2) * 251 + o(3)) % (1 << 24))
+        }
+        (id, bytes)
+      }
+  }
+
+  /** m25 gate entry: WebP dimensions under the DuckDB gate — the
+    * Spark side parses genuine containers through three distinct bit
+    * layouts; the oracle recomputes variant and dimensions from ord()
+    * arithmetic and doc_id mod 3, never seeing a RIFF byte.
+    */
+  def webpMetaGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docWebpRows(spark, sfDir)
+      .map { case (id, bytes) =>
+        val m = parseWebp(bytes)
+          .getOrElse(throw new IllegalStateException(s"webp parse failed for $id"))
+        (id, m.variant, m.width, m.height)
+      }
+      .toDF("doc_id", "variant", "width", "height")
       .orderBy($"doc_id")
   }
 

@@ -1554,4 +1554,101 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     noAlb(9) = (size2 & 0x7f).toByte
     Multimodal.parseId3v2(noAlb) shouldBe None
   }
+
+  test("m24: autocorrelation profile matches a sequential recompute and " +
+      "a periodic signal peaks at its period") {
+    import spark.implicits._
+    // period-4 signal: dominant lag must be 4 (ties with 8 resolve to
+    // the smaller lag — the fundamental, not its octave)
+    val pattern = Array(100, 50, -100, -50)
+    val samples = Array.tabulate(64)(j => pattern(j % 4))
+    val rows = Seq(MediaRow(7L, "audio",
+      Multimodal.buildPcm16Wav(samples, 8000))).toDS()
+    val lags = Seq(1, 2, 3, 4, 8)
+    val got = Multimodal.autocorrProfile(
+      Multimodal.pcmSampleRows(rows), lags).collect()
+    got.map(_.getInt(1)).toSeq shouldBe lags.sorted
+    def ref(lag: Int): Long =
+      (0 until 64 - lag).map(j => samples(j).toLong * samples(j + lag)).sum
+    for (r <- got) {
+      r.getLong(2) shouldBe ref(r.getInt(1))
+      r.getLong(3) shouldBe (0 until 64).map(j => samples(j).toLong * samples(j)).sum
+      r.getInt(4) shouldBe 4
+    }
+    // R(4) really is the maximum (the periodicity signal is live)
+    val byLag = got.map(r => r.getInt(1) -> r.getLong(2)).toMap
+    byLag(4) should be > byLag(1)
+    byLag(4) should be > byLag(2)
+    byLag(4) should be >= byLag(8)
+  }
+
+  test("m24 gate: profile over document WAVs matches per-doc recompute " +
+      "from text bytes") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length($"text") >= 64)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Multimodal.autocorrGate(spark, sf).collect()
+    got.map(_.getLong(0)).toSet shouldBe texts.keySet
+    for (r <- got.take(40)) {
+      val s = texts(r.getLong(0)).getBytes("ISO-8859-1").take(64)
+        .map(b => ((b & 0xff) - 96) * 128)
+      val lag = r.getInt(1)
+      r.getLong(2) shouldBe (0 until 64 - lag)
+        .map(j => s(j).toLong * s(j + lag)).sum
+      r.getLong(3) shouldBe (0 until 64).map(j => s(j).toLong * s(j)).sum
+    }
+  }
+
+  test("m25: WebP round-trips all three variants incl. bit-width extremes") {
+    val cases = Seq(
+      ("VP8 ", 1, 1), ("VP8 ", 16383, 1), ("VP8 ", 640, 16383),
+      ("VP8L", 1, 16384), ("VP8L", 16384, 1), ("VP8L", 300, 200),
+      ("VP8X", 1, 1), ("VP8X", 1 << 24, 1), ("VP8X", 65536, 1 << 24))
+    for ((v, w, h) <- cases) withClue(s"$v ${w}x$h: ") {
+      Multimodal.parseWebp(Multimodal.encodeWebp(v, w, h)) shouldBe
+        Some(Multimodal.WebpMeta(v, w, h))
+    }
+    // the pack really uses both bytes of the 14-bit fields: flipping
+    // the high byte of a VP8L width changes the parsed width by 256
+    val b = Multimodal.encodeWebp("VP8L", 100, 200)
+    b(22) = (b(22) ^ 1).toByte // bit 8 of width-1
+    Multimodal.parseWebp(b).get.width shouldBe 356
+  }
+
+  test("m25: malformed WebP rejects without throwing") {
+    val good = Multimodal.encodeWebp("VP8 ", 640, 480)
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val c = good.clone(); c(i) = v.toByte; c
+    }
+    Multimodal.parseWebp(mut(0, 'X')) shouldBe None      // not RIFF
+    Multimodal.parseWebp(mut(8, 'X')) shouldBe None      // not WEBP
+    Multimodal.parseWebp(mut(4, 99)) shouldBe None       // riff size wrong
+    Multimodal.parseWebp(mut(23, 0x9c)) shouldBe None    // bad sync code
+    Multimodal.parseWebp(mut(20, 1)) shouldBe None       // not a keyframe
+    val lossless = Multimodal.encodeWebp("VP8L", 100, 100)
+    def mutL(i: Int, v: Int): Array[Byte] = {
+      val c = lossless.clone(); c(i) = v.toByte; c
+    }
+    Multimodal.parseWebp(mutL(20, 0x2e)) shouldBe None   // bad signature
+    Multimodal.parseWebp(mutL(24, 0xff)) shouldBe None   // version bits set
+    val ext = Multimodal.encodeWebp("VP8X", 4096, 4096)
+    def mutX(i: Int, v: Int): Array[Byte] = {
+      val c = ext.clone(); c(i) = v.toByte; c
+    }
+    Multimodal.parseWebp(mutX(20, 0x80)) shouldBe None   // reserved flag bit
+    Multimodal.parseWebp(mutX(21, 1)) shouldBe None      // reserved field
+    // an unknown first chunk rejects
+    Multimodal.parseWebp(mut(12, 'A')) shouldBe None
+    // truncation anywhere rejects
+    for (keep <- Seq(0, 4, 11, 19, 24, good.length - 1))
+      withClue(s"keep=$keep: ") {
+        Multimodal.parseWebp(good.take(keep)) shouldBe None
+      }
+    // zero VP8 dims reject (a 14-bit field of 0 is not an image)
+    val z = good.clone(); z(26) = 0; z(27) = 0
+    Multimodal.parseWebp(z) shouldBe None
+  }
 }
