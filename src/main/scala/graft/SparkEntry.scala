@@ -190,6 +190,8 @@ object SparkEntry {
       TextAnalysis.rakeKeywords(s, d)),
     "t32_vocab_growth" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabGrowth(s, d)),
+    "t33_wordpiece" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.wordPieceEncode(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -586,6 +588,60 @@ object SparkEntry {
          |  GROUP BY vec_id)""".stripMargin
     }
     sb ++= s"\nSELECT vec_id, hop FROM d$hops ORDER BY vec_id"
+    sb.toString
+  }
+
+  /** DuckDB mirror of TextAnalysis.wordPieceEncode (t33): vocab
+    * learning (all single chars + top character 2/3-grams of the
+    * distinct word set) and the greedy longest-match loop unrolled to
+    * `rounds` generated CTE pairs — pick (length DESC, gram argmax per
+    * word), then advance. AS MATERIALIZED per round (the bpeSql
+    * lesson).
+    */
+  private def wordPieceSql(topGrams: Int, maxWordLen: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${tkCte("")},
+       |ww AS (SELECT DISTINCT unnest(tk) AS word FROM tk),
+       |w AS (SELECT word FROM ww WHERE length(word) BETWEEN 1 AND $maxWordLen),
+       |singles AS (
+       |  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS v
+       |  FROM w, UNNEST(range(1, $maxWordLen + 1)) AS t(i)
+       |  WHERE i <= length(word)),
+       |gm AS (
+       |  SELECT substr(word, CAST(i AS INT), CAST(n AS INT)) AS v,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM w, UNNEST(range(2, 4)) AS tn(n),
+       |    UNNEST(range(1, $maxWordLen + 1)) AS t(i)
+       |  WHERE i + n - 1 <= length(word)
+       |  GROUP BY 1),
+       |topg AS (
+       |  SELECT v FROM (
+       |    SELECT v, row_number() OVER (ORDER BY cnt DESC, v) AS rn FROM gm) r
+       |  WHERE rn <= $topGrams),
+       |vocab AS MATERIALIZED (
+       |  SELECT v, CAST(length(v) AS INT) AS vl FROM (
+       |    SELECT v FROM singles UNION SELECT v FROM topg) u),
+       |s0 AS (SELECT word, CAST(1 AS INT) AS off FROM w)""".stripMargin
+    for (r <- 1 to maxWordLen) {
+      sb ++= s""",
+         |pick$r AS MATERIALIZED (
+         |  SELECT word, off, v, vl FROM (
+         |    SELECT s.word, s.off, vb.v, vb.vl,
+         |      row_number() OVER (PARTITION BY s.word
+         |        ORDER BY vb.vl DESC, vb.v) AS rn
+         |    FROM s${r - 1} s JOIN vocab vb
+         |      ON substr(s.word, s.off, vb.vl) = vb.v) c
+         |  WHERE rn = 1),
+         |e$r AS (SELECT word, CAST($r AS INT) AS pos,
+         |  CASE WHEN off = 1 THEN v ELSE '##' || v END AS piece FROM pick$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, CAST(off + vl AS INT) AS off FROM pick$r
+         |  WHERE off + vl <= length(word))""".stripMargin
+    }
+    sb ++= "\nSELECT word, pos, piece FROM ("
+    sb ++= (1 to maxWordLen).map(r => s"SELECT * FROM e$r")
+      .mkString(" UNION ALL ")
+    sb ++= ") u ORDER BY word, pos"
     sb.toString
   }
 
@@ -3858,6 +3914,10 @@ object SparkEntry {
     // t32: Heaps-law trajectory — per doc-count decile, cumulative
     // token count and distinct vocab; vocab membership in a prefix is
     // decided by the token's first-seen doc alone
+    // t33: vocab learning + the greedy longest-match loop, both
+    // replayed as one generated CTE chain
+    "t33_wordpiece" -> wordPieceSql(topGrams = 50, maxWordLen = 12),
+
     "t32_vocab_growth" ->
       s"""WITH ${tkCte("")},
          |pos AS (SELECT doc_id, unnest(tk) AS tok FROM tk),

@@ -1499,4 +1499,84 @@ object TextAnalysis {
         coalesce($"vocab", lit(0L)).as("vocab"))
       .orderBy($"k")
   }
+
+  /** WordPiece greedy longest-match encode (t33) — the OTHER learned
+    * subword tokenizer family next to [[graft.operators.Bpe]]: where
+    * BPE replays its merge history, WordPiece segments each word
+    * greedily against a vocabulary — at each position take the
+    * LONGEST vocab entry matching the remaining suffix, emit it
+    * (`##`-prefixed beyond position 1, the BERT convention), advance
+    * past it (Wu et al. 2016; Song et al. 2021 describe this
+    * linear-scan form). The vocabulary here is derived, not shipped:
+    * every single character of the word set (so segmentation can
+    * never dead-end and no [UNK] row exists by construction) plus the
+    * `topGrams` most frequent character 2/3-grams over the DISTINCT
+    * word set (count DESC, gram ASC — an exact, engine-free ranking).
+    *
+    * The greedy loop unrolls to `rounds` fixed rounds (one emitted
+    * piece per active word per round; `maxWordLen` caps word length
+    * so `rounds` = maxWordLen terminates every word), and since match
+    * selection is pure string equality + a (length DESC, gram) argmax,
+    * the WHOLE segmentation — vocab learning included — replays as a
+    * generated CTE oracle, the bpeSql/s29 bounded-loop shape.
+    * Out-of-range words (longer than `maxWordLen`) are excluded up
+    * front — callers route them to a byte-fallback encoder, the
+    * production convention for pathological tokens.
+    *
+    * Scale shape: the vocab is ≤ chars+topGrams rows, BROADCAST; each
+    * round is one broadcast join of the (word, offset) state against
+    * it plus a per-WORD 1-row window — states only shrink; the picked
+    * frame feeds both the emit and the advance, so rounds snapshot
+    * via the kCorePeel idiom (persist alone would double the analyzed
+    * plan per round — the s25 lineage lesson).
+    */
+  def wordPieceEncode(spark: SparkSession, sfDir: String,
+      topGrams: Int = 50, maxWordLen: Int = 12,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(maxWordLen >= 1 && topGrams >= 0, s"bad params $maxWordLen/$topGrams")
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val words = graft.Caches.track(
+      Tables.documents(spark, sfDir)
+        .select(explode(Text.toks($"text")).as("word"))
+        .filter(length($"word").between(1, maxWordLen))
+        .distinct())
+    // every (position, n) character n-gram of every distinct word —
+    // the length guard matters: Spark's sequence(1, stop) DESCENDS
+    // when stop < 1, so an unguarded explode would fabricate grams at
+    // position 0 for words shorter than n
+    def grams(n: Int): DataFrame = words
+      .filter(length($"word") >= n)
+      .select($"word", explode(sequence(lit(1), length($"word") - (n - 1)))
+        .as("i"))
+      .select($"word".substr($"i", lit(n)).as("v"))
+    val singles = grams(1).distinct()
+    val top = grams(2).unionByName(grams(3))
+      .groupBy($"v").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"v").limit(topGrams)
+      .select($"v")
+    val vocab = graft.Caches.track(
+      singles.unionByName(top)
+        .select($"v", length($"v").cast("int").as("vl")))
+    var state = words.select($"word", lit(1).cast("int").as("off"))
+    var pieces = Vector.empty[DataFrame]
+    val wWord = Window.partitionBy($"word").orderBy($"vl".desc, $"v")
+    for (r <- 1 to maxWordLen) {
+      // substr truncates at word end, so an overlong candidate can
+      // never equal its vl-length vocab entry — the boundary guard is
+      // the length mismatch itself
+      val pick = snap(state.crossJoin(broadcast(vocab))
+        .filter($"word".substr($"off", $"vl") === $"v")
+        .withColumn("rn", row_number().over(wWord))
+        .filter($"rn" === 1)
+        .select($"word", $"off", $"v", $"vl"))
+      pieces = pieces :+ pick.select($"word", lit(r).cast("int").as("pos"),
+        when($"off" === 1, $"v").otherwise(concat(lit("##"), $"v")).as("piece"))
+      state = pick.filter($"off" + $"vl" <= length($"word"))
+        .select($"word", ($"off" + $"vl").cast("int").as("off"))
+    }
+    pieces.reduce(_ unionByName _).orderBy($"word", $"pos")
+  }
 }
