@@ -1451,10 +1451,11 @@ object Relational {
   /** The events table as an SCD1 changelog: one op per event, keyed by
     * user — `error` rows are DELETEs, everything else UPSERTs the
     * user's value. ONE definition shared by [[mergeUpsert]]'s base
-    * snapshot, its delta apply, and the spec's full recompute (the
-    * q43/q35 one-definition rule).
+    * snapshot, its delta apply, the streaming twin
+    * ([[graft.streaming.EventStream.upsertStream]]), and the spec's
+    * full recompute (the q43/q35 one-definition rule).
     */
-  private def changelog(ev: DataFrame): DataFrame = ev.select(
+  private[graft] def changelog(ev: DataFrame): DataFrame = ev.select(
     col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
     when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
     round(col("value") * 100, 0).cast("bigint").as("value_cents"))

@@ -608,6 +608,47 @@ object EventStream {
       }
   }
 
+  /** Latest-wins changelog carry: the winning op's (us, event_id) key
+    * plus its op and value — four fields per user, unconditionally
+    * bounded.
+    */
+  case class UpsertState(us: Long, event_id: Long, op: String, cents: Long)
+
+  /** The q53 row shape plus `live` (tombstones survive as live=false —
+    * the same tombstone-outlives-the-snapshot rule the batch twin
+    * keeps; readers filter at the edge).
+    */
+  case class UpsertRow(user_id: Long, last_event_id: Long, last_us: Long,
+      value_cents: Long, live: Boolean)
+
+  /** Streaming SCD1 upsert — [[graft.operators.Relational
+    * .mergeUpsert]]'s ingest-time twin (the one-definition rule: both
+    * read [[graft.operators.Relational.changelog]]): per user, keep
+    * the op with the greatest (us, event_id) and expose the live
+    * state. Latest-wins is an order-free, idempotent max — arrival
+    * order across micro-batches doesn't matter and a redelivered
+    * event cannot change the winner, so NO dedup state and no
+    * watermark are needed (the q38 HLL-insert property, on keyed
+    * state). State is four fields per user.
+    */
+  def upsertStream(events: DataFrame): Dataset[UpsertRow] = {
+    import events.sparkSession.implicits._
+    graft.operators.Relational.changelog(events)
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UpsertState, UpsertRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, String, Long)],
+            state: GroupState[UpsertState]) =>
+          var st = state.getOption.orNull
+          it.foreach { case (_, eid, us, op, cents) =>
+            if (st == null || us > st.us || (us == st.us && eid > st.event_id))
+              st = UpsertState(us, eid, op, cents)
+          }
+          state.update(st)
+          UpsertRow(uid, st.event_id, st.us, st.cents, st.op == "U")
+      }
+  }
+
   /** Per-user CUSUM carry: event count, current statistic, running
     * max, first alarm index (-1 = none yet).
     */

@@ -747,6 +747,53 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD1 upsert matches the batch merge at end of stream, " +
+      "and a redelivery cannot change the winner") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.upsertStream(mem.toDF())
+      .writeStream.format("memory").queryName("ups")
+      .outputMode("update").start()
+    try {
+      // two arrival batches, PLUS the first 200 events redelivered in
+      // the second batch: latest-wins is idempotent, so the duplicate
+      // delivery must be invisible in the final state
+      mem.addData(evs.take(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData((evs.drop(400) ++ evs.take(200)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // final snapshot = each user's LAST update row (max last_us wins)
+      val streamed = spark.table("ups").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))))
+        .groupBy(_._1).map { case (u, rows) =>
+          (u, rows.maxBy(x => (x._2._2, x._2._1))._2)
+        }
+      // batch twin: live rows from mergeUpsert; tombstoned users are
+      // exactly the users absent there but present on the stream
+      val live = graft.operators.Relational.mergeUpsert(spark, sf).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), true))).toMap
+      live should not be empty
+      val allUsers = evs.map(_.user_id).toSet
+      streamed.keySet shouldBe allUsers
+      for ((u, (eid, us, cents, isLive)) <- streamed) withClue(s"user $u: ") {
+        live.get(u) match {
+          case Some((beid, bus, bcents, _)) =>
+            (eid, us, cents, isLive) shouldBe ((beid, bus, bcents, true))
+          case None => isLive shouldBe false // tombstone survived
+        }
+      }
+      // the tombstone branch is non-vacuous
+      streamed.values.count(!_._4) should be > 0
+    } finally q.stop()
+  }
+
   test("streaming CUSUM matches the q50 batch chart across an arrival " +
     "split (one-definition rule: recursion here, window identity there)") {
     implicit val sqlCtx = spark.sqlContext
