@@ -245,6 +245,7 @@ object SparkEntry {
     "m22_resample_gate" -> (Multimodal.resamplePcmGate _),
     "m24_autocorr_gate" -> (Multimodal.autocorrGate _),
     "m25_webp_gate" -> (Multimodal.webpMetaGate _),
+    "m26_qoi_gate" -> (Multimodal.qoiChecksumGate _),
     "m23_png16_gate" -> (Multimodal.png16ChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
@@ -4668,6 +4669,20 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rn = 1 THEN lag END)
         |    OVER (PARTITION BY doc_id) AS INT) AS dom_lag
         |FROM rk ORDER BY doc_id, lag""".stripMargin,
+
+    // m26: REAL QOI decode — the oracle recomputes the deranged-
+    // channel canonical pixels from ord() arithmetic (pixel j reads
+    // text byte j//4), never seeing a run/index/diff/luma byte
+    "m26_qoi_gate" ->
+      """SELECT doc_id, 'qoi' AS format, 8 AS width, 8 AS height,
+        |  3 AS channels,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    flatten(list_transform(range(0, 64), j ->
+        |      [CAST(ord(text[CAST(j // 4 + 1 AS INT)]) AS BIGINT),
+        |       CAST((ord(text[CAST(j // 4 + 1 AS INT)]) * 7 + 13) % 256 AS BIGINT),
+        |       CAST((ord(text[CAST(j // 4 + 1 AS INT)]) * 31 + 5) % 256 AS BIGINT)])),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |FROM documents WHERE length(text) >= 16 ORDER BY doc_id""".stripMargin,
 
     // m25: WebP dims — the oracle recomputes variant (doc_id mod 3)
     // and dimensions from ord() arithmetic, never seeing a RIFF byte

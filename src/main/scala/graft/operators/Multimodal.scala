@@ -310,6 +310,160 @@ object Multimodal {
     * every compressed format return None — the caller falls back to
     * header-only metadata (never throws on arbitrary payloads).
     */
+  /** REAL QOI pixel decode (m26) — the Quite OK Image format
+    * (qoiformat.org, public domain spec): a single-pass byte-oriented
+    * compressor whose decoder is a RUNNING-STATE machine, a genuinely
+    * different shape from PNG's row filters and GIF's LZW dictionary:
+    * a previous-pixel register, a 64-slot hash-indexed color cache
+    * (hash = (3r+5g+7b+11a) mod 64), and six ops — RGB/RGBA literals
+    * (0xFE/0xFF), INDEX (00xxxxxx, cache lookup), DIFF (01drdgdb,
+    * 2-bit biased channel deltas, wrapping), LUMA (10dddddd + drdg/
+    * dbdg nibbles, green-anchored deltas, wrapping), RUN (11xxxxxx,
+    * 1–62 repeats of the previous pixel). The cache updates after
+    * EVERY op. Strict: magic/dims/channels/colorspace validate, every
+    * read bounds-checks against the 8-byte end marker, pixel count
+    * must land exactly, the end marker (seven 0x00 then 0x01) must
+    * terminate the buffer — malformed bytes return None, never throw.
+    */
+  def decodeQoiPixels(c: Array[Byte]): Option[RasterImage] = {
+    if (c.length < 22) return None
+    if (c(0) != 'q'.toByte || c(1) != 'o'.toByte || c(2) != 'i'.toByte ||
+        c(3) != 'f'.toByte) return None
+    def be32(off: Int): Long =
+      ((c(off) & 0xffL) << 24) | ((c(off + 1) & 0xffL) << 16) |
+        ((c(off + 2) & 0xffL) << 8) | (c(off + 3) & 0xffL)
+    val w = be32(4)
+    val h = be32(8)
+    val ch = c(12) & 0xff
+    val cs = c(13) & 0xff
+    if (w < 1 || w > MaxDim || h < 1 || h > MaxDim ||
+        (ch != 3 && ch != 4) || cs > 1 ||
+        w * h * ch > Int.MaxValue / 2) return None
+    val n = (w * h).toInt
+    val out = new Array[Byte](n * ch)
+    val index = new Array[Int](64) // packed 0xRRGGBBAA; zero-filled per spec
+    val dataEnd = c.length - 8
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var p = 14
+    var px = 0
+    while (px < n) {
+      if (p >= dataEnd) return None
+      val b0 = c(p) & 0xff; p += 1
+      var run = 1
+      if (b0 == 0xfe) { // QOI_OP_RGB
+        if (p + 3 > dataEnd) return None
+        r = c(p) & 0xff; g = c(p + 1) & 0xff; b = c(p + 2) & 0xff; p += 3
+      } else if (b0 == 0xff) { // QOI_OP_RGBA
+        if (p + 4 > dataEnd) return None
+        r = c(p) & 0xff; g = c(p + 1) & 0xff; b = c(p + 2) & 0xff
+        a = c(p + 3) & 0xff; p += 4
+      } else (b0 >> 6) match {
+        case 0 => // QOI_OP_INDEX
+          val v = index(b0 & 0x3f)
+          r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff
+          b = (v >>> 8) & 0xff; a = v & 0xff
+        case 1 => // QOI_OP_DIFF: 2-bit deltas biased by 2, wrapping
+          r = (r + ((b0 >> 4) & 3) - 2) & 0xff
+          g = (g + ((b0 >> 2) & 3) - 2) & 0xff
+          b = (b + (b0 & 3) - 2) & 0xff
+        case 2 => // QOI_OP_LUMA: dg 6 bits bias 32; dr-dg / db-dg nibbles bias 8
+          if (p + 1 > dataEnd) return None
+          val dg = (b0 & 0x3f) - 32
+          val b1 = c(p) & 0xff; p += 1
+          r = (r + dg + ((b1 >> 4) & 0xf) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (b1 & 0xf) - 8) & 0xff
+        case _ => // QOI_OP_RUN: 1..62 (63/64 are the 0xFE/0xFF tags)
+          run = (b0 & 0x3f) + 1
+      }
+      index((r * 3 + g * 5 + b * 7 + a * 11) % 64) =
+        (r << 24) | (g << 16) | (b << 8) | a
+      if (px + run > n) return None
+      var k = 0
+      while (k < run) {
+        val o = (px + k) * ch
+        out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+        if (ch == 4) out(o + 3) = a.toByte
+        k += 1
+      }
+      px += run
+    }
+    if (p + 8 != c.length) return None // end marker exactly terminates
+    var k = 0
+    while (k < 7) { if (c(p + k) != 0) return None; k += 1 }
+    if (c(p + 7) != 1) return None
+    Some(RasterImage("qoi", w.toInt, h.toInt, ch, out))
+  }
+
+  /** Reference-order QOI encoder — run, then cache hit, then (alpha
+    * unchanged) DIFF / LUMA / RGB literal, else RGBA; runs flush at 62.
+    * The [[decodeQoiPixels]] fixture/payload builder.
+    */
+  def encodeQoi(img: RasterImage): Array[Byte] = {
+    require(img.channels == 3 || img.channels == 4,
+      s"QOI is RGB/RGBA: ${img.channels}")
+    require(img.width >= 1 && img.height >= 1 &&
+      img.pixels.length == img.width * img.height * img.channels,
+      "pixel buffer must match dims")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    buf ++= "qoif".getBytes("US-ASCII")
+    def putBe32(v: Int): Unit = {
+      buf += ((v >>> 24) & 0xff).toByte; buf += ((v >>> 16) & 0xff).toByte
+      buf += ((v >>> 8) & 0xff).toByte; buf += (v & 0xff).toByte
+    }
+    putBe32(img.width); putBe32(img.height)
+    buf += img.channels.toByte; buf += 0 // sRGB colorspace tag
+    val index = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0; var pa = 255
+    var run = 0
+    val n = img.width * img.height
+    val ch = img.channels
+    var i = 0
+    while (i < n) {
+      val o = i * ch
+      val r = img.pixels(o) & 0xff; val g = img.pixels(o + 1) & 0xff
+      val b = img.pixels(o + 2) & 0xff
+      val a = if (ch == 4) img.pixels(o + 3) & 0xff else pa
+      if (r == pr && g == pg && b == pb && a == pa) {
+        run += 1
+        if (run == 62) { buf += (0xc0 | (run - 1)).toByte; run = 0 }
+      } else {
+        if (run > 0) { buf += (0xc0 | (run - 1)).toByte; run = 0 }
+        val packed = (r << 24) | (g << 16) | (b << 8) | a
+        val hash = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if (index(hash) == packed) buf += hash.toByte
+        else {
+          index(hash) = packed
+          if (a == pa) {
+            // wrapping signed channel deltas (the spec's byte wrap)
+            val dr = ((r - pr) << 24) >> 24
+            val dg = ((g - pg) << 24) >> 24
+            val db = ((b - pb) << 24) >> 24
+            val drg = dr - dg; val dbg = db - dg
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+                db >= -2 && db <= 1)
+              buf += (0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)).toByte
+            else if (dg >= -32 && dg <= 31 && drg >= -8 && drg <= 7 &&
+                dbg >= -8 && dbg <= 7) {
+              buf += (0x80 | (dg + 32)).toByte
+              buf += (((drg + 8) << 4) | (dbg + 8)).toByte
+            } else {
+              buf += 0xfe.toByte; buf += r.toByte; buf += g.toByte; buf += b.toByte
+            }
+          } else {
+            buf += 0xff.toByte
+            buf += r.toByte; buf += g.toByte; buf += b.toByte; buf += a.toByte
+          }
+        }
+        pr = r; pg = g; pb = b; pa = a
+      }
+      i += 1
+    }
+    if (run > 0) buf += (0xc0 | (run - 1)).toByte
+    buf ++= Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    buf.toArray
+  }
+
   def decodeRasterPixels(c: Array[Byte]): Option[RasterImage] = {
     def leI32(off: Int): Int =
       (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8) |
@@ -323,6 +477,9 @@ object Multimodal {
     } else if (c.length >= 13 && c(0) == 'G'.toByte && c(1) == 'I'.toByte &&
         c(2) == 'F'.toByte) {
       decodeGifPixels(c)
+    } else if (c.length >= 4 && c(0) == 'q'.toByte && c(1) == 'o'.toByte &&
+        c(2) == 'i'.toByte && c(3) == 'f'.toByte) {
+      decodeQoiPixels(c)
     } else if (c.length >= 54 && c(0) == 'B'.toByte && c(1) == 'M'.toByte) {
       val offBits = leI32(10)
       val biSize = leI32(14)
@@ -2175,6 +2332,48 @@ object Multimodal {
   def pngRgbChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     rasterFeatures(docPngRgbRows(spark, sfDir)).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** m26 payload builder: a REAL QOI image per document — 8×8 RGB
+    * where pixel j takes its value from text byte j/4 (each byte
+    * spans FOUR pixels, so RUN ops genuinely occur) through the m15
+    * deranged channel map (r=v, g=(7v+13) mod 256, b=(31v+5) mod 256 —
+    * swapped channels cannot pass), with repeats/near-values in
+    * ordinary text exercising INDEX/DIFF/LUMA alongside the literals.
+    */
+  private def docQoiRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 16)
+      .select($"doc_id", substring($"text", 1, 16).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val pixels = new Array[Byte](8 * 8 * 3)
+        var j = 0
+        while (j < 64) {
+          val v = px.charAt(j / 4).toInt & 0xff
+          pixels(j * 3) = v.toByte
+          pixels(j * 3 + 1) = ((v * 7 + 13) % 256).toByte
+          pixels(j * 3 + 2) = ((v * 31 + 5) % 256).toByte
+          j += 1
+        }
+        MediaRow(id, "image", encodeQoi(RasterImage("qoi", 8, 8, 3, pixels)))
+      }
+  }
+
+  /** m26 gate entry: REAL QOI decode under the DuckDB gate — the
+    * Spark side walks genuine run/index/diff/luma/literal streams
+    * through [[decodeQoiPixels]]'s state machine (via the
+    * [[decodeRasterPixels]] dispatch, so m06/m10 compose for free);
+    * the oracle recomputes every canonical pixel from ord()
+    * arithmetic, never seeing a QOI byte.
+    */
+  def qoiChecksumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rasterFeatures(docQoiRows(spark, sfDir)).toDF()
       .select($"media_id".as("doc_id"), $"format", $"width", $"height",
         $"channels", $"pixel_checksum")
       .orderBy($"doc_id")

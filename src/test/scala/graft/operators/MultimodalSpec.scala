@@ -1651,4 +1651,97 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     val z = good.clone(); z(26) = 0; z(27) = 0
     Multimodal.parseWebp(z) shouldBe None
   }
+
+  test("m26: QOI decodes HAND-BUILT byte vectors for every op " +
+      "(independent of the encoder)") {
+    def header(w: Int, h: Int, ch: Int): Array[Byte] =
+      "qoif".getBytes("US-ASCII") ++ Array[Byte](
+        0, 0, 0, w.toByte, 0, 0, 0, h.toByte, ch.toByte, 0)
+    val end = Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    // 3x2 RGB: RGB(10,20,30), RUN(2), DIFF(+1,-1,+1), LUMA(dg=9,
+    // dr-dg=-3, db-dg=2), INDEX back to (10,20,30)
+    // hash(10,20,30,255) = (30+100+210+2805) % 64 = 9
+    val bytes = header(3, 2, 3) ++ Array[Byte](
+      0xfe.toByte, 10, 20, 30,            // p0 = (10,20,30)
+      (0xc0 | 1).toByte,                  // p1,p2 run of 2
+      (0x40 | (3 << 4) | (1 << 2) | 3).toByte, // p3 = (11,19,31)
+      (0x80 | (9 + 32)).toByte, (((-3 + 8) << 4) | (2 + 8)).toByte,
+                                          // p4 = (11+9-3, 19+9, 31+9+2) = (17,28,42)
+      0x09                                // p5 = INDEX(9) = (10,20,30)
+    ) ++ end
+    val img = Multimodal.decodeQoiPixels(bytes).get
+    (img.format, img.width, img.height, img.channels) shouldBe (("qoi", 3, 2, 3))
+    img.pixels.map(_ & 0xff).toSeq shouldBe Seq(
+      10, 20, 30, 10, 20, 30, 10, 20, 30,
+      11, 19, 31, 17, 28, 42, 10, 20, 30)
+    // RGBA + wrapping DIFF on a 4-channel image: (250,0,4,128) then
+    // DIFF(-2,+1,-2) wraps r to 248... and underflow wraps b 4->2
+    val bytes4 = header(2, 1, 4) ++ Array[Byte](
+      0xff.toByte, 250.toByte, 0, 4, 128.toByte,
+      (0x40 | (0 << 4) | (3 << 2) | 0).toByte // (-2,+1,-2) -> (248,1,2,128)
+    ) ++ end
+    val img4 = Multimodal.decodeQoiPixels(bytes4).get
+    img4.channels shouldBe 4
+    img4.pixels.map(_ & 0xff).toSeq shouldBe Seq(
+      250, 0, 4, 128, 248, 1, 2, 128)
+  }
+
+  test("m26: QOI round-trips through the encoder incl. every op family") {
+    // a pixel stream engineered to hit run, index, diff, luma, rgb, rgba
+    val px = Array.concat(
+      Array(100, 100, 100, 255), Array(100, 100, 100, 255), // run
+      Array(101, 99, 101, 255),                             // diff
+      Array(120, 118, 121, 255),                            // luma
+      Array(7, 200, 33, 255),                               // rgb literal
+      Array(7, 200, 33, 10),                                // rgba (alpha)
+      Array(100, 100, 100, 255),                            // index? (alpha differs -> rgba)
+      Array(7, 200, 33, 10)                                 // index hit
+    ).map(_.toByte)
+    val img = Multimodal.RasterImage("qoi", 4, 2, 4, px)
+    val enc = Multimodal.encodeQoi(img)
+    val dec = Multimodal.decodeQoiPixels(enc).get
+    dec.pixels.toSeq shouldBe px.toSeq
+    (dec.width, dec.height, dec.channels) shouldBe ((4, 2, 4))
+    // 3-channel round-trip over pseudo-random pixels (deterministic)
+    val px3 = Array.tabulate(8 * 8 * 3)(k => ((k * 31 + 7) % 256).toByte)
+    val img3 = Multimodal.RasterImage("qoi", 8, 8, 3, px3)
+    Multimodal.decodeQoiPixels(Multimodal.encodeQoi(img3)).get
+      .pixels.toSeq shouldBe px3.toSeq
+    // a long constant stretch exercises the 62-run flush
+    val pxRun = Array.fill(70 * 3)(42.toByte)
+    val imgRun = Multimodal.RasterImage("qoi", 70, 1, 3, pxRun)
+    Multimodal.decodeQoiPixels(Multimodal.encodeQoi(imgRun)).get
+      .pixels.toSeq shouldBe pxRun.toSeq
+  }
+
+  test("m26: malformed QOI rejects without throwing") {
+    val good = Multimodal.encodeQoi(Multimodal.RasterImage("qoi", 4, 4, 3,
+      Array.tabulate(48)(k => (k * 17 % 256).toByte)))
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val c = good.clone(); c(i) = v.toByte; c
+    }
+    Multimodal.decodeQoiPixels(mut(0, 'x')) shouldBe None      // magic
+    Multimodal.decodeQoiPixels(mut(12, 2)) shouldBe None       // channels
+    Multimodal.decodeQoiPixels(mut(13, 2)) shouldBe None       // colorspace
+    Multimodal.decodeQoiPixels(mut(7, 0)) shouldBe None        // zero width
+    Multimodal.decodeQoiPixels(mut(good.length - 1, 0)) shouldBe None // end marker
+    Multimodal.decodeQoiPixels(mut(good.length - 5, 9)) shouldBe None // end zeros
+    // truncation anywhere rejects
+    for (keep <- Seq(0, 4, 13, 20, good.length - 1))
+      withClue(s"keep=$keep: ") {
+        Multimodal.decodeQoiPixels(good.take(keep)) shouldBe None
+      }
+    // a run overflowing the pixel count rejects
+    val overrun = "qoif".getBytes("US-ASCII") ++ Array[Byte](
+      0, 0, 0, 2, 0, 0, 0, 1, 3, 0,       // 2x1
+      0xfe.toByte, 1, 2, 3, (0xc0 | 5).toByte, // run 6 > remaining 1
+      0, 0, 0, 0, 0, 0, 0, 1)
+    Multimodal.decodeQoiPixels(overrun) shouldBe None
+    // too few pixels (stream ends early) rejects
+    val short = "qoif".getBytes("US-ASCII") ++ Array[Byte](
+      0, 0, 0, 2, 0, 0, 0, 2, 3, 0,       // 2x2 = 4 pixels
+      0xfe.toByte, 1, 2, 3,               // only 1 pixel
+      0, 0, 0, 0, 0, 0, 0, 1)
+    Multimodal.decodeQoiPixels(short) shouldBe None
+  }
 }
