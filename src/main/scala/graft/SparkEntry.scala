@@ -71,6 +71,7 @@ object SparkEntry {
     "q54_pit_join" -> (Relational.pitJoin _),
     "q55_join_skew" -> ((s: SparkSession, d: String) =>
       Relational.joinSkewAdvisor(s, d)),
+    "q56_ks_drift" -> (Relational.ksDrift _),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallCurve(s, d)),
     "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
@@ -246,6 +247,7 @@ object SparkEntry {
     "m24_autocorr_gate" -> (Multimodal.autocorrGate _),
     "m25_webp_gate" -> (Multimodal.webpMetaGate _),
     "m26_qoi_gate" -> (Multimodal.qoiChecksumGate _),
+    "m27_orient_gate" -> (Multimodal.orientGate _),
     "m23_png16_gate" -> (Multimodal.png16ChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
@@ -1776,6 +1778,36 @@ object SparkEntry {
         |SELECT rn, user_id, n_left, n_right, fanout, total_fanout,
         |  CAST(fanout * 1000000 // total_fanout AS BIGINT) AS share_ppm
         |FROM top, tot WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // q56: exact KS — RANGE-frame CDF counts (ties complete), the
+    // sup cross-multiplied to one integer, floor-ppm report
+    "q56_ks_drift" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM ev GROUP BY 1),
+        |pr AS (SELECT least(e.event_type, t.event_type) AS type_a,
+        |    greatest(e.event_type, t.event_type) AS type_b,
+        |    e.event_type, e.cents
+        |  FROM ev e JOIN ty t ON t.event_type <> e.event_type),
+        |cdf AS (SELECT type_a, type_b, event_type, cents,
+        |    sum(CASE WHEN event_type = type_a THEN 1 ELSE 0 END)
+        |      OVER w AS cnt_a,
+        |    sum(CASE WHEN event_type = type_b THEN 1 ELSE 0 END)
+        |      OVER w AS cnt_b
+        |  FROM pr
+        |  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY cents
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ks AS (SELECT c.type_a, c.type_b, ca.n AS n_a, cb.n AS n_b,
+        |    CAST(max(abs(cnt_a * cb.n - cnt_b * ca.n)) AS BIGINT) AS ks_num
+        |  FROM cdf c
+        |  JOIN cnt ca ON ca.event_type = c.type_a
+        |  JOIN cnt cb ON cb.event_type = c.type_b
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT type_a, type_b, n_a, n_b, ks_num,
+        |  ks_num * 1000000 // (n_a * n_b) AS ks_ppm
+        |FROM ks ORDER BY type_a, type_b""".stripMargin,
 
     // p17: weighted fair interleave — within-source seeded ranks,
     // virtual time r·(12 // w), global order (v, source, doc_id)
@@ -4669,6 +4701,35 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rn = 1 THEN lag END)
         |    OVER (PARTITION BY doc_id) AS INT) AS dom_lag
         |FROM rk ORDER BY doc_id, lag""".stripMargin,
+
+    // m27: EXIF orientation over real QOI pixels — the oracle replays
+    // the inverse index map (sx, sy per output position, CASE over the
+    // eight tags) with ord() arithmetic through the deranged channels
+    "m27_orient_gate" ->
+      """WITH d AS (SELECT doc_id, text, CAST(1 + doc_id % 8 AS INT) AS o
+        |           FROM documents WHERE length(text) >= 16),
+        |pos AS (SELECT doc_id, text, o, CAST(j AS INT) AS j,
+        |    CAST(j % 8 AS INT) AS x, CAST(j // 8 AS INT) AS y
+        |  FROM d, UNNEST(range(0, 64)) AS t(j)),
+        |src AS (SELECT doc_id, text, o, j,
+        |    CASE WHEN o IN (1, 4) THEN x WHEN o IN (2, 3) THEN 7 - x
+        |         WHEN o IN (5, 6) THEN y ELSE 7 - y END AS sx,
+        |    CASE WHEN o IN (1, 2) THEN y WHEN o IN (3, 4) THEN 7 - y
+        |         WHEN o IN (5, 8) THEN x ELSE 7 - x END AS sy
+        |  FROM pos),
+        |v AS (SELECT doc_id, o, j,
+        |    ord(text[CAST((sy * 8 + sx) // 4 + 1 AS INT)]) AS pv
+        |  FROM src),
+        |ck AS (SELECT doc_id, o,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      flatten(list(
+        |        [CAST(pv AS BIGINT), CAST((pv * 7 + 13) % 256 AS BIGINT),
+        |         CAST((pv * 31 + 5) % 256 AS BIGINT)] ORDER BY j)),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |  FROM v GROUP BY doc_id, o)
+        |SELECT doc_id, o AS orientation, 8 AS width, 8 AS height,
+        |  3 AS channels, pixel_checksum
+        |FROM ck ORDER BY doc_id""".stripMargin,
 
     // m26: REAL QOI decode — the oracle recomputes the deranged-
     // channel canonical pixels from ord() arithmetic (pixel j reads

@@ -2379,6 +2379,75 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** EXIF orientation normalization (m27) — the pixel permutation a
+    * pipeline applies between decode and perceptual hashing (m06's
+    * aHash/dHash are NOT rotation-invariant: the same photo stored
+    * orientation-6 vs orientation-1 would miss near-dup without this
+    * pass). `o` is the EXIF tag (1 identity, 2 mirror, 3 rotate-180,
+    * 4 flip, 5 transpose, 6 rotate-90-CW, 7 transverse, 8
+    * rotate-270-CW — the transform that displays the stored image
+    * upright); output dims swap for 5–8. Pure index arithmetic per
+    * output pixel, any channel count; exactly invertible (2/3/4/5/7
+    * are involutions, 6∘8 = id — spec-pinned), so the permutation
+    * hash-gates.
+    */
+  def applyOrientation(img: RasterImage, o: Int): RasterImage = {
+    require(o >= 1 && o <= 8, s"EXIF orientation is 1..8: $o")
+    val w = img.width; val h = img.height; val ch = img.channels
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val sx = o match {
+          case 1 | 4 => x
+          case 2 | 3 => w - 1 - x
+          case 5 | 6 => y
+          case 7 | 8 => w - 1 - y
+        }
+        val sy = o match {
+          case 1 | 2 => y
+          case 3 | 4 => h - 1 - y
+          case 5 | 8 => x
+          case 6 | 7 => h - 1 - x
+        }
+        val so = (sy * w + sx) * ch
+        val oo = (y * ow + x) * ch
+        var k = 0
+        while (k < ch) { out(oo + k) = img.pixels(so + k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(img.format, ow, oh, ch, out)
+  }
+
+  /** m27 gate entry: orientation normalization over REAL decoded QOI
+    * pixels — doc_id mod 8 picks the EXIF tag so all eight transforms
+    * run under one gate; the oracle replays the inverse index map
+    * with ord() arithmetic (source pixel sy·8+sx per output position,
+    * through the m26 deranged channels), so a wrong axis anywhere in
+    * the permutation hash-mismatches.
+    */
+  def orientGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docQoiRows(spark, sfDir)
+      .map { r =>
+        val img = decodeQoiPixels(r.content)
+          .getOrElse(throw new IllegalStateException(s"qoi parse failed for ${r.media_id}"))
+        val o = (1 + r.media_id % 8).toInt
+        val out = applyOrientation(img, o)
+        (r.media_id, o, out.width, out.height, out.channels,
+          byteChecksum(out.pixels))
+      }
+      .toDF("doc_id", "orientation", "width", "height", "channels",
+        "pixel_checksum")
+      .orderBy($"doc_id")
+  }
+
   /** m15 payload builder: an INDEXED (color type 3) PNG per document —
     * the first 64 text bytes as 8×8 palette indices over a DERANGED
     * 256-entry palette (entry i → RGB (i, (7i+13) mod 256,

@@ -1567,6 +1567,59 @@ object Relational {
     * exchange — the q19/t26 bound); the rank window then sees only k
     * rows.
     */
+  /** Exact two-sample Kolmogorov–Smirnov drift matrix (q56) — the
+    * distribution-shift detector a curation pipeline runs between
+    * corpus slices (here: every pair of event types, over the
+    * integer-cents value distribution). The KS statistic is
+    * sup_x |F_A(x) − F_B(x)|; cross-multiplying away the divisions
+    * gives the exact integer ks_num = max_x |cntA(x)·n_B − cntB(x)·n_A|
+    * with D = ks_num / (n_A·n_B) — reported as floor ppm, so the whole
+    * matrix hash-gates with zero float arithmetic.
+    *
+    * Tie discipline: the CDF at x must count ALL rows with value ≤ x,
+    * so the running counts use a RANGE frame (peers included — the
+    * q52 semantics); evaluating the sup at every row is then safe
+    * because all rows of a tie group see the same (complete) counts.
+    *
+    * Scale shape: each event row fans out to its (T−1) pairs — a
+    * bounded |types| constant, not a join — and every window
+    * partitions by the PAIR key (no global window). One shuffle on
+    * (type_a, type_b), map-combinable final max/counts. The n_A/n_B
+    * side is a |types|-row broadcast.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id",
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+    val types = ev.select($"event_type").distinct()
+    // each row replicated to every pair it participates in; pair key
+    // is the sorted (type_a, type_b) tuple
+    val pairs = ev.join(broadcast(types.select($"event_type".as("other"))),
+        $"other" =!= $"event_type")
+      .select(
+        least($"event_type", $"other").as("type_a"),
+        greatest($"event_type", $"other").as("type_b"),
+        $"event_type", $"cents")
+    val cnt = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"type_a", $"type_b").orderBy($"cents")
+      .rangeBetween(Window.unboundedPreceding, 0)
+    pairs
+      .withColumn("cnt_a",
+        sum(when($"event_type" === $"type_a", 1L).otherwise(0L)).over(w))
+      .withColumn("cnt_b",
+        sum(when($"event_type" === $"type_b", 1L).otherwise(0L)).over(w))
+      .join(broadcast(cnt.select($"event_type".as("type_a"), $"n".as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(cnt.select($"event_type".as("type_b"), $"n".as("n_b"))),
+        Seq("type_b"))
+      .groupBy($"type_a", $"type_b", $"n_a", $"n_b")
+      .agg(max(abs($"cnt_a" * $"n_b" - $"cnt_b" * $"n_a")).as("ks_num"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"ks_num",
+        expr("ks_num * 1000000L div (n_a * n_b)").as("ks_ppm"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   def joinSkewAdvisor(spark: SparkSession, sfDir: String,
       topK: Int = 10): DataFrame = {
     import spark.implicits._

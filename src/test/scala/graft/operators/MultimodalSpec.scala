@@ -1744,4 +1744,34 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       0, 0, 0, 0, 0, 0, 0, 1)
     Multimodal.decodeQoiPixels(short) shouldBe None
   }
+
+  test("m27: all eight EXIF orientations pin hand-computed goldens on " +
+      "a 2x3 image, and the group laws hold") {
+    // 2 wide x 3 tall, gray: pixels row-major 0..5
+    val img = Multimodal.RasterImage("qoi", 2, 3, 1,
+      Array[Byte](0, 1, 2, 3, 4, 5))
+    def px(o: Int): (Int, Int, Seq[Int]) = {
+      val r = Multimodal.applyOrientation(img, o)
+      (r.width, r.height, r.pixels.map(_ & 0xff).toSeq)
+    }
+    px(1) shouldBe ((2, 3, Seq(0, 1, 2, 3, 4, 5)))
+    px(2) shouldBe ((2, 3, Seq(1, 0, 3, 2, 5, 4)))          // mirror
+    px(3) shouldBe ((2, 3, Seq(5, 4, 3, 2, 1, 0)))          // rot 180
+    px(4) shouldBe ((2, 3, Seq(4, 5, 2, 3, 0, 1)))          // flip
+    px(5) shouldBe ((3, 2, Seq(0, 2, 4, 1, 3, 5)))          // transpose
+    px(6) shouldBe ((3, 2, Seq(4, 2, 0, 5, 3, 1)))          // rot 90 CW
+    px(7) shouldBe ((3, 2, Seq(5, 3, 1, 4, 2, 0)))          // transverse
+    px(8) shouldBe ((3, 2, Seq(1, 3, 5, 0, 2, 4)))          // rot 270 CW
+    // involutions and the 6/8 inverse pair
+    for (o <- Seq(2, 3, 4, 5, 7))
+      Multimodal.applyOrientation(Multimodal.applyOrientation(img, o), o)
+        .pixels.toSeq shouldBe img.pixels.toSeq
+    Multimodal.applyOrientation(Multimodal.applyOrientation(img, 6), 8)
+      .pixels.toSeq shouldBe img.pixels.toSeq
+    // multi-channel blocks move together
+    val rgb = Multimodal.RasterImage("qoi", 2, 1, 3,
+      Array[Byte](10, 11, 12, 20, 21, 22))
+    Multimodal.applyOrientation(rgb, 2).pixels.map(_ & 0xff).toSeq shouldBe
+      Seq(20, 21, 22, 10, 11, 12)
+  }
 }

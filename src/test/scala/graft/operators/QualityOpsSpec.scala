@@ -617,4 +617,36 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // share (the advisor would otherwise never name a salting target)
     got.head._7 should be > (1000000L / fan.length)
   }
+
+  test("q56: KS distances match a sequential two-sample recompute with ties") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .select($"event_type", round($"value" * 100, 0).cast("bigint").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = evs.groupBy(_._1).map { case (t, r) => t -> r.map(_._2).sorted }
+    def ks(a: Seq[Long], b: Seq[Long]): Long = {
+      // evaluate |cntA*nB - cntB*nA| at every distinct value of either
+      val xs = (a ++ b).distinct.sorted
+      xs.map { x =>
+        val ca = a.count(_ <= x).toLong
+        val cb = b.count(_ <= x).toLong
+        math.abs(ca * b.length - cb * a.length)
+      }.max
+    }
+    val types = byType.keys.toSeq.sorted
+    val expect = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+      (ta, tb) = (types(i), types(j))
+      (a, b) = (byType(ta), byType(tb))
+    } yield (ta, tb, a.length.toLong, b.length.toLong, ks(a, b),
+      ks(a, b) * 1000000L / (a.length.toLong * b.length))).toSeq
+    val got = Relational.ksDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe expect
+    // non-degenerate: distributions differ somewhere (ks > 0) but the
+    // statistic stays a genuine fraction of n_a*n_b
+    got.map(_._5).max should be > 0L
+    all(got.map(_._6)) should be < 1000000L
+  }
 }
