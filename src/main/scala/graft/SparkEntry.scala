@@ -291,6 +291,7 @@ object SparkEntry {
     "o19_zorder_nodes" -> (osm.OsmOracle.zorderNodes _),
     "o20_zrange_bbox" -> (osm.OsmOracle.zrangeBboxNodes _),
     "o21_polygon_areas" -> (osm.OsmOracle.polygonAreas _),
+    "o22_polygon_centroids" -> (osm.OsmOracle.polygonCentroids _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -5293,6 +5294,52 @@ object SparkEntry {
     // o21: closed-ring shoelace in exact integer nanodegrees², the
     // coordinates anchored at the ring's first vertex (translation-
     // invariant exactly; keeps every cross product inside int64)
+    // o22: exact floor-nanodegree centroids — HUGEINT-internal sums
+    // (partial sums overflow int64 on degree-wide rings), sign-folded
+    // numerator + positive shift so // is floor on both engines
+    "o22_polygon_centroids" ->
+      s"""WITH nodes AS (SELECT id AS node_id,
+         |    CAST(lat * 10000000 AS BIGINT) AS lat_nano,
+         |    CAST(lon * 10000000 AS BIGINT) AS lon_nano
+         |  FROM $OsmP WHERE type = 'node'),
+         |wx AS (SELECT w.id AS way_id, i AS idx, w.nds[i].ref AS ref
+         |       FROM (SELECT id, nds FROM $OsmP WHERE type = 'way') w,
+         |            UNNEST(range(1, len(w.nds) + 1)) AS t(i)),
+         |cw AS (SELECT way_id FROM (
+         |    SELECT way_id, max(idx) AS n,
+         |      max(CASE WHEN idx = 1 THEN ref END) AS fr,
+         |      arg_max(ref, idx) AS lr
+         |    FROM wx GROUP BY 1) t WHERE n >= 4 AND fr = lr),
+         |c AS (SELECT wx.way_id, idx,
+         |    first_value(lon_nano) OVER pw AS ax,
+         |    first_value(lat_nano) OVER pw AS ay,
+         |    lon_nano - first_value(lon_nano) OVER pw AS cx,
+         |    lat_nano - first_value(lat_nano) OVER pw AS cy
+         |  FROM wx JOIN cw USING (way_id) JOIN nodes n ON wx.ref = n.node_id
+         |  WINDOW pw AS (PARTITION BY wx.way_id ORDER BY idx)),
+         |cr AS (SELECT way_id, ax, ay, cx, cy,
+         |    lag(cx) OVER pw AS pcx, lag(cy) OVER pw AS pcy
+         |  FROM c WINDOW pw AS (PARTITION BY way_id ORDER BY idx)),
+         |agg AS (SELECT way_id, CAST(count(*) AS BIGINT) AS n_pts,
+         |    max(ax) AS ax, max(ay) AS ay,
+         |    CAST(sum(pcx * cy - cx * pcy) AS HUGEINT) AS area2d,
+         |    sum(CAST(pcx + cx AS HUGEINT) * (pcx * cy - cx * pcy)) AS cxn,
+         |    sum(CAST(pcy + cy AS HUGEINT) * (pcx * cy - cx * pcy)) AS cyn
+         |  FROM cr GROUP BY way_id),
+         |f AS (SELECT way_id, n_pts, ax, ay,
+         |    CAST(area2d AS BIGINT) AS area2,
+         |    (CASE WHEN area2d < 0 THEN -cxn ELSE cxn END
+         |      + CAST(2000000000 AS HUGEINT) * (3 * abs(area2d)))
+         |      // (3 * abs(area2d)) - 2000000000 AS offx,
+         |    (CASE WHEN area2d < 0 THEN -cyn ELSE cyn END
+         |      + CAST(2000000000 AS HUGEINT) * (3 * abs(area2d)))
+         |      // (3 * abs(area2d)) - 2000000000 AS offy
+         |  FROM agg WHERE area2d <> 0)
+         |SELECT way_id, n_pts, area2,
+         |  CAST(ax + offx AS BIGINT) AS cen_lon_nano,
+         |  CAST(ay + offy AS BIGINT) AS cen_lat_nano
+         |FROM f ORDER BY way_id""".stripMargin,
+
     "o21_polygon_areas" ->
       s"""WITH nodes AS (SELECT id AS node_id,
          |    CAST(lat * 10000000 AS BIGINT) AS lat_nano,

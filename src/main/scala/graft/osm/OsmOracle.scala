@@ -186,6 +186,9 @@ object OsmOracle {
   def polygonAreas(spark: SparkSession, sfDir: String): DataFrame =
     OsmQueries.polygonAreas(OsmFixture.planet(spark))
 
+  def polygonCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.polygonCentroids(OsmFixture.planet(spark))
+
   /** PBF-converted tag-usage-by-month (the o04 form over
     * [[pbfHistory]]): tags-map (keys_vals string-table runs) and
     * timestamp (DenseInfo delta + date granularity) decode parity —

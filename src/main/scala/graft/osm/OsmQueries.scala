@@ -253,6 +253,82 @@ object OsmQueries {
       .orderBy(col("way_id"))
   }
 
+  /** Closed-way polygon centroid (o22) — o21's companion: the exact
+    * RATIONAL centroid of each closed ring as integer shoelace-weighted
+    * sums. With coordinates anchored at the ring's first vertex (the
+    * o21 translation-invariance trick), Cx − anchor_x =
+    * Σ(cx_i + cx_{i+1})·cr_i / (3·area2) where cr_i is the per-edge
+    * cross term — so the frame carries (anchor, cx_num, cy_num, area2)
+    * and the centroid is exactly anchor + num/(3·area2), divisions
+    * deferred to the caller (emitting a floor-divided coordinate would
+    * trip the truncate-vs-floor trap on negative numerators; the
+    * rational IS the exact answer).
+    *
+    * Overflow + division discipline: a numerator term is
+    * (≤2·extent)·(≤extent²) in anchored nanodegrees — the fixture's
+    * degree-wide rings push the summed numerator past int64 — so
+    * products sum in DECIMAL(38) (HUGEINT on the oracle side). The
+    * final division emits the centroid FLOORED to whole nanodegrees
+    * (±0.1 mm — the coordinate grid itself) through the m22 shift
+    * trick: with den = 3·|area2| and the numerator sign-folded,
+    * (num + SHIFT·den) div den − SHIFT divides a POSITIVE value, where
+    * truncation and floor agree on every engine — the
+    * truncate-vs-floor trap on negative numerators never opens. The
+    * quotient (≤ SHIFT + 1.8e9) casts back to BIGINT exactly.
+    *
+    * Scale shape: o21's exactly — one per-way window pass over the
+    * exploded nd list, then a map-combinable aggregate; ways
+    * hash-partition and window population is per-way vertex count.
+    */
+  def polygonCentroids(planet: DataFrame): DataFrame = {
+    val nodes = planet.filter(col("type") === "node")
+      .select(col("id").as("node_id"),
+        (col("lat") * lit(10000000)).cast("long").as("lat_nano"),
+        (col("lon") * lit(10000000)).cast("long").as("lon_nano"))
+    val ways = planet.filter(col("type") === "way")
+      .select(col("id").as("way_id"), posexplode(col("nds")).as(Seq("pos", "nd")))
+      .select(col("way_id"), (col("pos") + 1).as("idx"), col("nd.ref").as("ref"))
+    val closed = ways.groupBy(col("way_id"))
+      .agg(max(col("idx")).as("n"),
+        max(when(col("idx") === 1, col("ref"))).as("first_ref"),
+        expr("max_by(ref, idx)").as("last_ref"))
+      .filter(col("n") >= 4 && col("first_ref") === col("last_ref"))
+      .select(col("way_id"))
+    val w = Window.partitionBy(col("way_id")).orderBy(col("idx"))
+    val centered = ways.join(closed, "way_id")
+      .join(nodes, col("ref") === col("node_id"))
+      .withColumn("ax", first(col("lon_nano")).over(w))
+      .withColumn("ay", first(col("lat_nano")).over(w))
+      .withColumn("cx", col("lon_nano") - col("ax"))
+      .withColumn("cy", col("lat_nano") - col("ay"))
+    val cross = centered
+      .withColumn("pcx", lag(col("cx"), 1).over(w))
+      .withColumn("pcy", lag(col("cy"), 1).over(w))
+      .withColumn("cr",
+        (col("pcx") * col("cy") - col("cx") * col("pcy")).cast("decimal(25,0)"))
+    val agg = cross.groupBy(col("way_id"))
+      .agg(count(lit(1)).as("n_pts"),
+        max(col("ax")).as("ax"),
+        max(col("ay")).as("ay"),
+        sum(col("cr")).as("area2d"),
+        sum(((col("pcx") + col("cx")).cast("decimal(12,0)") * col("cr")))
+          .as("cx_num"),
+        sum(((col("pcy") + col("cy")).cast("decimal(12,0)") * col("cr")))
+          .as("cy_num"))
+      .filter(col("area2d") =!= 0) // degenerate rings have no centroid
+    // floor-divide in decimal space: den > 0, numerator shifted positive
+    val shift = 2000000000L // 200 degrees in nano — exceeds any offset
+    def floored(num: String): Column = expr(
+      s"""CAST((CASE WHEN area2d < 0 THEN -$num ELSE $num END +
+         |  CAST($shift AS DECIMAL(38,0)) * (3 * abs(area2d)))
+         |  div (3 * abs(area2d)) AS BIGINT) - $shift""".stripMargin)
+    agg.select(col("way_id"), col("n_pts"),
+        col("area2d").cast("long").as("area2"),
+        (col("ax") + floored("cx_num")).as("cen_lon_nano"),
+        (col("ay") + floored("cy_num")).as("cen_lat_nano"))
+      .orderBy(col("way_id"))
+  }
+
   /** README.md:158-159 (recommended window form) — per-element tag-value
     * transitions across versions for one key: value, previous value.
     */

@@ -3,6 +3,7 @@ package graft.osm
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -187,6 +188,68 @@ class OsmQueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(20L) shouldBe ((5L, 2000000L, "CCW"))
     out(21L) shouldBe ((5L, 2000000L, "CW"))
     out(22L) shouldBe ((5L, 0L, "degenerate"))
+  }
+
+  test("polygonCentroids: known square plus a brute-force double " +
+    "cross-check over the committed fixture") {
+    // the o21 square again: the centroid of a square is its center,
+    // which floors to (anchor + 500, anchor + 500) nanodegrees
+    val planet = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        planetRow(1, "node", Map(), "10.0000000", "20.0000000", Nil, 1, true),
+        planetRow(2, "node", Map(), "10.0000000", "20.0001000", Nil, 1, true),
+        planetRow(3, "node", Map(), "10.0001000", "20.0001000", Nil, 1, true),
+        planetRow(4, "node", Map(), "10.0001000", "20.0000000", Nil, 1, true),
+        planetRow(20, "way", Map(), null, null, Seq(1, 2, 3, 4, 1), 1, true),
+        planetRow(21, "way", Map(), null, null, Seq(1, 4, 3, 2, 1), 1, true),
+        // degenerate out-and-back: excluded (no centroid)
+        planetRow(22, "way", Map(), null, null, Seq(1, 2, 1, 2, 1), 1, true))),
+      OsmSchemas.Planet)
+    val out = OsmQueries.polygonCentroids(planet).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    out.keySet shouldBe Set(20L, 21L) // both windings; degenerate dropped
+    out(20L) shouldBe ((200000500L, 100000500L))
+    out(21L) shouldBe ((200000500L, 100000500L))
+
+    // fixture-wide: the floored integer centroid must sit within one
+    // nanodegree of an independent double-arithmetic recompute
+    val fx = OsmFixture.planet(spark)
+    val nodeRows = fx.filter(col("type") === "node")
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+      .select(col("id"), col("lat").cast("double"), col("lon").cast("double"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2))))
+    // restrict the double cross-check to cleanly-resolvable ways:
+    // every ref present exactly once (the exact gate covers the rest)
+    val multi = nodeRows.groupBy(_._1).filter(_._2.length > 1).keySet
+    val nodes = nodeRows.toMap
+    val ways = fx.filter(col("type") === "way")
+      .select(col("id"), col("nds.ref")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .filter { case (_, refs) =>
+        refs.forall(rf => nodes.contains(rf) && !multi.contains(rf))
+      }
+    val got = OsmQueries.polygonCentroids(OsmFixture.planet(spark)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    got should not be empty
+    ways.map(_._1).count(got.contains) should be > 0
+    for ((wid, refs) <- ways if got.contains(wid)) {
+      val pts = refs.map(nodes)
+      val xs = pts.map(_._2 * 1e7)
+      val ys = pts.map(_._1 * 1e7)
+      var a2 = 0.0; var cx6 = 0.0; var cy6 = 0.0
+      for (i <- 1 until pts.length) {
+        val cr = xs(i - 1) * ys(i) - xs(i) * ys(i - 1)
+        a2 += cr
+        cx6 += (xs(i - 1) + xs(i)) * cr
+        cy6 += (ys(i - 1) + ys(i)) * cr
+      }
+      val (n, gx, gy) = got(wid)
+      withClue(s"way $wid: ") {
+        n shouldBe pts.length.toLong
+        math.abs(gx - cx6 / (3 * a2)) should be <= 1.5
+        math.abs(gy - cy6 / (3 * a2)) should be <= 1.5
+      }
+    }
   }
 
   test("changeset helpers: comment filter, editor LIKE, bbox intersect") {
