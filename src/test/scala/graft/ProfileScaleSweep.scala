@@ -261,6 +261,21 @@ object ProfileScaleSweep {
         spark.read.parquet(s"$dir/documents.parquet")
           .select(expr("substring(text, length(text) - 11, 12)").as("s")),
         2, graft.operators.Sizing.MaxPairKeyPopulation))
+      // round-11 continuation: s29 BFS rides the sized-k s16 edges
+      // (fixed cell population); each of the 4 fixed hops is one
+      // edge-list equi-join + a map-combinable min — linear per round,
+      // round count a constant
+      time("bfs_hops_sizedk")(
+        Similarity.bfsHops(spark, dir, k = 8 * mult))
+      // t33 WordPiece: vocab learning aggregates the DISTINCT word
+      // set (sublinear in docs — replicas share words), the greedy
+      // loop's state is one row per distinct word and shrinks per
+      // round; growth should track distinct words like bpe_learn10
+      time("wordpiece")(TextAnalysis.wordPieceEncode(spark, dir))
+      // m24 autocorrelation: map-only decode to sample rows, ONE
+      // equi-join on (doc, idx+lag) after a 4-row lag broadcast —
+      // per-doc work is samples x lags, linear in docs
+      time("autocorr")(Multimodal.autocorrGate(spark, dir))
       // d25 edit-join is NOT swept over replicas: its shipped blocking
       // (shared n-gram + length band) targets value-deduplicated
       // attribute domains (names/titles, 10^3..10^5 distinct) where
