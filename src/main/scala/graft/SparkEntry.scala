@@ -72,6 +72,9 @@ object SparkEntry {
     "q55_join_skew" -> ((s: SparkSession, d: String) =>
       Relational.joinSkewAdvisor(s, d)),
     "q56_ks_drift" -> (Relational.ksDrift _),
+    "q57_transitions" -> (Relational.eventTransitions _),
+    "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
+      Sampling.temperatureMix(s, d)),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallCurve(s, d)),
     "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
@@ -1779,6 +1782,44 @@ object SparkEntry {
         |SELECT rn, user_id, n_left, n_right, fanout, total_fanout,
         |  CAST(fanout * 1000000 // total_fanout AS BIGINT) AS share_ppm
         |FROM top, tot WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // q57: next-event transition matrix — lag window per user,
+    // row-conditional floor-ppm probabilities
+    "q57_transitions" ->
+      """WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type, event_type AS next_type
+        |    FROM events),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n, t.row_n,
+        |  c.n * 1000000 // t.row_n AS p_ppm
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
+
+    // p19: T=2 temperature mixture — exact isqrt (float floor + the
+    // two-comparison correction) and largest-remainder allocation
+    "p19_temperature_mix" ->
+      s"""WITH n AS (SELECT lang, CAST(sum(len($Toks)) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang),
+         |s AS (SELECT lang, tokens,
+         |    CAST(floor(sqrt(tokens)) AS BIGINT) AS s0 FROM n),
+         |iw AS (SELECT lang, tokens,
+         |    s0 - (CASE WHEN s0 * s0 > tokens THEN 1 ELSE 0 END)
+         |       + (CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN 1 ELSE 0 END)
+         |      AS w FROM s),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM iw),
+         |base AS (SELECT lang, tokens, w,
+         |    CAST(100000 * w // tw AS BIGINT) AS alloc0,
+         |    CAST(100000 * w % tw AS BIGINT) AS rem
+         |  FROM iw, tw),
+         |lo AS (SELECT CAST(100000 - sum(alloc0) AS BIGINT) AS r FROM base),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+         |       FROM base)
+         |SELECT lang, tokens, w, alloc0, rem,
+         |  CAST(alloc0 + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM rk, lo ORDER BY lang""".stripMargin,
 
     // q56: exact KS — RANGE-frame CDF counts (ties complete), the
     // sup cross-multiplied to one integer, floor-ppm report

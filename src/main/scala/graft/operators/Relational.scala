@@ -1620,6 +1620,38 @@ object Relational {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Per-user event-type transition matrix (q57) — the Markov-chain
+    * summary a next-event-prediction dataset builder runs: for every
+    * consecutive (prev_type → type) pair within a user's event-time
+    * order, the count and the row-conditional probability in exact
+    * floor ppm (n·10^6 div Σ_row n). First events have no
+    * predecessor and don't transition; the ppm rows sum to ≤ 10^6
+    * per prev_type with the deficit = floor loss, never rounding-up
+    * drift.
+    *
+    * Scale shape: one per-user window (hash-partition by user,
+    * population = per-user event count) feeding a map-combinable
+    * (prev, next) count; the per-prev totals frame is |types| rows,
+    * broadcast back.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // cached: both the per-prev totals and the join read this frame
+    val pairs = graft.Caches.track(Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .select($"prev_type", $"event_type".as("next_type"))
+      .groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n")))
+    val totals = pairs.groupBy($"prev_type").agg(sum($"n").as("row_n"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select($"prev_type", $"next_type", $"n", $"row_n",
+        expr("n * 1000000L div row_n").as("p_ppm"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
   def joinSkewAdvisor(spark: SparkSession, sfDir: String,
       topK: Int = 10): DataFrame = {
     import spark.implicits._

@@ -767,4 +767,49 @@ object Sampling {
         $"budget", $"leftover")
       .orderBy($"lang")
   }
+
+  /** Temperature-scaled mixture allocation (p19) — the T=2 sampling
+    * standard for multilingual pretraining (probability ∝ n^(1/T);
+    * mBERT/XLM-R use T≈2, i.e. ∝ √n — p18's UNIMAX is the T→∞
+    * endpoint, p04's √-weights the normalized-float form). This is
+    * the INTEGER-EXACT version: weights are exact integer square
+    * roots — floor(sqrt(n)) from IEEE sqrt CORRECTED by one
+    * comparison step each way (s ← s − [s² > n] + [(s+1)² ≤ n]),
+    * which repairs any float boundary error, so the weight is the
+    * true isqrt on every engine — and the `budget` splits by the
+    * LARGEST-REMAINDER method: alloc₀ = ⌊B·w/W⌋, then the R = B − Σ
+    * leftover units go to the R largest remainders (B·w mod W, ties
+    * by lang) — Σalloc = B exactly, no float shares to reconcile.
+    *
+    * Scale shape: everything after the per-language token aggregate
+    * runs on a |languages|-row frame (p04's tiny-key-space bound);
+    * the remainder-rank window and the two scalar sums see one row
+    * per language.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String,
+      budget: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    require(budget >= 1, s"budget must be positive: $budget")
+    val byLang = Tables.documents(spark, sfDir)
+      .select($"lang", Text.tokenCount($"text").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("tokens"))
+      // exact integer sqrt: float floor, then the correction step
+      .withColumn("s0", expr("CAST(floor(sqrt(tokens)) AS BIGINT)"))
+      .withColumn("w", expr(
+        """s0 - (CASE WHEN s0 * s0 > tokens THEN 1 ELSE 0 END)
+          |   + (CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN 1 ELSE 0 END)
+          |""".stripMargin.replace("\n", " ")))
+      .drop("s0")
+    val tot = byLang.agg(sum($"w").as("tw"))
+    val base = byLang.crossJoin(broadcast(tot))
+      .withColumn("alloc0", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val leftover = base.agg((lit(budget) - sum($"alloc0")).as("r"))
+    val wRank = Window.orderBy($"rem".desc, $"lang")
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRank))
+      .select($"lang", $"tokens", $"w", $"alloc0", $"rem",
+        ($"alloc0" + when($"rk" <= $"r", 1L).otherwise(0L)).as("alloc"))
+      .orderBy($"lang")
+  }
 }

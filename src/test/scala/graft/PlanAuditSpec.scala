@@ -155,6 +155,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // exchange has HashAggregate(partial_sum(cents), partial_count(1))
     // as its direct child — one row per task into the 1-row broadcast
     // mu frame (verified by plan dump this round).
+    // p19 — every SinglePartition exchange sits on the per-LANGUAGE
+    // aggregate frame (one row per language, p04/p18's tiny-key-space
+    // bound): the remainder-rank window's input is that frame after
+    // two 1-row broadcast joins, and the three scalar sums (tw,
+    // Σalloc0) are q14-shape partial-sum-per-task finalizations whose
+    // child projects the |langs|-row frame (verified by plan dump
+    // this round).
     // q55 — the total-fanout scalar: the plan's one SinglePartition
     // exchange has HashAggregate(partial_sum(fanout)) as its direct
     // child — ONE partial-sum row per task into the 1-row broadcast
@@ -168,7 +175,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "q39_table_profile", "q40_fk_audit", "q45_funnel",
       "t27_pmi_colloc", "p16_curriculum", "q47_equidepth_hist",
       "t29_trigram_backoff", "p17_interleave", "p18_unimax",
-      "t32_vocab_growth", "q50_cusum", "q55_join_skew")
+      "t32_vocab_growth", "q50_cusum", "q55_join_skew",
+      "p19_temperature_mix")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

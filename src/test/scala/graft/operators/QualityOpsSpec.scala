@@ -618,6 +618,36 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.head._7 should be > (1000000L / fan.length)
   }
 
+  test("q57: transition matrix matches a sequential per-user replay") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans: Seq[(String, String)] = evs.groupBy(_._1).toSeq
+      .flatMap { case (_, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+        if (ordered.length < 2) Seq.empty[(String, String)]
+        else ordered.zip(ordered.tail)
+      }
+    val cnt = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rowN = cnt.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val expect = cnt.toSeq.map { case ((p, nx), n) =>
+      (p, nx, n, rowN(p), n * 1000000L / rowN(p))
+    }.sortBy(r => (r._1, r._2))
+    val got = Relational.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe expect
+    // ppm rows under-sum by at most |row| floor losses, never over
+    for ((p, rows) <- got.groupBy(_._1)) withClue(s"prev $p: ") {
+      val s = rows.map(_._5).sum
+      s should be <= 1000000L
+      s should be > 1000000L - rows.length
+    }
+  }
+
   test("q56: KS distances match a sequential two-sample recompute with ties") {
     import spark.implicits._
     val evs = graft.Tables.events(spark, sf)

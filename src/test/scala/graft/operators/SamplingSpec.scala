@@ -486,4 +486,49 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     tight.values.sum should be < got.map(_._3).sum
     counts.foreach { case (l, _) => tight(l) should be <= expAlloc(l) }
   }
+
+  test("p19: temperature allocation matches a sequential largest-remainder " +
+      "replay; the budget splits exactly; isqrt is exact at square edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def isqrt(n: Long): Long = {
+      var s = math.floor(math.sqrt(n.toDouble)).toLong
+      if (s * s > n) s -= 1
+      if ((s + 1) * (s + 1) <= n) s += 1
+      s
+    }
+    val tokens = graft.Tables.documents(spark, sf)
+      .select($"lang", graft.functions.Text.tokenCount($"text").as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).map { case (l, r) => l -> r.map(_._2).sum }
+    val budget = 100000L
+    val w = tokens.map { case (l, n) => l -> isqrt(n) }
+    val tw = w.values.sum
+    val alloc0 = w.map { case (l, v) => l -> budget * v / tw }
+    val rem = w.map { case (l, v) => l -> budget * v % tw }
+    val r = budget - alloc0.values.sum
+    val winners = rem.toSeq.sortBy { case (l, m) => (-m, l) }
+      .take(r.toInt).map(_._1).toSet
+    val expect = tokens.keys.toSeq.sorted.map { l =>
+      (l, tokens(l), w(l), alloc0(l), rem(l),
+        alloc0(l) + (if (winners(l)) 1L else 0L))
+    }
+    val got = Sampling.temperatureMix(spark, sf).collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2),
+        r0.getLong(3), r0.getLong(4), r0.getLong(5))).toSeq
+    got shouldBe expect
+    // the split is exact: Σalloc == budget, no float reconciliation
+    got.map(_._6).sum shouldBe budget
+    // at T=2, shares compress vs proportional: the biggest language's
+    // allocation share is SMALLER than its token share
+    val top = got.maxBy(_._2)
+    top._6 * tokens.values.sum should be < top._2 * budget
+    // the isqrt correction is live at perfect-square boundaries
+    isqrt(0L) shouldBe 0L
+    isqrt(1L) shouldBe 1L
+    isqrt(3L) shouldBe 1L
+    isqrt(4L) shouldBe 2L
+    isqrt((1L << 40) - 1) shouldBe (1L << 20) - 1
+    isqrt(1L << 40) shouldBe (1L << 20)
+  }
 }
