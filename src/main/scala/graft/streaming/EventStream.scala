@@ -649,6 +649,56 @@ object EventStream {
       }
   }
 
+  /** Per-user last-event carry for [[transitionStream]]: the (us,
+    * event_id) key of the newest event seen plus its type — three
+    * fields per user, unconditionally bounded.
+    */
+  case class LastEvent(us: Long, event_id: Long, tpe: String)
+
+  /** One observed transition (append semantics — each consecutive
+    * pair emits exactly once).
+    */
+  case class Transition(prev_type: String, next_type: String)
+
+  /** Streaming event-transition counts — [[graft.operators.Relational
+    * .eventTransitions]]'s ingest-time twin: per user, each arriving
+    * event pairs with the last event seen (the lag-window's job,
+    * carried as three fields of state), the pair rows APPEND out of
+    * flatMapGroupsWithState, and a downstream streaming count keyed
+    * (prev_type, next_type) maintains the matrix incrementally. The
+    * q57 ppm column re-derives from the counts at read time (a ratio
+    * is not a streamable monoid; the counts are).
+    *
+    * Order contract (the cusumStream trade): within a micro-batch,
+    * events sort by event time; across batches the source must
+    * deliver each user's events in order — a transition is
+    * order-DEFINED, there is no order-free spelling.
+    */
+  def transitionStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[LastEvent]) =>
+          val sorted = it.toSeq.sortBy(e => (e._3, e._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = state.getOption.orNull
+          for ((_, eid, us, tpe) <- sorted) {
+            if (last != null) out += Transition(last.tpe, tpe)
+            last = LastEvent(us, eid, tpe)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-user CUSUM carry: event count, current statistic, running
     * max, first alarm index (-1 = none yet).
     */

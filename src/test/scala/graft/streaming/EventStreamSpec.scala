@@ -794,6 +794,36 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition counts match the q57 batch matrix across " +
+      "an arrival split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.transitionStream(mem.toDF())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("complete").start()
+    try {
+      // time-ordered arrival split: per-user order preserved, and the
+      // SPLIT-SPANNING transitions (last event of batch 1 -> first of
+      // batch 2 per user) must come from state, not the batch
+      mem.addData(evs.take(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("trans").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val batch = graft.operators.Relational.eventTransitions(spark, sf)
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      batch should not be empty
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("streaming CUSUM matches the q50 batch chart across an arrival " +
     "split (one-definition rule: recursion here, window identity there)") {
     implicit val sqlCtx = spark.sqlContext
