@@ -73,6 +73,8 @@ object SparkEntry {
       Relational.joinSkewAdvisor(s, d)),
     "q56_ks_drift" -> (Relational.ksDrift _),
     "q57_transitions" -> (Relational.eventTransitions _),
+    "q58_multi_touch" -> ((s: SparkSession, d: String) =>
+      Relational.multiTouchAttribution(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
       Sampling.temperatureMix(s, d)),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
@@ -1782,6 +1784,29 @@ object SparkEntry {
         |SELECT rn, user_id, n_left, n_right, fanout, total_fanout,
         |  CAST(fanout * 1000000 // total_fanout AS BIGINT) AS share_ppm
         |FROM top, tot WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // q58: multi-touch attribution — q35's join, then exact ppm split
+    // with the first-touch largest-remainder bonus
+    "q58_multi_touch" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id,
+        |            epoch_ns(ts) // 1000 AS a_us
+        |          FROM events WHERE event_type = 'view'),
+        |b AS (SELECT event_id AS b_id, user_id,
+        |        epoch_ns(ts) // 1000 AS b_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a_id, b_id, a_us
+        |      FROM a JOIN b ON a.user_id = b.user_id
+        |       AND b_us >= a_us AND b_us <= a_us + CAST(720 AS BIGINT) * 60 * 1000000),
+        |wk AS (SELECT user_id, b_id AS purchase_id, a_id AS view_id,
+        |    CAST(count(*) OVER (PARTITION BY b_id) AS BIGINT) AS k_touches,
+        |    CAST(row_number() OVER (PARTITION BY b_id ORDER BY a_us, a_id)
+        |      AS BIGINT) AS rk
+        |  FROM j)
+        |SELECT user_id, purchase_id, view_id, k_touches,
+        |  CAST(1000000 // k_touches
+        |    + CASE WHEN rk <= 1000000 % k_touches THEN 1 ELSE 0 END
+        |    AS BIGINT) AS share_ppm
+        |FROM wk ORDER BY purchase_id, view_id""".stripMargin,
 
     // q57: next-event transition matrix — lag window per user,
     // row-conditional floor-ppm probabilities

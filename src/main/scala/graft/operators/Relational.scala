@@ -1652,6 +1652,40 @@ object Relational {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** Multi-touch attribution (q58) — q35's last-touch complement:
+    * every purchase's credit splits across ALL views in its trailing
+    * window, in exact ppm — share = 10^6 div k, and the 10^6 mod k
+    * remainder units go one each to the EARLIEST touches ((ts,
+    * event_id) ascending — the deterministic "first-touch bonus"
+    * form of largest-remainder), so Σshare per purchase is exactly
+    * 10^6 with no float reconciliation (the p19 discipline on an
+    * attribution ledger). Reuses [[graft.streaming.EventStream
+    * .intervalJoinStream]]'s join verbatim (one definition; its plan
+    * is already gated through q35 and runs unchanged in batch).
+    *
+    * Scale shape: the interval join partitions by user with
+    * rate×window bounded fan-out (q35's bound); both windows share
+    * ONE per-purchase partitioning whose population is the touch
+    * count.
+    */
+  def multiTouchAttribution(spark: SparkSession, sfDir: String,
+      maxDelayMin: Int = 720): DataFrame = {
+    import spark.implicits._
+    val joined = graft.streaming.EventStream.intervalJoinStream(
+      Tables.events(spark, sfDir), maxDelayMin = maxDelayMin)
+    val w = Window.partitionBy($"b_id")
+    val wRank = w.orderBy($"a_ts", $"a_id")
+    joined
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(wRank))
+      .select($"user_id", $"b_id".as("purchase_id"), $"a_id".as("view_id"),
+        $"k".as("k_touches"),
+        (expr("1000000L div k") +
+          when($"rk" <= expr("1000000L % k"), 1L).otherwise(0L))
+          .as("share_ppm"))
+      .orderBy($"purchase_id", $"view_id")
+  }
+
   def joinSkewAdvisor(spark: SparkSession, sfDir: String,
       topK: Int = 10): DataFrame = {
     import spark.implicits._

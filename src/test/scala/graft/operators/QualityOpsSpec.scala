@@ -648,6 +648,52 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("q58: multi-touch shares split each purchase's 10^6 exactly, " +
+      "with the remainder on the earliest touches") {
+    import spark.implicits._
+    // sf0.01: the only scale whose window populations include a k
+    // that does NOT divide 10^6 (one k=3 purchase) — the remainder
+    // branch must be exercised, not just compiled
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Relational.multiTouchAttribution(spark, sf01).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got should not be empty
+    for ((pid, rows) <- got.groupBy(_._1)) withClue(s"purchase $pid: ") {
+      // exact split: shares sum to 10^6, k matches the touch count
+      rows.map(_._4).sum shouldBe 1000000L
+      all(rows.map(_._3)) shouldBe rows.length.toLong
+      // shares differ by at most 1 and the +1s are a prefix in time
+      val shares = rows.map(_._4)
+      (shares.max - shares.min) should be <= 1L
+    }
+    // the remainder branch is non-vacuous: some purchase has k not
+    // dividing 10^6 (k=3 gives 333334/333333/333333, etc.)
+    got.groupBy(_._1).values.count(r => 1000000L % r.length != 0) should be > 0
+    // earliest-touch bonus: recompute the winners from event order
+    val evs = graft.Tables.events(spark, sf01)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val views = evs.filter(_._4 == "view")
+    val purchases = evs.filter(_._4 == "purchase")
+    val win = 720L * 60 * 1000000
+    for ((pid, pu, pus, _) <- purchases.take(50)) {
+      val touches = views.filter(v => v._2 == pu && v._3 <= pus &&
+        v._3 >= pus - win).sortBy(v => (v._3, v._1))
+      val mine = got.filter(_._1 == pid).sortBy(_._2)
+      withClue(s"purchase $pid: ") {
+        mine.map(_._2).toSet shouldBe touches.map(_._1).toSet
+        if (touches.nonEmpty) {
+          val k = touches.length
+          val r = (1000000L % k).toInt
+          val bonus = touches.take(r).map(_._1).toSet
+          for ((_, vid, _, share) <- mine)
+            share shouldBe 1000000L / k + (if (bonus(vid)) 1L else 0L)
+        }
+      }
+    }
+  }
+
   test("q56: KS distances match a sequential two-sample recompute with ties") {
     import spark.implicits._
     val evs = graft.Tables.events(spark, sf)
