@@ -154,6 +154,8 @@ object SparkEntry {
     "s29_bfs_hops" -> ((s: SparkSession, d: String) =>
       Similarity.bfsHops(s, d)),
     "s30_ann_mrr" -> (Similarity.annMrr _),
+    "s31_ivf_refresh" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfRefresh(s, d)),
     "s28_ivf_recall_curve" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRecallCurve(s, d)),
     // —— extensions: text analysis ——
@@ -3140,7 +3142,61 @@ object SparkEntry {
     // generated as a CTE chain; dangling mass leaks identically
     "s21_pagerank" -> pageRankSql(prIters = 3),
 
-    // s29: BFS as a generated fixed-round CTE chain over the same
+    // s31: incremental IVF refresh — quantizer trained on the BASE
+    // slice only (ivfCtes), new batch assigned under the frozen book,
+    // search over the merged cells with the freshness flag
+    "s31_ivf_refresh" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0 OR vec_id % 20 = 10")},
+         |${ivfCtes(8, 2)},
+         |ap AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq
+         |      FROM e WHERE vec_id % 20 = 0 OR vec_id % 20 = 10),
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |da AS (
+         |  SELECT ap.vec_id, c.cluster,
+         |    CAST(sum((ap.xq - c.cq) * (ap.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM ap JOIN c2 c ON ap.pos = c.pos GROUP BY 1, 2
+         |),
+         |cells AS (
+         |  SELECT vec_id, cluster AS cell FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM da) r WHERE rn = 1
+         |),
+         |dq AS (
+         |  SELECT qp.vec_id, c.cluster,
+         |    CAST(sum((qp.xq - c.cq) * (qp.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM qp JOIN c2 c ON qp.pos = c.pos GROUP BY 1, 2
+         |),
+         |probes AS (
+         |  SELECT vec_id AS qid, cluster AS cell FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM dq) r WHERE rn <= 4
+         |),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND (c.vec_id % 20 = 0 OR c.vec_id % 20 = 10)
+         |    AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT d.qid, d.cand, cl.cell, d.cand % 20 = 10 AS is_new,
+         |    round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d
+         |  JOIN cells cl ON d.cand = cl.vec_id
+         |  JOIN probes pr ON pr.qid = d.qid AND pr.cell = cl.cell
+         |  JOIN n nq ON d.qid = nq.vec_id JOIN n nc ON d.cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, cell, is_new, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cand, cell, is_new, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // s29: BFS as a generated fixed-round CTE chain    // s29: BFS as a generated fixed-round CTE chain over the same
     // literal kNN edges — the min with the settled set makes fixed
     // rounds ≡ true BFS truncated at `hops`
     "s29_bfs_hops" -> bfsSql(hops = 4, nSeeds = 2),

@@ -204,6 +204,64 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Incremental IVF index refresh (s31) — the freshness path every
+    * production vector index runs between retrains: a NEW batch of
+    * vectors (here the disjoint vec_id % 20 == 10 slice — freshly
+    * embedded documents) is assigned to the FROZEN coarse quantizer
+    * (one [[lloydAssign]] pass, no retraining) and search runs over
+    * the merged cell lists, so new vectors are searchable immediately
+    * and results carry `is_new` for freshness audits. The trade this
+    * operator makes explicit: a frozen quantizer drifts as the
+    * distribution shifts (cells imbalance — s16's sizing guard is the
+    * canary), which is why refresh and the periodic retrain are two
+    * different operators.
+    *
+    * Scale shape: the refresh itself is ONE broadcast-centroid argmin
+    * over the new batch (map-combinable, batch-sized — never rescans
+    * the base corpus); search is s03's probe plan over the unioned
+    * cell table. At 100 TB the base cells are a stored table and only
+    * the delta assigns — q43/q53's incremental discipline, on an
+    * index.
+    */
+  def annIvfRefresh(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, nProbe: Int = 4, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 20 === 0)
+    val fresh = emb.filter($"vec_id" % 20 === 10)
+    val basePts = graft.Caches.track(gridPoints(base))
+    val seedCent = basePts.filter($"vec_id" < 20L * k)
+      .select(($"vec_id" / 20).cast("int").as("cluster"), $"pos", $"xq".as("cq"))
+    var cent = lloydAverage(basePts, lloydAssign(basePts, seedCent))
+    for (_ <- 2 to iters) cent = lloydAverage(basePts, lloydAssign(basePts, cent))
+    cent = graft.Caches.track(cent)
+    // the refresh: base AND new batch assigned under the frozen book
+    val allPts = graft.Caches.track(gridPoints(base.unionByName(fresh)))
+    val cells = lloydAssign(allPts, cent)
+      .select($"vec_id", $"cluster".as("cell"))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
+    val probes = gridPoints(emb.filter($"vec_id" < 8))
+      .join(broadcast(cent), "pos")
+      .groupBy($"vec_id", $"cluster")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
+      .select($"vec_id".as("qid"), $"cluster".as("cell"))
+    val q = probes.join(
+      withNorm(emb.filter($"vec_id" < 8))
+        .select($"vec_id".as("qid"), $"embedding".as("q_emb"), $"nrm".as("q_nrm")),
+      "qid")
+    val scored = withNorm(base.unionByName(fresh)).join(cells, "vec_id")
+      .join(broadcast(q), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand"), $"cell",
+        ($"vec_id" % 20 === 10).as("is_new"),
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= topK)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Full-corpus k-means clustering — the domain/topic partitioning a
     * curation pipeline runs before cluster-aware selection (the
     * SemDeDup paper clusters the corpus first for exactly this reason;

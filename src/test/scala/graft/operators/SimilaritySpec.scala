@@ -677,6 +677,27 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     got.count(_.getLong(3) == 0) should be > 0
   }
 
+  test("s31: refresh makes new vectors searchable and can only improve " +
+      "per-rank scores vs the stale index") {
+    val merged = Similarity.annIvfRefresh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3),
+        r.getDouble(4), r.getInt(5)))
+    merged should not be empty
+    // freshness is live: some result row IS a new-batch vector
+    merged.count(_._3) should be > 0
+    // and the flag is truthful
+    for ((_, cand, isNew, _, _) <- merged)
+      isNew shouldBe (cand % 20 == 10)
+    // vs the stale (base-only) index: at every (query, rank), the
+    // merged index's cosine is >= the stale one's — extra candidates
+    // can only improve a top-k
+    val stale = Similarity.annIvf(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(r.fieldIndex("rnk"))),
+        r.getDouble(r.fieldIndex("cos")))).toMap
+    for ((qid, _, _, cos, rnk) <- merged; sc <- stale.get((qid, rnk)))
+      withClue(s"query $qid rank $rnk: ") { cos should be >= sc }
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
