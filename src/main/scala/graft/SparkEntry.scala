@@ -77,6 +77,8 @@ object SparkEntry {
       Relational.multiTouchAttribution(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
       Sampling.temperatureMix(s, d)),
+    "p20_split_quota" -> ((s: SparkSession, d: String) =>
+      Sampling.splitQuota(s, d)),
     "d28_lsh_recall" -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallCurve(s, d)),
     "d29_embed_lsh_recall" -> ((s: SparkSession, d: String) =>
@@ -1824,6 +1826,43 @@ object SparkEntry {
         |  c.n * 1000000 // t.row_n AS p_ppm
         |FROM c JOIN t USING (prev_type)
         |ORDER BY c.prev_type, c.next_type""".stripMargin,
+
+    // p20: stratified 3-way split — seeded md5 ranks within language,
+    // exact 80/10/10 quotas by largest remainder ACROSS the splits
+    "p20_split_quota" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    md5('s0' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |st AS (
+        |  SELECT lang, n, s.split, s.ord, s.f,
+        |    CAST(n * s.f // 100 AS BIGINT) AS q0,
+        |    CAST(n * s.f % 100 AS BIGINT) AS rem
+        |  FROM n, (VALUES ('train', 1, 80), ('val', 2, 10),
+        |           ('test', 3, 10)) AS s(split, ord, f)),
+        |qt AS (
+        |  SELECT lang, split, ord,
+        |    q0 + CASE WHEN row_number() OVER (PARTITION BY lang
+        |        ORDER BY rem DESC, ord)
+        |      <= n - sum(q0) OVER (PARTITION BY lang) THEN 1 ELSE 0 END
+        |      AS quota
+        |  FROM st),
+        |qp AS (SELECT lang,
+        |    max(CASE WHEN split = 'train' THEN quota END) AS q_train,
+        |    max(CASE WHEN split = 'val' THEN quota END) AS q_val
+        |  FROM qt GROUP BY lang),
+        |asg AS (
+        |  SELECT d.lang,
+        |    CASE WHEN rnk <= q_train THEN 'train'
+        |         WHEN rnk <= q_train + q_val THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |      ORDER BY hkey, doc_id) AS rnk FROM d) d
+        |  JOIN qp ON d.lang = qp.lang),
+        |cnt AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+        |        FROM asg GROUP BY 1, 2)
+        |SELECT c.lang, c.split, c.n, q.quota
+        |FROM cnt c JOIN qt q ON c.lang = q.lang AND c.split = q.split
+        |ORDER BY c.lang, q.ord""".stripMargin,
 
     // p19: T=2 temperature mixture — exact isqrt (float floor + the
     // two-comparison correction) and largest-remainder allocation

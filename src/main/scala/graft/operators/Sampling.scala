@@ -786,6 +786,66 @@ object Sampling {
     * the remainder-rank window and the two scalar sums see one row
     * per language.
     */
+  /** Reproducible stratified 3-way split (p20) — train/val/test with
+    * EXACT per-language quotas: within each language documents rank
+    * by the seeded md5 key (new seed → new split, same seed → same
+    * split, no RNG state anywhere), and the 80/10/10 fractions
+    * convert to integer quotas by the p19 largest-remainder rule
+    * ACROSS THE THREE SPLITS of each language — q_train + q_val +
+    * q_test = n_lang exactly, remainder units to the largest
+    * remainders (ties by split order train < val < test). Rank ≤
+    * q_train → train, ≤ q_train+q_val → val, else test. The gate
+    * emits per-(lang, split) counts plus the quota they must equal —
+    * a miscounted boundary anywhere hash-mismatches.
+    *
+    * Scale shape: ONE per-language window (hash-partition by lang,
+    * population = per-language doc count) and a |langs|-row quota
+    * frame broadcast back. No global window, no RNG.
+    */
+  def splitQuota(spark: SparkSession, sfDir: String, seed: String = "s0",
+      fracTrain: Int = 80, fracVal: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(fracTrain >= 0 && fracVal >= 0 && fracTrain + fracVal <= 100,
+      s"fractions must fit in 100: $fracTrain/$fracVal")
+    val docs = graft.Caches.track(
+      Tables.documents(spark, sfDir)
+        .select($"lang", $"doc_id",
+          md5(concat(lit(seed), $"doc_id".cast("string")).cast("binary"))
+            .as("hkey")))
+    val fracs = Seq(("train", 1, fracTrain), ("val", 2, fracVal),
+      ("test", 3, 100 - fracTrain - fracVal))
+    // per-language integer quotas: floor shares + largest remainder
+    // across the three splits (|langs|×3 rows — driver-free, exact)
+    val n = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val staged = fracs.map { case (s, ord, f) =>
+      n.select($"lang", $"n", lit(s).as("split"), lit(ord).as("ord"),
+        expr(s"(n * $f) div 100").as("q0"), expr(s"(n * $f) % 100").as("rem"))
+    }.reduce(_ unionByName _)
+    val wRem = Window.partitionBy($"lang").orderBy($"rem".desc, $"ord")
+    val wLang = Window.partitionBy($"lang")
+    val quotas = staged
+      .withColumn("r", $"n" - sum($"q0").over(wLang))
+      .withColumn("rk", row_number().over(wRem))
+      .select($"lang", $"split", $"ord",
+        ($"q0" + when($"rk" <= $"r", 1L).otherwise(0L)).as("quota"))
+    val wRank = Window.partitionBy($"lang").orderBy($"hkey", $"doc_id")
+    val assigned = docs
+      .withColumn("rnk", row_number().over(wRank))
+      .join(broadcast(quotas.groupBy($"lang").pivot("split",
+          Seq("train", "val", "test")).sum("quota")),
+        Seq("lang"))
+      .withColumn("split",
+        when($"rnk" <= $"train", "train")
+          .when($"rnk" <= $"train" + $"val", "val")
+          .otherwise("test"))
+      .groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
+    assigned.join(quotas.select($"lang", $"split", $"ord", $"quota"),
+        Seq("lang", "split"))
+      .select($"lang", $"split", $"n", $"quota")
+      .orderBy($"lang", $"ord")
+      .select($"lang", $"split", $"n", $"quota")
+  }
+
   def temperatureMix(spark: SparkSession, sfDir: String,
       budget: Long = 100000L): DataFrame = {
     import spark.implicits._
