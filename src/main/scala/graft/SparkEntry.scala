@@ -75,6 +75,8 @@ object SparkEntry {
     "q57_transitions" -> (Relational.eventTransitions _),
     "q58_multi_touch" -> ((s: SparkSession, d: String) =>
       Relational.multiTouchAttribution(s, d)),
+    "q59_session_paths" -> ((s: SparkSession, d: String) =>
+      Relational.sessionPaths(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
       Sampling.temperatureMix(s, d)),
     "p20_split_quota" -> ((s: SparkSession, d: String) =>
@@ -1788,6 +1790,29 @@ object SparkEntry {
         |SELECT rn, user_id, n_left, n_right, fanout, total_fanout,
         |  CAST(fanout * 1000000 // total_fanout AS BIGINT) AS share_ppm
         |FROM top, tot WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // q59: top session paths — q27's gap sessions, ordered type
+    // strings, (count DESC, path) top-k
+    "q59_session_paths" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS ts_us,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+        |      OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w
+        |         > CAST(30 AS BIGINT) * 60 * 1000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |p AS (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY event_id) AS path
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM p GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+        |    AS INT) AS rk, path, n_sessions
+        |FROM c QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
 
     // q58: multi-touch attribution — q35's join, then exact ppm split
     // with the first-touch largest-remainder bonus

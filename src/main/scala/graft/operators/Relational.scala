@@ -1652,6 +1652,47 @@ object Relational {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** Session path mining (q59) — the product-analytics "top user
+    * journeys" table, and in pipeline terms the SEQUENCE-level
+    * aggregation behind behavioral dataset curation: q27's gap
+    * sessions (same 30-min definition, same per-user window), each
+    * session flattened to its ordered event-type path string
+    * ("view>click>purchase"), and the `topK` most frequent paths by
+    * (count DESC, path). The path build uses the B13 order-sensitive
+    * array_agg idiom (sort_array over (event_id, type) structs —
+    * collect_list alone is arrival-ordered and nondeterministic).
+    *
+    * Scale shape: the session window is q27's (per-user, population =
+    * per-user events); the path aggregate is one (user, session)
+    * groupBy with map-side partials; the path-count frame is
+    * distinct-path sized; top-k arrives via TakeOrdered (the q19
+    * bound).
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String,
+      topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val gapMicros = 30L * 60 * 1000000
+    val flagged = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+      .withColumn("new_session",
+        when(($"ts_us" - lag($"ts_us", 1).over(w)) > gapMicros ||
+          lag($"ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = flagged.groupBy($"user_id", $"session_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"event_id", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+    val counts = paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+    val top = counts.orderBy($"n_sessions".desc, $"path").limit(topK)
+    val wRank = Window.orderBy($"n_sessions".desc, $"path")
+    top.withColumn("rk", row_number().over(wRank).cast("int"))
+      .select($"rk", $"path", $"n_sessions")
+      .orderBy($"rk")
+  }
+
   /** Multi-touch attribution (q58) — q35's last-touch complement:
     * every purchase's credit splits across ALL views in its trailing
     * window, in exact ppm — share = 10^6 div k, and the 10^6 mod k

@@ -694,6 +694,41 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("q59: top session paths match a sequential sessionize-and-count " +
+      "replay") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gap = 30L * 60 * 1000000
+    val paths = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // q27's definition: sessions break on ts gaps in EVENT-ID order
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      var lastTs = Long.MinValue
+      for ((_, _, t, us) <- ordered) {
+        if (cur.isEmpty || us - lastTs > gap) {
+          if (cur.nonEmpty) out += cur.reverse
+          cur = List(t)
+        } else cur = t :: cur
+        lastTs = us
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out
+    }
+    val counts = paths.map(_.mkString(">")).groupBy(identity)
+      .map { case (p, o) => p -> o.size.toLong }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1, p, n) }
+    val got = Relational.sessionPaths(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    got shouldBe expect
+    // paths are genuinely multi-event: some top path has a '>'
+    got.map(_._2).count(_.contains(">")) should be > 0
+  }
+
   test("q56: KS distances match a sequential two-sample recompute with ties") {
     import spark.implicits._
     val evs = graft.Tables.events(spark, sf)
