@@ -259,6 +259,7 @@ object SparkEntry {
     "m25_webp_gate" -> (Multimodal.webpMetaGate _),
     "m26_qoi_gate" -> (Multimodal.qoiChecksumGate _),
     "m27_orient_gate" -> (Multimodal.orientGate _),
+    "m28_gif_anim_gate" -> (Multimodal.gifAnimGate _),
     "m23_png16_gate" -> (Multimodal.png16ChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
@@ -4889,7 +4890,43 @@ object SparkEntry {
         |    OVER (PARTITION BY doc_id) AS INT) AS dom_lag
         |FROM rk ORDER BY doc_id, lag""".stripMargin,
 
-    // m27: EXIF orientation over real QOI pixels — the oracle replays
+    // m28: animated-GIF composition — the oracle recomputes both
+    // composited canvases from ord() arithmetic: frame 1 the deranged
+    // palette over text bytes; frame 2 the disposal-2-restored
+    // background (entry 7) except where the 4x4 patch is opaque
+    // (patch idx = ord % 8, 0 = transparent -> background)
+    "m28_gif_anim_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 80),
+        |f1 AS (SELECT doc_id, CAST(1 AS INT) AS frame_no,
+        |    CAST(doc_id % 100 AS INT) AS delay_cs, CAST(2 AS INT) AS disposal,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      flatten(list_transform(range(1, 65), i ->
+        |        [CAST(ord(text[CAST(i AS INT)]) AS BIGINT),
+        |         CAST((ord(text[CAST(i AS INT)]) * 7 + 13) % 256 AS BIGINT),
+        |         CAST((ord(text[CAST(i AS INT)]) * 31 + 5) % 256 AS BIGINT)])),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |  FROM d),
+        |v2 AS (SELECT doc_id, j,
+        |    CASE WHEN (j % 8) BETWEEN 2 AND 5 AND (j // 8) BETWEEN 2 AND 5
+        |      THEN (CASE WHEN ord(text[CAST(65 + (j // 8 - 2) * 4
+        |               + (j % 8 - 2) AS INT)]) % 8 = 0 THEN 7
+        |            ELSE ord(text[CAST(65 + (j // 8 - 2) * 4
+        |               + (j % 8 - 2) AS INT)]) % 8 END)
+        |      ELSE 7 END AS v
+        |  FROM d, UNNEST(range(0, 64)) AS t(j)),
+        |f2 AS (SELECT doc_id, CAST(2 AS INT) AS frame_no,
+        |    CAST((doc_id + 37) % 100 AS INT) AS delay_cs,
+        |    CAST(0 AS INT) AS disposal,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      flatten(list([CAST(v AS BIGINT),
+        |        CAST((v * 7 + 13) % 256 AS BIGINT),
+        |        CAST((v * 31 + 5) % 256 AS BIGINT)] ORDER BY j)),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS pixel_checksum
+        |  FROM v2 GROUP BY doc_id)
+        |SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // m27: EXIF orientation over real QOI pixels    // m27: EXIF orientation over real QOI pixels — the oracle replays
     // the inverse index map (sx, sy per output position, CASE over the
     // eight tags) with ord() arithmetic through the deranged channels
     "m27_orient_gate" ->

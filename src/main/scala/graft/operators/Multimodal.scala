@@ -1144,6 +1144,197 @@ object Multimodal {
     None
   }
 
+  /** One composited animation frame (m28): the FULL canvas as RGB
+    * after this frame rendered, plus its Graphic Control Extension
+    * timing/disposal.
+    */
+  case class GifFrame(delay_cs: Int, disposal: Int, pixels: Array[Byte])
+
+  case class GifAnimation(width: Int, height: Int, frames: Seq[GifFrame])
+
+  /** Animated-GIF frame decode + composition (m28) — the frame
+    * extractor the "frame-sample" pipeline stage needs for the web's
+    * poor-man's-video format: every image block LZW-decodes (the m12
+    * machinery) into its (left, top, w, h) sub-rectangle, renders
+    * over the CURRENT canvas honoring the GCE transparency index
+    * (transparent pixels keep what's underneath — inter-frame delta
+    * encoding is the whole point of animated GIF), and emits the
+    * composited full canvas; disposal then runs BETWEEN frames
+    * (0/1 leave, 2 restore the frame's rect to the background color).
+    * Disposal 3 (restore-to-previous) rejects as out of slice — it
+    * needs a saved-canvas stack and is rare in crawl data. Strict
+    * like the stills path: bounds, palettes, LZW state, truncation
+    * all reject with None.
+    *
+    * Scale note: frames decode per media row (map-only); a canvas is
+    * width×height×3 bytes held once per row — the mapPartitions
+    * ladder's constant-memory contract.
+    */
+  def decodeGifFrames(c: Array[Byte]): Option[GifAnimation] = {
+    def leU16(off: Int): Int = (c(off) & 0xff) | ((c(off + 1) & 0xff) << 8)
+    if (c.length < 14 || c(0) != 'G'.toByte || c(1) != 'I'.toByte ||
+        c(2) != 'F'.toByte || c(3) != '8'.toByte ||
+        (c(4) != '7'.toByte && c(4) != '9'.toByte) || c(5) != 'a'.toByte)
+      return None
+    val cw = leU16(6); val ch = leU16(8)
+    if (cw < 1 || ch < 1 || cw > MaxDim || ch > MaxDim ||
+        cw.toLong * ch * 3 > Int.MaxValue / 2) return None
+    val packed = c(10) & 0xff
+    val bgIndex = c(11) & 0xff
+    var pos = 13
+    val gct: Option[(Int, Int)] = if ((packed & 0x80) != 0) {
+      val entries = 1 << ((packed & 7) + 1)
+      val off = pos
+      pos += 3 * entries
+      if (pos > c.length) return None
+      Some((off, entries))
+    } else None
+    // the background color needs a GCT (disposal-2 restores to it)
+    val (gOff, gEntries) = gct.getOrElse(return None)
+    if (bgIndex >= gEntries) return None
+    val canvas = new Array[Byte](cw * ch * 3)
+    def restoreRect(l: Int, t: Int, w: Int, h: Int): Unit = {
+      val p = gOff + bgIndex * 3
+      var y = t
+      while (y < t + h) {
+        var x = l
+        while (x < l + w) {
+          val o = (y * cw + x) * 3
+          canvas(o) = c(p); canvas(o + 1) = c(p + 1); canvas(o + 2) = c(p + 2)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    restoreRect(0, 0, cw, ch) // canvas starts as background
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    var delay = 0
+    var disposal = 0
+    var transIdx = -1
+    while (pos < c.length) {
+      (c(pos) & 0xff) match {
+        case 0x3b =>
+          return if (frames.nonEmpty) Some(GifAnimation(cw, ch, frames.toSeq))
+            else None
+        case 0x21 =>
+          if (pos + 1 >= c.length) return None
+          val label = c(pos + 1) & 0xff
+          if (label == 0xf9) { // Graphic Control Extension
+            if (pos + 7 >= c.length || (c(pos + 2) & 0xff) != 4) return None
+            val gp = c(pos + 3) & 0xff
+            disposal = (gp >> 2) & 7
+            if (disposal == 3 || disposal > 3) return None // out of slice
+            delay = leU16(pos + 4)
+            transIdx = if ((gp & 1) != 0) c(pos + 6) & 0xff else -1
+            if ((c(pos + 7) & 0xff) != 0) return None
+            pos += 8
+          } else { // other extension: skip sub-blocks
+            pos += 2
+            var len = if (pos < c.length) c(pos) & 0xff else return None
+            while (len != 0) {
+              pos += 1 + len
+              if (pos >= c.length) return None
+              len = c(pos) & 0xff
+            }
+            pos += 1
+          }
+        case 0x2c =>
+          if (pos + 10 > c.length) return None
+          val left = leU16(pos + 1); val top = leU16(pos + 3)
+          val w = leU16(pos + 5); val h = leU16(pos + 7)
+          val ip = c(pos + 9) & 0xff
+          pos += 10
+          if ((ip & 0x40) != 0) return None // interlaced frames: stills path only
+          if (w < 1 || h < 1 || left + w > cw || top + h > ch) return None
+          val lct: Option[(Int, Int)] = if ((ip & 0x80) != 0) {
+            val entries = 1 << ((ip & 7) + 1)
+            val off = pos
+            pos += 3 * entries
+            if (pos > c.length) return None
+            Some((off, entries))
+          } else None
+          val (palOff, palEntries) = lct.getOrElse((gOff, gEntries))
+          if (pos >= c.length) return None
+          val minCode = c(pos) & 0xff
+          pos += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var len = if (pos < c.length) c(pos) & 0xff else return None
+          while (len != 0) {
+            if (pos + 1 + len > c.length) return None
+            data.write(c, pos + 1, len)
+            pos += 1 + len
+            if (pos >= c.length) return None
+            len = c(pos) & 0xff
+          }
+          pos += 1
+          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          var i = 0
+          while (i < w * h) {
+            val v = idx(i) & 0xff
+            if (v >= palEntries) return None
+            if (v != transIdx) {
+              val p = palOff + v * 3
+              val o = ((top + i / w) * cw + (left + i % w)) * 3
+              canvas(o) = c(p); canvas(o + 1) = c(p + 1); canvas(o + 2) = c(p + 2)
+            }
+            i += 1
+          }
+          frames += GifFrame(delay, disposal, canvas.clone())
+          if (disposal == 2) restoreRect(left, top, w, h)
+          delay = 0; disposal = 0; transIdx = -1
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** One frame spec for [[encodeGifAnim]]: a sub-rectangle of palette
+    * indices plus its GCE fields (`transparentIdx` −1 = opaque).
+    */
+  case class AnimFrameSpec(left: Int, top: Int, w: Int, h: Int,
+      delayCs: Int, disposal: Int, transparentIdx: Int,
+      indices: Array[Byte])
+
+  /** Minimal animated GIF89a writer for [[decodeGifFrames]] — GCE +
+    * descriptor + LZW per frame over one global color table.
+    */
+  def encodeGifAnim(width: Int, height: Int, palette: Array[Byte],
+      bgIndex: Int, frames: Seq[AnimFrameSpec]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && frames.nonEmpty, "need a canvas and frames")
+    val entries = palette.length / 3
+    require(entries >= 4 && entries <= 256 && palette.length == entries * 3 &&
+      (entries & (entries - 1)) == 0, "palette must be 4..256 pow2 RGB triples")
+    require(bgIndex >= 0 && bgIndex < entries, s"bg index $bgIndex outside palette")
+    val bits = 31 - Integer.numberOfLeadingZeros(entries)
+    val minCode = math.max(2, bits)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def leU16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    leU16(width); leU16(height)
+    out.write(0x80 | (bits - 1))
+    out.write(bgIndex); out.write(0)
+    out.write(palette)
+    for (f <- frames) {
+      require(f.left >= 0 && f.top >= 0 && f.w >= 1 && f.h >= 1 &&
+        f.left + f.w <= width && f.top + f.h <= height, "frame rect outside canvas")
+      require(f.indices.length == f.w * f.h, "frame buffer mismatch")
+      require(f.indices.forall(p => (p & 0xff) < entries), "index outside palette")
+      require(f.disposal == 0 || f.disposal == 1 || f.disposal == 2,
+        s"disposal ${f.disposal} out of slice")
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparentIdx >= 0) 1 else 0))
+      leU16(f.delayCs)
+      out.write(math.max(0, f.transparentIdx)); out.write(0)
+      out.write(0x2c)
+      leU16(f.left); leU16(f.top); leU16(f.w); leU16(f.h); out.write(0)
+      out.write(minCode)
+      lzwCompressBlocks(f.indices, minCode, out)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** GIF-variant LZW decode (LSB-first bit packing, variable code
     * width minCodeSize+1 → 12, clear/end codes) producing exactly
     * `expected` palette indices. None on any malformed state: a code
@@ -1248,7 +1439,17 @@ object Multimodal {
     out.write(0x2c) // image descriptor at (0,0), full size, no LCT
     leU16(0); leU16(0); leU16(width); leU16(height); out.write(0)
     out.write(minCode)
-    // —— LZW compress ——
+    lzwCompressBlocks(pixels, minCode, out)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF LZW compress + sub-blocking (shared by [[encodeGif]] and
+    * [[encodeGifAnim]]): writes the code stream as <=255-byte
+    * sub-blocks plus the terminating 0.
+    */
+  private def lzwCompressBlocks(pixels: Array[Byte], minCode: Int,
+      out: java.io.ByteArrayOutputStream): Unit = {
     val clear = 1 << minCode
     val endCode = clear + 1
     val codes = new java.io.ByteArrayOutputStream()
@@ -1302,8 +1503,6 @@ object Multimodal {
       off += n
     }
     out.write(0) // block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
   }
 
   /** PNG encoder for the m11 gate and the round-trip specs: emits a
@@ -2446,6 +2645,64 @@ object Multimodal {
       .toDF("doc_id", "orientation", "width", "height", "channels",
         "pixel_checksum")
       .orderBy($"doc_id")
+  }
+
+  /** m28 payload builder: a REAL two-frame animated GIF per document
+    * over the m15 deranged 256-entry palette — frame 1 fills the 8×8
+    * canvas from the first 64 text bytes with DISPOSAL 2 (its rect
+    * restores to the background color, palette entry 7, before the
+    * next frame); frame 2 is a 4×4 patch at (2,2) from the next 16
+    * bytes with entry 0 TRANSPARENT (those pixels show the restored
+    * background) — so composition, disposal, transparency, and the
+    * delta-rect geometry all decide the frame-2 canvas.
+    */
+  private def docGifAnimRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val pal = Array.tabulate(256 * 3) { k =>
+      val i = k / 3
+      (k % 3 match {
+        case 0 => i
+        case 1 => (i * 7 + 13) % 256
+        case _ => (i * 31 + 5) % 256
+      }).toByte
+    }
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 80)
+      .select($"doc_id", substring($"text", 1, 80).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val b = px.getBytes("ISO-8859-1")
+        val f1 = AnimFrameSpec(0, 0, 8, 8, delayCs = (id % 100).toInt,
+          disposal = 2, transparentIdx = -1, indices = b.take(64))
+        // patch indices fold to 0..7 so index 0 — the transparent
+        // entry — genuinely occurs (~1/8 of patch pixels)
+        val f2 = AnimFrameSpec(2, 2, 4, 4, delayCs = ((id + 37) % 100).toInt,
+          disposal = 0, transparentIdx = 0,
+          indices = b.slice(64, 80).map(v => ((v & 0xff) % 8).toByte))
+        MediaRow(id, "image", encodeGifAnim(8, 8, pal, bgIndex = 7,
+          frames = Seq(f1, f2)))
+      }
+  }
+
+  /** m28 gate entry: animated-GIF composition under the DuckDB gate —
+    * the Spark side walks genuine GCE/descriptor/LZW blocks and
+    * composites both frames for real; the oracle recomputes each
+    * canvas from ord() arithmetic (frame 1 = the deranged palette
+    * over text bytes; frame 2 = the disposal-2-restored background
+    * except where the patch is opaque), never seeing a GIF byte.
+    */
+  def gifAnimGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docGifAnimRows(spark, sfDir)
+      .flatMap { r =>
+        val anim = decodeGifFrames(r.content)
+          .getOrElse(throw new IllegalStateException(s"gif anim parse failed for ${r.media_id}"))
+        anim.frames.zipWithIndex.map { case (f, i) =>
+          (r.media_id, i + 1, f.delay_cs, f.disposal, byteChecksum(f.pixels))
+        }
+      }
+      .toDF("doc_id", "frame_no", "delay_cs", "disposal", "pixel_checksum")
+      .orderBy($"doc_id", $"frame_no")
   }
 
   /** m15 payload builder: an INDEXED (color type 3) PNG per document —

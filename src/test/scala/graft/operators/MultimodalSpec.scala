@@ -1774,4 +1774,78 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.applyOrientation(rgb, 2).pixels.map(_ & 0xff).toSeq shouldBe
       Seq(20, 21, 22, 10, 11, 12)
   }
+
+  test("m28: animated GIF composites disposal and transparency exactly " +
+      "(hand-checked canvases)") {
+    import Multimodal.{AnimFrameSpec, RasterImage}
+    // 4-entry palette: 0=black 1=red 2=green 3=blue; bg = 3 (blue)
+    val pal = Array[Byte](0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1)
+    def rgb(i: Int): Seq[Int] = Seq(pal(i * 3) & 0xff,
+      pal(i * 3 + 1) & 0xff, pal(i * 3 + 2) & 0xff)
+    // canvas 4x2. Frame 1: full red, disposal 1 (leave).
+    // Frame 2: 2x1 patch at (1,1) = [green, transparent idx 0 -> shows
+    // frame 1's red underneath].
+    val f1 = AnimFrameSpec(0, 0, 4, 2, 10, 1, -1, Array.fill(8)(1.toByte))
+    val f2 = AnimFrameSpec(1, 1, 2, 1, 20, 0, 0, Array[Byte](2, 0))
+    val anim = Multimodal.decodeGifFrames(
+      Multimodal.encodeGifAnim(4, 2, pal, bgIndex = 3, Seq(f1, f2))).get
+    (anim.width, anim.height, anim.frames.length) shouldBe ((4, 2, 2))
+    anim.frames(0).delay_cs shouldBe 10
+    anim.frames(0).disposal shouldBe 1
+    anim.frames(0).pixels.map(_ & 0xff).toSeq shouldBe
+      (0 until 8).flatMap(_ => rgb(1))
+    // frame 2: row 1 pixel (1,1) green, (2,1) STILL RED (transparent
+    // over a disposal-1 frame); everything else red
+    val expect2 = Seq(rgb(1), rgb(1), rgb(1), rgb(1),
+      rgb(1), rgb(2), rgb(1), rgb(1)).flatten
+    anim.frames(1).pixels.map(_ & 0xff).toSeq shouldBe expect2
+
+    // disposal 2: frame 1's rect restores to BACKGROUND before frame 2,
+    // so the transparent patch pixel now shows blue, and so does the
+    // rest of the canvas
+    val f1d2 = f1.copy(disposal = 2)
+    val anim2 = Multimodal.decodeGifFrames(
+      Multimodal.encodeGifAnim(4, 2, pal, bgIndex = 3, Seq(f1d2, f2))).get
+    val expect2b = Seq(rgb(3), rgb(3), rgb(3), rgb(3),
+      rgb(3), rgb(2), rgb(3), rgb(3)).flatten
+    anim2.frames(1).pixels.map(_ & 0xff).toSeq shouldBe expect2b
+    // the stills decoder still reads frame 1 of the same bytes
+    val still = Multimodal.decodeRasterPixels(
+      Multimodal.encodeGifAnim(4, 2, pal, bgIndex = 3,
+        Seq(f1.copy(delayCs = 0)))).get
+    still.pixels.toSeq shouldBe anim.frames(0).pixels.toSeq
+  }
+
+  test("m28: malformed animations reject without throwing") {
+    import Multimodal.AnimFrameSpec
+    val pal = Array.tabulate(12)(k => (k * 11 % 256).toByte)
+    val good = Multimodal.encodeGifAnim(4, 2, pal, 1,
+      Seq(AnimFrameSpec(0, 0, 4, 2, 5, 1, -1,
+        Array.tabulate(8)(k => (k % 4).toByte))))
+    Multimodal.decodeGifFrames(good) should not be None
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val c = good.clone(); c(i) = v.toByte; c
+    }
+    Multimodal.decodeGifFrames(mut(0, 'X')) shouldBe None   // magic
+    Multimodal.decodeGifFrames(mut(11, 9)) shouldBe None    // bg outside GCT
+    // disposal 3 (restore-to-previous) is out of slice: GCE packed is
+    // right after 0x21 0xF9 0x04 — find it and set disposal bits to 3
+    val gce = (0 until good.length - 2).find(i =>
+      (good(i) & 0xff) == 0x21 && (good(i + 1) & 0xff) == 0xf9).get
+    Multimodal.decodeGifFrames(mut(gce + 3, 3 << 2)) shouldBe None
+    // truncation rejects everywhere
+    for (keep <- Seq(0, 5, 12, 20, good.length - 1))
+      withClue(s"keep=$keep: ") {
+        Multimodal.decodeGifFrames(good.take(keep)) shouldBe None
+      }
+    // a frame rect outside the canvas rejects at encode (builder) and
+    // at decode (hand-patched descriptor)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.encodeGifAnim(4, 2, pal, 1,
+        Seq(AnimFrameSpec(3, 0, 2, 2, 0, 0, -1, Array.fill(4)(0.toByte))))
+    // trailer missing (no 0x3b): drop the last byte and append a fake
+    // extension start instead
+    val noTrail = good.dropRight(1)
+    Multimodal.decodeGifFrames(noTrail) shouldBe None
+  }
 }
