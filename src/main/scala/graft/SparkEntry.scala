@@ -260,6 +260,7 @@ object SparkEntry {
     "m26_qoi_gate" -> (Multimodal.qoiChecksumGate _),
     "m27_orient_gate" -> (Multimodal.orientGate _),
     "m28_gif_anim_gate" -> (Multimodal.gifAnimGate _),
+    "m29_downmix_gate" -> (Multimodal.downmixGate _),
     "m23_png16_gate" -> (Multimodal.png16ChecksumGate _),
     // —— extensions: corpus sampling / data mixing ——
     "p01_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
@@ -4889,6 +4890,19 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rn = 1 THEN lag END)
         |    OVER (PARTITION BY doc_id) AS INT) AS dom_lag
         |FROM rk ORDER BY doc_id, lag""".stripMargin,
+
+    // m29: stereo de-interleave + shifted-space downmix — the oracle
+    // rebuilds both channels from ord() and replays the non-negative
+    // floor division
+    "m29_downmix_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(j AS INT) AS j,
+        |    (ord(text[CAST(j + 1 AS INT)]) - 96) * 128 AS l,
+        |    (ord(text[CAST(j + 33 AS INT)]) - 96) * 128 + j % 2 AS r
+        |  FROM d, UNNEST(range(0, 32)) AS t(j))
+        |SELECT doc_id, j, CAST(l AS INT) AS "left", CAST(r AS INT) AS "right",
+        |  CAST((l + 32768 + r + 32768) // 2 - 32768 AS INT) AS mix
+        |FROM v ORDER BY doc_id, j""".stripMargin,
 
     // m28: animated-GIF composition — the oracle recomputes both
     // composited canvases from ord() arithmetic: frame 1 the deranged

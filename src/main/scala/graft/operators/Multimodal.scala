@@ -3245,6 +3245,87 @@ object Multimodal {
     resamplePcm(docWavRows(spark, sfDir), 3, 4).orderBy($"doc_id", $"j")
   }
 
+  /** Minimal 16-bit STEREO PCM WAV (format 1, block align 4): the
+    * m29 payload builder — left/right interleaved frame by frame.
+    */
+  def buildPcm16StereoWav(left: Array[Int], right: Array[Int],
+      sampleRate: Int): Array[Byte] = {
+    require(left.length == right.length, "channel length mismatch")
+    val n = left.length
+    val dataSize = n * 4
+    val out = new Array[Byte](44 + dataSize)
+    def putTag(off: Int, s: String): Unit =
+      (0 until 4).foreach(k => out(off + k) = s.charAt(k).toByte)
+    def putLe32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(k => out(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); putLe32(4, 36L + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16L)
+    putLe16(20, 1); putLe16(22, 2) // PCM, stereo
+    putLe32(24, sampleRate.toLong); putLe32(28, sampleRate.toLong * 4)
+    putLe16(32, 4); putLe16(34, 16) // block align, bits
+    putTag(36, "data"); putLe32(40, dataSize.toLong)
+    var j = 0
+    while (j < n) {
+      putLe16(44 + j * 4, left(j) & 0xffff)
+      putLe16(46 + j * 4, right(j) & 0xffff)
+      j += 1
+    }
+    out
+  }
+
+  /** m29 payload builder: a REAL stereo WAV per document — left from
+    * the first 32 text bytes (the m07 mapping), right from the next
+    * 32 with a +1 nudge on odd frames so L+R is genuinely odd there
+    * (the downmix floor is then a real decision, not an exact /2).
+    */
+  private def docStereoWavRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val b = px.getBytes("ISO-8859-1")
+        val left = Array.tabulate(32)(j => ((b(j) & 0xff) - 96) * 128)
+        val right = Array.tabulate(32)(j =>
+          ((b(32 + j) & 0xff) - 96) * 128 + (j % 2))
+        MediaRow(id, "audio", buildPcm16StereoWav(left, right, 8000))
+      }
+  }
+
+  /** Stereo decode + integer downmix (m29) — the channel-layout half
+    * of PCM decode the mono gates never touch: frames DE-INTERLEAVE
+    * from the block-aligned stream (sample 2j = left, 2j+1 = right),
+    * and the mono downmix is floor((L+R)/2) computed in SHIFTED
+    * space — ((L+2^15)+(R+2^15)) div 2 − 2^15, a non-negative
+    * division, so floor and truncate agree on every engine (the m22
+    * trap again; the builder's +1 nudge makes odd sums — and thus
+    * the floor — genuinely occur). Hash-green proves interleave
+    * geometry AND the downmix arithmetic against an oracle that
+    * rebuilds both channels from ord() text arithmetic.
+    */
+  def downmixGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docStereoWavRows(spark, sfDir)
+      .flatMap { r =>
+        val a = decodePcmSamples(r.content)
+          .getOrElse(throw new IllegalStateException(s"wav parse failed for ${r.media_id}"))
+        require(a.channels == 2, s"expected stereo, got ${a.channels}")
+        val frames = a.samples.length / 2
+        (0 until frames).map { j =>
+          val l = a.samples(2 * j)
+          val rr = a.samples(2 * j + 1)
+          val mix = ((l + 32768) + (rr + 32768)) / 2 - 32768
+          (r.media_id, j, l, rr, mix)
+        }
+      }
+      .toDF("doc_id", "j", "left", "right", "mix")
+      .orderBy($"doc_id", $"j")
+  }
+
   /** Long-format PCM decode: one row per (media, sample index) — the
     * bridge from binary audio to RELATIONAL signal analysis. Decode is
     * map-only per row; everything downstream ([[autocorrProfile]]) is

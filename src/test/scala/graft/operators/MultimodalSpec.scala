@@ -1848,4 +1848,26 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     val noTrail = good.dropRight(1)
     Multimodal.decodeGifFrames(noTrail) shouldBe None
   }
+
+  test("m29: stereo WAV round-trips interleaved and the shifted downmix " +
+      "floors toward minus infinity") {
+    val left = Array(-1, 100, -32768, 32767, 0)
+    val right = Array(0, 101, -32768, 32766, -1)
+    val a = Multimodal.decodePcmSamples(
+      Multimodal.buildPcm16StereoWav(left, right, 8000)).get
+    a.channels shouldBe 2
+    a.samples.length shouldBe 10
+    (0 until 5).foreach { j =>
+      a.samples(2 * j) shouldBe left(j)
+      a.samples(2 * j + 1) shouldBe right(j)
+    }
+    // floor((L+R)/2) via the shift: (-1+0)/2 must be -1, not 0 (the
+    // truncate-toward-zero answer)
+    def mix(l: Int, r: Int): Int = ((l + 32768) + (r + 32768)) / 2 - 32768
+    mix(-1, 0) shouldBe -1
+    mix(0, -1) shouldBe -1
+    mix(-32768, -32768) shouldBe -32768
+    mix(32767, 32766) shouldBe 32766
+    mix(100, 101) shouldBe 100
+  }
 }
