@@ -160,6 +160,8 @@ object SparkEntry {
     "s30_ann_mrr" -> (Similarity.annMrr _),
     "s31_ivf_refresh" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfRefresh(s, d)),
+    "s32_cell_drift" -> ((s: SparkSession, d: String) =>
+      Similarity.cellDrift(s, d)),
     "s28_ivf_recall_curve" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRecallCurve(s, d)),
     // —— extensions: text analysis ——
@@ -3207,6 +3209,45 @@ object SparkEntry {
     // s21: integer PageRank over the s16 graph — fixed-point rounds
     // generated as a CTE chain; dangling mass leaks identically
     "s21_pagerank" -> pageRankSql(prIters = 3),
+
+    // s32: cell-population drift under the frozen quantizer — exact
+    // floor-ppm shares before/after the new batch, alert past the
+    // threshold
+    "s32_cell_drift" ->
+      s"""WITH ${embCte("vec_id % 20 = 0 OR vec_id % 20 = 10")},
+         |${ivfCtes(8, 2)},
+         |ap AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq
+         |      FROM e WHERE vec_id % 20 = 0 OR vec_id % 20 = 10),
+         |db AS (
+         |  SELECT cp.vec_id, c.cluster,
+         |    CAST(sum((cp.xq - c.cq) * (cp.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM cp JOIN c2 c ON cp.pos = c.pos GROUP BY 1, 2),
+         |cb AS (SELECT cluster AS cell, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM (SELECT vec_id, cluster, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn FROM db) r
+         |  WHERE rn = 1 GROUP BY 1),
+         |da AS (
+         |  SELECT ap.vec_id, c.cluster,
+         |    CAST(sum((ap.xq - c.cq) * (ap.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM ap JOIN c2 c ON ap.pos = c.pos GROUP BY 1, 2),
+         |ca AS (SELECT cluster AS cell, CAST(count(*) AS BIGINT) AS n_after
+         |  FROM (SELECT vec_id, cluster, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn FROM da) r
+         |  WHERE rn = 1 GROUP BY 1),
+         |tb AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base FROM cb),
+         |ta AS (SELECT CAST(sum(n_after) AS BIGINT) AS t_after FROM ca),
+         |m AS (SELECT coalesce(cb.cell, ca.cell) AS cell,
+         |    coalesce(n_base, 0) AS n_base, coalesce(n_after, 0) AS n_after
+         |  FROM cb FULL JOIN ca ON cb.cell = ca.cell)
+         |SELECT cell, n_base, n_after,
+         |  CAST(n_base * 1000000 // t_base AS BIGINT) AS share_base_ppm,
+         |  CAST(n_after * 1000000 // t_after AS BIGINT) AS share_after_ppm,
+         |  CAST(abs(n_after * 1000000 // t_after - n_base * 1000000 // t_base)
+         |    AS BIGINT) AS drift_ppm,
+         |  CAST(CASE WHEN abs(n_after * 1000000 // t_after
+         |      - n_base * 1000000 // t_base) > 20000 THEN 1 ELSE 0 END
+         |    AS INT) AS alert
+         |FROM m, tb, ta ORDER BY cell""".stripMargin,
 
     // s31: incremental IVF refresh — quantizer trained on the BASE
     // slice only (ivfCtes), new batch assigned under the frozen book,

@@ -262,6 +262,53 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** IVF cell-population drift monitor (s32) — the "retrain needed"
+    * alarm on [[annIvfRefresh]]: under the FROZEN base quantizer,
+    * compare each cell's share of the index before and after the new
+    * batch folds in. Shares are exact floor ppm; a cell whose share
+    * moved more than `alertPpm` raises the alert — the signal that
+    * the frozen codebook no longer fits the distribution and the
+    * periodic retrain should run (the s16 sizing guard's gradual
+    * cousin: that one refuses a blown cell, this one watches the
+    * slide).
+    *
+    * Scale shape: two broadcast-centroid argmin passes (base /
+    * base+new) collapsing to k-row count frames; all share/drift
+    * arithmetic runs on those k rows (k is a parameter, not data).
+    */
+  def cellDrift(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, alertPpm: Long = 20000L): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter($"vec_id" % 20 === 0)
+    val fresh = emb.filter($"vec_id" % 20 === 10)
+    val basePts = graft.Caches.track(gridPoints(base))
+    val seedCent = basePts.filter($"vec_id" < 20L * k)
+      .select(($"vec_id" / 20).cast("int").as("cluster"), $"pos", $"xq".as("cq"))
+    var cent = lloydAverage(basePts, lloydAssign(basePts, seedCent))
+    for (_ <- 2 to iters) cent = lloydAverage(basePts, lloydAssign(basePts, cent))
+    cent = graft.Caches.track(cent)
+    val allPts = gridPoints(base.unionByName(fresh))
+    def counts(pts: DataFrame, col0: String): DataFrame =
+      lloydAssign(pts, cent).groupBy($"cluster".as("cell"))
+        .agg(count(lit(1)).as(col0))
+    val b = graft.Caches.track(counts(basePts, "n_base"))
+    val a = graft.Caches.track(counts(allPts, "n_after"))
+    val tb = b.agg(sum($"n_base").as("t_base"))
+    val ta = a.agg(sum($"n_after").as("t_after"))
+    b.join(a, Seq("cell"), "full")
+      .select($"cell", coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_after", lit(0L)).as("n_after"))
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(ta))
+      .select($"cell", $"n_base", $"n_after",
+        expr("n_base * 1000000L div t_base").as("share_base_ppm"),
+        expr("n_after * 1000000L div t_after").as("share_after_ppm"))
+      .withColumn("drift_ppm",
+        abs($"share_after_ppm" - $"share_base_ppm"))
+      .withColumn("alert", ($"drift_ppm" > alertPpm).cast("int"))
+      .orderBy($"cell")
+  }
+
   /** Full-corpus k-means clustering — the domain/topic partitioning a
     * curation pipeline runs before cluster-aware selection (the
     * SemDeDup paper clusters the corpus first for exactly this reason;

@@ -162,6 +162,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // Σalloc0) are q14-shape partial-sum-per-task finalizations whose
     // child projects the |langs|-row frame (verified by plan dump
     // this round).
+    // s32 — the two index-size scalars: each SinglePartition exchange
+    // has HashAggregate(partial_sum) over the cached per-CELL count
+    // frame as its direct child — k rows (a parameter) per side into
+    // 1-row broadcasts (verified by plan dump this round; the
+    // p18/p19 tiny-key-space bound).
     // q55 — the total-fanout scalar: the plan's one SinglePartition
     // exchange has HashAggregate(partial_sum(fanout)) as its direct
     // child — ONE partial-sum row per task into the 1-row broadcast
@@ -176,7 +181,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "t27_pmi_colloc", "p16_curriculum", "q47_equidepth_hist",
       "t29_trigram_backoff", "p17_interleave", "p18_unimax",
       "t32_vocab_growth", "q50_cusum", "q55_join_skew",
-      "p19_temperature_mix")
+      "p19_temperature_mix", "s32_cell_drift")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -698,6 +698,32 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
       withClue(s"query $qid rank $rnk: ") { cos should be >= sc }
   }
 
+  test("s32: drift frame is internally consistent and the new batch " +
+      "genuinely moves shares") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.cellDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    rows should not be empty
+    val nBase = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0).count()
+    val nFresh = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 10).count()
+    rows.map(_._2).sum shouldBe nBase
+    rows.map(_._3).sum shouldBe nBase + nFresh
+    // floor-ppm shares sum to 10^6 less at most k floor losses
+    for (shares <- Seq(rows.map(_._4), rows.map(_._5))) {
+      shares.sum should be <= 1000000L
+      shares.sum should be > 1000000L - rows.length
+    }
+    for ((cell, _, _, sb, sa, drift, alert) <- rows) withClue(s"cell $cell: ") {
+      drift shouldBe math.abs(sa - sb)
+      alert shouldBe (if (drift > 20000L) 1 else 0)
+    }
+    // the monitor isn't vacuous: the fresh batch moves some share
+    rows.map(_._6).max should be > 0L
+  }
+
   test("lshBucket planes/dims are parameterized (more planes → finer buckets)") {
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"),
