@@ -89,6 +89,8 @@ object SparkEntry {
       Dedup.suffixRepeats(s, d)),
     "d31_suffix_scrub" -> ((s: SparkSession, d: String) =>
       Dedup.suffixScrub(s, d)),
+    "d33_weighted_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.weightedJaccard(s, d)),
     "q23_percentiles" -> (Relational.percentiles _),
     "q24_cube" -> (Relational.cubeAgg _),
     "q25_pivot" -> (Relational.pivotStatus _),
@@ -1840,6 +1842,24 @@ object SparkEntry {
         |    + CASE WHEN rk <= 1000000 % k_touches THEN 1 ELSE 0 END
         |    AS BIGINT) AS share_ppm
         |FROM wk ORDER BY purchase_id, view_id""".stripMargin,
+
+    // d33: multiset Jaccard — sum-min over token counts, sum-max by
+    // the identity Na + Nb - sum-min, floor ppm
+    "d33_weighted_jaccard" ->
+      s"""WITH dd AS (SELECT doc_id, $Toks AS tk FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id < 5120),
+         |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM dd) t GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |i AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(sum(least(x.c, y.c)) AS BIGINT) AS mn
+         |  FROM c x JOIN c y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, na.n AS n_a, nb.n AS n_b, mn,
+         |  mn * 1000000 // (na.n + nb.n - mn) AS wjaccard_ppm
+         |FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+         |WHERE mn * 1000000 // (na.n + nb.n - mn) >= 500000
+         |ORDER BY a, b""".stripMargin,
 
     // q57: next-event transition matrix — lag window per user,
     // row-conditional floor-ppm probabilities

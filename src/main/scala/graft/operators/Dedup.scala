@@ -1997,4 +1997,41 @@ object Dedup {
                     x -> x.chr), '')""").as("scrubbed"))
       .orderBy($"doc_id")
   }
+
+  /** Exact WEIGHTED Jaccard near-dup pairs (d33) — the multiset form
+    * d02's set semantics flattens away: similarity = Σ_t min(c_a,c_b)
+    * / Σ_t max(c_a,c_b) over TOKEN COUNTS, so a document that repeats
+    * "buy now" 50 times no longer looks identical to one that says it
+    * once (set Jaccard = 1 there; weighted ≪ 1) — the repetition-aware
+    * dedup signal boilerplate-heavy crawl corpora need. Exact integer
+    * arithmetic end to end: Σmax = N_a + N_b − Σmin, similarity
+    * reported as floor ppm.
+    *
+    * Same sample-cap contract as d02 (this is the correctness-oracle
+    * form; the scale path pairs via d23's lossless prefix filter or
+    * d03's LSH, then verifies with THIS arithmetic): pairs come from
+    * the shared-token equi-join over the sampled docs, and hot tokens
+    * bound fan-out only through the cap — documented, not hidden.
+    */
+  def weightedJaccard(spark: SparkSession, sfDir: String,
+      maxSample: Int = 512, minPpm: Long = 500000L): DataFrame = {
+    import spark.implicits._
+    val counts = graft.Caches.track(
+      Tables.documents(spark, sfDir)
+        .filter($"doc_id" % 10 === 0 && $"doc_id" < 10L * maxSample)
+        .select($"doc_id", explode(graft.functions.Text.toks($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c")))
+    val sizes = counts.groupBy($"doc_id").agg(sum($"c").as("n"))
+    val inter = counts.as("x").join(counts.as("y"),
+        $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .agg(sum(least($"x.c", $"y.c")).as("mn"))
+    inter
+      .join(sizes.select($"doc_id".as("a"), $"n".as("n_a")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"n".as("n_b")), Seq("b"))
+      .select($"a", $"b", $"n_a", $"n_b", $"mn",
+        expr("mn * 1000000L div (n_a + n_b - mn)").as("wjaccard_ppm"))
+      .filter($"wjaccard_ppm" >= minPpm)
+      .orderBy($"a", $"b")
+  }
 }
