@@ -208,6 +208,7 @@ object SparkEntry {
       TextAnalysis.vocabGrowth(s, d)),
     "t33_wordpiece" -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordPieceEncode(s, d)),
+    "t35_kn_bigram" -> (TextAnalysis.knBigramLm _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -4197,6 +4198,30 @@ object SparkEntry {
     // t32: Heaps-law trajectory — per doc-count decile, cumulative
     // token count and distinct vocab; vocab membership in a prefix is
     // decided by the token's first-seen doc alone
+    // t35: interpolated Kneser-Ney — discounted bigram term +
+    // continuation-unigram backoff, all floor-ppb integer arithmetic
+    "t35_kn_bigram" ->
+      s"""WITH ${tkCte("")},
+         |pos AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i FROM tk),
+         |bgs AS (SELECT list_extract(tk, CAST(i AS INT)) AS w1,
+         |        list_extract(tk, CAST(i AS INT) + 1) AS w2 FROM pos),
+         |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |       FROM bgs GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |        CAST(count(*) AS BIGINT) AS n1p_succ FROM bg GROUP BY 1),
+         |pr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_pred
+         |       FROM bg GROUP BY 1),
+         |ty AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg)
+         |SELECT bg.w1, bg.w2, c12, c1, n1p_succ, n1p_pred, b,
+         |  greatest(100 * c12 - 75, 0) * 1000000000 // (100 * c1) AS term1_ppb,
+         |  (75 * n1p_succ * 1000000000 // (100 * c1))
+         |    * (n1p_pred * 1000000000 // b) // 1000000000 AS term2_ppb,
+         |  greatest(100 * c12 - 75, 0) * 1000000000 // (100 * c1)
+         |    + (75 * n1p_succ * 1000000000 // (100 * c1))
+         |      * (n1p_pred * 1000000000 // b) // 1000000000 AS p_kn_ppb
+         |FROM bg JOIN c1 ON bg.w1 = c1.w1 JOIN pr ON bg.w2 = pr.w2, ty
+         |ORDER BY bg.w1, bg.w2""".stripMargin,
+
     // t33: vocab learning + the greedy longest-match loop, both
     // replayed as one generated CTE chain
     "t33_wordpiece" -> wordPieceSql(topGrams = 50, maxWordLen = 12),

@@ -869,6 +869,57 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram LM (t35) — the real smoothing
+    * next to t20's add-one and t29's stupid backoff (Kneser & Ney
+    * 1995; Chen & Goodman 1999 for the interpolated form): the
+    * bigram term discounts every seen count by a fixed D and the
+    * freed mass re-distributes through the CONTINUATION unigram —
+    * how many distinct contexts a word follows, not how often it
+    * occurs ("francisco" is frequent but only ever follows "san", so
+    * its continuation probability is tiny — the insight add-one
+    * can't express):
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/B
+    *
+    * with D = 0.75, N1+(w1·) = distinct successors of w1, N1+(·w2) =
+    * distinct predecessors of w2, B = distinct bigram types. All
+    * arithmetic is exact integer at parts-per-billion: D rides a
+    * ×100 grid (75), probabilities are floor ppb, and the λ·P_cont
+    * product composes two non-negative floor divisions — both
+    * engines evaluate every row identically, so the full conditional
+    * table hash-gates. Per-row mass: term1 + λ·(Σ over w2 of
+    * P_cont) telescopes to 1 up to floor loss — the spec pins the
+    * per-context sum inside [1e9 − rows·2, 1e9].
+    *
+    * Scale shape: four map-combinable aggregations over the bigram
+    * stream (c12, c1, N1+ successor/predecessor counts) joined back
+    * on w1/w2 one-row-per-key frames; B is a 1-row broadcast (the
+    * t20 V shape). No windows at all.
+    */
+  def knBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+    val bg = graft.Caches.track(
+      tk.select(explode(Text.shingles($"tk", 2)).as("bg"))
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .withColumn("w2", substring_index($"bg", " ", -1))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12")))
+    val c1 = bg.groupBy($"w1").agg(sum($"c12").as("c1"),
+      count(lit(1)).as("n1p_succ"))
+    val pred = bg.groupBy($"w2").agg(count(lit(1)).as("n1p_pred"))
+    val types = bg.agg(count(lit(1)).as("b"))
+    bg.join(c1, "w1").join(pred, "w2").crossJoin(broadcast(types))
+      .select($"w1", $"w2", $"c12", $"c1", $"n1p_succ", $"n1p_pred", $"b",
+        expr("""greatest(100L * c12 - 75L, 0L) * 1000000000L
+               |  div (100L * c1)""".stripMargin.replace("\n", " "))
+          .as("term1_ppb"),
+        expr("(75L * n1p_succ * 1000000000L div (100L * c1)) " +
+          "* (n1p_pred * 1000000000L div b) div 1000000000L").as("term2_ppb"))
+      .withColumn("p_kn_ppb", $"term1_ppb" + $"term2_ppb")
+      .orderBy($"w1", $"w2")
+  }
+
   /** Reference-LM quality buckets — the CCNet split (Wenzek et al.
     * 2020): train a language model on a CLEAN reference corpus, score
     * every candidate document under it, and cut the corpus into

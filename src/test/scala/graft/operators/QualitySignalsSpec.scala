@@ -323,4 +323,62 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val again = TextAnalysis.cdcChunksFrames(docs).collect()
     again.map(_.toString).sorted.toSeq shouldBe out.map(_.toString).sorted.toSeq
   }
+
+  test("knBigramLm: counts recompute, ppb terms exact, mass telescopes") {
+    val rows = TextAnalysis.knBigramLm(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    // independent recompute of all five count families from raw text
+    val toksByDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val bgC = toksByDoc.values
+      .flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+    val c1M = bgC.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val succM = bgC.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val predM = bgC.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val b = bgC.size.toLong
+    rows.length shouldBe bgC.size
+    val G = BigInt(1000000000L)
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val c12 = r.getAs[Long]("c12")
+      withClue(s"($w1,$w2): ") {
+        c12 shouldBe bgC((w1, w2))
+        r.getAs[Long]("c1") shouldBe c1M(w1)
+        r.getAs[Long]("n1p_succ") shouldBe succM(w1)
+        r.getAs[Long]("n1p_pred") shouldBe predM(w2)
+        r.getAs[Long]("b") shouldBe b
+        // both ppb terms recompute via BigInt floor division
+        val t1 = (BigInt(100L * c12 - 75L).max(0) * G / BigInt(100L * c1M(w1)))
+        val t2 = (BigInt(75L) * succM(w1) * G / BigInt(100L * c1M(w1))) *
+          (BigInt(predM(w2)) * G / b) / G
+        r.getAs[Long]("term1_ppb") shouldBe t1.toLong
+        r.getAs[Long]("term2_ppb") shouldBe t2.toLong
+        r.getAs[Long]("p_kn_ppb") shouldBe (t1 + t2).toLong
+      }
+    }
+    // continuation counts partition the bigram-type space
+    rows.groupBy(_.getString(1)).map(_._2.head.getAs[Long]("n1p_pred"))
+      .sum shouldBe b
+    // per-context mass telescopes: sum of discounted bigram terms plus
+    // lambda = D*N1+(w1.)/c1 recovers 1 exactly up to one floor loss
+    // per row (term1 floors) plus one for lambda itself
+    rows.groupBy(_.getString(0)).foreach { case (w1, rs) =>
+      val lam = (BigInt(75L) * succM(w1) * G / BigInt(100L * c1M(w1))).toLong
+      val mass = rs.map(_.getAs[Long]("term1_ppb")).sum + lam
+      withClue(s"context $w1: ") {
+        mass should be <= 1000000000L
+        mass should be >= 1000000000L - (rs.length + 1).toLong
+      }
+    }
+    // the KN insight is non-vacuous on this corpus: continuation
+    // counts genuinely vary across successor words, so the backoff
+    // term is not a constant rescale of the discount
+    rows.map(_.getAs[Long]("n1p_pred")).distinct.length should be > 1
+    rows.map(_.getAs[Long]("term2_ppb")).distinct.length should be > 1
+  }
 }
