@@ -209,6 +209,7 @@ object SparkEntry {
     "t33_wordpiece" -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordPieceEncode(s, d)),
     "t35_kn_bigram" -> (TextAnalysis.knBigramLm _),
+    "t36_normalize" -> (TextAnalysis.normalizeText _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -4221,6 +4222,41 @@ object SparkEntry {
          |      * (n1p_pred * 1000000000 // b) // 1000000000 AS p_kn_ppb
          |FROM bg JOIN c1 ON bg.w1 = c1.w1 JOIN pr ON bg.w2 = pr.w2, ty
          |ORDER BY bg.w1, bg.w2""".stripMargin,
+
+    // t36: the oracle rebuilds the identical unicode-garbled string
+    // from chr() first principles, then runs its own normalization
+    // chain — translate + global regexp_replace — so every fold
+    // (curly quotes, dashes, NBSP, zero-widths, controls, collapse,
+    // trim, lower) must byte-agree across engines
+    "t36_normalize" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    chr(8220) || upper(substr(text, 1, 12)) || chr(8221) ||
+        |    chr(8212) || chr(160) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(8203) ELSE chr(65279) END ||
+        |    'it' || chr(8217) || 's' || chr(9) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(7)
+        |         WHEN doc_id % 3 = 1 THEN chr(11)
+        |         ELSE chr(13) || chr(10) END ||
+        |    substr(text, 13) ||
+        |    '  ' || chr(8216) || 'q' || chr(8217) || ' ' || chr(8211) ||
+        |    ' end  ' AS dirty
+        |  FROM documents WHERE length(text) >= 20
+        |), n AS (
+        |  SELECT doc_id, dirty,
+        |    lower(trim(regexp_replace(regexp_replace(regexp_replace(
+        |      translate(dirty,
+        |        chr(8220) || chr(8221) || chr(8216) || chr(8217) ||
+        |        chr(8212) || chr(8211) || chr(160),
+        |        '""' || chr(39) || chr(39) || '-- '),
+        |      '[' || chr(8203) || chr(65279) || ']', '', 'g'),
+        |      '[\x01-\x1f\x7f]', ' ', 'g'),
+        |      ' +', ' ', 'g'))) AS norm
+        |  FROM g
+        |)
+        |SELECT doc_id, norm, CAST(length(dirty) AS INT) AS dirty_chars,
+        |  CAST(length(norm) AS INT) AS norm_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // t33: vocab learning + the greedy longest-match loop, both
     // replayed as one generated CTE chain

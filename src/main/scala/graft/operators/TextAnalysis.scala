@@ -920,6 +920,66 @@ object TextAnalysis {
       .orderBy($"w1", $"w2")
   }
 
+  /** Deterministic garble for the t36 gate: re-dirties each document
+    * with the unicode debris a web crawl actually carries — curly
+    * quotes (both single and double, open and close), em/en dashes,
+    * NBSP, a zero-width space OR a BOM (doc parity picks), a bell /
+    * vertical-tab / CRLF control sample (doc_id mod 3 picks), an
+    * upper-cased head, tabs, and doubled spaces — so EVERY branch of
+    * [[normalizeText]] decides bytes under the hash gate. Built from
+    * engine-shared string ops only (concat/substr/upper + literal code
+    * points), so the DuckDB oracle reconstructs the identical dirty
+    * string via chr() and must then agree on the whole normalization.
+    */
+  private def garbled(text: Column, docId: Column): Column = concat(
+    lit("\u201C"), upper(substring(text, 1, 12)), lit("\u201D"),
+    lit("\u2014"), lit("\u00A0"),
+    when(docId % 2 === 0, lit("\u200B")).otherwise(lit("\uFEFF")),
+    lit("it\u2019s\t"),
+    when(docId % 3 === 0, lit("\u0007"))
+      .when(docId % 3 === 1, lit("\u000B"))
+      .otherwise(lit("\r\n")),
+    substring(text, 13, 1 << 24),
+    lit("  \u2018q\u2019 "), lit("\u2013"), lit(" end  "))
+
+  /** Unicode text normalization (t36) — the canonical first pass of a
+    * web-corpus pipeline (the cleanup CCNet/Gopher/C4 all run before
+    * any token is counted): smart punctuation folds to ASCII (curly
+    * single/double quotes → ' / ", em and en dashes → -), NBSP becomes
+    * a breaking space, zero-width space and BOM vanish outright,
+    * remaining C0 controls (tab/CR/LF/VT/BEL/…) become spaces, space
+    * runs collapse to one, and the result is trimmed and lower-cased.
+    * Exposed as the column transform [[normalizeCol]] (the reusable
+    * library surface) plus this gate entry, which applies it to
+    * [[garbled]] documents so the hash compares a fully-exercised
+    * normalization, not an ASCII no-op.
+    *
+    * Engine-parity notes: the whitespace collapse is the explicit
+    * class `" +"` — NEVER `\s` (Java includes \x0B in \s, RE2 does
+    * not); controls are the explicit `[\x01-\x1f\x7f]` range both
+    * regex dialects read identically; zero-widths are matched as
+    * literal code points. All steps are codegen'd string expressions —
+    * map-only, no shuffle, scales trivially.
+    */
+  def normalizeCol(c: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(regexp_replace(
+      translate(c, "\u201C\u201D\u2018\u2019\u2014\u2013\u00A0",
+        "\"\"''-- "),
+      "[\u200B\uFEFF]", ""),
+      "[\\x01-\\x1f\\x7f]", " "),
+      " +", " ")))
+
+  def normalizeText(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 20)
+      .select($"doc_id", garbled($"text", $"doc_id").as("dirty"))
+      .select($"doc_id", normalizeCol($"dirty").as("norm"),
+        length($"dirty").cast("int").as("dirty_chars"))
+      .withColumn("norm_chars", length($"norm").cast("int"))
+      .orderBy($"doc_id")
+  }
+
   /** Reference-LM quality buckets — the CCNet split (Wenzek et al.
     * 2020): train a language model on a CLEAN reference corpus, score
     * every candidate document under it, and cut the corpus into
