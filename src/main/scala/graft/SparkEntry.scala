@@ -210,6 +210,7 @@ object SparkEntry {
       TextAnalysis.wordPieceEncode(s, d)),
     "t35_kn_bigram" -> (TextAnalysis.knBigramLm _),
     "t36_normalize" -> (TextAnalysis.normalizeText _),
+    "t37_url_domains" -> (TextAnalysis.urlDomainStats _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -4257,6 +4258,40 @@ object SparkEntry {
         |SELECT doc_id, norm, CAST(length(dirty) AS INT) AS dirty_chars,
         |  CAST(length(norm) AS INT) AS norm_chars
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // t37: the oracle re-embeds the identical URLs, then re-runs
+    // extraction / host parse / www-strip / registered-domain
+    // reduction with its own regex engine (RE2 vs Java — the patterns
+    // stay inside the shared-dialect subset)
+    "t37_url_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' see https://' ||
+        |    'd' || replace(substr(text, 1, 6), ' ', '') ||
+        |    '.example.com/p/x and http://www.' ||
+        |    'd' || replace(substr(text, 9, 6), ' ', '') ||
+        |    '.org/a?b=1 plus https://cdn.img.' ||
+        |    'd' || replace(substr(text, 17, 6), ' ', '') ||
+        |    '.net/y ignore ftp://skip.me end' AS u
+        |  FROM documents WHERE length(text) >= 40
+        |), e AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(u, 'https?://[a-z0-9._/?=-]+')) AS url
+        |  FROM d
+        |), r AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(
+        |      regexp_replace(
+        |        regexp_extract(url, '^https?://([a-z0-9.-]+)', 1),
+        |        '^www\.', ''),
+        |      '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS domain
+        |  FROM e
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_https
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // t33: vocab learning + the greedy longest-match loop, both
     // replayed as one generated CTE chain

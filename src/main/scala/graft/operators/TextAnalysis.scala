@@ -980,6 +980,56 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** URL extraction + registered-domain stats (t37) — the per-domain
+    * census a web-corpus curation pipeline runs before URL-level
+    * filtering (C4 dropped whole domains off a blocklist; RefinedWeb
+    * weights by domain): extract every http(s) URL, parse the host,
+    * strip a leading `www.`, reduce to the registered domain (last two
+    * dot-labels — the public-suffix-list lookup stubbed to its
+    * deterministic core), and aggregate URL count / distinct-doc count
+    * / https share per domain. Since the synthetic corpus carries no
+    * URLs, the gate embeds them deterministically: three URLs per
+    * document whose host labels derive from space-stripped text
+    * slices, plus an `ftp://` decoy the scheme-anchored extractor must
+    * skip — so extraction, host parse, www-strip, and the
+    * registered-domain reduction all decide the hash.
+    *
+    * Engine-parity notes: every regex keeps to classes both Java and
+    * RE2 read identically (no `\w`/`\s`, hyphen last in classes); the
+    * host labels are guaranteed nonempty lowercase alnum by
+    * construction. Scale shape: extraction is map-side (regexp over
+    * each doc), the census is one hash aggregation on domain —
+    * map-combinable, no skew beyond genuinely hot domains (the
+    * production answer is AQE skew handling on the groupBy, free
+    * here).
+    */
+  def urlDomainStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def label(text: Column, off: Int): Column =
+      concat(lit("d"), translate(substring(text, off, 6), " ", ""))
+    val docs = Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 40)
+      .select($"doc_id", concat(
+        $"text", lit(" see https://"), label($"text", 1),
+        lit(".example.com/p/x and http://www."), label($"text", 9),
+        lit(".org/a?b=1 plus https://cdn.img."), label($"text", 17),
+        lit(".net/y ignore ftp://skip.me end")).as("u"))
+    val urls = docs
+      .select($"doc_id", explode(
+        expr("regexp_extract_all(u, 'https?://[a-z0-9._/?=-]+', 0)")).as("url"))
+      .withColumn("host",
+        regexp_extract($"url", "^https?://([a-z0-9.-]+)", 1))
+      .withColumn("host_nw", regexp_replace($"host", "^www\\.", ""))
+      .withColumn("domain",
+        regexp_extract($"host_nw", "([a-z0-9-]+\\.[a-z0-9-]+)$", 1))
+    urls.groupBy($"domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct($"doc_id").as("n_docs"),
+        sum(when($"url".startsWith("https://"), 1L).otherwise(0L))
+          .as("n_https"))
+      .orderBy($"domain")
+  }
+
   /** Reference-LM quality buckets — the CCNet split (Wenzek et al.
     * 2020): train a language model on a CLEAN reference corpus, score
     * every candidate document under it, and cut the corpus into

@@ -56,4 +56,27 @@ class NormalizeSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect()
     again.foreach(r => r.getString(1) shouldBe r.getString(0))
   }
+
+  test("urlDomainStats: decoy skipped, census recomputes, https split") {
+    import graft.Tables
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.urlDomainStats(spark, sf).collect()
+    rows should not be empty
+    val nDocs = Tables.documents(spark, sf)
+      .filter("length(text) >= 40").count()
+    // three URLs per doc, the ftp decoy contributes nothing
+    rows.map(_.getLong(1)).sum shouldBe 3 * nDocs
+    rows.map(_.getString(0)) should not contain "skip.me"
+    // the hot domain aggregates: one https URL per doc
+    val ex = rows.find(_.getString(0) == "example.com").get
+    ex.getLong(1) shouldBe nDocs
+    ex.getLong(2) shouldBe nDocs
+    ex.getLong(3) shouldBe nDocs // all https
+    // the www-stripped .org URLs ride plain http
+    val orgs = rows.filter(_.getString(0).endsWith(".org"))
+    orgs should not be empty
+    orgs.foreach(r => r.getLong(3) shouldBe 0L)
+    // registered-domain reduction: every domain is exactly two labels
+    rows.foreach(_.getString(0).count(_ == '.') shouldBe 1)
+  }
 }
