@@ -211,6 +211,7 @@ object SparkEntry {
     "t35_kn_bigram" -> (TextAnalysis.knBigramLm _),
     "t36_normalize" -> (TextAnalysis.normalizeText _),
     "t37_url_domains" -> (TextAnalysis.urlDomainStats _),
+    "t38_good_turing" -> (TextAnalysis.goodTuring _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -4258,6 +4259,25 @@ object SparkEntry {
         |SELECT doc_id, norm, CAST(length(dirty) AS INT) AS dirty_chars,
         |  CAST(length(norm) AS INT) AS norm_chars
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // t38: Good-Turing frequency-of-frequencies — histogram over token
+    // counts, adjusted count r* = (r+1)N_{r+1}/N_r and unseen mass
+    // N_1/N, both exact floor ppm
+    "t38_good_turing" ->
+      s"""WITH ${tkCte("")},
+         |occ AS (SELECT unnest(tk) AS token FROM tk),
+         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS r
+         |        FROM occ GROUP BY 1),
+         |hist AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+         |         FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n_1
+         |  FROM hist)
+         |SELECT h.r, h.n_r, COALESCE(h2.n_r, 0) AS n_next,
+         |  (h.r + 1) * COALESCE(h2.n_r, 0) * 1000000 // h.n_r AS rstar_ppm,
+         |  n_1 * 1000000 // n_tokens AS p0_ppm, n_tokens
+         |FROM hist h LEFT JOIN hist h2 ON h.r + 1 = h2.r, tot
+         |ORDER BY h.r""".stripMargin,
 
     // t37: the oracle re-embeds the identical URLs, then re-runs
     // extraction / host parse / www-strip / registered-domain

@@ -980,6 +980,45 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Good–Turing count-of-counts (t38) — the frequency-of-frequencies
+    * table (Good 1953) that underlies Katz backoff and the unseen-mass
+    * estimate every LM smoother needs: for each observed token count
+    * r, N_r = how many types occur exactly r times; the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r (0 where N_{r+1} is empty — the raw
+    * estimator's sparse tail, reported honestly; production smooths
+    * N_r first), and the leave-one-out unseen mass P_0 = N_1/N. Both
+    * ratios ride the exact floor-ppm grid, so the whole table
+    * hash-gates. Complements t35: Kneser–Ney fixes the discount, GT
+    * derives it from the count histogram itself.
+    *
+    * Scale shape: two chained map-combinable aggregations (token →
+    * count, count → histogram) — the second one's key space is tiny
+    * (distinct count values ~ O(log corpus)); the r+1 lookup is a
+    * self-join on that tiny table and the N/N_1 totals are a 1-row
+    * broadcast. Nothing here grows with the corpus except the first
+    * groupBy.
+    */
+  def goodTuring(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(Text.toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("r"))
+    val hist = graft.Caches.track(
+      counts.groupBy($"r").agg(count(lit(1)).as("n_r")))
+    val totals = hist.agg(
+      sum($"r" * $"n_r").as("n_tokens"),
+      sum(when($"r" === 1, $"n_r").otherwise(0L)).as("n_1"))
+    hist.join(hist.select($"r".as("r1"), $"n_r".as("nn")),
+        $"r" + 1 === $"r1", "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("n_next", coalesce($"nn", lit(0L)))
+      .selectExpr("r", "n_r", "n_next",
+        "(r + 1) * n_next * 1000000 div n_r AS rstar_ppm",
+        "n_1 * 1000000 div n_tokens AS p0_ppm",
+        "n_tokens")
+      .orderBy($"r")
+  }
+
   /** URL extraction + registered-domain stats (t37) — the per-domain
     * census a web-corpus curation pipeline runs before URL-level
     * filtering (C4 dropped whole domains off a blocklist; RefinedWeb

@@ -375,6 +375,31 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
         mass should be >= 1000000000L - (rs.length + 1).toLong
       }
     }
+    // the GT histogram over the same corpus recomputes too (t38 rides
+    // the same count families)
+    val gt = TextAnalysis.goodTuring(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    val uniC = toksByDoc.values.flatten
+      .groupBy(identity).map { case (_, ws) => ws.size.toLong }
+    val histM = uniC.groupBy(identity).map { case (r, rs) => r -> rs.size.toLong }
+    gt.length shouldBe histM.size
+    val n = uniC.sum
+    val n1 = histM.getOrElse(1L, 0L)
+    gt.foreach { r =>
+      val rv = r.getAs[Long]("r")
+      withClue(s"r=$rv: ") {
+        r.getAs[Long]("n_r") shouldBe histM(rv)
+        r.getAs[Long]("n_next") shouldBe histM.getOrElse(rv + 1, 0L)
+        r.getAs[Long]("rstar_ppm") shouldBe
+          ((rv + 1) * histM.getOrElse(rv + 1, 0L) * 1000000L) / histM(rv)
+        r.getAs[Long]("p0_ppm") shouldBe n1 * 1000000L / n
+        r.getAs[Long]("n_tokens") shouldBe n
+      }
+    }
+    // the raw estimator's sparse tail: the largest count has no
+    // successor bucket, so its adjusted count collapses to 0
+    gt.maxBy(_.getAs[Long]("r")).getAs[Long]("rstar_ppm") shouldBe 0L
+
     // the KN insight is non-vacuous on this corpus: continuation
     // counts genuinely vary across successor words, so the backoff
     // term is not a constant rescale of the discount
