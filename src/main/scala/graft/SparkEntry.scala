@@ -166,6 +166,8 @@ object SparkEntry {
       Similarity.cellDrift(s, d)),
     "s28_ivf_recall_curve" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRecallCurve(s, d)),
+    "s33_silhouette" -> ((s: SparkSession, d: String) =>
+      Similarity.silhouette(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -3520,6 +3522,31 @@ object SparkEntry {
          |  SELECT vec_id, cluster, dist2q,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
          |  FROM fin) r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // s33: simplified silhouette — distances to ALL k trained
+    // centroids, own (rn=1) vs nearest-other (min of rn>1), margin as
+    // exact floor ppm on the squared integer grid
+    "s33_silhouette" ->
+      s"""WITH ${embCte("TRUE")},
+         |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+         |${corpusLloydCtes(8, 2)},
+         |fin AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT vec_id, cluster, dist2q,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |  FROM fin
+         |),
+         |own AS (SELECT vec_id, cluster, dist2q AS a2 FROM r WHERE rn = 1),
+         |oth AS (SELECT vec_id, CAST(min(dist2q) AS BIGINT) AS b2
+         |        FROM r WHERE rn > 1 GROUP BY 1)
+         |SELECT o.vec_id, o.cluster, a2, b2,
+         |  CASE WHEN greatest(a2, b2) = 0 THEN 0
+         |       ELSE (b2 - a2) * 1000000 // greatest(a2, b2) END AS sil_ppm
+         |FROM own o JOIN oth USING (vec_id) ORDER BY o.vec_id""".stripMargin,
 
     // s12: the s11 assignment + per-cluster mean-distance outlier flag
     "s12_embed_outliers" ->

@@ -390,6 +390,56 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Simplified silhouette (s33) — the cluster-quality score that
+    * decides whether an [[corpusClusters]] partitioning is worth
+    * feeding to cluster-aware selection: per vector, a = distance to
+    * its OWN centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b). This is the simplified-silhouette variant
+    * (Hruschka et al. 2004 — centroid distances instead of the classic
+    * all-pairs mean), which is the only form that survives 100 TB: the
+    * classic score is O(n²) pairwise work, this is the SAME broadcast-
+    * centroid pass the clustering itself runs, O(n·k). Two deliberate
+    * deviations, both documented: distances stay SQUARED on the exact
+    * 1e-6 integer grid (order-preserving for the argmin and threshold
+    * semantics; no float sqrt to wobble cross-engine), and because the
+    * assignment IS nearest-centroid, a ≤ b by construction — the score
+    * lives in [0, 1e6] ppm and measures separation margin rather than
+    * misassignment. Everything is exact integer arithmetic end to end,
+    * so the full per-vector table hash-gates.
+    *
+    * Scale shape: identical to s11 — Lloyd training's broadcast joins,
+    * then ONE more broadcast-centroid pass whose per-vector frame is k
+    * rows; the rn=1/rn>1 split reads one cached ranking. No shuffle
+    * beyond the training's own.
+    */
+  def silhouette(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ptsAll = graft.Caches.track(
+      gridPoints(Tables.embeddings(spark, sfDir)))
+    val seedCent = ptsAll.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cluster"), $"pos", $"xq".as("cq"))
+    var cent = lloydAverage(ptsAll, lloydAssign(ptsAll, seedCent))
+    for (_ <- 2 to iters) cent = lloydAverage(ptsAll, lloydAssign(ptsAll, cent))
+    val dAll = ptsAll.join(broadcast(cent), "pos")
+      .groupBy($"vec_id", $"cluster")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
+    // cached: the own-cluster slice and the nearest-other min both
+    // read the ranked k-row-per-vector frame
+    val ranked = graft.Caches.track(
+      dAll.withColumn("rn", row_number().over(w)))
+    val own = ranked.filter($"rn" === 1)
+      .select($"vec_id", $"cluster", $"dist2q".as("a2"))
+    val other = ranked.filter($"rn" > 1)
+      .groupBy($"vec_id").agg(min($"dist2q").as("b2"))
+    own.join(other, "vec_id")
+      .selectExpr("vec_id", "cluster", "a2", "b2",
+        "CASE WHEN greatest(a2, b2) = 0 THEN 0 " +
+          "ELSE (b2 - a2) * 1000000 div greatest(a2, b2) END AS sil_ppm")
+      .orderBy($"vec_id")
+  }
+
   /** (vec_id, cluster, pos, xq): embedding components quantized to the
     * 1e-6 grid as integers. Quantizing FIRST makes every downstream
     * aggregate an integer sum — exact and summation-order-free — so

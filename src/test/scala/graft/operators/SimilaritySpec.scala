@@ -737,4 +737,31 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
       (r.getInt(2) & 15) shouldBe r.getInt(1)
     }
   }
+
+  test("silhouette: agrees with corpusClusters, margin law, ppm recompute") {
+    val sil = Similarity.silhouette(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    val assign = Similarity.corpusClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    graft.Caches.releaseAll(spark)
+    sil.length shouldBe assign.size
+    sil.foreach { r =>
+      val id = r.getLong(0)
+      val (a2, b2) = (r.getLong(2), r.getLong(3))
+      withClue(s"vec $id: ") {
+        // same training → same cluster AND same own-centroid distance
+        r.getInt(1) shouldBe assign(id)._1
+        a2 shouldBe assign(id)._2
+        // nearest-centroid assignment makes a the minimum: a2 ≤ b2,
+        // so the margin lives in [0, 1e6] and recomputes exactly
+        a2 should be <= b2
+        val expect = if (math.max(a2, b2) == 0) 0L
+          else (b2 - a2) * 1000000L / math.max(a2, b2)
+        r.getLong(4) shouldBe expect
+        r.getLong(4) should (be >= 0L and be <= 1000000L)
+      }
+    }
+    // non-vacuous: real data separates unevenly
+    sil.map(_.getLong(4)).distinct.length should be > 1
+  }
 }
