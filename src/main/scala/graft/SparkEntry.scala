@@ -168,6 +168,8 @@ object SparkEntry {
       Similarity.ivfRecallCurve(s, d)),
     "s33_silhouette" -> ((s: SparkSession, d: String) =>
       Similarity.silhouette(s, d)),
+    "s34_cluster_purity" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterPurity(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -3547,6 +3549,50 @@ object SparkEntry {
          |  CASE WHEN greatest(a2, b2) = 0 THEN 0
          |       ELSE (b2 - a2) * 1000000 // greatest(a2, b2) END AS sil_ppm
          |FROM own o JOIN oth USING (vec_id) ORDER BY o.vec_id""".stripMargin,
+
+    // s34: external validity of the s11 clustering against the label
+    // column — majority share + Gini impurity per cluster, overall
+    // purity as a 1-row total, all exact floor ppm
+    "s34_cluster_purity" ->
+      s"""WITH ${embCte("TRUE")},
+         |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+         |${corpusLloydCtes(8, 2)},
+         |fin AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
+         |),
+         |asg AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, dist2q,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |    FROM fin) r WHERE rn = 1
+         |),
+         |cl AS (
+         |  SELECT a.cluster, em.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM asg a JOIN embeddings em ON a.vec_id = em.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |tots AS (
+         |  SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n,
+         |    CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+         |  FROM cl GROUP BY 1
+         |),
+         |maj AS (
+         |  SELECT cluster, label AS maj_label, cnt AS maj_cnt FROM (
+         |    SELECT cluster, label, cnt,
+         |      row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label) AS rn
+         |    FROM cl) r WHERE rn = 1
+         |),
+         |j AS (SELECT m.cluster, n, maj_label, maj_cnt, sum_sq
+         |      FROM maj m JOIN tots USING (cluster)),
+         |ov AS (SELECT CAST(sum(maj_cnt) AS BIGINT) AS t_maj,
+         |              CAST(sum(n) AS BIGINT) AS t_n FROM j)
+         |SELECT cluster, n, maj_label, maj_cnt,
+         |  maj_cnt * 1000000 // n AS purity_ppm,
+         |  1000000 - sum_sq * 1000000 // (n * n) AS gini_ppm,
+         |  t_maj * 1000000 // t_n AS overall_ppm
+         |FROM j, ov ORDER BY cluster""".stripMargin,
 
     // s12: the s11 assignment + per-cluster mean-distance outlier flag
     "s12_embed_outliers" ->

@@ -440,6 +440,54 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Cluster-purity evaluation (s34) — the external-validity check a
+    * curation pipeline runs when the corpus carries ANY supervision
+    * signal (here the embeddings' `label` column — in production a
+    * source/domain/language tag): per [[corpusClusters]] cluster, the
+    * majority label and its share (purity, floor ppm), the Gini
+    * impurity of the label mix (the rational entropy stand-in — the
+    * t17 discipline, no ln anywhere), and the corpus-wide purity.
+    * Together with s33 (internal validity) this answers "did k-means
+    * recover anything real" before cluster-aware sampling trusts the
+    * assignment.
+    *
+    * All-integer: counts, majority argmax (count DESC, label tiebreak),
+    * purity = maj·1e6 div n, gini = 1e6 − Σcnt²·1e6 div n² — exact on
+    * both engines, full table hash-gated.
+    *
+    * Scale shape: the Lloyd plan plus ONE (cluster, label) aggregation
+    * — key space k·|labels|, tiny; the majority window partitions that
+    * frame; overall purity is a 1-row broadcast.
+    */
+  def clusterPurity(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val assign = corpusAssign(spark, sfDir, k, iters)
+      .select($"vec_id", $"cluster")
+    val lab = Tables.embeddings(spark, sfDir).select($"vec_id", $"label")
+    // cached: the per-cluster totals and the majority window both read
+    // the (cluster, label) counts
+    val cl = graft.Caches.track(
+      assign.join(lab, "vec_id")
+        .groupBy($"cluster", $"label").agg(count(lit(1)).as("cnt")))
+    val tots = cl.groupBy($"cluster")
+      .agg(sum($"cnt").as("n"), sum($"cnt" * $"cnt").as("sum_sq"))
+    val wMaj = Window.partitionBy($"cluster")
+      .orderBy($"cnt".desc, $"label")
+    val maj = cl.withColumn("rn", row_number().over(wMaj))
+      .filter($"rn" === 1)
+      .select($"cluster", $"label".as("maj_label"), $"cnt".as("maj_cnt"))
+    val joined = graft.Caches.track(maj.join(tots, "cluster"))
+    val overall = joined.agg(
+      sum($"maj_cnt").as("t_maj"), sum($"n").as("t_n"))
+    joined.crossJoin(broadcast(overall))
+      .selectExpr("cluster", "n", "maj_label", "maj_cnt",
+        "maj_cnt * 1000000 div n AS purity_ppm",
+        "1000000 - sum_sq * 1000000 div (n * n) AS gini_ppm",
+        "t_maj * 1000000 div t_n AS overall_ppm")
+      .orderBy($"cluster")
+  }
+
   /** (vec_id, cluster, pos, xq): embedding components quantized to the
     * 1e-6 grid as integers. Quantizing FIRST makes every downstream
     * aggregate an integer sum — exact and summation-order-free — so

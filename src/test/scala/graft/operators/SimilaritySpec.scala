@@ -764,4 +764,42 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     // non-vacuous: real data separates unevenly
     sil.map(_.getLong(4)).distinct.length should be > 1
   }
+
+  test("clusterPurity: recomputes from assignment x labels, bounds hold") {
+    val out = Similarity.clusterPurity(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    val assign = Similarity.corpusClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.Caches.releaseAll(spark)
+    import spark.implicits._
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCluster = assign.toSeq.groupBy(_._2)
+      .map { case (c, vs) => c -> vs.map(v => labels(v._1)) }
+    out.length shouldBe byCluster.size
+    val tMaj = out.map(_.getLong(3)).sum
+    val tN = out.map(_.getLong(1)).sum
+    tN shouldBe assign.size.toLong
+    out.foreach { r =>
+      val c = r.getInt(0)
+      val labs = byCluster(c)
+      val counts = labs.groupBy(identity).map { case (l, ls) => l -> ls.size.toLong }
+      withClue(s"cluster $c: ") {
+        r.getLong(1) shouldBe labs.size.toLong
+        // majority by (count DESC, label) — the pinned tiebreak
+        val (ml, mc) = counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
+        r.getInt(2) shouldBe ml
+        r.getLong(3) shouldBe mc
+        r.getLong(4) shouldBe mc * 1000000L / labs.size
+        val sumSq = counts.values.map(n => n * n).sum
+        r.getLong(5) shouldBe
+          1000000L - sumSq * 1000000L / (labs.size.toLong * labs.size)
+        r.getLong(6) shouldBe tMaj * 1000000L / tN
+        // purity at least 1/|labels| of the cluster; gini in [0, 1e6)
+        r.getLong(4) should be >= 1000000L / counts.size
+        r.getLong(5) should (be >= 0L and be < 1000000L)
+      }
+    }
+  }
 }
