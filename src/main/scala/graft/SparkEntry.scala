@@ -315,6 +315,7 @@ object SparkEntry {
     "o18_pbf_members" -> (osm.OsmOracle.pbfRelationMembers _),
     "o19_zorder_nodes" -> (osm.OsmOracle.zorderNodes _),
     "o20_zrange_bbox" -> (osm.OsmOracle.zrangeBboxNodes _),
+    "o23_hilbert_nodes" -> (osm.OsmOracle.hilbertNodes _),
     "o21_polygon_areas" -> (osm.OsmOracle.polygonAreas _),
     "o22_polygon_centroids" -> (osm.OsmOracle.polygonCentroids _),
   )
@@ -5901,6 +5902,24 @@ object SparkEntry {
          |SELECT id, version, zval, CAST(zval >> 50 AS INT) AS zcell
          |FROM z ORDER BY id, version""".stripMargin,
 
+    // o23: the codegen'd hilbert(lat, lon) expression under the gate —
+    // the oracle replays the 16-bit scale and all sixteen
+    // quadrant-rotation rounds as generated CASE arithmetic (rx/ry
+    // pick the quadrant, d accumulates s² sub-squares, ry=0 rotates
+    // with an rx=1 reflection)
+    "o23_hilbert_nodes" ->
+      s"""WITH n AS (
+         |  SELECT id, version, CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon
+         |  FROM $OsmP WHERE type = 'node' AND lat IS NOT NULL AND lon IS NOT NULL),
+         |h0 AS (SELECT id, version,
+         |        ${hScaleSql("lon", "-180.0e0", "360.0e0")} AS x,
+         |        ${hScaleSql("lat", "-90.0e0", "180.0e0")} AS y,
+         |        CAST(0 AS BIGINT) AS d
+         |      FROM n),
+         |${hilbertRoundsSql()}
+         |SELECT id, version, d AS hval, CAST(d >> 24 AS INT) AS hcell
+         |FROM h16 ORDER BY id, version""".stripMargin,
+
     // o20: the z-range-pruned bbox scan's LOSSLESSNESS gate — the
     // oracle is the PLAIN o05 bbox filter with no z logic in the
     // selection (zval recomputed per matched row only for the output
@@ -5933,4 +5952,32 @@ object SparkEntry {
     */
   private def zSpreadSql(v: String): String =
     (0 until 21).map(b => s"((($v >> $b) & 1) << ${3 * b})").mkString(" + ")
+
+  /** 16-bit coordinate scaling, the HilbertCurve.scale mirror (same
+    * IEEE sequence as [[zScaleSql]], narrower grid).
+    */
+  private def hScaleSql(v: String, min: String, range: String): String =
+    s"greatest(0, least(65535, CAST(trunc(((($v) - ($min)) / $range) * 65536.0e0) AS BIGINT)))"
+
+  /** The HilbertCurve.xy2d loop unrolled: round k works at scale bit
+    * s = 2^(15-k); each round reads h_k's (x, y, d) and emits the
+    * rotated frame plus the quadrant's s² contribution — the exact
+    * transform order of the Scala walk (d from the CURRENT quadrant
+    * bits, then ry=0 rotate with the rx=1 reflection folded in).
+    */
+  private def hilbertRoundsSql(): String =
+    (0 until 16).map { k =>
+      val s = 1L << (15 - k)
+      s"""h${k + 1} AS (
+         |  SELECT id, version,
+         |    CASE WHEN (y & $s) > 0 THEN x
+         |         WHEN (x & $s) > 0 THEN 65535 - y ELSE y END AS x,
+         |    CASE WHEN (y & $s) > 0 THEN y
+         |         WHEN (x & $s) > 0 THEN 65535 - x ELSE x END AS y,
+         |    d + CAST(${s * s} AS BIGINT) *
+         |      (CASE WHEN (x & $s) > 0 AND (y & $s) > 0 THEN 2
+         |            WHEN (x & $s) > 0 THEN 3
+         |            WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         |  FROM h$k)""".stripMargin
+    }.mkString(",\n")
 }

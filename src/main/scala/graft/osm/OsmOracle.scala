@@ -295,4 +295,24 @@ object OsmOracle {
         col("lon").cast("string").as("lon"), col("zval"))
       .orderBy(col("id"))
   }
+
+  /** Hilbert clustering index over the fixture's nodes (o23) — o19's
+    * sibling with the adjacency-preserving curve: the codegen'd
+    * [[graft.functions.HilbertExpr]] under the DuckDB gate, whose
+    * oracle replays the 16-bit coordinate scaling and ALL sixteen
+    * quadrant-rotation rounds as generated CASE arithmetic — one wrong
+    * rotate/reflect and the hash diverges. `hcell` (the 8 coarsest
+    * curve bits) is the stripe-clustering key variant; unlike zcell,
+    * consecutive hcells are always spatially adjacent, which is the
+    * property that keeps bbox scans from touching teleport stripes.
+    */
+  def hilbertNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = graft.functions.HilbertFunctions.hilbert(col("lat"), col("lon"))
+    OsmFixture.planet(spark)
+      .filter(col("type") === "node" && col("lat").isNotNull &&
+        col("lon").isNotNull)
+      .select(col("id"), col("version"), h.as("hval"))
+      .withColumn("hcell", shiftright(col("hval"), 24).cast("int"))
+      .orderBy(col("id"), col("version"))
+  }
 }

@@ -167,6 +167,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // frame as its direct child — k rows (a parameter) per side into
     // 1-row broadcasts (verified by plan dump this round; the
     // p18/p19 tiny-key-space bound).
+    // t35 — the bigram-type-count scalar B: the plan's one
+    // SinglePartition exchange has HashAggregate(partial_count(1))
+    // over the CACHED bigram table as its direct child — one partial
+    // row per task into the 1-row broadcast the continuation
+    // probability divides by (t20's V shape; verified by plan dump
+    // this round).
+    // s34 — the corpus-wide purity totals: the plan's one
+    // SinglePartition exchange has HashAggregate(partial_sum(maj_cnt),
+    // partial_sum(n)) over the CACHED k-row per-cluster frame as its
+    // direct child — k rows (a parameter) per task into the 1-row
+    // broadcast overall_ppm divides by (s32's tiny-key-space bound;
+    // verified by plan dump this round).
+    // t38 — the N/N_1 totals: the plan's one SinglePartition exchange
+    // has HashAggregate(partial_sum(r·n_r), partial_sum(CASE r=1)) over
+    // the CACHED count-histogram frame as its direct child —
+    // O(log corpus) rows per task into the 1-row broadcast p0 divides
+    // by (verified by plan dump this round).
     // q55 — the total-fanout scalar: the plan's one SinglePartition
     // exchange has HashAggregate(partial_sum(fanout)) as its direct
     // child — ONE partial-sum row per task into the 1-row broadcast
@@ -181,7 +198,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "t27_pmi_colloc", "p16_curriculum", "q47_equidepth_hist",
       "t29_trigram_backoff", "p17_interleave", "p18_unimax",
       "t32_vocab_growth", "q50_cusum", "q55_join_skew",
-      "p19_temperature_mix", "s32_cell_drift")
+      "p19_temperature_mix", "s32_cell_drift", "t35_kn_bigram",
+      "s34_cluster_purity", "t38_good_turing")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

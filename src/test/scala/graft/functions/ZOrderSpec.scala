@@ -94,4 +94,55 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
       .filter(col("zval") < zmin || col("zval") > zmax)
       .count() shouldBe 0L
   }
+
+  test("hilbert: round-trip, adjacency law, and the Morton contrast") {
+    import graft.functions.{HilbertCurve, ZCurve}
+    // round trip d → (x,y) → d across the curve (sampled stride keeps
+    // the sweep cheap while touching all quadrant orientations)
+    val max = 1L << 32
+    (0L until 20000L).foreach { i =>
+      val d = i * 214748L % max
+      val (x, y) = HilbertCurve.d2xy(d)
+      withClue(s"d=$d (x=$x y=$y): ") {
+        HilbertCurve.xy2d(x, y) shouldBe d
+      }
+    }
+    // THE Hilbert property: consecutive curve positions are always
+    // grid neighbors (Manhattan distance exactly 1) — the law Morton
+    // violates at every quadrant boundary
+    (0L until 8192L).foreach { d =>
+      val (x1, y1) = HilbertCurve.d2xy(d)
+      val (x2, y2) = HilbertCurve.d2xy(d + 1)
+      withClue(s"d=$d: ") {
+        math.abs(x1 - x2) + math.abs(y1 - y2) shouldBe 1L
+      }
+    }
+    // Morton, for contrast, teleports: some consecutive z pair in the
+    // same range is NOT grid-adjacent
+    def unspread(v: Long): Long =
+      (0 until 21).map(b => ((v >> (3 * b)) & 1L) << b).sum
+    val mortonJumps = (0L until 1024L).exists { z =>
+      val (x1, y1) = (unspread(z), unspread(z >> 1))
+      val (x2, y2) = (unspread(z + 1), unspread((z + 1) >> 1))
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    mortonJumps shouldBe true
+    // scale clamps to the 16-bit grid at both poles
+    HilbertCurve.scale(-90.0, -90.0, 90.0) shouldBe 0L
+    HilbertCurve.scale(90.0, -90.0, 90.0) shouldBe 65535L
+    // expression and direct call agree on the fixture
+    val planet = graft.osm.OsmFixture.planet(spark)
+      .filter(col("type") === "node" && col("lat").isNotNull)
+      .withColumn("hval",
+        graft.functions.HilbertFunctions.hilbert(col("lat"), col("lon")))
+      .select(col("lat").cast("double"), col("lon").cast("double"),
+        col("hval"))
+      .collect()
+    planet should not be empty
+    planet.foreach { r =>
+      r.getLong(2) shouldBe HilbertCurve.fromLatLon(r.getDouble(0), r.getDouble(1))
+    }
+    // keep ZCurve referenced so the contrast comment stays honest
+    ZCurve.fromLatLon(0.0, 0.0) should be >= 0L
+  }
 }
