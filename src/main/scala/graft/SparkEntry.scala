@@ -252,6 +252,7 @@ object SparkEntry {
     "m05_raster_gate" -> (Multimodal.rasterChecksumGate _),
     "m06_perceptual_gate" -> (Multimodal.perceptualGate _),
     "m07_audio_gate" -> (Multimodal.pcmGate _),
+    "m30_silence_trim" -> (Multimodal.silenceTrimGate _),
     "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "m10_resize_gate" -> (Multimodal.resizeGate _),
@@ -5332,6 +5333,46 @@ object SparkEntry {
         |  z.zero_crossings, c.sample_checksum
         |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // m30: leading/trailing silence trim over REAL decoded PCM — the
+    // oracle rebuilds the quiet-wrapped sample stream (quiet zones
+    // from doc_id arithmetic, body from ord()) and replays the
+    // first-loud/last-loud rule + the kept-region rolling fold
+    "m30_silence_trim" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (
+        |  SELECT doc_id, CAST(i AS INT) AS idx,
+        |    CAST(((doc_id + i) % 5) - 2 AS INT) AS s
+        |  FROM d, UNNEST(range(0, doc_id % 7)) t(i)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id % 7 + i - 1 AS INT),
+        |    CAST((ord(text[CAST(i AS INT)]) - 96) * 128 AS INT)
+        |  FROM d, UNNEST(range(1, 65)) t(i)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id % 7 + 64 + i AS INT),
+        |    CAST(((doc_id + i) % 5) - 2 AS INT)
+        |  FROM d, UNNEST(range(0, (doc_id // 7) % 5)) t(i)
+        |),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n,
+        |    min(CASE WHEN abs(s) >= 256 THEN idx END) AS fl,
+        |    max(CASE WHEN abs(s) >= 256 THEN idx END) AS ll
+        |  FROM v GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT v.doc_id,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list(CAST(s + 32768 AS BIGINT) ORDER BY idx),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS kept_checksum
+        |  FROM v JOIN a USING (doc_id)
+        |  WHERE idx >= fl AND idx <= ll GROUP BY 1
+        |)
+        |SELECT a.doc_id, n AS n_samples,
+        |  CAST(CASE WHEN fl IS NULL THEN n ELSE fl END AS INT) AS lead_trim,
+        |  CAST(CASE WHEN fl IS NULL THEN 0 ELSE n - 1 - ll END AS INT) AS tail_trim,
+        |  CAST(CASE WHEN fl IS NULL THEN 0 ELSE ll - fl + 1 END AS INT) AS kept_n,
+        |  CAST(COALESCE(c.kept_checksum, 0) AS BIGINT) AS kept_checksum
+        |FROM a LEFT JOIN c USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     // m08: the 15-bit frame-energy-gradient audio fingerprint — 16
     // frames of 4 samples, exact integer energies Σ|s|, bit f set iff

@@ -3187,6 +3187,84 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Leading/trailing silence trim (m30) — the edge-cleanup every
+    * audio training pipeline runs before feature extraction (quiet
+    * room tone at the head, recorder tail at the end): the first and
+    * last sample with |s| ≥ `threshold` bound the kept region;
+    * everything outside is trimmed. Per clip: total samples, samples
+    * trimmed off each edge, kept length, and the m07 biased rolling
+    * checksum of the KEPT region only — so the gate pins the trim
+    * boundaries exactly (an off-by-one at either edge shifts the
+    * fold). An all-silent clip keeps nothing (lead_trim = n,
+    * kept_n = 0, checksum 0). Decode and trim are one map over the
+    * binary column — no shuffle, the m05 scale shape.
+    */
+  def silenceTrim(ds: Dataset[MediaRow], threshold: Int = 256): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val a = decodePcmSamples(r.content)
+        .getOrElse(throw new IllegalStateException(
+          s"pcm decode failed for ${r.media_id}"))
+      val s = a.samples
+      val n = s.length
+      var fl = -1; var ll = -1
+      var i = 0
+      while (i < n) {
+        if (math.abs(s(i)) >= threshold) { if (fl < 0) fl = i; ll = i }
+        i += 1
+      }
+      if (fl < 0) (r.media_id, n, n, 0, 0, 0L)
+      else {
+        var acc = 0L
+        var j = fl
+        while (j <= ll) {
+          acc = (acc * 31 + (s(j) + 32768L)) % 1000000007L
+          j += 1
+        }
+        (r.media_id, n, fl, n - 1 - ll, ll - fl + 1, acc)
+      }
+    }.toDF("doc_id", "n_samples", "lead_trim", "tail_trim", "kept_n",
+      "kept_checksum")
+  }
+
+  /** m30 payload builder: the m07 body wrapped in REAL quiet zones —
+    * `doc_id % 7` near-zero samples ((doc_id + i) mod 5 − 2, |s| ≤ 2)
+    * before and `(doc_id / 7) % 5` after, so the trim boundaries vary
+    * per document, include the zero-trim branch (ids ≡ 0 mod 7), and
+    * the oracle can rebuild every sample from ord()/doc_id arithmetic.
+    * Note the body itself may START quiet (an 'a' byte maps to |s| =
+    * 128 < 256) — the trim rule eats those too, which is exactly what
+    * the shared first-loud definition pins cross-engine.
+    */
+  private def docWavTrimRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", substring($"text", 1, 64).as("px"))
+      .as[(Long, String)]
+      .map { case (id, px) =>
+        val bytes = px.getBytes("ISO-8859-1")
+        def quiet(i: Long): Int = (((id + i) % 5) - 2).toInt
+        val lead = (id % 7).toInt
+        val tail = ((id / 7) % 5).toInt
+        val samples =
+          Array.tabulate(lead)(i => quiet(i.toLong)) ++
+          Array.tabulate(64)(j => ((bytes(j) & 0xff) - 96) * 128) ++
+          Array.tabulate(tail)(i => quiet(i.toLong))
+        MediaRow(id, "audio", buildPcm16Wav(samples, 8000))
+      }
+  }
+
+  /** m30 gate entry: REAL decode + trim over quiet-wrapped WAVs; the
+    * oracle rebuilds the identical sample stream (quiet zones from
+    * doc_id arithmetic, body from ord()) and replays the
+    * first-loud/last-loud rule plus the kept-region fold.
+    */
+  def silenceTrimGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    silenceTrim(docWavTrimRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** Integer-exact linear-interpolation PCM resample — the sample-rate
     * conversion a training pipeline runs to normalize crawled audio to
     * one model rate. Output sample j sits at source position

@@ -333,4 +333,40 @@ class PcmDecodeSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq(MediaRow(2L, "audio", Array[Byte](1, 2, 3))).toDS(), 3, 4)
       .count() shouldBe 0L
   }
+
+  test("silenceTrim: hand-built boundaries, all-silent, zero-trim") {
+    import spark.implicits._
+    def wav(s: Array[Int]) = Multimodal.buildPcm16Wav(s, 8000)
+    def fold(s: Seq[Int]): Long =
+      s.foldLeft(0L)((acc, x) => (acc * 31 + (x + 32768L)) % 1000000007L)
+    val rows = Seq(
+      // 3 quiet, 4 loud (one interior quiet survives), 2 quiet
+      MediaRow(1L, "audio",
+        wav(Array(0, 2, -2, 500, -300, 1, 400, -1, 2))),
+      // all silent: keeps nothing
+      MediaRow(2L, "audio", wav(Array(0, 1, -1, 2))),
+      // loud at both edges: zero trim
+      MediaRow(3L, "audio", wav(Array(-256, 0, 256))),
+      // exactly-at-threshold samples count as loud
+      MediaRow(4L, "audio", wav(Array(0, 256, 0)))
+    ).toDS()
+    val out = Multimodal.silenceTrim(rows).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))
+      .toMap
+    out(1L) shouldBe ((9, 3, 2, 4, fold(Seq(500, -300, 1, 400))))
+    out(2L) shouldBe ((4, 4, 0, 0, 0L))
+    out(3L) shouldBe ((3, 0, 0, 3, fold(Seq(-256, 0, 256))))
+    out(4L) shouldBe ((3, 1, 1, 1, fold(Seq(256))))
+    // gate corpus: invariants hold everywhere, both trim branches real
+    val gate = Multimodal.silenceTrimGate(spark, "/root/testdata/sf0.001")
+      .collect()
+    gate should not be empty
+    gate.foreach { r =>
+      r.getInt(2) + r.getInt(3) + r.getInt(4) shouldBe r.getInt(1)
+      r.getInt(4) should be > 0 // word-soup bodies always carry a space
+    }
+    gate.exists(_.getInt(2) > 0) shouldBe true
+    gate.exists(_.getInt(2) == 0) shouldBe true
+  }
 }
