@@ -216,6 +216,8 @@ object SparkEntry {
     "t36_normalize" -> (TextAnalysis.normalizeText _),
     "t37_url_domains" -> (TextAnalysis.urlDomainStats _),
     "t38_good_turing" -> (TextAnalysis.goodTuring _),
+    "t39_feature_hash" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.featureHash(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -4353,6 +4355,21 @@ object SparkEntry {
          |  n_1 * 1000000 // n_tokens AS p0_ppm, n_tokens
          |FROM hist h LEFT JOIN hist h2 ON h.r + 1 = h2.r, tot
          |ORDER BY h.r""".stripMargin,
+
+    // t39: the signed hashing trick — bucket from the first 4 md5 hex
+    // chars, sign from the 5th char's parity, collisions cancel via
+    // summed signs; zero dims drop
+    "t39_feature_hash" ->
+      s"""WITH ${tkCte("")},
+         |occ AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+         |hh AS (SELECT doc_id,
+         |    CAST((${hexIntSql("md5(token)", 4)}) % 16 AS INT) AS dim,
+         |    CASE WHEN (${hexIntSql("substr(md5(token), 5, 1)", 1)}) % 2 = 0
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM occ)
+         |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS val
+         |FROM hh GROUP BY 1, 2 HAVING sum(sgn) <> 0
+         |ORDER BY doc_id, dim""".stripMargin,
 
     // t37: the oracle re-embeds the identical URLs, then re-runs
     // extraction / host parse / www-strip / registered-domain

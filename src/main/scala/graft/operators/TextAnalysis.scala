@@ -980,6 +980,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Signed feature hashing (t39) — the hashing trick (Weinberger et
+    * al., ICML 2009): every token maps to one of `dims` buckets by
+    * content hash, with a SECOND hash bit choosing ±1 so collisions
+    * cancel in expectation (the property that keeps the hashed inner
+    * product unbiased) — the fixed-width featurizer that turns an
+    * unbounded vocabulary into a bounded vector without any trained
+    * dictionary, which is why large-scale quality classifiers
+    * (fastText-style) run it instead of a vocab lookup. Output is the
+    * sparse form (doc_id, dim, val) with zero entries dropped.
+    *
+    * Determinism: bucket and sign both derive from md5 hex via the
+    * p01/p03 integer idiom — exact integer arithmetic on both engines,
+    * full table hash-gated.
+    *
+    * Scale shape: map-side hash + ONE (doc_id, dim) aggregation —
+    * map-combinable (the per-task key space is bounded by docs×dims in
+    * flight), no windows, no broadcast. Vocabulary size never appears
+    * anywhere — the point of the trick.
+    */
+  def featureHash(spark: SparkSession, sfDir: String,
+      dims: Int = 16): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(Text.toks($"text")).as("token"))
+      .withColumn("h", md5($"token".cast("binary")))
+      .withColumn("dim",
+        (conv(substring($"h", 1, 4), 16, 10).cast("bigint") % dims)
+          .cast("int"))
+      .withColumn("sgn",
+        when(conv(substring($"h", 5, 1), 16, 10).cast("bigint") % 2 === 0,
+          1L).otherwise(-1L))
+      .groupBy($"doc_id", $"dim").agg(sum($"sgn").as("val"))
+      .filter($"val" =!= 0)
+      .orderBy($"doc_id", $"dim")
+  }
+
   /** Good–Turing count-of-counts (t38) — the frequency-of-frequencies
     * table (Good 1953) that underlies Katz backoff and the unseen-mass
     * estimate every LM smoother needs: for each observed token count

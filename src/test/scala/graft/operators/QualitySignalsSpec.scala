@@ -236,6 +236,51 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("featureHash: buckets/signs recompute from MessageDigest md5") {
+    val rows = TextAnalysis.featureHash(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toksByDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    // independent vector build per doc
+    val expect = toksByDoc.map { case (id, tks) =>
+      val v = new Array[Long](16)
+      tks.foreach { t =>
+        val h = md5hex(t)
+        val dim = (java.lang.Long.parseLong(h.substring(0, 4), 16) % 16).toInt
+        val sgn = if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0)
+          1L else -1L
+        v(dim) += sgn
+      }
+      id -> v
+    }
+    rows.foreach { r =>
+      val (id, dim) = (r.getLong(0), r.getInt(1))
+      withClue(s"doc $id dim $dim: ") {
+        dim should (be >= 0 and be < 16)
+        r.getLong(2) shouldBe expect(id)(dim)
+        r.getLong(2) should not be 0L
+      }
+    }
+    // completeness: every nonzero expected entry appears
+    val got = rows.map(r => (r.getLong(0), r.getInt(1))).toSet
+    expect.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (x, d) =>
+        withClue(s"doc $id dim $d: ") { got.contains((id, d)) shouldBe x != 0L }
+      }
+    }
+    // signs genuinely cancel somewhere (the unbiasedness mechanism)
+    expect.exists { case (id, v) =>
+      v.exists(_ == 0L) && toksByDoc(id).nonEmpty
+    } shouldBe true
+  }
+
   test("perplexityBucket: cross-corpus scores recompute; rank-quantile cut") {
     val rows = TextAnalysis.perplexityBucket(spark, sf).collect()
     graft.Caches.releaseAll(spark)
