@@ -255,6 +255,7 @@ object SparkEntry {
     "m06_perceptual_gate" -> (Multimodal.perceptualGate _),
     "m07_audio_gate" -> (Multimodal.pcmGate _),
     "m30_silence_trim" -> (Multimodal.silenceTrimGate _),
+    "m31_hist_equalize" -> (Multimodal.histEqualizeGate _),
     "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "m10_resize_gate" -> (Multimodal.resizeGate _),
@@ -5350,6 +5351,43 @@ object SparkEntry {
         |  z.zero_crossings, c.sample_checksum
         |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // m31: histogram equalization over REAL decoded pixels — the
+    // oracle rebuilds the 8x8 gray raster from ord(), computes the
+    // per-image CDF with a running-sum window, and replays the
+    // (cdf - cdf_min)*255 // (n - cdf_min) remap plus the rolling fold
+    // of the remapped stream
+    "m31_hist_equalize" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        ord(text[CAST(i AS INT)]) AS v
+        |      FROM d, UNNEST(range(1, 65)) t(i)),
+        |cnt AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+        |        FROM v GROUP BY 1, 2),
+        |cdf AS (SELECT doc_id, v,
+        |          sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cdf
+        |        FROM cnt),
+        |st AS (SELECT doc_id, min(v) AS lo_in, max(v) AS hi_in
+        |       FROM v GROUP BY 1),
+        |mn AS (SELECT c.doc_id, c.cdf AS cdf_min
+        |       FROM cdf c JOIN st ON c.doc_id = st.doc_id AND c.v = st.lo_in),
+        |mp AS (SELECT cdf.doc_id, v,
+        |         CASE WHEN 64 = cdf_min THEN 0
+        |              ELSE CAST((cdf - cdf_min) * 255 // (64 - cdf_min) AS INT)
+        |         END AS ov
+        |       FROM cdf JOIN mn USING (doc_id)),
+        |o AS (SELECT v.doc_id, idx, ov FROM v JOIN mp USING (doc_id, v)),
+        |f AS (SELECT doc_id,
+        |        list_reduce([CAST(0 AS BIGINT)] ||
+        |          list(CAST(ov AS BIGINT) ORDER BY idx),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS eq_checksum,
+        |        CAST(min(ov) AS INT) AS lo_out,
+        |        CAST(max(ov) AS INT) AS hi_out
+        |      FROM o GROUP BY 1)
+        |SELECT st.doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(lo_in AS INT) AS lo_in, CAST(hi_in AS INT) AS hi_in,
+        |  lo_out, hi_out, eq_checksum
+        |FROM st JOIN f USING (doc_id) ORDER BY st.doc_id""".stripMargin,
 
     // m30: leading/trailing silence trim over REAL decoded PCM — the
     // oracle rebuilds the quiet-wrapped sample stream (quiet zones

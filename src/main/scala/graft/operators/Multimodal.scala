@@ -2425,6 +2425,55 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Histogram equalization (m31) — the classic contrast-normalization
+    * preprocessing pass (the textbook CDF remap): per grayscale image,
+    * out(v) = (cdf(v) − cdf_min)·255 / (n − cdf_min) with cdf_min the
+    * CDF at the darkest present value, integer floor division — so the
+    * darkest pixel maps to 0 and the brightest to 255 (full-range
+    * stretch), monotone in v (order of gray levels preserved). A flat
+    * image (n == cdf_min) maps to 0. Everything is exact integer
+    * arithmetic over REAL decoded pixels, and the output fingerprint
+    * is the m05 rolling checksum of the REMAPPED pixel stream — an
+    * off-by-one anywhere in the histogram/CDF/floor chain shifts it.
+    *
+    * Scale shape: decode + per-image histogram + remap in ONE map over
+    * the binary column (a 256-int buffer per row) — no shuffle, the
+    * m05 discipline.
+    */
+  def histEqualize(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        val px = img.pixels.map(_ & 0xff)
+        val n = px.length
+        val hist = new Array[Int](256)
+        px.foreach(v => hist(v) += 1)
+        val cdf = new Array[Int](256)
+        var acc = 0
+        var v = 0
+        while (v < 256) { acc += hist(v); cdf(v) = acc; v += 1 }
+        val lo = px.min
+        val hi = px.max
+        val cdfMin = cdf(lo)
+        val out = px.map(v0 =>
+          if (n == cdfMin) 0
+          else ((cdf(v0) - cdfMin).toLong * 255 / (n - cdfMin)).toInt)
+        (r.media_id, img.width, img.height, lo, hi, out.min, out.max,
+          byteChecksum(out.map(_.toByte)))
+      }
+    }.toDF("doc_id", "width", "height", "lo_in", "hi_in", "lo_out",
+      "hi_out", "eq_checksum")
+  }
+
+  /** m31 gate entry: equalization over the [[docPgmRows]] rasters; the
+    * oracle rebuilds pixels from ord(), recomputes the per-image CDF
+    * with a window, and replays the remap + fold.
+    */
+  def histEqualizeGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    histEqualize(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** m11 payload builder: a REAL PNG per document — the first 64 text
     * bytes as an 8×8 grayscale raster, encoded through [[encodePng]]
     * with the row filter VARYING per (doc_id, row) as

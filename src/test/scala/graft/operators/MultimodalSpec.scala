@@ -1870,4 +1870,39 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     mix(32767, 32766) shouldBe 32766
     mix(100, 101) shouldBe 100
   }
+
+  test("histEqualize: hand-built CDF remap, flat image, full stretch") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    def fold(s: Seq[Int]): Long =
+      s.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)
+    val rows = Seq(
+      // hist {10:2, 30:1, 200:1} → cdf {10:2, 30:3, 200:4}, cdf_min=2
+      // → out(10)=0, out(30)=255//2=127, out(200)=255
+      MediaRow(1L, "image", pgm(2, 2, Array(10, 10, 200, 30))),
+      // flat image: n == cdf_min → everything 0
+      MediaRow(2L, "image", pgm(2, 2, Array(50, 50, 50, 50)))
+    ).toDS()
+    val out = Multimodal.histEqualize(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    (r1.getInt(3), r1.getInt(4)) shouldBe ((10, 200))
+    (r1.getInt(5), r1.getInt(6)) shouldBe ((0, 255))
+    r1.getLong(7) shouldBe fold(Seq(0, 0, 255, 127))
+    val r2 = out(2L)
+    (r2.getInt(5), r2.getInt(6)) shouldBe ((0, 0))
+    r2.getLong(7) shouldBe 0L
+    // gate corpus: equalization stretches to the full range everywhere
+    // (word-soup prefixes always carry at least two gray levels)
+    val gate = Multimodal.histEqualizeGate(spark, "/root/testdata/sf0.001")
+      .collect()
+    gate should not be empty
+    gate.foreach { r =>
+      r.getInt(5) shouldBe 0
+      r.getInt(6) shouldBe 255
+      r.getInt(3) should be < r.getInt(4)
+    }
+  }
 }
