@@ -320,6 +320,7 @@ object SparkEntry {
     "o19_zorder_nodes" -> (osm.OsmOracle.zorderNodes _),
     "o20_zrange_bbox" -> (osm.OsmOracle.zrangeBboxNodes _),
     "o23_hilbert_nodes" -> (osm.OsmOracle.hilbertNodes _),
+    "o24_curve_locality" -> (osm.OsmOracle.curveLocality _),
     "o21_polygon_areas" -> (osm.OsmOracle.polygonAreas _),
     "o22_polygon_centroids" -> (osm.OsmOracle.polygonCentroids _),
   )
@@ -6015,6 +6016,42 @@ object SparkEntry {
          |${hilbertRoundsSql()}
          |SELECT id, version, d AS hval, CAST(d >> 24 AS INT) AS hcell
          |FROM h16 ORDER BY id, version""".stripMargin,
+
+    // o24: both curves' cell footprints over the o20 bbox at equal
+    // 2048x2048 granularity — the oracle replays BOTH pipelines
+    // (Morton scale+spread+dense repack, Hilbert scale+16 rotation
+    // rounds) and the same shift/aggregate
+    "o24_curve_locality" ->
+      s"""WITH n AS (
+         |  SELECT id, version, CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon
+         |  FROM $OsmP WHERE type = 'node'
+         |  AND lon BETWEEN -0.25e0 AND -0.05e0 AND lat BETWEEN 51.05e0 AND 51.25e0),
+         |zs AS (SELECT id, version,
+         |        ${zScaleSql("lon", "-180.0e0", "360.0e0")} AS lons,
+         |        ${zScaleSql("lat", "-90.0e0", "180.0e0")} AS lats
+         |      FROM n),
+         |zv AS (SELECT id, version,
+         |        (${zSpreadSql("lons")}) + 2 * (${zSpreadSql("lats")}) AS z
+         |      FROM zs),
+         |zc AS (SELECT 'zorder' AS curve,
+         |        ${(0 until 11).map(b =>
+                    s"(((z >> ${30 + 3 * b}) & 1) << ${2 * b}) + (((z >> ${31 + 3 * b}) & 1) << ${2 * b + 1})")
+                    .mkString(" + ")} AS cell
+         |      FROM zv),
+         |h0 AS (SELECT id, version,
+         |        ${hScaleSql("lon", "-180.0e0", "360.0e0")} AS x,
+         |        ${hScaleSql("lat", "-90.0e0", "180.0e0")} AS y,
+         |        CAST(0 AS BIGINT) AS d
+         |      FROM n),
+         |${hilbertRoundsSql()},
+         |hc AS (SELECT 'hilbert' AS curve, d >> 10 AS cell FROM h16),
+         |u AS (SELECT * FROM zc UNION ALL SELECT * FROM hc)
+         |SELECT curve, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+         |  CAST(min(cell) AS BIGINT) AS cell_min,
+         |  CAST(max(cell) AS BIGINT) AS cell_max,
+         |  CAST(max(cell) - min(cell) + 1 AS BIGINT) AS span
+         |FROM u GROUP BY 1 ORDER BY curve""".stripMargin,
 
     // o20: the z-range-pruned bbox scan's LOSSLESSNESS gate — the
     // oracle is the PLAIN o05 bbox filter with no z logic in the

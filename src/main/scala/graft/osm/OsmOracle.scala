@@ -315,4 +315,45 @@ object OsmOracle {
       .withColumn("hcell", shiftright(col("hval"), 24).cast("int"))
       .orderBy(col("id"), col("version"))
   }
+
+  /** Curve-locality comparison (o24) — the layout decision o19/o23
+    * exist to inform, made measurable: for the o20 bbox's nodes, each
+    * curve's cell footprint at the SAME granularity (a 2048×2048 world
+    * grid — z's top 11 coordinate bits densely re-interleaved vs
+    * Hilbert's top 22 curve bits). `n_cells` is how many stripes a
+    * cell-clustered
+    * layout must touch; `span` (max − min + 1) is what a min/max-
+    * pruned contiguous scan reads — the number Hilbert's
+    * adjacency-preservation shrinks and Morton's quadrant teleports
+    * inflate. The gate hash-pins both pipelines' cell arithmetic in
+    * one result; CurveLocalitySpec asserts the measured ordering.
+    */
+  def curveLocality(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = OsmFixture.planet(spark)
+      .filter(col("type") === "node" &&
+        col("lon").between(-0.25, -0.05) && col("lat").between(51.05, 51.25))
+    // dense 22-bit Morton cell (2048×2048 world grid — ~0.1-0.2°
+    // cells, fine enough that the o20 bbox spans several): the shipped
+    // spread is 3-spaced (bit b of lon at 3b, of lat at 3b+1), so the
+    // top-11 coordinate bits (b = 10..20) are REPACKED into a dense
+    // 2-D interleave — without this the span would count the sparse
+    // encoding's impossible cell values and the comparison to
+    // Hilbert's dense bits would be meaningless
+    val zv = graft.functions.ZOrderFunctions.zorder(col("lat"), col("lon"))
+    val zcell = (0 until 11).map { b =>
+      shiftleft(shiftright(zv, 30 + 3 * b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(zv, 31 + 3 * b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+    val z = nodes.select(lit("zorder").as("curve"), zcell.as("cell"))
+    val h = nodes.select(lit("hilbert").as("curve"),
+      shiftright(graft.functions.HilbertFunctions.hilbert(col("lat"), col("lon")),
+        10).as("cell"))
+    z.unionAll(h)
+      .groupBy(col("curve"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cell")).as("n_cells"),
+        min(col("cell")).as("cell_min"), max(col("cell")).as("cell_max"),
+        (max(col("cell")) - min(col("cell")) + 1).as("span"))
+      .orderBy(col("curve"))
+  }
 }

@@ -145,4 +145,22 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
     // keep ZCurve referenced so the contrast comment stays honest
     ZCurve.fromLatLon(0.0, 0.0) should be >= 0L
   }
+
+  test("curveLocality: Hilbert scan window is contiguous, Morton's is not") {
+    val rows = graft.osm.OsmOracle.curveLocality(spark, "").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    val (hn, hCells, hSpan) = rows("hilbert")
+    val (zn, zCells, zSpan) = rows("zorder")
+    // same bbox rows under both curves
+    hn shouldBe zn
+    hn should be > 0L
+    // the o23 selling point, measured on the committed fixture: the
+    // Hilbert window over the bbox is exactly its cells (every cell in
+    // [min, max] is visited — zero teleport stripes), while Morton's
+    // window carries dead cells
+    hSpan shouldBe hCells
+    zSpan should be > zCells
+    hSpan should be < zSpan
+  }
 }
