@@ -102,6 +102,8 @@ object SparkEntry {
     // —— extensions: dedup ——
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "d34_winnowing" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowFingerprints(s, d)),
     "d03_minhash_lsh" -> (Dedup.minHashLsh _),
     "d09_minhash_estimate" -> (Dedup.minHashEstimate _),
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
@@ -2152,6 +2154,32 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          |WHERE round(ic / (sa.n + sb.n - ic), 6) >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    // d34: winnowing (Schleimer et al. 2003) — per-doc window-min
+    // fingerprints with rightmost tiebreak, packed as (h+1)*2^20 - pos
+    // so one min() carries both the hash order and the tiebreak; the
+    // oracle replays the identical pack/window/decode
+    "d34_winnowing" ->
+      s"""WITH ${tkCte("")},
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |        ${hexIntSql(s"md5($GramExpr)", 8)} AS h
+         |      FROM $GramPos),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |kv AS (SELECT doc_id, pos, (h + 1) * 1048576 - pos AS v FROM g),
+         |wmin AS (
+         |  SELECT doc_id, pos,
+         |    min(v) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS vmin
+         |  FROM kv
+         |),
+         |sel AS (
+         |  SELECT w.doc_id,
+         |    (vmin // 1048576 + 1) * 1048576 - vmin AS pos,
+         |    vmin // 1048576 AS h
+         |  FROM wmin w JOIN n USING (doc_id) WHERE w.pos <= n.n - 3
+         |)
+         |SELECT DISTINCT doc_id, pos, h FROM sel
+         |ORDER BY doc_id, pos""".stripMargin,
 
     // d23: prefix filtering is LOSSLESS, so the oracle is simply the
     // full-corpus brute-force Jaccard join — no sample cap, unlike d02.

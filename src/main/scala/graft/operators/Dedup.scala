@@ -401,6 +401,70 @@ object Dedup {
     * production shape is LSH candidates + exact verify, the
     * [[clusterMap]] step-3 / [[minHashEstimate]] pattern.
     */
+  /** Winnowing fingerprints (d34) — the MOSS algorithm (Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003), the published selection rule
+    * with the GUARANTEE the ad-hoc samplers here lack: from every
+    * window of `w` consecutive k-gram hashes keep the minimum
+    * (rightmost on ties), which (a) detects any match of length
+    * ≥ w + k − 1 tokens with certainty, and (b) keeps the fingerprint
+    * density near 2/(w+1) — a bounded-size sketch with a matched-
+    * length floor, which is why plagiarism/code-clone pipelines run it
+    * over "hash every stride-th gram" heuristics.
+    *
+    * The min-with-rightmost-tiebreak rides ONE packed integer: v =
+    * (h+1)·M − pos (M = 2^20 > any in-doc gram position, h < 2^32 from
+    * 8 md5 hex chars, so v < 2^52 and strictly positive) — min(v) IS
+    * (min h, max pos), and the floor decode h = v div M,
+    * pos = (h+1)·M − v is exact on both engines. Documents with fewer
+    * than w full windows emit nothing (the paper's rule; short docs
+    * are d01's exact-hash territory).
+    *
+    * Scale shape: one per-DOC ordered window (bounded frame of w rows,
+    * partitioned by doc — never corpus-global), one distinct. Pair
+    * detection over the fingerprint table is [[winnowPairs]] — the
+    * passage-dedup equi-join envelope, capped.
+    */
+  def winnowFingerprints(spark: SparkSession, sfDir: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val M = 1L << 20
+    val tk = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val grams = tk
+      .select($"doc_id", posexplode(Text.shingles($"tk", k)).as(Seq("p0", "gram")))
+      .select($"doc_id", ($"p0" + 1).cast("bigint").as("pos"),
+        conv(substring(md5($"gram".cast("binary")), 1, 8), 16, 10)
+          .cast("bigint").as("h"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val wFrame = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.withColumn("v", ($"h" + 1) * M - $"pos")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("vmin", min($"v").over(wFrame))
+      .filter($"pos" <= $"n" - (w - 1))
+      .selectExpr("doc_id",
+        s"(vmin div $M + 1) * $M - vmin AS pos",
+        s"vmin div $M AS h")
+      .distinct()
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** Shared-fingerprint pairs over [[winnowFingerprints]] — two docs
+    * sharing ≥ `minShared` distinct winnowed hashes. The guarantee
+    * makes the output interpretable: any common run of w + k − 1
+    * tokens contributes at least one shared fingerprint.
+    */
+  def winnowPairs(fp: DataFrame, minShared: Long = 2,
+      maxHashDocs: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
+    import fp.sparkSession.implicits._
+    val d = fp.select($"doc_id", $"h").distinct()
+    cappedSelfJoinPairs(d, Seq("h"), maxHashDocs)
+      .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .orderBy($"a", $"b")
+  }
+
   def ngramJaccard(spark: SparkSession, sfDir: String,
       maxSample: Int = 512): DataFrame = {
     import spark.implicits._
