@@ -220,6 +220,8 @@ object SparkEntry {
     "t38_good_turing" -> (TextAnalysis.goodTuring _),
     "t39_feature_hash" -> ((s: SparkSession, d: String) =>
       TextAnalysis.featureHash(s, d)),
+    "t40_chi2_keyness" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.chi2Keyness(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -4385,6 +4387,30 @@ object SparkEntry {
          |  n_1 * 1000000 // n_tokens AS p0_ppm, n_tokens
          |FROM hist h LEFT JOIN hist h2 ON h.r + 1 = h2.r, tot
          |ORDER BY h.r""".stripMargin,
+
+    // t40: chi-squared keyness of the 'en' slice vs the rest — exact
+    // HUGEINT contingency arithmetic, one floor division to the micro
+    // grid, (chi2 DESC, token) top-50
+    "t40_chi2_keyness" ->
+      s"""WITH base AS (SELECT lang, $Toks AS tk FROM documents),
+         |occ AS (SELECT (lang = 'en') AS ina, unnest(tk) AS token FROM base),
+         |cnt AS (SELECT token,
+         |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN ina THEN 0 ELSE 1 END) AS BIGINT) AS b
+         |  FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+         |               CAST(sum(b) AS BIGINT) AS nb FROM cnt),
+         |sc AS (
+         |  SELECT token, a, b,
+         |    CAST(a AS HUGEINT) * (nb - b) - CAST(b AS HUGEINT) * (na - a) AS det,
+         |    na, nb
+         |  FROM cnt, tot WHERE a + b >= 5
+         |)
+         |SELECT token, a, b, det > 0 AS over_slice,
+         |  CAST((CAST(na + nb AS HUGEINT) * det * det * 1000000) //
+         |    (CAST(a + b AS HUGEINT) * (na + nb - a - b) *
+         |     CAST(na AS HUGEINT) * nb) AS BIGINT) AS chi2_micro
+         |FROM sc ORDER BY chi2_micro DESC, token LIMIT 50""".stripMargin,
 
     // t39: the signed hashing trick — bucket from the first 4 md5 hex
     // chars, sign from the 5th char's parity, collisions cancel via

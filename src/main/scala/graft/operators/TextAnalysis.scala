@@ -980,6 +980,51 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** χ² keyness (t40) — the corpus-comparison statistic (the rational
+    * sibling of Dunning's log-likelihood, which needs ln and therefore
+    * can't hash-gate): for each token, the 2×2 contingency of
+    * (occurrences in slice A = one language) vs (rest of corpus),
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the ranked "what
+    * vocabulary distinguishes this slice" report a curation pipeline
+    * runs to audit a source or language before mixing it in. Exact to
+    * the micro grid: the squared determinant rides DECIMAL(38,0)
+    * (HUGEINT on the oracle side — int64 dies at (ad−bc)² once the
+    * corpus passes ~3e9 token-pairs), one floor division at the end.
+    * Precision budget: N ≤ ~1e7 tokens keeps N·det²·1e6 under 38
+    * digits; larger corpora drop the micro grid (scaladoc'd, not
+    * silently wrong — decimal overflow nulls, and the gate would
+    * catch it).
+    *
+    * Scale shape: one token aggregation (map-combinable), a 1-row
+    * totals broadcast, a projection, TakeOrdered top-k. The per-token
+    * frame is vocabulary-sized, never corpus-sized.
+    */
+  def chi2Keyness(spark: SparkSession, sfDir: String, slice: String = "en",
+      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val occ = Tables.documents(spark, sfDir)
+      .select(($"lang" === slice).as("ina"),
+        explode(Text.toks($"text")).as("token"))
+    // cached: the totals aggregate and the per-token scoring both read
+    // the (token, a, b) counts
+    val cnt = graft.Caches.track(
+      occ.groupBy($"token").agg(
+        sum(when($"ina", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"ina", 1L).otherwise(0L)).as("b")))
+    val tot = cnt.agg(sum($"a").as("na"), sum($"b").as("nb"))
+    cnt.filter($"a" + $"b" >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("det",
+        expr("CAST(a AS DECIMAL(20,0)) * (nb - b) - " +
+          "CAST(b AS DECIMAL(20,0)) * (na - a)"))
+      .selectExpr("token", "a", "b", "det > 0 AS over_slice",
+        "CAST((CAST(na + nb AS DECIMAL(38,0)) * det * det * 1000000) div " +
+          "(CAST(a + b AS DECIMAL(20,0)) * (na + nb - a - b) * " +
+          "CAST(na AS DECIMAL(20,0)) * nb) AS BIGINT) AS chi2_micro")
+      .orderBy($"chi2_micro".desc, $"token")
+      .limit(topK)
+  }
+
   /** Signed feature hashing (t39) — the hashing trick (Weinberger et
     * al., ICML 2009): every token maps to one of `dims` buckets by
     * content hash, with a SECOND hash bit choosing ±1 so collisions

@@ -236,6 +236,51 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("chi2Keyness: contingency recomputes in BigInt, ranking holds") {
+    val rows = TextAnalysis.chi2Keyness(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val occ = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("[^a-z0-9]+")
+        .filter(_.nonEmpty).map(t => (r.getString(0) == "en", t)))
+    val aM = occ.filter(_._1).groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val bM = occ.filterNot(_._1).groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val na = occ.count(_._1).toLong
+    val nb = occ.length - na
+    def chi2(a: Long, b: Long): (BigInt, Boolean) = {
+      val det = BigInt(a) * (nb - b) - BigInt(b) * (na - a)
+      val num = BigInt(na + nb) * det * det * 1000000
+      val den = BigInt(a + b) * (na + nb - a - b) * BigInt(na) * nb
+      (num / den, det > 0)
+    }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val (a, b) = (aM.getOrElse(t, 0L), bM.getOrElse(t, 0L))
+      withClue(s"token $t: ") {
+        r.getLong(1) shouldBe a
+        r.getLong(2) shouldBe b
+        val (c2, over) = chi2(a, b)
+        r.getLong(4) shouldBe c2.toLong
+        r.getBoolean(3) shouldBe over
+        a + b should be >= 5L
+      }
+    }
+    // ranking: (chi2 DESC, token) and it is the TRUE top slice of the
+    // full eligible vocabulary
+    val keys = rows.map(r => (-r.getLong(4), r.getString(0))).toSeq
+    keys shouldBe keys.sorted
+    val all = (aM.keySet ++ bM.keySet).toSeq
+      .map(t => (aM.getOrElse(t, 0L), bM.getOrElse(t, 0L), t))
+      .filter { case (a, b, _) => a + b >= 5 }
+      .map { case (a, b, t) => (-chi2(a, b)._1, t) }.sorted
+      .take(rows.length)
+    rows.map(_.getString(0)).toSeq shouldBe all.map(_._2)
+    // the language slices genuinely differ in vocabulary: both
+    // over/under-represented directions appear
+    rows.map(_.getBoolean(3)).distinct.length shouldBe 2
+  }
+
   test("featureHash: buckets/signs recompute from MessageDigest md5") {
     val rows = TextAnalysis.featureHash(spark, sf).collect()
     graft.Caches.releaseAll(spark)
