@@ -260,6 +260,7 @@ object SparkEntry {
     "m07_audio_gate" -> (Multimodal.pcmGate _),
     "m30_silence_trim" -> (Multimodal.silenceTrimGate _),
     "m31_hist_equalize" -> (Multimodal.histEqualizeGate _),
+    "m32_patchify" -> (Multimodal.patchifyGate _),
     "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "m10_resize_gate" -> (Multimodal.resizeGate _),
@@ -5406,6 +5407,25 @@ object SparkEntry {
         |  z.zero_crossings, c.sample_checksum
         |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // m32: the ViT patch walk — pixels from ord(), patch = (y div 4,
+    // x div 4), row-major fold + exact stats per patch
+    "m32_patchify" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        (CAST(i AS INT) - 1) // 8 AS y, (CAST(i AS INT) - 1) % 8 AS x,
+        |        ord(text[CAST(i AS INT)]) AS v
+        |      FROM d, UNNEST(range(1, 65)) t(i))
+        |SELECT doc_id, CAST(y // 4 AS INT) AS patch_row,
+        |  CAST(x // 4 AS INT) AS patch_col,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(min(v) AS INT) AS lo, CAST(max(v) AS INT) AS hi,
+        |  CAST(sum(v) // 16 AS BIGINT) AS mean_v,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list(CAST(v AS BIGINT) ORDER BY idx),
+        |    (acc, xx) -> (acc * 31 + xx) % 1000000007) AS pchk
+        |FROM v GROUP BY 1, 2, 3
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
 
     // m31: histogram equalization over REAL decoded pixels — the
     // oracle rebuilds the 8x8 gray raster from ord(), computes the

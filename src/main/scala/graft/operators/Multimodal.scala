@@ -2465,6 +2465,60 @@ object Multimodal {
       "hi_out", "eq_checksum")
   }
 
+  /** Patch extraction (m32) — the ViT front door (Dosovitskiy et al.
+    * 2021: "an image is worth 16×16 words"): the decoded raster splits
+    * into non-overlapping `p`×`p` patches (row-major grid; trailing
+    * partial rows/columns are dropped — the resize pass m10 exists to
+    * avoid them), and each patch ships with exact integer stats
+    * (sum / min / max / floor-mean) plus the m05 rolling checksum of
+    * its row-major pixel stream — the per-patch fingerprint that pins
+    * the patch GEOMETRY (a transposed or off-by-one patch walk shifts
+    * every fold). Grayscale only here (the gate's PGM path); RGB
+    * patches are the same walk times channels.
+    *
+    * Scale shape: decode + patch walk in ONE map over the binary
+    * column, emitting (h/p)·(w/p) rows per image — no shuffle, the
+    * m05 discipline.
+    */
+  def patchify(ds: Dataset[MediaRow], p: Int = 4): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).toSeq.flatMap { img =>
+        for {
+          pr <- 0 until img.height / p
+          pc <- 0 until img.width / p
+        } yield {
+          var sum = 0L; var lo = 255; var hi = 0; var acc = 0L
+          var y = pr * p
+          while (y < (pr + 1) * p) {
+            var x = pc * p
+            while (x < (pc + 1) * p) {
+              val v = img.pixels(y * img.width + x) & 0xff
+              sum += v
+              if (v < lo) lo = v
+              if (v > hi) hi = v
+              acc = (acc * 31 + v) % 1000000007L
+              x += 1
+            }
+            y += 1
+          }
+          (r.media_id, pr, pc, sum, lo, hi, sum / (p * p), acc)
+        }
+      }
+    }.toDF("doc_id", "patch_row", "patch_col", "sum_v", "lo", "hi",
+      "mean_v", "pchk")
+  }
+
+  /** m32 gate entry: the patch walk over [[docPgmRows]]; the oracle
+    * rebuilds pixels from ord(), assigns each to its (row div p,
+    * col div p) patch, and replays stats + the row-major fold.
+    */
+  def patchifyGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    patchify(docPgmRows(spark, sfDir))
+      .orderBy($"doc_id", $"patch_row", $"patch_col")
+  }
+
   /** m31 gate entry: equalization over the [[docPgmRows]] rasters; the
     * oracle rebuilds pixels from ord(), recomputes the per-image CDF
     * with a window, and replays the remap + fold.

@@ -1905,4 +1905,32 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       r.getInt(3) should be < r.getInt(4)
     }
   }
+
+  test("patchify: geometry pins, partial patches dropped, stats law") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    def fold(s: Seq[Int]): Long =
+      s.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)
+    // 8x4 image with distinct pixels: values = row*16 + col
+    val px = (for (y <- 0 until 4; x <- 0 until 8) yield y * 16 + x).toArray
+    val out = Multimodal.patchify(
+      Seq(MediaRow(1L, "image", pgm(8, 4, px))).toDS()).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r).toMap
+    out.size shouldBe 2 // one patch row, two patch cols
+    // patch (0,1) holds columns 4..7 of rows 0..3, row-major
+    val exp = for (y <- 0 until 4; x <- 4 until 8) yield y * 16 + x
+    val p01 = out((0, 1))
+    p01.getLong(3) shouldBe exp.map(_.toLong).sum
+    (p01.getInt(4), p01.getInt(5)) shouldBe ((4, 55))
+    p01.getLong(6) shouldBe exp.map(_.toLong).sum / 16
+    p01.getLong(7) shouldBe fold(exp)
+    // a 6x6 image with p=4 keeps only the one full 4x4 patch
+    val out2 = Multimodal.patchify(
+      Seq(MediaRow(2L, "image", pgm(6, 6, Array.fill(36)(9)))).toDS())
+      .collect()
+    out2.length shouldBe 1
+    out2(0).getLong(3) shouldBe 9L * 16
+  }
 }
