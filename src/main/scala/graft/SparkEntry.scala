@@ -288,6 +288,7 @@ object SparkEntry {
     "p02_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "p03_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
     "p04_mixture_weights" -> (Sampling.mixtureWeights _),
+    "p21_clean_mixture" -> (Sampling.cleanMixture _),
     "p05_apply_mixture" -> ((s: SparkSession, d: String) => Sampling.applyMixture(s, d)),
     "p06_dedup_budget" -> ((s: SparkSession, d: String) => Sampling.dedupBudget(s, d)),
     "p07_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
@@ -5768,6 +5769,53 @@ object SparkEntry {
          |s AS (SELECT CAST(sum(pq) AS BIGINT) AS tot FROM p)
          |SELECT source, tokens, round(pq / tot, 6) AS weight
          |FROM p, s ORDER BY source""".stripMargin,
+
+    // p21: the composed pipeline — d01 keepers ∩ t16 keeps, per-source
+    // survivor counts/tokens, floor-ppm shares; left joins keep
+    // zero-survivor sources visible
+    "p21_clean_mixture" ->
+      s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |base AS (SELECT doc_id, lang, $Toks AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS INT) AS n_stop,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
+         |  FROM base
+         |),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+         |    round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |    round(least(1.0e0, CAST(n_tokens AS DOUBLE) / 100.0e0) *
+         |          (1.0e0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+         |  FROM st WHERE n_tokens > 0
+         |),
+         |l AS (
+         |  SELECT doc_id,
+         |    4.0e0 * quality - 0.5e0 * stop_ratio + 0.25e0 * (avg_tok_len - 4.0e0) +
+         |    0.3e0 * (CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END) - 1.0e0 AS logit
+         |  FROM f
+         |),
+         |q AS (SELECT doc_id FROM l
+         |      WHERE round(logit / (1.0e0 + abs(logit)), 6) >= 0.25e0),
+         |sv AS (SELECT d.source, CAST(len($Toks) AS BIGINT) AS n
+         |       FROM documents d JOIN k USING (doc_id) JOIN q USING (doc_id)),
+         |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+         |        FROM documents GROUP BY 1),
+         |dd AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_dedup
+         |       FROM documents d JOIN k USING (doc_id) GROUP BY 1),
+         |fin AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final,
+         |          CAST(sum(n) AS BIGINT) AS tokens_final
+         |        FROM sv GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tokens_final) AS BIGINT) AS tot FROM fin)
+         |SELECT raw.source, n_raw,
+         |  CAST(COALESCE(n_dedup, 0) AS BIGINT) AS n_dedup,
+         |  CAST(COALESCE(n_final, 0) AS BIGINT) AS n_final,
+         |  CAST(COALESCE(tokens_final, 0) AS BIGINT) AS tokens_final,
+         |  CAST(COALESCE(tokens_final, 0) AS BIGINT) * 1000000 // tot AS share_ppm
+         |FROM raw LEFT JOIN dd USING (source) LEFT JOIN fin USING (source), tot
+         |ORDER BY raw.source""".stripMargin,
 
     // mixture applied: integer budget arithmetic end-to-end (the
     // 1e-6-grid weight recovered as an exact integer, budgets via

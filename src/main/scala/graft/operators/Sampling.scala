@@ -88,6 +88,49 @@ object Sampling {
     * correctly rounded in both engines (a general `pow` is only
     * 1-ulp-accurate and could flip the grid rounding).
     */
+  /** End-to-end clean-mixture report (p21) — the three pipeline stages
+    * every pretraining data build runs, COMPOSED under one gate so
+    * their interfaces are proven to fit: exact dedup keepers
+    * ([[graft.operators.Dedup.exactKeepers]], the d01 rule), the t16
+    * quality classifier's keep gate, then per-source survivor counts,
+    * token totals, and final mixture shares (floor ppm). One
+    * definition per stage — this query calls the SAME functions d01
+    * and t16 gate individually, so a drift in either breaks two gates,
+    * not one silently.
+    *
+    * Scale shape: the stages' own shapes (content-hash groupBy; the
+    * t01 map+agg; per-source rollups are |sources|-row frames); the
+    * final total is a 1-row broadcast over the cached per-source
+    * frame. Sources with zero survivors keep their row (left joins,
+    * zero share) — a mixture report that silently drops a source
+    * invites a misread.
+    */
+  def cleanMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Caches.track(Tables.documents(spark, sfDir))
+    val keepers = Dedup.exactKeepers(docs)
+    val quality = TextAnalysis.qualityClassifier(spark, sfDir)
+      .filter($"keep").select($"doc_id")
+    val surv = docs.join(keepers, "doc_id").join(quality, "doc_id")
+      .select($"source", Text.tokenCount($"text").as("n"))
+    val raw = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+    val afterD = docs.join(keepers, "doc_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_dedup"))
+    val fin = graft.Caches.track(
+      surv.groupBy($"source").agg(count(lit(1)).as("n_final"),
+        sum($"n").as("tokens_final")))
+    val tot = fin.agg(sum($"tokens_final").as("tot"))
+    raw.join(afterD, Seq("source"), "left")
+      .join(fin, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_dedup", coalesce($"n_dedup", lit(0L)))
+      .withColumn("n_final", coalesce($"n_final", lit(0L)))
+      .withColumn("tokens_final", coalesce($"tokens_final", lit(0L)))
+      .selectExpr("source", "n_raw", "n_dedup", "n_final", "tokens_final",
+        "tokens_final * 1000000 div tot AS share_ppm")
+      .orderBy($"source")
+  }
+
   def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // cached: consumed twice (the normalizing total + the join left

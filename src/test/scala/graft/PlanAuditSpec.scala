@@ -184,6 +184,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the CACHED count-histogram frame as its direct child —
     // O(log corpus) rows per task into the 1-row broadcast p0 divides
     // by (verified by plan dump this round).
+    // t40 — the Na/Nb totals: the plan's one SinglePartition exchange
+    // has HashAggregate(partial_sum(a), partial_sum(b)) over the
+    // CACHED vocabulary-sized count frame as its direct child — one
+    // partial row per task into the 1-row broadcast the contingency
+    // margins come from (t38's shape; verified by plan dump this
+    // round).
+    // p21 — the final-token total: the plan's one SinglePartition
+    // exchange has HashAggregate(partial_sum(tokens_final)) over the
+    // CACHED per-source frame as its direct child — |sources| rows (a
+    // parameter) per task into the 1-row broadcast the shares divide
+    // by (p04's shape; verified by plan dump this round).
     // q55 — the total-fanout scalar: the plan's one SinglePartition
     // exchange has HashAggregate(partial_sum(fanout)) as its direct
     // child — ONE partial-sum row per task into the 1-row broadcast
@@ -199,7 +210,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "t29_trigram_backoff", "p17_interleave", "p18_unimax",
       "t32_vocab_growth", "q50_cusum", "q55_join_skew",
       "p19_temperature_mix", "s32_cell_drift", "t35_kn_bigram",
-      "s34_cluster_purity", "t38_good_turing")
+      "s34_cluster_purity", "t38_good_turing", "p21_clean_mixture",
+      "t40_chi2_keyness")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -55,4 +55,41 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     again.select($"doc_id").collect().map(_.getLong(0)).sorted shouldBe
       packed.select($"doc_id").collect().map(_.getLong(0)).sorted
   }
+
+  test("cleanMixture: stage monotonicity, shares telescope, stages agree") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Sampling.cleanMixture(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"source ${r.getString(0)}: ") {
+        r.getLong(2) should be <= r.getLong(1) // dedup never adds docs
+        r.getLong(3) should be <= r.getLong(2) // quality never adds docs
+        if (r.getLong(3) == 0L) r.getLong(4) shouldBe 0L
+      }
+    }
+    // floor-ppm shares sum to 1e6 within one floor loss per source
+    val shares = rows.map(_.getLong(5)).sum
+    shares should be <= 1000000L
+    shares should be >= 1000000L - rows.length.toLong
+    // the composed stages equal the individually-gated operators:
+    // survivors = d01 keepers ∩ t16 keeps, counted per source
+    val keepers = Dedup.exactKeepers(
+      graft.Tables.documents(spark, sf)).collect().map(_.getLong(0)).toSet
+    val keeps = TextAnalysis.qualityClassifier(spark, sf)
+      .filter($"keep").collect().map(_.getLong(0)).toSet
+    graft.Caches.releaseAll(spark)
+    val bySource = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expFinal = bySource
+      .filter { case (id, _) => keepers(id) && keeps(id) }
+      .groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    rows.foreach { r =>
+      r.getLong(3) shouldBe expFinal.getOrElse(r.getString(0), 0L)
+    }
+    // every raw source keeps its row even at quota zero
+    rows.map(_.getString(0)).toSet shouldBe bySource.map(_._2).toSet
+  }
 }
