@@ -276,6 +276,20 @@ object ProfileScaleSweep {
       // equi-join on (doc, idx+lag) after a 4-row lag broadcast —
       // per-doc work is samples x lags, linear in docs
       time("autocorr")(Multimodal.autocorrGate(spark, dir))
+      // fourth-session rows. winnowing: one per-doc bounded window +
+      // distinct — linear in corpus tokens. chi2: vocabulary-sized
+      // count frame (replicas share words → sublinear). silhouette:
+      // the Lloyd shape + one more broadcast pass — linear.
+      // normalize/feature_hash/silence_trim/hist_equalize/patchify are
+      // map + one combinable aggregation — the linear floor.
+      time("winnowing")(Dedup.winnowFingerprints(spark, dir))
+      time("chi2_keyness")(TextAnalysis.chi2Keyness(spark, dir))
+      time("silhouette")(Similarity.silhouette(spark, dir))
+      time("normalize")(TextAnalysis.normalizeText(spark, dir))
+      time("feature_hash")(TextAnalysis.featureHash(spark, dir))
+      time("silence_trim")(Multimodal.silenceTrimGate(spark, dir))
+      time("hist_equalize")(Multimodal.histEqualizeGate(spark, dir))
+      time("clean_mixture")(Sampling.cleanMixture(spark, dir))
       // d25 edit-join is NOT swept over replicas: its shipped blocking
       // (shared n-gram + length band) targets value-deduplicated
       // attribute domains (names/titles, 10^3..10^5 distinct) where
