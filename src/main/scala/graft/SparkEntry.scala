@@ -104,6 +104,8 @@ object SparkEntry {
     "d02_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d34_winnowing" -> ((s: SparkSession, d: String) =>
       Dedup.winnowFingerprints(s, d)),
+    "d35_bbit_minhash" -> ((s: SparkSession, d: String) =>
+      Dedup.bbitMinHash(s, d)),
     "d03_minhash_lsh" -> (Dedup.minHashLsh _),
     "d09_minhash_estimate" -> (Dedup.minHashEstimate _),
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
@@ -261,6 +263,7 @@ object SparkEntry {
     "m30_silence_trim" -> (Multimodal.silenceTrimGate _),
     "m31_hist_equalize" -> (Multimodal.histEqualizeGate _),
     "m32_patchify" -> (Multimodal.patchifyGate _),
+    "m33_rle_signal" -> (Multimodal.rleSignalGate _),
     "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "m10_resize_gate" -> (Multimodal.resizeGate _),
@@ -2519,6 +2522,47 @@ object SparkEntry {
          |LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
          |JOIN sizes sa ON c.a = sa.doc_id
          |JOIN sizes sb ON c.b = sb.doc_id
+         |ORDER BY c.a, c.b""".stripMargin,
+
+    // d35: the d09 chain with the b-bit twist — low-2-bit matches per
+    // position, Li-König correction (4C-1)/3 on the exact ppm grid
+    "d35_bbit_minhash" ->
+      s"""WITH ${tkCte("WHERE doc_id % 10 = 0")},
+         |$ShCte,
+         |$DictCte,
+         |$HashCte,
+         |mh AS (
+         |  SELECT s.doc_id, h.i, min((h.a * d.sid + h.b) % 2147483647) AS mh
+         |  FROM sh s JOIN dict d ON s.sh = d.sh CROSS JOIN h
+         |  GROUP BY 1, 2
+         |),
+         |bs AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+         |  FROM mh GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |),
+         |mtch AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS m
+         |  FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |mtchb AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS mb
+         |  FROM mh x JOIN mh y ON x.i = y.i AND x.mh % 4 = y.mh % 4 AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.a, c.b,
+         |  CAST(coalesce(mm.m, 0) AS BIGINT) AS eq_full,
+         |  CAST(coalesce(mb.mb, 0) AS BIGINT) AS eq_b,
+         |  coalesce(mm.m, 0) * 1000000 // 16 AS est_full_ppm,
+         |  greatest(0, (4 * coalesce(mb.mb, 0) - 16) * 1000000 // 48) AS est_b_ppm
+         |FROM cand c
+         |LEFT JOIN mtch mm ON c.a = mm.a AND c.b = mm.b
+         |LEFT JOIN mtchb mb ON c.a = mb.a AND c.b = mb.b
          |ORDER BY c.a, c.b""".stripMargin,
 
     // passage hash parity: identical window build (1-based inclusive
@@ -5408,6 +5452,27 @@ object SparkEntry {
         |  z.zero_crossings, c.sample_checksum
         |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // m33: the run census — runs counted with a lag window over ord()
+    // pixels, distinct bytes, naive 2-byte-per-run RLE size, floor-ppm
+    // ratio
+    "m33_rle_signal" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        ord(text[CAST(i AS INT)]) AS v
+        |      FROM d, UNNEST(range(1, 65)) t(i)),
+        |l AS (SELECT doc_id, v,
+        |        lag(v) OVER (PARTITION BY doc_id ORDER BY idx) AS pv
+        |      FROM v),
+        |a AS (SELECT doc_id,
+        |        CAST(1 + count(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 END) AS INT) AS n_runs,
+        |        CAST(count(DISTINCT v) AS INT) AS n_distinct
+        |      FROM l GROUP BY 1)
+        |SELECT doc_id, CAST(64 AS INT) AS n_px, n_runs, n_distinct,
+        |  CAST(2 * n_runs AS BIGINT) AS rle_bytes,
+        |  CAST(2 * n_runs AS BIGINT) * 1000000 // 64 AS ratio_ppm,
+        |  2 * n_runs < 64 AS compressible
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // m32: the ViT patch walk — pixels from ord(), patch = (y div 4,
     // x div 4), row-major fold + exact stats per patch

@@ -776,6 +776,46 @@ object Dedup {
       .orderBy($"a", $"b")
   }
 
+  /** b-bit minwise hashing (d35) — Li & König (WWW 2010 / CACM 2011):
+    * store only the lowest `b` bits of each minhash. At b = 2 the
+    * 16-hash signature collapses from 128 bytes to 4 — the compression
+    * that lets a 100 TB corpus keep its dedup sketch in memory — at
+    * the price of accidental low-bit collisions, which the published
+    * estimator removes in expectation: with collision floor r = 1/2^b,
+    * Ĵ = (C − r)/(1 − r) for C = matching positions / 16. Both the
+    * raw full-signature estimate and the corrected b-bit estimate ride
+    * the exact ppm grid ((m·eq_b − 16)·1e6 div 16(m−1), clamped at 0),
+    * so the side-by-side table hash-gates and QUANTIFIES the
+    * compression error pair-by-pair against d09's full signatures.
+    *
+    * Scale shape: d03's signature aggregation + band join; the b-bit
+    * comparison is a projection over candidate pairs. (In production
+    * the b-bit codes are what's STORED; the full-sig column here
+    * exists to measure the trade, not to ship.)
+    */
+  def bbitMinHash(spark: SparkSession, sfDir: String, b: Int = 2): DataFrame = {
+    import spark.implicits._
+    val sh = graft.Caches.track(shingleSet(spark, sfDir, Some(10)))
+    val withIds = sh.join(shingleDict(sh), "sh")
+    val sigs = graft.Caches.track(signatures(withIds))
+    val m = 1 << b
+    bandCandidates(sigs)
+      .join(sigs.select($"doc_id".as("a"), $"sig".as("sig_a")), "a")
+      .join(sigs.select($"doc_id".as("b"), $"sig".as("sig_b")), "b")
+      .select($"a", $"b",
+        aggregate(zip_with($"sig_a", $"sig_b",
+          (p, q) => when(p === q, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("eq_full"),
+        aggregate(zip_with($"sig_a", $"sig_b",
+          (p, q) => when(p % m === q % m, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("eq_b"))
+      .selectExpr("a", "b", "eq_full", "eq_b",
+        "eq_full * 1000000 div 16 AS est_full_ppm",
+        s"greatest(0, ($m * eq_b - 16) * 1000000 div ${16 * (m - 1)})" +
+          " AS est_b_ppm")
+      .orderBy($"a", $"b")
+  }
+
   /** MinHash + LSH, scale form: ids via xxhash64 (no dictionary, no
     * global sort; fully shuffle-parallel). Not SQL-oracle-expressible —
     * declared without an oracle (rows-only check) by design.

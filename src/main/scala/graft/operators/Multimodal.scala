@@ -2509,6 +2509,49 @@ object Multimodal {
       "mean_v", "pchk")
   }
 
+  /** RLE compressibility signal (m33) — the cheap storage-planning
+    * probe a media-curation pass runs before choosing a codec or
+    * flagging synthetic/flat imagery: per image, the run structure of
+    * the raw pixel stream (a run = a maximal block of equal adjacent
+    * bytes; n_runs = 1 + #(v_i ≠ v_{i−1})), the distinct byte count,
+    * the naive RLE size (2 bytes per run — count+value), and the
+    * compression ratio on the exact ppm grid. Flat/synthetic frames
+    * (screenshots, borders, rendered text) collapse to few runs; photo
+    * noise doesn't — the signal that routes media to the right
+    * pipeline. Map-only over the decoded pixels, the m05 discipline.
+    */
+  def rleSignal(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        val px = img.pixels
+        val n = px.length
+        var runs = if (n == 0) 0 else 1
+        var i = 1
+        val seen = new Array[Boolean](256)
+        if (n > 0) seen(px(0) & 0xff) = true
+        while (i < n) {
+          if (px(i) != px(i - 1)) runs += 1
+          seen(px(i) & 0xff) = true
+          i += 1
+        }
+        val distinct = seen.count(identity)
+        val rleBytes = 2L * runs
+        (r.media_id, n, runs, distinct, rleBytes,
+          if (n == 0) 0L else rleBytes * 1000000L / n, rleBytes < n)
+      }
+    }.toDF("doc_id", "n_px", "n_runs", "n_distinct", "rle_bytes",
+      "ratio_ppm", "compressible")
+  }
+
+  /** m33 gate entry: the run census over [[docPgmRows]]; the oracle
+    * rebuilds pixels from ord() and counts runs with a lag window.
+    */
+  def rleSignalGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rleSignal(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** m32 gate entry: the patch walk over [[docPgmRows]]; the oracle
     * rebuilds pixels from ord(), assigns each to its (row div p,
     * col div p) patch, and replays stats + the row-major fold.

@@ -1933,4 +1933,35 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     out2.length shouldBe 1
     out2(0).getLong(3) shouldBe 9L * 16
   }
+
+  test("rleSignal: hand-built runs, incompressible case, corpus laws") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    val rows = Seq(
+      MediaRow(1L, "image", pgm(8, 1, Array(5, 5, 5, 9, 9, 7, 7, 7))),
+      MediaRow(2L, "image", pgm(8, 1, Array(1, 2, 3, 4, 5, 6, 7, 8)))
+    ).toDS()
+    val out = Multimodal.rleSignal(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    (r1.getInt(2), r1.getInt(3)) shouldBe ((3, 3))
+    r1.getLong(4) shouldBe 6L
+    r1.getLong(5) shouldBe 6L * 1000000 / 8
+    r1.getBoolean(6) shouldBe true
+    val r2 = out(2L)
+    r2.getInt(2) shouldBe 8
+    r2.getBoolean(6) shouldBe false
+    // corpus laws: distinct never exceeds runs, runs never exceed px
+    val gate = Multimodal.rleSignalGate(spark, "/root/testdata/sf0.001")
+      .collect()
+    gate should not be empty
+    gate.foreach { r =>
+      r.getInt(2) should be <= r.getInt(1)
+      r.getInt(3) should be <= r.getInt(2)
+    }
+    // word-soup prefixes genuinely carry repeated-letter runs somewhere
+    gate.exists(_.getInt(2) < 64) shouldBe true
+  }
 }

@@ -80,4 +80,32 @@ class WinnowSpec extends AnyFunSuite with Matchers with SparkSpec {
     val pairs = Dedup.winnowPairs(fp, minShared = 1).collect()
     pairs.map(r => (r.getLong(0), r.getLong(1))) should contain((1L, 2L))
   }
+
+  test("bbitMinHash: estimators recompute from signatures; laws hold") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Dedup.bbitMinHash(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    // independent signature rebuild via the shared internal helpers
+    val sh = Dedup.shingleSet(spark, sf, Some(10))
+    val sigs = Dedup.signatures(sh.join(Dedup.shingleDict(sh), "sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    graft.Caches.releaseAll(spark)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (sigs(a), sigs(b))
+      val eqFull = sa.zip(sb).count { case (p, q) => p == q }.toLong
+      val eqB = sa.zip(sb).count { case (p, q) => p % 4 == q % 4 }.toLong
+      withClue(s"pair ($a,$b): ") {
+        r.getLong(2) shouldBe eqFull
+        r.getLong(3) shouldBe eqB
+        // low bits can only ADD collisions, never remove matches
+        eqB should be >= eqFull
+        r.getLong(4) shouldBe eqFull * 1000000L / 16
+        r.getLong(5) shouldBe math.max(0L, (4 * eqB - 16) * 1000000L / 48)
+        // a fully-matching signature is a fixed point of the correction
+        if (eqFull == 16) r.getLong(5) shouldBe 1000000L
+      }
+    }
+  }
 }
