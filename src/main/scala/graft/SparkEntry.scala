@@ -75,6 +75,7 @@ object SparkEntry {
     "q57_transitions" -> (Relational.eventTransitions _),
     "q58_multi_touch" -> ((s: SparkSession, d: String) =>
       Relational.multiTouchAttribution(s, d)),
+    "q60_interval_islands" -> (Relational.intervalIslands _),
     "q59_session_paths" -> ((s: SparkSession, d: String) =>
       Relational.sessionPaths(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
@@ -1821,6 +1822,41 @@ object SparkEntry {
         |FROM top, tot WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     // q59: top session paths — q27's gap sessions, ordered type
+    // q60: overlap islands — type-duration intervals, running-max
+    // island cut (strictly-after opens a new island; touching merges),
+    // contiguous [min s, max e] per island
+    "q60_interval_islands" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS s,
+        |    epoch_ns(ts) // 1000 + (CASE event_type WHEN 'view' THEN 5
+        |      WHEN 'click' THEN 10 WHEN 'purchase' THEN 30
+        |      WHEN 'signup' THEN 15 ELSE 1 END) * 60000000 AS e
+        |  FROM events
+        |),
+        |m AS (
+        |  SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        |  FROM iv
+        |),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS ni,
+        |    event_id
+        |  FROM m
+        |),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+        |  CAST(min(s) AS BIGINT) AS start_us, CAST(max(e) AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(e) - min(s) AS BIGINT) AS span_us
+        |FROM isl GROUP BY 1, 2 ORDER BY user_id, island_id""".stripMargin,
+
     // strings, (count DESC, path) top-k
     "q59_session_paths" ->
       """WITH f AS (SELECT user_id, event_id, event_type,

@@ -1416,6 +1416,49 @@ object Relational {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Interval islands (q60) — the gaps-and-islands merge of
+    * OVERLAPPING intervals, the classic SQL pattern q27's gap
+    * sessionization does NOT cover (sessions cut on inter-EVENT gaps;
+    * islands merge intervals that genuinely overlap — activity spans,
+    * locks, validity windows): each event carries a type-dependent
+    * duration, and a new island starts exactly when an interval opens
+    * strictly after every earlier interval in the group has closed —
+    * `s > max(e) over preceding rows` (touching endpoints merge). The
+    * running max is the O(n)-per-partition form; islands are
+    * contiguous by construction (the overlap chain has no interior
+    * gap), so each island reduces to [min s, max e].
+    *
+    * Determinism: exact epoch micros, (s, event_id) ordering so tied
+    * starts resolve identically cross-engine.
+    *
+    * Scale shape: ONE per-user shuffle+sort shared by the running max
+    * and the island-id prefix sum — the linear replacement for the
+    * naive interval self-join.
+    */
+  def intervalIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val minUs = 60L * 1000000
+    val dur = expr(
+      """CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 10
+        |WHEN 'purchase' THEN 30 WHEN 'signup' THEN 15
+        |ELSE 1 END""".stripMargin.replace("\n", " "))
+    val w = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("s"),
+        (unix_micros($"ts") + dur * minUs).as("e"))
+      .withColumn("prev_max_e", max($"e").over(wPrev))
+      .withColumn("new_island",
+        when($"prev_max_e".isNull || $"s" > $"prev_max_e", 1L).otherwise(0L))
+      .withColumn("island_id", sum($"new_island").over(wRun))
+      .groupBy($"user_id", $"island_id")
+      .agg(min($"s").as("start_us"), max($"e").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("span_us", $"end_us" - $"start_us")
+      .orderBy($"user_id", $"island_id")
+  }
+
   /** Event-time RANGE window aggregates (q52) — per-user trailing
     * 1-hour count/spend and leading 10-minute count at every event:
     * the value-based frame q26's ROWS frames cannot express. Peers

@@ -760,4 +760,46 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.map(_._5).max should be > 0L
     all(got.map(_._6)) should be < 1000000L
   }
+
+  test("intervalIslands: sequential merge replay, island laws") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val rows = Relational.intervalIslands(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    rows should not be empty
+    // independent sequential replay per user
+    val durs = Map("view" -> 5L, "click" -> 10L, "purchase" -> 30L,
+      "signup" -> 15L).withDefaultValue(1L)
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(2) + durs(r.getString(3)) * 60000000L))
+    val exp = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var islands = List.empty[(Long, Long, Long)] // start, end, n
+      sorted.foreach { case (_, _, s, e) =>
+        islands match {
+          case (st, en, n) :: rest if s <= en =>
+            islands = (st, math.max(en, e), n + 1) :: rest
+          case _ => islands = (s, e, 1L) :: islands
+        }
+      }
+      islands.reverse.zipWithIndex.map { case ((st, en, n), i) =>
+        (u, i + 1L, st, en, n, en - st)
+      }
+    }.toSet
+    rows.toSet shouldBe exp
+    // laws: islands per user are disjoint, ordered, and both branches
+    // of the cut genuinely occur on this corpus
+    rows.groupBy(_._1).foreach { case (_, is) =>
+      is.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => b._3 should be > a._4 // next start after end
+        case _ =>
+      }
+    }
+    rows.exists(_._5 > 1) shouldBe true
+    rows.exists(_._5 == 1) shouldBe true
+  }
 }
