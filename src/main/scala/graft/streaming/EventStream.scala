@@ -655,6 +655,70 @@ object EventStream {
     */
   case class LastEvent(us: Long, event_id: Long, tpe: String)
 
+  /** Per-user OPEN island for [[islandStream]]: id counter + the
+    * [start, end] hull + member count — four longs per user,
+    * unconditionally bounded.
+    */
+  case class IslandState(islandId: Long, start: Long, end: Long, n: Long)
+
+  /** The q60 row shape (append semantics — an island emits exactly
+    * once, when a later interval closes it).
+    */
+  case class IslandOut(user_id: Long, island_id: Long, start_us: Long,
+    end_us: Long, n_events: Long, span_us: Long)
+
+  /** Streaming interval islands —
+    * [[graft.operators.Relational.intervalIslands]]'s (q60)
+    * ingest-time twin and the DYNAMIC session window structured
+    * streaming's fixed-gap sessions can't express: each event opens a
+    * type-duration interval; the per-user open island extends while
+    * intervals overlap (touching merges, the batch rule) and EMITS
+    * when an interval opens strictly after the island's hull closes.
+    * This is the streaming shape of "activity spans": the emitted
+    * island ids, hulls, and counts equal the batch table's rows for
+    * every island except each user's final one, which is still open —
+    * exactly-once emission per island, spec-proven across an arrival
+    * split.
+    *
+    * Order contract: in-batch events process in (start, event_id)
+    * order; across batches the source must deliver each user's events
+    * in order (the cusum/transition twins' documented contract). State
+    * is four longs per user — bounded without any watermark.
+    */
+  def islandStream(events: DataFrame): Dataset[IslandOut] = {
+    import events.sparkSession.implicits._
+    val minUs = 60L * 1000000
+    val dur = expr(
+      "CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 10 " +
+        "WHEN 'purchase' THEN 30 WHEN 'signup' THEN 15 ELSE 1 END")
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + dur * minUs).as("e"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[IslandState, IslandOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[IslandState]) =>
+          val sorted = it.toSeq.sortBy(x => (x._3, x._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[IslandOut]
+          var st = state.getOption.orNull
+          for ((_, _, s, e) <- sorted) {
+            if (st == null) st = IslandState(1L, s, e, 1L)
+            else if (s <= st.end)
+              st = st.copy(end = math.max(st.end, e), n = st.n + 1)
+            else {
+              out += IslandOut(u, st.islandId, st.start, st.end, st.n,
+                st.end - st.start)
+              st = IslandState(st.islandId + 1, s, e, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** One observed transition (append semantics — each consecutive
     * pair emits exactly once).
     */

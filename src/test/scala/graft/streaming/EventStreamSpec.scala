@@ -824,6 +824,41 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming islands equal the q60 batch table minus each user's " +
+      "open final island, across an arrival split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.islandStream(mem.toDF())
+      .writeStream.format("memory").queryName("islands")
+      .outputMode("append").start()
+    try {
+      // the split lands mid-island for some users — those islands must
+      // extend THROUGH state, not restart
+      mem.addData(evs.take(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(400).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("islands").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batch = graft.operators.Relational.intervalIslands(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      // exactly-once per CLOSED island: batch rows minus each user's
+      // last (still-open) island
+      val lastPerUser = batch.groupBy(_._1)
+        .map { case (_, is) => is.maxBy(_._2) }.toSet
+      streamed shouldBe (batch.toSet -- lastPerUser)
+      streamed should not be empty
+    } finally q.stop()
+  }
+
   test("streaming CUSUM matches the q50 batch chart across an arrival " +
     "split (one-definition rule: recursion here, window identity there)") {
     implicit val sqlCtx = spark.sqlContext
