@@ -225,6 +225,8 @@ object SparkEntry {
       TextAnalysis.featureHash(s, d)),
     "t40_chi2_keyness" -> ((s: SparkSession, d: String) =>
       TextAnalysis.chi2Keyness(s, d)),
+    "t41_burstiness" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.burstiness(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -265,6 +267,7 @@ object SparkEntry {
     "m31_hist_equalize" -> (Multimodal.histEqualizeGate _),
     "m32_patchify" -> (Multimodal.patchifyGate _),
     "m33_rle_signal" -> (Multimodal.rleSignalGate _),
+    "m34_dither" -> (Multimodal.orderedDitherGate _),
     "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "m10_resize_gate" -> (Multimodal.resizeGate _),
@@ -4470,6 +4473,24 @@ object SparkEntry {
          |FROM hist h LEFT JOIN hist h2 ON h.r + 1 = h2.r, tot
          |ORDER BY h.r""".stripMargin,
 
+    // t41: index of dispersion — n·Σx²−(Σx)² over n·Σx on the ppm
+    // grid, absent docs riding through the totals
+    "t41_burstiness" ->
+      s"""WITH base AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS x
+         |       FROM (SELECT doc_id, unnest(tk) AS token FROM base) o
+         |       GROUP BY 1, 2),
+         |t AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs_with,
+         |        CAST(sum(x) AS BIGINT) AS total_tf,
+         |        CAST(sum(x * x) AS BIGINT) AS sum_sq
+         |      FROM pd GROUP BY 1)
+         |SELECT token, n_docs_with, total_tf, sum_sq,
+         |  (n * sum_sq - total_tf * total_tf) * 1000000 // (n * total_tf)
+         |    AS d_ppm
+         |FROM t, nn WHERE total_tf >= 5
+         |ORDER BY d_ppm DESC, token""".stripMargin,
+
     // t40: chi-squared keyness of the 'en' slice vs the rest — exact
     // HUGEINT contingency arithmetic, one floor division to the micro
     // grid, (chi2 DESC, token) top-50
@@ -5488,6 +5509,27 @@ object SparkEntry {
         |  z.zero_crossings, c.sample_checksum
         |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // m34: the Bayer 4x4 dither — white iff v > 16*B[y%4][x%4] + 8,
+    // matrix as a flat list lookup, fold over the 0/255 stream
+    "m34_dither" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        (CAST(i AS INT) - 1) // 8 AS y, (CAST(i AS INT) - 1) % 8 AS x,
+        |        ord(text[CAST(i AS INT)]) AS v
+        |      FROM d, UNNEST(range(1, 65)) t(i)),
+        |o AS (SELECT doc_id, idx,
+        |        CASE WHEN v > 16 * list_extract(
+        |          [0,8,2,10,12,4,14,6,3,11,1,9,15,7,13,5],
+        |          (y % 4) * 4 + (x % 4) + 1) + 8
+        |        THEN 255 ELSE 0 END AS ov
+        |      FROM v)
+        |SELECT doc_id, CAST(64 AS INT) AS n_px,
+        |  CAST(sum(CASE WHEN ov = 255 THEN 1 ELSE 0 END) AS INT) AS n_white,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list(CAST(ov AS BIGINT) ORDER BY idx),
+        |    (acc, xx) -> (acc * 31 + xx) % 1000000007) AS dith_checksum
+        |FROM o GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // m33: the run census — runs counted with a lag window over ord()
     // pixels, distinct bytes, naive 2-byte-per-run RLE size, floor-ppm

@@ -2544,6 +2544,53 @@ object Multimodal {
       "ratio_ppm", "compressible")
   }
 
+  /** Ordered (Bayer) dithering (m34) — the classic 4×4 threshold-map
+    * binarization (Bayer 1973), the position-dependent quantizer that
+    * preserves mid-tone STRUCTURE where a flat threshold banded: pixel
+    * (x, y) goes white iff v > 16·B[y mod 4][x mod 4] + 8, thresholds
+    * sweeping {8, 24, …, 248} across the tile so a mid-gray field
+    * renders as the half-on Bayer pattern. Pure per-pixel integer
+    * arithmetic (unlike error diffusion, which is a sequential
+    * recurrence — documented out of the relational form), so decode +
+    * dither is one map and the oracle replays the matrix lookup from
+    * ord() pixels. The fold over the dithered 0/255 stream pins the
+    * tile PHASE — a transposed or shifted matrix flips bits
+    * everywhere.
+    */
+  private val Bayer4 = Array(0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5)
+
+  def orderedDither(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        var white = 0
+        var acc = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val v = img.pixels(y * img.width + x) & 0xff
+            val b = Bayer4((y % 4) * 4 + (x % 4))
+            val o = if (v > 16 * b + 8) 255 else 0
+            if (o == 255) white += 1
+            acc = (acc * 31 + o) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        (r.media_id, img.width * img.height, white, acc)
+      }
+    }.toDF("doc_id", "n_px", "n_white", "dith_checksum")
+  }
+
+  /** m34 gate entry: the Bayer walk over [[docPgmRows]]; the oracle
+    * replays the tile lookup and the fold from ord() pixels.
+    */
+  def orderedDitherGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orderedDither(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** m33 gate entry: the run census over [[docPgmRows]]; the oracle
     * rebuilds pixels from ord() and counts runs with a lag window.
     */

@@ -980,6 +980,43 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Burstiness / index of dispersion (t41) — the variance-to-mean
+    * ratio of a token's per-document counts (Church & Gale 1995's
+    * burstiness observation: content words clump, function words
+    * spread), the signal that separates topical vocabulary (D ≫ 1)
+    * from glue (D ≈ 1, the Poisson floor) without any language model.
+    * D = (n·Σx² − (Σx)²) / (n·Σx) over ALL n documents (absent docs
+    * contribute zero through the totals, so the quotient is exact from
+    * three integer sums — no per-doc zero rows materialize). Floor-ppm
+    * grid; Poisson-ness is readable directly: d_ppm ≈ 1e6 means
+    * evenly-spread.
+    *
+    * Scale shape: one (token, doc) count aggregation, one token
+    * rollup, a broadcast scalar n — all map-combinable; the output is
+    * vocabulary-sized. At 100 TB swap the BIGINT sums for
+    * DECIMAL(38,0) (the t40 note) — Σx² crosses int64 only past ~3e9
+    * occurrences of one token in one doc-squared regime, far beyond
+    * real corpora, so BIGINT is documented-safe here.
+    */
+  def burstiness(spark: SparkSession, sfDir: String,
+      minCount: Long = 5): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Caches.track(Tables.documents(spark, sfDir))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val perDoc = docs
+      .select($"doc_id", explode(Text.toks($"text")).as("token"))
+      .groupBy($"token", $"doc_id").agg(count(lit(1)).as("x"))
+    perDoc.groupBy($"token")
+      .agg(count(lit(1)).as("n_docs_with"), sum($"x").as("total_tf"),
+        sum($"x" * $"x").as("sum_sq"))
+      .filter($"total_tf" >= minCount)
+      .crossJoin(broadcast(nDocs))
+      .selectExpr("token", "n_docs_with", "total_tf", "sum_sq",
+        "(n * sum_sq - total_tf * total_tf) * 1000000 div (n * total_tf)" +
+          " AS d_ppm")
+      .orderBy($"d_ppm".desc, $"token")
+  }
+
   /** χ² keyness (t40) — the corpus-comparison statistic (the rational
     * sibling of Dunning's log-likelihood, which needs ln and therefore
     * can't hash-gate): for each token, the 2×2 contingency of

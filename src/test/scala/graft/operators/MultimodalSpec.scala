@@ -1964,4 +1964,28 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     // word-soup prefixes genuinely carry repeated-letter runs somewhere
     gate.exists(_.getInt(2) < 64) shouldBe true
   }
+
+  test("orderedDither: mid-gray halves, extremes saturate, phase pinned") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(px: Array[Int]): Array[Byte] =
+      ("P5\n8 8\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    val bayer = Array(0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5)
+    def fold(s: Seq[Int]): Long =
+      s.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)
+    val out = Multimodal.orderedDither(Seq(
+      MediaRow(1L, "image", pgm(Array.fill(64)(128))),
+      MediaRow(2L, "image", pgm(Array.fill(64)(0))),
+      MediaRow(3L, "image", pgm(Array.fill(64)(255)))).toDS())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // mid-gray: white iff 128 > 16B+8 ⇔ B <= 7 — exactly half the tile
+    out(1L).getInt(2) shouldBe 32
+    // the dithered stream recomputes with the tile phase intact
+    val expMid = for (y <- 0 until 8; x <- 0 until 8) yield
+      if (128 > 16 * bayer((y % 4) * 4 + (x % 4)) + 8) 255 else 0
+    out(1L).getLong(3) shouldBe fold(expMid)
+    // extremes: 0 never clears any threshold; 255 clears all
+    out(2L).getInt(2) shouldBe 0
+    out(3L).getInt(2) shouldBe 64
+  }
 }

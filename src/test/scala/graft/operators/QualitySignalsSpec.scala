@@ -281,6 +281,42 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.map(_.getBoolean(3)).distinct.length shouldBe 2
   }
 
+  test("burstiness: dispersion recomputes, ranking and floor hold") {
+    val rows = TextAnalysis.burstiness(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val toksByDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val n = toksByDoc.size.toLong
+    val perTok = toksByDoc.toSeq
+      .flatMap { case (id, tks) => tks.map(t => (t, id)) }
+      .groupBy(_._1)
+      .map { case (t, occ) =>
+        val byDoc = occ.groupBy(_._2).map(_._2.length.toLong)
+        (t, byDoc.size.toLong, byDoc.sum, byDoc.map(x => x * x).sum)
+      }.filter(_._3 >= 5).map(x => x._1 -> x).toMap
+    rows.length shouldBe perTok.size
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val (_, ndw, tf, ssq) = perTok(t)
+      withClue(s"token $t: ") {
+        r.getLong(1) shouldBe ndw
+        r.getLong(2) shouldBe tf
+        r.getLong(3) shouldBe ssq
+        r.getLong(4) shouldBe (n * ssq - tf * tf) * 1000000L / (n * tf)
+        // variance is nonnegative, so D never goes below zero; and a
+        // token in every doc with equal counts would sit at the floor
+        r.getLong(4) should be >= 0L
+      }
+    }
+    val keys = rows.map(r => (-r.getLong(4), r.getString(0))).toSeq
+    keys shouldBe keys.sorted
+    rows.map(_.getLong(4)).distinct.length should be > 1
+  }
+
   test("featureHash: buckets/signs recompute from MessageDigest md5") {
     val rows = TextAnalysis.featureHash(spark, sf).collect()
     graft.Caches.releaseAll(spark)
