@@ -175,6 +175,8 @@ object SparkEntry {
       Similarity.silhouette(s, d)),
     "s34_cluster_purity" -> ((s: SparkSession, d: String) =>
       Similarity.clusterPurity(s, d)),
+    "s35_cluster_report" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterReport(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -3714,6 +3716,61 @@ object SparkEntry {
          |  1000000 - sum_sq * 1000000 // (n * n) AS gini_ppm,
          |  t_maj * 1000000 // t_n AS overall_ppm
          |FROM j, ov ORDER BY cluster""".stripMargin,
+
+    // s35: the cartography dashboard — ONE shared Lloyd chain feeds
+    // the s11 distortion rollup, the s33 margin mean, and the s34
+    // purity columns
+    "s35_cluster_report" ->
+      s"""WITH ${embCte("TRUE")},
+         |p AS (SELECT vec_id, i AS pos, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+         |${corpusLloydCtes(8, 2)},
+         |fin AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(sum((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dist2q
+         |  FROM p JOIN cb2 c ON p.pos = c.pos GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT vec_id, cluster, dist2q,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2q, cluster) AS rn
+         |  FROM fin
+         |),
+         |asg AS (SELECT vec_id, cluster, dist2q FROM r WHERE rn = 1),
+         |dist AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |           CAST(sum(dist2q) AS BIGINT) AS sum_d
+         |         FROM asg GROUP BY 1),
+         |oth AS (SELECT vec_id, CAST(min(dist2q) AS BIGINT) AS b2
+         |        FROM r WHERE rn > 1 GROUP BY 1),
+         |silrows AS (
+         |  SELECT a.cluster,
+         |    CASE WHEN greatest(a.dist2q, b2) = 0 THEN 0
+         |         ELSE (b2 - a.dist2q) * 1000000 // greatest(a.dist2q, b2)
+         |    END AS sil_ppm
+         |  FROM asg a JOIN oth USING (vec_id)
+         |),
+         |sil AS (SELECT cluster, CAST(sum(sil_ppm) AS BIGINT) AS sil_sum
+         |        FROM silrows GROUP BY 1),
+         |cl AS (
+         |  SELECT a.cluster, em.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM asg a JOIN embeddings em ON a.vec_id = em.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |tots AS (SELECT cluster, CAST(sum(cnt) AS BIGINT) AS np,
+         |           CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+         |         FROM cl GROUP BY 1),
+         |maj AS (
+         |  SELECT cluster, label AS maj_label, cnt AS maj_cnt FROM (
+         |    SELECT cluster, label, cnt,
+         |      row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label) AS rn
+         |    FROM cl) x WHERE rn = 1
+         |)
+         |SELECT d.cluster, d.n, d.sum_d,
+         |  sil_sum // d.n AS mean_sil_ppm,
+         |  maj_label,
+         |  maj_cnt * 1000000 // np AS purity_ppm,
+         |  1000000 - sum_sq * 1000000 // (np * np) AS gini_ppm
+         |FROM dist d JOIN sil USING (cluster) JOIN maj USING (cluster)
+         |  JOIN tots USING (cluster)
+         |ORDER BY d.cluster""".stripMargin,
 
     // s12: the s11 assignment + per-cluster mean-distance outlier flag
     "s12_embed_outliers" ->

@@ -488,6 +488,38 @@ object Similarity {
       .orderBy($"cluster")
   }
 
+  /** Cluster cartography report (s35) — the per-cluster dashboard a
+    * curation run reads before trusting cluster-aware selection, the
+    * s-family's p21: population and total distortion (s11's
+    * assignment), mean simplified-silhouette margin (s33, floor ppm),
+    * and majority label + purity + Gini (s34) — one row per cluster,
+    * all three derivations from the SAME deterministic training by
+    * the one-definition rule (this calls the gated operators
+    * themselves; a drift in any breaks two gates).
+    *
+    * Scale shape: the component operators' own plans; the joins here
+    * are k-row frames. (The three Lloyd retrains are the gate's
+    * cache-isolation cost — a library session caches the assignment
+    * via Caches.track and pays once.)
+    */
+  def clusterReport(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val dist = corpusAssign(spark, sfDir, k, iters)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), sum($"dist2q").as("sum_d"))
+    val sil = silhouette(spark, sfDir, k, iters)
+      .groupBy($"cluster")
+      .agg(sum($"sil_ppm").as("sil_sum"))
+    val pur = clusterPurity(spark, sfDir, k, iters)
+      .select($"cluster", $"maj_label", $"purity_ppm", $"gini_ppm")
+    dist.join(sil, "cluster").join(pur, "cluster")
+      .selectExpr("cluster", "n", "sum_d",
+        "sil_sum div n AS mean_sil_ppm",
+        "maj_label", "purity_ppm", "gini_ppm")
+      .orderBy($"cluster")
+  }
+
   /** (vec_id, cluster, pos, xq): embedding components quantized to the
     * 1e-6 grid as integers. Quantizing FIRST makes every downstream
     * aggregate an integer sum — exact and summation-order-free — so

@@ -184,6 +184,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the CACHED count-histogram frame as its direct child —
     // O(log corpus) rows per task into the 1-row broadcast p0 divides
     // by (verified by plan dump this round).
+    // t41 — the corpus doc count n: the plan's one SinglePartition
+    // exchange has HashAggregate(partial_count(1)) over the CACHED
+    // documents frame as its direct child — one partial row per task
+    // into the 1-row broadcast the dispersion divides by (q14's
+    // shape; verified by plan dump this round).
+    // s35 — inherits s34's overall-purity scalar (the component
+    // operator's allowlisted shape, same plan by the one-definition
+    // rule; verified by plan dump this round: partial-agg over a
+    // cached k-row frame into a 1-row broadcast).
     // t40 — the Na/Nb totals: the plan's one SinglePartition exchange
     // has HashAggregate(partial_sum(a), partial_sum(b)) over the
     // CACHED vocabulary-sized count frame as its direct child — one
@@ -211,7 +220,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "t32_vocab_growth", "q50_cusum", "q55_join_skew",
       "p19_temperature_mix", "s32_cell_drift", "t35_kn_bigram",
       "s34_cluster_purity", "t38_good_turing", "p21_clean_mixture",
-      "t40_chi2_keyness")
+      "t40_chi2_keyness", "t41_burstiness", "s35_cluster_report")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -765,6 +765,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     sil.map(_.getLong(4)).distinct.length should be > 1
   }
 
+  test("clusterReport: columns equal the gated component operators") {
+    val rep = Similarity.clusterReport(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    graft.Caches.releaseAll(spark)
+    val dist = Similarity.corpusClusters(spark, sf).collect()
+      .groupBy(_.getInt(1))
+      .map { case (c, rs) => c -> (rs.length.toLong, rs.map(_.getLong(2)).sum) }
+    graft.Caches.releaseAll(spark)
+    val sil = Similarity.silhouette(spark, sf).collect()
+      .groupBy(_.getInt(1))
+      .map { case (c, rs) => c -> rs.map(_.getLong(4)).sum }
+    graft.Caches.releaseAll(spark)
+    val pur = Similarity.clusterPurity(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getInt(2), r.getLong(4), r.getLong(5))).toMap
+    graft.Caches.releaseAll(spark)
+    rep.keySet shouldBe dist.keySet
+    rep.foreach { case (c, r) =>
+      withClue(s"cluster $c: ") {
+        (r.getLong(1), r.getLong(2)) shouldBe dist(c)
+        r.getLong(3) shouldBe sil(c) / dist(c)._1
+        r.getInt(4) shouldBe pur(c)._1
+        r.getLong(5) shouldBe pur(c)._2
+        r.getLong(6) shouldBe pur(c)._3
+      }
+    }
+  }
+
   test("clusterPurity: recomputes from assignment x labels, bounds hold") {
     val out = Similarity.clusterPurity(spark, sf).collect()
     graft.Caches.releaseAll(spark)
