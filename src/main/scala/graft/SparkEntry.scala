@@ -177,6 +177,8 @@ object SparkEntry {
       Similarity.clusterPurity(s, d)),
     "s35_cluster_report" -> ((s: SparkSession, d: String) =>
       Similarity.clusterReport(s, d)),
+    "s36_ann_rptree" -> ((s: SparkSession, d: String) =>
+      Similarity.annRpTree(s, d)),
     // —— extensions: text analysis ——
     "t01_text_stats" -> (TextAnalysis.textStats _),
     "t02_lang_id" -> (TextAnalysis.langId _),
@@ -3051,6 +3053,38 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, cand, bucket, cos, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // s36: the RP-tree — per-level projections at offsets 10+l, lower
+    // median BY VALUE per node ((dot, vec_id) rank, t = max of first
+    // (n+1)//2), route left iff dt <= t; queries walk the identical
+    // thresholds; exact-cosine re-rank within the shared leaf
+    "s36_ann_rptree" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |c0 AS (SELECT DISTINCT vec_id, 0 AS node FROM e WHERE vec_id % 20 = 0),
+         |q0 AS (SELECT DISTINCT vec_id AS qid, 0 AS node FROM e WHERE vec_id < 8),
+         |${rpTreeCtes(3)},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT d.qid, d.cand, CAST(q3.node AS INT) AS leaf,
+         |    round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d
+         |  JOIN c3 ON d.cand = c3.vec_id
+         |  JOIN q3 ON d.qid = q3.qid AND c3.node = q3.node
+         |  JOIN n nq ON d.qid = nq.vec_id JOIN n nc ON d.cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, leaf, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cand, leaf, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
 
     // IVF with the relational integer-grid Lloyd quantizer (seed = first
     // 8 candidate vectors, 2 assign→re-average rounds — ivfCtes), final
@@ -6407,6 +6441,38 @@ object SparkEntry {
     */
   private def zSpreadSql(v: String): String =
     (0 until 21).map(b => s"((($v >> $b) & 1) << ${3 * b})").mkString(" + ")
+
+  /** The RP-tree build/route rounds (s36): level l projects with the
+    * planeDotQ weight family at offset 10+l, splits each node at the
+    * value of its (n+1)//2-th smallest projection, and routes both the
+    * candidate set (c-chain) and the queries (q-chain) by the SAME
+    * thresholds.
+    */
+  private def rpTreeCtes(depth: Int): String =
+    (0 until depth).map { l =>
+      s"""d$l AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CAST(round(x * 1e6, 0) AS BIGINT) *
+         |      (((${17 * (10 + l)} + 31 * (i - 1) + 5) % 7) - 3)) AS BIGINT) AS dt
+         |  FROM e GROUP BY 1
+         |),
+         |rk$l AS (
+         |  SELECT c.vec_id, c.node, dt,
+         |    row_number() OVER (PARTITION BY c.node ORDER BY dt, c.vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.node) AS nn
+         |  FROM c$l c JOIN d$l USING (vec_id)
+         |),
+         |th$l AS (SELECT node, max(dt) AS t FROM rk$l
+         |         WHERE rn <= (nn + 1) // 2 GROUP BY 1),
+         |c${l + 1} AS (
+         |  SELECT vec_id, node * 2 + CASE WHEN dt > t THEN 1 ELSE 0 END AS node
+         |  FROM rk$l JOIN th$l USING (node)
+         |),
+         |q${l + 1} AS (
+         |  SELECT q.qid, q.node * 2 + CASE WHEN d.dt > t.t THEN 1 ELSE 0 END AS node
+         |  FROM q$l q JOIN d$l d ON q.qid = d.vec_id JOIN th$l t ON q.node = t.node
+         |)""".stripMargin
+    }.mkString(",\n")
 
   /** 16-bit coordinate scaling, the HilbertCurve.scale mirror (same
     * IEEE sequence as [[zScaleSql]], narrower grid).

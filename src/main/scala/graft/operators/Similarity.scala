@@ -623,6 +623,88 @@ object Similarity {
     (0 until planes).map(j => when(planeDotQ(emb, j, dims) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _).cast("int")
 
+  /** Random-projection-tree ANN (s36) — the Annoy index family
+    * (Bernhardsson's annoy; Dasgupta & Freund, STOC 2008 for the RP
+    * tree), the fourth index shape next to LSH (s02), IVF (s03), and
+    * PQ (s10), distinguished by DATA-DEPENDENT splits: each tree node
+    * projects onto a fixed pseudo-random direction and splits at the
+    * node's MEDIAN projection, so leaves stay BALANCED no matter how
+    * the corpus clusters — the property sign-LSH buckets lack (they
+    * skew with the data, which is why annLsh needs its population
+    * guard; an RP-tree's guard is structural). Depth 3 → 8 leaves of
+    * ~n/8 candidates each.
+    *
+    * Determinism: projections use the planeDotQ integer-grid weights
+    * at level offsets 10+l (disjoint from the LSH planes); the median
+    * is the lower median BY VALUE — threshold t = the ⌈n/2⌉-th
+    * smallest projection ((dot, vec_id) rank order), route left iff
+    * dot ≤ t — so routing is a pure value comparison both engines
+    * replay, and ties go left consistently. Queries walk the same 7
+    * thresholds (1+2+4 rows, broadcast).
+    *
+    * Scale shape: tree build = depth × (one per-node window over the
+    * candidate projections + one threshold join); per-node populations
+    * HALVE each level. The ROOT split ranks the whole corpus in one
+    * node — at 100 TB the production build takes the median of a
+    * bounded per-node SAMPLE instead (Annoy itself does; medians of
+    * samples converge fast), which caps every window partition; the
+    * exact-median form here is what makes the full-table hash oracle
+    * possible. Search = one broadcast threshold walk + one leaf
+    * equi-join + per-query top-k window; the stored index is 2^depth−1
+    * thresholds per tree, and a forest of trees unions candidates —
+    * the Annoy shape.
+    */
+  def annRpTree(spark: SparkSession, sfDir: String, depth: Int = 3,
+      dims: Int = 64, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    def dotL(l: Int)(c: Column): Column = planeDotQ(c, 10 + l, dims)
+
+    // tree build over the candidate corpus: per-level median split
+    var cand = graft.Caches.track(
+      withNorm(emb.filter($"vec_id" % 20 === 0))
+        .withColumn("node", lit(0)))
+    val thresholds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (l <- 0 until depth) {
+      val scored = cand.withColumn("dt", dotL(l)($"embedding"))
+      val wNode = Window.partitionBy($"node").orderBy($"dt", $"vec_id")
+      val ranked = scored.withColumn("rn", row_number().over(wNode))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy($"node")))
+      val th = ranked.filter($"rn" <= ($"nn" + 1) / 2)
+        .groupBy($"node").agg(max($"dt").as("t"))
+      thresholds += th.withColumn("level", lit(l))
+      cand = graft.Caches.track(
+        scored.join(broadcast(th), "node")
+          .withColumn("node",
+            $"node" * 2 + when($"dt" > $"t", 1).otherwise(0))
+          .drop("dt", "t"))
+    }
+    val leaves = cand.select($"vec_id", $"embedding", $"nrm",
+      $"node".as("leaf"))
+
+    // query routing: walk the broadcast thresholds level by level
+    var q = withNorm(emb.filter($"vec_id" < 8))
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"))
+      .withColumn("node", lit(0))
+    for (l <- 0 until depth) {
+      q = q.withColumn("dt", dotL(l)($"q_emb"))
+        .join(broadcast(thresholds(l).drop("level")), "node")
+        .withColumn("node", $"node" * 2 + when($"dt" > $"t", 1).otherwise(0))
+        .drop("dt", "t")
+    }
+    val probes = q.select($"qid", $"q_emb", $"q_nrm", $"node".as("leaf"))
+
+    val scored = leaves.join(broadcast(probes), Seq("leaf"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand"), $"leaf",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= topK)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Hamming-1 probe set over a [[lshBucket]] code: the bucket itself
     * plus every single-plane-sign flip — `planes + 1` pairwise-distinct
     * columns. THE single definition of the multi-probe neighborhood:

@@ -765,6 +765,59 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     sil.map(_.getLong(4)).distinct.length should be > 1
   }
 
+  test("annRpTree: driver replay of the tree, balanced leaves, recall") {
+    import spark.implicits._
+    val sfb = "/root/testdata/sf0.01"
+    val out = Similarity.annRpTree(spark, sfb).collect()
+    graft.Caches.releaseAll(spark)
+    out should not be empty
+    // independent tree replay from raw embeddings
+    val embs = Tables.embeddings(spark, sfb)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.round(x.toDouble * 1e6)).toArray).toMap
+    def dt(l: Int, v: Array[Long]): Long =
+      v.zipWithIndex.map { case (x, k) =>
+        x * (((17 * (10 + l) + 31 * k + 5) % 7) - 3)
+      }.sum
+    val cands = embs.keys.filter(_ % 20 == 0).toSeq.sorted
+    var nodes = Map(0 -> cands)
+    val thresholds = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (l <- 0 until 3) {
+      nodes = nodes.flatMap { case (node, vs) =>
+        val scored = vs.map(v => (dt(l, embs(v)), v)).sorted
+        val t = scored((scored.length + 1) / 2 - 1)._1
+        thresholds((l, node)) = t
+        val (left, right) = scored.partition(_._1 <= t)
+        // balance law: with distinct projections the split is the
+        // lower median — sibling sizes differ by at most 1
+        if (scored.map(_._1).distinct.length == scored.length)
+          math.abs(left.length - right.length) should be <= 1
+        Map(node * 2 -> left.map(_._2), node * 2 + 1 -> right.map(_._2))
+      }
+    }
+    val leafOf = nodes.flatMap { case (leaf, vs) => vs.map(_ -> leaf) }
+    def qLeaf(q: Long): Int = {
+      var node = 0
+      for (l <- 0 until 3)
+        node = node * 2 + (if (dt(l, embs(q)) > thresholds((l, node))) 1 else 0)
+      node
+    }
+    out.foreach { r =>
+      val (qid, cand, leaf) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      withClue(s"($qid,$cand): ") {
+        leafOf(cand) shouldBe leaf
+        qLeaf(qid) shouldBe leaf
+      }
+    }
+    // ranked per query, and the index genuinely retrieves: some query
+    // finds a top-3 brute-force neighbor inside its leaf
+    val brute = Similarity.annBruteForce(spark, sfb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll(spark)
+    out.map(r => (r.getLong(0), r.getLong(1))).count(brute) should be > 0
+  }
+
   test("clusterReport: columns equal the gated component operators") {
     val rep = Similarity.clusterReport(spark, sf).collect()
       .map(r => r.getInt(0) -> r).toMap
