@@ -272,6 +272,7 @@ object SparkEntry {
     "m32_patchify" -> (Multimodal.patchifyGate _),
     "m33_rle_signal" -> (Multimodal.rleSignalGate _),
     "m34_dither" -> (Multimodal.orderedDitherGate _),
+    "m35_glcm" -> (Multimodal.glcmGate _),
     "m08_audio_fingerprint" -> (Multimodal.audioFingerprintGate _),
     "m09_audio_neardup" -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "m10_resize_gate" -> (Multimodal.resizeGate _),
@@ -5600,6 +5601,30 @@ object SparkEntry {
         |  z.zero_crossings, c.sample_checksum
         |FROM f JOIN z USING (doc_id) JOIN c USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // m35: Haralick GLCM sums — horizontal pairs via idx+1 self-join,
+    // exact contrast/energy/floor-ppm homogeneity
+    "m35_glcm" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        (CAST(i AS INT) - 1) % 8 AS x,
+        |        ord(text[CAST(i AS INT)]) AS v
+        |      FROM d, UNNEST(range(1, 65)) t(i)),
+        |pr AS (SELECT a.doc_id, a.v AS va, b.v AS vb
+        |       FROM v a JOIN v b ON a.doc_id = b.doc_id
+        |         AND b.idx = a.idx + 1 AND a.x < 7),
+        |s AS (SELECT doc_id,
+        |        CAST(sum((va - vb) * (va - vb)) AS BIGINT) AS contrast,
+        |        CAST(sum(1000000 // ((1 + (va - vb) * (va - vb)) * 56)) AS BIGINT)
+        |          AS homogeneity_ppm
+        |      FROM pr GROUP BY 1),
+        |cnt AS (SELECT doc_id, va, vb, CAST(count(*) AS BIGINT) AS c
+        |        FROM pr GROUP BY 1, 2, 3),
+        |en AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS energy_num
+        |       FROM cnt GROUP BY 1)
+        |SELECT s.doc_id, CAST(56 AS BIGINT) AS n_pairs, contrast,
+        |  energy_num, homogeneity_ppm
+        |FROM s JOIN en USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
     // m34: the Bayer 4x4 dither — white iff v > 16*B[y%4][x%4] + 8,
     // matrix as a flat list lookup, fold over the 0/255 stream

@@ -2583,6 +2583,62 @@ object Multimodal {
     }.toDF("doc_id", "n_px", "n_white", "dith_checksum")
   }
 
+  /** GLCM texture statistics (m35) — Haralick's gray-level
+    * co-occurrence features (Haralick, Shanmugam & Dinstein 1973), the
+    * classical texture fingerprint a media-curation pass uses to
+    * separate flat/synthetic frames from textured photography without
+    * a model: over horizontally adjacent pixel pairs (offset (1, 0),
+    * the canonical direction), contrast = Σ(va−vb)² (exact BIGINT),
+    * energy numerator = Σ over distinct (va, vb) of count² (the
+    * angular-second-moment's integer core), and homogeneity as the
+    * exact ppm sum Σ 1e6 div ((1+(va−vb)²)·n_pairs) — every term a
+    * floor division, so the whole row hash-gates. High contrast + low
+    * energy = texture; the reverse = flat or synthetic.
+    *
+    * Scale shape: decode + pair walk in one map per image (the
+    * co-occurrence "matrix" never materializes — the three sums stream
+    * over pairs); no shuffle, the m05 discipline.
+    */
+  def glcmStats(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        val w = img.width
+        val nPairs = (w - 1).toLong * img.height
+        var contrast = 0L
+        var homSum = 0L
+        val cc = new java.util.HashMap[Int, Long]()
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < w - 1) {
+            val a = img.pixels(y * w + x) & 0xff
+            val b = img.pixels(y * w + x + 1) & 0xff
+            val d = (a - b).toLong
+            contrast += d * d
+            homSum += 1000000L / ((1 + d * d) * nPairs)
+            cc.merge(a * 256 + b, 1L, (p, q) => p + q)
+            x += 1
+          }
+          y += 1
+        }
+        var energy = 0L
+        val it = cc.values.iterator()
+        while (it.hasNext) { val c = it.next(); energy += c * c }
+        (r.media_id, nPairs, contrast, energy, homSum)
+      }
+    }.toDF("doc_id", "n_pairs", "contrast", "energy_num", "homogeneity_ppm")
+  }
+
+  /** m35 gate entry: the pair walk over [[docPgmRows]]; the oracle
+    * rebuilds pairs by joining ord() pixels at x+1 and replays the
+    * three sums.
+    */
+  def glcmGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    glcmStats(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** m34 gate entry: the Bayer walk over [[docPgmRows]]; the oracle
     * replays the tile lookup and the fold from ord() pixels.
     */

@@ -1988,4 +1988,37 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(2L).getInt(2) shouldBe 0
     out(3L).getInt(2) shouldBe 64
   }
+
+  test("glcmStats: hand pairs, flat-vs-texture separation") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    // 4x1: pairs (10,20),(20,20),(20,5): contrast 100+0+225 = 325;
+    // counts all distinct → energy 3; homogeneity floor ppm per pair
+    val out = Multimodal.glcmStats(Seq(
+      MediaRow(1L, "image", pgm(4, 1, Array(10, 20, 20, 5))),
+      MediaRow(2L, "image", pgm(4, 2, Array.fill(8)(77))),
+      MediaRow(3L, "image", pgm(4, 2, Array(0, 255, 0, 255, 255, 0, 255, 0)))
+    ).toDS()).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    r1.getLong(1) shouldBe 3L
+    r1.getLong(2) shouldBe 325L
+    r1.getLong(3) shouldBe 3L
+    r1.getLong(4) shouldBe
+      1000000L / (101 * 3) + 1000000L / 3 + 1000000L / (226 * 3)
+    // flat image: zero contrast, maximal energy (all pairs identical),
+    // homogeneity at the ppm ceiling (up to floor loss)
+    val r2 = out(2L)
+    r2.getLong(2) shouldBe 0L
+    r2.getLong(3) shouldBe 36L // 6 identical pairs → 6²
+    r2.getLong(4) should be >= 1000000L - r2.getLong(1)
+    // checkerboard: max contrast per pair, energy from two cells
+    val r3 = out(3L)
+    r3.getLong(2) shouldBe 6L * 255 * 255
+    r3.getLong(3) shouldBe 2L * 9 // two (a,b) cells of 3 pairs each
+    // the separation the feature exists for
+    r3.getLong(2) should be > r2.getLong(2)
+    r2.getLong(3) should be > r3.getLong(3)
+  }
 }
