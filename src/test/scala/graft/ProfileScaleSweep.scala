@@ -290,6 +290,18 @@ object ProfileScaleSweep {
       time("silence_trim")(Multimodal.silenceTrimGate(spark, dir))
       time("hist_equalize")(Multimodal.histEqualizeGate(spark, dir))
       time("clean_mixture")(Sampling.cleanMixture(spark, dir))
+      // fourth-session closing rows. bbit: d03's signature plan + a
+      // projection. rptree: depth × per-node median windows — the
+      // root rank is the documented sample-at-scale point.
+      // burstiness/dither/glcm: the map+combinable-agg floor. (q60
+      // islands read the events table, which this sweep does not
+      // enlarge — its shape is q27's one per-user shuffle+sort,
+      // already covered by that family's rows.)
+      time("bbit_minhash")(Dedup.bbitMinHash(spark, dir))
+      time("ann_rptree")(Similarity.annRpTree(spark, dir))
+      time("burstiness")(TextAnalysis.burstiness(spark, dir))
+      time("dither")(Multimodal.orderedDitherGate(spark, dir))
+      time("glcm")(Multimodal.glcmGate(spark, dir))
       // d25 edit-join is NOT swept over replicas: its shipped blocking
       // (shared n-gram + length band) targets value-deduplicated
       // attribute domains (names/titles, 10^3..10^5 distinct) where
