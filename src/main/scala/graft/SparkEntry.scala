@@ -339,6 +339,7 @@ object SparkEntry {
     "o20_zrange_bbox" -> (osm.OsmOracle.zrangeBboxNodes _),
     "o23_hilbert_nodes" -> (osm.OsmOracle.hilbertNodes _),
     "o24_curve_locality" -> (osm.OsmOracle.curveLocality _),
+    "o25_changeset_impact" -> (osm.OsmOracle.changesetImpact _),
     "o21_polygon_areas" -> (osm.OsmOracle.polygonAreas _),
     "o22_polygon_centroids" -> (osm.OsmOracle.polygonCentroids _),
   )
@@ -6397,6 +6398,38 @@ object SparkEntry {
          |${hilbertRoundsSql()}
          |SELECT id, version, d AS hval, CAST(d >> 24 AS INT) AS hcell
          |FROM h16 ORDER BY id, version""".stripMargin,
+
+    // o25: the two converted sinks joined on the changeset FK —
+    // per-changeset element census, touched-node bbox (stringified
+    // decimals), num_changes delta, three-valued containment audit
+    "o25_changeset_impact" ->
+      s"""WITH t AS (
+         |  SELECT changeset,
+         |    CAST(sum(CASE WHEN type = 'node' THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes,
+         |    CAST(sum(CASE WHEN type = 'way' THEN 1 ELSE 0 END) AS BIGINT) AS n_ways,
+         |    CAST(sum(CASE WHEN type = 'relation' THEN 1 ELSE 0 END) AS BIGINT) AS n_rels,
+         |    CAST(count(*) AS BIGINT) AS n_total,
+         |    min(CASE WHEN type = 'node' THEN lat END) AS nmin_lat,
+         |    max(CASE WHEN type = 'node' THEN lat END) AS nmax_lat,
+         |    min(CASE WHEN type = 'node' THEN lon END) AS nmin_lon,
+         |    max(CASE WHEN type = 'node' THEN lon END) AS nmax_lon
+         |  FROM $OsmP GROUP BY 1
+         |)
+         |SELECT c.id,
+         |  CAST(COALESCE(n_nodes, 0) AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(n_ways, 0) AS BIGINT) AS n_ways,
+         |  CAST(COALESCE(n_rels, 0) AS BIGINT) AS n_rels,
+         |  CAST(COALESCE(n_total, 0) AS BIGINT) AS n_total,
+         |  c.num_changes,
+         |  c.num_changes - CAST(COALESCE(n_total, 0) AS BIGINT) AS delta,
+         |  CAST(nmin_lat AS VARCHAR) AS node_min_lat,
+         |  CAST(nmax_lat AS VARCHAR) AS node_max_lat,
+         |  CAST(nmin_lon AS VARCHAR) AS node_min_lon,
+         |  CAST(nmax_lon AS VARCHAR) AS node_max_lon,
+         |  (nmin_lat >= c.min_lat AND nmax_lat <= c.max_lat AND
+         |   nmin_lon >= c.min_lon AND nmax_lon <= c.max_lon) AS in_bounds
+         |FROM $OsmC c LEFT JOIN t ON c.id = t.changeset
+         |ORDER BY c.id""".stripMargin,
 
     // o24: both curves' cell footprints over the o20 bbox at equal
     // 2048x2048 granularity — the oracle replays BOTH pipelines

@@ -316,6 +316,55 @@ object OsmOracle {
       .orderBy(col("id"), col("version"))
   }
 
+  /** Changeset impact audit (o25) — the cross-TABLE integrity query an
+    * OSM QA pipeline runs over the converted outputs (the reference's
+    * two sinks, changesets and planet, joined on the changeset FK —
+    * README.md:78-242's workload spans both but never joins them):
+    * per changeset, the touched-element census by type, the bbox of
+    * its touched NODES (exact decimals, stringified the o20 way), the
+    * declared-vs-actual `num_changes` delta, and whether the node
+    * bbox sits inside the changeset's declared bbox (SQL three-valued
+    * logic where either side is absent — an open changeset with no
+    * bounds audits as NULL, not false). Left join keeps empty
+    * changesets visible.
+    *
+    * Scale shape: one groupBy on the changeset FK over planet (the
+    * natural partition key for this audit at planet scale) + a
+    * broadcast-sized changesets dim join.
+    */
+  def changesetImpact(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = OsmFixture.planet(spark)
+    val touched = p.groupBy(col("changeset"))
+      .agg(
+        sum(when(col("type") === "node", 1L).otherwise(0L)).as("n_nodes"),
+        sum(when(col("type") === "way", 1L).otherwise(0L)).as("n_ways"),
+        sum(when(col("type") === "relation", 1L).otherwise(0L)).as("n_rels"),
+        count(lit(1)).as("n_total"),
+        min(when(col("type") === "node", col("lat"))).as("nmin_lat"),
+        max(when(col("type") === "node", col("lat"))).as("nmax_lat"),
+        min(when(col("type") === "node", col("lon"))).as("nmin_lon"),
+        max(when(col("type") === "node", col("lon"))).as("nmax_lon"))
+    OsmFixture.changesets(spark)
+      .select(col("id"), col("min_lat"), col("max_lat"), col("min_lon"),
+        col("max_lon"), col("num_changes"))
+      .join(touched, col("id") === col("changeset"), "left")
+      .select(col("id"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_ways"), lit(0L)).as("n_ways"),
+        coalesce(col("n_rels"), lit(0L)).as("n_rels"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        col("num_changes"),
+        (col("num_changes") - coalesce(col("n_total"), lit(0L))).as("delta"),
+        col("nmin_lat").cast("string").as("node_min_lat"),
+        col("nmax_lat").cast("string").as("node_max_lat"),
+        col("nmin_lon").cast("string").as("node_min_lon"),
+        col("nmax_lon").cast("string").as("node_max_lon"),
+        (col("nmin_lat") >= col("min_lat") && col("nmax_lat") <= col("max_lat") &&
+          col("nmin_lon") >= col("min_lon") && col("nmax_lon") <= col("max_lon"))
+          .as("in_bounds"))
+      .orderBy(col("id"))
+  }
+
   /** Curve-locality comparison (o24) — the layout decision o19/o23
     * exist to inform, made measurable: for the o20 bbox's nodes, each
     * curve's cell footprint at the SAME granularity (a 2048×2048 world

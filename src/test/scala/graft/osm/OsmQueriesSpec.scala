@@ -265,4 +265,40 @@ class OsmQueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     OsmQueries.changesetsByEditor(cs, "JOSM").head().getAs[Long]("n") shouldBe 1L
     OsmQueries.changesetsIntersecting(cs, -124.05, -124.01, 41.35, 41.39).count() shouldBe 1
   }
+
+  test("changesetImpact: census recomputes from the FK, audit laws hold") {
+    import org.apache.spark.sql.functions.col
+    val rows = OsmOracle.changesetImpact(spark, "").collect()
+    rows should not be empty
+    // every changeset row survives the left join
+    val csIds = OsmFixture.changesets(spark).select(col("id")).collect()
+      .map(_.getLong(0)).sorted
+    rows.map(_.getLong(0)).sorted shouldBe csIds
+    // independent census from the planet side
+    val byCs = OsmFixture.planet(spark)
+      .select(col("changeset"), col("type")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, es) => c -> es.map(_.getString(1)) }
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val es = byCs.getOrElse(id, Array.empty[String])
+      withClue(s"changeset $id: ") {
+        r.getLong(1) shouldBe es.count(_ == "node").toLong
+        r.getLong(2) shouldBe es.count(_ == "way").toLong
+        r.getLong(3) shouldBe es.count(_ == "relation").toLong
+        // the census partitions: total = nodes + ways + relations
+        r.getLong(4) shouldBe r.getLong(1) + r.getLong(2) + r.getLong(3)
+        r.getLong(6) shouldBe r.getLong(5) - r.getLong(4)
+        // a node bbox exists exactly when nodes were touched
+        r.isNullAt(7) shouldBe (r.getLong(1) == 0L)
+      }
+    }
+    // the audit is non-vacuous: bounded changesets with touched nodes
+    // resolve to a verdict, and on this fixture the verdict FIRES (the
+    // synthetic declared bboxes don't cover the node coords — exactly
+    // the mismatch the audit exists to surface); unbounded/untouched
+    // rows stay NULL, never false
+    rows.exists(r => !r.isNullAt(11) && !r.getBoolean(11)) shouldBe true
+    rows.count(r => !r.isNullAt(11)) should be > 0
+  }
 }
