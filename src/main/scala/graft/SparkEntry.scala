@@ -231,6 +231,8 @@ object SparkEntry {
       TextAnalysis.chi2Keyness(s, d)),
     "t41_burstiness" -> ((s: SparkSession, d: String) =>
       TextAnalysis.burstiness(s, d)),
+    "t42_kwic" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.kwic(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -4565,6 +4567,27 @@ object SparkEntry {
          |  n_1 * 1000000 // n_tokens AS p0_ppm, n_tokens
          |FROM hist h LEFT JOIN hist h2 ON h.r + 1 = h2.r, tot
          |ORDER BY h.r""".stripMargin,
+
+    // t42: KWIC — the data-derived top token with ±3 tokens of
+    // context; inclusive list_slice mirrors Spark's (start, length)
+    // slice at both document edges (empty contexts → '')
+    "t42_kwic" ->
+      s"""WITH ${tkCte("")},
+         |occ AS (SELECT doc_id, tk, CAST(i AS BIGINT) AS pos,
+         |          list_extract(tk, CAST(i AS INT)) AS token
+         |        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+         |              FROM tk) t),
+         |tgt AS (SELECT token AS t FROM (
+         |  SELECT token, count(*) AS n FROM occ GROUP BY 1
+         |  ORDER BY n DESC, token LIMIT 1))
+         |SELECT doc_id, pos,
+         |  COALESCE(array_to_string(list_slice(tk,
+         |    CAST(greatest(1, pos - 3) AS INT), CAST(pos - 1 AS INT)), ' '),
+         |    '') AS left_ctx,
+         |  token,
+         |  COALESCE(array_to_string(list_slice(tk, CAST(pos + 1 AS INT),
+         |    CAST(least(len(tk), pos + 3) AS INT)), ' '), '') AS right_ctx
+         |FROM occ, tgt WHERE token = t ORDER BY doc_id, pos""".stripMargin,
 
     // t41: index of dispersion — n·Σx²−(Σx)² over n·Σx on the ppm
     // grid, absent docs riding through the totals

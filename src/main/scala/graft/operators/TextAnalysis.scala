@@ -980,6 +980,41 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** KWIC concordance (t42) — keyword-in-context, the corpus-
+    * inspection view every curation decision ends at (what does this
+    * token actually look like in the data?): every occurrence of the
+    * corpus's top token with up to `window` tokens of left and right
+    * context. The target is data-derived ((count DESC, token) top-1 —
+    * a TakeOrdered over the vocabulary frame), so the query composes
+    * census + retrieval without a hand-picked literal.
+    *
+    * Scale shape: one vocabulary aggregation for the target (tiny,
+    * broadcast), one map-side explode + equi-join on the 1-row target;
+    * context slices read the already-materialized token array — no
+    * second tokenize, no window function at all.
+    */
+  def kwic(spark: SparkSession, sfDir: String, window: Int = 3): DataFrame = {
+    import spark.implicits._
+    val tk = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+    val occ = tk
+      .select($"doc_id", $"tk", posexplode($"tk").as(Seq("p0", "token")))
+      .withColumn("pos", ($"p0" + 1).cast("bigint"))
+    val target = occ.groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token").limit(1)
+      .select($"token".as("t"))
+    occ.join(broadcast(target), $"token" === $"t")
+      .select($"doc_id", $"pos",
+        array_join(slice($"tk",
+          greatest(lit(1), $"pos" - window).cast("int"),
+          ($"pos" - greatest(lit(1), $"pos" - window)).cast("int")), " ")
+          .as("left_ctx"),
+        $"token",
+        array_join(slice($"tk", ($"pos" + 1).cast("int"), lit(window)), " ")
+          .as("right_ctx"))
+      .orderBy($"doc_id", $"pos")
+  }
+
   /** Burstiness / index of dispersion (t41) — the variance-to-mean
     * ratio of a token's per-document counts (Church & Gale 1995's
     * burstiness observation: content words clump, function words

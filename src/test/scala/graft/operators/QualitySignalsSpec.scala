@@ -281,6 +281,36 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.map(_.getBoolean(3)).distinct.length shouldBe 2
   }
 
+  test("kwic: contexts replay from raw tokens; edges truncate cleanly") {
+    val rows = TextAnalysis.kwic(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val toksByDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    // the data-derived target: (count DESC, token) top-1
+    val counts = toksByDoc.values.flatten
+      .groupBy(identity).map { case (t, ts) => t -> ts.size }
+    val target = counts.toSeq.sortBy { case (t, n) => (-n, t) }.head._1
+    rows.foreach(_.getString(3) shouldBe target)
+    // completeness + exact contexts
+    val exp = toksByDoc.toSeq.flatMap { case (id, tks) =>
+      tks.zipWithIndex.collect { case (t, i) if t == target =>
+        val pos = i + 1
+        (id, pos.toLong,
+          tks.slice(math.max(0, i - 3), i).mkString(" "),
+          tks.slice(i + 1, i + 4).mkString(" "))
+      }
+    }.toSet
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getString(4))).toSet shouldBe exp
+    // document edges genuinely truncate on this corpus
+    rows.exists(_.getString(2).isEmpty) ||
+      rows.exists(r => r.getString(2).split(" ").length < 3) shouldBe true
+  }
+
   test("burstiness: dispersion recomputes, ranking and floor hold") {
     val rows = TextAnalysis.burstiness(spark, sf).collect()
     graft.Caches.releaseAll(spark)
