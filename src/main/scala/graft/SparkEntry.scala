@@ -303,6 +303,8 @@ object SparkEntry {
     "p03_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
     "p04_mixture_weights" -> (Sampling.mixtureWeights _),
     "p21_clean_mixture" -> (Sampling.cleanMixture _),
+    "p22_epoch_schedule" -> ((s: SparkSession, d: String) =>
+      Sampling.epochSchedule(s, d)),
     "p05_apply_mixture" -> ((s: SparkSession, d: String) => Sampling.applyMixture(s, d)),
     "p06_dedup_budget" -> ((s: SparkSession, d: String) => Sampling.dedupBudget(s, d)),
     "p07_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
@@ -6051,6 +6053,24 @@ object SparkEntry {
          |        CAST(round(sqrt(tokens) * 1e6, 0) AS BIGINT) AS pq FROM t),
          |s AS (SELECT CAST(sum(pq) AS BIGINT) AS tot FROM p)
          |SELECT source, tokens, round(pq / tot, 6) AS weight
+         |FROM p, s ORDER BY source""".stripMargin,
+
+    // p22: the data-constrained repetition plan — p04's pq grid, exact
+    // ppm weights, floor token allocation, floor-ppm epochs, >4-epoch
+    // cap flag
+    "p22_epoch_schedule" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(sum(len($Toks)) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source
+         |),
+         |p AS (SELECT source, tokens,
+         |        CAST(round(sqrt(tokens) * 1e6, 0) AS BIGINT) AS pq FROM t),
+         |s AS (SELECT CAST(sum(pq) AS BIGINT) AS tot FROM p)
+         |SELECT source, tokens, pq,
+         |  pq * 1000000 // tot AS weight_ppm,
+         |  100000 * pq // tot AS allocated,
+         |  (100000 * pq // tot) * 1000000 // tokens AS epochs_ppm,
+         |  (100000 * pq // tot) * 1000000 // tokens > 4000000 AS over_cap
          |FROM p, s ORDER BY source""".stripMargin,
 
     // p21: the composed pipeline — d01 keepers ∩ t16 keeps, per-source

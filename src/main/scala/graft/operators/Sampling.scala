@@ -131,6 +131,38 @@ object Sampling {
       .orderBy($"source")
   }
 
+  /** Epoch schedule under a token budget (p22) — the repetition table
+    * every data-constrained pretraining plan publishes (Muennighoff et
+    * al. 2023: repeating past ~4 epochs stops paying): given the p04
+    * sqrt-smoothed mixture, each source's allocated tokens and the
+    * implied EPOCHS over its actual supply, flagging sources the
+    * budget would force past the repetition cap. All integer: the p04
+    * pq grid, floor-ppm weights, floor token allocation, floor-ppm
+    * epochs — so the whole plan hash-gates (p04's own weight column is
+    * a rounded double for reporting; planning arithmetic must not
+    * ride a float, so this derives weight_ppm exactly from pq).
+    *
+    * Scale shape: the p04 aggregation + a 1-row total broadcast + a
+    * projection — |sources|-row frames throughout.
+    */
+  def epochSchedule(spark: SparkSession, sfDir: String,
+      budget: Long = 100000L, epochCapPpm: Long = 4000000L): DataFrame = {
+    import spark.implicits._
+    val bySource = graft.Caches.track(Tables.documents(spark, sfDir)
+      .select($"source", Text.tokenCount($"text").as("n"))
+      .groupBy($"source").agg(sum($"n").as("tokens"))
+      .withColumn("pq", round(sqrt($"tokens") * 1e6, 0).cast("bigint")))
+    val total = bySource.agg(sum($"pq").as("tot"))
+    bySource.crossJoin(broadcast(total))
+      .selectExpr("source", "tokens", "pq",
+        "pq * 1000000 div tot AS weight_ppm",
+        s"$budget * pq div tot AS allocated",
+        s"($budget * pq div tot) * 1000000 div tokens AS epochs_ppm",
+        s"($budget * pq div tot) * 1000000 div tokens > $epochCapPpm" +
+          " AS over_cap")
+      .orderBy($"source")
+  }
+
   def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // cached: consumed twice (the normalizing total + the join left

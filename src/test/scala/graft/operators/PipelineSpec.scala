@@ -92,4 +92,39 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     // every raw source keeps its row even at quota zero
     rows.map(_.getString(0)).toSet shouldBe bySource.map(_._2).toSet
   }
+
+  test("epochSchedule: plan recomputes from token supplies, cap fires") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val rows = Sampling.epochSchedule(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val supplies = graft.Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(r =>
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong).sum }
+    val pqM = supplies.map { case (s, t) =>
+      s -> BigDecimal(math.sqrt(t.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+    val tot = pqM.values.sum
+    rows.foreach { r =>
+      val s = r.getString(0)
+      withClue(s"source $s: ") {
+        r.getLong(1) shouldBe supplies(s)
+        r.getLong(2) shouldBe pqM(s)
+        r.getLong(3) shouldBe pqM(s) * 1000000L / tot
+        val alloc = 100000L * pqM(s) / tot
+        r.getLong(4) shouldBe alloc
+        val ep = alloc * 1000000L / supplies(s)
+        r.getLong(5) shouldBe ep
+        r.getBoolean(6) shouldBe ep > 4000000L
+      }
+    }
+    // floor allocation never overspends the budget
+    rows.map(_.getLong(4)).sum should be <= 100000L
+    // both verdicts genuinely occur at this sf (small sources repeat
+    // past the cap under sqrt up-weighting; big ones don't)
+    rows.map(_.getBoolean(6)).distinct.length shouldBe 2
+  }
 }
