@@ -184,6 +184,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the CACHED count-histogram frame as its direct child —
     // O(log corpus) rows per task into the 1-row broadcast p0 divides
     // by (verified by plan dump this round).
+    // p22 — the mixture normalizer Σpq: the plan's one SinglePartition
+    // exchange has HashAggregate(partial_sum(pq)) over the CACHED
+    // |sources|-row frame as its direct child — p04's allowlisted
+    // shape (verified by plan dump this round).
     // t41 — the corpus doc count n: the plan's one SinglePartition
     // exchange has HashAggregate(partial_count(1)) over the CACHED
     // documents frame as its direct child — one partial row per task
@@ -220,7 +224,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "t32_vocab_growth", "q50_cusum", "q55_join_skew",
       "p19_temperature_mix", "s32_cell_drift", "t35_kn_bigram",
       "s34_cluster_purity", "t38_good_turing", "p21_clean_mixture",
-      "t40_chi2_keyness", "t41_burstiness", "s35_cluster_report")
+      "t40_chi2_keyness", "t41_burstiness", "s35_cluster_report",
+      "p22_epoch_schedule")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }
