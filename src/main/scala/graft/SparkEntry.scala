@@ -233,6 +233,8 @@ object SparkEntry {
       TextAnalysis.burstiness(s, d)),
     "t42_kwic" -> ((s: SparkSession, d: String) =>
       TextAnalysis.kwic(s, d)),
+    "t43_dice_colloc" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.diceCollocations(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -4569,6 +4571,25 @@ object SparkEntry {
          |  n_1 * 1000000 // n_tokens AS p0_ppm, n_tokens
          |FROM hist h LEFT JOIN hist h2 ON h.r + 1 = h2.r, tot
          |ORDER BY h.r""".stripMargin,
+
+    // t43: Dice collocations — 2·c12/(c1+c2) floor ppm, support floor
+    // c12 >= 3, (dice DESC, w1, w2) top-50
+    "t43_dice_colloc" ->
+      s"""WITH ${tkCte("")},
+         |uni AS (SELECT token AS w, CAST(count(*) AS BIGINT) AS c
+         |        FROM (SELECT unnest(tk) AS token FROM tk) o GROUP BY 1),
+         |pos AS (SELECT doc_id, tk,
+         |          unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i
+         |        FROM tk),
+         |bg AS (SELECT list_extract(tk, CAST(i AS INT)) AS w1,
+         |         list_extract(tk, CAST(i AS INT) + 1) AS w2,
+         |         CAST(count(*) AS BIGINT) AS c12
+         |       FROM pos GROUP BY 1, 2
+         |       HAVING count(*) >= 3)
+         |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         |  2 * c12 * 1000000 // (u1.c + u2.c) AS dice_ppm
+         |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+         |ORDER BY dice_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // t42: KWIC — the data-derived top token with ±3 tokens of
     // context; inclusive list_slice mirrors Spark's (start, length)

@@ -980,6 +980,40 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Dice-coefficient collocations (t43) — the symmetric phrase-mining
+    * score (Smadja's XTRACT lineage; Dice 1945):
+    * 2·c(w1w2) / (c(w1) + c(w2)), the rational sibling of t27's PMI
+    * that needs no log AND no corpus-size term, so frequent pairs
+    * aren't drowned by the marginals' product — the score phrase
+    * tables (word2phrase and friends) actually threshold on. Exact
+    * floor-ppm; (dice DESC, w1, w2) top-50 with a c12 ≥ 3 support
+    * floor.
+    *
+    * Scale shape: the t35/t27 bigram aggregation + the unigram count
+    * join (vocabulary-sized frames), TakeOrdered top-k. No windows, no
+    * scalar funnel (both marginals join per-key — no corpus total
+    * anywhere, unlike PMI).
+    */
+  def diceCollocations(spark: SparkSession, sfDir: String,
+      minPair: Long = 3, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val tk = graft.Caches.track(
+      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+    val uni = tk.select(explode($"tk").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val bg = tk.select(explode(Text.shingles($"tk", 2)).as("bg"))
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .withColumn("w2", substring_index($"bg", " ", -1))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .filter($"c12" >= minPair)
+    bg.join(uni.select($"w".as("w1"), $"c".as("c1")), "w1")
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), "w2")
+      .selectExpr("w1", "w2", "c12", "c1", "c2",
+        "2 * c12 * 1000000 div (c1 + c2) AS dice_ppm")
+      .orderBy($"dice_ppm".desc, $"w1", $"w2")
+      .limit(topK)
+  }
+
   /** KWIC concordance (t42) — keyword-in-context, the corpus-
     * inspection view every curation decision ends at (what does this
     * token actually look like in the data?): every occurrence of the

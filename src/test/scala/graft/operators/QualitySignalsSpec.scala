@@ -311,6 +311,38 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
       rows.exists(r => r.getString(2).split(" ").length < 3) shouldBe true
   }
 
+  test("diceCollocations: score recomputes, true top slice, bounds") {
+    val rows = TextAnalysis.diceCollocations(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val toks = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val bg = toks.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+      .filter(_._2 >= 3)
+    def dice(w1: String, w2: String, c12: Long): Long =
+      2 * c12 * 1000000L / (uni(w1) + uni(w2))
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      withClue(s"($w1,$w2): ") {
+        r.getLong(2) shouldBe bg((w1, w2))
+        r.getLong(3) shouldBe uni(w1)
+        r.getLong(4) shouldBe uni(w2)
+        r.getLong(5) shouldBe dice(w1, w2, bg((w1, w2)))
+        // dice is a genuine fraction: 2c12 <= c1 + c2 always
+        r.getLong(5) should be <= 1000000L
+      }
+    }
+    // the emitted 50 are the TRUE top of the full eligible pair space
+    val all = bg.toSeq.map { case ((w1, w2), c12) =>
+      (-dice(w1, w2, c12), w1, w2)
+    }.sorted.take(rows.length)
+    rows.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      all.map(t => (t._2, t._3))
+  }
+
   test("burstiness: dispersion recomputes, ranking and floor hold") {
     val rows = TextAnalysis.burstiness(spark, sf).collect()
     graft.Caches.releaseAll(spark)
