@@ -662,7 +662,8 @@ object EventStream {
   case class IslandState(islandId: Long, start: Long, end: Long, n: Long)
 
   /** The q60 row shape (append semantics — an island emits exactly
-    * once, when a later interval closes it).
+    * once, when a later interval closes it or the watermark passes
+    * its hull end).
     */
   case class IslandOut(user_id: Long, island_id: Long, start_us: Long,
     end_us: Long, n_events: Long, span_us: Long)
@@ -673,49 +674,102 @@ object EventStream {
     * streaming's fixed-gap sessions can't express: each event opens a
     * type-duration interval; the per-user open island extends while
     * intervals overlap (touching merges, the batch rule) and EMITS
-    * when an interval opens strictly after the island's hull closes.
-    * This is the streaming shape of "activity spans": the emitted
-    * island ids, hulls, and counts equal the batch table's rows for
-    * every island except each user's final one, which is still open —
-    * exactly-once emission per island, spec-proven across an arrival
-    * split.
+    * when an interval opens strictly after the island's hull closes
+    * OR when the watermark passes the hull's close (event-time
+    * timeout). The timeout rule is SEMANTICALLY exact, not a lossy
+    * eviction: an island merges only events whose interval STARTS at
+    * or before its hull end, and once the watermark exceeds that end
+    * every later on-time event starts strictly after it — i.e. the
+    * island is provably final. Late events behind the watermark are
+    * dropped by the engine (FlatMapGroupsWithStateExec's event-time
+    * late-row filter), so a stale redelivery cannot mutate or
+    * duplicate an emitted island. The twin therefore converges to the
+    * WHOLE q60 batch table — open finals included — once the
+    * watermark drains, exactly-once per island; spec-proven across an
+    * arrival split with a redelivery.
     *
     * Order contract: in-batch events process in (start, event_id)
-    * order; across batches the source must deliver each user's events
-    * in order (the cusum/transition twins' documented contract). State
-    * is four longs per user — bounded without any watermark.
+    * order; across batches the source must deliver each user's
+    * on-time events in order (the cusum/transition twins' documented
+    * contract; sub-watermark redelivery is exempt — the engine drops
+    * it). State is four longs per user and CANNOT be evicted on
+    * timeout: the island id is the user's lifetime island counter
+    * (batch numbers islands 1..k per user), so a timed-out island
+    * flips its state to an already-emitted sentinel (n = 0) that
+    * preserves the counter for the user's next island — the same
+    * all-time-user bound the pre-timeout twin had, now with full
+    * batch-table convergence.
     */
-  def islandStream(events: DataFrame): Dataset[IslandOut] = {
+  def islandStream(events: DataFrame,
+      watermark: String = "30 minutes"): Dataset[IslandOut] = {
     import events.sparkSession.implicits._
     val minUs = 60L * 1000000
     val dur = expr(
       "CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 10 " +
         "WHEN 'purchase' THEN 30 WHEN 'signup' THEN 15 ELSE 1 END")
     events
-      .select(col("user_id"), col("event_id"),
+      // ts rides along: EventTimeTimeout requires the watermark-tagged
+      // column in the stateful operator's child output
+      .select(col("user_id"), col("event_id"), col("ts"),
         unix_micros(col("ts")).as("s"),
         (unix_micros(col("ts")) + dur * minUs).as("e"))
-      .as[(Long, Long, Long, Long)]
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[IslandState, IslandOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (u: Long, it: Iterator[(Long, Long, Long, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long, Long)],
             state: GroupState[IslandState]) =>
-          val sorted = it.toSeq.sortBy(x => (x._3, x._2))
-          val out = scala.collection.mutable.ArrayBuffer.empty[IslandOut]
-          var st = state.getOption.orNull
-          for ((_, _, s, e) <- sorted) {
-            if (st == null) st = IslandState(1L, s, e, 1L)
-            else if (s <= st.end)
-              st = st.copy(end = math.max(st.end, e), n = st.n + 1)
-            else {
-              out += IslandOut(u, st.islandId, st.start, st.end, st.n,
-                st.end - st.start)
-              st = IslandState(st.islandId + 1, s, e, 1L)
+          def closed(st: IslandState) =
+            IslandOut(u, st.islandId, st.start, st.end, st.n,
+              st.end - st.start)
+          if (!it.hasNext && state.hasTimedOut) {
+            // watermark passed the hull end: the open island is final.
+            // Keep the id counter (n = 0 marks "already emitted") so
+            // the user's NEXT island numbers islandId + 1, matching
+            // the batch table's per-user lifetime numbering.
+            val out = state.getOption.filter(_.n > 0L).map(closed)
+            state.getOption.foreach(st => state.update(st.copy(n = 0L)))
+            out.iterator
+          } else {
+            // drop sub-watermark rows OURSELVES (the ts attribute is
+            // projected away before groupByKey, so the engine's own
+            // late-row filter may not see it): the documented contract
+            // is that a stale redelivery behind the watermark is
+            // invisible — it must not reopen or renumber an island
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val sorted =
+              it.toSeq.filter(_._4 >= wmUs).sortBy(x => (x._4, x._2))
+            val out = scala.collection.mutable.ArrayBuffer.empty[IslandOut]
+            // an n = 0 sentinel is a PAST island: only its id survives
+            var st = state.getOption.filter(_.n > 0L).orNull
+            val lastId = state.getOption.map(_.islandId).getOrElse(0L)
+            for ((_, _, _, s, e) <- sorted) {
+              if (st == null) st = IslandState(lastId + 1L, s, e, 1L)
+              else if (s <= st.end)
+                st = st.copy(end = math.max(st.end, e), n = st.n + 1)
+              else {
+                out += closed(st)
+                st = IslandState(st.islandId + 1, s, e, 1L)
+              }
             }
+            if (st != null) {
+              // finalize when the watermark passes the hull end; ceil
+              // micros onto the engine's ms grid so "timeout fired"
+              // (wm > endMs) implies wm exceeds the exact end_us too
+              val endMs = st.end / 1000 + 1
+              if (endMs <= state.getCurrentWatermarkMs()) {
+                // already provably final (e.g. a group fed only rows at
+                // the watermark edge) — setTimeoutTimestamp would throw
+                out += closed(st)
+                state.update(st.copy(n = 0L))
+              } else {
+                state.update(st)
+                state.setTimeoutTimestamp(endMs)
+              }
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 

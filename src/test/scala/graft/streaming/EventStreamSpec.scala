@@ -824,8 +824,9 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming islands equal the q60 batch table minus each user's " +
-      "open final island, across an arrival split") {
+  test("streaming islands converge to the WHOLE q60 batch table (open " +
+      "finals emit on event-time timeout), across an arrival split, with " +
+      "a sub-watermark redelivery invisible") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
@@ -833,7 +834,7 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
     val mem = MemoryStream[Event]
-    val q = EventStream.islandStream(mem.toDF())
+    val q = EventStream.islandStream(mem.toDF(), watermark = "10 minutes")
       .writeStream.format("memory").queryName("islands")
       .outputMode("append").start()
     try {
@@ -843,19 +844,38 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       q.processAllAvailable()
       mem.addData(evs.drop(400).toIndexedSeq: _*)
       q.processAllAvailable()
-      val streamed = spark.table("islands").collect()
+      // mid-run sanity: nothing emitted yet can be an OPEN island
+      val midCount = spark.table("islands").count()
+      // drain the watermark past every real island's hull end with a
+      // sentinel heartbeat for a user id absent from the data: wm =
+      // sentinelTs - 10 min = maxTs + 110 min > any end (<= maxTs + 30
+      // min). The sentinel's OWN island stays open (its end is beyond
+      // the final watermark) so it never emits.
+      val maxMs = evs.map(_.ts.getTime).max
+      val sentinel = Event(10000000L,
+        new java.sql.Timestamp(maxMs + 120L * 60 * 1000), 999L, "view", 0.0)
+      mem.addData(sentinel)
+      q.processAllAvailable()
+      // stale redelivery behind the watermark: must be INVISIBLE — it
+      // cannot reopen, renumber, or duplicate any island
+      mem.addData(evs.take(100).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val rows = spark.table("islands").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5))).toSet
+          r.getLong(4), r.getLong(5))).toSeq
+      // exactly-once per island: no duplicates across close + timeout
+      rows.size shouldBe rows.toSet.size
       val batch = graft.operators.Relational.intervalIslands(spark, sf)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5)))
-      // exactly-once per CLOSED island: batch rows minus each user's
-      // last (still-open) island
-      val lastPerUser = batch.groupBy(_._1)
-        .map { case (_, is) => is.maxBy(_._2) }.toSet
-      streamed shouldBe (batch.toSet -- lastPerUser)
-      streamed should not be empty
+          r.getLong(4), r.getLong(5))).toSet
+      // FULL convergence: every batch row including each user's final
+      // (formerly open) island — the r11 twin stopped at batch-minus-open
+      rows.toSet shouldBe batch
+      // the timeout path was genuinely exercised: open finals emitted
+      // only after the sentinel drained the watermark
+      midCount should be < batch.size.toLong
+      batch should not be empty
     } finally q.stop()
   }
 
