@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bpe, Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -235,6 +235,8 @@ object SparkEntry {
       TextAnalysis.kwic(s, d)),
     "t43_dice_colloc" -> ((s: SparkSession, d: String) =>
       TextAnalysis.diceCollocations(s, d)),
+    "t44_unigram_vocab" -> (Unigram.trainedVocab _),
+    "t45_unigram_encode" -> (Unigram.encodeTable _),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -702,6 +704,178 @@ object SparkEntry {
     sb ++= (1 to maxWordLen).map(r => s"SELECT * FROM e$r")
       .mkString(" UNION ALL ")
     sb ++= ") u ORDER BY word, pos"
+    sb.toString
+  }
+
+  /** Exact fixed-point log2 as a generated CTE chain — the DuckDB
+    * mirror of [[graft.functions.IntLog.log2Fixed]], in lockstep via
+    * the shared F/SH/step constants: 11 conditional constant shifts
+    * normalize `v` into a [2^SH, 2^(SH+1)) mantissa accumulating the
+    * exponent, then F square-and-carry rounds extract fractional bits.
+    * Integer compares/shifts only, so both engines truncate
+    * identically — no IEEE `ln` anywhere near a hash gate. Emits CTEs
+    * `tag_0..tag_N`; returns (cteText, finalCteName) where the final
+    * CTE carries `keep` passthrough columns plus `out`.
+    */
+  private def ilogChainSql(tag: String, src: String, v: String,
+      out: String, keep: Seq[String]): (String, String) = {
+    import graft.functions.IntLog.{F, SH, DownSteps, UpSteps}
+    val sb = new StringBuilder
+    val kp = keep.map(c => s"p.$c, ").mkString
+    var prev = src
+    var idx = 0
+    def step(sel: String): Unit = {
+      sb ++= s",\n${tag}_$idx AS (SELECT $kp$sel FROM $prev p)"
+      prev = s"${tag}_$idx"; idx += 1
+    }
+    step(s"CAST(p.$v AS BIGINT) AS m, CAST(0 AS BIGINT) AS b")
+    for (k <- DownSteps) step(
+      s"CASE WHEN p.m >= (CAST(1 AS BIGINT) << ${SH + k}) " +
+        s"THEN p.m >> $k ELSE p.m END AS m, " +
+        s"CASE WHEN p.m >= (CAST(1 AS BIGINT) << ${SH + k}) " +
+        s"THEN p.b + $k ELSE p.b END AS b")
+    for (k <- UpSteps) step(
+      s"CASE WHEN p.m < (CAST(1 AS BIGINT) << ${SH + 1 - k}) " +
+        s"THEN p.m << $k ELSE p.m END AS m, " +
+        s"CASE WHEN p.m < (CAST(1 AS BIGINT) << ${SH + 1 - k}) " +
+        s"THEN p.b - $k ELSE p.b END AS b")
+    step(s"p.m AS m, p.b + $SH AS r")
+    for (_ <- 0 until F) step(
+      s"CASE WHEN ((p.m * p.m) >> $SH) >= (CAST(1 AS BIGINT) << ${SH + 1}) " +
+        s"THEN ((p.m * p.m) >> $SH) >> 1 ELSE (p.m * p.m) >> $SH END AS m, " +
+        s"CASE WHEN ((p.m * p.m) >> $SH) >= (CAST(1 AS BIGINT) << ${SH + 1}) " +
+        s"THEN p.r * 2 + 1 ELSE p.r * 2 END AS r")
+    step(s"p.r AS $out")
+    (sb.toString, prev)
+  }
+
+  /** DuckDB mirror of graft.operators.Unigram (t44/t45): the WHOLE
+    * unigram-LM training run replayed declaratively — seed substring
+    * frequencies, then per EM round a fixed-point cost assignment
+    * ([[ilogChainSql]]), a Viterbi DP unrolled to word-length rounds
+    * (per position the (cost, np, path) argmin over the <= MaxPieceLen
+    * candidate spans; the '|'-joined path string is the total
+    * tie-break, equal-length by construction among compared
+    * candidates), the usage re-count, and the prune. `encode = false`
+    * emits the final vocabulary with costs (t44); `encode = true` runs
+    * one more DP under the final costs and unnests the segmentations
+    * (t45). AS MATERIALIZED on every reused round table — the bpeSql
+    * lesson.
+    */
+  private def unigramSql(encode: Boolean): String = {
+    import graft.operators.Unigram.{MaxWordLen, MaxPieceLen, SeedMultis, KeepSchedule}
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${tkCte("")},
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount
+       |  FROM (SELECT unnest(tk) AS word FROM tk) GROUP BY 1),
+       |w AS MATERIALIZED (
+       |  SELECT word, wcount FROM wc
+       |  WHERE length(word) BETWEEN 1 AND $MaxWordLen),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INT), CAST(n AS INT)) AS piece,
+       |    CAST(sum(wcount) AS BIGINT) AS freq
+       |  FROM w, UNNEST(range(1, $MaxWordLen + 1)) AS t(i),
+       |    UNNEST(range(1, $MaxPieceLen + 1)) AS tn(n)
+       |  WHERE i + n - 1 <= length(word)
+       |  GROUP BY 1),
+       |sing AS (SELECT piece, freq FROM sub WHERE length(piece) = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, freq FROM sing
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq,
+       |      row_number() OVER (ORDER BY freq DESC, piece) AS rn
+       |    FROM sub WHERE length(piece) >= 2) q
+       |  WHERE rn <= $SeedMultis)""".stripMargin
+    // one cost table + Viterbi DP + segmentation per stage; stages are
+    // the EM rounds plus (for t45) a final encode under the last vocab
+    def costStage(stage: String, vocabCte: String): String = {
+      sb ++= s""",
+         |t$stage AS (SELECT CAST(sum(freq) AS BIGINT) AS tv FROM $vocabCte)""".stripMargin
+      val (ltText, ltName) = ilogChainSql(s"lt$stage", s"t$stage", "tv", "lt", Nil)
+      val (lfText, lfName) =
+        ilogChainSql(s"lf$stage", vocabCte, "freq", "lf", Seq("piece", "freq"))
+      sb ++= ltText
+      sb ++= lfText
+      sb ++= s""",
+         |cost$stage AS MATERIALIZED (
+         |  SELECT f.piece, f.freq, (t.lt - f.lf) AS cost
+         |  FROM $lfName f CROSS JOIN $ltName t)""".stripMargin
+      s"cost$stage"
+    }
+    def dpStage(stage: String, costCte: String): String = {
+      sb ++= s""",
+         |ed$stage AS MATERIALIZED (
+         |  SELECT w.word, CAST(i AS INT) AS s, CAST(n AS INT) AS n,
+         |    c.piece, c.cost
+         |  FROM w, UNNEST(range(1, $MaxWordLen + 1)) AS t(i),
+         |    UNNEST(range(1, $MaxPieceLen + 1)) AS tn(n), $costCte c
+         |  WHERE i + n - 1 <= length(w.word)
+         |    AND substr(w.word, CAST(i AS INT), CAST(n AS INT)) = c.piece),
+         |dp${stage}_0 AS (SELECT word, CAST(0 AS BIGINT) AS cost,
+         |  CAST(0 AS INT) AS np, '' AS path FROM w)""".stripMargin
+      for (j <- 1 to MaxWordLen) {
+        val branches = (1 to math.min(MaxPieceLen, j)).map { n =>
+          s"""SELECT d.word, d.cost + e.cost AS cost,
+             |      CAST(d.np + 1 AS INT) AS np,
+             |      CASE WHEN d.np = 0 THEN e.piece
+             |           ELSE d.path || '|' || e.piece END AS path
+             |    FROM dp${stage}_${j - n} d JOIN ed$stage e
+             |      ON e.word = d.word AND e.s = ${j - n + 1} AND e.n = $n""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        sb ++= s""",
+           |dp${stage}_$j AS MATERIALIZED (
+           |  SELECT word, cost, np, path FROM (
+           |    SELECT c.*, row_number() OVER (PARTITION BY word
+           |      ORDER BY cost, np, path) AS rn
+           |    FROM ($branches) c) x
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val segBranches = (1 to MaxWordLen).map(j =>
+        s"SELECT d.word, w.wcount, d.path FROM dp${stage}_$j d " +
+          s"JOIN w ON w.word = d.word AND length(w.word) = $j")
+        .mkString("\n  UNION ALL\n  ")
+      sb ++= s""",
+         |seg$stage AS MATERIALIZED (
+         |  $segBranches)""".stripMargin
+      s"seg$stage"
+    }
+    var vocab = "v0"
+    for ((keep, i) <- KeepSchedule.zipWithIndex) {
+      val r = i + 1
+      val cost = costStage(s"$r", vocab)
+      val seg = dpStage(s"$r", cost)
+      sb ++= s""",
+         |use$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(wcount) AS BIGINT) AS usage FROM (
+         |    SELECT unnest(string_split(path, '|')) AS piece, wcount
+         |    FROM $seg) u
+         |  GROUP BY 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT s.piece, greatest(coalesce(u.usage, 0), 1) AS freq
+         |  FROM sing s LEFT JOIN use$r u ON u.piece = s.piece
+         |  UNION ALL
+         |  SELECT piece, usage AS freq FROM (
+         |    SELECT piece, usage,
+         |      row_number() OVER (ORDER BY usage DESC, piece) AS rn
+         |    FROM use$r WHERE length(piece) >= 2 AND usage > 0) q
+         |  WHERE rn <= $keep)""".stripMargin
+      vocab = s"v$r"
+    }
+    val costF = costStage("f", vocab)
+    if (!encode) {
+      sb ++= s"\nSELECT piece, freq, cost FROM $costF ORDER BY piece"
+    } else {
+      val segF = dpStage("f", costF)
+      sb ++= s""",
+         |pieces AS (
+         |  SELECT word,
+         |    CAST(unnest(range(1, len(string_split(path, '|')) + 1)) AS INT)
+         |      AS pos,
+         |    unnest(string_split(path, '|')) AS piece
+         |  FROM $segF)
+         |SELECT word, pos, piece FROM pieces ORDER BY word, pos""".stripMargin
+    }
     sb.toString
   }
 
@@ -4706,6 +4880,14 @@ object SparkEntry {
     // t33: vocab learning + the greedy longest-match loop, both
     // replayed as one generated CTE chain
     "t33_wordpiece" -> wordPieceSql(topGrams = 50, maxWordLen = 12),
+
+    // t44/t45: the unigram-LM trainer — seed, every hard-EM round
+    // (fixed-point integer-log costs, Viterbi DP, usage re-count,
+    // prune) and the final costs/segmentation, all replayed as one
+    // generated CTE chain; hash-green proves the learning fixed point
+    // equal on an independent engine (the t22 upgrade, third family)
+    "t44_unigram_vocab" -> unigramSql(encode = false),
+    "t45_unigram_encode" -> unigramSql(encode = true),
 
     "t32_vocab_growth" ->
       s"""WITH ${tkCte("")},
