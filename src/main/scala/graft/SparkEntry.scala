@@ -177,6 +177,8 @@ object SparkEntry {
       Similarity.clusterPurity(s, d)),
     "s35_cluster_report" -> ((s: SparkSession, d: String) =>
       Similarity.clusterReport(s, d)),
+    "s37_ann_rpforest" -> ((s: SparkSession, d: String) =>
+      Similarity.annRpForest(s, d)),
     "s36_ann_rptree" -> ((s: SparkSession, d: String) =>
       Similarity.annRpTree(s, d)),
     // —— extensions: text analysis ——
@@ -3266,6 +3268,34 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT qid, cand, leaf, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // s37: the RP-forest — three rpTreeCtesAt chains (tree t at offsets
+    // 10+3t; tree 0 == the s36 tree), per-tree leaf matches unioned and
+    // deduped with the tree-vote count, exact-cosine re-rank of the union
+    "s37_ann_rpforest" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |${rpForestCtes(3, 3)},
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT p.qid, p.cand, p.n_trees,
+         |    round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM pairs p
+         |  JOIN d ON d.qid = p.qid AND d.cand = p.cand
+         |  JOIN n nq ON p.qid = nq.vec_id JOIN n nc ON p.cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, n_trees, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cand, n_trees, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
 
     // IVF with the relational integer-grid Lloyd quantizer (seed = first
@@ -6746,37 +6776,64 @@ object SparkEntry {
   private def zSpreadSql(v: String): String =
     (0 until 21).map(b => s"((($v >> $b) & 1) << ${3 * b})").mkString(" + ")
 
-  /** The RP-tree build/route rounds (s36): level l projects with the
-    * planeDotQ weight family at offset 10+l, splits each node at the
-    * value of its (n+1)//2-th smallest projection, and routes both the
-    * candidate set (c-chain) and the queries (q-chain) by the SAME
-    * thresholds.
+  /** The RP-tree build/route rounds (s36/s37): level l projects with
+    * the planeDotQ weight family at offset base+l, splits each node at
+    * the value of its (n+1)//2-th smallest projection, and routes both
+    * the candidate set (c-chain) and the queries (q-chain) by the SAME
+    * thresholds. `pfx` namespaces the CTEs so the s37 forest can stack
+    * several trees in one query; the caller defines ${pfx}c0/${pfx}q0.
     */
-  private def rpTreeCtes(depth: Int): String =
+  private def rpTreeCtesAt(pfx: String, base: Int, depth: Int): String =
     (0 until depth).map { l =>
-      s"""d$l AS (
+      s"""${pfx}d$l AS (
          |  SELECT vec_id,
          |    CAST(sum(CAST(round(x * 1e6, 0) AS BIGINT) *
-         |      (((${17 * (10 + l)} + 31 * (i - 1) + 5) % 7) - 3)) AS BIGINT) AS dt
+         |      (((${17 * (base + l)} + 31 * (i - 1) + 5) % 7) - 3)) AS BIGINT) AS dt
          |  FROM e GROUP BY 1
          |),
-         |rk$l AS (
+         |${pfx}rk$l AS (
          |  SELECT c.vec_id, c.node, dt,
          |    row_number() OVER (PARTITION BY c.node ORDER BY dt, c.vec_id) AS rn,
          |    count(*) OVER (PARTITION BY c.node) AS nn
-         |  FROM c$l c JOIN d$l USING (vec_id)
+         |  FROM ${pfx}c$l c JOIN ${pfx}d$l USING (vec_id)
          |),
-         |th$l AS (SELECT node, max(dt) AS t FROM rk$l
+         |${pfx}th$l AS (SELECT node, max(dt) AS t FROM ${pfx}rk$l
          |         WHERE rn <= (nn + 1) // 2 GROUP BY 1),
-         |c${l + 1} AS (
+         |${pfx}c${l + 1} AS (
          |  SELECT vec_id, node * 2 + CASE WHEN dt > t THEN 1 ELSE 0 END AS node
-         |  FROM rk$l JOIN th$l USING (node)
+         |  FROM ${pfx}rk$l JOIN ${pfx}th$l USING (node)
          |),
-         |q${l + 1} AS (
+         |${pfx}q${l + 1} AS (
          |  SELECT q.qid, q.node * 2 + CASE WHEN d.dt > t.t THEN 1 ELSE 0 END AS node
-         |  FROM q$l q JOIN d$l d ON q.qid = d.vec_id JOIN th$l t ON q.node = t.node
+         |  FROM ${pfx}q$l q JOIN ${pfx}d$l d ON q.qid = d.vec_id
+         |  JOIN ${pfx}th$l t ON q.node = t.node
          |)""".stripMargin
     }.mkString(",\n")
+
+  private def rpTreeCtes(depth: Int): String = rpTreeCtesAt("", 10, depth)
+
+  /** The s37 forest: `trees` rpTreeCtesAt chains (tree t at offset base
+    * 10 + depth*t — tree 0 is EXACTLY the s36 tree), leaf-matched
+    * per tree, unioned and deduped to (qid, cand, n_trees), then
+    * exact-cosine re-ranked.
+    */
+  private def rpForestCtes(trees: Int, depth: Int): String = {
+    val chains = (0 until trees).map { t =>
+      s"""t${t}c0 AS (SELECT DISTINCT vec_id, 0 AS node FROM e WHERE vec_id % 20 = 0),
+         |t${t}q0 AS (SELECT DISTINCT vec_id AS qid, 0 AS node FROM e WHERE vec_id < 8),
+         |${rpTreeCtesAt(s"t$t", 10 + depth * t, depth)}""".stripMargin
+    }.mkString(",\n")
+    val matches = (0 until trees).map { t =>
+      s"""  SELECT q.qid, c.vec_id AS cand
+         |  FROM t${t}q$depth q JOIN t${t}c$depth c ON c.node = q.node
+         |  WHERE c.vec_id <> q.qid""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$chains,
+       |pairs AS MATERIALIZED (
+       |  SELECT qid, cand, CAST(count(*) AS INT) AS n_trees FROM (
+       |$matches) u
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** 16-bit coordinate scaling, the HilbertCurve.scale mirror (same
     * IEEE sequence as [[zScaleSql]], narrower grid).

@@ -654,11 +654,19 @@ object Similarity {
     * thresholds per tree, and a forest of trees unions candidates —
     * the Annoy shape.
     */
-  def annRpTree(spark: SparkSession, sfDir: String, depth: Int = 3,
-      dims: Int = 64, topK: Int = 3): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir)
-    def dotL(l: Int)(c: Column): Column = planeDotQ(c, 10 + l, dims)
+  /** One RP-tree's leaf assignment: build the per-node median-split
+    * tree over the candidate corpus with the planeDotQ weight family
+    * at offsets `base..base+depth-1`, and route the queries down the
+    * SAME thresholds. Returns (leaves: vec_id/embedding/nrm/leaf,
+    * probes: qid/q_emb/q_nrm/leaf) — the single tree definition shared
+    * by [[annRpTree]] (s36, base 10) and [[annRpForest]] (s37, tree t
+    * at base 10 + depth*t, so forest tree 0 IS the s36 tree and the
+    * forest strictly extends its candidate set).
+    */
+  private def rpTreeAssign(emb: DataFrame, base: Int, depth: Int,
+      dims: Int): (DataFrame, DataFrame) = {
+    import emb.sparkSession.implicits._
+    def dotL(l: Int)(c: Column): Column = planeDotQ(c, base + l, dims)
 
     // tree build over the candidate corpus: per-level median split
     var cand = graft.Caches.track(
@@ -693,11 +701,61 @@ object Similarity {
         .withColumn("node", $"node" * 2 + when($"dt" > $"t", 1).otherwise(0))
         .drop("dt", "t")
     }
-    val probes = q.select($"qid", $"q_emb", $"q_nrm", $"node".as("leaf"))
+    (leaves, q.select($"qid", $"q_emb", $"q_nrm", $"node".as("leaf")))
+  }
 
+  def annRpTree(spark: SparkSession, sfDir: String, depth: Int = 3,
+      dims: Int = 64, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (leaves, probes) =
+      rpTreeAssign(Tables.embeddings(spark, sfDir), 10, depth, dims)
     val scored = leaves.join(broadcast(probes), Seq("leaf"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cand"), $"leaf",
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= topK)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** RP-FOREST ANN (s37) — the full Annoy shape: `trees` independent
+    * median-split trees (distinct projection families per tree, tree t
+    * at offset base 10 + depth*t); each query unions the candidates from
+    * its leaf in EVERY tree, dedups pairs, and exact-cosine re-ranks
+    * the union. One tree's recall floor (s36) rises with T because a
+    * true neighbor split away from the query by one tree's hyperplane
+    * survives in another — candidate volume grows ~T x leaf while
+    * recall approaches brute force (Bernhardsson's annoy; the
+    * SimilaritySpec pins forest recall >= single-tree recall and the
+    * n_trees diagnostic).
+    *
+    * Scale shape: per tree the corpus side is a leaf equi-join against
+    * broadcast probes (never replicated); the union + (qid, cand)
+    * dedup shuffles only query-fanout rows (nQueries x trees x leaf);
+    * the re-rank joins the deduped PAIR list (broadcast — query-sized)
+    * back against the candidate corpus, so full vectors are touched
+    * once per retrieved candidate, not once per (tree, candidate).
+    */
+  def annRpForest(spark: SparkSession, sfDir: String, trees: Int = 3,
+      depth: Int = 3, dims: Int = 64, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val perTree = (0 until trees).map { t =>
+      val (leaves, probes) = rpTreeAssign(emb, 10 + depth * t, depth, dims)
+      leaves.join(broadcast(probes.select($"qid", $"leaf")), Seq("leaf"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cand"))
+    }
+    val pairs = perTree.reduce(_ unionByName _)
+      .groupBy($"qid", $"cand").agg(count(lit(1)).cast("int").as("n_trees"))
+    val queries = withNorm(emb.filter($"vec_id" < 8))
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"))
+    val cands = withNorm(emb.filter($"vec_id" % 20 === 0))
+    val scored = cands.join(broadcast(pairs), $"vec_id" === $"cand")
+      .join(broadcast(queries), Seq("qid"))
+      .select($"qid", $"cand", $"n_trees",
         round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
     scored.withColumn("rnk", row_number().over(w).cast("int"))

@@ -299,6 +299,21 @@ object ProfileScaleSweep {
       // already covered by that family's rows.)
       time("bbit_minhash")(Dedup.bbitMinHash(spark, dir))
       time("ann_rptree")(Similarity.annRpTree(spark, dir))
+      // round-12 rows. d26 containment: d23's asymmetric sibling — the
+      // one-sided prefix explode is corpus-linear, but replicas of one
+      // base doc mutually CONTAIN each other (near-identical shingle
+      // sets), so true directed pairs grow ~mult² exactly like d23's
+      // planted groups: output-driven growth an exact join must pay;
+      // the claim under test is candidates ~ corpus + true pairs.
+      time("containment")(Dedup.containmentJoin(spark, dir))
+      // s37 forest = T× the s36 build/probe constant (three per-tree
+      // median windows + leaf joins), union dedup is query-fanout —
+      // expected ~3× the ann_rptree row, flat relative growth
+      time("ann_rpforest")(Similarity.annRpForest(spark, dir))
+      // t44 unigram trainer: one corpus-sized wordCounts shuffle, then
+      // every EM round is vocab-sized (distinct words shrink-wrapped;
+      // replicas share words) — growth should track bpe_learn10's
+      time("unigram_vocab")(graft.operators.Unigram.trainedVocab(spark, dir))
       time("burstiness")(TextAnalysis.burstiness(spark, dir))
       time("dither")(Multimodal.orderedDitherGate(spark, dir))
       time("glcm")(Multimodal.glcmGate(spark, dir))

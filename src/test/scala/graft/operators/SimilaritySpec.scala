@@ -818,6 +818,36 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1))).count(brute) should be > 0
   }
 
+  test("annRpForest: candidate union across trees — recall dominates the " +
+      "single tree, tree-vote diagnostic non-vacuous") {
+    val sfb = "/root/testdata/sf0.01"
+    val forest = Similarity.annRpForest(spark, sfb).collect()
+    graft.Caches.releaseAll(spark)
+    val single = Similarity.annRpTree(spark, sfb).collect()
+    graft.Caches.releaseAll(spark)
+    val brute = Similarity.annBruteForce(spark, sfb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll(spark)
+    forest should not be empty
+    // shape: per query ranks are 1..k contiguous, n_trees in [1, 3]
+    for ((_, rows) <- forest.groupBy(_.getLong(0))) {
+      rows.map(_.getInt(4)).sorted.toSeq shouldBe (1 to rows.length)
+      all(rows.map(_.getInt(2))) should (be >= 1 and be <= 3)
+    }
+    // recall@3 vs brute force NEVER drops vs the single tree: the
+    // forest's candidate set is a superset (tree 0 is the s36 tree),
+    // and under the total (cos desc, cand) order a candidate that
+    // displaces a brute-top-3 pair must itself be brute-top-3
+    def recall(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).count(brute).toDouble /
+        brute.size
+    recall(forest) should be >= recall(single)
+    recall(forest) should be > 0.0
+    // the diagnostic genuinely counts tree votes: some pair is
+    // proposed by more than one tree on real data
+    forest.map(_.getInt(2)).max should be >= 2
+  }
+
   test("clusterReport: columns equal the gated component operators") {
     val rep = Similarity.clusterReport(spark, sf).collect()
       .map(r => r.getInt(0) -> r).toMap
