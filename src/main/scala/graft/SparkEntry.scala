@@ -76,6 +76,8 @@ object SparkEntry {
     "q58_multi_touch" -> ((s: SparkSession, d: String) =>
       Relational.multiTouchAttribution(s, d)),
     "q60_interval_islands" -> (Relational.intervalIslands _),
+    "q61_lorenz_gini" -> ((s: SparkSession, d: String) =>
+      Relational.lorenzGini(s, d)),
     "q59_session_paths" -> ((s: SparkSession, d: String) =>
       Relational.sessionPaths(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
@@ -2047,6 +2049,41 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(max(e) - min(s) AS BIGINT) AS span_us
         |FROM isl GROUP BY 1, 2 ORDER BY user_id, island_id""".stripMargin,
+
+    // q61: Lorenz/Gini — ascending (cents, user_id) rank + running
+    // spend, rank-formula Gini, decile boundary ppm; all integer-exact
+    "q61_lorenz_gini" ->
+      """WITH sp AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT user_id, cents,
+        |    CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rnk,
+        |    CAST(sum(cents) OVER (ORDER BY cents, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM sp
+        |),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s0,
+        |    CAST(sum(rnk * cents) AS BIGINT) AS s1
+        |  FROM rk
+        |),
+        |g AS (
+        |  SELECT CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT)
+        |    AS gini_ppm
+        |  FROM tot
+        |)
+        |SELECT CAST((rnk - 1) * 10 // t.n AS INT) + 1 AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS spend_cents,
+        |  CAST(max(rnk) * 1000000 // t.n AS BIGINT) AS cum_users_ppm,
+        |  CAST(max(cum) * 1000000 // t.s0 AS BIGINT) AS cum_spend_ppm,
+        |  g.gini_ppm
+        |FROM rk CROSS JOIN tot t CROSS JOIN g
+        |GROUP BY 1, t.n, t.s0, g.gini_ppm
+        |ORDER BY decile""".stripMargin,
 
     // strings, (count DESC, path) top-k
     "q59_session_paths" ->

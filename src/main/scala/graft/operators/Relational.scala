@@ -1459,6 +1459,76 @@ object Relational {
       .orderBy($"user_id", $"island_id")
   }
 
+  /** Lorenz curve + Gini coefficient over per-user spend (q61) — the
+    * inequality report a mixture/budget pipeline reads before deciding
+    * caps (is 90% of spend coming from 5% of users?): users rank
+    * ascending by total spend, each spend-decile row carries its user
+    * count, spend mass, and the Lorenz curve point at its boundary
+    * (cumulative users / cumulative spend, exact ppm), plus the
+    * headline Gini on every row, from the rank formulation
+    * G = (2*Σ rank·x − (n+1)·Σx) / (n·Σx) — all sums exact integers on
+    * the cents grid, the final ratio floored to ppm, and tie order
+    * provably irrelevant (swapping equal-spend users permutes ranks
+    * within an equal-value run, leaving Σ rank·x unchanged).
+    *
+    * Scale shape: spend is one corpus-reduced groupBy; the global rank
+    * AND the cumulative spend ride the t23 sharded-rank idiom —
+    * range-repartition by (cents, user_id), per-partition local
+    * rank/prefix-sum windows, and a per-partition offsets side whose
+    * running sum is the one bounded single-partition window
+    * (<= shuffle partitions rows, a cluster constant). No global
+    * window over users anywhere. The Σ rank·x reduction and the decile
+    * rollup are map-combinable aggregates; at ~10^9 users the
+    * (2·S1 − (n+1)·S0)·10^6 numerator outgrows int64 — move it to
+    * DecimalType(38) there; the shape is unchanged.
+    */
+  def lorenzGini(spark: SparkSession, sfDir: String,
+      buckets: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val spend = Tables.events(spark, sfDir)
+      .select($"user_id", round($"value" * 100, 0).cast("bigint").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("cents"))
+    // cached: offsets, totals, Σ rank·x, and the decile rollup all read
+    // the local-rank pass
+    val wLoc = Window.partitionBy($"pid").orderBy($"cents", $"user_id")
+    val local = graft.Caches.track(spend
+      .repartitionByRange($"cents", $"user_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLoc))
+      .withColumn("lcs", sum($"cents").over(wLoc)))
+    val wOff = Window.orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy($"pid")
+      .agg(count(lit(1)).as("pc"), sum($"cents").as("ps"))
+      .withColumn("off", coalesce(sum($"pc").over(wOff), lit(0L)))
+      .withColumn("soff", coalesce(sum($"ps").over(wOff), lit(0L)))
+      .select($"pid", $"off", $"soff")
+    val tot = local.agg(count(lit(1)).as("n"), sum($"cents").as("s0"))
+    val ranked = graft.Caches.track(
+      local.join(broadcast(offs), "pid")
+        .crossJoin(broadcast(tot))
+        .withColumn("rnk", $"off" + $"lrn")
+        .withColumn("cum", $"soff" + $"lcs"))
+    val gini = ranked
+      .agg(sum($"rnk" * $"cents").as("s1"), max($"n").as("n"),
+        max($"s0").as("s0"))
+      .select(expr("(2 * s1 - (n + 1) * s0) * 1000000 DIV (n * s0)")
+        .cast("bigint").as("gini_ppm"))
+    ranked
+      .withColumn("decile",
+        expr(s"CAST((rnk - 1) * $buckets DIV n AS INT) + 1"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"cents").as("spend_cents"),
+        max($"rnk").as("rmax"), max($"cum").as("cummax"),
+        max($"n").as("n"), max($"s0").as("s0"))
+      .select($"decile", $"n_users", $"spend_cents",
+        expr("rmax * 1000000 DIV n").cast("bigint").as("cum_users_ppm"),
+        expr("cummax * 1000000 DIV s0").cast("bigint").as("cum_spend_ppm"))
+      .crossJoin(broadcast(gini))
+      .orderBy($"decile")
+  }
+
   /** Event-time RANGE window aggregates (q52) — per-user trailing
     * 1-hour count/spend and leading 10-minute count at every event:
     * the value-based frame q26's ROWS frames cannot express. Peers

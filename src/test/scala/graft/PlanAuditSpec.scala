@@ -214,6 +214,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the ppm shares divide by (q14's shape; verified by plan dump
     // this round). The top-k itself arrives via TakeOrdered, and the
     // rank window sees only those k rows (t26's bound).
+    // q61 — three SinglePartition exchanges, all bounded (verified by
+    // plan dump this round): the offsets pass's exchange has the
+    // per-pid HashAggregate(count, sum(cents)) as its direct child —
+    // <= shuffle-partitions rows (t23's offsets shape) into the
+    // Sort+Window running sum; the (n, s0) totals exchange has
+    // HashAggregate(partial_count, partial_sum) over the CACHED local
+    // frame as its child — one partial row per task into the 1-row
+    // broadcast; the Gini exchange has HashAggregate(
+    // partial_sum(rnk*cents), partial_max) over the CACHED ranked
+    // frame — one partial row per task into the 1-row gini broadcast.
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
@@ -225,7 +235,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "p19_temperature_mix", "s32_cell_drift", "t35_kn_bigram",
       "s34_cluster_purity", "t38_good_turing", "p21_clean_mixture",
       "t40_chi2_keyness", "t41_burstiness", "s35_cluster_report",
-      "p22_epoch_schedule")
+      "p22_epoch_schedule", "q61_lorenz_gini")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

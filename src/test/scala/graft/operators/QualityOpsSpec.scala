@@ -802,4 +802,49 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.exists(_._5 > 1) shouldBe true
     rows.exists(_._5 == 1) shouldBe true
   }
+
+  test("q61: deciles and Gini match a sequential recompute; Lorenz laws " +
+      "hold (monotone, convex-ish, ends at exactly 1e6)") {
+    val rows = Relational.lorenzGini(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    graft.Caches.releaseAll(spark)
+    // sequential recompute from raw events on the same cents grid
+    val spend = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sorted = spend.toSeq.sortBy { case (u, c) => (c, u) }
+    val n = sorted.length.toLong
+    val s0 = sorted.map(_._2).sum
+    val s1 = sorted.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+    val gini = (2 * s1 - (n + 1) * s0) * 1000000L / (n * s0)
+    val exp = sorted.zipWithIndex
+      .map { case ((_, c), i) => (((i.toLong * 10) / n).toInt + 1, i + 1L, c) }
+      .groupBy(_._1).toSeq.map { case (d, xs) =>
+        val rmax = xs.map(_._2).max
+        val cum = sorted.take(rmax.toInt).map(_._2).sum
+        (d, xs.length.toLong, xs.map(_._3).sum,
+          rmax * 1000000L / n, cum * 1000000L / s0, gini)
+      }.toSet
+    rows.toSet shouldBe exp
+    // Lorenz laws: cum ppm strictly increases with decile, closes at
+    // exactly 1e6 (all users, all spend), and the curve sits below the
+    // diagonal (spend is concentrated, so cum_spend <= cum_users)
+    val byDec = rows.sortBy(_._1)
+    byDec.map(_._4).toSeq shouldBe byDec.map(_._4).toSeq.sorted
+    byDec.map(_._5).toSeq shouldBe byDec.map(_._5).toSeq.sorted
+    byDec.last._4 shouldBe 1000000L
+    byDec.last._5 shouldBe 1000000L
+    byDec.foreach { r => r._5 should be <= r._4 }
+    // Gini is a genuine inequality signal on this corpus: strictly
+    // inside (0, 1e6)
+    val g = rows.head._6
+    g should (be > 0L and be < 1000000L)
+    // tie-order irrelevance: recomputing S1 with equal-cents users in
+    // REVERSED tie order leaves the Gini unchanged
+    val sortedRev = spend.toSeq.sortBy { case (u, c) => (c, -u) }
+    val s1r = sortedRev.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+    s1r shouldBe s1
+  }
 }
