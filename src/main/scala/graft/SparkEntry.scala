@@ -78,6 +78,8 @@ object SparkEntry {
     "q60_interval_islands" -> (Relational.intervalIslands _),
     "q61_lorenz_gini" -> ((s: SparkSession, d: String) =>
       Relational.lorenzGini(s, d)),
+    "q62_theil" -> (Relational.theilIndex _),
+    "q63_benford" -> (Relational.benfordAudit _),
     "q59_session_paths" -> ((s: SparkSession, d: String) =>
       Relational.sessionPaths(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
@@ -109,6 +111,8 @@ object SparkEntry {
       Dedup.winnowFingerprints(s, d)),
     "d35_bbit_minhash" -> ((s: SparkSession, d: String) =>
       Dedup.bbitMinHash(s, d)),
+    "d36_tfidf_cosine" -> ((s: SparkSession, d: String) =>
+      Dedup.tfidfCosine(s, d)),
     "d03_minhash_lsh" -> (Dedup.minHashLsh _),
     "d09_minhash_estimate" -> (Dedup.minHashEstimate _),
     "d03_minhash_lsh_hashed" -> (Dedup.minHashLshHashed _),
@@ -157,6 +161,9 @@ object SparkEntry {
     "s19_ann_mmr" -> ((s: SparkSession, d: String) => Similarity.annMmr(s, d)),
     "s20_ann_binary" -> ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),
     "s21_pagerank" -> ((s: SparkSession, d: String) => Similarity.pageRank(s, d)),
+    "s38_ppr" -> ((s: SparkSession, d: String) =>
+      Similarity.personalizedPageRank(s, d)),
+    "s39_hits" -> ((s: SparkSession, d: String) => Similarity.hits(s, d)),
     "s22_kcenter" -> ((s: SparkSession, d: String) => Similarity.kCenter(s, d)),
     "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
     "s23_triangles" -> ((s: SparkSession, d: String) => Similarity.triangleCounts(s, d)),
@@ -241,6 +248,10 @@ object SparkEntry {
       TextAnalysis.diceCollocations(s, d)),
     "t44_unigram_vocab" -> (Unigram.trainedVocab _),
     "t45_unigram_encode" -> (Unigram.encodeTable _),
+    "t46_zipf_fit" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.zipfFit(s, d)),
+    "t47_js_drift" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.jsDrift(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -279,6 +290,8 @@ object SparkEntry {
     "m07_audio_gate" -> (Multimodal.pcmGate _),
     "m30_silence_trim" -> (Multimodal.silenceTrimGate _),
     "m31_hist_equalize" -> (Multimodal.histEqualizeGate _),
+    "m36_otsu" -> (Multimodal.otsuGate _),
+    "m37_sobel" -> (Multimodal.sobelGate _),
     "m32_patchify" -> (Multimodal.patchifyGate _),
     "m33_rle_signal" -> (Multimodal.rleSignalGate _),
     "m34_dither" -> (Multimodal.orderedDitherGate _),
@@ -632,6 +645,72 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB mirror of Similarity.personalizedPageRank (s38):
+    * pageRankSql with seed as an extra key column and the SPARSE
+    * update — damped inbound mass per (seed, dst) plus the 150000
+    * restart re-injected at each seed, unreached nodes absent (exact
+    * zeros). AS MATERIALIZED per round (the bpeSql lesson).
+    */
+  private def pprSql(pprIters: Int, nSeeds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $KnnCtes,\n"
+    sb ++= "edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rnk <= 3),\n"
+    sb ++= "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),\n"
+    sb ++= s"pp0 AS (SELECT vec_id AS seed, vec_id, CAST(1000000 AS BIGINT) AS pr FROM embeddings WHERE vec_id < $nSeeds)"
+    for (i <- 1 to pprIters) {
+      sb ++= s""",
+         |pin$i AS (
+         |  SELECT p.seed, e.dst AS vec_id,
+         |    CAST(sum(p.pr // d.deg) AS BIGINT) AS inm
+         |  FROM edges e JOIN deg d ON e.src = d.src
+         |  JOIN pp${i - 1} p ON p.vec_id = e.src
+         |  GROUP BY 1, 2),
+         |pp$i AS MATERIALIZED (
+         |  SELECT seed, vec_id, CAST(sum(pr) AS BIGINT) AS pr FROM (
+         |    SELECT seed, vec_id, (85 * inm) // 100 AS pr FROM pin$i
+         |    UNION ALL
+         |    SELECT vec_id AS seed, vec_id, CAST(150000 AS BIGINT) AS pr
+         |    FROM embeddings WHERE vec_id < $nSeeds) u
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    sb ++= s"\nSELECT seed, vec_id, pr FROM pp$pprIters WHERE pr > 0 ORDER BY seed, vec_id"
+    sb.toString
+  }
+
+  /** DuckDB mirror of Similarity.hits (s39): KnnCtes supplies the s16
+    * edges; each synchronous round is two generated keyed-sum CTEs
+    * (hub from the previous auth, auth from the previous hub) LEFT-
+    * joined over all ids. AS MATERIALIZED per round (the bpeSql
+    * lesson).
+    */
+  private def hitsSql(hitsIters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $KnnCtes,\n"
+    sb ++= "edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rnk <= 3),\n"
+    sb ++= "ids AS (SELECT vec_id FROM embeddings),\n"
+    sb ++= "hb0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS h FROM ids),\n"
+    sb ++= "au0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS a FROM ids)"
+    for (i <- 1 to hitsIters) {
+      sb ++= s""",
+         |hin$i AS (
+         |  SELECT e.src AS vec_id, CAST(sum(a.a) AS BIGINT) AS h
+         |  FROM edges e JOIN au${i - 1} a ON a.vec_id = e.dst GROUP BY 1),
+         |ain$i AS (
+         |  SELECT e.dst AS vec_id, CAST(sum(h.h) AS BIGINT) AS a
+         |  FROM edges e JOIN hb${i - 1} h ON h.vec_id = e.src GROUP BY 1),
+         |hb$i AS MATERIALIZED (
+         |  SELECT i.vec_id, CAST(coalesce(n.h, 0) AS BIGINT) AS h
+         |  FROM ids i LEFT JOIN hin$i n ON i.vec_id = n.vec_id),
+         |au$i AS MATERIALIZED (
+         |  SELECT i.vec_id, CAST(coalesce(n.a, 0) AS BIGINT) AS a
+         |  FROM ids i LEFT JOIN ain$i n ON i.vec_id = n.vec_id)""".stripMargin
+    }
+    sb ++= s"""\nSELECT h.vec_id, h.h AS hub, a.a AS auth
+       |FROM hb$hitsIters h JOIN au$hitsIters a ON a.vec_id = h.vec_id
+       |ORDER BY h.vec_id""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB mirror of Similarity.bfsHops (s29): KnnCtes supplies the
     * literal s16 edges; each BFS round is one generated pair of CTEs —
     * frontier propagation across the edge list, then the per-node min
@@ -880,6 +959,207 @@ object SparkEntry {
          |  FROM $segF)
          |SELECT word, pos, piece FROM pieces ORDER BY word, pos""".stripMargin
     }
+    sb.toString
+  }
+
+  /** DuckDB mirror of TextAnalysis.zipfFit (t46): per-source top-R
+    * token ranks, two ilogChainSql passes (rank then freq onto the
+    * shared fixed-point grid), and the integer least-squares slope/R²
+    * with the division sign handled explicitly (both engines only ever
+    * divide non-negative operands — Spark `div` truncates toward zero,
+    * DuckDB `//` floors, and they agree exactly there). The R²
+    * numerator rides HUGEINT (the t40 chi² discipline).
+    */
+  private def zipfSql(topR: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH occ AS (SELECT source, unnest($Toks) AS token FROM documents),
+       |cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+       |  FROM occ GROUP BY 1, 2),
+       |top AS (SELECT source, freq,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY freq DESC, token) AS BIGINT) AS rnk
+       |  FROM cnt QUALIFY rnk <= $topR)""".stripMargin
+    val (xt, xn) = ilogChainSql("zx", "top", "rnk", "x", Seq("source", "freq"))
+    sb ++= xt
+    val (yt, yn) = ilogChainSql("zy", xn, "freq", "y", Seq("source", "x"))
+    sb ++= yt
+    sb ++= s""",
+       |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM $yn GROUP BY 1 HAVING count(*) >= 2),
+       |nd AS (SELECT source, n, sy, syy,
+       |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+       |  FROM st)
+       |SELECT source, n AS n_ranks,
+       |  CAST(CASE WHEN num >= 0 THEN num * 1000000 // den
+       |       ELSE -((-num) * 1000000 // den) END AS BIGINT) AS slope_ppm,
+       |  CAST(CASE WHEN n * syy - sy * sy = 0 THEN 1000000
+       |       ELSE (CAST(num AS HUGEINT) * num * 1000000) //
+       |         (CAST(den AS HUGEINT) * (n * syy - sy * sy)) END AS BIGINT)
+       |    AS r2_ppm
+       |FROM nd ORDER BY source""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB mirror of TextAnalysis.jsDrift (t47): the (source, token)
+    * counts, floor-ppm p/q/m distributions over the corpus-vocab ×
+    * source grid, and one ilogChainSql pass per distribution; the
+    * LEFT-joined final select keeps every source even if a side sums
+    * empty (the Spark groupBy over the grid always emits all sources).
+    */
+  private lazy val jsDriftSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH occ AS (SELECT source, unnest($Toks) AS token FROM documents),
+       |sc AS MATERIALIZED (
+       |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM occ GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM sc GROUP BY 1),
+       |voc AS (SELECT token, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY 1),
+       |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM voc),
+       |qd AS MATERIALIZED (
+       |  SELECT token, CAST(cc * 1000000 // nn AS BIGINT) AS q_ppm
+       |  FROM voc, nt),
+       |qpos AS (SELECT q_ppm FROM qd WHERE q_ppm >= 1)""".stripMargin
+    val (qt, qn) = ilogChainSql("jq", "qpos", "q_ppm", "lq", Seq("q_ppm"))
+    sb ++= qt
+    sb ++= s""",
+       |sq AS (SELECT CAST(sum(q_ppm * lq) AS BIGINT) AS s_q FROM $qn),
+       |pm AS MATERIALIZED (
+       |  SELECT s.source, s.st,
+       |    CAST(coalesce(c.c, 0) * 1000000 // s.st AS BIGINT) AS p_ppm,
+       |    CAST((coalesce(c.c, 0) * 1000000 // s.st + q.q_ppm) // 2
+       |      AS BIGINT) AS m_ppm
+       |  FROM qd q CROSS JOIN stot s
+       |  LEFT JOIN sc c ON c.source = s.source AND c.token = q.token),
+       |ppos AS (SELECT source, p_ppm FROM pm WHERE p_ppm >= 1)""".stripMargin
+    val (pt, pn) = ilogChainSql("jp", "ppos", "p_ppm", "lp", Seq("source", "p_ppm"))
+    sb ++= pt
+    sb ++= s""",
+       |sp AS (SELECT source, CAST(sum(p_ppm * lp) AS BIGINT) AS s_p
+       |  FROM $pn GROUP BY 1),
+       |mpos AS (SELECT source, m_ppm FROM pm WHERE m_ppm >= 1)""".stripMargin
+    val (mt, mn) = ilogChainSql("jm", "mpos", "m_ppm", "lm", Seq("source", "m_ppm"))
+    sb ++= mt
+    sb ++= s""",
+       |sm AS (SELECT source, CAST(sum(m_ppm * lm) AS BIGINT) AS s_m
+       |  FROM $mn GROUP BY 1)
+       |SELECT t.source, t.st AS n_tokens,
+       |  CAST(coalesce(sp.s_p, 0) AS BIGINT) AS s_p,
+       |  CAST(coalesce(sm.s_m, 0) AS BIGINT) AS s_m, sq.s_q,
+       |  CAST((coalesce(sp.s_p, 0) + sq.s_q) // 2 - coalesce(sm.s_m, 0)
+       |    AS BIGINT) AS jsd_fix
+       |FROM stot t
+       |LEFT JOIN sp ON sp.source = t.source
+       |LEFT JOIN sm ON sm.source = t.source
+       |CROSS JOIN sq
+       |ORDER BY t.source""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB mirror of Dedup.tfidfCosine (d36): the sampled tf table,
+    * two ilogChainSql passes (N and per-token df onto the shared
+    * fixed-point grid), weights, norms, the posting-list pair join,
+    * and the HUGEINT squared-cosine threshold.
+    */
+  private def tfidfSql(maxSample: Int, minCos2Ppm: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH dd AS (SELECT doc_id, $Toks AS tk FROM documents
+       |  WHERE doc_id % 10 = 0 AND doc_id < ${10L * maxSample}),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM dd) t GROUP BY 1, 2),
+       |ndc AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM dd),
+       |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)""".stripMargin
+    val (at, an) = ilogChainSql("ca", "ndc", "nd", "lnd", Nil)
+    sb ++= at
+    val (bt, bn) = ilogChainSql("cb", "dfc", "df", "ldf", Seq("tok"))
+    sb ++= bt
+    sb ++= s""",
+       |wt AS MATERIALIZED (
+       |  SELECT t.doc_id, t.tok, t.tf * (a.lnd - b.ldf) AS w
+       |  FROM tf t JOIN $bn b ON b.tok = t.tok CROSS JOIN $an a
+       |  WHERE t.tf * (a.lnd - b.ldf) >= 1),
+       |n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+       |  FROM wt GROUP BY 1),
+       |dt AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(sum(x.w * y.w) AS BIGINT) AS dot
+       |  FROM wt x JOIN wt y ON x.tok = y.tok AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+       |  CAST((CAST(dot AS HUGEINT) * dot * 1000000) //
+       |    (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
+       |FROM dt JOIN n2 na ON na.doc_id = a JOIN n2 nb ON nb.doc_id = b
+       |WHERE (CAST(dot AS HUGEINT) * dot * 1000000) //
+       |    (CAST(na.n2 AS HUGEINT) * nb.n2) >= $minCos2Ppm
+       |ORDER BY a, b""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB mirror of Relational.theilIndex (q62): per-customer cents,
+    * the |segments|-row rollup, and four ilogChainSql passes — x·n_g
+    * and S_g for the within terms, S_g·n and S·n_g for the between
+    * terms; the ppm division is sign-explicit on HUGEINT (both engines
+    * only ever divide non-negative operands).
+    */
+  private lazy val theilSql: String = {
+    val twoF = 1L << graft.functions.IntLog.F
+    val sb = new StringBuilder
+    sb ++= """WITH sp AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |j AS MATERIALIZED (
+       |  SELECT c.c_mktsegment AS segment, s.x
+       |  FROM sp s JOIN customer c ON c.c_custkey = s.o_custkey
+       |  WHERE s.x >= 1),
+       |seg AS MATERIALIZED (
+       |  SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+       |    CAST(sum(x) AS BIGINT) AS s_g
+       |  FROM j GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+       |    CAST(sum(s_g) AS BIGINT) AS s FROM seg),
+       |wi AS (SELECT j.segment, j.x, j.x * g.n_g AS xn
+       |  FROM j JOIN seg g ON g.segment = j.segment)""".stripMargin
+    val (at, an) = ilogChainSql("ha", "wi", "xn", "lxn", Seq("segment", "x"))
+    sb ++= at
+    val (bt, bn) = ilogChainSql("hb", "seg", "s_g", "lsg", Seq("segment"))
+    sb ++= bt
+    sb ++= s""",
+       |win AS (
+       |  SELECT w.segment, CAST(sum(w.x * (w.lxn - b.lsg)) AS BIGINT)
+       |    AS theil_num
+       |  FROM $an w JOIN $bn b ON b.segment = w.segment GROUP BY 1),
+       |bw AS (SELECT g.segment, g.s_g, g.s_g * t.n AS sgn, t.s * g.n_g AS sng
+       |  FROM seg g CROSS JOIN tot t)""".stripMargin
+    val (ct, cn) = ilogChainSql("hc", "bw", "sgn", "lsgn",
+      Seq("segment", "s_g", "sng"))
+    sb ++= ct
+    val (dt, dn) = ilogChainSql("hd", cn, "sng", "lsng",
+      Seq("segment", "s_g", "lsgn"))
+    sb ++= dt
+    sb ++= s""",
+       |btw AS (SELECT CAST(sum(s_g * (lsgn - lsng)) AS BIGINT) AS theil_num
+       |  FROM $dn),
+       |u AS (
+       |  SELECT g.segment AS component, g.n_g AS n_users,
+       |    g.s_g AS spend_cents, w.theil_num
+       |  FROM win w JOIN seg g ON g.segment = w.segment
+       |  UNION ALL
+       |  SELECT '(between)' AS component, t.n AS n_users,
+       |    t.s AS spend_cents, b.theil_num
+       |  FROM btw b CROSS JOIN tot t)
+       |SELECT component, n_users, spend_cents, theil_num,
+       |  CAST(CASE WHEN theil_num >= 0
+       |    THEN (CAST(theil_num AS HUGEINT) * 1000000) //
+       |      (CAST(spend_cents AS HUGEINT) * $twoF)
+       |    ELSE -((CAST(-theil_num AS HUGEINT) * 1000000) //
+       |      (CAST(spend_cents AS HUGEINT) * $twoF))
+       |  END AS BIGINT) AS theil_ppm
+       |FROM u ORDER BY component""".stripMargin
     sb.toString
   }
 
@@ -2132,6 +2412,10 @@ object SparkEntry {
 
     // d33: multiset Jaccard — sum-min over token counts, sum-max by
     // the identity Na + Nb - sum-min, floor ppm
+    // d36: exact TF-IDF cosine pairs — fixed-point idf, squared-cosine
+    // threshold by HUGEINT cross-multiplication (no sqrt)
+    "d36_tfidf_cosine" -> tfidfSql(maxSample = 512, minCos2Ppm = 250000L),
+
     "d33_weighted_jaccard" ->
       s"""WITH dd AS (SELECT doc_id, $Toks AS tk FROM documents
          |  WHERE doc_id % 10 = 0 AND doc_id < 5120),
@@ -3644,6 +3928,14 @@ object SparkEntry {
     // generated as a CTE chain; dangling mass leaks identically
     "s21_pagerank" -> pageRankSql(prIters = 3),
 
+    // s38: personalized PageRank — the sparse seed-keyed walk; only
+    // reached (seed, node) pairs carry mass
+    "s38_ppr" -> pprSql(pprIters = 3, nSeeds = 8),
+
+    // s39: HITS hubs/authorities — unnormalized synchronous rounds,
+    // exact integers (normalization only rescales rank order)
+    "s39_hits" -> hitsSql(hitsIters = 3),
+
     // s32: cell-population drift under the frozen quantizer — exact
     // floor-ppm shares before/after the new batch, alert past the
     // threshold
@@ -4956,6 +5248,47 @@ object SparkEntry {
     "t44_unigram_vocab" -> unigramSql(encode = false),
     "t45_unigram_encode" -> unigramSql(encode = true),
 
+    // q62: Theil within/between decomposition — fixed-point log2 grid,
+    // exact integer numerators, sign-explicit HUGEINT ppm
+    "q62_theil" -> theilSql,
+
+    // q63: Benford first-digit audit — shared literal constant table,
+    // exact common-denominator deviations, HUGEINT χ² micro terms
+    "q63_benford" ->
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         |    AS cents FROM orders),
+         |f AS (SELECT CAST(left(CAST(cents AS VARCHAR), 1) AS INT) AS digit
+         |  FROM c WHERE cents >= 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM f GROUP BY 1),
+         |e(digit, exp_ppm) AS (VALUES ${
+           graft.operators.Relational.BenfordPpm
+             .map { case (d, p) => s"($d, $p)" }.mkString(", ")}),
+         |r AS (SELECT e.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+         |    CAST(e.exp_ppm AS BIGINT) AS exp_ppm, nn.n
+         |  FROM e LEFT JOIN o USING (digit) CROSS JOIN nn),
+         |r2 AS (SELECT digit, n_obs,
+         |    CAST(n_obs * 1000000 // n AS BIGINT) AS obs_ppm, exp_ppm,
+         |    n_obs * 1000000 - n * exp_ppm AS dev, n FROM r),
+         |r3 AS (SELECT digit, n_obs, obs_ppm, exp_ppm, dev,
+         |    CAST((CAST(dev AS HUGEINT) * dev) //
+         |      (CAST(n AS HUGEINT) * exp_ppm) AS BIGINT) AS chi2_micro
+         |  FROM r2),
+         |t AS (SELECT CAST(sum(chi2_micro) AS BIGINT) AS chi2_micro_total
+         |  FROM r3)
+         |SELECT digit, n_obs, obs_ppm, exp_ppm, dev, chi2_micro,
+         |  t.chi2_micro_total
+         |FROM r3 CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // t46: per-source Zipf fit — top-100 ranks, fixed-point log2 grid,
+    // sign-explicit integer least squares (slope + R² in floor ppm)
+    "t46_zipf_fit" -> zipfSql(topR = 100),
+
+    // t47: per-source Jensen–Shannon drift vs the corpus — floor-ppm
+    // distributions, fixed-point log2, jsd = (S(P)+S(Q))//2 − S(M)
+    "t47_js_drift" -> jsDriftSql,
+
     "t32_vocab_growth" ->
       s"""WITH ${tkCte("")},
          |pos AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
@@ -5988,6 +6321,88 @@ object SparkEntry {
     // per-image CDF with a running-sum window, and replays the
     // (cdf - cdf_min)*255 // (n - cdf_min) remap plus the rolling fold
     // of the remapped stream
+    // m37: Sobel edge density — the 3×3 gradient stencil replayed
+    // relationally (offset join, CASE-free algebraic kernel weights),
+    // L1 magnitudes, rolling checksum in (y, x) row-major order
+    "m37_sobel" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        CAST(ord(text[CAST(i AS INT)]) AS BIGINT) AS v
+        |      FROM d, UNNEST(range(1, 65)) t(i)),
+        |g AS (SELECT doc_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y
+        |      FROM d, UNNEST(range(1, 7)) tx(x), UNNEST(range(1, 7)) ty(y)),
+        |o AS (SELECT CAST(dx AS INT) AS dx, CAST(dy AS INT) AS dy
+        |      FROM UNNEST(range(-1, 2)) a(dx), UNNEST(range(-1, 2)) b(dy)),
+        |s AS (SELECT g.doc_id, g.x, g.y,
+        |        CAST(sum(o.dx * (2 - abs(o.dy)) * v.v) AS BIGINT) AS gx,
+        |        CAST(sum(o.dy * (2 - abs(o.dx)) * v.v) AS BIGINT) AS gy
+        |      FROM g CROSS JOIN o
+        |      JOIN v ON v.doc_id = g.doc_id
+        |        AND v.idx = (g.y + o.dy) * 8 + (g.x + o.dx) + 1
+        |      GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, x, y, abs(gx) + abs(gy) AS mag FROM s),
+        |f AS (SELECT doc_id,
+        |        CAST(count(*) AS BIGINT) AS n_interior,
+        |        CAST(sum(CASE WHEN mag >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_edges,
+        |        CAST(sum(mag) AS BIGINT) AS mag_sum,
+        |        CAST(max(mag) AS BIGINT) AS mag_max,
+        |        list_reduce([CAST(0 AS BIGINT)] ||
+        |          list(CAST(mag AS BIGINT) ORDER BY y, x),
+        |          (acc, xx) -> (acc * 31 + xx) % 1000000007) AS edge_checksum
+        |      FROM m GROUP BY 1)
+        |SELECT doc_id, n_interior, n_edges, mag_sum, mag_max, edge_checksum
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // m36: Otsu threshold — per-image between-class-variance argmax on
+    // the exact 2^20-scaled integer grid (candidates = present gray
+    // levels with a non-empty upper class, tie-break smallest level;
+    // flat images fall back to their single level), plus the binarized
+    // stream's rolling checksum
+    "m36_otsu" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |        CAST(ord(text[CAST(i AS INT)]) AS BIGINT) AS v
+        |      FROM d, UNNEST(range(1, 65)) t(i)),
+        |cnt AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+        |        FROM v GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s,
+        |          CAST(count(*) AS BIGINT) AS n, CAST(max(v) AS BIGINT) AS vmax
+        |        FROM v GROUP BY 1),
+        |cdf AS (SELECT doc_id, v,
+        |          CAST(sum(c) OVER w AS BIGINT) AS n0,
+        |          CAST(sum(v * c) OVER w AS BIGINT) AS s0
+        |        FROM cnt WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+        |cand AS (SELECT c.doc_id, c.v, c.n0, t.n - c.n0 AS n1,
+        |           c.s0 * (t.n - c.n0) - (t.s - c.s0) * c.n0 AS num
+        |         FROM cdf c JOIN tot t USING (doc_id)
+        |         WHERE t.n - c.n0 > 0),
+        |scored AS (SELECT doc_id, v, n0, n1,
+        |             (num * num * 1048576) // (n0 * n1) AS score
+        |           FROM cand),
+        |pick AS (SELECT doc_id, v, score, n0, n1 FROM (
+        |           SELECT s.*, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, v) AS rn
+        |           FROM scored s) x
+        |         WHERE rn = 1),
+        |pf AS (SELECT t.doc_id,
+        |         CAST(coalesce(p.v, t.vmax) AS INT) AS threshold,
+        |         CAST(coalesce(p.score, 0) AS BIGINT) AS score,
+        |         CAST(coalesce(p.n0, t.n) AS BIGINT) AS n_bg,
+        |         CAST(coalesce(p.n1, 0) AS BIGINT) AS n_fg
+        |       FROM tot t LEFT JOIN pick p USING (doc_id)),
+        |o AS (SELECT v.doc_id, v.idx,
+        |        CASE WHEN v.v > p.threshold THEN 255 ELSE 0 END AS ov
+        |      FROM v JOIN pf p USING (doc_id)),
+        |f AS (SELECT doc_id,
+        |        list_reduce([CAST(0 AS BIGINT)] ||
+        |          list(CAST(ov AS BIGINT) ORDER BY idx),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS bin_checksum
+        |      FROM o GROUP BY 1)
+        |SELECT p.doc_id, p.threshold, p.score, p.n_bg, p.n_fg,
+        |  f.bin_checksum
+        |FROM pf p JOIN f USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
     "m31_hist_equalize" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
         |v AS (SELECT doc_id, CAST(i AS INT) AS idx,

@@ -2138,4 +2138,62 @@ object Dedup {
       .filter($"wjaccard_ppm" >= minPpm)
       .orderBy($"a", $"b")
   }
+
+  /** Exact TF-IDF cosine near-dup pairs (d36) — the vector-space model
+    * scorer (Salton & Buckley 1988) between d33's weighted Jaccard
+    * (counts only, every token equal) and d15's dense-embedding cosine
+    * (needs a trained encoder): term weights tf·idf downweight the
+    * boilerplate vocabulary that dominates raw-count similarity, with
+    * NOTHING trained — the classic lexical near-dup signal. Everything
+    * integer-exact so the full pair table hash-gates: idf is
+    * log2fixed(N) − log2fixed(df) on the [[graft.functions.IntLog]]
+    * grid (a token in every document gets weight 0 and drops — the
+    * stopword kill idf exists for), and the threshold compares
+    * SQUARED cosine by cross-multiplication — dot²·10⁶ ≥ τ²·‖a‖²·‖b‖²
+    * on DECIMAL(38,0)/HUGEINT, no square root anywhere.
+    *
+    * Overflow audit at the sample cap: tf ≤ doc length (~10³), idf ≤
+    * 62·2^8, so w ≤ ~2^28, per-doc ‖·‖² ≤ ~2^50, dot ≤ ~2^50 and
+    * dot²·10⁶ ≤ ~2^120 < 10^38 — inside DECIMAL(38,0) and int128.
+    *
+    * Same sample-cap contract as d02/d33 (the correctness-oracle form;
+    * the 100 TB path generates candidates with d23's lossless prefix
+    * filter or d03's LSH and verifies with THIS arithmetic): pairs come
+    * from the shared-token equi-join over the sampled docs. The N
+    * constant is a 1-row grand-total broadcast (the q14 funnel shape,
+    * allowlisted after plan dump).
+    */
+  def tfidfCosine(spark: SparkSession, sfDir: String, maxSample: Int = 512,
+      minCos2Ppm: Long = 250000L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IntLog.log2Fixed
+    val docs = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 10 === 0 && $"doc_id" < 10L * maxSample)
+    val tf = graft.Caches.track(
+      docs.select($"doc_id",
+          explode(graft.functions.Text.toks($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf")))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // cached: the norms and both sides of the posting join read the
+    // weight table
+    val w = graft.Caches.track(
+      tf.join(df, "tok").crossJoin(broadcast(nd))
+        .select($"doc_id", $"tok",
+          ($"tf" * (log2Fixed($"nd") - log2Fixed($"df"))).as("w"))
+        .filter($"w" >= 1))
+    val n2 = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+    w.as("x").join(w.as("y"),
+        $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .agg(sum($"x.w" * $"y.w").as("dot"))
+      .join(n2.select($"doc_id".as("a"), $"n2".as("n2_a")), Seq("a"))
+      .join(n2.select($"doc_id".as("b"), $"n2".as("n2_b")), Seq("b"))
+      .withColumn("cos2_ppm", expr(
+        "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000 div " +
+          "(CAST(n2_a AS DECIMAL(38,0)) * n2_b) AS BIGINT)"))
+      .filter($"cos2_ppm" >= minCos2Ppm)
+      .select($"a", $"b", $"dot", $"n2_a", $"n2_b", $"cos2_ppm")
+      .orderBy($"a", $"b")
+  }
 }

@@ -2674,6 +2674,126 @@ object Multimodal {
     histEqualize(docPgmRows(spark, sfDir)).orderBy($"doc_id")
   }
 
+  /** Otsu threshold + binarization (m36) — the classic automatic
+    * foreground/background split (Otsu 1979): pick the gray level t
+    * maximizing the between-class variance
+    * σ_B²(t) ∝ (s0·n1 − s1·n0)² / (n0·n1) over the image histogram —
+    * the document-scan / chart-detection preprocessing pass a media
+    * pipeline runs before OCR routing or ink-ratio quality scoring.
+    * The comparison key is the exact integer numerator scaled by 2^20
+    * and floor-divided by n0·n1 — both engines floor identically, so
+    * the argmax (tie-break: smallest t, via strict `>` over ascending
+    * v) is deterministic and the whole report hash-gates; |num| ≤
+    * Σv·n ≤ 2^24 at 8×8/255, so num²·2^20 < 2^63. Candidates are the
+    * PRESENT gray levels with a non-empty upper class (σ_B is constant
+    * between present levels, so the smallest-t argmax always lands on
+    * one); a flat image has no candidate and reports its single level
+    * with score 0 and an empty foreground. The binarized stream
+    * (v > t → 255 else 0) is pinned by the m05 rolling checksum.
+    *
+    * Scale shape: decode + histogram + the ≤256-candidate argmax +
+    * remap in ONE map over the binary column — no shuffle, the m05
+    * discipline.
+    */
+  def otsuThreshold(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        val px = img.pixels.map(_ & 0xff)
+        val n = px.length.toLong
+        val hist = new Array[Long](256)
+        px.foreach(v => hist(v) += 1)
+        val total = px.map(_.toLong).sum
+        var bestScore = -1L
+        var bestT = -1
+        var n0 = 0L
+        var s0 = 0L
+        var v = 0
+        while (v < 256) {
+          if (hist(v) > 0) {
+            n0 += hist(v)
+            s0 += v.toLong * hist(v)
+            val n1 = n - n0
+            if (n1 > 0) {
+              val num = s0 * n1 - (total - s0) * n0
+              val score = num * num * 1048576L / (n0 * n1)
+              if (score > bestScore) { bestScore = score; bestT = v }
+            }
+          }
+          v += 1
+        }
+        val t = if (bestT < 0) px.max else bestT
+        val score = if (bestT < 0) 0L else bestScore
+        val out = px.map(p => if (p > t) 255 else 0)
+        (r.media_id, t, score, out.count(_ == 0).toLong,
+          out.count(_ == 255).toLong, byteChecksum(out.map(_.toByte)))
+      }
+    }.toDF("doc_id", "threshold", "score", "n_bg", "n_fg", "bin_checksum")
+  }
+
+  /** m36 gate entry: [[otsuThreshold]] over the PGM documents. */
+  def otsuGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    otsuThreshold(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
+  /** Sobel edge density (m37) — the first real convolution over the
+    * decoded raster (Sobel 1968; the standard gradient stencil): per
+    * interior pixel, Gx/Gy from the 3×3 kernels
+    * (weight_gx = dx·(2−|dy|), weight_gy = dy·(2−|dx|)) and the L1
+    * gradient magnitude |Gx|+|Gy| — integer-exact, deliberately NOT
+    * the Euclidean magnitude (no square root near a hash gate; L1 is
+    * the standard cheap variant). The per-image report (interior
+    * count, edge count at the threshold, magnitude sum/max, rolling
+    * checksum of the row-major magnitude stream) is the
+    * texture/sharpness signal a media-curation pass uses to split
+    * photos from flat synthetic frames, and the checksum pins the
+    * full stencil geometry — a flipped kernel or transposed walk
+    * shifts every fold.
+    *
+    * Scale shape: decode + the 3×3 stencil walk in ONE map over the
+    * binary column — no shuffle, the m05 discipline (at real
+    * resolutions the walk is width×height×9 multiplies per image,
+    * embarrassingly parallel across rows of the corpus).
+    */
+  def sobelEdges(ds: Dataset[MediaRow], threshold: Int = 128): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        val w = img.width
+        val h = img.height
+        val px = img.pixels.map(_ & 0xff)
+        val mags = for (y <- 1 until h - 1; x <- 1 until w - 1) yield {
+          var gx = 0
+          var gy = 0
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val v = px((y + dy) * w + (x + dx))
+              gx += dx * (2 - math.abs(dy)) * v
+              gy += dy * (2 - math.abs(dx)) * v
+              dx += 1
+            }
+            dy += 1
+          }
+          math.abs(gx) + math.abs(gy)
+        }
+        val chk = mags.foldLeft(0L)((acc, m) => (acc * 31 + m) % 1000000007L)
+        (r.media_id, mags.length.toLong,
+          mags.count(_ >= threshold).toLong, mags.map(_.toLong).sum,
+          if (mags.isEmpty) 0L else mags.max.toLong, chk)
+      }
+    }.toDF("doc_id", "n_interior", "n_edges", "mag_sum", "mag_max",
+      "edge_checksum")
+  }
+
+  /** m37 gate entry: [[sobelEdges]] over the PGM documents. */
+  def sobelGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sobelEdges(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** m11 payload builder: a REAL PNG per document — the first 64 text
     * bytes as an 8×8 grayscale raster, encoded through [[encodePng]]
     * with the row filter VARYING per (doc_id, row) as

@@ -1529,6 +1529,131 @@ object Relational {
       .orderBy($"decile")
   }
 
+  /** Theil T inequality index with within/between decomposition (q62) —
+    * q61's Gini answers "how unequal is spend overall"; Theil
+    * additionally answers "how much of that inequality lives INSIDE
+    * each market segment vs BETWEEN segments" (Theil 1967 — the one
+    * classic inequality measure that decomposes additively by group).
+    * Per segment g over per-customer spend x on the exact cents grid:
+    * T_g(bits) = Σ_{i∈g} (x_i/S_g)·log2(x_i·n_g/S_g), reported as the
+    * exact integer numerator Σ x_i·(log2fixed(x_i·n_g) −
+    * log2fixed(S_g)) — every log is [[graft.functions.IntLog]]
+    * fixed-point, so the whole report hash-gates; the between
+    * component is Σ_g S_g·(log2fixed(S_g·n) − log2fixed(S·n_g)). The
+    * ppm column divides by S_g·2^F with the sign handled explicitly
+    * (truncate-toward-zero vs floor never disagree on non-negative
+    * operands) on DECIMAL(38,0) — the t40 overflow discipline.
+    *
+    * Domain audit: x ≥ 1 (zero-cent customers are excluded — log of 0
+    * is undefined in any arithmetic); x·n_g and S·n_g stay far below
+    * 2^62 at any tested sf (documented: at ~10^9 customers the
+    * products migrate to a pre-scaled grid, shape unchanged).
+    *
+    * Scale shape: one corpus-reduced groupBy(custkey), one equi-join
+    * to the customer dimension, then every term joins the |segments|-
+    * row rollup by BROADCAST; the within sum is a map-combinable
+    * aggregate per segment and the between sum runs over |segments|
+    * rows. The (n, S) total is a |segments|-row reduction — no
+    * corpus-sized funnel anywhere.
+    */
+  def theilIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IntLog.log2Fixed
+    val ppmDiv = "CASE WHEN theil_num >= 0 THEN " +
+      s"CAST(CAST(theil_num AS DECIMAL(38,0)) * 1000000 div " +
+      s"(CAST(spend_cents AS DECIMAL(38,0)) * ${1L << graft.functions.IntLog.F}) AS BIGINT) " +
+      "ELSE -CAST(CAST(-theil_num AS DECIMAL(38,0)) * 1000000 div " +
+      s"(CAST(spend_cents AS DECIMAL(38,0)) * ${1L << graft.functions.IntLog.F}) AS BIGINT) END"
+    // cached: the segment rollup and the within terms both read the
+    // per-customer spend
+    val sp = graft.Caches.track(
+      Tables.orders(spark, sfDir)
+        .select($"o_custkey",
+          round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+        .groupBy($"o_custkey").agg(sum($"cents").as("x"))
+        .filter($"x" >= 1)
+        .join(Tables.customer(spark, sfDir)
+          .select($"c_custkey".as("o_custkey"),
+            $"c_mktsegment".as("segment")), "o_custkey"))
+    val seg = graft.Caches.track(sp.groupBy($"segment")
+      .agg(count(lit(1)).as("n_g"), sum($"x").as("s_g")))
+    val tot = seg.agg(sum($"n_g").as("n"), sum($"s_g").as("s"))
+    val within = sp.join(broadcast(seg), "segment")
+      .select($"segment", $"n_g", $"s_g",
+        ($"x" * (log2Fixed($"x" * $"n_g") - log2Fixed($"s_g"))).as("term"))
+      .groupBy($"segment")
+      .agg(max($"n_g").as("n_users"), max($"s_g").as("spend_cents"),
+        sum($"term").as("theil_num"))
+      .select($"segment".as("component"), $"n_users", $"spend_cents",
+        $"theil_num")
+    val between = seg.crossJoin(broadcast(tot))
+      .select($"n", $"s",
+        ($"s_g" * (log2Fixed($"s_g" * $"n") - log2Fixed($"s" * $"n_g")))
+          .as("term"))
+      .agg(max($"n").as("n_users"), max($"s").as("spend_cents"),
+        sum($"term").as("theil_num"))
+      .select(lit("(between)").as("component"), $"n_users", $"spend_cents",
+        $"theil_num")
+    within.unionByName(between)
+      .withColumn("theil_ppm", expr(ppmDiv))
+      .orderBy($"component")
+  }
+
+  /** Benford's-law first-digit constants, floor ppm of log10(1+1/d) —
+    * mathematical constants shared verbatim with the DuckDB oracle
+    * (the one sanctioned way to get a transcendental near a hash gate:
+    * as a fixed literal table, computed once offline, identical on
+    * both engines). Floors sum to 999995 ppm — the 5 ppm flooring loss
+    * is part of the contract.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford first-digit audit (q63) — the forensic data-quality screen
+    * (Benford 1938; Nigrini's fraud-audit standard): naturally-grown
+    * monetary amounts lead with digit d at frequency log10(1+1/d),
+    * while fabricated, truncated, or unit-misconverted feeds don't —
+    * the cheap anomaly probe a pipeline runs on every new financial
+    * source before trusting it. Per digit: observed count, floor-ppm
+    * share, the expected ppm, the EXACT common-denominator deviation
+    * n_obs·10⁶ − n·exp_ppm, and a χ²-style term dev²/(n·exp_ppm) in
+    * micro units on DECIMAL(38,0) (the t40 discipline), plus the
+    * grand-total χ² on every row (the q61 headline-column idiom).
+    *
+    * Scale shape: a map-side digit projection (first char of the
+    * decimal rendering — exact for positive integers), ONE 9-key hash
+    * aggregation, and two 1-row/9-row broadcasts (n and the χ² total —
+    * the q14/p04 funnel shapes, allowlisted after plan dump). Nothing
+    * corpus-sized past the scan.
+    */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fd = Tables.orders(spark, sfDir)
+      .select(round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+      .filter($"cents" >= 1)
+      .select(substring($"cents".cast("string"), 1, 1).cast("int").as("digit"))
+    val obs = fd.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val n = fd.agg(count(lit(1)).as("n"))
+    // cached: the χ² total and the final projection both read the
+    // per-digit frame
+    val rows = graft.Caches.track(
+      BenfordPpm.toDF("digit", "exp_ppm")
+        .join(obs, Seq("digit"), "left")
+        .na.fill(0L, Seq("n_obs"))
+        .crossJoin(broadcast(n))
+        .withColumn("dev", $"n_obs" * 1000000L - $"n" * $"exp_ppm")
+        .withColumn("chi2_micro", expr(
+          "CAST(CAST(dev AS DECIMAL(38,0)) * dev div " +
+            "(CAST(n AS DECIMAL(38,0)) * exp_ppm) AS BIGINT)")))
+    val tot = rows.agg(sum($"chi2_micro").as("chi2_micro_total"))
+    rows.crossJoin(broadcast(tot))
+      .select($"digit", $"n_obs",
+        expr("n_obs * 1000000 div n").as("obs_ppm"),
+        $"exp_ppm", $"dev", $"chi2_micro", $"chi2_micro_total")
+      .orderBy($"digit")
+  }
+
   /** Event-time RANGE window aggregates (q52) — per-user trailing
     * 1-hour count/spend and leading 10-minute count at every event:
     * the value-based frame q26's ROWS frames cannot express. Peers

@@ -1411,6 +1411,109 @@ object Similarity {
     pr.orderBy($"vec_id")
   }
 
+  /** Personalized PageRank from query seeds (s38) — random walk with
+    * restart over the s16 corpus k-NN graph (Page et al. 1999 §6;
+    * Jeh & Widom 2003): s21 scores GLOBAL centrality, but a retrieval
+    * pipeline re-ranking candidates for one query wants mass
+    * concentrated around THAT query — the graph-diffusion re-ranker
+    * (Pixie-style) that surfaces neighbors-of-neighbors a pure cosine
+    * top-k misses. Same fixed-point integer discipline as s21 (mass
+    * scaled by 1e6, `pr div outdeg` contributions, damping as
+    * `(85·in) div 100`, restart mass 150000 re-injected at the seed
+    * each round), so the fixed number of rounds hash-gates as a
+    * generated per-seed CTE chain.
+    *
+    * Sparse representation: only (seed, node) pairs with nonzero mass
+    * are carried — a node the walk hasn't reached is exactly 0 under
+    * this update, so the frame stays |seeds|·|reached| rows (≤
+    * |seeds|·(k_out^rounds) — the walk frontier), never
+    * |seeds|·|corpus|. Zero-mass rows the truncating division creates
+    * in flight contribute nothing downstream and are filtered at the
+    * end on both engines.
+    *
+    * Scale shape: per round ONE equi-join of the (seed, src) mass
+    * frame against edges and one (seed, dst)-keyed map-combinable sum
+    * — the s21 pregel superstep with seed as an extra key column;
+    * each round persists (O(1) lineage). Seeds are a parameter-sized
+    * set, never corpus-proportional.
+    */
+  def personalizedPageRank(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3, pprIters: Int = 3,
+      nSeeds: Int = 8): DataFrame = {
+    import spark.implicits._
+    val scale = 1000000L
+    val edges = graft.Caches.track(
+      knnEdges(spark, sfDir, k, iters, kNeighbors).select($"src", $"dst"))
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val restart = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < nSeeds)
+      .select($"vec_id".as("seed"), $"vec_id",
+        lit(scale * 15 / 100).as("pr"))
+    var pr = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < nSeeds)
+      .select($"vec_id".as("seed"), $"vec_id", lit(scale).as("pr"))
+    for (_ <- 1 to pprIters) {
+      val contrib = edges.join(outdeg, "src")
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .select($"seed", $"dst".as("vec_id"), expr("pr div deg").as("c"))
+      pr = graft.Caches.track(
+        contrib.groupBy($"seed", $"vec_id")
+          .agg(expr("(85 * sum(c)) div 100").as("pr"))
+          .unionByName(restart)
+          .groupBy($"seed", $"vec_id").agg(sum($"pr").as("pr")))
+    }
+    pr.filter($"pr" > 0).orderBy($"seed", $"vec_id")
+  }
+
+  /** HITS hubs/authorities over the corpus k-NN graph (s39) —
+    * Kleinberg 1999: on a DIRECTED graph the two centralities split —
+    * a hub points at good authorities, an authority is pointed at by
+    * good hubs — and the s16 top-k graph is genuinely directed (cosine
+    * is symmetric but "b is in a's top-k" is not: generic vectors
+    * point INTO dense regions without being pointed back at). High
+    * authority = semantic prototypes; high hub with low authority =
+    * periphery — the curation split PageRank's single score blurs.
+    *
+    * UNNORMALIZED fixed rounds on the integer grid: hub_{t+1}(u) =
+    * Σ_{u→v} auth_t(v), auth_{t+1}(v) = Σ_{u→v} hub_t(u), seeded at 1.
+    * The classic per-round L2 normalization only rescales — rank order
+    * per round is unchanged — and with out-degree ≤ k and bounded
+    * fan-in the values grow ≤ (k·maxdeg)^rounds ≪ 2^63 for the fixed 3
+    * rounds, so skipping it keeps every value an EXACT integer (no
+    * square root near a hash gate) and the whole iteration replays as
+    * a generated CTE chain.
+    *
+    * Scale shape: per round TWO edge-frame equi-joins with
+    * map-combinable keyed sums (the s21 pregel superstep, once per
+    * direction); each round persists (O(1) lineage). Absent vertices
+    * are exact zeros — the sparse-frame discipline of s38.
+    */
+  def hits(spark: SparkSession, sfDir: String, k: Int = 8, iters: Int = 2,
+      kNeighbors: Int = 3, hitsIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = graft.Caches.track(
+      knnEdges(spark, sfDir, k, iters, kNeighbors).select($"src", $"dst"))
+    val ids = graft.Caches.track(
+      Tables.embeddings(spark, sfDir).select($"vec_id"))
+    var hub = ids.select($"vec_id", lit(1L).as("h"))
+    var auth = ids.select($"vec_id", lit(1L).as("a"))
+    for (_ <- 1 to hitsIters) {
+      val newHub = edges.join(auth.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy($"src".as("vec_id")).agg(sum($"a").as("h"))
+      val newAuth = edges.join(hub.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy($"dst".as("vec_id")).agg(sum($"h").as("a"))
+      hub = graft.Caches.track(
+        ids.join(newHub, Seq("vec_id"), "left")
+          .select($"vec_id", coalesce($"h", lit(0L)).as("h")))
+      auth = graft.Caches.track(
+        ids.join(newAuth, Seq("vec_id"), "left")
+          .select($"vec_id", coalesce($"a", lit(0L)).as("a")))
+    }
+    hub.join(auth, "vec_id")
+      .select($"vec_id", $"h".as("hub"), $"a".as("auth"))
+      .orderBy($"vec_id")
+  }
+
   /** Greedy k-center coreset selection (s22) — the farthest-point
     * diversity sampler (Gonzalez 1985; the 2-approximation every
     * "select a diverse training subset" pipeline reaches for, and the

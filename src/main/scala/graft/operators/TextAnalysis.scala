@@ -1966,4 +1966,114 @@ object TextAnalysis {
     }
     pieces.reduce(_ unionByName _).orderBy($"word", $"pos")
   }
+
+  /** Zipf rank–frequency fit per source (t46) — the power-law health
+    * check a corpus curator runs on every ingest slice: natural text
+    * follows freq ∝ rank^s with s ≈ −1 (Zipf 1949), and a slice whose
+    * fitted exponent drifts far from the corpus norm is usually
+    * boilerplate, spam, or template expansion, not prose. Per source,
+    * the top `topR` token ranks regress log2(freq) on log2(rank) by
+    * exact integer least squares on the [[graft.functions.IntLog]]
+    * fixed-point log grid (slope and R² reported as floor ppm with the
+    * division sign handled explicitly, so Spark's truncate-toward-zero
+    * `div` and DuckDB's floor `//` can never disagree — both only ever
+    * divide non-negative operands).
+    *
+    * Overflow audit (int64): x, y <= 62·2^8 < 2^14; with topR = 100,
+    * n·Σxy and Σx·Σy <= ~2^42, so |num|·10^6 < 2^63; the R² numerator
+    * num² ·10^6 exceeds int64 and rides DECIMAL(38,0)/HUGEINT — the
+    * t40 chi² discipline.
+    *
+    * Scale shape: one (source, token) hash aggregation (map-combinable),
+    * then a per-source rank window whose input is the per-source
+    * VOCABULARY (not the corpus — counts are already reduced; at 100 TB
+    * a freq floor in the WHERE bounds the window input further), then a
+    * |sources|-row regression aggregate. No scalar funnels.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String, topR: Int = 100): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"freq".desc, $"token")
+    Tables.documents(spark, sfDir)
+      .select($"source", explode(Text.toks($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("freq"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topR)
+      .select($"source",
+        graft.functions.IntLog.log2Fixed($"rnk").as("x"),
+        graft.functions.IntLog.log2Fixed($"freq").as("y"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .filter($"n" >= 2)
+      .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("den", $"n" * $"sxx" - $"sx" * $"sx")
+      .select($"source", $"n".as("n_ranks"),
+        expr("CASE WHEN num >= 0 THEN num * 1000000 div den " +
+          "ELSE -((-num) * 1000000 div den) END").as("slope_ppm"),
+        expr("CASE WHEN n * syy - sy * sy = 0 THEN 1000000L " +
+          "ELSE CAST(CAST(num AS DECIMAL(38,0)) * num * 1000000 div " +
+          "(CAST(den AS DECIMAL(38,0)) * (n * syy - sy * sy)) AS BIGINT) " +
+          "END").as("r2_ppm"))
+      .orderBy($"source")
+  }
+
+  /** Jensen–Shannon drift per source (t47) — the distributional
+    * distance between each ingest slice's unigram distribution and the
+    * corpus-wide one (Lin 1991): the symmetric, bounded divergence a
+    * mixture pipeline reads to spot a source whose vocabulary usage
+    * has drifted (new crawl snapshot gone wrong, template flood) —
+    * KL's asymmetry and infinities make it useless as a monitor; JSD
+    * is the standard fix. Probabilities live on the floor-ppm grid and
+    * every log is [[graft.functions.IntLog.log2Fixed]], so the whole
+    * report is integer-exact and hash-gates: with
+    * S(D) = Σ_w d_ppm(w)·log2fixed(d_ppm(w)) over d_ppm >= 1 and
+    * m_ppm = (p_ppm + q_ppm) div 2,
+    * jsd_fix = (S(P) + S(Q)) div 2 − S(M) ≈ 2^F·10^6·JSD_bits
+    * (the ppm-grid log2(10^6) offsets cancel between the halves and M
+    * up to flooring; convexity of x·log x makes the exact-real value
+    * non-negative). Tokens whose ppm floors to 0 drop identically on
+    * both engines — they carry < 1/10^6 of the mass each.
+    *
+    * Scale shape: one (source, token) aggregation feeds everything;
+    * the per-source support grid is corpus-vocab × |sources| rows via a
+    * broadcast of the |sources|-row totals — vocabulary-sized work per
+    * source, never corpus-sized; S(Q) and the corpus total are 1-row
+    * grand-total broadcasts (the t11/q14 funnel shape, allowlisted
+    * after plan dump).
+    */
+  def jsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IntLog.log2Fixed
+    // cached: source totals, the corpus vocab, and the p-side all read
+    // the (source, token) counts
+    val srcCnt = graft.Caches.track(
+      Tables.documents(spark, sfDir)
+        .select($"source", explode(Text.toks($"text")).as("token"))
+        .groupBy($"source", $"token").agg(count(lit(1)).as("c")))
+    val srcTot = srcCnt.groupBy($"source").agg(sum($"c").as("st"))
+    // cached: the q-ppm distribution feeds S(Q) and the per-source grid
+    val vocab = graft.Caches.track(
+      srcCnt.groupBy($"token").agg(sum($"c").as("cc")))
+    val nTot = vocab.agg(sum($"cc").as("nn"))
+    val q = graft.Caches.track(vocab.crossJoin(broadcast(nTot))
+      .select($"token", expr("cc * 1000000 div nn").as("q_ppm")))
+    val sQ = q.filter($"q_ppm" >= 1)
+      .agg(sum($"q_ppm" * log2Fixed($"q_ppm")).as("s_q"))
+    val grid = q.crossJoin(broadcast(srcTot))
+      .join(srcCnt, Seq("source", "token"), "left")
+      .select($"source", $"st",
+        expr("coalesce(c, 0L) * 1000000 div st").as("p_ppm"), $"q_ppm")
+      .withColumn("m_ppm", expr("(p_ppm + q_ppm) div 2"))
+    val sides = grid.groupBy($"source")
+      .agg(max($"st").as("n_tokens"),
+        sum(when($"p_ppm" >= 1, $"p_ppm" * log2Fixed($"p_ppm"))
+          .otherwise(0L)).as("s_p"),
+        sum(when($"m_ppm" >= 1, $"m_ppm" * log2Fixed($"m_ppm"))
+          .otherwise(0L)).as("s_m"))
+    sides.crossJoin(broadcast(sQ))
+      .select($"source", $"n_tokens", $"s_p", $"s_m", $"s_q",
+        expr("(s_p + s_q) div 2 - s_m").as("jsd_fix"))
+      .orderBy($"source")
+  }
 }

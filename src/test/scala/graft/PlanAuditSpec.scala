@@ -224,6 +224,26 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // broadcast; the Gini exchange has HashAggregate(
     // partial_sum(rnk*cents), partial_max) over the CACHED ranked
     // frame — one partial row per task into the 1-row gini broadcast.
+    // q62 — the (n, S) total and the between-sum finalizations: every
+    // SinglePartition exchange sits on the CACHED |segments|-row
+    // rollup (partial_sum over ≤|segments| rows per task into 1-row
+    // broadcasts — p04's tiny-key-space bound; verified by plan dump
+    // this round).
+    // d36 — the N constant: the plan's one SinglePartition exchange
+    // has HashAggregate(partial_count(1)) over the sampled documents
+    // scan as its direct child — one partial-count row per task into
+    // the 1-row broadcast idf subtracts from (q14's shape; verified by
+    // plan dump this round).
+    // q63 — two bounded shapes (verified by plan dump this round): the
+    // grand-total n is q14's partial-count-per-task finalization into a
+    // 1-row broadcast, and the χ² total is a partial_sum over the
+    // CACHED 9-row per-digit frame (p04's tiny-key-space bound).
+    // t47 — two SinglePartition exchanges, both bounded (verified by
+    // plan dump this round): the corpus total nn has HashAggregate(
+    // partial_sum(cc)) over the CACHED vocab frame as its direct child,
+    // and S(Q) has HashAggregate(partial_sum(q_ppm·log2fixed)) over the
+    // CACHED q-ppm frame — one partial row per task into 1-row
+    // broadcasts each (t20's V shape).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
@@ -235,7 +255,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "p19_temperature_mix", "s32_cell_drift", "t35_kn_bigram",
       "s34_cluster_purity", "t38_good_turing", "p21_clean_mixture",
       "t40_chi2_keyness", "t41_burstiness", "s35_cluster_report",
-      "p22_epoch_schedule", "q61_lorenz_gini")
+      "p22_epoch_schedule", "q61_lorenz_gini", "t47_js_drift",
+      "d36_tfidf_cosine", "q63_benford", "q62_theil")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -317,6 +317,27 @@ object ProfileScaleSweep {
       time("burstiness")(TextAnalysis.burstiness(spark, dir))
       time("dither")(Multimodal.orderedDitherGate(spark, dir))
       time("glcm")(Multimodal.glcmGate(spark, dir))
+      // round-12 second batch. s38/s39 ride the sized-k s16 edges
+      // (fixed cell population): each fixed round is one edge-frame
+      // equi-join + a keyed map-combinable sum — s21's superstep
+      // shape; s38's frame is |seeds|·frontier (query-fanout, not
+      // corpus), s39's is corpus-linear. t46/t47 aggregate the
+      // vocabulary (replicas share words → sublinear); t47 adds the
+      // vocab × |sources| grid (sources constant). d36 is sample-
+      // capped by contract — the flat line IS the claim. m36 is the
+      // map + ≤256-candidate argmax floor.
+      time("ppr_sizedk")(
+        Similarity.personalizedPageRank(spark, dir, k = 8 * mult))
+      time("hits_sizedk")(Similarity.hits(spark, dir, k = 8 * mult))
+      time("zipf_fit")(TextAnalysis.zipfFit(spark, dir))
+      time("js_drift")(TextAnalysis.jsDrift(spark, dir))
+      time("tfidf_cosine")(Dedup.tfidfCosine(spark, dir))
+      time("otsu")(Multimodal.otsuGate(spark, dir))
+      time("sobel")(Multimodal.sobelGate(spark, dir))
+      // q62/q63 read the orders table, which this sweep does not
+      // enlarge — their shapes (one corpus-reduced groupBy + tiny-key
+      // rollups; a 9-key digit census) are already covered by the
+      // linear-floor rows.
       // d25 edit-join is NOT swept over replicas: its shipped blocking
       // (shared n-gram + length band) targets value-deduplicated
       // attribute domains (names/titles, 10^3..10^5 distinct) where

@@ -133,4 +133,71 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.length should be > 0
     got.map(_._3).max should be >= 2L
   }
+
+  test("s38: personalized PageRank matches a sequential sparse walk") {
+    val got = Similarity.personalizedPageRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.Caches.releaseAll(spark)
+    got should not be empty
+    // sequential reference: same directed edges, same fixed-point
+    // sparse update, 3 rounds, 8 seeds
+    val outdeg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seeds = (0L until 8L).toSeq
+    val exp = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (seed <- seeds) {
+      var pr = Map(seed -> 1000000L)
+      for (_ <- 1 to 3) {
+        val in = scala.collection.mutable.Map.empty[Long, Long]
+        for ((src, dst) <- directed; mass <- pr.get(src))
+          in(dst) = in.getOrElse(dst, 0L) + mass / outdeg(src)
+        val damped = in.toMap.view.mapValues(m => 85 * m / 100).toMap
+        pr = damped + (seed -> (damped.getOrElse(seed, 0L) + 150000L))
+      }
+      pr.filter(_._2 > 0).foreach { case (v, m) => exp((seed, v)) = m }
+    }
+    got shouldBe exp.toMap
+    // the restart mass law: every seed holds at least its own restart
+    seeds.foreach { s => got((s, s)) should be >= 150000L }
+    // personalization is real: mass stays LOCAL — each seed reaches a
+    // strict subset of the corpus, and different seeds differ
+    val ids = graft.Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    seeds.foreach { s =>
+      val reached = got.keySet.filter(_._1 == s).map(_._2)
+      reached.size should be < ids.size
+    }
+    val reachSets = seeds.map(s => got.keySet.filter(_._1 == s).map(_._2))
+    reachSets.distinct.length should be > 1
+  }
+
+  test("s39: HITS matches a sequential synchronous recompute") {
+    val got = Similarity.hits(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.Caches.releaseAll(spark)
+    val ids = graft.Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    got.keySet shouldBe ids
+    var hub = ids.map(_ -> 1L).toMap
+    var auth = ids.map(_ -> 1L).toMap
+    for (_ <- 1 to 3) {
+      val nh = scala.collection.mutable.Map.empty[Long, Long]
+      val na = scala.collection.mutable.Map.empty[Long, Long]
+      for ((u, v) <- directed) {
+        nh(u) = nh.getOrElse(u, 0L) + auth(v)
+        na(v) = na.getOrElse(v, 0L) + hub(u)
+      }
+      hub = ids.map(i => i -> nh.getOrElse(i, 0L)).toMap
+      auth = ids.map(i => i -> na.getOrElse(i, 0L)).toMap
+    }
+    ids.foreach { v => got(v) shouldBe ((hub(v), auth(v))) }
+    // the top-k graph is genuinely directed: the two centralities split
+    got.values.exists { case (h, a) => h != a } shouldBe true
+    // every vertex has out-degree k, so hubs never vanish; authorities
+    // DO vanish exactly at vertices nobody points to
+    got.values.foreach { case (h, _) => h should be > 0L }
+    val inDeg = directed.groupBy(_._2).view.mapValues(_.size).toMap
+    ids.foreach { v =>
+      (got(v)._2 == 0L) shouldBe !inDeg.contains(v)
+    }
+  }
 }

@@ -1906,6 +1906,95 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("otsuThreshold: hand-built argmax, tie-break, flat fallback, gate laws") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    def fold(s: Seq[Int]): Long =
+      s.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)
+    def score(num: Long, n0: Long, n1: Long): Long =
+      num * num * 1048576L / (n0 * n1)
+    val rows = Seq(
+      // bimodal: the only candidate is v=10 — clean fg/bg split
+      MediaRow(1L, "image", pgm(2, 2, Array(10, 10, 200, 200))),
+      // 4 levels: v=85 wins (computed below)
+      MediaRow(2L, "image", pgm(2, 2, Array(0, 85, 170, 255))),
+      // exact score tie between v=0 and v=100 — smallest level wins
+      MediaRow(3L, "image", pgm(3, 1, Array(0, 100, 200))),
+      // flat image: no candidate — single-level fallback
+      MediaRow(4L, "image", pgm(2, 2, Array(50, 50, 50, 50)))
+    ).toDS()
+    val out = Multimodal.otsuThreshold(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    r1.getInt(1) shouldBe 10
+    r1.getLong(2) shouldBe score(20 * 2 - 400 * 2, 2, 2)
+    (r1.getLong(3), r1.getLong(4)) shouldBe ((2L, 2L))
+    r1.getLong(5) shouldBe fold(Seq(0, 0, 255, 255))
+    // 0/85/170/255: scores are 510²·2^20/3 (v=0), 680²·2^20/4 (v=85),
+    // 510²·2^20/3 (v=170) — the middle split wins
+    val r2 = out(2L)
+    r2.getInt(1) shouldBe 85
+    r2.getLong(2) shouldBe score(85 * 2 - 425 * 2, 2, 2)
+    (r2.getLong(3), r2.getLong(4)) shouldBe ((2L, 2L))
+    // symmetric 0/100/200: v=0 and v=100 score identically — tie-break
+    // takes the smaller threshold
+    val r3 = out(3L)
+    score(-300, 1, 2) shouldBe score(-300, 2, 1) // the tie is real
+    r3.getInt(1) shouldBe 0
+    (r3.getLong(3), r3.getLong(4)) shouldBe ((1L, 2L))
+    val r4 = out(4L)
+    (r4.getInt(1), r4.getLong(2)) shouldBe ((50, 0L))
+    (r4.getLong(3), r4.getLong(4)) shouldBe ((4L, 0L))
+    r4.getLong(5) shouldBe 0L
+    // gate corpus: every 8x8 image splits into non-empty classes that
+    // sum to 64 (word-soup prefixes always carry >= 2 gray levels)
+    val gate = Multimodal.otsuGate(spark, "/root/testdata/sf0.001").collect()
+    gate should not be empty
+    gate.foreach { r =>
+      r.getInt(1) should (be >= 0 and be <= 255)
+      r.getLong(2) should be > 0L
+      r.getLong(3) + r.getLong(4) shouldBe 64L
+      r.getLong(3) should be > 0L
+      r.getLong(4) should be > 0L
+    }
+  }
+
+  test("sobelEdges: hand-built gradients, kernel orientation, gate laws") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    val vStep = Array(0, 0, 255, 0, 0, 255, 0, 0, 255) // vertical edge
+    val hStep = Array(0, 0, 0, 0, 0, 0, 255, 255, 255) // horizontal edge
+    val flat = Array.fill(9)(77)
+    val out = Multimodal.sobelEdges(Seq(
+      MediaRow(1L, "image", pgm(3, 3, vStep)),
+      MediaRow(2L, "image", pgm(3, 3, hStep)),
+      MediaRow(3L, "image", pgm(3, 3, flat))
+    ).toDS()).collect().map(r => r.getLong(0) -> r).toMap
+    // one interior pixel; Gx over the right column = (1+2+1)·255,
+    // Gy = 0 on the vertical edge — and exactly transposed on the
+    // horizontal one (kernel orientation pinned)
+    val r1 = out(1L)
+    (r1.getLong(1), r1.getLong(2)) shouldBe ((1L, 1L))
+    (r1.getLong(3), r1.getLong(4)) shouldBe ((1020L, 1020L))
+    r1.getLong(5) shouldBe 1020L % 1000000007L
+    out(2L).getLong(3) shouldBe 1020L
+    val r3 = out(3L)
+    (r3.getLong(2), r3.getLong(3), r3.getLong(4)) shouldBe ((0L, 0L, 0L))
+    // gate corpus: 8x8 images -> 36 interior pixels each, and the
+    // word-soup rasters are never gradient-free
+    val gate = Multimodal.sobelGate(spark, "/root/testdata/sf0.001").collect()
+    gate should not be empty
+    gate.foreach { r =>
+      r.getLong(1) shouldBe 36L
+      r.getLong(3) should be > 0L
+      r.getLong(2) should be <= 36L
+    }
+  }
+
   test("patchify: geometry pins, partial patches dropped, stats law") {
     import spark.implicits._
     import graft.operators.Multimodal.MediaRow

@@ -847,4 +847,89 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val s1r = sortedRev.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
     s1r shouldBe s1
   }
+
+  test("benfordAudit: exact sequential recompute, constant-table laws") {
+    val rows = Relational.benfordAudit(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    graft.Caches.releaseAll(spark)
+    rows.keySet shouldBe (1 to 9).toSet
+    // the constant table is floor ppm of log10(1+1/d)
+    Relational.BenfordPpm.foreach { case (d, p) =>
+      p shouldBe math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
+    }
+    Relational.BenfordPpm.map(_._2).sum shouldBe 999995L
+    // sequential recompute from raw orders
+    val cents = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100)).filter(_ >= 1)
+    val n = cents.length.toLong
+    val obs = cents.map(_.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var chiTot = 0L
+    val terms = Relational.BenfordPpm.map { case (d, e) =>
+      val o = obs.getOrElse(d, 0L)
+      val dev = o * 1000000L - n * e
+      val chi = (BigInt(dev) * dev / (BigInt(n) * e)).toLong
+      chiTot += chi
+      d -> (o, o * 1000000L / n, e, dev, chi)
+    }.toMap
+    terms.foreach { case (d, (o, oPpm, e, dev, chi)) =>
+      rows(d) shouldBe ((o, oPpm, e, dev, chi, chiTot))
+    }
+    // the deviations carry both signs or the audit is vacuous, and the
+    // exact common-denominator identity holds: Σ dev = n·(10⁶ − Σ exp)
+    val devSum = terms.values.map(_._4).sum
+    devSum shouldBe n * (1000000L - 999995L)
+  }
+
+  test("theilIndex: exact sequential recompute, decomposition laws") {
+    import graft.functions.IntLog
+    val rows = Relational.theilIndex(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.releaseAll(spark)
+    rows.size should be > 2 // segments + the between row
+    // sequential recompute from raw orders on the same cents grid
+    val spend = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 >= 1)
+    val segOf = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySeg = spend.toSeq.groupBy { case (ck, _) => segOf(ck) }
+    val (n, s) = (spend.size.toLong, spend.values.sum)
+    var btwExp = 0L
+    for ((sg, xs) <- bySeg) {
+      val nG = xs.length.toLong
+      val sG = xs.map(_._2).sum
+      val num = xs.map { case (_, x) =>
+        x * (IntLog.log2FixedRef(x * nG) - IntLog.log2FixedRef(sG))
+      }.sum
+      val ppm = BigInt(num).abs * 1000000 / (BigInt(sG) * (1L << IntLog.F)) *
+        (if (num >= 0) 1 else -1)
+      rows(sg) shouldBe ((nG, sG, num, ppm.toLong))
+      // within-segment Theil is non-negative in exact real arithmetic;
+      // the fixed-point numerator can undershoot by at most the summed
+      // truncation (< 1 log2fixed ulp per customer, scaled by x)
+      num should be >= -xs.map(_._2).sum
+      btwExp += sG * (IntLog.log2FixedRef(sG * n) - IntLog.log2FixedRef(s * nG))
+    }
+    val (bn, bs, bnum, _) = rows("(between)")
+    (bn, bs, bnum) shouldBe ((n, s, btwExp))
+    // decomposition sanity in real arithmetic: total Theil over all
+    // customers ≈ between + Σ (S_g/S)·T_g (bits)
+    def bits(num: Long, den: Long): Double =
+      num.toDouble / den / (1L << IntLog.F)
+    val tTot = spend.values.map { x =>
+      x.toDouble / s * math.log(x.toDouble * n / s) / math.log(2)
+    }.sum
+    val tDecomp = bits(btwExp, s) + bySeg.map { case (sg, xs) =>
+      val sG = xs.map(_._2).sum
+      sG.toDouble / s * bits(rows(sg)._3, sG)
+    }.sum
+    tDecomp shouldBe tTot +- 0.01
+  }
 }

@@ -594,4 +594,94 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.map(_.getAs[Long]("n1p_pred")).distinct.length should be > 1
     rows.map(_.getAs[Long]("term2_ppb")).distinct.length should be > 1
   }
+
+  test("zipfFit: exact sequential least-squares parity, negative slopes") {
+    import graft.functions.{IntLog, Text}
+    val rows = TextAnalysis.zipfFit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    // sequential reference: per source, rank tokens (freq DESC, token),
+    // take the top 100, regress log2fixed(freq) on log2fixed(rank)
+    val cnt = Tables.documents(spark, sf)
+      .select(col("source"), explode(Text.toks(col("text"))).as("token"))
+      .groupBy("source", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySrc = cnt.groupBy(_._1)
+    for ((src, rws) <- bySrc) {
+      val ranked = rws.map(t => (t._3, t._2))
+        .sortBy { case (f, tok) => (-f, tok) }.take(100)
+      val xy = ranked.zipWithIndex.map { case ((f, _), i) =>
+        (IntLog.log2FixedRef(i + 1L), IntLog.log2FixedRef(f))
+      }
+      val n = BigInt(xy.length)
+      val sx = xy.map(p => BigInt(p._1)).sum
+      val sy = xy.map(p => BigInt(p._2)).sum
+      val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+      val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+      val syy = xy.map(p => BigInt(p._2) * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope =
+        if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den)
+      val sst = n * syy - sy * sy
+      val r2 = if (sst == 0) BigInt(1000000)
+        else num * num * 1000000 / (den * sst)
+      val got = rows(src)
+      got.getAs[Long]("n_ranks") shouldBe xy.length.toLong
+      got.getAs[Long]("slope_ppm") shouldBe slope.toLong
+      got.getAs[Long]("r2_ppm") shouldBe r2.toLong
+      // natural-ish text: frequency falls with rank
+      got.getAs[Long]("slope_ppm") should be < 0L
+      got.getAs[Long]("r2_ppm") should (be >= 0L and be <= 1000000L)
+    }
+  }
+
+  test("jsDrift: exact sequential recompute, tracks true JSD, bounded") {
+    import graft.functions.{IntLog, Text}
+    val rows = TextAnalysis.jsDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val cnt = Tables.documents(spark, sf)
+      .select(col("source"), explode(Text.toks(col("text"))).as("token"))
+      .groupBy("source", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val vocab = cnt.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nn = vocab.values.sum
+    val qPpm = vocab.view.mapValues(c => c * 1000000L / nn).toMap
+    def s(d: Iterable[Long]): Long =
+      d.filter(_ >= 1).map(v => v * IntLog.log2FixedRef(v)).sum
+    val sQ = s(qPpm.values)
+    for ((src, rws) <- cnt.groupBy(_._1)) {
+      val st = rws.map(_._3).sum
+      val pCnt = rws.map(t => t._2 -> t._3).toMap
+      // .toSeq before mapping to values: Set.map would collapse equal
+      // ppm values and silently shrink the sums
+      val pPpm = vocab.keys.toSeq.map { tok =>
+        tok -> pCnt.getOrElse(tok, 0L) * 1000000L / st
+      }.toMap
+      val mPpm = vocab.keys.toSeq.map(tok => (pPpm(tok) + qPpm(tok)) / 2)
+      val (sP, sM) = (s(pPpm.values), s(mPpm))
+      val jsd = (sP + sQ) / 2 - sM
+      val got = rows(src)
+      got.getAs[Long]("n_tokens") shouldBe st
+      got.getAs[Long]("s_p") shouldBe sP
+      got.getAs[Long]("s_m") shouldBe sM
+      got.getAs[Long]("s_q") shouldBe sQ
+      got.getAs[Long]("jsd_fix") shouldBe jsd
+      // the fixed-point value tracks the true JSD of the ppm-grid
+      // distributions (log2 base): within the documented truncation
+      def h(d: Iterable[Double]): Double =
+        -d.filter(_ > 0).map(p => p * math.log(p) / math.log(2)).sum
+      val pD = vocab.keys.toSeq.map(t => pPpm(t) / 1e6)
+      val qD = vocab.keys.toSeq.map(t => qPpm(t) / 1e6)
+      val mD = pD.zip(qD).map { case (a, b) => (a + b) / 2 }
+      val trueJsd = h(mD) - (h(pD) + h(qD)) / 2
+      val gotJsd = jsd.toDouble / (1L << IntLog.F) / 1e6
+      // bounded divergence, approximated on the grid: same ballpark
+      gotJsd shouldBe trueJsd +- 0.02
+      trueJsd should (be >= -1e-9 and be <= 1.0)
+    }
+  }
 }
