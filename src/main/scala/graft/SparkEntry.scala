@@ -80,6 +80,7 @@ object SparkEntry {
       Relational.lorenzGini(s, d)),
     "q62_theil" -> (Relational.theilIndex _),
     "q63_benford" -> (Relational.benfordAudit _),
+    "q64_corr_audit" -> (Relational.corrAudit _),
     "q59_session_paths" -> ((s: SparkSession, d: String) =>
       Relational.sessionPaths(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
@@ -164,6 +165,8 @@ object SparkEntry {
     "s38_ppr" -> ((s: SparkSession, d: String) =>
       Similarity.personalizedPageRank(s, d)),
     "s39_hits" -> ((s: SparkSession, d: String) => Similarity.hits(s, d)),
+    "s40_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d)),
     "s22_kcenter" -> ((s: SparkSession, d: String) => Similarity.kCenter(s, d)),
     "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
     "s23_triangles" -> ((s: SparkSession, d: String) => Similarity.triangleCounts(s, d)),
@@ -4508,6 +4511,35 @@ object SparkEntry {
          |FROM ranked r JOIN l ON r.qid = l.vec_id
          |WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""".stripMargin,
 
+    // s40: hard-negative mining — s14 with the label predicate
+    // inverted (nearest candidates with a DIFFERENT label)
+    "s40_hard_negatives" ->
+      s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+         |l AS (SELECT vec_id, label FROM embeddings
+         |      WHERE vec_id < 8 OR vec_id % 20 = 0),
+         |n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand, lc.label,
+         |    sum(q.x * c.x) AS dp
+         |  FROM e q JOIN e c ON q.i = c.i
+         |  JOIN l lq ON lq.vec_id = q.vec_id
+         |  JOIN l lc ON lc.vec_id = c.vec_id AND lq.label <> lc.label
+         |  WHERE q.vec_id < 8 AND c.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2, 3
+         |),
+         |scored AS (
+         |  SELECT qid, cand, label, round(dp / sqrt(nq.nrm * nc.nrm), 6) AS cos
+         |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cand = nc.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cand, label, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand)
+         |      AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, rnk, cand, label, cos FROM ranked
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     // p12: the s11 assignment + per-cluster hash-order quota
     "p12_cluster_sample" ->
       s"""WITH ${embCte("TRUE")},
@@ -5251,6 +5283,52 @@ object SparkEntry {
     // q62: Theil within/between decomposition — fixed-point log2 grid,
     // exact integer numerators, sign-explicit HUGEINT ppm
     "q62_theil" -> theilSql,
+
+    // q64: pairwise Pearson correlation audit — exact HUGEINT moment
+    // algebra, signed covariance, documented two-step-floor r² ppm
+    "q64_corr_audit" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS z
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * z) AS BIGINT) AS sxz,
+        |    CAST(sum(y * z) AS BIGINT) AS syz,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(z * z) AS BIGINT) AS szz
+        |  FROM m),
+        |p AS (
+        |  SELECT 'cents_vs_events' AS pair, n AS n_users,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'cents_vs_errors' AS pair, n AS n_users,
+        |    CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz AS num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+        |    CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS dy
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'events_vs_errors' AS pair, n AS n_users,
+        |    CAST(n AS HUGEINT) * syz - CAST(sy AS HUGEINT) * sz AS num,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dx,
+        |    CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS dy
+        |  FROM s)
+        |SELECT pair, n_users,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS INT) AS r_sign,
+        |  CASE WHEN dx = 0 OR dy = 0 THEN CAST(NULL AS BIGINT)
+        |       ELSE CAST(((num * num // dx) * 1000000) // dy AS BIGINT)
+        |  END AS r2_ppm
+        |FROM p ORDER BY pair""".stripMargin,
 
     // q63: Benford first-digit audit — shared literal constant table,
     // exact common-denominator deviations, HUGEINT χ² micro terms

@@ -1654,6 +1654,66 @@ object Relational {
       .orderBy($"digit")
   }
 
+  /** Pairwise Pearson correlation audit (q64) — the profiling pass
+    * between q39 (single-column stats) and a feature-engineering
+    * pipeline: which per-user metrics move together? Per metric pair
+    * over per-user (spend cents, event count, error count): the sign
+    * of the covariance numerator n·Σxy − Σx·Σy and the squared
+    * correlation in floor ppm, everything exact integers — the
+    * DECIMAL(38,0)/HUGEINT num²/denominator algebra of t46's R², with
+    * a DOCUMENTED two-step floor (num² // dx first, then ·10⁶ // dy:
+    * num²·10⁶ would overflow 38 digits at sf0.1 magnitudes; the step
+    * order is part of the contract and both engines replay it
+    * identically — the deviation from the one-shot floor is < 10⁻⁴
+    * ppm). A constant metric (zero variance) yields NULL r² on both
+    * engines.
+    *
+    * Scale shape: one corpus-reduced per-user groupBy, then ONE
+    * grand-total moment aggregate (all ten sums in a single pass —
+    * map-combinable, one partial row per task through the single
+    * 1-row exchange: the q14 shape, allowlisted after plan dump); the
+    * three pair rows are constant-sized selects over the cached 1-row
+    * frame.
+    */
+  def corrAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.events(spark, sfDir)
+      .select($"user_id",
+        round($"value" * 100, 0).cast("bigint").as("c"),
+        when($"event_type" === "error", 1L).otherwise(0L).as("e"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("x"), count(lit(1)).as("y"), sum($"e").as("z"))
+    // cached: the three pair rows all read the 1-row moment frame
+    val s = graft.Caches.track(m.agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"), sum($"z").as("sz"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"z").as("sxz"),
+      sum($"y" * $"z").as("syz"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"z" * $"z").as("szz")))
+    def pair(name: String, a: String, b: String): DataFrame = {
+      val prod = Map(("x", "y") -> "sxy", ("x", "z") -> "sxz",
+        ("y", "z") -> "syz")((a, b))
+      s.select(lit(name).as("pair"), $"n".as("n_users"),
+          expr(s"CAST(n AS DECIMAL(38,0)) * $prod - " +
+            s"CAST(s$a AS DECIMAL(38,0)) * s$b").as("num"),
+          expr(s"CAST(n AS DECIMAL(38,0)) * s$a$a - " +
+            s"CAST(s$a AS DECIMAL(38,0)) * s$a").as("dx"),
+          expr(s"CAST(n AS DECIMAL(38,0)) * s$b$b - " +
+            s"CAST(s$b AS DECIMAL(38,0)) * s$b").as("dy"))
+        .select($"pair", $"n_users",
+          expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 " +
+            "ELSE 0 END AS INT)").as("r_sign"),
+          expr("CASE WHEN dx = 0 OR dy = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE CAST(((num * num div dx) * 1000000) div dy AS BIGINT) " +
+            "END").as("r2_ppm"))
+    }
+    pair("cents_vs_events", "x", "y")
+      .unionByName(pair("cents_vs_errors", "x", "z"))
+      .unionByName(pair("events_vs_errors", "y", "z"))
+      .orderBy($"pair")
+  }
+
   /** Event-time RANGE window aggregates (q52) — per-user trailing
     * 1-hour count/spend and leading 10-minute count at every event:
     * the value-based frame q26's ROWS frames cannot express. Peers

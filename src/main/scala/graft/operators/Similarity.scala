@@ -103,6 +103,42 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Hard-negative mining (s40) — s14's filtered search with the
+    * predicate INVERTED: per query, the top-k most-similar candidates
+    * whose label DIFFERS from the query's. This is the contrastive-
+    * training data op (the "hard negatives" every dual-encoder recipe
+    * mines — DPR, SimCSE): random negatives are trivially far, so the
+    * useful ones are exactly the near-but-wrong neighbors this query
+    * surfaces. Same ranking discipline as s01/s14 (exact rounded
+    * cosine + cand tiebreak), same broadcast-query join shape; the
+    * label inequality rides the join condition, so same-label
+    * candidates are never scored.
+    *
+    * Scale shape: this is the oracle/correctness form (query side
+    * broadcast against the candidate scan — corpus-linear per query
+    * batch); the 100 TB path routes through the s03/s06 cell-probed
+    * index first and applies the SAME inequality + re-rank to the
+    * probed candidates, exactly the s14-at-scale story.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        norm2($"embedding").as("q_nrm"), $"label".as("q_label"))
+    val c = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id", $"embedding", norm2($"embedding").as("nrm"), $"label")
+    val scored = c.join(broadcast(q),
+        $"label" =!= $"q_label" && $"vec_id" =!= $"qid")
+      .select($"qid", $"q_label", $"label", $"vec_id".as("cand"),
+        round(dot($"q_emb", $"embedding") / sqrt($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"cand", $"label", $"cos")
+      .orderBy($"qid", $"rnk")
+  }
+
   /** IVF-style ANN (the other scale path from SURVEY §2B-extensions):
     * a coarse quantizer partitions the candidate corpus into k cells;
     * each query probes its nProbe nearest cells (default 4 of 8 —

@@ -883,6 +883,49 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     devSum shouldBe n * (1000000L - 999995L)
   }
 
+  test("corrAudit: exact sequential recompute, sign/bounds/constant laws") {
+    val rows = Relational.corrAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    graft.Caches.releaseAll(spark)
+    rows.keySet shouldBe Set("cents_vs_events", "cents_vs_errors",
+      "events_vs_errors")
+    // sequential recompute from raw events
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), col("event_type")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100),
+        if (r.getString(2) == "error") 1L else 0L))
+    val m = ev.groupBy(_._1).values.map { es =>
+      (es.map(_._2).sum, es.length.toLong, es.map(_._3).sum)
+    }.toSeq
+    val n = BigInt(m.length)
+    def moments(f: ((Long, Long, Long)) => Long, g: ((Long, Long, Long)) => Long) = {
+      val sa = m.map(t => BigInt(f(t))).sum
+      val sb = m.map(t => BigInt(g(t))).sum
+      val sab = m.map(t => BigInt(f(t)) * g(t)).sum
+      val saa = m.map(t => BigInt(f(t)) * f(t)).sum
+      val sbb = m.map(t => BigInt(g(t)) * g(t)).sum
+      val num = n * sab - sa * sb
+      val dx = n * saa - sa * sa
+      val dy = n * sbb - sb * sb
+      val r2 = if (dx == 0 || dy == 0) None
+        else Some((num * num / dx * 1000000 / dy).toLong)
+      (num.signum, r2)
+    }
+    val exp = Map(
+      "cents_vs_events" -> moments(_._1, _._2),
+      "cents_vs_errors" -> moments(_._1, _._3),
+      "events_vs_errors" -> moments(_._2, _._3))
+    exp.foreach { case (p, (sg, r2)) =>
+      rows(p) shouldBe ((m.length.toLong, sg, r2))
+      r2.foreach(v => v should (be >= 0L and be <= 1000000L))
+    }
+    // the audit is non-vacuous: spend and event count genuinely
+    // correlate positively (spend is a sum over events)
+    rows("cents_vs_events")._2 shouldBe 1
+    rows("cents_vs_events")._3.get should be > 100000L
+  }
+
   test("theilIndex: exact sequential recompute, decomposition laws") {
     import graft.functions.IntLog
     val rows = Relational.theilIndex(spark, sf).collect()

@@ -488,6 +488,53 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet shouldBe ref
   }
 
+  test("hardNegatives: inverted label invariant, disjoint from s14, " +
+      "equals the interpreted-fold reference") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    rows should not be empty
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every mined negative has a label DIFFERENT from its query's, and
+    // the reported label column is the CANDIDATE's
+    rows.foreach { r =>
+      val (qid, cand, lab) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      lab shouldBe labels(cand)
+      labels(cand) should not be labels(qid)
+    }
+    // ranks contiguous from 1 per query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getInt(1)).sorted.toSeq shouldBe (1 to g.length)
+    }
+    // positives (s14) and negatives (s40) partition the candidate
+    // space: no (qid, cand) appears in both
+    val pos = Similarity.annFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val neg = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    pos.intersect(neg) shouldBe empty
+    // full recompute via the interpreted fold reference
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        Similarity.norm2Fold(col("embedding")).as("q_nrm"),
+        col("label").as("q_label"))
+    val c = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm2Fold(col("embedding")).as("nrm"), col("label"))
+    val ref = c.crossJoin(q)
+      .filter(col("label") =!= col("q_label") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(Similarity.dotFold(col("q_emb"), col("embedding")) /
+          sqrt(col("q_nrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand"))).cast("int"))
+      .filter(col("rnk") <= 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(4), r.getInt(1))).toSet shouldBe ref
+  }
+
   test("annBinary: packed words match a driver recompute; hamming exact; recall measured") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = Similarity.annBinary(spark, sf01).collect()
