@@ -295,6 +295,7 @@ object SparkEntry {
     "m31_hist_equalize" -> (Multimodal.histEqualizeGate _),
     "m36_otsu" -> (Multimodal.otsuGate _),
     "m37_sobel" -> (Multimodal.sobelGate _),
+    "m38_cc_label" -> (Multimodal.ccLabelGate _),
     "m32_patchify" -> (Multimodal.patchifyGate _),
     "m33_rle_signal" -> (Multimodal.rleSignalGate _),
     "m34_dither" -> (Multimodal.orderedDitherGate _),
@@ -1098,6 +1099,97 @@ object SparkEntry {
        |WHERE (CAST(dot AS HUGEINT) * dot * 1000000) //
        |    (CAST(na.n2 AS HUGEINT) * nb.n2) >= $minCos2Ppm
        |ORDER BY a, b""".stripMargin
+    sb.toString
+  }
+
+  /** The m36 Otsu-threshold CTE block (through `pf`: per-doc
+    * threshold/score/n_bg/n_fg over the 8×8 ord() raster) — the ONE
+    * definition shared by the m36 gate and m38's binarization input.
+    */
+  private lazy val OtsuCtes: String =
+    """d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+      |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+      |        CAST(ord(text[CAST(i AS INT)]) AS BIGINT) AS v
+      |      FROM d, UNNEST(range(1, 65)) t(i)),
+      |cnt AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+      |        FROM v GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s,
+      |          CAST(count(*) AS BIGINT) AS n, CAST(max(v) AS BIGINT) AS vmax
+      |        FROM v GROUP BY 1),
+      |cdf AS (SELECT doc_id, v,
+      |          CAST(sum(c) OVER w AS BIGINT) AS n0,
+      |          CAST(sum(v * c) OVER w AS BIGINT) AS s0
+      |        FROM cnt WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      |cand AS (SELECT c.doc_id, c.v, c.n0, t.n - c.n0 AS n1,
+      |           c.s0 * (t.n - c.n0) - (t.s - c.s0) * c.n0 AS num
+      |         FROM cdf c JOIN tot t USING (doc_id)
+      |         WHERE t.n - c.n0 > 0),
+      |scored AS (SELECT doc_id, v, n0, n1,
+      |             (num * num * 1048576) // (n0 * n1) AS score
+      |           FROM cand),
+      |pick AS (SELECT doc_id, v, score, n0, n1 FROM (
+      |           SELECT s.*, row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY score DESC, v) AS rn
+      |           FROM scored s) x
+      |         WHERE rn = 1),
+      |pf AS (SELECT t.doc_id,
+      |         CAST(coalesce(p.v, t.vmax) AS INT) AS threshold,
+      |         CAST(coalesce(p.score, 0) AS BIGINT) AS score,
+      |         CAST(coalesce(p.n0, t.n) AS BIGINT) AS n_bg,
+      |         CAST(coalesce(p.n1, 0) AS BIGINT) AS n_fg
+      |       FROM tot t LEFT JOIN pick p USING (doc_id))""".stripMargin
+
+  /** DuckDB mirror of Multimodal.ccLabel (m38): the OtsuCtes threshold,
+    * the foreground adjacency (4-connectivity on the 1-based row-major
+    * grid), and `rounds` generated min-label propagation CTEs — exact
+    * because 63 rounds cover the longest shortest path any 8×8
+    * component can have. AS MATERIALIZED per round (the bpeSql
+    * lesson).
+    */
+  private def ccLabelSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $OtsuCtes,
+       |fg AS MATERIALIZED (
+       |  SELECT v.doc_id, v.idx FROM v JOIN pf p USING (doc_id)
+       |  WHERE v.v > p.threshold),
+       |adj AS MATERIALIZED (
+       |  SELECT a.doc_id, a.idx AS pa, b.idx AS pb
+       |  FROM fg a JOIN fg b ON a.doc_id = b.doc_id AND (
+       |    (b.idx = a.idx + 1 AND (a.idx - 1) % 8 < 7) OR
+       |    (b.idx = a.idx - 1 AND (a.idx - 1) % 8 > 0) OR
+       |    b.idx = a.idx + 8 OR b.idx = a.idx - 8)),
+       |l0 AS (SELECT doc_id, idx, CAST(idx AS BIGINT) AS lbl FROM fg)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+         |l$r AS MATERIALIZED (
+         |  SELECT p.doc_id, p.idx,
+         |    least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+         |  FROM l${r - 1} p
+         |  LEFT JOIN adj a ON a.doc_id = p.doc_id AND a.pa = p.idx
+         |  LEFT JOIN l${r - 1} q ON q.doc_id = a.doc_id AND q.idx = a.pb
+         |  GROUP BY p.doc_id, p.idx, p.lbl)""".stripMargin
+    }
+    sb ++= s""",
+       |lab AS (SELECT v.doc_id, v.idx, CAST(coalesce(l.lbl, 0) AS BIGINT) AS lbl
+       |  FROM v LEFT JOIN l$rounds l ON l.doc_id = v.doc_id AND l.idx = v.idx),
+       |agg AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN lbl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
+       |    CAST(count(DISTINCT CASE WHEN lbl > 0 THEN lbl END) AS BIGINT)
+       |      AS n_components,
+       |    list_reduce([CAST(0 AS BIGINT)] ||
+       |      list(lbl ORDER BY idx),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS label_checksum
+       |  FROM lab GROUP BY 1),
+       |mx AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_component FROM (
+       |    SELECT doc_id, lbl, count(*) AS c FROM lab WHERE lbl > 0
+       |    GROUP BY 1, 2) g
+       |  GROUP BY 1)
+       |SELECT p.doc_id, p.threshold, a.n_fg, a.n_components,
+       |  CAST(coalesce(mx.max_component, 0) AS BIGINT) AS max_component,
+       |  a.label_checksum
+       |FROM pf p JOIN agg a USING (doc_id)
+       |LEFT JOIN mx USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
     sb.toString
   }
 
@@ -6438,37 +6530,7 @@ object SparkEntry {
     // flat images fall back to their single level), plus the binarized
     // stream's rolling checksum
     "m36_otsu" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
-        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
-        |        CAST(ord(text[CAST(i AS INT)]) AS BIGINT) AS v
-        |      FROM d, UNNEST(range(1, 65)) t(i)),
-        |cnt AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
-        |        FROM v GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s,
-        |          CAST(count(*) AS BIGINT) AS n, CAST(max(v) AS BIGINT) AS vmax
-        |        FROM v GROUP BY 1),
-        |cdf AS (SELECT doc_id, v,
-        |          CAST(sum(c) OVER w AS BIGINT) AS n0,
-        |          CAST(sum(v * c) OVER w AS BIGINT) AS s0
-        |        FROM cnt WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
-        |cand AS (SELECT c.doc_id, c.v, c.n0, t.n - c.n0 AS n1,
-        |           c.s0 * (t.n - c.n0) - (t.s - c.s0) * c.n0 AS num
-        |         FROM cdf c JOIN tot t USING (doc_id)
-        |         WHERE t.n - c.n0 > 0),
-        |scored AS (SELECT doc_id, v, n0, n1,
-        |             (num * num * 1048576) // (n0 * n1) AS score
-        |           FROM cand),
-        |pick AS (SELECT doc_id, v, score, n0, n1 FROM (
-        |           SELECT s.*, row_number() OVER (PARTITION BY doc_id
-        |             ORDER BY score DESC, v) AS rn
-        |           FROM scored s) x
-        |         WHERE rn = 1),
-        |pf AS (SELECT t.doc_id,
-        |         CAST(coalesce(p.v, t.vmax) AS INT) AS threshold,
-        |         CAST(coalesce(p.score, 0) AS BIGINT) AS score,
-        |         CAST(coalesce(p.n0, t.n) AS BIGINT) AS n_bg,
-        |         CAST(coalesce(p.n1, 0) AS BIGINT) AS n_fg
-        |       FROM tot t LEFT JOIN pick p USING (doc_id)),
+      s"""WITH $OtsuCtes,
         |o AS (SELECT v.doc_id, v.idx,
         |        CASE WHEN v.v > p.threshold THEN 255 ELSE 0 END AS ov
         |      FROM v JOIN pf p USING (doc_id)),
@@ -6480,6 +6542,11 @@ object SparkEntry {
         |SELECT p.doc_id, p.threshold, p.score, p.n_bg, p.n_fg,
         |  f.bin_checksum
         |FROM pf p JOIN f USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // m38: connected components on the m36-binarized raster — min-label
+    // propagation to the provable 63-round 8×8 bound (OtsuCtes is the
+    // ONE threshold definition shared with m36)
+    "m38_cc_label" -> ccLabelSql(rounds = 63),
 
     "m31_hist_equalize" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),

@@ -2794,6 +2794,97 @@ object Multimodal {
     sobelEdges(docPgmRows(spark, sfDir)).orderBy($"doc_id")
   }
 
+  /** Connected-component labeling on the Otsu-binarized raster (m38) —
+    * the object-count stage after m36's threshold (Rosenfeld & Pfaltz
+    * 1966): foreground pixels (v > Otsu t) partition into
+    * 4-connectivity components; each component's LABEL is its minimum
+    * pixel index (1-based row-major), which is a pure function of the
+    * component — no scan-order dependence — so the full labeling
+    * hash-gates. The per-image report (component count, largest
+    * component size, the label-stream rolling checksum with background
+    * as 0) is the blob-census signal that separates text scans (many
+    * small components) from charts/photos (few large ones).
+    *
+    * Oracle replay: min-label propagation — label₀ = own index, each
+    * round takes the min over self + 4-neighbors within the
+    * foreground — converges to the component minimum in at most
+    * (longest shortest path) rounds, provably ≤ 63 on an 8×8 grid
+    * (the Hamiltonian-snake worst case), so the generated 63-round CTE
+    * chain is exact, not heuristic.
+    *
+    * Scale shape: decode + threshold + a per-image union-find over ≤64
+    * pixels in ONE map over the binary column — no shuffle, the m05
+    * discipline (at real resolutions this is the standard two-pass
+    * labeling, still per-image local).
+    */
+  def ccLabel(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        val w = img.width
+        val h = img.height
+        val px = img.pixels.map(_ & 0xff)
+        val n = px.length.toLong
+        // the m36 threshold, recomputed (one definition would require
+        // threading the full pixel array through a join; the algorithm
+        // is pinned by MultimodalSpec asserting m36/m38 agree on t)
+        val hist = new Array[Long](256)
+        px.foreach(v => hist(v) += 1)
+        val total = px.map(_.toLong).sum
+        var bestScore = -1L
+        var bestT = -1
+        var n0 = 0L
+        var s0 = 0L
+        var v = 0
+        while (v < 256) {
+          if (hist(v) > 0) {
+            n0 += hist(v)
+            s0 += v.toLong * hist(v)
+            val n1 = n - n0
+            if (n1 > 0) {
+              val num = s0 * n1 - (total - s0) * n0
+              val score = num * num * 1048576L / (n0 * n1)
+              if (score > bestScore) { bestScore = score; bestT = v }
+            }
+          }
+          v += 1
+        }
+        val t = if (bestT < 0) px.max else bestT
+        val fg = px.map(_ > t)
+        // union-find over foreground pixels, 4-connectivity
+        val parent = Array.tabulate(px.length)(identity)
+        def find(a: Int): Int = {
+          var x = a
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        def union(a: Int, b: Int): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        for (y <- 0 until h; x <- 0 until w if fg(y * w + x)) {
+          val i = y * w + x
+          if (x + 1 < w && fg(i + 1)) union(i, i + 1)
+          if (y + 1 < h && fg(i + w)) union(i, i + w)
+        }
+        // label = 1-based min index of the component; background = 0
+        val labels = px.indices.map(i => if (fg(i)) find(i).toLong + 1 else 0L)
+        val sizes = labels.filter(_ > 0).groupBy(identity)
+          .map { case (_, g) => g.size.toLong }
+        val chk = labels.foldLeft(0L)((acc, l) => (acc * 31 + l) % 1000000007L)
+        (r.media_id, t, labels.count(_ > 0).toLong, sizes.size.toLong,
+          if (sizes.isEmpty) 0L else sizes.max, chk)
+      }
+    }.toDF("doc_id", "threshold", "n_fg", "n_components", "max_component",
+      "label_checksum")
+  }
+
+  /** m38 gate entry: [[ccLabel]] over the PGM documents. */
+  def ccLabelGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ccLabel(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** m11 payload builder: a REAL PNG per document — the first 64 text
     * bytes as an 8×8 grayscale raster, encoded through [[encodePng]]
     * with the row filter VARYING per (doc_id, row) as

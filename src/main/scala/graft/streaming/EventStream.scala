@@ -79,6 +79,49 @@ object EventStream {
         col("window.end").as("window_end"), col("event_type"), col("n"), col("sum_value"))
 
 
+  /** Streaming Benford first-digit monitor — q63's forensic audit as a
+    * live data-quality gauge: per watermark-closed tumbling window, the
+    * first-digit census of the event amounts (exact cents grid) plus
+    * each digit's exact common-denominator deviation
+    * n_obs·10⁶ − n_window·exp_ppm from the Benford constant table
+    * ([[graft.operators.Relational.BenfordPpm]] — the ONE literal
+    * shared with the batch gate). A window that suddenly swings
+    * deviation-positive on low digits is the fabricated/misconverted
+    * feed alarm, caught while the feed is still running.
+    *
+    * Shape: ONE stateful windowed aggregate (the 9 digit counts ride
+    * the same row as conditional sums — no second stateful operator,
+    * no stream-stream join), then a stateless unpivot against the
+    * literal table. Append mode emits each window exactly once when
+    * the watermark passes its end; state is one 10-column row per open
+    * window.
+    */
+  def benfordStream(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Relational.BenfordPpm
+    val digits = events
+      .withColumn("cents", round(col("value") * 100, 0).cast("bigint"))
+      .filter(col("cents") >= 1)
+      .withColumn("digit",
+        substring(col("cents").cast("string"), 1, 1).cast("int"))
+    val perWindow = digits
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"),
+        BenfordPpm.map { case (d, _) =>
+          sum(when(col("digit") === d, 1L).otherwise(0L)).as(s"d$d")
+        }: _*)
+    val unpivot = BenfordPpm.map { case (d, e) =>
+      struct(lit(d).as("digit"), col(s"d$d").as("n_obs"),
+        (col(s"d$d") * 1000000L - col("n") * e).as("dev"))
+    }
+    perWindow.select(col("window.start").as("window_start"),
+        col("n").as("n_window"), explode(array(unpivot: _*)).as("x"))
+      .select(col("window_start"), col("n_window"),
+        col("x.digit").as("digit"), col("x.n_obs").as("n_obs"),
+        col("x.dev").as("dev"))
+  }
+
   /** A document arriving on a stream (ingestion-time dedup input). */
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 

@@ -334,6 +334,7 @@ object ProfileScaleSweep {
       time("tfidf_cosine")(Dedup.tfidfCosine(spark, dir))
       time("otsu")(Multimodal.otsuGate(spark, dir))
       time("sobel")(Multimodal.sobelGate(spark, dir))
+      time("cc_label")(Multimodal.ccLabelGate(spark, dir))
       // q62/q63 read the orders table, which this sweep does not
       // enlarge — their shapes (one corpus-reduced groupBy + tiny-key
       // rollups; a 9-key digit census) are already covered by the

@@ -1995,6 +1995,48 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("ccLabel: diagonal split, adjacency merge, row-wrap guard, " +
+      "m36 threshold agreement") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    def fold(s: Seq[Long]): Long =
+      s.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)
+    val out = Multimodal.ccLabel(Seq(
+      // two DIAGONAL fg pixels: 4-connectivity must NOT merge them
+      MediaRow(1L, "image", pgm(3, 3, Array(200, 0, 0, 0, 200, 0, 0, 0, 0))),
+      // two ADJACENT fg pixels: one component, labeled by the min index
+      MediaRow(2L, "image", pgm(3, 3, Array(200, 200, 0, 0, 0, 0, 0, 0, 0))),
+      // row wrap: fg at (y=0,x=7) and (y=1,x=0) are index-consecutive
+      // but NOT spatially adjacent — the x-boundary guard must split
+      MediaRow(3L, "image", pgm(8, 2, Array.tabulate(16)(i =>
+        if (i == 7 || i == 8) 200 else 0)))
+    ).toDS()).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    (r1.getLong(2), r1.getLong(3), r1.getLong(4)) shouldBe ((2L, 2L, 1L))
+    r1.getLong(5) shouldBe fold(Seq(1L, 0, 0, 0, 5L, 0, 0, 0, 0))
+    val r2 = out(2L)
+    (r2.getLong(2), r2.getLong(3), r2.getLong(4)) shouldBe ((2L, 1L, 2L))
+    r2.getLong(5) shouldBe fold(Seq(1L, 1L, 0, 0, 0, 0, 0, 0, 0))
+    val r3 = out(3L)
+    (r3.getLong(2), r3.getLong(3)) shouldBe ((2L, 2L))
+    // gate corpus: thresholds agree with m36 (one algorithm, two call
+    // sites), components partition the foreground
+    val cc = Multimodal.ccLabelGate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val otsu = Multimodal.otsuGate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    cc.keySet shouldBe otsu.keySet
+    cc.foreach { case (id, r) =>
+      r.getInt(1) shouldBe otsu(id).getInt(1)
+      r.getLong(2) shouldBe otsu(id).getLong(4) // n_fg
+      r.getLong(3) should be >= 1L
+      r.getLong(4) should be <= r.getLong(2)
+      r.getLong(3) should be <= r.getLong(2)
+    }
+  }
+
   test("patchify: geometry pins, partial patches dropped, stats law") {
     import spark.implicits._
     import graft.operators.Multimodal.MediaRow

@@ -39,6 +39,45 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("benford monitor: per-window census + exact deviations, append-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.benfordStream(mem.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("bf").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(1), 1, "buy", 1.23), // 123 cents -> digit 1
+        Event(2, ts(2), 2, "buy", 9.50), // 950 -> 9
+        Event(3, ts(3), 3, "buy", 0.02), // 2 -> 2
+        Event(4, ts(4), 4, "buy", 1.00), // 100 -> 1
+        Event(5, ts(5), 5, "buy", 0.004), // 0 cents -> filtered out
+        Event(6, ts(11), 6, "buy", 5.00)) // next window, 500 -> 5
+      q.processAllAvailable()
+      spark.table("bf").count() shouldBe 0 // watermark behind both windows
+      mem.addData(Event(7, ts(45), 7, "buy", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("bf").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000,
+          r.getAs[Int]("digit")) ->
+          ((r.getAs[Long]("n_window"), r.getAs[Long]("n_obs"),
+            r.getAs[Long]("dev")))).toMap
+      // both closed windows emit all 9 digits exactly once
+      rows.size shouldBe 18
+      val exp = graft.operators.Relational.BenfordPpm.toMap
+      // window [0,10): n=4 (the 0-cent row is filtered), census 1:2 2:1 9:1
+      val w0 = Map(1 -> 2L, 2 -> 1L, 9 -> 1L).withDefaultValue(0L)
+      (1 to 9).foreach { d =>
+        rows((0L, d)) shouldBe ((4L, w0(d), w0(d) * 1000000L - 4L * exp(d)))
+      }
+      // window [10,20): the single 5.00 event
+      (1 to 9).foreach { d =>
+        val o = if (d == 5) 1L else 0L
+        rows((10L, d)) shouldBe ((1L, o, o * 1000000L - exp(d)))
+      }
+    } finally q.stop()
+  }
+
   test("gap sessionization closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
