@@ -167,6 +167,8 @@ object SparkEntry {
     "s39_hits" -> ((s: SparkSession, d: String) => Similarity.hits(s, d)),
     "s40_hard_negatives" -> ((s: SparkSession, d: String) =>
       Similarity.hardNegatives(s, d)),
+    "s41_rocchio" -> ((s: SparkSession, d: String) =>
+      Similarity.rocchioExpand(s, d)),
     "s22_kcenter" -> ((s: SparkSession, d: String) => Similarity.kCenter(s, d)),
     "s17_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d, residual = true)),
     "s23_triangles" -> ((s: SparkSession, d: String) => Similarity.triangleCounts(s, d)),
@@ -255,6 +257,8 @@ object SparkEntry {
       TextAnalysis.zipfFit(s, d)),
     "t47_js_drift" -> ((s: SparkSession, d: String) =>
       TextAnalysis.jsDrift(s, d)),
+    "t48_vocab_richness" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabRichness(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -1190,6 +1194,80 @@ object SparkEntry {
        |FROM pf p JOIN agg a USING (doc_id)
        |LEFT JOIN mx USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB mirror of Similarity.rocchioExpand (s41): the quantized
+    * position table, round-1 ranking, the integer expansion
+    * q' = 6·q + Σ top-k0, and the round-2 re-rank — both rounds the
+    * exact-integer-dot + one-IEEE-division discipline.
+    */
+  private def rocchioSql(k0: Int, k: Int): String =
+    s"""WITH ${embCte("vec_id < 8 OR vec_id % 20 = 0")},
+       |p AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM e),
+       |c AS (SELECT vec_id, i, xq FROM p WHERE vec_id % 20 = 0),
+       |q AS (SELECT vec_id AS qid, i, xq AS qxq FROM p WHERE vec_id < 8),
+       |cn AS (SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS nc
+       |  FROM c GROUP BY 1),
+       |qn AS (SELECT qid, CAST(sum(qxq * qxq) AS BIGINT) AS nq
+       |  FROM q GROUP BY 1),
+       |d1 AS (SELECT q.qid, c.vec_id AS cand,
+       |    CAST(sum(q.qxq * c.xq) AS BIGINT) AS dp
+       |  FROM q JOIN c ON c.i = q.i WHERE c.vec_id <> q.qid GROUP BY 1, 2),
+       |s1 AS (SELECT d.qid, d.cand,
+       |    round(d.dp / sqrt(CAST(qn.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)), 6) AS cos
+       |  FROM d1 d JOIN qn ON qn.qid = d.qid JOIN cn ON cn.vec_id = d.cand),
+       |r1 AS (SELECT qid, cand FROM (
+       |    SELECT qid, cand,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rnk
+       |    FROM s1) x WHERE rnk <= $k0),
+       |qe AS MATERIALIZED (
+       |  SELECT q.qid, q.i, CAST(6 * max(q.qxq) + sum(t.xq) AS BIGINT) AS qxq
+       |  FROM q JOIN r1 ON r1.qid = q.qid
+       |  JOIN c t ON t.vec_id = r1.cand AND t.i = q.i
+       |  GROUP BY 1, 2),
+       |qn2 AS (SELECT qid, CAST(sum(qxq * qxq) AS BIGINT) AS nq
+       |  FROM qe GROUP BY 1),
+       |d2 AS (SELECT qe.qid, c.vec_id AS cand,
+       |    CAST(sum(qe.qxq * c.xq) AS BIGINT) AS dp
+       |  FROM qe JOIN c ON c.i = qe.i WHERE c.vec_id <> qe.qid GROUP BY 1, 2),
+       |s2 AS (SELECT d.qid, d.cand,
+       |    round(d.dp / sqrt(CAST(n2.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)), 6) AS cos
+       |  FROM d2 d JOIN qn2 n2 ON n2.qid = d.qid JOIN cn ON cn.vec_id = d.cand)
+       |SELECT qid, rnk, cand, cos FROM (
+       |  SELECT qid, cand, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand)
+       |      AS INT) AS rnk
+       |  FROM s2) x WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB mirror of TextAnalysis.vocabRichness (t48): the per-source
+    * type-frequency rollup and two ilogChainSql passes (V then N) for
+    * Herdan's C; Yule's K rides HUGEINT.
+    */
+  private lazy val vocabRichnessSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH occ AS (SELECT source, unnest($Toks) AS token FROM documents),
+       |cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS r
+       |  FROM occ GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(r) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS v_types,
+       |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |    CAST(sum(r * r) AS BIGINT) AS s2
+       |  FROM cnt GROUP BY 1)""".stripMargin
+    val (at, an) = ilogChainSql("va", "st", "v_types", "lv",
+      Seq("source", "n_tokens", "v_types", "hapax", "s2"))
+    sb ++= at
+    val (bt, bn) = ilogChainSql("vb", an, "n_tokens", "ln",
+      Seq("source", "n_tokens", "v_types", "hapax", "s2", "lv"))
+    sb ++= bt
+    sb ++= s"""
+       |SELECT source, n_tokens, v_types, hapax, s2,
+       |  CAST((CAST(s2 - n_tokens AS HUGEINT) * 10000000000) //
+       |    (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS yule_k_micro,
+       |  CASE WHEN ln > 0 THEN CAST(lv * 1000000 // ln AS BIGINT)
+       |       ELSE NULL END AS herdan_c_ppm
+       |FROM $bn ORDER BY source""".stripMargin
     sb.toString
   }
 
@@ -4031,6 +4109,10 @@ object SparkEntry {
     // exact integers (normalization only rescales rank order)
     "s39_hits" -> hitsSql(hitsIters = 3),
 
+    // s41: Rocchio pseudo-relevance feedback — integer expansion
+    // q' = 6q + Σ top-3, two exact-grid ranking rounds
+    "s41_rocchio" -> rocchioSql(k0 = 3, k = 5),
+
     // s32: cell-population drift under the frozen quantizer — exact
     // floor-ppm shares before/after the new batch, alert past the
     // threshold
@@ -5458,6 +5540,10 @@ object SparkEntry {
     // t47: per-source Jensen–Shannon drift vs the corpus — floor-ppm
     // distributions, fixed-point log2, jsd = (S(P)+S(Q))//2 − S(M)
     "t47_js_drift" -> jsDriftSql,
+
+    // t48: Yule's K / Herdan's C vocabulary richness — HUGEINT K,
+    // fixed-point log-ratio C
+    "t48_vocab_richness" -> vocabRichnessSql,
 
     "t32_vocab_growth" ->
       s"""WITH ${tkCte("")},

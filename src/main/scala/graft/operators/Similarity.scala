@@ -1550,6 +1550,72 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Rocchio pseudo-relevance feedback (s41) — the classic query
+    * expansion loop (Rocchio 1971, the SMART system): run the query,
+    * ASSUME the top-k₀ hits are relevant, move the query toward their
+    * centroid, and re-rank — the zero-training recall booster every
+    * retrieval stack ships as "more like this". The expanded query is
+    * the INTEGER vector q' = 6·q + Σ(top-3 candidate vectors) on the
+    * s03 1e-6 quantization grid (α=2, β=1 over the mean, cleared of
+    * the /3 by scaling — cosine is scale-invariant, so any positive
+    * integer combination is exact), and both ranking rounds use the
+    * house discipline: exact integer dot/norms, ONE IEEE
+    * division+sqrt rounded to 1e-6 (the knnGraph precedent), total
+    * (cos DESC, cand) order.
+    *
+    * Scale shape: both rounds are broadcast-query joins over the
+    * candidate scan in POSITION form (query-side fanout is
+    * |queries|·dims rows — constant); the expansion join touches
+    * k₀·dims rows per query. The 100 TB path swaps each ranking round
+    * for the s03/s06 cell-probed index, unchanged algebra.
+    */
+  def rocchioExpand(spark: SparkSession, sfDir: String, k0: Int = 3,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    def pos(df: DataFrame): DataFrame = df
+      .select($"vec_id", posexplode(
+        transform($"embedding", x => round(x.cast("double") * 1e6).cast("bigint"))))
+      .toDF("vec_id", "i", "xq")
+    // cached: both ranking rounds and the expansion read the candidate
+    // position rows
+    val c = graft.Caches.track(pos(emb.filter($"vec_id" % 20 === 0)))
+    val q = pos(emb.filter($"vec_id" < 8))
+      .select($"vec_id".as("qid"), $"i", $"xq".as("qxq"))
+    val cn = c.groupBy($"vec_id").agg(sum($"xq" * $"xq").as("nc"))
+    val qn = q.groupBy($"qid").agg(sum($"qxq" * $"qxq").as("nq"))
+    def rank(qrows: DataFrame, qnorms: DataFrame, topK: Int): DataFrame = {
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
+      qrows.join(c.select($"vec_id".as("cand"), $"i", $"xq"), Seq("i"))
+        .filter($"cand" =!= $"qid")
+        .groupBy($"qid", $"cand")
+        .agg(sum($"qxq" * $"xq").as("dp"))
+        .join(qnorms, "qid")
+        .join(cn.select($"vec_id".as("cand"), $"nc"), Seq("cand"))
+        .select($"qid", $"cand",
+          // the norm product overflows int64 on the expanded-query
+          // grid (nq ≤ 64·(10⁷)² ≈ 2^52.5) — multiply in DOUBLE: both
+          // int64→double conversions are exact (< 2^53) and the one
+          // IEEE multiply/sqrt/divide chain is the knnGraph discipline
+          round($"dp" / sqrt($"nq".cast("double") * $"nc".cast("double")), 6)
+            .as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter($"rnk" <= topK)
+    }
+    val r1 = rank(q, qn, k0).select($"qid", $"cand")
+    // q' = 6·q + Σ top-k0 vectors, per (qid, position)
+    val qexp = graft.Caches.track(
+      q.join(r1, "qid")
+        .join(c.select($"vec_id".as("cand"), $"i", $"xq".as("txq")),
+          Seq("cand", "i"))
+        .groupBy($"qid", $"i")
+        .agg((lit(6L) * max($"qxq") + sum($"txq")).as("qxq")))
+    val qn2 = qexp.groupBy($"qid").agg(sum($"qxq" * $"qxq").as("nq"))
+    rank(qexp, qn2, k)
+      .select($"qid", $"rnk", $"cand", $"cos")
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Greedy k-center coreset selection (s22) — the farthest-point
     * diversity sampler (Gonzalez 1985; the 2-approximation every
     * "select a diverse training subset" pipeline reaches for, and the

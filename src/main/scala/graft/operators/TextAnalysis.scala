@@ -1206,6 +1206,46 @@ object TextAnalysis {
       .orderBy($"r")
   }
 
+  /** Vocabulary-richness profile per source (t48) — the lexical-
+    * diversity panel quality pipelines read next to t46's Zipf slope:
+    * Yule's K (Yule 1944; repetitiveness of the vocabulary,
+    * sample-size-robust where raw type/token ratio is not) and
+    * Herdan's C (Herdan 1960; log V / log N, the constancy law), plus
+    * the hapax count that drives Good–Turing unseen mass (t38).
+    * Everything exact: K in micro units is
+    * (S₂ − N)·10¹⁰ / N² on DECIMAL(38,0)/HUGEINT (S₂ = Σ r² over
+    * types; S₂ ≥ N always, so the numerator is non-negative and both
+    * engines floor identically), and C rides the
+    * [[graft.functions.IntLog]] grid as log2fixed(V)·10⁶ div
+    * log2fixed(N) — the 2^F scale cancels in the ratio. A
+    * single-token source (log2fixed(N) = 0) reports NULL C on both
+    * engines.
+    *
+    * Scale shape: one (source, token) aggregation then a
+    * |sources|-row rollup — the t46 shape minus the rank window;
+    * nothing corpus-sized past the token explode.
+    */
+  def vocabRichness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IntLog.log2Fixed
+    Tables.documents(spark, sfDir)
+      .select($"source", explode(Text.toks($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("r"))
+      .groupBy($"source")
+      .agg(sum($"r").as("n_tokens"), count(lit(1)).as("v_types"),
+        sum(when($"r" === 1, 1L).otherwise(0L)).as("hapax"),
+        sum($"r" * $"r").as("s2"))
+      .withColumn("lv", log2Fixed($"v_types"))
+      .withColumn("ln", log2Fixed($"n_tokens"))
+      .select($"source", $"n_tokens", $"v_types", $"hapax", $"s2",
+        expr("CAST((CAST(s2 - n_tokens AS DECIMAL(38,0)) * 10000000000) " +
+          "div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+          .as("yule_k_micro"),
+        expr("CASE WHEN ln > 0 THEN lv * 1000000 div ln " +
+          "ELSE CAST(NULL AS BIGINT) END").as("herdan_c_ppm"))
+      .orderBy($"source")
+  }
+
   /** URL extraction + registered-domain stats (t37) — the per-domain
     * census a web-corpus curation pipeline runs before URL-level
     * filtering (C4 dropped whole domains off a blocklist; RefinedWeb

@@ -335,6 +335,11 @@ object ProfileScaleSweep {
       time("otsu")(Multimodal.otsuGate(spark, dir))
       time("sobel")(Multimodal.sobelGate(spark, dir))
       time("cc_label")(Multimodal.ccLabelGate(spark, dir))
+      // t48 is the t46 shape minus the rank window (vocab-bound);
+      // s41's two ranking rounds are broadcast-query joins over the
+      // enlarged candidate scan — corpus-linear, query side constant
+      time("vocab_richness")(TextAnalysis.vocabRichness(spark, dir))
+      time("rocchio")(Similarity.rocchioExpand(spark, dir))
       // q62/q63 read the orders table, which this sweep does not
       // enlarge — their shapes (one corpus-reduced groupBy + tiny-key
       // rollups; a 9-key digit census) are already covered by the

@@ -637,6 +637,36 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("vocabRichness: exact sequential recompute, richness laws") {
+    import graft.functions.{IntLog, Text}
+    val rows = TextAnalysis.vocabRichness(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    rows should not be empty
+    val cnt = Tables.documents(spark, sf)
+      .select(col("source"), explode(Text.toks(col("text"))).as("token"))
+      .groupBy("source", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for ((src, rws) <- cnt.groupBy(_._1)) {
+      val rs = rws.map(_._3)
+      val n = rs.sum
+      val v = rs.length.toLong
+      val hapax = rs.count(_ == 1L).toLong
+      val s2 = rs.map(r => BigInt(r) * r).sum
+      val yule = ((s2 - n) * BigInt(10000000000L) / (BigInt(n) * n)).toLong
+      val (lv, ln) = (IntLog.log2FixedRef(v), IntLog.log2FixedRef(n))
+      val herdan = if (ln > 0) Some(lv * 1000000L / ln) else None
+      rows(src) shouldBe ((n, v, hapax, s2.toLong, yule, herdan))
+      // richness laws: hapax ⊆ types ⊆ tokens; S2 >= N (r² >= r);
+      // Herdan's C in (0, 1e6] since V <= N
+      hapax should be <= v
+      v should be <= n
+      s2.toLong should be >= n
+      herdan.foreach(c => c should (be > 0L and be <= 1000000L))
+    }
+  }
+
   test("jsDrift: exact sequential recompute, tracks true JSD, bounded") {
     import graft.functions.{IntLog, Text}
     val rows = TextAnalysis.jsDrift(spark, sf).collect()

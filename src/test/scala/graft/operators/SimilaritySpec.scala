@@ -535,6 +535,49 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(4), r.getInt(1))).toSet shouldBe ref
   }
 
+  test("rocchioExpand: two-round integer recompute; expansion moves the ranking") {
+    val rows = Similarity.rocchioExpand(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    // driver recompute on the same 1e-6 integer grid
+    val embs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 8 || col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    val cands = embs.keys.filter(_ % 20 == 0).toSeq.sorted
+    val qids = embs.keys.filter(_ < 8).toSeq.sorted
+    def n2(v: Array[Long]): Long = v.map(x => x * x).sum
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(dp / math.sqrt(n2(a).toDouble * n2(b).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def top(qid: Long, qv: Array[Long], k: Int): Seq[(Long, Double)] =
+      cands.filter(_ != qid).map(c => (c, cos(qv, embs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(k)
+    val exp = qids.flatMap { qid =>
+      val t3 = top(qid, embs(qid), 3).map(_._1)
+      val qe = embs(qid).indices.map { i =>
+        6L * embs(qid)(i) + t3.map(c => embs(c)(i)).sum
+      }.toArray
+      top(qid, qe, 5).zipWithIndex.map { case ((c, s), i) =>
+        (qid, i + 1, c, s)
+      }
+    }.toSet
+    rows.toSet shouldBe exp
+    // the feedback loop genuinely moves something: for at least one
+    // query the expanded top-5 differs from the unexpanded top-5
+    val unexp = qids.flatMap { qid =>
+      top(qid, embs(qid), 5).zipWithIndex.map { case ((c, _), i) =>
+        (qid, i + 1, c)
+      }
+    }.toSet
+    rows.map(r => (r._1, r._2, r._3)).toSet should not equal unexp
+  }
+
   test("annBinary: packed words match a driver recompute; hamming exact; recall measured") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = Similarity.annBinary(spark, sf01).collect()
