@@ -81,6 +81,7 @@ object SparkEntry {
     "q62_theil" -> (Relational.theilIndex _),
     "q63_benford" -> (Relational.benfordAudit _),
     "q64_corr_audit" -> (Relational.corrAudit _),
+    "q65_ewma" -> (Relational.ewmaSmooth _),
     "q59_session_paths" -> ((s: SparkSession, d: String) =>
       Relational.sessionPaths(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
@@ -5457,6 +5458,28 @@ object SparkEntry {
     // q62: Theil within/between decomposition — fixed-point log2 grid,
     // exact integer numerators, sign-explicit HUGEINT ppm
     "q62_theil" -> theilSql,
+
+    // q65: truncated EWMA — exact integer weights 16384·(3/4)^k,
+    // per-user lag window, available-mass renormalization
+    "q65_ewma" -> {
+      val lags = graft.operators.Relational.EwmaW.zipWithIndex.map {
+        case (_, k) => s"lag(cents, $k) OVER w AS l$k"
+      }.mkString(",\n        |    ")
+      val dot = graft.operators.Relational.EwmaW.zipWithIndex.map {
+        case (wt, k) => s"CASE WHEN l$k IS NOT NULL THEN $wt * l$k ELSE 0 END"
+      }.mkString(" + ")
+      val wsum = graft.operators.Relational.EwmaW.zipWithIndex.map {
+        case (wt, k) => s"CASE WHEN l$k IS NOT NULL THEN $wt ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, event_id, cents,
+        |    $lags
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id, cents,
+        |  CAST(($dot) // ($wsum) AS BIGINT) AS ewma_cents
+        |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
 
     // q64: pairwise Pearson correlation audit — exact HUGEINT moment
     // algebra, signed covariance, documented two-step-floor r² ppm

@@ -1599,6 +1599,53 @@ object Relational {
       .orderBy($"component")
   }
 
+  /** Truncated-EWMA weights: w_k = 16384·(3/4)^k for k = 0..7 — EXACT
+    * integers (2^14 absorbs every 4^k denominator through k = 7), so
+    * the α = 1/4 exponential smoother needs no flooring at all in its
+    * weight table. Shared verbatim with the DuckDB oracle.
+    */
+  val EwmaW: Seq[Long] =
+    Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
+
+  /** Truncated exponentially-weighted moving average (q65) — the
+    * classic α = 1/4 smoother over each user's spend series, truncated
+    * at 8 lags so it is a FINITE window dot product instead of a
+    * recursive state (the form that parallelizes: one per-user
+    * window pass, no sequential dependency — and the tail beyond lag 7
+    * carries < 10% of the mass). The weights are exact integers
+    * ([[EwmaW]]), the numerator is an exact integer dot product over
+    * the available lags, and the reported smoother value divides by
+    * the weight mass actually present (exact floor; early rows with
+    * fewer lags renormalize instead of biasing toward 0). Cents ≥ 1
+    * on this table, so all division operands are positive and both
+    * engines floor identically.
+    *
+    * Scale shape: ONE per-user window partition + sort shared by all
+    * eight lags (the q12/q52 shape) — corpus-linear, no funnel.
+    */
+  def ewmaSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val base = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+    val lagged = EwmaW.zipWithIndex.foldLeft(base) { case (df, (_, k)) =>
+      df.withColumn(s"l$k", lag($"cents", k).over(w))
+    }
+    val dot = EwmaW.zipWithIndex.map { case (wt, k) =>
+      when(col(s"l$k").isNotNull, lit(wt) * col(s"l$k")).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val wsum = EwmaW.zipWithIndex.map { case (wt, k) =>
+      when(col(s"l$k").isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    lagged
+      .select($"user_id", $"event_id", $"cents",
+        dot.as("dot"), wsum.as("wsum"))
+      .select($"user_id", $"event_id", $"cents",
+        expr("dot div wsum").as("ewma_cents"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Benford's-law first-digit constants, floor ppm of log10(1+1/d) —
     * mathematical constants shared verbatim with the DuckDB oracle
     * (the one sanctioned way to get a transcendental near a hash gate:

@@ -122,6 +122,42 @@ object EventStream {
         col("x.dev").as("dev"))
   }
 
+  /** Streaming correlation monitor — q64's Pearson audit as a live
+    * per-window gauge over (spend cents, error indicator): one
+    * stateful windowed aggregate carries ALL the moments (n, Σx, Σz,
+    * Σxz, Σx², Σz²) as plain sums on one state row per open window,
+    * then a stateless projection emits the exact covariance-numerator
+    * sign and r² ppm per closed window — the q64 DECIMAL(38) two-step
+    * floor verbatim. A window where spend suddenly correlates with
+    * errors is the billing-bug alarm; per-window n keeps the reader
+    * honest about sample size.
+    */
+  def corrStream(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("x", round(col("value") * 100, 0).cast("bigint"))
+      .withColumn("z",
+        when(col("event_type") === "error", 1L).otherwise(0L))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("z")).as("sz"), sum(col("x") * col("z")).as("sxz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"))
+      .select(col("window.start").as("window_start"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxz - " +
+          "CAST(sx AS DECIMAL(38,0)) * sz").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx").as("dx"),
+        expr("CAST(n AS DECIMAL(38,0)) * szz - " +
+          "CAST(sz AS DECIMAL(38,0)) * sz").as("dy"))
+      .select(col("window_start"), col("n"),
+        expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 " +
+          "ELSE 0 END AS INT)").as("r_sign"),
+        expr("CASE WHEN dx = 0 OR dy = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(((num * num div dx) * 1000000) div dy AS BIGINT) " +
+          "END").as("r2_ppm"))
+
   /** A document arriving on a stream (ingestion-time dedup input). */
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 

@@ -926,6 +926,42 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows("cents_vs_events")._3.get should be > 100000L
   }
 
+  test("ewmaSmooth: exact sequential recompute, smoother laws") {
+    val rows = Relational.ewmaSmooth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    rows should not be empty
+    // the weight table is exactly 16384·(3/4)^k — no flooring anywhere
+    Relational.EwmaW.zipWithIndex.foreach { case (w, k) =>
+      BigDecimal(w) shouldBe BigDecimal(16384) * BigDecimal(3).pow(k) /
+        BigDecimal(4).pow(k)
+    }
+    // sequential recompute from raw events
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        math.round(r.getDouble(3) * 100)))
+    for ((_, es) <- ev.groupBy(_._1)) {
+      val ordered = es.sortBy(e => (e._3, e._2)).map(e => (e._2, e._4))
+      ordered.indices.foreach { i =>
+        val lags = Relational.EwmaW.zipWithIndex.flatMap { case (w, k) =>
+          if (i - k >= 0) Some((w, ordered(i - k)._2)) else None
+        }
+        val ewma = lags.map { case (w, c) => w * c }.sum /
+          lags.map(_._1).sum
+        val (cents, got) = rows((es.head._1, ordered(i)._1))
+        cents shouldBe ordered(i)._2
+        got shouldBe ewma
+        // the smoother stays inside the hull of its inputs
+        got should be >= lags.map(_._2).min - 1
+        got should be <= lags.map(_._2).max
+        // a user's first event smooths to itself exactly
+        if (i == 0) got shouldBe cents
+      }
+    }
+  }
+
   test("theilIndex: exact sequential recompute, decomposition laws") {
     import graft.functions.IntLog
     val rows = Relational.theilIndex(spark, sf).collect()

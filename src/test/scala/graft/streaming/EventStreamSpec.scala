@@ -78,6 +78,47 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("correlation monitor: per-window exact moments, q64 algebra, append-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.corrStream(mem.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("cm").outputMode("append").start()
+    try {
+      // window [0,10): errors carry the high amounts — positive corr
+      mem.addData(
+        Event(1, ts(1), 1, "error", 9.00),
+        Event(2, ts(2), 2, "click", 1.00),
+        Event(3, ts(3), 3, "error", 8.00),
+        Event(4, ts(4), 4, "view", 2.00),
+        // window [10,20): constant amounts — zero variance, NULL r²
+        Event(5, ts(11), 5, "click", 3.00),
+        Event(6, ts(12), 6, "error", 3.00))
+      q.processAllAvailable()
+      spark.table("cm").count() shouldBe 0
+      mem.addData(Event(7, ts(45), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cm").collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime / 60000 ->
+          ((r.getAs[Long]("n"), r.getAs[Int]("r_sign"),
+            if (r.isNullAt(3)) None else Some(r.getAs[Long]("r2_ppm")))))
+        .toMap
+      rows.keySet shouldBe Set(0L, 10L)
+      // window 0: x = (900,100,800,200), z = (1,0,1,0) — driver algebra
+      val (xs, zs) = (Seq(900L, 100L, 800L, 200L), Seq(1L, 0L, 1L, 0L))
+      val n = BigInt(4)
+      val num = n * xs.zip(zs).map { case (a, b) => BigInt(a) * b }.sum -
+        BigInt(xs.sum) * zs.sum
+      val dx = n * xs.map(a => BigInt(a) * a).sum - BigInt(xs.sum) * xs.sum
+      val dy = n * zs.map(a => BigInt(a) * a).sum - BigInt(zs.sum) * zs.sum
+      val r2 = (num * num / dx * 1000000 / dy).toLong
+      rows(0L) shouldBe ((4L, num.signum, Some(r2)))
+      num.signum shouldBe 1 // errors carry the big amounts
+      // window 10: zero x-variance — NULL r², sign 0
+      rows(10L) shouldBe ((2L, 0, None))
+    } finally q.stop()
+  }
+
   test("gap sessionization closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
