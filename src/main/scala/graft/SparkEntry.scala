@@ -260,6 +260,8 @@ object SparkEntry {
       TextAnalysis.jsDrift(s, d)),
     "t48_vocab_richness" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabRichness(s, d)),
+    "t49_tfidf_terms" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfTerms(s, d)),
     "d07_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q27_sessionize_batch" -> (Relational.sessionizeBatch _),
     "q28_asof_join" -> (Relational.asofJoin _),
@@ -301,6 +303,7 @@ object SparkEntry {
     "m36_otsu" -> (Multimodal.otsuGate _),
     "m37_sobel" -> (Multimodal.sobelGate _),
     "m38_cc_label" -> (Multimodal.ccLabelGate _),
+    "m39_hist_entropy" -> (Multimodal.histEntropyGate _),
     "m32_patchify" -> (Multimodal.patchifyGate _),
     "m33_rle_signal" -> (Multimodal.rleSignalGate _),
     "m34_dither" -> (Multimodal.orderedDitherGate _),
@@ -1241,6 +1244,67 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand)
        |      AS INT) AS rnk
        |  FROM s2) x WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB mirror of TextAnalysis.tfidfTerms (t49): the full-corpus
+    * tf/df tables, the d36 ilog weight algebra, and a per-doc rank.
+    */
+  private def tfidfTermsSql(topT: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${tkCte("")},
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tk) t GROUP BY 1, 2),
+       |ndc AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)""".stripMargin
+    val (at, an) = ilogChainSql("ka", "ndc", "nd", "lnd", Nil)
+    sb ++= at
+    val (bt, bn) = ilogChainSql("kb", "dfc", "df", "ldf", Seq("tok"))
+    sb ++= bt
+    sb ++= s""",
+       |wt AS (SELECT t.doc_id, t.tok AS token,
+       |    CAST(t.tf * (a.lnd - b.ldf) AS BIGINT) AS w
+       |  FROM tf t JOIN $bn b ON b.tok = t.tok CROSS JOIN $an a
+       |  WHERE t.tf * (a.lnd - b.ldf) >= 1)
+       |SELECT doc_id, rk, token, w FROM (
+       |  SELECT doc_id, token, w,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY w DESC, token) AS INT) AS rk
+       |  FROM wt) x WHERE rk <= $topT ORDER BY doc_id, rk""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB mirror of Multimodal.histEntropy (m39): per-(doc, level)
+    * counts, two ilogChainSql passes (count and per-doc n), the q62
+    * Theil algebra on pixels.
+    */
+  private lazy val histEntropySql: String = {
+    val twoF = 1L << graft.functions.IntLog.F
+    val sb = new StringBuilder
+    sb ++= """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+       |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+       |        CAST(ord(text[CAST(i AS INT)]) AS BIGINT) AS v
+       |      FROM d, UNNEST(range(1, 65)) t(i)),
+       |cnt AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+       |        FROM v GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |          CAST(min(v) AS INT) AS lo, CAST(max(v) AS INT) AS hi
+       |        FROM v GROUP BY 1)""".stripMargin
+    val (at, an) = ilogChainSql("ea", "cnt", "c", "lc", Seq("doc_id", "c"))
+    sb ++= at
+    val (bt, bn) = ilogChainSql("eb", "tot", "n", "ln",
+      Seq("doc_id", "n", "lo", "hi"))
+    sb ++= bt
+    sb ++= s""",
+       |h AS (SELECT a.doc_id,
+       |    CAST(sum(a.c * (b.ln - a.lc)) AS BIGINT) AS h_num,
+       |    CAST(count(*) AS BIGINT) AS n_levels
+       |  FROM $an a JOIN $bn b ON b.doc_id = a.doc_id GROUP BY 1)
+       |SELECT b.doc_id, h.n_levels, b.lo, b.hi, h.h_num,
+       |  CAST(h.h_num * 1000 // (b.n * $twoF) AS BIGINT) AS h_mbits
+       |FROM $bn b JOIN h ON h.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB mirror of TextAnalysis.vocabRichness (t48): the per-source
     * type-frequency rollup and two ilogChainSql passes (V then N) for
@@ -5568,6 +5632,10 @@ object SparkEntry {
     // fixed-point log-ratio C
     "t48_vocab_richness" -> vocabRichnessSql,
 
+    // t49: per-doc TF-IDF top terms — d36's fixed-point weights over
+    // the full corpus, per-document rank
+    "t49_tfidf_terms" -> tfidfTermsSql(topT = 3),
+
     "t32_vocab_growth" ->
       s"""WITH ${tkCte("")},
          |pos AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
@@ -6656,6 +6724,9 @@ object SparkEntry {
     // propagation to the provable 63-round 8×8 bound (OtsuCtes is the
     // ONE threshold definition shared with m36)
     "m38_cc_label" -> ccLabelSql(rounds = 63),
+
+    // m39: histogram entropy — the Theil algebra on pixels
+    "m39_hist_entropy" -> histEntropySql,
 
     "m31_hist_equalize" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),

@@ -2885,6 +2885,44 @@ object Multimodal {
     ccLabel(docPgmRows(spark, sfDir)).orderBy($"doc_id")
   }
 
+  /** Histogram entropy + dynamic-range stats (m39) — the Shannon
+    * entropy of each image's gray histogram, the flat/synthetic-frame
+    * detector next to m33's run-length probe (a rendered border or
+    * screenshot collapses to a few levels and near-zero entropy; photo
+    * noise fills the histogram). Exact integer numerator on the
+    * [[graft.functions.IntLog]] grid — the q62 Theil algebra applied
+    * to pixels: H_num = Σ_v c_v·(log2fixed(n) − log2fixed(c_v)), so
+    * H_bits = H_num/(n·2^F), reported as floor millibits
+    * H_num·1000 div (n·2^F). Plus distinct-level count and lo/hi
+    * range. Map-only over REAL decoded pixels, the m05 discipline.
+    */
+  def histEntropy(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    import graft.functions.IntLog
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        val px = img.pixels.map(_ & 0xff)
+        val n = px.length.toLong
+        val hist = new Array[Long](256)
+        px.foreach(v => hist(v) += 1)
+        val ln = IntLog.log2FixedRef(n)
+        var hNum = 0L
+        var levels = 0L
+        hist.foreach { c =>
+          if (c > 0) { levels += 1; hNum += c * (ln - IntLog.log2FixedRef(c)) }
+        }
+        (r.media_id, levels, px.min, px.max, hNum,
+          hNum * 1000 / (n * (1L << IntLog.F)))
+      }
+    }.toDF("doc_id", "n_levels", "lo", "hi", "h_num", "h_mbits")
+  }
+
+  /** m39 gate entry: [[histEntropy]] over the PGM documents. */
+  def histEntropyGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    histEntropy(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** m11 payload builder: a REAL PNG per document — the first 64 text
     * bytes as an 8×8 grayscale raster, encoded through [[encodePng]]
     * with the row filter VARYING per (doc_id, row) as

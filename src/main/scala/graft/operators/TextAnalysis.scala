@@ -1246,6 +1246,41 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Per-document TF-IDF top terms (t49) — the document-tagging pass
+    * (the keyword column a corpus browser or weak-labeling pipeline
+    * attaches to every doc): d36's exact integer term weights
+    * tf·(log2fixed(N) − log2fixed(df)) ranked per document, top `topT`
+    * by (weight DESC, token). Ubiquitous tokens weigh exactly 0 and
+    * never surface — idf doing its job on the same fixed-point grid
+    * as the pair join. Unlike d36 this runs over the FULL corpus (no
+    * sample cap — there is no pair join to bound; weights are one row
+    * per (doc, distinct token)).
+    *
+    * Scale shape: one (doc, token) aggregation, one token-keyed df
+    * join, the 1-row N broadcast (the q14 funnel shape, allowlisted
+    * after plan dump), and a per-DOCUMENT rank window whose input is
+    * each doc's distinct-token set — corpus-linear.
+    */
+  def tfidfTerms(spark: SparkSession, sfDir: String, topT: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IntLog.log2Fixed
+    val tf = graft.Caches.track(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", explode(Text.toks($"text")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
+    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("nd"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"w".desc, $"token")
+    tf.join(df, "token").crossJoin(broadcast(nd))
+      .select($"doc_id", $"token",
+        ($"tf" * (log2Fixed($"nd") - log2Fixed($"df"))).as("w"))
+      .filter($"w" >= 1)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter($"rk" <= topT)
+      .select($"doc_id", $"rk", $"token", $"w")
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** URL extraction + registered-domain stats (t37) — the per-domain
     * census a web-corpus curation pipeline runs before URL-level
     * filtering (C4 dropped whole domains off a blocklist; RefinedWeb

@@ -234,6 +234,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // per-user frame) as its direct child — ONE ten-column partial row
     // per task into the cached 1-row broadcast the three pair rows
     // read (q14's shape; verified by plan dump this round).
+    // t49 — the N constant: d36's shape exactly (the plan's one
+    // SinglePartition exchange has HashAggregate(partial_count(1))
+    // over the documents scan as its direct child — one partial row
+    // per task into the 1-row idf broadcast; verified by plan dump
+    // this round).
     // d36 — the N constant: the plan's one SinglePartition exchange
     // has HashAggregate(partial_count(1)) over the sampled documents
     // scan as its direct child — one partial-count row per task into
@@ -261,7 +266,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "s34_cluster_purity", "t38_good_turing", "p21_clean_mixture",
       "t40_chi2_keyness", "t41_burstiness", "s35_cluster_report",
       "p22_epoch_schedule", "q61_lorenz_gini", "t47_js_drift",
-      "d36_tfidf_cosine", "q63_benford", "q62_theil", "q64_corr_audit")
+      "d36_tfidf_cosine", "q63_benford", "q62_theil", "q64_corr_audit",
+      "t49_tfidf_terms")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

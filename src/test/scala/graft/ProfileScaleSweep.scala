@@ -340,6 +340,11 @@ object ProfileScaleSweep {
       // enlarged candidate scan — corpus-linear, query side constant
       time("vocab_richness")(TextAnalysis.vocabRichness(spark, dir))
       time("rocchio")(Similarity.rocchioExpand(spark, dir))
+      // t49 runs d36's weight algebra over the FULL corpus (no sample
+      // cap): one (doc, token) aggregation + a per-doc rank window —
+      // the corpus-linear claim is the row. m39 is the map floor.
+      time("tfidf_terms")(TextAnalysis.tfidfTerms(spark, dir))
+      time("hist_entropy")(Multimodal.histEntropyGate(spark, dir))
       // q62/q63 read the orders table, which this sweep does not
       // enlarge — their shapes (one corpus-reduced groupBy + tiny-key
       // rollups; a 9-key digit census) are already covered by the

@@ -2037,6 +2037,34 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("histEntropy: hand-built bit values, flat floor, gate bounds") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    val out = Multimodal.histEntropy(Seq(
+      MediaRow(1L, "image", pgm(2, 2, Array(7, 7, 7, 7))), // flat: H = 0
+      MediaRow(2L, "image", pgm(2, 2, Array(0, 0, 9, 9))), // 50/50: H = 1 bit
+      MediaRow(3L, "image", pgm(2, 2, Array(1, 2, 3, 4))) // uniform: H = 2 bits
+    ).toDS()).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    (r1.getLong(1), r1.getInt(2), r1.getInt(3)) shouldBe ((1L, 7, 7))
+    (r1.getLong(4), r1.getLong(5)) shouldBe ((0L, 0L))
+    // the fixed-point grid is EXACT at power-of-two splits
+    out(2L).getLong(5) shouldBe 1000L
+    out(3L).getLong(5) shouldBe 2000L
+    // gate corpus: 8x8 word-soup rasters carry real entropy, bounded
+    // by log2(64) = 6 bits
+    val gate = Multimodal.histEntropyGate(spark, "/root/testdata/sf0.001")
+      .collect()
+    gate should not be empty
+    gate.foreach { r =>
+      r.getLong(1) should be >= 2L
+      r.getLong(5) should (be > 0L and be <= 6000L)
+      r.getInt(2) should be <= r.getInt(3)
+    }
+  }
+
   test("patchify: geometry pins, partial patches dropped, stats law") {
     import spark.implicits._
     import graft.operators.Multimodal.MediaRow

@@ -667,6 +667,36 @@ class QualitySignalsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("tfidfTerms: exact sequential recompute, idf-kill, rank laws") {
+    import graft.functions.{IntLog, Text}
+    val rows = TextAnalysis.tfidfTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    graft.Caches.releaseAll(spark)
+    rows should not be empty
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Text.toks(col("text"))).as("token"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nd = Tables.documents(spark, sf).count()
+    val lnd = IntLog.log2FixedRef(nd)
+    val dfm = toks.distinct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val exp = toks.groupBy(_._1).flatMap { case (d, ts) =>
+      ts.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+        .map { case (t, c) => (t, c * (lnd - IntLog.log2FixedRef(dfm(t)))) }
+        .filter(_._2 >= 1)
+        .sortBy { case (t, w) => (-w, t) }.take(3).zipWithIndex
+        .map { case ((t, w), i) => (d, i + 1) -> ((t, w)) }
+    }
+    rows shouldBe exp
+    // a token in every document never surfaces as a keyword
+    val everywhere = dfm.filter(_._2 == nd).keySet
+    rows.values.foreach { case (t, _) => everywhere should not contain t }
+    // ranks contiguous from 1 per doc
+    rows.keys.groupBy(_._1).values.foreach { g =>
+      g.map(_._2).toSeq.sorted shouldBe (1 to g.size)
+    }
+  }
+
   test("jsDrift: exact sequential recompute, tracks true JSD, bounded") {
     import graft.functions.{IntLog, Text}
     val rows = TextAnalysis.jsDrift(spark, sf).collect()
