@@ -82,6 +82,10 @@ object SparkEntry {
     "q63_benford" -> (Relational.benfordAudit _),
     "q64_corr_audit" -> (Relational.corrAudit _),
     "q65_ewma" -> (Relational.ewmaSmooth _),
+    "p23_match_distribution" -> ((s: SparkSession, d: String) =>
+      Sampling.matchDistribution(s, d)),
+    "s42_assortativity" -> ((s: SparkSession, d: String) =>
+      Similarity.degreeAssortativity(s, d)),
     "q59_session_paths" -> ((s: SparkSession, d: String) =>
       Relational.sessionPaths(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
@@ -5522,6 +5526,62 @@ object SparkEntry {
     // q62: Theil within/between decomposition — fixed-point log2 grid,
     // exact integer numerators, sign-explicit HUGEINT ppm
     "q62_theil" -> theilSql,
+
+    // p23: distribution-matched subsampling — cross-multiplied exact
+    // keep ratios per (source, length bucket), p01 hash admission
+    "p23_match_distribution" ->
+      s"""WITH b AS (SELECT doc_id, source, n_chars // 100 AS bucket,
+         |    ${hexIntSql("md5(text)", 4)} AS h16 FROM documents),
+         |r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ref_n FROM b
+         |  WHERE source = 'src0' GROUP BY 1),
+         |rt AS (SELECT CAST(sum(ref_n) AS BIGINT) AS ref_tot FROM r),
+         |s AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS src_n
+         |  FROM b WHERE source <> 'src0' GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(src_n) AS BIGINT) AS src_tot
+         |  FROM s GROUP BY 1),
+         |ra AS (SELECT s.source, s.bucket,
+         |    least(1000000, coalesce(r.ref_n, 0) * st.src_tot * 1000000 //
+         |      (rt.ref_tot * s.src_n)) AS keep_ppm
+         |  FROM s LEFT JOIN r ON r.bucket = s.bucket
+         |  JOIN st ON st.source = s.source CROSS JOIN rt)
+         |SELECT doc_id, source, bucket, keep_ppm FROM (
+         |  SELECT b.doc_id, b.source, b.bucket,
+         |    CAST(ra.keep_ppm AS BIGINT) AS keep_ppm
+         |  FROM b JOIN ra ON ra.source = b.source AND ra.bucket = b.bucket
+         |  WHERE b.h16 * 1000000 < ra.keep_ppm * 65536
+         |  UNION ALL
+         |  SELECT doc_id, source, bucket, CAST(1000000 AS BIGINT) AS keep_ppm
+         |  FROM b WHERE source = 'src0') u
+         |ORDER BY doc_id""".stripMargin,
+
+    // s42: kNN-graph in-degree assortativity — the q64 moment algebra
+    // over the edge list, one exact row
+    "s42_assortativity" ->
+      s"""WITH $KnnCtes,
+         |edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rnk <= 3),
+         |ind AS (SELECT dst AS vec_id, CAST(count(*) AS BIGINT) AS ind
+         |  FROM edges GROUP BY 1),
+         |ex AS (SELECT coalesce(a.ind, 0) AS x, b.ind AS y
+         |  FROM edges e LEFT JOIN ind a ON a.vec_id = e.src
+         |  JOIN ind b ON b.vec_id = e.dst),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM ex),
+         |asst AS (SELECT n AS n_edges,
+         |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+         |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+         |  FROM m)
+         |SELECT n_edges,
+         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+         |    AS INT) AS r_sign,
+         |  CASE WHEN dx = 0 OR dy = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(((num * num // dx) * 1000000) // dy AS BIGINT)
+         |  END AS r2_ppm
+         |FROM asst""".stripMargin,
 
     // q65: truncated EWMA — exact integer weights 16384·(3/4)^k,
     // per-user lag window, available-mass renormalization

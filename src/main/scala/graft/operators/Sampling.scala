@@ -947,4 +947,62 @@ object Sampling {
         ($"alloc0" + when($"rk" <= $"r", 1L).otherwise(0L)).as("alloc"))
       .orderBy($"lang")
   }
+
+  /** Distribution-matched subsampling (p23) — p05 matches SIZE budgets
+    * per source; this matches a SHAPE: every non-reference source is
+    * rejection-subsampled so its document-LENGTH distribution matches
+    * the reference source's (the debiasing pass that stops a
+    * short-snippet crawl from skewing a mixture whose reference corpus
+    * is long-form — the importance-resampling idea with the length
+    * bucket as the feature). Per (source, length-bucket):
+    * keep_ppm = min(10⁶, ref_share/src_share on the exact ppm grid,
+    * computed as one cross-multiplied integer ratio), and a document
+    * survives iff its 16-bit content-hash key falls under the ratio —
+    * the p01 deterministic-uniform idiom with the grids aligned by
+    * cross-multiplication (h16·10⁶ < keep_ppm·2^16, exact on both
+    * engines). A bucket the reference never uses gets keep_ppm = 0:
+    * those documents have no counterpart in the target shape.
+    * Reference documents pass untouched at keep_ppm = 10⁶.
+    *
+    * Scale shape: one map-side bucket/hash projection, two tiny-key
+    * aggregations (buckets; sources × buckets), the 1-row reference
+    * total broadcast (the q14 funnel shape, allowlisted after plan
+    * dump), and a broadcast ratio join back onto the scan — the keep
+    * filter runs map-side. Integer audit: ref_n·src_tot·10⁶ fits
+    * int64 through ~10⁵-doc sources; at corpus scale the ratio moves
+    * to DECIMAL(38), shape unchanged.
+    */
+  def matchDistribution(spark: SparkSession, sfDir: String,
+      refSource: String = "src0", bucketChars: Int = 100): DataFrame = {
+    import spark.implicits._
+    // cached: the reference/source rollups and the final keep filter
+    // all read the bucketed scan
+    val base = graft.Caches.track(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", $"source",
+          expr(s"n_chars div $bucketChars").as("bucket"),
+          hashBucket($"text").as("h16")))
+    val ref = base.filter($"source" === refSource)
+      .groupBy($"bucket").agg(count(lit(1)).as("ref_n"))
+    val refTot = ref.agg(sum($"ref_n").as("ref_tot"))
+    val src = base.filter($"source" =!= refSource)
+      .groupBy($"source", $"bucket").agg(count(lit(1)).as("src_n"))
+    val srcTot = src.groupBy($"source").agg(sum($"src_n").as("src_tot"))
+    val ratios = src.join(ref, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n"))
+      .join(srcTot, "source")
+      .crossJoin(broadcast(refTot))
+      .select($"source", $"bucket",
+        least(lit(1000000L),
+          expr("ref_n * src_tot * 1000000 div (ref_tot * src_n)"))
+          .as("keep_ppm"))
+    base.filter($"source" =!= refSource)
+      .join(broadcast(ratios), Seq("source", "bucket"))
+      .filter($"h16" * 1000000L < $"keep_ppm" * 65536L)
+      .select($"doc_id", $"source", $"bucket", $"keep_ppm")
+      .unionByName(base.filter($"source" === refSource)
+        .select($"doc_id", $"source", $"bucket",
+          lit(1000000L).as("keep_ppm")))
+      .orderBy($"doc_id")
+  }
 }

@@ -1616,6 +1616,52 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Degree assortativity of the corpus k-NN graph (s42) — Newman
+    * 2002's graph-health number over the s16 edges: do well-connected
+    * vectors point at other well-connected vectors (assortative — a
+    * few dense semantic cores) or at the periphery (disassortative —
+    * hub-and-spoke)? Out-degree is a constant k by construction, so
+    * the signal lives in IN-degree: per directed edge, the q64
+    * Pearson moment algebra over (indeg(src), indeg(dst)), reported
+    * as the covariance-numerator sign and r² ppm under the q64
+    * two-step floor — one exact-integer row.
+    *
+    * Scale shape: one dst-keyed degree aggregation, two broadcast-able
+    * degree joins onto the edge list (corpus×k rows), one grand-total
+    * moment reduction (the q14/q64 funnel shape, allowlisted after
+    * plan dump).
+    */
+  def degreeAssortativity(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = graft.Caches.track(
+      knnEdges(spark, sfDir, k, iters, kNeighbors).select($"src", $"dst"))
+    val indeg = edges.groupBy($"dst").agg(count(lit(1)).as("ind"))
+      .withColumnRenamed("dst", "vec_id")
+    val ex = edges
+      .join(indeg.select($"vec_id".as("src"), $"ind".as("x")),
+        Seq("src"), "left")
+      .na.fill(0L, Seq("x"))
+      .join(indeg.select($"vec_id".as("dst"), $"ind".as("y")), Seq("dst"))
+    ex.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select(
+        $"n".as("n_edges"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - " +
+          "CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx").as("dx"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - " +
+          "CAST(sy AS DECIMAL(38,0)) * sy").as("dy"))
+      .select($"n_edges",
+        expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 " +
+          "ELSE 0 END AS INT)").as("r_sign"),
+        expr("CASE WHEN dx = 0 OR dy = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(((num * num div dx) * 1000000) div dy AS BIGINT) " +
+          "END").as("r2_ppm"))
+  }
+
   /** Greedy k-center coreset selection (s22) — the farthest-point
     * diversity sampler (Gonzalez 1985; the 2-approximation every
     * "select a diverse training subset" pipeline reaches for, and the

@@ -234,6 +234,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // per-user frame) as its direct child — ONE ten-column partial row
     // per task into the cached 1-row broadcast the three pair rows
     // read (q14's shape; verified by plan dump this round).
+    // p23 — the reference total: the plan's one SinglePartition
+    // exchange has HashAggregate(partial_sum(ref_n)) over the
+    // |buckets|-row reference rollup as its direct child (p04's
+    // tiny-key-space bound; verified by plan dump this round).
+    // s42 — the moment frame: one SinglePartition exchange with
+    // HashAggregate(6 × partial_sum/count over the edge frame) as its
+    // direct child — ONE six-column partial row per task (q64's shape;
+    // verified by plan dump this round).
     // t49 — the N constant: d36's shape exactly (the plan's one
     // SinglePartition exchange has HashAggregate(partial_count(1))
     // over the documents scan as its direct child — one partial row
@@ -267,7 +275,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "t40_chi2_keyness", "t41_burstiness", "s35_cluster_report",
       "p22_epoch_schedule", "q61_lorenz_gini", "t47_js_drift",
       "d36_tfidf_cosine", "q63_benford", "q62_theil", "q64_corr_audit",
-      "t49_tfidf_terms")
+      "t49_tfidf_terms", "p23_match_distribution", "s42_assortativity")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

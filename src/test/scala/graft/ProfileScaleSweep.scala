@@ -345,6 +345,12 @@ object ProfileScaleSweep {
       // the corpus-linear claim is the row. m39 is the map floor.
       time("tfidf_terms")(TextAnalysis.tfidfTerms(spark, dir))
       time("hist_entropy")(Multimodal.histEntropyGate(spark, dir))
+      // p23: map-side bucket/hash projection + tiny-key rollups + a
+      // broadcast ratio join back onto the scan — the linear floor.
+      // s42 rides the sized-k s16 edges + one moment reduction.
+      time("match_distribution")(Sampling.matchDistribution(spark, dir))
+      time("assortativity_sizedk")(
+        Similarity.degreeAssortativity(spark, dir, k = 8 * mult))
       // q62/q63 read the orders table, which this sweep does not
       // enlarge — their shapes (one corpus-reduced groupBy + tiny-key
       // rollups; a 9-key digit census) are already covered by the

@@ -170,6 +170,30 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers with SparkSpec {
     reachSets.distinct.length should be > 1
   }
 
+  test("s42: assortativity matches the q64 moment algebra on in-degrees") {
+    val row = Similarity.degreeAssortativity(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    row.length shouldBe 1
+    val indeg = directed.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val xy = directed.toSeq.map { case (s, d) =>
+      (indeg.getOrElse(s, 0L), indeg(d))
+    }
+    val n = BigInt(xy.length)
+    val sx = xy.map(p => BigInt(p._1)).sum
+    val sy = xy.map(p => BigInt(p._2)).sum
+    val num = n * xy.map(p => BigInt(p._1) * p._2).sum - sx * sy
+    val dx = n * xy.map(p => BigInt(p._1) * p._1).sum - sx * sx
+    val dy = n * xy.map(p => BigInt(p._2) * p._2).sum - sy * sy
+    row(0).getLong(0) shouldBe xy.length.toLong
+    row(0).getInt(1) shouldBe num.signum
+    if (dx == 0 || dy == 0) row(0).isNullAt(2) shouldBe true
+    else {
+      val r2 = (num * num / dx * 1000000 / dy).toLong
+      row(0).getLong(2) shouldBe r2
+      r2 should (be >= 0L and be <= 1000000L)
+    }
+  }
+
   test("s39: HITS matches a sequential synchronous recompute") {
     val got = Similarity.hits(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -558,4 +558,53 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     a.toSet shouldBe got.toSet // counts invariant under the seed
   }
+
+  test("p23 matchDistribution: exact sequential recompute, admission laws") {
+    val got = Sampling.matchDistribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    graft.Caches.releaseAll(spark)
+    got should not be empty
+    // sequential recompute from the raw table + the p01 hash key
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+          .cast("bigint").as("h16"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 100, r.getLong(3)))
+    val refN = docs.filter(_._2 == "src0").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap
+    val refTot = refN.values.sum
+    val bySrc = docs.filter(_._2 != "src0").groupBy(_._2)
+    val exp = scala.collection.mutable.Map.empty[Long, (String, Long, Long)]
+    docs.filter(_._2 == "src0").foreach { case (id, s, b, _) =>
+      exp(id) = (s, b, 1000000L)
+    }
+    for ((s, ds) <- bySrc) {
+      val srcN = ds.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val srcTot = ds.length.toLong
+      ds.foreach { case (id, _, b, h16) =>
+        val keep = math.min(1000000L,
+          refN.getOrElse(b, 0L) * srcTot * 1000000L / (refTot * srcN(b)))
+        if (h16 * 1000000L < keep * 65536L) exp(id) = (s, b, keep)
+      }
+    }
+    got shouldBe exp.toMap
+    // admission is hash-monotone within a (source, bucket): if a doc is
+    // kept, every same-bucket doc of the same source with a SMALLER
+    // hash key is kept too
+    val h16Of = docs.map(d => d._1 -> d._4).toMap
+    for ((s, ds) <- bySrc; (b, g) <- ds.groupBy(_._3)) {
+      val kept = g.filter(d => got.contains(d._1))
+      if (kept.nonEmpty) {
+        val maxKept = kept.map(d => h16Of(d._1)).max
+        g.filter(d => h16Of(d._1) < maxKept)
+          .foreach(d => got should contain key d._1)
+      }
+    }
+    // the reference passes whole (implied by parity, asserted directly),
+    // and the matching genuinely rejects something
+    docs.filter(_._2 == "src0").foreach { d => got(d._1)._3 shouldBe 1000000L }
+    got.size should be < docs.length
+  }
 }
