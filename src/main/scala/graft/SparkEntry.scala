@@ -86,6 +86,9 @@ object SparkEntry {
       Sampling.matchDistribution(s, d)),
     "s42_assortativity" -> ((s: SparkSession, d: String) =>
       Similarity.degreeAssortativity(s, d)),
+    "s43_label_assortativity" -> ((s: SparkSession, d: String) =>
+      Similarity.labelAssortativity(s, d)),
+    "q66_benford2" -> (Relational.benford2Audit _),
     "q59_session_paths" -> ((s: SparkSession, d: String) =>
       Relational.sessionPaths(s, d)),
     "p19_temperature_mix" -> ((s: SparkSession, d: String) =>
@@ -5554,6 +5557,36 @@ object SparkEntry {
          |  FROM b WHERE source = 'src0') u
          |ORDER BY doc_id""".stripMargin,
 
+    // s43: label assortativity — Newman's categorical mixing r over
+    // the s16 edges, sign-explicit HUGEINT ppm, NULL when degenerate
+    "s43_label_assortativity" ->
+      s"""WITH $KnnCtes,
+         |edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rnk <= 3),
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |el AS (SELECT la.label AS la, lb.label AS lb FROM edges e
+         |  JOIN lbl la ON la.vec_id = e.src
+         |  JOIN lbl lb ON lb.vec_id = e.dst),
+         |mix AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+         |  FROM el GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM mix),
+         |aa AS (SELECT la, CAST(sum(c) AS BIGINT) AS ca FROM mix GROUP BY 1),
+         |bb AS (SELECT lb, CAST(sum(c) AS BIGINT) AS cb FROM mix GROUP BY 1),
+         |ab AS (SELECT CAST(coalesce(sum(aa.ca * bb.cb), 0) AS BIGINT) AS sab
+         |  FROM aa JOIN bb ON bb.lb = aa.la),
+         |sm AS (SELECT CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0)
+         |    AS BIGINT) AS n_same FROM mix)
+         |SELECT nn.n AS n_edges, sm.n_same,
+         |  CASE WHEN CAST(nn.n AS HUGEINT) * nn.n - ab.sab = 0
+         |    THEN CAST(NULL AS BIGINT)
+         |  WHEN CAST(sm.n_same AS HUGEINT) * nn.n - ab.sab >= 0
+         |    THEN CAST((CAST(sm.n_same AS HUGEINT) * nn.n - ab.sab) * 1000000
+         |      // (CAST(nn.n AS HUGEINT) * nn.n - ab.sab) AS BIGINT)
+         |  ELSE -CAST((CAST(ab.sab AS HUGEINT) -
+         |      CAST(sm.n_same AS HUGEINT) * nn.n) * 1000000
+         |      // (CAST(nn.n AS HUGEINT) * nn.n - ab.sab) AS BIGINT)
+         |  END AS r_ppm
+         |FROM nn CROSS JOIN ab CROSS JOIN sm""".stripMargin,
+
     // s42: kNN-graph in-degree assortativity — the q64 moment algebra
     // over the edge list, one exact row
     "s42_assortativity" ->
@@ -5650,6 +5683,36 @@ object SparkEntry {
         |       ELSE CAST(((num * num // dx) * 1000000) // dy AS BIGINT)
         |  END AS r2_ppm
         |FROM p ORDER BY pair""".stripMargin,
+
+    // q66: Benford second-digit audit — Nigrini's escalation; the q63
+    // contract with the 10-digit constant table and cents >= 10
+    "q66_benford2" ->
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         |    AS cents FROM orders),
+         |f AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 2, 1) AS INT)
+         |    AS digit
+         |  FROM c WHERE cents >= 10),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM f GROUP BY 1),
+         |e(digit, exp_ppm) AS (VALUES ${
+           graft.operators.Relational.Benford2Ppm
+             .map { case (d, p) => s"($d, $p)" }.mkString(", ")}),
+         |r AS (SELECT e.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+         |    CAST(e.exp_ppm AS BIGINT) AS exp_ppm, nn.n
+         |  FROM e LEFT JOIN o USING (digit) CROSS JOIN nn),
+         |r2 AS (SELECT digit, n_obs,
+         |    CAST(n_obs * 1000000 // n AS BIGINT) AS obs_ppm, exp_ppm,
+         |    n_obs * 1000000 - n * exp_ppm AS dev, n FROM r),
+         |r3 AS (SELECT digit, n_obs, obs_ppm, exp_ppm, dev,
+         |    CAST((CAST(dev AS HUGEINT) * dev) //
+         |      (CAST(n AS HUGEINT) * exp_ppm) AS BIGINT) AS chi2_micro
+         |  FROM r2),
+         |t AS (SELECT CAST(sum(chi2_micro) AS BIGINT) AS chi2_micro_total
+         |  FROM r3)
+         |SELECT digit, n_obs, obs_ppm, exp_ppm, dev, chi2_micro,
+         |  t.chi2_micro_total
+         |FROM r3 CROSS JOIN t ORDER BY digit""".stripMargin,
 
     // q63: Benford first-digit audit — shared literal constant table,
     // exact common-denominator deviations, HUGEINT χ² micro terms

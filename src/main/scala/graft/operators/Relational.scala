@@ -1657,6 +1657,52 @@ object Relational {
     1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
     6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
 
+  /** Benford SECOND-digit constants, floor ppm of
+    * Σ_{k=1..9} log10(1 + 1/(10k + d)) — the same offline-literal
+    * contract as [[BenfordPpm]]; floors sum to 999996 ppm.
+    */
+  val Benford2Ppm: Seq[(Int, Long)] = Seq(
+    0 -> 119679L, 1 -> 113890L, 2 -> 108821L, 3 -> 104329L, 4 -> 100308L,
+    5 -> 96677L, 6 -> 93374L, 7 -> 90351L, 8 -> 87570L, 9 -> 84997L)
+
+  /** Benford second-digit audit (q66) — Nigrini's standard escalation
+    * when the first-digit test (q63) passes: fabricators who know to
+    * fake a plausible first digit rarely match the much flatter
+    * second-digit law P(d) = Σ_k log10(1+1/(10k+d)), so the two tests
+    * together are far harder to game than either alone. Same contract
+    * as q63: amounts with at least two digits on the cents grid, the
+    * shared literal constant table, exact common-denominator
+    * deviations, HUGEINT/DECIMAL(38) χ² micro terms, grand-total χ²
+    * on every row. Same scale shape (map-side digit projection, one
+    * 10-key aggregation, two bounded broadcasts — allowlisted).
+    */
+  def benford2Audit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fd = Tables.orders(spark, sfDir)
+      .select(round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+      .filter($"cents" >= 10)
+      .select(substring($"cents".cast("string"), 2, 1).cast("int").as("digit"))
+    val obs = fd.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val n = fd.agg(count(lit(1)).as("n"))
+    // cached: the χ² total and the final projection both read the
+    // per-digit frame
+    val rows = graft.Caches.track(
+      Benford2Ppm.toDF("digit", "exp_ppm")
+        .join(obs, Seq("digit"), "left")
+        .na.fill(0L, Seq("n_obs"))
+        .crossJoin(broadcast(n))
+        .withColumn("dev", $"n_obs" * 1000000L - $"n" * $"exp_ppm")
+        .withColumn("chi2_micro", expr(
+          "CAST(CAST(dev AS DECIMAL(38,0)) * dev div " +
+            "(CAST(n AS DECIMAL(38,0)) * exp_ppm) AS BIGINT)")))
+    val tot = rows.agg(sum($"chi2_micro").as("chi2_micro_total"))
+    rows.crossJoin(broadcast(tot))
+      .select($"digit", $"n_obs",
+        expr("n_obs * 1000000 div n").as("obs_ppm"),
+        $"exp_ppm", $"dev", $"chi2_micro", $"chi2_micro_total")
+      .orderBy($"digit")
+  }
+
   /** Benford first-digit audit (q63) — the forensic data-quality screen
     * (Benford 1938; Nigrini's fraud-audit standard): naturally-grown
     * monetary amounts lead with digit d at frequency log10(1+1/d),

@@ -1662,6 +1662,54 @@ object Similarity {
           "END").as("r2_ppm"))
   }
 
+  /** Label assortativity of the corpus k-NN graph (s43) — Newman
+    * 2003's categorical mixing coefficient next to s42's degree form:
+    * how much more often do edges connect SAME-label vectors than the
+    * label margins alone would predict?
+    * r = (n·same − Σ_i a_i·b_i) / (n² − Σ_i a_i·b_i), where a_i/b_i
+    * are the out/in endpoint label counts — +1 = perfectly
+    * assortative (labels form islands: a healthy labeled embedding),
+    * 0 = random mixing (the embedding ignores the label), negative =
+    * disassortative. Everything exact integers; the ppm ratio is
+    * sign-explicit on DECIMAL(38,0)/HUGEINT, and the degenerate
+    * single-label graph (denominator 0) reports NULL on both engines.
+    *
+    * Scale shape: two label equi-joins onto the edge list, ONE
+    * |labels|²-key mixing aggregation, and label-sized/1-row rollups
+    * (the p04/q14 bounded shapes, allowlisted after plan dump).
+    */
+  def labelAssortativity(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, kNeighbors: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = graft.Caches.track(
+      knnEdges(spark, sfDir, k, iters, kNeighbors).select($"src", $"dst"))
+    val labels = Tables.embeddings(spark, sfDir).select($"vec_id", $"label")
+    // cached: the margins, the diagonal, and the total all read the
+    // mixing matrix
+    val mix = graft.Caches.track(
+      edges
+        .join(labels.select($"vec_id".as("src"), $"label".as("la")), "src")
+        .join(labels.select($"vec_id".as("dst"), $"label".as("lb")), "dst")
+        .groupBy($"la", $"lb").agg(count(lit(1)).as("c")))
+    val n = mix.agg(sum($"c").as("n"))
+    val ab = mix.groupBy($"la").agg(sum($"c").as("ca"))
+      .join(mix.groupBy($"lb").agg(sum($"c").as("cb")), $"la" === $"lb")
+      .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("sab"))
+    val same = mix.filter($"la" === $"lb")
+      .agg(coalesce(sum($"c"), lit(0L)).as("n_same"))
+    n.crossJoin(broadcast(same)).crossJoin(broadcast(ab))
+      .select($"n".as("n_edges"), $"n_same",
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - sab = 0 " +
+          "THEN CAST(NULL AS BIGINT) " +
+          "WHEN CAST(n_same AS DECIMAL(38,0)) * n - sab >= 0 " +
+          "THEN CAST((CAST(n_same AS DECIMAL(38,0)) * n - sab) * 1000000 " +
+          "div (CAST(n AS DECIMAL(38,0)) * n - sab) AS BIGINT) " +
+          "ELSE -CAST((CAST(sab AS DECIMAL(38,0)) - " +
+          "CAST(n_same AS DECIMAL(38,0)) * n) * 1000000 " +
+          "div (CAST(n AS DECIMAL(38,0)) * n - sab) AS BIGINT) END")
+          .as("r_ppm"))
+  }
+
   /** Greedy k-center coreset selection (s22) — the farthest-point
     * diversity sampler (Gonzalez 1985; the 2-approximation every
     * "select a diverse training subset" pipeline reaches for, and the

@@ -234,6 +234,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // per-user frame) as its direct child — ONE ten-column partial row
     // per task into the cached 1-row broadcast the three pair rows
     // read (q14's shape; verified by plan dump this round).
+    // q66 — q63's two shapes verbatim (verified by plan dump this
+    // round): the grand-total n (partial_count(1) per task) and the
+    // χ² total (partial_sum over the CACHED 10-row digit frame).
+    // s43 — three bounded shapes (verified by plan dump this round):
+    // the edge total and the diagonal sum are partial_sum(c) over the
+    // CACHED |labels|²-row mixing matrix, and Σa·b is a partial_sum
+    // over the |labels|-row margin join — p04's tiny-key-space bound
+    // throughout.
     // p23 — the reference total: the plan's one SinglePartition
     // exchange has HashAggregate(partial_sum(ref_n)) over the
     // |buckets|-row reference rollup as its direct child (p04's
@@ -275,7 +283,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "t40_chi2_keyness", "t41_burstiness", "s35_cluster_report",
       "p22_epoch_schedule", "q61_lorenz_gini", "t47_js_drift",
       "d36_tfidf_cosine", "q63_benford", "q62_theil", "q64_corr_audit",
-      "t49_tfidf_terms", "p23_match_distribution", "s42_assortativity")
+      "t49_tfidf_terms", "p23_match_distribution", "s42_assortativity",
+      "q66_benford2", "s43_label_assortativity")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -351,6 +351,11 @@ object ProfileScaleSweep {
       time("match_distribution")(Sampling.matchDistribution(spark, dir))
       time("assortativity_sizedk")(
         Similarity.degreeAssortativity(spark, dir, k = 8 * mult))
+      // s43 shares s42's edge build + two label joins and a
+      // |labels|²-key rollup; q66 reads orders (not enlarged — q63's
+      // note applies)
+      time("label_assort_sizedk")(
+        Similarity.labelAssortativity(spark, dir, k = 8 * mult))
       // q62/q63 read the orders table, which this sweep does not
       // enlarge — their shapes (one corpus-reduced groupBy + tiny-key
       // rollups; a 9-key digit census) are already covered by the

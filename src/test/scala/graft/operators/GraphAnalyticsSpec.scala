@@ -194,6 +194,35 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("s43: label assortativity matches Newman's categorical recompute") {
+    val row = Similarity.labelAssortativity(spark, sf).collect()
+    graft.Caches.releaseAll(spark)
+    row.length shouldBe 1
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val el = directed.toSeq.map { case (s, d) => (labels(s), labels(d)) }
+    val n = BigInt(el.length)
+    val same = el.count { case (a, b) => a == b }.toLong
+    val aC = el.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bC = el.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sab = aC.keySet.intersect(bC.keySet).toSeq
+      .map(l => BigInt(aC(l)) * bC(l)).sum
+    val num = BigInt(same) * n - sab
+    val den = n * n - sab
+    row(0).getLong(0) shouldBe el.length.toLong
+    row(0).getLong(1) shouldBe same
+    if (den == 0) row(0).isNullAt(2) shouldBe true
+    else {
+      val r = if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den)
+      row(0).getLong(2) shouldBe r.toLong
+      r.toLong should (be >= -1000000L and be <= 1000000L)
+    }
+    // labels genuinely mix non-randomly on this corpus (embedding
+    // clusters carry labels): the diagonal is non-empty
+    same should be > 0L
+  }
+
   test("s39: HITS matches a sequential synchronous recompute") {
     val got = Similarity.hits(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

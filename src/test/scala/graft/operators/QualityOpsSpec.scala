@@ -962,6 +962,43 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("benford2Audit: exact sequential recompute, constant-table laws") {
+    val rows = Relational.benford2Audit(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    graft.Caches.releaseAll(spark)
+    rows.keySet shouldBe (0 to 9).toSet
+    // the constant table is floor ppm of Σ_k log10(1+1/(10k+d)), and
+    // the second-digit law is much FLATTER than the first-digit one
+    Relational.Benford2Ppm.foreach { case (d, p) =>
+      val exact = (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
+      p shouldBe math.floor(exact * 1e6).toLong
+    }
+    Relational.Benford2Ppm.map(_._2).sum shouldBe 999996L
+    val spread2 = Relational.Benford2Ppm.map(_._2)
+    val spread1 = Relational.BenfordPpm.map(_._2)
+    (spread2.max - spread2.min) should be < (spread1.max - spread1.min) / 5
+    // sequential recompute from raw orders
+    val cents = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100)).filter(_ >= 10)
+    val n = cents.length.toLong
+    val obs = cents.map(_.toString.charAt(1).asDigit)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var chiTot = 0L
+    val terms = Relational.Benford2Ppm.map { case (d, e) =>
+      val o = obs.getOrElse(d, 0L)
+      val dev = o * 1000000L - n * e
+      val chi = (BigInt(dev) * dev / (BigInt(n) * e)).toLong
+      chiTot += chi
+      d -> (o, o * 1000000L / n, e, dev, chi)
+    }.toMap
+    terms.foreach { case (d, (o, oPpm, e, dev, chi)) =>
+      rows(d) shouldBe ((o, oPpm, e, dev, chi, chiTot))
+    }
+    terms.values.map(_._4).sum shouldBe n * (1000000L - 999996L)
+  }
+
   test("theilIndex: exact sequential recompute, decomposition laws") {
     import graft.functions.IntLog
     val rows = Relational.theilIndex(spark, sf).collect()
