@@ -728,6 +728,67 @@ object EventStream {
       }
   }
 
+  /** Per-user EWMA carry for [[ewmaStream]]: the (us, event_id) key of
+    * the newest processed event plus the ≤ 8 most recent cents,
+    * newest first — ten numbers per user, unconditionally bounded.
+    */
+  case class EwmaState(us: Long, event_id: Long, ring: Seq[Long])
+
+  /** The q65 row shape. */
+  case class EwmaOut(user_id: Long, event_id: Long, cents: Long,
+    ewma_cents: Long)
+
+  /** Streaming truncated EWMA —
+    * [[graft.operators.Relational.ewmaSmooth]]'s (q65) ingest-time
+    * twin: the 8-lag α = 1/4 smoother is FINITE-window by design, so
+    * its streaming state is just a ring of the last 8 cents per user
+    * (the reason q65 truncates instead of carrying the recursive
+    * form). Each arriving event pushes onto the ring and emits its
+    * smoothed value over the SAME exact integer weights
+    * ([[graft.operators.Relational.EwmaW]]) with the same
+    * available-mass renormalization — row-for-row equal to the batch
+    * table on the same events.
+    *
+    * Order contract: in-batch events process in (us, event_id) order;
+    * across batches the source must deliver each user's events in
+    * order (the cusum/transition/island twins' documented contract).
+    * A stale redelivery — (us, event_id) at or behind the newest
+    * processed — is dropped in-function, so replays cannot double-push
+    * the ring.
+    */
+  def ewmaStream(events: DataFrame): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    import graft.operators.Relational.EwmaW
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("bigint").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(
+            EwmaState(Long.MinValue, Long.MinValue, Nil))
+          val out = Vector.newBuilder[EwmaOut]
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach {
+            case (_, eid, us, cents) =>
+              val fresh =
+                us > st.us || (us == st.us && eid > st.event_id)
+              if (fresh) {
+                val ring = (cents +: st.ring).take(EwmaW.length)
+                val dot = ring.zip(EwmaW).map { case (c, w) => w * c }.sum
+                val wsum = EwmaW.take(ring.length).sum
+                out += EwmaOut(uid, eid, cents, dot / wsum)
+                st = EwmaState(us, eid, ring)
+              }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Per-user last-event carry for [[transitionStream]]: the (us,
     * event_id) key of the newest event seen plus its type — three
     * fields per user, unconditionally bounded.

@@ -119,6 +119,43 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("ewma stream equals the q65 batch table across an arrival split; " +
+      "stale redelivery is invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // global (ts, event_id) order implies each user's order, so the
+    // split respects the twin's per-user cross-batch order contract
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    val mem = MemoryStream[Event]
+    val q = EventStream.ewmaStream(mem.toDF())
+      .writeStream.format("memory").queryName("ew").outputMode("append")
+      .start()
+    try {
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b1.takeRight(20).toSeq) // stale redelivery — dropped
+      q.processAllAvailable()
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("ew").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3))))
+      val exp = graft.operators.Relational
+        .ewmaSmooth(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3))))
+      graft.Caches.releaseAll(spark)
+      got.toMap shouldBe exp.toMap
+      got.length shouldBe exp.length // exactly once despite redelivery
+    } finally q.stop()
+  }
+
   test("gap sessionization closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
