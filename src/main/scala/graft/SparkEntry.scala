@@ -311,6 +311,7 @@ object SparkEntry {
     "m37_sobel" -> (Multimodal.sobelGate _),
     "m38_cc_label" -> (Multimodal.ccLabelGate _),
     "m39_hist_entropy" -> (Multimodal.histEntropyGate _),
+    "m40_otsu2" -> (Multimodal.otsu2Gate _),
     "m32_patchify" -> (Multimodal.patchifyGate _),
     "m33_rle_signal" -> (Multimodal.rleSignalGate _),
     "m34_dither" -> (Multimodal.orderedDitherGate _),
@@ -6823,6 +6824,50 @@ object SparkEntry {
         |      FROM m GROUP BY 1)
         |SELECT doc_id, n_interior, n_edges, mag_sum, mag_max, edge_checksum
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // m40: two-level Otsu — the 3-class threshold-pair argmax over
+    // present-level pairs on the same 2^20 grid (OtsuCtes supplies the
+    // per-level prefix sums; its single-threshold tail CTEs go unused)
+    "m40_otsu2" ->
+      s"""WITH $OtsuCtes,
+        |pairs AS (
+        |  SELECT a.doc_id, a.v AS t1, b.v AS t2,
+        |    a.n0 AS n1, a.s0 AS s1,
+        |    b.n0 - a.n0 AS n2, b.s0 - a.s0 AS s2,
+        |    t.n - b.n0 AS n3, t.s - b.s0 AS s3
+        |  FROM cdf a JOIN cdf b ON b.doc_id = a.doc_id AND b.v > a.v
+        |  JOIN tot t ON t.doc_id = a.doc_id
+        |  WHERE t.n - b.n0 > 0),
+        |scored2 AS (SELECT doc_id, t1, t2,
+        |    (s1 * s1 * 1048576) // n1 + (s2 * s2 * 1048576) // n2 +
+        |    (s3 * s3 * 1048576) // n3 AS score
+        |  FROM pairs),
+        |pick2 AS (SELECT doc_id, t1, t2, score FROM (
+        |    SELECT p.*, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, t1, t2) AS rn
+        |    FROM scored2 p) x
+        |  WHERE rn = 1),
+        |pf2 AS (SELECT t.doc_id,
+        |    CAST(coalesce(p.t1, t.vmax) AS INT) AS t1,
+        |    CAST(coalesce(p.t2, t.vmax) AS INT) AS t2,
+        |    CAST(coalesce(p.score, 0) AS BIGINT) AS score
+        |  FROM tot t LEFT JOIN pick2 p USING (doc_id)),
+        |o AS (SELECT v.doc_id, v.idx,
+        |    CASE WHEN v.v <= p.t1 THEN 0 WHEN v.v <= p.t2 THEN 128
+        |         ELSE 255 END AS qv
+        |  FROM v JOIN pf2 p USING (doc_id)),
+        |f AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |    CAST(sum(CASE WHEN qv = 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+        |    CAST(sum(CASE WHEN qv = 255 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_high,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list(CAST(qv AS BIGINT) ORDER BY idx),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS tri_checksum
+        |  FROM o GROUP BY 1)
+        |SELECT p.doc_id, p.t1, p.t2, p.score, f.n_low, f.n_mid, f.n_high,
+        |  f.tri_checksum
+        |FROM pf2 p JOIN f USING (doc_id) ORDER BY p.doc_id""".stripMargin,
 
     // m36: Otsu threshold — per-image between-class-variance argmax on
     // the exact 2^20-scaled integer grid (candidates = present gray

@@ -2923,6 +2923,72 @@ object Multimodal {
     histEntropy(docPgmRows(spark, sfDir)).orderBy($"doc_id")
   }
 
+  /** Two-level Otsu (m40) — m36's argmax generalized to the 3-class
+    * split (Otsu 1979 §V: the multi-threshold form): pick the present-
+    * level pair t1 < t2 maximizing the between-class criterion, which
+    * up to a per-image constant is Σ_c s_c²/n_c over the three classes
+    * (≤t1, (t1,t2], >t2). The comparison key is Σ_c (s_c²·2^20 // n_c)
+    * — each term floored identically on both engines (the m36 grid,
+    * per class), tie-break (t1, t2) ascending. Candidates require all
+    * three classes non-empty; an image with < 3 present levels falls
+    * back to t1 = t2 = its max level (empty upper classes, score 0) —
+    * m36's flat-fallback discipline. The 3-level quantized stream
+    * (0 / 128 / 255) is pinned by the m05 rolling checksum. This is
+    * the document/diagram poster-ization pass: background / halftone /
+    * ink.
+    *
+    * Scale shape: decode + prefix sums over present levels + the
+    * ≤levels²/2 candidate scan per image in ONE map over the binary
+    * column — no shuffle, the m05 discipline (256 levels → ≤ 32k
+    * candidates per image, trivially local).
+    */
+  def otsu2Threshold(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
+        val px = img.pixels.map(_ & 0xff)
+        val hist = new Array[Long](256)
+        px.foreach(v => hist(v) += 1)
+        val present = (0 until 256).filter(hist(_) > 0)
+        // prefix counts/sums at each present level
+        val n0 = new Array[Long](present.length)
+        val s0 = new Array[Long](present.length)
+        var accN = 0L
+        var accS = 0L
+        present.zipWithIndex.foreach { case (v, i) =>
+          accN += hist(v); accS += v * hist(v); n0(i) = accN; s0(i) = accS
+        }
+        val (nTot, sTot) = (accN, accS)
+        var best = -1L
+        var bt1 = -1
+        var bt2 = -1
+        for (i <- present.indices; j <- (i + 1) until present.length) {
+          val (nn1, ss1) = (n0(i), s0(i))
+          val (nn2, ss2) = (n0(j) - n0(i), s0(j) - s0(i))
+          val (nn3, ss3) = (nTot - n0(j), sTot - s0(j))
+          if (nn3 > 0) {
+            val score = ss1 * ss1 * 1048576L / nn1 +
+              ss2 * ss2 * 1048576L / nn2 + ss3 * ss3 * 1048576L / nn3
+            if (score > best) { best = score; bt1 = present(i); bt2 = present(j) }
+          }
+        }
+        val (t1, t2, score) =
+          if (bt1 < 0) (px.max, px.max, 0L) else (bt1, bt2, best)
+        val q = px.map(v => if (v <= t1) 0 else if (v <= t2) 128 else 255)
+        val chk = q.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)
+        (r.media_id, t1, t2, score, q.count(_ == 0).toLong,
+          q.count(_ == 128).toLong, q.count(_ == 255).toLong, chk)
+      }
+    }.toDF("doc_id", "t1", "t2", "score", "n_low", "n_mid", "n_high",
+      "tri_checksum")
+  }
+
+  /** m40 gate entry: [[otsu2Threshold]] over the PGM documents. */
+  def otsu2Gate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    otsu2Threshold(docPgmRows(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** m11 payload builder: a REAL PNG per document — the first 64 text
     * bytes as an 8×8 grayscale raster, encoded through [[encodePng]]
     * with the row filter VARYING per (doc_id, row) as

@@ -345,6 +345,7 @@ object ProfileScaleSweep {
       // the corpus-linear claim is the row. m39 is the map floor.
       time("tfidf_terms")(TextAnalysis.tfidfTerms(spark, dir))
       time("hist_entropy")(Multimodal.histEntropyGate(spark, dir))
+      time("otsu2")(Multimodal.otsu2Gate(spark, dir))
       // p23: map-side bucket/hash projection + tiny-key rollups + a
       // broadcast ratio join back onto the scan — the linear floor.
       // s42 rides the sized-k s16 edges + one moment reduction.

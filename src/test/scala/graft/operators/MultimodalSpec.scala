@@ -2065,6 +2065,42 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("otsu2Threshold: hand-built pair argmax, fallbacks, gate laws") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    def pgm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px.map(_.toByte))
+    def fold(s: Seq[Int]): Long =
+      s.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)
+    val out = Multimodal.otsu2Threshold(Seq(
+      // three levels: the only valid pair is (0, 128)
+      MediaRow(1L, "image", pgm(2, 2, Array(0, 0, 128, 255))),
+      // two levels: no pair leaves the upper class non-empty — fallback
+      MediaRow(2L, "image", pgm(2, 2, Array(0, 0, 255, 255))),
+      // flat: fallback to the single level
+      MediaRow(3L, "image", pgm(2, 2, Array(9, 9, 9, 9)))
+    ).toDS()).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    (r1.getInt(1), r1.getInt(2)) shouldBe ((0, 128))
+    r1.getLong(3) shouldBe (128L * 128 + 255L * 255) * 1048576L
+    (r1.getLong(4), r1.getLong(5), r1.getLong(6)) shouldBe ((2L, 1L, 1L))
+    r1.getLong(7) shouldBe fold(Seq(0, 0, 128, 255))
+    val r2 = out(2L)
+    (r2.getInt(1), r2.getInt(2), r2.getLong(3)) shouldBe ((255, 255, 0L))
+    (r2.getLong(4), r2.getLong(5), r2.getLong(6)) shouldBe ((4L, 0L, 0L))
+    val r3 = out(3L)
+    (r3.getInt(1), r3.getInt(2), r3.getLong(3)) shouldBe ((9, 9, 0L))
+    // gate corpus: classes partition 64 pixels, and the word-soup
+    // rasters genuinely split three ways somewhere
+    val gate = Multimodal.otsu2Gate(spark, "/root/testdata/sf0.001").collect()
+    gate should not be empty
+    gate.foreach { r =>
+      r.getLong(4) + r.getLong(5) + r.getLong(6) shouldBe 64L
+      r.getInt(1) should be <= r.getInt(2)
+    }
+    gate.count(r => r.getLong(5) > 0 && r.getLong(6) > 0) should be > 0
+  }
+
   test("patchify: geometry pins, partial patches dropped, stats law") {
     import spark.implicits._
     import graft.operators.Multimodal.MediaRow
