@@ -82,6 +82,7 @@ object SparkEntry {
     "q63_benford" -> (Relational.benfordAudit _),
     "q64_corr_audit" -> (Relational.corrAudit _),
     "q65_ewma" -> (Relational.ewmaSmooth _),
+    "q67_theil_l" -> (Relational.theilL _),
     "p23_match_distribution" -> ((s: SparkSession, d: String) =>
       Sampling.matchDistribution(s, d)),
     "s42_assortativity" -> ((s: SparkSession, d: String) =>
@@ -1311,6 +1312,71 @@ object SparkEntry {
        |  CAST(h.h_num * 1000 // (b.n * $twoF) AS BIGINT) AS h_mbits
        |FROM $bn b JOIN h ON h.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB mirror of Relational.theilL (q67): theilSql's CTE shape
+    * with the GE(0) algebra — unweighted within terms lsg − lxn,
+    * n_g-weighted between terms with the ratio flipped, ppm divided by
+    * n_g·2^F.
+    */
+  private lazy val theilLSql: String = {
+    val twoF = 1L << graft.functions.IntLog.F
+    val sb = new StringBuilder
+    sb ++= """WITH sp AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |j AS MATERIALIZED (
+       |  SELECT c.c_mktsegment AS segment, s.x
+       |  FROM sp s JOIN customer c ON c.c_custkey = s.o_custkey
+       |  WHERE s.x >= 1),
+       |seg AS MATERIALIZED (
+       |  SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+       |    CAST(sum(x) AS BIGINT) AS s_g
+       |  FROM j GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+       |    CAST(sum(s_g) AS BIGINT) AS s FROM seg),
+       |wi AS (SELECT j.segment, j.x, j.x * g.n_g AS xn
+       |  FROM j JOIN seg g ON g.segment = j.segment)""".stripMargin
+    val (at, an) = ilogChainSql("la", "wi", "xn", "lxn", Seq("segment"))
+    sb ++= at
+    val (bt, bn) = ilogChainSql("lb", "seg", "s_g", "lsg", Seq("segment"))
+    sb ++= bt
+    sb ++= s""",
+       |win AS (
+       |  SELECT w.segment, CAST(sum(b.lsg - w.lxn) AS BIGINT)
+       |    AS theil_l_num
+       |  FROM $an w JOIN $bn b ON b.segment = w.segment GROUP BY 1),
+       |bw AS (SELECT g.segment, g.n_g, g.s_g * t.n AS sgn, t.s * g.n_g AS sng
+       |  FROM seg g CROSS JOIN tot t)""".stripMargin
+    val (ct, cn) = ilogChainSql("lc", "bw", "sgn", "lsgn",
+      Seq("segment", "n_g", "sng"))
+    sb ++= ct
+    val (dt, dn) = ilogChainSql("ld", cn, "sng", "lsng",
+      Seq("segment", "n_g", "lsgn"))
+    sb ++= dt
+    sb ++= s""",
+       |btw AS (SELECT CAST(sum(n_g * (lsng - lsgn)) AS BIGINT)
+       |    AS theil_l_num
+       |  FROM $dn),
+       |u AS (
+       |  SELECT g.segment AS component, g.n_g AS n_users,
+       |    g.s_g AS spend_cents, w.theil_l_num
+       |  FROM win w JOIN seg g ON g.segment = w.segment
+       |  UNION ALL
+       |  SELECT '(between)' AS component, t.n AS n_users,
+       |    t.s AS spend_cents, b.theil_l_num
+       |  FROM btw b CROSS JOIN tot t)
+       |SELECT component, n_users, spend_cents, theil_l_num,
+       |  CAST(CASE WHEN theil_l_num >= 0
+       |    THEN (CAST(theil_l_num AS HUGEINT) * 1000000) //
+       |      (CAST(n_users AS HUGEINT) * $twoF)
+       |    ELSE -((CAST(-theil_l_num AS HUGEINT) * 1000000) //
+       |      (CAST(n_users AS HUGEINT) * $twoF))
+       |  END AS BIGINT) AS theil_l_ppm
+       |FROM u ORDER BY component""".stripMargin
     sb.toString
   }
 
@@ -5714,6 +5780,10 @@ object SparkEntry {
          |SELECT digit, n_obs, obs_ppm, exp_ppm, dev, chi2_micro,
          |  t.chi2_micro_total
          |FROM r3 CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // q67: Theil L (mean log deviation) — q62's dual on the same
+    // fixed-point grid; ppm divides by n_g*2^F
+    "q67_theil_l" -> theilLSql,
 
     // q63: Benford first-digit audit — shared literal constant table,
     // exact common-denominator deviations, HUGEINT χ² micro terms

@@ -1599,6 +1599,65 @@ object Relational {
       .orderBy($"component")
   }
 
+  /** Theil L (mean log deviation) with within/between decomposition
+    * (q67) — the GE(0) member completing the inequality triple next to
+    * q61's Gini and q62's Theil T (GE(1)): T weights each log-ratio by
+    * the unit's SPEND (top-sensitive), L weighs every PERSON equally
+    * (bottom-sensitive — a swelling mass of near-zero spenders moves L
+    * long before T), and the T−L gap is itself a standard
+    * concentration signal. Per segment:
+    * L_g(bits) = (1/n_g)·Σ_{i∈g} log2(μ_g/x_i), reported as the exact
+    * integer numerator Σ (log2fixed(S_g) − log2fixed(x_i·n_g)) on the
+    * [[graft.functions.IntLog]] grid; the between component is
+    * Σ_g n_g·(log2fixed(S·n_g) − log2fixed(S_g·n)). The ppm column
+    * divides by n_g·2^F (sign-explicit, DECIMAL(38,0)/HUGEINT — the
+    * q62 discipline; same domain audit).
+    *
+    * Scale shape: identical to q62 — the same cached per-customer
+    * frame, broadcast |segments|-row rollup, map-combinable sums;
+    * only the per-term algebra differs (unweighted log ratio).
+    */
+  def theilL(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IntLog.log2Fixed
+    val ppmDiv = "CASE WHEN theil_l_num >= 0 THEN " +
+      s"CAST(CAST(theil_l_num AS DECIMAL(38,0)) * 1000000 div " +
+      s"(CAST(n_users AS DECIMAL(38,0)) * ${1L << graft.functions.IntLog.F}) AS BIGINT) " +
+      "ELSE -CAST(CAST(-theil_l_num AS DECIMAL(38,0)) * 1000000 div " +
+      s"(CAST(n_users AS DECIMAL(38,0)) * ${1L << graft.functions.IntLog.F}) AS BIGINT) END"
+    val sp = graft.Caches.track(
+      Tables.orders(spark, sfDir)
+        .select($"o_custkey",
+          round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+        .groupBy($"o_custkey").agg(sum($"cents").as("x"))
+        .filter($"x" >= 1)
+        .join(Tables.customer(spark, sfDir)
+          .select($"c_custkey".as("o_custkey"),
+            $"c_mktsegment".as("segment")), "o_custkey"))
+    val seg = graft.Caches.track(sp.groupBy($"segment")
+      .agg(count(lit(1)).as("n_g"), sum($"x").as("s_g")))
+    val tot = seg.agg(sum($"n_g").as("n"), sum($"s_g").as("s"))
+    val within = sp.join(broadcast(seg), "segment")
+      .select($"segment", $"n_g", $"s_g",
+        (log2Fixed($"s_g") - log2Fixed($"x" * $"n_g")).as("term"))
+      .groupBy($"segment")
+      .agg(max($"n_g").as("n_users"), max($"s_g").as("spend_cents"),
+        sum($"term").as("theil_l_num"))
+      .select($"segment".as("component"), $"n_users", $"spend_cents",
+        $"theil_l_num")
+    val between = seg.crossJoin(broadcast(tot))
+      .select($"n", $"s",
+        ($"n_g" * (log2Fixed($"s" * $"n_g") - log2Fixed($"s_g" * $"n")))
+          .as("term"))
+      .agg(max($"n").as("n_users"), max($"s").as("spend_cents"),
+        sum($"term").as("theil_l_num"))
+      .select(lit("(between)").as("component"), $"n_users", $"spend_cents",
+        $"theil_l_num")
+    within.unionByName(between)
+      .withColumn("theil_l_ppm", expr(ppmDiv))
+      .orderBy($"component")
+  }
+
   /** Truncated-EWMA weights: w_k = 16384·(3/4)^k for k = 0..7 — EXACT
     * integers (2^14 absorbs every 4^k denominator through k = 7), so
     * the α = 1/4 exponential smoother needs no flooring at all in its

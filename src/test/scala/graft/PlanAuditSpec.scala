@@ -224,6 +224,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // broadcast; the Gini exchange has HashAggregate(
     // partial_sum(rnk*cents), partial_max) over the CACHED ranked
     // frame — one partial row per task into the 1-row gini broadcast.
+    // q67 — q62's two shapes verbatim (verified by plan dump this
+    // round): the (n, S) total (partial_sum over the cached
+    // |segments|-row rollup) and the between-sum finalization
+    // (partial_max/partial_sum over the same frame).
     // q62 — the (n, S) total and the between-sum finalizations: every
     // SinglePartition exchange sits on the CACHED |segments|-row
     // rollup (partial_sum over ≤|segments| rows per task into 1-row
@@ -284,7 +288,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       "p22_epoch_schedule", "q61_lorenz_gini", "t47_js_drift",
       "d36_tfidf_cosine", "q63_benford", "q62_theil", "q64_corr_audit",
       "t49_tfidf_terms", "p23_match_distribution", "s42_assortativity",
-      "q66_benford2", "s43_label_assortativity")
+      "q66_benford2", "s43_label_assortativity", "q67_theil_l")
     for ((name, _) <- SparkEntry.queries if !bounded(name))
       withClue(name) { unboundedFunnel(plan(name)) shouldBe false }
   }

@@ -926,6 +926,56 @@ class QualityOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows("cents_vs_events")._3.get should be > 100000L
   }
 
+  test("theilL: exact sequential recompute, GE(0) vs GE(1) sensitivity") {
+    import graft.functions.IntLog
+    val rows = Relational.theilL(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.Caches.releaseAll(spark)
+    rows.size should be > 2
+    val spend = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 >= 1)
+    val segOf = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySeg = spend.toSeq.groupBy { case (ck, _) => segOf(ck) }
+    val (n, s) = (spend.size.toLong, spend.values.sum)
+    var btwExp = 0L
+    for ((sg, xs) <- bySeg) {
+      val nG = xs.length.toLong
+      val sG = xs.map(_._2).sum
+      val num = xs.map { case (_, x) =>
+        IntLog.log2FixedRef(sG) - IntLog.log2FixedRef(x * nG)
+      }.sum
+      val ppm = BigInt(num).abs * 1000000 / (BigInt(nG) * (1L << IntLog.F)) *
+        (if (num >= 0) 1 else -1)
+      rows(sg) shouldBe ((nG, sG, num, ppm.toLong))
+      btwExp += nG * (IntLog.log2FixedRef(s * nG) - IntLog.log2FixedRef(sG * n))
+    }
+    val (bn, bs, bnum, _) = rows("(between)")
+    (bn, bs, bnum) shouldBe ((n, s, btwExp))
+    // GE(0) is non-negative in exact real arithmetic per segment
+    // (Jensen); the fixed-point numerator can undershoot by at most
+    // one grid ulp per customer
+    bySeg.foreach { case (sg, xs) =>
+      rows(sg)._3 should be >= -xs.length.toLong
+    }
+    // the decomposition tracks the true real value: total L over all
+    // customers ≈ between-bits + Σ (n_g/n)·L_g
+    def bits(num: Long, den: Long): Double =
+      num.toDouble / den / (1L << IntLog.F)
+    val lTot = spend.values.map { x =>
+      math.log(s.toDouble / n / x) / math.log(2) / n
+    }.sum
+    val lDecomp = bits(btwExp, n) + bySeg.map { case (sg, xs) =>
+      xs.length.toDouble / n * bits(rows(sg)._3, xs.length.toLong)
+    }.sum
+    lDecomp shouldBe lTot +- 0.01
+  }
+
   test("ewmaSmooth: exact sequential recompute, smoother laws") {
     val rows = Relational.ewmaSmooth(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
