@@ -93,13 +93,13 @@ object Bench {
     val meds = results.map { case (k, _, m) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
-    println(line)
-    // The driver's stdout capture has arrived truncated two rounds
-    // running (BENCH_r5/r6 "parsed": null) — also write the identical
-    // single line, pure JSON, to a fixed file it (and anyone) can
-    // ingest whole. Overridable for tests; never fatal to the bench.
+    // The driver captures only a bounded stdout TAIL (BENCH_r12
+    // "parsed": null once the 285-query map outgrew it). The full
+    // per-query line therefore goes ONLY to the archive file; stdout's
+    // LAST line is a short totals record guaranteed to fit whole in
+    // any tail buffer. Overridable for tests; never fatal to the bench.
     // default is cwd-relative (advisor round-7: a hardcoded absolute
     // path lands the artifact in the wrong place on other checkouts);
     // the env var stays the explicit override
@@ -109,10 +109,14 @@ object Bench {
     // artifact the driver (and round records) read
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
       }
+    else println(fullLine) // dev runs: small map, print it whole
+    val perQuery = total / math.max(1, results.count(_._2 >= 0))
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"per_query":$perQuery,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -1017,7 +1017,7 @@ object SparkEntry {
        |SELECT source, n AS n_ranks,
        |  CAST(CASE WHEN num >= 0 THEN num * 1000000 // den
        |       ELSE -((-num) * 1000000 // den) END AS BIGINT) AS slope_ppm,
-       |  CAST(CASE WHEN n * syy - sy * sy = 0 THEN 1000000
+       |  CAST(CASE WHEN n * syy - sy * sy = 0 THEN NULL
        |       ELSE (CAST(num AS HUGEINT) * num * 1000000) //
        |         (CAST(den AS HUGEINT) * (n * syy - sy * sy)) END AS BIGINT)
        |    AS r2_ppm
@@ -5695,8 +5695,9 @@ object SparkEntry {
       val wsum = graft.operators.Relational.EwmaW.zipWithIndex.map {
         case (wt, k) => s"CASE WHEN l$k IS NOT NULL THEN $wt ELSE 0 END"
       }.mkString(" + ")
-      s"""WITH b AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+      s"""WITH b0 AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
         |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT * FROM b0 WHERE cents >= 0),
         |l AS (SELECT user_id, event_id, cents,
         |    $lags
         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))

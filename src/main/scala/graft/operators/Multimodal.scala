@@ -2674,6 +2674,46 @@ object Multimodal {
     histEqualize(docPgmRows(spark, sfDir)).orderBy($"doc_id")
   }
 
+  /** Shared single-threshold Otsu argmax over a gray pixel array — the
+    * ONE definition behind m36 ([[otsuThreshold]]) and m38
+    * ([[ccLabel]]), so the two gates cannot drift on inputs beyond the
+    * spec corpus (advisor r12). The comparison key
+    * num²·2^20 / (n0·n1) is computed in BigInt: |num| ≤ 255·n0·n1, so
+    * the squared Long numerator wraps Int64 beyond ~200 pixels while
+    * these functions are public over arbitrary rasters. Returns
+    * (threshold, score): score is the floored key when it fits the
+    * Int64 grid and −1 past it (only reachable beyond ~2-megapixel
+    * images — score = n²·σ_B²·2^20 grows with the square of the pixel
+    * count; the argmax itself is always exact). A flat image (no
+    * candidate with a non-empty upper class) returns (max level, 0).
+    */
+  private def otsuThresholdOf(px: Array[Int]): (Int, Long) = {
+    val n = px.length.toLong
+    val hist = new Array[Long](256)
+    px.foreach(v => hist(v) += 1)
+    val total = px.map(_.toLong).sum
+    var bestScore = BigInt(-1)
+    var bestT = -1
+    var n0 = 0L
+    var s0 = 0L
+    var v = 0
+    while (v < 256) {
+      if (hist(v) > 0) {
+        n0 += hist(v)
+        s0 += v.toLong * hist(v)
+        val n1 = n - n0
+        if (n1 > 0) {
+          val num = BigInt(s0) * n1 - BigInt(total - s0) * n0
+          val score = num * num * 1048576 / (BigInt(n0) * n1)
+          if (score > bestScore) { bestScore = score; bestT = v }
+        }
+      }
+      v += 1
+    }
+    if (bestT < 0) (px.max, 0L)
+    else (bestT, if (bestScore.isValidLong) bestScore.toLong else -1L)
+  }
+
   /** Otsu threshold + binarization (m36) — the classic automatic
     * foreground/background split (Otsu 1979): pick the gray level t
     * maximizing the between-class variance
@@ -2681,10 +2721,11 @@ object Multimodal {
     * the document-scan / chart-detection preprocessing pass a media
     * pipeline runs before OCR routing or ink-ratio quality scoring.
     * The comparison key is the exact integer numerator scaled by 2^20
-    * and floor-divided by n0·n1 — both engines floor identically, so
-    * the argmax (tie-break: smallest t, via strict `>` over ascending
-    * v) is deterministic and the whole report hash-gates; |num| ≤
-    * Σv·n ≤ 2^24 at 8×8/255, so num²·2^20 < 2^63. Candidates are the
+    * and floor-divided by n0·n1, computed in BigInt so rasters of any
+    * resolution argmax exactly ([[otsuThresholdOf]]) — both engines
+    * floor identically, so the argmax (tie-break: smallest t, via
+    * strict `>` over ascending v) is deterministic and the whole
+    * report hash-gates. Candidates are the
     * PRESENT gray levels with a non-empty upper class (σ_B is constant
     * between present levels, so the smallest-t argmax always lands on
     * one); a flat image has no candidate and reports its single level
@@ -2700,30 +2741,7 @@ object Multimodal {
     ds.flatMap { r =>
       decodeRasterPixels(r.content).filter(_.channels == 1).map { img =>
         val px = img.pixels.map(_ & 0xff)
-        val n = px.length.toLong
-        val hist = new Array[Long](256)
-        px.foreach(v => hist(v) += 1)
-        val total = px.map(_.toLong).sum
-        var bestScore = -1L
-        var bestT = -1
-        var n0 = 0L
-        var s0 = 0L
-        var v = 0
-        while (v < 256) {
-          if (hist(v) > 0) {
-            n0 += hist(v)
-            s0 += v.toLong * hist(v)
-            val n1 = n - n0
-            if (n1 > 0) {
-              val num = s0 * n1 - (total - s0) * n0
-              val score = num * num * 1048576L / (n0 * n1)
-              if (score > bestScore) { bestScore = score; bestT = v }
-            }
-          }
-          v += 1
-        }
-        val t = if (bestT < 0) px.max else bestT
-        val score = if (bestT < 0) 0L else bestScore
+        val (t, score) = otsuThresholdOf(px)
         val out = px.map(p => if (p > t) 255 else 0)
         (r.media_id, t, score, out.count(_ == 0).toLong,
           out.count(_ == 255).toLong, byteChecksum(out.map(_.toByte)))
@@ -2824,32 +2842,7 @@ object Multimodal {
         val w = img.width
         val h = img.height
         val px = img.pixels.map(_ & 0xff)
-        val n = px.length.toLong
-        // the m36 threshold, recomputed (one definition would require
-        // threading the full pixel array through a join; the algorithm
-        // is pinned by MultimodalSpec asserting m36/m38 agree on t)
-        val hist = new Array[Long](256)
-        px.foreach(v => hist(v) += 1)
-        val total = px.map(_.toLong).sum
-        var bestScore = -1L
-        var bestT = -1
-        var n0 = 0L
-        var s0 = 0L
-        var v = 0
-        while (v < 256) {
-          if (hist(v) > 0) {
-            n0 += hist(v)
-            s0 += v.toLong * hist(v)
-            val n1 = n - n0
-            if (n1 > 0) {
-              val num = s0 * n1 - (total - s0) * n0
-              val score = num * num * 1048576L / (n0 * n1)
-              if (score > bestScore) { bestScore = score; bestT = v }
-            }
-          }
-          v += 1
-        }
-        val t = if (bestT < 0) px.max else bestT
+        val t = otsuThresholdOf(px)._1 // the ONE m36 threshold definition
         val fg = px.map(_ > t)
         // union-find over foreground pixels, 4-connectivity
         val parent = Array.tabulate(px.length)(identity)
@@ -2959,7 +2952,11 @@ object Multimodal {
           accN += hist(v); accS += v * hist(v); n0(i) = accN; s0(i) = accS
         }
         val (nTot, sTot) = (accN, accS)
-        var best = -1L
+        // comparison keys in BigInt — ss² on the 2^20 grid wraps Int64
+        // past tiny rasters (the m36/otsuThresholdOf discipline); the
+        // reported Long score falls back to −1 if the exact value ever
+        // exceeds the Int64 grid (multi-megapixel images only)
+        var best = BigInt(-1)
         var bt1 = -1
         var bt2 = -1
         for (i <- present.indices; j <- (i + 1) until present.length) {
@@ -2967,13 +2964,15 @@ object Multimodal {
           val (nn2, ss2) = (n0(j) - n0(i), s0(j) - s0(i))
           val (nn3, ss3) = (nTot - n0(j), sTot - s0(j))
           if (nn3 > 0) {
-            val score = ss1 * ss1 * 1048576L / nn1 +
-              ss2 * ss2 * 1048576L / nn2 + ss3 * ss3 * 1048576L / nn3
+            val score = BigInt(ss1) * ss1 * 1048576 / nn1 +
+              BigInt(ss2) * ss2 * 1048576 / nn2 +
+              BigInt(ss3) * ss3 * 1048576 / nn3
             if (score > best) { best = score; bt1 = present(i); bt2 = present(j) }
           }
         }
         val (t1, t2, score) =
-          if (bt1 < 0) (px.max, px.max, 0L) else (bt1, bt2, best)
+          if (bt1 < 0) (px.max, px.max, 0L)
+          else (bt1, bt2, if (best.isValidLong) best.toLong else -1L)
         val q = px.map(v => if (v <= t1) 0 else if (v <= t2) 128 else 255)
         val chk = q.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)
         (r.media_id, t1, t2, score, q.count(_ == 0).toLong,

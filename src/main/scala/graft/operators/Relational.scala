@@ -1675,9 +1675,12 @@ object Relational {
     * ([[EwmaW]]), the numerator is an exact integer dot product over
     * the available lags, and the reported smoother value divides by
     * the weight mass actually present (exact floor; early rows with
-    * fewer lags renormalize instead of biasing toward 0). Cents ≥ 1
-    * on this table, so all division operands are positive and both
-    * engines floor identically.
+    * fewer lags renormalize instead of biasing toward 0). Negative
+    * amounts are filtered IN-PLAN (identically in the oracle and the
+    * streaming twin) — Spark `div` and Scala `/` truncate toward zero
+    * while DuckDB `//` floors, so a negative dot product would fork
+    * the engines; the filter keeps every division operand ≥ 0 by
+    * construction rather than by data luck (advisor r12).
     *
     * Scale shape: ONE per-user window partition + sort shared by all
     * eight lags (the q12/q52 shape) — corpus-linear, no funnel.
@@ -1688,6 +1691,7 @@ object Relational {
     val base = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
         round($"value" * 100, 0).cast("bigint").as("cents"))
+      .filter($"cents" >= 0)
     val lagged = EwmaW.zipWithIndex.foldLeft(base) { case (df, (_, k)) =>
       df.withColumn(s"l$k", lag($"cents", k).over(w))
     }
@@ -1819,6 +1823,15 @@ object Relational {
     * identically — the deviation from the one-shot floor is < 10⁻⁴
     * ppm). A constant metric (zero variance) yields NULL r² on both
     * engines.
+    *
+    * Overflow contract (advisor r12): past the documented sf0.1
+    * magnitudes the two engines FAIL DIFFERENTLY — Spark's non-ANSI
+    * DECIMAL(38,0) arithmetic silently yields NULL on overflow while
+    * DuckDB's HUGEINT raises; num² here fits 38 digits only while the
+    * per-user moment sums stay under ~10¹⁶ (true by orders of
+    * magnitude at sf0.1: cents sums ≈ 10⁹). A deployment at a scale
+    * approaching that bound should pre-scale the cents grid down
+    * rather than rely on either engine's overflow path.
     *
     * Scale shape: one corpus-reduced per-user groupBy, then ONE
     * grand-total moment aggregate (all ten sums in a single pass —

@@ -1624,7 +1624,10 @@ object Similarity {
     * the signal lives in IN-degree: per directed edge, the q64
     * Pearson moment algebra over (indeg(src), indeg(dst)), reported
     * as the covariance-numerator sign and r² ppm under the q64
-    * two-step floor — one exact-integer row.
+    * two-step floor — one exact-integer row. q64's overflow contract
+    * applies verbatim: past documented magnitudes Spark DECIMAL(38,0)
+    * NULLs silently where DuckDB HUGEINT raises — the moment sums here
+    * are degree-bounded (≤ corpus·k²), far under the 38-digit bound.
     *
     * Scale shape: one dst-keyed degree aggregation, two broadcast-able
     * degree joins onto the edge list (corpus×k rows), one grand-total

@@ -2086,7 +2086,11 @@ object TextAnalysis {
       .select($"source", $"n".as("n_ranks"),
         expr("CASE WHEN num >= 0 THEN num * 1000000 div den " +
           "ELSE -((-num) * 1000000 div den) END").as("slope_ppm"),
-        expr("CASE WHEN n * syy - sy * sy = 0 THEN 1000000L " +
+        // zero y-variance (constant-frequency source) is 0/0: R² is
+        // UNDEFINED there, and reporting "perfect fit" would read a
+        // flat template source as perfectly Zipfian — NULL instead,
+        // the q64/s42 degenerate discipline (advisor r12)
+        expr("CASE WHEN n * syy - sy * sy = 0 THEN CAST(NULL AS BIGINT) " +
           "ELSE CAST(CAST(num AS DECIMAL(38,0)) * num * 1000000 div " +
           "(CAST(den AS DECIMAL(38,0)) * (n * syy - sy * sy)) AS BIGINT) " +
           "END").as("r2_ppm"))

@@ -763,6 +763,10 @@ object EventStream {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"),
         round(col("value") * 100, 0).cast("bigint").as("cents"))
+      // mirrors the batch table's in-plan cents >= 0 filter: Scala /
+      // truncates toward zero while the oracle's // floors, so a
+      // negative dot product would fork the twins (advisor r12)
+      .filter(col("cents") >= 0)
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[EwmaState, EwmaOut](
