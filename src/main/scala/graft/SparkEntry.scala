@@ -89,6 +89,7 @@ object SparkEntry {
       Similarity.degreeAssortativity(s, d)),
     "s43_label_assortativity" -> ((s: SparkSession, d: String) =>
       Similarity.labelAssortativity(s, d)),
+    "s44_knn_artifact" -> (Similarity.knnArtifactGate _),
     "q66_benford2" -> (Relational.benford2Audit _),
     "q59_session_paths" -> ((s: SparkSession, d: String) =>
       Relational.sessionPaths(s, d)),
@@ -4224,6 +4225,16 @@ object SparkEntry {
     // only (the production kNN-graph approximation), per-src top-3 by
     // (rounded cosine DESC, dst). KnnCtes is shared with d22.
     "s16_knn_graph" ->
+      s"""WITH $KnnCtes
+         |SELECT src, dst, cell, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY src, rnk""".stripMargin,
+
+    // s44: the persisted kNN-edge artifact roundtrip — the Spark side
+    // writes the session artifact (knnGraphWrite) and returns the
+    // parquet READ-BACK; the oracle rebuilds the same edges from the
+    // base tables (s16's SQL verbatim). Hash-green = build → parquet →
+    // scan loses nothing, licensing the family's artifact consumption.
+    "s44_knn_artifact" ->
       s"""WITH $KnnCtes
          |SELECT src, dst, cell, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY src, rnk""".stripMargin,

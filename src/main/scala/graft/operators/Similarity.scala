@@ -1360,22 +1360,78 @@ object Similarity {
       iters: Int = 2, kNeighbors: Int = 3,
       maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
-    knnEdges(spark, sfDir, k, iters, kNeighbors, maxCellPop)
+    // the DIRECT build, never the artifact: s16 is the gate that proves
+    // (and the bench row that prices) the build itself, and its in-plan
+    // sizing guard is plan-audited here
+    buildKnnEdges(spark, sfDir, k, iters, kNeighbors, maxCellPop)
       .orderBy($"src", $"rnk")
   }
 
-  /** The unordered [[knnGraph]] edge set — shared with the consumers
-    * that aggregate it further ([[graft.operators.Dedup]]'s mutual-kNN
-    * canonicalize) and would otherwise pay a pointless pre-join sort
-    * (the corpusAssign/corpusClusters split, on edges).
+  /** The unordered [[knnGraph]] edge set as the FAMILY consumers see
+    * it — d22's mutual-kNN canonicalize and the s21/s23/s24/s25/s26/
+    * s29/s38/s39/s42/s43 analytics all iterate over this one frame.
+    * Served from the session's persisted artifact
+    * ([[graft.operators.KnnArtifact]]): first touch runs the real
+    * build and writes parquet ([[knnGraphWrite]]), every later touch
+    * is a columnar scan — the materialize-once workflow a 100 TB
+    * deployment runs explicitly, here with JVM-session scope. The s44
+    * gate proves read-back ≡ rebuild hash-identically.
     */
   private[operators] def knnEdges(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int, kNeighbors: Int,
+      maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame =
+    KnnArtifact.edges(spark, sfDir, k, iters, kNeighbors, maxCellPop)
+
+  /** The direct (no artifact) [[knnEdges]] build: Lloyd-trained cell
+    * assignment → guarded within-cell pair join → per-src top-k.
+    */
+  private[operators] def buildKnnEdges(spark: SparkSession, sfDir: String,
       k: Int, iters: Int, kNeighbors: Int,
       maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): DataFrame = {
     import spark.implicits._
     val cells = corpusAssign(spark, sfDir, k, iters)
       .select($"vec_id", $"cluster".as("cell"))
     knnEdgesFrom(spark, sfDir, cells, kNeighbors, maxCellPop)
+  }
+
+  /** Materialize the corpus k-NN edge artifact at `dir` (parquet,
+    * repartitioned by src so per-source reads and the src-keyed pregel
+    * joins start from co-located files). This is the production seam:
+    * build the graph ONCE on the cluster, persist it durably, and hand
+    * [[knnGraphRead]]'s frame to the whole analytics family instead of
+    * paying the Lloyd-train + pair-join + top-k build per query.
+    * Columns: src, dst, cell, cos (rounded 1e-6), rnk.
+    */
+  def knnGraphWrite(spark: SparkSession, sfDir: String, dir: String,
+      k: Int = 8, iters: Int = 2, kNeighbors: Int = 3,
+      maxCellPop: Long = graft.operators.Sizing.MaxPairKeyPopulation): Unit = {
+    import spark.implicits._
+    // the build's intermediates live in their own scope: the WRITE is
+    // their consuming action, and releasing must not touch caches the
+    // CALLING query has already registered unscoped
+    graft.Caches.scoped { _ =>
+      buildKnnEdges(spark, sfDir, k, iters, kNeighbors, maxCellPop)
+        .repartition($"src")
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** Read a [[knnGraphWrite]] artifact back as the edge frame. */
+  def knnGraphRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** s44 gate entry: the artifact roundtrip — first touch writes the
+    * session artifact through [[knnGraphWrite]], the returned frame is
+    * the parquet READ-BACK, and the oracle rebuilds the same edges from
+    * the base tables in DuckDB (s16's SQL verbatim). Hash-green proves
+    * build → parquet → scan loses nothing, which is what licenses the
+    * whole family's artifact consumption.
+    */
+  def knnArtifactGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    knnEdges(spark, sfDir, k = 8, iters = 2, kNeighbors = 3)
+      .select($"src", $"dst", $"cell", $"cos", $"rnk")
+      .orderBy($"src", $"rnk")
   }
 
   /** [[knnEdges]] from a PRECOMPUTED cell assignment — the split that
