@@ -501,7 +501,9 @@ object Dedup {
     * (if it missed either prefix, the whole intersection would fit in
     * that doc's ceil(τ·n)−1 suffix — too small). So an equi-join on
     * prefix shingles finds every qualifying pair; PPJoin's length
-    * filter (τ·n_a ≤ n_b ≤ n_a/τ) prunes candidates for free before
+    * filter (τ·n_a ≤ n_b ≤ n_a/τ) and POSITIONAL filter (the matched
+    * element's positions bound the remaining overlap — see
+    * [[jaccardPrefixCandidates]]) prune candidates for free before
     * verification. Verification is exact: array_intersect over the
     * two bounded sorted id lists.
     *
@@ -531,31 +533,8 @@ object Dedup {
     val spark = sh.sparkSession
     import spark.implicits._
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
-    // global rarest-first total order as a dictionary id: zero-padded
-    // frequency + shingle sorts exactly like (df ASC, sh ASC). The
-    // okey→sid rank joins back to the SMALL distinct-shingle frame
-    // first, so the corpus-sized (doc, shingle) frame pays ONE string
-    // join (sh → sid), not two.
-    val keyed = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .select($"sh",
-        concat(lpad($"df".cast("string"), 12, "0"), lit(" "), $"sh").as("okey"))
-    val dict = Ranking.denseIds(keyed, "okey", "sid")
-    val shToSid = keyed.join(dict, "okey").select($"sh", $"sid")
-    val sids = sh.join(shToSid, "sh").select($"doc_id", $"sid")
-    val docs = graft.Caches.track(
-      sids.groupBy($"doc_id").agg(sort_array(collect_list($"sid")).as("sids"))
-        .withColumn("n", size($"sids"))
-        .withColumn("p",
-          ($"n" - floor(($"n" * tauNum + tauDen - 1) / lit(tauDen.toDouble)) + 1)
-            .cast("int")))
-    val prefix = Sizing.guardKeyPopulation(
-      docs.select($"doc_id", $"n", explode(slice($"sids", lit(1), $"p")).as("sid")),
-      "sid", maxPrefixPop, "jaccardPrefixJoin", "prefix shingle", "tauNum/tauDen")
-    val cands = prefix.as("x").join(prefix.as("y"),
-        $"x.sid" === $"y.sid" && $"x.doc_id" < $"y.doc_id" &&
-          // PPJoin length filter: τ·n_a ≤ n_b and τ·n_b ≤ n_a
-          $"x.n" * tauNum <= $"y.n" * tauDen && $"y.n" * tauNum <= $"x.n" * tauDen)
-      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+    val docs = sortedSidDocs(sh, tauNum, tauDen)
+    val cands = jaccardPrefixCandidates(docs, tauNum, tauDen, maxPrefixPop)
     val setsA = docs.select($"doc_id".as("a"), $"sids".as("sa"), $"n".as("n_a"))
     val setsB = docs.select($"doc_id".as("b"), $"sids".as("sb"), $"n".as("n_b"))
     cands.join(setsA, "a").join(setsB, "b")
@@ -567,6 +546,69 @@ object Dedup {
         $"n_a".cast("bigint").as("n_a"), $"n_b".cast("bigint").as("n_b"),
         $"jaccard")
       .orderBy($"a", $"b")
+  }
+
+  /** Shared d23/d26 preprocessing: global rarest-first dictionary ids,
+    * per-doc SORTED sid arrays with sizes and prefix lengths
+    * p = n − ceil(τ·n) + 1. The zero-padded frequency + shingle okey
+    * sorts exactly like (df ASC, sh ASC); the okey→sid rank joins back
+    * to the SMALL distinct-shingle frame first, so the corpus-sized
+    * (doc, shingle) frame pays ONE string join (sh → sid), not two.
+    * Returned frame is cache-tracked (both the candidate explode and
+    * the verify join's two sides read it).
+    */
+  private[operators] def sortedSidDocs(sh: DataFrame, tauNum: Int,
+      tauDen: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val keyed = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .select($"sh",
+        concat(lpad($"df".cast("string"), 12, "0"), lit(" "), $"sh").as("okey"))
+    val dict = Ranking.denseIds(keyed, "okey", "sid")
+    val shToSid = keyed.join(dict, "okey").select($"sh", $"sid")
+    val sids = sh.join(shToSid, "sh").select($"doc_id", $"sid")
+    graft.Caches.track(
+      sids.groupBy($"doc_id").agg(sort_array(collect_list($"sid")).as("sids"))
+        .withColumn("n", size($"sids"))
+        .withColumn("p",
+          ($"n" - floor(($"n" * tauNum + tauDen - 1) / lit(tauDen.toDouble)) + 1)
+            .cast("int")))
+  }
+
+  /** d23 candidate generation over a [[sortedSidDocs]] frame: prefix
+    * equi-join + PPJoin length filter + (by default) PPJoin's
+    * POSITIONAL filter (Xiao et al., WWW 2008 §3). Each prefix element
+    * carries its 1-based position in the doc's sorted sid list; for a
+    * shared element at positions (i, j) the overlap can be at most
+    * 1 + min(n_x − i, n_y − j), so a match survives only if that bound
+    * reaches the PPJoin overlap requirement
+    * minOverlap = ceil(τ/(1+τ)·(n_x + n_y)) (J ≥ τ ⟺ overlap ≥ that).
+    * Lossless: a true pair's SMALLEST-ordered common element sits in
+    * both prefixes (the prefix lemma) and bounds the true overlap from
+    * above, so it always passes. The integer form of x ≥ ceil(a/b) is
+    * x·b ≥ a — no flooring anywhere. `positional = false` exists only
+    * for the profiling main that measures the candidate cut.
+    */
+  private[operators] def jaccardPrefixCandidates(docs: DataFrame,
+      tauNum: Int, tauDen: Int, maxPrefixPop: Long,
+      positional: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = Sizing.guardKeyPopulation(
+      docs.select($"doc_id", $"n",
+        posexplode(slice($"sids", lit(1), $"p")).as(Seq("pos0", "sid"))),
+      "sid", maxPrefixPop, "jaccardPrefixJoin", "prefix shingle",
+      "tauNum/tauDen")
+    val lengthF =
+      $"x.n" * tauNum <= $"y.n" * tauDen && $"y.n" * tauNum <= $"x.n" * tauDen
+    val positionalF =
+      (lit(1L) + least($"x.n".cast("long") - ($"x.pos0" + 1),
+        $"y.n".cast("long") - ($"y.pos0" + 1))) * (tauNum + tauDen) >=
+        lit(tauNum.toLong) * ($"x.n".cast("long") + $"y.n".cast("long"))
+    val cond = $"x.sid" === $"y.sid" && $"x.doc_id" < $"y.doc_id" &&
+      (if (positional) lengthF && positionalF else lengthF)
+    prefix.as("x").join(prefix.as("y"), cond)
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
   }
 
   /** Corpus-scale exact edit-distance self-join via POSITIONAL
@@ -701,28 +743,8 @@ object Dedup {
     val spark = sh.sparkSession
     import spark.implicits._
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
-    val keyed = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .select($"sh",
-        concat(lpad($"df".cast("string"), 12, "0"), lit(" "), $"sh").as("okey"))
-    val dict = Ranking.denseIds(keyed, "okey", "sid")
-    val shToSid = keyed.join(dict, "okey").select($"sh", $"sid")
-    val sids = sh.join(shToSid, "sh").select($"doc_id", $"sid")
-    val docs = graft.Caches.track(
-      sids.groupBy($"doc_id").agg(sort_array(collect_list($"sid")).as("sids"))
-        .withColumn("n", size($"sids"))
-        .withColumn("p",
-          ($"n" - floor(($"n" * tauNum + tauDen - 1) / lit(tauDen.toDouble)) + 1)
-            .cast("int")))
-    val prefix = Sizing.guardKeyPopulation(
-      docs.select($"doc_id", $"n", explode(slice($"sids", lit(1), $"p")).as("sid")),
-      "sid", maxPrefixPop, "containmentJoin", "prefix shingle", "tauNum/tauDen")
-    val full = docs.select($"doc_id", $"n", explode($"sids").as("sid"))
-    val cands = prefix.as("x").join(full.as("y"),
-        $"x.sid" === $"y.sid" && $"x.doc_id" =!= $"y.doc_id" &&
-          // one-sided length filter: a container must be able to hold
-          // τ·n_a elements — n_b ≥ τ·n_a
-          $"y.n" * tauDen >= $"x.n" * tauNum)
-      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+    val docs = sortedSidDocs(sh, tauNum, tauDen)
+    val cands = containmentCandidates(docs, tauNum, tauDen, maxPrefixPop)
     val setsA = docs.select($"doc_id".as("a"), $"sids".as("sa"), $"n".as("n_a"))
     val setsB = docs.select($"doc_id".as("b"), $"sids".as("sb"), $"n".as("n_b"))
     cands.join(setsA, "a").join(setsB, "b")
@@ -733,6 +755,41 @@ object Dedup {
         $"n_a".cast("bigint").as("n_a"), $"n_b".cast("bigint").as("n_b"),
         $"containment")
       .orderBy($"a", $"b")
+  }
+
+  /** d26 candidate generation over a [[sortedSidDocs]] frame: a's
+    * prefix vs b's FULL list, one-sided length filter (a container
+    * must be able to hold τ·n_a elements: n_b ≥ τ·n_a), plus the
+    * one-sided POSITIONAL filter (Xiao et al., WWW 2008 §3 adapted to
+    * containment): C(a,b) ≥ τ ⟺ overlap ≥ ceil(τ·n_a), and a shared
+    * element at 1-based positions (i in a, j in b) bounds the overlap
+    * by 1 + min(n_a − i, n_b − j) — a's SMALLEST-ordered shared
+    * element sits in a's prefix (else the whole overlap would fit in
+    * a's too-small suffix) and passes, so the cut is lossless. Integer
+    * ceil as x·tauDen ≥ tauNum·n_a. `positional = false` only for the
+    * candidate-cut profiling main.
+    */
+  private[operators] def containmentCandidates(docs: DataFrame,
+      tauNum: Int, tauDen: Int, maxPrefixPop: Long,
+      positional: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = Sizing.guardKeyPopulation(
+      docs.select($"doc_id", $"n",
+        posexplode(slice($"sids", lit(1), $"p")).as(Seq("pos0", "sid"))),
+      "sid", maxPrefixPop, "containmentJoin", "prefix shingle",
+      "tauNum/tauDen")
+    val full = docs.select($"doc_id", $"n",
+      posexplode($"sids").as(Seq("pos0", "sid")))
+    val lengthF = $"y.n" * tauDen >= $"x.n" * tauNum
+    val positionalF =
+      (lit(1L) + least($"x.n".cast("long") - ($"x.pos0" + 1),
+        $"y.n".cast("long") - ($"y.pos0" + 1))) * tauDen >=
+        lit(tauNum.toLong) * $"x.n".cast("long")
+    val cond = $"x.sid" === $"y.sid" && $"x.doc_id" =!= $"y.doc_id" &&
+      (if (positional) lengthF && positionalF else lengthF)
+    prefix.as("x").join(full.as("y"), cond)
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
   }
 
   /** MinHash + LSH banding (oracle-parity form): shingle -> 16 minhashes

@@ -89,6 +89,23 @@ class PrefixJoinSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally { sh.unpersist(); graft.Caches.releaseAll(spark) }
   }
 
+  test("positional filter: strictly fewer candidates, zero lost pairs (sf0.1)") {
+    val sh = Dedup.shingleSet(spark, "/root/testdata/sf0.1", None).cache()
+    try {
+      val docs = Dedup.sortedSidDocs(sh, 1, 2).cache()
+      val without = Dedup.jaccardPrefixCandidates(docs, 1, 2, Long.MaxValue,
+        positional = false).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val withPos = Dedup.jaccardPrefixCandidates(docs, 1, 2, Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withPos.size should be < without.size // the cut is real
+      withPos.subsetOf(without) shouldBe true
+      // zero lost TRUE pairs: every brute-force qualifying pair is a candidate
+      val truePairs = brute(sh, 0.5).map { case (a, b, _) => (a, b) }
+      truePairs.subsetOf(withPos) shouldBe true
+      docs.unpersist()
+    } finally { sh.unpersist(); graft.Caches.releaseAll(spark) }
+  }
+
   test("guard fires on a pathological hot prefix shingle, naming the parameter") {
     import spark.implicits._
     // every doc is the same 2-shingle set → the rarest-first order
