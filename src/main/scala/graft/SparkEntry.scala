@@ -6253,36 +6253,70 @@ object SparkEntry {
         |  count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
+    // m01: format-detected media metadata over a MIXED corpus — per
+    // doc_id % 3 the payload is a real PGM, a real PNG (same pixels),
+    // or undecodable (0x00-prefixed bytes). The oracle recomputes the
+    // canonical pixels from ord() and replays BOTH checksum folds: the
+    // pixel fold (identical for the two real encodings — the
+    // compression-invariance claim) and the raw-byte fold with the
+    // leading 0 (the stub fallback's honest answer), plus the -1
+    // sentinels on the stub branch.
     "m01_media_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-        |  md5(text) AS content_hash,
-        |  substr(md5(text), 1, 4) AS shard_key
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS px
+        |  FROM documents WHERE length(text) >= 64),
+        |v AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |    CAST(ord(px[CAST(i AS INT)]) AS BIGINT) AS v
+        |  FROM d, UNNEST(range(1, 65)) t(i)),
+        |chk AS (SELECT doc_id,
+        |    list_reduce([CAST(0 AS BIGINT)] || list(v ORDER BY idx),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS pix_chk,
+        |    list_reduce([CAST(0 AS BIGINT), CAST(0 AS BIGINT)] ||
+        |        list(v ORDER BY idx),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS stub_chk
+        |  FROM v GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'pgm' WHEN doc_id % 3 = 1 THEN 'png'
+        |       ELSE 'stub' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE 8 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE 8 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE 1 END AS INT) AS channels,
+        |  CASE WHEN doc_id % 3 = 2 THEN stub_chk ELSE pix_chk END
+        |    AS pixel_checksum
+        |FROM chk ORDER BY doc_id""".stripMargin,
 
-    // ASCII-CORPUS ASSUMPTION (m02/m03/m04): Spark slices frames from
-    // text CAST TO BINARY (byte offsets), DuckDB's substr/length slice
-    // VARCHAR (character offsets) — identical only while every document
-    // byte is single-byte. The synthetic documents table is pure ASCII
+    // ASCII-CORPUS ASSUMPTION (m02/m03/m04): the decoded PGM pixels ARE
+    // the text-prefix bytes, and DuckDB's substr/md5 slice VARCHAR
+    // (character offsets) — identical only while every document byte is
+    // single-byte. The synthetic documents table is pure ASCII
     // (asserted by MultimodalSpec's "corpus is single-byte" guard); a
     // non-ASCII corpus needs these oracles rewritten over
     // encode(text)/BLOB before the gate means anything.
+    // m02: frame sampling over REAL DECODED pixels — Spark encodes each
+    // 64-byte text prefix as a binary P5 PGM, decodes it back through
+    // the real header walk + pixel copy, and slices 16-byte frames
+    // every 8 from the DECODED stream; the oracle slices the prefix
+    // directly (decode(encode(x)) = x is the claim under test).
     "m02_frame_hashes" ->
-      """WITH f AS (
-        |  SELECT doc_id, i, substr(text, CAST(i AS INT), 64) AS frame
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 64 + 2, 48)) AS i
-        |        FROM documents WHERE length(text) >= 64) t
+      """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS px
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (
+        |  SELECT doc_id, i, substr(px, CAST(i AS INT), 16) AS frame
+        |  FROM (SELECT doc_id, px, unnest(range(1, 64 - 16 + 2, 8)) AS i
+        |        FROM d) t
         |)
-        |SELECT doc_id, CAST((i - 1) // 48 + 1 AS INT) AS frame_no, md5(frame) AS frame_hash
+        |SELECT doc_id, CAST((i - 1) // 8 + 1 AS INT) AS frame_no, md5(frame) AS frame_hash
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     // shared-frame near-dup: distinct (doc, frame-hash) sets from the
-    // m02 frame slicing, one equi-join on the hash, pair overlap count
+    // m02 decoded-frame slicing, one equi-join on the hash, pair
+    // overlap count
     "m03_media_neardup" ->
-      """WITH f AS (
-        |  SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 64)) AS fh
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 64 + 2, 48)) AS i
-        |        FROM documents WHERE length(text) >= 64) t
+      """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS px
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (
+        |  SELECT DISTINCT doc_id, md5(substr(px, CAST(i AS INT), 16)) AS fh
+        |  FROM (SELECT doc_id, px, unnest(range(1, 64 - 16 + 2, 8)) AS i
+        |        FROM d) t
         |)
         |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM f x JOIN f y ON x.fh = y.fh AND x.doc_id < y.doc_id
@@ -6290,12 +6324,15 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin,
 
     // frame-hash document frequency (the m03 cap-sizing report); same
-    // frame slicing as the m02 CTE, bag + distinct counts per hash
+    // decoded-frame slicing as the m02 CTE, bag + distinct counts per
+    // hash
     "m04_frame_df" ->
-      """WITH f AS (
-        |  SELECT doc_id, md5(substr(text, CAST(i AS INT), 64)) AS fh
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 64 + 2, 48)) AS i
-        |        FROM documents WHERE length(text) >= 64) t
+      """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS px
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (
+        |  SELECT doc_id, md5(substr(px, CAST(i AS INT), 16)) AS fh
+        |  FROM (SELECT doc_id, px, unnest(range(1, 64 - 16 + 2, 8)) AS i
+        |        FROM d) t
         |)
         |SELECT fh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_occ

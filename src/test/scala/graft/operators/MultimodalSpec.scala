@@ -94,12 +94,42 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
-  test("mediaMeta matches octet/md5 semantics on real docs") {
-    val m = Multimodal.mediaMeta(spark, "/root/testdata/sf0.001")
-    val r = m.head()
-    r.getAs[Int]("n_bytes") should be > 0
-    r.getAs[String]("content_hash") should fullyMatch regex "[0-9a-f]{32}"
-    r.getAs[String]("shard_key").length shouldBe 4
+  test("mediaMeta: format dispatch by branch, png/pgm pixel-checksum parity, stub sentinels") {
+    val rows = Multimodal.mediaMeta(spark, "/root/testdata/sf0.001").collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val fmt = r.getAs[String]("format")
+      id % 3 match {
+        case 0 =>
+          fmt shouldBe "pgm"
+          r.getAs[Int]("width") shouldBe 8
+          r.getAs[Int]("channels") shouldBe 1
+        case 1 =>
+          fmt shouldBe "png"
+          r.getAs[Int]("height") shouldBe 8
+          r.getAs[Int]("channels") shouldBe 1
+        case _ =>
+          fmt shouldBe "stub"
+          r.getAs[Int]("width") shouldBe -1
+          r.getAs[Int]("channels") shouldBe -1
+      }
+    }
+    // the compression-invariance claim directly: the SAME content
+    // through the PGM and PNG encoders fingerprints identically
+    import spark.implicits._
+    val px = "The quick brown fox jumps over the lazy dog - 64 bytes padding!!"
+    px.length shouldBe 64
+    val twin = Seq(
+      Multimodal.MediaRow(0L, "image",
+        ("P5\n8 8\n255\n" + px).getBytes("ISO-8859-1")),
+      Multimodal.MediaRow(1L, "image",
+        Multimodal.encodePng(8, 8, 1, px.getBytes("ISO-8859-1"), y => y % 5)))
+      .toDS()
+    val f = Multimodal.rasterFeatures(twin).collect().sortBy(_.media_id)
+    f(0).format shouldBe "pgm"
+    f(1).format shouldBe "png"
+    f(0).pixel_checksum shouldBe f(1).pixel_checksum
   }
 
   test("frameDf equals the shared-frame recomputation from frameHashes") {
