@@ -389,6 +389,7 @@ object SparkEntry {
     "o25_changeset_impact" -> (osm.OsmOracle.changesetImpact _),
     "o21_polygon_areas" -> (osm.OsmOracle.polygonAreas _),
     "o22_polygon_centroids" -> (osm.OsmOracle.polygonCentroids _),
+    "o26_replication_table" -> (osm.OsmOracle.replicationMaintained _),
   )
 
   // The committed OSM fixture's canonical parquet location — embedded
@@ -7464,6 +7465,53 @@ object SparkEntry {
          |  string_agg(CAST(n.lat AS VARCHAR) || ',' || CAST(n.lon AS VARCHAR), ';' ORDER BY idx) AS coord_path
          |FROM wx JOIN nodes n ON wx.ref = n.node_id
          |GROUP BY way_id ORDER BY way_id""".stripMargin,
+
+    // o26: the replication-maintained table — the Spark side RUNS the
+    // Structured Streaming pipeline (two .osc micro-batches, generation
+    // writes, pointer swings, retirement) and reads the live table
+    // back; the oracle replays the maintained-table semantics as one
+    // window over base ∪ the diffs' parsed rows (literal VALUES — the
+    // committed fixtures/osm/src/replication files' exact decode, see
+    // OsmOracle.replicationMaintained). Strictly increasing versions
+    // make the fold batch-order-free, so a single window is exact.
+    "o26_replication_table" ->
+      s"""WITH base AS (
+         |  SELECT type, id, version, visible, changeset, uid,
+         |    "user" AS usr,
+         |    CAST(lat AS VARCHAR) AS lat_s, CAST(lon AS VARCHAR) AS lon_s,
+         |    CAST(cardinality(tags) AS INT) AS n_tags,
+         |    CAST(len(nds) AS INT) AS n_nds,
+         |    "timestamp" AS ts, 0 AS src
+         |  FROM $OsmH),
+         |diff(type, id, version, visible, changeset, uid, usr, lat_s,
+         |     lon_s, n_tags, n_nds, ts, src) AS (VALUES
+         |  ('node', CAST(1 AS BIGINT), CAST(2 AS BIGINT), true,
+         |    CAST(901 AS BIGINT), CAST(42 AS BIGINT), 'repl',
+         |    '51.5000000', '-0.1000000', 2, 0,
+         |    TIMESTAMP '2024-01-01 00:00:00', 1),
+         |  ('node', CAST(9001 AS BIGINT), CAST(1 AS BIGINT), true,
+         |    CAST(901 AS BIGINT), CAST(42 AS BIGINT), 'repl',
+         |    '51.9010000', '-0.9010000', 1, 0,
+         |    TIMESTAMP '2024-01-01 00:00:01', 1),
+         |  ('node', CAST(5 AS BIGINT), CAST(2 AS BIGINT), false,
+         |    CAST(901 AS BIGINT), CAST(42 AS BIGINT), 'repl',
+         |    NULL, NULL, 0, 0, TIMESTAMP '2024-01-01 00:00:02', 1),
+         |  ('node', CAST(1 AS BIGINT), CAST(3 AS BIGINT), true,
+         |    CAST(902 AS BIGINT), CAST(42 AS BIGINT), 'repl',
+         |    '51.6000000', '-0.2000000', 1, 0,
+         |    TIMESTAMP '2024-01-02 00:00:00', 1),
+         |  ('way', CAST(10010 AS BIGINT), CAST(2 AS BIGINT), true,
+         |    CAST(902 AS BIGINT), CAST(42 AS BIGINT), 'repl',
+         |    NULL, NULL, 1, 2, TIMESTAMP '2024-01-02 00:00:01', 1),
+         |  ('node', CAST(9001 AS BIGINT), CAST(2 AS BIGINT), false,
+         |    CAST(902 AS BIGINT), CAST(42 AS BIGINT), 'repl',
+         |    NULL, NULL, 0, 0, TIMESTAMP '2024-01-02 00:00:02', 1)),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM diff),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY type, id
+         |    ORDER BY version DESC, ts DESC, src DESC) AS rn FROM u)
+         |SELECT type, id, version, visible, changeset, uid, usr, lat_s,
+         |  lon_s, n_tags, n_nds
+         |FROM r WHERE rn = 1 ORDER BY type, id""".stripMargin,
 
     "o02_latest_versions" ->
       s"""WITH h AS (SELECT * FROM $OsmH),

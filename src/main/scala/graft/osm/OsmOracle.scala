@@ -365,6 +365,62 @@ object OsmOracle {
       .orderBy(col("id"))
   }
 
+  /** Replication-maintained table, end-to-end (o26) — the reference's
+    * live-pipeline equivalent (OrcWriter.java:242-272, the osmosis
+    * `--read-xml-change → --write-orc` flow) driven THROUGH the real
+    * Structured Streaming machinery under the DuckDB gate: initialize
+    * gen-init from the fixture history, stream the two committed
+    * fixture diffs ([[OsmFixture.dir]]/src/replication) through
+    * [[graft.streaming.Replication.start]] with maxFilesPerTrigger = 1
+    * (two separate micro-batches — two generation writes, a pointer
+    * swing each, and a retirement pass), await AvailableNow
+    * termination, and read the LIVE table back through the `_CURRENT`
+    * pointer. The oracle replays the maintained-table semantics from
+    * the base parquet plus the diffs' parsed rows as literal VALUES:
+    * one window rn = 1 per (type, id) over base ∪ diffs ordered by
+    * (version DESC, timestamp DESC, diff-over-base) — exactly
+    * [[graft.osm.OsmChange.applyDiff]] folded over both batches (the
+    * fixture diffs carry strictly increasing versions, so batch order
+    * cannot matter — the idempotence/ordering contract Replication
+    * documents). Hash-green proves file discovery, the `.osc` decode,
+    * the fold, generation naming, pointer atomicity, and retirement
+    * leave EXACTLY the table the batch operator defines.
+    */
+  def replicationMaintained(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("graft-o26-")
+    // the returned plan stays lazy over the generation files — clean
+    // the work tree at JVM exit, not eagerly
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(work.toFile)
+    }))
+    val tableDir = s"$work/table"
+    val diffDir = s"$work/diffs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(diffDir))
+    Seq("001.osc", "002.osc").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${OsmFixture.dir}/src/replication/$f"),
+        java.nio.file.Paths.get(s"$diffDir/$f"))
+    }
+    graft.streaming.Replication.initialize(OsmFixture.history(spark), tableDir)
+    val q = graft.streaming.Replication.start(spark, diffDir, tableDir,
+      checkpointDir = s"$work/ck", maxFilesPerTrigger = 1,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    graft.streaming.Replication.currentTable(spark, tableDir)
+      .select(col("type"), col("id"), col("version"), col("visible"),
+        col("changeset"), col("uid"), col("user").as("usr"),
+        col("lat").cast("string").as("lat_s"),
+        col("lon").cast("string").as("lon_s"),
+        size(col("tags")).cast("int").as("n_tags"),
+        size(col("nds")).cast("int").as("n_nds"))
+      .orderBy(col("type"), col("id"))
+  }
+
   /** Curve-locality comparison (o24) — the layout decision o19/o23
     * exist to inform, made measurable: for the o20 bbox's nodes, each
     * curve's cell footprint at the SAME granularity (a 2048×2048 world
