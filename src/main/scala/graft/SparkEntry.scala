@@ -390,7 +390,123 @@ object SparkEntry {
     "o21_polygon_areas" -> (osm.OsmOracle.polygonAreas _),
     "o22_polygon_centroids" -> (osm.OsmOracle.polygonCentroids _),
     "o26_replication_table" -> (osm.OsmOracle.replicationMaintained _),
+    "o27_multipolygon_rings" -> (osm.OsmOracle.multipolygonRings _),
   )
+
+  /** DuckDB mirror of OsmQueries.multipolygonRings (o27): the same
+    * deterministic two-phase assembly as generated CTE rounds —
+    * `labelRounds` min-way-id label propagations over the shared-
+    * endpoint graph, then `walkRounds` ring-walk extensions carrying
+    * (refs, used, cur_end) as LIST columns, candidate picked per round
+    * by (way_id ASC, forward before reversed), reversal via
+    * list_reverse — then the o21 anchored shoelace over each stitched
+    * sequence. One algorithm, two engines (the s18/m38 iterative-chain
+    * discipline).
+    */
+  private def multipolygonSql(labelRounds: Int, walkRounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH mw AS (
+       |  SELECT DISTINCT r.id AS rel_id, r.members[i].role AS role,
+       |    r.members[i].ref AS way_id
+       |  FROM (SELECT id, members FROM $OsmP
+       |        WHERE type = 'relation' AND tags['type'][1] = 'multipolygon') r,
+       |       UNNEST(range(1, len(r.members) + 1)) AS t(i)
+       |  WHERE r.members[i].type = 'way'
+       |    AND r.members[i].role IN ('outer', 'inner')),
+       |wseq AS (SELECT id AS way_id, list_transform(nds, x -> x.ref) AS refs
+       |  FROM $OsmP WHERE type = 'way'),
+       |ways AS (SELECT mw.rel_id, mw.role, mw.way_id, w.refs,
+       |    w.refs[1] AS a, w.refs[len(w.refs)] AS b
+       |  FROM mw JOIN wseq w USING (way_id)),
+       |eps AS (SELECT DISTINCT rel_id, role, way_id, ep FROM
+       |  (SELECT rel_id, role, way_id, unnest([a, b]) AS ep FROM ways)),
+       |nbrs AS (SELECT DISTINCT x.rel_id, x.role, x.way_id, y.way_id AS nb
+       |  FROM eps x JOIN eps y
+       |  ON x.rel_id = y.rel_id AND x.role = y.role AND x.ep = y.ep),
+       |l0 AS (SELECT rel_id, role, way_id, way_id AS lbl FROM ways)""".stripMargin
+    for (r <- 1 to labelRounds) {
+      val p = s"l${r - 1}"
+      sb ++= s""",
+       |l$r AS MATERIALIZED (SELECT l.rel_id, l.role, l.way_id,
+       |    least(l.lbl, coalesce(m.mlbl, l.lbl)) AS lbl
+       |  FROM $p l LEFT JOIN (
+       |    SELECT n.rel_id, n.role, n.way_id, min(q.lbl) AS mlbl
+       |    FROM nbrs n JOIN $p q ON q.rel_id = n.rel_id
+       |      AND q.role = n.role AND q.way_id = n.nb
+       |    GROUP BY 1, 2, 3) m
+       |  ON m.rel_id = l.rel_id AND m.role = l.role
+       |    AND m.way_id = l.way_id)""".stripMargin
+    }
+    sb ++= s""",
+       |comp AS MATERIALIZED (SELECT w.rel_id, w.role, w.way_id, w.refs, w.a, w.b, l.lbl
+       |  FROM ways w JOIN l$labelRounds l
+       |  USING (rel_id, role, way_id)),
+       |w0 AS MATERIALIZED (SELECT rel_id, role, lbl, refs, [way_id] AS used,
+       |    refs[1] AS start_ref, refs[len(refs)] AS cur_end,
+       |    (refs[len(refs)] = refs[1] AND len(refs) >= 4) AS closed
+       |  FROM comp WHERE way_id = lbl)""".stripMargin
+    for (r <- 1 to walkRounds) {
+      val p = s"w${r - 1}"
+      sb ++= s""",
+       |cand$r AS (
+       |  SELECT s.rel_id, s.role, s.lbl, s.refs, s.used, s.start_ref,
+       |    c.way_id AS cw, c.refs AS crefs, c.a AS ca, c.b AS cb,
+       |    CASE WHEN c.a = s.cur_end THEN 0 ELSE 1 END AS dir,
+       |    row_number() OVER (PARTITION BY s.rel_id, s.role, s.lbl
+       |      ORDER BY c.way_id,
+       |        CASE WHEN c.a = s.cur_end THEN 0 ELSE 1 END) AS rn
+       |  FROM $p s JOIN comp c
+       |    ON c.rel_id = s.rel_id AND c.role = s.role AND c.lbl = s.lbl
+       |    AND NOT list_contains(s.used, c.way_id)
+       |    AND (c.a = s.cur_end OR c.b = s.cur_end)
+       |  WHERE NOT s.closed),
+       |ext$r AS (
+       |  SELECT rel_id, role, lbl, refs, used, start_ref, cur_end,
+       |    (cur_end = start_ref AND len(refs) >= 4) AS closed
+       |  FROM (SELECT rel_id, role, lbl,
+       |      list_concat(refs, CASE WHEN dir = 0 THEN crefs[2:]
+       |        ELSE list_reverse(crefs)[2:] END) AS refs,
+       |      list_append(used, cw) AS used, start_ref,
+       |      CASE WHEN dir = 0 THEN cb ELSE ca END AS cur_end
+       |    FROM cand$r WHERE rn = 1)),
+       |w$r AS MATERIALIZED (
+       |  SELECT s.* FROM $p s LEFT JOIN ext$r e
+       |    ON e.rel_id = s.rel_id AND e.role = s.role AND e.lbl = s.lbl
+       |  WHERE e.lbl IS NULL
+       |  UNION ALL SELECT * FROM ext$r)""".stripMargin
+    }
+    sb ++= s""",
+       |rings AS (SELECT rel_id, role, lbl, refs, closed,
+       |    CAST(row_number() OVER (PARTITION BY rel_id
+       |      ORDER BY role DESC, lbl) AS INT) AS ring_idx,
+       |    CAST(len(used) AS INT) AS n_ways
+       |  FROM w$walkRounds),
+       |rv AS (SELECT rel_id, ring_idx, i AS pos, refs[CAST(i AS INT)] AS ref
+       |  FROM rings, UNNEST(range(1, len(refs) + 1)) t(i)),
+       |mpnodes AS (SELECT id AS ref,
+       |    CAST(lat * 10000000 AS BIGINT) AS lat_nano,
+       |    CAST(lon * 10000000 AS BIGINT) AS lon_nano
+       |  FROM $OsmP WHERE type = 'node'),
+       |cen AS (SELECT rv.rel_id, rv.ring_idx, pos,
+       |    lon_nano - first_value(lon_nano) OVER pw AS cx,
+       |    lat_nano - first_value(lat_nano) OVER pw AS cy
+       |  FROM rv JOIN mpnodes n USING (ref)
+       |  WINDOW pw AS (PARTITION BY rv.rel_id, rv.ring_idx ORDER BY pos)),
+       |crx AS (SELECT rel_id, ring_idx, cx, cy,
+       |    lag(cx) OVER pw AS pcx, lag(cy) OVER pw AS pcy
+       |  FROM cen WINDOW pw AS (PARTITION BY rel_id, ring_idx ORDER BY pos)),
+       |geo AS (SELECT rel_id, ring_idx, CAST(count(*) AS BIGINT) AS n_pts,
+       |    CAST(sum(pcx * cy - cx * pcy) AS BIGINT) AS a2
+       |  FROM crx GROUP BY 1, 2)
+       |SELECT r.rel_id, r.ring_idx, r.role, r.n_ways, r.closed, g.n_pts,
+       |  CASE WHEN r.closed THEN abs(g.a2) END AS area2_nano,
+       |  CASE WHEN NOT r.closed THEN 'open'
+       |       WHEN g.a2 > 0 THEN 'CCW' WHEN g.a2 < 0 THEN 'CW'
+       |       ELSE 'degenerate' END AS orientation
+       |FROM rings r LEFT JOIN geo g USING (rel_id, ring_idx)
+       |ORDER BY r.rel_id, r.ring_idx""".stripMargin
+    sb.toString
+  }
 
   // The committed OSM fixture's canonical parquet location — embedded
   // in the o-query oracle SQL (DuckDB reads the same converted bytes
@@ -7512,6 +7628,12 @@ object SparkEntry {
          |SELECT type, id, version, visible, changeset, uid, usr, lat_s,
          |  lon_s, n_tags, n_nds
          |FROM r WHERE rn = 1 ORDER BY type, id""".stripMargin,
+
+    // o27: multipolygon ring assembly — label + walk rounds generated
+    // to mirror OsmQueries.multipolygonRings exactly (see
+    // multipolygonSql); parameters are part of the gate
+    "o27_multipolygon_rings" -> multipolygonSql(labelRounds = 6,
+      walkRounds = 8),
 
     "o02_latest_versions" ->
       s"""WITH h AS (SELECT * FROM $OsmH),

@@ -365,6 +365,15 @@ object OsmOracle {
       .orderBy(col("id"))
   }
 
+  /** Multipolygon ring assembly (o27) — [[OsmQueries.multipolygonRings]]
+    * over the fixture snapshot: ring grouping, stitched closure (with
+    * way reversal), and exact o21 shoelace area/winding per ring, all
+    * under the DuckDB gate replaying the same label + walk rounds as
+    * generated CTEs.
+    */
+  def multipolygonRings(spark: SparkSession, sfDir: String): DataFrame =
+    OsmQueries.multipolygonRings(OsmFixture.planet(spark))
+
   /** Replication-maintained table, end-to-end (o26) — the reference's
     * live-pipeline equivalent (OrcWriter.java:242-272, the osmosis
     * `--read-xml-change → --write-orc` flow) driven THROUGH the real

@@ -203,6 +203,182 @@ object OsmQueries {
           abs(col("lon_nano") - col("prev_lon"))).as("manhattan_nano"))
   }
 
+  /** OSM multipolygon ring assembly (o27) — the first real geometry
+    * consumer ask beyond the README workload: every `type=multipolygon`
+    * relation's way members (roles outer/inner) grouped into RINGS,
+    * with closure judged, member ways stitched end-to-end (reversing a
+    * way when the ring walk enters at its last node), and each closed
+    * ring's exact o21 shoelace area + winding. This is what every
+    * polygon consumer of the converted planet rebuilds (osm2pgsql,
+    * Athena geometry UDFs); holes are the inner rings, a lake-with-
+    * islands relation has several outer rings.
+    *
+    * Deterministic two-phase assembly (mirrored verbatim by the DuckDB
+    * oracle as generated CTE rounds — the s18/m38 iterative-chain
+    * discipline):
+    *
+    *  1. COMPONENTS: per (relation, role), ways sharing an endpoint
+    *     node join into one component by `labelRounds` rounds of
+    *     min-way-id label propagation (label converges in ≤ chain
+    *     length; rounds is a documented bound, not a heuristic).
+    *  2. WALK: each component's ring starts at its minimum way id,
+    *     oriented as stored; each round appends the candidate way
+    *     touching the current open end, chosen by (way_id ASC, forward
+    *     before reversed) — reversed traversal appends the reversed nd
+    *     list. The walk closes when the open end returns to the start
+    *     ref (with ≥ 4 stitched refs, o21's degenerate guard); a
+    *     component that cannot extend reports closed = false with the
+    *     refs stitched so far (broken/unclosed multipolygon — the QA
+    *     signal this table exists to surface).
+    *
+    * Area: the stitched ref sequence of a closed ring is explicitly
+    * closed (last ref = start ref), so o21's anchored integer shoelace
+    * applies verbatim; refs missing from the node snapshot drop via
+    * the inner join (both engines drop the same rows — the o21
+    * convention). Unclosed rings report NULL area and 'open'.
+    *
+    * Contract bounds: `labelRounds` ≥ the longest way-chain and
+    * `walkRounds` ≥ ways-per-ring, or a long chain reports split /
+    * truncated (identically on both engines — the parameters are part
+    * of the gate). Valid OSM multipolygons have degree-2 ring nodes;
+    * a branched component walks deterministically by the tie-break and
+    * reports whatever closes (or doesn't).
+    *
+    * Scale shape: member/way/node equi-joins are corpus-keyed; the
+    * label and walk rounds iterate over the MEMBER-WAY frame only
+    * (relations × member ways — thousands per relation at worst, never
+    * corpus-sized); per-ring windows have component-sized populations.
+    * At planet scale the assembly cost is member-linear, the node join
+    * is the o01 shape (AQE skew-join), and nothing is quadratic.
+    */
+  def multipolygonRings(planet: DataFrame, labelRounds: Int = 6,
+      walkRounds: Int = 8): DataFrame = {
+    require(labelRounds >= 1 && walkRounds >= 1,
+      s"need labelRounds/walkRounds >= 1: $labelRounds/$walkRounds")
+    // each label/walk round reads the previous round's frame TWICE
+    // (carry-forward + extension), so a persist-only loop accretes a
+    // 2^rounds analyzed plan — the measured s25 lineage lesson;
+    // localCheckpoint keeps the per-round plan O(1)
+    def snap(df: DataFrame): DataFrame = df.localCheckpoint()
+    val mw = planet.filter(col("type") === "relation" &&
+        col("tags").getItem("type") === "multipolygon")
+      .select(col("id").as("rel_id"), explode(col("members")).as("m"))
+      .filter(col("m.type") === "way" && col("m.role").isin("outer", "inner"))
+      .select(col("rel_id"), col("m.role").as("role"), col("m.ref").as("way_id"))
+      .distinct()
+    val wseq = planet.filter(col("type") === "way")
+      .select(col("id").as("way_id"),
+        expr("transform(nds, x -> x.ref)").as("refs"))
+    // cached: endpoints, every label round, and every walk round read it
+    val ways = graft.Caches.track(
+      mw.join(wseq, "way_id")
+        .select(col("rel_id"), col("role"), col("way_id"), col("refs"),
+          element_at(col("refs"), 1).as("a"),
+          element_at(col("refs"), -1).as("b")))
+    // —— phase 1: min-label connectivity over shared endpoints ——
+    val eps = ways.select(col("rel_id"), col("role"), col("way_id"),
+      explode(array(col("a"), col("b"))).as("ep")).distinct()
+    val nbrs = eps.as("x").join(eps.as("y"), Seq("rel_id", "role", "ep"))
+      .select(col("rel_id"), col("role"), col("x.way_id").as("way_id"),
+        col("y.way_id").as("nb"))
+      .distinct()
+    var lbl = ways.select(col("rel_id"), col("role"), col("way_id"),
+      col("way_id").as("lbl"))
+    for (_ <- 1 to labelRounds) {
+      val m = nbrs.join(
+          lbl.select(col("rel_id"), col("role"),
+            col("way_id").as("nb"), col("lbl").as("nlbl")),
+          Seq("rel_id", "role", "nb"))
+        .groupBy(col("rel_id"), col("role"), col("way_id"))
+        .agg(min(col("nlbl")).as("mlbl"))
+      lbl = snap(
+        lbl.join(m, Seq("rel_id", "role", "way_id"), "left")
+          .select(col("rel_id"), col("role"), col("way_id"),
+            least(col("lbl"), coalesce(col("mlbl"), col("lbl"))).as("lbl")))
+    }
+    val comp = graft.Caches.track(
+      ways.join(lbl, Seq("rel_id", "role", "way_id")))
+    // —— phase 2: the ring walk from each component's min way ——
+    val stCols = Seq("rel_id", "role", "lbl", "refs", "used", "start_ref",
+      "cur_end", "closed")
+    var st = comp.filter(col("way_id") === col("lbl"))
+      .select(col("rel_id"), col("role"), col("lbl"), col("refs"),
+        array(col("way_id")).as("used"),
+        element_at(col("refs"), 1).as("start_ref"),
+        element_at(col("refs"), -1).as("cur_end"))
+      .withColumn("closed",
+        col("cur_end") === col("start_ref") && size(col("refs")) >= 4)
+      .select(stCols.map(col): _*)
+    for (_ <- 1 to walkRounds) {
+      val cands = st.filter(!col("closed")).as("s")
+        .join(comp.as("c"),
+          col("s.rel_id") === col("c.rel_id") &&
+            col("s.role") === col("c.role") &&
+            col("s.lbl") === col("c.lbl") &&
+            !array_contains(col("s.used"), col("c.way_id")) &&
+            (col("c.a") === col("s.cur_end") || col("c.b") === col("s.cur_end")))
+        .withColumn("dir",
+          when(col("c.a") === col("s.cur_end"), lit(0)).otherwise(lit(1)))
+      val wPick = Window
+        .partitionBy(col("s.rel_id"), col("s.role"), col("s.lbl"))
+        .orderBy(col("c.way_id"), col("dir"))
+      val ext = cands.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("s.rel_id").as("rel_id"), col("s.role").as("role"),
+          col("s.lbl").as("lbl"),
+          concat(col("s.refs"),
+            when(col("dir") === 0, expr("slice(c.refs, 2, size(c.refs) - 1)"))
+              .otherwise(expr("slice(reverse(c.refs), 2, size(c.refs) - 1)")))
+            .as("refs"),
+          concat(col("s.used"), array(col("c.way_id"))).as("used"),
+          col("s.start_ref").as("start_ref"),
+          when(col("dir") === 0, col("c.b")).otherwise(col("c.a"))
+            .as("cur_end"))
+        .withColumn("closed",
+          col("cur_end") === col("start_ref") && size(col("refs")) >= 4)
+        .select(stCols.map(col): _*)
+      val extKeys = ext.select(col("rel_id"), col("role"), col("lbl"),
+        lit(1).as("__x"))
+      st = snap(
+        st.join(extKeys, Seq("rel_id", "role", "lbl"), "left")
+          .filter(col("__x").isNull).drop("__x")
+          .unionByName(ext))
+    }
+    // —— ring index + exact o21 shoelace over the stitched sequence ——
+    val wIdx = Window.partitionBy(col("rel_id"))
+      .orderBy(col("role").desc, col("lbl")) // outers first, then min way
+    val rings = graft.Caches.track(
+      st.withColumn("ring_idx", row_number().over(wIdx).cast("int"))
+        .withColumn("n_ways", size(col("used")).cast("int")))
+    val nodes = planet.filter(col("type") === "node")
+      .select(col("id").as("ref"),
+        (col("lat") * lit(10000000)).cast("long").as("lat_nano"),
+        (col("lon") * lit(10000000)).cast("long").as("lon_nano"))
+    val wr = Window.partitionBy(col("rel_id"), col("ring_idx"))
+      .orderBy(col("pos0"))
+    val centered = rings
+      .select(col("rel_id"), col("ring_idx"),
+        posexplode(col("refs")).as(Seq("pos0", "ref")))
+      .join(nodes, "ref")
+      .withColumn("cx", col("lon_nano") - first(col("lon_nano")).over(wr))
+      .withColumn("cy", col("lat_nano") - first(col("lat_nano")).over(wr))
+      .withColumn("pcx", lag(col("cx"), 1).over(wr))
+      .withColumn("pcy", lag(col("cy"), 1).over(wr))
+      .withColumn("cr", col("pcx") * col("cy") - col("cx") * col("pcy"))
+    val geo = centered.groupBy(col("rel_id"), col("ring_idx"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("cr")).as("a2"))
+    rings.select(col("rel_id"), col("ring_idx"), col("role"),
+        col("n_ways"), col("closed"))
+      .join(geo, Seq("rel_id", "ring_idx"), "left")
+      .select(col("rel_id"), col("ring_idx"), col("role"), col("n_ways"),
+        col("closed"), col("n_pts"),
+        when(col("closed"), abs(col("a2"))).as("area2_nano"),
+        when(!col("closed"), lit("open"))
+          .when(col("a2") > 0, "CCW").when(col("a2") < 0, "CW")
+          .otherwise("degenerate").as("orientation"))
+      .orderBy(col("rel_id"), col("ring_idx"))
+  }
+
   /** Closed-way polygon area + winding (o21) — exact integer shoelace
     * over nanodegree coordinates, extending [[wayGeomStats]]'s
     * integer-geometry discipline from perimeters to areas: for every

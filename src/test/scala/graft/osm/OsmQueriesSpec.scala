@@ -301,4 +301,31 @@ class OsmQueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.exists(r => !r.isNullAt(11) && !r.getBoolean(11)) shouldBe true
     rows.count(r => !r.isNullAt(11)) should be > 0
   }
+
+  test("multipolygonRings: hand-derived ring table on the assembly fixture") {
+    // the o27 geometry is explicit in OsmFixtureGen's multipolygon
+    // block — each expected row is derivable on paper:
+    //  30101 ring1: single closed outer square 0.1°×0.1° → 2A = 2e12 CCW
+    //  30101 ring2: TWO open halves, the second traversed REVERSED,
+    //               same square size → 2e12 CCW, n_ways = 2
+    //  30101 ring3: inner hole 0.02°×0.02° wound CW → 2A = 8e10
+    //  30102 ring1: two-way chain that never closes → open, NULL area
+    //  30102 ring2: THREE forward-stitched ways, 0.05°×0.1° → 1e12 CCW
+    val rows = OsmQueries.multipolygonRings(OsmFixture.planet(spark))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3),
+        r.getBoolean(4), if (r.isNullAt(6)) -1L else r.getLong(6),
+        r.getString(7)))
+    val mp = rows.filter(t => t._1 == 30101L || t._1 == 30102L).toSet
+    mp shouldBe Set(
+      (30101L, 1, "outer", 1, true, 2000000000000L, "CCW"),
+      (30101L, 2, "outer", 2, true, 2000000000000L, "CCW"),
+      (30101L, 3, "inner", 1, true, 80000000000L, "CW"),
+      (30102L, 1, "outer", 2, false, -1L, "open"),
+      (30102L, 2, "outer", 3, true, 1000000000000L, "CCW"))
+    // the legacy single-member multipolygons assemble too: one ring
+    // each, closure judged by their member way's own geometry
+    rows.count(_._1 < 30100L) shouldBe 3
+    graft.Caches.releaseAll(spark)
+  }
 }
