@@ -793,6 +793,81 @@ object EventStream {
       }
   }
 
+  /** Per-group carry for [[topNStream]]: redelivery marker + a monotone
+    * snapshot counter + the bounded top-n heap as (cents, event_id)
+    * pairs ordered (cents DESC, event_id ASC) — at most n + 3 numbers
+    * per group, unconditionally bounded.
+    */
+  case class TopNState(us: Long, event_id: Long, seq: Long,
+    heap: Seq[(Long, Long)])
+
+  /** One [[topNStream]] snapshot row: the rank-`rank` event of group
+    * `event_type` as of snapshot `seq` (a per-group monotone counter —
+    * the newest seq is the current leaderboard; older seqs are its
+    * append-mode history).
+    */
+  case class TopNOut(event_type: String, seq: Long, rank: Int,
+    event_id: Long, cents: Long)
+
+  /** Streaming top-n per group — the q13/q32 ranked-window family's
+    * ingest-time twin: per event type, the n largest single-event
+    * amounts seen so far on the exact cents grid, maintained as an
+    * IN-STATE BOUNDED HEAP (a sorted n-list — top-n of a set is
+    * order-free, so the fold needs no retraction and append mode
+    * works: each batch that brings fresh events appends a full
+    * leaderboard SNAPSHOT tagged with a monotone per-group `seq`;
+    * the max-seq rows are the current top-n, identical to the batch
+    * rank-window over the same events). Tie-break (cents DESC,
+    * event_id ASC) — the deterministic total order every ranked gate
+    * uses.
+    *
+    * Order/redelivery contract (the ewma/cusum twins' documented
+    * contract): in-batch events fold in (us, event_id) order; a stale
+    * redelivery — (us, event_id) at or behind the newest processed —
+    * is dropped in-function, so replays cannot re-insert.
+    *
+    * Scale shape: state is n + 3 numbers per GROUP (event types — a
+    * bounded dimension), emission ≤ n rows per group per batch; the
+    * per-batch fold is |batch| log n local work after one group
+    * shuffle — the flatMapGroupsWithState envelope every twin uses.
+    */
+  def topNStream(events: DataFrame, n: Int = 3): Dataset[TopNOut] = {
+    import events.sparkSession.implicits._
+    require(n >= 1, s"need n >= 1, got $n")
+    events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("bigint").as("cents"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopNState, TopNOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[(String, Long, Long, Long)],
+            state: GroupState[TopNState]) =>
+          var st = state.getOption.getOrElse(
+            TopNState(Long.MinValue, Long.MinValue, 0L, Nil))
+          var heap = st.heap
+          var (nus, nid) = (st.us, st.event_id)
+          var fresh = false
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach {
+            case (_, eid, us, cents) =>
+              if (us > nus || (us == nus && eid > nid)) {
+                nus = us; nid = eid; fresh = true
+                heap = ((cents, eid) +: heap)
+                  .sortBy { case (c, e) => (-c, e) }.take(n)
+              }
+          }
+          if (!fresh) { state.update(st); Iterator.empty }
+          else {
+            st = TopNState(nus, nid, st.seq + 1, heap)
+            state.update(st)
+            heap.zipWithIndex.iterator.map { case ((c, e), i) =>
+              TopNOut(grp, st.seq, i + 1, e, c)
+            }
+          }
+      }
+  }
+
   /** Per-user last-event carry for [[transitionStream]]: the (us,
     * event_id) key of the newest event seen plus its type — three
     * fields per user, unconditionally bounded.

@@ -42,6 +42,33 @@ object ProfileScaleSweep {
       .withColumn("type", lit("relation"))
   }
 
+  /** Synthetic planet frame with one STADIUM node for the o01 skew
+    * sweep: `nWays` ways of 4 nds each, every way's FIRST ref the
+    * shared node 0 (referenced nWays times — the mega-shared-node
+    * pattern of a stadium/roundabout hub), the other three refs
+    * unique. Schema matches what reassembleWays reads (type, id, tags,
+    * lat, lon, nds).
+    */
+  def stadiumPlanet(spark: SparkSession, nWays: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nodes = spark.range(nWays * 3 + 1).select(
+      $"id", lit("node").as("type"),
+      map(lit("ref_count"), lit("high")).as("tags"),
+      (($"id" % 80) + lit(0.5)).cast("decimal(9,7)").as("lat"),
+      (($"id" % 170) - lit(80.25)).cast("decimal(10,7)").as("lon"),
+      lit(null).cast("array<struct<ref:bigint>>").as("nds"))
+    val ways = spark.range(nWays).select(
+      ($"id" + 5000000000L).as("id"), lit("way").as("type"),
+      map(lit("highway"), lit("service")).as("tags"),
+      lit(null).cast("decimal(9,7)").as("lat"),
+      lit(null).cast("decimal(10,7)").as("lon"),
+      array(struct(lit(0L).as("ref")),
+        struct(($"id" * 3 + 1).as("ref")),
+        struct(($"id" * 3 + 2).as("ref")),
+        struct(($"id" * 3 + 3).as("ref"))).as("nds"))
+    nodes.unionByName(ways)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -369,6 +396,37 @@ object ProfileScaleSweep {
       // §18 records the boundary honestly). q41's sweep story is
       // structural: rounds = ceil(log256(value range)) — a property of
       // the DOMAIN, not the corpus; each round is one linear scan.
+      // round-13: o01 way→node reassembly under a STADIUM node — one
+      // node referenced by EVERY way (the reference's most skew-prone
+      // join, SURVEY §7.4). AQE skew thresholds scaled down so the
+      // decision that protects the 100 TB join is observable at test
+      // size (the ScaleJoinsSpec assertion proves it FIRES; this row
+      // prices it): the claim is wall time tracks data with no
+      // single-task tail — a non-split plan would hold the hot
+      // partition on one core and the curve would go super-linear.
+      if (only.isEmpty || only.contains("stadium_reassemble")) {
+        val prevConf = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+          .map(k => k -> spark.conf.getOption(k)).toMap
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          val pDir = s"$dir/stadium.parquet"
+          stadiumPlanet(spark, 100000L * mult).write
+            .mode(SaveMode.Overwrite).parquet(pDir)
+          time("stadium_reassemble")(
+            graft.osm.OsmQueries.reassembleWays(spark.read.parquet(pDir)))
+        } finally prevConf.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
     }
     spark.stop()
   }

@@ -156,6 +156,60 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-n per group equals the batch rank window across an arrival split with redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    val mem = MemoryStream[Event]
+    val q = EventStream.topNStream(mem.toDF(), n = 3)
+      .writeStream.format("memory").queryName("topn").outputMode("append")
+      .start()
+    try {
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b1.takeRight(25).toSeq) // stale redelivery — dropped
+      q.processAllAvailable()
+      val seqAfterReplay = spark.table("topn")
+        .groupBy($"event_type").agg(max($"seq").as("s")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+      // replays emitted NO new snapshot (seq unchanged until b2)
+      val finalSeq = spark.table("topn")
+        .groupBy($"event_type").agg(max($"seq").as("s")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      finalSeq.foreach { case (g, s) => s shouldBe seqAfterReplay(g) + 1 }
+      // the max-seq snapshot per group == the batch rank window
+      val all = spark.table("topn").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("seq"),
+          r.getAs[Int]("rank"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("cents")))
+      val maxSeq = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val lastSnap = all.filter(t => t._2 == maxSeq(t._1))
+        .map(t => (t._1, t._3) -> ((t._4, t._5))).toMap
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"cents".desc, $"event_id")
+      val exp = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select($"event_type", $"event_id",
+          round($"value" * 100, 0).cast("bigint").as("cents"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter($"rank" <= 3)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Int]("rank")) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      graft.Caches.releaseAll(spark)
+      lastSnap shouldBe exp
+    } finally q.stop()
+  }
+
   test("gap sessionization closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
