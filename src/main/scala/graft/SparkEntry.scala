@@ -132,6 +132,7 @@ object SparkEntry {
     "d04_simhash_pairs_hashed" -> ((s: SparkSession, d: String) => Dedup.simHashPairsHashed(s, d)),
     "d05_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "d06_canonicalize" -> ((s: SparkSession, d: String) => Dedup.canonicalize(s, d)),
+    "d37_canon_artifact" -> (Dedup.canonArtifactGate _),
     "d08_canonical_best" -> ((s: SparkSession, d: String) => Dedup.canonicalizeBest(s, d)),
     "d10_passage_dedup" -> ((s: SparkSession, d: String) => Dedup.passageDedup(s, d)),
     "d11_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.clusterStats(s, d)),
@@ -3698,6 +3699,19 @@ object SparkEntry {
          |SELECT d.doc_id,
          |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
          |  coalesce(c.canonical_id, d.doc_id) <> d.doc_id AS is_duplicate
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // d37: the cluster-map artifact roundtrip — the Spark side writes
+    // the session artifact (clusterMapWrite) and returns the parquet
+    // READ-BACK; the oracle rebuilds the map from the base tables
+    // (d06's recursive-CC SQL, sans decoration). Hash-green = build →
+    // parquet → scan loses nothing, licensing the d08/d11/p06/p09
+    // artifact consumption.
+    "d37_canon_artifact" ->
+      s"""WITH RECURSIVE $CanonCtes
+         |SELECT d.doc_id,
+         |  coalesce(c.canonical_id, d.doc_id) AS canonical_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 

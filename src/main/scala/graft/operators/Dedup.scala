@@ -1141,17 +1141,69 @@ object Dedup {
   def canonicalize(spark: SparkSession, sfDir: String,
       jaccardThreshold: Double = 0.6): DataFrame = {
     import spark.implicits._
-    clusterMap(spark, sfDir, jaccardThreshold)
+    // the DIRECT build, never the artifact: d06 is the gate that
+    // proves (and the bench row that prices) the build itself
+    buildClusterMap(spark, sfDir, jaccardThreshold)
       .withColumn("is_duplicate", $"doc_id" =!= $"canonical_id")
       .orderBy($"doc_id")
   }
 
-  /** (doc_id, canonical_id) cluster map — [[canonicalize]] without the
-    * deterministic output sort (which internal consumers like
-    * [[canonicalizeBest]] would only pay to destroy at their next
-    * shuffle).
+  /** (doc_id, canonical_id) cluster map as the FAMILY consumers see it
+    * — d08's keeper selection, d11's histogram, p06's budgeted dedup,
+    * and p09's leakage-safe split all join this one frame. Served from
+    * the session's persisted artifact
+    * ([[graft.operators.ClusterMapArtifact]]): first touch runs the
+    * real LSH → verify → CC build and writes parquet
+    * ([[clusterMapWrite]]), every later touch is a columnar scan — the
+    * compute-the-map-once workflow a production dedup run executes.
+    * The d37 gate proves read-back ≡ rebuild hash-identically; d06
+    * ([[canonicalize]]) keeps the DIRECT build so the build itself
+    * stays priced and gated.
     */
   private[operators] def clusterMap(spark: SparkSession, sfDir: String,
+      jaccardThreshold: Double = 0.6): DataFrame =
+    ClusterMapArtifact.map(spark, sfDir, jaccardThreshold)
+
+  /** Materialize the d06 cluster map at `dir` (parquet, repartitioned
+    * by canonical_id — downstream keeper/histogram joins key on it).
+    * The production seam: run the LSH → exact-verify → CC pipeline
+    * once, persist, and hand [[clusterMapRead]]'s frame to every
+    * downstream curation stage.
+    */
+  def clusterMapWrite(spark: SparkSession, sfDir: String, dir: String,
+      jaccardThreshold: Double = 0.6): Unit = {
+    // the build's intermediates live in their own scope: the WRITE is
+    // their consuming action (the knnGraphWrite discipline)
+    graft.Caches.scoped { _ =>
+      buildClusterMap(spark, sfDir, jaccardThreshold)
+        .repartition(col("canonical_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** Read a [[clusterMapWrite]] artifact back as the cluster map. */
+  def clusterMapRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** d37 gate entry: the cluster-map artifact roundtrip — first touch
+    * writes the session artifact through [[clusterMapWrite]], the
+    * returned frame is the parquet READ-BACK, and the oracle rebuilds
+    * the same map from the base tables (d06's recursive-CC SQL).
+    * Hash-green proves build → parquet → scan loses nothing, which is
+    * what licenses the d08/d11/p06/p09 artifact consumption.
+    */
+  def canonArtifactGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clusterMap(spark, sfDir).orderBy($"doc_id")
+  }
+
+  /** The direct (no artifact) [[clusterMap]] build: exact-dup edges +
+    * LSH candidates + exact-Jaccard verify + GraphX connected
+    * components, without the deterministic output sort (which internal
+    * consumers like [[canonicalizeBest]] would only pay to destroy at
+    * their next shuffle).
+    */
+  private[operators] def buildClusterMap(spark: SparkSession, sfDir: String,
       jaccardThreshold: Double = 0.6): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

@@ -5,44 +5,23 @@ import scala.collection.concurrent.TrieMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Session-scoped persisted corpus k-NN edge artifact.
-  *
-  * The graph-analytics family (d22 mutual-kNN, s21 PageRank, s23
-  * triangles, s24 label propagation, s25 k-core, s26 link prediction,
-  * s29 BFS, s38 PPR, s39 HITS, s42/s43 assortativity) all iterate over
-  * the SAME s16 edge list; under per-query cache isolation each used to
-  * pay the full Lloyd-train + within-cell pair join + top-k window
-  * every time (~2–4 s of every heavy graph query at sf0.1 — and at
-  * 100 TB the build IS the dominant cost; no production user runs it
-  * ten times). This store materializes the edge frame ONCE per
-  * (corpus, parameters) per JVM through
-  * [[Similarity.knnGraphWrite]] and hands every later consumer the
-  * parquet read-back ([[Similarity.knnGraphRead]]) — exactly the
-  * persisted-artifact workflow a cluster deployment runs explicitly
-  * with its own durable path.
-  *
-  * Correctness: the read-back is value-identical to the direct build —
-  * longs/ints/strings roundtrip trivially and the rounded-cosine double
-  * is a finite IEEE value parquet stores bit-exactly. The s44 gate
-  * proves it end-to-end: write → read → hash-compare against the DuckDB
-  * oracle REBUILDING the edges from the base tables. The s16 gate keeps
-  * calling the direct build (its in-plan sizing guard stays
-  * plan-audited and its bench row keeps measuring the true build cost);
-  * s44 measures the materialize cost; the family measures steady-state
-  * consume cost.
-  *
-  * Staleness: the cache key includes a filesystem fingerprint of the
-  * embeddings table (every file's name, length, and modification time),
-  * so a fixture regenerated at the same path mid-JVM rebuilds instead
-  * of serving stale edges. Artifacts live under one per-JVM temp root,
-  * removed by a shutdown hook.
+/** Session-scoped persisted-artifact store — the shared machinery
+  * behind [[KnnArtifact]] and [[ClusterMapArtifact]]: build once per
+  * (input, parameters) per JVM, write parquet under a per-JVM temp
+  * root (shutdown-hook cleaned), hand every later consumer the
+  * columnar read-back. This is the materialize-once workflow a
+  * cluster deployment runs explicitly with durable paths; the store
+  * gives the same cost model JVM-session scope. Each artifact family's
+  * roundtrip is hash-gated (s44 for the kNN edges, d37 for the
+  * cluster map), which is what licenses serving read-backs in place
+  * of rebuilds.
   */
-object KnnArtifact {
+private[operators] object SessionArtifacts {
 
   private val built = TrieMap.empty[String, String]
 
   private lazy val root: java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-knn-")
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts-")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
@@ -54,12 +33,14 @@ object KnnArtifact {
     dir
   }
 
-  /** Name, length, and modification time of every file of the
-    * embeddings table — cheap (one FS listing) and detects fixture
-    * regeneration at an unchanged path.
+  /** Name, length, and modification time of every file of `table`
+    * under `sfDir` — cheap (one FS listing) and detects fixture
+    * regeneration at an unchanged path, so a stale artifact can never
+    * serve a changed corpus mid-JVM.
     */
-  private def fingerprint(spark: SparkSession, sfDir: String): String = {
-    val p = new Path(s"$sfDir/embeddings.parquet")
+  def fingerprint(spark: SparkSession, sfDir: String,
+      table: String): String = {
+    val p = new Path(s"$sfDir/$table.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) "absent"
     else {
@@ -70,24 +51,78 @@ object KnnArtifact {
     }
   }
 
-  /** The edge frame for (corpus, parameters): built + written on first
-    * touch in this JVM, parquet read-back on every touch. Single-flight
-    * under the store's lock — Verify/Bench drive queries sequentially,
-    * and a concurrent session must not double-build.
+  /** The artifact for `key`: `build(path)` runs on first touch in this
+    * JVM (single-flight under the store's lock — Verify/Bench drive
+    * queries sequentially, and a concurrent session must not
+    * double-build), parquet read-back on every touch.
     */
-  def edges(spark: SparkSession, sfDir: String, k: Int, iters: Int,
-      kNeighbors: Int, maxCellPop: Long): DataFrame = {
-    val key = Seq(sfDir, k, iters, kNeighbors, maxCellPop,
-      fingerprint(spark, sfDir)).mkString("|")
+  def getOrBuild(spark: SparkSession, key: String, name: String)(
+      build: String => Unit): DataFrame = {
     val path = built.synchronized {
       built.getOrElseUpdate(key, {
-        val p = root.resolve(s"edges_${built.size}_${math.abs(key.hashCode)}")
+        val p = root.resolve(s"${name}_${built.size}_${math.abs(key.hashCode)}")
           .toString
-        Similarity.knnGraphWrite(spark, sfDir, p, k, iters, kNeighbors,
-          maxCellPop)
+        build(p)
         p
       })
     }
-    Similarity.knnGraphRead(spark, path)
+    spark.read.parquet(path)
+  }
+}
+
+/** Session store for the corpus k-NN edge artifact.
+  *
+  * The graph-analytics family (d22 mutual-kNN, s21 PageRank, s23
+  * triangles, s24 label propagation, s25 k-core, s26 link prediction,
+  * s29 BFS, s38 PPR, s39 HITS, s42/s43 assortativity) all iterate over
+  * the SAME s16 edge list; under per-query cache isolation each used to
+  * pay the full Lloyd-train + within-cell pair join + top-k window
+  * every time (~2–4 s of every heavy graph query at sf0.1 — and at
+  * 100 TB the build IS the dominant cost; no production user runs it
+  * ten times). First touch materializes through
+  * [[Similarity.knnGraphWrite]]; later touches read
+  * ([[Similarity.knnGraphRead]]).
+  *
+  * Correctness: the read-back is value-identical to the direct build —
+  * longs/ints/strings roundtrip trivially and the rounded-cosine double
+  * is a finite IEEE value parquet stores bit-exactly. The s44 gate
+  * proves it end-to-end against a DuckDB oracle REBUILDING the edges
+  * from the base tables. The s16 gate keeps calling the direct build
+  * (its in-plan sizing guard stays plan-audited and its bench row keeps
+  * measuring the true build cost); s44 measures the materialize cost;
+  * the family measures steady-state consume cost.
+  */
+object KnnArtifact {
+
+  def edges(spark: SparkSession, sfDir: String, k: Int, iters: Int,
+      kNeighbors: Int, maxCellPop: Long): DataFrame = {
+    val key = Seq("knn", sfDir, k, iters, kNeighbors, maxCellPop,
+      SessionArtifacts.fingerprint(spark, sfDir, "embeddings")).mkString("|")
+    SessionArtifacts.getOrBuild(spark, key, "edges") { p =>
+      Similarity.knnGraphWrite(spark, sfDir, p, k, iters, kNeighbors,
+        maxCellPop)
+    }
+  }
+}
+
+/** Session store for the d06 canonicalization cluster map — the
+  * (doc_id, canonical_id) frame five gates consume (d06's output
+  * decoration, d08's quality-keeper selection, d11's histogram, p06's
+  * budgeted dedup, p09's leakage-safe split). Each paid the full
+  * LSH → exact-Jaccard verify → GraphX CC pipeline (~3.5–4 s at sf0.1)
+  * under per-query cache isolation; a production dedup run computes
+  * the map ONCE and every downstream stage joins it. d06 keeps the
+  * direct build (pricing it); d37 gates the write → read-back
+  * roundtrip against the oracle's CC replay; the rest consume.
+  */
+object ClusterMapArtifact {
+
+  def map(spark: SparkSession, sfDir: String,
+      jaccardThreshold: Double): DataFrame = {
+    val key = Seq("canon", sfDir, jaccardThreshold,
+      SessionArtifacts.fingerprint(spark, sfDir, "documents")).mkString("|")
+    SessionArtifacts.getOrBuild(spark, key, "canon") { p =>
+      Dedup.clusterMapWrite(spark, sfDir, p, jaccardThreshold)
+    }
   }
 }
