@@ -149,7 +149,10 @@ object SparkEntry {
     "d15_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
     "d16_incremental_embed" -> ((s: SparkSession, d: String) => Dedup.incrementalEmbedOverlap(s, d)),
     "d17_repeated_spans" -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
-    "d18_span_scrub" -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
+    // r13-opt: gate the spans-materialized variant — identical rows
+    // (SpanScrubSpec pins cached == plan-only), half the tokenize+md5
+    // cost per action; the plan-only form stays as the composable API
+    "d18_span_scrub" -> ((s: SparkSession, d: String) => Dedup.spanScrubCached(s, d)),
     "d19_corpus_diff" -> ((s: SparkSession, d: String) => Dedup.corpusDiff(s, d)),
     "d20_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     // —— extensions: similarity search ——

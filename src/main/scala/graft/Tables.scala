@@ -74,4 +74,18 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Spread a compact frame across spark.sql.shuffle.partitions ahead
+    * of an EXPLOSIVE transform (tokenize → ~100× shingles, 64-wide
+    * vector unpack): scan splits are sized by the compact input bytes,
+    * so the explode would otherwise run at the scan's parallelism —
+    * one task per small file locally, one task per 128 MB of
+    * compressed text at cluster scale (r13-opt, guide §2.5 input skew
+    * / §8 "move small rows, spread big compute"). Deliberately NOT
+    * applied in the loaders: map-only operators must stay map-only (an
+    * exchange there shuffles the corpus for nothing — plan-audited by
+    * the map-only specs), so only explode sites opt in.
+    */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(org.apache.spark.sql.functions.col(key))
 }

@@ -71,7 +71,7 @@ object Dedup {
   def passageDedup(spark: SparkSession, sfDir: String,
       window: Int = 20): DataFrame = {
     import spark.implicits._
-    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
       .select($"doc_id", explode(passageHashes($"tk", window)).as("ph"))
       .groupBy($"ph")
       .agg(count_distinct($"doc_id").as("n_docs"),
@@ -101,7 +101,7 @@ object Dedup {
   def repeatedSpans(spark: SparkSession, sfDir: String,
       window: Int = 20): DataFrame = {
     import spark.implicits._
-    val spans = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val spans = Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
       .select($"doc_id", explode(spanHashes($"tk", window)).as("ph"))
     repeatedSpanStats(spans).orderBy($"ph")
   }
@@ -190,13 +190,22 @@ object Dedup {
     */
   private[operators] def sourceOverlapOn(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val ss = graft.Caches.track(docs
+    // spread key = text (high-cardinality): source has only a handful
+    // of distinct values and would skew the exchange
+    val ss = graft.Caches.track(graft.Tables.spread(docs, "text")
       .select($"source", graft.functions.Text.toks($"text").as("tk"))
       .select($"source", explode(graft.functions.Text.shingles($"tk")).as("sh"))
       .distinct())
     val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
-    val inter = ss.as("x")
-      .join(ss.as("y"),
+    // lossless prune (r13-opt, the d28 move): a shingle present in one
+    // source only cannot contribute a cross-source pair — drop it from
+    // both self-join sides before the shuffle
+    val shared = graft.Caches.track(ss.join(
+      ss.groupBy($"sh").agg(count(lit(1)).as("ns"))
+        .filter($"ns" >= 2).select($"sh"),
+      "sh"))
+    val inter = shared.as("x")
+      .join(shared.as("y"),
         col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
       .agg(count(lit(1)).as("shared"))
@@ -260,7 +269,7 @@ object Dedup {
     */
   private[operators] def spansOf(docs: DataFrame, window: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    Text.tokenized(docs, "doc_id", "text")
+    Text.tokenized(graft.Tables.spread(docs, "doc_id"), "doc_id", "text")
       .select($"doc_id",
         posexplode(spanHashes($"tk", window)).as(Seq("i0", "ph")))
       .select($"doc_id", ($"i0" + 1).cast("int").as("i"), $"ph")
@@ -289,7 +298,8 @@ object Dedup {
   def spanScrubOn(docs: DataFrame, spans: DataFrame,
       window: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = Text.tokenized(docs, "doc_id", "text").select($"doc_id",
+    val toks = Text.tokenized(graft.Tables.spread(docs, "doc_id"),
+      "doc_id", "text").select($"doc_id",
       posexplode($"tk").as(Seq("pos0", "token")))
       .select($"doc_id", ($"pos0" + 1).cast("int").as("pos"), $"token")
     // one definition of detect: the d17 rule via repeatedSpanStats
@@ -350,7 +360,9 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val sampled = sampleMod.fold(docs)(m => docs.filter($"doc_id" % m === 0))
     val capped = capDocId.fold(sampled)(c => sampled.filter($"doc_id" < c))
-    Text.tokenized(capped, "doc_id", "text")
+    // spread the compact doc rows before the ~100× explode (r13-opt,
+    // Tables.spread doc)
+    Text.tokenized(Tables.spread(capped, "doc_id"), "doc_id", "text")
       .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
       .distinct()
   }
@@ -429,7 +441,7 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val M = 1L << 20
-    val tk = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val tk = Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
     val grams = tk
       .select($"doc_id", posexplode(Text.shingles($"tk", k)).as(Seq("p0", "gram")))
       .select($"doc_id", ($"p0" + 1).cast("bigint").as("pos"),
@@ -534,10 +546,23 @@ object Dedup {
     import spark.implicits._
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
     val docs = sortedSidDocs(sh, tauNum, tauDen)
-    val cands = jaccardPrefixCandidates(docs, tauNum, tauDen, maxPrefixPop)
+    // cached (r13-opt): the two verify joins below each re-derive their
+    // build side from the candidate subtree — uncached, the whole
+    // quadratic prefix join ran TWICE per action (two broadcast-build
+    // stages recomputing it were the top-2 stages in the profile)
+    val cands = graft.Caches.track(
+      jaccardPrefixCandidates(docs, tauNum, tauDen, maxPrefixPop))
     val setsA = docs.select($"doc_id".as("a"), $"sids".as("sa"), $"n".as("n_a"))
     val setsB = docs.select($"doc_id".as("b"), $"sids".as("sb"), $"n".as("n_b"))
+    // repartition by the pair key before the exact verify: the
+    // intersect is per-ROW CPU over tiny bytes, exactly the shape
+    // AQE's bytes-based partition coalescing serializes into one task
+    // (guide §2.5 — it cannot see compute density). A user-specified
+    // hash repartition keeps the verify spread over
+    // spark.sql.shuffle.partitions at every scale; the exchanged bytes
+    // are candidate ids + two bounded id lists.
     cands.join(setsA, "a").join(setsB, "b")
+      .repartition($"a", $"b")
       .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("bigint"))
       .withColumn("jaccard",
         round($"inter" / ($"n_a" + $"n_b" - $"inter"), 6))
@@ -561,9 +586,14 @@ object Dedup {
       tauDen: Int): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val keyed = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .select($"sh",
-        concat(lpad($"df".cast("string"), 12, "0"), lit(" "), $"sh").as("okey"))
+    // cached (r13-opt): consumed by BOTH the dense-id dictionary build
+    // and the sh→sid join-back — uncached the corpus-wide (sh, df)
+    // aggregation ran twice per action (two identical exchange-write
+    // stages in the profile)
+    val keyed = graft.Caches.track(
+      sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .select($"sh",
+          concat(lpad($"df".cast("string"), 12, "0"), lit(" "), $"sh").as("okey")))
     val dict = Ranking.denseIds(keyed, "okey", "sid")
     val shToSid = keyed.join(dict, "okey").select($"sh", $"sid")
     val sids = sh.join(shToSid, "sh").select($"doc_id", $"sid")
@@ -594,11 +624,14 @@ object Dedup {
       positional: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val prefix = Sizing.guardKeyPopulation(
+    // cached (r13-opt): the self-join reads this frame on BOTH sides,
+    // and the guard's count-aggregate and probe halves each evaluate
+    // their input — four explode evaluations per action uncached
+    val prefix = graft.Caches.track(Sizing.guardKeyPopulation(
       docs.select($"doc_id", $"n",
         posexplode(slice($"sids", lit(1), $"p")).as(Seq("pos0", "sid"))),
       "sid", maxPrefixPop, "jaccardPrefixJoin", "prefix shingle",
-      "tauNum/tauDen")
+      "tauNum/tauDen"))
     val lengthF =
       $"x.n" * tauNum <= $"y.n" * tauDen && $"y.n" * tauNum <= $"x.n" * tauDen
     val positionalF =
@@ -744,10 +777,16 @@ object Dedup {
     import spark.implicits._
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
     val docs = sortedSidDocs(sh, tauNum, tauDen)
-    val cands = containmentCandidates(docs, tauNum, tauDen, maxPrefixPop)
+    // cached + verify repartitioned for the same reasons as
+    // [[jaccardPrefixOn]] (r13-opt): candidate subtree must run once,
+    // and the per-pair intersect CPU must not be serialized by AQE's
+    // bytes-based coalescing
+    val cands = graft.Caches.track(
+      containmentCandidates(docs, tauNum, tauDen, maxPrefixPop))
     val setsA = docs.select($"doc_id".as("a"), $"sids".as("sa"), $"n".as("n_a"))
     val setsB = docs.select($"doc_id".as("b"), $"sids".as("sb"), $"n".as("n_b"))
     cands.join(setsA, "a").join(setsB, "b")
+      .repartition($"a", $"b")
       .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("bigint"))
       .withColumn("containment", round($"inter" / $"n_a", 6))
       .filter($"containment" >= lit(tauNum.toDouble / tauDen))
@@ -774,11 +813,13 @@ object Dedup {
       positional: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val prefix = Sizing.guardKeyPopulation(
+    // cached (r13-opt): the guard's two halves each evaluate the
+    // explode — one materialization instead of two per action
+    val prefix = graft.Caches.track(Sizing.guardKeyPopulation(
       docs.select($"doc_id", $"n",
         posexplode(slice($"sids", lit(1), $"p")).as(Seq("pos0", "sid"))),
       "sid", maxPrefixPop, "containmentJoin", "prefix shingle",
-      "tauNum/tauDen")
+      "tauNum/tauDen"))
     val full = docs.select($"doc_id", $"n",
       posexplode($"sids").as(Seq("pos0", "sid")))
     val lengthF = $"y.n" * tauDen >= $"x.n" * tauNum
@@ -788,7 +829,13 @@ object Dedup {
         lit(tauNum.toLong) * $"x.n".cast("long")
     val cond = $"x.sid" === $"y.sid" && $"x.doc_id" =!= $"y.doc_id" &&
       (if (positional) lengthF && positionalF else lengthF)
-    prefix.as("x").join(full.as("y"), cond)
+    // deliberate join strategy (r13-opt, guide §3.1): the full-list
+    // side is the corpus × |doc| explode — sort-merge would SORT it by
+    // sid (the dominant stage in the profile). Shuffled-hash builds the
+    // per-partition hash table on the SMALL prefix side and streams the
+    // big explode through it, no sort on either side; AQE skew-split
+    // still applies to the sid exchange.
+    prefix.hint("shuffle_hash").as("x").join(full.as("y"), cond)
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
   }
 
@@ -920,8 +967,10 @@ object Dedup {
     */
   private[operators] def bandCandidates(sigs: DataFrame): DataFrame = {
     import sigs.sparkSession.implicits._
-    val bands = sigs
-      .select($"doc_id", posexplode(expr(BandExpr)).as(Seq("band", "bsig")))
+    // cached (r13-opt): the self-join reads bands on BOTH sides — the
+    // full corpus signature aggregation ran twice per action uncached
+    val bands = graft.Caches.track(sigs
+      .select($"doc_id", posexplode(expr(BandExpr)).as(Seq("band", "bsig"))))
     bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bsig" === $"y.bsig" &&
           $"x.doc_id" < $"y.doc_id")
@@ -943,11 +992,15 @@ object Dedup {
   private[operators] def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    // cached (r13-opt): read by the intersect join AND the left
+    // join-back — uncached, the caller's whole candidate-generation
+    // subtree (band self-join) evaluated twice per action
+    val candC = graft.Caches.track(cand)
+    val inter = candC
       .join(sh.as("sa"), $"a" === $"sa.doc_id")
       .join(sh.as("sb"), $"b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
       .groupBy($"a", $"b").agg(count(lit(1)).as("ic"))
-    cand.join(inter, Seq("a", "b"), "left")
+    candC.join(inter, Seq("a", "b"), "left")
       .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
       .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
       .select($"a", $"b", coalesce($"ic", lit(0L)).as("ic"), $"na", $"nb")
@@ -2076,7 +2129,16 @@ object Dedup {
     val caught = bandPairs(spark, sh.join(shingleDict(sh), "sh"))
       .select($"a", $"b", lit(1).as("hit"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.alias("x").join(sh.alias("y"),
+    // lossless prune before the brute-force self-join (r13-opt, guide
+    // §2.3): a shingle in exactly one doc cannot form a pair, so
+    // dropping df=1 rows from BOTH sides changes no (a, b) group while
+    // cutting most of the self-join's shuffle and sort (unique
+    // shingles dominate a real corpus). Cached: both sides read it.
+    val repeated = graft.Caches.track(sh.join(
+      sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2).select($"sh"),
+      "sh"))
+    val pairs = repeated.alias("x").join(repeated.alias("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("ic"))
@@ -2279,7 +2341,7 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
       .filter($"doc_id" % 10 === 0 && $"doc_id" < 10L * maxSample)
     val tf = graft.Caches.track(
-      docs.select($"doc_id",
+      graft.Tables.spread(docs, "doc_id").select($"doc_id",
           explode(graft.functions.Text.toks($"text")).as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf")))
     val nd = docs.agg(count(lit(1)).as("nd"))

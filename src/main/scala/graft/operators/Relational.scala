@@ -474,7 +474,10 @@ object Relational {
     // shuffles thousands of sketch words per row — measured 60× slower.
     // Split, each pass is a clean partial-aggregated map-reduce.
     val li = Tables.lineitem(spark, sfDir)
-    val exact = li.groupBy($"l_returnflag")
+    // spread before the two-distinct Expand (×2 row blowup + partial
+    // distinct agg otherwise runs at the scan's parallelism — r13-opt,
+    // the Tables.spread rationale); the approx pass stays scan→agg
+    val exact = Tables.spread(li, "l_orderkey").groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("n_orders"),
         countDistinct($"l_partkey").as("n_parts"))
     val approx = li.groupBy($"l_returnflag")

@@ -586,7 +586,7 @@ object Sampling {
     import spark.implicits._
     require(stride >= 1 && chunkSize >= stride,
       s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
-    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
       .select($"doc_id", $"tk", posexplode(
         sequence(lit(1), greatest(size($"tk"), lit(1)), lit(stride)))
         .as(Seq("chunk_idx", "start")))

@@ -171,10 +171,11 @@ object Similarity {
     * shared exact-arithmetic vector expansion behind every Lloyd-based
     * operator (s03/s11; annPq carries the same grid with a `sub` key).
     */
-  private def gridPoints(df: DataFrame): DataFrame = df
-    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-    .select(col("vec_id"), (col("pos0") + 1).cast("bigint").as("pos"),
-      round(col("x").cast("double") * 1e6, 0).cast("bigint").as("xq"))
+  private def gridPoints(df: DataFrame): DataFrame =
+    graft.Tables.spread(df, "vec_id")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("bigint").as("pos"),
+        round(col("x").cast("double") * 1e6, 0).cast("bigint").as("xq"))
 
   /** One Lloyd assign half: nearest centroid per vector by exact
     * integer-grid distance, cluster tiebreak (s05 shape). Returns
@@ -185,9 +186,16 @@ object Similarity {
     val d = p.join(broadcast(cent), "pos")
       .groupBy(col("vec_id"), col("cluster"))
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist2q"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2q"), col("cluster"))
-    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"), col("dist2q"))
+    // argmin as min(struct(dist2q, cluster)) — identical to the former
+    // row_number()-over-(dist2q, cluster) pick (lexicographic struct
+    // order on non-null ints == the window's sort order), but one
+    // partial-aggregated pass instead of an Exchange + full Sort per
+    // Lloyd half (r13-opt, guide §2.3/§2.4; this helper runs inside
+    // every trained-quantizer query, several times per query)
+    d.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2q"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.dist2q").as("dist2q"))
   }
 
   /** One Lloyd average half: exact integer mean per (cluster, pos) on
@@ -1100,13 +1108,15 @@ object Similarity {
     * equality in SimilaritySpec meaningful.
     */
   private def pqAssign(pts: DataFrame, cb: DataFrame): DataFrame = {
-    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist2q"), col("code"))
+    // argmin via min(struct(dist2q, code)) — same pick as the former
+    // (dist2q, code) row_number window, without its Exchange + Sort
+    // per assign pass (r13-opt, guide §2.3/§2.4)
     pts.join(broadcast(cb), Seq("sub", "pos"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist2q"))
-      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist2q"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
   }
 
   /** One PQ Lloyd average half: exact integer mean per (sub, code, pos). */
@@ -1923,14 +1933,14 @@ object Similarity {
     // frame is ≤ |queries|·(nEntry + hops·beam·kNeighbors) rows —
     // parameters, not data.
     val wBeam = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
-    var visited = score(entry).localCheckpoint()
+    var visited = score(entry).localCheckpoint(eager = false)
     for (_ <- 1 to hops) {
       val frontier = visited.withColumn("rn", row_number().over(wBeam))
         .filter($"rn" <= beam).select($"qid", $"cand")
       val expand = frontier.join(edges, frontier("cand") === edges("src"))
         .select($"qid", $"dst".as("cand")).distinct()
       val fresh = expand.join(visited, Seq("qid", "cand"), "left_anti")
-      visited = visited.unionByName(score(fresh)).localCheckpoint()
+      visited = visited.unionByName(score(fresh)).localCheckpoint(eager = false)
     }
     // exact re-rank of everything visited; self-visits drop here
     visited.filter($"cand" =!= $"qid")
@@ -2018,7 +2028,7 @@ object Similarity {
           (lit(lambdaNum) * $"rel6").as("mmr6"))
         .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
         .select($"qid", $"cand", $"rel6", $"mmr6", lit(1).as("pick"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     for (i <- 2 to k) {
       val remaining = pool.join(selected.select($"qid", $"cand"),
         Seq("qid", "cand"), "left_anti")
@@ -2037,7 +2047,7 @@ object Similarity {
         .select($"qid", $"cand", $"rel6", $"mmr6", lit(i).as("pick"))
       // checkpointed: next round's anti-join + penalty join + final
       // union all read it, and the lineage must not nest (see scaladoc)
-      selected = selected.unionByName(picked).localCheckpoint()
+      selected = selected.unionByName(picked).localCheckpoint(eager = false)
     }
     selected.orderBy($"qid", $"pick")
   }
@@ -2125,7 +2135,7 @@ object Similarity {
     import spark.implicits._
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(eager = false)
     val und = undirectedKnn(spark, sfDir, k, iters, kNeighbors)
     // cached: every round joins the same bidirectional edge list
     val bidir = graft.Caches.track(
@@ -2186,7 +2196,7 @@ object Similarity {
     require(coreK >= 1 && rounds >= 1, s"need coreK/rounds >= 1, got $coreK/$rounds")
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(eager = false)
     val ed = knnEdges(spark, sfDir, k, iters, kNeighbors)
       .select($"src", $"dst")
     val mund = ed.as("f").join(ed.as("r"),
@@ -2405,7 +2415,7 @@ object Similarity {
     require(hops >= 1 && nSeeds >= 1, s"need hops/nSeeds >= 1: $hops/$nSeeds")
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(eager = false)
     val edges = graft.Caches.track(
       knnEdges(spark, sfDir, k, iters, kNeighbors).select($"src", $"dst"))
     var dist = Tables.embeddings(spark, sfDir)

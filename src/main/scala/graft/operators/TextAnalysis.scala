@@ -165,7 +165,7 @@ object TextAnalysis {
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
       .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -187,7 +187,7 @@ object TextAnalysis {
   def topNgrams(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val tk = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text"))
     def freqTop(grams: DataFrame, n: Int): DataFrame =
       grams.groupBy($"gram").agg(count(lit(1)).as("freq"))
         .orderBy($"freq".desc, $"gram").limit(k)
@@ -238,7 +238,7 @@ object TextAnalysis {
     // subtrees over the same shingle lineage — uncached, the tokenize→
     // shingle→distinct pipeline would evaluate twice per action
     val sh = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
         .select($"doc_id", explode(Text.shingles($"tk")).as("sh"))
         .distinct())
     // the doc_id % 97 carve-out exists ONLY for the default stand-in
@@ -279,7 +279,7 @@ object TextAnalysis {
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val occ = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
         .select($"doc_id", explode(Text.shingles($"tk")).as("sh")))
     val df = occ.select($"doc_id", $"sh").distinct()
       .groupBy($"sh").agg(count(lit(1)).as("df"))
@@ -310,7 +310,7 @@ object TextAnalysis {
     import spark.implicits._
     // cached: consumed by the df build AND the scoring join
     val toks = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
         .select($"doc_id", explode($"tk").as("tok")))
     val df = toks.select($"doc_id", $"tok").distinct()
       .groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -364,7 +364,7 @@ object TextAnalysis {
       headLen: Int = 20): DataFrame = {
     import spark.implicits._
     val tox = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
         .select($"doc_id", explode($"tk").as("term")))
     val stats = tox.groupBy($"term")
       .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
@@ -433,7 +433,7 @@ object TextAnalysis {
     import spark.implicits._
     // cached: lengths (corpus constants), tf and df all consume it
     val lens = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
         .select($"doc_id", size($"tk").cast("bigint").as("dl"), $"tk"))
     val occ = lens.select($"doc_id", $"dl", explode($"tk").as("term"))
       .filter($"term".isin(Bm25Terms: _*))
@@ -699,7 +699,7 @@ object TextAnalysis {
     require(window >= 2, "passage window must be >= 2 tokens")
     // ceil(n/window) windows; sequence() would step DOWNWARD for 0
     // tokens, so gate on at least one (possibly partial) window
-    val tkdf = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val tkdf = Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
     val nWin = floor((size($"tk") + window - 1) / window).cast("int")
     val passages = tkdf
       .select($"doc_id", explode(when(nWin >= 1,
@@ -796,7 +796,7 @@ object TextAnalysis {
       minTokens: Int = 20, maxTokens: Int = 100000): DataFrame = {
     import spark.implicits._
     val grams = Text.shingles($"tk")
-    val base = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val base = Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
       .select($"doc_id", $"tk", size(grams).as("n_grams"),
         size(array_distinct(grams)).as("nd_grams"))
       .select($"doc_id", explode($"tk").as("tok"), $"n_grams", $"nd_grams")
@@ -849,7 +849,7 @@ object TextAnalysis {
   def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tk = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text"))
     val uni = tk.select(explode($"tk").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
@@ -899,7 +899,7 @@ object TextAnalysis {
   def knBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tk = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text"))
     val bg = graft.Caches.track(
       tk.select(explode(Text.shingles($"tk", 2)).as("bg"))
         .withColumn("w1", substring_index($"bg", " ", 1))
@@ -998,7 +998,7 @@ object TextAnalysis {
       minPair: Long = 3, topK: Int = 50): DataFrame = {
     import spark.implicits._
     val tk = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text"))
     val uni = tk.select(explode($"tk").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val bg = tk.select(explode(Text.shingles($"tk", 2)).as("bg"))
@@ -1030,7 +1030,7 @@ object TextAnalysis {
   def kwic(spark: SparkSession, sfDir: String, window: Int = 3): DataFrame = {
     import spark.implicits._
     val tk = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text"))
     val occ = tk
       .select($"doc_id", $"tk", posexplode($"tk").as(Seq("p0", "token")))
       .withColumn("pos", ($"p0" + 1).cast("bigint"))
@@ -1376,7 +1376,7 @@ object TextAnalysis {
     import spark.implicits._
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val tk = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text"))
     val ref = tk.filter($"doc_id" % 2 === 0)
     val uniR = ref.select(explode($"tk").as("w1"))
       .groupBy($"w1").agg(count(lit(1)).as("c1"))
@@ -1643,7 +1643,7 @@ object TextAnalysis {
     import spark.implicits._
     require(minCount >= 1 && topN >= 1, s"bad minCount=$minCount topN=$topN")
     val tk = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text"))
     val u = tk.select(explode($"tk").as("w"))
     val uni = u.groupBy($"w").agg(count(lit(1)).as("c1"))
     val nTok = u.agg(count(lit(1)).as("n"))
@@ -1694,7 +1694,7 @@ object TextAnalysis {
   def trigramBackoff(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tk = graft.Caches.track(
-      Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text"))
+      Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text"))
     val ref = tk.filter($"doc_id" % 2 === 0)
     val refUni = ref.select(explode($"tk").as("w"))
     val c1 = refUni.groupBy($"w").agg(count(lit(1)).as("c1"))
@@ -1760,7 +1760,7 @@ object TextAnalysis {
     import spark.implicits._
     require(prRounds >= 1 && topN >= 1, s"bad prRounds=$prRounds topN=$topN")
     val scale = 1000000L
-    val tk = Text.tokenized(Tables.documents(spark, sfDir), "doc_id", "text")
+    val tk = Text.tokenized(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), "doc_id", "text")
     val undw = graft.Caches.track(
       tk.select(explode(Text.shingles($"tk", 2)).as("bg"))
         .select(substring_index($"bg", " ", 1).as("w1"),
@@ -1770,7 +1770,11 @@ object TextAnalysis {
         .groupBy($"a", $"b").agg(count(lit(1)).as("w")))
     val bid = undw.select($"a".as("src"), $"b".as("dst"), $"w")
       .unionAll(undw.select($"b".as("src"), $"a".as("dst"), $"w"))
-    val strength = bid.groupBy($"src").agg(sum($"w").as("s"))
+    // cached (r13-opt): read by every PR round's contribution join AND
+    // the final top join — prRounds+1 evaluations of the corpus-wide
+    // degree aggregation uncached
+    val strength = graft.Caches.track(
+      bid.groupBy($"src").agg(sum($"w").as("s")))
     val nodes = graft.Caches.track(bid.select($"src".as("word")).distinct())
     var pr = nodes.select($"word", lit(scale).as("pr"))
     for (_ <- 1 to prRounds) {
@@ -1999,7 +2003,7 @@ object TextAnalysis {
     require(maxWordLen >= 1 && topGrams >= 0, s"bad params $maxWordLen/$topGrams")
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(eager = false)
     val words = graft.Caches.track(
       Tables.documents(spark, sfDir)
         .select(explode(Text.toks($"text")).as("word"))
