@@ -197,15 +197,8 @@ object Dedup {
       .select($"source", explode(graft.functions.Text.shingles($"tk")).as("sh"))
       .distinct())
     val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
-    // lossless prune (r13-opt, the d28 move): a shingle present in one
-    // source only cannot contribute a cross-source pair — drop it from
-    // both self-join sides before the shuffle
-    val shared = graft.Caches.track(ss.join(
-      ss.groupBy($"sh").agg(count(lit(1)).as("ns"))
-        .filter($"ns" >= 2).select($"sh"),
-      "sh"))
-    val inter = shared.as("x")
-      .join(shared.as("y"),
+    val inter = ss.as("x")
+      .join(ss.as("y"),
         col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
       .agg(count(lit(1)).as("shared"))

@@ -171,11 +171,10 @@ object Similarity {
     * shared exact-arithmetic vector expansion behind every Lloyd-based
     * operator (s03/s11; annPq carries the same grid with a `sub` key).
     */
-  private def gridPoints(df: DataFrame): DataFrame =
-    graft.Tables.spread(df, "vec_id")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), (col("pos0") + 1).cast("bigint").as("pos"),
-        round(col("x").cast("double") * 1e6, 0).cast("bigint").as("xq"))
+  private def gridPoints(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+    .select(col("vec_id"), (col("pos0") + 1).cast("bigint").as("pos"),
+      round(col("x").cast("double") * 1e6, 0).cast("bigint").as("xq"))
 
   /** One Lloyd assign half: nearest centroid per vector by exact
     * integer-grid distance, cluster tiebreak (s05 shape). Returns
@@ -1273,17 +1272,22 @@ object Similarity {
     for (_ <- 2 to iters) cent = lloydAverage(candPts, lloydAssign(candPts, cent))
     cent = graft.Caches.track(cent)
     val cellCent = cent.select($"cluster".as("cell"), $"pos", $"cq")
-    val cells = lloydAssign(candPts, cent)
-      .select($"vec_id", $"cluster".as("cell"))
+    // cached (r13-opt): consumed by the residual PQ input AND the ADC
+    // routing join — each consumer's broadcast/shuffle build otherwise
+    // re-runs the whole Lloyd assignment subtree
+    val cells = graft.Caches.track(lloydAssign(candPts, cent)
+      .select($"vec_id", $"cluster".as("cell")))
     // cached: the query explode feeds the probe ranking AND the LUT
     val qPts = graft.Caches.track(gridPoints(emb.filter($"vec_id" < 8)))
     val wProbe = Window.partitionBy($"vec_id").orderBy($"dist2q", $"cluster")
-    val probes = qPts
+    // cached (r13-opt): broadcast twice (ADC routing + the residual
+    // coarse term) — parameter-sized (queries × nProbe rows)
+    val probes = graft.Caches.track(qPts
       .join(broadcast(cent), "pos")
       .groupBy($"vec_id", $"cluster")
       .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("dist2q"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
-      .select($"vec_id".as("qid"), $"cluster".as("cell"))
+      .select($"vec_id".as("qid"), $"cluster".as("cell")))
     // —— PQ codebooks: pqTrain/pqAssign over the SAME candidates ——
     // residual=true (the FAISS default): the codebooks train on and
     // encode x − c_cell (what's LEFT after the coarse quantizer), so
@@ -1933,14 +1937,14 @@ object Similarity {
     // frame is ≤ |queries|·(nEntry + hops·beam·kNeighbors) rows —
     // parameters, not data.
     val wBeam = Window.partitionBy($"qid").orderBy($"cos".desc, $"cand")
-    var visited = score(entry).localCheckpoint(eager = false)
+    var visited = score(entry).localCheckpoint()
     for (_ <- 1 to hops) {
       val frontier = visited.withColumn("rn", row_number().over(wBeam))
         .filter($"rn" <= beam).select($"qid", $"cand")
       val expand = frontier.join(edges, frontier("cand") === edges("src"))
         .select($"qid", $"dst".as("cand")).distinct()
       val fresh = expand.join(visited, Seq("qid", "cand"), "left_anti")
-      visited = visited.unionByName(score(fresh)).localCheckpoint(eager = false)
+      visited = visited.unionByName(score(fresh)).localCheckpoint()
     }
     // exact re-rank of everything visited; self-visits drop here
     visited.filter($"cand" =!= $"qid")
@@ -2028,7 +2032,7 @@ object Similarity {
           (lit(lambdaNum) * $"rel6").as("mmr6"))
         .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
         .select($"qid", $"cand", $"rel6", $"mmr6", lit(1).as("pick"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     for (i <- 2 to k) {
       val remaining = pool.join(selected.select($"qid", $"cand"),
         Seq("qid", "cand"), "left_anti")
@@ -2047,7 +2051,7 @@ object Similarity {
         .select($"qid", $"cand", $"rel6", $"mmr6", lit(i).as("pick"))
       // checkpointed: next round's anti-join + penalty join + final
       // union all read it, and the lineage must not nest (see scaladoc)
-      selected = selected.unionByName(picked).localCheckpoint(eager = false)
+      selected = selected.unionByName(picked).localCheckpoint()
     }
     selected.orderBy($"qid", $"pick")
   }
@@ -2135,7 +2139,7 @@ object Similarity {
     import spark.implicits._
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(eager = false)
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val und = undirectedKnn(spark, sfDir, k, iters, kNeighbors)
     // cached: every round joins the same bidirectional edge list
     val bidir = graft.Caches.track(
@@ -2196,7 +2200,7 @@ object Similarity {
     require(coreK >= 1 && rounds >= 1, s"need coreK/rounds >= 1, got $coreK/$rounds")
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(eager = false)
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val ed = knnEdges(spark, sfDir, k, iters, kNeighbors)
       .select($"src", $"dst")
     val mund = ed.as("f").join(ed.as("r"),
@@ -2415,7 +2419,7 @@ object Similarity {
     require(hops >= 1 && nSeeds >= 1, s"need hops/nSeeds >= 1: $hops/$nSeeds")
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(eager = false)
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = graft.Caches.track(
       knnEdges(spark, sfDir, k, iters, kNeighbors).select($"src", $"dst"))
     var dist = Tables.embeddings(spark, sfDir)

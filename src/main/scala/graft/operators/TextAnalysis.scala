@@ -2003,7 +2003,7 @@ object TextAnalysis {
     require(maxWordLen >= 1 && topGrams >= 0, s"bad params $maxWordLen/$topGrams")
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(eager = false)
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val words = graft.Caches.track(
       Tables.documents(spark, sfDir)
         .select(explode(Text.toks($"text")).as("word"))

@@ -259,7 +259,7 @@ object OsmQueries {
     // (carry-forward + extension), so a persist-only loop accretes a
     // 2^rounds analyzed plan — the measured s25 lineage lesson;
     // localCheckpoint keeps the per-round plan O(1)
-    def snap(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+    def snap(df: DataFrame): DataFrame = df.localCheckpoint()
     val mw = planet.filter(col("type") === "relation" &&
         col("tags").getItem("type") === "multipolygon")
       .select(col("id").as("rel_id"), explode(col("members")).as("m"))
