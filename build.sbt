@@ -10,6 +10,16 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The bench driver parses a bounded stdout TAIL for Bench's final JSON
+// line; 13 rounds of `parsed: null` say sbt's framing defeats it. Two
+// fixes: forward the forked JVM's output raw (no `[info] ` line prefix,
+// so the JSON line starts with '{'), and drop the `[success] Total
+// time` trailer (so the JSON line is the LAST line of stdout).
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
+// showSuccess is consumed by the command engine, not a task — lint
+// cannot see that
+Global / excludeLintKeys += showSuccess
 // Suites share one SparkSession and (as of round 3) a session-global
 // cache registry (graft.Caches) whose lifecycle specs assert global
 // storage state — concurrent suites race on it. Sequential execution

@@ -105,18 +105,29 @@ object Bench {
     // the env var stays the explicit override
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("BENCH_LATEST.json").getAbsolutePath)
-    // a name-filtered dev run must not clobber the full-surface
-    // artifact the driver (and round records) read
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    // ... plus a per-cpus twin: the driver's low-core scaling run starts
+    // a second JVM with a different $SPARK_GRAFT_CPUS and used to
+    // overwrite BENCH_LATEST.json, destroying the main run's per-query
+    // record (r13 judge item 2b). The _c$cpus file survives it.
+    val cpuPath = outPath.stripSuffix(".json") + s"_c$cpus.json"
+    def writeArchive(p: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
+    // a name-filtered dev run must not clobber the full-surface
+    // artifact the driver (and round records) read
+    if (only.isEmpty) { writeArchive(outPath); writeArchive(cpuPath) }
     else println(fullLine) // dev runs: small map, print it whole
     val perQuery = total / math.max(1, results.count(_._2 >= 0))
+    // stop FIRST so Spark's shutdown chatter cannot land after the
+    // record: the short totals JSON must be the absolute last stdout
+    // line (r13 judge item 2a — the driver parses a bounded stdout
+    // tail; build.sbt's StdoutOutput/showSuccess settings keep sbt from
+    // prefixing it or appending a [success] trailer after it)
+    spark.stop()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"per_query":$perQuery,"sf":"$sfDir","full":"$outPath"}""")
-    spark.stop()
   }
 }
