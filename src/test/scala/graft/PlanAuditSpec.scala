@@ -274,7 +274,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // and S(Q) has HashAggregate(partial_sum(q_ppm·log2fixed)) over the
     // CACHED q-ppm frame — one partial row per task into 1-row
     // broadcasts each (t20's V shape).
+    // The r14 Lloyd vector form (Similarity.centsRow) gathers the
+    // k-cluster centroid frame into ONE (cents: array<struct>) row for
+    // broadcast into the per-vector argmin map pass: its SinglePartition
+    // exchange's direct child is the partial collect_list over the
+    // k·dims-row centroid aggregate — parameter-sized by construction
+    // (k and dims are knobs, never corpus-proportional), the same bound
+    // as p04's tiny-key-space shapes. Every trained-quantizer query
+    // carries it: s03/s11/s12/s15/s16/s17/s18/s28/s31/s33/p12 (s32/
+    // s34/s35 were already listed), and the artifact gates that run
+    // the s16/d06-family build on first touch (s44, d37, d22, d24).
     val bounded = Set("q19_topk_limit", "q14_exists_anti",
+      "s03_ann_ivf", "s31_ivf_refresh", "s11_corpus_clusters",
+      "s12_embed_outliers", "s33_silhouette", "s15_ann_ivfpq",
+      "s17_ann_ivfpq_res", "s16_knn_graph", "s18_ann_beam",
+      "s28_ivf_recall_curve", "p12_cluster_sample", "s44_knn_artifact",
+      "d37_canon_artifact", "d22_mutual_knn", "d24_dbscan",
       "p04_mixture_weights", "p05_apply_mixture", "t11_bm25",
       "q31_correlated_scalar", "t13_token_drift", "p11_seeded_shuffle",
       "t20_bigram_lm", "t23_perplexity_bucket", "t26_heavy_hitters",
