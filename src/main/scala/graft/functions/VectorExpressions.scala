@@ -71,12 +71,78 @@ case class DotProductF(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Σ (a[i] − b[i])² over two integer-grid component arrays — the Lloyd
+  * assign/rank inner loop (r14-opt). Bit-identical to the interpreted
+  * fold `aggregate(zip_with(a, b, (x, q) -> (x - q) * (x - q)), 0L,
+  * (acc, d) -> acc + d)` on equal-length arrays (left-to-right long
+  * adds; long arithmetic wraps identically), but one tight primitive
+  * loop instead of per-element lambda interpretation with boxing — the
+  * expression runs k times per corpus row inside the per-row argmin,
+  * which made the interpreted form the whole-corpus bottleneck.
+  * Element nulls are not expected in grid-quantized embedding arrays
+  * (same documented contract as [[DotProductF]]).
+  */
+case class Dist2Q(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dist2q requires two array<bigint>, got ($l, $r)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dist2q"
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
 
   /** Column API: codegen'd float-vector dot product. */
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: codegen'd integer-grid squared L2 distance. */
+  def dist2q(a: Column, b: Column): Column =
+    Bridge.column(Dist2Q(Bridge.expression(a), Bridge.expression(b)))
 
   /** Squared L2 norm == dot(v, v) (same fold order ⇒ same doubles). */
   def vecNorm2(a: Column): Column =

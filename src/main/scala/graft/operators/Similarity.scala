@@ -219,28 +219,32 @@ object Similarity {
       .groupBy().agg(sort_array(collect_list(col("c"))).as("cents"))
 
   /** Per-row (dist2q, cluster) table against the broadcast `cents`:
-    * dist2q = Σ_pos (xq − cq)² — the identical exact integer-grid
-    * arithmetic as the former join-on-pos + sum aggregation (order-free
-    * integer adds, so the fold order cannot change it).
+    * dist2q = Σ_pos (xq − cq)² via the codegen'd [[graft.functions.Dist2Q]]
+    * primitive loop — the identical exact integer-grid arithmetic as
+    * the former join-on-pos + sum aggregation (order-free integer adds,
+    * so the fold order cannot change it). The k-element transform is
+    * interpreted, but each element is one tight primitive call — the
+    * earlier aggregate(zip_with(...)) form interpreted (and boxed)
+    * every component pair, k times per corpus row, and measured ~10×
+    * slower end-to-end on the full-corpus paths.
     */
-  private val distsSql =
-    """transform(cents, c -> struct(
-      |  aggregate(zip_with(xqs, c.cqs, (x, q) -> (x - q) * (x - q)),
-      |    CAST(0 AS BIGINT), (a, d) -> a + d) AS dist2q,
-      |  c.cluster AS cluster))""".stripMargin
+  private def dists(xqs: Column, cents: Column): Column =
+    transform(cents, c => struct(
+      graft.functions.VectorFunctions.dist2q(xqs, c.getField("cqs")).as("dist2q"),
+      c.getField("cluster").as("cluster")))
 
-  /** [[distsSql]] with the centroid's component array along for the
-    * ride: the argmin struct ordering is unchanged (dist2q, then the
-    * UNIQUE cluster id — cqs is never compared), but the winning
-    * entry's cqs is available to the same projection, which is what
-    * lets [[annIvfPq]]'s residual subtraction happen inside the assign
-    * map pass instead of a corpus-sized shuffle join.
+  /** [[dists]] with the centroid's component array along for the ride:
+    * the argmin struct ordering is unchanged (dist2q, then the UNIQUE
+    * cluster id — cqs is never compared), but the winning entry's cqs
+    * is available to the same projection, which is what lets
+    * [[annIvfPq]]'s residual subtraction happen inside the assign map
+    * pass instead of a corpus-sized shuffle join.
     */
-  private val distsCqsSql =
-    """transform(cents, c -> struct(
-      |  aggregate(zip_with(xqs, c.cqs, (x, q) -> (x - q) * (x - q)),
-      |    CAST(0 AS BIGINT), (a, d) -> a + d) AS dist2q,
-      |  c.cluster AS cluster, c.cqs AS cqs))""".stripMargin
+  private def distsCqs(xqs: Column, cents: Column): Column =
+    transform(cents, c => struct(
+      graft.functions.VectorFunctions.dist2q(xqs, c.getField("cqs")).as("dist2q"),
+      c.getField("cluster").as("cluster"),
+      c.getField("cqs").as("cqs")))
 
   /** One Lloyd assign half in vector form: nearest centroid per vector
     * by exact integer-grid distance, cluster tiebreak. Returns
@@ -252,7 +256,7 @@ object Similarity {
     */
   private def lloydAssign(v: DataFrame, cent: DataFrame): DataFrame =
     v.crossJoin(broadcast(centsRow(cent)))
-      .select(col("vec_id"), expr(s"array_min($distsSql)").as("m"))
+      .select(col("vec_id"), array_min(dists(col("xqs"), col("cents"))).as("m"))
       .select(col("vec_id"), col("m.cluster").as("cluster"),
         col("m.dist2q").as("dist2q"))
 
@@ -265,33 +269,39 @@ object Similarity {
   private def lloydRanked(v: DataFrame, cent: DataFrame): DataFrame =
     v.crossJoin(broadcast(centsRow(cent)))
       .select(col("vec_id"),
-        posexplode(expr(s"array_sort($distsSql)")).as(Seq("rn0", "dc")))
+        posexplode(array_sort(dists(col("xqs"), col("cents")))).as(Seq("rn0", "dc")))
       .select(col("vec_id"), col("dc.cluster").as("cluster"),
         col("dc.dist2q").as("dist2q"), (col("rn0") + 1).as("rn"))
 
   /** One FUSED Lloyd round (assign + average): members' exact integer
     * mean per (cluster, pos) on the 1e-6 grid. The argmin is computed
-    * in the same projection that explodes the member components, so a
-    * round is one map pass + one (cluster, pos) aggregation — the
-    * former form paid a corpus×dims shuffle join to re-attach points
-    * to assignments. A cluster that loses all members drops out of the
-    * average (standard Lloyd, unchanged).
+    * in a projection BELOW the member-component explode (two explicit
+    * selects, so it runs once per vector, never once per exploded
+    * component), so a round is one map pass + one (cluster, pos)
+    * aggregation — the former form paid a corpus×dims shuffle join to
+    * re-attach points to assignments. A cluster that loses all members
+    * drops out of the average (standard Lloyd, unchanged).
     */
   private def lloydAverage(v: DataFrame, cent: DataFrame): DataFrame =
     v.crossJoin(broadcast(centsRow(cent)))
-      .select(expr(s"array_min($distsSql).cluster").as("cluster"),
-        posexplode(col("xqs")).as(Seq("pos0", "xq")))
+      .select(array_min(dists(col("xqs"), col("cents")))
+        .getField("cluster").as("cluster"), col("xqs"))
+      .select(col("cluster"), posexplode(col("xqs")).as(Seq("pos0", "xq")))
       .groupBy(col("cluster"), (col("pos0") + 1).cast("bigint").as("pos"))
       .agg(round(sum(col("xq")) / count(lit(1)), 0).cast("bigint").as("cq"))
 
   /** `iters` fused Lloyd rounds from an exploded seed centroid frame —
     * the shared training loop (identical to the former
-    * assign-then-average chain: round 1 assigns under the seed).
+    * assign-then-average chain: round 1 assigns under the seed). Each
+    * round's k·dims-row centroid table is cache-tracked: round i+1's
+    * broadcast build (and every downstream assignment/ranking) reads
+    * the materialized table instead of re-executing the whole nested
+    * round chain — corpus passes drop from O(iters²) to one per round.
     */
   private def lloydTrain(v: DataFrame, seedCent: DataFrame,
       iters: Int): DataFrame = {
     var cent = seedCent
-    for (_ <- 1 to iters) cent = lloydAverage(v, cent)
+    for (_ <- 1 to iters) cent = graft.Caches.track(lloydAverage(v, cent))
     cent
   }
 
@@ -309,7 +319,7 @@ object Similarity {
         $"xq".as("cq"))
     // cached: the final centroid table feeds BOTH the candidate cell
     // assignment and the query probe ranking
-    val cent = graft.Caches.track(lloydTrain(candVecs, seedCent, iters))
+    val cent = lloydTrain(candVecs, seedCent, iters)
 
     val cells = lloydAssign(candVecs, cent)
       .select($"vec_id", $"cluster".as("cell"))
@@ -363,7 +373,7 @@ object Similarity {
         posexplode($"xqs").as(Seq("pos0", "xq")))
       .select($"cluster", ($"pos0" + 1).cast("bigint").as("pos"),
         $"xq".as("cq"))
-    val cent = graft.Caches.track(lloydTrain(baseVecs, seedCent, iters))
+    val cent = lloydTrain(baseVecs, seedCent, iters)
     // the refresh: base AND new batch assigned under the frozen book
     val allVecs = vecForm(base.unionByName(fresh))
     val cells = lloydAssign(allVecs, cent)
@@ -413,7 +423,7 @@ object Similarity {
         posexplode($"xqs").as(Seq("pos0", "xq")))
       .select($"cluster", ($"pos0" + 1).cast("bigint").as("pos"),
         $"xq".as("cq"))
-    val cent = graft.Caches.track(lloydTrain(baseVecs, seedCent, iters))
+    val cent = lloydTrain(baseVecs, seedCent, iters)
     val allVecs = vecForm(base.unionByName(fresh))
     def counts(v: DataFrame, col0: String): DataFrame =
       lloydAssign(v, cent).groupBy($"cluster".as("cell"))
@@ -1195,11 +1205,9 @@ object Similarity {
   private def subVecForm(v: DataFrame, m: Int, sw: Int): DataFrame =
     graft.Caches.track(v
       .select(col("vec_id"), posexplode(expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-           |  transform(sequence(1, $sw), i -> struct(
-           |    CAST(s * $sw + i AS BIGINT) AS pos,
-           |    xqs[s * $sw + i - 1] AS xq)))""".stripMargin)).as(Seq("s0", "pxs")))
-      .select(col("vec_id"), col("s0").cast("int").as("sub"), col("pxs")))
+        s"transform(sequence(0, ${m - 1}), s -> slice(xqs, s * $sw + 1, $sw))"))
+        .as(Seq("s0", "xqs")))
+      .select(col("vec_id"), col("s0").cast("int").as("sub"), col("xqs")))
 
   /** (sub, entries: array<struct<code, cqs>>) — the per-subspace
     * codebook entry arrays, broadcast into the assign/average map
@@ -1217,16 +1225,16 @@ object Similarity {
       .agg(sort_array(collect_list(col("e"))).as("entries"))
 
   /** Per-row (dist2q, code) table against the broadcast `entries`:
-    * dist2q = Σ_pos (xq − cq)² — identical exact integer-grid
-    * arithmetic to the former join-on-(sub, pos) + sum aggregation
-    * (order-free integer adds, so the fold order cannot change it).
+    * dist2q = Σ_pos (xq − cq)² via the codegen'd
+    * [[graft.functions.Dist2Q]] primitive loop — identical exact
+    * integer-grid arithmetic to the former join-on-(sub, pos) + sum
+    * aggregation (order-free integer adds, so the fold order cannot
+    * change it).
     */
-  private val subDistsSql =
-    """transform(entries, e -> struct(
-      |  aggregate(zip_with(transform(pxs, p -> p.xq), e.cqs,
-      |    (x, q) -> (x - q) * (x - q)),
-      |    CAST(0 AS BIGINT), (a, d) -> a + d) AS dist2q,
-      |  e.code AS code))""".stripMargin
+  private def subDists(xqs: Column, entries: Column): Column =
+    transform(entries, e => struct(
+      graft.functions.VectorFunctions.dist2q(xqs, e.getField("cqs")).as("dist2q"),
+      e.getField("code").as("code")))
 
   /** One PQ Lloyd assign half in vector form: nearest codebook entry
     * per (vector, subspace) by exact integer-grid distance, code
@@ -1242,21 +1250,30 @@ object Similarity {
   private def pqAssign(v: DataFrame, cb: DataFrame): DataFrame =
     v.join(broadcast(cbBySub(cb)), "sub")
       .select(col("vec_id"), col("sub"),
-        expr(s"array_min($subDistsSql).code").as("code"))
+        array_min(subDists(col("xqs"), col("entries")))
+          .getField("code").as("code"))
 
   /** One FUSED PQ Lloyd round (assign + average): exact integer mean
     * per (sub, code, pos) over each point's nearest entry. The argmin
-    * is computed in the projection that inlines the member components,
-    * so a round is one map pass + one (sub, code, pos) aggregation —
-    * the former form paid a corpus×dims shuffle join to re-attach
-    * points to assignments. A code that loses all members drops out of
-    * the average (standard Lloyd, unchanged).
+    * is computed in a projection BELOW the component explode (two
+    * explicit selects — once per (vector, subspace), never once per
+    * component), so a round is one map pass + one (sub, code, pos)
+    * aggregation — the former form paid a corpus×dims shuffle join to
+    * re-attach points to assignments. pos reconstructs from the slice
+    * index (subspace s covers positions s·sw+1 .. s·sw+sw). A code
+    * that loses all members drops out of the average (standard Lloyd,
+    * unchanged).
     */
-  private def pqAverage(v: DataFrame, cb: DataFrame): DataFrame =
+  private def pqAverage(v: DataFrame, cb: DataFrame, sw: Int): DataFrame =
     v.join(broadcast(cbBySub(cb)), "sub")
-      .select(col("sub"), expr(s"array_min($subDistsSql).code").as("code"),
-        expr("inline(pxs)"))
-      .groupBy(col("sub"), col("code"), col("pos"))
+      .select(col("sub"),
+        array_min(subDists(col("xqs"), col("entries")))
+          .getField("code").as("code"),
+        col("xqs"))
+      .select(col("sub"), col("code"),
+        posexplode(col("xqs")).as(Seq("i0", "xq")))
+      .groupBy(col("sub"), col("code"),
+        (col("sub") * sw + col("i0") + 1).cast("bigint").as("pos"))
       .agg(round(sum(col("xq")) / count(lit(1)), 0).cast("bigint").as("cq"))
 
   /** Trained per-subspace codebooks over a [[subVecForm]] frame.
@@ -1267,18 +1284,22 @@ object Similarity {
     * and only 2 of the ksub entries per subspace would ever exist, a
     * 1-bit codebook wearing a 3-bit label) — then `iters` fused Lloyd
     * rounds (identical to the former assign-then-average chain: round
-    * 1 assigns under the seed). A code that loses all members simply
-    * drops out of the next average (standard Lloyd; identical on both
-    * engines since membership is exact integer argmin).
+    * 1 assigns under the seed). Each round's codebook is cache-tracked
+    * (the lloydTrain discipline: one corpus pass per round, not
+    * O(iters²)). A code that loses all members simply drops out of the
+    * next average (standard Lloyd; identical on both engines since
+    * membership is exact integer argmin).
     */
-  private def pqTrain(v: DataFrame, ksub: Int, iters: Int): DataFrame = {
+  private def pqTrain(v: DataFrame, ksub: Int, iters: Int,
+      sw: Int): DataFrame = {
     val seed = v
       .select(expr(s"CAST((vec_id DIV 20) % $ksub AS INT)").as("code"),
-        col("sub"), expr("inline(pxs)"))
-      .groupBy(col("sub"), col("code"), col("pos"))
+        col("sub"), posexplode(col("xqs")).as(Seq("i0", "xq")))
+      .groupBy(col("sub"), col("code"),
+        (col("sub") * sw + col("i0") + 1).cast("bigint").as("pos"))
       .agg(round(sum(col("xq")) / count(lit(1)), 0).cast("bigint").as("cq"))
     var cb = seed
-    for (_ <- 1 to iters) cb = pqAverage(v, cb)
+    for (_ <- 1 to iters) cb = graft.Caches.track(pqAverage(v, cb, sw))
     cb
   }
 
@@ -1330,7 +1351,7 @@ object Similarity {
     // cached (subvector form): feeds the codebook seed, every training
     // round, AND the code assignment
     val cand = subVecForm(quantVec(emb.filter($"vec_id" % 20 === 0)), m, dims / m)
-    val codebook = graft.Caches.track(pqTrain(cand, ksub, iters))
+    val codebook = pqTrain(cand, ksub, iters, dims / m)
     // encode: the assign half under the final trained codebook
     val codes = pqAssign(cand, codebook)
     // ADC lookup table: query-subvector · codebook-entry, exact integer
@@ -1407,7 +1428,7 @@ object Similarity {
         posexplode($"xqs").as(Seq("pos0", "xq")))
       .select($"cluster", ($"pos0" + 1).cast("bigint").as("pos"),
         $"xq".as("cq"))
-    val cent = graft.Caches.track(lloydTrain(candVecs, seedCent, iters))
+    val cent = lloydTrain(candVecs, seedCent, iters)
     val cellCent = cent.select($"cluster".as("cell"), $"pos", $"cq")
     // cached (r13-opt): consumed by the ADC routing join — its
     // broadcast/shuffle build otherwise re-runs the whole Lloyd
@@ -1437,17 +1458,18 @@ object Similarity {
     val sw = dims / m
     // residual input in vector form: rqs = xqs − cqs(assigned cell),
     // computed in the SAME broadcast argmin map pass as the assignment
-    // ([[distsCqsSql]] carries the winning centroid's cqs along) — the
+    // ([[distsCqs]] carries the winning centroid's cqs along) — the
     // exploded form paid a corpus-sized shuffle join + broadcast pos
     // join to do this subtraction
     val pqVecs =
       if (!residual) candVecs
       else candVecs.crossJoin(broadcast(centsRow(cent)))
-        .select($"vec_id", expr(s"array_min($distsCqsSql)").as("mm"), $"xqs")
+        .select($"vec_id",
+          array_min(distsCqs($"xqs", $"cents")).as("mm"), $"xqs")
         .select($"vec_id",
           expr("zip_with(xqs, mm.cqs, (x, q) -> x - q)").as("xqs"))
     val subVecs = subVecForm(pqVecs, m, sw)
-    val codebook = graft.Caches.track(pqTrain(subVecs, ksub, iters))
+    val codebook = pqTrain(subVecs, ksub, iters, sw)
     val codes = pqAssign(subVecs, codebook)
     val lut = qPts.withColumn("sub", (($"pos" - 1) / sw).cast("int"))
       .withColumnRenamed("vec_id", "qid")
@@ -2037,7 +2059,7 @@ object Similarity {
         posexplode($"xqs").as(Seq("pos0", "xq")))
       .select($"cluster", ($"pos0" + 1).cast("bigint").as("pos"),
         $"xq".as("cq"))
-    val cent = graft.Caches.track(lloydTrain(vAll, seedCent, iters))
+    val cent = lloydTrain(vAll, seedCent, iters)
     // cached: feeds the graph build, the medoid window, and (for the
     // queries) nothing else — one Lloyd assignment total
     val assign = graft.Caches.track(lloydAssign(vAll, cent))
@@ -2607,7 +2629,7 @@ object Similarity {
         posexplode($"xqs").as(Seq("pos0", "xq")))
       .select($"cluster", ($"pos0" + 1).cast("bigint").as("pos"),
         $"xq".as("cq"))
-    val cent = graft.Caches.track(lloydTrain(candVecs, seedCent, iters))
+    val cent = lloydTrain(candVecs, seedCent, iters)
 
     val cells = lloydAssign(candVecs, cent)
       .select($"vec_id", $"cluster".as("cell"))

@@ -58,4 +58,29 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the "*(n)" prefix marks a WholeStageCodegen span containing the project
     plan should include regex """\*\(\d+\) Project \[vec_dot"""
   }
+
+  test("dist2q is bit-identical to the interpreted zip_with fold") {
+    // grid-quantized integer arrays, the Lloyd inner-loop shape —
+    // including the interpreted-eval path (dist2q inside a transform
+    // lambda, exactly how the quantizers call it)
+    val q = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"
+    ).as("xqs"))
+    val both = q.as("x").crossJoin(q.as("y")).limit(500)
+      .select(
+        VectorFunctions.dist2q(col("x.xqs"), col("y.xqs")).as("native"),
+        expr("aggregate(zip_with(x.xqs, y.xqs, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, d) -> acc + d)").as("fold"))
+      .collect()
+    both.length should be > 0
+    both.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    // interpreted path: dist2q applied through a transform lambda
+    val viaLambda = q.as("x").crossJoin(q.limit(3).as("y")).limit(50)
+      .select(transform(array(col("y.xqs")),
+        c => VectorFunctions.dist2q(col("x.xqs"), c)).getItem(0).as("native"),
+        expr("aggregate(zip_with(x.xqs, y.xqs, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, d) -> acc + d)").as("fold"))
+      .collect()
+    viaLambda.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
 }
