@@ -284,13 +284,25 @@ object OsmQueries {
       .distinct()
     var lbl = ways.select(col("rel_id"), col("role"), col("way_id"),
       col("way_id").as("lbl"))
-    for (_ <- 1 to labelRounds) {
+    // early exit once a round changes no label (r14-opt): the remaining
+    // rounds are identity transforms — labels only decrease and a
+    // no-change round proves the fixpoint — so the result is
+    // bit-identical to running all `labelRounds` (which stays the
+    // documented oracle bound); the convergence probe reads the
+    // just-checkpointed frame (no recompute)
+    var lblDone = false
+    for (_ <- 1 to labelRounds if !lblDone) {
       val m = nbrs.join(
           lbl.select(col("rel_id"), col("role"),
             col("way_id").as("nb"), col("lbl").as("nlbl")),
           Seq("rel_id", "role", "nb"))
         .groupBy(col("rel_id"), col("role"), col("way_id"))
         .agg(min(col("nlbl")).as("mlbl"))
+        .localCheckpoint()
+      // convergence probe: any strict improvement this round? Both
+      // sides are checkpointed tiny frames, so this is one cheap join
+      lblDone = m.join(lbl, Seq("rel_id", "role", "way_id"))
+        .filter(col("mlbl") < col("lbl")).isEmpty
       lbl = snap(
         lbl.join(m, Seq("rel_id", "role", "way_id"), "left")
           .select(col("rel_id"), col("role"), col("way_id"),
@@ -309,7 +321,8 @@ object OsmQueries {
       .withColumn("closed",
         col("cur_end") === col("start_ref") && size(col("refs")) >= 4)
       .select(stCols.map(col): _*)
-    for (_ <- 1 to walkRounds) {
+    var walkDone = false
+    for (_ <- 1 to walkRounds if !walkDone) {
       val cands = st.filter(!col("closed")).as("s")
         .join(comp.as("c"),
           col("s.rel_id") === col("c.rel_id") &&
@@ -343,6 +356,17 @@ object OsmQueries {
         st.join(extKeys, Seq("rel_id", "role", "lbl"), "left")
           .filter(col("__x").isNull).drop("__x")
           .unionByName(ext))
+      // early exit when nothing is left to extend (r14-opt): every
+      // remaining open ring is stuck or closed, so later rounds are
+      // identity transforms — bit-identical to running all
+      // `walkRounds` (still the documented oracle bound). The probe
+      // joins two just-checkpointed tiny frames.
+      walkDone = st.filter(!col("closed")).join(
+          comp.withColumnRenamed("way_id", "cand_way"),
+          Seq("rel_id", "role", "lbl"))
+        .filter(!array_contains(col("used"), col("cand_way")) &&
+          (col("a") === col("cur_end") || col("b") === col("cur_end")))
+        .isEmpty
     }
     // —— ring index + exact o21 shoelace over the stitched sequence ——
     val wIdx = Window.partitionBy(col("rel_id"))
